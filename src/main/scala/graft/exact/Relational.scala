@@ -1,0 +1,445 @@
+package graft.exact
+
+import graft.Op
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact relational plane (SURVEY §2.1–§2.8).
+  *
+  * These are the operators the reference exercises through its data-prep /
+  * ground-truth path (DataManagementLab/deepdb-public:
+  * data_preparation/prepare_single_tables.py, join_data_preparation.py,
+  * ensemble_compilation/physical_db.py) re-expressed as declarative Spark
+  * DataFrame plans so Catalyst handles pushdown/pruning/join selection.
+  *
+  * Determinism for the DuckDB hash gate: every multi-row result ends in a
+  * total ORDER BY; float aggregates go through exact DECIMAL arithmetic and
+  * are only then cast to DOUBLE (summation-order independent on both
+  * engines); computed ints are BIGINT on both sides.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Exact, order-independent SUM of a double column: decimal-cast per value,
+    * exact decimal sum, single cast back to double.
+    */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")), 2).cast("double")
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+
+  val ops: Seq[Op] = Seq(
+    // ---- S1: scans / sources -------------------------------------------
+    Op(
+      "scan_parquet",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    )((s, d) => t(s, d, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")),
+
+    // S2: prepared table — deterministic dictionary encoding of categoricals
+    // (reference: prepare_single_tables.py categorical value dicts). Spark
+    // side builds the tiny dictionary with a rank over *distinct* values and
+    // broadcast-joins it back (never a global window over the fact table).
+    Op(
+      "prep_table",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(DENSE_RANK() OVER (ORDER BY l_returnflag) - 1 AS BIGINT) AS rf_code,
+        |       CAST(DENSE_RANK() OVER (ORDER BY l_linestatus) - 1 AS BIGINT) AS ls_code
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, rf_code, ls_code""".stripMargin
+    ) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      def dict(col0: String, code: String): DataFrame =
+        li.select(col0).distinct()
+          .withColumn(code, (dense_rank().over(Window.orderBy(col0)) - 1).cast("bigint"))
+      li.join(broadcast(dict("l_returnflag", "rf_code")), "l_returnflag")
+        .join(broadcast(dict("l_linestatus", "ls_code")), "l_linestatus")
+        .select("l_orderkey", "l_linenumber", "rf_code", "ls_code")
+        .orderBy("l_orderkey", "l_linenumber", "rf_code", "ls_code")
+    },
+
+    // S3: deterministic systematic sample (seeded random sampling is not
+    // oracle-able; modulo-of-key is, and is what the sampled-HDF sink is for).
+    Op(
+      "sample_table",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 10 = 3 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 === 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // ---- P: projections / predicates -----------------------------------
+    Op(
+      "project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    Op(
+      "filter_conj",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.02, 0.06) && col("l_quantity") < 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    Op(
+      "filter_in",
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R') AND l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") && col("l_linestatus") === "F")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag")),
+
+    Op(
+      "filter_date_range",
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY yr""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(year(col("l_shipdate")).cast("bigint").as("yr"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("yr")),
+
+    // P5: null-indicator predicate — the testdata has no NULLs, so nulls are
+    // manufactured the same way the reference does: an outer join leaves
+    // childless orders without a partner (join_data_preparation.py nn cols).
+    Op(
+      "filter_notnull",
+      """SELECT o.o_orderkey FROM orders o
+        |LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_orderkey IS NULL ORDER BY o.o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val o = t(s, d, "orders")
+      val lk = t(s, d, "lineitem").select("l_orderkey").distinct()
+      o.join(lk, o("o_orderkey") === lk("l_orderkey"), "left")
+        .filter(col("l_orderkey").isNull)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- J: joins -------------------------------------------------------
+    Op(
+      "join_fk_inner",
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")),
+
+    Op(
+      "join_3way",
+      """SELECT n_name, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) - SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(
+            sum(dec(col("l_extendedprice"))) -
+              sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
+            .cast("double").as("revenue"))
+        .orderBy("n_name")),
+
+    // J2: outer join + per-key fanout (the multiplier column the reference's
+    // join sampler materializes; see graft.fanout.JoinSample for the
+    // training-side version that keeps per-row multiplier/nn columns).
+    Op(
+      "join_full_outer_fanout",
+      """SELECT COALESCE(o_orderkey, l_orderkey) AS okey, COUNT(l_orderkey) AS fanout
+        |FROM orders FULL OUTER JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY okey""".stripMargin
+    ) { (s, d) =>
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "full_outer")
+        .groupBy(coalesce(col("o_orderkey"), col("l_orderkey")).as("okey"))
+        .agg(count(col("l_orderkey")).as("fanout"))
+        .orderBy("okey")
+    },
+
+    Op(
+      "join_semi",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin
+    )((s, d) =>
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+
+    Op(
+      "join_anti",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin
+    )((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+
+    // ---- A: aggregations -------------------------------------------------
+    Op(
+      "agg_count",
+      """SELECT COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    Op(
+      "agg_sum",
+      """SELECT l_returnflag,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    Op(
+      "agg_avg",
+      """SELECT l_linestatus,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg((dsum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price"))
+        .orderBy("l_linestatus")),
+
+    // A4 — the SURVEY §7.3 minimum slice (SSB-Q1-style revenue).
+    Op(
+      "agg_sum_product",
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25""".stripMargin
+    )((s, d) => Flagship.revenue(t(s, d, "lineitem"))),
+
+    Op(
+      "agg_plus_minus",
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS gross,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) - SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS net
+        |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "A")
+        .agg(
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("gross"),
+          round(
+            sum(dec(col("l_extendedprice"))) -
+              sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
+            .cast("double").as("net"))),
+
+    // A6 — TPC-H Q1 shape.
+    Op(
+      "groupby_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) - SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          round(
+            sum(dec(col("l_extendedprice"))) -
+              sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    Op(
+      "distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- Window functions (§2.5) ----------------------------------------
+    Op(
+      "window_fanout",
+      """SELECT l_orderkey, l_linenumber,
+        |       COUNT(*) OVER (PARTITION BY l_orderkey) AS fanout
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          count(lit(1)).over(Window.partitionBy("l_orderkey")).as("fanout"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    Op(
+      "window_rank",
+      """SELECT user_id, event_id,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+        |FROM events ORDER BY user_id, rn""".stripMargin
+    )((s, d) =>
+      t(s, d, "events")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .cast("bigint").as("rn"))
+        .orderBy("user_id", "rn")),
+
+    // ---- Sort / limit ----------------------------------------------------
+    Op(
+      "sort_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+    )((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
+    // ---- Set operations ---------------------------------------------------
+    Op(
+      "set_union",
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      val a = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val b = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("k"))
+      a.union(b).distinct().orderBy("k")
+    },
+
+    Op(
+      "set_intersect",
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
+        .orderBy("k")
+    },
+
+    Op(
+      "set_except",
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin
+    )((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")),
+
+    // ---- F: scalar functions ----------------------------------------------
+    Op(
+      "json_extract",
+      """SELECT event_type,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       COUNT(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    )((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"),
+          count(lit(1)).as("cnt"))
+        .orderBy("event_type")),
+
+    Op(
+      "date_parts",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |       COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mon""".stripMargin
+    )((s, d) =>
+      t(s, d, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          month(col("o_orderdate")).cast("bigint").as("mon"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("yr", "mon"))
+  )
+}
+
+/** The flagship §7.3 slice, reused by SparkEntry.entry. */
+object Flagship {
+  import org.apache.spark.sql.functions._
+  def revenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 25)
+      .agg(
+        round(
+          sum(col("l_extendedprice").cast("decimal(18,6)") *
+            col("l_discount").cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"))
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session for all specs. */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class ExactPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark._
+
+  override def afterAll(): Unit = () // keep the session for other suites
+
+  test("flagship entry returns a positive revenue row") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(0) > 0)
+  }
+
+  test("every declared query runs and oracle keys are a subset") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("window_fanout sums to lineitem size, join_full_outer_fanout covers all orders") {
+    import org.apache.spark.sql.functions._
+    val li = schema.Tables(spark, sf, "lineitem").count()
+    val fanouts = SparkEntry.queries("join_full_outer_fanout")(spark, sf)
+    assert(fanouts.agg(sum("fanout")).collect()(0).getLong(0) == li)
+    val orders = schema.Tables(spark, sf, "orders").count()
+    assert(fanouts.count() >= orders)
+  }
+
+  test("semi + anti partition customer") {
+    val semi = SparkEntry.queries("join_semi")(spark, sf).count()
+    val anti = SparkEntry.queries("join_anti")(spark, sf).count()
+    val all = schema.Tables(spark, sf, "customer").count()
+    assert(anti <= all - semi) // semi uses a price filter, anti does not
+  }
+}
