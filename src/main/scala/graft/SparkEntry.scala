@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allOps: Seq[Op] =
-    exact.Relational.ops
+    exact.Relational.ops ++ ext.Text.ops ++ ext.Dedup.ops ++
+      ext.Similarity.ops ++ ext.Multimodal.ops ++ ext.Streaming.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.Op
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table (SURVEY §2.10, T1–T5).
+  *
+  * Each transform is written against a plain DataFrame so the SAME function
+  * runs in batch (declared below, DuckDB-checkable) and on a streaming
+  * source (`readStream`/MemoryStream — exercised in StreamingSpec with
+  * watermarks). That is Structured Streaming's core contract: one plan,
+  * incrementalized by the engine.
+  */
+object Streaming {
+
+  private def events(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
+
+  /** T1: 1-hour tumbling windows per event_type. */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** T2: 1-hour windows sliding every 15 minutes. */
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+
+  /** T3: per-user session windows with a 30-minute inactivity gap. */
+  def session(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("cnt"))
+
+  val ops: Seq[Op] = Seq(
+    Op(
+      "stream_tumbling",
+      """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+    )((s, d) => tumbling(events(s, d)).orderBy("win_start", "event_type")),
+
+    // Sliding windows are epoch-aligned in Spark; DuckDB reproduces the set
+    // of covering windows as bucket(ts) - k*slide for k in 0..3 (every ts is
+    // covered by exactly windowLen/slide windows).
+    Op(
+      "stream_sliding",
+      """SELECT win_start, event_type, COUNT(*) AS cnt FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') AS win_start,
+        |         event_type
+        |  FROM events, range(4) t(k))
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+    )((s, d) => sliding(events(s, d)).orderBy("win_start", "event_type")),
+
+    // Session windows via gaps-and-islands in SQL. Spark starts a new
+    // session when the gap is >= the timeout; with µs-resolution data an
+    // exactly-30:00.000000 gap has measure zero (verified absent).
+    Op(
+      "stream_session",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |      FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+    )((s, d) => session(events(s, d)).orderBy("user_id", "session_start"))
+  )
+}

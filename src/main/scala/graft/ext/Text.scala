@@ -1,0 +1,139 @@
+package graft.ext
+
+import graft.Op
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus (north-star extension
+  * surface; BASELINE.json "text analysis"). All are single-pass, codegen'd
+  * column expressions — no UDFs — so they scan-parallelize trivially at
+  * 100 TB: one narrow projection per document, no shuffle except the final
+  * presentation sort.
+  */
+object Text {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+
+  /** Whitespace tokens of `text`. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct n-word shingles (n-grams joined by a space); empty when the
+    * document has fewer than n tokens. Shared by the dedup family.
+    */
+  def shingles(textCol: Column, n: Int): Column = {
+    val tk = tokens(textCol)
+    array_distinct(
+      transform(
+        // sequence(0, size-n) would flip direction when size < n (Spark
+        // infers a negative step); guard with an empty array instead.
+        when(size(tk) >= n, sequence(lit(0), size(tk) - n))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", (1 to n).map(k => element_at(tk, i + k)): _*)))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  val ops: Seq[Op] = Seq(
+    // F2: tokenization + basic counts.
+    Op(
+      "text_tokens",
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )((s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+          length(col("text")).cast("bigint").as("n_chars"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace + a BPE-ish regex segmentation (runs of
+    // letters, runs of digits, single other non-space chars).
+    Op(
+      "token_count",
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )((s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+            .cast("bigint").as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length/stopword-ratio heuristics (what a pretraining
+    // pipeline gates documents on).
+    Op(
+      "text_stats",
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_token_len,
+         |       len(list_filter(string_split(text, ' '), x -> x IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) / len(string_split(text, ' ')) AS stop_ratio,
+         |       CAST(len(string_split(text, ' ')) BETWEEN 20 AND 200 AS BOOLEAN) AS is_quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val tk = tokens(col("text"))
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          size(tk).cast("bigint").as("n_tokens"),
+          aggregate(transform(tk, x => length(x)), lit(0), (acc, x) => acc + x)
+            .cast("bigint").as("sum_token_len"),
+          (size(filter(tk, x => x.isInCollection(stopwords))).cast("bigint") /
+            size(tk).cast("bigint")).as("stop_ratio"),
+          size(tk).between(20, 200).as("is_quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID: marker-token voting with a fixed priority tie-break.
+    // (The synthetic corpus shares one vocabulary across langs, so this
+    // degenerates to the tie-break — the operator shape is what matters;
+    // swap the marker lists for real profiles on real data.)
+    Op(
+      "lang_id",
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','is','and','of','to'))) AS s_en,
+        |         len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','ist'))) AS s_de,
+        |         len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','la','et','est'))) AS s_fr,
+        |         len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','los','y','es'))) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val tk = tokens(lower(col("text")))
+      def score(ws: Seq[String]): Column =
+        size(filter(tk, x => x.isInCollection(ws))).cast("bigint")
+      val sEn = score(Seq("the", "is", "and", "of", "to"))
+      val sDe = score(Seq("der", "die", "und", "ist"))
+      val sFr = score(Seq("le", "la", "et", "est"))
+      val sEs = score(Seq("el", "los", "y", "es"))
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          when(sEn >= sDe && sEn >= sFr && sEn >= sEs, "en")
+            .when(sDe >= sFr && sDe >= sEs, "de")
+            .when(sFr >= sEs, "fr")
+            .otherwise("es").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting (content hash for exact-dup detection at scale:
+    // shuffle-free map, dedup becomes a groupBy on the fingerprint).
+    Op(
+      "fingerprint",
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id"
+    )((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+        .orderBy("doc_id"))
+  )
+}

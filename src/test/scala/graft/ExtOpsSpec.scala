@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks among the dedup/similarity family: the approximate (LSH)
+  * variants must agree with their exact counterparts on the planted
+  * near-duplicates.
+  */
+class ExtOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("minhash near-dup finds the exact n-gram Jaccard pairs") {
+    val exact = run("dedup_ngram").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = run("dedup_near").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixtures contain planted near-dups")
+    val recall = exact.count(near.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"MinHash recall $recall of ${exact.size} exact pairs")
+  }
+
+  test("simhash candidates overlap exact pairs") {
+    val exact = run("dedup_ngram").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = run("dedup_simhash").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"SimHash recall $recall")
+  }
+
+  test("dedup_exact collapses the doubled corpus to one row per doc") {
+    val df = run("dedup_exact")
+    val docs = schema.Tables(spark, sf, "documents").count()
+    assert(df.count() == docs)
+    assert(df.filter(col("n_copies") =!= 2).count() == 0)
+  }
+
+  test("LSH ANN top-1 matches brute-force top-1") {
+    val brute = run("sim_topk").select("vec_id").head().getLong(0)
+    val annTop = run("sim_topk_lsh").select("vec_id").head().getLong(0)
+    assert(brute == annTop, s"brute=$brute ann=$annTop")
+  }
+
+  test("simhash is deterministic and order-insensitive input hash") {
+    val h1 = ext.Dedup.simhash64(Seq("a b c", "b c d"))
+    val h2 = ext.Dedup.simhash64(Seq("a b c", "b c d"))
+    assert(h1 == h2)
+    assert(java.lang.Long.bitCount(h1 ^ ext.Dedup.simhash64(Seq("a b c", "b c e"))) <= 32)
+  }
+
+  test("multimodal decode stub output matches SQL-derivable fields") {
+    val d = ext.Multimodal.decodeStub(ext.Multimodal.Blob(1L, "abc".getBytes("UTF-8")))
+    assert(d.n_bytes == 3 && d.head_byte == 'a'.toLong && d.checksum == 'a' + 'b' + 'c')
+  }
+}

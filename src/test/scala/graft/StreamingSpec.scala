@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real Structured Streaming behavior (T1/T4/T5): the same transforms the
+  * batch oracles check, driven through MemoryStream with watermarks.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("tumbling window agg over a stream matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = ext.Streaming.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:10:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 00:50:00"), 1, "view", 2.0),
+      Ev(3, ts("2024-01-01 01:10:00"), 2, "click", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from tumb order by win_start, event_type").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("cnt") == 2 && rows(0).getAs[Double]("sum_value") == 3.0)
+    assert(rows(1).getAs[String]("event_type") == "click")
+  }
+
+  test("watermark drops events later than the threshold (T4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("late").outputMode("append").start()
+    mem.addData(Ev(1, ts("2024-01-01 00:10:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past the first window...
+    mem.addData(Ev(2, ts("2024-01-01 03:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // ...then send a straggler into the closed 00:00 window: must be dropped.
+    mem.addData(Ev(3, ts("2024-01-01 00:20:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from late order by window.start").collect()
+    q.stop()
+    assert(rows.length == 1, "only the closed 00:00 window is emitted in append mode")
+    assert(rows(0).getAs[Long]("cnt") == 1, "the late event must not be counted")
+  }
+
+  test("stateful dedup within watermark (T5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedupq").outputMode("append").start()
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:10:00"), 1, "view", 1.0),
+      Ev(1, ts("2024-01-01 00:11:00"), 1, "view", 1.0), // duplicate id
+      Ev(2, ts("2024-01-01 00:12:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(9, ts("2024-01-01 09:00:00"), 1, "view", 1.0)) // flush watermark
+    q.processAllAvailable()
+    val n = spark.sql("select distinct event_id from dedupq").count()
+    val total = spark.sql("select * from dedupq where event_id in (1,2)").count()
+    q.stop()
+    assert(total == 2, s"duplicate event_id must be emitted once, got $total")
+    assert(n >= 2)
+  }
+
+  test("session window over a stream groups by inactivity gap (T3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = ext.Streaming.session(mem.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "view", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), 7, "view", 1.0), // same session
+      Ev(3, ts("2024-01-01 02:00:00"), 7, "view", 1.0)) // new session
+    q.processAllAvailable()
+    val rows = spark.sql("select * from sess order by session_start").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("cnt") == 2 && rows(1).getAs[Long]("cnt") == 1)
+  }
+}
