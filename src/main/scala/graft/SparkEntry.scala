@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def allOps: Seq[Op] =
     exact.Relational.ops ++ ext.Text.ops ++ ext.Dedup.ops ++
-      ext.Similarity.ops ++ ext.Multimodal.ops ++ ext.Streaming.ops
+      ext.Similarity.ops ++ ext.Multimodal.ops ++ ext.Streaming.ops ++
+      rspn.ModelQueries.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

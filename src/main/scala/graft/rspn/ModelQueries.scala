@@ -1,0 +1,172 @@
+package graft.rspn
+
+import graft.Op
+import graft.schema.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.LocalDate
+
+/** Model-plane operators (SURVEY §2.9, M1–M11) exposed through the driver
+  * contract. All are *no-oracle*: results are model estimates, checked
+  * instead by the accuracy specs (q-error vs the exact plane — the
+  * reference's own evaluation methodology, evaluation/aqp_evaluation.py).
+  *
+  * Estimates are deterministic: seeded sampling, seeded learning, driver-side
+  * inference.
+  */
+object ModelQueries {
+
+  private def days(d: String): Double = LocalDate.parse(d).toEpochDay.toDouble
+
+  private def resultDf(s: SparkSession, rows: Seq[(String, Double, Double, Double)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("query", "est", "ci95_lo", "ci95_hi").orderBy("query")
+  }
+
+  val ops: Seq[Op] = Seq(
+    // M1: pairwise RDC dependence matrix over lineitem's modeled columns
+    // (drives Product splits + ensemble ranking; rdc_based.py).
+    Op.noOracle("rdc_matrix") { (s, d) =>
+      import s.implicits._
+      val spn = Ensemble.get(s, d)("lineitem")
+      val data = {
+        // re-collect the training sample deterministically for the matrix
+        val df = Tables(s, d, "lineitem")
+        val exprs = Seq(
+          col("l_quantity").cast("double"), col("l_extendedprice").cast("double"),
+          col("l_discount").cast("double"), col("l_tax").cast("double"),
+          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01"))).cast("double"))
+        val frac = math.min(1.0, 5000.0 / math.max(df.count(), 1L))
+        df.select(exprs: _*).sample(withReplacement = false, frac, 42L).limit(5000)
+          .collect().map(r => Array.tabulate(5)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+      }
+      val names = Array("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      Learn.rdcMatrix(data, names.indices.toArray)
+        .map { case (i, j, r) => (names(i), names(j), math.rint(r * 1000) / 1000) }
+        .toSeq.toDF("col_a", "col_b", "rdc")
+        .orderBy("col_a", "col_b")
+    },
+
+    // M3: structure-learning summary — proof the ensemble trains, plus its
+    // footprint (reference SPNEnsemble.save telemetry).
+    Op.noOracle("spn_train") { (s, d) =>
+      import s.implicits._
+      Ensemble.get(s, d).values.toSeq
+        .map { t =>
+          val (nodes, leaves) = Spn.countNodes(t.root)
+          (t.name, t.tables.toSeq.sorted.mkString(","), nodes, leaves, t.sampleRows, t.scaleRows)
+        }
+        .toDF("spn", "tables", "nodes", "leaves", "sample_rows", "scale_rows")
+        .orderBy("spn")
+    },
+
+    // A1/M6/M10: COUNT estimates — single table, with predicates, and over
+    // the join with fanout/nn corrections.
+    Op.noOracle("est_count") { (s, d) =>
+      val e = Ensemble.get(s, d)
+      def q(name: String, tables: Set[String], preds: Map[(String, String), ColRange]) = {
+        val est = Ensemble.estCount(e, tables, preds)
+        (name, math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))
+      }
+      resultDf(s, Seq(
+        q("li_all", Set("lineitem"), Map.empty),
+        q("li_flag_A", Set("lineitem"), Map(("lineitem", "l_returnflag") -> flag(e, "A"))),
+        q("li_qty_lt10_disc", Set("lineitem"), Map(
+          ("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 10.0, hiIncl = false),
+          ("lineitem", "l_discount") -> NumRange(0.02, 0.06))),
+        q("li_ship_1996", Set("lineitem"), Map(
+          ("lineitem", "l_shipdate") -> NumRange(days("1996-01-01"), days("1997-01-01"), hiIncl = false))),
+        q("join_status_F", Set("orders", "lineitem"), Map(
+          ("orders", "o_orderstatus") -> status(e, "F"))),
+        q("orders_via_join_spn", Set("orders"), Map(
+          ("orders", "o_totalprice") -> NumRange(100000.0, Double.PositiveInfinity)))))
+    },
+
+    // A2: SUM estimates (expectation of the feature column under predicates).
+    Op.noOracle("est_sum") { (s, d) =>
+      val e = Ensemble.get(s, d)
+      def q(name: String, tables: Set[String], c: (String, String), preds: Map[(String, String), ColRange]) = {
+        val est = Ensemble.estSum(e, tables, c, preds)
+        (name, math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))
+      }
+      resultDf(s, Seq(
+        q("sum_qty_all", Set("lineitem"), ("lineitem", "l_quantity"), Map.empty),
+        q("sum_price_1996", Set("lineitem"), ("lineitem", "l_extendedprice"), Map(
+          ("lineitem", "l_shipdate") -> NumRange(days("1996-01-01"), days("1997-01-01"), hiIncl = false))),
+        q("sum_total_join_F", Set("orders", "lineitem"), ("orders", "o_totalprice"), Map(
+          ("orders", "o_orderstatus") -> status(e, "F")))))
+    },
+
+    // A3: AVG = ratio of expectations.
+    Op.noOracle("est_avg") { (s, d) =>
+      val e = Ensemble.get(s, d)
+      def q(name: String, tables: Set[String], c: (String, String), preds: Map[(String, String), ColRange]) = {
+        val est = Ensemble.estAvg(e, tables, c, preds)
+        (name, math.rint(est.value * 100) / 100, 0.0, 0.0)
+      }
+      resultDf(s, Seq(
+        q("avg_qty", Set("lineitem"), ("lineitem", "l_quantity"), Map.empty),
+        q("avg_price_flag_A", Set("lineitem"), ("lineitem", "l_extendedprice"),
+          Map(("lineitem", "l_returnflag") -> flag(e, "A"))))
+        .map { case (n, v, _, _) => (n, v, v, v) })
+    },
+
+    // A6/M7: model-enumerated GROUP BY (zero-prob groups pruned).
+    Op.noOracle("est_groupby") { (s, d) =>
+      import s.implicits._
+      val e = Ensemble.get(s, d)
+      Ensemble.estGroupByCount(e, Set("lineitem"), ("lineitem", "l_returnflag"), Map.empty)
+        .map { case (g, v) => (g, math.rint(v)) }
+        .toDF("l_returnflag", "est_count")
+        .orderBy("l_returnflag")
+    },
+
+    // A8: confidence intervals for a COUNT (CLT over the training sample).
+    Op.noOracle("est_ci") { (s, d) =>
+      val e = Ensemble.get(s, d)
+      val est = Ensemble.estCount(e, Set("lineitem"),
+        Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 25.0, hiIncl = false)))
+      resultDf(s, Seq(("count_qty_lt25", math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))))
+    },
+
+    // M11: incremental update — train on the first half of the events
+    // stream, insert the second half tuple-by-tuple (copy-on-write), and
+    // show the estimate tracking the grown table.
+    Op.noOracle("spn_update") { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+      val typeCode = map(types.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
+      val enc = Seq(element_at(typeCode, col("event_type")), col("value").cast("double"))
+      def collect(df: DataFrame) =
+        df.select(enc: _*).collect()
+          .map(r => Array.tabulate(2)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+      val before = collect(ev.filter(col("ts") < cut))
+      val after = collect(ev.filter(col("ts") >= cut))
+      val kinds: Array[Learn.ColKind] =
+        Array(Learn.CategoricalCol(types.length), Learn.NumericCol)
+      val root0 = Learn.learn(before, kinds)
+      val viewCode = types.indexOf("view").toDouble
+      val ranges: Array[ColRange] = Array(NominalSet(Array(viewCode)), null)
+      val est0 = before.length * Spn.prob(root0, ranges)
+      val root1 = Update.insertAll(root0, after.iterator)
+      val est1 = (before.length + after.length) * Spn.prob(root1, ranges)
+      Seq(
+        ("before_update", math.rint(est0), before.length.toLong),
+        ("after_update", math.rint(est1), (before.length + after.length).toLong))
+        .toDF("phase", "est_views", "modeled_rows")
+        .orderBy("phase")
+    }
+  )
+
+  private def flag(e: Map[String, Ensemble.TrainedSpn], v: String): ColRange = {
+    val mc = e("lineitem").cols(e("lineitem").colIdx("lineitem", "l_returnflag"))
+    NominalSet(Array(mc.code(v)))
+  }
+  private def status(e: Map[String, Ensemble.TrainedSpn], v: String): ColRange = {
+    val spn = e("orders_lineitem")
+    val mc = spn.cols(spn.colIdx("orders", "o_orderstatus"))
+    NominalSet(Array(mc.code(v)))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.rspn._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.time.LocalDate
+import scala.util.Random
+
+/** Accuracy harness (SURVEY §5.4): q-error of model estimates vs the exact
+  * plane on randomized conjunctive predicates — our analog of the
+  * reference's evaluation/cardinality_evaluation.py + aqp_evaluation.py.
+  */
+class AccuracySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ens = Ensemble.get(spark, sf)
+  private lazy val li = schema.Tables(spark, sf, "lineitem")
+
+  private def qerr(est: Double, exact: Double): Double = {
+    val e = math.max(est, 1.0)
+    val x = math.max(exact, 1.0)
+    math.max(e / x, x / e)
+  }
+
+  test("est_count single-table: median q-error <= 2 over random predicates") {
+    val rng = new Random(123)
+    val errs = (1 to 20).map { _ =>
+      val qLo = 1 + rng.nextInt(40)
+      val qHi = qLo + 5 + rng.nextInt(10)
+      val dLo = rng.nextDouble() * 0.06
+      val dHi = dLo + 0.02 + rng.nextDouble() * 0.03
+      val preds = Map(
+        ("lineitem", "l_quantity") -> NumRange(qLo.toDouble, qHi.toDouble),
+        ("lineitem", "l_discount") -> NumRange(dLo, dHi))
+      val est = Ensemble.estCount(ens, Set("lineitem"), preds).value
+      val exact = li.filter(col("l_quantity").between(qLo, qHi) &&
+        col("l_discount").between(dLo, dHi)).count().toDouble
+      qerr(est, exact)
+    }.sorted
+    val median = errs(errs.length / 2)
+    assert(median <= 2.0, s"median q-error $median, errs=${errs.map(e => f"$e%.2f")}")
+  }
+
+  test("est_count join with nn gate matches exact inner-join count") {
+    val o = schema.Tables(spark, sf, "orders")
+    val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F").count().toDouble
+    val spn = ens("orders_lineitem")
+    val code = spn.cols(spn.colIdx("orders", "o_orderstatus")).code("F")
+    val est = Ensemble.estCount(ens, Set("orders", "lineitem"),
+      Map(("orders", "o_orderstatus") -> NominalSet(Array(code)))).value
+    assert(qerr(est, exact) <= 4.0, s"est=$est exact=$exact")
+  }
+
+  test("est_count single table through join spn (inverse fanout) is consistent") {
+    val exactOrders = schema.Tables(spark, sf, "orders").count().toDouble
+    val spn = ens("orders_lineitem")
+    val (ranges, exps) = (new Array[ColRange](spn.cols.length), new Array[Int](spn.cols.length))
+    exps(spn.colIdx("", "mult_li")) = -1
+    val est = spn.scaleRows * Spn.expect(spn.root, ranges, exps)
+    assert(qerr(est, exactOrders) <= 1.5, s"est=$est exact=$exactOrders")
+  }
+
+  test("est_sum relative error <= 15% on filtered revenue") {
+    val d0 = LocalDate.parse("1996-01-01").toEpochDay.toDouble
+    val d1 = LocalDate.parse("1998-01-01").toEpochDay.toDouble
+    val est = Ensemble.estSum(ens, Set("lineitem"), ("lineitem", "l_extendedprice"),
+      Map(("lineitem", "l_shipdate") -> NumRange(d0, d1, hiIncl = false))).value
+    val exact = li.filter(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .agg(sum("l_extendedprice")).head().getDouble(0)
+    val rel = math.abs(est - exact) / exact
+    assert(rel <= 0.15, s"rel=$rel est=$est exact=$exact")
+  }
+
+  test("est_groupby enumerates exactly the existing groups") {
+    val est = Ensemble.estGroupByCount(ens, Set("lineitem"), ("lineitem", "l_returnflag"), Map.empty)
+    val exact = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(est.map(_._1).toSet == exact.keySet)
+    est.foreach { case (g, v) =>
+      assert(qerr(v, exact(g)) <= 1.5, s"group $g est=$v exact=${exact(g)}")
+    }
+  }
+
+  test("ci95 covers the exact count for an easy predicate") {
+    val e = Ensemble.estCount(ens, Set("lineitem"),
+      Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 25.0, hiIncl = false)))
+    val exact = li.filter(col("l_quantity") < 25).count().toDouble
+    assert(e.ci95Lo <= exact && exact <= e.ci95Hi,
+      s"CI [${e.ci95Lo}, ${e.ci95Hi}] misses $exact")
+  }
+}

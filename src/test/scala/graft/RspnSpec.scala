@@ -1,0 +1,101 @@
+package graft.rspn
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Unit tests of the RSPN core — leaf math against brute force, expectation
+  * pass on hand-built trees, structure learning sanity, incremental updates.
+  * No Spark needed (SURVEY §5.2).
+  */
+class RspnSpec extends AnyFunSuite {
+
+  private def numericLeaf(values: Array[Double], col: Int = 0): NumericLeaf = {
+    val sorted = values.sorted
+    val uniq = sorted.distinct
+    val probs = uniq.map(v => sorted.count(_ == v).toDouble / values.length)
+    NumericLeaf(col, uniq, probs, 0.0, values.length.toDouble)
+  }
+
+  test("numeric leaf range probability and moments match brute force") {
+    val rng = new Random(7)
+    val data = Array.fill(500)(rng.nextInt(50).toDouble)
+    val leaf = numericLeaf(data)
+    val r = NumRange(10.0, 30.0, loIncl = true, hiIncl = false)
+    val in = data.filter(v => v >= 10 && v < 30)
+    val n = data.length.toDouble
+    assert(math.abs(Spn.expect(leaf, Array(r), Array(0)) - in.length / n) < 1e-12)
+    assert(math.abs(Spn.expect(leaf, Array(r), Array(1)) - in.sum / n) < 1e-9)
+    assert(math.abs(Spn.expect(leaf, Array(r), Array(2)) - in.map(v => v * v).sum / n) < 1e-9)
+    val inv = data.filter(v => v >= 1 && v <= 50)
+    assert(math.abs(
+      Spn.expect(leaf, Array(NumRange(1, 50)), Array(-1)) - inv.map(1.0 / _).sum / n) < 1e-9)
+  }
+
+  test("open/closed range bounds are exact on ties") {
+    val leaf = numericLeaf(Array(1, 2, 2, 3, 3, 3).map(_.toDouble))
+    def p(lo: Double, hi: Double, li: Boolean, hi2: Boolean) =
+      Spn.expect(leaf, Array(NumRange(lo, hi, li, hi2)), Array(0))
+    assert(math.abs(p(2, 3, true, true) - 5.0 / 6) < 1e-12)
+    assert(math.abs(p(2, 3, false, true) - 3.0 / 6) < 1e-12)
+    assert(math.abs(p(2, 3, true, false) - 2.0 / 6) < 1e-12)
+    assert(math.abs(p(2, 3, false, false) - 0.0) < 1e-12)
+  }
+
+  test("hand-built sum/product tree evaluates weighted factorized expectation") {
+    // two independent cols within each cluster; two clusters 60/40
+    val c1 = ProductNode(Array(
+      numericLeaf(Array(1.0, 1.0, 2.0, 2.0), col = 0),
+      CategoricalLeaf(1, Array(0.5, 0.5), 0.0, 4)), 4)
+    val c2 = ProductNode(Array(
+      numericLeaf(Array(10.0, 10.0, 20.0, 20.0), col = 0),
+      CategoricalLeaf(1, Array(1.0, 0.0), 0.0, 4)), 4)
+    val root = SumNode(Array(0.6, 0.4), Array(c1, c2), 8)
+    // P(col0 <= 5) = 0.6*1 + 0.4*0 = 0.6
+    assert(math.abs(Spn.prob(root, Array(NumRange(0, 5), null)) - 0.6) < 1e-12)
+    // E[col0 | cat=0] mass: 0.6*(1.5)*(0.5) + 0.4*(15)*(1.0)
+    val e = Spn.expect(root, Array[ColRange](null, NominalSet(Array(0.0))), Array(1, 0))
+    assert(math.abs(e - (0.6 * 1.5 * 0.5 + 0.4 * 15.0 * 1.0)) < 1e-12)
+  }
+
+  test("learned spn approximates marginal and conditional counts") {
+    val rng = new Random(42)
+    // two row clusters with correlated columns
+    val data = Array.tabulate(4000) { i =>
+      if (i % 2 == 0) Array(rng.nextGaussian() + 10, 0.0, rng.nextInt(3).toDouble)
+      else Array(rng.nextGaussian() + 30, 1.0, rng.nextInt(3).toDouble)
+    }
+    val kinds: Array[Learn.ColKind] =
+      Array(Learn.NumericCol, Learn.CategoricalCol(2), Learn.CategoricalCol(3))
+    val root = Learn.learn(data, kinds)
+    val n = data.length.toDouble
+    val exact = data.count(r => r(0) < 20 && r(1) == 0.0) / n
+    val est = Spn.prob(root, Array(NumRange(Double.NegativeInfinity, 20, hiIncl = false),
+      NominalSet(Array(0.0)), null))
+    assert(math.abs(est - exact) < 0.05, s"est=$est exact=$exact")
+    // total mass conserved
+    assert(math.abs(Spn.prob(root, Array(null, null, null)) - 1.0) < 1e-9)
+  }
+
+  test("incremental insert keeps mass normalized and tracks new values") {
+    val base = Array.tabulate(100)(i => Array((i % 10).toDouble))
+    val root0 = Learn.learn(base, Array[Learn.ColKind](Learn.NumericCol))
+    val root1 = Update.insertAll(root0, Iterator.fill(100)(Array(99.0)))
+    assert(math.abs(Spn.prob(root1, Array(null)) - 1.0) < 1e-9)
+    val pNew = Spn.prob(root1, Array(NumRange(99.0, 99.0)))
+    assert(math.abs(pNew - 0.5) < 0.05, s"pNew=$pNew")
+    // old estimate roughly halves
+    val pOld = Spn.prob(root1, Array(NumRange(0.0, 9.0)))
+    assert(math.abs(pOld - 0.5) < 0.05, s"pOld=$pOld")
+  }
+
+  test("rdc separates dependent from independent columns") {
+    val rng = new Random(1)
+    val data = Array.fill(2000) {
+      val x = rng.nextGaussian()
+      Array(x, x * 2 + rng.nextGaussian() * 0.01, rng.nextGaussian())
+    }
+    val m = Learn.rdcMatrix(data, Array(0, 1, 2)).map { case (i, j, r) => ((i, j), r) }.toMap
+    assert(m((0, 1)) > 0.8, s"dependent pair rdc=${m((0, 1))}")
+    assert(m((0, 2)) < 0.4, s"independent pair rdc=${m((0, 2))}")
+  }
+}
