@@ -6,15 +6,18 @@ import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorOps.dotd
 
 /** Vector similarity over the `embeddings` table (north star: similarity
   * search over an Array[Float] column).
   *
-  * The dot/cosine math is pure codegen'd higher-order functions — elementwise
-  * double arithmetic in array order, so results are bit-identical to a
-  * sequential loop (and to DuckDB's list_dot_product). Brute-force variants
-  * are the exact baselines; the LSH variant is the 1000-executor path (hash
-  * once, shuffle only candidates).
+  * The dot product is a custom codegen'd Catalyst expression
+  * ([[org.apache.spark.sql.graft.DotProduct]]) — elementwise double
+  * arithmetic in array order, bit-identical to a sequential loop (and to
+  * DuckDB's list_dot_product) but ~50× faster than the interpreted
+  * higher-order-function formulation in pairwise loops. Brute-force variants
+  * are the exact baselines; the LSH variants are the 1000-executor path
+  * (hash once, shuffle only candidates).
   */
 object Similarity {
 
@@ -23,11 +26,23 @@ object Similarity {
   /** float[] -> double[] (exact widening, makes all arithmetic double). */
   def vecd(c: Column): Column = transform(c, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    dotd(a, b) / sqrt(dotd(a, a) * dotd(b, b))
+
+  /** Exact cosine near-dup pairs over `df(idCol, vCol: array<double>)`.
+    * Per-row squared norms are computed once before the pair join; the
+    * per-pair cosine is then one codegen'd dot — arithmetic identical to
+    * dot/sqrt(dot*dot) because the norm scalars are bitwise the same values.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vCol: String, threshold: Double): DataFrame = {
+    val e = df.select(col(idCol), col(vCol), dotd(col(vCol), col(vCol)).as("n2"))
+    val a = e.toDF("a_id", "va", "na2")
+    val b = e.toDF("b_id", "vb", "nb2")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", dotd(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
 
   val ops: Seq[Op] = Seq(
     // F5: array math — squared L2 norm per embedding.
@@ -38,7 +53,7 @@ object Similarity {
         |FROM embeddings ORDER BY vec_id""".stripMargin
     )((s, d) =>
       emb(s, d)
-        .select(col("vec_id"), round(dot(vecd(col("embedding")), vecd(col("embedding"))), 2).as("norm_sq"))
+        .select(col("vec_id"), round(dotd(vecd(col("embedding")), vecd(col("embedding"))), 2).as("norm_sq"))
         .orderBy("vec_id")),
 
     // L3 baseline: brute-force cosine top-k for a query vector (vec_id=0).
@@ -64,23 +79,32 @@ object Similarity {
     },
 
     // L2d: embedding-cosine near-dup pairs (threshold 0.45; background pairs
-    // top out near 0.5). Exact quadratic baseline — production path is
-    // sim_topk_lsh's bucketing.
+    // top out near 0.5). Exact quadratic ground truth, deliberately scoped to
+    // vec_id < 1000 (like dedup_ngram's doc_id cap) so the pair space is
+    // bounded at any SF — the unscoped production path is dedup_cosine_lsh.
     Op(
       "dedup_cosine",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin
     ) { (s, d) =>
-      val e = emb(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
-      val a = e.toDF("a_id", "va")
-      val b = e.toDF("b_id", "vb")
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cos", cosine(col("va"), col("vb")))
-        .filter(col("cos") >= 0.45)
+      val e = emb(s, d).filter(col("vec_id") < 1000)
+        .select(col("vec_id"), vecd(col("embedding")).as("v"))
+      cosinePairs(e, "vec_id", "v", 0.45)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // L2d scale path: LSH-bucketed candidate generation + exact cosine
+    // recheck — no all-pairs join, survives 100 TB. Unit-normalizing first
+    // turns the cosine threshold into a Euclidean one:
+    // cos >= t  <=>  ||â − b̂||² <= 2(1 − t). Not oracle-able (bucketing is
+    // model-internal); ExtOpsSpec asserts recall vs dedup_cosine's pairs.
+    Op.noOracle("dedup_cosine_lsh") { (s, d) =>
+      cosineLshPairs(emb(s, d), 0.45)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
     },
@@ -113,4 +137,33 @@ object Similarity {
         .select("doc_id", "lang", "label", "n_chars")
         .orderBy("doc_id"))
   )
+
+  /** LSH-bucketed cosine near-dup pairs over the raw embeddings table.
+    * Candidates come from `approxSimilarityJoin` on unit-normalized vectors
+    * (Euclidean radius √(2(1−t))); each candidate is exact-rechecked with
+    * the codegen'd cosine on the raw vectors, so precision is 1.0 and only
+    * recall depends on the hash tables.
+    */
+  def cosineLshPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val unit = df.select(
+      col("vec_id"),
+      vecd(col("embedding")).as("v"))
+      .withColumn("n2", dotd(col("v"), col("v")))
+      .withColumn("unit", transform(col("v"), x => x / sqrt(col("n2"))))
+      .withColumn("features", array_to_vector(col("unit")))
+      .select("vec_id", "v", "n2", "features")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(1.0).setNumHashTables(6).setSeed(42L)
+    val model = lsh.fit(unit)
+    val radius = math.sqrt(2.0 * (1.0 - threshold))
+    model.approxSimilarityJoin(unit, unit, radius, "dist")
+      .select(
+        col("datasetA.vec_id").as("a_id"), col("datasetA.v").as("va"), col("datasetA.n2").as("na2"),
+        col("datasetB.vec_id").as("b_id"), col("datasetB.v").as("vb"), col("datasetB.n2").as("nb2"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dotd(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
 }

@@ -28,7 +28,6 @@ object ModelQueries {
     // (drives Product splits + ensemble ranking; rdc_based.py).
     Op.noOracle("rdc_matrix") { (s, d) =>
       import s.implicits._
-      val spn = Ensemble.get(s, d)("lineitem")
       val data = {
         // re-collect the training sample deterministically for the matrix
         val df = Tables(s, d, "lineitem")
@@ -130,8 +129,10 @@ object ModelQueries {
     },
 
     // M11: incremental update — train on the first half of the events
-    // stream, insert the second half tuple-by-tuple (copy-on-write), and
-    // show the estimate tracking the grown table.
+    // stream, batch-insert the second half (single routed pass, copy-on-
+    // write), and show the estimate tracking the grown table. Both halves
+    // are sampled under sampleCap so driver memory is bounded at any SF;
+    // the estimate scales by the TRUE row counts, not the sample sizes.
     Op.noOracle("spn_update") { (s, d) =>
       import s.implicits._
       val ev = Tables(s, d, "events")
@@ -139,22 +140,27 @@ object ModelQueries {
       val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
       val typeCode = map(types.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
       val enc = Seq(element_at(typeCode, col("event_type")), col("value").cast("double"))
-      def collect(df: DataFrame) =
-        df.select(enc: _*).collect()
+      val cap = Ensemble.sampleCap
+      def sample(df: DataFrame): (Array[Array[Double]], Long) = {
+        val total = df.count()
+        val frac = math.min(1.0, cap * 1.2 / math.max(total, 1L))
+        val rows = df.select(enc: _*).sample(withReplacement = false, frac, 42L).limit(cap).collect()
           .map(r => Array.tabulate(2)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
-      val before = collect(ev.filter(col("ts") < cut))
-      val after = collect(ev.filter(col("ts") >= cut))
+        (rows, total)
+      }
+      val (before, nBefore) = sample(ev.filter(col("ts") < cut))
+      val (after, nAfter) = sample(ev.filter(col("ts") >= cut))
       val kinds: Array[Learn.ColKind] =
         Array(Learn.CategoricalCol(types.length), Learn.NumericCol)
       val root0 = Learn.learn(before, kinds)
       val viewCode = types.indexOf("view").toDouble
       val ranges: Array[ColRange] = Array(NominalSet(Array(viewCode)), null)
-      val est0 = before.length * Spn.prob(root0, ranges)
-      val root1 = Update.insertAll(root0, after.iterator)
-      val est1 = (before.length + after.length) * Spn.prob(root1, ranges)
+      val est0 = nBefore * Spn.prob(root0, ranges)
+      val root1 = Update.insertBatch(root0, after)
+      val est1 = (nBefore + nAfter) * Spn.prob(root1, ranges)
       Seq(
-        ("before_update", math.rint(est0), before.length.toLong),
-        ("after_update", math.rint(est1), (before.length + after.length).toLong))
+        ("before_update", math.rint(est0), nBefore),
+        ("after_update", math.rint(est1), nBefore + nAfter))
         .toDF("phase", "est_views", "modeled_rows")
         .orderBy("phase")
     }

@@ -31,6 +31,20 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"SimHash recall $recall")
   }
 
+  test("LSH cosine near-dup recovers the exact cosine pairs") {
+    val exact = run("dedup_cosine").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("dedup_cosine_lsh").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixtures contain planted cosine near-dups")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"cosine-LSH recall $recall of ${exact.size} exact pairs")
+    // precision is 1.0 by construction (exact recheck) — every LSH pair in
+    // the scoped id range must be an exact pair
+    val scoped = lsh.filter { case (a, b) => a < 1000 && b < 1000 }
+    assert(scoped.subsetOf(exact), s"LSH produced non-exact pairs: ${scoped.diff(exact).take(3)}")
+  }
+
   test("dedup_exact collapses the doubled corpus to one row per doc") {
     val df = run("dedup_exact")
     val docs = schema.Tables(spark, sf, "documents").count()
