@@ -1,8 +1,7 @@
 package graft.rspn
 
-import graft.schema.Tables
+import graft.schema.{Relationship, SchemaGraph, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.concurrent.TrieMap
 
@@ -10,12 +9,20 @@ import scala.collection.concurrent.TrieMap
   *
   * Re-expression of the reference's ensemble plane (public
   * DataManagementLab/deepdb-public: ensemble_compilation/spn_ensemble.py::
-  * SPNEnsemble / cardinality / evaluate_query;
+  * SPNEnsemble / cardinality / evaluate_query / evaluate_factors;
+  * ensemble_creation/{naive,rdc_based}.py;
   * data_preparation/join_data_preparation.py::JoinDataPreparator). Training
   * is distributed (outer join + window fanout + sample execute on the
   * cluster); only a capped sample is collected, so driver memory is bounded
   * by `sampleCap` regardless of table size. Inference is a driver-side tree
   * fold — zero Spark jobs per estimate (the reference's ms-latency property).
+  *
+  * Ensemble creation follows the reference's two strategies combined:
+  * single-table SPNs for every modeled table (naive.py::
+  * create_naive_all_split_ensemble) plus join SPNs over PK–FK edges ranked
+  * by maximum cross-table RDC under a budget (rdc_based.py::
+  * candidate_evaluation) — with the declared workload's relationships always
+  * retained so every registered query stays answerable.
   */
 object Ensemble {
 
@@ -32,8 +39,9 @@ object Ensemble {
   /** A trained RSPN + the metadata needed to answer queries over it.
     * `scaleRows` is the size of the modeled row space (table row count for a
     * single-table SPN; full-outer-join row count for a join SPN).
-    * `corrections`: per table, either an nn-gate column (inner-join
-    * indicator) or an inverse-fanout column (reference inverted_features).
+    * `nnCol`/`multCol`: per many-side table, the not-null gate column
+    * (inner-join indicator) and the inverse-fanout column (reference
+    * inverted_features).
     */
   final case class TrainedSpn(
       name: String,
@@ -54,24 +62,68 @@ object Ensemble {
 
   final case class Estimate(value: Double, ci95Lo: Double, ci95Hi: Double)
 
+  /** (value, standard deviation) — internal form so factor products can
+    * propagate relative variances (delta method) before the 95% interval is
+    * materialized.
+    */
+  private final case class Est(v: Double, sd: Double) {
+    def relVar: Double = if (v != 0.0) (sd / v) * (sd / v) else 0.0
+    def toEstimate: Estimate = Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
+  }
+
   /** sampleCap is the analog of the reference's --samples_per_spn (default
     * 10M there; smaller here because local[32] training must stay sub-second
     * per SPN — the knob, not the data, bounds cost at any SF).
     */
   val sampleCap = 20000
 
+  /** Max join SPNs trained by the RDC-budgeted selection (reference
+    * --ensemble_budget_factor analog, expressed directly as a model count).
+    */
+  val joinBudget = 3
+
   // ------------------------------------------------------------ model prep
 
-  private val lineitemCols = Seq(
-    ("l_quantity", "num"), ("l_extendedprice", "num"), ("l_discount", "num"),
-    ("l_tax", "num"), ("l_returnflag", "cat"), ("l_linestatus", "cat"),
-    ("l_shipdate", "days"))
+  /** Modeled columns per table ("num" = numeric, "days" = date→epoch-day,
+    * "cat" = dictionary-coded categorical) — the analog of
+    * Table.attributes minus irrelevant_attributes in the reference.
+    */
+  val colSpecs: Map[String, Seq[(String, String)]] = Map(
+    "lineitem" -> Seq(
+      ("l_quantity", "num"), ("l_extendedprice", "num"), ("l_discount", "num"),
+      ("l_tax", "num"), ("l_returnflag", "cat"), ("l_linestatus", "cat"),
+      ("l_shipdate", "days")),
+    "orders" -> Seq(
+      ("o_totalprice", "num"), ("o_orderstatus", "cat"),
+      ("o_orderpriority", "cat"), ("o_orderdate", "days")),
+    "customer" -> Seq(("c_acctbal", "num"), ("c_mktsegment", "cat")),
+    "part" -> Seq(
+      ("p_brand", "cat"), ("p_type", "cat"), ("p_size", "num"),
+      ("p_retailprice", "num")),
+    "supplier" -> Seq(("s_acctbal", "num")))
 
-  private val ordersCols = Seq(
-    ("o_totalprice", "num"), ("o_orderstatus", "cat"),
-    ("o_orderpriority", "cat"), ("o_orderdate", "days"))
+  /** Singles always trained; join candidates are ranked under the budget. */
+  private val singleTables = Seq("lineitem", "orders", "customer", "part")
 
-  private def encodeExpr(df: DataFrame, name: String, how: String, dict: Array[String]): Column =
+  private def joinName(rel: Relationship): String = s"${rel.one}_${rel.many}"
+
+  /** Join SPN candidates = every schema-graph edge whose both endpoints are
+    * modeled (rdc_based.py evaluates the same relationship candidates).
+    */
+  private def joinCandidates: Seq[Relationship] =
+    SchemaGraph.testdata.relationships.filter(r =>
+      colSpecs.contains(r.many) && colSpecs.contains(r.one))
+
+  /** Relationships the registered query workload needs answered — kept even
+    * if the RDC budget would cut them (the reference guarantees workload
+    * coverage the same way: ensemble creation is driven by the schema the
+    * benchmark queries touch).
+    */
+  private def requiredRels: Seq[Relationship] = Seq(
+    SchemaGraph.testdata.rel("lineitem", "orders"),
+    SchemaGraph.testdata.rel("orders", "customer"))
+
+  private def encodeExpr(name: String, how: String, dict: Array[String]): Column =
     how match {
       case "num" => col(name).cast("double")
       case "days" =>
@@ -85,6 +137,24 @@ object Ensemble {
   private def dictOf(df: DataFrame, name: String): Array[String] =
     df.select(name).distinct().collect().map(_.getString(0)).sorted
 
+  private val dictCache = TrieMap.empty[(SparkSession, String, String), Array[ModelCol]]
+
+  /** ModelCols + encode expressions for one table's spec. Dictionaries are
+    * collected once per (session, sfDir, table) — candidate ranking and join
+    * training reuse them instead of re-running distinct() per SPN.
+    */
+  private def modelColsFor(spark: SparkSession, sfDir: String, table: String): (Array[ModelCol], Seq[Column]) = {
+    val mcols = dictCache.getOrElseUpdate((spark, sfDir, table), {
+      val df = Tables(spark, sfDir, table)
+      colSpecs(table).map { case (n, how) =>
+        val dict = if (how == "cat") dictOf(df, n) else Array.empty[String]
+        ModelCol(table, n, if (how == "cat") CategoricalCol(dict.length) else NumericCol, dict)
+      }.toArray
+    })
+    val exprs = colSpecs(table).zip(mcols).map { case ((n, how), mc) => encodeExpr(n, how, mc.dict) }
+    (mcols, exprs)
+  }
+
   private def collectSample(df: DataFrame, exprs: Seq[Column], total: Long): (Array[Array[Double]], Long) = {
     val frac = math.min(1.0, sampleCap * 1.2 / math.max(total, 1L))
     val rows = df.select(exprs: _*).sample(withReplacement = false, frac, seed = 42L)
@@ -95,89 +165,123 @@ object Ensemble {
     (data, rows.length.toLong)
   }
 
-  private def trainSingle(spark: SparkSession, sfDir: String, table: String,
-      colSpec: Seq[(String, String)]): TrainedSpn = {
+  private def trainSingle(spark: SparkSession, sfDir: String, table: String): TrainedSpn = {
     val df = Tables(spark, sfDir, table)
     val total = df.count()
-    val mcols = colSpec.map { case (n, how) =>
-      val dict = if (how == "cat") dictOf(df, n) else Array.empty[String]
-      ModelCol(table, n, if (how == "cat") CategoricalCol(dict.length) else NumericCol, dict)
-    }.toArray
-    val exprs = colSpec.map { case (n, how) =>
-      encodeExpr(df, n, how, mcols.find(_.name == n).get.dict)
-    }
+    val (mcols, exprs) = modelColsFor(spark, sfDir, table)
     val (data, nSamp) = collectSample(df, exprs, total)
     val root = Learn.learn(data, mcols.map(_.kind))
     TrainedSpn(table, Set(table), mcols, root, total.toDouble, nSamp)
   }
 
-  /** J2: sampled full-outer join of orders ⟗ lineitem with fanout (mult) and
-    * not-null (nn) columns — the reference's JoinDataPreparator, distributed.
+  /** J2: sampled full-outer join along one PK–FK edge with fanout (mult) and
+    * not-null (nn) columns — the reference's JoinDataPreparator, distributed
+    * and generalized over the schema graph. Column names are globally unique
+    * in this schema, so unqualified refs resolve unambiguously post-join.
+    *
+    * Fanout comes from a groupBy(fk).count() aggregate joined back (partial
+    * aggregation map-side, tiny result) rather than a window over the joined
+    * table — a window would shuffle AND sort the full outer join, the
+    * dominant data at 100 TB. The fanned frame is persisted for the two
+    * passes over it (count + sample), then released.
     */
-  private def trainJoin(spark: SparkSession, sfDir: String): TrainedSpn = {
-    val o = Tables(spark, sfDir, "orders")
-    val li = Tables(spark, sfDir, "lineitem")
-    val joined = o.join(li, o("o_orderkey") === li("l_orderkey"), "full_outer")
-    val key = coalesce(col("o_orderkey"), col("l_orderkey"))
-    val w = Window.partitionBy(key)
-    val withFan = joined
-      .withColumn("mult_li", greatest(count(col("l_orderkey")).over(w), lit(1L)).cast("double"))
-      .withColumn("nn_li", when(col("l_orderkey").isNotNull, 1.0).otherwise(0.0))
-    val total = withFan.count()
+  private def trainJoin(spark: SparkSession, sfDir: String, rel: Relationship): TrainedSpn = {
+    val one = Tables(spark, sfDir, rel.one)
+    val many = Tables(spark, sfDir, rel.many)
+    val fanout = many.groupBy(col(rel.fk).as("_fk")).agg(count(lit(1)).as("_fan"))
+    val withFan = one.join(many, col(rel.pk) === col(rel.fk), "full_outer")
+      .join(fanout, coalesce(col(rel.pk), col(rel.fk)) === col("_fk"), "left")
+      .withColumn("mult_m", coalesce(col("_fan"), lit(1L)).cast("double"))
+      .withColumn("nn_m", when(col(rel.fk).isNotNull, 1.0).otherwise(0.0))
+      .persist()
+    try {
+      val total = withFan.count()
+      val (oneCols, oneExprs) = modelColsFor(spark, sfDir, rel.one)
+      val (manyCols, manyExprs) = modelColsFor(spark, sfDir, rel.many)
+      val mcols = (oneCols ++ manyCols ++ Seq(
+        ModelCol("", "mult_m", NumericCol), ModelCol("", "nn_m", NumericCol))).toArray
+      val exprs = oneExprs ++ manyExprs ++ Seq(col("mult_m"), col("nn_m"))
+      val (data, nSamp) = collectSample(withFan, exprs, total)
+      val root = Learn.learn(data, mcols.map(_.kind))
+      TrainedSpn(joinName(rel), Set(rel.one, rel.many), mcols, root, total.toDouble, nSamp,
+        nnCol = Map(rel.many -> (mcols.length - 1)),
+        multCol = Map(rel.many -> (mcols.length - 2)))
+    } finally withFan.unpersist()
+  }
 
-    val oDicts = ordersCols.map { case (n, how) =>
-      ModelCol("orders", n, if (how == "cat") CategoricalCol(dictOf(o, n).length) else NumericCol,
-        if (how == "cat") dictOf(o, n) else Array.empty)
+  // ------------------------------------------ M9: RDC candidate ranking
+
+  final case class JoinCandidate(rel: Relationship, name: String, score: Double, trained: Boolean)
+
+  /** Max cross-table pairwise RDC over a small inner-join sample — the
+    * reference's candidate score (rdc_based.py::candidate_evaluation ranks
+    * relationship SPNs by the dependence they would capture; independent
+    * sides make a join SPN worthless vs its two single-table SPNs).
+    */
+  private def crossRdc(spark: SparkSession, sfDir: String, rel: Relationship): Double = {
+    val one = Tables(spark, sfDir, rel.one)
+    val many = Tables(spark, sfDir, rel.many)
+    val (oneCols, oneExprs) = modelColsFor(spark, sfDir, rel.one)
+    val (_, manyExprs) = modelColsFor(spark, sfDir, rel.many)
+    val joined = many.join(one, col(rel.fk) === col(rel.pk))
+    val exprs = oneExprs ++ manyExprs
+    val total = many.count()
+    val frac = math.min(1.0, 2500.0 / math.max(total, 1L))
+    val rows = joined.select(exprs: _*).sample(withReplacement = false, frac, 42L).limit(2000)
+      .collect()
+      .map(r => Array.tabulate(exprs.length)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+    val nOne = oneCols.length
+    val pairs = Learn.rdcMatrix(rows, exprs.indices.toArray)
+    pairs.collect { case (i, j, r) if i < nOne && j >= nOne => r }.maxOption.getOrElse(0.0)
+  }
+
+  /** Rank all candidates, keep the top `budget` plus the workload-required
+    * edges. Deterministic: seeded RDC, name tie-break.
+    */
+  def rankCandidates(spark: SparkSession, sfDir: String, budget: Int = joinBudget): Seq[JoinCandidate] = {
+    val scored = joinCandidates
+      .map(rel => (rel, crossRdc(spark, sfDir, rel)))
+      .sortBy { case (rel, s) => (-s, joinName(rel)) }
+    val required = requiredRels.map(_.id).toSet
+    scored.zipWithIndex.map { case ((rel, s), rank) =>
+      JoinCandidate(rel, joinName(rel), s, trained = rank < budget || required(rel.id))
     }
-    val liDicts = lineitemCols.map { case (n, how) =>
-      ModelCol("lineitem", n, if (how == "cat") CategoricalCol(dictOf(li, n).length) else NumericCol,
-        if (how == "cat") dictOf(li, n) else Array.empty)
-    }
-    val mcols = (oDicts ++ liDicts ++ Seq(
-      ModelCol("", "mult_li", NumericCol), ModelCol("", "nn_li", NumericCol))).toArray
-    val exprs =
-      ordersCols.map { case (n, how) => encodeExpr(withFan, n, how, oDicts.find(_.name == n).get.dict) } ++
-        lineitemCols.map { case (n, how) => encodeExpr(withFan, n, how, liDicts.find(_.name == n).get.dict) } ++
-        Seq(col("mult_li"), col("nn_li"))
-    val (data, nSamp) = collectSample(withFan, exprs, total)
-    val root = Learn.learn(data, mcols.map(_.kind))
-    TrainedSpn("orders_lineitem", Set("orders", "lineitem"), mcols, root, total.toDouble, nSamp,
-      nnCol = Map("lineitem" -> (mcols.length - 1)),
-      multCol = Map("lineitem" -> (mcols.length - 2)))
   }
 
   // ------------------------------------------------------------ registry
 
-  private val cache = TrieMap.empty[(SparkSession, String), Map[String, TrainedSpn]]
+  final case class EnsembleState(spns: Map[String, TrainedSpn], candidates: Seq[JoinCandidate])
 
-  def get(spark: SparkSession, sfDir: String): Map[String, TrainedSpn] =
+  private val cache = TrieMap.empty[(SparkSession, String), EnsembleState]
+
+  def state(spark: SparkSession, sfDir: String): EnsembleState =
     cache.getOrElseUpdate((spark, sfDir), {
-      val spns = Seq(
-        trainSingle(spark, sfDir, "lineitem", lineitemCols),
-        trainSingle(spark, sfDir, "orders", ordersCols),
-        trainJoin(spark, sfDir))
-      spns.map(s => s.name -> s).toMap
+      val singles = singleTables.map(t => trainSingle(spark, sfDir, t))
+      val candidates = rankCandidates(spark, sfDir)
+      val joins = candidates.filter(_.trained).map(c => trainJoin(spark, sfDir, c.rel))
+      EnsembleState((singles ++ joins).map(s => s.name -> s).toMap, candidates)
     })
 
-  /** Greedy per-query model choice (reference
-    * _greedily_select_first_cardinality_spn, radically simplified for one
-    * join edge): exact table-set match wins; otherwise the smallest SPN whose
-    * tables cover the query, with fanout/nn corrections for the extras.
-    */
-  def select(spns: Map[String, TrainedSpn], tables: Set[String]): TrainedSpn =
-    spns.values.filter(s => tables.subsetOf(s.tables)).minByOrElse(
-      throw new NoSuchElementException(s"no SPN covers $tables"))(_.tables.size)
+  def get(spark: SparkSession, sfDir: String): Map[String, TrainedSpn] =
+    state(spark, sfDir).spns
 
-  private implicit class MinByOrElse[A](it: Iterable[A]) {
-    def minByOrElse[B: Ordering](orElse: => A)(f: A => B): A =
-      if (it.isEmpty) orElse else it.minBy(f)
+  /** Greedy per-query model choice (reference
+    * _greedily_select_first_cardinality_spn): the smallest SPN whose tables
+    * cover the query; name tie-break for determinism.
+    */
+  def selectOpt(spns: Map[String, TrainedSpn], tables: Set[String]): Option[TrainedSpn] = {
+    val covering = spns.values.filter(s => tables.subsetOf(s.tables))
+    if (covering.isEmpty) None else Some(covering.minBy(s => (s.tables.size, s.name)))
   }
+
+  def select(spns: Map[String, TrainedSpn], tables: Set[String]): TrainedSpn =
+    selectOpt(spns, tables)
+      .getOrElse(throw new NoSuchElementException(s"no SPN covers $tables"))
 
   // ------------------------------------------------------------ estimator
 
   /** Build the (ranges, exps) arrays for a query against `spn`:
     * user predicates + join corrections for the target table set.
-    * Returns (ranges, baseExps, correction note).
     */
   private def compile(
       spn: TrainedSpn,
@@ -199,49 +303,115 @@ object Ensemble {
     (ranges, exps)
   }
 
-  private def ciOf(spn: TrainedSpn, g1: Double, g2: Double): (Double, Double) = {
-    // CLT on the training-sample mean: Var(p̂) = (E[g²] − E[g]²)/n. This is
-    // the sample-size-based simplification of the reference's factor-variance
-    // propagation (spn_ensemble.py CI path).
+  /** Single-SPN expectation with CLT sd (Var(p̂)=(E[g²]−E[g]²)/n over the
+    * training sample — the sample-size-based simplification of the
+    * reference's factor-variance propagation).
+    */
+  private def estRaw(
+      spn: TrainedSpn,
+      tables: Set[String],
+      preds: Map[(String, String), ColRange],
+      features: Map[(String, String), Int]): Est = {
+    val (ranges, exps) = compile(spn, tables, preds, features)
+    val g1 = Spn.expect(spn.root, ranges, exps)
+    val g2 = Spn.expect(spn.root, ranges, exps.map(_ * 2))
     val varP = math.max(0.0, g2 - g1 * g1) / spn.sampleRows
-    val half = 1.96 * spn.scaleRows * math.sqrt(varP)
-    (spn.scaleRows * g1 - half, spn.scaleRows * g1 + half)
+    Est(spn.scaleRows * g1, spn.scaleRows * math.sqrt(varP))
   }
+
+  private def predsOn(preds: Map[(String, String), ColRange], ts: Set[String]) =
+    preds.filter { case ((t, _), _) => ts(t) }
+
+  /** M10: multi-SPN factor decomposition (reference spn_ensemble.py::
+    * evaluate_factors / cardinality). When no single SPN covers the query's
+    * table set, pick the SPN covering the most query tables as the base
+    * cardinality, then extend one PK–FK edge at a time: joining table t to a
+    * covered neighbor t' via an SPN over {t,t'} multiplies by the factor
+    *   |t ⨝ t'|_{preds(t),preds(t')} / |t'|_{preds(t')}
+    * — the conditional selectivity of t's predicates (and fanout) given t'.
+    * Exact under the reference's conditional-independence assumption between
+    * factors; relative variances add in quadrature (delta method,
+    * covariance-free simplification of the reference's CI propagation).
+    * `feature`: optional SUM column with its exponent, pinned to the base SPN.
+    */
+  private def factored(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      preds: Map[(String, String), ColRange],
+      feature: Map[(String, String), Int]): Est = {
+    val featureTables = feature.keySet.map(_._1)
+    val base = spns.values
+      .filter(s => featureTables.subsetOf(s.tables) && s.tables.exists(tables))
+      .maxByOption(s => (s.tables.intersect(tables).size, -s.tables.size, s.name))
+      .getOrElse(throw new NoSuchElementException(
+        s"no SPN covers the aggregate column's table(s) $featureTables"))
+    var covered = base.tables.intersect(tables)
+    require(featureTables.subsetOf(covered),
+      s"aggregate table(s) $featureTables outside the query table set $tables")
+    var est = estRaw(base, covered, predsOn(preds, covered), feature)
+    var relVar = est.relVar
+    var value = est.v
+    while (covered != tables) {
+      val step = (for {
+        rel <- SchemaGraph.testdata.relationships.iterator
+        (t, tp) <- Iterator((rel.many, rel.one), (rel.one, rel.many))
+        if tables(t) && !covered(t) && covered(tp)
+        spn2 <- selectOpt(spns, Set(t, tp)).iterator
+      } yield (t, tp, spn2)).nextOption().getOrElse(
+        throw new NoSuchElementException(
+          s"no SPN chain extends ${covered.mkString(",")} to ${tables.mkString(",")}"))
+      val (t, tp, spn2) = step
+      val num = estRaw(spn2, Set(t, tp), predsOn(preds, Set(t, tp)), Map.empty)
+      val den = estRaw(spn2, Set(tp), predsOn(preds, Set(tp)), Map.empty)
+      require(den.v > 0.0, s"zero-cardinality conditioning factor on $tp")
+      value *= num.v / den.v
+      relVar += num.relVar + den.relVar
+      covered += t
+    }
+    Est(value, value * math.sqrt(relVar))
+  }
+
+  private def estAgg(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      preds: Map[(String, String), ColRange],
+      feature: Map[(String, String), Int]): Est =
+    selectOpt(spns, tables) match {
+      case Some(spn) => estRaw(spn, tables, preds, feature)
+      case None      => factored(spns, tables, preds, feature)
+    }
 
   def estCount(
       spns: Map[String, TrainedSpn],
       tables: Set[String],
-      preds: Map[(String, String), ColRange]): Estimate = {
-    val spn = select(spns, tables)
-    val (ranges, exps) = compile(spn, tables, preds, Map.empty)
-    val g1 = Spn.expect(spn.root, ranges, exps)
-    val g2 = Spn.expect(spn.root, ranges, exps.map(_ * 2))
-    val (lo, hi) = ciOf(spn, g1, g2)
-    Estimate(spn.scaleRows * g1, lo, hi)
-  }
+      preds: Map[(String, String), ColRange]): Estimate =
+    estAgg(spns, tables, preds, Map.empty).toEstimate
 
   def estSum(
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       sumCol: (String, String),
-      preds: Map[(String, String), ColRange]): Estimate = {
-    val spn = select(spns, tables)
-    val (ranges, exps) = compile(spn, tables, preds, Map(sumCol -> 1))
-    val g1 = Spn.expect(spn.root, ranges, exps)
-    val g2 = Spn.expect(spn.root, ranges, exps.map(_ * 2))
-    val (lo, hi) = ciOf(spn, g1, g2)
-    Estimate(spn.scaleRows * g1, lo, hi)
-  }
+      preds: Map[(String, String), ColRange]): Estimate =
+    estAgg(spns, tables, preds, Map(sumCol -> 1)).toEstimate
 
+  /** A3 + A8: AVG = E[X·1]/E[1] with a delta-method CI — relative variances
+    * of numerator and denominator add (covariance between the two, which the
+    * reference propagates exactly, is positive here, so this interval is
+    * conservative).
+    */
   def estAvg(
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       avgCol: (String, String),
       preds: Map[(String, String), ColRange]): Estimate = {
-    val s = estSum(spns, tables, avgCol, preds)
-    val c = estCount(spns, tables, preds)
-    val v = if (c.value > 0) s.value / c.value else 0.0
-    Estimate(v, v, v) // ratio CI omitted (reference propagates; see Ci notes)
+    val s = estAgg(spns, tables, preds, Map(avgCol -> 1))
+    val c = estAgg(spns, tables, preds, Map.empty)
+    if (c.v <= 0.0) Estimate(0.0, 0.0, 0.0)
+    else {
+      val v = s.v / c.v
+      val sd = v * math.sqrt(s.relVar + c.relVar)
+      Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
+    }
   }
 
   /** A6/M7: enumerate group-by combinations from the model support and

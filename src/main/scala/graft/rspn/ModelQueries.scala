@@ -59,6 +59,19 @@ object ModelQueries {
         .orderBy("spn")
     },
 
+    // M9: RDC-budgeted join-SPN candidate ranking (reference
+    // ensemble_creation/rdc_based.py::candidate_evaluation) — every PK–FK
+    // edge scored by max cross-table RDC; top-budget (plus workload-required
+    // edges) get trained.
+    Op.noOracle("spn_candidates") { (s, d) =>
+      import s.implicits._
+      Ensemble.state(s, d).candidates
+        .map(c => (c.name, s"${c.rel.many}.${c.rel.fk}=${c.rel.one}.${c.rel.pk}",
+          math.rint(c.score * 1000) / 1000, c.trained))
+        .toDF("candidate", "edge", "max_cross_rdc", "trained")
+        .orderBy("candidate")
+    },
+
     // A1/M6/M10: COUNT estimates — single table, with predicates, and over
     // the join with fanout/nn corrections.
     Op.noOracle("est_count") { (s, d) =>
@@ -78,7 +91,15 @@ object ModelQueries {
         q("join_status_F", Set("orders", "lineitem"), Map(
           ("orders", "o_orderstatus") -> status(e, "F"))),
         q("orders_via_join_spn", Set("orders"), Map(
-          ("orders", "o_totalprice") -> NumRange(100000.0, Double.PositiveInfinity)))))
+          ("orders", "o_totalprice") -> NumRange(100000.0, Double.PositiveInfinity))),
+        // M10: no single SPN covers these — factor decomposition across the
+        // ensemble (customer_orders × orders_lineitem, + part_lineitem).
+        q("cust_orders_lineitem", Set("customer", "orders", "lineitem"), Map(
+          ("customer", "c_mktsegment") -> seg(e, "BUILDING"),
+          ("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 25.0, hiIncl = false))),
+        q("cust_orders_lineitem_part", Set("customer", "orders", "lineitem", "part"), Map(
+          ("customer", "c_mktsegment") -> seg(e, "BUILDING"),
+          ("part", "p_size") -> NumRange(Double.NegativeInfinity, 25.0)))))
     },
 
     // A2: SUM estimates (expectation of the feature column under predicates).
@@ -120,12 +141,60 @@ object ModelQueries {
         .orderBy("l_returnflag")
     },
 
+    // S4: model store round-trip — save the trained ensemble, reload it in a
+    // fresh registry, and prove estimates are bit-identical (reference
+    // SPNEnsemble.save / read_ensemble: train offline, query online).
+    Op.noOracle("spn_store") { (s, d) =>
+      import s.implicits._
+      val ens = Ensemble.get(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-models").toString
+      Store.save(dir, ens)
+      val reloaded = Store.load(dir)
+      ens.keys.toSeq.sorted.map { name =>
+        val spn = ens(name)
+        val before = Ensemble.estCount(ens, spn.tables, Map.empty).value
+        val after = Ensemble.estCount(reloaded, spn.tables, Map.empty).value
+        (name, math.rint(before), math.rint(after), before == after)
+      }.toDF("spn", "est_before", "est_after", "roundtrip_ok")
+        .orderBy("spn")
+    },
+
     // A8: confidence intervals for a COUNT (CLT over the training sample).
     Op.noOracle("est_ci") { (s, d) =>
       val e = Ensemble.get(s, d)
       val est = Ensemble.estCount(e, Set("lineitem"),
         Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 25.0, hiIncl = false)))
       resultDf(s, Seq(("count_qty_lt25", math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))))
+    },
+
+    // SQL-text entry (evaluation/utils.py::parse_query analog): the
+    // reference's benchmark-SQL surface — text in, model estimate out,
+    // zero data scans per query.
+    Op.noOracle("sql_estimate") { (s, d) =>
+      import s.implicits._
+      val ens = Ensemble.get(s, d)
+      val sqls = Seq(
+        "q01_count_li" -> "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 25",
+        "q02_count_join" ->
+          "SELECT COUNT(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'",
+        "q03_count_3way" ->
+          ("SELECT COUNT(*) FROM customer JOIN orders ON o_custkey = c_custkey " +
+            "JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING'"),
+        "q04_sum_revenue" ->
+          "SELECT SUM(l_extendedprice) FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'",
+        "q05_avg_price" -> "SELECT AVG(l_extendedprice) FROM lineitem WHERE l_returnflag IN ('A', 'R')",
+        "q06_groupby" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag")
+      sqls.flatMap { case (id, sql) =>
+        SqlEstimate.estimate(ens, sql) match {
+          case SqlEstimate.Scalar(e) =>
+            Seq((id, "", math.rint(e.value), math.rint(e.ci95Lo), math.rint(e.ci95Hi)))
+          case SqlEstimate.Groups(rows) =>
+            rows.map { case (g, e) =>
+              (id, g, math.rint(e.value), math.rint(e.ci95Lo), math.rint(e.ci95Hi))
+            }
+        }
+      }.toDF("query", "grp", "est", "ci95_lo", "ci95_hi")
+        .orderBy("query", "grp")
     },
 
     // M11: incremental update — train on the first half of the events
@@ -173,6 +242,10 @@ object ModelQueries {
   private def status(e: Map[String, Ensemble.TrainedSpn], v: String): ColRange = {
     val spn = e("orders_lineitem")
     val mc = spn.cols(spn.colIdx("orders", "o_orderstatus"))
+    NominalSet(Array(mc.code(v)))
+  }
+  private def seg(e: Map[String, Ensemble.TrainedSpn], v: String): ColRange = {
+    val mc = e("customer").cols(e("customer").colIdx("customer", "c_mktsegment"))
     NominalSet(Array(mc.code(v)))
   }
 }

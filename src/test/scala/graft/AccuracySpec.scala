@@ -56,7 +56,7 @@ class AccuracySpec extends AnyFunSuite {
     val exactOrders = schema.Tables(spark, sf, "orders").count().toDouble
     val spn = ens("orders_lineitem")
     val (ranges, exps) = (new Array[ColRange](spn.cols.length), new Array[Int](spn.cols.length))
-    exps(spn.colIdx("", "mult_li")) = -1
+    exps(spn.colIdx("", "mult_m")) = -1
     val est = spn.scaleRows * Spn.expect(spn.root, ranges, exps)
     assert(qerr(est, exactOrders) <= 1.5, s"est=$est exact=$exactOrders")
   }
@@ -90,5 +90,55 @@ class AccuracySpec extends AnyFunSuite {
     val exact = li.filter(col("l_quantity") < 25).count().toDouble
     assert(e.ci95Lo <= exact && exact <= e.ci95Hi,
       s"CI [${e.ci95Lo}, ${e.ci95Hi}] misses $exact")
+  }
+
+  test("M10: factored est_count on customer⨝orders⨝lineitem q-error <= 4") {
+    val c = schema.Tables(spark, sf, "customer")
+    val o = schema.Tables(spark, sf, "orders")
+    val exact = c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("c_mktsegment") === "BUILDING" && col("l_quantity") < 25)
+      .count().toDouble
+    val mc = ens("customer").cols(ens("customer").colIdx("customer", "c_mktsegment"))
+    val est = Ensemble.estCount(ens, Set("customer", "orders", "lineitem"), Map(
+      ("customer", "c_mktsegment") -> NominalSet(Array(mc.code("BUILDING"))),
+      ("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 25.0, hiIncl = false))).value
+    assert(qerr(est, exact) <= 4.0, s"est=$est exact=$exact qerr=${qerr(est, exact)}")
+  }
+
+  test("M10: factored 4-way est_count (customer⨝orders⨝lineitem⨝part) q-error <= 4") {
+    val c = schema.Tables(spark, sf, "customer")
+    val o = schema.Tables(spark, sf, "orders")
+    val p = schema.Tables(spark, sf, "part")
+    val exact = c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(col("c_mktsegment") === "BUILDING" && col("p_size") <= 25)
+      .count().toDouble
+    val mc = ens("customer").cols(ens("customer").colIdx("customer", "c_mktsegment"))
+    val est = Ensemble.estCount(ens, Set("customer", "orders", "lineitem", "part"), Map(
+      ("customer", "c_mktsegment") -> NominalSet(Array(mc.code("BUILDING"))),
+      ("part", "p_size") -> NumRange(Double.NegativeInfinity, 25.0))).value
+    assert(qerr(est, exact) <= 4.0, s"est=$est exact=$exact qerr=${qerr(est, exact)}")
+  }
+
+  test("M9: candidate ranking scores every edge, budget cut leaves required rels trained") {
+    val cands = Ensemble.state(spark, sf).candidates
+    assert(cands.length >= 4, s"expected >=4 join candidates, got ${cands.map(_.name)}")
+    assert(cands.map(_.score) == cands.map(_.score).sorted.reverse, "not ranked desc")
+    assert(cands.count(_.trained) >= Ensemble.joinBudget)
+    val trained = cands.filter(_.trained).map(_.name).toSet
+    assert(trained("orders_lineitem") && trained("customer_orders"),
+      s"workload-required join SPNs missing from $trained")
+  }
+
+  test("A8: avg CI is non-degenerate and covers the exact average") {
+    val e = Ensemble.estAvg(ens, Set("lineitem"), ("lineitem", "l_extendedprice"),
+      Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 30.0)))
+    val exact = li.filter(col("l_quantity") <= 30)
+      .agg(avg("l_extendedprice")).head().getDouble(0)
+    assert(e.ci95Hi > e.ci95Lo, "AVG CI is degenerate")
+    assert(e.ci95Lo <= exact && exact <= e.ci95Hi,
+      s"AVG CI [${e.ci95Lo}, ${e.ci95Hi}] misses $exact")
   }
 }

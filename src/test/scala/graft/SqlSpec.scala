@@ -1,0 +1,111 @@
+package graft
+
+import graft.rspn._
+import graft.rspn.SqlParser._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-text entry point (reference evaluation/utils.py::parse_query): the
+  * same SQL string runs on the exact plane via spark.sql and on the model
+  * plane via SqlEstimate — q-error ties them together, the reference's own
+  * evaluation methodology.
+  */
+class SqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ens = Ensemble.get(spark, sf)
+
+  private lazy val views: Unit =
+    Seq("lineitem", "orders", "customer", "part").foreach { t =>
+      schema.Tables(spark, sf, t).createOrReplaceTempView(t)
+    }
+
+  private def exactScalar(sql: String): Double = {
+    views
+    val r = spark.sql(sql).head()
+    r.get(0) match {
+      case l: Long   => l.toDouble
+      case d: Double => d
+      case x         => x.toString.toDouble
+    }
+  }
+
+  private def qerr(est: Double, exact: Double): Double = {
+    val e = math.max(est, 1.0); val x = math.max(exact, 1.0)
+    math.max(e / x, x / e)
+  }
+
+  private def estScalar(sql: String): Double =
+    SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Scalar(e) => e.value
+      case _                     => fail("expected scalar")
+    }
+
+  private val scalarQueries = Seq(
+    // single-table COUNTs
+    ("SELECT COUNT(*) FROM lineitem WHERE l_quantity < 25", 2.5),
+    ("SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_discount <= 0.05", 2.5),
+    ("SELECT COUNT(*) FROM lineitem WHERE l_returnflag IN ('A', 'R')", 2.5),
+    ("SELECT COUNT(*) FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'", 2.5),
+    ("SELECT COUNT(*) FROM orders WHERE o_totalprice > 100000", 2.5),
+    ("SELECT COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING'", 2.5),
+    // join COUNTs (2-way single-SPN, 3-way factored)
+    ("SELECT COUNT(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'", 4.0),
+    ("SELECT COUNT(*) FROM customer JOIN orders ON o_custkey = c_custkey WHERE c_mktsegment = 'MACHINERY'", 4.0),
+    ("SELECT COUNT(*) FROM customer JOIN orders ON o_custkey = c_custkey " +
+      "JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND l_quantity < 25", 4.0),
+    // SUM / AVG
+    ("SELECT SUM(l_extendedprice) FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'", 1.5),
+    ("SELECT AVG(l_extendedprice) FROM lineitem WHERE l_quantity <= 30", 1.5),
+    ("SELECT SUM(o_totalprice) FROM orders WHERE o_orderstatus = 'F'", 1.5))
+
+  test("q-error of >= 12 parsed SQL queries within per-class thresholds") {
+    assert(scalarQueries.length >= 12)
+    scalarQueries.foreach { case (sql, thresh) =>
+      val est = estScalar(sql)
+      val exact = exactScalar(sql)
+      val q = qerr(est, exact)
+      assert(q <= thresh, s"q-error $q > $thresh for: $sql (est=$est exact=$exact)")
+    }
+  }
+
+  test("GROUP BY estimates match exact groups") {
+    views
+    val sql = "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag"
+    val groups = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.toMap
+      case _                        => fail("expected groups")
+    }
+    val exact = spark.sql("SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(groups.keySet == exact.keySet)
+    exact.foreach { case (g, x) =>
+      assert(qerr(groups(g).value, x) <= 1.5, s"group $g")
+    }
+  }
+
+  test("parser extracts tables, joins, predicates, group-by") {
+    val q = SqlParser.parseQuery(
+      "SELECT SUM(l_extendedprice) FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND l_shipdate >= DATE '1996-01-01' AND o_totalprice BETWEEN 1000 AND 90000 " +
+        "GROUP BY l_returnflag")
+    assert(q.agg == Sum("lineitem", "l_extendedprice"))
+    assert(q.tables == Set("customer", "orders", "lineitem"))
+    assert(q.joins.length == 2)
+    assert(q.preds.length == 3)
+    assert(q.groupBy.contains(("lineitem", "l_returnflag")))
+    val between = q.preds.find(_.col == "o_totalprice").get.range
+    assert(between == NumR(1000.0, 90000.0, loIncl = true, hiIncl = true))
+  }
+
+  test("unsupported SQL fails loudly, not silently") {
+    val bad = Seq(
+      "SELECT MAX(l_quantity) FROM lineitem",                       // unsupported agg
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 25 OR l_tax > 0", // disjunction
+      "SELECT COUNT(*) FROM lineitem JOIN part ON l_quantity = p_size",   // not a PK-FK edge
+      "SELECT COUNT(*) FROM (SELECT * FROM lineitem)")               // subquery
+    bad.foreach { sql =>
+      assertThrows[IllegalArgumentException](SqlParser.parseQuery(sql))
+    }
+  }
+}
