@@ -394,6 +394,27 @@ object Ensemble {
       preds: Map[(String, String), ColRange]): Estimate =
     estAgg(spns, tables, preds, Map(sumCol -> 1)).toEstimate
 
+  /** A4: SUM over a product of attributes (reference expectations.py
+    * multi-scope feature pass): E[∏ xᵢ · 1_preds] — product nodes multiply
+    * the per-scope expectations, so cross-scope products are exact under the
+    * learned factorization and same-cluster products fall back to the
+    * cluster-local independence the reference also assumes.
+    */
+  def estSumProduct(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      cols: Seq[(String, String)],
+      preds: Map[(String, String), ColRange]): Estimate = {
+    require(cols.distinct.length == cols.length, "repeated product columns unsupported (E[x²] CI pass)")
+    estAgg(spns, tables, preds, cols.map(_ -> 1).toMap).toEstimate
+  }
+
+  /** First SPN modeling (table, col) — dictionary lookup for group-by and
+    * SQL-literal encoding.
+    */
+  def findModelCol(spns: Map[String, TrainedSpn], table: String, col: String): Option[ModelCol] =
+    spns.values.iterator.flatMap(_.cols.find(c => c.table == table && c.name == col)).nextOption()
+
   /** A3 + A8: AVG = E[X·1]/E[1] with a delta-method CI — relative variances
     * of numerator and denominator add (covariance between the two, which the
     * reference propagates exactly, is positive here, so this interval is
@@ -415,15 +436,17 @@ object Ensemble {
   }
 
   /** A6/M7: enumerate group-by combinations from the model support and
-    * estimate each group (reference aqp_spn/group_by_combination.py).
+    * estimate each group (reference aqp_spn/group_by_combination.py). Each
+    * per-group COUNT goes through the full planner, so grouping works over
+    * factored multi-SPN table sets too.
     */
   def estGroupByCount(
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       groupCol: (String, String),
       preds: Map[(String, String), ColRange]): Seq[(String, Double)] = {
-    val spn = select(spns, tables)
-    val mc = spn.cols(spn.colIdx(groupCol._1, groupCol._2))
+    val mc = findModelCol(spns, groupCol._1, groupCol._2)
+      .getOrElse(throw new NoSuchElementException(s"${groupCol._1}.${groupCol._2} is not modeled"))
     mc.dict.toIndexedSeq.flatMap { v =>
       val e = estCount(spns, tables, preds + (groupCol -> NominalSet(Array(mc.code(v)))))
       if (e.value > 0) Some(v -> e.value) else None // prune zero-prob combos

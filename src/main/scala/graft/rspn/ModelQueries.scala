@@ -117,6 +117,20 @@ object ModelQueries {
           ("orders", "o_orderstatus") -> status(e, "F")))))
     },
 
+    // A4: SUM(a*b) — multi-scope feature expectation (SSB-style revenue).
+    Op.noOracle("est_sum_product") { (s, d) =>
+      val e = Ensemble.get(s, d)
+      def q(name: String, preds: Map[(String, String), ColRange]) = {
+        val est = Ensemble.estSumProduct(e, Set("lineitem"),
+          Seq(("lineitem", "l_extendedprice"), ("lineitem", "l_discount")), preds)
+        (name, math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))
+      }
+      resultDf(s, Seq(
+        q("revenue_all", Map.empty),
+        q("revenue_1996", Map(
+          ("lineitem", "l_shipdate") -> NumRange(days("1996-01-01"), days("1997-01-01"), hiIncl = false)))))
+    },
+
     // A3: AVG = ratio of expectations.
     Op.noOracle("est_avg") { (s, d) =>
       val e = Ensemble.get(s, d)

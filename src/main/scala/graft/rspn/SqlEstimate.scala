@@ -42,9 +42,7 @@ object SqlEstimate {
   }
 
   private def modelColOf(spns: Map[String, Ensemble.TrainedSpn], table: String, col: String): Ensemble.ModelCol =
-    spns.values.iterator
-      .flatMap(_.cols.find(c => c.table == table && c.name == col))
-      .nextOption()
+    Ensemble.findModelCol(spns, table, col)
       .getOrElse(throw new NoSuchElementException(s"$table.$col is not a modeled column"))
 
   private def toRange(spns: Map[String, Ensemble.TrainedSpn], p: Pred): ColRange = p.range match {

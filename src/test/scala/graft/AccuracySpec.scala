@@ -132,6 +132,51 @@ class AccuracySpec extends AnyFunSuite {
       s"workload-required join SPNs missing from $trained")
   }
 
+  test("A4: est_sum_product relative error <= 25% on revenue") {
+    val d0 = LocalDate.parse("1996-01-01").toEpochDay.toDouble
+    val d1 = LocalDate.parse("1998-01-01").toEpochDay.toDouble
+    val est = Ensemble.estSumProduct(ens, Set("lineitem"),
+      Seq(("lineitem", "l_extendedprice"), ("lineitem", "l_discount")),
+      Map(("lineitem", "l_shipdate") -> NumRange(d0, d1, hiIncl = false))).value
+    val exact = li.filter(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .agg(sum(col("l_extendedprice") * col("l_discount"))).head().getDouble(0)
+    val rel = math.abs(est - exact) / exact
+    assert(rel <= 0.25, s"rel=$rel est=$est exact=$exact")
+  }
+
+  test("A8: 95% count CI covers the truth for most random single-column ranges") {
+    // reference evaluation/confidence_interval_evaluation.py: empirical
+    // coverage of the nominal interval. Structure-learning bias is not in
+    // the CI (same as the reference), so we assert a tolerant 70% floor.
+    val rng = new Random(7)
+    val hits = (1 to 20).count { _ =>
+      val lo = 1 + rng.nextInt(35)
+      val hi = lo + 3 + rng.nextInt(12)
+      val e = Ensemble.estCount(ens, Set("lineitem"),
+        Map(("lineitem", "l_quantity") -> NumRange(lo.toDouble, hi.toDouble)))
+      val exact = li.filter(col("l_quantity").between(lo, hi)).count().toDouble
+      e.ci95Lo <= exact && exact <= e.ci95Hi
+    }
+    assert(hits >= 14, s"CI covered only $hits/20 random count queries")
+  }
+
+  test("A6 over factored tables: group-by works on customer⨝orders⨝lineitem") {
+    val o = schema.Tables(spark, sf, "orders")
+    val c = schema.Tables(spark, sf, "customer")
+    val exact = c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val est = Ensemble.estGroupByCount(ens, Set("customer", "orders", "lineitem"),
+      ("customer", "c_mktsegment"), Map.empty).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, v) =>
+      assert(qerr(v, exact(g)) <= 4.0, s"group $g est=$v exact=${exact(g)}")
+    }
+  }
+
   test("A8: avg CI is non-degenerate and covers the exact average") {
     val e = Ensemble.estAvg(ens, Set("lineitem"), ("lineitem", "l_extendedprice"),
       Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 30.0)))

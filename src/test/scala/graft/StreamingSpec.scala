@@ -78,6 +78,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= 2)
   }
 
+  test("M11 streaming: foreachBatch incrementally updates the RSPN per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.rspn._
+
+    val types = Array("click", "purchase", "view")
+    def code(t: String): Double = types.indexOf(t).toDouble
+    def row(t: String, v: Double): Array[Double] = Array(code(t), v)
+
+    // seed model from an initial "offline" batch, as the reference trains
+    // once and then applies learn_incremental to arriving tuples
+    val seed = Array.tabulate(256)(i => row(types(i % 3), (i % 10).toDouble))
+    val kinds: Array[Learn.ColKind] = Array(Learn.CategoricalCol(3), Learn.NumericCol)
+    @volatile var model: SpnNode = Learn.learn(seed, kinds)
+    val n0 = model.n
+
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // micro-batch → routed batch insert, immutable swap (readers keep
+        // consistent snapshots between batches)
+        val rows = batch.select("event_type", "value").collect()
+          .map(r => row(r.getString(0), r.getDouble(1)))
+        model = Update.insertBatch(model, rows)
+      }
+      .start()
+    mem.addData((1 to 40).map(i => Ev(i, ts("2024-01-01 00:00:00"), 1, "view", 1.0)): _*)
+    q.processAllAvailable()
+    val afterFirst = model.n
+    mem.addData((41 to 60).map(i => Ev(i, ts("2024-01-01 01:00:00"), 1, "click", 2.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(afterFirst == n0 + 40, s"first micro-batch not absorbed: ${model.n}")
+    assert(model.n == n0 + 60, s"second micro-batch not absorbed: ${model.n}")
+    // the all-"view" burst must shift P(view) up
+    val viewRange: Array[ColRange] = Array(NominalSet(Array(code("view"))), null)
+    val pView = Spn.prob(model, viewRange)
+    assert(pView > 1.0 / 3 + 0.05, s"P(view)=$pView did not track the inserted burst")
+  }
+
   test("session window over a stream groups by inactivity gap (T3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
