@@ -155,14 +155,16 @@ object Ensemble {
     (mcols, exprs)
   }
 
+  private def toMatrix(rows: Array[org.apache.spark.sql.Row], width: Int): Array[Array[Double]] =
+    rows.map { r =>
+      Array.tabulate(width)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+    }
+
   private def collectSample(df: DataFrame, exprs: Seq[Column], total: Long): (Array[Array[Double]], Long) = {
     val frac = math.min(1.0, sampleCap * 1.2 / math.max(total, 1L))
     val rows = df.select(exprs: _*).sample(withReplacement = false, frac, seed = 42L)
       .limit(sampleCap).collect()
-    val data = rows.map { r =>
-      Array.tabulate(exprs.length)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
-    }
-    (data, rows.length.toLong)
+    (toMatrix(rows, exprs.length), rows.length.toLong)
   }
 
   private def trainSingle(spark: SparkSession, sfDir: String, table: String): TrainedSpn = {
@@ -179,34 +181,42 @@ object Ensemble {
     * and generalized over the schema graph. Column names are globally unique
     * in this schema, so unqualified refs resolve unambiguously post-join.
     *
-    * Fanout comes from a groupBy(fk).count() aggregate joined back (partial
-    * aggregation map-side, tiny result) rather than a window over the joined
-    * table — a window would shuffle AND sort the full outer join, the
-    * dominant data at 100 TB. The fanned frame is persisted for the two
-    * passes over it (count + sample), then released.
+    * 100 TB shape: the full outer join is NEVER materialized. Its row count
+    * is arithmetic (|many| + childless one-keys; many-side orphans would
+    * violate the schema's FK integrity), and the training sample is a
+    * cluster sample — sample the one side's keys first (the reference's
+    * JoinDataPreparator.generate_n_samples samples over a relation and takes
+    * all matching tuples), then LEFT-join the fact, which Spark executes as
+    * a broadcast of the tiny sampled side. Fanout comes from a
+    * groupBy(fk).count() aggregate (partial aggregation map-side) rather
+    * than a window — a window would shuffle AND sort the joined data.
     */
   private def trainJoin(spark: SparkSession, sfDir: String, rel: Relationship): TrainedSpn = {
     val one = Tables(spark, sfDir, rel.one)
     val many = Tables(spark, sfDir, rel.many)
+    val nOne = one.count()
+    val nMany = many.count()
+    val nMatchedKeys = many.select(col(rel.fk)).distinct().count()
+    val total = nMany + (nOne - nMatchedKeys)
+    val fracKeys = math.min(1.0, sampleCap * 1.2 / math.max(total, 1L))
+    val oneS = one.sample(withReplacement = false, fracKeys, seed = 42L)
     val fanout = many.groupBy(col(rel.fk).as("_fk")).agg(count(lit(1)).as("_fan"))
-    val withFan = one.join(many, col(rel.pk) === col(rel.fk), "full_outer")
-      .join(fanout, coalesce(col(rel.pk), col(rel.fk)) === col("_fk"), "left")
+    val withFan = oneS.join(many, col(rel.pk) === col(rel.fk), "left")
+      .join(fanout, col(rel.pk) === col("_fk"), "left")
       .withColumn("mult_m", coalesce(col("_fan"), lit(1L)).cast("double"))
       .withColumn("nn_m", when(col(rel.fk).isNotNull, 1.0).otherwise(0.0))
-      .persist()
-    try {
-      val total = withFan.count()
-      val (oneCols, oneExprs) = modelColsFor(spark, sfDir, rel.one)
-      val (manyCols, manyExprs) = modelColsFor(spark, sfDir, rel.many)
-      val mcols = (oneCols ++ manyCols ++ Seq(
-        ModelCol("", "mult_m", NumericCol), ModelCol("", "nn_m", NumericCol))).toArray
-      val exprs = oneExprs ++ manyExprs ++ Seq(col("mult_m"), col("nn_m"))
-      val (data, nSamp) = collectSample(withFan, exprs, total)
-      val root = Learn.learn(data, mcols.map(_.kind))
-      TrainedSpn(joinName(rel), Set(rel.one, rel.many), mcols, root, total.toDouble, nSamp,
-        nnCol = Map(rel.many -> (mcols.length - 1)),
-        multCol = Map(rel.many -> (mcols.length - 2)))
-    } finally withFan.unpersist()
+
+    val (oneCols, oneExprs) = modelColsFor(spark, sfDir, rel.one)
+    val (manyCols, manyExprs) = modelColsFor(spark, sfDir, rel.many)
+    val mcols = (oneCols ++ manyCols ++ Seq(
+      ModelCol("", "mult_m", NumericCol), ModelCol("", "nn_m", NumericCol))).toArray
+    val exprs = oneExprs ++ manyExprs ++ Seq(col("mult_m"), col("nn_m"))
+    val rows = withFan.select(exprs: _*).limit(sampleCap).collect()
+    val data = toMatrix(rows, exprs.length)
+    val root = Learn.learn(data, mcols.map(_.kind))
+    TrainedSpn(joinName(rel), Set(rel.one, rel.many), mcols, root, total.toDouble, rows.length.toLong,
+      nnCol = Map(rel.many -> (mcols.length - 1)),
+      multCol = Map(rel.many -> (mcols.length - 2)))
   }
 
   // ------------------------------------------ M9: RDC candidate ranking
@@ -223,13 +233,14 @@ object Ensemble {
     val many = Tables(spark, sfDir, rel.many)
     val (oneCols, oneExprs) = modelColsFor(spark, sfDir, rel.one)
     val (_, manyExprs) = modelColsFor(spark, sfDir, rel.many)
-    val joined = many.join(one, col(rel.fk) === col(rel.pk))
-    val exprs = oneExprs ++ manyExprs
+    // sample the fact BEFORE the join: the ranking join is then a broadcast
+    // of ~2k rows against the dim, constant cost at any SF
     val total = many.count()
     val frac = math.min(1.0, 2500.0 / math.max(total, 1L))
-    val rows = joined.select(exprs: _*).sample(withReplacement = false, frac, 42L).limit(2000)
-      .collect()
-      .map(r => Array.tabulate(exprs.length)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+    val manyS = many.sample(withReplacement = false, frac, 42L).limit(2000)
+    val joined = manyS.join(one, col(rel.fk) === col(rel.pk))
+    val exprs = oneExprs ++ manyExprs
+    val rows = toMatrix(joined.select(exprs: _*).limit(2000).collect(), exprs.length)
     val nOne = oneCols.length
     val pairs = Learn.rdcMatrix(rows, exprs.indices.toArray)
     pairs.collect { case (i, j, r) if i < nOne && j >= nOne => r }.maxOption.getOrElse(0.0)
@@ -452,4 +463,39 @@ object Ensemble {
       if (e.value > 0) Some(v -> e.value) else None // prune zero-prob combos
     }
   }
+
+  /** M7 multi-attribute form: enumerate combinations of several categorical
+    * group-by columns depth-first, pruning any prefix whose estimated mass
+    * is already zero — the reference's group_by_combination.py prunes the
+    * combination tree the same way instead of materializing the cross
+    * product.
+    */
+  def estGroupByCountMulti(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      preds: Map[(String, String), ColRange]): Seq[(Seq[String], Double)] = {
+    def rec(fixed: Map[(String, String), ColRange], values: List[String],
+        rest: List[(String, String)]): Seq[(Seq[String], Double)] = rest match {
+      case Nil =>
+        val e = estCount(spns, tables, preds ++ fixed)
+        if (e.value > 0) Seq(values.reverse -> e.value) else Nil
+      case gc :: tail =>
+        val mc = findModelCol(spns, gc._1, gc._2)
+          .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
+        mc.dict.toIndexedSeq.flatMap { v =>
+          val fixed2 = fixed + (gc -> NominalSet(Array(mc.code(v))))
+          // prefix prune: skip the whole subtree when the prefix mass is 0
+          if (estCount(spns, tables, preds ++ fixed2).value <= 0) Nil
+          else rec(fixed2, v :: values, tail)
+        }
+    }
+    rec(Map.empty, Nil, groupCols.toList)
+  }
+
+  /** Encoded model columns of a table (for executor-side batch scoring:
+    * broadcast the tree, evaluate likelihood per row — no shuffle).
+    */
+  def encoded(spark: SparkSession, sfDir: String, table: String): (Array[ModelCol], Seq[Column]) =
+    modelColsFor(spark, sfDir, table)
 }

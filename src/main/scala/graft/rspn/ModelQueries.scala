@@ -131,18 +131,18 @@ object ModelQueries {
           ("lineitem", "l_shipdate") -> NumRange(days("1996-01-01"), days("1997-01-01"), hiIncl = false)))))
     },
 
-    // A3: AVG = ratio of expectations.
+    // A3: AVG = ratio of expectations, delta-method CI.
     Op.noOracle("est_avg") { (s, d) =>
       val e = Ensemble.get(s, d)
       def q(name: String, tables: Set[String], c: (String, String), preds: Map[(String, String), ColRange]) = {
         val est = Ensemble.estAvg(e, tables, c, preds)
-        (name, math.rint(est.value * 100) / 100, 0.0, 0.0)
+        (name, math.rint(est.value * 100) / 100,
+          math.rint(est.ci95Lo * 100) / 100, math.rint(est.ci95Hi * 100) / 100)
       }
       resultDf(s, Seq(
         q("avg_qty", Set("lineitem"), ("lineitem", "l_quantity"), Map.empty),
         q("avg_price_flag_A", Set("lineitem"), ("lineitem", "l_extendedprice"),
-          Map(("lineitem", "l_returnflag") -> flag(e, "A"))))
-        .map { case (n, v, _, _) => (n, v, v, v) })
+          Map(("lineitem", "l_returnflag") -> flag(e, "A")))))
     },
 
     // A6/M7: model-enumerated GROUP BY (zero-prob groups pruned).
@@ -171,6 +171,37 @@ object ModelQueries {
         (name, math.rint(before), math.rint(after), before == after)
       }.toDF("spn", "est_before", "est_after", "roundtrip_ok")
         .orderBy("spn")
+    },
+
+    // A6/M7 multi-attribute: TPC-H Q1-shaped group enumeration
+    // (returnflag × linestatus, prefix-pruned).
+    Op.noOracle("est_groupby2") { (s, d) =>
+      import s.implicits._
+      val e = Ensemble.get(s, d)
+      Ensemble.estGroupByCountMulti(e, Set("lineitem"),
+        Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")), Map.empty)
+        .map { case (gs, v) => (gs.head, gs(1), math.rint(v)) }
+        .toDF("l_returnflag", "l_linestatus", "est_count")
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // M6 at scale: executor-side batch scoring — the immutable tree is
+    // broadcast and every row's likelihood is evaluated where the data
+    // lives (narrow, no shuffle until the final small groupBy).
+    Op.noOracle("spn_score") { (s, d) =>
+      val e = Ensemble.get(s, d)
+      val spn = e("lineitem")
+      val bc = s.sparkContext.broadcast(spn.root)
+      val (_, exprs) = Ensemble.encoded(s, d, "lineitem")
+      val toRow = udf { xs: Seq[java.lang.Double] =>
+        val row = Array.tabulate(xs.length)(i => if (xs(i) == null) Double.NaN else xs(i).doubleValue())
+        math.log(math.max(Spn.likelihood(bc.value, row), 1e-300))
+      }
+      Tables(s, d, "lineitem")
+        .withColumn("loglik", toRow(array(exprs: _*)))
+        .groupBy("l_returnflag")
+        .agg(round(avg("loglik"), 2).as("avg_loglik"), count(lit(1)).as("rows"))
+        .orderBy("l_returnflag")
     },
 
     // A8: confidence intervals for a COUNT (CLT over the training sample).
@@ -209,6 +240,48 @@ object ModelQueries {
         }
       }.toDF("query", "grp", "est", "ci95_lo", "ci95_hi")
         .orderBy("query", "grp")
+    },
+
+    // SQL-text → exact plane: the same restricted class compiled to a
+    // DataFrame plan (Catalyst pushes the filters, broadcasts the dims) and
+    // hash-checked against DuckDB running the equivalent SQL.
+    Op(
+      "sql_exact",
+      """WITH s AS (
+        |  SELECT 'q1' AS query, '' AS grp, CAST(COUNT(*) AS DOUBLE) AS val
+        |    FROM lineitem WHERE l_quantity < 25
+        |  UNION ALL
+        |  SELECT 'q2', '', CAST(COUNT(*) AS DOUBLE)
+        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'q3', '', CAST(COUNT(*) AS DOUBLE)
+        |    FROM customer JOIN orders ON o_custkey = c_custkey
+        |    JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 'q4', '', CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,12))), 2) AS DOUBLE)
+        |    FROM lineitem
+        |    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  UNION ALL
+        |  SELECT 'q5', l_returnflag, CAST(COUNT(*) AS DOUBLE)
+        |    FROM lineitem GROUP BY l_returnflag
+        |) SELECT query, grp, val FROM s ORDER BY query, grp""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val qs = Seq(
+        "q1" -> "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 25",
+        "q2" -> "SELECT COUNT(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'",
+        "q3" -> ("SELECT COUNT(*) FROM customer JOIN orders ON o_custkey = c_custkey " +
+          "JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING'"),
+        "q4" -> ("SELECT SUM(l_extendedprice) FROM lineitem " +
+          "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"),
+        "q5" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag")
+      qs.map { case (id, sql) =>
+        val df = SqlExact.compile(s, d, sql)
+        if (df.columns.contains("grp"))
+          df.select(lit(id).as("query"), col("grp"), col("val"))
+        else
+          df.select(lit(id).as("query"), lit("").as("grp"), col("val"))
+      }.reduce(_.unionAll(_)).orderBy("query", "grp")
     },
 
     // M11: incremental update — train on the first half of the events

@@ -25,10 +25,14 @@ object SqlParser {
 
   final case class ParsedQuery(
       agg: Agg,
+      from: String,
       tables: Set[String],
-      joins: Seq[(String, String)],
+      joins: Seq[JoinEdge],
       preds: Seq[Pred],
       groupBy: Option[(String, String)])
+
+  /** One JOIN clause: `table` newly joined into scope on `a = b`. */
+  final case class JoinEdge(table: String, a: String, b: String)
 
   /** One conjunct, pre-encoding: values still carry their SQL literal form. */
   final case class Pred(table: String, col: String, range: RangeSpec)
@@ -71,7 +75,7 @@ object SqlParser {
           else Avg(tableOf(avgCol), avgCol)
         case other => fail(s"aggregate '$other' (COUNT(*)/SUM(col)/AVG(col) only)")
       }
-      val (tables, joins) = parseFrom(from.trim)
+      val (fromTable, tables, joins) = parseFrom(from.trim)
       val preds = Option(where).map(parseWhere).getOrElse(Nil)
       preds.foreach(p => if (!tables(p.table)) fail(s"predicate on ${p.col}: table ${p.table} not in FROM"))
       val groupBy = Option(group).map { g =>
@@ -79,11 +83,11 @@ object SqlParser {
         if (!tables(t)) fail(s"GROUP BY $g: table $t not in FROM")
         (t, g)
       }
-      ParsedQuery(agg, tables, joins, preds, groupBy)
+      ParsedQuery(agg, fromTable, tables, joins, preds, groupBy)
     case _ => fail("expected SELECT <agg> FROM <join tree> [WHERE ...] [GROUP BY col]")
   }
 
-  private def parseFrom(from: String): (Set[String], Seq[(String, String)]) = {
+  private def parseFrom(from: String): (String, Set[String], Seq[JoinEdge]) = {
     val parts = joinRe.split(from).map(_.trim)
     val first = parts.head
     if (!first.matches("""\w+""")) fail(s"FROM clause '$first' (aliases/subqueries unsupported)")
@@ -99,10 +103,10 @@ object SqlParser {
             (r.many == tb && r.one == ta && r.fk == b && r.pk == a))
         if (!isEdge) fail(s"$a=$b is not a PK–FK edge of the schema graph")
         tables += t
-        (ta, tb)
+        JoinEdge(t, a, b)
       case other => fail(s"join clause '$other' (INNER JOIN t ON fk = pk only)")
     }
-    (tables, joins.toSeq)
+    (first, tables, joins.toSeq)
   }
 
   // WHERE: conjunctions of col op literal | BETWEEN | IN. Split on AND, but

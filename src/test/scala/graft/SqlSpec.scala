@@ -98,6 +98,34 @@ class SqlSpec extends AnyFunSuite {
     assert(between == NumR(1000.0, 90000.0, loIncl = true, hiIncl = true))
   }
 
+  test("SqlExact compiles the same class to a DataFrame plan matching spark.sql") {
+    views
+    val cases = Seq(
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 25",
+      "SELECT COUNT(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'",
+      "SELECT COUNT(*) FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND l_quantity BETWEEN 5 AND 30")
+    cases.foreach { sql =>
+      val compiled = SqlExact.compile(spark, sf, sql).head().getDouble(0)
+      val viaSparkSql = exactScalar(sql)
+      assert(compiled == viaSparkSql, s"$sql: $compiled != $viaSparkSql")
+    }
+  }
+
+  test("multi-column GROUP BY enumeration matches exact combinations") {
+    views
+    val est = Ensemble.estGroupByCountMulti(ens, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")), Map.empty)
+      .map { case (gs, v) => (gs.head, gs(1)) -> v }.toMap
+    val exact = spark.sql(
+      "SELECT l_returnflag, l_linestatus, COUNT(*) FROM lineitem GROUP BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    assert(est.keySet == exact.keySet, s"${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (k, x) =>
+      assert(qerr(est(k), x) <= 1.5, s"group $k est=${est(k)} exact=$x")
+    }
+  }
+
   test("unsupported SQL fails loudly, not silently") {
     val bad = Seq(
       "SELECT MAX(l_quantity) FROM lineitem",                       // unsupported agg
