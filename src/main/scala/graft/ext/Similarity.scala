@@ -152,6 +152,7 @@ object Similarity {
       .withColumn("unit", transform(col("v"), x => x / sqrt(col("n2"))))
       .withColumn("features", array_to_vector(col("unit")))
       .select("vec_id", "v", "n2", "features")
+      .cache() // self-join input: normalize + vectorize once, not per side
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(1.0).setNumHashTables(6).setSeed(42L)

@@ -134,20 +134,30 @@ object Ensemble {
         element_at(m, col(name))
     }
 
-  private def dictOf(df: DataFrame, name: String): Array[String] =
-    df.select(name).distinct().collect().map(_.getString(0)).sorted
-
   private val dictCache = TrieMap.empty[(SparkSession, String, String), Array[ModelCol]]
 
-  /** ModelCols + encode expressions for one table's spec. Dictionaries are
-    * collected once per (session, sfDir, table) — candidate ranking and join
-    * training reuse them instead of re-running distinct() per SPN.
+  /** ModelCols + encode expressions for one table's spec. All of a table's
+    * dictionaries come from ONE collect_set aggregate job (map-side partial
+    * agg — the dictionary columns are low-cardinality by declaration), and
+    * are cached per (session, sfDir, table) so candidate ranking and join
+    * training never re-collect them.
     */
   private def modelColsFor(spark: SparkSession, sfDir: String, table: String): (Array[ModelCol], Seq[Column]) = {
     val mcols = dictCache.getOrElseUpdate((spark, sfDir, table), {
       val df = Tables(spark, sfDir, table)
+      val catCols = colSpecs(table).collect { case (n, "cat") => n }
+      val dicts: Map[String, Array[String]] =
+        if (catCols.isEmpty) Map.empty
+        else {
+          val row = df.agg(
+            collect_set(col(catCols.head)).as(catCols.head),
+            catCols.tail.map(c => collect_set(col(c)).as(c)): _*).head()
+          catCols.zipWithIndex.map { case (c, i) =>
+            c -> row.getSeq[String](i).toArray.sorted
+          }.toMap
+        }
       colSpecs(table).map { case (n, how) =>
-        val dict = if (how == "cat") dictOf(df, n) else Array.empty[String]
+        val dict = if (how == "cat") dicts(n) else Array.empty[String]
         ModelCol(table, n, if (how == "cat") CategoricalCol(dict.length) else NumericCol, dict)
       }.toArray
     })
@@ -169,10 +179,10 @@ object Ensemble {
 
   private def trainSingle(spark: SparkSession, sfDir: String, table: String): TrainedSpn = {
     val df = Tables(spark, sfDir, table)
-    val total = df.count()
-    val (mcols, exprs) = modelColsFor(spark, sfDir, table)
-    val (data, nSamp) = collectSample(df, exprs, total)
-    val root = Learn.learn(data, mcols.map(_.kind))
+    val total = timed(s"  count:$table")(df.count())
+    val (mcols, exprs) = timed(s"  dicts:$table")(modelColsFor(spark, sfDir, table))
+    val (data, nSamp) = timed(s"  sample:$table")(collectSample(df, exprs, total))
+    val root = timed(s"  learn:$table")(Learn.learn(data, mcols.map(_.kind)))
     TrainedSpn(table, Set(table), mcols, root, total.toDouble, nSamp)
   }
 
@@ -265,11 +275,19 @@ object Ensemble {
 
   private val cache = TrieMap.empty[(SparkSession, String), EnsembleState]
 
+  /** Set GRAFT_TRAIN_TIMING=1 to print per-stage training times to stderr. */
+  private def timed[A](what: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_TRAIN_TIMING")) {
+      val t0 = System.nanoTime; val r = f
+      System.err.println(f"[train] $what ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    } else f
+
   def state(spark: SparkSession, sfDir: String): EnsembleState =
     cache.getOrElseUpdate((spark, sfDir), {
-      val singles = singleTables.map(t => trainSingle(spark, sfDir, t))
-      val candidates = rankCandidates(spark, sfDir)
-      val joins = candidates.filter(_.trained).map(c => trainJoin(spark, sfDir, c.rel))
+      val singles = singleTables.map(t => timed(s"single:$t")(trainSingle(spark, sfDir, t)))
+      val candidates = timed("rank-candidates")(rankCandidates(spark, sfDir))
+      val joins = candidates.filter(_.trained)
+        .map(c => timed(s"join:${c.name}")(trainJoin(spark, sfDir, c.rel)))
       EnsembleState((singles ++ joins).map(s => s.name -> s).toMap, candidates)
     })
 
