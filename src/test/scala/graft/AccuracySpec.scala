@@ -22,7 +22,7 @@ class AccuracySpec extends AnyFunSuite {
     math.max(e / x, x / e)
   }
 
-  test("est_count single-table: median q-error <= 2 over random predicates") {
+  test("est_count single-table: median q-error <= 1.5 over random predicates") {
     val rng = new Random(123)
     val errs = (1 to 20).map { _ =>
       val qLo = 1 + rng.nextInt(40)
@@ -37,8 +37,10 @@ class AccuracySpec extends AnyFunSuite {
         col("l_discount").between(dLo, dHi)).count().toDouble
       qerr(est, exact)
     }.sorted
+    // measured 1.018 at sf0.01 (reference JOB-light headline ≈1.3); 1.5
+    // leaves seed/platform headroom without hiding a real regression
     val median = errs(errs.length / 2)
-    assert(median <= 2.0, s"median q-error $median, errs=${errs.map(e => f"$e%.2f")}")
+    assert(median <= 1.5, s"median q-error $median, errs=${errs.map(e => f"$e%.2f")}")
   }
 
   test("est_count join with nn gate matches exact inner-join count") {
@@ -49,7 +51,7 @@ class AccuracySpec extends AnyFunSuite {
     val code = spn.cols(spn.colIdx("orders", "o_orderstatus")).code("F")
     val est = Ensemble.estCount(ens, Set("orders", "lineitem"),
       Map(("orders", "o_orderstatus") -> NominalSet(Array(code)))).value
-    assert(qerr(est, exact) <= 4.0, s"est=$est exact=$exact")
+    assert(qerr(est, exact) <= 2.5, s"est=$est exact=$exact")
   }
 
   test("est_count single table through join spn (inverse fanout) is consistent") {
@@ -92,7 +94,7 @@ class AccuracySpec extends AnyFunSuite {
       s"CI [${e.ci95Lo}, ${e.ci95Hi}] misses $exact")
   }
 
-  test("M10: factored est_count on customer⨝orders⨝lineitem q-error <= 4") {
+  test("M10: factored est_count on customer⨝orders⨝lineitem q-error <= 2.5") {
     val c = schema.Tables(spark, sf, "customer")
     val o = schema.Tables(spark, sf, "orders")
     val exact = c.join(o, col("c_custkey") === col("o_custkey"))
@@ -103,10 +105,11 @@ class AccuracySpec extends AnyFunSuite {
     val est = Ensemble.estCount(ens, Set("customer", "orders", "lineitem"), Map(
       ("customer", "c_mktsegment") -> NominalSet(Array(mc.code("BUILDING"))),
       ("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 25.0, hiIncl = false))).value
-    assert(qerr(est, exact) <= 4.0, s"est=$est exact=$exact qerr=${qerr(est, exact)}")
+    // measured 1.009 median / 1.046 max over 15 seg×quantity variants
+    assert(qerr(est, exact) <= 2.5, s"est=$est exact=$exact qerr=${qerr(est, exact)}")
   }
 
-  test("M10: factored 4-way est_count (customer⨝orders⨝lineitem⨝part) q-error <= 4") {
+  test("M10: factored 4-way est_count (customer⨝orders⨝lineitem⨝part) q-error <= 2.5") {
     val c = schema.Tables(spark, sf, "customer")
     val o = schema.Tables(spark, sf, "orders")
     val p = schema.Tables(spark, sf, "part")
@@ -119,7 +122,7 @@ class AccuracySpec extends AnyFunSuite {
     val est = Ensemble.estCount(ens, Set("customer", "orders", "lineitem", "part"), Map(
       ("customer", "c_mktsegment") -> NominalSet(Array(mc.code("BUILDING"))),
       ("part", "p_size") -> NumRange(Double.NegativeInfinity, 25.0))).value
-    assert(qerr(est, exact) <= 4.0, s"est=$est exact=$exact qerr=${qerr(est, exact)}")
+    assert(qerr(est, exact) <= 2.5, s"est=$est exact=$exact qerr=${qerr(est, exact)}")
   }
 
   test("M9: candidate ranking scores every edge, budget cut leaves required rels trained") {

@@ -83,6 +83,14 @@ class SqlSpec extends AnyFunSuite {
     }
   }
 
+  test("two BETWEEN conjuncts split/glue correctly around their ANDs") {
+    val q = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 5 AND 20 AND l_discount BETWEEN 0.02 AND 0.06")
+    assert(q.preds.map(_.range) == Seq(
+      NumR(5.0, 20.0, loIncl = true, hiIncl = true),
+      NumR(0.02, 0.06, loIncl = true, hiIncl = true)))
+  }
+
   test("parser extracts tables, joins, predicates, group-by") {
     val q = SqlParser.parseQuery(
       "SELECT SUM(l_extendedprice) FROM customer JOIN orders ON o_custkey = c_custkey " +
