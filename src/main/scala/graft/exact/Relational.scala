@@ -317,6 +317,75 @@ object Relational {
         .distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // A9 extension surface (ABSENT in reference, free in Spark): cube /
+    // rollup / distinct aggregates. Grouping-null markers are coalesced to a
+    // sentinel so NULL ordering differences between engines can't flip rows.
+    Op(
+      "groupby_cube",
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
+        |       COUNT(*) AS cnt,
+        |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    Op(
+      "groupby_rollup",
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf, COALESCE(l_linestatus, '(all)') AS ls,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("cnt"))
+        .orderBy("rf", "ls")),
+
+    Op(
+      "agg_count_distinct",
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // P6/P7 extension surface (ABSENT in reference's conjunctive class,
+    // free on the exact plane): LIKE prefix match, OR / NOT / <>.
+    Op(
+      "filter_like",
+      """SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'
+        |ORDER BY doc_id""".stripMargin
+    )((s, d) =>
+      t(s, d, "documents")
+        .filter(col("source").like("src1%"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    Op(
+      "filter_or_not",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE (l_quantity < 5 OR l_quantity > 45) AND l_returnflag <> 'N'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .filter((col("l_quantity") < 5 || col("l_quantity") > 45) && col("l_returnflag") =!= "N")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- Window functions (§2.5) ----------------------------------------
     Op(
       "window_fanout",
