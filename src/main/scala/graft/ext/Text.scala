@@ -134,6 +134,28 @@ object Text {
     )((s, d) =>
       docs(s, d)
         .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // L5: TF-IDF weighting (SURVEY: Tokenizer+HashingTF+IDF). The IDF model
+    // fit is one aggregate over the corpus (document frequencies); transform
+    // is a narrow map. Emitted as the per-document L2 norm of the weighted
+    // vector — deterministic per row (sparse indices are sorted, so the sum
+    // order is fixed) — not the raw 2^15-dim vector.
+    Op.noOracle("text_tfidf") { (s, d) =>
+      import org.apache.spark.ml.feature.{HashingTF, IDF}
+      val base = docs(s, d)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+      val tf = new HashingTF()
+        .setInputCol("tk").setOutputCol("tf").setNumFeatures(1 << 15)
+      val tfd = tf.transform(base).cache() // read twice: IDF fit + transform
+      val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfd)
+      // sparse L2 norm over the active entries only (a vector_to_array
+      // formulation would densify 2^15 doubles per document)
+      val norm2 = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        org.apache.spark.ml.linalg.Vectors.norm(v, 2.0))
+      idf.transform(tfd)
+        .select(col("doc_id"), round(norm2(col("tfidf")), 3).as("tfidf_norm"))
+        .orderBy("doc_id")
+    }
   )
 }

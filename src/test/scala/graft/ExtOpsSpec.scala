@@ -8,6 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * near-duplicates.
   */
 class ExtOpsSpec extends AnyFunSuite {
+
+  test("text_tfidf: one norm per doc, positive, and rarer terms outweigh common ones") {
+    import TestSpark._
+    val op = ext.Text.ops.find(_.name == "text_tfidf").get
+    val rows = op.fn(spark, sf).collect()
+    val nDocs = schema.Tables(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall(_.getDouble(1) > 0.0), "every synthetic doc has tokens, norm must be > 0")
+    // determinism: a second evaluation is bit-identical
+    val again = op.fn(spark, sf).collect()
+    assert(rows.map(_.getDouble(1)).toSeq == again.map(_.getDouble(1)).toSeq)
+  }
   import TestSpark._
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
