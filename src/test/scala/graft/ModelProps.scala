@@ -1,0 +1,88 @@
+package graft
+
+import graft.rspn._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests (SURVEY §5.3) over the model plane — no Spark session:
+  * random small tables, random predicates, invariants that must hold for
+  * ANY learned tree, not just the fixtures.
+  *
+  * Key invariant exploited throughout: sum-node weights are cluster row
+  * fractions, so tree marginals over a single column are EXACT relative
+  * frequencies of the training data (only cross-column correlation inside a
+  * cluster is approximated). That makes single-column estimates a strict
+  * ground-truth check, not a tolerance check.
+  */
+object ModelProps extends Properties("rspn") {
+
+  private val kinds: Array[Learn.ColKind] =
+    Array(Learn.CategoricalCol(5), Learn.NumericCol)
+
+  private val genRow: Gen[Array[Double]] = for {
+    c <- Gen.choose(0, 4)
+    v <- Gen.choose(0, 50) // coarse grid → duplicates exercise tie handling
+  } yield Array(c.toDouble, v.toDouble)
+
+  private val genData: Gen[Array[Array[Double]]] =
+    Gen.choose(50, 300).flatMap(n => Gen.listOfN(n, genRow).map(_.toArray))
+
+  private def count(data: Array[Array[Double]], col: Int, lo: Double, hi: Double): Int =
+    data.count(r => r(col) >= lo && r(col) <= hi)
+
+  property("total mass is 1") = forAll(genData) { data =>
+    val root = Learn.learn(data, kinds)
+    math.abs(Spn.prob(root, Array(null, null)) - 1.0) < 1e-9
+  }
+
+  property("single-column numeric range estimate is exact") =
+    forAll(genData, Gen.choose(0, 50), Gen.choose(0, 50)) { (data, a, b) =>
+      val (lo, hi) = (math.min(a, b).toDouble, math.max(a, b).toDouble)
+      val root = Learn.learn(data, kinds)
+      val est = data.length * Spn.prob(root, Array(null, NumRange(lo, hi)))
+      math.abs(est - count(data, 1, lo, hi)) < 1e-6 * data.length
+    }
+
+  property("categorical group probabilities sum to the non-null mass") =
+    forAll(genData) { data =>
+      val root = Learn.learn(data, kinds)
+      val total = (0 until 5).map { c =>
+        Spn.prob(root, Array(NominalSet(Array(c.toDouble)), null))
+      }.sum
+      math.abs(total - 1.0) < 1e-9 // generator emits no nulls
+    }
+
+  property("range additivity: P([a,m)) + P([m,b]) == P([a,b])") =
+    forAll(genData, Gen.choose(0, 50), Gen.choose(0, 50), Gen.choose(0, 50)) { (data, x, y, z) =>
+      val s = Seq(x, y, z).sorted.map(_.toDouble)
+      val (a, m, b) = (s(0), s(1), s(2))
+      val root = Learn.learn(data, kinds)
+      val left = Spn.prob(root, Array(null, NumRange(a, m, loIncl = true, hiIncl = false)))
+      val right = Spn.prob(root, Array(null, NumRange(m, b)))
+      val whole = Spn.prob(root, Array(null, NumRange(a, b)))
+      math.abs(left + right - whole) < 1e-9
+    }
+
+  property("insertBatch preserves normalization and tracks the merged data exactly") =
+    forAll(genData, genData, Gen.choose(0, 50), Gen.choose(0, 50)) { (d1, d2, a, b) =>
+      val (lo, hi) = (math.min(a, b).toDouble, math.max(a, b).toDouble)
+      val root0 = Learn.learn(d1, kinds)
+      val root1 = Update.insertBatch(root0, d2)
+      val n = d1.length + d2.length
+      val massOk = math.abs(Spn.prob(root1, Array(null, null)) - 1.0) < 1e-9
+      val nOk = math.abs(root1.n - n) < 1e-9
+      val est = n * Spn.prob(root1, Array(null, NumRange(lo, hi)))
+      val exact = count(d1, 1, lo, hi) + count(d2, 1, lo, hi)
+      massOk && nOk && math.abs(est - exact) < 1e-6 * n
+    }
+
+  property("group enumeration support equals the data's support") =
+    forAll(genData) { data =>
+      val root = Learn.learn(data, kinds)
+      val support = (0 until 5).filter { c =>
+        Spn.prob(root, Array(NominalSet(Array(c.toDouble)), null)) > 0
+      }.toSet
+      val exact = data.map(_(0).toInt).toSet
+      support == exact
+    }
+}
