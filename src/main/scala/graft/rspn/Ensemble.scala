@@ -107,6 +107,17 @@ object Ensemble {
 
   private def joinName(rel: Relationship): String = s"${rel.one}_${rel.many}"
 
+  /** Multi-hop join-SPN chains trained in addition to the single-edge
+    * candidates (the reference's JoinDataPreparator materializes samples
+    * over relationship CHAINS, e.g. its 3-table JOB-light ensembles). Each
+    * chain is root-first: rels(i).one is already joined when rels(i).many
+    * arrives.
+    */
+  private def chainSpecs: Seq[Seq[Relationship]] = Seq(
+    Seq(
+      SchemaGraph.testdata.rel("orders", "customer"),
+      SchemaGraph.testdata.rel("lineitem", "orders")))
+
   /** Join SPN candidates = every schema-graph edge whose both endpoints are
     * modeled (rdc_based.py evaluates the same relationship candidates).
     */
@@ -186,48 +197,61 @@ object Ensemble {
     TrainedSpn(table, Set(table), mcols, root, total.toDouble, nSamp)
   }
 
-  /** J2: sampled full-outer join along one PK–FK edge with fanout (mult) and
-    * not-null (nn) columns — the reference's JoinDataPreparator, distributed
-    * and generalized over the schema graph. Column names are globally unique
-    * in this schema, so unqualified refs resolve unambiguously post-join.
+  /** J2: sampled full-outer join along a PK–FK relationship CHAIN with a
+    * fanout (mult) and not-null (nn) column per edge — the reference's
+    * JoinDataPreparator (generate_join_sample over relationship chains),
+    * distributed and generalized over the schema graph. Column names are
+    * globally unique in this schema, so unqualified refs resolve
+    * unambiguously post-join.
     *
     * 100 TB shape: the full outer join is NEVER materialized. Its row count
-    * is arithmetic (|many| + childless one-keys; many-side orphans would
-    * violate the schema's FK integrity), and the training sample is a
-    * cluster sample — sample the one side's keys first (the reference's
-    * JoinDataPreparator.generate_n_samples samples over a relation and takes
-    * all matching tuples), then LEFT-join the fact, which Spark executes as
-    * a broadcast of the tiny sampled side. Fanout comes from a
-    * groupBy(fk).count() aggregate (partial aggregation map-side) rather
-    * than a window — a window would shuffle AND sort the joined data.
+    * is arithmetic — |leaf table| plus, per level, the keys with no children
+    * (many-side orphans would violate the schema's FK integrity) — and the
+    * training sample is a cluster sample: sample the ROOT side's keys first
+    * (the reference's generate_n_samples samples over a relation and takes
+    * all matching tuples), then LEFT-join each hop, which Spark executes as
+    * broadcasts of the tiny sampled side. Fanouts come from
+    * groupBy(fk).count() aggregates (partial aggregation map-side) rather
+    * than windows — a window would shuffle AND sort the joined data.
     */
-  private def trainJoin(spark: SparkSession, sfDir: String, rel: Relationship): TrainedSpn = {
-    val one = Tables(spark, sfDir, rel.one)
-    val many = Tables(spark, sfDir, rel.many)
-    val nOne = one.count()
-    val nMany = many.count()
-    val nMatchedKeys = many.select(col(rel.fk)).distinct().count()
-    val total = nMany + (nOne - nMatchedKeys)
-    val fracKeys = math.min(1.0, sampleCap * 1.2 / math.max(total, 1L))
-    val oneS = one.sample(withReplacement = false, fracKeys, seed = 42L)
-    val fanout = many.groupBy(col(rel.fk).as("_fk")).agg(count(lit(1)).as("_fan"))
-    val withFan = oneS.join(many, col(rel.pk) === col(rel.fk), "left")
-      .join(fanout, col(rel.pk) === col("_fk"), "left")
-      .withColumn("mult_m", coalesce(col("_fan"), lit(1L)).cast("double"))
-      .withColumn("nn_m", when(col(rel.fk).isNotNull, 1.0).otherwise(0.0))
+  private def trainChain(spark: SparkSession, sfDir: String, rels: Seq[Relationship]): TrainedSpn = {
+    val tables = rels.head.one +: rels.map(_.many)
+    val dfs = tables.map(t => Tables(spark, sfDir, t))
+    val counts = dfs.map(_.count())
+    // distinct parent keys present at each hop = parents WITH children
+    val matched = rels.map(r => Tables(spark, sfDir, r.many).select(col(r.fk)).distinct().count())
+    val total = counts.last + rels.indices.map(i => counts(i) - matched(i)).sum
 
-    val (oneCols, oneExprs) = modelColsFor(spark, sfDir, rel.one)
-    val (manyCols, manyExprs) = modelColsFor(spark, sfDir, rel.many)
-    val mcols = (oneCols ++ manyCols ++ Seq(
-      ModelCol("", "mult_m", NumericCol), ModelCol("", "nn_m", NumericCol))).toArray
-    val exprs = oneExprs ++ manyExprs ++ Seq(col("mult_m"), col("nn_m"))
-    val rows = withFan.select(exprs: _*).limit(sampleCap).collect()
+    val fracKeys = math.min(1.0, sampleCap * 1.2 / math.max(total, 1L))
+    var df = dfs.head.sample(withReplacement = false, fracKeys, seed = 42L)
+    rels.zipWithIndex.foreach { case (r, i) =>
+      val fanout = Tables(spark, sfDir, r.many)
+        .groupBy(col(r.fk).as(s"_fk$i")).agg(count(lit(1)).as(s"_fan$i"))
+      df = df.join(Tables(spark, sfDir, r.many), col(r.pk) === col(r.fk), "left")
+        .join(fanout, col(r.pk) === col(s"_fk$i"), "left")
+        .withColumn(s"mult_${r.many}", coalesce(col(s"_fan$i"), lit(1L)).cast("double"))
+        .withColumn(s"nn_${r.many}", when(col(r.fk).isNotNull, 1.0).otherwise(0.0))
+    }
+
+    val perTable = tables.map(t => modelColsFor(spark, sfDir, t))
+    val attrCols = perTable.flatMap(_._1)
+    val attrExprs = perTable.flatMap(_._2)
+    val corrCols = rels.flatMap(r => Seq(
+      ModelCol("", s"mult_${r.many}", NumericCol), ModelCol("", s"nn_${r.many}", NumericCol)))
+    val corrExprs = rels.flatMap(r => Seq(col(s"mult_${r.many}"), col(s"nn_${r.many}")))
+    val mcols = (attrCols ++ corrCols).toArray
+    val exprs = attrExprs ++ corrExprs
+    val rows = df.select(exprs: _*).limit(sampleCap).collect()
     val data = toMatrix(rows, exprs.length)
     val root = Learn.learn(data, mcols.map(_.kind))
-    TrainedSpn(joinName(rel), Set(rel.one, rel.many), mcols, root, total.toDouble, rows.length.toLong,
-      nnCol = Map(rel.many -> (mcols.length - 1)),
-      multCol = Map(rel.many -> (mcols.length - 2)))
+    val base = attrCols.length
+    TrainedSpn(tables.mkString("_"), tables.toSet, mcols, root, total.toDouble, rows.length.toLong,
+      nnCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i + 1) }.toMap,
+      multCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i) }.toMap)
   }
+
+  private def trainJoin(spark: SparkSession, sfDir: String, rel: Relationship): TrainedSpn =
+    trainChain(spark, sfDir, Seq(rel))
 
   // ------------------------------------------ M9: RDC candidate ranking
 
@@ -288,7 +312,10 @@ object Ensemble {
       val candidates = timed("rank-candidates")(rankCandidates(spark, sfDir))
       val joins = candidates.filter(_.trained)
         .map(c => timed(s"join:${c.name}")(trainJoin(spark, sfDir, c.rel)))
-      EnsembleState((singles ++ joins).map(s => s.name -> s).toMap, candidates)
+      val chains = chainSpecs.map(rels =>
+        timed(s"chain:${(rels.head.one +: rels.map(_.many)).mkString("_")}")(
+          trainChain(spark, sfDir, rels)))
+      EnsembleState((singles ++ joins ++ chains).map(s => s.name -> s).toMap, candidates)
     })
 
   def get(spark: SparkSession, sfDir: String): Map[String, TrainedSpn] =
