@@ -12,6 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the shared table cache (SURVEY §6: cache loaded tables across the
+    // queries map) so per-query timings measure the operator, not whichever
+    // query happens to touch a table first
+    schema.SchemaGraph.testdata.tables.foreach { t =>
+      try schema.Tables(spark, sfDir, t.name).count()
+      catch { case _: Throwable => () }
+    }
     val errors = mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

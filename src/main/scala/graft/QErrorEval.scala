@@ -1,0 +1,72 @@
+package graft
+
+import graft.rspn._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Accuracy evaluation main — the reference's
+  * evaluation/cardinality_evaluation.py / aqp_evaluation.py analog: run a
+  * generated workload through the model plane and the exact plane, print
+  * q-error stats as one JSON line.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.QErrorEval"
+  */
+object QErrorEval {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ens = Ensemble.get(spark, sfDir)
+    val li = schema.Tables(spark, sfDir, "lineitem")
+    val o = schema.Tables(spark, sfDir, "orders")
+    val c = schema.Tables(spark, sfDir, "customer")
+    def qerr(e: Double, x: Double): Double = {
+      val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
+    }
+
+    val rng = new Random(20260812L)
+    // single-table conjunctive COUNTs
+    val single = (1 to 30).map { _ =>
+      val qLo = 1 + rng.nextInt(40); val qHi = qLo + 3 + rng.nextInt(12)
+      val dLo = rng.nextDouble() * 0.06; val dHi = dLo + 0.01 + rng.nextDouble() * 0.04
+      val est = Ensemble.estCount(ens, Set("lineitem"), Map(
+        ("lineitem", "l_quantity") -> NumRange(qLo, qHi),
+        ("lineitem", "l_discount") -> NumRange(dLo, dHi))).value
+      val exact = li.filter(col("l_quantity").between(qLo, qHi) &&
+        col("l_discount").between(dLo, dHi)).count().toDouble
+      qerr(est, exact)
+    }
+    // multi-table COUNTs (2-way covered, 3-way chain/factored)
+    val segs = Seq("BUILDING", "MACHINERY", "AUTOMOBILE", "FURNITURE", "HOUSEHOLD")
+    val joins = segs.flatMap { seg =>
+      Seq(12.0, 20.0, 30.0, 42.0).map { q =>
+        val mc = ens("customer").cols(ens("customer").colIdx("customer", "c_mktsegment"))
+        val est = Ensemble.estCount(ens, Set("customer", "orders", "lineitem"), Map(
+          ("customer", "c_mktsegment") -> NominalSet(Array(mc.code(seg))),
+          ("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, q, hiIncl = false))).value
+        val exact = c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("c_mktsegment") === seg && col("l_quantity") < q).count().toDouble
+        qerr(est, exact)
+      }
+    }
+    def stats(xs: Seq[Double]): (Double, Double, Double) = {
+      val s = xs.sorted
+      (s(s.length / 2), s(math.min(s.length - 1, (s.length * 0.95).toInt)), s.last)
+    }
+    val (m1, p1, x1) = stats(single)
+    val (m2, p2, x2) = stats(joins)
+    println(
+      f"""{"workload":"generated","sf":"$sfDir","single_table":{"n":${single.length},"median":$m1%.4f,"p95":$p1%.4f,"max":$x1%.4f},"joins_3way":{"n":${joins.length},"median":$m2%.4f,"p95":$p2%.4f,"max":$x2%.4f}}""")
+    spark.stop()
+  }
+}
