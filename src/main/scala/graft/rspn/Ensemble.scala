@@ -465,6 +465,56 @@ object Ensemble {
     estAgg(spns, tables, preds, cols.map(_ -> 1).toMap).toEstimate
   }
 
+  /** Disjunction by inclusion–exclusion: |A ∨ B| = |A| + |B| − |A ∧ B|,
+    * where the conjunction merges per-column ranges (both branches constrain
+    * a column only when they constrain it identically — the general
+    * range-intersection case reduces to NumRange bound tightening).
+    * SURVEY §2.2 lists OR as absent from the reference's class; this closes
+    * it for the estimator API without touching the leaf machinery.
+    */
+  def estCountOr(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      predsA: Map[(String, String), ColRange],
+      predsB: Map[(String, String), ColRange]): Estimate = {
+    val a = estAgg(spns, tables, predsA, Map.empty)
+    val b = estAgg(spns, tables, predsB, Map.empty)
+    val both = intersect(predsA, predsB) match {
+      case Some(ab) => estAgg(spns, tables, ab, Map.empty)
+      case None     => Est(0.0, 0.0) // disjoint by contradiction on some column
+    }
+    val v = math.max(0.0, a.v + b.v - both.v)
+    val sd = math.sqrt(a.sd * a.sd + b.sd * b.sd + both.sd * both.sd)
+    Est(v, sd).toEstimate
+  }
+
+  /** Conjunction of two predicate maps; None when some column's ranges are
+    * provably disjoint (numeric intervals or nominal sets).
+    */
+  private def intersect(
+      a: Map[(String, String), ColRange],
+      b: Map[(String, String), ColRange]): Option[Map[(String, String), ColRange]] = {
+    val merged = (a.keySet ++ b.keySet).toSeq.map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(x), None) => Some(k -> x)
+        case (None, Some(y)) => Some(k -> y)
+        case (Some(NumRange(lo1, hi1, li1, hi1i)), Some(NumRange(lo2, hi2, li2, hi2i))) =>
+          val lo = math.max(lo1, lo2); val hi = math.min(hi1, hi2)
+          val loI = if (lo1 == lo2) li1 && li2 else if (lo == lo1) li1 else li2
+          val hiI = if (hi1 == hi2) hi1i && hi2i else if (hi == hi1) hi1i else hi2i
+          if (lo > hi || (lo == hi && !(loI && hiI))) None
+          else Some(k -> NumRange(lo, hi, loI, hiI))
+        case (Some(NominalSet(c1)), Some(NominalSet(c2))) =>
+          val inter = c1.toSet.intersect(c2.toSet).toArray
+          if (inter.isEmpty) None else Some(k -> NominalSet(inter))
+        case (Some(x), Some(y)) =>
+          if (x == y) Some(k -> x)
+          else throw new IllegalArgumentException(s"cannot intersect $x with $y on $k")
+      }
+    }
+    if (merged.contains(None)) None else Some(merged.flatten.toMap)
+  }
+
   /** First SPN modeling (table, col) — dictionary lookup for group-by and
     * SQL-literal encoding.
     */

@@ -99,7 +99,13 @@ object ModelQueries {
           ("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 25.0, hiIncl = false))),
         q("cust_orders_lineitem_part", Set("customer", "orders", "lineitem", "part"), Map(
           ("customer", "c_mktsegment") -> seg(e, "BUILDING"),
-          ("part", "p_size") -> NumRange(Double.NegativeInfinity, 25.0)))))
+          ("part", "p_size") -> NumRange(Double.NegativeInfinity, 25.0)))) :+ {
+        // OR by inclusion-exclusion (extension beyond the reference's class)
+        val est = Ensemble.estCountOr(e, Set("lineitem"),
+          Map(("lineitem", "l_returnflag") -> flag(e, "A")),
+          Map(("lineitem", "l_quantity") -> NumRange(45.0, Double.PositiveInfinity, loIncl = false)))
+        ("or_flagA_qty_gt45", math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))
+      })
     },
 
     // A2: SUM estimates (expectation of the feature column under predicates).

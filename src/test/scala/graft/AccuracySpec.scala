@@ -189,6 +189,32 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("OR via inclusion-exclusion: overlapping and disjoint branches") {
+    // overlapping ranges: quantity<20 OR quantity in [10,30]
+    val estOverlap = Ensemble.estCountOr(ens, Set("lineitem"),
+      Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 20.0, hiIncl = false)),
+      Map(("lineitem", "l_quantity") -> NumRange(10.0, 30.0))).value
+    val exactOverlap = li.filter(col("l_quantity") < 20 || col("l_quantity").between(10, 30))
+      .count().toDouble
+    assert(qerr(estOverlap, exactOverlap) <= 1.5, s"est=$estOverlap exact=$exactOverlap")
+
+    // disjoint branches across different columns (A∧B nonempty): flag=A OR qty>45
+    val mc = ens("lineitem").cols(ens("lineitem").colIdx("lineitem", "l_returnflag"))
+    val estCross = Ensemble.estCountOr(ens, Set("lineitem"),
+      Map(("lineitem", "l_returnflag") -> NominalSet(Array(mc.code("A")))),
+      Map(("lineitem", "l_quantity") -> NumRange(45.0, Double.PositiveInfinity, loIncl = false))).value
+    val exactCross = li.filter(col("l_returnflag") === "A" || col("l_quantity") > 45)
+      .count().toDouble
+    assert(qerr(estCross, exactCross) <= 1.5, s"est=$estCross exact=$exactCross")
+
+    // provably disjoint same-column ranges: qty<5 OR qty>45 → plain sum
+    val estDisjoint = Ensemble.estCountOr(ens, Set("lineitem"),
+      Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 5.0, hiIncl = false)),
+      Map(("lineitem", "l_quantity") -> NumRange(45.0, Double.PositiveInfinity, loIncl = false))).value
+    val exactDisjoint = li.filter(col("l_quantity") < 5 || col("l_quantity") > 45).count().toDouble
+    assert(qerr(estDisjoint, exactDisjoint) <= 1.5, s"est=$estDisjoint exact=$exactDisjoint")
+  }
+
   test("A8: avg CI is non-degenerate and covers the exact average") {
     val e = Ensemble.estAvg(ens, Set("lineitem"), ("lineitem", "l_extendedprice"),
       Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 30.0)))
