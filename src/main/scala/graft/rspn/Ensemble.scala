@@ -109,14 +109,21 @@ object Ensemble {
 
   /** Multi-hop join-SPN chains trained in addition to the single-edge
     * candidates (the reference's JoinDataPreparator materializes samples
-    * over relationship CHAINS, e.g. its 3-table JOB-light ensembles). Each
-    * chain is root-first: rels(i).one is already joined when rels(i).many
-    * arrives.
+    * over relationship CHAINS and star shapes — its JOB-light ensembles are
+    * a fact path plus attached dimensions). Each spec is (path, dims): the
+    * path is root-first (rels(i).one already joined when rels(i).many
+    * arrives, contributing a fanout/nn pair per hop); dims are one-side
+    * attachments to a joined many-side table (exactly one dim row per fact
+    * row under FK integrity — no fanout, no nn, row count unchanged).
     */
-  private def chainSpecs: Seq[Seq[Relationship]] = Seq(
-    Seq(
+  private def chainSpecs: Seq[(Seq[Relationship], Seq[Relationship])] = Seq(
+    (Seq(
       SchemaGraph.testdata.rel("orders", "customer"),
-      SchemaGraph.testdata.rel("lineitem", "orders")))
+      SchemaGraph.testdata.rel("lineitem", "orders")), Nil),
+    (Seq(
+      SchemaGraph.testdata.rel("orders", "customer"),
+      SchemaGraph.testdata.rel("lineitem", "orders")),
+      Seq(SchemaGraph.testdata.rel("lineitem", "part"))))
 
   /** Join SPN candidates = every schema-graph edge whose both endpoints are
     * modeled (rdc_based.py evaluates the same relationship candidates).
@@ -214,9 +221,12 @@ object Ensemble {
     * groupBy(fk).count() aggregates (partial aggregation map-side) rather
     * than windows — a window would shuffle AND sort the joined data.
     */
-  private def trainChain(spark: SparkSession, sfDir: String, rels: Seq[Relationship]): TrainedSpn = {
-    val tables = rels.head.one +: rels.map(_.many)
-    val dfs = tables.map(t => Tables(spark, sfDir, t))
+  private def trainChain(
+      spark: SparkSession, sfDir: String,
+      rels: Seq[Relationship], dims: Seq[Relationship] = Nil): TrainedSpn = {
+    val pathTables = rels.head.one +: rels.map(_.many)
+    val tables = pathTables ++ dims.map(_.one)
+    val dfs = pathTables.map(t => Tables(spark, sfDir, t))
     val counts = dfs.map(_.count())
     // distinct parent keys present at each hop = parents WITH children
     val matched = rels.map(r => Tables(spark, sfDir, r.many).select(col(r.fk)).distinct().count())
@@ -231,6 +241,11 @@ object Ensemble {
         .join(fanout, col(r.pk) === col(s"_fk$i"), "left")
         .withColumn(s"mult_${r.many}", coalesce(col(s"_fan$i"), lit(1L)).cast("double"))
         .withColumn(s"nn_${r.many}", when(col(r.fk).isNotNull, 1.0).otherwise(0.0))
+    }
+    // dimension attach: exactly one dim row per fact row (FK integrity), so
+    // cardinality and corrections are untouched; broadcast-sized joins
+    dims.foreach { r =>
+      df = df.join(Tables(spark, sfDir, r.one), col(r.fk) === col(r.pk), "left")
     }
 
     val perTable = tables.map(t => modelColsFor(spark, sfDir, t))
@@ -312,9 +327,10 @@ object Ensemble {
       val candidates = timed("rank-candidates")(rankCandidates(spark, sfDir))
       val joins = candidates.filter(_.trained)
         .map(c => timed(s"join:${c.name}")(trainJoin(spark, sfDir, c.rel)))
-      val chains = chainSpecs.map(rels =>
-        timed(s"chain:${(rels.head.one +: rels.map(_.many)).mkString("_")}")(
-          trainChain(spark, sfDir, rels)))
+      val chains = chainSpecs.map { case (rels, dims) =>
+        val nm = ((rels.head.one +: rels.map(_.many)) ++ dims.map(_.one)).mkString("_")
+        timed(s"chain:$nm")(trainChain(spark, sfDir, rels, dims))
+      }
       EnsembleState((singles ++ joins ++ chains).map(s => s.name -> s).toMap, candidates)
     })
 

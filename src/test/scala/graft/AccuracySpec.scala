@@ -128,10 +128,19 @@ class AccuracySpec extends AnyFunSuite {
       .filter(col("c_mktsegment") === "BUILDING" && col("p_size") <= 25)
       .count().toDouble
     val mc = ens("customer").cols(ens("customer").colIdx("customer", "c_mktsegment"))
-    val est = Ensemble.estCount(ens, Set("customer", "orders", "lineitem", "part"), Map(
-      ("customer", "c_mktsegment") -> NominalSet(Array(mc.code("BUILDING"))),
-      ("part", "p_size") -> NumRange(Double.NegativeInfinity, 25.0))).value
+    val preds = Map(
+      ("customer", "c_mktsegment") -> (NominalSet(Array(mc.code("BUILDING"))): ColRange),
+      ("part", "p_size") -> (NumRange(Double.NegativeInfinity, 25.0): ColRange))
+    val tabs = Set("customer", "orders", "lineitem", "part")
+    // force the factor algebra by hiding the 4-table star SPN
+    val noStar = ens - "customer_orders_lineitem_part"
+    val est = Ensemble.estCount(noStar, tabs, preds).value
     assert(qerr(est, exact) <= 2.5, s"est=$est exact=$exact qerr=${qerr(est, exact)}")
+
+    // the star-shaped SPN (fact chain + attached part dim — the reference's
+    // JOB-light ensemble shape) answers the 4-way query directly
+    val direct = Ensemble.estCount(ens, tabs, preds).value
+    assert(qerr(direct, exact) <= 2.5, s"star est=$direct exact=$exact")
   }
 
   test("M9: candidate ranking scores every edge, budget cut leaves required rels trained") {
