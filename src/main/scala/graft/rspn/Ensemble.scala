@@ -507,7 +507,7 @@ object Ensemble {
   /** Conjunction of two predicate maps; None when some column's ranges are
     * provably disjoint (numeric intervals or nominal sets).
     */
-  private def intersect(
+  private[rspn] def intersect(
       a: Map[(String, String), ColRange],
       b: Map[(String, String), ColRange]): Option[Map[(String, String), ColRange]] = {
     val merged = (a.keySet ++ b.keySet).toSeq.map { k =>

@@ -16,7 +16,14 @@ object SqlEstimate {
 
   def estimate(spns: Map[String, Ensemble.TrainedSpn], sql: String): SqlResult = {
     val q = SqlParser.parseQuery(sql)
-    val preds = q.preds.map(p => (p.table, p.col) -> toRange(spns, p)).toMap
+    // conjuncts on the SAME column must intersect, not overwrite (a >= lo
+    // AND a < hi is two parsed predicates); a provably empty intersection
+    // becomes an empty nominal set — zero mass at every leaf
+    val preds = q.preds.foldLeft(Map.empty[(String, String), ColRange]) { (acc, p) =>
+      val one = Map((p.table, p.col) -> toRange(spns, p))
+      Ensemble.intersect(acc, one)
+        .getOrElse(acc + ((p.table, p.col) -> NominalSet(Array.empty[Double])))
+    }
     q.groupBy match {
       case None => Scalar(scalarOf(spns, q, preds))
       case Some((gt, gc)) =>

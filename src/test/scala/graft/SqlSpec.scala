@@ -134,6 +134,33 @@ class SqlSpec extends AnyFunSuite {
     }
   }
 
+  test("date equality predicate parses and estimates") {
+    views
+    val sql = "SELECT COUNT(*) FROM orders WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-02-01'"
+    val q = qerr(estScalar(sql), exactScalar(sql))
+    assert(q <= 2.0, s"q-error $q for $sql")
+  }
+
+  test("unknown column prefix is rejected") {
+    assertThrows[IllegalArgumentException](
+      SqlParser.parseQuery("SELECT COUNT(*) FROM lineitem WHERE zz_bogus < 5"))
+  }
+
+  test("chain SPN and single-edge SPN agree on their shared 2-table query") {
+    val two = Ensemble.select(ens, Set("orders", "lineitem"))
+    assert(two.name == "orders_lineitem", "smallest covering SPN wins selection")
+    val viaTwo = Ensemble.estCount(ens, Set("orders", "lineitem"), Map.empty).value
+    val chain = ens("customer_orders_lineitem")
+    val viaChain = {
+      val sub = Map(chain.name -> chain)
+      Ensemble.estCount(sub, Set("orders", "lineitem"), Map.empty).value
+    }
+    val exact = spark.sql(
+      "SELECT COUNT(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey").head().getLong(0).toDouble
+    assert(qerr(viaTwo, exact) <= 1.5, s"edge SPN $viaTwo vs $exact")
+    assert(qerr(viaChain, exact) <= 1.5, s"chain SPN $viaChain vs $exact")
+  }
+
   test("unsupported SQL fails loudly, not silently") {
     val bad = Seq(
       "SELECT MAX(l_quantity) FROM lineitem",                       // unsupported agg
