@@ -570,8 +570,12 @@ object Ensemble {
     val mc = findModelCol(spns, groupCol._1, groupCol._2)
       .getOrElse(throw new NoSuchElementException(s"${groupCol._1}.${groupCol._2} is not modeled"))
     mc.dict.toIndexedSeq.flatMap { v =>
-      val e = estCount(spns, tables, preds + (groupCol -> NominalSet(Array(mc.code(v)))))
-      if (e.value > 0) Some(v -> e.value) else None // prune zero-prob combos
+      // intersect with any user predicate on the group column: a filtered-out
+      // group must not be enumerated (overwriting would resurrect it)
+      intersect(preds, Map(groupCol -> NominalSet(Array(mc.code(v))))).flatMap { gp =>
+        val e = estCount(spns, tables, gp)
+        if (e.value > 0) Some(v -> e.value) else None // prune zero-prob combos
+      }
     }
   }
 
@@ -595,10 +599,13 @@ object Ensemble {
         val mc = findModelCol(spns, gc._1, gc._2)
           .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
         mc.dict.toIndexedSeq.flatMap { v =>
-          val fixed2 = fixed + (gc -> NominalSet(Array(mc.code(v))))
-          // prefix prune: skip the whole subtree when the prefix mass is 0
-          if (estCount(spns, tables, preds ++ fixed2).value <= 0) Nil
-          else rec(fixed2, v :: values, tail)
+          intersect(preds, fixed + (gc -> NominalSet(Array(mc.code(v))))) match {
+            case None => Nil // contradicts a user predicate on this column
+            case Some(all) =>
+              // prefix prune: skip the whole subtree when the prefix mass is 0
+              if (estCount(spns, tables, all).value <= 0) Nil
+              else rec(fixed + (gc -> NominalSet(Array(mc.code(v)))), v :: values, tail)
+          }
         }
     }
     rec(Map.empty, Nil, groupCols.toList)

@@ -30,10 +30,14 @@ object SqlEstimate {
         val mc = modelColOf(spns, gt, gc)
         require(mc.dict.nonEmpty, s"GROUP BY $gc: not a categorical model column")
         val rows = mc.dict.toIndexedSeq.flatMap { v =>
-          val gp = preds + ((gt, gc) -> NominalSet(Array(mc.code(v))))
-          val n = Ensemble.estCount(spns, q.tables, gp)
-          if (n.value <= 0) None // prune zero-prob combos
-          else Some(v -> scalarOf(spns, q, gp))
+          // intersect with any WHERE predicate on the group column so
+          // filtered-out groups are not resurrected
+          Ensemble.intersect(preds, Map((gt, gc) -> NominalSet(Array(mc.code(v)))))
+            .flatMap { gp =>
+              val n = Ensemble.estCount(spns, q.tables, gp)
+              if (n.value <= 0) None // prune zero-prob combos
+              else Some(v -> scalarOf(spns, q, gp))
+            }
         }
         Groups(rows)
     }

@@ -134,6 +134,19 @@ class SqlSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY respects a WHERE filter on the group column") {
+    views
+    val sql = "SELECT COUNT(*) FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY l_returnflag"
+    val groups = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.toMap
+      case _                        => fail("expected groups")
+    }
+    assert(groups.keySet == Set("A", "R"), s"filtered-out groups resurrected: ${groups.keySet}")
+    val exact = spark.sql(sql.replace("COUNT(*)", "l_returnflag, COUNT(*)"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (g, x) => assert(qerr(groups(g).value, x) <= 1.5, s"group $g") }
+  }
+
   test("date equality predicate parses and estimates") {
     views
     val sql = "SELECT COUNT(*) FROM orders WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-02-01'"
