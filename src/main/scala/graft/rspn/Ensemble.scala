@@ -12,10 +12,11 @@ import scala.collection.concurrent.TrieMap
   * SPNEnsemble / cardinality / evaluate_query / evaluate_factors;
   * ensemble_creation/{naive,rdc_based}.py;
   * data_preparation/join_data_preparation.py::JoinDataPreparator). Training
-  * is distributed (outer join + window fanout + sample execute on the
-  * cluster); only a capped sample is collected, so driver memory is bounded
-  * by `sampleCap` regardless of table size. Inference is a driver-side tree
-  * fold — zero Spark jobs per estimate (the reference's ms-latency property).
+  * is distributed (root-side cluster sample, broadcast hop joins, aggregate
+  * fanouts — the full outer join is never materialized); only a capped
+  * sample is collected, so driver memory is bounded by `sampleCap`
+  * regardless of table size. Inference is a driver-side tree fold — zero
+  * Spark jobs per estimate (the reference's ms-latency property).
   *
   * Ensemble creation follows the reference's two strategies combined:
   * single-table SPNs for every modeled table (naive.py::
@@ -523,6 +524,9 @@ object Ensemble {
         case (Some(NominalSet(c1)), Some(NominalSet(c2))) =>
           val inter = c1.toSet.intersect(c2.toSet).toArray
           if (inter.isEmpty) None else Some(k -> NominalSet(inter))
+        // NOT NULL is implied by any concrete range: identity element
+        case (Some(NotNullRange), Some(y)) => Some(k -> y)
+        case (Some(x), Some(NotNullRange)) => Some(k -> x)
         case (Some(x), Some(y)) =>
           if (x == y) Some(k -> x)
           else throw new IllegalArgumentException(s"cannot intersect $x with $y on $k")
