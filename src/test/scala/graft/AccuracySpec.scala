@@ -143,6 +143,20 @@ class AccuracySpec extends AnyFunSuite {
     assert(qerr(direct, exact) <= 2.5, s"star est=$direct exact=$exact")
   }
 
+  test("chain SPN: multi-hop inverse-fanout reduces to each table's own count") {
+    val chain = ens("customer_orders_lineitem")
+    val only = Map(chain.name -> chain)
+    // {customer} through the 3-table model: every row weighted
+    // 1/(mult_orders · mult_lineitem) must sum back to |customer|
+    val nCust = schema.Tables(spark, sf, "customer").count().toDouble
+    val estC = Ensemble.estCount(only, Set("customer"), Map.empty).value
+    assert(qerr(estC, nCust) <= 1.5, s"est=$estC exact=$nCust")
+    // {customer, orders}: nn-gate orders, invert only the lineitem hop
+    val nOrd = schema.Tables(spark, sf, "orders").count().toDouble
+    val estO = Ensemble.estCount(only, Set("customer", "orders"), Map.empty).value
+    assert(qerr(estO, nOrd) <= 1.5, s"est=$estO exact=$nOrd")
+  }
+
   test("M9: candidate ranking scores every edge, budget cut leaves required rels trained") {
     val cands = Ensemble.state(spark, sf).candidates
     assert(cands.length >= 4, s"expected >=4 join candidates, got ${cands.map(_.name)}")
