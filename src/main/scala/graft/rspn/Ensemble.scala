@@ -52,8 +52,17 @@ object Ensemble {
       scaleRows: Double,
       sampleRows: Long,
       nnCol: Map[String, Int] = Map.empty,   // many-side table -> nn col idx
-      multCol: Map[String, Int] = Map.empty  // many-side table -> fanout col idx
+      multCol: Map[String, Int] = Map.empty, // many-side table -> fanout col idx
+      /** per many-side table: the tables in its join subtree (itself, its
+        * chain descendants, dims attached at or below). The inverse-fanout
+        * correction for an edge applies ONLY when the query set is disjoint
+        * from that subtree — a query at the bottom of the chain (e.g.
+        * {lineitem} through customer→orders→lineitem) already sees each row
+        * once and must NOT be divided by ancestor fanouts.
+        */
+      subtree: Map[String, Set[String]] = Map.empty
   ) {
+    def subtreeOf(t: String): Set[String] = subtree.getOrElse(t, Set(t))
     def colIdx(table: String, name: String): Int =
       cols.indexWhere(c => c.table == table && c.name == name) match {
         case -1 => throw new NoSuchElementException(s"$table.$name")
@@ -103,8 +112,11 @@ object Ensemble {
       ("p_retailprice", "num")),
     "supplier" -> Seq(("s_acctbal", "num")))
 
-  /** Singles always trained; join candidates are ranked under the budget. */
-  private val singleTables = Seq("lineitem", "orders", "customer", "part")
+  /** Singles always trained (every modeled table, so the independence
+    * fallback in `factored` always has a marginal model); join candidates
+    * are ranked under the budget.
+    */
+  private val singleTables = Seq("lineitem", "orders", "customer", "part", "supplier")
 
   private def joinName(rel: Relationship): String = s"${rel.one}_${rel.many}"
 
@@ -261,9 +273,15 @@ object Ensemble {
     val data = toMatrix(rows, exprs.length)
     val root = Learn.learn(data, mcols.map(_.kind))
     val base = attrCols.length
+    val pathManys = rels.map(_.many)
+    val subtree = rels.zipWithIndex.map { case (r, i) =>
+      val below = pathManys.drop(i).toSet
+      r.many -> (below ++ dims.filter(d => below(d.many)).map(_.one))
+    }.toMap
     TrainedSpn(tables.mkString("_"), tables.toSet, mcols, root, total.toDouble, rows.length.toLong,
       nnCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i + 1) }.toMap,
-      multCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i) }.toMap)
+      multCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i) }.toMap,
+      subtree = subtree)
   }
 
   private def trainJoin(spark: SparkSession, sfDir: String, rel: Relationship): TrainedSpn =
@@ -365,9 +383,13 @@ object Ensemble {
     val exps = new Array[Int](spn.cols.length)
     preds.foreach { case ((t, c), r) => ranges(spn.colIdx(t, c)) = r }
     features.foreach { case ((t, c), e) => exps(spn.colIdx(t, c)) = e }
-    // corrections for tables modeled by the SPN but outside the query:
+    // corrections for tables modeled by the SPN but outside the query — an
+    // edge's 1/fanout applies only when NO query table sits in that edge's
+    // subtree (rows are multiplied by the edge only above it, never below)
     spn.tables.diff(tables).foreach { extra =>
-      spn.multCol.get(extra).foreach(mi => exps(mi) = -1) // E[1/fanout]
+      spn.multCol.get(extra).foreach { mi =>
+        if (spn.subtreeOf(extra).intersect(tables).isEmpty) exps(mi) = -1
+      }
     }
     // inner-join gate for many-side tables IN the query:
     tables.foreach { t =>
@@ -413,11 +435,28 @@ object Ensemble {
       preds: Map[(String, String), ColRange],
       feature: Map[(String, String), Int]): Est = {
     val featureTables = feature.keySet.map(_._1)
-    val base = spns.values
+    val candidates = spns.values.toSeq
       .filter(s => featureTables.subsetOf(s.tables) && s.tables.exists(tables))
-      .maxByOption(s => (s.tables.intersect(tables).size, -s.tables.size, s.name))
-      .getOrElse(throw new NoSuchElementException(
-        s"no SPN covers the aggregate column's table(s) $featureTables"))
+      .sortBy(s => (-s.tables.intersect(tables).size, s.tables.size, s.name))
+    if (candidates.isEmpty)
+      throw new NoSuchElementException(
+        s"no SPN covers the aggregate column's table(s) $featureTables")
+    // greedy base choice, but a base from which the rest of the query is not
+    // reachable (e.g. a dim-only SPN needing a many-side hop with no join
+    // model) falls through to the next candidate
+    candidates.iterator
+      .map(base => scala.util.Try(factorFrom(spns, base, tables, preds, feature)))
+      .collectFirst { case scala.util.Success(e) => e }
+      .getOrElse(factorFrom(spns, candidates.head, tables, preds, feature)) // rethrow best error
+  }
+
+  private def factorFrom(
+      spns: Map[String, TrainedSpn],
+      base: TrainedSpn,
+      tables: Set[String],
+      preds: Map[(String, String), ColRange],
+      feature: Map[(String, String), Int]): Est = {
+    val featureTables = feature.keySet.map(_._1)
     var covered = base.tables.intersect(tables)
     require(featureTables.subsetOf(covered),
       s"aggregate table(s) $featureTables outside the query table set $tables")
@@ -425,23 +464,42 @@ object Ensemble {
     var relVar = est.relVar
     var value = est.v
     while (covered != tables) {
-      val step = (for {
+      val viaJoinSpn = (for {
         rel <- SchemaGraph.testdata.relationships.iterator
         (t, tp) <- Iterator((rel.many, rel.one), (rel.one, rel.many))
         if tables(t) && !covered(t) && covered(tp)
         spn2 <- selectOpt(spns, Set(t, tp)).iterator
-      } yield (t, tp, spn2)).nextOption().getOrElse(
-        throw new NoSuchElementException(
-          s"no SPN chain extends ${covered.mkString(",")} to ${tables.mkString(",")}"))
-      val (t, tp, spn2) = step
-      val num = estRaw(spn2, Set(t, tp), predsOn(preds, Set(t, tp)), Map.empty)
-      val den = estRaw(spn2, Set(tp), predsOn(preds, Set(tp)), Map.empty)
-      require(den.v > 0.0, s"zero-cardinality conditioning factor on $tp")
-      value *= num.v / den.v
-      relVar += num.relVar + den.relVar
-      covered += t
+      } yield (t, tp, spn2)).nextOption()
+      viaJoinSpn match {
+        case Some((t, tp, spn2)) =>
+          val num = estRaw(spn2, Set(t, tp), predsOn(preds, Set(t, tp)), Map.empty)
+          val den = estRaw(spn2, Set(tp), predsOn(preds, Set(tp)), Map.empty)
+          require(den.v > 0.0, s"zero-cardinality conditioning factor on $tp")
+          value *= num.v / den.v
+          relVar += num.relVar + den.relVar
+          covered += t
+        case None =>
+          // no join SPN covers the pair. If the uncovered table is the ONE
+          // side of the edge (a dimension: exactly one row per fact row),
+          // joining it leaves cardinality unchanged and its predicate
+          // selectivity can be applied under an explicit independence
+          // assumption from the single-table SPN. Many-side extension
+          // without a join model is not estimable (fanout unknown).
+          val dimStep = (for {
+            rel <- SchemaGraph.testdata.relationships.iterator
+            if tables(rel.one) && !covered(rel.one) && covered(rel.many)
+            dimSpn <- selectOpt(spns, Set(rel.one)).iterator
+          } yield (rel.one, dimSpn)).nextOption().getOrElse(
+            throw new NoSuchElementException(
+              s"no SPN chain extends ${covered.mkString(",")} to ${tables.mkString(",")}"))
+          val (t, dimSpn) = dimStep
+          val sel = estRaw(dimSpn, Set(t), predsOn(preds, Set(t)), Map.empty)
+          value *= sel.v / dimSpn.scaleRows
+          relVar += sel.relVar
+          covered += t
+      }
     }
-    Est(value, value * math.sqrt(relVar))
+    Est(value, math.abs(value) * math.sqrt(relVar))
   }
 
   private def estAgg(
@@ -515,6 +573,10 @@ object Ensemble {
       (a.get(k), b.get(k)) match {
         case (Some(x), None) => Some(k -> x)
         case (None, Some(y)) => Some(k -> y)
+        // an empty nominal set (a recorded contradiction) is disjoint with
+        // everything — further conjuncts must keep the result empty, not throw
+        case (Some(NominalSet(c1)), Some(_)) if c1.isEmpty => None
+        case (Some(_), Some(NominalSet(c2))) if c2.isEmpty => None
         case (Some(NumRange(lo1, hi1, li1, hi1i)), Some(NumRange(lo2, hi2, li2, hi2i))) =>
           val lo = math.max(lo1, lo2); val hi = math.min(hi1, hi2)
           val loI = if (lo1 == lo2) li1 && li2 else if (lo == lo1) li1 else li2
@@ -556,7 +618,7 @@ object Ensemble {
     if (c.v <= 0.0) Estimate(0.0, 0.0, 0.0)
     else {
       val v = s.v / c.v
-      val sd = v * math.sqrt(s.relVar + c.relVar)
+      val sd = math.abs(v) * math.sqrt(s.relVar + c.relVar) // abs: v may be negative
       Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
     }
   }

@@ -36,7 +36,10 @@ object SqlEstimate {
             .flatMap { gp =>
               val n = Ensemble.estCount(spns, q.tables, gp)
               if (n.value <= 0) None // prune zero-prob combos
-              else Some(v -> scalarOf(spns, q, gp))
+              else q.agg match {
+                case Count => Some(v -> n) // the pruning pass IS the answer
+                case _     => Some(v -> scalarOf(spns, q, gp))
+              }
             }
         }
         Groups(rows)

@@ -109,11 +109,29 @@ object SqlParser {
     (first, tables, joins.toSeq)
   }
 
-  // WHERE: conjunctions of col op literal | BETWEEN | IN. Split on AND, but
-  // glue back the "AND" that belongs to a BETWEEN.
+  // WHERE: conjunctions of col op literal | BETWEEN | IN. Split on AND
+  // OUTSIDE string literals (a literal may contain the word AND), then glue
+  // back the "AND" that belongs to a BETWEEN.
+  private def splitOnAnd(w: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (c == '\'') { inQ = !inQ; cur += c; i += 1 }
+      else if (!inQ && (i == 0 || w.charAt(i - 1).isWhitespace) &&
+        w.regionMatches(true, i, "AND", 0, 3) &&
+        i + 3 < w.length && w.charAt(i + 3).isWhitespace) {
+        out += cur.toString.trim; cur.clear(); i += 3
+      } else { cur += c; i += 1 }
+    }
+    out += cur.toString.trim
+    out.toList
+  }
+
   private def parseWhere(where: String): Seq[Pred] = {
-    val rawParts = """(?i)\s+AND\s+""".r.split(where).map(_.trim).toList
-    val glued = rawParts.foldLeft(List.empty[String]) { (acc, part) =>
+    val glued = splitOnAnd(where).foldLeft(List.empty[String]) { (acc, part) =>
       acc match {
         case head :: rest if """(?i).*\bBETWEEN\b(?!.*\bAND\b).*""".r.matches(head) =>
           s"$head AND $part" :: rest

@@ -45,6 +45,9 @@ object Store {
     }.toMap
   }
 
-  private def spnFiles(d: Path): Seq[Path] =
-    Files.list(d).iterator().asScala.filter(_.toString.endsWith(".spn")).toSeq.sortBy(_.toString)
+  private def spnFiles(d: Path): Seq[Path] = {
+    val stream = Files.list(d)
+    try stream.iterator().asScala.filter(_.toString.endsWith(".spn")).toSeq.sortBy(_.toString)
+    finally stream.close()
+  }
 }

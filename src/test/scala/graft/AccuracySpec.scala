@@ -157,6 +157,46 @@ class AccuracySpec extends AnyFunSuite {
     assert(qerr(estO, nOrd) <= 1.5, s"est=$estO exact=$nOrd")
   }
 
+  test("chain SPN: bottom-of-chain query sets need NO ancestor fanout correction") {
+    val chain = ens("customer_orders_lineitem")
+    val only = Map(chain.name -> chain)
+    // {lineitem} through the 3-table model: each lineitem row appears once
+    // in the outer-join row space — dividing by orders-per-customer would
+    // undercount ~10x (the bug this test pins)
+    val nLi = li.count().toDouble
+    val estL = Ensemble.estCount(only, Set("lineitem"), Map.empty).value
+    assert(qerr(estL, nLi) <= 1.5, s"est=$estL exact=$nLi")
+
+    val star = ens("customer_orders_lineitem_part")
+    val onlyStar = Map(star.name -> star)
+    val p = schema.Tables(spark, sf, "part")
+    val exactLp = li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size") <= 25).count().toDouble
+    val estLp = Ensemble.estCount(onlyStar, Set("lineitem", "part"),
+      Map(("part", "p_size") -> NumRange(Double.NegativeInfinity, 25.0))).value
+    assert(qerr(estLp, exactLp) <= 1.5, s"est=$estLp exact=$exactLp")
+  }
+
+  test("factored falls back to dim independence when no join SPN covers the pair") {
+    // hide every SPN containing supplier except its single-table model
+    val noSupJoin = ens.filter { case (_, s) => !s.tables("supplier") || s.tables == Set("supplier") }
+    assert(noSupJoin.contains("supplier"), "supplier single SPN must exist for the fallback")
+    val sup = schema.Tables(spark, sf, "supplier")
+    val exact = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_acctbal") > 0).count().toDouble
+    val est = Ensemble.estCount(noSupJoin, Set("lineitem", "supplier"),
+      Map(("supplier", "s_acctbal") -> NumRange(0.0, Double.PositiveInfinity, loIncl = false))).value
+    assert(qerr(est, exact) <= 2.0, s"est=$est exact=$exact")
+  }
+
+  test("AVG CI stays ordered on a negative-valued aggregate") {
+    val e = Ensemble.estAvg(ens, Set("customer"), ("customer", "c_acctbal"),
+      Map(("customer", "c_acctbal") -> NumRange(Double.NegativeInfinity, 0.0)))
+    assert(e.value < 0, s"expected a negative average, got ${e.value}")
+    assert(e.ci95Lo <= e.value && e.value <= e.ci95Hi,
+      s"inverted CI [${e.ci95Lo}, ${e.ci95Hi}] around ${e.value}")
+  }
+
   test("M9: candidate ranking scores every edge, budget cut leaves required rels trained") {
     val cands = Ensemble.state(spark, sf).candidates
     assert(cands.length >= 4, s"expected >=4 join candidates, got ${cands.map(_.name)}")

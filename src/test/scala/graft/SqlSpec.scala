@@ -154,6 +154,19 @@ class SqlSpec extends AnyFunSuite {
     assert(q <= 2.0, s"q-error $q for $sql")
   }
 
+  test("multi-conjunct contradiction estimates zero instead of throwing") {
+    val sql = "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 5 AND l_quantity < 3 AND l_quantity > 1"
+    val est = estScalar(sql)
+    assert(est == 0.0, s"contradictory conjunction must be zero, got $est")
+  }
+
+  test("string literal containing the word AND survives the conjunct split") {
+    val q = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM part WHERE p_type = 'BURNISHED AND POLISHED' AND p_size < 10")
+    assert(q.preds.length == 2)
+    assert(q.preds.head.range == StrIn(Seq("BURNISHED AND POLISHED")))
+  }
+
   test("unknown column prefix is rejected") {
     assertThrows[IllegalArgumentException](
       SqlParser.parseQuery("SELECT COUNT(*) FROM lineitem WHERE zz_bogus < 5"))
