@@ -136,7 +136,12 @@ object Ensemble {
     (Seq(
       SchemaGraph.testdata.rel("orders", "customer"),
       SchemaGraph.testdata.rel("lineitem", "orders")),
-      Seq(SchemaGraph.testdata.rel("lineitem", "part"))))
+      Seq(SchemaGraph.testdata.rel("lineitem", "part"))),
+    // SSB-style star: the fact with all its modeled dimensions
+    (Seq(SchemaGraph.testdata.rel("lineitem", "orders")),
+      Seq(
+        SchemaGraph.testdata.rel("lineitem", "part"),
+        SchemaGraph.testdata.rel("lineitem", "supplier"))))
 
   /** Join SPN candidates = every schema-graph edge whose both endpoints are
     * modeled (rdc_based.py evaluates the same relationship candidates).

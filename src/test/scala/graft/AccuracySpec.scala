@@ -177,6 +177,17 @@ class AccuracySpec extends AnyFunSuite {
     assert(qerr(estLp, exactLp) <= 1.5, s"est=$estLp exact=$exactLp")
   }
 
+  test("orders-rooted star SPN answers a supplier join directly") {
+    val star = ens("orders_lineitem_part_supplier")
+    assert(star.tables == Set("orders", "lineitem", "part", "supplier"))
+    val sup = schema.Tables(spark, sf, "supplier")
+    val exact = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_acctbal") > 0).count().toDouble
+    val est = Ensemble.estCount(ens, Set("lineitem", "supplier"),
+      Map(("supplier", "s_acctbal") -> NumRange(0.0, Double.PositiveInfinity, loIncl = false))).value
+    assert(qerr(est, exact) <= 1.5, s"est=$est exact=$exact")
+  }
+
   test("factored falls back to dim independence when no join SPN covers the pair") {
     // hide every SPN containing supplier except its single-table model
     val noSupJoin = ens.filter { case (_, s) => !s.tables("supplier") || s.tables == Set("supplier") }
