@@ -347,15 +347,24 @@ object Ensemble {
 
   def state(spark: SparkSession, sfDir: String): EnsembleState =
     cache.getOrElseUpdate((spark, sfDir), {
-      val singles = singleTables.map(t => timed(s"single:$t")(trainSingle(spark, sfDir, t)))
-      val candidates = timed("rank-candidates")(rankCandidates(spark, sfDir))
-      val joins = candidates.filter(_.trained)
-        .map(c => timed(s"join:${c.name}")(trainJoin(spark, sfDir, c.rel)))
-      val chains = chainSpecs.map { case (rels, dims) =>
+      // models are independent: train them concurrently (Spark schedules the
+      // sampling jobs from multiple threads; structure learning is
+      // driver-CPU and per-model seeded, so results are order-independent
+      // and bit-identical to a sequential run)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fSingles = singleTables.map(t =>
+        Future(timed(s"single:$t")(trainSingle(spark, sfDir, t))))
+      val fChains = chainSpecs.map { case (rels, dims) =>
         val nm = ((rels.head.one +: rels.map(_.many)) ++ dims.map(_.one)).mkString("_")
-        timed(s"chain:$nm")(trainChain(spark, sfDir, rels, dims))
+        Future(timed(s"chain:$nm")(trainChain(spark, sfDir, rels, dims)))
       }
-      EnsembleState((singles ++ joins ++ chains).map(s => s.name -> s).toMap, candidates)
+      val candidates = timed("rank-candidates")(rankCandidates(spark, sfDir))
+      val fJoins = candidates.filter(_.trained).map(c =>
+        Future(timed(s"join:${c.name}")(trainJoin(spark, sfDir, c.rel))))
+      val spns = Await.result(Future.sequence(fSingles ++ fChains ++ fJoins), 15.minutes)
+      EnsembleState(spns.map(s => s.name -> s).toMap, candidates)
     })
 
   def get(spark: SparkSession, sfDir: String): Map[String, TrainedSpn] =
