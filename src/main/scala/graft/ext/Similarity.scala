@@ -125,6 +125,48 @@ object Similarity {
         .orderBy("dist", "vec_id")
     },
 
+    // L3 scale path #2: IVF (inverted-file) ANN — KMeans coarse quantizer,
+    // rows partitioned by nearest centroid, query probes the nProbe nearest
+    // cells and brute-forces only those. At 100 TB the cell assignment is a
+    // write-time partition key; a probe touches nProbe/k of the data.
+    Op.noOracle("sim_topk_ivf") { (s, d) =>
+      import org.apache.spark.ml.clustering.KMeans
+      // cluster UNIT vectors (spherical k-means): cosine ranking equals
+      // euclidean proximity on the sphere, so cell probing is geometry-true
+      val feats = emb(s, d)
+        .withColumn("v", vecd(col("embedding")))
+        .withColumn("n2", dotd(col("v"), col("v")))
+        .withColumn("features", array_to_vector(transform(col("v"), x => x / sqrt(col("n2")))))
+        .cache() // read by fit, assignment, and the probe scan
+      // k and nProbe are the IVF cost/recall knobs. Local corpora are tiny
+      // (500–2k vectors), so cells are few and the probe fraction is large;
+      // at real scale k grows ~sqrt(N) and the probed fraction shrinks —
+      // the plan shape (assign once, scan probed cells only) is unchanged.
+      val k = 8
+      val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
+      val model = km.fit(feats)
+      val assigned = model.transform(feats).withColumnRenamed("prediction", "cell")
+      val qRow = feats.filter(col("vec_id") === 0).head()
+      val qVec = qRow.getAs[org.apache.spark.ml.linalg.Vector]("features")
+      // probe the nProbe centroids nearest the query — recall/cost knob
+      // (IVF recall is tunable, not exact: a near-boundary neighbor can sit
+      // in an unprobed cell; the spec asserts recall@10, not identity)
+      val nProbe = 4
+      val probes = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, math.sqrt(org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec))) }
+        .sortBy(_._2).take(nProbe).map(_._1)
+      val qv = broadcast(
+        feats.filter(col("vec_id") === 0)
+          .select(vecd(col("embedding")).as("qv"), dotd(vecd(col("embedding")), vecd(col("embedding"))).as("qn2")))
+      assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), vecd(col("embedding")).as("v"))
+        .crossJoin(qv)
+        .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * dotd(col("v"), col("v"))))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+    },
+
     // L4: multimodal join — documents with their embedding metadata.
     Op(
       "multimodal_join",

@@ -9,6 +9,20 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtOpsSpec extends AnyFunSuite {
 
+  test("IVF ANN recall@10 >= 0.7 vs brute force, with exact cosines") {
+    import TestSpark._
+    val brute = ext.Similarity.ops.find(_.name == "sim_topk").get.fn(spark, sf).collect()
+    val ivf = ext.Similarity.ops.find(_.name == "sim_topk_ivf").get.fn(spark, sf).collect()
+    val bruteMap = brute.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hits = ivf.map(_.getLong(0)).count(bruteMap.contains)
+    assert(hits >= 7, s"IVF recall@10 = $hits/10 vs brute force")
+    // every id IVF returns carries the SAME cosine brute force computed —
+    // the re-rank inside probed cells is exact, only cell recall is approx
+    ivf.foreach { r =>
+      bruteMap.get(r.getLong(0)).foreach(b => assert(r.getDouble(1) == b))
+    }
+  }
+
   test("text_tfidf: one norm per doc, positive, and rarer terms outweigh common ones") {
     import TestSpark._
     val op = ext.Text.ops.find(_.name == "text_tfidf").get
