@@ -17,7 +17,7 @@ object Bench {
     // query happens to touch a table first
     schema.SchemaGraph.testdata.tables.foreach { t =>
       try schema.Tables(spark, sfDir, t.name).count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     val errors = mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>

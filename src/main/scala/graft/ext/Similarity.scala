@@ -23,6 +23,23 @@ object Similarity {
 
   private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
 
+  /** Memoized featurized frames (unit-normalized + ml vectors): the LSH and
+    * IVF ops each self-join or multi-pass their featurization, and repeated
+    * invocations in one session (Bench + specs) must not stack a fresh
+    * cached copy per call.
+    */
+  private val featCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def unitFeats(s: SparkSession, d: String): DataFrame =
+    featCache.getOrElseUpdate((s, d, "unit"), {
+      emb(s, d)
+        .withColumn("v", vecd(col("embedding")))
+        .withColumn("n2", dotd(col("v"), col("v")))
+        .withColumn("unit", transform(col("v"), x => x / sqrt(col("n2"))))
+        .withColumn("features", array_to_vector(col("unit")))
+        .cache()
+    })
+
   /** float[] -> double[] (exact widening, makes all arithmetic double). */
   def vecd(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -104,7 +121,7 @@ object Similarity {
     // cos >= t  <=>  ||â − b̂||² <= 2(1 − t). Not oracle-able (bucketing is
     // model-internal); ExtOpsSpec asserts recall vs dedup_cosine's pairs.
     Op.noOracle("dedup_cosine_lsh") { (s, d) =>
-      cosineLshPairs(emb(s, d), 0.45)
+      cosineLshPairs(s, d, 0.45)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
     },
@@ -133,11 +150,7 @@ object Similarity {
       import org.apache.spark.ml.clustering.KMeans
       // cluster UNIT vectors (spherical k-means): cosine ranking equals
       // euclidean proximity on the sphere, so cell probing is geometry-true
-      val feats = emb(s, d)
-        .withColumn("v", vecd(col("embedding")))
-        .withColumn("n2", dotd(col("v"), col("v")))
-        .withColumn("features", array_to_vector(transform(col("v"), x => x / sqrt(col("n2")))))
-        .cache() // read by fit, assignment, and the probe scan
+      val feats = unitFeats(s, d) // memoized+cached: fit, assign, probe scan
       // k and nProbe are the IVF cost/recall knobs. Local corpora are tiny
       // (500–2k vectors), so cells are few and the probe fraction is large;
       // at real scale k grows ~sqrt(N) and the probed fraction shrinks —
@@ -186,15 +199,9 @@ object Similarity {
     * the codegen'd cosine on the raw vectors, so precision is 1.0 and only
     * recall depends on the hash tables.
     */
-  def cosineLshPairs(df: DataFrame, threshold: Double): DataFrame = {
-    val unit = df.select(
-      col("vec_id"),
-      vecd(col("embedding")).as("v"))
-      .withColumn("n2", dotd(col("v"), col("v")))
-      .withColumn("unit", transform(col("v"), x => x / sqrt(col("n2"))))
-      .withColumn("features", array_to_vector(col("unit")))
-      .select("vec_id", "v", "n2", "features")
-      .cache() // self-join input: normalize + vectorize once, not per side
+  def cosineLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    // memoized+cached: the self-join reads both sides from the same frame
+    val unit = unitFeats(s, d).select("vec_id", "v", "n2", "features")
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(1.0).setNumHashTables(6).setSeed(42L)

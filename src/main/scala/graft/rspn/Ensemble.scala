@@ -405,9 +405,13 @@ object Ensemble {
         if (spn.subtreeOf(extra).intersect(tables).isEmpty) exps(mi) = -1
       }
     }
-    // inner-join gate for many-side tables IN the query:
-    tables.foreach { t =>
-      spn.nnCol.get(t).foreach(ni => ranges(ni) = NumRange(1.0, 1.0))
+    // inner-join gate for many-side tables IN the query, and for hop tables
+    // a query table sits BELOW (a path-skipping set like {customer, part}
+    // must not count rows where the intermediate orders/lineitem are the
+    // outer-join padding — those rows have no real path to the lower table)
+    spn.nnCol.foreach { case (t, ni) =>
+      if (tables(t) || spn.subtreeOf(t).intersect(tables).nonEmpty)
+        ranges(ni) = NumRange(1.0, 1.0)
     }
     (ranges, exps)
   }
@@ -457,11 +461,18 @@ object Ensemble {
         s"no SPN covers the aggregate column's table(s) $featureTables")
     // greedy base choice, but a base from which the rest of the query is not
     // reachable (e.g. a dim-only SPN needing a many-side hop with no join
-    // model) falls through to the next candidate
-    candidates.iterator
-      .map(base => scala.util.Try(factorFrom(spns, base, tables, preds, feature)))
-      .collectFirst { case scala.util.Success(e) => e }
-      .getOrElse(factorFrom(spns, candidates.head, tables, preds, feature)) // rethrow best error
+    // model) falls through to the next candidate. Only unreachability is
+    // caught — any other failure is a defect and propagates immediately.
+    var firstErr: NoSuchElementException = null
+    var result: Option[Est] = None
+    val it = candidates.iterator
+    while (result.isEmpty && it.hasNext) {
+      try result = Some(factorFrom(spns, it.next(), tables, preds, feature))
+      catch {
+        case e: NoSuchElementException => if (firstErr == null) firstErr = e
+      }
+    }
+    result.getOrElse(throw firstErr)
   }
 
   private def factorFrom(
@@ -599,6 +610,14 @@ object Ensemble {
           else Some(k -> NumRange(lo, hi, loI, hiI))
         case (Some(NominalSet(c1)), Some(NominalSet(c2))) =>
           val inter = c1.toSet.intersect(c2.toSet).toArray
+          if (inter.isEmpty) None else Some(k -> NominalSet(inter))
+        // categorical leaves accept numeric ranges over codes, so a nominal
+        // set intersects a range by filtering its codes
+        case (Some(NominalSet(cs)), Some(NumRange(lo, hi, li, hi2))) =>
+          val inter = cs.filter(c => (if (li) c >= lo else c > lo) && (if (hi2) c <= hi else c < hi))
+          if (inter.isEmpty) None else Some(k -> NominalSet(inter))
+        case (Some(NumRange(lo, hi, li, hi2)), Some(NominalSet(cs))) =>
+          val inter = cs.filter(c => (if (li) c >= lo else c > lo) && (if (hi2) c <= hi else c < hi))
           if (inter.isEmpty) None else Some(k -> NominalSet(inter))
         // NOT NULL is implied by any concrete range: identity element
         case (Some(NotNullRange), Some(y)) => Some(k -> y)

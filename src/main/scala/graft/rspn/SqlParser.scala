@@ -130,10 +130,27 @@ object SqlParser {
     out.toList
   }
 
+  /** True when `word` occurs outside single-quoted literals. */
+  private def hasUnquoted(s: String, word: String): Boolean = {
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') inQ = !inQ
+      else if (!inQ && s.regionMatches(true, i, word, 0, word.length) &&
+        (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+        (i + word.length == s.length || !s.charAt(i + word.length).isLetterOrDigit))
+        return true
+      i += 1
+    }
+    false
+  }
+
   private def parseWhere(where: String): Seq[Pred] = {
     val glued = splitOnAnd(where).foldLeft(List.empty[String]) { (acc, part) =>
       acc match {
-        case head :: rest if """(?i).*\bBETWEEN\b(?!.*\bAND\b).*""".r.matches(head) =>
+        // a fragment whose (unquoted) BETWEEN lacks its (unquoted) AND is
+        // incomplete: glue the next fragment back
+        case head :: rest if hasUnquoted(head, "BETWEEN") && !hasUnquoted(head, "AND") =>
           s"$head AND $part" :: rest
         case _ => part :: acc
       }

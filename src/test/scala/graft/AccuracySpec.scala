@@ -105,9 +105,10 @@ class AccuracySpec extends AnyFunSuite {
     val preds = Map(
       ("customer", "c_mktsegment") -> (NominalSet(Array(mc.code("BUILDING"))): ColRange),
       ("lineitem", "l_quantity") -> (NumRange(Double.NegativeInfinity, 25.0, hiIncl = false): ColRange))
-    // drop the 3-table chain SPN so the query MUST go through the factor
-    // algebra (with the chain present, selection answers it directly)
-    val noChain = ens - "customer_orders_lineitem"
+    // drop EVERY SPN covering the full 3-table set (the chain AND the
+    // 4-table star that subsumes it) so the query MUST go through the
+    // factor algebra
+    val noChain = ens.filter { case (_, s) => !Set("customer", "orders", "lineitem").subsetOf(s.tables) }
     val est = Ensemble.estCount(noChain, Set("customer", "orders", "lineitem"), preds).value
     // measured 1.009 median / 1.046 max over 15 seg×quantity variants
     assert(qerr(est, exact) <= 2.5, s"est=$est exact=$exact qerr=${qerr(est, exact)}")
@@ -175,6 +176,34 @@ class AccuracySpec extends AnyFunSuite {
     val estLp = Ensemble.estCount(onlyStar, Set("lineitem", "part"),
       Map(("part", "p_size") -> NumRange(Double.NegativeInfinity, 25.0))).value
     assert(qerr(estLp, exactLp) <= 1.5, s"est=$estLp exact=$exactLp")
+  }
+
+  test("path-skipping query set gates the intermediate hops (customer⨝…⨝part)") {
+    val star = ens("customer_orders_lineitem_part")
+    val only = Map(star.name -> star)
+    val o = schema.Tables(spark, sf, "orders")
+    val c = schema.Tables(spark, sf, "customer")
+    val p = schema.Tables(spark, sf, "part")
+    // {customer, part} means the join THROUGH orders and lineitem — orphan
+    // outer-join padding rows (childless customers/orders) must not count
+    val exact = c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .count().toDouble
+    val est = Ensemble.estCount(only, Set("customer", "part"), Map.empty).value
+    assert(qerr(est, exact) <= 1.5, s"est=$est exact=$exact")
+  }
+
+  test("OR intersects mixed nominal/numeric ranges on the same column") {
+    val mc = ens("lineitem").cols(ens("lineitem").colIdx("lineitem", "l_returnflag"))
+    val codeA = mc.code("A")
+    // branch A: flag in {A}; branch B: flag code <= codeA (numeric over codes)
+    // → A∧B = {A}, so |A ∨ B| = |B| here; must not throw on the mixed types
+    val est = Ensemble.estCountOr(ens, Set("lineitem"),
+      Map(("lineitem", "l_returnflag") -> NominalSet(Array(codeA))),
+      Map(("lineitem", "l_returnflag") -> NumRange(Double.NegativeInfinity, codeA))).value
+    val exact = li.filter(col("l_returnflag") === "A").count().toDouble
+    assert(qerr(est, exact) <= 1.5, s"est=$est exact=$exact")
   }
 
   test("orders-rooted star SPN answers a supplier join directly") {

@@ -167,6 +167,13 @@ class SqlSpec extends AnyFunSuite {
     assert(q.preds.head.range == StrIn(Seq("BURNISHED AND POLISHED")))
   }
 
+  test("string literal containing the word BETWEEN does not confuse the glue step") {
+    val q = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM part WHERE p_type = 'A BETWEEN B' AND p_size < 10")
+    assert(q.preds.length == 2)
+    assert(q.preds.head.range == StrIn(Seq("A BETWEEN B")))
+  }
+
   test("unknown column prefix is rejected") {
     assertThrows[IllegalArgumentException](
       SqlParser.parseQuery("SELECT COUNT(*) FROM lineitem WHERE zz_bogus < 5"))
