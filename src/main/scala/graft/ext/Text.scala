@@ -143,12 +143,18 @@ object Text {
     // order is fixed) — not the raw 2^15-dim vector.
     Op.noOracle("text_tfidf") { (s, d) =>
       import org.apache.spark.ml.feature.{HashingTF, IDF}
-      val base = docs(s, d)
-        .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
-      val tf = new HashingTF()
-        .setInputCol("tk").setOutputCol("tf").setNumFeatures(1 << 15)
-      val tfd = tf.transform(base).cache() // read twice: IDF fit + transform
-      val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfd)
+      // memoized: read twice per call (IDF fit + transform) and the IDF fit
+      // (one corpus aggregate, deterministic) must not repeat per invocation
+      val tfd = ModelCache.memo(s, d, "tfidf_tf") {
+        val base = docs(s, d)
+          .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+        new HashingTF()
+          .setInputCol("tk").setOutputCol("tf").setNumFeatures(1 << 15)
+          .transform(base).cache()
+      }
+      val idf = ModelCache.memo(s, d, "tfidf_idf") {
+        new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfd)
+      }
       // sparse L2 norm over the active entries only (a vector_to_array
       // formulation would densify 2^15 doubles per document)
       val norm2 = udf((v: org.apache.spark.ml.linalg.Vector) =>

@@ -91,6 +91,21 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h1 ^ ext.Dedup.simhash64(Seq("a b c", "b c e"))) <= 32)
   }
 
+  test("fitted-model memoization: warm invocations skip re-fit and re-featurize") {
+    // The fits are fixed-seed deterministic and memoized per (session, dir);
+    // a warm call pays candidate-join/inference cost only. Each of these took
+    // seconds per call when re-fit (driver bench r03: dedup_near 31 s); warm
+    // they must be well under a second at this SF.
+    for (name <- Seq("dedup_near", "dedup_cosine_lsh", "sim_topk_ivf", "text_tfidf")) {
+      run(name).collect() // cold: fit + featurize, populates ModelCache
+      val t0 = System.nanoTime()
+      run(name).collect()
+      val warmSec = (System.nanoTime() - t0) / 1e9
+      info(f"$name warm invocation: $warmSec%.2f s")
+      assert(warmSec < 2.0, s"$name warm invocation took $warmSec s — memoization broken?")
+    }
+  }
+
   test("multimodal decode stub output matches SQL-derivable fields") {
     val d = ext.Multimodal.decodeStub(ext.Multimodal.Blob(1L, "abc".getBytes("UTF-8")))
     assert(d.n_bytes == 3 && d.head_byte == 'a'.toLong && d.checksum == 'a' + 'b' + 'c')
