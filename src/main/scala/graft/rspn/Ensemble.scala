@@ -81,6 +81,45 @@ object Ensemble {
     def toEstimate: Estimate = Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
   }
 
+  /** Per-top-level-call expectation cache (reference spn_ensemble.py::
+    * evaluate_factors `cached_expecation_vals`): one public estimator call —
+    * a COUNT, a whole group-by enumeration — evaluates each distinct
+    * (spn, ranges, exps) tree expectation once. Group-by over a factored set
+    * re-asks the same denominators and shared prefixes hundreds of times;
+    * without this the tree fold dominates model-plane group-by cost.
+    *
+    * Scoped per call (created at each public entry point), so `spn_update`
+    * copy-on-write trees can never serve stale values. Keys canonicalize
+    * NominalSet's Array (reference equality) to a Vector.
+    */
+  private final class ExpectMemo {
+    private val m = scala.collection.mutable.HashMap.empty[(String, Int, Vector[Any]), Double]
+    private def key(spn: TrainedSpn, ranges: Array[ColRange], exps: Array[Int]): (String, Int, Vector[Any]) = {
+      val b = Vector.newBuilder[Any]
+      var i = 0
+      while (i < ranges.length) {
+        b += (ranges(i) match {
+          case null               => null
+          case NominalSet(codes)  => codes.toVector
+          case r                  => r // NumRange / NotNullRange: structural equality
+        })
+        b += exps(i)
+        i += 1
+      }
+      (spn.name, System.identityHashCode(spn.root), b.result())
+    }
+    def expect(spn: TrainedSpn, ranges: Array[ColRange], exps: Array[Int]): Double =
+      m.getOrElseUpdate(key(spn, ranges, exps), {
+        Ensemble.expectEvals.increment()
+        Spn.expect(spn.root, ranges, exps)
+      })
+  }
+
+  /** Count of actual (uncached) tree-expectation folds — test observability
+    * for the memoization spec; not part of the public estimator surface.
+    */
+  private[graft] val expectEvals = new java.util.concurrent.atomic.LongAdder
+
   /** sampleCap is the analog of the reference's --samples_per_spn (default
     * 10M there; smaller here because local[32] training must stay sub-second
     * per SPN — the knob, not the data, bounds cost at any SF).
@@ -424,10 +463,11 @@ object Ensemble {
       spn: TrainedSpn,
       tables: Set[String],
       preds: Map[(String, String), ColRange],
-      features: Map[(String, String), Int]): Est = {
+      features: Map[(String, String), Int],
+      memo: ExpectMemo): Est = {
     val (ranges, exps) = compile(spn, tables, preds, features)
-    val g1 = Spn.expect(spn.root, ranges, exps)
-    val g2 = Spn.expect(spn.root, ranges, exps.map(_ * 2))
+    val g1 = memo.expect(spn, ranges, exps)
+    val g2 = memo.expect(spn, ranges, exps.map(_ * 2))
     val varP = math.max(0.0, g2 - g1 * g1) / spn.sampleRows
     Est(spn.scaleRows * g1, spn.scaleRows * math.sqrt(varP))
   }
@@ -451,7 +491,8 @@ object Ensemble {
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       preds: Map[(String, String), ColRange],
-      feature: Map[(String, String), Int]): Est = {
+      feature: Map[(String, String), Int],
+      memo: ExpectMemo): Est = {
     val featureTables = feature.keySet.map(_._1)
     val candidates = spns.values.toSeq
       .filter(s => featureTables.subsetOf(s.tables) && s.tables.exists(tables))
@@ -467,7 +508,7 @@ object Ensemble {
     var result: Option[Est] = None
     val it = candidates.iterator
     while (result.isEmpty && it.hasNext) {
-      try result = Some(factorFrom(spns, it.next(), tables, preds, feature))
+      try result = Some(factorFrom(spns, it.next(), tables, preds, feature, memo))
       catch {
         case e: NoSuchElementException => if (firstErr == null) firstErr = e
       }
@@ -480,12 +521,13 @@ object Ensemble {
       base: TrainedSpn,
       tables: Set[String],
       preds: Map[(String, String), ColRange],
-      feature: Map[(String, String), Int]): Est = {
+      feature: Map[(String, String), Int],
+      memo: ExpectMemo): Est = {
     val featureTables = feature.keySet.map(_._1)
     var covered = base.tables.intersect(tables)
     require(featureTables.subsetOf(covered),
       s"aggregate table(s) $featureTables outside the query table set $tables")
-    var est = estRaw(base, covered, predsOn(preds, covered), feature)
+    var est = estRaw(base, covered, predsOn(preds, covered), feature, memo)
     var relVar = est.relVar
     var value = est.v
     while (covered != tables) {
@@ -497,8 +539,8 @@ object Ensemble {
       } yield (t, tp, spn2)).nextOption()
       viaJoinSpn match {
         case Some((t, tp, spn2)) =>
-          val num = estRaw(spn2, Set(t, tp), predsOn(preds, Set(t, tp)), Map.empty)
-          val den = estRaw(spn2, Set(tp), predsOn(preds, Set(tp)), Map.empty)
+          val num = estRaw(spn2, Set(t, tp), predsOn(preds, Set(t, tp)), Map.empty, memo)
+          val den = estRaw(spn2, Set(tp), predsOn(preds, Set(tp)), Map.empty, memo)
           require(den.v > 0.0, s"zero-cardinality conditioning factor on $tp")
           value *= num.v / den.v
           relVar += num.relVar + den.relVar
@@ -518,7 +560,7 @@ object Ensemble {
             throw new NoSuchElementException(
               s"no SPN chain extends ${covered.mkString(",")} to ${tables.mkString(",")}"))
           val (t, dimSpn) = dimStep
-          val sel = estRaw(dimSpn, Set(t), predsOn(preds, Set(t)), Map.empty)
+          val sel = estRaw(dimSpn, Set(t), predsOn(preds, Set(t)), Map.empty, memo)
           value *= sel.v / dimSpn.scaleRows
           relVar += sel.relVar
           covered += t
@@ -531,10 +573,11 @@ object Ensemble {
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       preds: Map[(String, String), ColRange],
-      feature: Map[(String, String), Int]): Est =
+      feature: Map[(String, String), Int],
+      memo: ExpectMemo = new ExpectMemo): Est =
     selectOpt(spns, tables) match {
-      case Some(spn) => estRaw(spn, tables, preds, feature)
-      case None      => factored(spns, tables, preds, feature)
+      case Some(spn) => estRaw(spn, tables, preds, feature, memo)
+      case None      => factored(spns, tables, preds, feature, memo)
     }
 
   def estCount(
@@ -577,10 +620,13 @@ object Ensemble {
       tables: Set[String],
       predsA: Map[(String, String), ColRange],
       predsB: Map[(String, String), ColRange]): Estimate = {
-    val a = estAgg(spns, tables, predsA, Map.empty)
-    val b = estAgg(spns, tables, predsB, Map.empty)
+    // one memo across the three I–E terms: A∧B shares factor denominators
+    // (and often whole branch expectations) with A and B
+    val memo = new ExpectMemo
+    val a = estAgg(spns, tables, predsA, Map.empty, memo)
+    val b = estAgg(spns, tables, predsB, Map.empty, memo)
     val both = intersect(predsA, predsB) match {
-      case Some(ab) => estAgg(spns, tables, ab, Map.empty)
+      case Some(ab) => estAgg(spns, tables, ab, Map.empty, memo)
       case None     => Est(0.0, 0.0) // disjoint by contradiction on some column
     }
     val v = math.max(0.0, a.v + b.v - both.v)
@@ -646,8 +692,9 @@ object Ensemble {
       tables: Set[String],
       avgCol: (String, String),
       preds: Map[(String, String), ColRange]): Estimate = {
-    val s = estAgg(spns, tables, preds, Map(avgCol -> 1))
-    val c = estAgg(spns, tables, preds, Map.empty)
+    val memo = new ExpectMemo // numerator and denominator share every factor
+    val s = estAgg(spns, tables, preds, Map(avgCol -> 1), memo)
+    val c = estAgg(spns, tables, preds, Map.empty, memo)
     if (c.v <= 0.0) Estimate(0.0, 0.0, 0.0)
     else {
       val v = s.v / c.v
@@ -668,12 +715,16 @@ object Ensemble {
       preds: Map[(String, String), ColRange]): Seq[(String, Double)] = {
     val mc = findModelCol(spns, groupCol._1, groupCol._2)
       .getOrElse(throw new NoSuchElementException(s"${groupCol._1}.${groupCol._2} is not modeled"))
+    // one memo across all groups: on a factored table set, every group shares
+    // the same conditioning denominators (predicates don't touch the group
+    // column there), so each is folded once instead of once per group
+    val memo = new ExpectMemo
     mc.dict.toIndexedSeq.flatMap { v =>
       // intersect with any user predicate on the group column: a filtered-out
       // group must not be enumerated (overwriting would resurrect it)
       intersect(preds, Map(groupCol -> NominalSet(Array(mc.code(v))))).flatMap { gp =>
-        val e = estCount(spns, tables, gp)
-        if (e.value > 0) Some(v -> e.value) else None // prune zero-prob combos
+        val e = estAgg(spns, tables, gp, Map.empty, memo)
+        if (e.v > 0) Some(v -> e.v) else None // prune zero-prob combos
       }
     }
   }
@@ -689,11 +740,16 @@ object Ensemble {
       tables: Set[String],
       groupCols: Seq[(String, String)],
       preds: Map[(String, String), ColRange]): Seq[(Seq[String], Double)] = {
+    // shared across the whole combination tree: prefix-prune probes and leaf
+    // counts repeat factor denominators (and the prefix probe of a 1-column
+    // tail IS the leaf count) — reference caches these in
+    // cached_expecation_vals for the same reason
+    val memo = new ExpectMemo
     def rec(fixed: Map[(String, String), ColRange], values: List[String],
         rest: List[(String, String)]): Seq[(Seq[String], Double)] = rest match {
       case Nil =>
-        val e = estCount(spns, tables, preds ++ fixed)
-        if (e.value > 0) Seq(values.reverse -> e.value) else Nil
+        val e = estAgg(spns, tables, preds ++ fixed, Map.empty, memo)
+        if (e.v > 0) Seq(values.reverse -> e.v) else Nil
       case gc :: tail =>
         val mc = findModelCol(spns, gc._1, gc._2)
           .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
@@ -702,7 +758,7 @@ object Ensemble {
             case None => Nil // contradicts a user predicate on this column
             case Some(all) =>
               // prefix prune: skip the whole subtree when the prefix mass is 0
-              if (estCount(spns, tables, all).value <= 0) Nil
+              if (estAgg(spns, tables, all, Map.empty, memo).v <= 0) Nil
               else rec(fixed + (gc -> NominalSet(Array(mc.code(v)))), v :: values, tail)
           }
         }

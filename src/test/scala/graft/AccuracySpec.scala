@@ -318,6 +318,34 @@ class AccuracySpec extends AnyFunSuite {
     assert(qerr(estDisjoint, exactDisjoint) <= 1.5, s"est=$estDisjoint exact=$exactDisjoint")
   }
 
+  test("expectation memo: factored group-by folds shared factors once across groups") {
+    // force the factor algebra (same setup as the M10 test): each group's
+    // estimate is base(orders⨝lineitem) × num(customer⨝orders)/den(orders);
+    // base and den carry no group predicate, so one memo across the group
+    // enumeration must fold them once, not once per group
+    val noChain = ens.filter { case (_, s) => !Set("customer", "orders", "lineitem").subsetOf(s.tables) }
+    val before = Ensemble.expectEvals.sum()
+    val est = Ensemble.estGroupByCount(noChain, Set("customer", "orders", "lineitem"),
+      ("customer", "c_mktsegment"), Map.empty)
+    val grouped = Ensemble.expectEvals.sum() - before
+    val g = est.length
+    assert(g >= 3, s"degenerate fixture: only $g groups")
+    assert(grouped <= 2L * g + 6, s"$grouped uncached folds for $g groups — memo not shared")
+
+    // the same estimates as independent per-group calls (one memo each)
+    // must re-fold the shared factors → strictly more uncached folds
+    val mc = noChain("customer").cols(noChain("customer").colIdx("customer", "c_mktsegment"))
+    val b2 = Ensemble.expectEvals.sum()
+    val solo = est.map { case (gv, _) =>
+      gv -> Ensemble.estCount(noChain, Set("customer", "orders", "lineitem"),
+        Map(("customer", "c_mktsegment") -> NominalSet(Array(mc.code(gv))))).value
+    }
+    val soloFolds = Ensemble.expectEvals.sum() - b2
+    assert(soloFolds > grouped, s"memo saved nothing: grouped=$grouped solo=$soloFolds")
+    // and the memo must not change any value
+    solo.foreach { case (gv, v) => assert(v == est.toMap.apply(gv), s"group $gv drifted") }
+  }
+
   test("A8: avg CI is non-degenerate and covers the exact average") {
     val e = Ensemble.estAvg(ens, Set("lineitem"), ("lineitem", "l_extendedprice"),
       Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 30.0)))
