@@ -739,17 +739,28 @@ object Ensemble {
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       groupCols: Seq[(String, String)],
-      preds: Map[(String, String), ColRange]): Seq[(Seq[String], Double)] = {
+      preds: Map[(String, String), ColRange]): Seq[(Seq[String], Double)] =
+    estGroupByMulti(spns, tables, groupCols, preds).map { case (gs, e) => gs -> e.value }
+
+  /** Like estGroupByCountMulti but with the per-group CI (SqlEstimate's
+    * GROUP BY surface reports intervals; the plain-Double form above stays
+    * for callers that only want values).
+    */
+  def estGroupByMulti(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      preds: Map[(String, String), ColRange]): Seq[(Seq[String], Estimate)] = {
     // shared across the whole combination tree: prefix-prune probes and leaf
     // counts repeat factor denominators (and the prefix probe of a 1-column
     // tail IS the leaf count) — reference caches these in
     // cached_expecation_vals for the same reason
     val memo = new ExpectMemo
     def rec(fixed: Map[(String, String), ColRange], values: List[String],
-        rest: List[(String, String)]): Seq[(Seq[String], Double)] = rest match {
+        rest: List[(String, String)]): Seq[(Seq[String], Est)] = rest match {
       case Nil =>
         val e = estAgg(spns, tables, preds ++ fixed, Map.empty, memo)
-        if (e.v > 0) Seq(values.reverse -> e.v) else Nil
+        if (e.v > 0) Seq(values.reverse -> e) else Nil
       case gc :: tail =>
         val mc = findModelCol(spns, gc._1, gc._2)
           .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
@@ -763,7 +774,7 @@ object Ensemble {
           }
         }
     }
-    rec(Map.empty, Nil, groupCols.toList)
+    rec(Map.empty, Nil, groupCols.toList).map { case (gs, e) => gs -> e.toEstimate }
   }
 
   /** Encoded model columns of a table (for executor-side batch scoring:

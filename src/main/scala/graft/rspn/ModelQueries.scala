@@ -234,14 +234,22 @@ object ModelQueries {
         "q04_sum_revenue" ->
           "SELECT SUM(l_extendedprice) FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'",
         "q05_avg_price" -> "SELECT AVG(l_extendedprice) FROM lineitem WHERE l_returnflag IN ('A', 'R')",
-        "q06_groupby" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag")
+        "q06_groupby" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag",
+        // round-4 surface: parenthesized OR (inclusion–exclusion),
+        // SUM(a*b) (SSB revenue form), multi-column GROUP BY
+        "q07_count_or" ->
+          "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45)",
+        "q08_sum_product" ->
+          ("SELECT SUM(l_extendedprice * l_discount) FROM lineitem " +
+            "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"),
+        "q09_groupby2" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag, l_linestatus")
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>
             Seq((id, "", math.rint(e.value), math.rint(e.ci95Lo), math.rint(e.ci95Hi)))
           case SqlEstimate.Groups(rows) =>
             rows.map { case (g, e) =>
-              (id, g, math.rint(e.value), math.rint(e.ci95Lo), math.rint(e.ci95Hi))
+              (id, g.mkString("|"), math.rint(e.value), math.rint(e.ci95Lo), math.rint(e.ci95Hi))
             }
         }
       }.toDF("query", "grp", "est", "ci95_lo", "ci95_hi")
@@ -270,9 +278,19 @@ object ModelQueries {
         |  UNION ALL
         |  SELECT 'q5', l_returnflag, CAST(COUNT(*) AS DOUBLE)
         |    FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'q6', l_returnflag || '|' || l_linestatus, CAST(COUNT(*) AS DOUBLE)
+        |    FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |  UNION ALL
+        |  SELECT 'q7', '', CAST(COUNT(*) AS DOUBLE)
+        |    FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45
+        |  UNION ALL
+        |  SELECT 'q8', '', CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    FROM lineitem
+        |    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
         |) SELECT query, grp, val FROM s ORDER BY query, grp""".stripMargin
     ) { (s, d) =>
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.{col, concat_ws, lit}
       val qs = Seq(
         "q1" -> "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 25",
         "q2" -> "SELECT COUNT(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'",
@@ -280,13 +298,16 @@ object ModelQueries {
           "JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING'"),
         "q4" -> ("SELECT SUM(l_extendedprice) FROM lineitem " +
           "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"),
-        "q5" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag")
+        "q5" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag",
+        "q6" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "q7" -> "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45)",
+        "q8" -> ("SELECT SUM(l_extendedprice * l_discount) FROM lineitem " +
+          "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"))
       qs.map { case (id, sql) =>
         val df = SqlExact.compile(s, d, sql)
-        if (df.columns.contains("grp"))
-          df.select(lit(id).as("query"), col("grp"), col("val"))
-        else
-          df.select(lit(id).as("query"), lit("").as("grp"), col("val"))
+        val gcols = df.columns.filter(_.startsWith("grp"))
+        val grp = if (gcols.isEmpty) lit("") else concat_ws("|", gcols.map(col): _*)
+        df.select(lit(id).as("query"), grp.as("grp"), col("val"))
       }.reduce(_.unionAll(_)).orderBy("query", "grp")
     },
 

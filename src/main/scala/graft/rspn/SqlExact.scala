@@ -21,18 +21,33 @@ object SqlExact {
     q.joins.foreach { j =>
       df = df.join(Tables(spark, sfDir, j.table), col(j.a) === col(j.b))
     }
-    q.preds.foreach(p => df = df.filter(predCol(p)))
+    if (q.orPreds.isEmpty) q.preds.foreach(p => df = df.filter(predCol(p)))
+    else {
+      // (A) OR (B): one disjunctive filter — still a pushable predicate
+      val a = q.preds.map(predCol).reduce(_ && _)
+      val b = q.orPreds.map(predCol).reduce(_ && _)
+      df = df.filter(a || b)
+    }
     val aggCol = q.agg match {
       case Count => count(lit(1)).cast("double").as("val")
       case Sum(_, c) =>
         round(sum(col(c).cast("decimal(38,12)")), 2).cast("double").as("val")
       case Avg(_, c) =>
         round(avg(col(c).cast("decimal(38,12)")), 2).cast("double").as("val")
+      case SumProduct(_, ca, _, cb) =>
+        // DECIMAL(18,6)×DECIMAL(18,6) stays inside decimal-38 (the DuckDB
+        // oracle computes the identical widened product — SURVEY §7.4)
+        round(sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)")), 2)
+          .cast("double").as("val")
     }
     q.groupBy match {
-      case None => df.agg(aggCol)
-      case Some((_, g)) =>
-        df.groupBy(col(g).as("grp")).agg(aggCol).orderBy("grp")
+      case Nil => df.agg(aggCol)
+      case gs =>
+        // first group column keeps the name "grp" (single-column callers
+        // pattern-match on it), the rest are grp2, grp3, …
+        val names = gs.indices.map(i => if (i == 0) "grp" else s"grp${i + 1}")
+        val gcols = gs.zip(names).map { case ((_, g), n) => col(g).as(n) }
+        df.groupBy(gcols: _*).agg(aggCol).orderBy(names.map(col): _*)
     }
   }
 

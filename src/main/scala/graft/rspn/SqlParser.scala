@@ -22,14 +22,25 @@ object SqlParser {
   case object Count extends Agg
   final case class Sum(table: String, col: String) extends Agg
   final case class Avg(table: String, col: String) extends Agg
+  /** SUM(a*b) — SSB-style revenue (reference parse_query accepts the same
+    * product form for its SSB workload).
+    */
+  final case class SumProduct(ta: String, ca: String, tb: String, cb: String) extends Agg
 
+  /** `preds` and `orPreds`: when `orPreds` is empty the WHERE clause is the
+    * conjunction `preds`; otherwise it is `(preds) OR (orPreds)` — common
+    * conjuncts outside the parenthesized OR group are distributed into BOTH
+    * branches (C ∧ (A ∨ B) ≡ (C∧A) ∨ (C∧B)), which is exactly the shape
+    * inclusion–exclusion needs.
+    */
   final case class ParsedQuery(
       agg: Agg,
       from: String,
       tables: Set[String],
       joins: Seq[JoinEdge],
       preds: Seq[Pred],
-      groupBy: Option[(String, String)])
+      orPreds: Seq[Pred],
+      groupBy: Seq[(String, String)])
 
   /** One JOIN clause: `table` newly joined into scope on `a = b`. */
   final case class JoinEdge(table: String, a: String, b: String)
@@ -61,30 +72,33 @@ object SqlParser {
     throw new IllegalArgumentException(s"unsupported SQL: $msg")
 
   private val selectRe: Regex =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(\w+))?\s*;?\s*$""".r
-  private val aggRe: Regex = """(?i)^(COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*;?\s*$""".r
+  private val aggRe: Regex =
+    """(?i)^(COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
   private val joinRe: Regex = """(?i)\s+JOIN\s+""".r
   private val onRe: Regex = """(?i)^(\w+)\s+ON\s+(\w+)\s*=\s*(\w+)$""".r
 
   def parse(sql: String): ParsedQuery = sql match {
     case selectRe(sel, from, where, group) =>
       val agg = sel.trim match {
-        case aggRe(whole, sumCol, avgCol) =>
+        case aggRe(whole, sumCol, sumCol2, avgCol) =>
           if (whole.toUpperCase.startsWith("COUNT")) Count
+          else if (sumCol2 != null) SumProduct(tableOf(sumCol), sumCol, tableOf(sumCol2), sumCol2)
           else if (sumCol != null) Sum(tableOf(sumCol), sumCol)
           else Avg(tableOf(avgCol), avgCol)
-        case other => fail(s"aggregate '$other' (COUNT(*)/SUM(col)/AVG(col) only)")
+        case other => fail(s"aggregate '$other' (COUNT(*)/SUM(col)/SUM(a*b)/AVG(col) only)")
       }
       val (fromTable, tables, joins) = parseFrom(from.trim)
-      val preds = Option(where).map(parseWhere).getOrElse(Nil)
-      preds.foreach(p => if (!tables(p.table)) fail(s"predicate on ${p.col}: table ${p.table} not in FROM"))
-      val groupBy = Option(group).map { g =>
+      val (preds, orPreds) = Option(where).map(parseWhere).getOrElse((Nil, Nil))
+      (preds ++ orPreds).foreach(p =>
+        if (!tables(p.table)) fail(s"predicate on ${p.col}: table ${p.table} not in FROM"))
+      val groupBy = Option(group).toSeq.flatMap(_.split(",")).map(_.trim).map { g =>
         val t = tableOf(g)
         if (!tables(t)) fail(s"GROUP BY $g: table $t not in FROM")
         (t, g)
       }
-      ParsedQuery(agg, fromTable, tables, joins, preds, groupBy)
-    case _ => fail("expected SELECT <agg> FROM <join tree> [WHERE ...] [GROUP BY col]")
+      ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy)
+    case _ => fail("expected SELECT <agg> FROM <join tree> [WHERE ...] [GROUP BY cols]")
   }
 
   private def parseFrom(from: String): (String, Set[String], Seq[JoinEdge]) = {
@@ -109,25 +123,53 @@ object SqlParser {
     (first, tables, joins.toSeq)
   }
 
-  // WHERE: conjunctions of col op literal | BETWEEN | IN. Split on AND
-  // OUTSIDE string literals (a literal may contain the word AND), then glue
-  // back the "AND" that belongs to a BETWEEN.
-  private def splitOnAnd(w: String): List[String] = {
+  // WHERE: conjunctions of col op literal | BETWEEN | IN, plus at most one
+  // parenthesized two-branch OR group. Split on a keyword OUTSIDE string
+  // literals (a literal may contain the word AND) and OUTSIDE parens (an OR
+  // group's internal ANDs belong to its branches), then glue back the "AND"
+  // that belongs to a BETWEEN.
+  private def splitTopLevel(w: String, word: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0
     var inQ = false
+    var depth = 0
+    def boundary(c: Char): Boolean = c.isWhitespace || c == '(' || c == ')'
     while (i < w.length) {
       val c = w.charAt(i)
       if (c == '\'') { inQ = !inQ; cur += c; i += 1 }
-      else if (!inQ && (i == 0 || w.charAt(i - 1).isWhitespace) &&
-        w.regionMatches(true, i, "AND", 0, 3) &&
-        i + 3 < w.length && w.charAt(i + 3).isWhitespace) {
-        out += cur.toString.trim; cur.clear(); i += 3
+      else if (!inQ && c == '(') { depth += 1; cur += c; i += 1 }
+      else if (!inQ && c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (!inQ && depth == 0 && (i == 0 || boundary(w.charAt(i - 1))) &&
+        w.regionMatches(true, i, word, 0, word.length) &&
+        i + word.length < w.length && boundary(w.charAt(i + word.length))) {
+        out += cur.toString.trim; cur.clear(); i += word.length
       } else { cur += c; i += 1 }
     }
     out += cur.toString.trim
     out.toList
+  }
+
+  /** Strip outer parens that wrap the WHOLE fragment (repeatedly). */
+  private def stripOuter(s0: String): String = {
+    var s = s0.trim
+    var again = true
+    while (again && s.length >= 2 && s.head == '(' && s.last == ')') {
+      again = false
+      var depth = 0
+      var inQ = false
+      var wraps = true
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') depth += 1
+        else if (!inQ && c == ')') { depth -= 1; if (depth == 0 && i < s.length - 1) wraps = false }
+        i += 1
+      }
+      if (wraps && depth == 0) { s = s.substring(1, s.length - 1).trim; again = true }
+    }
+    s
   }
 
   /** True when `word` occurs outside single-quoted literals. */
@@ -145,17 +187,47 @@ object SqlParser {
     false
   }
 
-  private def parseWhere(where: String): Seq[Pred] = {
-    val glued = splitOnAnd(where).foldLeft(List.empty[String]) { (acc, part) =>
+  /** AND-split with BETWEEN glue: a fragment whose (unquoted) BETWEEN lacks
+    * its (unquoted) AND is incomplete — glue the next fragment back.
+    */
+  private def conjuncts(s: String): List[String] =
+    splitTopLevel(s, "AND").foldLeft(List.empty[String]) { (acc, part) =>
       acc match {
-        // a fragment whose (unquoted) BETWEEN lacks its (unquoted) AND is
-        // incomplete: glue the next fragment back
         case head :: rest if hasUnquoted(head, "BETWEEN") && !hasUnquoted(head, "AND") =>
           s"$head AND $part" :: rest
         case _ => part :: acc
       }
     }.reverse
-    glued.map(parseConjunct)
+
+  /** A conjunction string (an OR branch) → predicates. */
+  private def parseConjunction(s: String): Seq[Pred] =
+    conjuncts(stripOuter(s)).map(c => parseConjunct(stripOuter(c)))
+
+  /** A top-level conjunct is an OR group iff it is parenthesized —
+    * `(A) OR (B)` or `(A OR B)` — and has a two-way OR once unwrapped.
+    * A bare `a OR b` stays unsupported (fails in parseConjunct), matching
+    * the reference's conjunctive-only parse_query plus our parenthesized
+    * extension.
+    */
+  private def orBranches(c: String): Option[(String, String)] =
+    if (!c.trim.startsWith("(")) None
+    else splitTopLevel(stripOuter(c), "OR") match {
+      case a :: b :: Nil => Some((a, b))
+      case _ :: _ :: _   => fail(s"OR group '$c' (exactly two branches supported)")
+      case _             => None
+    }
+
+  private def parseWhere(where: String): (Seq[Pred], Seq[Pred]) = {
+    val parts = conjuncts(where)
+    val (orGroups, plain) = parts.partition(p => orBranches(p).isDefined)
+    val common = plain.map(c => parseConjunct(stripOuter(c)))
+    orGroups match {
+      case Nil => (common, Nil)
+      case g :: Nil =>
+        val (a, b) = orBranches(g).get
+        (common ++ parseConjunction(a), common ++ parseConjunction(b))
+      case _ => fail("at most one parenthesized OR group per WHERE clause")
+    }
   }
 
   private val cmpRe: Regex = """(?i)^(\w+)\s*(<=|>=|<|>|=)\s*(.+)$""".r

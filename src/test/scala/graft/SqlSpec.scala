@@ -72,7 +72,7 @@ class SqlSpec extends AnyFunSuite {
     views
     val sql = "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag"
     val groups = SqlEstimate.estimate(ens, sql) match {
-      case SqlEstimate.Groups(rows) => rows.toMap
+      case SqlEstimate.Groups(rows) => rows.map { case (g, e) => g.head -> e }.toMap
       case _                        => fail("expected groups")
     }
     val exact = spark.sql("SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY l_returnflag")
@@ -138,7 +138,7 @@ class SqlSpec extends AnyFunSuite {
     views
     val sql = "SELECT COUNT(*) FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY l_returnflag"
     val groups = SqlEstimate.estimate(ens, sql) match {
-      case SqlEstimate.Groups(rows) => rows.toMap
+      case SqlEstimate.Groups(rows) => rows.map { case (g, e) => g.head -> e }.toMap
       case _                        => fail("expected groups")
     }
     assert(groups.keySet == Set("A", "R"), s"filtered-out groups resurrected: ${groups.keySet}")
@@ -194,6 +194,67 @@ class SqlSpec extends AnyFunSuite {
     assert(qerr(viaChain, exact) <= 1.5, s"chain SPN $viaChain vs $exact")
   }
 
+  test("parenthesized OR compiles to inclusion-exclusion and matches exact") {
+    views
+    val cases = Seq(
+      // disjoint same-column branches
+      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45)",
+      // overlapping branches across columns, single paren group
+      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 20 OR l_discount > 0.07)",
+      // common conjunct distributed into both branches
+      "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A' AND (l_quantity < 10 OR l_quantity > 40)",
+      // OR over a join
+      "SELECT COUNT(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE (o_orderstatus = 'F') OR (l_quantity > 45)")
+    cases.foreach { sql =>
+      val q = qerr(estScalar(sql), exactScalar(sql))
+      assert(q <= 2.0, s"q-error $q for: $sql")
+      // the exact plane compiles the same disjunction
+      val compiled = SqlExact.compile(spark, sf, sql).head().getDouble(0)
+      assert(compiled == exactScalar(sql), s"SqlExact mismatch for: $sql")
+    }
+  }
+
+  test("OR branch with a BETWEEN keeps its AND inside the branch") {
+    val q = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity BETWEEN 5 AND 10 OR l_tax > 0.05)")
+    assert(q.preds.map(_.range) == Seq(NumR(5.0, 10.0, loIncl = true, hiIncl = true)))
+    assert(q.orPreds.map(_.col) == Seq("l_tax"))
+  }
+
+  test("SUM(a*b) parses and estimates within threshold") {
+    views
+    val sql = "SELECT SUM(l_extendedprice * l_discount) FROM lineitem " +
+      "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"
+    val q = SqlParser.parseQuery(sql)
+    assert(q.agg == SumProduct("lineitem", "l_extendedprice", "lineitem", "l_discount"))
+    val est = estScalar(sql)
+    val exact = exactScalar(sql)
+    assert(math.abs(est - exact) / exact <= 0.25, s"est=$est exact=$exact")
+  }
+
+  test("multi-column GROUP BY via SQL matches exact combinations") {
+    views
+    val sql = "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    val groups = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (g, e) => (g.head, g(1)) -> e }.toMap
+      case _                        => fail("expected groups")
+    }
+    val exact = spark.sql(
+      "SELECT l_returnflag, l_linestatus, COUNT(*) FROM lineitem GROUP BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    assert(groups.keySet == exact.keySet)
+    exact.foreach { case (k, x) =>
+      val e = groups(k)
+      assert(qerr(e.value, x) <= 1.5, s"group $k est=${e.value} exact=$x")
+      assert(e.ci95Lo <= e.value && e.value <= e.ci95Hi, s"group $k CI disordered")
+    }
+    // exact plane: grp/grp2 output matches spark.sql
+    val compiled = SqlExact.compile(spark, sf, sql).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(compiled == exact)
+  }
+
   test("unsupported SQL fails loudly, not silently") {
     val bad = Seq(
       "SELECT MAX(l_quantity) FROM lineitem",                       // unsupported agg
@@ -203,5 +264,12 @@ class SqlSpec extends AnyFunSuite {
     bad.foreach { sql =>
       assertThrows[IllegalArgumentException](SqlParser.parseQuery(sql))
     }
+    // supported-shape boundaries of the round-4 extensions
+    assertThrows[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) OR (l_tax > 0.05)"))
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) GROUP BY l_returnflag"))
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT SUM(l_quantity) FROM lineitem GROUP BY l_returnflag, l_linestatus"))
   }
 }
