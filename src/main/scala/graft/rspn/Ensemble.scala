@@ -62,6 +62,13 @@ object Ensemble {
         */
       subtree: Map[String, Set[String]] = Map.empty
   ) {
+    /** Array-encoded evaluator (M12 analog; see CompiledSpn). Derived
+      * lazily per tree instance, so copy-on-write updates (`spn_update`)
+      * re-encode their new root and can never serve stale structure.
+      * Transient: the store serializes only the tree; the encoding is
+      * rebuilt on load, keeping the persisted format evaluator-agnostic.
+      */
+    @transient lazy val compiled: CompiledSpn = CompiledSpn(root)
     def subtreeOf(t: String): Set[String] = subtree.getOrElse(t, Set(t))
     def colIdx(table: String, name: String): Int =
       cols.indexWhere(c => c.table == table && c.name == name) match {
@@ -111,7 +118,7 @@ object Ensemble {
     def expect(spn: TrainedSpn, ranges: Array[ColRange], exps: Array[Int]): Double =
       m.getOrElseUpdate(key(spn, ranges, exps), {
         Ensemble.expectEvals.increment()
-        Spn.expect(spn.root, ranges, exps)
+        spn.compiled.expect(ranges, exps)
       })
   }
 

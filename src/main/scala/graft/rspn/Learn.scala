@@ -32,8 +32,7 @@ object Learn {
   def learn(data: Array[Array[Double]], kinds: Array[ColKind], cfg: Config = Config()): SpnNode = {
     val minInst = math.max(cfg.minInstancesAbs, (data.length * cfg.minInstancesFrac).toInt)
     val rng = new Random(cfg.seed)
-    build(data.indices.toArray, kinds.indices.toArray, data, kinds, cfg, minInst, rng,
-      tryRowSplit = true)
+    build(data.indices.toArray, kinds.indices.toArray, data, kinds, cfg, minInst, rng)
   }
 
   // ---------------------------------------------------------------- build
@@ -45,8 +44,7 @@ object Learn {
       kinds: Array[ColKind],
       cfg: Config,
       minInst: Int,
-      rng: Random,
-      tryRowSplit: Boolean): SpnNode = {
+      rng: Random): SpnNode = {
 
     if (scope.length == 1)
       return leaf(rows, scope(0), data, kinds)
@@ -57,18 +55,20 @@ object Learn {
     val comps = rdcComponents(rows, scope, data, cfg, rng)
     if (comps.length > 1)
       return ProductNode(
-        comps.map(c => build(rows, c, data, kinds, cfg, minInst, rng, tryRowSplit = true)),
+        comps.map(c => build(rows, c, data, kinds, cfg, minInst, rng)),
         rows.length.toDouble)
 
-    if (!tryRowSplit) // row split just failed above us: cut to leaves
-      return ProductNode(scope.map(c => leaf(rows, c, data, kinds)), rows.length.toDouble)
-
-    // row split: seeded 2-means on z-normalized scope columns
+    // row split: seeded 2-means on z-normalized scope columns. Like
+    // spflow's learning loop (the reference's custom_learning.py inherits
+    // it), row splits REPEAT until min_instances_slice or a degenerate
+    // clustering — cutting to leaves while cross-column dependence remains
+    // would bake the independence error DeepDB exists to avoid. Recursion
+    // terminates: both clusters are non-empty, so rows strictly shrink
+    // toward the minInst floor.
     val clusters = kmeans2(rows, scope, data, cfg, rng)
     if (clusters.exists(_.isEmpty))
       return ProductNode(scope.map(c => leaf(rows, c, data, kinds)), rows.length.toDouble)
-    val children = clusters.map(cl =>
-      build(cl, scope, data, kinds, cfg, minInst, rng, tryRowSplit = false))
+    val children = clusters.map(cl => build(cl, scope, data, kinds, cfg, minInst, rng))
     val weights = clusters.map(_.length.toDouble / rows.length)
     SumNode(weights, children, rows.length.toDouble)
   }

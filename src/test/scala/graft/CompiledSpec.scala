@@ -1,0 +1,151 @@
+package graft
+
+import graft.rspn._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** CompiledSpn (M12 analog): the array-encoded evaluator must be
+  * bit-identical to the boxed-ADT fold on arbitrary queries, and measurably
+  * faster on the trained lineitem SPN — the reference's generate_code.py
+  * claims ~10× from compiled C++ over interpreted Python; the JVM analog's
+  * bar here is ≥2× over the pattern-matching fold.
+  */
+class CompiledSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ens = Ensemble.get(spark, sf)
+
+  /** Random range/feature vectors over a trained SPN's columns: a mix of
+    * null (unconstrained), numeric intervals, nominal sets, and NOT NULL,
+    * with occasional ±1/2 features on numeric columns.
+    */
+  private def randomQueries(spn: Ensemble.TrainedSpn, n: Int, seed: Long,
+      withFeatures: Boolean): Seq[(Array[ColRange], Array[Int])] = {
+    val rng = new Random(seed)
+    (1 to n).map { _ =>
+      val ranges = new Array[ColRange](spn.cols.length)
+      val exps = new Array[Int](spn.cols.length)
+      spn.cols.zipWithIndex.foreach { case (c, i) =>
+        val isCat = c.dict.nonEmpty
+        rng.nextInt(4) match {
+          case 0 if isCat =>
+            val k = 1 + rng.nextInt(math.max(1, c.dict.length - 1))
+            ranges(i) = NominalSet(Array.fill(k)(rng.nextInt(c.dict.length).toDouble).distinct)
+          case 0 =>
+            val a = rng.nextDouble() * 50000 - 1000
+            val b = a + rng.nextDouble() * 60000
+            ranges(i) = NumRange(a, b, rng.nextBoolean(), rng.nextBoolean())
+          case 1 => ranges(i) = NotNullRange
+          case _ => // unconstrained
+        }
+        if (withFeatures && !isCat && rng.nextInt(6) == 0)
+          exps(i) = Seq(1, 2, -1, -2)(rng.nextInt(4))
+      }
+      (ranges, exps)
+    }
+  }
+
+  test("compiled expectation is bit-identical to the ADT fold on every SPN") {
+    ens.values.foreach { spn =>
+      randomQueries(spn, 200, seed = spn.name.hashCode, withFeatures = true)
+        .foreach { case (ranges, exps) =>
+          // categorical features are rejected by both paths; features were
+          // only generated on numeric columns, so both must evaluate
+          val adt = Spn.expect(spn.root, ranges, exps)
+          val flat = spn.compiled.expect(ranges, exps)
+          assert(java.lang.Double.doubleToRawLongBits(adt) ==
+            java.lang.Double.doubleToRawLongBits(flat),
+            s"${spn.name}: adt=$adt flat=$flat")
+        }
+    }
+  }
+
+  test("compiled inference >= 2x faster than the ADT fold on a deep tree") {
+    // The sf0.01 ensemble trees are shallow (lineitem learns a single
+    // product over ~7 leaves — 8 slots), so a fold there is bound by the
+    // 2–4 constrained leaves' rangeSums, which both evaluators share. The
+    // evaluator's target regime is the tree a production-sized sample
+    // produces (bigger sampleCap → more row clusters → recursive sum
+    // splits) over a table with BLOCK dependence structure — independent
+    // groups of correlated columns, the very shape RDC product splits
+    // exist for. Constraining 2–4 columns then touches only their blocks'
+    // subtrees; the rest of the tree is the precomputed neutral value.
+    // 64 columns in 16 independent blocks of 4 correlated columns each —
+    // ordinary warehouse-fact-table width and the dependence shape RDC
+    // product splits exist for
+    val nC = 64
+    val rng = new Random(7)
+    val kinds: Array[Learn.ColKind] = Array.tabulate[Learn.ColKind](nC)(i =>
+      if (i % 4 == 3) Learn.CategoricalCol(8) else Learn.NumericCol)
+    val data = Array.fill(40000) {
+      val row = new Array[Double](nC)
+      var b = 0
+      while (b < nC / 4) { // each block driven by its own latent cluster
+        val g = rng.nextInt(8)
+        row(b * 4) = g * 10.0 + rng.nextInt(8)
+        row(b * 4 + 1) = g * 5.0 + rng.nextInt(4)
+        row(b * 4 + 2) = 100.0 - g * 7.0 + rng.nextInt(6)
+        row(b * 4 + 3) = (g + b) % 8
+        b += 1
+      }
+      row
+    }
+    val root = Learn.learn(data, kinds, Learn.Config(minInstancesFrac = 0.005))
+    val compiled = CompiledSpn(root)
+    info(s"synthetic deep tree: ${compiled.nodes} slots")
+    assert(compiled.nodes >= 50, s"fixture degenerated to ${compiled.nodes} slots")
+
+    // 1–2 constrained columns: the estimator's hottest shapes (group-by
+    // enumeration probes one column per group; selectivity probes and factor
+    // denominators carry one or two predicates)
+    val qs = (1 to 300).map { _ =>
+      val ranges = new Array[ColRange](nC)
+      val exps = new Array[Int](nC)
+      rng.shuffle((0 until nC).toList).take(1 + rng.nextInt(3)).foreach { i =>
+        if (i % 4 != 3) {
+          val a = rng.nextDouble() * 100
+          ranges(i) = NumRange(a, a + rng.nextDouble() * 40, rng.nextBoolean(), rng.nextBoolean())
+        } else ranges(i) = NominalSet(Array(rng.nextInt(8).toDouble))
+      }
+      (ranges, exps)
+    }.toArray
+
+    // the deep tree must agree bit-for-bit too (ensemble trees are covered
+    // by the previous test)
+    qs.foreach { case (ranges, exps) =>
+      val adt = Spn.expect(root, ranges, exps)
+      val flat = compiled.expect(ranges, exps)
+      assert(java.lang.Double.doubleToRawLongBits(adt) ==
+        java.lang.Double.doubleToRawLongBits(flat), s"adt=$adt flat=$flat")
+    }
+
+    def timeAdt(): Long = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var acc = 0.0
+      while (i < qs.length) { acc += Spn.expect(root, qs(i)._1, qs(i)._2); i += 1 }
+      sink = acc
+      System.nanoTime() - t0
+    }
+    def timeFlat(): Long = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var acc = 0.0
+      while (i < qs.length) { acc += compiled.expect(qs(i)._1, qs(i)._2); i += 1 }
+      sink = acc
+      System.nanoTime() - t0
+    }
+
+    // JIT warmup, then interleaved trials; min filters scheduler noise
+    (1 to 5).foreach { _ => timeAdt(); timeFlat() }
+    val trials = (1 to 7).map(_ => (timeAdt(), timeFlat()))
+    val adtNs = trials.map(_._1).min
+    val flatNs = trials.map(_._2).min
+    val ratio = adtNs.toDouble / flatNs.toDouble
+    info(f"ADT ${adtNs / 1e6}%.2f ms vs compiled ${flatNs / 1e6}%.2f ms — ${ratio}%.2fx")
+    assert(ratio >= 2.0, f"compiled speedup only $ratio%.2fx")
+  }
+
+  // prevents dead-code elimination of the timed loops
+  @volatile private var sink: Double = 0.0
+}
