@@ -127,16 +127,11 @@ object Ensemble {
     */
   private[graft] val expectEvals = new java.util.concurrent.atomic.LongAdder
 
-  /** sampleCap is the analog of the reference's --samples_per_spn (default
-    * 10M there; smaller here because local[32] training must stay sub-second
-    * per SPN — the knob, not the data, bounds cost at any SF).
+  /** Training knobs (see Knobs): overridable per run via system property or
+    * SPARK_GRAFT_* environment variable, read when training starts.
     */
-  val sampleCap = 20000
-
-  /** Max join SPNs trained by the RDC-budgeted selection (reference
-    * --ensemble_budget_factor analog, expressed directly as a model count).
-    */
-  val joinBudget = 3
+  def sampleCap: Int = Knobs.sampleCap
+  def joinBudget: Int = Knobs.joinBudget
 
   // ------------------------------------------------------------ model prep
 

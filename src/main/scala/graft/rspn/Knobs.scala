@@ -1,0 +1,46 @@
+package graft.rspn
+
+/** Runtime training knobs — the analog of the reference CLI's
+  * `--samples_per_spn`, `--ensemble_budget_factor`, `--rdc_threshold`
+  * (public DataManagementLab/deepdb-public: maqp.py argparse surface).
+  * Each knob reads a JVM system property first (settable per SparkSession
+  * via `spark.driver.extraJavaOptions`), then an environment variable, then
+  * falls back to the compiled default, so a cluster job can retune training
+  * without a rebuild. Values are read at use time (training), not class
+  * load, so a test or notebook can set a property before training an
+  * ensemble.
+  */
+object Knobs {
+
+  private def lookup(prop: String, env: String): Option[String] =
+    sys.props.get(prop).orElse(sys.env.get(env))
+
+  def int(prop: String, env: String, default: Int): Int =
+    lookup(prop, env).map(_.trim.toInt).getOrElse(default)
+
+  def double(prop: String, env: String, default: Double): Double =
+    lookup(prop, env).map(_.trim.toDouble).getOrElse(default)
+
+  /** Rows collected to the driver per SPN (reference --samples_per_spn;
+    * default 10M there, smaller here so local[32] training stays fast — at
+    * any SF the knob, not the data, bounds driver memory and train cost).
+    */
+  def sampleCap: Int = int("graft.sampleCap", "SPARK_GRAFT_SAMPLE_CAP", 20000)
+
+  /** Max join SPNs trained by the RDC-budgeted selection (reference
+    * --ensemble_budget_factor, expressed directly as a model count).
+    */
+  def joinBudget: Int = int("graft.joinBudget", "SPARK_GRAFT_JOIN_BUDGET", 3)
+
+  /** RDC dependence threshold for column splits (reference/spflow
+    * rdc_threshold).
+    */
+  def rdcThreshold: Double =
+    double("graft.rdcThreshold", "SPARK_GRAFT_RDC_THRESHOLD", 0.3)
+
+  /** Leaf cutoff as a fraction of the training sample (spflow
+    * min_instances_slice, relative form).
+    */
+  def minInstancesFrac: Double =
+    double("graft.minInstancesFrac", "SPARK_GRAFT_MIN_INSTANCES_FRAC", 0.01)
+}

@@ -20,10 +20,15 @@ object Learn {
   /** Categorical with dictionary size (codes 0..card-1). */
   final case class CategoricalCol(card: Int) extends ColKind
 
+  /** Structure-learning parameters. The two that govern the
+    * accuracy/latency trade-off (leaf cutoff, RDC dependence threshold)
+    * default to the runtime knobs so a cluster job can retune them without
+    * a rebuild (reference maqp.py exposes the same via CLI).
+    */
   final case class Config(
-      minInstancesFrac: Double = 0.01,
+      minInstancesFrac: Double = Knobs.minInstancesFrac,
       minInstancesAbs: Int = 128,
-      rdcThreshold: Double = 0.3,
+      rdcThreshold: Double = Knobs.rdcThreshold,
       rdcSampleRows: Int = 2000,
       rdcK: Int = 8,
       kmeansIters: Int = 12,

@@ -98,4 +98,21 @@ class RspnSpec extends AnyFunSuite {
     assert(m((0, 1)) > 0.8, s"dependent pair rdc=${m((0, 1))}")
     assert(m((0, 2)) < 0.4, s"independent pair rdc=${m((0, 2))}")
   }
+
+  test("training knobs read overrides at use time and fall back to defaults") {
+    assert(Knobs.sampleCap == 20000)
+    assert(Knobs.joinBudget == 3)
+    assert(Knobs.rdcThreshold == 0.3)
+    sys.props("graft.sampleCap") = "1234"
+    sys.props("graft.rdcThreshold") = "0.55"
+    try {
+      assert(Knobs.sampleCap == 1234)
+      assert(Ensemble.sampleCap == 1234, "Ensemble must re-read, not cache at class load")
+      assert(Learn.Config().rdcThreshold == 0.55, "Config defaults must pick up the knob")
+    } finally {
+      sys.props.remove("graft.sampleCap")
+      sys.props.remove("graft.rdcThreshold")
+    }
+    assert(Knobs.sampleCap == 20000)
+  }
 }
