@@ -20,7 +20,12 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     val errors = mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // run spn_train first: the once-per-session ensemble training then
+    // lands on its natural key instead of whichever model-plane query the
+    // map iteration happens to reach first (sql_estimate in BENCH_r03)
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (if (name == "spn_train") 0 else 1, name) }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -28,7 +33,7 @@ object Bench {
             .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
       }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.to(mutable.LinkedHashMap)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

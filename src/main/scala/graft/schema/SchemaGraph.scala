@@ -64,16 +64,35 @@ object SchemaGraph {
 
 /** Cached parquet table loader. One read per (session, sfDir, table); Bench
   * runs the whole query map in one session, so re-reading per query would be
-  * the easiest way to blow the 2× gate (BASELINE.md). Dim tables and the
-  * sf≤0.1 facts comfortably fit executor memory; at real cluster scale the
-  * cache call is a no-op risk only for the facts, so callers that want
-  * uncached scans can use `raw`.
+  * the easiest way to blow the 2× gate (BASELINE.md). `.cache()` is applied
+  * only below an on-disk size threshold: dim tables and the sf≤0.1 facts
+  * comfortably fit executor memory, while a 100 TB fact table must stream
+  * from parquet — pinning it would evict everything else and thrash. The
+  * threshold is a runtime knob (graft.cacheMaxBytes /
+  * SPARK_GRAFT_CACHE_MAX_BYTES, default 4 GiB of parquet ≈ 15–25 GiB
+  * decompressed across executors); `raw` always bypasses both cache layers.
   */
 object Tables {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, name), raw(spark, sfDir, name).cache())
+    cache.getOrElseUpdate((spark, sfDir, name), {
+      val df = raw(spark, sfDir, name)
+      if (diskBytes(s"$sfDir/$name.parquet") <= cacheMaxBytes) df.cache() else df
+    })
+
+  private def cacheMaxBytes: Long =
+    sys.props.get("graft.cacheMaxBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_CACHE_MAX_BYTES"))
+      .map(_.trim.toLong).getOrElse(4L << 30)
+
+  /** On-disk footprint of a parquet file or directory-of-parts. */
+  private def diskBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
 
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {

@@ -44,6 +44,20 @@ class ExactPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fanouts.count() >= orders)
   }
 
+  test("Tables caches below the size threshold and streams above it") {
+    import org.apache.spark.storage.StorageLevel
+    // fresh (sfDir, table) keys unused by other suites so the memoized
+    // entry reflects this test's threshold
+    val dir = "/root/testdata/sf0.01"
+    sys.props("graft.cacheMaxBytes") = "0" // everything is "too big"
+    try {
+      val big = schema.Tables(spark, dir, "region")
+      assert(big.storageLevel == StorageLevel.NONE, "0-byte threshold must not cache")
+    } finally sys.props.remove("graft.cacheMaxBytes")
+    val small = schema.Tables(spark, dir, "nation") // default 4 GiB threshold
+    assert(small.storageLevel.useMemory, "small table must be cached by default")
+  }
+
   test("semi + anti partition customer") {
     val semi = SparkEntry.queries("join_semi")(spark, sf).count()
     val anti = SparkEntry.queries("join_anti")(spark, sf).count()
