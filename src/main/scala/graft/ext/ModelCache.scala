@@ -23,9 +23,20 @@ object ModelCache {
 
   /** Memoize any fitted model / featurized frame under (session, dir, key).
     * `fit` must be deterministic for the same key (fixed seeds).
+    *
+    * Guarded by a lock, not bare TrieMap.getOrElseUpdate: the by-name `fit`
+    * has side effects (`.cache()` registrations), so a concurrent first call
+    * racing through getOrElseUpdate would pin a second featurized copy that
+    * loses the putIfAbsent and leaks in the block manager. Fits are rare
+    * (once per op per session) so coarse locking costs nothing steady-state.
     */
   def memo[T](s: SparkSession, dir: String, key: String)(fit: => T): T =
-    cache.getOrElseUpdate((s, dir, key), fit).asInstanceOf[T]
+    cache.get((s, dir, key)) match {
+      case Some(v) => v.asInstanceOf[T] // fast path, no lock once populated
+      case None => cache.synchronized {
+        cache.getOrElseUpdate((s, dir, key), fit).asInstanceOf[T]
+      }
+    }
 
   /** Test hook: drop everything (e.g. between suites that reuse a session). */
   def clear(): Unit = cache.clear()

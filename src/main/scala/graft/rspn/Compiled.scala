@@ -80,8 +80,10 @@ final class CompiledSpn private (
     }
     if (total == 0) return neutral(nodeType.length - 1)
     if (total > (nodeType.length >> 1)) {
-      evalFull(s.out, ranges, exps)
+      // mark BEFORE evaluating: if evalFull throws mid-pass (e.g. a feature
+      // on a categorical column), the next query must still re-seed
       s.fullDirty = true
+      evalFull(s.out, ranges, exps)
       return s.out(nodeType.length - 1)
     }
 
@@ -114,13 +116,16 @@ final class CompiledSpn private (
       }
       c += 1
     }
+    // mark BEFORE evaluating: if a leaf throws mid-loop, gather[0,n) still
+    // names every slot that may have been overwritten, so the next query's
+    // restore pass covers them
+    s.dirty = n
     g = 0
     while (g < n) {
       val i = s.gather(g)
       s.out(i) = evalSlot(i, s.out, ranges, exps)
       g += 1
     }
-    s.dirty = n
     // the root is an ancestor of every leaf, so it is always in the set
     s.out(nodeType.length - 1)
   }

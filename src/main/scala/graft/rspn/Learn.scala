@@ -37,8 +37,16 @@ object Learn {
   def learn(data: Array[Array[Double]], kinds: Array[ColKind], cfg: Config = Config()): SpnNode = {
     val minInst = math.max(cfg.minInstancesAbs, (data.length * cfg.minInstancesFrac).toInt)
     val rng = new Random(cfg.seed)
-    build(data.indices.toArray, kinds.indices.toArray, data, kinds, cfg, minInst, rng)
+    build(data.indices.toArray, kinds.indices.toArray, data, kinds, cfg, minInst, rng, 0)
   }
+
+  /** Hard recursion ceiling. Balanced row splits reach minInst in
+    * ~log2(sample/minInst) ≈ 8 levels; the bound only bites when 2-means
+    * repeatedly peels a sliver cluster (skewed/outlier-chained samples),
+    * which would otherwise recurse once per peel — thousands of frames on a
+    * Future pool thread's default stack.
+    */
+  private val maxDepth = 64
 
   // ---------------------------------------------------------------- build
 
@@ -49,18 +57,19 @@ object Learn {
       kinds: Array[ColKind],
       cfg: Config,
       minInst: Int,
-      rng: Random): SpnNode = {
+      rng: Random,
+      depth: Int): SpnNode = {
 
     if (scope.length == 1)
       return leaf(rows, scope(0), data, kinds)
-    if (rows.length < minInst)
+    if (rows.length < minInst || depth >= maxDepth)
       return ProductNode(scope.map(c => leaf(rows, c, data, kinds)), rows.length.toDouble)
 
     // column split: connected components of the RDC > threshold graph
     val comps = rdcComponents(rows, scope, data, cfg, rng)
     if (comps.length > 1)
       return ProductNode(
-        comps.map(c => build(rows, c, data, kinds, cfg, minInst, rng)),
+        comps.map(c => build(rows, c, data, kinds, cfg, minInst, rng, depth + 1)),
         rows.length.toDouble)
 
     // row split: seeded 2-means on z-normalized scope columns. Like
@@ -69,11 +78,12 @@ object Learn {
     // clustering — cutting to leaves while cross-column dependence remains
     // would bake the independence error DeepDB exists to avoid. Recursion
     // terminates: both clusters are non-empty, so rows strictly shrink
-    // toward the minInst floor.
+    // toward the minInst floor (maxDepth bounds the pathological
+    // sliver-peeling case).
     val clusters = kmeans2(rows, scope, data, cfg, rng)
     if (clusters.exists(_.isEmpty))
       return ProductNode(scope.map(c => leaf(rows, c, data, kinds)), rows.length.toDouble)
-    val children = clusters.map(cl => build(cl, scope, data, kinds, cfg, minInst, rng))
+    val children = clusters.map(cl => build(cl, scope, data, kinds, cfg, minInst, rng, depth + 1))
     val weights = clusters.map(_.length.toDouble / rows.length)
     SumNode(weights, children, rows.length.toDouble)
   }

@@ -36,6 +36,11 @@ object SqlEstimate {
       }
     } else q.groupBy match {
       case Nil => Scalar(scalarOf(spns, q, preds))
+      case gc :: Nil if q.agg == Count =>
+        require(modelColOf(spns, gc._1, gc._2).dict.nonEmpty,
+          s"GROUP BY ${gc._2}: not a categorical model column")
+        // the memoized enumeration shares factor denominators across groups
+        Groups(Ensemble.estGroupByMulti(spns, q.tables, Seq(gc), preds))
       case gc :: Nil =>
         val (gt, gcol) = gc
         val mc = modelColOf(spns, gt, gcol)
@@ -47,10 +52,7 @@ object SqlEstimate {
             .flatMap { gp =>
               val n = Ensemble.estCount(spns, q.tables, gp)
               if (n.value <= 0) None // prune zero-prob combos
-              else q.agg match {
-                case Count => Some(Seq(v) -> n) // the pruning pass IS the answer
-                case _     => Some(Seq(v) -> scalarOf(spns, q, gp))
-              }
+              else Some(Seq(v) -> scalarOf(spns, q, gp))
             }
         }
         Groups(rows)

@@ -78,7 +78,7 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, name), {
       val df = raw(spark, sfDir, name)
-      if (diskBytes(s"$sfDir/$name.parquet") <= cacheMaxBytes) df.cache() else df
+      if (diskBytes(spark, s"$sfDir/$name.parquet") <= cacheMaxBytes) df.cache() else df
     })
 
   private def cacheMaxBytes: Long =
@@ -86,13 +86,19 @@ object Tables {
       .orElse(sys.env.get("SPARK_GRAFT_CACHE_MAX_BYTES"))
       .map(_.trim.toLong).getOrElse(4L << 30)
 
-  /** On-disk footprint of a parquet file or directory-of-parts. */
-  private def diskBytes(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      else f.length()
-    walk(new java.io.File(path))
-  }
+  /** On-disk footprint of a parquet file or directory-of-parts, resolved
+    * through the Hadoop filesystem of the path (so hdfs:// and s3a:// report
+    * true sizes — java.io.File would return 0 for them and cache exactly the
+    * huge tables this threshold exists to stream). Unknown size fails
+    * CLOSED (Long.MaxValue → no cache): streaming is always correct,
+    * pinning an unknown-size table is not.
+    */
+  private def diskBytes(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
