@@ -752,31 +752,81 @@ object Ensemble {
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       groupCols: Seq[(String, String)],
+      preds: Map[(String, String), ColRange]): Seq[(Seq[String], Estimate)] =
+    estGroupByAgg(spns, tables, groupCols, Map.empty, preds)
+
+  /** Group-by with an aggregate feature per group: empty `feature` = COUNT,
+    * one entry = SUM(col), several = SUM(∏ cols) — the same encoding
+    * `estAgg` uses everywhere. One memo spans the prune probes, the group
+    * counts AND the feature expectations, so shared factor denominators
+    * fold once for the whole enumeration.
+    */
+  def estGroupByAgg(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      feature: Map[(String, String), Int],
       preds: Map[(String, String), ColRange]): Seq[(Seq[String], Estimate)] = {
-    // shared across the whole combination tree: prefix-prune probes and leaf
-    // counts repeat factor denominators (and the prefix probe of a 1-column
-    // tail IS the leaf count) — reference caches these in
-    // cached_expecation_vals for the same reason
     val memo = new ExpectMemo
-    def rec(fixed: Map[(String, String), ColRange], values: List[String],
-        rest: List[(String, String)]): Seq[(Seq[String], Est)] = rest match {
-      case Nil =>
-        val e = estAgg(spns, tables, preds ++ fixed, Map.empty, memo)
-        if (e.v > 0) Seq(values.reverse -> e) else Nil
-      case gc :: tail =>
-        val mc = findModelCol(spns, gc._1, gc._2)
-          .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
-        mc.dict.toIndexedSeq.flatMap { v =>
-          intersect(preds, fixed + (gc -> NominalSet(Array(mc.code(v))))) match {
-            case None => Nil // contradicts a user predicate on this column
-            case Some(all) =>
-              // prefix prune: skip the whole subtree when the prefix mass is 0
-              if (estAgg(spns, tables, all, Map.empty, memo).v <= 0) Nil
-              else rec(fixed + (gc -> NominalSet(Array(mc.code(v)))), v :: values, tail)
-          }
-        }
+    enumGroups(spns, tables, groupCols, preds, memo).map { case (vs, gp, c) =>
+      if (feature.isEmpty) vs -> c.toEstimate
+      else vs -> estAgg(spns, tables, gp, feature, memo).toEstimate
     }
-    rec(Map.empty, Nil, groupCols.toList).map { case (gs, e) => gs -> e.toEstimate }
+  }
+
+  /** AVG per group: ratio of the group's SUM and COUNT expectations with
+    * delta-method CI (same algebra as estAvg), all under one shared memo —
+    * the COUNT factor is exactly the enumeration's own group count.
+    */
+  def estGroupByAvg(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      avgCol: (String, String),
+      preds: Map[(String, String), ColRange]): Seq[(Seq[String], Estimate)] = {
+    val memo = new ExpectMemo
+    enumGroups(spns, tables, groupCols, preds, memo).map { case (vs, gp, c) =>
+      val s = estAgg(spns, tables, gp, Map(avgCol -> 1), memo)
+      val v = s.v / c.v // c.v > 0: zero-mass groups were pruned
+      val sd = math.abs(v) * math.sqrt(s.relVar + c.relVar)
+      vs -> Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
+    }
+  }
+
+  /** Depth-first combination enumeration over the group columns' model
+    * support, pruning any prefix whose estimated mass is already zero — the
+    * reference's group_by_combination.py prunes the combination tree the
+    * same way instead of materializing the cross product. Yields each
+    * surviving combination with its fully-intersected predicate map and its
+    * COUNT estimate (the leaf probe doubles as the count).
+    */
+  private def enumGroups(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      preds: Map[(String, String), ColRange],
+      memo: ExpectMemo): Seq[(Seq[String], Map[(String, String), ColRange], Est)] = {
+    def rec(fixed: Map[(String, String), ColRange], values: List[String],
+        rest: List[(String, String)]): Seq[(Seq[String], Map[(String, String), ColRange], Est)] =
+      rest match {
+        case Nil =>
+          val gp = preds ++ fixed
+          val e = estAgg(spns, tables, gp, Map.empty, memo)
+          if (e.v > 0) Seq((values.reverse, gp, e)) else Nil
+        case gc :: tail =>
+          val mc = findModelCol(spns, gc._1, gc._2)
+            .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
+          mc.dict.toIndexedSeq.flatMap { v =>
+            intersect(preds, fixed + (gc -> NominalSet(Array(mc.code(v))))) match {
+              case None => Nil // contradicts a user predicate on this column
+              case Some(all) =>
+                // prefix prune: skip the whole subtree when the prefix mass is 0
+                if (estAgg(spns, tables, all, Map.empty, memo).v <= 0) Nil
+                else rec(fixed + (gc -> NominalSet(Array(mc.code(v)))), v :: values, tail)
+            }
+          }
+      }
+    rec(Map.empty, Nil, groupCols.toList)
   }
 
   /** Encoded model columns of a table (for executor-side batch scoring:

@@ -242,7 +242,9 @@ object ModelQueries {
         "q08_sum_product" ->
           ("SELECT SUM(l_extendedprice * l_discount) FROM lineitem " +
             "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"),
-        "q09_groupby2" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag, l_linestatus")
+        "q09_groupby2" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "q10_like" -> "SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS'",
+        "q11_groupby_sum" -> "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag")
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>
@@ -288,6 +290,9 @@ object ModelQueries {
         |  SELECT 'q8', '', CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
         |    FROM lineitem
         |    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  UNION ALL
+        |  SELECT 'q9', '', CAST(COUNT(*) AS DOUBLE)
+        |    FROM part WHERE p_type LIKE '%BRASS'
         |) SELECT query, grp, val FROM s ORDER BY query, grp""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.functions.{col, concat_ws, lit}
@@ -302,7 +307,8 @@ object ModelQueries {
         "q6" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag, l_linestatus",
         "q7" -> "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45)",
         "q8" -> ("SELECT SUM(l_extendedprice * l_discount) FROM lineitem " +
-          "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"))
+          "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"),
+        "q9" -> "SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS'")
       qs.map { case (id, sql) =>
         val df = SqlExact.compile(s, d, sql)
         val gcols = df.columns.filter(_.startsWith("grp"))

@@ -36,32 +36,20 @@ object SqlEstimate {
       }
     } else q.groupBy match {
       case Nil => Scalar(scalarOf(spns, q, preds))
-      case gc :: Nil if q.agg == Count =>
-        require(modelColOf(spns, gc._1, gc._2).dict.nonEmpty,
-          s"GROUP BY ${gc._2}: not a categorical model column")
-        // the memoized enumeration shares factor denominators across groups
-        Groups(Ensemble.estGroupByMulti(spns, q.tables, Seq(gc), preds))
-      case gc :: Nil =>
-        val (gt, gcol) = gc
-        val mc = modelColOf(spns, gt, gcol)
-        require(mc.dict.nonEmpty, s"GROUP BY $gcol: not a categorical model column")
-        val rows = mc.dict.toIndexedSeq.flatMap { v =>
-          // intersect with any WHERE predicate on the group column so
-          // filtered-out groups are not resurrected
-          Ensemble.intersect(preds, Map((gt, gcol) -> NominalSet(Array(mc.code(v)))))
-            .flatMap { gp =>
-              val n = Ensemble.estCount(spns, q.tables, gp)
-              if (n.value <= 0) None // prune zero-prob combos
-              else Some(Seq(v) -> scalarOf(spns, q, gp))
-            }
-        }
-        Groups(rows)
       case gcs =>
-        // multi-column enumeration with prefix pruning; COUNT only (the
-        // reference's group_by_combination enumerates counts the same way)
-        if (q.agg != Count) throw new IllegalArgumentException(
-          s"unsupported SQL: multi-column GROUP BY with aggregate ${q.agg} (COUNT(*) only)")
-        Groups(Ensemble.estGroupByMulti(spns, q.tables, gcs, preds))
+        // one memoized enumeration per query: prune probes, group counts and
+        // per-group aggregate expectations share factor denominators
+        gcs.foreach { case (gt, gcol) =>
+          require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+            s"GROUP BY $gcol: not a categorical model column")
+        }
+        Groups(q.agg match {
+          case Count     => Ensemble.estGroupByMulti(spns, q.tables, gcs, preds)
+          case Sum(t, c) => Ensemble.estGroupByAgg(spns, q.tables, gcs, Map((t, c) -> 1), preds)
+          case Avg(t, c) => Ensemble.estGroupByAvg(spns, q.tables, gcs, (t, c), preds)
+          case SumProduct(ta, ca, tb, cb) =>
+            Ensemble.estGroupByAgg(spns, q.tables, gcs, Map((ta, ca) -> 1, (tb, cb) -> 1), preds)
+        })
     }
   }
 
@@ -105,5 +93,24 @@ object SqlEstimate {
         if (i >= 0) Some(i.toDouble) else None
       }
       NominalSet(codes.toArray)
+    case StrLike(pattern) =>
+      // a categorical dictionary is the column's complete value domain, so
+      // LIKE is exactly the member set matching the pattern
+      val mc = modelColOf(spns, p.table, p.col)
+      val re = likeRegex(pattern)
+      NominalSet(mc.dict.indices.collect {
+        case i if re.matcher(mc.dict(i)).matches() => i.toDouble
+      }.toArray)
+  }
+
+  /** SQL LIKE → anchored regex: % ⇒ .*, _ ⇒ ., everything else literal. */
+  private def likeRegex(pattern: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '%' => sb.append(".*")
+      case '_' => sb.append('.')
+      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    java.util.regex.Pattern.compile(sb.toString, java.util.regex.Pattern.DOTALL)
   }
 }

@@ -57,7 +57,8 @@ object SqlExact {
       // epoch days back to a timestamp literal against the raw column
       boundCol(col(p.col), lo, hi, li, hi2,
         d => lit(java.time.LocalDate.ofEpochDay(d.toLong).toString).cast("timestamp"))
-    case StrIn(values) => col(p.col).isin(values: _*)
+    case StrIn(values)  => col(p.col).isin(values: _*)
+    case StrLike(pat)   => col(p.col).like(pat)
   }
 
   private def boundCol(

@@ -52,6 +52,11 @@ object SqlParser {
   final case class NumR(lo: Double, hi: Double, loIncl: Boolean, hiIncl: Boolean) extends RangeSpec
   final case class DateR(lo: Double, hi: Double, loIncl: Boolean, hiIncl: Boolean) extends RangeSpec
   final case class StrIn(values: Seq[String]) extends RangeSpec
+  /** SQL LIKE pattern (`%`/`_` wildcards, no escape syntax). On the model
+    * plane this compiles to the set of dictionary codes matching the
+    * pattern — a NominalSet, so the leaf machinery is untouched.
+    */
+  final case class StrLike(pattern: String) extends RangeSpec
 
   /** Column → table resolution over the testdata schema (globally unique
     * TPC-H-style prefixes; the reference resolves via its hand-declared
@@ -233,6 +238,7 @@ object SqlParser {
   private val cmpRe: Regex = """(?i)^(\w+)\s*(<=|>=|<|>|=)\s*(.+)$""".r
   private val betweenRe: Regex = """(?i)^(\w+)\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$""".r
   private val inRe: Regex = """(?i)^(\w+)\s+IN\s*\((.+)\)$""".r
+  private val likeRe: Regex = """(?i)^(\w+)\s+LIKE\s+'([^']*)'$""".r
   private val strLit: Regex = """^'(.*)'$""".r
   private val dateLit: Regex = """(?i)^(?:DATE\s+)?'(\d{4}-\d{2}-\d{2})'$""".r
 
@@ -252,6 +258,8 @@ object SqlParser {
         case other     => fail(s"IN list value '$other' (string literals only)")
       }
       Pred(tableOf(col), col, StrIn(values.toSeq))
+    case likeRe(col, pat) =>
+      Pred(tableOf(col), col, StrLike(pat))
     case cmpRe(col, op, rawLit) =>
       val t = tableOf(col)
       lit(rawLit.trim) match {

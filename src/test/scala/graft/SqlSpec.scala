@@ -269,7 +269,66 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) OR (l_tax > 0.05)"))
     assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
       "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) GROUP BY l_returnflag"))
+    // GROUP BY over a non-categorical (numeric) column is rejected
     assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
-      "SELECT SUM(l_quantity) FROM lineitem GROUP BY l_returnflag, l_linestatus"))
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_quantity"))
+  }
+
+  test("LIKE compiles to dictionary-code sets and matches exact counts") {
+    views
+    val cases = Seq(
+      "SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS'",
+      "SELECT COUNT(*) FROM part WHERE p_type LIKE 'STANDARD%'",
+      "SELECT COUNT(*) FROM orders WHERE o_orderpriority LIKE '_-URGENT'")
+    cases.foreach { sql =>
+      val est = estScalar(sql)
+      val exact = exactScalar(sql)
+      assert(qerr(est, exact) <= 1.5, s"est=$est exact=$exact for: $sql")
+      val compiled = SqlExact.compile(spark, sf, sql).head().getDouble(0)
+      assert(compiled == exact, s"SqlExact mismatch for: $sql")
+    }
+    // a pattern matching nothing estimates zero
+    assert(estScalar("SELECT COUNT(*) FROM part WHERE p_type LIKE 'ZZZ%'") == 0.0)
+  }
+
+  test("GROUP BY with SUM/AVG/SUM(a*b) estimates every group within threshold") {
+    views
+    def groups(sql: String): Map[String, Ensemble.Estimate] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) => rows.map { case (g, e) => g.mkString("|") -> e }.toMap
+        case _                        => fail("expected groups")
+      }
+    // SUM per group
+    val sumEst = groups("SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag")
+    val sumExact = spark.sql(
+      "SELECT l_returnflag, SUM(l_extendedprice) FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sumEst.keySet == sumExact.keySet)
+    sumExact.foreach { case (g, x) =>
+      assert(qerr(sumEst(g).value, x) <= 1.5, s"SUM group $g est=${sumEst(g).value} exact=$x")
+    }
+    // AVG per group, with ordered CIs
+    val avgEst = groups("SELECT AVG(l_extendedprice) FROM lineitem GROUP BY l_linestatus")
+    val avgExact = spark.sql(
+      "SELECT l_linestatus, AVG(l_extendedprice) FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(avgEst.keySet == avgExact.keySet)
+    avgExact.foreach { case (g, x) =>
+      val e = avgEst(g)
+      assert(qerr(e.value, x) <= 1.5, s"AVG group $g est=${e.value} exact=$x")
+      assert(e.ci95Lo <= e.value && e.value <= e.ci95Hi, s"AVG group $g CI disordered")
+    }
+    // SUM(a*b) over a multi-column grouping
+    val spEst = groups(
+      "SELECT SUM(l_extendedprice * l_discount) FROM lineitem GROUP BY l_returnflag, l_linestatus")
+    val spExact = spark.sql(
+      "SELECT concat(l_returnflag, '|', l_linestatus), SUM(l_extendedprice * l_discount) " +
+        "FROM lineitem GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(spEst.keySet == spExact.keySet)
+    spExact.foreach { case (g, x) =>
+      assert(math.abs(spEst(g).value - x) / x <= 0.3,
+        s"SUM(a*b) group $g est=${spEst(g).value} exact=$x")
+    }
   }
 }
