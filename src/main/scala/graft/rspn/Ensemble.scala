@@ -621,19 +621,59 @@ object Ensemble {
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       predsA: Map[(String, String), ColRange],
+      predsB: Map[(String, String), ColRange]): Estimate =
+    estAggOr(spns, tables, predsA, predsB, Map.empty)
+
+  /** Inclusion–exclusion for ANY linear aggregate: COUNT (empty feature),
+    * SUM (one entry), SUM(∏ cols) (several) — Σ_{A∨B} f = Σ_A f + Σ_B f −
+    * Σ_{A∧B} f holds for every f, not just f ≡ 1.
+    */
+  def estAggOr(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      predsA: Map[(String, String), ColRange],
+      predsB: Map[(String, String), ColRange],
+      feature: Map[(String, String), Int]): Estimate =
+    aggOrRaw(spns, tables, predsA, predsB, feature, new ExpectMemo).toEstimate
+
+  /** AVG over a disjunction = SUM(A∨B) / COUNT(A∨B), delta-method CI. */
+  def estAvgOr(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      avgCol: (String, String),
+      predsA: Map[(String, String), ColRange],
       predsB: Map[(String, String), ColRange]): Estimate = {
+    val memo = new ExpectMemo // the six I–E terms share every factor
+    val s = aggOrRaw(spns, tables, predsA, predsB, Map(avgCol -> 1), memo)
+    val c = aggOrRaw(spns, tables, predsA, predsB, Map.empty, memo)
+    if (c.v <= 0.0) Estimate(0.0, 0.0, 0.0)
+    else {
+      val v = s.v / c.v
+      val sd = math.abs(v) * math.sqrt(s.relVar + c.relVar)
+      Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
+    }
+  }
+
+  private def aggOrRaw(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      predsA: Map[(String, String), ColRange],
+      predsB: Map[(String, String), ColRange],
+      feature: Map[(String, String), Int],
+      memo: ExpectMemo): Est = {
     // one memo across the three I–E terms: A∧B shares factor denominators
     // (and often whole branch expectations) with A and B
-    val memo = new ExpectMemo
-    val a = estAgg(spns, tables, predsA, Map.empty, memo)
-    val b = estAgg(spns, tables, predsB, Map.empty, memo)
+    val a = estAgg(spns, tables, predsA, feature, memo)
+    val b = estAgg(spns, tables, predsB, feature, memo)
     val both = intersect(predsA, predsB) match {
-      case Some(ab) => estAgg(spns, tables, ab, Map.empty, memo)
+      case Some(ab) => estAgg(spns, tables, ab, feature, memo)
       case None     => Est(0.0, 0.0) // disjoint by contradiction on some column
     }
-    val v = math.max(0.0, a.v + b.v - both.v)
+    val raw = a.v + b.v - both.v
+    // counts cannot be negative; a SUM over a negative-valued column can
+    val v = if (feature.isEmpty) math.max(0.0, raw) else raw
     val sd = math.sqrt(a.sd * a.sd + b.sd * b.sd + both.sd * both.sd)
-    Est(v, sd).toEstimate
+    Est(v, sd)
   }
 
   /** Conjunction of two predicate maps; None when some column's ranges are

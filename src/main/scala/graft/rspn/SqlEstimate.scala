@@ -24,16 +24,19 @@ object SqlEstimate {
     val preds = mergePreds(spns, q.preds)
 
     if (q.orPreds.nonEmpty) {
-      // OR reaches the model plane through inclusion–exclusion, which is a
-      // COUNT identity; SUM is linear too but AVG/GROUP BY would need the
-      // per-branch decomposition the reference also doesn't attempt.
+      // OR reaches the model plane through inclusion–exclusion: exact for
+      // every linear aggregate (COUNT/SUM/SUM(a*b)), and AVG as their
+      // ratio; GROUP BY would need it per enumerated group — unsupported.
       if (q.groupBy.nonEmpty) throw new IllegalArgumentException(
         "unsupported SQL: OR combined with GROUP BY")
-      q.agg match {
-        case Count => Scalar(Ensemble.estCountOr(spns, q.tables, preds, mergePreds(spns, q.orPreds)))
-        case other => throw new IllegalArgumentException(
-          s"unsupported SQL: OR with aggregate $other (COUNT(*) only)")
-      }
+      val predsB = mergePreds(spns, q.orPreds)
+      Scalar(q.agg match {
+        case Count     => Ensemble.estCountOr(spns, q.tables, preds, predsB)
+        case Sum(t, c) => Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((t, c) -> 1))
+        case Avg(t, c) => Ensemble.estAvgOr(spns, q.tables, (t, c), preds, predsB)
+        case SumProduct(ta, ca, tb, cb) =>
+          Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((ta, ca) -> 1, (tb, cb) -> 1))
+      })
     } else q.groupBy match {
       case Nil => Scalar(scalarOf(spns, q, preds))
       case gcs =>

@@ -215,6 +215,22 @@ class SqlSpec extends AnyFunSuite {
     }
   }
 
+  test("OR supports SUM and AVG via linear inclusion-exclusion") {
+    views
+    val sumSql = "SELECT SUM(l_extendedprice) FROM lineitem WHERE (l_quantity < 10) OR (l_quantity > 40)"
+    val sumQ = qerr(estScalar(sumSql), exactScalar(sumSql))
+    assert(sumQ <= 1.5, s"SUM-over-OR q-error $sumQ")
+    val avgSql = "SELECT AVG(l_extendedprice) FROM lineitem WHERE (l_quantity < 10) OR (l_discount > 0.08)"
+    val avgQ = qerr(estScalar(avgSql), exactScalar(avgSql))
+    assert(avgQ <= 1.5, s"AVG-over-OR q-error $avgQ")
+    // the exact plane compiles both disjunctions too
+    Seq(sumSql, avgSql).foreach { sql =>
+      val compiled = SqlExact.compile(spark, sf, sql).head().getDouble(0)
+      val viaSql = BigDecimal(exactScalar(sql)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(compiled - viaSql) < 0.51, s"SqlExact mismatch for: $sql")
+    }
+  }
+
   test("OR branch with a BETWEEN keeps its AND inside the branch") {
     val q = SqlParser.parseQuery(
       "SELECT COUNT(*) FROM lineitem WHERE (l_quantity BETWEEN 5 AND 10 OR l_tax > 0.05)")
