@@ -833,6 +833,47 @@ object Ensemble {
     }
   }
 
+  /** Grouping sets over the model plane (the estimator analog of the exact
+    * plane's cube/rollup operators): one row per surviving combination of
+    * each requested column subset, with `null` markers for columns absent
+    * from a subset (the SQL NULL convention). A single memo spans every
+    * subset's enumeration — the coarser sets' probes are exactly the finer
+    * sets' prefix expectations, so each distinct fold happens once.
+    */
+  def estGroupingSets(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      sets: Seq[Seq[(String, String)]],
+      preds: Map[(String, String), ColRange]): Seq[(Seq[Option[String]], Estimate)] = {
+    val memo = new ExpectMemo
+    val allCols = sets.flatten.distinct
+    sets.flatMap { set =>
+      enumGroups(spns, tables, set, preds, memo).map { case (vs, _, c) =>
+        val byCol = set.zip(vs).toMap
+        allCols.map(byCol.get) -> c.toEstimate
+      }
+    }
+  }
+
+  /** ROLLUP: the prefix hierarchy (a,b) → [(a,b), (a), ()]. */
+  def estRollup(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      preds: Map[(String, String), ColRange]): Seq[(Seq[Option[String]], Estimate)] =
+    estGroupingSets(spns, tables, groupCols.indices.inclusive.reverse.map(groupCols.take), preds)
+
+  /** CUBE: every subset of the group columns. */
+  def estCube(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      preds: Map[(String, String), ColRange]): Seq[(Seq[Option[String]], Estimate)] = {
+    val subsets = (0 until (1 << groupCols.length)).map(mask =>
+      groupCols.zipWithIndex.collect { case (gc, i) if (mask & (1 << i)) != 0 => gc })
+    estGroupingSets(spns, tables, subsets, preds)
+  }
+
   /** Depth-first combination enumeration over the group columns' model
     * support, pruning any prefix whose estimated mass is already zero — the
     * reference's group_by_combination.py prunes the combination tree the

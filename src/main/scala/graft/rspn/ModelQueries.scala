@@ -191,6 +191,21 @@ object ModelQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Grouping sets on the model plane (estimator analog of groupby_rollup/
+    // groupby_cube): every subset enumeration shares one expectation memo,
+    // so the coarser sets reuse the finer sets' prefix folds.
+    Op.noOracle("est_rollup") { (s, d) =>
+      import s.implicits._
+      val e = Ensemble.get(s, d)
+      Ensemble.estRollup(e, Set("lineitem"),
+        Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")), Map.empty)
+        .map { case (ks, est) =>
+          (ks.map(_.getOrElse("(all)")).mkString("|"), math.rint(est.value))
+        }
+        .toDF("grp", "est_count")
+        .orderBy("grp")
+    },
+
     // M6 at scale: executor-side batch scoring — the immutable tree is
     // broadcast and every row's likelihood is evaluated where the data
     // lives (narrow, no shuffle until the final small groupBy).

@@ -346,6 +346,31 @@ class AccuracySpec extends AnyFunSuite {
     solo.foreach { case (gv, v) => assert(v == est.toMap.apply(gv), s"group $gv drifted") }
   }
 
+  test("model-plane rollup and cube match exact grouping-set counts") {
+    val est = Ensemble.estRollup(ens, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")), Map.empty)
+      .map { case (ks, e) => ks -> e.value }.toMap
+    val exact = li.rollup("l_returnflag", "l_linestatus").count().collect()
+      .map(r => Seq(Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2).toDouble)
+      .toMap
+    assert(est.keySet == exact.keySet,
+      s"rollup keys: ${est.keySet.diff(exact.keySet)} vs ${exact.keySet.diff(est.keySet)}")
+    exact.foreach { case (k, x) =>
+      assert(qerr(est(k), x) <= 1.5, s"rollup group $k est=${est(k)} exact=$x")
+    }
+
+    val cubeEst = Ensemble.estCube(ens, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")), Map.empty)
+      .map { case (ks, e) => ks -> e.value }.toMap
+    val cubeExact = li.cube("l_returnflag", "l_linestatus").count().collect()
+      .map(r => Seq(Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2).toDouble)
+      .toMap
+    assert(cubeEst.keySet == cubeExact.keySet)
+    cubeExact.foreach { case (k, x) =>
+      assert(qerr(cubeEst(k), x) <= 1.5, s"cube group $k est=${cubeEst(k)} exact=$x")
+    }
+  }
+
   test("A8: avg CI is non-degenerate and covers the exact average") {
     val e = Ensemble.estAvg(ens, Set("lineitem"), ("lineitem", "l_extendedprice"),
       Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 30.0)))
