@@ -1,0 +1,47 @@
+package graft.exact
+
+import graft.ext.ModelCache
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed co-located fact tables — the 100 TB join strategy (SURVEY §6:
+  * "repartition()/bucketing for co-located joins"). Both join sides are
+  * written once with `bucketBy(N, key).sortBy(key)` into the session
+  * warehouse; a subsequent equi-join on the bucket key requires NO exchange
+  * and NO sort on either side (each scan already reports the matching
+  * HashPartitioning/ordering), which at cluster scale is the difference
+  * between shuffling the fact tables for every join and shuffling nothing.
+  *
+  * The reference has no exact executor to compare (its prep writes HDF
+  * samples); this is the Spark-native prepared-sink counterpart of S2 for
+  * join-heavy workloads. The write is memoized per (session, sfDir) and
+  * keyed into the catalog by a directory-derived suffix; results are
+  * oracle-checked against the raw tables — bucketing must never change
+  * query answers, only the plan.
+  */
+object Bucketed {
+
+  private val numBuckets = 8
+
+  /** (orders, lineitem) both bucketed+sorted on the order key. */
+  def orderKeyTables(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ModelCache.memo(s, d, "bucketed_orderkey") {
+      (writeOnce(s, d, "orders", "o_orderkey"), writeOnce(s, d, "lineitem", "l_orderkey"))
+    }
+
+  private def writeOnce(s: SparkSession, d: String, name: String, key: String): DataFrame = {
+    val tbl = s"graft_${name}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!s.catalog.tableExists(tbl)) {
+      // a previous JVM may have left the managed location behind while this
+      // session's in-memory catalog starts empty — Spark refuses to create
+      // a managed table over an existing path, so clear the orphan first
+      val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Tables.raw(s, d, name).write.mode("overwrite")
+        .bucketBy(numBuckets, key).sortBy(key)
+        .format("parquet").saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+}

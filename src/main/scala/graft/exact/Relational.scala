@@ -154,6 +154,22 @@ object Relational {
         .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")),
 
+    // J ext: the same PK–FK join over bucketed tables (see Bucketed) — the
+    // plan has no join-side Exchange/Sort (spec-asserted); results must be
+    // identical to the raw-table join, which is what the oracle checks.
+    Op(
+      "join_bucketed",
+      """SELECT o_orderstatus, COUNT(*) AS cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      val (o, l) = Bucketed.orderKeyTables(s, d)
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    },
+
     Op(
       "join_3way",
       """SELECT n_name, COUNT(*) AS cnt,

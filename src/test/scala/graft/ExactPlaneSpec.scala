@@ -58,6 +58,28 @@ class ExactPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(small.storageLevel.useMemory, "small table must be cached by default")
   }
 
+  test("bucketed join is shuffle-free on both join sides") {
+    import org.apache.spark.sql.functions.col
+    val orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a sort-merge join so the assertion exercises bucketing, not a
+    // small-side broadcast (at real scale neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (o, l) = exact.Bucketed.orderKeyTables(spark, sf)
+      val bucketed = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+
+      val raw = schema.Tables.raw(spark, sf, "orders")
+        .join(schema.Tables.raw(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      val rawPlan = raw.queryExecution.executedPlan.toString
+      assert(rawPlan.contains("Exchange"), "control: the unbucketed join should shuffle")
+
+      // bucketing must never change answers
+      assert(bucketed.count() == raw.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+  }
+
   test("semi + anti partition customer") {
     val semi = SparkEntry.queries("join_semi")(spark, sf).count()
     val anti = SparkEntry.queries("join_anti")(spark, sf).count()
