@@ -646,12 +646,7 @@ object Ensemble {
     val memo = new ExpectMemo // the six I–E terms share every factor
     val s = aggOrRaw(spns, tables, predsA, predsB, Map(avgCol -> 1), memo)
     val c = aggOrRaw(spns, tables, predsA, predsB, Map.empty, memo)
-    if (c.v <= 0.0) Estimate(0.0, 0.0, 0.0)
-    else {
-      val v = s.v / c.v
-      val sd = math.abs(v) * math.sqrt(s.relVar + c.relVar)
-      Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
-    }
+    ratioEst(s, c)
   }
 
   private def aggOrRaw(
@@ -737,13 +732,19 @@ object Ensemble {
     val memo = new ExpectMemo // numerator and denominator share every factor
     val s = estAgg(spns, tables, preds, Map(avgCol -> 1), memo)
     val c = estAgg(spns, tables, preds, Map.empty, memo)
+    ratioEst(s, c)
+  }
+
+  /** Delta-method ratio s/c with 95% CI (the AVG = SUM/COUNT algebra used
+    * by every AVG surface); a zero-mass denominator yields a zero estimate.
+    */
+  private def ratioEst(s: Est, c: Est): Estimate =
     if (c.v <= 0.0) Estimate(0.0, 0.0, 0.0)
     else {
       val v = s.v / c.v
       val sd = math.abs(v) * math.sqrt(s.relVar + c.relVar) // abs: v may be negative
       Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
     }
-  }
 
   /** A6/M7: enumerate group-by combinations from the model support and
     * estimate each group (reference aqp_spn/group_by_combination.py). Each
@@ -826,10 +827,7 @@ object Ensemble {
       preds: Map[(String, String), ColRange]): Seq[(Seq[String], Estimate)] = {
     val memo = new ExpectMemo
     enumGroups(spns, tables, groupCols, preds, memo).map { case (vs, gp, c) =>
-      val s = estAgg(spns, tables, gp, Map(avgCol -> 1), memo)
-      val v = s.v / c.v // c.v > 0: zero-mass groups were pruned
-      val sd = math.abs(v) * math.sqrt(s.relVar + c.relVar)
-      vs -> Estimate(v, v - 1.96 * sd, v + 1.96 * sd)
+      vs -> ratioEst(estAgg(spns, tables, gp, Map(avgCol -> 1), memo), c)
     }
   }
 
@@ -848,7 +846,13 @@ object Ensemble {
     val memo = new ExpectMemo
     val allCols = sets.flatten.distinct
     sets.flatMap { set =>
-      enumGroups(spns, tables, set, preds, memo).map { case (vs, _, c) =>
+      if (set.isEmpty)
+        // SQL semantics: the () grouping set is the global aggregate and
+        // always yields exactly one row, even over a zero-mass selection
+        // (enumGroups would prune it)
+        Seq(allCols.map(_ => Option.empty[String]) ->
+          estAgg(spns, tables, preds, Map.empty, memo).toEstimate)
+      else enumGroups(spns, tables, set, preds, memo).map { case (vs, _, c) =>
         val byCol = set.zip(vs).toMap
         allCols.map(byCol.get) -> c.toEstimate
       }

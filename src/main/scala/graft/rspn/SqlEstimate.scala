@@ -100,6 +100,8 @@ object SqlEstimate {
       // a categorical dictionary is the column's complete value domain, so
       // LIKE is exactly the member set matching the pattern
       val mc = modelColOf(spns, p.table, p.col)
+      require(mc.dict.nonEmpty,
+        s"LIKE on non-categorical column ${p.table}.${p.col} (the exact plane would cast-and-match; the model plane cannot)")
       val re = likeRegex(pattern)
       NominalSet(mc.dict.indices.collect {
         case i if re.matcher(mc.dict(i)).matches() => i.toDouble

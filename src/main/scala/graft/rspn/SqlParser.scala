@@ -88,7 +88,13 @@ object SqlParser {
       val agg = sel.trim match {
         case aggRe(whole, sumCol, sumCol2, avgCol) =>
           if (whole.toUpperCase.startsWith("COUNT")) Count
-          else if (sumCol2 != null) SumProduct(tableOf(sumCol), sumCol, tableOf(sumCol2), sumCol2)
+          else if (sumCol2 != null) {
+            // a repeated column would need the E[x²] moment on the feature
+            // pass; downstream feature Maps would silently collapse it to
+            // SUM(a), so reject it uniformly at parse time
+            if (sumCol.equalsIgnoreCase(sumCol2)) fail(s"SUM($sumCol * $sumCol2): repeated product column")
+            SumProduct(tableOf(sumCol), sumCol, tableOf(sumCol2), sumCol2)
+          }
           else if (sumCol != null) Sum(tableOf(sumCol), sumCol)
           else Avg(tableOf(avgCol), avgCol)
         case other => fail(s"aggregate '$other' (COUNT(*)/SUM(col)/SUM(a*b)/AVG(col) only)")

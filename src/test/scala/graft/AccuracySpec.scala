@@ -369,6 +369,14 @@ class AccuracySpec extends AnyFunSuite {
     cubeExact.foreach { case (k, x) =>
       assert(qerr(cubeEst(k), x) <= 1.5, s"cube group $k est=${cubeEst(k)} exact=$x")
     }
+
+    // SQL grouping-set semantics: the () set always yields its grand-total
+    // row, even over a zero-mass selection (Spark's rollup does the same)
+    val empty = Ensemble.estRollup(ens, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag")),
+      Map(("lineitem", "l_quantity") -> NumRange(1e9, 2e9)))
+    assert(empty.map(_._1) == Seq(Seq(None)), s"expected only the grand total, got $empty")
+    assert(empty.head._2.value == 0.0)
   }
 
   test("A8: avg CI is non-degenerate and covers the exact average") {

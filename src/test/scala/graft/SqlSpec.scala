@@ -288,6 +288,14 @@ class SqlSpec extends AnyFunSuite {
     // GROUP BY over a non-categorical (numeric) column is rejected
     assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
       "SELECT COUNT(*) FROM lineitem GROUP BY l_quantity"))
+    // SUM(a*a) must fail everywhere, not silently collapse to SUM(a) where
+    // the feature Map would dedup the repeated key (OR / GROUP BY paths)
+    assertThrows[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT SUM(l_quantity * l_quantity) FROM lineitem GROUP BY l_returnflag"))
+    // LIKE on a numeric model column must throw, not estimate zero (the
+    // exact plane would cast-and-match, so silence would diverge)
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity LIKE '1%'"))
   }
 
   test("LIKE compiles to dictionary-code sets and matches exact counts") {
