@@ -59,14 +59,44 @@ object QErrorEval {
         qerr(est, exact)
       }
     }
+    // round-4 SQL-surface shapes: disjunctions, LIKE, grouped aggregates —
+    // evaluated through the SQL-text entry so the parser path is what is
+    // being graded, exactly as the reference feeds benchmark SQL strings
+    Seq("lineitem", "orders", "customer", "part").foreach { t =>
+      schema.Tables(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    def sqlScalar(sql: String): Double = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Scalar(e) => e.value
+      case _                     => sys.error("expected scalar")
+    }
+    val orQs = (1 to 10).map { _ =>
+      val a = 1 + rng.nextInt(20); val b = 30 + rng.nextInt(20)
+      val sql = s"SELECT COUNT(*) FROM lineitem WHERE (l_quantity < $a) OR (l_quantity > $b)"
+      val exact = spark.sql(sql).head().getLong(0).toDouble
+      qerr(sqlScalar(sql), exact)
+    }
+    val likeQs = Seq("%BRASS", "STANDARD%", "%PLATED%", "SMALL%", "%TIN").map { pat =>
+      val sql = s"SELECT COUNT(*) FROM part WHERE p_type LIKE '$pat'"
+      qerr(sqlScalar(sql), spark.sql(sql).head().getLong(0).toDouble)
+    }
+    val groupQs = {
+      val est = SqlEstimate.estimate(ens,
+        "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag") match {
+        case SqlEstimate.Groups(rows) => rows.map { case (g, e) => g.head -> e.value }.toMap
+        case _                        => sys.error("expected groups")
+      }
+      spark.sql("SELECT l_returnflag, SUM(l_extendedprice) FROM lineitem GROUP BY 1")
+        .collect().toSeq.map(r => qerr(est(r.getString(0)), r.getDouble(1)))
+    }
     def stats(xs: Seq[Double]): (Double, Double, Double) = {
       val s = xs.sorted
       (s(s.length / 2), s(math.min(s.length - 1, (s.length * 0.95).toInt)), s.last)
     }
     val (m1, p1, x1) = stats(single)
     val (m2, p2, x2) = stats(joins)
+    val (m3, p3, x3) = stats(orQs ++ likeQs ++ groupQs)
     println(
-      f"""{"workload":"generated","sf":"$sfDir","single_table":{"n":${single.length},"median":$m1%.4f,"p95":$p1%.4f,"max":$x1%.4f},"joins_3way":{"n":${joins.length},"median":$m2%.4f,"p95":$p2%.4f,"max":$x2%.4f}}""")
+      f"""{"workload":"generated","sf":"$sfDir","single_table":{"n":${single.length},"median":$m1%.4f,"p95":$p1%.4f,"max":$x1%.4f},"joins_3way":{"n":${joins.length},"median":$m2%.4f,"p95":$p2%.4f,"max":$x2%.4f},"sql_or_like_group":{"n":${orQs.length + likeQs.length + groupQs.length},"median":$m3%.4f,"p95":$p3%.4f,"max":$x3%.4f}}""")
     spark.stop()
   }
 }
