@@ -379,6 +379,38 @@ class AccuracySpec extends AnyFunSuite {
     assert(empty.head._2.value == 0.0)
   }
 
+  test("OR algebra: inclusion-exclusion bounds hold on random branch pairs") {
+    val rng = new Random(99)
+    (1 to 15).foreach { _ =>
+      val qa = 1 + rng.nextInt(30)
+      val qb = qa + rng.nextInt(20)
+      val dLo = rng.nextDouble() * 0.08
+      val pA = Map(("lineitem", "l_quantity") -> (NumRange(qa, qb): ColRange))
+      val pB = Map(("lineitem", "l_discount") ->
+        (NumRange(dLo, Double.PositiveInfinity, loIncl = false): ColRange))
+      val cA = Ensemble.estCount(ens, Set("lineitem"), pA).value
+      val cB = Ensemble.estCount(ens, Set("lineitem"), pB).value
+      val cOr = Ensemble.estCountOr(ens, Set("lineitem"), pA, pB).value
+      val eps = 1e-6 * (cA + cB + 1)
+      assert(cOr <= cA + cB + eps, s"union exceeds sum: $cOr > $cA + $cB")
+      assert(cOr >= math.max(cA, cB) - eps, s"union below max branch: $cOr < max($cA, $cB)")
+    }
+  }
+
+  test("rollup levels are self-consistent: finer groups sum to their subtotal") {
+    val rows = Ensemble.estRollup(ens, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")), Map.empty)
+    val grand = rows.collect { case (Seq(None, None), e) => e.value }.head
+    val level1 = rows.collect { case (Seq(Some(_), None), e) => e.value }
+    val level2 = rows.collect { case (Seq(Some(_), Some(_)), e) => e.value }
+    // on a single-table SPN the enumerated masses are exact marginals, so
+    // each level must sum to the grand total to fp precision
+    assert(math.abs(level1.sum - grand) <= 1e-6 * grand,
+      s"level-1 sum ${level1.sum} != grand $grand")
+    assert(math.abs(level2.sum - grand) <= 1e-6 * grand,
+      s"level-2 sum ${level2.sum} != grand $grand")
+  }
+
   test("A8: avg CI is non-degenerate and covers the exact average") {
     val e = Ensemble.estAvg(ens, Set("lineitem"), ("lineitem", "l_extendedprice"),
       Map(("lineitem", "l_quantity") -> NumRange(Double.NegativeInfinity, 30.0)))

@@ -137,10 +137,10 @@ class CompiledSpec extends AnyFunSuite {
     }
 
     // JIT warmup, then interleaved trials; min filters scheduler noise.
-    // Up to 3 measurement rounds guard against a transiently loaded CI box
-    // (a true regression fails all three).
+    // Up to 5 measurement rounds guard against a transiently loaded CI box
+    // (a true regression fails all of them).
     (1 to 5).foreach { _ => timeAdt(); timeFlat() }
-    val passed = (1 to 3).iterator.map { _ =>
+    val passed = (1 to 5).iterator.map { _ =>
       val trials = (1 to 7).map(_ => (timeAdt(), timeFlat()))
       val adtNs = trials.map(_._1).min
       val flatNs = trials.map(_._2).min

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions (SURVEY §6): at 100 TB the plan IS the
+  * product — filters must reach the parquet scan, projections must prune
+  * the read schema, dimension joins must broadcast. These read the
+  * UNCACHED plans (`Tables.raw`): the cached fixtures used by small-SF
+  * tests report InMemoryTableScan, which hides what a cluster-scale scan
+  * would do.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // a directory no other suite caches: Spark's CacheManager substitutes a
+  // cached InMemoryRelation into ANY matching fresh read of the same path,
+  // which would hide the parquet scan these tests assert on
+  private val rawSf = "/root/testdata/sf0.01"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown: the filter reaches the parquet scan") {
+    val df = schema.Tables.raw(spark, rawSf, "lineitem")
+      .filter(col("l_quantity") < 24 && col("l_discount") > 0.02)
+      .select("l_orderkey", "l_quantity", "l_discount")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), s"no pushed filters in:\n$plan")
+    // match prefixes: the plan string truncates the PushedFilters list
+    assert(plan.contains("LessThan(l_quantity,"), s"quantity filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThan(l_discount,"), s"discount filter not pushed:\n$plan")
+  }
+
+  test("column pruning: the read schema carries only referenced columns") {
+    val df = schema.Tables.raw(spark, rawSf, "lineitem")
+      .filter(col("l_quantity") < 24)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:"))
+      .orElse(Some(plan.split("ReadSchema:").lift(1).getOrElse("")))
+      .get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"),
+      s"selected columns missing from read schema: $readSchema")
+    // a 16-column table read for a 2-column projection is wrong at scale
+    Seq("l_extendedprice", "l_shipdate", "l_returnflag").foreach { c =>
+      assert(!readSchema.contains(c), s"unpruned column $c in read schema: $readSchema")
+    }
+  }
+
+  test("dimension joins broadcast; the declared ops keep their hints") {
+    // the 3-way op declares broadcast() on its dim sides
+    val threeWay = SparkEntry.queries("join_3way")(spark, sf)
+    assert(planOf(threeWay).contains("BroadcastHashJoin"),
+      "join_3way lost its broadcast dim join")
+    // an unhinted raw small-dim join still broadcasts under the default
+    // autoBroadcastJoinThreshold — Catalyst's choice, not ours
+    val dimJoin = schema.Tables.raw(spark, rawSf, "lineitem")
+      .join(schema.Tables.raw(spark, rawSf, "supplier"), col("l_suppkey") === col("s_suppkey"))
+    assert(planOf(dimJoin).contains("BroadcastHashJoin"),
+      "small dim did not broadcast")
+  }
+
+  test("whole-stage codegen covers the scan-filter-aggregate pipeline") {
+    val df = schema.Tables.raw(spark, rawSf, "lineitem")
+      .filter(col("l_quantity") < 24)
+      .groupBy("l_returnflag").agg(sum("l_extendedprice"))
+    // AQE only annotates codegen stages ("*(n)" / WholeStageCodegen) in the
+    // FINAL plan, so execute before inspecting
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"),
+      s"hot path fell out of whole-stage codegen:\n$plan")
+  }
+}
