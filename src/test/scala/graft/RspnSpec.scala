@@ -100,7 +100,7 @@ class RspnSpec extends AnyFunSuite {
   }
 
   test("training knobs read overrides at use time and fall back to defaults") {
-    assert(Knobs.sampleCap == 20000)
+    assert(Knobs.sampleCap == 60000)
     assert(Knobs.joinBudget == 3)
     assert(Knobs.rdcThreshold == 0.3)
     sys.props("graft.sampleCap") = "1234"
@@ -113,6 +113,6 @@ class RspnSpec extends AnyFunSuite {
       sys.props.remove("graft.sampleCap")
       sys.props.remove("graft.rdcThreshold")
     }
-    assert(Knobs.sampleCap == 20000)
+    assert(Knobs.sampleCap == 60000)
   }
 }
