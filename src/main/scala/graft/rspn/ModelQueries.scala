@@ -259,7 +259,9 @@ object ModelQueries {
             "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"),
         "q09_groupby2" -> "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag, l_linestatus",
         "q10_like" -> "SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS'",
-        "q11_groupby_sum" -> "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag")
+        "q11_groupby_sum" -> "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag",
+        "q12_not_in" ->
+          "SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')")
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>
@@ -308,6 +310,9 @@ object ModelQueries {
         |  UNION ALL
         |  SELECT 'q9', '', CAST(COUNT(*) AS DOUBLE)
         |    FROM part WHERE p_type LIKE '%BRASS'
+        |  UNION ALL
+        |  SELECT 'q10', '', CAST(COUNT(*) AS DOUBLE)
+        |    FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
         |) SELECT query, grp, val FROM s ORDER BY query, grp""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.functions.{col, concat_ws, lit}
@@ -323,7 +328,8 @@ object ModelQueries {
         "q7" -> "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45)",
         "q8" -> ("SELECT SUM(l_extendedprice * l_discount) FROM lineitem " +
           "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"),
-        "q9" -> "SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS'")
+        "q9" -> "SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS'",
+        "q10" -> "SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')")
       qs.map { case (id, sql) =>
         val df = SqlExact.compile(s, d, sql)
         val gcols = df.columns.filter(_.startsWith("grp"))

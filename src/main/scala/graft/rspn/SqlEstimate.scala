@@ -96,6 +96,16 @@ object SqlEstimate {
         if (i >= 0) Some(i.toDouble) else None
       }
       NominalSet(codes.toArray)
+    case StrNotIn(values) =>
+      // complement over the dictionary (the column's complete domain);
+      // NULL rows are excluded by NominalSet mass, matching SQL != / NOT IN
+      val mc = modelColOf(spns, p.table, p.col)
+      require(mc.dict.nonEmpty,
+        s"!=/NOT IN on non-categorical column ${p.table}.${p.col}")
+      val excluded = values.toSet
+      NominalSet(mc.dict.indices.collect {
+        case i if !excluded(mc.dict(i)) => i.toDouble
+      }.toArray)
     case StrLike(pattern) =>
       // a categorical dictionary is the column's complete value domain, so
       // LIKE is exactly the member set matching the pattern

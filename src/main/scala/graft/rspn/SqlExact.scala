@@ -57,8 +57,9 @@ object SqlExact {
       // epoch days back to a timestamp literal against the raw column
       boundCol(col(p.col), lo, hi, li, hi2,
         d => lit(java.time.LocalDate.ofEpochDay(d.toLong).toString).cast("timestamp"))
-    case StrIn(values)  => col(p.col).isin(values: _*)
-    case StrLike(pat)   => col(p.col).like(pat)
+    case StrIn(values)    => col(p.col).isin(values: _*)
+    case StrNotIn(values) => !col(p.col).isin(values: _*) // SQL 3VL drops NULLs
+    case StrLike(pat)     => col(p.col).like(pat)
   }
 
   private def boundCol(

@@ -57,6 +57,11 @@ object SqlParser {
     * pattern — a NominalSet, so the leaf machinery is untouched.
     */
   final case class StrLike(pattern: String) extends RangeSpec
+  /** `!=` / `<>` / `NOT IN` over string literals: the dictionary complement
+    * on the model plane. SQL three-valued logic excludes NULLs from both
+    * planes (a NominalSet's mass never includes the null mass).
+    */
+  final case class StrNotIn(values: Seq[String]) extends RangeSpec
 
   /** Column → table resolution over the testdata schema (globally unique
     * TPC-H-style prefixes; the reference resolves via its hand-declared
@@ -245,6 +250,8 @@ object SqlParser {
   private val betweenRe: Regex = """(?i)^(\w+)\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$""".r
   private val inRe: Regex = """(?i)^(\w+)\s+IN\s*\((.+)\)$""".r
   private val likeRe: Regex = """(?i)^(\w+)\s+LIKE\s+'([^']*)'$""".r
+  private val neqRe: Regex = """(?i)^(\w+)\s*(?:!=|<>)\s*'([^']*)'$""".r
+  private val notInRe: Regex = """(?i)^(\w+)\s+NOT\s+IN\s*\((.+)\)$""".r
   private val strLit: Regex = """^'(.*)'$""".r
   private val dateLit: Regex = """(?i)^(?:DATE\s+)?'(\d{4}-\d{2}-\d{2})'$""".r
 
@@ -266,6 +273,14 @@ object SqlParser {
       Pred(tableOf(col), col, StrIn(values.toSeq))
     case likeRe(col, pat) =>
       Pred(tableOf(col), col, StrLike(pat))
+    case neqRe(col, v) =>
+      Pred(tableOf(col), col, StrNotIn(Seq(v)))
+    case notInRe(col, vs) =>
+      val values = vs.split(",").map(_.trim).map {
+        case strLit(s) => s
+        case other     => fail(s"NOT IN list value '$other' (string literals only)")
+      }
+      Pred(tableOf(col), col, StrNotIn(values.toSeq))
     case cmpRe(col, op, rawLit) =>
       val t = tableOf(col)
       lit(rawLit.trim) match {

@@ -315,6 +315,25 @@ class SqlSpec extends AnyFunSuite {
     assert(estScalar("SELECT COUNT(*) FROM part WHERE p_type LIKE 'ZZZ%'") == 0.0)
   }
 
+  test("!= and NOT IN compile to dictionary complements and match exact") {
+    views
+    val cases = Seq(
+      "SELECT COUNT(*) FROM lineitem WHERE l_returnflag != 'A'",
+      "SELECT COUNT(*) FROM lineitem WHERE l_returnflag <> 'N' AND l_quantity < 30",
+      "SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')",
+      "SELECT COUNT(*) FROM customer WHERE c_mktsegment NOT IN ('BUILDING')")
+    cases.foreach { sql =>
+      val est = estScalar(sql)
+      val exact = exactScalar(sql)
+      assert(qerr(est, exact) <= 1.5, s"est=$est exact=$exact for: $sql")
+      val compiled = SqlExact.compile(spark, sf, sql).head().getDouble(0)
+      assert(compiled == exact, s"SqlExact mismatch for: $sql")
+    }
+    // numeric complement is out of the class and must throw
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity != '5'"))
+  }
+
   test("GROUP BY with SUM/AVG/SUM(a*b) estimates every group within threshold") {
     views
     def groups(sql: String): Map[String, Ensemble.Estimate] =
