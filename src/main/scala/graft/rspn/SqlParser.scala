@@ -257,6 +257,13 @@ object SqlParser {
 
   private def days(d: String): Double = LocalDate.parse(d).toEpochDay.toDouble
 
+  /** Comma-separated string-literal list of an IN / NOT IN clause. */
+  private def strList(vs: String, ctx: String): Seq[String] =
+    vs.split(",").map(_.trim).map {
+      case strLit(s) => s
+      case other     => fail(s"$ctx list value '$other' (string literals only)")
+    }.toSeq
+
   private def parseConjunct(c: String): Pred = c match {
     case betweenRe(col, lo, hi) =>
       val t = tableOf(col)
@@ -266,21 +273,13 @@ object SqlParser {
         case _                    => fail(s"BETWEEN bounds of mixed type in '$c'")
       }
     case inRe(col, vs) =>
-      val values = vs.split(",").map(_.trim).map {
-        case strLit(s) => s
-        case other     => fail(s"IN list value '$other' (string literals only)")
-      }
-      Pred(tableOf(col), col, StrIn(values.toSeq))
+      Pred(tableOf(col), col, StrIn(strList(vs, "IN")))
     case likeRe(col, pat) =>
       Pred(tableOf(col), col, StrLike(pat))
     case neqRe(col, v) =>
       Pred(tableOf(col), col, StrNotIn(Seq(v)))
     case notInRe(col, vs) =>
-      val values = vs.split(",").map(_.trim).map {
-        case strLit(s) => s
-        case other     => fail(s"NOT IN list value '$other' (string literals only)")
-      }
-      Pred(tableOf(col), col, StrNotIn(values.toSeq))
+      Pred(tableOf(col), col, StrNotIn(strList(vs, "NOT IN")))
     case cmpRe(col, op, rawLit) =>
       val t = tableOf(col)
       lit(rawLit.trim) match {

@@ -37,9 +37,7 @@ class PlanSpec extends AnyFunSuite {
       .filter(col("l_quantity") < 24)
       .select("l_orderkey", "l_quantity")
     val plan = planOf(df)
-    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:"))
-      .orElse(Some(plan.split("ReadSchema:").lift(1).getOrElse("")))
-      .get
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
     assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"),
       s"selected columns missing from read schema: $readSchema")
     // a 16-column table read for a 2-column projection is wrong at scale
