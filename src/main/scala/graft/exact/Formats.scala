@@ -1,0 +1,30 @@
+package graft.exact
+
+import graft.ext.ModelCache
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-format source layer. The reference ingests CSV (public
+  * DataManagementLab/deepdb-public: data_preparation/prepare_single_tables.py
+  * reads the benchmark CSVs into HDF); Spark's DataSource API gives CSV,
+  * JSON-lines and ORC readers with the same DataFrame surface. Each format
+  * here is exercised as a round-trip: a dimension table is written once to
+  * the session warehouse in the format, read back with the ORIGINAL parquet
+  * schema applied explicitly (never schema inference — at 100 TB an
+  * inference pass is a full extra scan, and inferred types drift), and
+  * oracle-checked row-for-row against the parquet original.
+  */
+object Formats {
+
+  def roundTrip(s: SparkSession, d: String, table: String, format: String): DataFrame =
+    ModelCache.memo(s, d, s"fmt_${format}_$table") {
+      val src = Tables(s, d, table)
+      val path = s"spark-warehouse/graft_fmt_${format}_${table}_${Integer.toHexString(d.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val opts = if (format == "csv") Map("header" -> "true") else Map.empty[String, String]
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        src.write.mode("overwrite").format(format).options(opts).save(path)
+      s.read.schema(src.schema).format(format).options(opts).load(path)
+    }
+}

@@ -154,6 +154,52 @@ object Relational {
         .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")),
 
+    // S ext: multi-format sources (see Formats) — CSV mirrors the
+    // reference's prepare_single_tables.py ingestion; JSON-lines and ORC
+    // come free from the same DataSource surface. Each reads a round-
+    // tripped copy with the parquet schema applied explicitly and must
+    // hash-match the original rows.
+    Op(
+      "scan_csv",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    )((s, d) =>
+      Formats.roundTrip(s, d, "region", "csv")
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")),
+
+    Op(
+      "scan_json",
+      "SELECT n_nationkey, n_regionkey, n_name FROM nation ORDER BY n_nationkey"
+    )((s, d) =>
+      Formats.roundTrip(s, d, "nation", "json")
+        .select("n_nationkey", "n_regionkey", "n_name").orderBy("n_nationkey")),
+
+    Op(
+      "scan_orc",
+      "SELECT s_suppkey, s_name, CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS bal FROM supplier ORDER BY s_suppkey"
+    )((s, d) =>
+      Formats.roundTrip(s, d, "supplier", "orc")
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal").cast("decimal(18,6)"), 2).cast("double").as("bal"))
+        .orderBy("s_suppkey")),
+
+    // S ext: temporal predicate over the date-partitioned layout (see
+    // Partitioned) — the filter prunes whole year-directories at planning
+    // time (PartitionFilters, PlanSpec-asserted); the oracle runs the same
+    // query on the unpartitioned table, so layout changing answers would
+    // hash-mismatch.
+    Op(
+      "scan_partition_pruned",
+      """SELECT CAST(MONTH(l_shipdate) AS INT) AS m, COUNT(*) AS cnt
+        |FROM lineitem WHERE YEAR(l_shipdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Partitioned.lineitemByYear(s, d)
+        .filter(col("l_year") === 1996)
+        .groupBy(month(col("l_shipdate")).cast("int").as("m"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("m")
+    },
+
     // J ext: the same PK–FK join over bucketed tables (see Bucketed) — the
     // plan has no join-side Exchange/Sort (spec-asserted); results must be
     // identical to the raw-table join, which is what the oracle checks.

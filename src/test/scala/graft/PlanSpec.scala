@@ -59,6 +59,19 @@ class PlanSpec extends AnyFunSuite {
       "small dim did not broadcast")
   }
 
+  test("partition pruning: a year predicate becomes a PartitionFilter") {
+    val df = exact.Partitioned.lineitemByYear(spark, rawSf)
+      .filter(col("l_year") === 1996)
+      .select("l_orderkey")
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters:") && plan.contains("(l_year"),
+      s"year predicate did not reach PartitionFilters:\n$plan")
+    // the partition column predicate must NOT appear as a data filter —
+    // pruning happens at planning time, not per row
+    assert(!plan.contains("PushedFilters: [IsNotNull(l_year)"),
+      s"partition predicate leaked into the row filter:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan-filter-aggregate pipeline") {
     val df = schema.Tables.raw(spark, rawSf, "lineitem")
       .filter(col("l_quantity") < 24)
