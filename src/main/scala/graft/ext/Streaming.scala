@@ -37,6 +37,38 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"))
       .select(col("user_id"), col("session_window.start").as("session_start"), col("cnt"))
 
+  /** T6: stream-static enrichment — the canonical streaming-ingest pattern
+    * at scale: the unbounded side joins a broadcast dimension statelessly
+    * (Structured Streaming allows a static DataFrame on either side of an
+    * inner join with no watermark/state).
+    */
+  def enrich(ev: DataFrame, customers: DataFrame): DataFrame =
+    ev.join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** T7: arbitrary stateful processing (`mapGroupsWithState`) — per-user
+    * running event counts whose state persists across micro-batches. In
+    * batch execution state starts empty and each group is processed once,
+    * so the result equals a plain GROUP BY count (the DuckDB oracle);
+    * StreamingSpec proves the cross-batch accumulation.
+    */
+  def runningCounts(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import s.implicits._
+    ev.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "cnt")
+  }
+
   val ops: Seq[Op] = Seq(
     Op(
       "stream_tumbling",
@@ -72,6 +104,19 @@ object Streaming {
         |      FROM g)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
-    )((s, d) => session(events(s, d)).orderBy("user_id", "session_start"))
+    )((s, d) => session(events(s, d)).orderBy("user_id", "session_start")),
+
+    Op(
+      "stream_enrich",
+      """SELECT c_mktsegment, event_type, COUNT(*) AS cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    )((s, d) => enrich(events(s, d), Tables(s, d, "customer"))
+      .orderBy("c_mktsegment", "event_type")),
+
+    Op(
+      "stream_running_count",
+      "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id"
+    )((s, d) => runningCounts(events(s, d)).orderBy("user_id"))
   )
 }

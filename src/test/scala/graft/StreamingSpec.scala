@@ -119,6 +119,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(pView > 1.0 / 3 + 0.05, s"P(view)=$pView did not track the inserted burst")
   }
 
+  test("mapGroupsWithState carries running counts across micro-batches (T7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = ext.Streaming.runningCounts(mem.toDF())
+      .writeStream.format("memory").queryName("rc").outputMode("update").start()
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 00:01:00"), 1, "view", 1.0),
+      Ev(3, ts("2024-01-01 00:02:00"), 2, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(
+      Ev(4, ts("2024-01-01 00:03:00"), 1, "view", 1.0),
+      Ev(5, ts("2024-01-01 00:04:00"), 3, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("select * from rc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 1 emits (1,2),(2,1); batch 2 must emit (1,3) — the state
+    // carried user 1's prior count — and (3,1)
+    assert(Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).subsetOf(rows), s"got $rows")
+  }
+
+  test("stream-static broadcast join enriches a stream without state (T6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    val q = ext.Streaming.enrich(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enr").outputMode("complete").start()
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(3, ts("2024-01-01 00:02:00"), 2, "view", 1.0),
+      Ev(4, ts("2024-01-01 00:03:00"), 9, "view", 1.0)) // no dim row: dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("select * from enr").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("BUILDING", "view", 1L), ("BUILDING", "click", 1L),
+      ("MACHINERY", "view", 1L)), s"got $rows")
+  }
+
   test("session window over a stream groups by inactivity gap (T3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
