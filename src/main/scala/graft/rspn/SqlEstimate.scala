@@ -96,6 +96,7 @@ object SqlEstimate {
         if (i >= 0) Some(i.toDouble) else None
       }
       NominalSet(codes.toArray)
+    case NotNull => NotNullRange
     case StrNotIn(values) =>
       // complement over the dictionary (the column's complete domain);
       // NULL rows are excluded by NominalSet mass, matching SQL != / NOT IN

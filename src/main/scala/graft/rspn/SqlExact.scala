@@ -60,6 +60,7 @@ object SqlExact {
     case StrIn(values)    => col(p.col).isin(values: _*)
     case StrNotIn(values) => !col(p.col).isin(values: _*) // SQL 3VL drops NULLs
     case StrLike(pat)     => col(p.col).like(pat)
+    case NotNull          => col(p.col).isNotNull
   }
 
   private def boundCol(

@@ -62,6 +62,10 @@ object SqlParser {
     * planes (a NominalSet's mass never includes the null mass).
     */
   final case class StrNotIn(values: Seq[String]) extends RangeSpec
+  /** `IS NOT NULL` — the reference's `*_nn` indicator predicate, mapped
+    * straight onto the model plane's NotNullRange.
+    */
+  case object NotNull extends RangeSpec
 
   /** Column → table resolution over the testdata schema (globally unique
     * TPC-H-style prefixes; the reference resolves via its hand-declared
@@ -252,6 +256,7 @@ object SqlParser {
   private val likeRe: Regex = """(?i)^(\w+)\s+LIKE\s+'([^']*)'$""".r
   private val neqRe: Regex = """(?i)^(\w+)\s*(?:!=|<>)\s*'([^']*)'$""".r
   private val notInRe: Regex = """(?i)^(\w+)\s+NOT\s+IN\s*\((.+)\)$""".r
+  private val notNullRe: Regex = """(?i)^(\w+)\s+IS\s+NOT\s+NULL$""".r
   private val strLit: Regex = """^'(.*)'$""".r
   private val dateLit: Regex = """(?i)^(?:DATE\s+)?'(\d{4}-\d{2}-\d{2})'$""".r
 
@@ -280,6 +285,8 @@ object SqlParser {
       Pred(tableOf(col), col, StrNotIn(Seq(v)))
     case notInRe(col, vs) =>
       Pred(tableOf(col), col, StrNotIn(strList(vs, "NOT IN")))
+    case notNullRe(col) =>
+      Pred(tableOf(col), col, NotNull)
     case cmpRe(col, op, rawLit) =>
       val t = tableOf(col)
       lit(rawLit.trim) match {

@@ -334,6 +334,18 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM lineitem WHERE l_quantity != '5'"))
   }
 
+  test("IS NOT NULL parses to the nn indicator and composes with ranges") {
+    views
+    val sql = "SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity < 25"
+    val q = SqlParser.parseQuery(sql)
+    assert(q.preds.exists(_.range == NotNull))
+    val est = estScalar(sql)
+    val exact = exactScalar(sql)
+    assert(qerr(est, exact) <= 1.5, s"est=$est exact=$exact")
+    val compiled = SqlExact.compile(spark, sf, sql).head().getDouble(0)
+    assert(compiled == exact)
+  }
+
   test("GROUP BY with SUM/AVG/SUM(a*b) estimates every group within threshold") {
     views
     def groups(sql: String): Map[String, Ensemble.Estimate] =
