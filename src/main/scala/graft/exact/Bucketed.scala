@@ -30,10 +30,7 @@ object Bucketed {
     }
 
   private def writeOnce(s: SparkSession, d: String, name: String, key: String): DataFrame = {
-    // hash suffix disambiguates directories that sanitize to the same text
-    // (e.g. "sf0.1" vs "sf0_1") — a collision would silently serve the
-    // wrong dataset's rows
-    val tbl = s"graft_${name}_${d.replaceAll("[^A-Za-z0-9]", "_")}_${Integer.toHexString(d.hashCode)}"
+    val tbl = s"graft_${name}_${Warehouse.suffix(d)}"
     if (!s.catalog.tableExists(tbl)) {
       // a previous JVM may have left the managed location behind while this
       // session's in-memory catalog starts empty — Spark refuses to create

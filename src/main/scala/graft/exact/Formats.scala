@@ -19,12 +19,11 @@ object Formats {
   def roundTrip(s: SparkSession, d: String, table: String, format: String): DataFrame =
     ModelCache.memo(s, d, s"fmt_${format}_$table") {
       val src = Tables(s, d, table)
-      val path = s"spark-warehouse/graft_fmt_${format}_${table}_${Integer.toHexString(d.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val path = Warehouse.derivedPath(s, s"graft_fmt_${format}_${table}_${Warehouse.suffix(d)}")
       val opts = if (format == "csv") Map("header" -> "true") else Map.empty[String, String]
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      Warehouse.ensure(s, path) {
         src.write.mode("overwrite").format(format).options(opts).save(path)
+      }
       s.read.schema(src.schema).format(format).options(opts).load(path)
     }
 }

@@ -18,13 +18,12 @@ object Partitioned {
   /** lineitem re-written as parquet partitioned by `l_year`. */
   def lineitemByYear(s: SparkSession, d: String): DataFrame =
     ModelCache.memo(s, d, "partitioned_lineitem_year") {
-      val path = s"spark-warehouse/graft_lineitem_by_year_${Integer.toHexString(d.hashCode)}"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      val path = Warehouse.derivedPath(s, s"graft_lineitem_by_year_${Warehouse.suffix(d)}")
+      Warehouse.ensure(s, path) {
         Tables.raw(s, d, "lineitem")
           .withColumn("l_year", year(col("l_shipdate")))
           .write.mode("overwrite").partitionBy("l_year").parquet(path)
+      }
       s.read.parquet(path)
     }
 }
