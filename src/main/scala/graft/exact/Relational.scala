@@ -425,6 +425,37 @@ object Relational {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))),
 
+    // Exact interpolated percentile: Spark `percentile` and DuckDB
+    // `quantile_cont` share the definition, so this is oracle-checkable —
+    // the per-group form is the classic "p50/p95 latency" shape.
+    Op(
+      "agg_percentile",
+      """SELECT l_returnflag,
+        |       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)), 2) AS DOUBLE) AS p50,
+        |       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,6)), 2) AS DOUBLE) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)").cast("decimal(18,6)"), 2)
+            .cast("double").as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)").cast("decimal(18,6)"), 2)
+            .cast("double").as("p95"))
+        .orderBy("l_returnflag")),
+
+    // Sketch plane (the 100 TB shapes: one pass, bounded memory, mergeable
+    // partial states — exact distinct/percentile need a shuffle-wide exact
+    // state that stops scaling first). Approximate results are checked by
+    // spec against exact values, not the hash oracle.
+    Op.noOracle("agg_sketches") { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("apx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("apx_supps"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("apx_p50"))
+    },
+
     // P6/P7 extension surface (ABSENT in reference's conjunctive class,
     // free on the exact plane): LIKE prefix match, OR / NOT / <>.
     Op(

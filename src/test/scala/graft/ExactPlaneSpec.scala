@@ -80,6 +80,22 @@ class ExactPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
   }
 
+  test("sketch aggregates land within their error bounds of exact values") {
+    import org.apache.spark.sql.functions._
+    val li = schema.Tables(spark, sf, "lineitem")
+    val exactParts = li.select(countDistinct(col("l_partkey"))).head().getLong(0).toDouble
+    val exactP50 = li.selectExpr("percentile(l_extendedprice, 0.5)").head().getDouble(0)
+    val row = SparkEntry.queries("agg_sketches")(spark, sf).head()
+    val apxParts = row.getAs[Long]("apx_parts").toDouble
+    val apxP50 = row.getAs[Double]("apx_p50")
+    // HLL++ at rsd=0.01 — allow 5% absolute slack at this small SF
+    assert(math.abs(apxParts - exactParts) / exactParts <= 0.05,
+      s"approx distinct $apxParts vs exact $exactParts")
+    // approx_percentile with accuracy 10000 over ~6k rows is near-exact
+    assert(math.abs(apxP50 - exactP50) / exactP50 <= 0.02,
+      s"approx p50 $apxP50 vs exact $exactP50")
+  }
+
   test("semi + anti partition customer") {
     val semi = SparkEntry.queries("join_semi")(spark, sf).count()
     val anti = SparkEntry.queries("join_anti")(spark, sf).count()
