@@ -508,6 +508,54 @@ object Relational {
             .cast("bigint").as("rn"))
         .orderBy("user_id", "rn")),
 
+    // lead/lag/running-sum per key — the sessionization/telemetry window
+    // shapes; one shuffle on the partition key, then sorted within
+    // partitions (no global window).
+    Op(
+      "window_lead_lag",
+      """SELECT user_id, event_id,
+        |       lag(event_id) OVER w AS prev_id,
+        |       lead(event_id) OVER w AS next_id,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(
+          col("user_id"), col("event_id"),
+          lag("event_id", 1).over(w).as("prev_id"),
+          lead("event_id", 1).over(w).as("next_id"),
+          round(sum(col("value").cast("decimal(18,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .cast("double").as("running_value"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+
+    // Range (interval) join, expressed scale-first: when the intervals are
+    // aligned and non-overlapping, the point-in-interval probe REWRITES to
+    // an equi-join on the computed bucket key — a hash lookup instead of a
+    // per-row interval scan (a BroadcastNestedLoopJoin at best, a cartesian
+    // at worst). The oracle runs the literal BETWEEN join.
+    Op(
+      "join_range_bucketed",
+      """SELECT b.band_name, COUNT(*) AS cnt
+        |FROM lineitem l JOIN (
+        |  SELECT 10*k AS lo, 10*k + 9.999999 AS hi, 'band_' || CAST(k AS VARCHAR) AS band_name
+        |  FROM range(6) t(k)) b
+        |  ON l.l_quantity BETWEEN b.lo AND b.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val bands = (0 until 6).map(k => (k.toLong, s"band_$k")).toDF("band_key", "band_name")
+      t(s, d, "lineitem")
+        .withColumn("band_key", floor(col("l_quantity") / 10))
+        .join(broadcast(bands), "band_key") // equi-join: the rewritten probe
+        .groupBy("band_name").agg(count(lit(1)).as("cnt"))
+        .orderBy("band_name")
+    },
+
     // ---- Sort / limit ----------------------------------------------------
     Op(
       "sort_limit",
