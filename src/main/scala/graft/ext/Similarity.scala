@@ -32,6 +32,9 @@ object Similarity {
   private def unitFeats(s: SparkSession, d: String): DataFrame =
     ModelCache.memo(s, d, "unit_feats") {
       emb(s, d)
+        // local embeddings are one parquet split; fan the per-row vector
+        // math across cores (many-split sources make this a no-op at scale)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("v", vecd(col("embedding")))
         .withColumn("n2", dotd(col("v"), col("v")))
         .withColumn("unit", transform(col("v"), x => x / sqrt(col("n2"))))
@@ -159,7 +162,11 @@ object Similarity {
       // the plan shape (assign once, scan probed cells only) is unchanged.
       val k = 8
       val model = ModelCache.memo(s, d, "ivf_kmeans") {
-        new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(feats)
+        // random init + bounded iterations: kmeans|| init costs ~2k+1 extra
+        // Spark jobs and a coarse quantizer doesn't need init quality — cell
+        // recall comes from multi-probe, not centroid optimality
+        new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
+          .setInitMode("random").setMaxIter(10).fit(feats)
       }
       // cell assignment is also fit-output — memoize+cache so a probe scans
       // the assigned frame instead of re-running the KMeans transform
@@ -210,12 +217,23 @@ object Similarity {
     // memoized+cached: the self-join reads both sides from the same frame
     val unit = unitFeats(s, d).select("vec_id", "v", "n2", "features")
     val model = ModelCache.memo(s, d, "cosine_brp") {
+      // 6 tables are NOT tunable down here: unit vectors project to ~N(0,
+      // 1/dim) (σ≈0.125 at dim 64), so with bucketLength ≥ 1 every
+      // projection lands in bucket 0 or −1 and BRP degenerates to sign-LSH
+      // with per-table collision 1−θ/π (≈0.66 at a cos-0.47 pair). The
+      // per-pair miss is 0.34^tables — 3 tables measurably lost a true pair
+      // (0.34³ ≈ 4%); 6 give ≈0.2% at the loosest threshold we serve.
       new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
         .setBucketLength(1.0).setNumHashTables(6).setSeed(42L)
         .fit(unit)
     }
-    val radius = math.sqrt(2.0 * (1.0 - threshold))
+    // 5% candidate-radius slack: approxSimilarityJoin keeps dist < radius
+    // STRICTLY, so a pair sitting exactly on the cos-threshold boundary
+    // (dist² = 2(1−t)) would be excluded before the exact re-check ever saw
+    // it. Slack only admits extra candidates — precision is restored by the
+    // exact cosine filter below.
+    val radius = math.sqrt(2.0 * (1.0 - threshold)) * 1.05
     model.approxSimilarityJoin(unit, unit, radius, "dist")
       .select(
         col("datasetA.vec_id").as("a_id"), col("datasetA.v").as("va"), col("datasetA.n2").as("na2"),

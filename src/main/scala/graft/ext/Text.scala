@@ -147,6 +147,7 @@ object Text {
       // (one corpus aggregate, deterministic) must not repeat per invocation
       val tfd = ModelCache.memo(s, d, "tfidf_tf") {
         val base = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism) // one-split local file
           .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
         new HashingTF()
           .setInputCol("tk").setOutputCol("tf").setNumFeatures(1 << 15)
