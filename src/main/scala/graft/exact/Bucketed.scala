@@ -34,10 +34,17 @@ object Bucketed {
     if (!s.catalog.tableExists(tbl)) {
       // a previous JVM may have left the managed location behind while this
       // session's in-memory catalog starts empty — Spark refuses to create
-      // a managed table over an existing path, so clear the orphan first
+      // a managed table over an existing path, so clear the orphan first.
+      // SINGLE-WRITER ASSUMPTION: the catalog is in-memory, so "exists on
+      // disk but not in this catalog" can only distinguish a dead JVM's
+      // orphan from a concurrent live session's table by convention — we
+      // assume one session per warehouse dir (true for the driver, Bench and
+      // each spec JVM). Concurrent sessions must set distinct
+      // spark.sql.warehouse.dir. The delete is additionally scoped to the
+      // graft_-prefixed managed location, never an arbitrary path.
       val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (tbl.startsWith("graft_") && fs.exists(loc)) fs.delete(loc, true)
       Tables.raw(s, d, name).write.mode("overwrite")
         .bucketBy(numBuckets, key).sortBy(key)
         .format("parquet").saveAsTable(tbl)

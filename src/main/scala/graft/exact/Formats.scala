@@ -20,7 +20,16 @@ object Formats {
     ModelCache.memo(s, d, s"fmt_${format}_$table") {
       val src = Tables(s, d, table)
       val path = Warehouse.derivedPath(s, s"graft_fmt_${format}_${table}_${Warehouse.suffix(d)}")
-      val opts = if (format == "csv") Map("header" -> "true") else Map.empty[String, String]
+      // CSV must round-trip text-bearing columns exactly: pin quote/escape
+      // and multiLine EXPLICITLY rather than relying on reader defaults —
+      // Spark's default multiLine=false would mis-read a quoted embedded
+      // newline that the writer emitted legally. (multiLine makes a CSV file
+      // non-splittable; these round-trips are dimension tables, and a 100 TB
+      // text-bearing feed should be parquet/ORC, not CSV.)
+      val opts =
+        if (format == "csv")
+          Map("header" -> "true", "quote" -> "\"", "escape" -> "\"", "multiLine" -> "true")
+        else Map.empty[String, String]
       Warehouse.ensure(s, path) {
         src.write.mode("overwrite").format(format).options(opts).save(path)
       }

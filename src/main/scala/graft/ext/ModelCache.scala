@@ -34,6 +34,12 @@ object ModelCache {
     cache.get((s, dir, key)) match {
       case Some(v) => v.asInstanceOf[T] // fast path, no lock once populated
       case None => cache.synchronized {
+        // opportunistic eviction on the (rare) miss path: entries keyed by a
+        // stopped session can never be served again — their cached frames are
+        // already unusable — but the strong key would otherwise pin session,
+        // frames and fitted models for the life of the JVM (spec suites and
+        // long-lived drivers create many sessions)
+        cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
         cache.getOrElseUpdate((s, dir, key), fit).asInstanceOf[T]
       }
     }

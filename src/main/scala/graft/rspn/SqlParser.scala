@@ -262,12 +262,25 @@ object SqlParser {
 
   private def days(d: String): Double = LocalDate.parse(d).toEpochDay.toDouble
 
-  /** Comma-separated string-literal list of an IN / NOT IN clause. */
-  private def strList(vs: String, ctx: String): Seq[String] =
-    vs.split(",").map(_.trim).map {
+  /** Comma-separated string-literal list of an IN / NOT IN clause. Commas are
+    * list separators only OUTSIDE single quotes (same quote-aware scan as
+    * splitTopLevel), so IN ('A, B', 'C') parses as two values.
+    */
+  private def strList(vs: String, ctx: String): Seq[String] = {
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    vs.foreach { c =>
+      if (c == '\'') { inQ = !inQ; cur += c }
+      else if (c == ',' && !inQ) { parts += cur.toString; cur.clear() }
+      else cur += c
+    }
+    parts += cur.toString
+    parts.map(_.trim).map {
       case strLit(s) => s
       case other     => fail(s"$ctx list value '$other' (string literals only)")
     }.toSeq
+  }
 
   private def parseConjunct(c: String): Pred = c match {
     case betweenRe(col, lo, hi) =>

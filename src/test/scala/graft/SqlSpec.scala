@@ -174,6 +174,12 @@ class SqlSpec extends AnyFunSuite {
     assert(q.preds.head.range == StrIn(Seq("A BETWEEN B")))
   }
 
+  test("IN list splits on commas outside quotes only") {
+    val q = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM part WHERE p_type IN ('A, B', 'C') AND p_size < 10")
+    assert(q.preds.head.range == StrIn(Seq("A, B", "C")))
+  }
+
   test("unknown column prefix is rejected") {
     assertThrows[IllegalArgumentException](
       SqlParser.parseQuery("SELECT COUNT(*) FROM lineitem WHERE zz_bogus < 5"))
