@@ -1,0 +1,197 @@
+package graft.exact
+
+import graft.Op
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 extension surface: operators common in analytics engines that the
+  * reference's relational plane doesn't exercise directly — as-of joins,
+  * skew-salted joins, pivot, grouping sets, positional explode, exact mode,
+  * range-frame windows, stratified sampling. Same determinism contract as
+  * [[Relational]] (total ORDER BY, decimal-exact float aggregates).
+  *
+  * Scale notes are per-op; the common theme is that each is ONE shuffle on
+  * its natural key (or none), never a driver loop over collected rows.
+  */
+object Extended {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private def dsum(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")), 2).cast("double")
+
+  val ops: Seq[Op] = Seq(
+    // As-of join: for each purchase event, the most recent prior click of the
+    // same user. Expressed as ONE window over the unioned stream (partition
+    // by user, order by time) — no range join, no per-row probe; at scale
+    // this is a single shuffle on user_id, the classic streaming formulation.
+    Op(
+      "join_asof",
+      """SELECT event_id, user_id, ts,
+        |       COALESCE(prev_click_ts, TIMESTAMP '1970-01-01') AS prev_click_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        |  FROM events) s
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .withColumn("prev_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          // no-prior-click rows surface the epoch sentinel, not NULL: the
+          // driver's value compare (and pandas NaT) can never equate null
+          // timestamps, so a nullable ts column would always hash-mismatch
+          coalesce(col("prev_click_ts"), lit("1970-01-01").cast("timestamp")).as("prev_click_ts"))
+        .orderBy("event_id")
+    },
+
+    // Skew-salted join: the orders↔lineitem join keyed by (key, salt) where
+    // the probe side salts deterministically and the build side explodes
+    // across all salt values — the standard rewrite when one key dominates a
+    // shuffle partition. Bucketing the salt off l_linenumber keeps it
+    // deterministic. MUST be answer-identical to the plain join (the oracle
+    // is the plain join); only the shuffle layout changes.
+    Op(
+      "join_skew_salted",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      val nSalts = 8
+      val li = t(s, d, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(nSalts)).cast("int"))
+      val ord = t(s, d, "orders")
+        .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Pivot: order totals cross-tabbed status × priority. The pivot values
+    // are declared explicitly (F/O/P) — an undeclared pivot needs a distinct
+    // pass to discover columns, a full extra scan at 100 TB.
+    Op(
+      "groupby_pivot",
+      """SELECT o_orderpriority,
+        |       CAST(round(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS F,
+        |       CAST(round(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS O,
+        |       CAST(round(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Grouping sets: (flag, status), (flag), () in one pass — the general
+    // form behind rollup/cube; Spark plans one Expand + one aggregate, not
+    // three scans. grouping_id disambiguates the NULLs of coarser sets.
+    Op(
+      "agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    },
+
+    // Positional explode (UNNEST WITH ORDINALITY): one output row per token
+    // with its position. Narrow generate — no shuffle except the
+    // presentation sort; scoped to doc_id < 100 to bound oracle output.
+    Op(
+      "explode_tokens",
+      """SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, t[u.i] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 100) toks,
+        |     LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) u
+        |ORDER BY doc_id, pos""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // Exact mode per group with a deterministic tie-break (highest count,
+    // then smallest value): count-then-rank — the count aggregate shrinks
+    // the window input to distinct (group, value) pairs, so the rank window
+    // never sees fact-table cardinality.
+    Op(
+      "agg_mode",
+      """SELECT l_returnflag, mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, CAST(COUNT(*) AS BIGINT) AS n,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity) s
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val counts = t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag").orderBy(col("n").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // RANGE-frame window: per-customer trailing-90-day order total. The
+    // frame key is epoch days (integer) so Spark and DuckDB agree exactly;
+    // ties (same customer, same day) share one frame → one deterministic
+    // value. One shuffle on o_custkey.
+    Op(
+      "window_range_frame",
+      """SELECT o_orderkey, o_custkey, d AS day_key,
+        |       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |         OVER (PARTITION BY o_custkey ORDER BY d
+        |               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_total
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |      FROM orders) s
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("day_key").rangeBetween(-90, 0)
+      t(s, d, "orders")
+        .withColumn("day_key", datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("bigint"))
+        .withColumn("trailing_total",
+          round(sum(col("o_totalprice").cast("decimal(18,6)")).over(w), 2).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day_key").as("day_key"), col("trailing_total"))
+        .orderBy("o_orderkey")
+    },
+
+    // Stratified sample: per-stratum Bernoulli fractions (sampleBy). Not
+    // oracle-able (sampler streams are engine-internal); the spec asserts
+    // determinism at a fixed seed and per-stratum proportions. At scale this
+    // is a narrow map — no shuffle at all.
+    Op.noOracle("stratified_sample") { (s, d) =>
+      t(s, d, "lineitem")
+        .stat.sampleBy("l_returnflag", Map("A" -> 0.10, "N" -> 0.20, "R" -> 0.05), 42L)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

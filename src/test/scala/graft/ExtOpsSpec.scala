@@ -84,6 +84,37 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(brute == annTop, s"brute=$brute ann=$annTop")
   }
 
+  test("stratified sample: deterministic at fixed seed, proportions near fractions") {
+    val once = run("stratified_sample").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = run("stratified_sample").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(once == again, "sampleBy at a fixed seed must be reproducible")
+    val totals = schema.Tables(spark, sf, "lineitem").groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("A" -> 0.10, "N" -> 0.20, "R" -> 0.05)
+    fractions.foreach { case (k, f) =>
+      val got = once.getOrElse(k, 0L).toDouble
+      val want = totals(k) * f
+      // Bernoulli sampling: allow ±50% of the expectation at this small SF
+      assert(got > want * 0.5 && got < want * 1.5, s"stratum $k: sampled $got expected ~$want")
+    }
+    assert(once.keySet.subsetOf(fractions.keySet), "no rows outside the declared strata")
+  }
+
+  test("dedup_cluster: every pair shares a component, canon is the component min") {
+    val pairs = run("dedup_ngram").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val canon = run("dedup_cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) == canon(b), s"pair ($a,$b) split across components")
+    }
+    // the canonical id is a member of its own component and is minimal
+    canon.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keySet.min == lbl, s"component $lbl: min is ${members.keySet.min}")
+    }
+  }
+
   test("simhash is deterministic and order-insensitive input hash") {
     val h1 = ext.Dedup.simhash64(Seq("a b c", "b c d"))
     val h2 = ext.Dedup.simhash64(Seq("a b c", "b c d"))
