@@ -261,7 +261,13 @@ object ModelQueries {
         "q10_like" -> "SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS'",
         "q11_groupby_sum" -> "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag",
         "q12_not_in" ->
-          "SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')")
+          "SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')",
+        // round-5 surface: ROLLUP/CUBE grouping-set sugar (model plane
+        // enumerates every subset from ONE shared expectation memo)
+        "q13_rollup" ->
+          "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+        "q14_cube" ->
+          "SELECT COUNT(*) FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>
@@ -269,6 +275,11 @@ object ModelQueries {
           case SqlEstimate.Groups(rows) =>
             rows.map { case (g, e) =>
               (id, g.mkString("|"), math.rint(e.value), math.rint(e.ci95Lo), math.rint(e.ci95Hi))
+            }
+          case SqlEstimate.GroupSets(rows) =>
+            rows.map { case (g, e) =>
+              (id, g.map(_.getOrElse("ALL")).mkString("|"),
+                math.rint(e.value), math.rint(e.ci95Lo), math.rint(e.ci95Hi))
             }
         }
       }.toDF("query", "grp", "est", "ci95_lo", "ci95_hi")

@@ -18,10 +18,32 @@ object SqlEstimate {
     * one-element keys.
     */
   final case class Groups(rows: Seq[(Seq[String], Ensemble.Estimate)]) extends SqlResult
+  /** ROLLUP/CUBE result: one row per grouping-set combination; None marks a
+    * column absent from the row's set (the SQL NULL convention).
+    */
+  final case class GroupSets(rows: Seq[(Seq[Option[String]], Ensemble.Estimate)]) extends SqlResult
 
   def estimate(spns: Map[String, Ensemble.TrainedSpn], sql: String): SqlResult = {
     val q = SqlParser.parseQuery(sql)
     val preds = mergePreds(spns, q.preds)
+
+    if (q.groupMode != GroupFlat) {
+      // ROLLUP/CUBE sugar over estRollup/estCube — COUNT(*) only (the
+      // grouping-set API enumerates count expectations; per-set SUM/AVG
+      // would need the feature pass threaded through every subset)
+      if (q.agg != Count) throw new IllegalArgumentException(
+        "unsupported SQL: ROLLUP/CUBE with a non-COUNT aggregate")
+      if (q.orPreds.nonEmpty) throw new IllegalArgumentException(
+        "unsupported SQL: OR combined with ROLLUP/CUBE")
+      q.groupBy.foreach { case (gt, gcol) =>
+        require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+          s"GROUP BY $gcol: not a categorical model column")
+      }
+      return GroupSets(q.groupMode match {
+        case GroupRollup => Ensemble.estRollup(spns, q.tables, q.groupBy, preds)
+        case _           => Ensemble.estCube(spns, q.tables, q.groupBy, preds)
+      })
+    }
 
     if (q.orPreds.nonEmpty) {
       // OR reaches the model plane through inclusion–exclusion: exact for

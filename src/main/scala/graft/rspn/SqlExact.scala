@@ -47,7 +47,12 @@ object SqlExact {
         // pattern-match on it), the rest are grp2, grp3, …
         val names = gs.indices.map(i => if (i == 0) "grp" else s"grp${i + 1}")
         val gcols = gs.zip(names).map { case ((_, g), n) => col(g).as(n) }
-        df.groupBy(gcols: _*).agg(aggCol).orderBy(names.map(col): _*)
+        val grouped = q.groupMode match {
+          case GroupRollup => df.rollup(gcols: _*)
+          case GroupCube   => df.cube(gcols: _*)
+          case GroupFlat   => df.groupBy(gcols: _*)
+        }
+        grouped.agg(aggCol).orderBy(names.map(col): _*)
     }
   }
 

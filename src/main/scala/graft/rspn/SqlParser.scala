@@ -40,7 +40,17 @@ object SqlParser {
       joins: Seq[JoinEdge],
       preds: Seq[Pred],
       orPreds: Seq[Pred],
-      groupBy: Seq[(String, String)])
+      groupBy: Seq[(String, String)],
+      groupMode: GroupMode = GroupFlat)
+
+  /** How the GROUP BY columns combine: flat (plain GROUP BY), or the
+    * ROLLUP/CUBE grouping-set hierarchies (SQL sugar over the model plane's
+    * estRollup/estCube and the exact plane's rollup/cube operators).
+    */
+  sealed trait GroupMode
+  case object GroupFlat extends GroupMode
+  case object GroupRollup extends GroupMode
+  case object GroupCube extends GroupMode
 
   /** One JOIN clause: `table` newly joined into scope on `a = b`. */
   final case class JoinEdge(table: String, a: String, b: String)
@@ -86,7 +96,8 @@ object SqlParser {
     throw new IllegalArgumentException(s"unsupported SQL: $msg")
 
   private val selectRe: Regex =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\w+(?:\s*,\s*\w+)*))?\s*;?\s*$""".r
+  private val groupSetRe: Regex = """(?is)^(ROLLUP|CUBE)\s*\((.*)\)$""".r
   private val aggRe: Regex =
     """(?i)^(COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
   private val joinRe: Regex = """(?i)\s+JOIN\s+""".r
@@ -112,12 +123,18 @@ object SqlParser {
       val (preds, orPreds) = Option(where).map(parseWhere).getOrElse((Nil, Nil))
       (preds ++ orPreds).foreach(p =>
         if (!tables(p.table)) fail(s"predicate on ${p.col}: table ${p.table} not in FROM"))
-      val groupBy = Option(group).toSeq.flatMap(_.split(",")).map(_.trim).map { g =>
+      val (mode, groupCols) = Option(group).map(_.trim) match {
+        case Some(groupSetRe(kind, cols)) =>
+          (if (kind.equalsIgnoreCase("ROLLUP")) GroupRollup else GroupCube, Some(cols))
+        case other => (GroupFlat, other)
+      }
+      val groupBy = groupCols.toSeq.flatMap(_.split(",")).map(_.trim).map { g =>
         val t = tableOf(g)
         if (!tables(t)) fail(s"GROUP BY $g: table $t not in FROM")
         (t, g)
       }
-      ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy)
+      if (mode != GroupFlat && groupBy.isEmpty) fail("empty ROLLUP/CUBE column list")
+      ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy, mode)
     case _ => fail("expected SELECT <agg> FROM <join tree> [WHERE ...] [GROUP BY cols]")
   }
 

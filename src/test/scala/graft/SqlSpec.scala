@@ -392,4 +392,38 @@ class SqlSpec extends AnyFunSuite {
         s"SUM(a*b) group $g est=${spEst(g).value} exact=$x")
     }
   }
+
+  test("GROUP BY ROLLUP/CUBE sugar matches exact grouping sets") {
+    views
+    def sets(sql: String): Map[String, Double] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.GroupSets(rows) =>
+          rows.map { case (g, e) => g.map(_.getOrElse("ALL")).mkString("|") -> e.value }.toMap
+        case _ => fail("expected grouping sets")
+      }
+    val est = sets(
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+    val exact = spark.sql(
+      "SELECT coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL'), COUNT(*) " +
+        "FROM lineitem WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}" -> r.getLong(2).toDouble).toMap
+    assert(est.keySet == exact.keySet, s"rollup sets ${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (g, x) =>
+      assert(qerr(est(g), x) <= 1.5, s"ROLLUP set $g est=${est(g)} exact=$x")
+    }
+    val cubeEst = sets("SELECT COUNT(*) FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
+    val cubeExact = spark.sql(
+      "SELECT coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL'), COUNT(*) " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}" -> r.getLong(2).toDouble).toMap
+    assert(cubeEst.keySet == cubeExact.keySet)
+    cubeExact.foreach { case (g, x) =>
+      assert(qerr(cubeEst(g), x) <= 1.5, s"CUBE set $g est=${cubeEst(g)} exact=$x")
+    }
+    // the exact plane compiles the same sugar through Dataset.rollup
+    val sqlExact = rspn.SqlExact.compile(spark, sf,
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+      .collect()
+    assert(sqlExact.length == exact.size)
+  }
 }
