@@ -183,6 +183,48 @@ object Extended {
         .orderBy("o_orderkey")
     },
 
+    // Statistical aggregates from exact decimal moment sums: stddev and
+    // correlation recomposed from Σx, Σx², Σxy (DECIMAL(38,12)) instead of
+    // the engines' float accumulators — summation-order independent, so
+    // Spark and DuckDB agree bit-for-bit after rounding. One aggregation
+    // pass with map-side partials; the moment recomposition is driver-free.
+    Op(
+      "agg_stats",
+      """SELECT l_returnflag,
+        |       CAST(round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS DOUBLE) AS sd_qty,
+        |       CAST(round((n * sxy - sx * sy) /
+        |           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS DOUBLE) AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag) m
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val x = col("l_quantity").cast("decimal(18,6)")
+      val y = col("l_extendedprice").cast("decimal(18,6)")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        .select(
+          col("l_returnflag"),
+          round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - 1))), 4).as("sd_qty"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Stratified sample: per-stratum Bernoulli fractions (sampleBy). Not
     // oracle-able (sampler streams are engine-internal); the spec asserts
     // determinism at a fixed seed and per-stratum proportions. At scale this

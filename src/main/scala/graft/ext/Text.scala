@@ -126,6 +126,23 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Text normalization: lowercase, strip non-alphanumerics to spaces,
+    // squash runs, trim — the canonicalization step upstream of exact dedup
+    // (fingerprints of normalized text catch case/punctuation variants).
+    // Pure codegen'd regexp chain, identical patterns on both engines.
+    Op(
+      "text_normalize",
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin
+    )((s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+            .as("norm_text"))
+        .orderBy("doc_id")),
+
     // Document fingerprinting (content hash for exact-dup detection at scale:
     // shuffle-free map, dedup becomes a groupBy on the fingerprint).
     Op(
