@@ -66,8 +66,12 @@ object Extended {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     ) { (s, d) =>
       val nSalts = 8
+      // salt off (orderkey, linenumber): l_linenumber alone has only 7
+      // distinct values, so it would cover at most 7 of the 8 salts and
+      // leave a build-side replica joining nothing
       val li = t(s, d, "lineitem")
-        .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(nSalts)).cast("int"))
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalts)).cast("int"))
       val ord = t(s, d, "orders")
         .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
       li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
