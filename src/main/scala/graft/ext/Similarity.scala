@@ -147,40 +147,47 @@ object Similarity {
         .orderBy("dist", "vec_id")
     },
 
-    // L3 scale path #2: IVF (inverted-file) ANN — KMeans coarse quantizer,
-    // rows partitioned by nearest centroid, query probes the nProbe nearest
-    // cells and brute-forces only those. At 100 TB the cell assignment is a
-    // write-time partition key; a probe touches nProbe/k of the data.
+    // L3 scale path #2: IVF (inverted-file) ANN — coarse quantizer over UNIT
+    // vectors (spherical k-means: cosine ranking equals euclidean proximity
+    // on the sphere), rows partitioned by nearest centroid, query probes the
+    // nProbe nearest cells and brute-forces only those. The quantizer is
+    // trained DRIVER-SIDE on a bounded deterministic sample — the production
+    // IVF shape (FAISS-style: quantizers train on a sample, never the full
+    // corpus) — so building it costs zero Spark jobs; assignment is one
+    // narrow codegen'd pass. At 100 TB the cell id is a write-time partition
+    // key; a probe touches nProbe/k of the data.
     Op.noOracle("sim_topk_ivf") { (s, d) =>
-      import org.apache.spark.ml.clustering.KMeans
-      // cluster UNIT vectors (spherical k-means): cosine ranking equals
-      // euclidean proximity on the sphere, so cell probing is geometry-true
-      val feats = unitFeats(s, d) // memoized+cached: fit, assign, probe scan
+      val feats = unitFeats(s, d) // memoized+cached: sample, assign, probe scan
       // k and nProbe are the IVF cost/recall knobs. Local corpora are tiny
       // (500–2k vectors), so cells are few and the probe fraction is large;
       // at real scale k grows ~sqrt(N) and the probed fraction shrinks —
       // the plan shape (assign once, scan probed cells only) is unchanged.
       val k = 8
-      val model = ModelCache.memo(s, d, "ivf_kmeans") {
-        // random init + bounded iterations: kmeans|| init costs ~2k+1 extra
-        // Spark jobs and a coarse quantizer doesn't need init quality — cell
-        // recall comes from multi-probe, not centroid optimality
-        new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
-          .setInitMode("random").setMaxIter(10).fit(feats)
+      val centroids = ModelCache.memo(s, d, "ivf_centroids") {
+        // deterministic bounded sample: lowest vec_ids (any fixed predicate
+        // works — quantizer quality only needs coverage, not randomness)
+        val sample = feats.filter(col("vec_id") < 4096)
+          .select("unit").collect().map(_.getSeq[Double](0).toArray)
+        lloyds(sample, k, iters = 10, seed = 42L)
       }
-      // cell assignment is also fit-output — memoize+cache so a probe scans
-      // the assigned frame instead of re-running the KMeans transform
+      // cell assignment: argmin_i ||v − c_i||² ≡ argmin_i (−2·v·c_i + |c_i|²)
+      // (the common |v|² term cannot change the argmin) — one codegen'd dot
+      // per centroid, no MLlib transform, memoize+cache the assigned frame
       val assigned = ModelCache.memo(s, d, "ivf_assigned") {
-        model.transform(feats).withColumnRenamed("prediction", "cell").cache()
+        val dists = array(centroids.map(c =>
+          lit(-2.0) * dotd(col("unit"), lit(c)) + lit(c.map(x => x * x).sum)): _*)
+        feats
+          .withColumn("cell", array_position(dists, array_min(dists)).cast("int") - 1)
+          .cache()
       }
-      val qRow = feats.filter(col("vec_id") === 0).head()
-      val qVec = qRow.getAs[org.apache.spark.ml.linalg.Vector]("features")
+      val qUnit = feats.filter(col("vec_id") === 0)
+        .select("unit").head().getSeq[Double](0).toArray
       // probe the nProbe centroids nearest the query — recall/cost knob
       // (IVF recall is tunable, not exact: a near-boundary neighbor can sit
       // in an unprobed cell; the spec asserts recall@10, not identity)
       val nProbe = 4
-      val probes = model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, math.sqrt(org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec))) }
+      val probes = centroids.zipWithIndex
+        .map { case (c, i) => (i, sqdist(c, qUnit)) }
         .sortBy(_._2).take(nProbe).map(_._1)
       val qv = broadcast(
         feats.filter(col("vec_id") === 0)
@@ -206,6 +213,46 @@ object Similarity {
         .select("doc_id", "lang", "label", "n_chars")
         .orderBy("doc_id"))
   )
+
+  private def sqdist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** Deterministic driver-side Lloyd's k-means over a bounded sample —
+    * the IVF coarse quantizer. Seeded Fisher–Yates picks the initial
+    * centroids; empty cells keep their previous centroid. The sample is
+    * small by contract (thousands of rows), so 10 iterations are
+    * microseconds-to-milliseconds of driver CPU and zero Spark jobs.
+    */
+  private[ext] def lloyds(
+      sample: Array[Array[Double]], k: Int, iters: Int, seed: Long): Seq[Array[Double]] = {
+    require(sample.nonEmpty, "IVF quantizer needs a non-empty sample")
+    val rnd = new scala.util.Random(seed)
+    val idx = rnd.shuffle(sample.indices.toVector).take(math.min(k, sample.length))
+    var cents = idx.map(i => sample(i).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cents.length) {
+          val dd = sqdist(v, cents(i)); if (dd < bestD) { bestD = dd; best = i }; i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < v.length) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        if (counts(i) == 0) c else sums(i).map(_ / counts(i))
+      }
+    }
+    cents.toSeq
+  }
 
   /** LSH-bucketed cosine near-dup pairs over the raw embeddings table.
     * Candidates come from `approxSimilarityJoin` on unit-normalized vectors

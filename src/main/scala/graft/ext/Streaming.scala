@@ -69,6 +69,29 @@ object Streaming {
       .toDF("user_id", "cnt")
   }
 
+  /** T8: stream-stream interval join — purchases matched to the same user's
+    * clicks in the 30 minutes before the purchase. In batch this is an
+    * equi-join on user_id with a range predicate (one shuffle, no cartesian);
+    * in streaming the SAME condition is Spark's watermarked stream-stream
+    * join (the time bound is what lets the engine expire join state) —
+    * StreamingSpec runs it over two MemoryStreams with watermarks.
+    */
+  def intervalPairs(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+  }
+
+  def intervalJoin(ev: DataFrame): DataFrame =
+    intervalPairs(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+      .groupBy("p_id").agg(count(lit(1)).as("n_clicks"))
+
   val ops: Seq[Op] = Seq(
     Op(
       "stream_tumbling",
@@ -117,6 +140,16 @@ object Streaming {
     Op(
       "stream_running_count",
       "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id"
-    )((s, d) => runningCounts(events(s, d)).orderBy("user_id"))
+    )((s, d) => runningCounts(events(s, d)).orderBy("user_id")),
+
+    Op(
+      "stream_interval_join",
+      """SELECT p.event_id AS p_id, COUNT(*) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    )((s, d) => intervalJoin(events(s, d)).orderBy("p_id"))
   )
 }

@@ -56,6 +56,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("cnt") == 1, "the late event must not be counted")
   }
 
+  test("stream-stream interval join matches in-window clicks only (T8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = ext.Streaming.intervalPairs(
+      purchases.toDF().withWatermark("ts", "1 hour"),
+      clicks.toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    clicks.addData(
+      Ev(10, ts("2024-01-01 00:40:00"), 1, "click", 0.0), // in window
+      Ev(11, ts("2024-01-01 00:10:00"), 1, "click", 0.0), // too early (>30 min before)
+      Ev(12, ts("2024-01-01 00:45:00"), 2, "click", 0.0)) // other user
+    purchases.addData(Ev(1, ts("2024-01-01 01:00:00"), 1, "purchase", 9.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select p_id, c_ts from ivj order by c_ts").collect()
+    q.stop()
+    assert(rows.length == 1, s"exactly the one in-window same-user click joins: ${rows.toSeq}")
+    assert(rows(0).getLong(0) == 1L && rows(0).getTimestamp(1) == ts("2024-01-01 00:40:00"))
+  }
+
   test("stateful dedup within watermark (T5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
