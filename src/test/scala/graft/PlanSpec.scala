@@ -72,6 +72,40 @@ class PlanSpec extends AnyFunSuite {
       s"partition predicate leaked into the row filter:\n$plan")
   }
 
+  test("as-of join plans as one window, not a join") {
+    val plan = planOf(SparkEntry.queries("join_asof")(spark, rawSf))
+    assert(plan.contains("Window"), s"as-of lost its window formulation:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join (range-join regression):\n$plan")
+  }
+
+  test("salted skew join shuffles on (key, salt) once broadcast is off the table") {
+    // locally the ×8-exploded build side still fits the broadcast threshold
+    // (and AQE rightly broadcasts it); at 100 TB it cannot — disable the
+    // threshold to see the plan a cluster would produce and assert the join
+    // keys carry the salt
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("join_skew_salted")(spark, rawSf)
+      df.collect() // AQE finalizes join strategy at execution
+      val plan = planOf(df)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"salted join must shuffle on the salted key:\n$plan")
+      assert(plan.contains("salt#"), s"join keys lost the salt component:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("grouping sets plan one Expand, not one scan per set") {
+    val plan = planOf(SparkEntry.queries("agg_grouping_sets")(spark, rawSf))
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"grouping sets need exactly one Expand:\n$plan")
+    // one logical scan of the input (an InMemoryTableScan prints its cached
+    // relation's FileScan too — count each kind, not the sum)
+    assert("InMemoryTableScan".r.findAllIn(plan).size <= 1 &&
+      "FileScan".r.findAllIn(plan).size <= 1,
+      s"grouping sets re-scanned the input:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan-filter-aggregate pipeline") {
     val df = schema.Tables.raw(spark, rawSf, "lineitem")
       .filter(col("l_quantity") < 24)
