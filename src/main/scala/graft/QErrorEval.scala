@@ -93,15 +93,30 @@ object QErrorEval {
           // q-error instead of crashing the whole eval
           qerr(est.getOrElse(r.getString(0), 0.0), r.getDouble(1)))
     }
+    // round-5 surface: ROLLUP sugar — every grouping set (fine, subtotal,
+    // grand total) scored against exact
+    val rollupQs = {
+      val est = SqlEstimate.estimate(ens,
+        "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 35 GROUP BY ROLLUP(l_returnflag, l_linestatus)") match {
+        case SqlEstimate.GroupSets(rows) =>
+          rows.map { case (g, e) => g.map(_.getOrElse("ALL")).mkString("|") -> e.value }.toMap
+        case _ => sys.error("expected grouping sets")
+      }
+      spark.sql(
+        "SELECT coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL'), COUNT(*) " +
+          "FROM lineitem WHERE l_quantity < 35 GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+        .collect().toSeq.map(r =>
+          qerr(est.getOrElse(s"${r.getString(0)}|${r.getString(1)}", 0.0), r.getLong(2).toDouble))
+    }
     def stats(xs: Seq[Double]): (Double, Double, Double) = {
       val s = xs.sorted
       (s(s.length / 2), s(math.min(s.length - 1, (s.length * 0.95).toInt)), s.last)
     }
     val (m1, p1, x1) = stats(single)
     val (m2, p2, x2) = stats(joins)
-    val (m3, p3, x3) = stats(orQs ++ likeQs ++ groupQs)
+    val (m3, p3, x3) = stats(orQs ++ likeQs ++ groupQs ++ rollupQs)
     println(
-      f"""{"workload":"generated","sf":"$sfDir","single_table":{"n":${single.length},"median":$m1%.4f,"p95":$p1%.4f,"max":$x1%.4f},"joins_3way":{"n":${joins.length},"median":$m2%.4f,"p95":$p2%.4f,"max":$x2%.4f},"sql_or_like_group":{"n":${orQs.length + likeQs.length + groupQs.length},"median":$m3%.4f,"p95":$p3%.4f,"max":$x3%.4f}}""")
+      f"""{"workload":"generated","sf":"$sfDir","single_table":{"n":${single.length},"median":$m1%.4f,"p95":$p1%.4f,"max":$x1%.4f},"joins_3way":{"n":${joins.length},"median":$m2%.4f,"p95":$p2%.4f,"max":$x2%.4f},"sql_or_like_group":{"n":${orQs.length + likeQs.length + groupQs.length + rollupQs.length},"median":$m3%.4f,"p95":$p3%.4f,"max":$x3%.4f}}""")
     spark.stop()
   }
 }
