@@ -69,8 +69,9 @@ object QErrorEval {
       case SqlEstimate.Scalar(e) => e.value
       case _                     => sys.error("expected scalar")
     }
-    // n = 13 + 5 + 3 = 21 so the reported p95 is a distinct statistic from
-    // the max (index 19 vs 20)
+    // the or/like/group/rollup pool must stay large enough that the reported
+    // p95 is a distinct statistic from the max (a prior review found
+    // p95==max at n=18; current n = 13 + 5 + 3 + rollup rows ≈ 29)
     val orQs = (1 to 13).map { _ =>
       val a = 1 + rng.nextInt(20); val b = 30 + rng.nextInt(20)
       val sql = s"SELECT COUNT(*) FROM lineitem WHERE (l_quantity < $a) OR (l_quantity > $b)"

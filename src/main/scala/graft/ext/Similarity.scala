@@ -153,9 +153,10 @@ object Similarity {
     // nProbe nearest cells and brute-forces only those. The quantizer is
     // trained DRIVER-SIDE on a bounded deterministic sample — the production
     // IVF shape (FAISS-style: quantizers train on a sample, never the full
-    // corpus) — so building it costs zero Spark jobs; assignment is one
-    // narrow codegen'd pass. At 100 TB the cell id is a write-time partition
-    // key; a probe touches nProbe/k of the data.
+    // corpus) — so building it costs ONE sample-collect job and zero
+    // per-iteration jobs (MLlib KMeans pays jobs per iteration plus init);
+    // assignment is one narrow codegen'd pass. At 100 TB the cell id is a
+    // write-time partition key; a probe touches nProbe/k of the data.
     Op.noOracle("sim_topk_ivf") { (s, d) =>
       val feats = unitFeats(s, d) // memoized+cached: sample, assign, probe scan
       // k and nProbe are the IVF cost/recall knobs. Local corpora are tiny

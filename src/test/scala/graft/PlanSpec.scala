@@ -72,8 +72,13 @@ class PlanSpec extends AnyFunSuite {
       s"partition predicate leaked into the row filter:\n$plan")
   }
 
+  // The three round-5 op tests below use the shared `sf` fixture dir, NOT
+  // rawSf: their assertions are cache-tolerant (window/join/Expand shape, not
+  // scan details), and running them through the caching Tables path on rawSf
+  // would plant InMemoryRelations that the CacheManager substitutes into the
+  // raw-scan plans the rest of this suite asserts on.
   test("as-of join plans as one window, not a join") {
-    val plan = planOf(SparkEntry.queries("join_asof")(spark, rawSf))
+    val plan = planOf(SparkEntry.queries("join_asof")(spark, sf))
     assert(plan.contains("Window"), s"as-of lost its window formulation:\n$plan")
     assert(!plan.contains("Join"), s"as-of must not plan a join (range-join regression):\n$plan")
   }
@@ -86,7 +91,7 @@ class PlanSpec extends AnyFunSuite {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = SparkEntry.queries("join_skew_salted")(spark, rawSf)
+      val df = SparkEntry.queries("join_skew_salted")(spark, sf)
       df.collect() // AQE finalizes join strategy at execution
       val plan = planOf(df)
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
@@ -96,7 +101,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("grouping sets plan one Expand, not one scan per set") {
-    val plan = planOf(SparkEntry.queries("agg_grouping_sets")(spark, rawSf))
+    val plan = planOf(SparkEntry.queries("agg_grouping_sets")(spark, sf))
     assert("Expand".r.findAllIn(plan).size == 1,
       s"grouping sets need exactly one Expand:\n$plan")
     // one logical scan of the input (an InMemoryTableScan prints its cached
