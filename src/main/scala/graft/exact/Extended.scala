@@ -229,6 +229,28 @@ object Extended {
         .orderBy("l_returnflag")
     },
 
+    // Typed UDAF (SURVEY §2.12 Aggregator surface): sample variance from an
+    // exact-decimal moment buffer — mergeable, so Spark plans it partial +
+    // final like a built-in; the oracle recomposes the same variance from
+    // DuckDB's exact decimal sums cast to double at the same point.
+    Op(
+      "agg_udaf_var",
+      """SELECT l_linestatus,
+        |       round((n * sxx - sx * sx) / (n * (n - 1)), 4) AS var_price
+        |FROM (
+        |  SELECT l_linestatus, CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_linestatus) m
+        |ORDER BY l_linestatus""".stripMargin
+    ) { (s, d) =>
+      val exactVar = udaf(graft.functions.ExactVariance)
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(exactVar(col("l_extendedprice")).as("var_price"))
+        .orderBy("l_linestatus")
+    },
+
     // Stratified sample: per-stratum Bernoulli fractions (sampleBy). Not
     // oracle-able (sampler streams are engine-internal); the spec asserts
     // determinism at a fixed seed and per-stratum proportions. At scale this
