@@ -14,7 +14,8 @@ class WarmProbeSpec extends AnyFunSuite {
   import TestSpark._
 
   test("second invocation of memoized ops pays inference cost only") {
-    Seq("dedup_near", "dedup_cosine_lsh", "sim_topk_ivf", "text_tfidf").foreach { q =>
+    Seq("dedup_near", "dedup_cosine_lsh", "sim_topk_ivf", "text_tfidf",
+      "dedup_cluster").foreach { q =>
       SparkEntry.queries(q)(spark, sf).count() // cold: fit + featurize
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sf).count()
