@@ -242,6 +242,38 @@ object Ensemble {
     (mcols, exprs)
   }
 
+  private val countCache =
+    TrieMap.empty[(SparkSession, String, String), scala.concurrent.Future[Long]]
+
+  /** Deduped counting job per (session, sfDir, tag). The concurrent trainers
+    * (singles, chains, joins, candidate ranking) all need the same handful of
+    * table / distinct-FK counts; without dedup lineitem alone is counted ~8
+    * times per training run. Unlike ModelCache.memo this does NOT serialize
+    * distinct keys — the first caller computes inline while later callers of
+    * the SAME key await its in-flight future. A failed job is evicted so a
+    * retry can recompute.
+    */
+  private def sharedCount(spark: SparkSession, sfDir: String, tag: String)(job: => Long): Long = {
+    import scala.concurrent.{Await, Promise}
+    import scala.concurrent.duration._
+    val key = (spark, sfDir, tag)
+    val p = Promise[Long]()
+    countCache.putIfAbsent(key, p.future) match {
+      case Some(inFlight) => Await.result(inFlight, 15.minutes)
+      case None =>
+        try {
+          val v = job
+          p.success(v)
+          v
+        } catch {
+          case e: Throwable =>
+            countCache.remove(key, p.future)
+            p.failure(e)
+            throw e
+        }
+    }
+  }
+
   private def toMatrix(rows: Array[org.apache.spark.sql.Row], width: Int): Array[Array[Double]] =
     rows.map { r =>
       Array.tabulate(width)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
@@ -256,7 +288,7 @@ object Ensemble {
 
   private def trainSingle(spark: SparkSession, sfDir: String, table: String): TrainedSpn = {
     val df = Tables(spark, sfDir, table)
-    val total = timed(s"  count:$table")(df.count())
+    val total = timed(s"  count:$table")(sharedCount(spark, sfDir, s"count:$table")(df.count()))
     val (mcols, exprs) = timed(s"  dicts:$table")(modelColsFor(spark, sfDir, table))
     val (data, nSamp) = timed(s"  sample:$table")(collectSample(df, exprs, total))
     val root = timed(s"  learn:$table")(Learn.learn(data, mcols.map(_.kind)))
@@ -285,10 +317,15 @@ object Ensemble {
       rels: Seq[Relationship], dims: Seq[Relationship] = Nil): TrainedSpn = {
     val pathTables = rels.head.one +: rels.map(_.many)
     val tables = pathTables ++ dims.map(_.one)
+    val nm = tables.mkString("_")
     val dfs = pathTables.map(t => Tables(spark, sfDir, t))
-    val counts = dfs.map(_.count())
+    val counts = timed(s"  counts:$nm")(pathTables.zip(dfs).map { case (t, df) =>
+      sharedCount(spark, sfDir, s"count:$t")(df.count())
+    })
     // distinct parent keys present at each hop = parents WITH children
-    val matched = rels.map(r => Tables(spark, sfDir, r.many).select(col(r.fk)).distinct().count())
+    val matched = timed(s"  matched:$nm")(rels.map(r =>
+      sharedCount(spark, sfDir, s"matched:${r.id}")(
+        Tables(spark, sfDir, r.many).select(col(r.fk)).distinct().count())))
     val total = counts.last + rels.indices.map(i => counts(i) - matched(i)).sum
 
     val fracKeys = math.min(1.0, sampleCap * 1.2 / math.max(total, 1L))
@@ -315,16 +352,16 @@ object Ensemble {
     val corrExprs = rels.flatMap(r => Seq(col(s"mult_${r.many}"), col(s"nn_${r.many}")))
     val mcols = (attrCols ++ corrCols).toArray
     val exprs = attrExprs ++ corrExprs
-    val rows = df.select(exprs: _*).limit(sampleCap).collect()
+    val rows = timed(s"  sample:$nm")(df.select(exprs: _*).limit(sampleCap).collect())
     val data = toMatrix(rows, exprs.length)
-    val root = Learn.learn(data, mcols.map(_.kind))
+    val root = timed(s"  learn:$nm")(Learn.learn(data, mcols.map(_.kind)))
     val base = attrCols.length
     val pathManys = rels.map(_.many)
     val subtree = rels.zipWithIndex.map { case (r, i) =>
       val below = pathManys.drop(i).toSet
       r.many -> (below ++ dims.filter(d => below(d.many)).map(_.one))
     }.toMap
-    TrainedSpn(tables.mkString("_"), tables.toSet, mcols, root, total.toDouble, rows.length.toLong,
+    TrainedSpn(nm, tables.toSet, mcols, root, total.toDouble, rows.length.toLong,
       nnCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i + 1) }.toMap,
       multCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i) }.toMap,
       subtree = subtree)
@@ -349,7 +386,7 @@ object Ensemble {
     val (_, manyExprs) = modelColsFor(spark, sfDir, rel.many)
     // sample the fact BEFORE the join: the ranking join is then a broadcast
     // of ~2k rows against the dim, constant cost at any SF
-    val total = many.count()
+    val total = sharedCount(spark, sfDir, s"count:${rel.many}")(many.count())
     val frac = math.min(1.0, 2500.0 / math.max(total, 1L))
     val manyS = many.sample(withReplacement = false, frac, 42L).limit(2000)
     val joined = manyS.join(one, col(rel.fk) === col(rel.pk))
@@ -364,8 +401,16 @@ object Ensemble {
     * edges. Deterministic: seeded RDC, name tie-break.
     */
   def rankCandidates(spark: SparkSession, sfDir: String, budget: Int = joinBudget): Seq[JoinCandidate] = {
-    val scored = joinCandidates
-      .map(rel => (rel, crossRdc(spark, sfDir, rel)))
+    // candidates are scored independently (each crossRdc seeds its own RNG),
+    // so concurrent scoring is bit-identical to sequential — it just stops
+    // serializing four sample-join jobs behind each other
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val scored = Await.result(
+      Future.sequence(joinCandidates.map(rel =>
+        Future(rel -> timed(s"  crossRdc:${joinName(rel)}")(crossRdc(spark, sfDir, rel))))),
+      15.minutes)
       .sortBy { case (rel, s) => (-s, joinName(rel)) }
     val required = requiredRels.map(_.id).toSet
     scored.zipWithIndex.map { case ((rel, s), rank) =>

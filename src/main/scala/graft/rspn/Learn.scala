@@ -268,22 +268,34 @@ object Learn {
       mu(j) = if (cnt > 0) s / cnt else 0.0
       sd(j) = if (cnt > 0) math.max(math.sqrt(math.max(0, s2 / cnt - mu(j) * mu(j))), 1e-9) else 1.0
     }
-    def vec(r: Int): Array[Double] =
-      Array.tabulate(d) { j =>
-        val v = data(r)(scope(j))
-        if (v.isNaN) 0.0 else (v - mu(j)) / sd(j)
+    // z-normalize ONCE into a dense matrix: the assignment and centroid
+    // loops below revisit every row per iteration, and recomputing
+    // (v-mu)/sd with a fresh Array per visit dominated learn() wall time
+    // (the recursion calls kmeans2 at every level)
+    val vm: Array[Array[Double]] = Array.tabulate(rows.length) { i =>
+      val row = data(rows(i))
+      val v = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        val x = row(scope(j))
+        v(j) = if (x.isNaN) 0.0 else (x - mu(j)) / sd(j)
+        j += 1
       }
+      v
+    }
     // k-means++ style seeding, deterministic
-    val c0 = vec(rows(rng.nextInt(rows.length)))
-    var far = rows(0); var farD = -1.0
-    rows.foreach { r =>
-      val v = vec(r)
+    val c0 = vm(rng.nextInt(rows.length)).clone()
+    var far = 0; var farD = -1.0
+    var ri = 0
+    while (ri < rows.length) {
+      val v = vm(ri)
       var dd = 0.0
       var j = 0
       while (j < d) { val t = v(j) - c0(j); dd += t * t; j += 1 }
-      if (dd > farD) { farD = dd; far = r }
+      if (dd > farD) { farD = dd; far = ri }
+      ri += 1
     }
-    val cents = Array(c0, vec(far))
+    val cents = Array(c0, vm(far).clone())
     val assign = new Array[Int](rows.length)
     var iter = 0
     var changed = true
@@ -291,7 +303,7 @@ object Learn {
       changed = false
       var i = 0
       while (i < rows.length) {
-        val v = vec(rows(i))
+        val v = vm(i)
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < 2) {
@@ -310,7 +322,7 @@ object Learn {
         var i = 0
         while (i < rows.length) {
           if (assign(i) == c) {
-            val v = vec(rows(i))
+            val v = vm(i)
             var j = 0
             while (j < d) { sum(j) += v(j); j += 1 }
             cnt += 1
