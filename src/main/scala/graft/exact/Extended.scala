@@ -260,6 +260,78 @@ object Extended {
         .stat.sampleBy("l_returnflag", Map("A" -> 0.10, "N" -> 0.20, "R" -> 0.05), 42L)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
         .orderBy("l_returnflag")
+    },
+
+    // Bloom-prefiltered join (runtime-filter pattern): a compact bloom
+    // filter of the filtered dimension's keys is broadcast and applied to
+    // the fact BEFORE its shuffle — at 100 TB this is what keeps a
+    // sort-merge join from shuffling the ~80% of fact rows that can never
+    // match a selective dim. False positives only let extra rows through to
+    // the exact join, so the answer is identical to the plain join (the
+    // oracle IS the plain join). The UDF is unavoidable: Spark's own
+    // BloomFilterMightContain expression is private to its injected runtime
+    // filters, and the bloom bitmap (KBs–MBs) rides the broadcast, not the
+    // closure.
+    Op(
+      "join_bloom_prefiltered",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      val seg = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      // expectedNumItems from the dim count (a dim-sized aggregate; the dim
+      // table is cached) — undersizing a bloom silently raises its fpp
+      val bf = seg.stat.bloomFilter("c_custkey", math.max(seg.count(), 64L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      t(s, d, "orders")
+        .filter(mightContain(col("o_custkey")))
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Exact heavy hitters: customers placing ≥2× the mean orders/customer
+    // (o_custkey is the one genuinely skewed entity key in the fixtures).
+    // The threshold is relative so the op is scale-invariant; the mean is
+    // one tiny aggregate broadcast into the HAVING — two passes over
+    // per-key counts, both with map-side partials.
+    Op(
+      "agg_heavy_hitters",
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 2.0 * (SELECT COUNT(*) * 1.0 / COUNT(DISTINCT o_custkey) FROM orders)
+        |ORDER BY o_custkey""".stripMargin
+    ) { (s, d) =>
+      val counts = t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      val mean = counts.agg((sum(col("cnt")) / count(lit(1))).as("mean"))
+      counts.crossJoin(broadcast(mean))
+        .filter(col("cnt") >= lit(2.0) * col("mean"))
+        .select("o_custkey", "cnt")
+        .orderBy("o_custkey")
+    },
+
+    // Sketch form of the same question: one Count-Min pass (mergeable
+    // partials, fixed KB-scale memory at any SF), then the key domain —
+    // dim-sized, it's an entity key — probed against the broadcast sketch.
+    // CMS never underestimates, so this returns a superset of the exact
+    // heavy hitters (spec-asserted along with the per-key overestimate
+    // property); not oracle-able because estimates are sketch-internal.
+    Op.noOracle("agg_heavy_hitters_cms") { (s, d) =>
+      val ord = t(s, d, "orders")
+      val cms = ord.stat.countMinSketch(col("o_custkey"), eps = 0.0001, confidence = 0.99, seed = 42)
+      val cmsB = s.sparkContext.broadcast(cms)
+      val estimate = udf((k: Long) => cmsB.value.estimateCount(k))
+      val mean = ord.count().toDouble / ord.select("o_custkey").distinct().count()
+      ord.select("o_custkey").distinct()
+        .withColumn("est_cnt", estimate(col("o_custkey")))
+        .filter(col("est_cnt") >= lit(2.0 * mean))
+        .orderBy("o_custkey")
     }
   )
 }

@@ -202,6 +202,32 @@ object Similarity {
         .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
     },
 
+    // Per-label embedding centroids (the "cluster centroid" step of every
+    // embedding pipeline: class prototypes, IVF retraining, drift checks),
+    // exploded to (label, pos, val) rows so the oracle is plain SQL. The
+    // posexplode is a narrow generate; partial aggregation collapses each
+    // partition to labels×dim rows before the one shuffle, so shuffle volume
+    // is independent of corpus size. Sums ride DECIMAL(28,12) so both
+    // engines add exactly, then divide as double at the same point.
+    Op(
+      "embed_centroid",
+      """SELECT label, pos,
+        |       round(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+        |FROM (SELECT label,
+        |             unnest(range(len(embedding))) AS pos,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS x
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+    ) { (s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(vecd(col("embedding"))))
+        .groupBy("label", "pos")
+        .agg(round(sum(col("col").cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("centroid_val"))
+        .select(col("label"), col("pos").cast("bigint").as("pos"), col("centroid_val"))
+        .orderBy("label", "pos")
+    },
+
     // L4: multimodal join — documents with their embedding metadata.
     Op(
       "multimodal_join",

@@ -69,6 +69,78 @@ object Streaming {
       .toDF("user_id", "cnt")
   }
 
+  /** An in-flight session for [[sessionize]]: epoch-micro bounds + count.
+    * Lives in `GroupState` across micro-batches in streaming execution.
+    */
+  case class OpenSession(startU: Long, lastU: Long, cnt: Long)
+
+  /** T9: gap-based sessionization via `flatMapGroupsWithState` — the
+    * hand-rolled analog of `session_window` (T3) for when per-session logic
+    * outgrows the built-in (custom emission, session-local features). One
+    * shared fold serves both executions:
+    *
+    *  - batch (`emitOpen = true`): each user is seen once, open sessions are
+    *    flushed inline → result equals the gaps-and-islands oracle AND
+    *    `session_window`'s output by construction;
+    *  - streaming (`emitOpen = false`, EventTimeTimeout): closed sessions
+    *    emit as soon as a later event proves the gap; the open session waits
+    *    in state and is flushed by the watermark-driven timeout
+    *    (StreamingSpec drives both the cross-batch merge and the timeout
+    *    flush over a MemoryStream).
+    *
+    * Per-group memory is one user's micro-batch slice (bounded per key —
+    * entity-keyed, not fact-sized); the sort inside a slice is what the
+    * engine's shuffle-sort would otherwise do for session_window.
+    */
+  def sessionize(ev: DataFrame, emitOpen: Boolean,
+      gapMicros: Long = 30L * 60 * 1000000): DataFrame = {
+    val s = ev.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val timeout =
+      if (emitOpen) GroupStateTimeout.NoTimeout else GroupStateTimeout.EventTimeTimeout
+    ev.select(col("user_id"), unix_micros(col("ts")).as("tsu")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastU + gap: no earlier-than-watermark event
+            // can arrive, the open session is final
+            val open = state.get
+            state.remove()
+            Iterator((user, open.startU, open.cnt))
+          } else {
+            val ts = rows.map(_._2).toArray
+            java.util.Arrays.sort(ts)
+            val closed = Array.newBuilder[(Long, Long, Long)]
+            var open = state.getOption
+            ts.foreach { t =>
+              open = open match {
+                case Some(o) if t - o.lastU < gapMicros =>
+                  Some(OpenSession(o.startU, t, o.cnt + 1))
+                case Some(o) =>
+                  closed += ((user, o.startU, o.cnt))
+                  Some(OpenSession(t, t, 1))
+                case None =>
+                  Some(OpenSession(t, t, 1))
+              }
+            }
+            if (emitOpen) {
+              open.foreach(o => closed += ((user, o.startU, o.cnt)))
+              state.remove()
+            } else {
+              open.foreach { o =>
+                state.update(o)
+                state.setTimeoutTimestamp(o.lastU / 1000 + gapMicros / 1000)
+              }
+            }
+            closed.result().iterator
+          }
+      }
+      .toDF("user_id", "tsu", "cnt")
+      .select(col("user_id"), timestamp_micros(col("tsu")).as("session_start"), col("cnt"))
+  }
+
   /** T8: stream-stream interval join — purchases matched to the same user's
     * clicks in the 30 minutes before the purchase. In batch this is an
     * equi-join on user_id with a range predicate (one shuffle, no cartesian);
@@ -141,6 +213,23 @@ object Streaming {
       "stream_running_count",
       "SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id"
     )((s, d) => runningCounts(events(s, d)).orderBy("user_id")),
+
+    // Same gaps-and-islands oracle as stream_session: the hand-rolled
+    // stateful fold must agree with session_window on batch data.
+    Op(
+      "stream_sessionize_state",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |      FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+    )((s, d) => sessionize(events(s, d), emitOpen = true)
+      .orderBy("user_id", "session_start")),
 
     Op(
       "stream_interval_join",
