@@ -1,0 +1,221 @@
+package graft.exact
+
+import graft.Op
+import graft.schema.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 composite surface: full TPC-H-shaped pipeline queries (the
+  * multi-join + agg workloads a user of the reference's schema actually
+  * runs), consistent hash sampling, ntile/cume_dist windows, and z-order
+  * clustering. Same determinism contract as [[Relational]] (total ORDER BY,
+  * decimal-exact float aggregates, identical aliases on both planes).
+  *
+  * The TPC-H trio exercises what single-operator rows can't: Catalyst's
+  * join ordering + broadcast selection across 3–6 tables, partial
+  * aggregation under multi-key group-bys, and top-k pushdown — the shapes
+  * whose plans decide whether 100 TB is a few stages or a shuffle storm.
+  */
+object Composite {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private def dsum(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")), 2).cast("double")
+
+  /** Revenue term: the per-row double product is bit-identical in both
+    * engines (IEEE), cast to exact decimal BEFORE summing so the aggregate
+    * is summation-order independent (decimal(28,6) per agg_stats precedent).
+    */
+  private def revSum(c: Column): Column =
+    round(sum(c.cast("decimal(28,6)")), 2).cast("double")
+
+  /** Interleaved z-value of the low `bits` bits of two bigint columns —
+    * built from shift/and/or only, so the SAME formula is emitted as a
+    * DuckDB SQL string by [[zSql]] and both engines compute identical
+    * values. At 100 TB, writing files sorted by zval gives min/max
+    * row-group skipping on BOTH key dimensions at once (the OPTIMIZE
+    * ZORDER layout); the query itself must be layout-invariant.
+    */
+  private def zCol(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(
+        s"((($x >> $i) & 1) << ${2 * i})",
+        s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+
+  val ops: Seq[Op] = Seq(
+    // TPC-H Q1 (pricing summary): the canonical wide-aggregate scan. One
+    // pass, map-side partials, 6 groups — at 100 TB this is bounded by scan
+    // throughput alone, exactly as it should be (no shuffle of fact rows,
+    // only of 6-group partials).
+    Op(
+      "tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_charge,
+        |       CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, d) =>
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revSum(disc).as("sum_disc_price"),
+          revSum(disc * (lit(1) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3 (shipping priority): selective dim filter → fact join → top-k
+    // revenue. The customer side is broadcast (dim-sized); the orders↔
+    // lineitem join shuffles only date-filtered rows; the final top-10 is a
+    // TakeOrdered over per-group decimal-exact revenue, not a full sort.
+    Op(
+      "tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+        |       o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 (local supplier volume): the 6-table join. Every non-fact
+    // side is dim-sized and broadcast; the only fact shuffle is lineitem ⨝
+    // orders. The customer-nation = supplier-nation equality is an extra
+    // join predicate, not a separate pass.
+    Op(
+      "tpch_q5",
+      """SELECT n_name,
+        |       CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |              JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    ) { (s, d) =>
+      val asiaNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ntile / percent_rank / cume_dist: the quantile-bucketing windows every
+    // feature pipeline uses (score deciles, percentile features). One
+    // shuffle on the partition key; the ORDER BY inside the frame is made
+    // total (price, then key) so ranks are engine-independent.
+    Op(
+      "window_ntile",
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
+    // Consistent (hash-stable) sampling: keep a row iff a cryptographic
+    // digest of its key falls under the threshold — the train/test-split /
+    // downsampling primitive at scale. Unlike Bernoulli sampling it is
+    // reproducible across engines, partitionings and reruns (md5 of the
+    // decimal key string, first hex byte <= 0x28 ≈ 16%), joins consistently
+    // (the same keys are kept everywhere), and is a narrow scan with NO
+    // shuffle and no RNG state.
+    Op(
+      "sample_consistent",
+      """SELECT o_orderkey FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '28'
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2) <= "28")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
+    // Z-order clustering key: bit-interleave of two join/filter dimensions.
+    // The query exposes the 100 lowest z-values as a determinism check; the
+    // layout use is `repartitionByRange(zval).sortWithinPartitions(zval)` at
+    // write time, after which parquet min/max stats prune on BOTH l_partkey
+    // and l_suppkey ranges simultaneously.
+    Op(
+      "sort_zorder",
+      s"""SELECT l_orderkey, l_linenumber, CAST(${zSql("(l_partkey % 256)", "(l_suppkey % 256)", 8)} AS BIGINT) AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("zval",
+          zCol(col("l_partkey") % 256, col("l_suppkey") % 256, 8).cast("bigint"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+        .limit(100)
+    }
+  )
+}

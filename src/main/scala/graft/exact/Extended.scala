@@ -284,9 +284,15 @@ object Extended {
         .filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
       // expectedNumItems from the dim count (a dim-sized aggregate; the dim
-      // table is cached) — undersizing a bloom silently raises its fpp
-      val bf = seg.stat.bloomFilter("c_custkey", math.max(seg.count(), 64L), 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
+      // table is cached) — undersizing a bloom silently raises its fpp.
+      // The broadcast is memoized per (session, sfDir): the returned plan is
+      // lazy, so it cannot be destroyed here, but memoization caps a long
+      // session (Verify/Bench run every query) at ONE broadcast block
+      // instead of one per invocation.
+      val bfB = graft.ext.ModelCache.memo(s, d, "bloom_building_custkey") {
+        s.sparkContext.broadcast(
+          seg.stat.bloomFilter("c_custkey", math.max(seg.count(), 64L), 0.01))
+      }
       val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
       t(s, d, "orders")
         .filter(mightContain(col("o_custkey")))
@@ -320,14 +326,20 @@ object Extended {
     // partials, fixed KB-scale memory at any SF), then the key domain —
     // dim-sized, it's an entity key — probed against the broadcast sketch.
     // CMS never underestimates, so this returns a superset of the exact
-    // heavy hitters (spec-asserted along with the per-key overestimate
-    // property); not oracle-able because estimates are sketch-internal.
+    // heavy hitters with per-key est_cnt >= exact cnt (both properties
+    // asserted in ExtOpsSpec); not oracle-able because estimates are
+    // sketch-internal. Sketch, broadcast and mean are memoized per
+    // (session, sfDir) — one sketch pass and one broadcast block per
+    // session — and total/distinct counts come from ONE aggregate scan.
     Op.noOracle("agg_heavy_hitters_cms") { (s, d) =>
       val ord = t(s, d, "orders")
-      val cms = ord.stat.countMinSketch(col("o_custkey"), eps = 0.0001, confidence = 0.99, seed = 42)
-      val cmsB = s.sparkContext.broadcast(cms)
+      val (cmsB, mean) = graft.ext.ModelCache.memo(s, d, "cms_orders_custkey") {
+        val cms = ord.stat.countMinSketch(col("o_custkey"), eps = 0.0001, confidence = 0.99, seed = 42)
+        val r = ord.agg(
+          count(lit(1)).as("n"), count_distinct(col("o_custkey")).as("nd")).head()
+        (s.sparkContext.broadcast(cms), r.getLong(0).toDouble / r.getLong(1))
+      }
       val estimate = udf((k: Long) => cmsB.value.estimateCount(k))
-      val mean = ord.count().toDouble / ord.select("o_custkey").distinct().count()
       ord.select("o_custkey").distinct()
         .withColumn("est_cnt", estimate(col("o_custkey")))
         .filter(col("est_cnt") >= lit(2.0 * mean))

@@ -21,6 +21,15 @@ object ModelCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Any]
 
+  private val fits = new java.util.concurrent.atomic.AtomicLong
+
+  /** Number of `fit` blocks actually evaluated (cache misses) since JVM
+    * start. Test observability: warm-path specs assert this does NOT move
+    * on a second invocation — a load-independent re-fit detector, unlike
+    * wall-clock bounds.
+    */
+  def fitCount: Long = fits.get
+
   /** Memoize any fitted model / featurized frame under (session, dir, key).
     * `fit` must be deterministic for the same key (fixed seeds).
     *
@@ -40,7 +49,7 @@ object ModelCache {
         // frames and fitted models for the life of the JVM (spec suites and
         // long-lived drivers create many sessions)
         cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-        cache.getOrElseUpdate((s, dir, key), fit).asInstanceOf[T]
+        cache.getOrElseUpdate((s, dir, key), { fits.incrementAndGet(); fit }).asInstanceOf[T]
       }
     }
 

@@ -99,10 +99,15 @@ object Streaming {
     import s.implicits._
     val timeout =
       if (emitOpen) GroupStateTimeout.NoTimeout else GroupStateTimeout.EventTimeTimeout
-    ev.select(col("user_id"), unix_micros(col("ts")).as("tsu")).as[(Long, Long)]
+    // the watermarked `ts` column rides along untouched: EventTimeTimeout
+    // requires the event-time attribute to reach the stateful operator, and
+    // a projection that only keeps unix_micros(ts) would strip the tag
+    ev.select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[OpenSession]) =>
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             // watermark passed lastU + gap: no earlier-than-watermark event
             // can arrive, the open session is final
@@ -116,8 +121,13 @@ object Streaming {
             var open = state.getOption
             ts.foreach { t =>
               open = open match {
+                // monotonic-bounds merge: a late-but-within-watermark event
+                // (flatMapGroupsWithState does NOT drop late rows) may have
+                // t < lastU or even t < startU — fold it in without ever
+                // regressing the session bounds, or the timeout timestamp
+                // set below could fall behind the watermark (Spark throws)
                 case Some(o) if t - o.lastU < gapMicros =>
-                  Some(OpenSession(o.startU, t, o.cnt + 1))
+                  Some(OpenSession(math.min(o.startU, t), math.max(o.lastU, t), o.cnt + 1))
                 case Some(o) =>
                   closed += ((user, o.startU, o.cnt))
                   Some(OpenSession(t, t, 1))
@@ -131,7 +141,11 @@ object Streaming {
             } else {
               open.foreach { o =>
                 state.update(o)
-                state.setTimeoutTimestamp(o.lastU / 1000 + gapMicros / 1000)
+                // never set a timeout at-or-before the current watermark
+                // (Spark rejects it): a merge dominated by late events can
+                // leave lastU + gap behind the watermark — flush at wm + 1ms
+                val flushMs = o.lastU / 1000 + gapMicros / 1000
+                state.setTimeoutTimestamp(math.max(flushMs, state.getCurrentWatermarkMs() + 1))
               }
             }
             closed.result().iterator

@@ -115,6 +115,24 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS heavy hitters: superset of exact, per-key estimate >= exact count") {
+    // sf0.01: the smallest fixture whose order counts actually cross the
+    // 2× mean threshold (sf0.001 has no heavy hitters, the properties
+    // would hold vacuously)
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("agg_heavy_hitters")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cms = SparkEntry.queries("agg_heavy_hitters_cms")(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixtures contain skewed customer keys")
+    // CMS never underestimates: every exact heavy hitter clears the same
+    // threshold under the sketch, and its estimate dominates the true count
+    exact.foreach { case (k, cnt) =>
+      assert(cms.contains(k), s"exact heavy hitter $k missing from CMS superset")
+      assert(cms(k) >= cnt, s"CMS estimate ${cms(k)} < exact count $cnt for key $k")
+    }
+  }
+
   test("simhash is deterministic and order-insensitive input hash") {
     val h1 = ext.Dedup.simhash64(Seq("a b c", "b c d"))
     val h2 = ext.Dedup.simhash64(Seq("a b c", "b c d"))
@@ -125,15 +143,19 @@ class ExtOpsSpec extends AnyFunSuite {
   test("fitted-model memoization: warm invocations skip re-fit and re-featurize") {
     // The fits are fixed-seed deterministic and memoized per (session, dir);
     // a warm call pays candidate-join/inference cost only. Each of these took
-    // seconds per call when re-fit (driver bench r03: dedup_near 31 s); warm
-    // they must be well under a second at this SF.
+    // seconds per call when re-fit (driver bench r03: dedup_near 31 s). The
+    // fit counter is the exact, load-independent detector; the wall bound is
+    // a loose backstop (parallel suites share the session, tight bounds flake).
     for (name <- Seq("dedup_near", "dedup_cosine_lsh", "sim_topk_ivf", "text_tfidf")) {
       run(name).collect() // cold: fit + featurize, populates ModelCache
+      val fits0 = ext.ModelCache.fitCount
       val t0 = System.nanoTime()
       run(name).collect()
       val warmSec = (System.nanoTime() - t0) / 1e9
       info(f"$name warm invocation: $warmSec%.2f s")
-      assert(warmSec < 2.0, s"$name warm invocation took $warmSec s — memoization broken?")
+      assert(ext.ModelCache.fitCount == fits0,
+        s"$name re-fit a memoized model on its second invocation")
+      assert(warmSec < 10.0, s"$name warm invocation took $warmSec s — memoization broken?")
     }
   }
 

@@ -183,6 +183,41 @@ class StreamingSpec extends AnyFunSuite {
       ("MACHINERY", "view", 1L)), s"got $rows")
   }
 
+  test("sessionize streams: cross-batch merge, out-of-order events, timeout flush (T9)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = ext.Streaming.sessionize(
+        mem.toDF().withWatermark("ts", "10 minutes"), emitOpen = false)
+      .writeStream.format("memory").queryName("sessz").outputMode("append").start()
+    // batch 1: one open session for user 1 (00:00, 00:10)
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: 00:05 arrives LATE (t < state.lastU) but above the watermark —
+    // it must merge without regressing the session bounds; 02:00 proves the
+    // 30-min gap and closes the session at cnt=3
+    mem.addData(
+      Ev(3, ts("2024-01-01 00:05:00"), 1, "view", 1.0),
+      Ev(4, ts("2024-01-01 02:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batches 3+4: another user's events push the watermark past
+    // 02:00 + gap so the EventTimeTimeout flushes user 1's open session
+    // (timeouts fire on the trigger AFTER the watermark advances)
+    mem.addData(Ev(5, ts("2024-01-01 04:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(6, ts("2024-01-01 04:01:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from sessz").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains((1L, ts("2024-01-01 00:00:00"), 3L)),
+      s"closed session must merge the late event at its original start: $rows")
+    assert(rows.contains((1L, ts("2024-01-01 02:00:00"), 1L)),
+      s"open session must be flushed by the watermark timeout: $rows")
+  }
+
   test("session window over a stream groups by inactivity gap (T3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

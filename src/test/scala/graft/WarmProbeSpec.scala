@@ -3,12 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the fitted-model memoization (ext/ModelCache): the first invocation
-  * of each ML-backed op fits LSH/KMeans/IDF models; every later invocation
-  * must pay inference cost only. A regression to per-call re-fitting costs
-  * 5s+ per op (the round-3 bench tail); the 2.5s bound keeps headroom for
-  * loaded CI boxes while still catching any re-fit. (Measured warm times at
-  * sf0.001: dedup_near 0.90s, dedup_cosine_lsh 0.59s, sim_topk_ivf 0.22s,
-  * text_tfidf 0.09s.)
+  * of each ML-backed op fits/derives its models and featurized frames; every
+  * later invocation must pay inference cost only. The primary assertion is
+  * the ModelCache fit counter — load-independent, catches any re-fit exactly
+  * — with a loose wall-clock backstop for non-ModelCache regressions
+  * (suites run in parallel on a shared session, so tight timing bounds
+  * flake under load; measured warm times at sf0.001 are 0.1–0.7 s).
   */
 class WarmProbeSpec extends AnyFunSuite {
   import TestSpark._
@@ -17,11 +17,14 @@ class WarmProbeSpec extends AnyFunSuite {
     Seq("dedup_near", "dedup_cosine_lsh", "sim_topk_ivf", "text_tfidf",
       "dedup_cluster").foreach { q =>
       SparkEntry.queries(q)(spark, sf).count() // cold: fit + featurize
+      val fits0 = ext.ModelCache.fitCount
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sf).count()
       val warm = (System.nanoTime() - t0) / 1e9
       info(f"$q%-18s warm $warm%.2f s")
-      assert(warm < 2.5, f"$q warm invocation took $warm%.2f s — model re-fit regression?")
+      assert(ext.ModelCache.fitCount == fits0,
+        s"$q re-fit a memoized model on its second invocation")
+      assert(warm < 10.0, f"$q warm invocation took $warm%.2f s at sf0.001")
     }
   }
 }
