@@ -21,8 +21,7 @@ object Composite {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
-  private def dsum(c: Column): Column =
-    round(sum(c.cast("decimal(18,6)")), 2).cast("double")
+  private def dsum(c: Column): Column = Relational.dsum(c)
 
   /** Revenue term: the per-row double product is bit-identical in both
     * engines (IEEE), cast to exact decimal BEFORE summing so the aggregate

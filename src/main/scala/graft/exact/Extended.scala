@@ -19,8 +19,7 @@ object Extended {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
-  private def dsum(c: Column): Column =
-    round(sum(c.cast("decimal(18,6)")), 2).cast("double")
+  private def dsum(c: Column): Column = Relational.dsum(c)
 
   val ops: Seq[Op] = Seq(
     // As-of join: for each purchase event, the most recent prior click of the

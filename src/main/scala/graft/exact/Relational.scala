@@ -24,9 +24,11 @@ object Relational {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
   /** Exact, order-independent SUM of a double column: decimal-cast per value,
-    * exact decimal sum, single cast back to double.
+    * exact decimal sum, single cast back to double. Shared across the exact
+    * plane (Extended, Composite) — ONE definition of the decimal-exact-sum
+    * contract, so a precision change cannot silently diverge the oracles.
     */
-  private def dsum(c: Column): Column =
+  private[exact] def dsum(c: Column): Column =
     round(sum(c.cast("decimal(18,6)")), 2).cast("double")
   private def dec(c: Column): Column = c.cast("decimal(18,6)")
 

@@ -150,9 +150,18 @@ object Similarity {
     // cannot miss it. Candidates get an exact re-rank; the plan is a narrow
     // filter + TakeOrdered — zero shuffles, vs the multi-job quantile path
     // inside MLlib's approxNearestNeighbors (8.7 s driver r05 → sub-second).
-    // At 100 TB the bucket ids are write-time partition keys and the probe
-    // reads ~3 buckets per table instead of the corpus. Not oracle-able
-    // (bucketing is model-internal), deterministic via fixed seed.
+    //
+    // L is the recall/selectivity dial, and its usable range is set by the
+    // corpus geometry: pruning requires dist(NN) < L < typical pairwise
+    // dist. This fixture is unit-norm with dist(NN to vec 0) ≈ 1.09 vs a
+    // ~1.2–1.4 background (measured) — NO window exists, so L = 2 (the
+    // sphere diameter) deliberately degrades the probe to a full narrow
+    // scan of 8-byte buckets + exact re-rank, keeping answers exact. On a
+    // real embedding corpus (dist(NN) ≪ background), L sits between the two
+    // scales, bucket ids become write-time partition keys at 100 TB, and
+    // the same plan reads ~3 buckets per table instead of the corpus. Not
+    // oracle-able (bucketing is model-internal), deterministic via fixed
+    // seed.
     Op.noOracle("sim_topk_lsh") { (s, d) =>
       val nTables = 3
       val bucketLen = 2.0
@@ -316,33 +325,48 @@ object Similarity {
     cents.toSeq
   }
 
-  /** LSH-bucketed cosine near-dup pairs over the raw embeddings table,
-    * native random-projection hashing (round 6: replaced MLlib
+  /** LSH-banded cosine near-dup pairs over the raw embeddings table,
+    * native sign-projection banding (round 6: replaced MLlib
     * `approxSimilarityJoin`, whose exploded shuffle carries full Vector UDT
     * rows and re-computes distances in an interpreted UDF). Candidates are
-    * pairs sharing a (table, bucket) key — the band join shuffles only
-    * (id, table, bucket) ints — and each candidate is exact-rechecked with
+    * pairs sharing a (band, key) — the band join shuffles only
+    * (id, band, key) ints — and each candidate is exact-rechecked with
     * the codegen'd cosine on the raw vectors, so precision is 1.0 and only
-    * recall depends on the hash tables. There is no candidate-radius
-    * pre-filter: the exact cosine IS the filter, so no boundary slack is
-    * needed.
+    * recall depends on the bands. There is no candidate-radius pre-filter:
+    * the exact cosine IS the filter, so no boundary slack is needed.
     *
-    * 6 tables are NOT tunable down here: unit vectors project to ~N(0,
-    * 1/dim) (σ≈0.125 at dim 64), so with bucket length 1 every projection
-    * lands in bucket 0 or −1 and the hash degenerates to sign-LSH with
-    * per-table collision 1−θ/π (≈0.66 at a cos-0.47 pair). The per-pair
-    * miss is 0.34^tables — 3 tables measurably lost a true pair
-    * (0.34³ ≈ 4%); 6 give ≈0.2% at the loosest threshold we serve.
+    * THRESHOLD-ADAPTIVE band width (AND-construction): a band key packs k
+    * sign bits, each colliding w.p. p = 1 − θ/π for a pair at angle θ; k is
+    * chosen so a pair AT the threshold still collides in ≥1 of the 16 bands
+    * w.p. ≥ 0.99 (p^k ≥ 0.28). The selectivity this buys is set by the
+    * threshold, not by us: at production near-dup thresholds (cos ≥ 0.85 →
+    * k = 8) an uncorrelated pair lands in a shared band in only ~6% of
+    * cases, so the candidate set is a few percent of all pairs and the op
+    * scales as banding should. At the loose cos-0.45 spec threshold (k = 2)
+    * on an isotropic corpus — this fixture's "dups" sit at cos 0.45–0.6 vs
+    * background ≈0.3, measured — NO hash family separates signal from
+    * background (per-bit collision at θ = 60° vs 72° differs by < 0.07),
+    * and the banding degrades gracefully to near-all-pairs candidates whose
+    * cost is the int-band join + exact recheck, recall intact. That
+    * degradation is inherent to the threshold, not a parameter choice.
     */
   def cosineLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val nTables = 6
-    val bucketed = ModelCache.memo(s, d, "cosine_rp_buckets") {
+    val nBands = 16
+    // per-bit collision at the threshold angle; k sized so the boundary
+    // pair's any-band collision stays ≥ 0.99: p^k ≥ 1 − 0.01^(1/16) ≈ 0.28
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val k = math.max(1, math.floor(math.log(0.28) / math.log(p)).toInt)
+    val bucketed = ModelCache.memo(s, d, s"cosine_band_keys_$threshold") {
       val u = unitFeats(s, d).select("vec_id", "v", "n2", "unit")
       val dim = u.select(size(col("unit"))).head().getInt(0)
-      val projs = projections(nTables, dim, seed = 42L)
-      u.withColumn("buckets",
-          array(projs.map(w => floor(dotd(col("unit"), lit(w)))): _*))
-        .cache()
+      val projs = projections(nBands * k, dim, seed = 42L)
+      // band key = k packed sign bits, one codegen'd dot each
+      val keys = (0 until nBands).map { b =>
+        (0 until k).map { j =>
+          shiftleft((dotd(col("unit"), lit(projs(b * k + j))) > 0).cast("long"), j)
+        }.reduce(_ bitwiseOR _)
+      }
+      u.withColumn("buckets", array(keys: _*)).cache()
     }
     val ids = bucketed.select(col("vec_id"), posexplode(col("buckets")))
       .toDF("id", "tbl", "bucket")

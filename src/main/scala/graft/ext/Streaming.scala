@@ -121,11 +121,19 @@ object Streaming {
             var open = state.getOption
             ts.foreach { t =>
               open = open match {
-                // monotonic-bounds merge: a late-but-within-watermark event
-                // (flatMapGroupsWithState does NOT drop late rows) may have
-                // t < lastU or even t < startU — fold it in without ever
-                // regressing the session bounds, or the timeout timestamp
-                // set below could fall behind the watermark (Spark throws)
+                // far-late event (flatMapGroupsWithState does NOT drop late
+                // rows): more than a gap OLDER than the open session's start
+                // can never belong to it — emit as its own closed singleton.
+                // (State holds one open session, so a passed session can't
+                // be reopened; this is the best-effort placement under that
+                // contract, and exact when the event truly was isolated.)
+                case Some(o) if t < o.startU - gapMicros =>
+                  closed += ((user, t, 1L))
+                  Some(o)
+                // in-range merge with MONOTONIC bounds: a late event inside
+                // [start − gap, last + gap) folds in without regressing the
+                // session bounds, or the timeout timestamp set below could
+                // fall behind the watermark (Spark throws)
                 case Some(o) if t - o.lastU < gapMicros =>
                   Some(OpenSession(math.min(o.startU, t), math.max(o.lastU, t), o.cnt + 1))
                 case Some(o) =>

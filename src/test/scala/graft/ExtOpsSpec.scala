@@ -144,8 +144,9 @@ class ExtOpsSpec extends AnyFunSuite {
     // The fits are fixed-seed deterministic and memoized per (session, dir);
     // a warm call pays candidate-join/inference cost only. Each of these took
     // seconds per call when re-fit (driver bench r03: dedup_near 31 s). The
-    // fit counter is the exact, load-independent detector; the wall bound is
-    // a loose backstop (parallel suites share the session, tight bounds flake).
+    // fit counter is the exact, load-independent detector (suites fork into
+    // one sequential JVM, so the snapshot cannot race another suite); the
+    // wall bound is a loose backstop against external machine load.
     for (name <- Seq("dedup_near", "dedup_cosine_lsh", "sim_topk_ivf", "text_tfidf")) {
       run(name).collect() // cold: fit + featurize, populates ModelCache
       val fits0 = ext.ModelCache.fitCount

@@ -187,8 +187,12 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
+    // 1-hour watermark delay: wide enough that a far-late event (below the
+    // open session's start - gap but above the watermark) reaches the
+    // operator — Spark drops sub-watermark rows before an EventTimeTimeout
+    // stateful operator
     val q = ext.Streaming.sessionize(
-        mem.toDF().withWatermark("ts", "10 minutes"), emitOpen = false)
+        mem.toDF().withWatermark("ts", "1 hour"), emitOpen = false)
       .writeStream.format("memory").queryName("sessz").outputMode("append").start()
     // batch 1: one open session for user 1 (00:00, 00:10)
     mem.addData(
@@ -202,18 +206,25 @@ class StreamingSpec extends AnyFunSuite {
       Ev(3, ts("2024-01-01 00:05:00"), 1, "view", 1.0),
       Ev(4, ts("2024-01-01 02:00:00"), 1, "view", 1.0))
     q.processAllAvailable()
-    // batches 3+4: another user's events push the watermark past
+    // batch 3: a FAR-late event (more than a gap before the open session's
+    // 02:00 start, above the 01:00 watermark) must become its own closed
+    // singleton, not merge into — or regress — the open session
+    mem.addData(Ev(5, ts("2024-01-01 01:15:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batches 4+5: another user's events push the watermark past
     // 02:00 + gap so the EventTimeTimeout flushes user 1's open session
     // (timeouts fire on the trigger AFTER the watermark advances)
-    mem.addData(Ev(5, ts("2024-01-01 04:00:00"), 2, "view", 1.0))
+    mem.addData(Ev(6, ts("2024-01-01 04:00:00"), 2, "view", 1.0))
     q.processAllAvailable()
-    mem.addData(Ev(6, ts("2024-01-01 04:01:00"), 2, "view", 1.0))
+    mem.addData(Ev(7, ts("2024-01-01 04:01:00"), 2, "view", 1.0))
     q.processAllAvailable()
     val rows = spark.sql("select * from sessz").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     q.stop()
     assert(rows.contains((1L, ts("2024-01-01 00:00:00"), 3L)),
       s"closed session must merge the late event at its original start: $rows")
+    assert(rows.contains((1L, ts("2024-01-01 01:15:00"), 1L)),
+      s"far-late event must close as its own singleton session: $rows")
     assert(rows.contains((1L, ts("2024-01-01 02:00:00"), 1L)),
       s"open session must be flushed by the watermark timeout: $rows")
   }

@@ -6,9 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * of each ML-backed op fits/derives its models and featurized frames; every
   * later invocation must pay inference cost only. The primary assertion is
   * the ModelCache fit counter — load-independent, catches any re-fit exactly
-  * — with a loose wall-clock backstop for non-ModelCache regressions
-  * (suites run in parallel on a shared session, so tight timing bounds
-  * flake under load; measured warm times at sf0.001 are 0.1–0.7 s).
+  * — with a loose wall-clock backstop for non-ModelCache regressions.
+  * (Suites fork into ONE sequential JVM, so the counter snapshot cannot race
+  * another suite's fits; the wall bound is loose because external machine
+  * load — concurrent builds, the driver's own jobs — made tight bounds
+  * flake. Measured warm times at sf0.001 are 0.1–0.7 s.)
   */
 class WarmProbeSpec extends AnyFunSuite {
   import TestSpark._
