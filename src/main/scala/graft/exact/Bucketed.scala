@@ -45,7 +45,14 @@ object Bucketed {
       val loc = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (tbl.startsWith("graft_") && fs.exists(loc)) fs.delete(loc, true)
-      Tables.raw(s, d, name).write.mode("overwrite")
+      // repartition on the bucket column with numBuckets partitions first:
+      // Spark's bucket id and its shuffle hash are the same Murmur3 pmod,
+      // so each task then holds exactly one bucket and writes ONE file —
+      // without this, every input task writes a file per bucket it touches
+      // (32 tasks × 8 buckets = 256 small files per table, and the
+      // small-file tax recurs on every later read)
+      Tables.raw(s, d, name).repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+        .write.mode("overwrite")
         .bucketBy(numBuckets, key).sortBy(key)
         .format("parquet").saveAsTable(tbl)
     }

@@ -153,33 +153,35 @@ object Text {
         .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
         .orderBy("doc_id")),
 
-    // L5: TF-IDF weighting (SURVEY: Tokenizer+HashingTF+IDF). The IDF model
-    // fit is one aggregate over the corpus (document frequencies); transform
-    // is a narrow map. Emitted as the per-document L2 norm of the weighted
-    // vector — deterministic per row (sparse indices are sorted, so the sum
-    // order is fixed) — not the raw 2^15-dim vector.
+    // L5: TF-IDF weighting, native exact term statistics (round 6: replaced
+    // HashingTF+IDF — no 2^15 hash space, no collisions, no Vector UDT in
+    // the plan; everything is codegen'd relational algebra). tf = per
+    // (doc, term) count, df = per-term doc count, idf = ln((N+1)/(df+1))
+    // (MLlib's formula). Emitted as the per-document L2 norm of the
+    // weighted vector. Three small shuffles (doc+term, term, doc) with
+    // map-side partials — at 100 TB the (doc, term) aggregate is the only
+    // fact-sized one, and it's exactly the word-count shape. The final
+    // per-doc frame is memoized+cached, so the norm sum order — and with it
+    // the float result — is frozen per session.
     Op.noOracle("text_tfidf") { (s, d) =>
-      import org.apache.spark.ml.feature.{HashingTF, IDF}
-      // memoized: read twice per call (IDF fit + transform) and the IDF fit
-      // (one corpus aggregate, deterministic) must not repeat per invocation
-      val tfd = ModelCache.memo(s, d, "tfidf_tf") {
+      val norms = ModelCache.memo(s, d, "tfidf_norms") {
         val base = docs(s, d)
           .repartition(s.sparkContext.defaultParallelism) // one-split local file
-          .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
-        new HashingTF()
-          .setInputCol("tk").setOutputCol("tf").setNumFeatures(1 << 15)
-          .transform(base).cache()
+        val nDocs = base.count()
+        val tf = base
+          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        val w = tf.join(df_, "term")
+          .withColumn("w", col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
+        // left join back to the corpus: a doc whose every term got weight 0
+        // (or an empty doc) must still emit one row, like the vector form did
+        base.select("doc_id")
+          .join(w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("n2")), Seq("doc_id"), "left")
+          .select(col("doc_id"), round(coalesce(col("n2"), lit(0.0)), 3).as("tfidf_norm"))
+          .cache()
       }
-      val idf = ModelCache.memo(s, d, "tfidf_idf") {
-        new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfd)
-      }
-      // sparse L2 norm over the active entries only (a vector_to_array
-      // formulation would densify 2^15 doubles per document)
-      val norm2 = udf((v: org.apache.spark.ml.linalg.Vector) =>
-        org.apache.spark.ml.linalg.Vectors.norm(v, 2.0))
-      idf.transform(tfd)
-        .select(col("doc_id"), round(norm2(col("tfidf")), 3).as("tfidf_norm"))
-        .orderBy("doc_id")
+      norms.orderBy("doc_id")
     }
   )
 }
