@@ -51,6 +51,39 @@ object Composite {
         s"((($y >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" | ")
 
+  private val fragmentFiles = 64
+  private val compactTarget = 4
+
+  /** The compacted documents layout: a deliberately fragmented copy
+    * (64 files) is written once, then compacted to 4. Exposed for the spec,
+    * which asserts the physical file counts on both sides.
+    */
+  private[graft] def compacted(s: SparkSession, d: String): DataFrame =
+    graft.ext.ModelCache.memo(s, d, "compacted_documents") {
+      val frag = Warehouse.derivedPath(s, s"graft_docs_frag_${Warehouse.suffix(d)}")
+      val comp = Warehouse.derivedPath(s, s"graft_docs_compact_${Warehouse.suffix(d)}")
+      Warehouse.ensure(s, frag) {
+        Tables.raw(s, d, "documents").repartition(fragmentFiles).write.mode("overwrite").parquet(frag)
+      }
+      Warehouse.ensure(s, comp) {
+        // real compactors size target = ceil(totalBytes / targetFileSize);
+        // the fixture corpus is MBs, so the count is pinned instead
+        s.read.parquet(frag).repartition(compactTarget).write.mode("overwrite").parquet(comp)
+      }
+      s.read.parquet(comp)
+    }
+
+  private[graft] def parquetFileCount(s: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  private[graft] def fragPath(s: SparkSession, d: String): String =
+    Warehouse.derivedPath(s, s"graft_docs_frag_${Warehouse.suffix(d)}")
+  private[graft] def compactPath(s: SparkSession, d: String): String =
+    Warehouse.derivedPath(s, s"graft_docs_compact_${Warehouse.suffix(d)}")
+
   val ops: Seq[Op] = Seq(
     // TPC-H Q1 (pricing summary): the canonical wide-aggregate scan. One
     // pass, map-side partials, 6 groups — at 100 TB this is bounded by scan
@@ -153,6 +186,44 @@ object Composite {
         .groupBy("n_name")
         .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q6 (forecast revenue change): the minimal selective filter-agg.
+    // Every predicate is scan-evaluable — at 100 TB this is THE query whose
+    // cost is decided by pushdown + row-group statistics alone (a z-order/
+    // shipdate-sorted layout prunes most of the scan before decoding).
+    Op(
+      "tpch_q6",
+      """SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          revSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Small-file compaction: the corpus maintenance primitive of every
+    // long-lived ingest (streaming sinks and per-batch writes accrete
+    // thousands of KB-scale files whose open/footer cost eventually
+    // dominates scans). One read of the fragmented layout →
+    // `repartition(target)` → one write; content must be EXACTLY preserved,
+    // which is what the oracle checks (the file-count collapse itself is
+    // asserted in ExactPlaneSpec). Both layouts are written once per
+    // (session, sfDir) into the warehouse.
+    Op(
+      "compact_files",
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"
+    ) { (s, d) =>
+      compacted(s, d)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     },
 
     // ntile / percent_rank / cume_dist: the quantile-bucketing windows every

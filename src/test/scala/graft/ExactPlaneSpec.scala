@@ -102,4 +102,14 @@ class ExactPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = schema.Tables(spark, sf, "customer").count()
     assert(anti <= all - semi) // semi uses a price filter, anti does not
   }
+
+  test("compaction collapses the fragmented layout and preserves content") {
+    val compacted = exact.Composite.compacted(spark, sf)
+    val docs = schema.Tables(spark, sf, "documents")
+    assert(compacted.count() == docs.count(), "compaction must not drop or duplicate rows")
+    val fragFiles = exact.Composite.parquetFileCount(spark, exact.Composite.fragPath(spark, sf))
+    val compFiles = exact.Composite.parquetFileCount(spark, exact.Composite.compactPath(spark, sf))
+    assert(fragFiles >= 32, s"fragmented layout should have many files, got $fragFiles")
+    assert(compFiles <= 4, s"compacted layout should have few files, got $compFiles")
+  }
 }
