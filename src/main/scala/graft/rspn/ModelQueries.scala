@@ -267,7 +267,14 @@ object ModelQueries {
         "q13_rollup" ->
           "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag, l_linestatus)",
         "q14_cube" ->
-          "SELECT COUNT(*) FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)")
+          "SELECT COUNT(*) FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+        // round-6 surface: JOB-light comma-join form with aliases (the
+        // reference's benchmark SQL shape, benchmarks/job-light/sql) —
+        // desugared into the canonical JOIN tree by SqlParser
+        "q15_joblight" ->
+          ("SELECT COUNT(*) FROM customer c, orders o, lineitem l " +
+            "WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey " +
+            "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"))
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>
@@ -324,6 +331,11 @@ object ModelQueries {
         |  UNION ALL
         |  SELECT 'q10', '', CAST(COUNT(*) AS DOUBLE)
         |    FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |  UNION ALL
+        |  SELECT 'q11', '', CAST(COUNT(*) AS DOUBLE)
+        |    FROM customer c, orders o, lineitem l
+        |    WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey
+        |      AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30
         |) SELECT query, grp, val FROM s ORDER BY query, grp""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.functions.{col, concat_ws, lit}
@@ -340,7 +352,13 @@ object ModelQueries {
         "q8" -> ("SELECT SUM(l_extendedprice * l_discount) FROM lineitem " +
           "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'"),
         "q9" -> "SELECT COUNT(*) FROM part WHERE p_type LIKE '%BRASS'",
-        "q10" -> "SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')")
+        "q10" -> "SELECT COUNT(*) FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')",
+        // JOB-light comma-join form (the reference's benchmark SQL shape:
+        // benchmarks/job-light/sql, parsed by evaluation/utils.py) —
+        // desugared by SqlParser into the canonical JOIN tree
+        "q11" -> ("SELECT COUNT(*) FROM customer c, orders o, lineitem l " +
+          "WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey " +
+          "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"))
       qs.map { case (id, sql) =>
         val df = SqlExact.compile(s, d, sql)
         val gcols = df.columns.filter(_.startsWith("grp"))

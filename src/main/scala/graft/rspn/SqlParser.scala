@@ -350,11 +350,89 @@ object SqlParser {
     case r                     => r
   }
 
-  /** Public entry that also handles `col = 'string'`. */
+  /** Public entry that also handles `col = 'string'` and the JOB-light
+    * comma-join form (`FROM a x, b y WHERE x.k = y.k AND ...` — the exact
+    * shape of the reference's benchmarks/job-light/sql files, parsed by
+    * evaluation/utils.py::parse_query): aliases are stripped (columns carry
+    * globally-unique table prefixes here, as in the reference's schemas) and
+    * WHERE equijoin conjuncts are hoisted into ordered JOIN ... ON clauses,
+    * after which the strict JOIN-form parser — including its PK–FK edge
+    * validation — sees a single canonical shape.
+    */
   def parseQuery(sql: String): ParsedQuery = {
     // pre-rewrite string equality into IN form so parseConjunct stays total
     val rewritten = """(?i)(\w+)\s*=\s*('(?!\d{4}-\d{2}-\d{2}')[^']*')""".r
       .replaceAllIn(sql, m => Regex.quoteReplacement(s"${m.group(1)} IN (${m.group(2)})"))
-    parse(rewritten)
+    parse(desugarCommaJoins(rewritten))
+  }
+
+  private def isColumn(x: String): Boolean =
+    scala.util.Try(tableOf(x)).isSuccess && !x.headOption.exists(_.isDigit)
+
+  /** Rewrite `FROM a [x], b [y] WHERE x.j = y.k AND …` into the canonical
+    * `FROM a JOIN b ON j = k WHERE …` form. No-op for JOIN-form (or
+    * single-table) SQL.
+    */
+  private[rspn] def desugarCommaJoins(sql: String): String = sql match {
+    case selectRe(sel, from, where, group) if from.contains(",") &&
+        joinRe.findFirstIn(from).isEmpty =>
+      // table list with optional aliases
+      val tableRe = """^(\w+)(?:\s+(?:(?i)AS\s+)?(\w+))?$""".r
+      val entries = from.split(",").map(_.trim).map {
+        case tableRe(t, alias) => (Option(alias).getOrElse(t), t)
+        case other             => fail(s"FROM entry '$other'")
+      }
+      val aliasMap = entries.toMap
+      if (aliasMap.size != entries.length) fail("duplicate table alias in FROM")
+      // strip alias qualifiers everywhere (columns are globally unique);
+      // leave non-alias dotted tokens (e.g. the decimal literal 0.05)
+      // untouched — they are not qualifiers
+      def strip(s: String): String =
+        """(\w+)\.(\w+)""".r.replaceAllIn(s, m =>
+          if (aliasMap.contains(m.group(1))) Regex.quoteReplacement(m.group(2))
+          else Regex.quoteReplacement(m.matched))
+      val selS = strip(sel)
+      val groupS = Option(group).map(strip)
+      val (joinConj, restConj) = Option(where).map(strip) match {
+        case None => (Nil, Nil)
+        case Some(w) =>
+          val eqRe = """^(\w+)\s*=\s*(\w+)$""".r
+          conjuncts(w).partition {
+            case eqRe(a, b) => isColumn(a) && isColumn(b)
+            case _          => false
+          }
+      }
+      // order the equijoin edges so each JOIN attaches one new table to the
+      // running scope (what the strict parser requires of ON clauses)
+      val eqRe = """^(\w+)\s*=\s*(\w+)$""".r
+      val pending = scala.collection.mutable.ListBuffer(joinConj.map {
+        case eqRe(a, b) => (a, b)
+        case _          => fail("unreachable")
+      }: _*)
+      val firstTable = entries.head._2
+      var scope = Set(firstTable)
+      val joinClauses = scala.collection.mutable.ListBuffer.empty[String]
+      while (pending.nonEmpty) {
+        val i = pending.indexWhere { case (a, b) =>
+          scope(tableOf(a)) ^ scope(tableOf(b))
+        }
+        if (i < 0) fail(
+          "comma-join FROM is disconnected or cyclic (every remaining equijoin " +
+            "references zero or two in-scope tables)")
+        val (a, b) = pending.remove(i)
+        val newT = if (scope(tableOf(a))) tableOf(b) else tableOf(a)
+        scope += newT
+        joinClauses += s"JOIN $newT ON $a = $b"
+      }
+      val missing = entries.map(_._2).toSet -- scope
+      if (missing.nonEmpty) fail(
+        s"comma-join FROM leaves ${missing.mkString(", ")} unjoined (cartesian products unsupported)")
+      val whereS = restConj match {
+        case Nil => ""
+        case cs  => " WHERE " + cs.mkString(" AND ")
+      }
+      val groupS2 = groupS.map(g => s" GROUP BY $g").getOrElse("")
+      s"SELECT $selS FROM $firstTable ${joinClauses.mkString(" ")}$whereS$groupS2"
+    case _ => sql
   }
 }

@@ -106,6 +106,50 @@ class SqlSpec extends AnyFunSuite {
     assert(between == NumR(1000.0, 90000.0, loIncl = true, hiIncl = true))
   }
 
+  test("JOB-light comma-join form desugars to the same parse as JOIN ... ON") {
+    // the reference's benchmark SQL shape: aliased comma FROM, equijoins in
+    // WHERE (benchmarks/job-light/sql via evaluation/utils.py::parse_query)
+    val comma = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM customer c, orders o, lineitem l " +
+        "WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey " +
+        "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30")
+    val explicit = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND l_quantity < 30")
+    assert(comma.tables == explicit.tables)
+    assert(comma.joins.toSet == explicit.joins.toSet)
+    assert(comma.preds.toSet == explicit.preds.toSet)
+    // edge order is scope-valid even when the WHERE lists joins "backwards"
+    val reversedEdges = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem l, orders o, customer c " +
+        "WHERE c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey")
+    assert(reversedEdges.tables == Set("lineitem", "orders", "customer"))
+    assert(reversedEdges.joins.map(_.table) == Seq("orders", "customer"))
+    // a decimal literal must not be mistaken for an alias qualifier
+    val withDecimal = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM orders o, lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_discount < 0.05")
+    assert(withDecimal.preds == Seq(
+      Pred("lineitem", "l_discount", NumR(Double.NegativeInfinity, 0.05, loIncl = true, hiIncl = false))))
+    // disconnected FROM (a cartesian product) is rejected, not silently joined
+    val err = intercept[IllegalArgumentException] {
+      SqlParser.parseQuery("SELECT COUNT(*) FROM orders o, lineitem l WHERE l.l_quantity < 5")
+    }
+    assert(err.getMessage.contains("unjoined"))
+    // both planes answer the comma form identically to the explicit form
+    views
+    val sqlComma = "SELECT COUNT(*) FROM customer c, orders o, lineitem l " +
+      "WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey " +
+      "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"
+    val compiled = SqlExact.compile(spark, sf, sqlComma).head().getDouble(0)
+    val viaSparkSql = exactScalar(
+      "SELECT COUNT(*) FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND l_quantity < 30")
+    assert(compiled == viaSparkSql)
+  }
+
   test("SqlExact compiles the same class to a DataFrame plan matching spark.sql") {
     views
     val cases = Seq(
