@@ -366,8 +366,11 @@ object SqlParser {
     parse(desugarCommaJoins(rewritten))
   }
 
-  private def isColumn(x: String): Boolean =
-    scala.util.Try(tableOf(x)).isSuccess && !x.headOption.exists(_.isDigit)
+  private def isColumn(x: String): Boolean = scala.util.Try(tableOf(x)).isSuccess
+
+  private val fromEntryRe: Regex = """^(\w+)(?:\s+(?:(?i)AS\s+)?(\w+))?$""".r
+  private val colEqColRe: Regex = """^(\w+)\s*=\s*(\w+)$""".r
+  private val qualifiedRe: Regex = """(\w+)\.(\w+)""".r
 
   /** Rewrite `FROM a [x], b [y] WHERE x.j = y.k AND …` into the canonical
     * `FROM a JOIN b ON j = k WHERE …` form. No-op for JOIN-form (or
@@ -376,39 +379,43 @@ object SqlParser {
   private[rspn] def desugarCommaJoins(sql: String): String = sql match {
     case selectRe(sel, from, where, group) if from.contains(",") &&
         joinRe.findFirstIn(from).isEmpty =>
-      // table list with optional aliases
-      val tableRe = """^(\w+)(?:\s+(?:(?i)AS\s+)?(\w+))?$""".r
+      // table list with optional aliases (alias lookup is case-insensitive,
+      // like every keyword in this parser)
       val entries = from.split(",").map(_.trim).map {
-        case tableRe(t, alias) => (Option(alias).getOrElse(t), t)
-        case other             => fail(s"FROM entry '$other'")
+        case fromEntryRe(t, alias) => (Option(alias).getOrElse(t).toLowerCase, t)
+        case other                 => fail(s"FROM entry '$other'")
       }
       val aliasMap = entries.toMap
       if (aliasMap.size != entries.length) fail("duplicate table alias in FROM")
-      // strip alias qualifiers everywhere (columns are globally unique);
-      // leave non-alias dotted tokens (e.g. the decimal literal 0.05)
-      // untouched — they are not qualifiers
+      val fromTables = entries.map(_._2).toSet
+      // strip alias qualifiers OUTSIDE string literals only (the quote-blind
+      // regex would corrupt a literal like '%o.k%'); non-alias dotted tokens
+      // (e.g. the decimal literal 0.05) are left untouched
       def strip(s: String): String =
-        """(\w+)\.(\w+)""".r.replaceAllIn(s, m =>
-          if (aliasMap.contains(m.group(1))) Regex.quoteReplacement(m.group(2))
-          else Regex.quoteReplacement(m.matched))
+        s.split("'", -1).zipWithIndex.map { case (seg, i) =>
+          if (i % 2 == 1) seg // inside quotes
+          else qualifiedRe.replaceAllIn(seg, m =>
+            Regex.quoteReplacement(
+              if (aliasMap.contains(m.group(1).toLowerCase)) m.group(2) else m.matched))
+        }.mkString("'")
       val selS = strip(sel)
       val groupS = Option(group).map(strip)
-      val (joinConj, restConj) = Option(where).map(strip) match {
+      val (joinEdges, restConj) = Option(where).map(strip) match {
         case None => (Nil, Nil)
         case Some(w) =>
-          val eqRe = """^(\w+)\s*=\s*(\w+)$""".r
-          conjuncts(w).partition {
-            case eqRe(a, b) => isColumn(a) && isColumn(b)
-            case _          => false
+          conjuncts(w).partitionMap {
+            case c @ colEqColRe(a, b) if isColumn(a) && isColumn(b) =>
+              // an equijoin may only reference declared FROM tables — the
+              // same invariant parse enforces for filter predicates
+              Seq(a, b).map(tableOf).find(!fromTables(_)).foreach(t =>
+                fail(s"equijoin '$c' references $t, which is not in FROM"))
+              Left((a, b))
+            case c => Right(c)
           }
       }
       // order the equijoin edges so each JOIN attaches one new table to the
       // running scope (what the strict parser requires of ON clauses)
-      val eqRe = """^(\w+)\s*=\s*(\w+)$""".r
-      val pending = scala.collection.mutable.ListBuffer(joinConj.map {
-        case eqRe(a, b) => (a, b)
-        case _          => fail("unreachable")
-      }: _*)
+      val pending = scala.collection.mutable.ListBuffer(joinEdges: _*)
       val firstTable = entries.head._2
       var scope = Set(firstTable)
       val joinClauses = scala.collection.mutable.ListBuffer.empty[String]
@@ -424,7 +431,7 @@ object SqlParser {
         scope += newT
         joinClauses += s"JOIN $newT ON $a = $b"
       }
-      val missing = entries.map(_._2).toSet -- scope
+      val missing = fromTables -- scope
       if (missing.nonEmpty) fail(
         s"comma-join FROM leaves ${missing.mkString(", ")} unjoined (cartesian products unsupported)")
       val whereS = restConj match {

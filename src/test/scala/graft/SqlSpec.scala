@@ -137,6 +137,21 @@ class SqlSpec extends AnyFunSuite {
       SqlParser.parseQuery("SELECT COUNT(*) FROM orders o, lineitem l WHERE l.l_quantity < 5")
     }
     assert(err.getMessage.contains("unjoined"))
+    // an equijoin must not smuggle in a table absent from FROM
+    val errFrom = intercept[IllegalArgumentException] {
+      SqlParser.parseQuery("SELECT COUNT(*) FROM lineitem l, orders o " +
+        "WHERE l.l_orderkey = o.o_orderkey AND p_partkey = l_partkey")
+    }
+    assert(errFrom.getMessage.contains("not in FROM"))
+    // alias-dot patterns inside string literals survive the qualifier strip
+    val quoted = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM customer c, orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment IN ('o.BUILDING')")
+    assert(quoted.preds == Seq(Pred("customer", "c_mktsegment", StrIn(Seq("o.BUILDING")))))
+    // alias lookup is case-insensitive like every keyword
+    val cased = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM customer C, orders o WHERE c.c_custkey = o.o_custkey")
+    assert(cased.tables == Set("customer", "orders"))
     // both planes answer the comma form identically to the explicit form
     views
     val sqlComma = "SELECT COUNT(*) FROM customer c, orders o, lineitem l " +
