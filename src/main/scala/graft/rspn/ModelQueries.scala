@@ -274,7 +274,10 @@ object ModelQueries {
         "q15_joblight" ->
           ("SELECT COUNT(*) FROM customer c, orders o, lineitem l " +
             "WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey " +
-            "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"))
+            "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"),
+        // reference AggregationOperationType.MINUS: difference of aggregates
+        "q16_plus_minus" ->
+          "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem WHERE l_quantity < 30")
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>
@@ -336,6 +339,10 @@ object ModelQueries {
         |    FROM customer c, orders o, lineitem l
         |    WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey
         |      AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30
+        |  UNION ALL
+        |  SELECT 'q12', '', CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,12)))
+        |                               - SUM(CAST(l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE)
+        |    FROM lineitem WHERE l_quantity < 30
         |) SELECT query, grp, val FROM s ORDER BY query, grp""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.functions.{col, concat_ws, lit}
@@ -358,7 +365,9 @@ object ModelQueries {
         // desugared by SqlParser into the canonical JOIN tree
         "q11" -> ("SELECT COUNT(*) FROM customer c, orders o, lineitem l " +
           "WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey " +
-          "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"))
+          "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"),
+        // reference AggregationOperationType.MINUS: difference of aggregates
+        "q12" -> "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem WHERE l_quantity < 30")
       qs.map { case (id, sql) =>
         val df = SqlExact.compile(s, d, sql)
         val gcols = df.columns.filter(_.startsWith("grp"))

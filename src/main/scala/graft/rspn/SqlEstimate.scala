@@ -58,6 +58,8 @@ object SqlEstimate {
         case Avg(t, c) => Ensemble.estAvgOr(spns, q.tables, (t, c), preds, predsB)
         case SumProduct(ta, ca, tb, cb) =>
           Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((ta, ca) -> 1, (tb, cb) -> 1))
+        case _: Combo => throw new IllegalArgumentException(
+          "unsupported SQL: +/- aggregate combination with OR")
       })
     } else q.groupBy match {
       case Nil => Scalar(scalarOf(spns, q, preds))
@@ -74,6 +76,8 @@ object SqlEstimate {
           case Avg(t, c) => Ensemble.estGroupByAvg(spns, q.tables, gcs, (t, c), preds)
           case SumProduct(ta, ca, tb, cb) =>
             Ensemble.estGroupByAgg(spns, q.tables, gcs, Map((ta, ca) -> 1, (tb, cb) -> 1), preds)
+          case _: Combo => throw new IllegalArgumentException(
+            "unsupported SQL: +/- aggregate combination with GROUP BY")
         })
     }
   }
@@ -100,6 +104,15 @@ object SqlEstimate {
     case Avg(t, c) => Ensemble.estAvg(spns, q.tables, (t, c), preds)
     case SumProduct(ta, ca, tb, cb) =>
       Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), preds)
+    case Combo(plus, l, r) =>
+      // reference AggregationOperationType.PLUS/MINUS: combine the term
+      // estimates; the CI combines by interval arithmetic — conservative,
+      // since the terms share predicates (their errors are correlated) and
+      // correlation can only shrink the true interval of a difference
+      val el = scalarOf(spns, q.copy(agg = l), preds)
+      val er = scalarOf(spns, q.copy(agg = r), preds)
+      if (plus) Ensemble.Estimate(el.value + er.value, el.ci95Lo + er.ci95Lo, el.ci95Hi + er.ci95Hi)
+      else Ensemble.Estimate(el.value - er.value, el.ci95Lo - er.ci95Hi, el.ci95Hi - er.ci95Lo)
   }
 
   private def modelColOf(spns: Map[String, Ensemble.TrainedSpn], table: String, col: String): Ensemble.ModelCol =

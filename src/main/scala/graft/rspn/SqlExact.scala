@@ -28,12 +28,25 @@ object SqlExact {
       val b = q.orPreds.map(predCol).reduce(_ && _)
       df = df.filter(a || b)
     }
+    // a linear term as an exact decimal aggregate, combined BEFORE the
+    // final round so SUM(a) ± SUM(b) rounds once, like the DuckDB oracle
+    def decimalTerm(a: SqlParser.Agg): Column = a match {
+      case Count     => count(lit(1)).cast("decimal(38,12)")
+      case Sum(_, c) => sum(col(c).cast("decimal(38,12)"))
+      case SumProduct(_, ca, _, cb) =>
+        sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported SQL: non-linear ± term $other")
+    }
     val aggCol = q.agg match {
       case Count => count(lit(1)).cast("double").as("val")
       case Sum(_, c) =>
         round(sum(col(c).cast("decimal(38,12)")), 2).cast("double").as("val")
       case Avg(_, c) =>
         round(avg(col(c).cast("decimal(38,12)")), 2).cast("double").as("val")
+      case Combo(plus, l, r) =>
+        val e = if (plus) decimalTerm(l) + decimalTerm(r) else decimalTerm(l) - decimalTerm(r)
+        round(e, 2).cast("double").as("val")
       case SumProduct(_, ca, _, cb) =>
         // DECIMAL(18,6)×DECIMAL(18,6) stays inside decimal-38 (the DuckDB
         // oracle computes the identical widened product — SURVEY §7.4)

@@ -26,6 +26,11 @@ object SqlParser {
     * product form for its SSB workload).
     */
   final case class SumProduct(ta: String, ca: String, tb: String, cb: String) extends Agg
+  /** `±` combination of two linear aggregate terms — the reference's
+    * `AggregationOperationType.PLUS/MINUS` chains (graph_representation.py):
+    * COUNT/SUM/SUM(a*b) terms only (AVG is not linear, rejected at parse).
+    */
+  final case class Combo(plus: Boolean, left: Agg, right: Agg) extends Agg
 
   /** `preds` and `orPreds`: when `orPreds` is empty the WHERE clause is the
     * conjunction `preds`; otherwise it is `(preds) OR (orPreds)` — common
@@ -103,21 +108,52 @@ object SqlParser {
   private val joinRe: Regex = """(?i)\s+JOIN\s+""".r
   private val onRe: Regex = """(?i)^(\w+)\s+ON\s+(\w+)\s*=\s*(\w+)$""".r
 
+  private def parseAggTerm(s: String): Agg = s.trim match {
+    case aggRe(whole, sumCol, sumCol2, avgCol) =>
+      if (whole.toUpperCase.startsWith("COUNT")) Count
+      else if (sumCol2 != null) {
+        // a repeated column would need the E[x²] moment on the feature
+        // pass; downstream feature Maps would silently collapse it to
+        // SUM(a), so reject it uniformly at parse time
+        if (sumCol.equalsIgnoreCase(sumCol2)) fail(s"SUM($sumCol * $sumCol2): repeated product column")
+        SumProduct(tableOf(sumCol), sumCol, tableOf(sumCol2), sumCol2)
+      }
+      else if (sumCol != null) Sum(tableOf(sumCol), sumCol)
+      else Avg(tableOf(avgCol), avgCol)
+    case other => fail(s"aggregate '$other' (COUNT(*)/SUM(col)/SUM(a*b)/AVG(col) only)")
+  }
+
+  /** One `+`/`-` at paren-depth 0 outside quotes, if any (the SUM(a)±SUM(b)
+    * split point; `*` inside SUM(a*b) never reaches depth 0).
+    */
+  private def splitTopPlusMinus(s: String): Option[(String, Char, String)] = {
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      else if (!inQ && depth == 0 && (c == '+' || c == '-') && i > 0)
+        return Some((s.substring(0, i), c, s.substring(i + 1)))
+      i += 1
+    }
+    None
+  }
+
   def parse(sql: String): ParsedQuery = sql match {
     case selectRe(sel, from, where, group) =>
-      val agg = sel.trim match {
-        case aggRe(whole, sumCol, sumCol2, avgCol) =>
-          if (whole.toUpperCase.startsWith("COUNT")) Count
-          else if (sumCol2 != null) {
-            // a repeated column would need the E[x²] moment on the feature
-            // pass; downstream feature Maps would silently collapse it to
-            // SUM(a), so reject it uniformly at parse time
-            if (sumCol.equalsIgnoreCase(sumCol2)) fail(s"SUM($sumCol * $sumCol2): repeated product column")
-            SumProduct(tableOf(sumCol), sumCol, tableOf(sumCol2), sumCol2)
+      val agg = splitTopPlusMinus(sel.trim) match {
+        case Some((l, op, r)) =>
+          val combo = Combo(op == '+', parseAggTerm(l), parseAggTerm(r))
+          Seq(combo.left, combo.right).foreach {
+            case _: Avg   => fail("± of AVG terms (AVG is not linear)")
+            case _: Combo => fail("unreachable")
+            case _        => ()
           }
-          else if (sumCol != null) Sum(tableOf(sumCol), sumCol)
-          else Avg(tableOf(avgCol), avgCol)
-        case other => fail(s"aggregate '$other' (COUNT(*)/SUM(col)/SUM(a*b)/AVG(col) only)")
+          combo
+        case None => parseAggTerm(sel.trim)
       }
       val (fromTable, tables, joins) = parseFrom(from.trim)
       val (preds, orPreds) = Option(where).map(parseWhere).getOrElse((Nil, Nil))

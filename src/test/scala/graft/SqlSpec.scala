@@ -165,6 +165,35 @@ class SqlSpec extends AnyFunSuite {
     assert(compiled == viaSparkSql)
   }
 
+  test("SUM(a) - SUM(b) parses, matches spark.sql exactly, estimates within q-error") {
+    views
+    val sql = "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem WHERE l_quantity < 30"
+    val q = SqlParser.parseQuery(sql)
+    assert(q.agg == Combo(plus = false,
+      Sum("lineitem", "l_extendedprice"), Sum("lineitem", "l_quantity")))
+    val compiled = SqlExact.compile(spark, sf, sql).head().getDouble(0)
+    // compare against the decimal-exact formulation (what the DuckDB oracle
+    // runs): plain SUM(double) - SUM(double) in spark.sql drifts in the ulps
+    val viaSparkSql = exactScalar(
+      "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) " +
+        "- SUM(CAST(l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE) " +
+        "FROM lineitem WHERE l_quantity < 30")
+    assert(compiled == viaSparkSql, s"$compiled != $viaSparkSql")
+    // model plane: combined estimate lands near the exact difference, and
+    // the interval-arithmetic CI brackets the point estimate
+    val est = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Scalar(e) => e
+      case other                 => fail(s"expected Scalar, got $other")
+    }
+    assert(qerr(est.value, viaSparkSql) <= 1.5, s"est ${est.value} exact $viaSparkSql")
+    assert(est.ci95Lo <= est.value && est.value <= est.ci95Hi)
+    // AVG is not linear: rejected at parse, like the reference's IR
+    val err = intercept[IllegalArgumentException] {
+      SqlParser.parseQuery("SELECT AVG(l_quantity) + SUM(l_tax) FROM lineitem")
+    }
+    assert(err.getMessage.contains("AVG"))
+  }
+
   test("SqlExact compiles the same class to a DataFrame plan matching spark.sql") {
     views
     val cases = Seq(
