@@ -229,6 +229,39 @@ class StreamingSpec extends AnyFunSuite {
       s"open session must be flushed by the watermark timeout: $rows")
   }
 
+  test("parquet file sink with checkpoint: append-mode windows land exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    val mem = MemoryStream[Ev]
+    // append-mode windowed aggregate into a parquet directory — the real
+    // production sink (memory sinks elsewhere in this suite are test-only);
+    // the checkpoint is what makes a restart resume instead of recompute
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("cnt"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:10:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 00:20:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // advance the watermark past the 00:00 window so append emits it
+    mem.addData(Ev(3, ts("2024-01-01 03:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((ts("2024-01-01 00:00:00"), 2L)),
+      s"exactly the closed window, exactly once: ${rows.toSeq}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+  }
+
   test("session window over a stream groups by inactivity gap (T3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
