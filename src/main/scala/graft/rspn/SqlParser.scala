@@ -147,10 +147,11 @@ object SqlParser {
       val agg = splitTopPlusMinus(sel.trim) match {
         case Some((l, op, r)) =>
           val combo = Combo(op == '+', parseAggTerm(l), parseAggTerm(r))
+          // parseAggTerm returns only leaf aggregates; AVG is the one
+          // non-linear leaf and cannot ride a ± combination
           Seq(combo.left, combo.right).foreach {
-            case _: Avg   => fail("± of AVG terms (AVG is not linear)")
-            case _: Combo => fail("unreachable")
-            case _        => ()
+            case _: Avg => fail("± of AVG terms (AVG is not linear)")
+            case _      => ()
           }
           combo
         case None => parseAggTerm(sel.trim)

@@ -246,20 +246,25 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").start()
-    mem.addData(
-      Ev(1, ts("2024-01-01 00:10:00"), 1, "view", 1.0),
-      Ev(2, ts("2024-01-01 00:20:00"), 1, "view", 1.0))
-    q.processAllAvailable()
-    // advance the watermark past the 00:00 window so append emits it
-    mem.addData(Ev(3, ts("2024-01-01 03:00:00"), 1, "view", 1.0))
-    q.processAllAvailable()
-    q.stop()
-    val rows = spark.read.parquet(out).collect()
-      .map(r => (r.getTimestamp(0), r.getLong(1)))
-    assert(rows.toSeq == Seq((ts("2024-01-01 00:00:00"), 2L)),
-      s"exactly the closed window, exactly once: ${rows.toSeq}")
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:10:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 00:20:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past the 00:00 window so append emits it
+      mem.addData(Ev(3, ts("2024-01-01 03:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((ts("2024-01-01 00:00:00"), 2L)),
+        s"exactly the closed window, exactly once: ${rows.toSeq}")
+    } finally {
+      // an assertion mid-test must not leave the query running against the
+      // shared session or leak the temp dirs
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
   }
 
   test("session window over a stream groups by inactivity gap (T3)") {
