@@ -188,6 +188,38 @@ object Composite {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q10 (returned-item reporting): fact→fact→dim join aggregated to
+    // the CUSTOMER grain with a top-k — the "entity rollup" shape (group on
+    // a high-cardinality dim key, then TakeOrdered). The nation side is a
+    // broadcast; the revenue per customer is decimal-exact so the top-20
+    // cut is deterministic (ties broken by key).
+    Op(
+      "tpch_q10",
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_name", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    },
+
     // TPC-H Q6 (forecast revenue change): the minimal selective filter-agg.
     // Every predicate is scan-evaluable — at 100 TB this is THE query whose
     // cost is decided by pushdown + row-group statistics alone (a z-order/

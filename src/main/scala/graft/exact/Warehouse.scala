@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * the collision-safe directory key and the `_SUCCESS` idempotence check so
   * the three layout layers cannot drift apart.
   */
-private[exact] object Warehouse {
+private[graft] object Warehouse {
 
   /** Directory-unique identifier component: the sanitized text AND the full
     * 32-bit hash — two dataset dirs collide only if both the readable form

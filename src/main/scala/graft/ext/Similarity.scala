@@ -203,26 +203,13 @@ object Similarity {
     // write-time partition key; a probe touches nProbe/k of the data.
     Op.noOracle("sim_topk_ivf") { (s, d) =>
       val feats = unitFeats(s, d) // memoized+cached: sample, assign, probe scan
-      // k and nProbe are the IVF cost/recall knobs. Local corpora are tiny
-      // (500–2k vectors), so cells are few and the probe fraction is large;
-      // at real scale k grows ~sqrt(N) and the probed fraction shrinks —
-      // the plan shape (assign once, scan probed cells only) is unchanged.
-      val k = 8
-      val centroids = ModelCache.memo(s, d, "ivf_centroids") {
-        // deterministic bounded sample: lowest vec_ids (any fixed predicate
-        // works — quantizer quality only needs coverage, not randomness)
-        val sample = feats.filter(col("vec_id") < 4096)
-          .select("unit").collect().map(_.getSeq[Double](0).toArray)
-        lloyds(sample, k, iters = 10, seed = 42L)
-      }
+      val centroids = ivfCentroids(s, d)
       // cell assignment: argmin_i ||v − c_i||² ≡ argmin_i (−2·v·c_i + |c_i|²)
       // (the common |v|² term cannot change the argmin) — one codegen'd dot
       // per centroid, no MLlib transform, memoize+cache the assigned frame
       val assigned = ModelCache.memo(s, d, "ivf_assigned") {
-        val dists = array(centroids.map(c =>
-          lit(-2.0) * dotd(col("unit"), lit(c)) + lit(c.map(x => x * x).sum)): _*)
         feats
-          .withColumn("cell", array_position(dists, array_min(dists)).cast("int") - 1)
+          .withColumn("cell", ivfCellCol(centroids))
           .cache()
       }
       val qUnit = feats.filter(col("vec_id") === 0)
@@ -230,13 +217,41 @@ object Similarity {
       // probe the nProbe centroids nearest the query — recall/cost knob
       // (IVF recall is tunable, not exact: a near-boundary neighbor can sit
       // in an unprobed cell; the spec asserts recall@10, not identity)
-      val nProbe = 4
       val probes = centroids.zipWithIndex
         .map { case (c, i) => (i, sqdist(c, qUnit)) }
-        .sortBy(_._2).take(nProbe).map(_._1)
+        .sortBy(_._2).take(ivfNProbe).map(_._1)
       val qv = broadcast(
         feats.filter(col("vec_id") === 0)
           .select(vecd(col("embedding")).as("qv"), dotd(vecd(col("embedding")), vecd(col("embedding"))).as("qn2")))
+      assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), vecd(col("embedding")).as("v"))
+        .crossJoin(qv)
+        .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * dotd(col("v"), col("v"))))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+    },
+
+    // L3 scale path #2b: the SAME IVF, with the cell id as an actual
+    // write-time partition key — the claim the in-memory variant's comment
+    // makes, made physical: the assigned corpus is written ONCE as
+    // parquet partitioned by cell, and a probe reads ONLY the probed cells'
+    // directories (PartitionFilters prune at planning time, asserted in
+    // PlanSpec). Same centroids, same probes, same exact re-rank as
+    // sim_topk_ivf — identical results (spec-pinned), different storage.
+    Op.noOracle("sim_topk_ivf_disk") { (s, d) =>
+      val assigned = ivfDiskLayout(s, d)
+      val feats = unitFeats(s, d)
+      val centroids = ivfCentroids(s, d)
+      val qUnit = feats.filter(col("vec_id") === 0)
+        .select("unit").head().getSeq[Double](0).toArray
+      val probes = centroids.zipWithIndex
+        .map { case (c, i) => (i, sqdist(c, qUnit)) }
+        .sortBy(_._2).take(ivfNProbe).map(_._1)
+      val qv = broadcast(
+        feats.filter(col("vec_id") === 0)
+          .select(vecd(col("embedding")).as("qv"),
+            dotd(vecd(col("embedding")), vecd(col("embedding"))).as("qn2")))
       assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
         .select(col("vec_id"), vecd(col("embedding")).as("v"))
         .crossJoin(qv)
@@ -284,6 +299,50 @@ object Similarity {
         .select("doc_id", "lang", "label", "n_chars")
         .orderBy("doc_id"))
   )
+
+  /** IVF cost/recall knobs. Local corpora are tiny (500–2k vectors), so
+    * cells are few and the probe fraction is large; at real scale k grows
+    * ~sqrt(N) and the probed fraction shrinks — the plan shape (assign
+    * once, scan probed cells only) is unchanged.
+    */
+  private val ivfK = 8
+  private[graft] val ivfNProbe = 4
+
+  /** Coarse quantizer centroids, trained driver-side on a deterministic
+    * bounded sample (lowest vec_ids — quantizer quality only needs
+    * coverage, not randomness). Shared by the in-memory and on-disk IVF
+    * variants so their assignments and probes are identical.
+    */
+  private[graft] def ivfCentroids(s: SparkSession, d: String): Seq[Array[Double]] =
+    ModelCache.memo(s, d, "ivf_centroids") {
+      val sample = unitFeats(s, d).filter(col("vec_id") < 4096)
+        .select("unit").collect().map(_.getSeq[Double](0).toArray)
+      lloyds(sample, ivfK, iters = 10, seed = 42L)
+    }
+
+  /** argmin-centroid cell id of the `unit` column as a codegen'd Column. */
+  private def ivfCellCol(centroids: Seq[Array[Double]]): Column = {
+    val dists = array(centroids.map(c =>
+      lit(-2.0) * dotd(col("unit"), lit(c)) + lit(c.map(x => x * x).sum)): _*)
+    (array_position(dists, array_min(dists)).cast("int") - 1)
+  }
+
+  /** The IVF corpus written ONCE as parquet partitioned by cell id — the
+    * 100 TB layout, where a probe's `cell IN (...)` filter prunes whole
+    * directories at planning time instead of scanning the corpus.
+    */
+  private[graft] def ivfDiskLayout(s: SparkSession, d: String): DataFrame =
+    ModelCache.memo(s, d, "ivf_disk") {
+      import graft.exact.Warehouse
+      val path = Warehouse.derivedPath(s, s"graft_ivf_cells_${Warehouse.suffix(d)}")
+      Warehouse.ensure(s, path) {
+        unitFeats(s, d)
+          .withColumn("cell", ivfCellCol(ivfCentroids(s, d)))
+          .select("vec_id", "embedding", "cell")
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+      }
+      s.read.parquet(path)
+    }
 
   private def sqdist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0

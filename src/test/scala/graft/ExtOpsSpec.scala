@@ -115,6 +115,18 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("disk-layout IVF returns exactly the in-memory IVF results") {
+    val mem = run("sim_topk_ivf").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = run("sim_topk_ivf_disk").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mem == disk, s"same centroids+probes must give identical top-k: $mem vs $disk")
+    // the probe against the partitioned layout prunes at planning time:
+    // only the probed cells' directories appear as PartitionFilters
+    val plan = SparkEntry.queries("sim_topk_ivf_disk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"probe must carry a cell PartitionFilter:\n$plan")
+  }
+
   test("CMS heavy hitters: superset of exact, per-key estimate >= exact count") {
     // sf0.01: the smallest fixture whose order counts actually cross the
     // 2× mean threshold (sf0.001 has no heavy hitters, the properties
