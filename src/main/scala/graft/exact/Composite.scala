@@ -148,10 +148,13 @@ object Composite {
         .limit(10)
     },
 
-    // TPC-H Q5 (local supplier volume): the 6-table join. Every non-fact
-    // side is dim-sized and broadcast; the only fact shuffle is lineitem ⨝
-    // orders. The customer-nation = supplier-nation equality is an extra
-    // join predicate, not a separate pass.
+    // TPC-H Q5 (local supplier volume): the 6-table join. Broadcast hints
+    // go ONLY on the genuinely bounded dims (nation: 25 rows, region: 5 —
+    // SF-invariant); customer and supplier scale with SF (150k/10k × SF), so
+    // their join strategy is left to Catalyst/AQE's size check: broadcast at
+    // small SF, sort-merge at cluster scale instead of an executor OOM. The
+    // customer-nation = supplier-nation equality is an extra join predicate,
+    // not a separate pass.
     Op(
       "tpch_q5",
       """SELECT n_name,
@@ -179,9 +182,9 @@ object Composite {
       t(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
         .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -190,8 +193,10 @@ object Composite {
 
     // TPC-H Q10 (returned-item reporting): fact→fact→dim join aggregated to
     // the CUSTOMER grain with a top-k — the "entity rollup" shape (group on
-    // a high-cardinality dim key, then TakeOrdered). The nation side is a
-    // broadcast; the revenue per customer is decimal-exact so the top-20
+    // a high-cardinality dim key, then TakeOrdered). Only the SF-invariant
+    // nation side carries a broadcast hint; customer scales with SF, so its
+    // strategy is Catalyst/AQE's size call (broadcast at small SF, shuffle
+    // at scale). The revenue per customer is decimal-exact so the top-20
     // cut is deterministic (ties broken by key).
     Op(
       "tpch_q10",
@@ -209,7 +214,7 @@ object Composite {
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_name", "c_nationkey")),
+        .join(t(s, d, "customer").select("c_custkey", "c_name", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))

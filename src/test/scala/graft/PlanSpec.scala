@@ -111,18 +111,48 @@ class PlanSpec extends AnyFunSuite {
       s"grouping sets re-scanned the input:\n$plan")
   }
 
-  test("tpch_q5: every dimension broadcasts, at most the agg+sort shuffles remain") {
-    val plan = planOf(SparkEntry.queries("tpch_q5")(spark, rawSf))
+  test("tpch_q5: dims broadcast at small SF; customer/supplier strategy is size-driven") {
+    // small SF: Catalyst/AQE's size check broadcasts every non-fact side on
+    // its own — no hints needed on the SF-scaling tables for the fast plan.
+    // AQE finalizes the strategy at runtime, so execute before inspecting.
+    val df = SparkEntry.queries("tpch_q5")(spark, rawSf)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the pre-AQE "== Initial Plan ==" —
+    // assert on the Final Plan section only
+    val plan = planOf(df).split("== Initial Plan ==").head
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
-    // lineitem⨝orders may resolve as broadcast (small SF) or sort-merge (at
-    // scale) — Catalyst's call. The DIMS must broadcast: supplier, nation,
-    // region, customer are all on the build side somewhere.
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts in:\n$plan")
-    // shuffle Exchanges beyond the final aggregate + presentation sort would
-    // mean a fact table is being re-partitioned per join — the shuffle-storm
-    // shape this query exists to pin down
-    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).length
-    assert(shuffles <= 3, s"expected <=3 shuffle exchanges, got $shuffles in:\n$plan")
+    // a sort-merge join surviving AQE at this SF would mean a fact table is
+    // being re-partitioned per join — the shuffle-storm shape this query
+    // exists to pin down
+    assert(!plan.contains("SortMergeJoin"),
+      s"AQE left a sort-merge join in the small-SF plan:\n$plan")
+  }
+
+  test("tpch_q5/q10: no forced broadcast of SF-scaling tables (customer, supplier)") {
+    // disable the size threshold to see the plan a 100 TB cluster would
+    // produce: ONLY explicitly hinted sides may still broadcast, and the
+    // hints must sit on SF-invariant dims alone (nation 25 rows, region 5).
+    // customer/supplier grow linearly with SF — a hint there is a guaranteed
+    // executor OOM at scale, so they must degrade to a shuffled join here.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q5 = planOf(SparkEntry.queries("tpch_q5")(spark, rawSf))
+      // q5 hints: region→nation and nation-slice→supplier (both bounded)
+      val q5Broadcasts = "BroadcastHashJoin".r.findAllIn(q5).length
+      assert(q5Broadcasts == 2,
+        s"q5 must keep exactly the 2 bounded-dim broadcast hints, got $q5Broadcasts:\n$q5")
+      assert(q5.contains("SortMergeJoin") || q5.contains("ShuffledHashJoin"),
+        s"q5 customer/supplier joins must shuffle once broadcast is size-barred:\n$q5")
+      val q10 = planOf(SparkEntry.queries("tpch_q10")(spark, rawSf))
+      // q10 hints: nation only
+      val q10Broadcasts = "BroadcastHashJoin".r.findAllIn(q10).length
+      assert(q10Broadcasts == 1,
+        s"q10 must keep exactly the nation broadcast hint, got $q10Broadcasts:\n$q10")
+      assert(q10.contains("SortMergeJoin") || q10.contains("ShuffledHashJoin"),
+        s"q10 customer join must shuffle once broadcast is size-barred:\n$q10")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
   test("z-order layout: per-file ranges tighten on BOTH dimensions vs key-sorted") {
