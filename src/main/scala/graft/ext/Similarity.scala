@@ -399,9 +399,10 @@ object Similarity {
     * chosen so a pair AT the threshold still collides in ≥1 of the 16 bands
     * w.p. ≥ 0.99 (p^k ≥ 0.28). The selectivity this buys is set by the
     * threshold, not by us: at production near-dup thresholds (cos ≥ 0.85 →
-    * k = 8) an uncorrelated pair lands in a shared band in only ~6% of
-    * cases, so the candidate set is a few percent of all pairs and the op
-    * scales as banding should. At the loose cos-0.45 spec threshold (k = 2)
+    * p = 0.823, k = 6) an uncorrelated pair collides per band w.p. 2⁻⁶ and
+    * lands in ≥1 of the 16 bands in only ~22% of cases, so the candidate
+    * set is a small fraction of all pairs and the op scales as banding
+    * should. At the loose cos-0.45 spec threshold (k = 2)
     * on an isotropic corpus — this fixture's "dups" sit at cos 0.45–0.6 vs
     * background ≈0.3, measured — NO hash family separates signal from
     * background (per-bit collision at θ = 60° vs 72° differs by < 0.07),

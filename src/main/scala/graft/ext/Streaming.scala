@@ -119,17 +119,34 @@ object Streaming {
             java.util.Arrays.sort(ts)
             val closed = Array.newBuilder[(Long, Long, Long)]
             var open = state.getOption
-            ts.foreach { t =>
+            // far-late events (flatMapGroupsWithState does NOT drop late
+            // rows): more than a gap OLDER than the open session's start can
+            // never belong to it, and since the batch is sorted and every
+            // other branch only moves the session window earlier-or-later
+            // monotonically, they form a strict PREFIX of the batch. A
+            // passed session can't be reopened (state holds one open
+            // session), so the prefix is sessionized locally — contiguous
+            // far-late events within a gap fold into ONE closed session,
+            // exact whenever the whole late session arrived in this batch.
+            val lateEnd = open match {
+              case Some(o) =>
+                val i = ts.indexWhere(_ >= o.startU - gapMicros)
+                if (i == -1) ts.length else i
+              case None => 0
+            }
+            if (lateEnd > 0) {
+              var ls = ts(0); var ll = ts(0); var lc = 1L
+              var i = 1
+              while (i < lateEnd) {
+                val t = ts(i)
+                if (t - ll < gapMicros) { ll = t; lc += 1 }
+                else { closed += ((user, ls, lc)); ls = t; ll = t; lc = 1L }
+                i += 1
+              }
+              closed += ((user, ls, lc))
+            }
+            ts.iterator.drop(lateEnd).foreach { t =>
               open = open match {
-                // far-late event (flatMapGroupsWithState does NOT drop late
-                // rows): more than a gap OLDER than the open session's start
-                // can never belong to it — emit as its own closed singleton.
-                // (State holds one open session, so a passed session can't
-                // be reopened; this is the best-effort placement under that
-                // contract, and exact when the event truly was isolated.)
-                case Some(o) if t < o.startU - gapMicros =>
-                  closed += ((user, t, 1L))
-                  Some(o)
                 // in-range merge with MONOTONIC bounds: a late event inside
                 // [start − gap, last + gap) folds in without regressing the
                 // session bounds, or the timeout timestamp set below could

@@ -432,8 +432,17 @@ object SqlParser {
         s.split("'", -1).zipWithIndex.map { case (seg, i) =>
           if (i % 2 == 1) seg // inside quotes
           else qualifiedRe.replaceAllIn(seg, m =>
-            Regex.quoteReplacement(
-              if (aliasMap.contains(m.group(1).toLowerCase)) m.group(2) else m.matched))
+            Regex.quoteReplacement(aliasMap.get(m.group(1).toLowerCase) match {
+              case Some(table) =>
+                // a qualifier must agree with its column's table — a
+                // mismatch (e.g. customer-aliased `c.o_custkey`) is a
+                // malformed query, not something to silently rebind
+                val c = m.group(2)
+                if (!isColumn(c) || tableOf(c) != table)
+                  fail(s"'${m.matched}': $c is not a column of $table")
+                c
+              case None => m.matched
+            }))
         }.mkString("'")
       val selS = strip(sel)
       val groupS = Option(group).map(strip)

@@ -13,7 +13,10 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
-  val sf: String = "/root/testdata/sf0.001"
+  val fixtureRoot: String = "/root/testdata"
+  val sf: String = s"$fixtureRoot/sf0.001"
+  // the mid-size fixture, for properties that hold vacuously at sf0.001
+  val sfMid: String = s"$fixtureRoot/sf0.01"
 }
 
 class ExactPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {

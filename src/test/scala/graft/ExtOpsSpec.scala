@@ -131,7 +131,7 @@ class ExtOpsSpec extends AnyFunSuite {
     // sf0.01: the smallest fixture whose order counts actually cross the
     // 2× mean threshold (sf0.001 has no heavy hitters, the properties
     // would hold vacuously)
-    val sf01 = "/root/testdata/sf0.01"
+    val sf01 = TestSpark.sfMid
     val exact = SparkEntry.queries("agg_heavy_hitters")(spark, sf01).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cms = SparkEntry.queries("agg_heavy_hitters_cms")(spark, sf01).collect()

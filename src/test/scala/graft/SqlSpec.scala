@@ -143,6 +143,13 @@ class SqlSpec extends AnyFunSuite {
         "WHERE l.l_orderkey = o.o_orderkey AND p_partkey = l_partkey")
     }
     assert(errFrom.getMessage.contains("not in FROM"))
+    // a qualifier naming the WRONG table for its column is rejected loudly,
+    // not silently rebound to the column's real table
+    val errAlias = intercept[IllegalArgumentException] {
+      SqlParser.parseQuery("SELECT COUNT(*) FROM customer c, orders o " +
+        "WHERE c.o_custkey = c.c_custkey AND o.o_totalprice < 1000")
+    }
+    assert(errAlias.getMessage.contains("not a column of"))
     // alias-dot patterns inside string literals survive the qualifier strip
     val quoted = SqlParser.parseQuery(
       "SELECT COUNT(*) FROM customer c, orders o " +

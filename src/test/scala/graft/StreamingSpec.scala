@@ -206,10 +206,13 @@ class StreamingSpec extends AnyFunSuite {
       Ev(3, ts("2024-01-01 00:05:00"), 1, "view", 1.0),
       Ev(4, ts("2024-01-01 02:00:00"), 1, "view", 1.0))
     q.processAllAvailable()
-    // batch 3: a FAR-late event (more than a gap before the open session's
-    // 02:00 start, above the 01:00 watermark) must become its own closed
-    // singleton, not merge into — or regress — the open session
-    mem.addData(Ev(5, ts("2024-01-01 01:15:00"), 1, "view", 1.0))
+    // batch 3: TWO far-late events (more than a gap before the open
+    // session's 02:00 start, above the 01:00 watermark) within one gap of
+    // each other must fold into ONE closed session — not merge into or
+    // regress the open session, and not emit per-event singletons
+    mem.addData(
+      Ev(5, ts("2024-01-01 01:10:00"), 1, "view", 1.0),
+      Ev(8, ts("2024-01-01 01:15:00"), 1, "view", 1.0))
     q.processAllAvailable()
     // batches 4+5: another user's events push the watermark past
     // 02:00 + gap so the EventTimeTimeout flushes user 1's open session
@@ -223,8 +226,10 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(rows.contains((1L, ts("2024-01-01 00:00:00"), 3L)),
       s"closed session must merge the late event at its original start: $rows")
-    assert(rows.contains((1L, ts("2024-01-01 01:15:00"), 1L)),
-      s"far-late event must close as its own singleton session: $rows")
+    assert(rows.contains((1L, ts("2024-01-01 01:10:00"), 2L)),
+      s"contiguous far-late events must fold into one closed session: $rows")
+    assert(!rows.contains((1L, ts("2024-01-01 01:15:00"), 1L)),
+      s"far-late events within a gap must not emit per-event singletons: $rows")
     assert(rows.contains((1L, ts("2024-01-01 02:00:00"), 1L)),
       s"open session must be flushed by the watermark timeout: $rows")
   }
