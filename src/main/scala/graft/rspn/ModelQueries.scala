@@ -343,6 +343,20 @@ object ModelQueries {
         |  SELECT 'q12', '', CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,12)))
         |                               - SUM(CAST(l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE)
         |    FROM lineitem WHERE l_quantity < 30
+        |  UNION ALL
+        |  SELECT 'q13', grp, val FROM (
+        |    SELECT o_orderpriority AS grp, CAST(COUNT(*) AS DOUBLE) AS val
+        |    FROM orders GROUP BY o_orderpriority
+        |    ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 3) t13
+        |  UNION ALL
+        |  SELECT 'q14', l_returnflag, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE)
+        |    FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 20000
+        |  UNION ALL
+        |  SELECT 'q15', grp, val FROM (
+        |    SELECT l_linestatus || '|' || l_returnflag AS grp, CAST(COUNT(*) AS DOUBLE) AS val
+        |    FROM lineitem GROUP BY l_linestatus, l_returnflag
+        |    HAVING COUNT(*) > 9950
+        |    ORDER BY COUNT(*) DESC, l_linestatus, l_returnflag LIMIT 4) t15
         |) SELECT query, grp, val FROM s ORDER BY query, grp""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.functions.{col, concat_ws, lit}
@@ -367,7 +381,15 @@ object ModelQueries {
           "WHERE o.o_custkey = c.c_custkey AND l.l_orderkey = o.o_orderkey " +
           "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"),
         // reference AggregationOperationType.MINUS: difference of aggregates
-        "q12" -> "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem WHERE l_quantity < 30")
+        "q12" -> "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem WHERE l_quantity < 30",
+        // round-7 surface: ORDER BY / LIMIT / HAVING — the shapes every real
+        // user's first query has. ORDER BY carries group-column tiebreaks so
+        // the LIMIT cut is a total order (two priorities tie at 3003 rows)
+        "q13" -> ("SELECT COUNT(*) FROM orders GROUP BY o_orderpriority " +
+          "ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 3"),
+        "q14" -> "SELECT SUM(l_quantity) FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 20000",
+        "q15" -> ("SELECT COUNT(*) FROM lineitem GROUP BY l_linestatus, l_returnflag " +
+          "HAVING COUNT(*) > 9950 ORDER BY COUNT(*) DESC, l_linestatus, l_returnflag LIMIT 4"))
       qs.map { case (id, sql) =>
         val df = SqlExact.compile(s, d, sql)
         val gcols = df.columns.filter(_.startsWith("grp"))

@@ -25,6 +25,51 @@ object SqlEstimate {
 
   def estimate(spns: Map[String, Ensemble.TrainedSpn], sql: String): SqlResult = {
     val q = SqlParser.parseQuery(sql)
+    post(q, estimateCore(spns, q))
+  }
+
+  /** HAVING / ORDER BY / LIMIT on the estimate plane: applied to the
+    * estimated group rows (the reference's parse ignores ordering outright;
+    * honoring it costs nothing since group results are driver-sized).
+    * HAVING filters on the SELECT aggregate's estimate — a different HAVING
+    * aggregate has no estimated value to compare, so it fails loudly.
+    */
+  private def post(q: ParsedQuery, res: SqlResult): SqlResult = res match {
+    case Groups(rows0) =>
+      var rows = rows0
+      q.having.foreach { h =>
+        if (h.agg != q.agg) throw new IllegalArgumentException(
+          "unsupported SQL: estimate-plane HAVING must use the SELECT aggregate")
+        rows = rows.filter(r => cmpD(r._2.value, h.op, h.value))
+      }
+      // stable sorts applied least-significant key first = multi-key order
+      q.orderBy.reverse.foreach { k =>
+        rows =
+          if (k.byAgg)
+            rows.sortBy(_._2.value)(
+              if (k.asc) Ordering.Double.TotalOrdering else Ordering.Double.TotalOrdering.reverse)
+          else {
+            val i = q.groupBy.indexOf((k.table, k.col))
+            rows.sortBy(_._1(i))(if (k.asc) Ordering.String else Ordering.String.reverse)
+          }
+      }
+      q.limit.foreach(n => rows = rows.take(n))
+      Groups(rows)
+    case other =>
+      if (q.having.isDefined || q.limit.isDefined) throw new IllegalArgumentException(
+        "unsupported SQL: HAVING/LIMIT on a non-grouped or grouping-set estimate")
+      other
+  }
+
+  private def cmpD(x: Double, op: String, v: Double): Boolean = op match {
+    case "<"  => x < v
+    case "<=" => x <= v
+    case ">"  => x > v
+    case ">=" => x >= v
+    case _    => x == v
+  }
+
+  private def estimateCore(spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery): SqlResult = {
     val preds = mergePreds(spns, q.preds)
 
     if (q.groupMode != GroupFlat) {

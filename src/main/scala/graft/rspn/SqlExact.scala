@@ -53,7 +53,7 @@ object SqlExact {
         round(sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)")), 2)
           .cast("double").as("val")
     }
-    q.groupBy match {
+    val out = q.groupBy match {
       case Nil => df.agg(aggCol)
       case gs =>
         // first group column keeps the name "grp" (single-column callers
@@ -65,8 +65,52 @@ object SqlExact {
           case GroupCube   => df.cube(gcols: _*)
           case GroupFlat   => df.groupBy(gcols: _*)
         }
-        grouped.agg(aggCol).orderBy(names.map(col): _*)
+        // HAVING rides the same aggregation as a hidden column — one pass,
+        // filtered after the partial/final agg, never a second scan
+        val aggd = q.having match {
+          case None => grouped.agg(aggCol)
+          case Some(h) =>
+            grouped.agg(aggCol, aggTermDouble(h.agg).as("__hv"))
+              .filter(cmp(col("__hv"), h.op, h.value)).drop("__hv")
+        }
+        val nameOf = gs.zip(names).toMap
+        val orderCols = q.orderBy match {
+          case Nil => names.map(col)
+          case ks =>
+            // user keys first, then the remaining group columns ascending —
+            // a total order, so a LIMIT cut is engine-independent (SURVEY
+            // §7.4 determinism contract)
+            val userKeys = ks.map { k =>
+              val c = if (k.byAgg) col("val") else col(nameOf((k.table, k.col)))
+              if (k.asc) c.asc else c.desc
+            }
+            val used = q.orderBy.collect { case k if !k.byAgg => nameOf((k.table, k.col)) }.toSet
+            userKeys ++ names.filterNot(used).map(col(_).asc)
+        }
+        aggd.orderBy(orderCols: _*)
     }
+    q.limit.fold(out)(out.limit)
+  }
+
+  /** A HAVING aggregate as a double column, same decimal-exact summation
+    * discipline as the SELECT aggregate.
+    */
+  private def aggTermDouble(a: SqlParser.Agg): Column = a match {
+    case Count     => count(lit(1)).cast("double")
+    case Sum(_, c) => sum(col(c).cast("decimal(38,12)")).cast("double")
+    case Avg(_, c) => avg(col(c).cast("decimal(38,12)")).cast("double")
+    case SumProduct(_, ca, _, cb) =>
+      sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)")).cast("double")
+    case other =>
+      throw new IllegalArgumentException(s"unsupported SQL: HAVING term $other")
+  }
+
+  private def cmp(c: Column, op: String, v: Double): Column = op match {
+    case "<"  => c < v
+    case "<=" => c <= v
+    case ">"  => c > v
+    case ">=" => c >= v
+    case _    => c === v
   }
 
   private def predCol(p: Pred): Column = p.range match {

@@ -46,7 +46,23 @@ object SqlParser {
       preds: Seq[Pred],
       orPreds: Seq[Pred],
       groupBy: Seq[(String, String)],
-      groupMode: GroupMode = GroupFlat)
+      groupMode: GroupMode = GroupFlat,
+      having: Option[Having] = None,
+      orderBy: Seq[OrderKey] = Nil,
+      limit: Option[Int] = None)
+
+  /** `HAVING <agg> <cmp> <number>` — a post-aggregation filter. The
+    * reference's parse_query has no HAVING arm (its benchmark class stops at
+    * GROUP BY), but the exact plane is a general entry point and a user's
+    * first real query has one.
+    */
+  final case class Having(agg: Agg, op: String, value: Double)
+
+  /** One ORDER BY key: the aggregate value (`byAgg`, matched by the SELECT
+    * alias, the literal aggregate expression, or the output name `val`) or a
+    * GROUP BY column.
+    */
+  final case class OrderKey(byAgg: Boolean, table: String, col: String, asc: Boolean)
 
   /** How the GROUP BY columns combine: flat (plain GROUP BY), or the
     * ROLLUP/CUBE grouping-set hierarchies (SQL sugar over the model plane's
@@ -101,7 +117,10 @@ object SqlParser {
     throw new IllegalArgumentException(s"unsupported SQL: $msg")
 
   private val selectRe: Regex =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\w+(?:\s*,\s*\w+)*))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\w+(?:\s*,\s*\w+)*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+  private val selAliasRe: Regex = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r
+  private val havingRe: Regex = """(?is)^(.+?)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$""".r
+  private val orderKeyRe: Regex = """(?is)^(.*?)(?:\s+(ASC|DESC))?\s*$""".r
   private val groupSetRe: Regex = """(?is)^(ROLLUP|CUBE)\s*\((.*)\)$""".r
   private val aggRe: Regex =
     """(?i)^(COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
@@ -143,7 +162,12 @@ object SqlParser {
   }
 
   def parse(sql: String): ParsedQuery = sql match {
-    case selectRe(sel, from, where, group) =>
+    case selectRe(sel0, from, where, group, havingS, orderS, limitS) =>
+      // a trailing `AS alias` names the aggregate for ORDER BY resolution
+      val (sel, aggAlias) = sel0.trim match {
+        case selAliasRe(e, a) => (e, Some(a))
+        case e                => (e, None)
+      }
       val agg = splitTopPlusMinus(sel.trim) match {
         case Some((l, op, r)) =>
           val combo = Combo(op == '+', parseAggTerm(l), parseAggTerm(r))
@@ -171,8 +195,39 @@ object SqlParser {
         (t, g)
       }
       if (mode != GroupFlat && groupBy.isEmpty) fail("empty ROLLUP/CUBE column list")
-      ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy, mode)
-    case _ => fail("expected SELECT <agg> FROM <join tree> [WHERE ...] [GROUP BY cols]")
+      val having = Option(havingS).map(_.trim).map {
+        case havingRe(term, op, v) => Having(parseAggTerm(term), op, v.toDouble)
+        case other                 => fail(s"HAVING '$other' (<agg> <cmp> <number> only)")
+      }
+      if (having.isDefined && groupBy.isEmpty) fail("HAVING requires GROUP BY")
+      val orderBy = Option(orderS).toSeq.flatMap(_.split(",")).map(_.trim).map {
+        case orderKeyRe(expr0, dir) =>
+          val expr = expr0.trim
+          val asc = dir == null || dir.equalsIgnoreCase("ASC")
+          if (expr.isEmpty) fail("empty ORDER BY key")
+          val namesAgg = expr.equalsIgnoreCase("val") || aggAlias.exists(_.equalsIgnoreCase(expr))
+          scala.util.Try(parseAggTerm(expr)).toOption match {
+            case _ if namesAgg => OrderKey(byAgg = true, "", "", asc)
+            case Some(a) =>
+              // only the SELECT aggregate is computed — a different one has
+              // no output column to sort on
+              if (a != agg) fail(s"ORDER BY $expr: must match the SELECT aggregate")
+              OrderKey(byAgg = true, "", "", asc)
+            case None =>
+              val t = tableOf(expr)
+              if (!groupBy.contains((t, expr)))
+                fail(s"ORDER BY $expr: not a GROUP BY column or the aggregate")
+              OrderKey(byAgg = false, t, expr, asc)
+          }
+      }
+      val limit = Option(limitS).map(_.toInt)
+      // an un-ordered LIMIT returns engine-dependent rows — reject it rather
+      // than break the determinism contract every declared query carries
+      if (limit.isDefined && orderBy.isEmpty && groupBy.nonEmpty)
+        fail("LIMIT requires ORDER BY on a grouped query")
+      ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy, mode,
+        having, orderBy, limit)
+    case _ => fail("expected SELECT <agg> FROM <join tree> [WHERE ...] [GROUP BY cols] [HAVING ...] [ORDER BY ...] [LIMIT n]")
   }
 
   private def parseFrom(from: String): (String, Set[String], Seq[JoinEdge]) = {
@@ -414,7 +469,7 @@ object SqlParser {
     * single-table) SQL.
     */
   private[rspn] def desugarCommaJoins(sql: String): String = sql match {
-    case selectRe(sel, from, where, group) if from.contains(",") &&
+    case selectRe(sel, from, where, group, having, order, limitS) if from.contains(",") &&
         joinRe.findFirstIn(from).isEmpty =>
       // table list with optional aliases (alias lookup is case-insensitive,
       // like every keyword in this parser)
@@ -485,7 +540,10 @@ object SqlParser {
         case cs  => " WHERE " + cs.mkString(" AND ")
       }
       val groupS2 = groupS.map(g => s" GROUP BY $g").getOrElse("")
-      s"SELECT $selS FROM $firstTable ${joinClauses.mkString(" ")}$whereS$groupS2"
+      val tailS = Option(having).map(h => s" HAVING ${strip(h)}").getOrElse("") +
+        Option(order).map(o => s" ORDER BY ${strip(o)}").getOrElse("") +
+        Option(limitS).map(l => s" LIMIT $l").getOrElse("")
+      s"SELECT $selS FROM $firstTable ${joinClauses.mkString(" ")}$whereS$groupS2$tailS"
     case _ => sql
   }
 }

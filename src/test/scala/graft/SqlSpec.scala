@@ -201,6 +201,59 @@ class SqlSpec extends AnyFunSuite {
     assert(err.getMessage.contains("AVG"))
   }
 
+  test("ORDER BY / LIMIT / HAVING parse, compile exactly, and validate") {
+    views
+    // ORDER BY agg DESC with a group-column tiebreak + LIMIT
+    val sql = "SELECT COUNT(*) FROM orders GROUP BY o_orderpriority " +
+      "ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 3"
+    val q = SqlParser.parseQuery(sql)
+    assert(q.orderBy == Seq(OrderKey(byAgg = true, "", "", asc = false),
+      OrderKey(byAgg = false, "orders", "o_orderpriority", asc = true)))
+    assert(q.limit.contains(3) && q.having.isEmpty)
+    val got = SqlExact.compile(spark, sf, sql).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = spark.sql("SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) FROM orders " +
+      "GROUP BY o_orderpriority ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 3")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want, s"$got != $want")
+
+    // HAVING filters on a one-pass hidden aggregate column
+    val hSql = "SELECT SUM(l_quantity) FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 100"
+    assert(SqlParser.parseQuery(hSql).having.contains(Having(Count, ">", 100.0)))
+    val hGot = SqlExact.compile(spark, sf, hSql).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val hWant = spark.sql(
+      "SELECT l_returnflag, CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE) " +
+        "FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 100")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(hGot == hWant && hGot.nonEmpty, s"$hGot != $hWant")
+
+    // a SELECT alias names the aggregate for ORDER BY
+    val aq = SqlParser.parseQuery("SELECT SUM(l_quantity) AS qty FROM lineitem " +
+      "GROUP BY l_returnflag ORDER BY qty DESC")
+    assert(aq.agg == Sum("lineitem", "l_quantity"))
+    assert(aq.orderBy == Seq(OrderKey(byAgg = true, "", "", asc = false)))
+
+    // estimate plane: LIMIT bounds the estimated groups; a HAVING aggregate
+    // other than the SELECT one has no estimate to filter on
+    SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => assert(rows.length == 3)
+      case other                    => fail(s"expected Groups, got $other")
+    }
+    intercept[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT SUM(l_quantity) FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 5"))
+
+    // malformed shapes fail loudly, never silently reorder or truncate
+    intercept[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem HAVING COUNT(*) > 5"))
+    intercept[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY l_quantity"))
+    intercept[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag LIMIT 2"))
+    intercept[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY SUM(l_quantity)"))
+  }
+
   test("SqlExact compiles the same class to a DataFrame plan matching spark.sql") {
     views
     val cases = Seq(
