@@ -225,6 +225,71 @@ object Composite {
         .select("c_custkey", "c_name", "n_name", "revenue")
     },
 
+    // TPC-H Q13 (customer distribution): the outer-join-then-histogram
+    // shape — LEFT OUTER with the filter in the JOIN CONDITION (a WHERE
+    // would drop the zero-order customers the query exists to count), a
+    // per-customer COUNT, then a second aggregate over the counts. The
+    // per-customer aggregate groups on the JOIN key, so it reuses the
+    // join's partitioning with NO extra shuffle (PlanSpec-asserted); the
+    // second aggregate shuffles only the histogram. No table in this query
+    // is bounded, so nothing carries a broadcast hint. (TPC-H uses
+    // `o_comment NOT LIKE '%special%requests%'`; the fixture has no
+    // o_comment, so the SAME plan shape filters on o_orderpriority.)
+    Op(
+      "tpch_q13",
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin
+    ) { (s, d) =>
+      val ords = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      t(s, d, "customer").select("c_custkey")
+        .join(ords, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q18 (large-volume customers): HAVING over a SUM subquery — the
+    // qualifying-keys semi-join shape. The HAVING aggregate shuffles
+    // lineitem once on l_orderkey; the semi join and the detail join run on
+    // the SAME key, so the only other fact shuffles are the o_custkey dim
+    // attach and the final top-k. All sides scale with SF: no hints, the
+    // strategy is Catalyst/AQE's size call.
+    Op(
+      "tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val bigOrders = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty_sum"))
+        .filter(col("qty_sum") > 150)
+        .select("l_orderkey")
+      t(s, d, "orders")
+        .join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
+        .join(t(s, d, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+
     // TPC-H Q6 (forecast revenue change): the minimal selective filter-agg.
     // Every predicate is scan-evaluable — at 100 TB this is THE query whose
     // cost is decided by pushdown + row-group statistics alone (a z-order/

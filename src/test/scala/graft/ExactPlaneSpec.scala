@@ -50,8 +50,10 @@ class ExactPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("Tables caches below the size threshold and streams above it") {
     import org.apache.spark.storage.StorageLevel
     // fresh (sfDir, table) keys unused by other suites so the memoized
-    // entry reflects this test's threshold
-    val dir = "/root/testdata/sf0.01"
+    // entry reflects this test's threshold — PlanSpec runs the TPC-H ops
+    // against sf0.01, so only the sf0.1 dims are safe regardless of suite
+    // execution order (both tables are ≤25 rows at any SF)
+    val dir = s"$fixtureRoot/sf0.1"
     sys.props("graft.cacheMaxBytes") = "0" // everything is "too big"
     try {
       val big = schema.Tables(spark, dir, "region")

@@ -155,6 +155,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("tpch_q13: outer join and per-customer count share one partitioning") {
+    // the cluster-scale plan: no broadcasts, the LEFT OUTER survives, and
+    // the per-customer COUNT (grouped on the join key) reuses the join's
+    // hash partitioning — so the only hash exchanges are the two join
+    // inputs plus the tiny histogram aggregate
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SparkEntry.queries("tpch_q13")(spark, rawSf))
+      assert(plan.contains("LeftOuter"), s"q13 lost its left outer join:\n$plan")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles <= 3,
+        s"per-customer agg must not re-shuffle the join output, got $shuffles exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("z-order layout: per-file ranges tighten on BOTH dimensions vs key-sorted") {
     // write the same rows twice: sorted by one key (the single-dim layout)
     // and sorted by the interleaved z-value; parquet min/max stats per FILE
