@@ -158,27 +158,34 @@ object Text {
     // the plan; everything is codegen'd relational algebra). tf = per
     // (doc, term) count, df = per-term doc count, idf = ln((N+1)/(df+1))
     // (MLlib's formula). Emitted as the per-document L2 norm of the
-    // weighted vector. Three small shuffles (doc+term, term, doc) with
-    // map-side partials — at 100 TB the (doc, term) aggregate is the only
-    // fact-sized one, and it's exactly the word-count shape. The final
-    // per-doc frame is memoized+cached, so the norm sum order — and with it
-    // the float result — is frozen per session.
+    // weighted vector. ONE exploded projection feeds both statistics: the
+    // (doc, term) aggregate is the word-count shuffle (the only fact-sized
+    // one at 100 TB), df is a COUNT over the term window on its output —
+    // no second aggregate branch, no tf⨝df join. Two shuffles + the final
+    // per-doc one. The result frame is memoized+cached, so the norm sum
+    // order — and with it the float result — is frozen per session.
     Op.noOracle("text_tfidf") { (s, d) =>
       val norms = ModelCache.memo(s, d, "tfidf_norms") {
+        // no repartition: a cluster-scale scan already splits the corpus
+        // (files.maxPartitionBytes), and a round-robin exchange of raw text
+        // would be the single largest shuffle in the whole job
         val base = docs(s, d)
-          .repartition(s.sparkContext.defaultParallelism) // one-split local file
-        val nDocs = base.count()
-        val tf = base
-          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        // corpus size as a broadcast 1-row subtree, not a separate action:
+        // the whole norm computation is ONE job
+        val nDocs = base.agg(count(lit(1)).cast("double").as("n_docs"))
+        val termW = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        // explode_outer + the null guard keep the one-row-per-doc contract
+        // (a token-less doc rides through as a null term with no weight) —
+        // no join back to the corpus, no second corpus scan
+        base
+          .select(col("doc_id"), explode_outer(tokens(lower(col("text")))).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-        val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-        val w = tf.join(df_, "term")
-          .withColumn("w", col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
-        // left join back to the corpus: a doc whose every term got weight 0
-        // (or an empty doc) must still emit one row, like the vector form did
-        base.select("doc_id")
-          .join(w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("n2")), Seq("doc_id"), "left")
-          .select(col("doc_id"), round(coalesce(col("n2"), lit(0.0)), 3).as("tfidf_norm"))
+          .withColumn("df", count(col("term")).over(termW).cast("double"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("w", when(col("term").isNotNull,
+            col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))))
+          .groupBy("doc_id")
+          .agg(round(coalesce(sqrt(sum(col("w") * col("w"))), lit(0.0)), 3).as("tfidf_norm"))
           .cache()
       }
       norms.orderBy("doc_id")
