@@ -53,6 +53,13 @@ object Ensemble {
       sampleRows: Long,
       nnCol: Map[String, Int] = Map.empty,   // many-side table -> nn col idx
       multCol: Map[String, Int] = Map.empty, // many-side table -> fanout col idx
+      /** Pairwise RDC over the model's columns measured on its own training
+        * sample (keyed (i, j) with i < j into `cols`). What query-time
+        * variant selection scores: a model whose sample actually exhibits a
+        * predicate-column dependency beats one where the pairing is washed
+        * out (reference maqp.py --rdc_spn_selection).
+        */
+      rdcPairs: Map[(Int, Int), Double] = Map.empty,
       /** per many-side table: the tables in its join subtree (itself, its
         * chain descendants, dims attached at or below). The inverse-fanout
         * correction for an edge applies ONLY when the query set is disjoint
@@ -292,8 +299,17 @@ object Ensemble {
     val (mcols, exprs) = timed(s"  dicts:$table")(modelColsFor(spark, sfDir, table))
     val (data, nSamp) = timed(s"  sample:$table")(collectSample(df, exprs, total))
     val root = timed(s"  learn:$table")(Learn.learn(data, mcols.map(_.kind)))
-    TrainedSpn(table, Set(table), mcols, root, total.toDouble, nSamp)
+    TrainedSpn(table, Set(table), mcols, root, total.toDouble, nSamp,
+      rdcPairs = rdcPairsOf(data, mcols.length))
   }
+
+  /** Pairwise training-sample RDC over the first `nCols` columns (the
+    * attribute columns — nn/mult bookkeeping columns are never predicate
+    * targets). rdcMatrix subsamples internally, so this is bounded work.
+    */
+  private def rdcPairsOf(data: Array[Array[Double]], nCols: Int): Map[(Int, Int), Double] =
+    Learn.rdcMatrix(data, Array.range(0, nCols))
+      .map { case (i, j, r) => (i, j) -> r }.toMap
 
   /** J2: sampled full-outer join along a PK–FK relationship CHAIN with a
     * fanout (mult) and not-null (nn) column per edge — the reference's
@@ -364,6 +380,7 @@ object Ensemble {
     TrainedSpn(nm, tables.toSet, mcols, root, total.toDouble, rows.length.toLong,
       nnCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i + 1) }.toMap,
       multCol = rels.zipWithIndex.map { case (r, i) => r.many -> (base + 2 * i) }.toMap,
+      rdcPairs = rdcPairsOf(data, base),
       subtree = subtree)
   }
 
@@ -465,6 +482,37 @@ object Ensemble {
     if (covering.isEmpty) None else Some(covering.minBy(s => (s.tables.size, s.name)))
   }
 
+  /** Dependence a model captures over the query's predicate columns: the
+    * sum of its stored training-sample RDC over every predicate-column pair
+    * it models jointly. Zero when fewer than two predicate columns are
+    * modeled — the score only separates variants on multi-column queries.
+    */
+  def rdcScore(spn: TrainedSpn, predCols: Set[(String, String)]): Double = {
+    val idx = predCols.toSeq.flatMap { case (t, c) =>
+      spn.cols.indexWhere(mc => mc.table == t && mc.name == c) match {
+        case -1 => None
+        case i  => Some(i)
+      }
+    }.sorted
+    (for { a <- idx.indices; b <- (a + 1) until idx.length } yield
+      spn.rdcPairs.getOrElse((idx(a), idx(b)), 0.0)).sum
+  }
+
+  /** Query-time variant selection (reference maqp.py --rdc_spn_selection /
+    * spn_ensemble.py::_greedily_select_first_cardinality_spn): among
+    * covering models, maximize the RDC captured over the predicate columns,
+    * THEN minimize model size, then name. With fewer than two predicate
+    * columns every score is 0 and this is exactly the minimal-cover choice.
+    */
+  def selectFor(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      predCols: Set[(String, String)]): Option[TrainedSpn] = {
+    val covering = spns.values.filter(s => tables.subsetOf(s.tables))
+    if (covering.isEmpty) None
+    else Some(covering.minBy(s => (-rdcScore(s, predCols), s.tables.size, s.name)))
+  }
+
   def select(spns: Map[String, TrainedSpn], tables: Set[String]): TrainedSpn =
     selectOpt(spns, tables)
       .getOrElse(throw new NoSuchElementException(s"no SPN covers $tables"))
@@ -541,9 +589,13 @@ object Ensemble {
       feature: Map[(String, String), Int],
       memo: ExpectMemo): Est = {
     val featureTables = feature.keySet.map(_._1)
+    // base-model order: query-table overlap first, then captured predicate
+    // dependence (the base answers its slice under the fewest independence
+    // assumptions), then size and name for determinism
+    val predCols = preds.keySet ++ feature.keySet
     val candidates = spns.values.toSeq
       .filter(s => featureTables.subsetOf(s.tables) && s.tables.exists(tables))
-      .sortBy(s => (-s.tables.intersect(tables).size, s.tables.size, s.name))
+      .sortBy(s => (-s.tables.intersect(tables).size, -rdcScore(s, predCols), s.tables.size, s.name))
     if (candidates.isEmpty)
       throw new NoSuchElementException(
         s"no SPN covers the aggregate column's table(s) $featureTables")
@@ -622,7 +674,7 @@ object Ensemble {
       preds: Map[(String, String), ColRange],
       feature: Map[(String, String), Int],
       memo: ExpectMemo = new ExpectMemo): Est =
-    selectOpt(spns, tables) match {
+    selectFor(spns, tables, preds.keySet ++ feature.keySet) match {
       case Some(spn) => estRaw(spn, tables, preds, feature, memo)
       case None      => factored(spns, tables, preds, feature, memo)
     }

@@ -99,6 +99,56 @@ class RspnSpec extends AnyFunSuite {
     assert(m((0, 2)) < 0.4, s"independent pair rdc=${m((0, 2))}")
   }
 
+  test("RDC variant selection: the model capturing the predicate dependency wins") {
+    // two models over the SAME table and columns: one trained on the real
+    // (x, y) pairing (y tracks x), one on a pairing-destroying shuffle of y
+    // (same marginals, no dependence). The naive minimal-cover tie-break
+    // picks by name — rigged here so it takes the bad one — while the
+    // RDC-aware selection must take the model whose sample captures the
+    // dependency, and that choice must be measurably more accurate.
+    val rng = new Random(7)
+    val n = 4000
+    val xs = Array.fill(n)(rng.nextInt(50).toDouble)
+    val yJoint = xs.map(x => x + rng.nextGaussian() * 0.5)
+    val yIndep = rng.shuffle(yJoint.toSeq).toArray
+    def mk(name: String, ys: Array[Double]): Ensemble.TrainedSpn = {
+      val data = Array.tabulate(n)(i => Array(xs(i), ys(i)))
+      Ensemble.TrainedSpn(name, Set("t"),
+        Array(Ensemble.ModelCol("t", "x", Learn.NumericCol),
+          Ensemble.ModelCol("t", "y", Learn.NumericCol)),
+        Learn.learn(data, Array[Learn.ColKind](Learn.NumericCol, Learn.NumericCol)),
+        n.toDouble, n.toLong,
+        rdcPairs = Learn.rdcMatrix(data, Array(0, 1))
+          .map { case (i, j, r) => (i, j) -> r }.toMap)
+    }
+    val bad = mk("a_indep", yIndep) // alphabetically first: the naive pick
+    val good = mk("b_joint", yJoint)
+    val spns = Map(bad.name -> bad, good.name -> good)
+    val predCols = Set(("t", "x"), ("t", "y"))
+    assert(Ensemble.selectOpt(spns, Set("t")).get.name == "a_indep",
+      "test premise: the naive tie-break must pick the dependence-blind model")
+    assert(Ensemble.selectFor(spns, Set("t"), predCols).get.name == "b_joint")
+    assert(Ensemble.rdcScore(good, predCols) > Ensemble.rdcScore(bad, predCols) + 0.3)
+
+    // a correlated two-column predicate: under the true pairing the y range
+    // is implied by the x range, under independence it multiplies away
+    val preds = Map(
+      ("t", "x") -> (NumRange(10.0, 20.0): ColRange),
+      ("t", "y") -> (NumRange(9.0, 21.0): ColRange))
+    val truth = (0 until n).count(i =>
+      xs(i) >= 10 && xs(i) <= 20 && yJoint(i) >= 9 && yJoint(i) <= 21).toDouble
+    def qe(e: Double) = math.max(e / truth, truth / e)
+    val ranges: Array[ColRange] = Array(NumRange(10.0, 20.0), NumRange(9.0, 21.0))
+    val estGood = n * Spn.prob(good.root, ranges)
+    val estBad = n * Spn.prob(bad.root, ranges)
+    assert(qe(estGood) * 2 < qe(estBad),
+      s"joint model $estGood vs independent $estBad, truth $truth")
+    // the public estimator inherits the good pick through selectFor
+    val routed = Ensemble.estCount(spns, Set("t"), preds)
+    assert(qe(routed.value) <= qe(estGood) + 1e-9,
+      s"routed ${routed.value} must match the RDC-selected model's $estGood")
+  }
+
   test("training knobs read overrides at use time and fall back to defaults") {
     assert(Knobs.sampleCap == 60000)
     assert(Knobs.joinBudget == 3)
