@@ -22,6 +22,44 @@ class AccuracySpec extends AnyFunSuite {
     math.max(e / x, x / e)
   }
 
+  test("M11 update drift: micro-batch inserts track a fresh retrain (updates_evaluation)") {
+    // the reference's evaluation/updates_evaluation.py protocol: train on a
+    // time-prefix of events, insert the remainder in micro-batches, then
+    // measure est_count q-error of the UPDATED model against a model trained
+    // fresh on the full data — the property M11 exists to protect. Median
+    // drift must stay within ~1.5× the fresh model's error.
+    val ev = schema.Tables(spark, sf, "events")
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+    val typeCode = map(types.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
+    val data = ev
+      .orderBy("ts", "event_id")
+      .select(element_at(typeCode, col("event_type")), col("value").cast("double"))
+      .collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1)))
+    val kinds = Array[Learn.ColKind](Learn.CategoricalCol(types.length), Learn.NumericCol)
+    val cut = data.length / 2
+    val (prefix, rest) = data.splitAt(cut)
+    val batchSize = math.max(1, math.ceil(rest.length / 5.0).toInt)
+    val updated = rest.grouped(batchSize)
+      .foldLeft(Learn.learn(prefix, kinds))((root, b) => Update.insertBatch(root, b.toArray))
+    val fresh = Learn.learn(data, kinds)
+    val n = data.length.toDouble
+    val rng = new Random(11)
+    val (qUpd, qFresh) = (1 to 40).map { _ =>
+      val tcode = rng.nextInt(types.length).toDouble
+      val lo = rng.nextDouble() * 250
+      val hi = lo + 20 + rng.nextDouble() * 80
+      val ranges: Array[ColRange] = Array(NominalSet(Array(tcode)), NumRange(lo, hi))
+      val truth = data.count(d => d(0) == tcode && d(1) >= lo && d(1) <= hi).toDouble
+      (qerr(n * Spn.prob(updated, ranges), truth), qerr(n * Spn.prob(fresh, ranges), truth))
+    }.unzip
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val (mu, mf) = (median(qUpd), median(qFresh))
+    info(f"median q-error updated=$mu%.3f fresh=$mf%.3f")
+    assert(mu <= mf * 1.5 + 0.05,
+      s"updated-model drift $mu exceeds 1.5x the fresh model's $mf")
+  }
+
   test("est_count single-table: median q-error <= 1.5 over random predicates") {
     val rng = new Random(123)
     val errs = (1 to 20).map { _ =>
