@@ -155,9 +155,14 @@ object ModelQueries {
     Op.noOracle("est_groupby") { (s, d) =>
       import s.implicits._
       val e = Ensemble.get(s, d)
-      Ensemble.estGroupByCount(e, Set("lineitem"), ("lineitem", "l_returnflag"), Map.empty)
-        .map { case (g, v) => (g, math.rint(v)) }
-        .toDF("l_returnflag", "est_count")
+      // per-group CI: the reference's group-by AQP path reports bounds per
+      // group, not just point estimates — same delta-method interval as the
+      // scalar surface, shared memo across the enumeration
+      Ensemble.estGroupByMulti(e, Set("lineitem"), Seq(("lineitem", "l_returnflag")), Map.empty)
+        .map { case (gs, est) =>
+          (gs.head, math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))
+        }
+        .toDF("l_returnflag", "est_count", "ci95_lo", "ci95_hi")
         .orderBy("l_returnflag")
     },
 
@@ -184,10 +189,12 @@ object ModelQueries {
     Op.noOracle("est_groupby2") { (s, d) =>
       import s.implicits._
       val e = Ensemble.get(s, d)
-      Ensemble.estGroupByCountMulti(e, Set("lineitem"),
+      Ensemble.estGroupByMulti(e, Set("lineitem"),
         Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")), Map.empty)
-        .map { case (gs, v) => (gs.head, gs(1), math.rint(v)) }
-        .toDF("l_returnflag", "l_linestatus", "est_count")
+        .map { case (gs, est) =>
+          (gs.head, gs(1), math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))
+        }
+        .toDF("l_returnflag", "l_linestatus", "est_count", "ci95_lo", "ci95_hi")
         .orderBy("l_returnflag", "l_linestatus")
     },
 

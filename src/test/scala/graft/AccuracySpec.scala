@@ -315,6 +315,35 @@ class AccuracySpec extends AnyFunSuite {
     assert(hits >= 14, s"CI covered only $hits/20 random count queries")
   }
 
+  test("per-group CI: group-by intervals stay ordered and cover most random groups") {
+    // the group-by analog of the A8 coverage harness (reference group-by
+    // AQP reports per-group bounds): random quantity filters, the
+    // l_returnflag enumeration, empirical coverage of the per-group 95%
+    // interval with the same tolerant 70% floor
+    val rng = new Random(19)
+    var total = 0
+    var hits = 0
+    (1 to 8).foreach { _ =>
+      val lo = 1 + rng.nextInt(30)
+      val hi = lo + 5 + rng.nextInt(15)
+      val preds = Map(("lineitem", "l_quantity") -> NumRange(lo.toDouble, hi.toDouble))
+      val exact = li.filter(col("l_quantity").between(lo, hi))
+        .groupBy("l_returnflag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      Ensemble.estGroupByMulti(ens, Set("lineitem"),
+          Seq(("lineitem", "l_returnflag")), preds).foreach { case (gs, e) =>
+        assert(e.ci95Lo <= e.value && e.value <= e.ci95Hi,
+          s"inverted per-group CI [${e.ci95Lo}, ${e.ci95Hi}] around ${e.value}")
+        exact.get(gs.head).foreach { x =>
+          total += 1
+          if (e.ci95Lo <= x && x <= e.ci95Hi) hits += 1
+        }
+      }
+    }
+    assert(total >= 20, s"harness must see a real group population, got $total")
+    assert(hits.toDouble / total >= 0.7, s"per-group CI covered only $hits/$total")
+  }
+
   test("A6 over factored tables: group-by works on customer⨝orders⨝lineitem") {
     val o = schema.Tables(spark, sf, "orders")
     val c = schema.Tables(spark, sf, "customer")
