@@ -119,46 +119,39 @@ object Streaming {
             java.util.Arrays.sort(ts)
             val closed = Array.newBuilder[(Long, Long, Long)]
             var open = state.getOption
-            // far-late events (flatMapGroupsWithState does NOT drop late
-            // rows): more than a gap OLDER than the open session's start can
-            // never belong to it, and since the batch is sorted and every
-            // other branch only moves the session window earlier-or-later
-            // monotonically, they form a strict PREFIX of the batch. A
-            // passed session can't be reopened (state holds one open
-            // session), so the prefix is sessionized locally — contiguous
-            // far-late events within a gap fold into ONE closed session,
-            // exact whenever the whole late session arrived in this batch.
-            val lateEnd = open match {
-              case Some(o) =>
-                val i = ts.indexWhere(_ >= o.startU - gapMicros)
-                if (i == -1) ts.length else i
-              case None => 0
-            }
-            if (lateEnd > 0) {
-              var ls = ts(0); var ll = ts(0); var lc = 1L
-              var i = 1
-              while (i < lateEnd) {
-                val t = ts(i)
-                if (t - ll < gapMicros) { ll = t; lc += 1 }
-                else { closed += ((user, ls, lc)); ls = t; ll = t; lc = 1L }
-                i += 1
-              }
-              closed += ((user, ls, lc))
-            }
-            ts.iterator.drop(lateEnd).foreach { t =>
+            // gaps-and-islands over the sorted batch: RUNS of events
+            // mutually within the gap, processed in order against the open
+            // session's interval. Runs are >= gap apart from each other, so
+            // each run either (a) ends more than a gap before the open
+            // session starts — closed and final, no later run can attach to
+            // it either (flatMapGroupsWithState does NOT drop late rows, and
+            // state holds one open session, so a passed session can't
+            // reopen); (b) starts more than a gap after the open session
+            // ends — the open session closes, the run opens anew; or
+            // (c) overlaps the open interval within the gap on either side —
+            // merged. One rule set covers far-late folds, in-range late
+            // merges, session turnover, AND a late run BRIDGED to the open
+            // session by an intermediate event (the run carries the bridge,
+            // so the merge is event-time exact when the chain arrives in one
+            // batch). lastU only ever grows (max), keeping the timeout
+            // timestamp monotonic; startU may regress — that is the merge
+            // semantics, and the timeout below depends only on lastU.
+            var i = 0
+            while (i < ts.length) {
+              var j = i + 1
+              var last = ts(i)
+              while (j < ts.length && ts(j) - last < gapMicros) { last = ts(j); j += 1 }
+              val (s0, l0, c0) = (ts(i), last, (j - i).toLong)
               open = open match {
-                // in-range merge with MONOTONIC bounds: a late event inside
-                // [start − gap, last + gap) folds in without regressing the
-                // session bounds, or the timeout timestamp set below could
-                // fall behind the watermark (Spark throws)
-                case Some(o) if t - o.lastU < gapMicros =>
-                  Some(OpenSession(math.min(o.startU, t), math.max(o.lastU, t), o.cnt + 1))
+                case Some(o) if l0 < o.startU - gapMicros =>
+                  closed += ((user, s0, c0)); Some(o)
+                case Some(o) if s0 - o.lastU >= gapMicros =>
+                  closed += ((user, o.startU, o.cnt)); Some(OpenSession(s0, l0, c0))
                 case Some(o) =>
-                  closed += ((user, o.startU, o.cnt))
-                  Some(OpenSession(t, t, 1))
-                case None =>
-                  Some(OpenSession(t, t, 1))
+                  Some(OpenSession(math.min(o.startU, s0), math.max(o.lastU, l0), o.cnt + c0))
+                case None => Some(OpenSession(s0, l0, c0))
               }
+              i = j
             }
             if (emitOpen) {
               open.foreach(o => closed += ((user, o.startU, o.cnt)))

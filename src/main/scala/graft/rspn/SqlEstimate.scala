@@ -55,10 +55,17 @@ object SqlEstimate {
       }
       q.limit.foreach(n => rows = rows.take(n))
       Groups(rows)
-    case other =>
-      if (q.having.isDefined || q.limit.isDefined) throw new IllegalArgumentException(
-        "unsupported SQL: HAVING/LIMIT on a non-grouped or grouping-set estimate")
-      other
+    case gs: GroupSets =>
+      // the exact plane applies all three to ROLLUP/CUBE; the estimate
+      // enumeration does not — fail loudly rather than silently ignore
+      if (q.having.isDefined || q.orderBy.nonEmpty || q.limit.isDefined)
+        throw new IllegalArgumentException(
+          "unsupported SQL: HAVING/ORDER BY/LIMIT with ROLLUP/CUBE on the estimate plane")
+      gs
+    case scalar: Scalar =>
+      // one row: ORDER BY and LIMIT (parse guarantees >= 1) are no-ops,
+      // honoring them exactly; HAVING is impossible without GROUP BY
+      scalar
   }
 
   private def cmpD(x: Double, op: String, v: Double): Boolean = op match {

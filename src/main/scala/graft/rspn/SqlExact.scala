@@ -28,16 +28,6 @@ object SqlExact {
       val b = q.orPreds.map(predCol).reduce(_ && _)
       df = df.filter(a || b)
     }
-    // a linear term as an exact decimal aggregate, combined BEFORE the
-    // final round so SUM(a) ± SUM(b) rounds once, like the DuckDB oracle
-    def decimalTerm(a: SqlParser.Agg): Column = a match {
-      case Count     => count(lit(1)).cast("decimal(38,12)")
-      case Sum(_, c) => sum(col(c).cast("decimal(38,12)"))
-      case SumProduct(_, ca, _, cb) =>
-        sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)"))
-      case other =>
-        throw new IllegalArgumentException(s"unsupported SQL: non-linear ± term $other")
-    }
     val aggCol = q.agg match {
       case Count => count(lit(1)).cast("double").as("val")
       case Sum(_, c) =>
@@ -65,14 +55,18 @@ object SqlExact {
           case GroupCube   => df.cube(gcols: _*)
           case GroupFlat   => df.groupBy(gcols: _*)
         }
-        // HAVING rides the same aggregation as a hidden column — one pass,
-        // filtered after the partial/final agg, never a second scan
-        val aggd = q.having match {
-          case None => grouped.agg(aggCol)
-          case Some(h) =>
-            grouped.agg(aggCol, aggTermDouble(h.agg).as("__hv"))
-              .filter(cmp(col("__hv"), h.op, h.value)).drop("__hv")
-        }
+        // HAVING and the ORDER BY aggregate ride the same aggregation as
+        // hidden columns — one pass, never a second scan. Sorting uses the
+        // RAW (unrounded) aggregate: the rounded output column would rank
+        // sub-cent-separated groups as ties, diverging from any engine
+        // ordering by the true value.
+        val needsOrd = q.orderBy.exists(_.byAgg)
+        val hidden =
+          q.having.map(h => aggTermDouble(h.agg).as("__hv")).toSeq ++
+            (if (needsOrd) Seq(rawAgg(q.agg).as("__ord")) else Nil)
+        val aggd0 = grouped.agg(aggCol, hidden: _*)
+        val aggd = q.having.fold(aggd0)(h =>
+          aggd0.filter(cmp(col("__hv"), h.op, h.value)).drop("__hv"))
         val nameOf = gs.zip(names).toMap
         val orderCols = q.orderBy match {
           case Nil => names.map(col)
@@ -81,15 +75,41 @@ object SqlExact {
             // a total order, so a LIMIT cut is engine-independent (SURVEY
             // §7.4 determinism contract)
             val userKeys = ks.map { k =>
-              val c = if (k.byAgg) col("val") else col(nameOf((k.table, k.col)))
+              val c = if (k.byAgg) col("__ord") else col(nameOf((k.table, k.col)))
               if (k.asc) c.asc else c.desc
             }
             val used = q.orderBy.collect { case k if !k.byAgg => nameOf((k.table, k.col)) }.toSet
             userKeys ++ names.filterNot(used).map(col(_).asc)
         }
-        aggd.orderBy(orderCols: _*)
+        val sorted = aggd.orderBy(orderCols: _*)
+        if (needsOrd) sorted.drop("__ord") else sorted
     }
     q.limit.fold(out)(out.limit)
+  }
+
+  /** A linear term as an exact decimal aggregate, combined BEFORE the final
+    * round so SUM(a) ± SUM(b) rounds once, like the DuckDB oracle.
+    */
+  private def decimalTerm(a: SqlParser.Agg): Column = a match {
+    case Count     => count(lit(1)).cast("decimal(38,12)")
+    case Sum(_, c) => sum(col(c).cast("decimal(38,12)"))
+    case SumProduct(_, ca, _, cb) =>
+      sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)"))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported SQL: non-linear ± term $other")
+  }
+
+  /** The SELECT aggregate UNROUNDED, for ORDER BY ranking (every leaf is
+    * the same decimal-exact form the output column rounds from).
+    */
+  private def rawAgg(a: SqlParser.Agg): Column = a match {
+    case Count     => count(lit(1))
+    case Sum(_, c) => sum(col(c).cast("decimal(38,12)"))
+    case Avg(_, c) => avg(col(c).cast("decimal(38,12)"))
+    case SumProduct(_, ca, _, cb) =>
+      sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)"))
+    case Combo(plus, l, r) =>
+      if (plus) decimalTerm(l) + decimalTerm(r) else decimalTerm(l) - decimalTerm(r)
   }
 
   /** A HAVING aggregate as a double column, same decimal-exact summation

@@ -121,6 +121,32 @@ object SqlParser {
   private val selAliasRe: Regex = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r
   private val havingRe: Regex = """(?is)^(.+?)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$""".r
   private val orderKeyRe: Regex = """(?is)^(.*?)(?:\s+(ASC|DESC))?\s*$""".r
+
+  /** selectRe is quote-blind: a literal containing ' GROUP BY ', ' ORDER
+    * BY ' etc. would be torn apart by the clause regex. Mask every quoted
+    * literal to a keyword-free token before matching and unmask the captured
+    * groups after (escape syntax is unsupported throughout this parser).
+    */
+  private def maskLiterals(s: String): (String, IndexedSeq[String]) = {
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val j = s.indexOf('\'', i + 1)
+        if (j < 0) { out.append(s.substring(i)); i = s.length } // unbalanced: leave as-is
+        else {
+          out.append('\'').append('\u0001').append(lits.length).append('\'')
+          lits += s.substring(i + 1, j)
+          i = j + 1
+        }
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    (out.toString, lits.toIndexedSeq)
+  }
+
+  private def unmask(s: String, lits: IndexedSeq[String]): String =
+    "\u0001(\\d+)".r.replaceAllIn(s, m => Regex.quoteReplacement(lits(m.group(1).toInt)))
   private val groupSetRe: Regex = """(?is)^(ROLLUP|CUBE)\s*\((.*)\)$""".r
   private val aggRe: Regex =
     """(?i)^(COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
@@ -161,8 +187,25 @@ object SqlParser {
     None
   }
 
-  def parse(sql: String): ParsedQuery = sql match {
-    case selectRe(sel0, from, where, group, havingS, orderS, limitS) =>
+  def parse(sql: String): ParsedQuery = {
+    val (maskedSql, lits) = maskLiterals(sql)
+    maskedSql match {
+      case selectRe(sel0m, from, whereM, group, havingM, orderM, limitS) =>
+        parseClauses(
+          unmask(sel0m, lits), from,
+          Option(whereM).map(unmask(_, lits)).orNull,
+          group,
+          Option(havingM).map(unmask(_, lits)).orNull,
+          Option(orderM).map(unmask(_, lits)).orNull,
+          limitS)
+      case _ => fail("expected SELECT <agg> FROM <join tree> [WHERE ...] [GROUP BY cols] [HAVING ...] [ORDER BY ...] [LIMIT n]")
+    }
+  }
+
+  private def parseClauses(
+      sel0: String, from: String, where: String, group: String,
+      havingS: String, orderS: String, limitS: String): ParsedQuery = {
+    {
       // a trailing `AS alias` names the aggregate for ORDER BY resolution
       val (sel, aggAlias) = sel0.trim match {
         case selAliasRe(e, a) => (e, Some(a))
@@ -220,14 +263,20 @@ object SqlParser {
               OrderKey(byAgg = false, t, expr, asc)
           }
       }
-      val limit = Option(limitS).map(_.toInt)
+      val limit = Option(limitS).map { l =>
+        // the \d+ arm admits literals past Int range — keep the failure on
+        // the parser's uniform unsupported-SQL channel
+        val v = try l.toLong catch { case _: NumberFormatException => fail(s"LIMIT $l") }
+        if (v < 1 || v > Int.MaxValue) fail(s"LIMIT $l out of range")
+        v.toInt
+      }
       // an un-ordered LIMIT returns engine-dependent rows — reject it rather
       // than break the determinism contract every declared query carries
       if (limit.isDefined && orderBy.isEmpty && groupBy.nonEmpty)
         fail("LIMIT requires ORDER BY on a grouped query")
       ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy, mode,
         having, orderBy, limit)
-    case _ => fail("expected SELECT <agg> FROM <join tree> [WHERE ...] [GROUP BY cols] [HAVING ...] [ORDER BY ...] [LIMIT n]")
+    }
   }
 
   private def parseFrom(from: String): (String, Set[String], Seq[JoinEdge]) = {
@@ -468,7 +517,11 @@ object SqlParser {
     * `FROM a JOIN b ON j = k WHERE …` form. No-op for JOIN-form (or
     * single-table) SQL.
     */
-  private[rspn] def desugarCommaJoins(sql: String): String = sql match {
+  private[rspn] def desugarCommaJoins(sql: String): String = {
+    // literals are masked around the clause match (same reason as parse):
+    // the rewrite below is regex/string surgery that must never see one
+    val (maskedSql, lits) = maskLiterals(sql)
+    maskedSql match {
     case selectRe(sel, from, where, group, having, order, limitS) if from.contains(",") &&
         joinRe.findFirstIn(from).isEmpty =>
       // table list with optional aliases (alias lookup is case-insensitive,
@@ -543,7 +596,8 @@ object SqlParser {
       val tailS = Option(having).map(h => s" HAVING ${strip(h)}").getOrElse("") +
         Option(order).map(o => s" ORDER BY ${strip(o)}").getOrElse("") +
         Option(limitS).map(l => s" LIMIT $l").getOrElse("")
-      s"SELECT $selS FROM $firstTable ${joinClauses.mkString(" ")}$whereS$groupS2$tailS"
+      unmask(s"SELECT $selS FROM $firstTable ${joinClauses.mkString(" ")}$whereS$groupS2$tailS", lits)
     case _ => sql
+    }
   }
 }

@@ -243,9 +243,30 @@ class SqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SqlEstimate.estimate(ens,
       "SELECT SUM(l_quantity) FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 5"))
 
+    // clause keywords INSIDE string literals must not be torn out by the
+    // clause regex (masked around the match)
+    val litQ = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM part WHERE p_type IN ('A ORDER BY B', 'X LIMIT 5')")
+    assert(litQ.preds == Seq(Pred("part", "p_type", StrIn(Seq("A ORDER BY B", "X LIMIT 5")))))
+    assert(litQ.orderBy.isEmpty && litQ.limit.isEmpty)
+    val litComma = SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM customer c, orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND c.c_mktsegment IN ('B GROUP BY HAVING')")
+    assert(litComma.preds == Seq(Pred("customer", "c_mktsegment", StrIn(Seq("B GROUP BY HAVING")))))
+
     // malformed shapes fail loudly, never silently reorder or truncate
     intercept[IllegalArgumentException](SqlParser.parseQuery(
       "SELECT COUNT(*) FROM lineitem HAVING COUNT(*) > 5"))
+    // LIMIT literals outside Int range (or zero) use the parser's uniform
+    // unsupported-SQL failure channel, not a NumberFormatException
+    intercept[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY COUNT(*) LIMIT 99999999999"))
+    intercept[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY COUNT(*) LIMIT 0"))
+    // ROLLUP with ORDER BY: applied on the exact plane, loud on the model
+    // plane (the grouping-set enumeration has no ordering surface)
+    intercept[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT COUNT(*) FROM lineitem GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag"))
     intercept[IllegalArgumentException](SqlParser.parseQuery(
       "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY l_quantity"))
     intercept[IllegalArgumentException](SqlParser.parseQuery(

@@ -234,6 +234,39 @@ class StreamingSpec extends AnyFunSuite {
       s"open session must be flushed by the watermark timeout: $rows")
   }
 
+  test("sessionize streams: a late run bridged by an in-range event merges, not splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = ext.Streaming.sessionize(
+        mem.toDF().withWatermark("ts", "2 hours"), emitOpen = false)
+      .writeStream.format("memory").queryName("sessz_bridge").outputMode("append").start()
+    // batch 1: open session at 02:00
+    mem.addData(Ev(1, ts("2024-01-01 02:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: 01:20 and 01:25 are far-late vs the 02:00 start, but 01:32
+    // bridges them (01:32 is within the 30-min gap of both 01:25 and
+    // 02:00) — event-time-correct is ONE session from 01:20, not a closed
+    // (01:20, 2) plus a session at 01:32 or 02:00
+    mem.addData(
+      Ev(2, ts("2024-01-01 01:20:00"), 1, "view", 1.0),
+      Ev(3, ts("2024-01-01 01:25:00"), 1, "view", 1.0),
+      Ev(4, ts("2024-01-01 01:32:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to flush the open session
+    mem.addData(Ev(5, ts("2024-01-01 08:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(Ev(6, ts("2024-01-01 08:01:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from sessz_bridge").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows.contains((1L, ts("2024-01-01 01:20:00"), 4L)),
+      s"bridged late run must merge into one session from 01:20: $rows")
+    assert(!rows.exists(r => r._1 == 1L && r._3 < 4L),
+      s"no fragment sessions for user 1: $rows")
+  }
+
   test("parquet file sink with checkpoint: append-mode windows land exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
