@@ -284,7 +284,10 @@ object ModelQueries {
             "AND c.c_mktsegment = 'BUILDING' AND l.l_quantity < 30"),
         // reference AggregationOperationType.MINUS: difference of aggregates
         "q16_plus_minus" ->
-          "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem WHERE l_quantity < 30")
+          "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem WHERE l_quantity < 30",
+        // round-7: COUNT(DISTINCT) = size of the nonzero-support enumeration
+        "q17_count_distinct" ->
+          "SELECT COUNT(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F'")
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>
@@ -364,6 +367,12 @@ object ModelQueries {
         |    FROM lineitem GROUP BY l_linestatus, l_returnflag
         |    HAVING COUNT(*) > 9950
         |    ORDER BY COUNT(*) DESC, l_linestatus, l_returnflag LIMIT 4) t15
+        |  UNION ALL
+        |  SELECT 'q16', '', CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE)
+        |    FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'q17', l_returnflag, CAST(COUNT(DISTINCT l_linestatus) AS DOUBLE)
+        |    FROM lineitem GROUP BY l_returnflag
         |) SELECT query, grp, val FROM s ORDER BY query, grp""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.functions.{col, concat_ws, lit}
@@ -396,7 +405,10 @@ object ModelQueries {
           "ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 3"),
         "q14" -> "SELECT SUM(l_quantity) FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 20000",
         "q15" -> ("SELECT COUNT(*) FROM lineitem GROUP BY l_linestatus, l_returnflag " +
-          "HAVING COUNT(*) > 9950 ORDER BY COUNT(*) DESC, l_linestatus, l_returnflag LIMIT 4"))
+          "HAVING COUNT(*) > 9950 ORDER BY COUNT(*) DESC, l_linestatus, l_returnflag LIMIT 4"),
+        // COUNT(DISTINCT): scalar under a filter, and per-group
+        "q16" -> "SELECT COUNT(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F'",
+        "q17" -> "SELECT COUNT(DISTINCT l_linestatus) FROM lineitem GROUP BY l_returnflag")
       qs.map { case (id, sql) =>
         val df = SqlExact.compile(s, d, sql)
         val gcols = df.columns.filter(_.startsWith("grp"))

@@ -30,6 +30,7 @@ object SqlExact {
     }
     val aggCol = q.agg match {
       case Count => count(lit(1)).cast("double").as("val")
+      case CountDistinct(_, c) => countDistinct(col(c)).cast("double").as("val")
       case Sum(_, c) =>
         round(sum(col(c).cast("decimal(38,12)")), 2).cast("double").as("val")
       case Avg(_, c) =>
@@ -104,6 +105,7 @@ object SqlExact {
     */
   private def rawAgg(a: SqlParser.Agg): Column = a match {
     case Count     => count(lit(1))
+    case CountDistinct(_, c) => countDistinct(col(c))
     case Sum(_, c) => sum(col(c).cast("decimal(38,12)"))
     case Avg(_, c) => avg(col(c).cast("decimal(38,12)"))
     case SumProduct(_, ca, _, cb) =>
@@ -117,6 +119,7 @@ object SqlExact {
     */
   private def aggTermDouble(a: SqlParser.Agg): Column = a match {
     case Count     => count(lit(1)).cast("double")
+    case CountDistinct(_, c) => countDistinct(col(c)).cast("double")
     case Sum(_, c) => sum(col(c).cast("decimal(38,12)")).cast("double")
     case Avg(_, c) => avg(col(c).cast("decimal(38,12)")).cast("double")
     case SumProduct(_, ca, _, cb) =>

@@ -26,6 +26,12 @@ object SqlParser {
     * product form for its SSB workload).
     */
   final case class SumProduct(ta: String, ca: String, tb: String, cb: String) extends Agg
+  /** COUNT(DISTINCT col) — exact plane: countDistinct; model plane: the size
+    * of the nonzero-probability group enumeration over `col` (a categorical
+    * dictionary is the column's complete domain, so the enumeration IS the
+    * distinct set under the predicates).
+    */
+  final case class CountDistinct(table: String, col: String) extends Agg
   /** `±` combination of two linear aggregate terms — the reference's
     * `AggregationOperationType.PLUS/MINUS` chains (graph_representation.py):
     * COUNT/SUM/SUM(a*b) terms only (AVG is not linear, rejected at parse).
@@ -149,13 +155,14 @@ object SqlParser {
     "\u0001(\\d+)".r.replaceAllIn(s, m => Regex.quoteReplacement(lits(m.group(1).toInt)))
   private val groupSetRe: Regex = """(?is)^(ROLLUP|CUBE)\s*\((.*)\)$""".r
   private val aggRe: Regex =
-    """(?i)^(COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
+    """(?i)^(COUNT\(\s*DISTINCT\s+(\w+)\s*\)|COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
   private val joinRe: Regex = """(?i)\s+JOIN\s+""".r
   private val onRe: Regex = """(?i)^(\w+)\s+ON\s+(\w+)\s*=\s*(\w+)$""".r
 
   private def parseAggTerm(s: String): Agg = s.trim match {
-    case aggRe(whole, sumCol, sumCol2, avgCol) =>
-      if (whole.toUpperCase.startsWith("COUNT")) Count
+    case aggRe(whole, distinctCol, sumCol, sumCol2, avgCol) =>
+      if (distinctCol != null) CountDistinct(tableOf(distinctCol), distinctCol)
+      else if (whole.toUpperCase.startsWith("COUNT")) Count
       else if (sumCol2 != null) {
         // a repeated column would need the E[x²] moment on the feature
         // pass; downstream feature Maps would silently collapse it to
@@ -217,8 +224,9 @@ object SqlParser {
           // parseAggTerm returns only leaf aggregates; AVG is the one
           // non-linear leaf and cannot ride a ± combination
           Seq(combo.left, combo.right).foreach {
-            case _: Avg => fail("± of AVG terms (AVG is not linear)")
-            case _      => ()
+            case _: Avg           => fail("± of AVG terms (AVG is not linear)")
+            case _: CountDistinct => fail("± of COUNT(DISTINCT) terms (not linear)")
+            case _                => ()
           }
           combo
         case None => parseAggTerm(sel.trim)

@@ -171,6 +171,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("tpch_q18: qualifying keys flow through a semi join, no broadcast hints") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SparkEntry.queries("tpch_q18")(spark, rawSf))
+      assert(plan.contains("LeftSemi"), s"q18 lost its semi join:\n$plan")
+      // with the size threshold disabled NOTHING may broadcast — q18 has no
+      // hints because every side scales with SF
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"q18 must not force a broadcast at cluster scale:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("z-order layout: per-file ranges tighten on BOTH dimensions vs key-sorted") {
     // write the same rows twice: sorted by one key (the single-dim layout)
     // and sorted by the interleaved z-value; parquet min/max stats per FILE

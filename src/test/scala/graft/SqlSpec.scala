@@ -275,6 +275,40 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY SUM(l_quantity)"))
   }
 
+  test("COUNT(DISTINCT): exact countDistinct, model-plane enumeration size") {
+    views
+    val sql = "SELECT COUNT(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F'"
+    assert(SqlParser.parseQuery(sql).agg == CountDistinct("orders", "o_orderpriority"))
+    val compiled = SqlExact.compile(spark, sf, sql).head().getDouble(0)
+    assert(compiled == exactScalar(sql))
+    // a categorical dictionary is the column's complete domain, so the
+    // model enumeration matches exactly on a well-supported filter
+    SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Scalar(e) => assert(e.value == compiled, s"model ${e.value} exact $compiled")
+      case other                 => fail(s"expected Scalar, got $other")
+    }
+    // per-group distinct agrees on both planes
+    val gSql = "SELECT COUNT(DISTINCT l_linestatus) FROM lineitem GROUP BY l_returnflag"
+    val exactG = spark.sql("SELECT l_returnflag, CAST(COUNT(DISTINCT l_linestatus) AS DOUBLE) " +
+        "FROM lineitem GROUP BY l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotG = SqlExact.compile(spark, sf, gSql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotG == exactG, s"$gotG != $exactG")
+    SqlEstimate.estimate(ens, gSql) match {
+      case SqlEstimate.Groups(rows) =>
+        assert(rows.map { case (g, e) => g.head -> e.value }.toMap == exactG)
+      case other => fail(s"expected Groups, got $other")
+    }
+    // numeric distinct: fine exactly, loud on the model plane (no dictionary)
+    val nSql = "SELECT COUNT(DISTINCT l_quantity) FROM lineitem"
+    assert(SqlExact.compile(spark, sf, nSql).head().getDouble(0) == exactScalar(nSql))
+    intercept[IllegalArgumentException](SqlEstimate.estimate(ens, nSql))
+    // not linear: rejected from +/- combinations at parse
+    intercept[IllegalArgumentException](SqlParser.parseQuery(
+      "SELECT COUNT(DISTINCT l_linestatus) + COUNT(*) FROM lineitem"))
+  }
+
   test("SqlExact compiles the same class to a DataFrame plan matching spark.sql") {
     views
     val cases = Seq(
