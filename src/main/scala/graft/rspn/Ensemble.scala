@@ -634,7 +634,9 @@ object Ensemble {
         rel <- SchemaGraph.testdata.relationships.iterator
         (t, tp) <- Iterator((rel.many, rel.one), (rel.one, rel.many))
         if tables(t) && !covered(t) && covered(tp)
-        spn2 <- selectOpt(spns, Set(t, tp)).iterator
+        // hop-model choice is dependence-aware too: the chain SPN covers
+        // every 2-table subset of its tables, so variants exist here
+        spn2 <- selectFor(spns, Set(t, tp), predsOn(preds, Set(t, tp)).keySet).iterator
       } yield (t, tp, spn2)).nextOption()
       viaJoinSpn match {
         case Some((t, tp, spn2)) =>
@@ -654,7 +656,7 @@ object Ensemble {
           val dimStep = (for {
             rel <- SchemaGraph.testdata.relationships.iterator
             if tables(rel.one) && !covered(rel.one) && covered(rel.many)
-            dimSpn <- selectOpt(spns, Set(rel.one)).iterator
+            dimSpn <- selectFor(spns, Set(rel.one), predsOn(preds, Set(rel.one)).keySet).iterator
           } yield (rel.one, dimSpn)).nextOption().getOrElse(
             throw new NoSuchElementException(
               s"no SPN chain extends ${covered.mkString(",")} to ${tables.mkString(",")}"))

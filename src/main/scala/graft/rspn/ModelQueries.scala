@@ -207,9 +207,10 @@ object ModelQueries {
       Ensemble.estRollup(e, Set("lineitem"),
         Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")), Map.empty)
         .map { case (ks, est) =>
-          (ks.map(_.getOrElse("(all)")).mkString("|"), math.rint(est.value))
+          (ks.map(_.getOrElse("(all)")).mkString("|"),
+            math.rint(est.value), math.rint(est.ci95Lo), math.rint(est.ci95Hi))
         }
-        .toDF("grp", "est_count")
+        .toDF("grp", "est_count", "ci95_lo", "ci95_hi")
         .orderBy("grp")
     },
 
@@ -287,7 +288,12 @@ object ModelQueries {
           "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem WHERE l_quantity < 30",
         // round-7: COUNT(DISTINCT) = size of the nonzero-support enumeration
         "q17_count_distinct" ->
-          "SELECT COUNT(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F'")
+          "SELECT COUNT(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F'",
+        // round-7: estimate-plane top-k — ORDER BY/LIMIT applied to the
+        // estimated group rows
+        "q18_topk" ->
+          ("SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag " +
+            "ORDER BY COUNT(*) DESC, l_returnflag LIMIT 2"))
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>
