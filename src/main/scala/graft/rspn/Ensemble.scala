@@ -486,8 +486,12 @@ object Ensemble {
     * sum of its stored training-sample RDC over every predicate-column pair
     * it models jointly. Zero when fewer than two predicate columns are
     * modeled — the score only separates variants on multi-column queries.
+    * Constant 0 when [[Knobs.rdcSelection]] is off, so every chooser that
+    * sorts on it degenerates to the pure minimal-cover pick (the reference
+    * without --rdc_spn_selection).
     */
   def rdcScore(spn: TrainedSpn, predCols: Set[(String, String)]): Double = {
+    if (!Knobs.rdcSelection) return 0.0
     val idx = predCols.toSeq.flatMap { case (t, c) =>
       spn.cols.indexWhere(mc => mc.table == t && mc.name == c) match {
         case -1 => None

@@ -45,4 +45,11 @@ object Knobs {
     */
   def minInstancesFrac: Double =
     double("graft.minInstancesFrac", "SPARK_GRAFT_MIN_INSTANCES_FRAC", 0.01)
+
+  /** Query-time RDC-aware model variant selection (reference maqp.py
+    * --rdc_spn_selection). Off = the pure minimal-cover choice.
+    */
+  def rdcSelection: Boolean =
+    lookup("graft.rdcSelection", "SPARK_GRAFT_RDC_SELECTION")
+      .forall(v => v.trim.equalsIgnoreCase("true") || v.trim == "1")
 }

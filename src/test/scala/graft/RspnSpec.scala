@@ -129,6 +129,11 @@ class RspnSpec extends AnyFunSuite {
       "test premise: the naive tie-break must pick the dependence-blind model")
     assert(Ensemble.selectFor(spns, Set("t"), predCols).get.name == "b_joint")
     assert(Ensemble.rdcScore(good, predCols) > Ensemble.rdcScore(bad, predCols) + 0.3)
+    // the knob (default on) reverts selection to the pure minimal-cover pick
+    assert(Knobs.rdcSelection)
+    sys.props("graft.rdcSelection") = "false"
+    try assert(Ensemble.selectFor(spns, Set("t"), predCols).get.name == "a_indep")
+    finally sys.props.remove("graft.rdcSelection")
 
     // a correlated two-column predicate: under the true pairing the y range
     // is implied by the x range, under independence it multiplies away
