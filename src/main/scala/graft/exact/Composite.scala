@@ -290,6 +290,73 @@ object Composite {
         .limit(100)
     },
 
+    // TPC-H Q4 (order priority checking): correlated EXISTS, decorrelated to
+    // a LEFT SEMI join whose condition carries a NON-EQUI conjunct next to
+    // the key equality (l_shipdate > o_orderdate + 60 days — the fixture's
+    // stand-in for Q4's commit/receipt lateness, which the testdata lacks).
+    // The semi join never replicates lineitem rows into the output, so the
+    // shape stays one shuffle per side at any SF; both sides scale with SF,
+    // so nothing carries a broadcast hint (PlanSpec pins this).
+    Op(
+      "tpch_q4",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated SCALAR
+    // subquery (per-part avg quantity threshold), decorrelated to a
+    // per-partkey aggregate joined back to the fact — the plan every engine
+    // rewrites Q17 into. The threshold compare is multiplied through
+    // (5·qty·cnt < sum instead of qty < 0.2·sum/cnt) so it is decimal-exact
+    // in both engines: a float division at the boundary would flip rows
+    // between Spark and DuckDB. The aggregate and both joins run on
+    // l_partkey, so the fact shuffles once and the partitioning is reused;
+    // the brand slice of part scales with SF and carries no hint.
+    Op(
+      "tpch_q17",
+      """SELECT CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem l
+        |JOIN part ON p_partkey = l.l_partkey
+        |JOIN (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qsum,
+        |             CAST(COUNT(*) AS BIGINT) AS qcnt
+        |      FROM lineitem GROUP BY l_partkey) q
+        |  ON q.l_partkey = l.l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND CAST(l.l_quantity AS DECIMAL(18,6)) * 5 * qcnt < qsum""".stripMargin
+    ) { (s, d) =>
+      val li = t(s, d, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+      val perPart = li.groupBy("l_partkey")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,6)")).as("qsum"),
+          count(lit(1)).as("qcnt"))
+        .withColumnRenamed("l_partkey", "q_partkey")
+      li.join(t(s, d, "part").filter(col("p_brand") === "Brand#4").select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("q_partkey"))
+        .filter(col("l_quantity").cast("decimal(18,6)") * 5 * col("qcnt") < col("qsum"))
+        .agg(
+          revSum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // TPC-H Q6 (forecast revenue change): the minimal selective filter-agg.
     // Every predicate is scan-evaluable — at 100 TB this is THE query whose
     // cost is decided by pushdown + row-group statistics alone (a z-order/

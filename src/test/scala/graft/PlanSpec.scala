@@ -184,6 +184,39 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("tpch_q4: EXISTS decorrelates to a semi join with the non-equi conjunct, no hints") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SparkEntry.queries("tpch_q4")(spark, rawSf))
+      assert(plan.contains("LeftSemi"), s"q4 lost its semi join:\n$plan")
+      // both sides scale with SF: at cluster scale nothing may broadcast
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"q4 must not force a broadcast at cluster scale:\n$plan")
+      // the lateness predicate rides the join, not a post-join filter pass
+      assert(plan.contains("LeftSemi") && plan.contains("60"),
+        s"q4's non-equi lateness conjunct missing from the plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("tpch_q17: per-part aggregate and both joins share the l_partkey partitioning") {
+    // cluster-scale plan: the fact shuffles on l_partkey for the first join,
+    // the brand slice shuffles, and the per-part aggregate shuffles its
+    // partials — the aggregate-side join must REUSE that partitioning, so at
+    // most 3 hash exchanges appear (the final ungrouped agg is a single-
+    // partition exchange, not a hash one)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SparkEntry.queries("tpch_q17")(spark, rawSf))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"q17 must not force a broadcast at cluster scale:\n$plan")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles <= 3,
+        s"q17's aggregate-side join must reuse the l_partkey partitioning, got $shuffles exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("z-order layout: per-file ranges tighten on BOTH dimensions vs key-sorted") {
     // write the same rows twice: sorted by one key (the single-dim layout)
     // and sorted by the interleaved z-value; parquet min/max stats per FILE
