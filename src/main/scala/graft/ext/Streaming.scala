@@ -196,6 +196,31 @@ object Streaming {
       ev.filter(col("event_type") === "click"))
       .groupBy("p_id").agg(count(lit(1)).as("n_clicks"))
 
+  /** T8b: stream-stream LEFT OUTER interval join — every purchase survives,
+    * clicked-through or not. The outer semantics are what make this a
+    * distinct streaming op: Spark can only emit the null-padded row once the
+    * watermark proves no in-window click can still arrive, so the time bound
+    * + both-side watermarks are REQUIRED (an unbounded outer join would hold
+    * state forever). In batch it is a plain left outer join; counting the
+    * match side (`count(c_user)`) makes unmatched purchases report 0.
+    */
+  def intervalPairsOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+  }
+
+  def intervalJoinLeft(ev: DataFrame): DataFrame =
+    intervalPairsOuter(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+      .groupBy("p_id").agg(count(col("c_user")).as("n_clicks"))
+
   val ops: Seq[Op] = Seq(
     Op(
       "stream_tumbling",
@@ -271,6 +296,19 @@ object Streaming {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin
-    )((s, d) => intervalJoin(events(s, d)).orderBy("p_id"))
+    )((s, d) => intervalJoin(events(s, d)).orderBy("p_id")),
+
+    // Left-outer variant: zero-click purchases appear with n_clicks = 0 —
+    // the funnel-analysis shape (conversion WITHOUT a preceding touchpoint
+    // is exactly the signal an inner join erases).
+    Op(
+      "stream_interval_join_left",
+      """SELECT p.event_id AS p_id, COUNT(c.user_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    )((s, d) => intervalJoinLeft(events(s, d)).orderBy("p_id"))
   )
 }

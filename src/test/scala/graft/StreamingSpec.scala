@@ -77,6 +77,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getLong(0) == 1L && rows(0).getTimestamp(1) == ts("2024-01-01 00:40:00"))
   }
 
+  test("stream-stream LEFT OUTER interval join pads unmatched purchases after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = ext.Streaming.intervalPairsOuter(
+      purchases.toDF().withWatermark("ts", "10 minutes"),
+      clicks.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ivjl").outputMode("append").start()
+    clicks.addData(Ev(10, ts("2024-01-01 00:50:00"), 2, "click", 0.0))
+    purchases.addData(
+      Ev(1, ts("2024-01-01 01:00:00"), 1, "purchase", 9.0), // no click: must survive
+      Ev(2, ts("2024-01-01 01:00:00"), 2, "purchase", 9.0)) // clicked through
+    q.processAllAvailable()
+    // the matched row emits immediately; the null-padded row must NOT exist
+    // yet — the watermark has not proven the click can't still arrive
+    assert(spark.sql("select * from ivjl where p_id = 1").count() == 0,
+      "outer row emitted before the watermark closed the join window")
+    // advance BOTH watermarks (the join uses their minimum) past 01:00+30min
+    purchases.addData(Ev(3, ts("2024-01-01 03:00:00"), 9, "purchase", 0.0))
+    clicks.addData(Ev(11, ts("2024-01-01 03:00:00"), 9, "click", 0.0))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val rows = spark.sql("select p_id, c_ts from ivjl where p_id in (1, 2) order by p_id").collect()
+    q.stop()
+    assert(rows.length == 2, s"both purchases must appear exactly once: ${rows.toSeq}")
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(1),
+      s"zero-click purchase must emit null-padded: ${rows(0)}")
+    assert(rows(1).getLong(0) == 2L && rows(1).getTimestamp(1) == ts("2024-01-01 00:50:00"))
+  }
+
   test("stateful dedup within watermark (T5)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
