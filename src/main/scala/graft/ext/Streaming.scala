@@ -180,14 +180,16 @@ object Streaming {
     * join (the time bound is what lets the engine expire join state) —
     * StreamingSpec runs it over two MemoryStreams with watermarks.
     */
-  def intervalPairs(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+  def intervalPairs(purchases: DataFrame, clicks: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") < col("p_ts"))
+        col("c_ts") < col("p_ts"),
+      joinType)
   }
 
   def intervalJoin(ev: DataFrame): DataFrame =
@@ -204,16 +206,8 @@ object Streaming {
     * state forever). In batch it is a plain left outer join; counting the
     * match side (`count(c_user)`) makes unmatched purchases report 0.
     */
-  def intervalPairsOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
-    val p = purchases
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    p.join(c,
-      col("p_user") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-        col("c_ts") < col("p_ts"),
-      "left_outer")
-  }
+  def intervalPairsOuter(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    intervalPairs(purchases, clicks, "left_outer")
 
   def intervalJoinLeft(ev: DataFrame): DataFrame =
     intervalPairsOuter(

@@ -50,6 +50,15 @@ object Knobs {
     * --rdc_spn_selection). Off = the pure minimal-cover choice.
     */
   def rdcSelection: Boolean =
-    lookup("graft.rdcSelection", "SPARK_GRAFT_RDC_SELECTION")
-      .forall(v => v.trim.equalsIgnoreCase("true") || v.trim == "1")
+    lookup("graft.rdcSelection", "SPARK_GRAFT_RDC_SELECTION").forall {
+      _.trim.toLowerCase match {
+        case "true" | "1"  => true
+        case "false" | "0" => false
+        case other =>
+          // fail loudly like the int/double knobs: a typo must not silently
+          // flip query-time selection behavior
+          throw new IllegalArgumentException(
+            s"graft.rdcSelection must be true/false/1/0, got '$other'")
+      }
+    }
 }
