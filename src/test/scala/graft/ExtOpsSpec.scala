@@ -38,6 +38,29 @@ class ExtOpsSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("winnowing guarantee: a shared substring of length >= k+w-1 shares a fingerprint") {
+    import spark.implicits._
+    // k=8, w=4: any 11-char common substring must produce a common selected
+    // hash. The two docs share ONLY the planted middle segment; the third
+    // doc shares nothing and must select a disjoint set.
+    val common = "this is the shared plagiarized segment"
+    val docs = Seq(
+      (1L, s"first document unique prefix $common and a unique tail one"),
+      (2L, s"completely different opening text $common closing words two"),
+      (3L, "nothing in this third document overlaps with anything at all"))
+      .toDF("doc_id", "text")
+    val fps = ext.Text.winnowFp(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "documents sharing a 38-char segment must share a winnowing fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "a no-overlap document must not collide (md5 collisions aside)")
+    // selection compresses: far fewer fingerprints than gram positions
+    val positions = docs.filter($"doc_id" === 1L).select(length($"text")).head.getInt(0) - 7
+    assert(fps(1L).size < positions,
+      s"winnowing must select a subset of the ${positions} gram hashes")
+  }
+
   test("minhash near-dup finds the exact n-gram Jaccard pairs") {
     val exact = run("dedup_ngram").select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
