@@ -512,9 +512,15 @@ object Ensemble {
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       predCols: Set[(String, String)]): Option[TrainedSpn] = {
-    val covering = spns.values.filter(s => tables.subsetOf(s.tables))
+    val covering = spns.values.filter(s => tables.subsetOf(s.tables)).toSeq
     if (covering.isEmpty) None
-    else Some(covering.minBy(s => (-rdcScore(s, predCols), s.tables.size, s.name)))
+    else {
+      // score at most maxVariants candidates (reference --max_variants),
+      // taken in the minimal-cover order the naive pick would use — a huge
+      // overlapping ensemble costs bounded scoring work per query
+      val considered = covering.sortBy(s => (s.tables.size, s.name)).take(Knobs.maxVariants)
+      Some(considered.minBy(s => (-rdcScore(s, predCols), s.tables.size, s.name)))
+    }
   }
 
   def select(spns: Map[String, TrainedSpn], tables: Set[String]): TrainedSpn =

@@ -46,6 +46,15 @@ object Knobs {
   def minInstancesFrac: Double =
     double("graft.minInstancesFrac", "SPARK_GRAFT_MIN_INSTANCES_FRAC", 0.01)
 
+  /** Cap on covering model variants the query-time selection SCORES
+    * (reference maqp.py --max_variants): variants beyond the cap — in
+    * minimal-cover order, the reference's greedy base order — keep the
+    * naive pick's cost profile when an ensemble holds many overlapping
+    * models. Selection itself always succeeds; the cap only bounds the
+    * RDC scoring work.
+    */
+  def maxVariants: Int = int("graft.maxVariants", "SPARK_GRAFT_MAX_VARIANTS", 10)
+
   /** Query-time RDC-aware model variant selection (reference maqp.py
     * --rdc_spn_selection). Off = the pure minimal-cover choice.
     */

@@ -134,6 +134,11 @@ class RspnSpec extends AnyFunSuite {
     sys.props("graft.rdcSelection") = "false"
     try assert(Ensemble.selectFor(spns, Set("t"), predCols).get.name == "a_indep")
     finally sys.props.remove("graft.rdcSelection")
+    // --max_variants = 1: only the naive-order head is scored, so the
+    // dependence-blind model wins again (the cap bounds scoring work)
+    sys.props("graft.maxVariants") = "1"
+    try assert(Ensemble.selectFor(spns, Set("t"), predCols).get.name == "a_indep")
+    finally sys.props.remove("graft.maxVariants")
 
     // a correlated two-column predicate: under the true pairing the y range
     // is implied by the x range, under independence it multiplies away
