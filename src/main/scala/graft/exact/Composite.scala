@@ -395,6 +395,58 @@ object Composite {
         .orderBy("doc_id")
     },
 
+    // CDC MERGE / upsert: apply a change batch (inserts + updates + deletes)
+    // to a keyed table in ONE full-outer join on the key — the lakehouse
+    // MERGE INTO shape, expressed declaratively. The change batch is derived
+    // deterministically from the fixture (updates: keys ≡0 mod 7 reprice
+    // ×1.1 decimal-exact; deletes: keys ≡3 mod 11 not already updated;
+    // inserts: keys ≡1 mod 13 re-keyed into a disjoint range), so the oracle
+    // replays the identical merge. At 100 TB: one shuffle of each side on
+    // the key — or ZERO shuffles when target and changes share a bucketed
+    // layout (join_bucketed's contract); the anti-join-free single-pass plan
+    // is the point (three separate insert/update/delete passes would scan
+    // the target three times).
+    Op(
+      "merge_upsert",
+      """WITH ord AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey AS c_key, 'U' AS op, o_orderstatus AS c_status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS c_totalprice
+        |  FROM ord WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', NULL, NULL
+        |  FROM ord WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', 'NEW', o_totalprice
+        |  FROM ord WHERE o_orderkey % 13 = 1)
+        |SELECT COALESCE(o_orderkey, c_key) AS o_orderkey,
+        |       COALESCE(c_status, o_orderstatus) AS o_orderstatus,
+        |       COALESCE(c_totalprice, o_totalprice) AS o_totalprice
+        |FROM ord FULL OUTER JOIN changes ON o_orderkey = c_key
+        |WHERE COALESCE(op, '') <> 'D'
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val ord = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val reprice = (col("o_totalprice").cast("decimal(18,2)") *
+        lit(1.1).cast("decimal(3,1)")).cast("double")
+      val changes = ord.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("c_key"), lit("U").as("op"),
+          col("o_orderstatus").as("c_status"), reprice.as("c_totalprice"))
+        .unionAll(ord.filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 === 3)
+          .select(col("o_orderkey").as("c_key"), lit("D").as("op"),
+            lit(null).cast("string").as("c_status"), lit(null).cast("double").as("c_totalprice")))
+        .unionAll(ord.filter(col("o_orderkey") % 13 === 1)
+          .select((col("o_orderkey") + 100000000L).as("c_key"), lit("I").as("op"),
+            lit("NEW").as("c_status"), col("o_totalprice").as("c_totalprice")))
+      ord.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
+          coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
+          coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     // ntile / percent_rank / cume_dist: the quantile-bucketing windows every
     // feature pipeline uses (score deciles, percentile features). One
     // shuffle on the partition key; the ORDER BY inside the frame is made
