@@ -186,6 +186,32 @@ object Extended {
         .orderBy("o_orderkey")
     },
 
+    // Forward-fill (gap-fill) window: carry the last valid reading over
+    // masked ones — the time-series imputation primitive of every sensor/
+    // metrics pipeline. `error` readings are treated as missing (the
+    // fixture's value column has no physical nulls, so the mask both makes
+    // the op deterministic and mirrors how nulls actually arise); the fill
+    // is `last(value, ignoreNulls) ROWS UNBOUNDED PRECEDING` per user —
+    // one shuffle on user_id, values copied verbatim (no float arithmetic),
+    // leading gaps stay null in both engines.
+    Op(
+      "window_fill",
+      """SELECT event_id, user_id,
+        |       last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("masked",
+          when(col("event_type") =!= "error", col("value")))
+        .select(col("event_id"), col("user_id"),
+          last(col("masked"), ignoreNulls = true).over(w).as("value_filled"))
+        .orderBy("event_id")
+    },
+
     // Statistical aggregates from exact decimal moment sums: stddev and
     // correlation recomposed from Σx, Σx², Σxy (DECIMAL(38,12)) instead of
     // the engines' float accumulators — summation-order independent, so

@@ -218,6 +218,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("merge_upsert: one full-outer join applies the whole change batch") {
+    // the single-pass MERGE shape: inserts+updates+deletes ride ONE join on
+    // the key (three separate apply passes would plan three joins and scan
+    // the target three times)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SparkEntry.queries("merge_upsert")(spark, rawSf))
+      assert(plan.contains("FullOuter"), s"merge lost its full-outer join:\n$plan")
+      val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(plan).length
+      assert(joins == 1, s"MERGE must be exactly one join, got $joins:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("z-order layout: per-file ranges tighten on BOTH dimensions vs key-sorted") {
     // write the same rows twice: sorted by one key (the single-dim layout)
     // and sorted by the interleaved z-value; parquet min/max stats per FILE
