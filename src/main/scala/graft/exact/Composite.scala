@@ -51,6 +51,20 @@ object Composite {
         s"((($y >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" | ")
 
+  /** The MERGE kernel behind `merge_upsert`: apply a CDC change batch
+    * (`c_key`, `op` ∈ I/U/D, payload columns) to a keyed orders-shaped
+    * target in ONE full-outer join. Exposed so the streaming path can apply
+    * the same kernel per micro-batch via foreachBatch (StreamingSpec drives
+    * it against a versioned parquet target).
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame): DataFrame =
+    target.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"))
+
   private val fragmentFiles = 64
   private val compactTarget = 4
 
@@ -438,13 +452,7 @@ object Composite {
         .unionAll(ord.filter(col("o_orderkey") % 13 === 1)
           .select((col("o_orderkey") + 100000000L).as("c_key"), lit("I").as("op"),
             lit("NEW").as("c_status"), col("o_totalprice").as("c_totalprice")))
-      ord.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
-        .filter(coalesce(col("op"), lit("")) =!= "D")
-        .select(
-          coalesce(col("o_orderkey"), col("c_key")).as("o_orderkey"),
-          coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
-          coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"))
-        .orderBy("o_orderkey")
+      applyChanges(ord, changes).orderBy("o_orderkey")
     },
 
     // ntile / percent_rank / cume_dist: the quantile-bucketing windows every

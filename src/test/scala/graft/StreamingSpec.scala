@@ -14,6 +14,7 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Chg(c_key: Long, op: String, c_status: Option[String], c_totalprice: Option[Double])
 
   test("tumbling window agg over a stream matches batch semantics") {
     import spark.implicits._
@@ -128,6 +129,39 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(total == 2, s"duplicate event_id must be emitted once, got $total")
     assert(n >= 2)
+  }
+
+  test("foreachBatch CDC apply: streamed change batches merge into a versioned parquet target") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // versioned target (write-new-read-latest — the log-free form of how a
+    // lakehouse merge avoids overwriting the files it is reading)
+    val root = java.nio.file.Files.createTempDirectory("cdc_target").toString
+    var current = s"$root/v0"
+    Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "O", 30.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(current)
+    val mem = MemoryStream[Chg]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val next = s"$root/v${id + 1}"
+        exact.Composite.applyChanges(spark.read.parquet(current), batch)
+          .write.mode("overwrite").parquet(next)
+        current = next
+        ()
+      }
+      .start()
+    mem.addData(Chg(1L, "U", None, Some(11.0)), Chg(2L, "D", None, None))
+    q.processAllAvailable()
+    mem.addData(Chg(9L, "I", Some("NEW"), Some(90.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(current)
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "O", 11.0), (3L, "O", 30.0), (9L, "NEW", 90.0)),
+      s"two streamed batches must leave update+survivor+insert: $rows")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   test("M11 streaming: foreachBatch incrementally updates the RSPN per micro-batch") {
