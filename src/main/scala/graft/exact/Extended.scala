@@ -186,6 +186,32 @@ object Extended {
         .orderBy("o_orderkey")
     },
 
+    // Unpivot (melt): wide → long reshaping, the inverse of groupby_pivot —
+    // feature matrices become (entity, metric, value) triples for pipelines
+    // that want one row per measurement. Spark's native unpivot is a narrow
+    // zero-shuffle Expand (rows ×3 here, NOT three scans); the oracle is the
+    // equivalent UNION ALL. Values ride verbatim (no arithmetic).
+    Op(
+      "unpivot_metrics",
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+        |WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 300)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").as("quantity"), col("l_discount").as("discount"),
+            col("l_tax").as("tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+    },
+
     // Forward-fill (gap-fill) window: carry the last valid reading over
     // masked ones — the time-series imputation primitive of every sensor/
     // metrics pipeline. `error` readings are treated as missing (the

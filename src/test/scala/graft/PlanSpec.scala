@@ -218,6 +218,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("unpivot plans one Expand over one scan, not a union of three scans") {
+    val plan = planOf(SparkEntry.queries("unpivot_metrics")(spark, sf))
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"unpivot must be a single Expand:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size <= 1 &&
+      "FileScan".r.findAllIn(plan).size <= 1,
+      s"unpivot re-scanned the input:\n$plan")
+  }
+
   test("merge_upsert: one full-outer join applies the whole change batch") {
     // the single-pass MERGE shape: inserts+updates+deletes ride ONE join on
     // the key (three separate apply passes would plan three joins and scan
