@@ -237,8 +237,14 @@ object Text {
       .filter(col("len") >= 1)
       .select(col("doc_id"), col("txt"), col("len"),
         explode(sequence(lit(1), col("len"))).as("pos"))
-      .withColumn("fp",
-        min(md5(col("txt").substr(col("pos"), lit(k)).cast("binary"))).over(winW))
+      // hash BEFORE the window: min(md5(…)) over the frame would evaluate
+      // its argument inside the Window operator, i.e. AFTER the doc_id
+      // exchange — shuffling the full document text once per gram position
+      // (len× amplification). Projected here, the exchange carries only
+      // (doc_id, pos, len, 32-char digest).
+      .select(col("doc_id"), col("pos"), col("len"),
+        md5(col("txt").substr(col("pos"), lit(k)).cast("binary")).as("h"))
+      .withColumn("fp", min(col("h")).over(winW))
       .filter(col("pos") <= col("len") - (w - 1))
       .select("doc_id", "fp").distinct()
   }
