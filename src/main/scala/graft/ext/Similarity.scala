@@ -110,6 +110,44 @@ object Similarity {
         .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
     },
 
+    // L3 batched form: k-NN JOIN — top-3 neighbors for EACH query in a
+    // batch (the production retrieval shape; one query → TakeOrdered, a
+    // batch → join + per-query rank). The bounded query batch broadcasts,
+    // the corpus scan stays embarrassingly parallel, and the rank shuffle
+    // moves ONLY (q_id, nn_id, cos) scalars — the vectors are dropped
+    // before the exchange (same lesson as fingerprint_winnow: project
+    // heavy columns away before a window). The ×|Q| row blowup is the
+    // exact baseline's documented cost; the pruned scale path is
+    // sim_topk_lsh/ivf.
+    Op(
+      "sim_knn_join",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |         list_dot_product(q.v, c.v) /
+        |           sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20),
+        |ranked AS (
+        |  SELECT q_id, nn_id, cos,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, nn_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, nn_id, round(cos, 4) AS cos_sim, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+    ) { (s, d) =>
+      val e = emb(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
+      e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id").as("nn_id"),
+          cosine(col("qv"), col("v")).as("cos"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // L2d: embedding-cosine near-dup pairs (threshold 0.45; background pairs
     // top out near 0.5). Exact quadratic ground truth, deliberately scoped to
     // vec_id < 1000 (like dedup_ngram's doc_id cap) so the pair space is
