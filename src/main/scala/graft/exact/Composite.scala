@@ -371,6 +371,35 @@ object Composite {
           count(lit(1)).as("n"))
     },
 
+    // TPC-H Q19 (discounted revenue): the DISJUNCTIVE join predicate — an OR
+    // of conjunctions each mixing both sides' columns. The plan test is CNF
+    // extraction: the part-only disjunction (brand/size pairs) must reach
+    // the part SCAN as a pushed Or filter instead of being evaluated after
+    // the join (Spark's CNF predicate push-through; PlanSpec asserts the
+    // pushed Or). Brand values/ranges adapted to the fixture's columns.
+    Op(
+      "tpch_q19",
+      """SELECT CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)""".stripMargin
+    ) { (s, d) =>
+      val disjunct =
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40))
+      t(s, d, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(t(s, d, "part").select("p_partkey", "p_brand", "p_size"),
+          col("p_partkey") === col("l_partkey"))
+        .filter(disjunct)
+        .agg(
+          revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     // TPC-H Q6 (forecast revenue change): the minimal selective filter-agg.
     // Every predicate is scan-evaluable — at 100 TB this is THE query whose
     // cost is decided by pushdown + row-group statistics alone (a z-order/

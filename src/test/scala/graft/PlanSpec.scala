@@ -218,6 +218,33 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("tpch_q19: the disjunctive join predicate CNF-splits onto BOTH scans") {
+    // raw-scan mirror of the op (the op reads through the caching Tables
+    // path, whose InMemoryRelation hides scan details): the OR of mixed-side
+    // conjunctions must push its part-only disjunction to the part scan and
+    // its lineitem-only disjunction to the lineitem scan — evaluated after
+    // the join, Q19 degenerates to joining the unfiltered fact. sf0.1, not
+    // rawSf: this suite's op tests cache rawSf's tables through Tables(),
+    // and the CacheManager would substitute those cached relations into
+    // these raw reads; the test only PLANS (no execution), so size is free
+    val sfBig = "/root/testdata/sf0.1"
+    val li = schema.Tables.raw(spark, sfBig, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val pt = schema.Tables.raw(spark, sfBig, "part").select("p_partkey", "p_brand", "p_size")
+    val disjunct =
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 40))
+    val plan = planOf(
+      li.join(pt, col("p_partkey") === col("l_partkey")).filter(disjunct)
+        .agg(sum("l_extendedprice")))
+    assert(plan.contains("Or(And(EqualTo(p_brand,Brand#4)"),
+      s"part-side disjunction did not reach the part scan:\n$plan")
+    assert(plan.contains("Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"lineitem-side disjunction did not reach the lineitem scan:\n$plan")
+  }
+
   test("unpivot plans one Expand over one scan, not a union of three scans") {
     val plan = planOf(SparkEntry.queries("unpivot_metrics")(spark, sf))
     assert("Expand".r.findAllIn(plan).size == 1,
