@@ -371,6 +371,36 @@ object Composite {
           count(lit(1)).as("n"))
     },
 
+    // TPC-H Q12 (shipping modes / priority): join + CONDITIONAL aggregation —
+    // the CASE-inside-SUM shape (per group, count rows satisfying a
+    // predicate without a second scan or a pivot). The fixture has no
+    // l_shipmode, so the SAME shape groups by l_linestatus and splits on
+    // order priority. One fact join, one aggregate; the CASE evaluates
+    // inside the partial aggregate (map-side), so the shuffle carries two
+    // counters per group, nothing per-row.
+    Op(
+      "tpch_q12",
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+    ) { (s, d) =>
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(isHigh, 1).otherwise(0)).cast("bigint").as("high_line_count"),
+          sum(when(!isHigh, 1).otherwise(0)).cast("bigint").as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
     // TPC-H Q19 (discounted revenue): the DISJUNCTIVE join predicate — an OR
     // of conjunctions each mixing both sides' columns. The plan test is CNF
     // extraction: the part-only disjunction (brand/size pairs) must reach
