@@ -242,14 +242,7 @@ object Similarity {
     Op.noOracle("sim_topk_ivf") { (s, d) =>
       val feats = unitFeats(s, d) // memoized+cached: sample, assign, probe scan
       val centroids = ivfCentroids(s, d)
-      // cell assignment: argmin_i ||v − c_i||² ≡ argmin_i (−2·v·c_i + |c_i|²)
-      // (the common |v|² term cannot change the argmin) — one codegen'd dot
-      // per centroid, no MLlib transform, memoize+cache the assigned frame
-      val assigned = ModelCache.memo(s, d, "ivf_assigned") {
-        feats
-          .withColumn("cell", ivfCellCol(centroids))
-          .cache()
-      }
+      val assigned = ivfAssigned(s, d)
       val qUnit = feats.filter(col("vec_id") === 0)
         .select("unit").head().getSeq[Double](0).toArray
       // probe the nProbe centroids nearest the query — recall/cost knob
@@ -268,6 +261,40 @@ object Similarity {
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+    },
+
+    // L3b scale path: BATCHED IVF k-NN join — sim_knn_join with the ×|Q|
+    // corpus blowup cut to the probed cells. Each query's nProbe cells are
+    // computed driver-side over the bounded batch; the (q_id, cell, qv)
+    // probe list broadcasts and equi-joins the assigned corpus ON the cell
+    // id, so a corpus row is scored only for queries probing its cell
+    // (nProbe/k of the batch, vs all of it in the exact baseline); the rank
+    // shuffle again carries scalars only. Recall is the IVF trade
+    // (spec-asserted vs sim_knn_join, like sim_topk_ivf vs sim_topk).
+    Op.noOracle("sim_knn_join_ivf") { (s, d) =>
+      val centroids = ivfCentroids(s, d)
+      val qRows = unitFeats(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("unit"), vecd(col("embedding")).as("qv"))
+        .collect() // bounded by the query-batch contract
+      val probeRows = qRows.flatMap { r =>
+        val u = r.getSeq[Double](1).toArray
+        centroids.zipWithIndex.map { case (c, i) => (i, sqdist(c, u)) }
+          .sortBy(_._2).take(ivfNProbe)
+          .map { case (cell, _) => (r.getLong(0), cell, r.getSeq[Double](2)) }
+      }.toSeq
+      import s.implicits._
+      val probes = probeRows.toDF("q_id", "p_cell", "qv")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
+      ivfAssigned(s, d).filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("cell"), vecd(col("embedding")).as("v"))
+        .join(broadcast(probes), col("p_cell") === col("cell"))
+        .select(col("q_id"), col("vec_id").as("nn_id"),
+          (dotd(col("qv"), col("v")) / sqrt(dotd(col("qv"), col("qv")) * dotd(col("v"), col("v")))).as("cos"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
+        .orderBy("q_id", "rn")
     },
 
     // L3 scale path #2b: the SAME IVF, with the cell id as an actual
@@ -356,6 +383,18 @@ object Similarity {
       val sample = unitFeats(s, d).filter(col("vec_id") < 4096)
         .select("unit").collect().map(_.getSeq[Double](0).toArray)
       lloyds(sample, ivfK, iters = 10, seed = 42L)
+    }
+
+  /** The cell-assigned corpus, memoized+cached. Cell assignment:
+    * argmin_i ||v − c_i||² ≡ argmin_i (−2·v·c_i + |c_i|²) (the common |v|²
+    * term cannot change the argmin) — one codegen'd dot per centroid, no
+    * MLlib transform. Shared by the single-query and batched IVF probes.
+    */
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    ModelCache.memo(s, d, "ivf_assigned") {
+      unitFeats(s, d)
+        .withColumn("cell", ivfCellCol(ivfCentroids(s, d)))
+        .cache()
     }
 
   /** argmin-centroid cell id of the `unit` column as a codegen'd Column. */

@@ -38,6 +38,18 @@ class ExtOpsSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("batched IVF k-NN join: recall >= 0.7 vs the exact k-NN join, exact cosines on hits") {
+    val exact = run("sim_knn_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = run("sim_knn_join_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.size == 60, s"20 queries x top-3 expected, got ${exact.size}")
+    val hits = ivf.keys.count(exact.contains)
+    assert(hits >= 42, s"batched IVF recall = $hits/60 vs exact k-NN join")
+    // probed-cell re-ranking is exact: every hit carries the same cosine
+    ivf.foreach { case (k, c) => exact.get(k).foreach(e => assert(c == e)) }
+  }
+
   test("winnowing guarantee: a shared substring of length >= k+w-1 shares a fingerprint") {
     import spark.implicits._
     // k=8, w=4: any 11-char common substring must produce a common selected
