@@ -134,14 +134,19 @@ object Similarity {
         |SELECT q_id, nn_id, round(cos, 4) AS cos_sim, CAST(rn AS BIGINT) AS rn
         |FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
     ) { (s, d) =>
+      // self-norms computed once per side before the ×|Q| blowup (the
+      // cosinePairs pattern): the per-pair work is one dot, not three.
+      // Bit-identical to cosine() — the norm scalars are the same doubles.
       val e = emb(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
-      val queries = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .withColumn("n2", dotd(col("v"), col("v")))
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
       e.filter(col("vec_id") >= 20)
         .crossJoin(broadcast(queries))
         .select(col("q_id"), col("vec_id").as("nn_id"),
-          cosine(col("qv"), col("v")).as("cos"))
+          (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
@@ -240,27 +245,7 @@ object Similarity {
     // assignment is one narrow codegen'd pass. At 100 TB the cell id is a
     // write-time partition key; a probe touches nProbe/k of the data.
     Op.noOracle("sim_topk_ivf") { (s, d) =>
-      val feats = unitFeats(s, d) // memoized+cached: sample, assign, probe scan
-      val centroids = ivfCentroids(s, d)
-      val assigned = ivfAssigned(s, d)
-      val qUnit = feats.filter(col("vec_id") === 0)
-        .select("unit").head().getSeq[Double](0).toArray
-      // probe the nProbe centroids nearest the query — recall/cost knob
-      // (IVF recall is tunable, not exact: a near-boundary neighbor can sit
-      // in an unprobed cell; the spec asserts recall@10, not identity)
-      val probes = centroids.zipWithIndex
-        .map { case (c, i) => (i, sqdist(c, qUnit)) }
-        .sortBy(_._2).take(ivfNProbe).map(_._1)
-      val qv = broadcast(
-        feats.filter(col("vec_id") === 0)
-          .select(vecd(col("embedding")).as("qv"), dotd(vecd(col("embedding")), vecd(col("embedding"))).as("qn2")))
-      assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
-        .select(col("vec_id"), vecd(col("embedding")).as("v"))
-        .crossJoin(qv)
-        .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * dotd(col("v"), col("v"))))
-        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      ivfProbeTopK(s, d, ivfAssigned(s, d))
     },
 
     // L3b scale path: BATCHED IVF k-NN join — sim_knn_join with the ×|Q|
@@ -270,27 +255,29 @@ object Similarity {
     // id, so a corpus row is scored only for queries probing its cell
     // (nProbe/k of the batch, vs all of it in the exact baseline); the rank
     // shuffle again carries scalars only. Recall is the IVF trade
-    // (spec-asserted vs sim_knn_join, like sim_topk_ivf vs sim_topk).
+    // (spec-asserted vs sim_knn_join, like sim_topk_ivf vs sim_topk). The
+    // probe list carries each query's precomputed self-norm, and the
+    // assigned corpus its cached one, so the per-scored-pair work is one
+    // dot — not a re-derivation of both O(dim) self-dots per pair.
     Op.noOracle("sim_knn_join_ivf") { (s, d) =>
       val centroids = ivfCentroids(s, d)
       val qRows = unitFeats(s, d).filter(col("vec_id") < 20)
-        .select(col("vec_id"), col("unit"), vecd(col("embedding")).as("qv"))
+        .select(col("vec_id"), col("unit"), col("v"), col("n2"))
         .collect() // bounded by the query-batch contract
       val probeRows = qRows.flatMap { r =>
         val u = r.getSeq[Double](1).toArray
-        centroids.zipWithIndex.map { case (c, i) => (i, sqdist(c, u)) }
-          .sortBy(_._2).take(ivfNProbe)
-          .map { case (cell, _) => (r.getLong(0), cell, r.getSeq[Double](2)) }
+        nearestCells(centroids, u)
+          .map(cell => (r.getLong(0), cell, r.getSeq[Double](2), r.getDouble(3)))
       }.toSeq
       import s.implicits._
-      val probes = probeRows.toDF("q_id", "p_cell", "qv")
+      val probes = probeRows.toDF("q_id", "p_cell", "qv", "qn2")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
       ivfAssigned(s, d).filter(col("vec_id") >= 20)
-        .select(col("vec_id"), col("cell"), vecd(col("embedding")).as("v"))
+        .select(col("vec_id"), col("cell"), col("v"), col("n2"))
         .join(broadcast(probes), col("p_cell") === col("cell"))
         .select(col("q_id"), col("vec_id").as("nn_id"),
-          (dotd(col("qv"), col("v")) / sqrt(dotd(col("qv"), col("qv")) * dotd(col("v"), col("v")))).as("cos"))
+          (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
         .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
@@ -305,25 +292,7 @@ object Similarity {
     // PlanSpec). Same centroids, same probes, same exact re-rank as
     // sim_topk_ivf — identical results (spec-pinned), different storage.
     Op.noOracle("sim_topk_ivf_disk") { (s, d) =>
-      val assigned = ivfDiskLayout(s, d)
-      val feats = unitFeats(s, d)
-      val centroids = ivfCentroids(s, d)
-      val qUnit = feats.filter(col("vec_id") === 0)
-        .select("unit").head().getSeq[Double](0).toArray
-      val probes = centroids.zipWithIndex
-        .map { case (c, i) => (i, sqdist(c, qUnit)) }
-        .sortBy(_._2).take(ivfNProbe).map(_._1)
-      val qv = broadcast(
-        feats.filter(col("vec_id") === 0)
-          .select(vecd(col("embedding")).as("qv"),
-            dotd(vecd(col("embedding")), vecd(col("embedding"))).as("qn2")))
-      assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
-        .select(col("vec_id"), vecd(col("embedding")).as("v"))
-        .crossJoin(qv)
-        .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * dotd(col("v"), col("v"))))
-        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      ivfProbeTopK(s, d, ivfDiskLayout(s, d))
     },
 
     // Per-label embedding centroids (the "cluster centroid" step of every
@@ -420,6 +389,40 @@ object Similarity {
       }
       s.read.parquet(path)
     }
+
+  /** The `ivfNProbe` centroid ids nearest a unit query — the ONE
+    * probe-selection used by every IVF variant (a per-op copy would let a
+    * future metric/nProbe change silently desync results that are
+    * spec-pinned against each other).
+    */
+  private def nearestCells(centroids: Seq[Array[Double]], u: Array[Double]): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, sqdist(c, u)) }
+      .sortBy(_._2).take(ivfNProbe).map(_._1)
+
+  /** Shared single-query probed-cell scan + exact top-10 re-rank behind
+    * `sim_topk_ivf` (in-memory assignment) and `sim_topk_ivf_disk`
+    * (cell-partitioned parquet). `assigned` only needs (vec_id, embedding,
+    * cell) — the disk layout stores no derived columns — so `v` is
+    * re-derived per probed row (narrow, once per row; IVF recall is
+    * tunable, not exact: a near-boundary neighbor can sit in an unprobed
+    * cell; the specs assert recall@10 and in-memory/disk identity).
+    */
+  private def ivfProbeTopK(s: SparkSession, d: String, assigned: DataFrame): DataFrame = {
+    val feats = unitFeats(s, d) // memoized+cached: sample, assign, probe scan
+    val qUnit = feats.filter(col("vec_id") === 0)
+      .select("unit").head().getSeq[Double](0).toArray
+    val probes = nearestCells(ivfCentroids(s, d), qUnit)
+    val qv = broadcast(
+      feats.filter(col("vec_id") === 0).select(col("v").as("qv"), col("n2").as("qn2")))
+    assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), vecd(col("embedding")).as("v"))
+      .crossJoin(qv)
+      .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * dotd(col("v"), col("v"))))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+  }
 
   private def sqdist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0

@@ -518,7 +518,11 @@ object Ensemble {
       // score at most maxVariants candidates (reference --max_variants),
       // taken in the minimal-cover order the naive pick would use — a huge
       // overlapping ensemble costs bounded scoring work per query
-      val considered = covering.sortBy(s => (s.tables.size, s.name)).take(Knobs.maxVariants)
+      // the cap bounds scoring work, never selection: a cap <= 0 still
+      // scores one candidate (the knob doc promises selection always
+      // succeeds when a covering model exists)
+      val considered =
+        covering.sortBy(s => (s.tables.size, s.name)).take(math.max(1, Knobs.maxVariants))
       Some(considered.minBy(s => (-rdcScore(s, predCols), s.tables.size, s.name)))
     }
   }

@@ -53,20 +53,25 @@ class ExtOpsSpec extends AnyFunSuite {
   test("winnowing guarantee: a shared substring of length >= k+w-1 shares a fingerprint") {
     import spark.implicits._
     // k=8, w=4: any 11-char common substring must produce a common selected
-    // hash. The two docs share ONLY the planted middle segment; the third
-    // doc shares nothing and must select a disjoint set.
+    // hash. The two docs share ONLY the planted middle segment. Winnowing
+    // guarantees nothing about NON-collision of short overlaps, so doc 3's
+    // disjointness must hold at the gram level by construction: a digit in
+    // every 8-char window (docs 1-2 are digit-free), checked below so a
+    // fixture reword can't silently re-introduce an overlap.
     val common = "this is the shared plagiarized segment"
-    val docs = Seq(
-      (1L, s"first document unique prefix $common and a unique tail one"),
-      (2L, s"completely different opening text $common closing words two"),
-      (3L, "nothing in this third document overlaps with anything at all"))
-      .toDF("doc_id", "text")
+    val doc1 = s"first document unique prefix $common and a unique tail one"
+    val doc2 = s"completely different opening text $common closing words two"
+    val doc3 = "z0z qq1 ww2 ee3 rr4 tt5 yy6 uu7 ii8 oo9 pp0 aa1 ss2 dd3 ff4"
+    val grams = (t: String) => t.sliding(8).toSet
+    assert((grams(doc1) & grams(doc3)).isEmpty && (grams(doc2) & grams(doc3)).isEmpty,
+      "fixture precondition: doc 3 must share no 8-gram with docs 1-2")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
     val fps = ext.Text.winnowFp(docs).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
     assert((fps(1L) & fps(2L)).nonEmpty,
       "documents sharing a 38-char segment must share a winnowing fingerprint")
     assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
-      "a no-overlap document must not collide (md5 collisions aside)")
+      "a gram-disjoint document must not collide (md5 collisions aside)")
     // selection compresses: far fewer fingerprints than gram positions
     val positions = docs.filter($"doc_id" === 1L).select(length($"text")).head.getInt(0) - 7
     assert(fps(1L).size < positions,

@@ -139,6 +139,11 @@ class RspnSpec extends AnyFunSuite {
     sys.props("graft.maxVariants") = "1"
     try assert(Ensemble.selectFor(spns, Set("t"), predCols).get.name == "a_indep")
     finally sys.props.remove("graft.maxVariants")
+    // a degenerate cap still selects (the Knobs doc promises the cap only
+    // bounds scoring work, never whether selection succeeds)
+    sys.props("graft.maxVariants") = "0"
+    try assert(Ensemble.selectFor(spns, Set("t"), predCols).get.name == "a_indep")
+    finally sys.props.remove("graft.maxVariants")
 
     // a correlated two-column predicate: under the true pairing the y range
     // is implied by the x range, under independence it multiplies away
