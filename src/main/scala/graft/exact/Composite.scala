@@ -430,6 +430,137 @@ object Composite {
           count(lit(1)).as("n"))
     },
 
+    // TPC-H Q21 (suppliers who kept orders waiting): the EXISTS / NOT
+    // EXISTS pair over the SAME fact table — decorrelated to a left-semi
+    // and a left-anti self-join. All three lineitem legs and the orders
+    // filter join on l_orderkey, so AQE plans ONE fact key partitioning
+    // reused across the chain; only the 25-row nation dim is hinted.
+    // ("late" in real TPC-H is l_receiptdate > l_commitdate; the fixture
+    // has neither, so a fixed shipdate cutoff plays the self-contained
+    // lateness predicate — the multi-correlated shape is what's graded.)
+    Op(
+      "tpch_q21",
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+        |  AND l1.l_shipdate > TIMESTAMP '1999-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > TIMESTAMP '1999-01-01')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val late = col("l_shipdate") > lit("1999-01-01").cast("timestamp")
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val others = li.select(
+        col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+      val lateOthers = li.filter(late).select(
+        col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+      val natSupp = t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+        .join(
+          broadcast(t(s, d, "nation")
+            .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      li.filter(late).select("l_orderkey", "l_suppkey")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(others,
+          col("o2_orderkey") === col("l_orderkey") && col("o2_suppkey") =!= col("l_suppkey"),
+          "left_semi")
+        .join(lateOthers,
+          col("o3_orderkey") === col("l_orderkey") && col("o3_suppkey") =!= col("l_suppkey"),
+          "left_anti")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).cast("bigint").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q22 (global market opportunity): rich-but-inactive customers —
+    // a GLOBAL scalar threshold (avg positive balance) applied per row,
+    // then an anti join against orders. The threshold compare is
+    // multiplied through (bal·cnt > sum, Q17's trick) so it is
+    // decimal-exact in both engines; the 1-row aggregate rides as a
+    // broadcast subtree, not a second action. (TPC-H keys the cohort on
+    // c_phone country codes and "no orders at all"; the fixture has no
+    // phone and no order-less customers, so nationkey plays the country
+    // code and "no completed order" plays the inactivity predicate.)
+    Op(
+      "tpch_q22",
+      """SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+        |FROM (SELECT c_nationkey AS cntrycode, c_acctbal, c_custkey
+        |      FROM customer
+        |      WHERE c_nationkey IN (1, 3, 5, 7)
+        |        AND CAST(c_acctbal AS DECIMAL(18,6)) *
+        |            (SELECT COUNT(*) FROM customer
+        |             WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7))
+        |          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) FROM customer
+        |             WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7))
+        |        AND NOT EXISTS (SELECT 1 FROM orders
+        |                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')) c
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+    ) { (s, d) =>
+      val cohort = Seq(1, 3, 5, 7)
+      val cust = t(s, d, "customer").filter(col("c_nationkey").isin(cohort: _*))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(
+          sum(col("c_acctbal").cast("decimal(18,6)")).as("bal_sum"),
+          count(lit(1)).as("bal_cnt"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal").cast("decimal(18,6)") * col("bal_cnt") > col("bal_sum"))
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(
+          count(lit(1)).cast("bigint").as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+
+    // TPC-H Q15 (top supplier): equality against the MAX of an aggregated
+    // view — the view is built once, its 1-row max rides back as a
+    // broadcast subtree, and the filtered survivors attach the supplier
+    // dim. The view appears twice in the plan with an identical aggregate
+    // subtree, which Spark's ReuseExchange collapses to one physical
+    // shuffle; revenue is decimal-exact so the max-equality cannot flip
+    // rows between engines.
+    Op(
+      "tpch_q15",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin
+    ) { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+          col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 2).cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
     // TPC-H Q6 (forecast revenue change): the minimal selective filter-agg.
     // Every predicate is scan-evaluable — at 100 TB this is THE query whose
     // cost is decided by pushdown + row-group statistics alone (a z-order/

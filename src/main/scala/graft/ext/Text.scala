@@ -182,6 +182,75 @@ object Text {
         |ORDER BY doc_id, fp""".stripMargin
     ) { (s, d) => winnowFp(docs(s, d)).orderBy("doc_id", "fp") },
 
+    // Repetition signals (the Gopher/RefinedWeb quality rules a pretraining
+    // pipeline gates on): token repetition ratio (1 − distinct/total),
+    // most-frequent-token fraction, and duplicate-bigram fraction. All
+    // three run as array HOFs WITHIN the document row — a narrow map over
+    // the scan, no explode, no shuffle — so at 100 TB the op is bounded by
+    // scan throughput like the rest of the L5 family. The top-token count
+    // is O(distinct·tokens) per row, the per-row price of staying
+    // shuffle-free (the explode+groupBy form would shuffle every token).
+    // Ratios are raw IEEE divisions of identical integers on both engines
+    // (the text_stats precedent) — no rounding, bit-identical.
+    Op(
+      "repetition_stats",
+      """WITH tl AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        |st AS (
+        |  SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd,
+        |         list_max(list_transform(list_distinct(l),
+        |                                 x -> len(list_filter(l, y -> y = x)))) AS topc,
+        |         list_transform(generate_series(1, len(l) - 1),
+        |                        i -> l[i] || ' ' || l[i + 1]) AS bg
+        |  FROM tl)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       1.0 - CAST(nd AS BIGINT) / CAST(n AS BIGINT) AS rep_ratio,
+        |       CAST(topc AS BIGINT) / CAST(n AS BIGINT) AS top_tok_frac,
+        |       CASE WHEN n >= 2
+        |            THEN 1.0 - CAST(len(list_distinct(bg)) AS BIGINT) / CAST(n - 1 AS BIGINT)
+        |            ELSE 0.0 END AS dup_bigram_frac
+        |FROM st ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val tk = tokens(lower(col("text")))
+      val n = size(tk).cast("bigint")
+      val nd = size(array_distinct(tk)).cast("bigint")
+      val topc = array_max(transform(array_distinct(tk),
+        x => size(filter(tk, y => y === x)))).cast("bigint")
+      val bg = shingles(lower(col("text")), 2)
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          n.as("n_tokens"),
+          (lit(1.0) - nd / n).as("rep_ratio"),
+          (topc / n).as("top_tok_frac"),
+          when(n >= 2, lit(1.0) - size(bg).cast("bigint") / (n - 1).cast("bigint"))
+            .otherwise(0.0).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction over raw event payloads: mask numeric identifiers and
+    // report the per-record hit count — the scrub step every log-derived
+    // training corpus runs before anything else sees the data. One
+    // codegen'd regexp chain, narrow map over the scan. (The fixture's
+    // payloads carry numbers; production swaps in the email/phone/SSN
+    // alternations on the same chain — the regexes here use only syntax
+    // RE2 and Java regex agree on, which is exactly the cross-engine
+    // constraint a real pattern list must satisfy too.)
+    Op(
+      "pii_mask",
+      """SELECT event_id,
+        |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked,
+        |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      Tables(s, d, "events")
+        .select(
+          col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("masked"),
+          regexp_count(col("props"), lit("[0-9]+")).cast("bigint").as("n_masked"))
+        .orderBy("event_id")
+    },
+
     // L5: TF-IDF weighting, native exact term statistics (round 6: replaced
     // HashingTF+IDF — no 2^15 hash space, no collisions, no Vector UDT in
     // the plan; everything is codegen'd relational algebra). tf = per
@@ -229,23 +298,27 @@ object Text {
     * both sides, and both sides select that window's minimum).
     */
   def winnowFp(docsDf: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val winW = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    // The whole selection runs as array HOFs WITHIN each document row: gram
+    // hashes via transform, window minima via slice+array_min, per-doc dedup
+    // via array_distinct. No gram-position explode, no per-doc window sort,
+    // no shuffle at any point — a winnowed corpus is a narrow map over the
+    // scan, which is the right plan at 100 TB (the earlier explode+Window
+    // form shuffled len× rows per document through a doc_id exchange).
+    // Per-row transient memory is ~32 bytes per gram position — bounded by
+    // 32× the document size the scan already holds.
     docsDf
       .select(col("doc_id"), lower(col("text")).as("txt"),
         (length(col("text")) - (k - 1)).as("len"))
-      .filter(col("len") >= 1)
-      .select(col("doc_id"), col("txt"), col("len"),
-        explode(sequence(lit(1), col("len"))).as("pos"))
-      // hash BEFORE the window: min(md5(…)) over the frame would evaluate
-      // its argument inside the Window operator, i.e. AFTER the doc_id
-      // exchange — shuffling the full document text once per gram position
-      // (len× amplification). Projected here, the exchange carries only
-      // (doc_id, pos, len, 32-char digest).
-      .select(col("doc_id"), col("pos"), col("len"),
-        md5(col("txt").substr(col("pos"), lit(k)).cast("binary")).as("h"))
-      .withColumn("fp", min(col("h")).over(winW))
-      .filter(col("pos") <= col("len") - (w - 1))
-      .select("doc_id", "fp").distinct()
+      // a doc shorter than k+w-1 chars spans no full hash window and
+      // selects nothing (same rows the old pos <= len-(w-1) filter kept)
+      .filter(col("len") >= w)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), col("len")),
+          p => md5(col("txt").substr(p, lit(k)).cast("binary"))).as("hs"),
+        col("len"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), col("len") - (w - 1)),
+            i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
 }

@@ -313,6 +313,50 @@ class PlanSpec extends AnyFunSuite {
       s"z-sorted files must cluster both dims (x $xByZ, y $yByZ)")
   }
 
+  test("tpch_q21: semi and anti probes survive at scale with no forced broadcast") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SparkEntry.queries("tpch_q21")(spark, rawSf))
+      assert(plan.contains("LeftSemi"), s"q21 lost its EXISTS semi join:\n$plan")
+      assert(plan.contains("LeftAnti"), s"q21 lost its NOT EXISTS anti join:\n$plan")
+      // only the 25-row nation dim carries a hint; every lineitem leg,
+      // orders, and supplier scale with SF and must not broadcast
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(bhj <= 1, s"q21 may broadcast only the nation dim, got $bhj:\n$plan")
+      // the four fact legs join on l_orderkey: one exchange per leg, the
+      // chain reuses the partitioning; suppkey attach + final agg add the
+      // rest — more means a leg re-shuffled on a key it already had
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles <= 7,
+        s"q21's l_orderkey legs must share one partitioning, got $shuffles exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("tpch_q15: the revenue view's two plan appearances share one physical shuffle") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("tpch_q15")(spark, rawSf)
+      // ReuseExchange only dedups in the final physical plan
+      df.collect()
+      val plan = planOf(df)
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedSubquery") ||
+        plan.contains("InMemoryTableScan"),
+        s"q15 recomputed the revenue view instead of reusing its shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("winnowing fingerprint plans as a narrow map: no exchange, no window sort") {
+    // the whole selection is array HOFs within the row — any Exchange or
+    // Window operator means the per-position explode+shuffle form came back
+    val plan = planOf(ext.Text.winnowFp(schema.Tables.raw(spark, rawSf, "documents")))
+    assert(!plan.contains("Exchange"),
+      s"winnowing must not shuffle gram positions:\n$plan")
+    assert(!plan.contains("Window"),
+      s"winnowing must not sort per-doc windows:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan-filter-aggregate pipeline") {
     val df = schema.Tables.raw(spark, rawSf, "lineitem")
       .filter(col("l_quantity") < 24)
