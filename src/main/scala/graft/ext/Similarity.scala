@@ -141,16 +141,11 @@ object Similarity {
         .withColumn("n2", dotd(col("v"), col("v")))
       val queries = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
-      e.filter(col("vec_id") >= 20)
-        .crossJoin(broadcast(queries))
-        .select(col("q_id"), col("vec_id").as("nn_id"),
-          (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
-        .withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter(col("rn") <= 3)
-        .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
-        .orderBy("q_id", "rn")
+      knnRankTail(
+        e.filter(col("vec_id") >= 20)
+          .crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id").as("nn_id"),
+            (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos")))
     },
 
     // L2d: embedding-cosine near-dup pairs (threshold 0.45; background pairs
@@ -271,17 +266,12 @@ object Similarity {
       }.toSeq
       import s.implicits._
       val probes = probeRows.toDF("q_id", "p_cell", "qv", "qn2")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
-      ivfAssigned(s, d).filter(col("vec_id") >= 20)
-        .select(col("vec_id"), col("cell"), col("v"), col("n2"))
-        .join(broadcast(probes), col("p_cell") === col("cell"))
-        .select(col("q_id"), col("vec_id").as("nn_id"),
-          (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
-        .withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter(col("rn") <= 3)
-        .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
-        .orderBy("q_id", "rn")
+      knnRankTail(
+        ivfAssigned(s, d).filter(col("vec_id") >= 20)
+          .select(col("vec_id"), col("cell"), col("v"), col("n2"))
+          .join(broadcast(probes), col("p_cell") === col("cell"))
+          .select(col("q_id"), col("vec_id").as("nn_id"),
+            (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos")))
     },
 
     // L3 scale path #2b: the SAME IVF, with the cell id as an actual
@@ -389,6 +379,22 @@ object Similarity {
       }
       s.read.parquet(path)
     }
+
+  /** The shared rank-and-project tail of both k-NN joins (exact and IVF):
+    * per query, top-3 by rounded cosine with nn_id tie-break — one
+    * scalar-only window shuffle. One definition, not two: the ops are
+    * spec-compared (recall of the IVF path against the exact path), and a
+    * drifting tie-break or k would silently desync that comparison.
+    */
+  private def knnRankTail(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
 
   /** The `ivfNProbe` centroid ids nearest a unit query — the ONE
     * probe-selection used by every IVF variant (a per-op copy would let a

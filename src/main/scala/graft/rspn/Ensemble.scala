@@ -607,9 +607,15 @@ object Ensemble {
     // dependence (the base answers its slice under the fewest independence
     // assumptions), then size and name for determinism
     val predCols = preds.keySet ++ feature.keySet
-    val candidates = spns.values.toSeq
+    // RDC-rank only the top maxVariants of the naive order (same cap as
+    // selectFor): the knob bounds scoring work per query, and the fallback
+    // tail keeps the naive pick's cost profile
+    val naive = spns.values.toSeq
       .filter(s => featureTables.subsetOf(s.tables) && s.tables.exists(tables))
-      .sortBy(s => (-s.tables.intersect(tables).size, -rdcScore(s, predCols), s.tables.size, s.name))
+      .sortBy(s => (-s.tables.intersect(tables).size, s.tables.size, s.name))
+    val (scored, unscored) = naive.splitAt(math.max(1, Knobs.maxVariants))
+    val candidates = scored.sortBy(s =>
+      (-s.tables.intersect(tables).size, -rdcScore(s, predCols), s.tables.size, s.name)) ++ unscored
     if (candidates.isEmpty)
       throw new NoSuchElementException(
         s"no SPN covers the aggregate column's table(s) $featureTables")

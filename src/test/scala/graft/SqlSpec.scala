@@ -275,6 +275,39 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY SUM(l_quantity)"))
   }
 
+  test("estimate-plane ordering matches the exact plane: native key order + tiebreak") {
+    // unit-level drive of the post() ordering (the fixture schema has no
+    // numeric categorical column to reach this end-to-end): group values
+    // that all parse as numbers must sort NATIVELY ("2" before "10"), and
+    // an ORDER BY <agg> LIMIT cut must fall back to the group key like
+    // SqlExact's appended trailing keys — not enumeration order
+    def est(v: Double) = Ensemble.Estimate(v, v, v)
+    def q(keys: OrderKey*) = ParsedQuery(Count, "t", Set("t"), Nil, Nil, Nil,
+      groupBy = Seq(("t", "x")), orderBy = keys.toList, limit = Some(2))
+    val rows = Seq(
+      Seq("10") -> est(7.0), Seq("2") -> est(5.0), Seq("1") -> est(7.0))
+    // ORDER BY x: numeric, so "2" precedes "10"
+    SqlEstimate.post(q(OrderKey(byAgg = false, "t", "x", asc = true)),
+      SqlEstimate.Groups(rows)) match {
+      case SqlEstimate.Groups(r) => assert(r.map(_._1.head) == Seq("1", "2"))
+      case other                 => fail(s"expected Groups, got $other")
+    }
+    // ORDER BY COUNT(*) DESC LIMIT 2: the 7.0-tie must cut by the group
+    // key ("1" before "10"), not by the incoming row order
+    SqlEstimate.post(q(OrderKey(byAgg = true, "", "", asc = false)),
+      SqlEstimate.Groups(rows)) match {
+      case SqlEstimate.Groups(r) => assert(r.map(_._1.head) == Seq("1", "10"))
+      case other                 => fail(s"expected Groups, got $other")
+    }
+    // non-numeric keys keep lexicographic order
+    val sRows = Seq(Seq("b") -> est(1.0), Seq("a10") -> est(1.0), Seq("a2") -> est(1.0))
+    SqlEstimate.post(q(OrderKey(byAgg = false, "t", "x", asc = true)),
+      SqlEstimate.Groups(sRows)) match {
+      case SqlEstimate.Groups(r) => assert(r.map(_._1.head) == Seq("a10", "a2"))
+      case other                 => fail(s"expected Groups, got $other")
+    }
+  }
+
   test("COUNT(DISTINCT): exact countDistinct, model-plane enumeration size") {
     views
     val sql = "SELECT COUNT(DISTINCT o_orderpriority) FROM orders WHERE o_orderstatus = 'F'"
