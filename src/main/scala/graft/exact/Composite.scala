@@ -582,6 +582,372 @@ object Composite {
           count(lit(1)).as("n"))
     },
 
+    // TPC-H Q7 (volume shipping): the two-nation bilateral-flow query. The
+    // OR of the two (supp, cust) nation orderings is implemented by pruning
+    // BOTH dim sides to the two nations up front (broadcast nation joins on
+    // supplier and customer — each side shrinks to 2/25 of its rows before
+    // any fact join) and excluding the same-nation pairs afterwards, which
+    // is set-equivalent to the disjunction. Facts shuffle once per join
+    // key; the year() group rides the same aggregate.
+    Op(
+      "tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(round(SUM(CAST(volume AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |                    JOIN orders ON o_orderkey = l_orderkey
+        |                    JOIN customer ON c_custkey = o_custkey
+        |                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |        AND l_shipdate < TIMESTAMP '1997-01-01') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+    ) { (s, d) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val pairNation = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(pairNation.select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = t(s, d, "customer")
+        .join(broadcast(pairNation.select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey", "cust_nation")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        // both sides are already restricted to the two nations, so
+        // "different nations" ≡ the query's OR of the two orderings
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 (national market share): a RATIO of conditional aggregates
+    // over an 8-table join — the numerator condition (supplier nation) is
+    // evaluated inside the same partial aggregate as the denominator, so
+    // the share costs one aggregate, not two plans. Nation/region are
+    // SF-invariant broadcasts; part is pruned by the pushed p_type filter
+    // before its join; customer/supplier/facts get Catalyst/AQE's size
+    // call. Both sums are decimal-exact; the final division is one IEEE
+    // double op on identical inputs, so the ratio is bit-identical across
+    // engines before the display rounding.
+    Op(
+      "tpch_q8",
+      """SELECT o_year,
+        |       round(100.0 * (CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume_d
+        |                                    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |                      / CAST(SUM(volume_d) AS DOUBLE)), 6) AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS volume_d,
+        |             n2.n_name AS nation
+        |      FROM part JOIN lineitem ON p_partkey = l_partkey
+        |                JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN orders ON l_orderkey = o_orderkey
+        |                JOIN customer ON o_custkey = c_custkey
+        |                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |                JOIN region ON n1.n_regionkey = r_regionkey
+        |                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin
+    ) { (s, d) =>
+      val amNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("am_key"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(amNations), col("c_nationkey") === col("am_key"))
+        .select("c_custkey")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "nation")
+      val volD = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")
+      val zeroD = lit(0).cast("decimal(28,6)")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(t(s, d, "part").filter(col("p_type") === "ECONOMY").select("p_partkey"),
+          col("p_partkey") === col("l_partkey"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(lit(100.0) *
+          (sum(when(col("nation") === "NATION_1", volD).otherwise(zeroD)).cast("double") /
+            sum(volD).cast("double")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9 (product-type profit): profit per (supplier nation, order
+    // year) over every part whose name matches. The fixture has no
+    // partsupp, so `p_retailprice * l_quantity` stands in for
+    // `ps_supplycost * l_quantity` — same columns-from-three-tables
+    // arithmetic inside the aggregate, same join graph minus the partsupp
+    // hop. Both product terms are bit-identical IEEE doubles cast to
+    // decimal BEFORE the subtraction, so the summed amount is exact.
+    Op(
+      "tpch_q9",
+      """SELECT nation, o_year, CAST(round(SUM(amount), 2) AS DOUBLE) AS sum_profit
+        |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+        |               - CAST(p_retailprice * l_quantity AS DECIMAL(28,6)) AS amount
+        |      FROM part JOIN lineitem ON p_partkey = l_partkey
+        |                JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN orders ON o_orderkey = l_orderkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |      WHERE p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year""".stripMargin
+    ) { (s, d) =>
+      val amount =
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)") -
+          (col("p_retailprice") * col("l_quantity")).cast("decimal(28,6)")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .join(t(s, d, "part").filter(col("p_name").like("%red%"))
+          .select("p_partkey", "p_retailprice"),
+          col("p_partkey") === col("l_partkey"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "nation").select(
+          col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+        .orderBy("nation", "o_year")
+    },
+
+    // TPC-H Q14 (promotion effect): the single-row conditional-ratio
+    // aggregate. One fact join (part side pruned to two columns), CASE
+    // evaluated in the map-side partial, one global aggregate — at 100 TB
+    // the cost is the month's scan plus one 2-counter reduce. Decimal sums,
+    // one IEEE division, display rounding last (Q8's determinism recipe).
+    Op(
+      "tpch_q14",
+      """SELECT round(100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume_d
+        |                                    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |                      / CAST(SUM(volume_d) AS DOUBLE)), 6) AS promo_revenue
+        |FROM (SELECT p_type,
+        |             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS volume_d
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |        AND l_shipdate < TIMESTAMP '1996-10-01') x""".stripMargin
+    ) { (s, d) =>
+      val volD = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")
+      val zeroD = lit(0).cast("decimal(28,6)")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(t(s, d, "part").select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          (sum(when(col("p_type") === "PROMO", volD).otherwise(zeroD)).cast("double") /
+            sum(volD).cast("double")), 6).as("promo_revenue"))
+    },
+
+    // TPC-H Q2 (minimum-cost supplier): the correlated-MIN shape — for each
+    // part in a size slice, the region's suppliers offering it at the
+    // minimum cost. The fixture has no partsupp, so the observed offer
+    // relation is DERIVED: per (l_partkey, l_suppkey), the minimum unit
+    // price ever shipped (min over IEEE-exact divisions — order-independent
+    // and bit-identical in both engines, so the min-equality cannot flip
+    // rows). The per-part MIN is an aggregate on the SAME key the join-back
+    // runs on — one shuffle of the offer relation, reused; dims are
+    // broadcast. At 100 TB the offer aggregate is the only fact-sized
+    // stage, exactly like the real Q2's partsupp scan.
+    Op(
+      "tpch_q2",
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |                   MIN(l_extendedprice / l_quantity) AS supplycost
+        |            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |     eu AS (SELECT s_suppkey, s_acctbal, s_name, n_name
+        |            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |                          JOIN region ON n_regionkey = r_regionkey
+        |            WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+        |FROM part JOIN ps ON p_partkey = l_partkey
+        |          JOIN eu ON l_suppkey = s_suppkey
+        |WHERE p_size = 15
+        |  AND supplycost = (SELECT MIN(ps2.supplycost)
+        |                    FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+        |                    WHERE ps2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+    ) { (s, d) =>
+      val euSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+      // the correlated MIN is a window over the offer relation's ONE
+      // pipeline (not an aggregate + join-back, which would plan the
+      // whole offer subtree twice): shuffle on (partkey,suppkey) for the
+      // offer aggregate, one more on partkey for the window, done
+      val minW = Window.partitionBy("l_partkey")
+      t(s, d, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("supplycost"))
+        .join(euSupp, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost", min(col("supplycost")).over(minW))
+        .filter(col("supplycost") === col("min_cost"))
+        .join(t(s, d, "part").filter(col("p_size") === 15).select("p_partkey", "p_name"),
+          col("l_partkey") === col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    },
+
+    // TPC-H Q11 (important stock): per-key value vs a GLOBAL-total
+    // threshold in HAVING. Value is the summed extended price a nation's
+    // suppliers shipped per part (the fixture's stand-in for
+    // supplycost·availqty over partsupp). The global total rides as a
+    // broadcast 1-row subtree off the SAME aggregated input (no second
+    // scan), and the threshold compare is multiplied through
+    // (sum·1000 > total — Q17/Q22's trick) so it is decimal-exact.
+    Op(
+      "tpch_q11",
+      """WITH natps AS (SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,6)) AS val
+        |               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |                             JOIN nation ON s_nationkey = n_nationkey
+        |               WHERE n_name = 'NATION_7')
+        |SELECT l_partkey AS ps_partkey,
+        |       CAST(round(SUM(val), 2) AS DOUBLE) AS value
+        |FROM natps
+        |GROUP BY l_partkey
+        |HAVING SUM(val) * 1000 > (SELECT SUM(val) FROM natps)
+        |ORDER BY value DESC, ps_partkey""".stripMargin
+    ) { (s, d) =>
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .filter(col("n_name") === "NATION_7").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val natPs = t(s, d, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("l_extendedprice").cast("decimal(18,6)").as("val"))
+      val total = natPs.agg(sum(col("val")).as("total"))
+      natPs.groupBy("l_partkey")
+        .agg(sum(col("val")).as("val_sum"))
+        .crossJoin(broadcast(total))
+        .filter(col("val_sum") * 1000 > col("total"))
+        .select(col("l_partkey").as("ps_partkey"),
+          round(col("val_sum"), 2).cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+
+    // TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT supplier) per
+    // part attribute triple, under a NOT-IN supplier exclusion. The
+    // lineitem (part, supplier) pairs play partsupp; "customers'
+    // complaints" becomes the deterministic s_acctbal < 0 cohort. The
+    // exclusion is a broadcast ANTI join on the fact BEFORE the part
+    // attach; the distinct count shuffles (triple, suppkey) pairs once —
+    // the same two-stage distinct aggregate the real Q16 plans.
+    Op(
+      "tpch_q16",
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+    ) { (s, d) =>
+      // the exclusion cohort is a constant FRACTION of supplier — it scales
+      // with SF, so no broadcast hint (AQE still broadcasts it at small SF)
+      val excluded = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).cast("bigint").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q20 (potential part promotion): the NESTED-IN shape — suppliers
+    // (of one nation) whose shipped share of a name-matched part family
+    // within a year exceeds a fraction of their all-time volume. The
+    // availqty>½·qty predicate becomes win·5 > total over two conditional
+    // sums of the SAME aggregate (one pass, decimal-exact multiply-through);
+    // part names prune via a broadcast semi join before the aggregate; the
+    // qualifying-supplier set flows supplier-ward as a semi join, so no
+    // fact row is ever replicated.
+    Op(
+      "tpch_q20",
+      """WITH redparts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |     qty AS (SELECT l_partkey, l_suppkey,
+        |                    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |                              AND l_shipdate < TIMESTAMP '1997-01-01'
+        |                             THEN CAST(l_quantity AS DECIMAL(18,6))
+        |                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS win_qty,
+        |                    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS tot_qty
+        |             FROM lineitem
+        |             WHERE l_partkey IN (SELECT p_partkey FROM redparts)
+        |             GROUP BY l_partkey, l_suppkey)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM qty WHERE win_qty * 5 > tot_qty)
+        |ORDER BY s_name""".stripMargin
+    ) { (s, d) =>
+      // name-matched parts are a constant fraction of an SF-scaling table:
+      // no broadcast hint (Q16's rule) — the semi join strategy is AQE's
+      val redParts = t(s, d, "part").filter(col("p_name").like("red%"))
+        .select("p_partkey")
+      val inWindow = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+      val qD = col("l_quantity").cast("decimal(18,6)")
+      val zeroQ = lit(0).cast("decimal(18,6)")
+      val qualifying = t(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+          sum(when(inWindow, qD).otherwise(zeroQ)).as("win_qty"),
+          sum(qD).as("tot_qty"))
+        .filter(col("win_qty") * 5 > col("tot_qty"))
+        .select("l_suppkey")
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .filter(col("n_name") === "NATION_5").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    },
+
     // Small-file compaction: the corpus maintenance primitive of every
     // long-lived ingest (streaming sinks and per-batch writes accrete
     // thousands of KB-scale files whose open/footer cost eventually

@@ -347,6 +347,52 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("tpch_q7/q8: hints sit only on bounded dims; fact joins shuffle at scale") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // q7 hints: the 2-nation slice attaching to supplier and to customer.
+      // supplier/customer/orders/lineitem scale with SF → must shuffle.
+      val q7 = planOf(SparkEntry.queries("tpch_q7")(spark, rawSf))
+      val q7Bhj = "BroadcastHashJoin".r.findAllIn(q7).length
+      assert(q7Bhj == 2, s"q7 must keep exactly its 2 nation-slice hints, got $q7Bhj:\n$q7")
+      assert(q7.contains("SortMergeJoin") || q7.contains("ShuffledHashJoin"),
+        s"q7 fact joins must shuffle once broadcast is size-barred:\n$q7")
+      // q8 hints: region→nation, america-nations→customer, nation→supplier
+      // (all SF-invariant); part/orders/customer/supplier/lineitem shuffle
+      val q8 = planOf(SparkEntry.queries("tpch_q8")(spark, rawSf))
+      val q8Bhj = "BroadcastHashJoin".r.findAllIn(q8).length
+      assert(q8Bhj == 3, s"q8 must keep exactly its 3 bounded-dim hints, got $q8Bhj:\n$q8")
+      assert(q8.contains("SortMergeJoin") || q8.contains("ShuffledHashJoin"),
+        s"q8 fact joins must shuffle once broadcast is size-barred:\n$q8")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("tpch_q2/q16/q20: SF-scaling slices carry no broadcast hint") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // q2 hints: region→nation, euro-nations→supplier (bounded dims only);
+      // the derived offer relation and its min join-back must shuffle
+      val q2 = planOf(SparkEntry.queries("tpch_q2")(spark, rawSf))
+      val q2Bhj = "BroadcastHashJoin".r.findAllIn(q2).length
+      assert(q2Bhj == 2, s"q2 must keep exactly its 2 bounded-dim hints, got $q2Bhj:\n$q2")
+      // q16: the complaint cohort is a fraction of SF-scaling supplier —
+      // the anti join must not broadcast when size-barred
+      val q16 = planOf(SparkEntry.queries("tpch_q16")(spark, rawSf))
+      val q16Bhj = "BroadcastHashJoin".r.findAllIn(q16).length
+      assert(q16Bhj == 0, s"q16 must carry no broadcast hints, got $q16Bhj:\n$q16")
+      assert(q16.contains("LeftAnti"), s"q16 lost its NOT IN anti join:\n$q16")
+      // q20: both semi probes (part-name slice, qualifying suppliers) are
+      // SF-scaling — only the nation dim hint may broadcast
+      val q20 = planOf(SparkEntry.queries("tpch_q20")(spark, rawSf))
+      val q20Bhj = "BroadcastHashJoin".r.findAllIn(q20).length
+      assert(q20Bhj <= 1, s"q20 may broadcast only the nation dim, got $q20Bhj:\n$q20")
+      assert("LeftSemi".r.findAllIn(q20).length == 2,
+        s"q20 must plan both nested-IN levels as semi joins:\n$q20")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("winnowing fingerprint plans as a narrow map: no exchange, no window sort") {
     // the whole selection is array HOFs within the row — any Exchange or
     // Window operator means the per-position explode+shuffle form came back
