@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def allOps: Seq[Op] =
     exact.Relational.ops ++ exact.Extended.ops ++ exact.Composite.ops ++
+      plans.SpnPlanning.ops ++
       ext.Text.ops ++ ext.Dedup.ops ++
       ext.Similarity.ops ++ ext.Multimodal.ops ++ ext.Streaming.ops ++
       rspn.ModelQueries.ops

@@ -1,0 +1,382 @@
+package graft.plans
+
+import graft.Op
+import graft.rspn.{ColRange, Ensemble, NominalSet, NotNullRange, NumRange}
+import graft.schema.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.Try
+
+/** Learned cardinalities feeding the optimizer — the reference's core loop
+  * (deepdb-public: maqp.py cardinality mode feeds estimates to a query
+  * optimizer's cost model), expressed Spark-first as a Catalyst
+  * `Rule[LogicalPlan]` registered through `SparkSessionExtensions`.
+  *
+  * Spark's static size-in-bytes statistics cannot see FILTER selectivity
+  * (no per-column histograms without ANALYZE, and none at all on raw
+  * parquet): a scan whose predicate keeps 0.1% of a large table still
+  * carries the whole table's size estimate, so the planner sort-merges a
+  * join whose build side is actually tiny. The trained RSPN ensemble knows
+  * that selectivity. [[SpnBroadcastRule]] pattern-matches join sides of
+  * shape Project*(Filter*(parquet scan)), converts the filter conjuncts
+  * into the estimator's ColRange predicates, asks the ensemble for the
+  * filtered row count, and — when the q-error-padded byte estimate fits
+  * the broadcast budget — sets the BROADCAST strategy on that side's
+  * `JoinHint`. Everything it cannot fully understand (an unmodeled column
+  * in a meaningful predicate, a non-conjunctive shape, a multi-table
+  * subtree) is left untouched: the rule only ever ADDS a hint that learned
+  * statistics justify, never removes or overrides one.
+  *
+  * At 100 TB the estimate scales with the model's `scaleRows` (trained on
+  * a bounded sample but calibrated to the true table size), so the same
+  * rule that broadcasts a 0.1%-selective dimension slice at any SF refuses
+  * it once the slice's absolute size outgrows the executor budget — the
+  * size-robustness property the hard-coded-hint antipattern lacks.
+  */
+object SpnCardinality {
+
+  /** One understood filter conjunct over a scan column. `op` ∈ eq/lt/le/
+    * gt/ge for [[Cmp]]; values are raw Catalyst literal values (UTF8String
+    * for strings, epoch days for dates, micros for timestamps).
+    */
+  sealed trait Atom { def column: String }
+  final case class Cmp(column: String, op: String, value: Any) extends Atom
+  final case class InSet(column: String, values: Seq[Any]) extends Atom
+  final case class NotNull(column: String) extends Atom
+
+  private val microsPerDay = 86400e6
+
+  /** Catalyst literal value → the model's numeric encoding for a column of
+    * the given spec kind ("num" raw double, "days" epoch days).
+    */
+  private def numericValue(kind: String, v: Any): Option[Double] = v match {
+    case null => None
+    case i: java.lang.Integer if kind == "days" => Some(i.toDouble) // DateType
+    case l: java.lang.Long if kind == "days" => Some(l.toDouble / microsPerDay) // TimestampType
+    case n: java.lang.Number if kind == "num" => Some(n.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal if kind == "num" => Some(d.toDouble)
+    case _ => None
+  }
+
+  private def stringValue(v: Any): Option[String] = v match {
+    case s: UTF8String => Some(s.toString)
+    case s: String     => Some(s)
+    case _             => None
+  }
+
+  private def intersect(a: ColRange, b: ColRange): Option[ColRange] = (a, b) match {
+    case (NotNullRange, r) => Some(r)
+    case (r, NotNullRange) => Some(r)
+    case (NumRange(lo1, hi1, li1, hi1i), NumRange(lo2, hi2, li2, hi2i)) =>
+      val (lo, li) =
+        if (lo1 > lo2) (lo1, li1)
+        else if (lo2 > lo1) (lo2, li2)
+        else (lo1, li1 && li2)
+      val (hi, hiI) =
+        if (hi1 < hi2) (hi1, hi1i)
+        else if (hi2 < hi1) (hi2, hi2i)
+        else (hi1, hi1i && hi2i)
+      Some(NumRange(lo, hi, li, hiI)) // empty (lo > hi) evaluates to 0 — fine
+    case (NominalSet(c1), NominalSet(c2)) =>
+      Some(NominalSet(c1.filter(c2.contains)))
+    case _ => None // mixed point-set × range: rare, stay conservative
+  }
+
+  /** Convert understood atoms to the estimator's predicate map. Returns
+    * None when any atom cannot be expressed against the model (conservative
+    * — the caller must then NOT trust any estimate), except that a NotNull
+    * on an unmodeled column is ignorable: the optimizer infers IsNotNull
+    * for every join key, keys are never modeled, and dropping the conjunct
+    * only overestimates (the safe direction for a broadcast decision).
+    */
+  private[plans] def toPreds(
+      spn: Ensemble.TrainedSpn,
+      table: String,
+      atoms: Seq[Atom]): Option[Map[(String, String), ColRange]] = {
+    val specs = Ensemble.colSpecs.getOrElse(table, Seq.empty).toMap
+    val acc = scala.collection.mutable.Map.empty[(String, String), ColRange]
+    def add(colName: String, r: ColRange): Boolean = {
+      val k = (table, colName)
+      acc.get(k) match {
+        case None       => acc(k) = r; true
+        case Some(prev) => intersect(prev, r).exists { m => acc(k) = m; true }
+      }
+    }
+    val ok = atoms.forall {
+      case NotNull(c) =>
+        !specs.contains(c) || add(c, NotNullRange) // unmodeled NotNull: droppable
+      case a =>
+        specs.get(a.column) match {
+          case None => false
+          case Some("cat") =>
+            val mc = spn.cols(spn.colIdx(table, a.column))
+            def codeOf(v: Any): Option[Double] =
+              stringValue(v).flatMap(s => Try(mc.code(s)).toOption)
+            a match {
+              // a value missing from the dictionary matches zero rows (the
+              // dict is collected over the whole column, not a sample)
+              case Cmp(c, "eq", v) =>
+                add(c, NominalSet(codeOf(v).toArray))
+              case InSet(c, vs) if vs.forall(stringValue(_).isDefined) =>
+                add(c, NominalSet(vs.flatMap(codeOf).toArray))
+              case _ => false
+            }
+          case Some(kind) =>
+            a match {
+              case Cmp(c, op, v) =>
+                numericValue(kind, v).exists { x =>
+                  val r = op match {
+                    case "eq" => Some(NumRange(x, x))
+                    case "lt" => Some(NumRange(Double.NegativeInfinity, x, hiIncl = false))
+                    case "le" => Some(NumRange(Double.NegativeInfinity, x))
+                    case "gt" => Some(NumRange(x, Double.PositiveInfinity, loIncl = false))
+                    case "ge" => Some(NumRange(x, Double.PositiveInfinity))
+                    case _    => None
+                  }
+                  r.exists(add(c, _))
+                }
+              case InSet(c, vs) =>
+                // numeric leaves evaluate NominalSet as an exact point set
+                val xs = vs.map(numericValue(kind, _))
+                xs.forall(_.isDefined) && add(c, NominalSet(xs.flatten.toArray))
+              case _ => false
+            }
+        }
+    }
+    if (ok) Some(acc.toMap) else None
+  }
+
+  /** Estimated filtered row count for one table under the understood atoms,
+    * or None when the model cannot answer (unmodeled table/column, shape
+    * the predicate algebra doesn't cover, estimator failure).
+    */
+  def estimate(
+      spns: Map[String, Ensemble.TrainedSpn],
+      table: String,
+      atoms: Seq[Atom]): Option[Double] =
+    for {
+      spn <- spns.get(table) // single-table model — the dictionary source
+      preds <- toPreds(spn, table, atoms)
+      est <- Try(Ensemble.estCount(spns, Set(table), preds).value).toOption
+    } yield math.max(est, 0.0)
+
+  /** The estimator closure [[SpnBroadcastRule]] consumes. `Ensemble.get` is
+    * memoized per (session, sfDir): the first call trains/loads, the rest
+    * are map lookups, so calling this from inside the optimizer is cheap
+    * after warm-up (compiled-tree inference, no Spark jobs).
+    */
+  def estimatorFor(spark: SparkSession, sfDir: String): (String, Seq[Atom]) => Option[Double] =
+    (table, atoms) => estimate(Ensemble.get(spark, sfDir), table, atoms)
+
+  // ---- logical-plan side: scan-shape recognition + atom extraction ----
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case other     => Seq(other)
+  }
+
+  private def tableNameOf(rel: LogicalRelation): Option[String] =
+    rel.catalogTable.map(_.identifier.table).orElse(rel.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.headOption.map(_.getName.stripSuffix(".parquet"))
+      case _ => None
+    })
+
+  /** Project*(Filter*(parquet scan)) → (table name, all filter conjuncts).
+    * Projects must be pure column selections — an alias or computed column
+    * between the filter and the join would change the atoms' meaning. A
+    * cached table (InMemoryRelation) resolves through its cached physical
+    * plan to the parquet scan it materialized: cached dims are the common
+    * case in any long session, and a filter INSIDE the cached plan only
+    * means the true side is smaller than the estimate — the conservative
+    * direction for a broadcast decision.
+    */
+  private[plans] object ScanShape {
+    def unapply(p: LogicalPlan): Option[(String, Seq[Expression])] = p match {
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        unapply(child)
+      case Filter(cond, child) =>
+        unapply(child).map { case (t, cs) => (t, cs ++ splitConj(cond)) }
+      case rel: LogicalRelation => tableNameOf(rel).map((_, Seq.empty))
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        imr.cacheBuilder.cachedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.headOption
+              .map(path => (path.getName.stripSuffix(".parquet"), Seq.empty[Expression]))
+        }.flatten
+      case _ => None
+    }
+  }
+
+  /** All conjuncts → atoms; None if ANY conjunct is not understood (a
+    * selective predicate the model can't see would make the row estimate an
+    * overcount of trust, not just of rows).
+    */
+  private[plans] def atomsOf(conjuncts: Seq[Expression]): Option[Seq[Atom]] = {
+    val converted = conjuncts.map {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "eq", v))
+      case EqualTo(Literal(v, _), a: AttributeReference) => Some(Cmp(a.name, "eq", v))
+      case LessThan(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "lt", v))
+      case LessThan(Literal(v, _), a: AttributeReference) => Some(Cmp(a.name, "gt", v))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "le", v))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => Some(Cmp(a.name, "ge", v))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "gt", v))
+      case GreaterThan(Literal(v, _), a: AttributeReference) => Some(Cmp(a.name, "lt", v))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "ge", v))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => Some(Cmp(a.name, "le", v))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(InSet(a.name, vs.map(_.asInstanceOf[Literal].value)))
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, hset) =>
+        Some(InSet(a.name, hset.toSeq))
+      case IsNotNull(a: AttributeReference) => Some(NotNull(a.name))
+      case _ => None
+    }
+    if (converted.forall(_.isDefined)) Some(converted.flatten) else None
+  }
+}
+
+/** The optimizer rule. `estimateRows` is injected so the Catalyst surface
+  * is unit-testable without a trained ensemble; production wiring goes
+  * through [[GraftExtensions]] / [[SpnBroadcastRule.fromSession]].
+  */
+final case class SpnBroadcastRule(
+    estimateRows: (String, Seq[SpnCardinality.Atom]) => Option[Double],
+    thresholdBytes: Long) extends Rule[LogicalPlan] {
+
+  import SpnCardinality.{atomsOf, ScanShape}
+
+  /** Multiplicative safety margin on the learned estimate — the measured
+    * factored-join q-error bound (AccuracySpec asserts median ≤ 2.5); a
+    * side must look ≥4× under budget before the rule trusts the model with
+    * an executor-memory decision.
+    */
+  private val qErrorHeadroom = 4.0
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j: Join =>
+      val lh = if (canBuildLeft(j.joinType)) hinted(j.hint.leftHint, j.left) else j.hint.leftHint
+      val rh = if (canBuildRight(j.joinType)) hinted(j.hint.rightHint, j.right) else j.hint.rightHint
+      if ((lh eq j.hint.leftHint) && (rh eq j.hint.rightHint)) j
+      else j.copy(hint = JoinHint(lh, rh))
+  }
+
+  private def canBuildLeft(jt: JoinType): Boolean = jt match {
+    case _: InnerLike | RightOuter => true
+    case _                         => false
+  }
+  private def canBuildRight(jt: JoinType): Boolean = jt match {
+    case _: InnerLike | LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin => true
+    case _                                                                 => false
+  }
+
+  private def hinted(existing: Option[HintInfo], side: LogicalPlan): Option[HintInfo] =
+    existing match {
+      case Some(h) if h.strategy.isDefined => existing // never override a user hint
+      case _ =>
+        estimateBytes(side) match {
+          case Some(bytes) if bytes * qErrorHeadroom <= thresholdBytes =>
+            Some(existing.getOrElse(HintInfo()).copy(strategy = Some(BROADCAST)))
+          case _ => existing
+        }
+    }
+
+  private def estimateBytes(side: LogicalPlan): Option[Double] = side match {
+    case ScanShape(table, conjuncts) if conjuncts.nonEmpty =>
+      // unfiltered scans are skipped on purpose: static size-in-bytes stats
+      // are already exact there; the model only adds selectivity knowledge
+      atomsOf(conjuncts)
+        .filter(_.exists(!_.isInstanceOf[SpnCardinality.NotNull]))
+        .flatMap(atoms => estimateRows(table, atoms))
+        .map(_ * rowBytes(side))
+    case _ => None
+  }
+
+  private def rowBytes(side: LogicalPlan): Double =
+    side.output.map(_.dataType.defaultSize).sum + 20.0 // per-row overhead
+}
+
+object SpnBroadcastRule {
+
+  /** Conf-driven wrapper for extension injection: inert until
+    * `spark.graft.spn.sfDir` is set on the session, so adding the extension
+    * to a cluster config costs nothing for sessions that never opt in.
+    */
+  def fromSession(session: SparkSession): Rule[LogicalPlan] = new Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      session.conf.getOption("spark.graft.spn.sfDir") match {
+        case None => plan
+        case Some(sfDir) =>
+          val threshold =
+            session.conf.getOption("spark.graft.spn.broadcastBytes")
+              .map(_.toLong).getOrElse(10L * 1024 * 1024)
+          SpnBroadcastRule(SpnCardinality.estimatorFor(session, sfDir), threshold)(plan)
+      }
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` — the builder-time
+  * registration (`SparkSession.builder.withExtensions(new GraftExtensions)`
+  * works too). Injects only the learned-cardinality rule today.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(SpnBroadcastRule.fromSession)
+}
+
+/** Driver-contract surface: the same learned-broadcast decision taken at
+  * the DataFrame API layer (scoped to this one query — the session-global
+  * rule is exercised in ExtensionSpec on an isolated `newSession`, where it
+  * can't perturb other registered queries' plans mid-suite).
+  */
+object SpnPlanning {
+
+  val ops: Seq[Op] = Seq(
+    // Learned-cardinality broadcast: the join strategy for the filtered
+    // side comes from the RSPN ensemble, not from file sizes. The filter
+    // (totalprice < 2000 ∧ status 'F') keeps ~0.1% of orders; static stats
+    // see the full table and would sort-merge at scale, the model sees the
+    // selectivity and broadcasts — and because the estimate scales with the
+    // modeled row count, the SAME code refuses the broadcast once the slice
+    // outgrows the budget at a larger SF. Result is plan-invariant (the
+    // oracle is the plain join), which is exactly why the decision is safe
+    // to learn.
+    Op(
+      "join_spn_broadcast",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice < 2000 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.functions.{count, lit, round, sum}
+      val atoms = Seq(
+        SpnCardinality.Cmp("o_totalprice", "lt", Double.box(2000.0)),
+        SpnCardinality.Cmp("o_orderstatus", "eq", "F"))
+      val ord = Tables(s, d, "orders")
+        .filter(col("o_totalprice") < 2000 && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderpriority")
+      val est = SpnCardinality.estimate(Ensemble.get(s, d), "orders", atoms)
+      val rowBytes = 64.0
+      val side = est match {
+        case Some(rows) if rows * rowBytes * 4 <= 10L * 1024 * 1024 => broadcast(ord)
+        case _                                                      => ord
+      }
+      Tables(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+        .join(side, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}

@@ -393,6 +393,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("join_spn_broadcast: the LEARNED estimate drives the broadcast, not file sizes") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // with size-based broadcasting barred, only the model's cardinality
+      // estimate can justify the hint — if it still broadcasts, learned
+      // statistics made the call
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SparkEntry.queries("join_spn_broadcast")(spark, rawSf))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the 0.1%-selective side must broadcast on the learned estimate:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("winnowing fingerprint plans as a narrow map: no exchange, no window sort") {
     // the whole selection is array HOFs within the row — any Exchange or
     // Window operator means the per-position explode+shuffle form came back
