@@ -216,4 +216,40 @@ class ExtOpsSpec extends AnyFunSuite {
     val d = ext.Multimodal.decodeStub(ext.Multimodal.Blob(1L, "abc".getBytes("UTF-8")))
     assert(d.n_bytes == 3 && d.head_byte == 'a'.toLong && d.checksum == 'a' + 'b' + 'c')
   }
+
+  test("mix_temperature flattens the language distribution toward uniform") {
+    import TestSpark._
+    val raw = schema.Tables(spark, sfMid, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = ext.Dedup.ops.find(_.name == "mix_temperature").get.fn(spark, sfMid)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every language survives, and the max/min imbalance strictly shrinks
+    // (temperature alpha = 0.5 downsamples the head harder than the tail)
+    assert(kept.keySet == raw.keySet, s"a language vanished: kept=$kept")
+    val rawRatio = raw.values.max.toDouble / raw.values.min
+    val keptRatio = kept.values.max.toDouble / kept.values.min
+    assert(keptRatio < rawRatio,
+      s"mixing must flatten the head/tail ratio: raw $rawRatio -> kept $keptRatio")
+    // overall keep fraction lands near the declared T = 0.5 target
+    val frac = kept.values.sum.toDouble / raw.values.sum
+    assert(frac > 0.35 && frac < 0.65, s"overall keep fraction $frac far from T=0.5")
+  }
+
+  test("decontaminate: no surviving document shares a 4-gram with the eval slice") {
+    import TestSpark._
+    val docs = schema.Tables(spark, sfMid, "documents")
+    val grams = docs.select(col("doc_id"),
+      explode(ext.Text.shingles(lower(col("text")), 4)).as("gram"))
+    val surviving = ext.Dedup.ops.find(_.name == "decontaminate").get.fn(spark, sfMid)
+      .select("doc_id")
+    val leaked = grams.join(surviving, "doc_id")
+      .join(grams.filter(col("doc_id") % 100 === 7).select("gram").distinct(), "gram")
+      .count()
+    assert(leaked == 0, s"$leaked surviving doc-grams overlap the eval set")
+    // and the gate is not vacuous: the fixture plants real contamination
+    val dropped = docs.filter(col("doc_id") % 100 =!= 7).count() - surviving.count()
+    assert(dropped > 0, "fixture has no contaminated docs — the op went untested")
+  }
 }
