@@ -73,7 +73,8 @@ object Dedup {
         // repartitioning first would shuffle the full corpus's text payload
         // only to discard most of it (one-split local file; see dedup_near)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), Text.shinglesOfTokens(col("toks"), 3).as("sh"))
         .cache()
     }
     val exploded = ModelCache.memo(s, d, "ngram_exploded") {
@@ -165,7 +166,8 @@ object Dedup {
           // this repartition is a no-op cost next to the hashing)
           .repartition(s.sparkContext.defaultParallelism)
           .filter(size(Text.tokens(col("text"))) >= 3)
-          .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(col("doc_id"), Text.shinglesOfTokens(col("toks"), 3).as("sh"))
           // single pass over sh: K hashes per shingle, elementwise-min fold.
           // (K separate array_min(transform(sh, …)) columns would let
           // CollapseProject inline the shingle construction K times per row.)
@@ -208,7 +210,8 @@ object Dedup {
         docs(s, d)
           .repartition(s.sparkContext.defaultParallelism) // one-split local file; see dedup_near
           .filter(size(Text.tokens(col("text"))) >= 3)
-          .select(col("doc_id"), simhashUdf(Text.shingles(col("text"), 3)).as("sig"))
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(col("doc_id"), simhashUdf(Text.shinglesOfTokens(col("toks"), 3)).as("sig"))
           .cache()
       }
       val bands = sigs.select(
@@ -346,12 +349,14 @@ object Dedup {
     // every training document sharing ANY n-token shingle with the eval
     // set, so benchmark answers can't leak into the corpus. The eval set
     // is the deterministic doc_id % 100 = 7 slice (production passes a
-    // real benchmark table — same plan). Shape: one shingle explode per
-    // side, an equi-join on the gram, DISTINCT contaminated ids, one anti
-    // join — the inverted-index pattern of dedup_ngram, so the fact-sized
-    // shuffle is the gram join and nothing is ever O(n²). No broadcast
-    // hints: the eval slice is a constant fraction here (Q16's rule);
-    // production benchmark sets ARE bounded and AQE broadcasts them.
+    // real benchmark table — same plan). Shape: benchmark sets are BOUNDED
+    // (they don't grow with the corpus), so their distinct gram set rides
+    // as a one-row broadcast subtree and the corpus pass is a NARROW
+    // arrays_overlap filter — one scan, zero fact shuffle, no corpus-side
+    // explode (the earlier gram-join form shuffled every corpus gram twice
+    // and cost 6.4 s where this runs in ~1). A benchmark too large to
+    // broadcast as a set degrades to the join_bloom_prefiltered pattern:
+    // same plan with a bloom of the grams and an exact recheck on hits.
     Op(
       "decontaminate",
       """WITH tl AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
@@ -366,14 +371,17 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       val isBench = col("doc_id") % 100 === 7
-      val grams = docs(s, d)
-        .select(col("doc_id"), explode(Text.shingles(lower(col("text")), 4)).as("gram"))
-      val bench = grams.filter(isBench).select("gram").distinct()
-      val contaminated = grams.filter(!isBench)
-        .join(bench, "gram")
-        .select("doc_id").distinct()
+      // tokens materialize as a projected column so the gram lambda's n+2
+      // references hit an attribute, not a re-evaluated split()
+      val grams = Text.shinglesOfTokens(col("toks"), 4)
+      val benchSet = docs(s, d).filter(isBench)
+        .withColumn("toks", Text.tokens(lower(col("text"))))
+        .select(explode(grams).as("gram"))
+        .agg(collect_set(col("gram")).as("bench_grams"))
       docs(s, d).filter(!isBench)
-        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("toks", Text.tokens(lower(col("text"))))
+        .crossJoin(broadcast(benchSet))
+        .filter(!arrays_overlap(grams, col("bench_grams")))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },

@@ -21,8 +21,15 @@ object Text {
   /** Distinct n-word shingles (n-grams joined by a space); empty when the
     * document has fewer than n tokens. Shared by the dedup family.
     */
-  def shingles(textCol: Column, n: Int): Column = {
-    val tk = tokens(textCol)
+  def shingles(textCol: Column, n: Int): Column = shinglesOfTokens(tokens(textCol), n)
+
+  /** Shingles over an ALREADY-tokenized array column. Callers on a hot path
+    * should project the token array as its own column first and pass the
+    * attribute: the token expression is referenced n+2 times per gram
+    * below, and an attribute reference is free while an embedded split()
+    * may be re-evaluated per reference.
+    */
+  def shinglesOfTokens(tk: Column, n: Int): Column =
     array_distinct(
       transform(
         // sequence(0, size-n) would flip direction when size < n (Spark
@@ -30,7 +37,6 @@ object Text {
         when(size(tk) >= n, sequence(lit(0), size(tk) - n))
           .otherwise(array().cast("array<int>")),
         i => concat_ws(" ", (1 to n).map(k => element_at(tk, i + k)): _*)))
-  }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
 
@@ -211,13 +217,19 @@ object Text {
         |            ELSE 0.0 END AS dup_bigram_frac
         |FROM st ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val tk = tokens(lower(col("text")))
+      // tokens and the distinct-token array materialize as projected
+      // columns: tk is referenced once per DISTINCT TOKEN by the topc
+      // counter, and an attribute reference is free while an embedded
+      // split() may be re-evaluated per reference
+      val tk = col("toks")
       val n = size(tk).cast("bigint")
-      val nd = size(array_distinct(tk)).cast("bigint")
-      val topc = array_max(transform(array_distinct(tk),
+      val nd = size(col("dtoks")).cast("bigint")
+      val topc = array_max(transform(col("dtoks"),
         x => size(filter(tk, y => y === x)))).cast("bigint")
-      val bg = shingles(lower(col("text")), 2)
+      val bg = shinglesOfTokens(tk, 2)
       docs(s, d)
+        .withColumn("toks", tokens(lower(col("text"))))
+        .withColumn("dtoks", array_distinct(col("toks")))
         .select(
           col("doc_id"),
           n.as("n_tokens"),
