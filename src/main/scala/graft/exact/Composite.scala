@@ -852,9 +852,13 @@ object Composite {
       val natPs = t(s, d, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
         .join(natSupp, col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"), col("l_extendedprice").cast("decimal(18,6)").as("val"))
-      val total = natPs.agg(sum(col("val")).as("total"))
-      natPs.groupBy("l_partkey")
-        .agg(sum(col("val")).as("val_sum"))
+      val grouped = natPs.groupBy("l_partkey").agg(sum(col("val")).as("val_sum"))
+      // the global total re-aggregates the GROUPED output (sum of decimal
+      // partial sums — exact), so the two plan appearances of the fact
+      // subtree share an IDENTICAL aggregate exchange and ReuseExchange
+      // collapses them to one physical fact pass
+      val total = grouped.agg(sum(col("val_sum")).as("total"))
+      grouped
         .crossJoin(broadcast(total))
         .filter(col("val_sum") * 1000 > col("total"))
         .select(col("l_partkey").as("ps_partkey"),

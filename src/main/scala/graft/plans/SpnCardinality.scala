@@ -183,12 +183,19 @@ object SpnCardinality {
     case other     => Seq(other)
   }
 
-  private def tableNameOf(rel: LogicalRelation): Option[String] =
-    rel.catalogTable.map(_.identifier.table).orElse(rel.relation match {
+  /** (containing directory, table name) of a parquet relation — the
+    * directory gates estimation: a model is only valid for the DATASET it
+    * was trained on, not for any same-named table anywhere.
+    */
+  private def tableOf(rel: LogicalRelation): Option[(String, String)] =
+    rel.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map(_.getName.stripSuffix(".parquet"))
+        fs.location.rootPaths.headOption.map { p =>
+          (Option(p.getParent).map(_.toUri.getPath).getOrElse(""),
+            p.getName.stripSuffix(".parquet"))
+        }
       case _ => None
-    })
+    }
 
   /** Project*(Filter*(parquet scan)) → (table name, all filter conjuncts).
     * Projects must be pure column selections — an alias or computed column
@@ -200,17 +207,20 @@ object SpnCardinality {
     * direction for a broadcast decision.
     */
   private[plans] object ScanShape {
-    def unapply(p: LogicalPlan): Option[(String, Seq[Expression])] = p match {
+    def unapply(p: LogicalPlan): Option[(String, String, Seq[Expression])] = p match {
       case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
         unapply(child)
       case Filter(cond, child) =>
-        unapply(child).map { case (t, cs) => (t, cs ++ splitConj(cond)) }
-      case rel: LogicalRelation => tableNameOf(rel).map((_, Seq.empty))
+        unapply(child).map { case (dir, t, cs) => (dir, t, cs ++ splitConj(cond)) }
+      case rel: LogicalRelation =>
+        tableOf(rel).map { case (dir, t) => (dir, t, Seq.empty) }
       case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
         imr.cacheBuilder.cachedPlan.collectFirst {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.relation.location.rootPaths.headOption
-              .map(path => (path.getName.stripSuffix(".parquet"), Seq.empty[Expression]))
+            f.relation.location.rootPaths.headOption.map { path =>
+              (Option(path.getParent).map(_.toUri.getPath).getOrElse(""),
+                path.getName.stripSuffix(".parquet"), Seq.empty[Expression])
+            }
         }.flatten
       case _ => None
     }
@@ -249,16 +259,15 @@ object SpnCardinality {
   */
 final case class SpnBroadcastRule(
     estimateRows: (String, Seq[SpnCardinality.Atom]) => Option[Double],
-    thresholdBytes: Long) extends Rule[LogicalPlan] {
+    thresholdBytes: Long,
+    /** When set, only scans under this directory are estimated: the model
+      * is calibrated to ONE dataset's row counts, and a same-named table
+      * from another directory (e.g. a 100× larger SF) would inherit the
+      * small dataset's estimate and broadcast something huge.
+      */
+    datasetDir: Option[String] = None) extends Rule[LogicalPlan] {
 
   import SpnCardinality.{atomsOf, ScanShape}
-
-  /** Multiplicative safety margin on the learned estimate — the measured
-    * factored-join q-error bound (AccuracySpec asserts median ≤ 2.5); a
-    * side must look ≥4× under budget before the rule trusts the model with
-    * an executor-memory decision.
-    */
-  private val qErrorHeadroom = 4.0
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j: Join =>
@@ -282,32 +291,55 @@ final case class SpnBroadcastRule(
       case Some(h) if h.strategy.isDefined => existing // never override a user hint
       case _ =>
         estimateBytes(side) match {
-          case Some(bytes) if bytes * qErrorHeadroom <= thresholdBytes =>
+          case Some(bytes) if SpnBroadcastRule.fitsBudget(bytes, thresholdBytes) =>
             Some(existing.getOrElse(HintInfo()).copy(strategy = Some(BROADCAST)))
           case _ => existing
         }
     }
 
   private def estimateBytes(side: LogicalPlan): Option[Double] = side match {
-    case ScanShape(table, conjuncts) if conjuncts.nonEmpty =>
+    case ScanShape(dir, table, conjuncts)
+        if conjuncts.nonEmpty && datasetDir.forall(stripTrailing(_) == stripTrailing(dir)) =>
       // unfiltered scans are skipped on purpose: static size-in-bytes stats
       // are already exact there; the model only adds selectivity knowledge
       atomsOf(conjuncts)
         .filter(_.exists(!_.isInstanceOf[SpnCardinality.NotNull]))
         .flatMap(atoms => estimateRows(table, atoms))
-        .map(_ * rowBytes(side))
+        .map(_ * SpnBroadcastRule.rowBytes(side.output.map(_.dataType)))
     case _ => None
   }
 
-  private def rowBytes(side: LogicalPlan): Double =
-    side.output.map(_.dataType.defaultSize).sum + 20.0 // per-row overhead
+  private def stripTrailing(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir).toUri.getPath
 }
 
 object SpnBroadcastRule {
 
+  /** Multiplicative safety margin on the learned estimate — the measured
+    * factored-join q-error bound (AccuracySpec asserts median ≤ 2.5); a
+    * side must look ≥4× under budget before the rule trusts the model with
+    * an executor-memory decision.
+    */
+  val qErrorHeadroom = 4.0
+
+  val defaultThresholdBytes: Long = 10L * 1024 * 1024
+
+  /** THE broadcast decision — shared by the optimizer rule and the
+    * DataFrame-layer op so the two surfaces cannot drift.
+    */
+  def fitsBudget(estBytes: Double, thresholdBytes: Long): Boolean =
+    estBytes * qErrorHeadroom <= thresholdBytes
+
+  /** Estimated serialized row width for a projected row shape. */
+  def rowBytes(types: Seq[org.apache.spark.sql.types.DataType]): Double =
+    types.map(_.defaultSize).sum + 20.0 // per-row overhead
+
   /** Conf-driven wrapper for extension injection: inert until
     * `spark.graft.spn.sfDir` is set on the session, so adding the extension
-    * to a cluster config costs nothing for sessions that never opt in.
+    * to a cluster config costs nothing for sessions that never opt in. A
+    * malformed byte threshold degrades to the default — the rule's contract
+    * is purely additive, so a bad knob must never fail the session's
+    * queries.
     */
   def fromSession(session: SparkSession): Rule[LogicalPlan] = new Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
@@ -316,8 +348,11 @@ object SpnBroadcastRule {
         case Some(sfDir) =>
           val threshold =
             session.conf.getOption("spark.graft.spn.broadcastBytes")
-              .map(_.toLong).getOrElse(10L * 1024 * 1024)
-          SpnBroadcastRule(SpnCardinality.estimatorFor(session, sfDir), threshold)(plan)
+              .flatMap(v => Try(v.trim.toLong).toOption)
+              .getOrElse(defaultThresholdBytes)
+          SpnBroadcastRule(
+            SpnCardinality.estimatorFor(session, sfDir), threshold,
+            datasetDir = Some(sfDir))(plan)
       }
   }
 }
@@ -364,10 +399,12 @@ object SpnPlanning {
         .filter(col("o_totalprice") < 2000 && col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderpriority")
       val est = SpnCardinality.estimate(Ensemble.get(s, d), "orders", atoms)
-      val rowBytes = 64.0
+      // same decision function and row-width model as the optimizer rule
+      val rowBytes = SpnBroadcastRule.rowBytes(ord.schema.fields.map(_.dataType).toSeq)
       val side = est match {
-        case Some(rows) if rows * rowBytes * 4 <= 10L * 1024 * 1024 => broadcast(ord)
-        case _                                                      => ord
+        case Some(rows) if SpnBroadcastRule.fitsBudget(rows * rowBytes,
+          SpnBroadcastRule.defaultThresholdBytes) => broadcast(ord)
+        case _ => ord
       }
       Tables(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
         .join(side, col("l_orderkey") === col("o_orderkey"))

@@ -20,7 +20,7 @@ class ExtensionSpec extends AnyFunSuite {
   // the sf0.01 fixture staying out of the shared CacheManager until its own
   // later-declared tests run (AccuracySpec already trains sf0.001, so the
   // ensemble here is a memo hit and nothing new is cached)
-  private val rawSf = "/root/testdata/sf0.01"
+  private val rawSf = sfMid
   private val modelSf = sf
 
   /** Fresh session with the rule installed and size-based broadcasting
@@ -67,6 +67,22 @@ class ExtensionSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastHashJoin"),
         s"rule must stay conservative:\n$plan")
     }
+  }
+
+  test("the dataset gate: estimates apply only to the directory the model was trained on") {
+    // a model is calibrated to one dataset's row counts — a same-named
+    // table read from a DIFFERENT directory (a larger SF in practice) must
+    // not inherit its estimate
+    val mismatch = SpnBroadcastRule((_, _) => Some(50.0), 10L * 1024 * 1024,
+      datasetDir = Some("/some/other/dataset"))
+    val p1 = demoJoin(sessionWith(mismatch)).queryExecution.executedPlan.toString
+    assert(!p1.contains("BroadcastHashJoin"),
+      s"an estimate from another dataset's model must be refused:\n$p1")
+    val matching = SpnBroadcastRule((_, _) => Some(50.0), 10L * 1024 * 1024,
+      datasetDir = Some(rawSf))
+    val p2 = demoJoin(sessionWith(matching)).queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"the matching dataset must still broadcast:\n$p2")
   }
 
   test("a predicate on an unmodeled column blocks the estimate (conservative)") {
