@@ -162,23 +162,47 @@ object SpnCardinality {
       spns: Map[String, Ensemble.TrainedSpn],
       table: String,
       atoms: Seq[Atom]): Option[Double] =
+    estimateJoin(spns, Set(table), Map(table -> atoms))
+
+  /** Row-count estimate for a (possibly joined) table set: single tables go
+    * through their own model, FK-joined sets through a covering join SPN or
+    * the factored fallback — the reference's JOB-light cardinality path.
+    * Per-table dictionaries come from the single-table models (always
+    * trained; dictionaries are shared per (session, sfDir, table), so codes
+    * agree across model variants).
+    */
+  def estimateJoin(
+      spns: Map[String, Ensemble.TrainedSpn],
+      tables: Set[String],
+      atomsByTable: Map[String, Seq[Atom]]): Option[Double] = {
+    val preds = tables.toSeq.foldLeft(Option(Map.empty[(String, String), ColRange])) {
+      case (acc, table) =>
+        for {
+          m <- acc
+          spn <- spns.get(table)
+          p <- toPreds(spn, table, atomsByTable.getOrElse(table, Seq.empty))
+        } yield m ++ p
+    }
     for {
-      spn <- spns.get(table) // single-table model — the dictionary source
-      preds <- toPreds(spn, table, atoms)
-      est <- Try(Ensemble.estCount(spns, Set(table), preds).value).toOption
+      p <- preds
+      est <- Try(Ensemble.estCount(spns, tables, p).value).toOption
     } yield math.max(est, 0.0)
+  }
 
   /** The estimator closure [[SpnBroadcastRule]] consumes. `Ensemble.get` is
     * memoized per (session, sfDir): the first call trains/loads, the rest
     * are map lookups, so calling this from inside the optimizer is cheap
     * after warm-up (compiled-tree inference, no Spark jobs).
     */
-  def estimatorFor(spark: SparkSession, sfDir: String): (String, Seq[Atom]) => Option[Double] =
-    (table, atoms) => estimate(Ensemble.get(spark, sfDir), table, atoms)
+  def estimatorFor(spark: SparkSession, sfDir: String): CardEstimator =
+    (tables, atomsByTable) => estimateJoin(Ensemble.get(spark, sfDir), tables, atomsByTable)
+
+  /** (table set, understood atoms per table) → estimated row count. */
+  type CardEstimator = (Set[String], Map[String, Seq[Atom]]) => Option[Double]
 
   // ---- logical-plan side: scan-shape recognition + atom extraction ----
 
-  private def splitConj(e: Expression): Seq[Expression] = e match {
+  private[plans] def splitConj(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConj(l) ++ splitConj(r)
     case other     => Seq(other)
   }
@@ -258,7 +282,7 @@ object SpnCardinality {
   * through [[GraftExtensions]] / [[SpnBroadcastRule.fromSession]].
   */
 final case class SpnBroadcastRule(
-    estimateRows: (String, Seq[SpnCardinality.Atom]) => Option[Double],
+    estimateRows: SpnCardinality.CardEstimator,
     thresholdBytes: Long,
     /** When set, only scans under this directory are estimated: the model
       * is calibrated to ONE dataset's row counts, and a same-named table
@@ -267,7 +291,7 @@ final case class SpnBroadcastRule(
       */
     datasetDir: Option[String] = None) extends Rule[LogicalPlan] {
 
-  import SpnCardinality.{atomsOf, ScanShape}
+  import SpnCardinality.{atomsOf, Atom, ScanShape}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j: Join =>
@@ -297,17 +321,68 @@ final case class SpnBroadcastRule(
         }
     }
 
-  private def estimateBytes(side: LogicalPlan): Option[Double] = side match {
-    case ScanShape(dir, table, conjuncts)
-        if conjuncts.nonEmpty && datasetDir.forall(stripTrailing(_) == stripTrailing(dir)) =>
+  private def estimateBytes(side: LogicalPlan): Option[Double] =
+    estimateRowsOf(side)
+      .map(_ * SpnBroadcastRule.rowBytes(side.output.map(_.dataType)))
+
+  private def estimateRowsOf(p: LogicalPlan): Option[Double] = p match {
+    case ScanShape(dir, table, conjuncts) if dirOk(dir) =>
       // unfiltered scans are skipped on purpose: static size-in-bytes stats
       // are already exact there; the model only adds selectivity knowledge
       atomsOf(conjuncts)
         .filter(_.exists(!_.isInstanceOf[SpnCardinality.NotNull]))
-        .flatMap(atoms => estimateRows(table, atoms))
-        .map(_ * SpnBroadcastRule.rowBytes(side.output.map(_.dataType)))
+        .flatMap(atoms => estimateRows(Set(table), Map(table -> atoms)))
+    case j: Join => joinEstimate(j)
+    // a pure column selection above a join keeps the row count (ScanShape
+    // already strips Projects over single scans)
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      estimateRowsOf(child)
     case _ => None
   }
+
+  /** A side that is itself a PK–FK inner join of two understood scans: the
+    * reference's defining capability (JOB-light join cardinalities) applied
+    * where static stats are at their WORST — join output sizes come from
+    * naive containment assumptions, the model measured them. The join
+    * condition must be exactly one declared FK equality (plus ignorable
+    * NotNull-style conjuncts already handled per side); anything else is
+    * left to the planner.
+    */
+  private def joinEstimate(j: Join): Option[Double] = {
+    if (j.joinType != Inner) return None
+    for {
+      (lt, la) <- scanAtoms(j.left)
+      (rt, ra) <- scanAtoms(j.right)
+      cond <- j.condition
+      if isDeclaredFkEquality(cond, lt, rt)
+      est <- estimateRows(Set(lt, rt), Map(lt -> la, rt -> ra))
+    } yield est
+  }
+
+  private def scanAtoms(p: LogicalPlan): Option[(String, Seq[Atom])] = p match {
+    case ScanShape(dir, table, conjuncts) if dirOk(dir) =>
+      atomsOf(conjuncts).map((table, _))
+    case _ => None
+  }
+
+  private def isDeclaredFkEquality(cond: Expression, lt: String, rt: String): Boolean = {
+    val eqs = SpnCardinality.splitConj(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) => Some((a.name, b.name))
+      case _ => None
+    }
+    eqs.forall(_.isDefined) && (eqs.flatten match {
+      case Seq((a, b)) =>
+        graft.schema.SchemaGraph.testdata.relationships.exists(r =>
+          (r.many == lt && r.fk == a && r.one == rt && r.pk == b) ||
+            (r.many == lt && r.fk == b && r.one == rt && r.pk == a) ||
+            (r.many == rt && r.fk == a && r.one == lt && r.pk == b) ||
+            (r.many == rt && r.fk == b && r.one == lt && r.pk == a))
+      case _ => false
+    })
+  }
+
+  private def dirOk(dir: String): Boolean =
+    datasetDir.forall(stripTrailing(_) == stripTrailing(dir))
 
   private def stripTrailing(dir: String): String =
     new org.apache.hadoop.fs.Path(dir).toUri.getPath

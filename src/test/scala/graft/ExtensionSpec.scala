@@ -44,9 +44,10 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("a small learned estimate turns the filtered side into a broadcast join") {
-    val rule = SpnBroadcastRule((table, atoms) => {
-      assert(table == "orders")
+    val rule = SpnBroadcastRule((tables, atomsByTable) => {
+      assert(tables == Set("orders"))
       // both real filter conjuncts must reach the estimator as atoms
+      val atoms = atomsByTable("orders")
       val cols = atoms.collect { case SpnCardinality.Cmp(c, _, _) => c }.toSet
       assert(cols == Set("o_totalprice", "o_orderstatus"), s"atoms: $atoms")
       Some(50.0)
@@ -56,8 +57,43 @@ class ExtensionSpec extends AnyFunSuite {
       s"learned estimate must place a broadcast hint:\n$plan")
   }
 
+  test("a PK-FK joined side is estimated through the join-cardinality path") {
+    var joinAsked = false
+    val rule = SpnBroadcastRule((tables, _) => {
+      if (tables == Set("orders", "customer")) { joinAsked = true; Some(100.0) }
+      else Some(1e9) // single-table sides: too big, only the join estimate helps
+    }, 10L * 1024 * 1024)
+    val s2 = sessionWith(rule)
+    val li = s2.read.parquet(s"$rawSf/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val cust = s2.read.parquet(s"$rawSf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = s2.read.parquet(s"$rawSf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val plan = li.join(
+        ord.join(cust, col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(joinAsked, "the joined side never reached the join-cardinality estimator")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small joined side must broadcast on the learned join estimate:\n$plan")
+  }
+
+  test("join estimator: learned join cardinality tracks the true filtered join count") {
+    val spns = rspn.Ensemble.get(spark, modelSf)
+    val ord = spark.read.parquet(s"$modelSf/orders.parquet")
+    val cust = spark.read.parquet(s"$modelSf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val truth = ord.join(cust, col("o_custkey") === col("c_custkey")).count()
+    val est = SpnCardinality.estimateJoin(spns, Set("orders", "customer"),
+      Map("customer" -> Seq(SpnCardinality.Cmp("c_mktsegment", "eq", "BUILDING"))))
+    assert(est.isDefined, "no join estimate")
+    val qErr = math.max((est.get + 1) / (truth + 1), (truth + 1) / (est.get + 1))
+    assert(qErr <= 4.0, s"join estimate ${est.get} vs true $truth (q-error $qErr)")
+  }
+
   test("a large estimate, an inestimable side, and a too-small threshold all refuse") {
-    Seq[((String, Seq[SpnCardinality.Atom]) => Option[Double], Long)](
+    Seq[(SpnCardinality.CardEstimator, Long)](
       ((_, _) => Some(1e9), 10L * 1024 * 1024), // model says big
       ((_, _) => None, 10L * 1024 * 1024),      // model can't answer
       ((_, _) => Some(50.0), 1024L)             // 50 rows × headroom > 1 KiB budget
