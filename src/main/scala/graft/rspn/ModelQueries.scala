@@ -72,6 +72,34 @@ object ModelQueries {
         .orderBy("candidate")
     },
 
+    // M10 transparency: WHICH model answers each query — the reference
+    // prints the chosen SPN per query in verbose mode (spn_ensemble.py
+    // _greedily_select_first_cardinality_spn's pick is user-visible); a
+    // user debugging a bad estimate needs the same visibility here. One
+    // row per canned query shape: the covering-variant count, the winner
+    // under the RDC-aware selection, and whether the set needs the
+    // factored (multi-model) path.
+    Op.noOracle("spn_explain") { (s, d) =>
+      import s.implicits._
+      val e = Ensemble.get(s, d)
+      val shapes: Seq[(String, Set[String], Set[(String, String)])] = Seq(
+        ("single_lineitem", Set("lineitem"),
+          Set(("lineitem", "l_quantity"), ("lineitem", "l_shipdate"))),
+        ("join_orders_lineitem", Set("orders", "lineitem"),
+          Set(("orders", "o_orderstatus"), ("lineitem", "l_quantity"))),
+        ("join_customer_orders", Set("customer", "orders"),
+          Set(("customer", "c_mktsegment"))),
+        ("three_way", Set("customer", "orders", "lineitem"),
+          Set(("customer", "c_mktsegment"), ("lineitem", "l_quantity"))))
+      shapes.map { case (name, tables, predCols) =>
+        val covering = e.values.filter(sp => tables.subsetOf(sp.tables))
+        val chosen = Ensemble.selectFor(e, tables, predCols)
+        (name, tables.toSeq.sorted.mkString(","), covering.size.toLong,
+          chosen.map(_.name).getOrElse("(factored)"), chosen.isEmpty)
+      }.toDF("query", "tables", "covering_variants", "chosen_model", "factored")
+        .orderBy("query")
+    },
+
     // A1/M6/M10: COUNT estimates — single table, with predicates, and over
     // the join with fanout/nn corrections.
     Op.noOracle("est_count") { (s, d) =>

@@ -487,4 +487,35 @@ class AccuracySpec extends AnyFunSuite {
     assert(e.ci95Lo <= exact && exact <= e.ci95Hi,
       s"AVG CI [${e.ci95Lo}, ${e.ci95Hi}] misses $exact")
   }
+
+  test("spn_explain: every chosen model covers its query's tables") {
+    val rows = rspn.ModelQueries.ops.find(_.name == "spn_explain").get
+      .fn(spark, sf).collect()
+    assert(rows.length == 4, s"expected 4 explained shapes, got ${rows.length}")
+    rows.foreach { r =>
+      val tables = r.getString(1).split(",").toSet
+      val chosen = r.getString(3)
+      val factored = r.getBoolean(4)
+      if (!factored) {
+        val spn = ens(chosen)
+        assert(tables.subsetOf(spn.tables),
+          s"chosen model $chosen does not cover $tables")
+      } else assert(chosen == "(factored)")
+    }
+    // with RDC-aware selection active a join model may legitimately win
+    // even for a single-table query (its sample showed more dependence over
+    // the predicate columns); with the knob off, the pick must degrade to
+    // the minimal cover — the single-table model
+    val old = sys.props.get("graft.rdcSelection")
+    try {
+      sys.props("graft.rdcSelection") = "false"
+      val naive = rspn.ModelQueries.ops.find(_.name == "spn_explain").get
+        .fn(spark, sf).collect().find(_.getString(0) == "single_lineitem").get
+      assert(naive.getString(3) == "lineitem",
+        s"minimal-cover pick must be the single-table model, got ${naive.getString(3)}")
+    } finally old match {
+      case Some(v) => sys.props("graft.rdcSelection") = v
+      case None    => sys.props.remove("graft.rdcSelection")
+    }
+  }
 }
