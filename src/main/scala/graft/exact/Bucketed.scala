@@ -29,7 +29,20 @@ object Bucketed {
       (writeOnce(s, d, "orders", "o_orderkey"), writeOnce(s, d, "lineitem", "l_orderkey"))
     }
 
-  private def writeOnce(s: SparkSession, d: String, name: String, key: String): DataFrame = {
+  /** An arbitrary derived frame written bucketed+sorted on `key` — the
+    * co-location contract extended to non-source tables (e.g. a CDC change
+    * batch bucketed like its merge target). Memoized per (session, sfDir,
+    * tag) via the catalog, same as the source tables.
+    */
+  def derivedTable(s: SparkSession, d: String, tag: String, df: => DataFrame,
+      key: String): DataFrame =
+    ModelCache.memo(s, d, s"bucketed_$tag") { writeFrame(s, d, tag, df, key) }
+
+  private def writeOnce(s: SparkSession, d: String, name: String, key: String): DataFrame =
+    writeFrame(s, d, name, Tables.raw(s, d, name), key)
+
+  private def writeFrame(s: SparkSession, d: String, name: String, df: => DataFrame,
+      key: String): DataFrame = {
     val tbl = s"graft_${name}_${Warehouse.suffix(d)}"
     if (!s.catalog.tableExists(tbl)) {
       // a previous JVM may have left the managed location behind while this
@@ -51,7 +64,7 @@ object Bucketed {
       // without this, every input task writes a file per bucket it touches
       // (32 tasks × 8 buckets = 256 small files per table, and the
       // small-file tax recurs on every later read)
-      Tables.raw(s, d, name).repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
         .write.mode("overwrite")
         .bucketBy(numBuckets, key).sortBy(key)
         .format("parquet").saveAsTable(tbl)

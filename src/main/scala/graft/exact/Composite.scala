@@ -65,6 +65,45 @@ object Composite {
         coalesce(col("c_status"), col("o_orderstatus")).as("o_orderstatus"),
         coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"))
 
+  /** The deterministic CDC change batch the merge ops apply (updates: keys
+    * ≡0 mod 7 reprice ×1.1 decimal-exact; deletes: keys ≡3 mod 11 not
+    * already updated; inserts: keys ≡1 mod 13 re-keyed into a disjoint
+    * range) — derived from the fixture so the oracle replays the identical
+    * merge.
+    */
+  private def changeBatch(ord: DataFrame): DataFrame = {
+    val reprice = (col("o_totalprice").cast("decimal(18,2)") *
+      lit(1.1).cast("decimal(3,1)")).cast("double")
+    ord.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("c_key"), lit("U").as("op"),
+        col("o_orderstatus").as("c_status"), reprice.as("c_totalprice"))
+      .unionAll(ord.filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 === 3)
+        .select(col("o_orderkey").as("c_key"), lit("D").as("op"),
+          lit(null).cast("string").as("c_status"), lit(null).cast("double").as("c_totalprice")))
+      .unionAll(ord.filter(col("o_orderkey") % 13 === 1)
+        .select((col("o_orderkey") + 100000000L).as("c_key"), lit("I").as("op"),
+          lit("NEW").as("c_status"), col("o_totalprice").as("c_totalprice")))
+  }
+
+  private val mergeSql =
+    """WITH ord AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey AS c_key, 'U' AS op, o_orderstatus AS c_status,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS c_totalprice
+      |  FROM ord WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', NULL, NULL
+      |  FROM ord WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', 'NEW', o_totalprice
+      |  FROM ord WHERE o_orderkey % 13 = 1)
+      |SELECT COALESCE(o_orderkey, c_key) AS o_orderkey,
+      |       COALESCE(c_status, o_orderstatus) AS o_orderstatus,
+      |       COALESCE(c_totalprice, o_totalprice) AS o_totalprice
+      |FROM ord FULL OUTER JOIN changes ON o_orderkey = c_key
+      |WHERE COALESCE(op, '') <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   private val fragmentFiles = 64
   private val compactTarget = 4
 
@@ -980,39 +1019,28 @@ object Composite {
     // layout (join_bucketed's contract); the anti-join-free single-pass plan
     // is the point (three separate insert/update/delete passes would scan
     // the target three times).
-    Op(
-      "merge_upsert",
-      """WITH ord AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |changes AS (
-        |  SELECT o_orderkey AS c_key, 'U' AS op, o_orderstatus AS c_status,
-        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS c_totalprice
-        |  FROM ord WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 'D', NULL, NULL
-        |  FROM ord WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 3
-        |  UNION ALL
-        |  SELECT o_orderkey + 100000000, 'I', 'NEW', o_totalprice
-        |  FROM ord WHERE o_orderkey % 13 = 1)
-        |SELECT COALESCE(o_orderkey, c_key) AS o_orderkey,
-        |       COALESCE(c_status, o_orderstatus) AS o_orderstatus,
-        |       COALESCE(c_totalprice, o_totalprice) AS o_totalprice
-        |FROM ord FULL OUTER JOIN changes ON o_orderkey = c_key
-        |WHERE COALESCE(op, '') <> 'D'
-        |ORDER BY o_orderkey""".stripMargin
-    ) { (s, d) =>
+    Op("merge_upsert", mergeSql) { (s, d) =>
       val ord = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-      val reprice = (col("o_totalprice").cast("decimal(18,2)") *
-        lit(1.1).cast("decimal(3,1)")).cast("double")
-      val changes = ord.filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey").as("c_key"), lit("U").as("op"),
-          col("o_orderstatus").as("c_status"), reprice.as("c_totalprice"))
-        .unionAll(ord.filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 === 3)
-          .select(col("o_orderkey").as("c_key"), lit("D").as("op"),
-            lit(null).cast("string").as("c_status"), lit(null).cast("double").as("c_totalprice")))
-        .unionAll(ord.filter(col("o_orderkey") % 13 === 1)
-          .select((col("o_orderkey") + 100000000L).as("c_key"), lit("I").as("op"),
-            lit("NEW").as("c_status"), col("o_totalprice").as("c_totalprice")))
-      applyChanges(ord, changes).orderBy("o_orderkey")
+      applyChanges(ord, changeBatch(ord)).orderBy("o_orderkey")
+    },
+
+    // The bucketed MERGE — the scale path the plain merge_upsert documents:
+    // when target AND change batch share a bucketed layout on the merge
+    // key, the full-outer join needs NO exchange and NO sort on either side
+    // (each bucketed scan already reports the matching partitioning and
+    // per-bucket order; PlanSpec asserts zero hash exchanges). At 100 TB
+    // this is the difference between shuffling the whole target per change
+    // batch and touching only matching buckets. The change batch is written
+    // bucketed once (real CDC batches arrive continuously and ARE the thing
+    // you bucket on ingest); answers are oracle-identical to the unbucketed
+    // merge — layout must never change results.
+    Op("merge_upsert_bucketed", mergeSql) { (s, d) =>
+      val (bOrd, _) = Bucketed.orderKeyTables(s, d)
+      val target = bOrd.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changes = Bucketed.derivedTable(s, d, "merge_changes",
+        changeBatch(t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")),
+        "c_key")
+      applyChanges(target, changes).orderBy("o_orderkey")
     },
 
     // ntile / percent_rank / cume_dist: the quantile-bucketing windows every

@@ -393,6 +393,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("merge_upsert_bucketed: co-located layouts merge with zero hash exchanges") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // bar broadcasting so the full-outer join must rely on the bucketed
+      // co-location: no hashpartitioning exchange may appear anywhere (the
+      // final ORDER BY's range exchange is the only legal shuffle)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(SparkEntry.queries("merge_upsert_bucketed")(spark, rawSf))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed merge must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin FullOuter") || plan.contains("FullOuter"),
+        s"merge lost its full-outer join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("join_spn_broadcast: the LEARNED estimate drives the broadcast, not file sizes") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
