@@ -36,7 +36,12 @@ object Bucketed {
     */
   def derivedTable(s: SparkSession, d: String, tag: String, df: => DataFrame,
       key: String): DataFrame =
-    ModelCache.memo(s, d, s"bucketed_$tag") { writeFrame(s, d, tag, df, key) }
+    // "derived_" prefixes both the memo key and the catalog table so a tag
+    // can never collide with a source table's write (a collision would
+    // silently return the source data instead of the derived frame)
+    ModelCache.memo(s, d, s"bucketed_derived_$tag") {
+      writeFrame(s, d, s"derived_$tag", df, key)
+    }
 
   private def writeOnce(s: SparkSession, d: String, name: String, key: String): DataFrame =
     writeFrame(s, d, name, Tables.raw(s, d, name), key)

@@ -289,7 +289,13 @@ final case class SpnBroadcastRule(
       * from another directory (e.g. a 100× larger SF) would inherit the
       * small dataset's estimate and broadcast something huge.
       */
-    datasetDir: Option[String] = None) extends Rule[LogicalPlan] {
+    datasetDir: Option[String] = None,
+    /** The PK–FK edges the join-cardinality path may recognize — injected
+      * like the estimator so the rule serves any schema, defaulting to the
+      * fixture graph.
+      */
+    fkEdges: Seq[graft.schema.Relationship] =
+      graft.schema.SchemaGraph.testdata.relationships) extends Rule[LogicalPlan] {
 
   import SpnCardinality.{atomsOf, Atom, ScanShape}
 
@@ -372,7 +378,7 @@ final case class SpnBroadcastRule(
     }
     eqs.forall(_.isDefined) && (eqs.flatten match {
       case Seq((a, b)) =>
-        graft.schema.SchemaGraph.testdata.relationships.exists(r =>
+        fkEdges.exists(r =>
           (r.many == lt && r.fk == a && r.one == rt && r.pk == b) ||
             (r.many == lt && r.fk == b && r.one == rt && r.pk == a) ||
             (r.many == rt && r.fk == a && r.one == lt && r.pk == b) ||

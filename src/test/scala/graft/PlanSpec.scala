@@ -403,8 +403,10 @@ class PlanSpec extends AnyFunSuite {
       val plan = planOf(SparkEntry.queries("merge_upsert_bucketed")(spark, rawSf))
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed merge must not shuffle either side:\n$plan")
-      assert(plan.contains("SortMergeJoin FullOuter") || plan.contains("FullOuter"),
-        s"merge lost its full-outer join:\n$plan")
+      // the join line carries the key lists between the operator name and
+      // its type: assert both tokens, not a contiguous literal
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        s"merge must plan the co-located sort-merge full-outer join:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
