@@ -102,18 +102,25 @@ object Tables {
 
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as a raw long (legacy conf) and floor-divide
-      // to micros — the generated data is whole-microsecond, so this is
-      // lossless and matches DuckDB's µs view of the same file. Integer `div`
-      // (not `/`) keeps the arithmetic in long: ns values ≈ 1.7e18 would lose
-      // precision through a double.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+      // generations and TIMESTAMP(MICROS) in others, so normalize from
+      // whatever the file actually holds. NANOS is unreadable by Spark's
+      // vectorized reader, so the legacy conf surfaces it as a raw long and
+      // the floor-divide rebuilds micros — integer `div` (not `/`) keeps the
+      // arithmetic in long: ns values ≈ 1.7e18 would lose precision through
+      // a double. MICROS reads as a timestamp directly (NTZ under the
+      // default inference) and only needs the cast to the session-UTC
+      // TimestampType every downstream op expects.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn(
-        "ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+        case _ =>
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")
+      }
+      raw.withColumn("ts", ts)
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }
