@@ -311,6 +311,53 @@ object Similarity {
         .orderBy("label", "pos")
     },
 
+    // Int8 scalar quantization of the embedding corpus — the storage format
+    // a 100 TB vector store actually ships (4× smaller than float32, SIMD
+    // dot products downstream). Per-vector absmax scale, q = round(127·x/s)
+    // saturating nowhere by construction (|x| ≤ s). A narrow per-row map at
+    // scan parallelism; the oracle checks the quantized vectors through
+    // order-independent checksums (sum, |sum|, saturation count) plus the
+    // rounded scale, so the hash compare pins every element without
+    // shipping arrays across the engine boundary. All arithmetic is double
+    // on both sides (float → double promotion first), and round() is
+    // half-away-from-zero in both engines.
+    Op(
+      "embed_quantize",
+      """WITH t AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM t),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |           ELSE CAST(round(x * 127 / scale) AS BIGINT) END) AS qv
+        |  FROM sc)
+        |SELECT vec_id, CAST(round(scale, 6) AS DOUBLE) AS scale_r,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+        |       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val v = transform(col("embedding"), x => x.cast("double"))
+      emb(s, d)
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("qv", transform(col("v"),
+          x => when(col("scale") === 0, lit(0L))
+            .otherwise(round(x * 127 / col("scale")).cast("bigint"))))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x)).as("q_abs_sum"),
+          size(filter(col("qv"), x => abs(x) === 127)).cast("bigint").as("n_sat"))
+        .orderBy("vec_id")
+    },
+
     // L4: multimodal join — documents with their embedding metadata.
     Op(
       "multimodal_join",

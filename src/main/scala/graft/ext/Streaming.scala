@@ -37,6 +37,33 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"))
       .select(col("user_id"), col("session_window.start").as("session_start"), col("cnt"))
 
+  /** T11: per-window top-k event types. The COUNTS are the incremental
+    * part — the same tumbling aggregation Structured Streaming maintains in
+    * state; the RANK is a presentation step over each window's final counts
+    * that streaming execution runs inside `foreachBatch` on watermark-closed
+    * windows (rank windows aren't incrementalizable, so production top-k
+    * always splits exactly here — StreamingSpec drives that split over a
+    * MemoryStream). Batch execution folds both into one plan: the agg and
+    * the rank share the window-key grain. Ties break by event_type so the
+    * cut is deterministic cross-engine.
+    */
+  def topkPerWindow(ev: DataFrame, k: Int = 3): DataFrame =
+    rankTopK(
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("cnt")),
+      k)
+
+  /** Rank step of [[topkPerWindow]], shared with the streaming form's
+    * foreachBatch so batch and stream cannot drift.
+    */
+  def rankTopK(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
+
   /** T6: stream-static enrichment — the canonical streaming-ingest pattern
     * at scale: the unbounded side joins a broadcast dimension statelessly
     * (Structured Streaming allows a static DataFrame on either side of an
@@ -259,6 +286,17 @@ object Streaming {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )((s, d) => enrich(events(s, d), Tables(s, d, "customer"))
       .orderBy("c_mktsegment", "event_type")),
+
+    Op(
+      "stream_topk",
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT win_start, event_type, cnt,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+        |         ORDER BY cnt DESC, event_type) AS BIGINT) AS rk
+        |FROM c QUALIFY rk <= 3 ORDER BY win_start, rk""".stripMargin
+    )((s, d) => topkPerWindow(events(s, d)).orderBy("win_start", "rk")),
 
     Op(
       "stream_running_count",

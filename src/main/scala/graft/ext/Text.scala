@@ -299,6 +299,93 @@ object Text {
           .cache()
       }
       norms.orderBy("doc_id")
+    },
+
+    // Training sequence packing (concatenate-then-split): documents are
+    // concatenated in deterministic doc_id order within a shard and the
+    // token stream is cut into fixed-capacity sequences; each document is
+    // assigned to the sequence where it STARTS (exclusive prefix sum of
+    // token counts, integer-divided by the capacity). Sharding is the scale
+    // knob: shards pack independently (embarrassingly parallel), and the
+    // per-shard prefix sum is the one inherently sequential step of any
+    // packer — at 100 TB the shard count scales with the cluster while this
+    // fixture pins 8 for a deterministic oracle. One narrow projection +
+    // one window + one small aggregate; no fact join anywhere.
+    Op(
+      "pack_sequences",
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |pref AS (
+        |  SELECT shard, n_tokens, doc_id,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM toks)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(start_tok // 512 AS BIGINT) AS seq_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM pref GROUP BY shard, start_tok // 512
+        |ORDER BY shard, seq_id""".stripMargin
+    ) { (s, d) =>
+      val cap = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+        .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("seq_id", expr("start_tok div 512").cast("bigint"))
+        .groupBy(col("shard").cast("bigint").as("shard"), col("seq_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("shard", "seq_id")
+        .toDF("shard", "seq_id", "n_docs", "sum_tokens", "first_doc")
+    },
+
+    // Overlapping token-window chunking (the RAG/embedding preprocessing
+    // stage): windows of 64 tokens advancing by stride 48 (16-token
+    // overlap), each chunk carrying its token count and text. Pure per-row
+    // array HOFs — sequence/posexplode/slice — so the plan is a narrow map
+    // over the scan followed by the generator: no shuffle, no join, and at
+    // 100 TB the output is produced at scan parallelism. Trailing runt
+    // chunks (shorter than the overlap) are emitted, not dropped: the
+    // consumer's tokenizer pads, and dropping them would silently lose the
+    // corpus tail.
+    Op(
+      "chunk_documents",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, 48)) AS i
+        |  FROM t)
+        |SELECT doc_id, CAST(i // 48 AS BIGINT) AS chunk_id,
+        |       CAST(least(64, n - i) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(toks[i + 1 : i + 64], ' ') AS chunk_text
+        |FROM u ORDER BY doc_id, chunk_id""".stripMargin
+    ) { (s, d) =>
+      val tk = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      tk.select(
+          col("doc_id"), col("toks"), col("n"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(48))).as(Seq("chunk_id", "start")))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("bigint").as("chunk_id"),
+          least(lit(64), col("n") - col("start")).cast("bigint").as("n_chunk_tokens"),
+          array_join(slice(col("toks"), col("start") + 1, lit(64)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
 

@@ -205,6 +205,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(pView > 1.0 / 3 + 0.05, s"P(view)=$pView did not track the inserted burst")
   }
 
+  test("per-window top-k: streaming counts + foreachBatch rank match the batch form (T11)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // the production split: the windowed COUNT is the stateful streaming
+    // aggregation (append mode — a window's counts emit once, when the
+    // watermark closes it); the non-incrementalizable RANK runs per batch
+    // of closed windows in foreachBatch, through the same rankTopK the
+    // batch op uses.
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, String, Long, Long)]
+    val counts = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))
+    val q = counts.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ext.Streaming.rankTopK(batch, 3)
+          .collect()
+          .foreach(r => sink.synchronized {
+            sink += ((r.getAs[Timestamp]("win_start"), r.getAs[String]("event_type"),
+              r.getAs[Long]("cnt"), r.getAs[Long]("rk")))
+          })
+      }
+      .start()
+    // hour 00: four types with counts 3/2/2/1 — the top-3 cut must drop
+    // exactly "scroll" (count 1) and break the 2-2 tie by event_type.
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:05:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), 1, "view", 1.0),
+      Ev(3, ts("2024-01-01 00:15:00"), 2, "view", 1.0),
+      Ev(4, ts("2024-01-01 00:20:00"), 2, "click", 1.0),
+      Ev(5, ts("2024-01-01 00:25:00"), 3, "click", 1.0),
+      Ev(6, ts("2024-01-01 00:30:00"), 3, "buy", 1.0),
+      Ev(7, ts("2024-01-01 00:35:00"), 4, "buy", 1.0),
+      Ev(8, ts("2024-01-01 00:40:00"), 4, "scroll", 1.0))
+    q.processAllAvailable()
+    // advance the watermark past hour 00 so its windows close and emit.
+    mem.addData(Ev(9, ts("2024-01-01 02:00:00"), 1, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val hour0 = sink.filter(_._1 == ts("2024-01-01 00:00:00")).sortBy(_._4)
+    assert(hour0.map(t => (t._2, t._3, t._4)) ==
+      Seq(("view", 3L, 1L), ("buy", 2L, 2L), ("click", 2L, 3L)),
+      s"streamed top-3 of hour 00 wrong: $hour0")
+    // and the batch rank over the same final counts agrees exactly
+    val batchTop = ext.Streaming.rankTopK(
+      Seq(
+        (ts("2024-01-01 00:00:00"), "view", 3L),
+        (ts("2024-01-01 00:00:00"), "buy", 2L),
+        (ts("2024-01-01 00:00:00"), "click", 2L),
+        (ts("2024-01-01 00:00:00"), "scroll", 1L)).toDF("win_start", "event_type", "cnt"),
+      3).collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batchTop == hour0.map(t => (t._2, t._3, t._4)).toSeq)
+  }
+
   test("mapGroupsWithState carries running counts across micro-batches (T7)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
