@@ -115,13 +115,13 @@ object Composite {
     graft.ext.ModelCache.memo(s, d, "compacted_documents") {
       val frag = Warehouse.derivedPath(s, s"graft_docs_frag_${Warehouse.suffix(d)}")
       val comp = Warehouse.derivedPath(s, s"graft_docs_compact_${Warehouse.suffix(d)}")
-      Warehouse.ensure(s, frag) {
-        Tables.raw(s, d, "documents").repartition(fragmentFiles).write.mode("overwrite").parquet(frag)
+      Warehouse.ensure(s, frag) { tmp =>
+        Tables.raw(s, d, "documents").repartition(fragmentFiles).write.mode("overwrite").parquet(tmp)
       }
-      Warehouse.ensure(s, comp) {
+      Warehouse.ensure(s, comp) { tmp =>
         // real compactors size target = ceil(totalBytes / targetFileSize);
         // the fixture corpus is MBs, so the count is pinned instead
-        s.read.parquet(frag).repartition(compactTarget).write.mode("overwrite").parquet(comp)
+        s.read.parquet(frag).repartition(compactTarget).write.mode("overwrite").parquet(tmp)
       }
       s.read.parquet(comp)
     }

@@ -30,8 +30,8 @@ object Formats {
         if (format == "csv")
           Map("header" -> "true", "quote" -> "\"", "escape" -> "\"", "multiLine" -> "true")
         else Map.empty[String, String]
-      Warehouse.ensure(s, path) {
-        src.write.mode("overwrite").format(format).options(opts).save(path)
+      Warehouse.ensure(s, path) { tmp =>
+        src.write.mode("overwrite").format(format).options(opts).save(tmp)
       }
       s.read.schema(src.schema).format(format).options(opts).load(path)
     }

@@ -19,10 +19,10 @@ object Partitioned {
   def lineitemByYear(s: SparkSession, d: String): DataFrame =
     ModelCache.memo(s, d, "partitioned_lineitem_year") {
       val path = Warehouse.derivedPath(s, s"graft_lineitem_by_year_${Warehouse.suffix(d)}")
-      Warehouse.ensure(s, path) {
+      Warehouse.ensure(s, path) { tmp =>
         Tables.raw(s, d, "lineitem")
           .withColumn("l_year", year(col("l_shipdate")))
-          .write.mode("overwrite").partitionBy("l_year").parquet(path)
+          .write.mode("overwrite").partitionBy("l_year").parquet(tmp)
       }
       s.read.parquet(path)
     }

@@ -326,7 +326,7 @@ object Similarity {
       """WITH t AS (
         |  SELECT vec_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE len(embedding) > 0),
         |sc AS (
         |  SELECT vec_id, v,
         |         list_max(list_transform(v, x -> abs(x))) AS scale
@@ -344,6 +344,10 @@ object Similarity {
     ) { (s, d) =>
       val v = transform(col("embedding"), x => x.cast("double"))
       emb(s, d)
+        // a zero-length embedding would diverge between engines (Spark's
+        // aggregate seed returns 0, DuckDB's list_sum([]) is NULL) — filter
+        // degenerate rows identically on BOTH sides so the oracle can't flip
+        .filter(size(col("embedding")) > 0)
         .select(col("vec_id"), v.as("v"))
         .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
         .withColumn("qv", transform(col("v"),
@@ -412,17 +416,22 @@ object Similarity {
 
   /** The IVF corpus written ONCE as parquet partitioned by cell id — the
     * 100 TB layout, where a probe's `cell IN (...)` filter prunes whole
-    * directories at planning time instead of scanning the corpus.
+    * directories at planning time instead of scanning the corpus. The
+    * squared norm `n2` is materialized at write time (8 bytes/row) so the
+    * probe never recomputes a per-row self-dot — the classic
+    * store-the-norm trick every production vector layout ships. ("v2" in
+    * the path: the pre-norm layout lacked the column; a stale warehouse
+    * must not serve the old schema.)
     */
   private[graft] def ivfDiskLayout(s: SparkSession, d: String): DataFrame =
     ModelCache.memo(s, d, "ivf_disk") {
       import graft.exact.Warehouse
-      val path = Warehouse.derivedPath(s, s"graft_ivf_cells_${Warehouse.suffix(d)}")
-      Warehouse.ensure(s, path) {
+      val path = Warehouse.derivedPath(s, s"graft_ivf_cells_v2_${Warehouse.suffix(d)}")
+      Warehouse.ensure(s, path) { tmp =>
         unitFeats(s, d)
           .withColumn("cell", ivfCellCol(ivfCentroids(s, d)))
-          .select("vec_id", "embedding", "cell")
-          .write.mode("overwrite").partitionBy("cell").parquet(path)
+          .select("vec_id", "embedding", "n2", "cell")
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       }
       s.read.parquet(path)
     }
@@ -455,11 +464,14 @@ object Similarity {
 
   /** Shared single-query probed-cell scan + exact top-10 re-rank behind
     * `sim_topk_ivf` (in-memory assignment) and `sim_topk_ivf_disk`
-    * (cell-partitioned parquet). `assigned` only needs (vec_id, embedding,
-    * cell) — the disk layout stores no derived columns — so `v` is
-    * re-derived per probed row (narrow, once per row; IVF recall is
-    * tunable, not exact: a near-boundary neighbor can sit in an unprobed
-    * cell; the specs assert recall@10 and in-memory/disk identity).
+    * (cell-partitioned parquet). Both layouts carry the stored squared
+    * norm `n2` (same `dotd(v, v)` expression at write time), so the probe
+    * computes exactly ONE dot product per probed row; `v` itself is still
+    * a cheap cast-transform of the stored float vector (storing doubles
+    * would 2× the corpus for no accuracy gain — the dot is done in double
+    * either way). IVF recall is tunable, not exact: a near-boundary
+    * neighbor can sit in an unprobed cell; the specs assert recall@10 and
+    * in-memory/disk identity.
     */
   private def ivfProbeTopK(s: SparkSession, d: String, assigned: DataFrame): DataFrame = {
     val feats = unitFeats(s, d) // memoized+cached: sample, assign, probe scan
@@ -469,9 +481,9 @@ object Similarity {
     val qv = broadcast(
       feats.filter(col("vec_id") === 0).select(col("v").as("qv"), col("n2").as("qn2")))
     assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
-      .select(col("vec_id"), vecd(col("embedding")).as("v"))
+      .select(col("vec_id"), vecd(col("embedding")).as("v"), col("n2"))
       .crossJoin(qv)
-      .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * dotd(col("v"), col("v"))))
+      .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
       .orderBy(round(col("cos"), 6).desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))

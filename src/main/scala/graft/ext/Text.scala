@@ -40,6 +40,19 @@ object Text {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
 
+  /** pack_sequences capacity (tokens per packed sequence) — interpolated
+    * into BOTH the Spark plan and the oracle SQL so the two cannot drift.
+    */
+  private val packCap = 512
+
+  /** chunk_documents geometry: `chunkSize`-token windows advancing by
+    * `chunkStride` (overlap = chunkSize - chunkStride). Shared by plan and
+    * oracle SQL.
+    */
+  private val chunkSize = 64
+  private val chunkStride = 48
+  private val chunkOverlap = chunkSize - chunkStride
+
   val ops: Seq[Op] = Seq(
     // F2: tokenization + basic counts.
     Op(
@@ -313,7 +326,7 @@ object Text {
     // one window + one small aggregate; no fact join anywhere.
     Op(
       "pack_sequences",
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
@@ -323,14 +336,13 @@ object Text {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
         |  FROM toks)
         |SELECT CAST(shard AS BIGINT) AS shard,
-        |       CAST(start_tok // 512 AS BIGINT) AS seq_id,
+        |       CAST(start_tok // $packCap AS BIGINT) AS seq_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
-        |FROM pref GROUP BY shard, start_tok // 512
+        |FROM pref GROUP BY shard, start_tok // $packCap
         |ORDER BY shard, seq_id""".stripMargin
     ) { (s, d) =>
-      val cap = 512
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("shard").orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -340,7 +352,7 @@ object Text {
           pmod(col("doc_id"), lit(8)).as("shard"),
           size(tokens(col("text"))).cast("bigint").as("n_tokens"))
         .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
-        .withColumn("seq_id", expr("start_tok div 512").cast("bigint"))
+        .withColumn("seq_id", expr(s"start_tok div $packCap").cast("bigint"))
         .groupBy(col("shard").cast("bigint").as("shard"), col("seq_id"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -351,27 +363,30 @@ object Text {
     },
 
     // Overlapping token-window chunking (the RAG/embedding preprocessing
-    // stage): windows of 64 tokens advancing by stride 48 (16-token
-    // overlap), each chunk carrying its token count and text. Pure per-row
-    // array HOFs — sequence/posexplode/slice — so the plan is a narrow map
-    // over the scan followed by the generator: no shuffle, no join, and at
-    // 100 TB the output is produced at scan parallelism. Trailing runt
-    // chunks (shorter than the overlap) are emitted, not dropped: the
-    // consumer's tokenizer pads, and dropping them would silently lose the
-    // corpus tail.
+    // stage): windows of `chunkSize` tokens advancing by stride
+    // `chunkStride` (`chunkOverlap`-token overlap), each chunk carrying its
+    // token count and text. Pure per-row array HOFs —
+    // sequence/posexplode/slice — so the plan is a narrow map over the scan
+    // followed by the generator: no shuffle, no join, and at 100 TB the
+    // output is produced at scan parallelism. A trailing chunk is emitted
+    // only when it extends PAST the previous window (start + overlap < n):
+    // a runt that is a strict subset of the preceding window would
+    // duplicate its content into a downstream embedding index, so those are
+    // dropped — nothing is lost, every token is already covered.
     Op(
       "chunk_documents",
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
         |         len(string_split(text, ' ')) AS n
         |  FROM documents),
         |u AS (
-        |  SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, 48)) AS i
+        |  SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, $chunkStride)) AS i
         |  FROM t)
-        |SELECT doc_id, CAST(i // 48 AS BIGINT) AS chunk_id,
-        |       CAST(least(64, n - i) AS BIGINT) AS n_chunk_tokens,
-        |       array_to_string(toks[i + 1 : i + 64], ' ') AS chunk_text
-        |FROM u ORDER BY doc_id, chunk_id""".stripMargin
+        |SELECT doc_id, CAST(i // $chunkStride AS BIGINT) AS chunk_id,
+        |       CAST(least($chunkSize, n - i) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(toks[i + 1 : i + $chunkSize], ' ') AS chunk_text
+        |FROM u WHERE i = 0 OR i + $chunkOverlap < n
+        |ORDER BY doc_id, chunk_id""".stripMargin
     ) { (s, d) =>
       val tk = docs(s, d)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -379,12 +394,14 @@ object Text {
         .filter(col("n") > 0)
       tk.select(
           col("doc_id"), col("toks"), col("n"),
-          posexplode(sequence(lit(0), col("n") - 1, lit(48))).as(Seq("chunk_id", "start")))
+          posexplode(sequence(lit(0), col("n") - 1, lit(chunkStride)))
+            .as(Seq("chunk_id", "start")))
+        .filter(col("start") === 0 || col("start") + chunkOverlap < col("n"))
         .select(
           col("doc_id"),
           col("chunk_id").cast("bigint").as("chunk_id"),
-          least(lit(64), col("n") - col("start")).cast("bigint").as("n_chunk_tokens"),
-          array_join(slice(col("toks"), col("start") + 1, lit(64)), " ").as("chunk_text"))
+          least(lit(chunkSize), col("n") - col("start")).cast("bigint").as("n_chunk_tokens"),
+          array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ").as("chunk_text"))
         .orderBy("doc_id", "chunk_id")
     }
   )

@@ -113,12 +113,21 @@ object Tables {
       // TimestampType every downstream op expects.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      // only the encodings actually observed are accepted; anything else
+      // (string, INT96-as-something-new, …) fails LOUDLY here rather than
+      // fail-open through a cast that yields nulls and silently poisons
+      // every downstream watermark/window op
       val ts = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000"))
-        case _ =>
+        case org.apache.spark.sql.types.TimestampType =>
+          org.apache.spark.sql.functions.col("ts")
+        case org.apache.spark.sql.types.TimestampNTZType =>
           org.apache.spark.sql.functions.col("ts").cast("timestamp")
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unexpected parquet type $other (expected NANOS-as-long, TIMESTAMP, or TIMESTAMP_NTZ)")
       }
       raw.withColumn("ts", ts)
     } else spark.read.parquet(s"$sfDir/$name.parquet")

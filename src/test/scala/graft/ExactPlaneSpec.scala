@@ -117,4 +117,38 @@ class ExactPlaneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fragFiles >= 32, s"fragmented layout should have many files, got $fragFiles")
     assert(compFiles <= 4, s"compacted layout should have few files, got $compFiles")
   }
+
+  test("Warehouse.ensure: two concurrent ensurers run the write exactly once") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val path = exact.Warehouse.derivedPath(spark, "graft_race_test")
+    // the warehouse dir persists across test runs — start from a clean slate
+    // or ensure() correctly (but unhelpfully for this test) skips the write
+    val destFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    destFs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val writes = new AtomicInteger(0)
+    def ensureOnce(): Unit = exact.Warehouse.ensure(spark, path) { tmp =>
+      writes.incrementAndGet()
+      Thread.sleep(50) // widen the race window the old check-then-write had
+      spark.range(10).toDF("id").write.mode("overwrite").parquet(tmp)
+    }
+    val threads = (1 to 2).map(_ => new Thread(() => ensureOnce()))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(writes.get() == 1, "the losing session must see the winner's layout, not double-write")
+    assert(spark.read.parquet(path).count() == 10)
+  }
+
+  test("Warehouse.ensure: a partial layout without _SUCCESS is replaced atomically") {
+    val path = exact.Warehouse.derivedPath(spark, "graft_partial_test")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a dead writer: data present, no _SUCCESS marker
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(path)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
+    exact.Warehouse.ensure(spark, path) { tmp =>
+      spark.range(7).toDF("id").write.mode("overwrite").parquet(tmp)
+    }
+    assert(spark.read.parquet(path).count() == 7, "partial leftover must be superseded")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+  }
 }
