@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // date-derived layouts (Partitioned) must not depend on host tz
       .config("spark.ui.enabled", "false")
+      .withExtensions(new plans.GraftExtensions) // conf-gated, inert by default
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the shared table cache (SURVEY §6: cache loaded tables across the

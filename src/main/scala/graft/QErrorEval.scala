@@ -7,12 +7,115 @@ import scala.util.Random
 
 /** Accuracy evaluation main — the reference's
   * evaluation/cardinality_evaluation.py / aqp_evaluation.py analog: run a
-  * generated workload through the model plane and the exact plane, print
-  * q-error stats as one JSON line.
+  * workload through the model plane and the exact plane, print q-error
+  * stats as one JSON line.
+  *
+  * Two modes:
+  *   - no args: the in-code generated workload (random conjunctions, joins,
+  *     SQL-surface shapes) — the original accuracy harness;
+  *   - `--workload <file.sql>`: replay an external benchmark FILE in the
+  *     reference's JOB-light layout (one COUNT(*) per line, comma joins,
+  *     `benchmarks/job-light/sql/`), scored against either
+  *     `--truth <csv>` (reference true_cardinalities.csv layout:
+  *     `query_no,query,cardinality_true`) or live exact counts computed by
+  *     Spark when no CSV is given. `--out <file.json>` writes the
+  *     per-query q-error artifact; `--dump-truth <csv>` writes the truth
+  *     CSV for the current SF in the reference layout.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.QErrorEval"
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.QErrorEval --workload workloads/testdata_30.sql --truth workloads/testdata_30_true_sf0.01.csv --out /tmp/qerr.json"
   */
 object QErrorEval {
+
+  final case class WorkloadRow(no: Int, sql: String, truth: Double, est: Double, qerr: Double)
+
+  private def qerr(e: Double, x: Double): Double = {
+    val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
+  }
+
+  private def qstats(xs: Seq[Double]): (Double, Double, Double) = {
+    val s = xs.sorted
+    (s(s.length / 2), s(math.min(s.length - 1, (s.length * 0.95).toInt)), s.last)
+  }
+
+  /** One query per non-empty, non-`--` line, numbered from 1 (the
+    * reference keys truth rows by query_no = line position).
+    */
+  def readWorkload(path: String): Seq[(Int, String)] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("--"))
+      .zipWithIndex.map { case (sql, i) => (i + 1, sql) }.toList
+    finally src.close()
+  }
+
+  /** `query_no,query,cardinality_true` with a header row — query_no is the
+    * FIRST field and cardinality_true the LAST, so a comma-bearing query
+    * string in the middle never corrupts the parse.
+    */
+  def readTruthCsv(path: String): Map[Int, Double] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().drop(1).filter(_.nonEmpty).map { line =>
+      val fields = line.split(",")
+      fields.head.trim.toInt -> fields.last.trim.toDouble
+    }.toMap
+    finally src.close()
+  }
+
+  /** Exact counts through Spark itself — the workload's comma-join SQL is
+    * plain ANSI, so the exact plane IS `spark.sql`.
+    */
+  def computeTruth(spark: SparkSession, sfDir: String, qs: Seq[(Int, String)]): Map[Int, Double] = {
+    Seq("lineitem", "orders", "customer", "part", "supplier").foreach { t =>
+      schema.Tables(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    qs.map { case (no, sql) => no -> spark.sql(sql).head().getLong(0).toDouble }.toMap
+  }
+
+  /** Model-plane replay: every query flows through the SQL-text parser and
+    * the RSPN estimator — the path an external benchmark exercises.
+    */
+  def runWorkload(
+      spark: SparkSession, sfDir: String,
+      qs: Seq[(Int, String)], truth: Map[Int, Double]): Seq[WorkloadRow] = {
+    val ens = Ensemble.get(spark, sfDir)
+    qs.map { case (no, sql) =>
+      val est = SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Scalar(e) => e.value
+        case other => sys.error(s"workload query $no is not a scalar COUNT: $other")
+      }
+      val t = truth.getOrElse(no, sys.error(s"no true cardinality for query $no"))
+      WorkloadRow(no, sql, t, est, qerr(est, t))
+    }
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  def workloadJson(file: String, sfDir: String, rows: Seq[WorkloadRow]): String = {
+    val (med, p95, max) = qstats(rows.map(_.qerr))
+    val per = rows.map(r =>
+      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f}""")
+      .mkString("[", ",", "]")
+    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f,"per_query":$per}"""
+  }
+
+  private def workloadMain(spark: SparkSession, sfDir: String, opts: Map[String, String]): Unit = {
+    val file = opts("--workload")
+    val qs = readWorkload(file)
+    val truth = opts.get("--truth").map(readTruthCsv)
+      .getOrElse(computeTruth(spark, sfDir, qs))
+    opts.get("--dump-truth").foreach { out =>
+      val lines = "query_no,query,cardinality_true" +:
+        qs.map { case (no, sql) => s"""$no,"${sql.replace("\"", "\"\"")}",${truth(no).toLong}""" }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lines.mkString("\n") + "\n")
+    }
+    val rows = runWorkload(spark, sfDir, qs, truth)
+    val json = workloadJson(file, sfDir, rows)
+    opts.get("--out").foreach(out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n"))
+    println(json)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -25,13 +128,17 @@ object QErrorEval {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val opts = args.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    if (opts.contains("--workload")) {
+      workloadMain(spark, sfDir, opts)
+      spark.stop()
+      return
+    }
+
     val ens = Ensemble.get(spark, sfDir)
     val li = schema.Tables(spark, sfDir, "lineitem")
     val o = schema.Tables(spark, sfDir, "orders")
     val c = schema.Tables(spark, sfDir, "customer")
-    def qerr(e: Double, x: Double): Double = {
-      val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
-    }
 
     val rng = new Random(20260812L)
     // single-table conjunctive COUNTs
@@ -109,13 +216,9 @@ object QErrorEval {
         .collect().toSeq.map(r =>
           qerr(est.getOrElse(s"${r.getString(0)}|${r.getString(1)}", 0.0), r.getLong(2).toDouble))
     }
-    def stats(xs: Seq[Double]): (Double, Double, Double) = {
-      val s = xs.sorted
-      (s(s.length / 2), s(math.min(s.length - 1, (s.length * 0.95).toInt)), s.last)
-    }
-    val (m1, p1, x1) = stats(single)
-    val (m2, p2, x2) = stats(joins)
-    val (m3, p3, x3) = stats(orQs ++ likeQs ++ groupQs ++ rollupQs)
+    val (m1, p1, x1) = qstats(single)
+    val (m2, p2, x2) = qstats(joins)
+    val (m3, p3, x3) = qstats(orQs ++ likeQs ++ groupQs ++ rollupQs)
     println(
       f"""{"workload":"generated","sf":"$sfDir","single_table":{"n":${single.length},"median":$m1%.4f,"p95":$p1%.4f,"max":$x1%.4f},"joins_3way":{"n":${joins.length},"median":$m2%.4f,"p95":$p2%.4f,"max":$x2%.4f},"sql_or_like_group":{"n":${orQs.length + likeQs.length + groupQs.length + rollupQs.length},"median":$m3%.4f,"p95":$p3%.4f,"max":$x3%.4f}}""")
     spark.stop()

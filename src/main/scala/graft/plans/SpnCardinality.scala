@@ -211,7 +211,7 @@ object SpnCardinality {
     * directory gates estimation: a model is only valid for the DATASET it
     * was trained on, not for any same-named table anywhere.
     */
-  private def tableOf(rel: LogicalRelation): Option[(String, String)] =
+  private[plans] def tableOf(rel: LogicalRelation): Option[(String, String)] =
     rel.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.headOption.map { p =>
@@ -440,11 +440,17 @@ object SpnBroadcastRule {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the builder-time
   * registration (`SparkSession.builder.withExtensions(new GraftExtensions)`
-  * works too). Injects only the learned-cardinality rule today.
+  * works too). Injects the learned-cardinality hint rule (operator
+  * optimization), the learned-statistics rule (pre-CBO, so
+  * `CostBasedJoinReorder` and build-side selection read model
+  * cardinalities), and the `spn_count` SQL surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(SpnBroadcastRule.fromSession)
+    e.injectPreCBORule(SpnStatsRule.fromSession)
+    SpnFunctions.register(e)
+  }
 }
 
 /** Driver-contract surface: the same learned-broadcast decision taken at

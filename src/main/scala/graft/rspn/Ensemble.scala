@@ -218,7 +218,12 @@ object Ensemble {
         element_at(m, col(name))
     }
 
-  private val dictCache = TrieMap.empty[(SparkSession, String, String), Array[ModelCol]]
+  // model-plane memos key on the CONTEXT, not the session: a trained model
+  // depends only on its dataset directory, and sessions of one application
+  // share the data (SharedState/CacheManager) — so a `newSession()` (the
+  // extension rules run on isolated sessions; Verify's spn_count entry)
+  // must be a memo hit, not a silent full retrain
+  private val dictCache = TrieMap.empty[(org.apache.spark.SparkContext, String, String), Array[ModelCol]]
 
   /** ModelCols + encode expressions for one table's spec. All of a table's
     * dictionaries come from ONE collect_set aggregate job (map-side partial
@@ -227,7 +232,7 @@ object Ensemble {
     * training never re-collect them.
     */
   private def modelColsFor(spark: SparkSession, sfDir: String, table: String): (Array[ModelCol], Seq[Column]) = {
-    val mcols = dictCache.getOrElseUpdate((spark, sfDir, table), {
+    val mcols = dictCache.getOrElseUpdate((spark.sparkContext, sfDir, table), {
       val df = Tables(spark, sfDir, table)
       val catCols = colSpecs(table).collect { case (n, "cat") => n }
       val dicts: Map[String, Array[String]] =
@@ -250,7 +255,7 @@ object Ensemble {
   }
 
   private val countCache =
-    TrieMap.empty[(SparkSession, String, String), scala.concurrent.Future[Long]]
+    TrieMap.empty[(org.apache.spark.SparkContext, String, String), scala.concurrent.Future[Long]]
 
   /** Deduped counting job per (session, sfDir, tag). The concurrent trainers
     * (singles, chains, joins, candidate ranking) all need the same handful of
@@ -263,7 +268,7 @@ object Ensemble {
   private def sharedCount(spark: SparkSession, sfDir: String, tag: String)(job: => Long): Long = {
     import scala.concurrent.{Await, Promise}
     import scala.concurrent.duration._
-    val key = (spark, sfDir, tag)
+    val key = (spark.sparkContext, sfDir, tag)
     val p = Promise[Long]()
     countCache.putIfAbsent(key, p.future) match {
       case Some(inFlight) => Await.result(inFlight, 15.minutes)
@@ -439,7 +444,7 @@ object Ensemble {
 
   final case class EnsembleState(spns: Map[String, TrainedSpn], candidates: Seq[JoinCandidate])
 
-  private val cache = TrieMap.empty[(SparkSession, String), EnsembleState]
+  private val cache = TrieMap.empty[(org.apache.spark.SparkContext, String), EnsembleState]
 
   /** Set GRAFT_TRAIN_TIMING=1 to print per-stage training times to stderr. */
   private def timed[A](what: String)(f: => A): A =
@@ -449,7 +454,7 @@ object Ensemble {
     } else f
 
   def state(spark: SparkSession, sfDir: String): EnsembleState =
-    cache.getOrElseUpdate((spark, sfDir), {
+    cache.getOrElseUpdate((spark.sparkContext, sfDir), {
       // models are independent: train them concurrently (Spark schedules the
       // sampling jobs from multiple threads; structure learning is
       // driver-CPU and per-model seeded, so results are order-independent

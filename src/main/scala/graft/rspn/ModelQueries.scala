@@ -486,6 +486,29 @@ object ModelQueries {
         ("after_update", math.rint(est1), nBefore + nAfter))
         .toDF("phase", "est_views", "modeled_rows")
         .orderBy("phase")
+    },
+
+    // §7.6: `spn_count(...)` registered as a Spark SQL FUNCTION
+    // (plans/SpnFunctions.scala via GraftExtensions) — the reference's
+    // maqp.py answers benchmark SQL strings from the model; here arbitrary
+    // SQL text composes over the estimator (the call folds to a literal at
+    // analysis time; no data is scanned). Runs on an isolated child session
+    // so the sfDir opt-in conf never leaks into sibling queries' planning.
+    Op.noOracle("spn_count_sql") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.sql("""
+        SELECT 'join_bldg' AS query,
+               round(spn_count('orders,customer', "c_mktsegment = 'BUILDING'")) AS est
+        UNION ALL
+        SELECT 'li_qty_10_20', round(spn_count('lineitem', 'l_quantity BETWEEN 10 AND 20'))
+        UNION ALL
+        SELECT 'ord_lowprice_F',
+               round(spn_count('orders', "o_totalprice < 2000 AND o_orderstatus = 'F'"))
+        UNION ALL
+        SELECT 'ord_selectivity',
+               round(spn_count('orders', 'o_totalprice < 2000') / spn_count('orders'), 4)
+        ORDER BY query""")
     }
   )
 

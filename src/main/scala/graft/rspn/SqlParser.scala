@@ -530,8 +530,11 @@ object SqlParser {
     // the rewrite below is regex/string surgery that must never see one
     val (maskedSql, lits) = maskLiterals(sql)
     maskedSql match {
-    case selectRe(sel, from, where, group, having, order, limitS) if from.contains(",") &&
-        joinRe.findFirstIn(from).isEmpty =>
+    case selectRe(sel, from, where, group, having, order, limitS) if joinRe.findFirstIn(from).isEmpty &&
+        (from.contains(",") ||
+          // single aliased table (`FROM lineitem l`) — the JOB-light files
+          // alias every table, including one-table queries
+          fromEntryRe.findFirstMatchIn(from.trim).exists(_.group(2) != null)) =>
       // table list with optional aliases (alias lookup is case-insensitive,
       // like every keyword in this parser)
       val entries = from.split(",").map(_.trim).map {

@@ -9,6 +9,9 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // conf-gated (inert until spark.graft.spn.* confs are set), and carried
+    // into every newSession() — ExtensionSpec/SpnStatsSpec opt in there
+    .withExtensions(new plans.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

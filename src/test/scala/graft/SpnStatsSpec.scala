@@ -1,0 +1,214 @@
+package graft
+
+import graft.plans.SpnCardinality
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Learned statistics INJECTION (plans/SpnStats.scala) + the `spn_count`
+  * SQL function (plans/SpnFunctions.scala). These go beyond the broadcast
+  * hint rule: the model's cardinalities are written into what the scans
+  * report via `plan.stats`, so Spark's own cost-based machinery — build-side
+  * selection and `CostBasedJoinReorder` — acts on them with no further
+  * integration. Each test runs on an isolated `newSession` (the extensions
+  * were registered at builder time in TestSpark, so child sessions carry
+  * them; the confs opting in are per-session).
+  *
+  * Plan-shape tests read a private COPY of the sf0.001 fixture: the shared
+  * suite session caches the canonical paths (Tables), and a cached scan
+  * resolves to an InMemoryRelation whose materialized stats already carry
+  * exact row counts — both the injection target and the static-stats
+  * control need genuine uncached parquet scans to mean anything.
+  */
+class SpnStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier")
+
+  /** Fixture copy + one-time ensemble training, after which the training
+    * reads are unpersisted so this directory's scans stay LogicalRelations.
+    * (Ensemble.get memoizes per SparkContext, so the per-test sessions hit
+    * the model trained here without re-reading — or re-caching — anything.)
+    */
+  private lazy val tmpSf: String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-spnstats-")
+    planTables.foreach { t =>
+      Files.copy(Paths.get(s"$sf/$t.parquet"), dir.resolve(s"$t.parquet"))
+    }
+    val d = dir.toString
+    rspn.Ensemble.get(spark, d)
+    planTables.foreach(t => schema.Tables(spark, d, t).unpersist(blocking = true))
+    d
+  }
+
+  /** Fresh opted-in (or control) session. The hint rule is neutralized via
+    * a zero broadcast budget so every effect observed here comes from the
+    * injected STATISTICS, not from a hint.
+    */
+  private def session(statsInjection: Boolean, confs: (String, String)*): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", tmpSf)
+    s2.conf.set("spark.graft.spn.broadcastBytes", "0")
+    if (statsInjection) s2.conf.set("spark.graft.spn.statsInjection", "true")
+    confs.foreach { case (k, v) => s2.conf.set(k, v) }
+    s2
+  }
+
+  private def filteredOrdersJoin(s2: SparkSession) = {
+    val li = s2.read.parquet(s"$tmpSf/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val ord = s2.read.parquet(s"$tmpSf/orders.parquet")
+      .filter(col("o_totalprice") < 2000 && col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+  }
+
+  test("injected stats flip the build side: learned size broadcasts where file size refuses") {
+    // orders.parquet at sf0.001 is ~36 KB on disk; the 8 KB auto-broadcast
+    // threshold refuses it on static stats. The learned post-filter
+    // estimate (a handful of rows) is far below 8 KB — with injection the
+    // planner broadcasts the filtered side ON ITS OWN, no hint involved.
+    val thr = "spark.sql.autoBroadcastJoinThreshold" -> "8192"
+    val statik = filteredOrdersJoin(session(statsInjection = false, thr))
+      .queryExecution.executedPlan.toString
+    assert(!statik.contains("BroadcastHashJoin"),
+      s"control: static file size must exceed the 8 KB budget:\n$statik")
+    val learned = filteredOrdersJoin(session(statsInjection = true, thr))
+      .queryExecution.executedPlan.toString
+    assert(learned.contains("BroadcastHashJoin"),
+      s"injected learned size must bring the filtered side under budget:\n$learned")
+  }
+
+  /** Base tables scanned under a plan fragment, in tree order. */
+  private def scansOf(plan: LogicalPlan): Seq[String] = plan.collect {
+    case rel: LogicalRelation =>
+      rel.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.head.getName.stripSuffix(".parquet")
+      }
+  }
+
+  private def threeWay(s2: SparkSession) = {
+    val li = s2.read.parquet(s"$tmpSf/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val ord = s2.read.parquet(s"$tmpSf/orders.parquet")
+      .filter(col("o_totalprice") < 2000)
+      .select("o_orderkey", "o_custkey")
+    val cust = s2.read.parquet(s"$tmpSf/customer.parquet").select("c_custkey", "c_acctbal")
+    // written order: (lineitem ⨝ orders) ⨝ customer — the WORST order when
+    // the orders filter keeps a handful of rows (join the two big tables
+    // first), and the order static stats are stuck with (raw parquet scans
+    // have no rowCount ⇒ CostBasedJoinReorder disqualifies the plan)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy().agg(sum("l_quantity"))
+  }
+
+  test("under CBO, injected row counts let CostBasedJoinReorder move the filtered dim first") {
+    val cbo = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val control = threeWay(session(statsInjection = false, cbo: _*))
+      .queryExecution.optimizedPlan
+    val controlDeepest = control.collect { case j: Join => j }.last
+    assert(scansOf(controlDeepest).contains("lineitem"),
+      s"control: without row counts the written order (lineitem joins first) must survive:\n$control")
+
+    val learned = threeWay(session(statsInjection = true, cbo: _*))
+      .queryExecution.optimizedPlan
+    val learnedDeepest = learned.collect { case j: Join => j }.last
+    val deepTables = scansOf(learnedDeepest).toSet
+    assert(deepTables == Set("orders", "customer"),
+      s"learned stats must reorder to join the tiny filtered orders with customer first, " +
+        s"got deepest join over $deepTables:\n$learned")
+  }
+
+  test("injected scan statistics carry the learned row counts and key ndvs") {
+    val s2 = session(statsInjection = true, "spark.sql.cbo.enabled" -> "true")
+    val df = s2.read.parquet(s"$tmpSf/orders.parquet").filter(col("o_totalprice") < 2000)
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: LogicalRelation if r.catalogTable.isDefined => r
+    }
+    assert(rel.isDefined, "filtered orders scan was not annotated")
+    val stats = rel.get.catalogTable.get.stats.get
+    val truth = df.count().toDouble
+    val est = stats.rowCount.get.toDouble
+    val qErr = math.max((est + 1) / (truth + 1), (truth + 1) / (est + 1))
+    assert(qErr <= 4.0, s"annotated rowCount $est vs true $truth (q-error $qErr)")
+    // o_orderkey is the PK: its ndv must exist and be capped by the
+    // filtered row count, not the full table's
+    val ndv = stats.colStats.get("o_orderkey").flatMap(_.distinctCount)
+    assert(ndv.isDefined, s"PK ndv missing from ${stats.colStats.keySet}")
+    assert(ndv.get.toDouble <= est + 1, s"ndv ${ndv.get} must be capped by filtered rows $est")
+  }
+
+  test("stats injection leaves foreign datasets and genuine catalog tables alone") {
+    val s2 = session(statsInjection = true)
+    // same-named table from a DIFFERENT directory than the trained dataset
+    val other = s2.read.parquet(s"$sfMid/orders.parquet").filter(col("o_totalprice") < 2000)
+    val annotated = other.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation if r.catalogTable.isDefined => r
+    }
+    assert(annotated.isEmpty, "a model must never annotate a directory it was not trained on")
+  }
+
+  test("spn_count in SQL matches the Scala estimator surface") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", sf)
+    val spns = rspn.Ensemble.get(spark, sf)
+
+    val viaSql = s2.sql(
+      """SELECT spn_count('orders', "o_totalprice < 2000 AND o_orderstatus = 'F'") AS est""")
+      .head().getDouble(0)
+    val viaApi = SpnCardinality.estimate(spns, "orders", Seq(
+      SpnCardinality.Cmp("o_totalprice", "lt", Double.box(2000.0)),
+      SpnCardinality.Cmp("o_orderstatus", "eq", "F"))).get
+    assert(math.abs(viaSql - viaApi) <= 1e-6 * math.max(1.0, viaApi),
+      s"sql=$viaSql api=$viaApi")
+
+    // bare table form = calibrated table cardinality
+    val full = s2.sql("SELECT spn_count('customer') AS est").head().getDouble(0)
+    assert(full == spns("customer").scaleRows)
+
+    // join form goes through the join-cardinality path
+    val joinSql = s2.sql(
+      """SELECT spn_count('orders,customer', "c_mktsegment = 'BUILDING'") AS est""")
+      .head().getDouble(0)
+    val joinApi = SpnCardinality.estimateJoin(spns, Set("orders", "customer"),
+      Map("customer" -> Seq(SpnCardinality.Cmp("c_mktsegment", "eq", "BUILDING")))).get
+    assert(math.abs(joinSql - joinApi) <= 1e-6 * math.max(1.0, joinApi))
+
+    // the folded literal composes with surrounding SQL arithmetic
+    val ratio = s2.sql(
+      """SELECT spn_count('orders', 'o_totalprice < 2000') / spn_count('orders') AS sel""")
+      .head().getDouble(0)
+    assert(ratio > 0.0 && ratio < 0.5, s"selectivity out of range: $ratio")
+
+    // BETWEEN / IN desugar through Spark's own parser
+    val between = s2.sql(
+      "SELECT spn_count('lineitem', 'l_quantity BETWEEN 10 AND 20') AS est").head().getDouble(0)
+    assert(between > 0.0)
+  }
+
+  test("spn_count fails loudly on unanswerable input") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", sf)
+    def msgOf(sql: String): String =
+      intercept[Exception](s2.sql(sql).collect()).getMessage
+    // unmodeled column
+    assert(msgOf("SELECT spn_count('orders', \"o_clerk = 'x'\")").contains("not a modeled column"))
+    // unsupported predicate shape
+    assert(msgOf("SELECT spn_count('orders', 'o_totalprice % 97 = 0')")
+      .contains("unsupported predicate shape"))
+    // non-literal argument
+    assert(msgOf("SELECT spn_count(o_orderpriority) FROM parquet.`" + sf + "/orders.parquet`")
+      .contains("string literal"))
+    // missing conf
+    val s3 = spark.newSession()
+    assert(intercept[Exception](s3.sql("SELECT spn_count('orders')").collect())
+      .getMessage.contains("spark.graft.spn.sfDir"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The benchmark-FILE q-error runner (QErrorEval --workload): replays the
+  * committed JOB-light-layout workload end-to-end through SqlParser →
+  * SqlEstimate → RSPN ensemble and gates the accuracy the reference's
+  * evaluation/cardinality_evaluation.py reports (median / p95 q-error over
+  * an external SQL file + true-cardinality CSV).
+  */
+class WorkloadSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val workloadFile = "workloads/testdata_30.sql"
+  private val truthCsv = "workloads/testdata_30_true_sf0.01.csv"
+
+  private lazy val qs = QErrorEval.readWorkload(workloadFile)
+
+  test("the committed workload file parses to 30 numbered queries") {
+    assert(qs.length == 30)
+    assert(qs.map(_._1) == (1 to 30))
+    assert(qs.forall(_._2.toUpperCase.startsWith("SELECT COUNT(*)")))
+  }
+
+  test("workload replay meets the cardinality gate: median q-error ≤ 2.0, p95 ≤ 5.0") {
+    val truth = QErrorEval.computeTruth(spark, sf, qs)
+    val rows = QErrorEval.runWorkload(spark, sf, qs, truth)
+    assert(rows.length == 30)
+    val errs = rows.map(_.qerr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = rows.maxBy(_.qerr)
+    info(f"median $median%.3f p95 $p95%.3f max ${worst.qerr}%.3f (q${worst.no}: ${worst.sql.take(80)})")
+    assert(median <= 2.0, f"median q-error $median%.3f > 2.0")
+    assert(p95 <= 5.0, f"p95 q-error $p95%.3f > 5.0; worst q${worst.no} " +
+      f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
+  }
+
+  test("the committed sf0.01 truth CSV matches live exact counts") {
+    val fromCsv = QErrorEval.readTruthCsv(truthCsv)
+    val live = QErrorEval.computeTruth(spark, sfMid, qs)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, t) =>
+      assert(t == live(no), s"truth CSV drifted for query $no: csv $t vs live ${live(no)}")
+    }
+  }
+
+  test("the workload JSON artifact is well-formed and carries per-query rows") {
+    val rows = Seq(
+      QErrorEval.WorkloadRow(1, """SELECT COUNT(*) FROM "t"""", 10.0, 12.0, 1.2),
+      QErrorEval.WorkloadRow(2, "SELECT COUNT(*) FROM t2", 5.0, 5.0, 1.0))
+    val json = QErrorEval.workloadJson("w.sql", "/dir", rows)
+    assert(json.contains(""""n":2"""))
+    assert(json.contains(""""per_query":["""))
+    assert(json.contains("\\\"t\\\"")) // quotes in SQL must be escaped
+  }
+}
