@@ -63,11 +63,15 @@ object QErrorEval {
   }
 
   /** Exact counts through Spark itself — the workload's comma-join SQL is
-    * plain ANSI, so the exact plane IS `spark.sql`.
+    * plain ANSI, so the exact plane IS `spark.sql`. `cache = false` reads
+    * the tables raw (one scan per query) for callers that must not perturb
+    * the session's shared cache (the in-suite truth check).
     */
-  def computeTruth(spark: SparkSession, sfDir: String, qs: Seq[(Int, String)]): Map[Int, Double] = {
+  def computeTruth(spark: SparkSession, sfDir: String, qs: Seq[(Int, String)],
+      cache: Boolean = true): Map[Int, Double] = {
     Seq("lineitem", "orders", "customer", "part", "supplier").foreach { t =>
-      schema.Tables(spark, sfDir, t).createOrReplaceTempView(t)
+      (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
+        .createOrReplaceTempView(t)
     }
     qs.map { case (no, sql) => no -> spark.sql(sql).head().getLong(0).toDouble }.toMap
   }

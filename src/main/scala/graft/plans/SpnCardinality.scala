@@ -100,8 +100,9 @@ object SpnCardinality {
   private[plans] def toPreds(
       spn: Ensemble.TrainedSpn,
       table: String,
-      atoms: Seq[Atom]): Option[Map[(String, String), ColRange]] = {
-    val specs = Ensemble.colSpecs.getOrElse(table, Seq.empty).toMap
+      atoms: Seq[Atom],
+      modeled: Map[String, Seq[(String, String)]] = Ensemble.colSpecs): Option[Map[(String, String), ColRange]] = {
+    val specs = modeled.getOrElse(table, Seq.empty).toMap
     val acc = scala.collection.mutable.Map.empty[(String, String), ColRange]
     def add(colName: String, r: ColRange): Boolean = {
       val k = (table, colName)
@@ -174,13 +175,14 @@ object SpnCardinality {
   def estimateJoin(
       spns: Map[String, Ensemble.TrainedSpn],
       tables: Set[String],
-      atomsByTable: Map[String, Seq[Atom]]): Option[Double] = {
+      atomsByTable: Map[String, Seq[Atom]],
+      modeled: Map[String, Seq[(String, String)]] = Ensemble.colSpecs): Option[Double] = {
     val preds = tables.toSeq.foldLeft(Option(Map.empty[(String, String), ColRange])) {
       case (acc, table) =>
         for {
           m <- acc
           spn <- spns.get(table)
-          p <- toPreds(spn, table, atomsByTable.getOrElse(table, Seq.empty))
+          p <- toPreds(spn, table, atomsByTable.getOrElse(table, Seq.empty), modeled)
         } yield m ++ p
     }
     for {
@@ -195,7 +197,8 @@ object SpnCardinality {
     * after warm-up (compiled-tree inference, no Spark jobs).
     */
   def estimatorFor(spark: SparkSession, sfDir: String): CardEstimator =
-    (tables, atomsByTable) => estimateJoin(Ensemble.get(spark, sfDir), tables, atomsByTable)
+    (tables, atomsByTable) => estimateJoin(Ensemble.get(spark, sfDir), tables, atomsByTable,
+      graft.schema.DatasetSpec.forDir(spark, sfDir).modeled)
 
   /** (table set, understood atoms per table) → estimated row count. */
   type CardEstimator = (Set[String], Map[String, Seq[Atom]]) => Option[Double]
@@ -433,7 +436,8 @@ object SpnBroadcastRule {
               .getOrElse(defaultThresholdBytes)
           SpnBroadcastRule(
             SpnCardinality.estimatorFor(session, sfDir), threshold,
-            datasetDir = Some(sfDir))(plan)
+            datasetDir = Some(sfDir),
+            fkEdges = graft.schema.DatasetSpec.forDir(session, sfDir).graph.relationships)(plan)
       }
   }
 }

@@ -78,14 +78,15 @@ object SpnFunctions {
     val tables = litString(args.head, "tables").split(",").map(_.trim).filter(_.nonEmpty).toSet
     val predicate = args.lift(1).map(litString(_, "predicate"))
     val atoms = predicate.map(atomsOfSql(session, _)).getOrElse(Seq.empty)
-    // assign each atom to its table by the modeled-column registry (column
-    // names are globally unique across this schema's modeled tables)
+    // assign each atom to its table by the dataset's modeled-column registry
+    // (column names are globally unique across a schema's modeled tables)
+    val modeled = graft.schema.DatasetSpec.forDir(session, sfDir).modeled
     val byTable = atoms.groupBy { a =>
-      tables.find(t => Ensemble.colSpecs.getOrElse(t, Seq.empty).exists(_._1 == a.column))
+      tables.find(t => modeled.getOrElse(t, Seq.empty).exists(_._1 == a.column))
         .getOrElse(throw new IllegalArgumentException(
           s"spn_count: column '${a.column}' is not a modeled column of ${tables.mkString("{", ",", "}")}"))
     }
-    SpnCardinality.estimateJoin(Ensemble.get(session, sfDir), tables, byTable)
+    SpnCardinality.estimateJoin(Ensemble.get(session, sfDir), tables, byTable, modeled)
       .getOrElse(throw new IllegalArgumentException(
         s"spn_count: the model cannot answer tables=${tables.mkString(",")}" +
           predicate.fold("")(p => s" predicate=[$p]")))

@@ -166,7 +166,7 @@ object SpnStatsRule {
     * table's cardinality (each parent key appears, capped by own rows).
     */
   def keyNdvFor(spark: SparkSession, sfDir: String): (String, String) => Option[Double] = {
-    val graph = graft.schema.SchemaGraph.testdata
+    val graph = graft.schema.DatasetSpec.forDir(spark, sfDir).graph
     (table, column) => {
       def rows(t: String): Option[Double] = tableRowsFor(spark, sfDir)(t)
       val pk = graph.tables.find(_.name == table)

@@ -1,6 +1,6 @@
 package graft.rspn
 
-import graft.schema.{Relationship, SchemaGraph, Tables}
+import graft.schema.{DatasetSpec, Relationship, SchemaGraph, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.concurrent.TrieMap
@@ -142,70 +142,23 @@ object Ensemble {
 
   // ------------------------------------------------------------ model prep
 
-  /** Modeled columns per table ("num" = numeric, "days" = date→epoch-day,
-    * "cat" = dictionary-coded categorical) — the analog of
-    * Table.attributes minus irrelevant_attributes in the reference.
+  /** Modeled columns per table for the DEFAULT testdata binding — kept as
+    * the compatibility surface for callers without a dataset context. The
+    * training/estimation paths resolve the ACTUAL dataset's spec through
+    * [[DatasetSpec.forDir]] (registration → `graft_schema.json` sidecar →
+    * this default) — the analog of the reference's per-dataset schema
+    * modules (schemas/{imdb,ssb,flights}/schema.py::gen_*_schema).
     */
-  val colSpecs: Map[String, Seq[(String, String)]] = Map(
-    "lineitem" -> Seq(
-      ("l_quantity", "num"), ("l_extendedprice", "num"), ("l_discount", "num"),
-      ("l_tax", "num"), ("l_returnflag", "cat"), ("l_linestatus", "cat"),
-      ("l_shipdate", "days")),
-    "orders" -> Seq(
-      ("o_totalprice", "num"), ("o_orderstatus", "cat"),
-      ("o_orderpriority", "cat"), ("o_orderdate", "days")),
-    "customer" -> Seq(("c_acctbal", "num"), ("c_mktsegment", "cat")),
-    "part" -> Seq(
-      ("p_brand", "cat"), ("p_type", "cat"), ("p_size", "num"),
-      ("p_retailprice", "num")),
-    "supplier" -> Seq(("s_acctbal", "num")))
-
-  /** Singles always trained (every modeled table, so the independence
-    * fallback in `factored` always has a marginal model); join candidates
-    * are ranked under the budget.
-    */
-  private val singleTables = Seq("lineitem", "orders", "customer", "part", "supplier")
+  def colSpecs: Map[String, Seq[(String, String)]] = DatasetSpec.testdata.modeled
 
   private def joinName(rel: Relationship): String = s"${rel.one}_${rel.many}"
-
-  /** Multi-hop join-SPN chains trained in addition to the single-edge
-    * candidates (the reference's JoinDataPreparator materializes samples
-    * over relationship CHAINS and star shapes — its JOB-light ensembles are
-    * a fact path plus attached dimensions). Each spec is (path, dims): the
-    * path is root-first (rels(i).one already joined when rels(i).many
-    * arrives, contributing a fanout/nn pair per hop); dims are one-side
-    * attachments to a joined many-side table (exactly one dim row per fact
-    * row under FK integrity — no fanout, no nn, row count unchanged).
-    */
-  private def chainSpecs: Seq[(Seq[Relationship], Seq[Relationship])] = Seq(
-    (Seq(
-      SchemaGraph.testdata.rel("orders", "customer"),
-      SchemaGraph.testdata.rel("lineitem", "orders")), Nil),
-    (Seq(
-      SchemaGraph.testdata.rel("orders", "customer"),
-      SchemaGraph.testdata.rel("lineitem", "orders")),
-      Seq(SchemaGraph.testdata.rel("lineitem", "part"))),
-    // SSB-style star: the fact with all its modeled dimensions
-    (Seq(SchemaGraph.testdata.rel("lineitem", "orders")),
-      Seq(
-        SchemaGraph.testdata.rel("lineitem", "part"),
-        SchemaGraph.testdata.rel("lineitem", "supplier"))))
 
   /** Join SPN candidates = every schema-graph edge whose both endpoints are
     * modeled (rdc_based.py evaluates the same relationship candidates).
     */
-  private def joinCandidates: Seq[Relationship] =
-    SchemaGraph.testdata.relationships.filter(r =>
-      colSpecs.contains(r.many) && colSpecs.contains(r.one))
-
-  /** Relationships the registered query workload needs answered — kept even
-    * if the RDC budget would cut them (the reference guarantees workload
-    * coverage the same way: ensemble creation is driven by the schema the
-    * benchmark queries touch).
-    */
-  private def requiredRels: Seq[Relationship] = Seq(
-    SchemaGraph.testdata.rel("lineitem", "orders"),
-    SchemaGraph.testdata.rel("orders", "customer"))
+  private def joinCandidates(spec: DatasetSpec): Seq[Relationship] =
+    spec.graph.relationships.filter(r =>
+      spec.modeled.contains(r.many) && spec.modeled.contains(r.one))
 
   private def encodeExpr(name: String, how: String, dict: Array[String]): Column =
     how match {
@@ -232,9 +185,10 @@ object Ensemble {
     * training never re-collect them.
     */
   private def modelColsFor(spark: SparkSession, sfDir: String, table: String): (Array[ModelCol], Seq[Column]) = {
+    val specCols = DatasetSpec.forDir(spark, sfDir).modeled(table)
     val mcols = dictCache.getOrElseUpdate((spark.sparkContext, sfDir, table), {
       val df = Tables(spark, sfDir, table)
-      val catCols = colSpecs(table).collect { case (n, "cat") => n }
+      val catCols = specCols.collect { case (n, "cat") => n }
       val dicts: Map[String, Array[String]] =
         if (catCols.isEmpty) Map.empty
         else {
@@ -245,12 +199,12 @@ object Ensemble {
             c -> row.getSeq[String](i).toArray.sorted
           }.toMap
         }
-      colSpecs(table).map { case (n, how) =>
+      specCols.map { case (n, how) =>
         val dict = if (how == "cat") dicts(n) else Array.empty[String]
         ModelCol(table, n, if (how == "cat") CategoricalCol(dict.length) else NumericCol, dict)
       }.toArray
     })
-    val exprs = colSpecs(table).zip(mcols).map { case ((n, how), mc) => encodeExpr(n, how, mc.dict) }
+    val exprs = specCols.zip(mcols).map { case ((n, how), mc) => encodeExpr(n, how, mc.dict) }
     (mcols, exprs)
   }
 
@@ -423,6 +377,7 @@ object Ensemble {
     * edges. Deterministic: seeded RDC, name tie-break.
     */
   def rankCandidates(spark: SparkSession, sfDir: String, budget: Int = joinBudget): Seq[JoinCandidate] = {
+    val spec = DatasetSpec.forDir(spark, sfDir)
     // candidates are scored independently (each crossRdc seeds its own RNG),
     // so concurrent scoring is bit-identical to sequential — it just stops
     // serializing four sample-join jobs behind each other
@@ -430,11 +385,11 @@ object Ensemble {
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
     val scored = Await.result(
-      Future.sequence(joinCandidates.map(rel =>
+      Future.sequence(joinCandidates(spec).map(rel =>
         Future(rel -> timed(s"  crossRdc:${joinName(rel)}")(crossRdc(spark, sfDir, rel))))),
       15.minutes)
       .sortBy { case (rel, s) => (-s, joinName(rel)) }
-    val required = requiredRels.map(_.id).toSet
+    val required = spec.required.map(_.id).toSet
     scored.zipWithIndex.map { case ((rel, s), rank) =>
       JoinCandidate(rel, joinName(rel), s, trained = rank < budget || required(rel.id))
     }
@@ -453,8 +408,22 @@ object Ensemble {
       System.err.println(f"[train] $what ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     } else f
 
+  /** Which dataset spec a trained spns MAP belongs to, so the factored
+    * estimator walks the RIGHT schema graph without threading a graph
+    * parameter through every public estimator signature. Identity-keyed:
+    * the instance `state()` built IS the key; hand-assembled maps (specs,
+    * spn_update copies) fall back to the testdata graph.
+    */
+  private val specBySpns =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[Map[String, TrainedSpn], DatasetSpec]())
+
+  private[rspn] def relationshipsFor(spns: Map[String, TrainedSpn]): Seq[Relationship] =
+    Option(specBySpns.get(spns)).getOrElse(DatasetSpec.testdata).graph.relationships
+
   def state(spark: SparkSession, sfDir: String): EnsembleState =
     cache.getOrElseUpdate((spark.sparkContext, sfDir), {
+      val spec = DatasetSpec.forDir(spark, sfDir)
       // models are independent: train them concurrently (Spark schedules the
       // sampling jobs from multiple threads; structure learning is
       // driver-CPU and per-model seeded, so results are order-independent
@@ -462,9 +431,11 @@ object Ensemble {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.global
-      val fSingles = singleTables.map(t =>
+      // singles for every modeled table, so the independence fallback in
+      // `factored` always has a marginal model; sorted for determinism
+      val fSingles = spec.modeled.keys.toSeq.sorted.map(t =>
         Future(timed(s"single:$t")(trainSingle(spark, sfDir, t))))
-      val fChains = chainSpecs.map { case (rels, dims) =>
+      val fChains = spec.chains.map { case (rels, dims) =>
         val nm = ((rels.head.one +: rels.map(_.many)) ++ dims.map(_.one)).mkString("_")
         Future(timed(s"chain:$nm")(trainChain(spark, sfDir, rels, dims)))
       }
@@ -472,7 +443,9 @@ object Ensemble {
       val fJoins = candidates.filter(_.trained).map(c =>
         Future(timed(s"join:${c.name}")(trainJoin(spark, sfDir, c.rel))))
       val spns = Await.result(Future.sequence(fSingles ++ fChains ++ fJoins), 15.minutes)
-      EnsembleState(spns.map(s => s.name -> s).toMap, candidates)
+      val byName = spns.map(s => s.name -> s).toMap
+      specBySpns.put(byName, spec)
+      EnsembleState(byName, candidates)
     })
 
   def get(spark: SparkSession, sfDir: String): Map[String, TrainedSpn] =
@@ -656,7 +629,7 @@ object Ensemble {
     var value = est.v
     while (covered != tables) {
       val viaJoinSpn = (for {
-        rel <- SchemaGraph.testdata.relationships.iterator
+        rel <- relationshipsFor(spns).iterator
         (t, tp) <- Iterator((rel.many, rel.one), (rel.one, rel.many))
         if tables(t) && !covered(t) && covered(tp)
         // hop-model choice is dependence-aware too: the chain SPN covers
@@ -679,7 +652,7 @@ object Ensemble {
           // assumption from the single-table SPN. Many-side extension
           // without a join model is not estimable (fanout unknown).
           val dimStep = (for {
-            rel <- SchemaGraph.testdata.relationships.iterator
+            rel <- relationshipsFor(spns).iterator
             if tables(rel.one) && !covered(rel.one) && covered(rel.many)
             dimSpn <- selectFor(spns, Set(rel.one), predsOn(preds, Set(rel.one)).keySet).iterator
           } yield (rel.one, dimSpn)).nextOption().getOrElse(

@@ -23,7 +23,9 @@ class WorkloadSpec extends AnyFunSuite {
   }
 
   test("workload replay meets the cardinality gate: median q-error ≤ 2.0, p95 ≤ 5.0") {
-    val truth = QErrorEval.computeTruth(spark, sf, qs)
+    // cache = false everywhere in this suite: PlanSpec's scan-shape
+    // assertions need the fixture dirs to stay out of the shared cache
+    val truth = QErrorEval.computeTruth(spark, sf, qs, cache = false)
     val rows = QErrorEval.runWorkload(spark, sf, qs, truth)
     assert(rows.length == 30)
     val errs = rows.map(_.qerr).sorted
@@ -38,7 +40,7 @@ class WorkloadSpec extends AnyFunSuite {
 
   test("the committed sf0.01 truth CSV matches live exact counts") {
     val fromCsv = QErrorEval.readTruthCsv(truthCsv)
-    val live = QErrorEval.computeTruth(spark, sfMid, qs)
+    val live = QErrorEval.computeTruth(spark, sfMid, qs, cache = false)
     assert(fromCsv.keySet == live.keySet)
     fromCsv.foreach { case (no, t) =>
       assert(t == live(no), s"truth CSV drifted for query $no: csv $t vs live ${live(no)}")
