@@ -27,7 +27,13 @@ import scala.util.Random
   */
 object QErrorEval {
 
-  final case class WorkloadRow(no: Int, sql: String, truth: Double, est: Double, qerr: Double)
+  /** `relErr` is the AQP metric (reference evaluation/aqp_evaluation.py
+    * reports relative error for SUM/AVG); `qerr` the cardinality metric.
+    * Both are always populated — COUNT rows are graded on qerr, SUM/AVG
+    * rows on relErr.
+    */
+  final case class WorkloadRow(
+      no: Int, sql: String, truth: Double, est: Double, qerr: Double, relErr: Double)
 
   private def qerr(e: Double, x: Double): Double = {
     val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
@@ -42,7 +48,7 @@ object QErrorEval {
     * reference keys truth rows by query_no = line position).
     */
   def readWorkload(path: String): Seq[(Int, String)] = {
-    val src = scala.io.Source.fromFile(path)
+    val src = scala.io.Source.fromFile(path, "UTF-8")
     try src.getLines().map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("--"))
       .zipWithIndex.map { case (sql, i) => (i + 1, sql) }.toList
@@ -54,7 +60,7 @@ object QErrorEval {
     * string in the middle never corrupts the parse.
     */
   def readTruthCsv(path: String): Map[Int, Double] = {
-    val src = scala.io.Source.fromFile(path)
+    val src = scala.io.Source.fromFile(path, "UTF-8")
     try src.getLines().drop(1).filter(_.nonEmpty).map { line =>
       val fields = line.split(",")
       fields.head.trim.toInt -> fields.last.trim.toDouble
@@ -73,7 +79,13 @@ object QErrorEval {
       (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
         .createOrReplaceTempView(t)
     }
-    qs.map { case (no, sql) => no -> spark.sql(sql).head().getLong(0).toDouble }.toMap
+    qs.map { case (no, sql) =>
+      no -> (spark.sql(sql).head().get(0) match {
+        case n: Number => n.doubleValue()
+        case d: java.math.BigDecimal => d.doubleValue()
+        case other => sys.error(s"workload query $no truth is not numeric: $other")
+      })
+    }.toMap
   }
 
   /** Model-plane replay: every query flows through the SQL-text parser and
@@ -89,9 +101,13 @@ object QErrorEval {
         case other => sys.error(s"workload query $no is not a scalar COUNT: $other")
       }
       val t = truth.getOrElse(no, sys.error(s"no true cardinality for query $no"))
-      WorkloadRow(no, sql, t, est, qerr(est, t))
+      WorkloadRow(no, sql, t, est, qerr(est, t),
+        math.abs(est - t) / math.max(math.abs(t), 1.0))
     }
   }
+
+  private def isCount(sql: String): Boolean =
+    sql.toUpperCase.replaceAll("\\s+", " ").startsWith("SELECT COUNT")
 
   private def jsonEscape(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
@@ -99,9 +115,15 @@ object QErrorEval {
   def workloadJson(file: String, sfDir: String, rows: Seq[WorkloadRow]): String = {
     val (med, p95, max) = qstats(rows.map(_.qerr))
     val per = rows.map(r =>
-      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f}""")
+      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f,"rel_err":${r.relErr}%.4f}""")
       .mkString("[", ",", "]")
-    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f,"per_query":$per}"""
+    // SUM/AVG rows get the reference's AQP metric as a separate aggregate
+    val aggs = rows.filter(r => !isCount(r.sql))
+    val aggBlock = if (aggs.isEmpty) "" else {
+      val (am, ap, ax) = qstats(aggs.map(_.relErr))
+      f""","agg_rel_err":{"n":${aggs.length},"median":$am%.4f,"p95":$ap%.4f,"max":$ax%.4f}"""
+    }
+    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock,"per_query":$per}"""
   }
 
   private def workloadMain(spark: SparkSession, sfDir: String, opts: Map[String, String]): Unit = {
@@ -111,7 +133,13 @@ object QErrorEval {
       .getOrElse(computeTruth(spark, sfDir, qs))
     opts.get("--dump-truth").foreach { out =>
       val lines = "query_no,query,cardinality_true" +:
-        qs.map { case (no, sql) => s"""$no,"${sql.replace("\"", "\"\"")}",${truth(no).toLong}""" }
+        qs.map { case (no, sql) =>
+          // integral truths (cardinalities) print exactly; AQP aggregates
+          // keep full double precision
+          val t = truth(no)
+          val tS = if (t == math.rint(t) && math.abs(t) < 1e15) t.toLong.toString else t.toString
+          s"""$no,"${sql.replace("\"", "\"\"")}",$tS"""
+        }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lines.mkString("\n") + "\n")
     }
     val rows = runWorkload(spark, sfDir, qs, truth)

@@ -176,8 +176,22 @@ object SpnCardinality {
       spns: Map[String, Ensemble.TrainedSpn],
       tables: Set[String],
       atomsByTable: Map[String, Seq[Atom]],
-      modeled: Map[String, Seq[(String, String)]] = Ensemble.colSpecs): Option[Double] = {
-    val preds = tables.toSeq.foldLeft(Option(Map.empty[(String, String), ColRange])) {
+      modeled: Map[String, Seq[(String, String)]] = Ensemble.colSpecs): Option[Double] =
+    for {
+      p <- predsFor(spns, tables, atomsByTable, modeled)
+      est <- Try(Ensemble.estCount(spns, tables, p).value).toOption
+    } yield math.max(est, 0.0)
+
+  /** Atoms → the estimator's predicate map across a table set; None when
+    * any table's atoms cannot be expressed against its model.
+    */
+  def predsFor(
+      spns: Map[String, Ensemble.TrainedSpn],
+      tables: Set[String],
+      atomsByTable: Map[String, Seq[Atom]],
+      modeled: Map[String, Seq[(String, String)]] = Ensemble.colSpecs)
+      : Option[Map[(String, String), ColRange]] =
+    tables.toSeq.foldLeft(Option(Map.empty[(String, String), ColRange])) {
       case (acc, table) =>
         for {
           m <- acc
@@ -185,11 +199,6 @@ object SpnCardinality {
           p <- toPreds(spn, table, atomsByTable.getOrElse(table, Seq.empty), modeled)
         } yield m ++ p
     }
-    for {
-      p <- preds
-      est <- Try(Ensemble.estCount(spns, tables, p).value).toOption
-    } yield math.max(est, 0.0)
-  }
 
   /** The estimator closure [[SpnBroadcastRule]] consumes. `Ensemble.get` is
     * memoized per (session, sfDir): the first call trains/loads, the rest

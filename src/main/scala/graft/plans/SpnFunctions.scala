@@ -11,14 +11,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, NullType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `spn_count(...)` inside SQL TEXT — the reference's `maqp.py` answers
-  * arbitrary benchmark SQL strings against the model plane; the Spark-native
-  * form is a registered scalar function (SURVEY §7.6):
+/** Model-plane aggregates inside SQL TEXT — the reference's `maqp.py`
+  * answers arbitrary benchmark SQL strings against the model plane; the
+  * Spark-native form is a family of registered scalar functions
+  * (SURVEY §7.6):
   *
   * {{{
   *   SELECT spn_count('orders', "o_totalprice < 2000 AND o_orderstatus = 'F'")
   *   SELECT spn_count('lineitem,orders', 'l_quantity <= 10')   -- join card.
   *   SELECT spn_count('customer')                              -- table card.
+  *   SELECT spn_sum('lineitem', 'l_extendedprice', 'l_quantity < 25')
+  *   SELECT spn_avg('orders', 'o_totalprice')
   * }}}
   *
   * Mechanics: `injectFunction` registers a placeholder expression; an
@@ -30,74 +33,94 @@ import org.apache.spark.unsafe.types.UTF8String
   * value composes with any surrounding SQL (arithmetic over estimates is
   * the reference's PLUS/MINUS aggregation surface).
   *
-  * Both arguments must be string LITERALS (enforced loudly): the estimate
-  * is a driver-side planning-time act, not a per-row function. A predicate
-  * the model cannot answer (unmodeled column/table, unsupported shape)
-  * throws with the offending fragment — an explicit estimator call must
-  * fail loudly, never silently fall back to a scan.
+  * All arguments must be string LITERALS (enforced loudly): the estimate
+  * is a driver-side planning-time act, not a per-row function. A request
+  * the model cannot answer (unmodeled column/table, unsupported predicate
+  * shape) throws with the offending fragment — an explicit estimator call
+  * must fail loudly, never silently fall back to a scan.
   */
 object SpnFunctions {
 
   /** Unevaluable placeholder; always replaced during analysis. */
-  final case class SpnCountExpr(children: Seq[Expression]) extends Expression with Unevaluable {
+  final case class SpnEstExpr(fn: String, children: Seq[Expression])
+      extends Expression with Unevaluable {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = false
-    override def prettyName: String = "spn_count"
+    override def prettyName: String = fn
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
   }
 
+  private val functions = Seq("spn_count", "spn_sum", "spn_avg")
+
   def register(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("spn_count"),
-      new ExpressionInfo(SpnCountExpr.getClass.getName, "spn_count"),
-      (args: Seq[Expression]) => SpnCountExpr(args)))
+    functions.foreach { fn =>
+      e.injectFunction((
+        FunctionIdentifier(fn),
+        new ExpressionInfo(SpnEstExpr.getClass.getName, fn),
+        (args: Seq[Expression]) => SpnEstExpr(fn, args)))
+    }
     e.injectResolutionRule(replaceRule)
   }
 
   private def replaceRule(session: SparkSession): Rule[LogicalPlan] = new Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-      case SpnCountExpr(args) => Literal(compute(session, args), DoubleType)
+      case SpnEstExpr(fn, args) => Literal(compute(session, fn, args), DoubleType)
     }
   }
 
-  private def litString(e: Expression, what: String): String = e match {
+  private def litString(fn: String, e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
     case Literal(s: String, _)     => s.toString
     case other => throw new IllegalArgumentException(
-      s"spn_count: $what must be a string literal, got ${other.sql}")
+      s"$fn: $what must be a string literal, got ${other.sql}")
   }
 
-  private[plans] def compute(session: SparkSession, args: Seq[Expression]): Double = {
-    if (args.isEmpty || args.size > 2)
-      throw new IllegalArgumentException(
-        "spn_count(tables[, predicate]): expected 1 or 2 arguments")
+  private[plans] def compute(session: SparkSession, fn: String, args: Seq[Expression]): Double = {
+    val isCount = fn == "spn_count"
+    val (minArgs, maxArgs, usage) =
+      if (isCount) (1, 2, s"$fn(tables[, predicate])")
+      else (2, 3, s"$fn(tables, column[, predicate])")
+    if (args.size < minArgs || args.size > maxArgs)
+      throw new IllegalArgumentException(s"$usage: got ${args.size} arguments")
     val sfDir = session.conf.getOption("spark.graft.spn.sfDir").getOrElse(
       throw new IllegalStateException(
-        "spn_count requires spark.graft.spn.sfDir to point at the trained dataset"))
-    val tables = litString(args.head, "tables").split(",").map(_.trim).filter(_.nonEmpty).toSet
-    val predicate = args.lift(1).map(litString(_, "predicate"))
-    val atoms = predicate.map(atomsOfSql(session, _)).getOrElse(Seq.empty)
+        s"$fn requires spark.graft.spn.sfDir to point at the trained dataset"))
+    val tables = litString(fn, args.head, "tables")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val modeled = graft.schema.DatasetSpec.forDir(session, sfDir).modeled
+    def tableOf(column: String): String =
+      tables.find(t => modeled.getOrElse(t, Seq.empty).exists(_._1 == column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$fn: column '$column' is not a modeled column of ${tables.mkString("{", ",", "}")}"))
+    val aggCol = if (isCount) None else {
+      val c = litString(fn, args(1), "column")
+      Some((tableOf(c), c))
+    }
+    val predicate = args.lift(if (isCount) 1 else 2).map(litString(fn, _, "predicate"))
+    val atoms = predicate.map(atomsOfSql(session, fn, _)).getOrElse(Seq.empty)
     // assign each atom to its table by the dataset's modeled-column registry
     // (column names are globally unique across a schema's modeled tables)
-    val modeled = graft.schema.DatasetSpec.forDir(session, sfDir).modeled
-    val byTable = atoms.groupBy { a =>
-      tables.find(t => modeled.getOrElse(t, Seq.empty).exists(_._1 == a.column))
-        .getOrElse(throw new IllegalArgumentException(
-          s"spn_count: column '${a.column}' is not a modeled column of ${tables.mkString("{", ",", "}")}"))
-    }
-    SpnCardinality.estimateJoin(Ensemble.get(session, sfDir), tables, byTable, modeled)
+    val byTable = atoms.groupBy(a => tableOf(a.column))
+    val spns = Ensemble.get(session, sfDir)
+    val preds = SpnCardinality.predsFor(spns, tables, byTable, modeled)
       .getOrElse(throw new IllegalArgumentException(
-        s"spn_count: the model cannot answer tables=${tables.mkString(",")}" +
+        s"$fn: the model cannot answer tables=${tables.mkString(",")}" +
           predicate.fold("")(p => s" predicate=[$p]")))
+    aggCol match {
+      case None         => math.max(Ensemble.estCount(spns, tables, preds).value, 0.0)
+      case Some(c) if fn == "spn_sum" => Ensemble.estSum(spns, tables, c, preds).value
+      case Some(c)      => Ensemble.estAvg(spns, tables, c, preds).value
+    }
   }
 
   /** Parse a predicate string with Spark's SQL parser and lower it to the
     * estimator's atoms. Unresolved attributes become bare name-carrying
     * refs so [[SpnCardinality.atomsOf]]'s literal/attribute patterns apply
-    * unchanged; BETWEEN/IN/AND desugar in the parser itself.
+    * unchanged; IN/AND desugar in the parser itself, BETWEEN below.
     */
-  private[plans] def atomsOfSql(session: SparkSession, predicate: String): Seq[SpnCardinality.Atom] = {
+  private[plans] def atomsOfSql(
+      session: SparkSession, fn: String, predicate: String): Seq[SpnCardinality.Atom] = {
     val parsed = session.sessionState.sqlParser.parseExpression(predicate)
     val named = parsed.transformUp {
       case u: UnresolvedAttribute => AttributeReference(u.name, NullType)()
@@ -111,7 +134,7 @@ object SpnFunctions {
     }
     SpnCardinality.atomsOf(SpnCardinality.splitConj(named)).getOrElse(
       throw new IllegalArgumentException(
-        s"spn_count: unsupported predicate shape [$predicate] — use conjunctions of " +
+        s"$fn: unsupported predicate shape [$predicate] — use conjunctions of " +
           "col (=,<,<=,>,>=) literal, col IN (...), col BETWEEN a AND b"))
   }
 }

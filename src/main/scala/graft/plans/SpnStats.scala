@@ -4,7 +4,8 @@ import graft.rspn.Ensemble
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -73,14 +74,25 @@ final case class SpnStatsRule(
       tableNameOf(rel).flatMap(t => tableRows(t).map(annotate(rel, t, _)))
         .getOrElse(rel)
     case f @ Filter(cond, rel: LogicalRelation) if eligibleOrAnnotated(rel) =>
-      val refined = for {
-        t <- tableNameOf(rel)
-        atoms <- atomsOf(splitConj(cond))
-        if atoms.exists(!_.isInstanceOf[SpnCardinality.NotNull])
-        est <- estimateRows(Set(t), Map(t -> atoms))
-      } yield Filter(cond, annotate(rel, t, est))
-      refined.getOrElse(f)
+      refine(cond, rel).map(Filter(cond, _)).getOrElse(f)
+    // column pruning sometimes leaves a pure projection between the filter
+    // and the scan — transparent for row counts
+    case f @ Filter(cond, p @ Project(projList, rel: LogicalRelation))
+        if projList.forall(_.isInstanceOf[AttributeReference]) && eligibleOrAnnotated(rel) =>
+      refine(cond, rel).map(r => Filter(cond, p.copy(child = r))).getOrElse(f)
   }
+
+  /** The scan under `cond`, re-annotated with the learned POST-FILTER
+    * estimate when every conjunct is understood; None otherwise (the bare
+    * full-count annotation then stands).
+    */
+  private def refine(cond: Expression, rel: LogicalRelation): Option[LogicalRelation] =
+    for {
+      t <- tableNameOf(rel)
+      atoms <- atomsOf(splitConj(cond))
+      if atoms.exists(!_.isInstanceOf[SpnCardinality.NotNull])
+      est <- estimateRows(Set(t), Map(t -> atoms))
+    } yield annotate(rel, t, est)
 
   /** Marker identifier so the Filter case can tell "annotated by this rule"
     * from "a genuine catalog table" (which must never be overwritten).

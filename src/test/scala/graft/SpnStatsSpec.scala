@@ -191,6 +191,23 @@ class SpnStatsSpec extends AnyFunSuite {
     val between = s2.sql(
       "SELECT spn_count('lineitem', 'l_quantity BETWEEN 10 AND 20') AS est").head().getDouble(0)
     assert(between > 0.0)
+
+    // spn_sum / spn_avg reach the AQP surfaces (estSum / estAvg)
+    val qtyLt25 = Map(("lineitem", "l_quantity") ->
+      (rspn.NumRange(Double.NegativeInfinity, 25.0, hiIncl = false): rspn.ColRange))
+    val sumSql = s2.sql(
+      "SELECT spn_sum('lineitem', 'l_extendedprice', 'l_quantity < 25') AS est")
+      .head().getDouble(0)
+    val sumApi = rspn.Ensemble.estSum(spns, Set("lineitem"),
+      ("lineitem", "l_extendedprice"), qtyLt25).value
+    assert(math.abs(sumSql - sumApi) <= 1e-6 * math.max(1.0, math.abs(sumApi)),
+      s"spn_sum sql=$sumSql api=$sumApi")
+    val avgSql = s2.sql("SELECT spn_avg('lineitem', 'l_extendedprice') AS est")
+      .head().getDouble(0)
+    val avgApi = rspn.Ensemble.estAvg(spns, Set("lineitem"),
+      ("lineitem", "l_extendedprice"), Map.empty).value
+    assert(math.abs(avgSql - avgApi) <= 1e-6 * math.max(1.0, math.abs(avgApi)),
+      s"spn_avg sql=$avgSql api=$avgApi")
   }
 
   test("spn_count fails loudly on unanswerable input") {

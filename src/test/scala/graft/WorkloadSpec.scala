@@ -49,11 +49,27 @@ class WorkloadSpec extends AnyFunSuite {
 
   test("the workload JSON artifact is well-formed and carries per-query rows") {
     val rows = Seq(
-      QErrorEval.WorkloadRow(1, """SELECT COUNT(*) FROM "t"""", 10.0, 12.0, 1.2),
-      QErrorEval.WorkloadRow(2, "SELECT COUNT(*) FROM t2", 5.0, 5.0, 1.0))
+      QErrorEval.WorkloadRow(1, """SELECT COUNT(*) FROM "t"""", 10.0, 12.0, 1.2, 0.2),
+      QErrorEval.WorkloadRow(2, "SELECT SUM(x) FROM t2", 5.0, 5.0, 1.0, 0.0))
     val json = QErrorEval.workloadJson("w.sql", "/dir", rows)
     assert(json.contains(""""n":2"""))
     assert(json.contains(""""per_query":["""))
+    assert(json.contains(""""agg_rel_err":{"n":1""")) // the SUM row
     assert(json.contains("\\\"t\\\"")) // quotes in SQL must be escaped
+  }
+
+  test("the AQP workload meets the relative-error gate: median ≤ 0.05, p95 ≤ 0.25") {
+    val aqp = QErrorEval.readWorkload("workloads/testdata_aqp_20.sql")
+    assert(aqp.length == 20)
+    val truth = QErrorEval.computeTruth(spark, sf, aqp, cache = false)
+    val rows = QErrorEval.runWorkload(spark, sf, aqp, truth)
+    val errs = rows.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = rows.maxBy(_.relErr)
+    info(f"median rel err $median%.4f p95 $p95%.4f max ${worst.relErr}%.4f " +
+      f"(q${worst.no}: est ${worst.est}%.1f vs true ${worst.truth}%.1f)")
+    assert(median <= 0.05, f"median relative error $median%.4f > 0.05")
+    assert(p95 <= 0.25, f"p95 relative error $p95%.4f > 0.25; worst q${worst.no}: ${worst.sql}")
   }
 }
