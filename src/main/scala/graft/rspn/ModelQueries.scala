@@ -509,6 +509,18 @@ object ModelQueries {
         SELECT 'ord_selectivity',
                round(spn_count('orders', 'o_totalprice < 2000') / spn_count('orders'), 4)
         ORDER BY query""")
+    },
+
+    // table-valued companion: model-answered GROUP BY as a FROM source that
+    // plain SQL composes over (filter + aggregate over the estimate rows).
+    Op.noOracle("spn_groupby_sql") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.sql("""
+        SELECT l_returnflag, round(est) AS est_rows
+        FROM spn_groupby('lineitem', 'l_returnflag', 'l_quantity < 10')
+        WHERE est > 0
+        ORDER BY l_returnflag""")
     }
   )
 

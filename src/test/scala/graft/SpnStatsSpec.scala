@@ -210,6 +210,27 @@ class SpnStatsSpec extends AnyFunSuite {
       s"spn_avg sql=$avgSql api=$avgApi")
   }
 
+  test("spn_groupby is a table source: model-answered GROUP BY composes with plain SQL") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", sf)
+    val spns = rspn.Ensemble.get(spark, sf)
+    val viaSql = s2.sql(
+      "SELECT l_returnflag, est FROM spn_groupby('lineitem', 'l_returnflag', 'l_quantity < 10') " +
+        "ORDER BY l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaApi = rspn.Ensemble.estGroupByCountMulti(spns, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag")),
+      Map(("lineitem", "l_quantity") ->
+        rspn.NumRange(Double.NegativeInfinity, 10.0, hiIncl = false)))
+      .map { case (gs, v) => (gs.head, v) }.sortBy(_._1)
+    assert(viaSql == viaApi, s"sql=$viaSql api=$viaApi")
+    // composes: SQL aggregates over the model's rows
+    val total = s2.sql(
+      "SELECT SUM(est) FROM spn_groupby('lineitem', 'l_returnflag', 'l_quantity < 10')")
+      .head().getDouble(0)
+    assert(math.abs(total - viaApi.map(_._2).sum) < 1e-6)
+  }
+
   test("spn_count fails loudly on unanswerable input") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.spn.sfDir", sf)
