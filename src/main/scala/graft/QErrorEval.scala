@@ -95,8 +95,9 @@ object QErrorEval {
       spark: SparkSession, sfDir: String,
       qs: Seq[(Int, String)], truth: Map[Int, Double]): Seq[WorkloadRow] = {
     val ens = Ensemble.get(spark, sfDir)
+    val spec = schema.DatasetSpec.forDir(spark, sfDir)
     qs.map { case (no, sql) =>
-      val est = SqlEstimate.estimate(ens, sql) match {
+      val est = SqlEstimate.estimate(ens, sql, spec) match {
         case SqlEstimate.Scalar(e) => e.value
         case other => sys.error(s"workload query $no is not a scalar COUNT: $other")
       }

@@ -23,8 +23,10 @@ object SqlEstimate {
     */
   final case class GroupSets(rows: Seq[(Seq[Option[String]], Ensemble.Estimate)]) extends SqlResult
 
-  def estimate(spns: Map[String, Ensemble.TrainedSpn], sql: String): SqlResult = {
-    val q = SqlParser.parseQuery(sql)
+  def estimate(
+      spns: Map[String, Ensemble.TrainedSpn], sql: String,
+      spec: graft.schema.DatasetSpec = graft.schema.DatasetSpec.testdata): SqlResult = {
+    val q = SqlParser.parseQuery(sql, spec)
     post(q, estimateCore(spns, q))
   }
 

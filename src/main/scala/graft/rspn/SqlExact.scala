@@ -16,7 +16,9 @@ import SqlParser._
 object SqlExact {
 
   def compile(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
-    val q = SqlParser.parseQuery(sql)
+    // column/edge resolution follows the dataset's declared schema
+    // (registration → graft_schema.json sidecar → testdata default)
+    val q = SqlParser.parseQuery(sql, graft.schema.DatasetSpec.forDir(spark, sfDir))
     var df = Tables(spark, sfDir, q.from)
     q.joins.foreach { j =>
       df = df.join(Tables(spark, sfDir, j.table), col(j.a) === col(j.b))

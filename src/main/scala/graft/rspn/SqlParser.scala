@@ -104,19 +104,57 @@ object SqlParser {
     */
   case object NotNull extends RangeSpec
 
-  /** Column → table resolution over the testdata schema (globally unique
-    * TPC-H-style prefixes; the reference resolves via its hand-declared
-    * SchemaGraph the same way).
+  /** The dataset whose schema resolves columns/edges for the CURRENT parse
+    * call — set by [[parseQuery]]/[[parse]], defaulting to the testdata
+    * binding, so any sidecar-declared dataset (schema/DatasetSpec.scala)
+    * gets the full SQL-text surface with no parser changes.
     */
-  def tableOf(col: String): String = col.takeWhile(_ != '_') match {
-    case "r" => "region"
-    case "n" => "nation"
-    case "s" => "supplier"
-    case "c" => "customer"
-    case "p" => "part"
-    case "o" => "orders"
-    case "l" => "lineitem"
-    case _   => fail(s"cannot resolve table of column '$col'")
+  private val activeSpec =
+    new scala.util.DynamicVariable[graft.schema.DatasetSpec](graft.schema.DatasetSpec.testdata)
+
+  /** column → owning table, built from everything a spec DECLARES: modeled
+    * columns, primary keys, relationship endpoints, irrelevant columns.
+    * Ambiguous names (declared by several tables) resolve to None and fail
+    * at lookup with the ambiguity named.
+    */
+  private val ownerCache =
+    new java.util.concurrent.ConcurrentHashMap[graft.schema.SchemaGraph, Map[String, Option[String]]]()
+
+  private def columnOwners(spec: graft.schema.DatasetSpec): Map[String, Option[String]] =
+    ownerCache.computeIfAbsent(spec.graph, _ => {
+      val pairs =
+        spec.modeled.toSeq.flatMap { case (t, cs) => cs.map { case (c, _) => (c, t) } } ++
+          spec.graph.tables.flatMap(t => t.primaryKey.map(c => (c, t.name))) ++
+          spec.graph.tables.flatMap(t => t.irrelevant.map(c => (c, t.name))) ++
+          spec.graph.relationships.flatMap(r => Seq((r.fk, r.many), (r.pk, r.one)))
+      pairs.groupBy(_._1).map { case (c, owners) =>
+        val ts = owners.map(_._2).distinct
+        c -> (if (ts.length == 1) Some(ts.head) else None)
+      }
+    })
+
+  /** Column → table resolution over the active dataset's declared schema;
+    * the testdata binding keeps its TPC-H-style prefix fallback for columns
+    * the spec does not declare (e.g. r_name — never modeled, never a key).
+    */
+  def tableOf(col: String): String = {
+    val spec = activeSpec.value
+    columnOwners(spec).get(col) match {
+      case Some(Some(t)) => t
+      case Some(None) => fail(s"column '$col' is declared by more than one table")
+      case None if spec eq graft.schema.DatasetSpec.testdata =>
+        col.takeWhile(_ != '_') match {
+          case "r" => "region"
+          case "n" => "nation"
+          case "s" => "supplier"
+          case "c" => "customer"
+          case "p" => "part"
+          case "o" => "orders"
+          case "l" => "lineitem"
+          case _   => fail(s"cannot resolve table of column '$col'")
+        }
+      case None => fail(s"cannot resolve table of column '$col' in the active dataset's schema")
+    }
   }
 
   private def fail(msg: String): Nothing =
@@ -298,7 +336,7 @@ object SqlParser {
         if (!(ta == t || tb == t)) fail(s"JOIN $t ON $a=$b does not reference $t")
         val other = if (ta == t) tb else ta
         if (!tables(other)) fail(s"JOIN $t ON $a=$b: $other not yet in scope")
-        val isEdge = SchemaGraph.testdata.relationships.exists(r =>
+        val isEdge = activeSpec.value.graph.relationships.exists(r =>
           (r.many == ta && r.one == tb && r.fk == a && r.pk == b) ||
             (r.many == tb && r.one == ta && r.fk == b && r.pk == a))
         if (!isEdge) fail(s"$a=$b is not a PK–FK edge of the schema graph")
@@ -508,12 +546,15 @@ object SqlParser {
     * after which the strict JOIN-form parser — including its PK–FK edge
     * validation — sees a single canonical shape.
     */
-  def parseQuery(sql: String): ParsedQuery = {
-    // pre-rewrite string equality into IN form so parseConjunct stays total
-    val rewritten = """(?i)(\w+)\s*=\s*('(?!\d{4}-\d{2}-\d{2}')[^']*')""".r
-      .replaceAllIn(sql, m => Regex.quoteReplacement(s"${m.group(1)} IN (${m.group(2)})"))
-    parse(desugarCommaJoins(rewritten))
-  }
+  def parseQuery(
+      sql: String,
+      spec: graft.schema.DatasetSpec = graft.schema.DatasetSpec.testdata): ParsedQuery =
+    activeSpec.withValue(spec) {
+      // pre-rewrite string equality into IN form so parseConjunct stays total
+      val rewritten = """(?i)(\w+)\s*=\s*('(?!\d{4}-\d{2}-\d{2}')[^']*')""".r
+        .replaceAllIn(sql, m => Regex.quoteReplacement(s"${m.group(1)} IN (${m.group(2)})"))
+      parse(desugarCommaJoins(rewritten))
+    }
 
   private def isColumn(x: String): Boolean = scala.util.Try(tableOf(x)).isSuccess
 

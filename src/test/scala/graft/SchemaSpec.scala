@@ -135,6 +135,29 @@ class SchemaSpec extends AnyFunSuite {
         .filter(col("kind") === "er" && col("age") < 40).count().toDouble, 2.0)
   }
 
+  test("the SQL-text planes resolve columns through the sidecar schema") {
+    val spns = Ensemble.get(spark, dir)
+    val spec = DatasetSpec.forDir(spark, dir)
+    val sql = "SELECT COUNT(*) FROM encounters e,patients p " +
+      "WHERE p.patient_id=e.pat_ref AND p.age < 40 AND e.kind = 'er'"
+    // model plane: JOB-light comma-join text over a never-registered schema
+    val est = rspn.SqlEstimate.estimate(spns, sql, spec) match {
+      case rspn.SqlEstimate.Scalar(e) => e.value
+      case other                      => fail(s"expected scalar, got $other")
+    }
+    val exact = spark.read.parquet(s"$dir/patients.parquet")
+      .join(spark.read.parquet(s"$dir/encounters.parquet"),
+        col("patient_id") === col("pat_ref"))
+      .filter(col("age") < 40 && col("kind") === "er").count().toDouble
+    val q = math.max((est + 1) / (exact + 1), (exact + 1) / (est + 1))
+    assert(q <= 2.0, f"sql_estimate over sidecar schema: est $est%.1f vs exact $exact (q $q%.2f)")
+    // exact plane compiles the same text to a DataFrame over the same dir
+    val viaExact = rspn.SqlExact.compile(spark, dir, sql).head().get(0) match {
+      case n: Number => n.doubleValue()
+    }
+    assert(viaExact == exact, s"sql_exact $viaExact vs direct $exact")
+  }
+
   test("spn_count SQL answers over the sidecar-declared schema") {
     Ensemble.get(spark, dir) // ensure trained
     val s2 = spark.newSession()
