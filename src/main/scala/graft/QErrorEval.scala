@@ -33,7 +33,10 @@ object QErrorEval {
     * rows on relErr.
     */
   final case class WorkloadRow(
-      no: Int, sql: String, truth: Double, est: Double, qerr: Double, relErr: Double)
+      no: Int, sql: String, truth: Double, est: Double, qerr: Double, relErr: Double,
+      /** model-plane answer latency (parse + estimate, no Spark job) — the
+        * reference's evaluation records per-query latencies the same way */
+      latencyMs: Double = 0.0)
 
   private def qerr(e: Double, x: Double): Double = {
     val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
@@ -97,13 +100,15 @@ object QErrorEval {
     val ens = Ensemble.get(spark, sfDir)
     val spec = schema.DatasetSpec.forDir(spark, sfDir)
     qs.map { case (no, sql) =>
+      val t0 = System.nanoTime()
       val est = SqlEstimate.estimate(ens, sql, spec) match {
         case SqlEstimate.Scalar(e) => e.value
         case other => sys.error(s"workload query $no is not a scalar COUNT: $other")
       }
+      val ms = (System.nanoTime() - t0) / 1e6
       val t = truth.getOrElse(no, sys.error(s"no true cardinality for query $no"))
       WorkloadRow(no, sql, t, est, qerr(est, t),
-        math.abs(est - t) / math.max(math.abs(t), 1.0))
+        math.abs(est - t) / math.max(math.abs(t), 1.0), ms)
     }
   }
 
@@ -116,15 +121,17 @@ object QErrorEval {
   def workloadJson(file: String, sfDir: String, rows: Seq[WorkloadRow]): String = {
     val (med, p95, max) = qstats(rows.map(_.qerr))
     val per = rows.map(r =>
-      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f,"rel_err":${r.relErr}%.4f}""")
+      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f,"rel_err":${r.relErr}%.4f,"latency_ms":${r.latencyMs}%.2f}""")
       .mkString("[", ",", "]")
+    val (lm, lp, lx) = qstats(rows.map(_.latencyMs))
+    val latBlock = f""","latency_ms":{"median":$lm%.2f,"p95":$lp%.2f,"max":$lx%.2f}"""
     // SUM/AVG rows get the reference's AQP metric as a separate aggregate
     val aggs = rows.filter(r => !isCount(r.sql))
     val aggBlock = if (aggs.isEmpty) "" else {
       val (am, ap, ax) = qstats(aggs.map(_.relErr))
       f""","agg_rel_err":{"n":${aggs.length},"median":$am%.4f,"p95":$ap%.4f,"max":$ax%.4f}"""
     }
-    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock,"per_query":$per}"""
+    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock$latBlock,"per_query":$per}"""
   }
 
   private def workloadMain(spark: SparkSession, sfDir: String, opts: Map[String, String]): Unit = {

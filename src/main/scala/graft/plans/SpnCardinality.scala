@@ -514,6 +514,45 @@ object SpnPlanning {
           round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
             .cast("double").as("sum_price"))
         .orderBy("o_orderpriority")
+    },
+
+    // M13b in the correctness gate: the SAME learned numbers, injected as
+    // `LogicalPlan` STATISTICS (SpnStatsRule via preCBO) with CBO join
+    // reordering enabled, on an isolated child session (confs and stats
+    // never leak to sibling queries). The written join order — (lineitem ⨝
+    // filtered orders) ⨝ customer — is the worst one; the injected row
+    // counts are what lets CostBasedJoinReorder move the tiny filtered
+    // slice first. Result is plan-invariant, so the DuckDB oracle checks
+    // the whole path end-to-end.
+    Op(
+      "join_spn_stats",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice < 2000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.functions.{count, lit, round, sum}
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.spn.statsInjection", "true")
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val li = s2.read.parquet(s"$d/lineitem.parquet").select("l_orderkey", "l_quantity")
+      val ord = s2.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") < 2000)
+        .select("o_orderkey", "o_custkey")
+      val cust = s2.read.parquet(s"$d/customer.parquet").select("c_custkey", "c_mktsegment")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).cast("bigint").as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double").as("sum_qty"))
+        .orderBy("c_mktsegment")
     }
   )
 }
