@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allOps: Seq[Op] =
-    exact.Relational.ops ++ exact.Extended.ops ++ exact.Composite.ops ++
+    exact.Relational.ops ++ exact.Extended.ops ++ exact.Composite.ops ++ exact.Ssb.ops ++
       plans.SpnPlanning.ops ++
       ext.Text.ops ++ ext.Dedup.ops ++
       ext.Similarity.ops ++ ext.Multimodal.ops ++ ext.Streaming.ops ++

@@ -431,6 +431,105 @@ object Dedup {
         .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8) <= col("h"))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // L2k: corpus-level duplicated-n-gram statistics (the Gopher/RefinedWeb
+    // "fraction of duplicated n-grams" signal, computed against the WHOLE
+    // corpus rather than within one document — repetition_stats covers the
+    // intra-doc form). Per doc: distinct 8-grams, the share of them that
+    // occur in at least one OTHER document, i.e. boilerplate/copy coverage.
+    // Plan: explode distinct grams, ONE window shuffle keyed by gram to
+    // attach each gram's corpus document-frequency, one doc_id agg back.
+    // Both shuffles carry (doc_id, gram, count) rows with full partial
+    // aggregation; at 100 TB the gram key would be xxhash64(gram) (8 bytes
+    // vs the 8-word string) — kept as the string here so the DuckDB oracle
+    // groups the identical key. The fixture's planted near-dup docs surface
+    // with dup_frac ≈ 1.0; organic text sits at 0.
+    Op(
+      "dup_ngram_corpus",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |                t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+        |  FROM toks)),
+        |df AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS nd FROM sh)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+        |       ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4)
+        |         AS dup_frac
+        |FROM df GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val exploded = docs(s, d)
+        .filter(size(Text.tokens(col("text"))) >= 8)
+        .repartition(s.sparkContext.defaultParallelism) // one-split local file; see dedup_near
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), explode(Text.shinglesOfTokens(col("toks"), 8)).as("s"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+      exploded
+        .withColumn("nd", count(lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("bigint").as("dup_grams"))
+        .withColumn("dup_frac",
+          round(col("dup_grams") / col("n_grams").cast("double"), 4))
+        .orderBy("doc_id")
+    },
+
+    // L2l: cross-corpus fuzzy join — match every corpus document against a
+    // bounded probe/reference set (here sources src0–src4; in production a
+    // benchmark suite, a canonical article set, a takedown list) by exact
+    // 3-gram Jaccard ≥ 0.5. Candidate pairs come from the shared-shingle
+    // inverted index with the PROBE side broadcast: the corpus is never
+    // shuffled — each scan task intersects its documents' grams against the
+    // broadcast probe grams, and only (probe, candidate, count) scalars
+    // enter the one aggregation exchange. Precision and recall are both
+    // exact (unlike dedup_near's banded LSH, which trades recall for a
+    // smaller candidate space when BOTH sides are corpus-sized).
+    Op(
+      "fuzzy_join",
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, source, s FROM (
+        |  SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t) - 2),
+        |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |probe AS (SELECT doc_id AS p_id, s FROM sh
+        |          WHERE source IN ('src0','src1','src2','src3','src4')),
+        |hits AS (SELECT p_id, sh.doc_id AS c_id, COUNT(*) AS inter
+        |         FROM probe JOIN sh ON probe.s = sh.s AND probe.p_id <> sh.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT p_id, c_id, ROUND(inter / (cp.n + cc.n - inter), 4) AS jaccard
+        |FROM hits JOIN cnt cp ON cp.doc_id = p_id JOIN cnt cc ON cc.doc_id = c_id
+        |WHERE inter / (cp.n + cc.n - inter) >= 0.5
+        |ORDER BY p_id, c_id""".stripMargin
+    ) { (s, d) =>
+      val probeSources = Seq("src0", "src1", "src2", "src3", "src4")
+      val sh = ModelCache.memo(s, d, "fuzzy_sh") {
+        docs(s, d)
+          .filter(size(Text.tokens(col("text"))) >= 3)
+          .repartition(s.sparkContext.defaultParallelism) // one-split local file; see dedup_near
+          .withColumn("toks", Text.tokens(col("text")))
+          .select(col("doc_id"), col("source"),
+            Text.shinglesOfTokens(col("toks"), 3).as("sh"))
+          .cache()
+      }
+      val corpus = sh.select(col("doc_id").as("c_id"), explode(col("sh")).as("s"))
+      val probe = broadcast(
+        sh.filter(col("source").isin(probeSources: _*))
+          .select(col("doc_id").as("p_id"), explode(col("sh")).as("s2")))
+      val cnt = sh.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
+      corpus
+        .join(probe, col("s") === col("s2") && col("p_id") =!= col("c_id"))
+        .groupBy("p_id", "c_id").agg(count(lit(1)).cast("double").as("inter"))
+        .join(cnt.toDF("p_id", "np"), "p_id")
+        .join(cnt.toDF("c_id", "nc"), "c_id")
+        .withColumn("jaccard", col("inter") / (col("np") + col("nc") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("p_id"), col("c_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("p_id", "c_id")
     }
   )
 

@@ -285,6 +285,57 @@ object Similarity {
       ivfProbeTopK(s, d, ivfDiskLayout(s, d))
     },
 
+    // L3 scale path #3: PRODUCT QUANTIZATION with asymmetric distance
+    // computation (ADC) — the memory-bound regime's ANN. Each unit vector
+    // is encoded once as pqM 4-bit-ish codes (argmin sub-centroid per
+    // subspace, same −2·v·c + |c|² argmin trick as the IVF assignment), a
+    // 64-dim float row collapsing to pqM small ints — the classic 30–60×
+    // corpus compression that lets a 100 TB vector set fit a scan budget.
+    // A query builds pqM×pqK exact lookup tables driver-side; the corpus
+    // scan then scores each row with pqM array lookups + adds (no dot
+    // products), TakeOrdered keeps a 100-candidate shortlist, and an exact
+    // cosine re-rank of the shortlist emits top-10. Codebooks train
+    // driver-side on the same bounded deterministic sample as the IVF
+    // quantizer (FAISS shape); recall is the PQ trade, spec-asserted vs
+    // the brute-force sim_topk.
+    Op.noOracle("sim_topk_pq") { (s, d) =>
+      val books = pqCodebooks(s, d)
+      val subDim = books.head.head.length
+      val codes = ModelCache.memo(s, d, "pq_codes") {
+        def codeCol(sIdx: Int): Column = {
+          val sub = slice(col("unit"), sIdx * subDim + 1, subDim)
+          val dists = array(books(sIdx).map(c =>
+            lit(-2.0) * dotd(sub, lit(c)) + lit(c.map(x => x * x).sum)): _*)
+          (array_position(dists, array_min(dists)).cast("int") - 1)
+        }
+        unitFeats(s, d)
+          .select(col("vec_id"), col("v"), col("n2"),
+            array((0 until pqM).map(codeCol): _*).as("codes"))
+          .cache()
+      }
+      val qUnit = unitFeats(s, d).filter(col("vec_id") === 0)
+        .select("unit").head().getSeq[Double](0).toArray
+      // exact per-subspace distance tables: lut(s)(c) = |q_s − c|²
+      val luts: Seq[Array[Double]] = (0 until pqM).map { sIdx =>
+        val qs = qUnit.slice(sIdx * subDim, (sIdx + 1) * subDim)
+        books(sIdx).map(c => sqdist(qs, c)).toArray
+      }
+      // Spark SQL array indexing is 0-based; codes are stored 0-based
+      val adc = (0 until pqM).map(sIdx =>
+        lit(luts(sIdx)).getItem(col("codes").getItem(sIdx))).reduce(_ + _)
+      val qv = broadcast(unitFeats(s, d).filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2")))
+      codes.filter(col("vec_id") =!= 0)
+        .withColumn("adc", adc)
+        .orderBy(col("adc").asc, col("vec_id")) // TakeOrdered: no full sort
+        .limit(100)
+        .crossJoin(qv)
+        .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+    },
+
     // Per-label embedding centroids (the "cluster centroid" step of every
     // embedding pipeline: class prototypes, IVF retraining, drift checks),
     // exploded to (label, pos, val) rows so the oracle is plain SQL. The
@@ -393,6 +444,36 @@ object Similarity {
       val sample = unitFeats(s, d).filter(col("vec_id") < 4096)
         .select("unit").collect().map(_.getSeq[Double](0).toArray)
       lloyds(sample, ivfK, iters = 10, seed = 42L)
+    }
+
+  /** PQ geometry: pqM subspaces × pqK centroids each. 64-dim fixture →
+    * 8-dim subvectors; a code fits 4 bits (stored as int here — a packed
+    * byte/nibble layout is a storage detail, the plan is identical).
+    */
+  private val pqM = 8
+  private val pqK = 16
+
+  /** Per-subspace PQ codebooks, trained driver-side on the same bounded
+    * deterministic sample as [[ivfCentroids]] — one sample collect, pqM
+    * independent Lloyd's runs, zero extra Spark jobs. Subspace seeds
+    * differ so identical subspace distributions don't yield identical
+    * (degenerate) codebooks.
+    */
+  private[ext] def pqCodebooks(s: SparkSession, d: String): Seq[Seq[Array[Double]]] =
+    ModelCache.memo(s, d, "pq_codebooks") {
+      // driver-side sort by id: collect() order follows partition layout,
+      // which follows the session's parallelism — unsorted, the k-means
+      // init (and so recall) would drift between environments
+      val sample = unitFeats(s, d).filter(col("vec_id") < 4096)
+        .select("vec_id", "unit").collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val dim = sample.head.length
+      require(dim % pqM == 0, s"PQ needs dim divisible by $pqM, got $dim")
+      val subDim = dim / pqM
+      (0 until pqM).map { sIdx =>
+        val subs = sample.map(v => v.slice(sIdx * subDim, (sIdx + 1) * subDim))
+        lloyds(subs, pqK, iters = 10, seed = 42L + sIdx)
+      }
     }
 
   /** The cell-assigned corpus, memoized+cached. Cell assignment:

@@ -403,6 +403,69 @@ object Text {
           least(lit(chunkSize), col("n") - col("start")).cast("bigint").as("n_chunk_tokens"),
           array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ").as("chunk_text"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // L5f: Gopher-style document quality filtering (Rae et al. 2021 §A1.1
+    // repetition/stopword/length heuristics, re-cut for this fixture's
+    // token-stream text). Per doc: token count, mean token length, stopword
+    // count, most-frequent-token fraction, type-token ratio — then the
+    // FIRST failing rule names the drop reason ('ok' = keep). Plan shape:
+    // one explode + two keyed aggregations (doc_id,tok) → (doc_id), both
+    // with map-side partial aggregation; the widest shuffle row is a
+    // (doc_id, token, count) triple, never the document text. Skew is
+    // bounded by document length, not corpus size — the right plan at
+    // 100 TB. Thresholds live in CASE/when chains kept textually parallel
+    // in the two engines; all ratios are rounded to 4 decimals BEFORE the
+    // rule comparisons so a boundary value cannot flip between engines.
+    Op(
+      "quality_filter",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         ROUND(SUM(c * len(tok)) / CAST(SUM(c) AS DOUBLE), 4) AS mean_tok_len,
+        |         CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','is','in')
+        |                       THEN c ELSE 0 END) AS BIGINT) AS stop_cnt,
+        |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_frac,
+        |         ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS ttr
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, mean_tok_len, stop_cnt, top_frac, ttr,
+        |       CASE WHEN n_tokens < 25 OR n_tokens > 1000 THEN 'word_count'
+        |            WHEN mean_tok_len < 2.0 OR mean_tok_len > 10.0 THEN 'mean_tok_len'
+        |            WHEN stop_cnt < 2 THEN 'stopwords'
+        |            WHEN top_frac > 0.2 THEN 'repetition'
+        |            WHEN ttr < 0.35 THEN 'ttr'
+        |            ELSE 'ok' END AS reason
+        |FROM sig ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val cnts = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      cnts.groupBy("doc_id")
+        .agg(
+          sum("c").as("n"),
+          count(lit(1)).as("d"),
+          max("c").as("tc"),
+          sum(col("c") * length(col("tok"))).as("cs"),
+          sum(when(col("tok").isin(stopwords: _*), col("c")).otherwise(0L)).as("sc"))
+        .select(
+          col("doc_id"),
+          col("n").cast("bigint").as("n_tokens"),
+          round(col("cs") / col("n").cast("double"), 4).as("mean_tok_len"),
+          col("sc").cast("bigint").as("stop_cnt"),
+          round(col("tc") / col("n").cast("double"), 4).as("top_frac"),
+          round(col("d") / col("n").cast("double"), 4).as("ttr"))
+        .withColumn("reason",
+          when(col("n_tokens") < 25 || col("n_tokens") > 1000, "word_count")
+            .when(col("mean_tok_len") < 2.0 || col("mean_tok_len") > 10.0, "mean_tok_len")
+            .when(col("stop_cnt") < 2, "stopwords")
+            .when(col("top_frac") > 0.2, "repetition")
+            .when(col("ttr") < 0.35, "ttr")
+            .otherwise("ok"))
+        .orderBy("doc_id")
     }
   )
 

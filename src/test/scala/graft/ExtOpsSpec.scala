@@ -23,6 +23,63 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN recall@10 >= 0.6 vs brute force, with exact cosines on hits") {
+    import TestSpark._
+    val brute = ext.Similarity.ops.find(_.name == "sim_topk").get.fn(spark, sf).collect()
+    val pq = ext.Similarity.ops.find(_.name == "sim_topk_pq").get.fn(spark, sf).collect()
+    val bruteMap = brute.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hits = pq.map(_.getLong(0)).count(bruteMap.contains)
+    assert(hits >= 6, s"PQ recall@10 = $hits/10 vs brute force")
+    // the shortlist re-rank is exact cosine on the raw vectors, so every
+    // id PQ shares with brute force carries the identical similarity
+    pq.foreach { r =>
+      bruteMap.get(r.getLong(0)).foreach(b => assert(r.getDouble(1) == b))
+    }
+    assert(pq.length == 10)
+  }
+
+  test("dup_ngram_corpus: saturated docs are exactly the near-dup pair members") {
+    import TestSpark._
+    val per = ext.Dedup.ops.find(_.name == "dup_ngram_corpus").get.fn(spark, sf).collect()
+    assert(per.length == 500)
+    per.foreach { r =>
+      val (n, dup) = (r.getLong(1), r.getLong(2))
+      assert(dup >= 0 && dup <= n, s"doc ${r.getLong(0)}: dup_grams $dup outside [0, $n]")
+    }
+    // a doc whose 8-grams are ≥90% corpus-duplicated must be one side of a
+    // 3-gram Jaccard≥0.5 near-dup pair — the planted duplicates, nothing else
+    val saturated = per.filter(_.getDouble(3) >= 0.9).map(_.getLong(0)).toSet
+    val pairDocs = ext.Dedup.ops.find(_.name == "dedup_ngram").get.fn(spark, sf)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(saturated.nonEmpty, "fixture's planted dups should saturate dup_frac")
+    assert(saturated.subsetOf(pairDocs),
+      s"saturated docs outside the near-dup pair set: ${saturated -- pairDocs}")
+  }
+
+  test("quality_filter: reasons are internally consistent with the declared rules") {
+    import TestSpark._
+    val rows = ext.Text.ops.find(_.name == "quality_filter").get.fn(spark, sf).collect()
+    assert(rows.length == 500)
+    val byReason = rows.groupBy(_.getString(6)).view.mapValues(_.length).toMap
+    assert(byReason.contains("ok") && byReason.size >= 3,
+      s"thresholds should produce a real keep/drop mix, got $byReason")
+    rows.foreach { r =>
+      val (n, len, stop, top, ttr, reason) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getString(6))
+      reason match {
+        case "word_count"   => assert(n < 25 || n > 1000)
+        case "mean_tok_len" => assert(n >= 25 && n <= 1000 && (len < 2.0 || len > 10.0))
+        case "stopwords"    => assert(stop < 2 && len >= 2.0 && len <= 10.0)
+        case "repetition"   => assert(top > 0.2 && stop >= 2)
+        case "ttr"          => assert(ttr < 0.35 && top <= 0.2)
+        case "ok" =>
+          assert(n >= 25 && n <= 1000 && len >= 2.0 && len <= 10.0 &&
+            stop >= 2 && top <= 0.2 && ttr >= 0.35)
+        case other => fail(s"unknown reason $other")
+      }
+    }
+  }
+
   test("text_tfidf: one norm per doc, positive, and rarer terms outweigh common ones") {
     import TestSpark._
     val op = ext.Text.ops.find(_.name == "text_tfidf").get

@@ -433,6 +433,48 @@ class PlanSpec extends AnyFunSuite {
       s"winnowing must not sort per-doc windows:\n$plan")
   }
 
+  test("quality_filter: two keyed aggregations, both partial, never the text through a join") {
+    val plan = planOf(SparkEntry.queries("quality_filter")(spark, sf))
+    val keyed = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 2, s"expected exactly (doc_id,tok) + (doc_id) exchanges, got $keyed:\n$plan")
+    assert(plan.contains("partial_"), s"aggregates lost map-side combine:\n$plan")
+    assert(!plan.contains("Join"), s"signal computation must not join:\n$plan")
+  }
+
+  test("dup_ngram_corpus: one gram-keyed window exchange feeds one doc aggregation") {
+    val plan = planOf(SparkEntry.queries("dup_ngram_corpus")(spark, sf))
+    val keyed = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 2, s"expected gram-window + doc-agg exchanges only, got $keyed:\n$plan")
+    assert(plan.contains("Window"), s"corpus document-frequency lost its window form:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"gram frequencies must attach via the window, not a self-join:\n$plan")
+  }
+
+  test("fuzzy_join: the probe side broadcasts; the corpus never shuffles into the candidate join") {
+    val plan = planOf(SparkEntry.queries("fuzzy_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate generation lost the broadcast probe index:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join means a corpus-sized gram shuffle:\n$plan")
+    // the only keyed exchange is the (p_id, c_id) intersection count —
+    // candidate-pair-sized, tiny next to the corpus
+    val keyed = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"expected only the pair-count exchange, got $keyed:\n$plan")
+  }
+
+  test("ssb flights: the year predicate prunes lineorder partitions at planning time") {
+    // the denormalized fact is written partitioned by lo_year, so Q1's
+    // single-year filter and Q3's range must surface as PartitionFilters
+    // on the scan — directory pruning, not row filtering
+    val q1 = planOf(SparkEntry.queries("ssb_q1")(spark, sf))
+    assert(q1.contains("PartitionFilters") && q1.contains("lo_year"),
+      s"ssb_q1 year filter did not reach PartitionFilters:\n$q1")
+    val q3 = planOf(SparkEntry.queries("ssb_q3")(spark, sf))
+    assert(q3.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("lo_year")),
+      s"ssb_q3 year range did not reach PartitionFilters:\n$q3")
+  }
+
   test("whole-stage codegen covers the scan-filter-aggregate pipeline") {
     val df = schema.Tables.raw(spark, rawSf, "lineitem")
       .filter(col("l_quantity") < 24)
