@@ -488,6 +488,50 @@ object ModelQueries {
         .orderBy("phase")
     },
 
+    // M11b: incremental DELETION — the retention/CDC half of model
+    // maintenance the insert-only path can't express. Train on the whole
+    // events window, batch-delete the post-cut slice (same one-pass
+    // max-likelihood routing, counts clamped and renormalized), and show
+    // the estimate falling back toward the pre-cut table; a fresh model
+    // trained on only the pre-cut slice rides along as the reference
+    // point, so the delete path is graded against retraining in the op's
+    // own output (reference: aqp_spn.py::learn_incremental, extended to
+    // the forget direction).
+    Op.noOracle("spn_update_delete") { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+      val typeCode = map(types.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
+      val enc = Seq(element_at(typeCode, col("event_type")), col("value").cast("double"))
+      val cap = Ensemble.sampleCap
+      def sample(df: DataFrame): (Array[Array[Double]], Long) = {
+        val total = df.count()
+        val frac = math.min(1.0, cap * 1.2 / math.max(total, 1L))
+        val rows = df.select(enc: _*).sample(withReplacement = false, frac, 42L).limit(cap).collect()
+          .map(r => Array.tabulate(2)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+        (rows, total)
+      }
+      val (keep, nKeep) = sample(ev.filter(col("ts") < cut))
+      val (drop, nDrop) = sample(ev.filter(col("ts") >= cut))
+      val kinds: Array[Learn.ColKind] =
+        Array(Learn.CategoricalCol(types.length), Learn.NumericCol)
+      val rootAll = Learn.learn(keep ++ drop, kinds)
+      val viewCode = types.indexOf("view").toDouble
+      val ranges: Array[ColRange] = Array(NominalSet(Array(viewCode)), null)
+      val estAll = (nKeep + nDrop) * Spn.prob(rootAll, ranges)
+      val rootDel = Update.deleteBatch(rootAll, drop)
+      val estDel = nKeep * Spn.prob(rootDel, ranges)
+      val rootFresh = Learn.learn(keep, kinds)
+      val estFresh = nKeep * Spn.prob(rootFresh, ranges)
+      Seq(
+        ("all_rows", math.rint(estAll), nKeep + nDrop),
+        ("after_delete", math.rint(estDel), nKeep),
+        ("retrained_reference", math.rint(estFresh), nKeep))
+        .toDF("phase", "est_views", "modeled_rows")
+        .orderBy("phase")
+    },
+
     // §7.6: `spn_count(...)` registered as a Spark SQL FUNCTION
     // (plans/SpnFunctions.scala via GraftExtensions) — the reference's
     // maqp.py answers benchmark SQL strings from the model; here arbitrary

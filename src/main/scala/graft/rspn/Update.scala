@@ -93,4 +93,99 @@ object Update {
         NumericLeaf(l.colIdx, mVals.toArray, mCounts.map(_ / n1).toArray,
           (l.pNull * l.n + nulls) / n1, n1)
     }
+
+  /** Batched tuple DELETION — the other half of incremental maintenance
+    * (the CDC / retention / GDPR path: the reference's learn_incremental
+    * covers inserts; a warehouse model must also forget). Rows route down
+    * the PRE-delete tree by the same max-likelihood rule as inserts: the
+    * child that most plausibly generated a tuple is the one whose
+    * statistics it inflated, so that is where its mass comes back out.
+    * Every touched node is rebuilt copy-on-write exactly once per batch.
+    *
+    * Deletion is best-effort mass removal, not a ledger: deleting a tuple
+    * the model never absorbed clamps the affected counts at zero instead
+    * of going negative, and weights renormalize over the clamped counts —
+    * the tree stays a valid (normalized, non-negative) density estimate
+    * under any delete stream. insert-then-delete of the same batch is a
+    * near-identity (spec-asserted within tolerance), not bit-exact: the
+    * two passes route against different tree states.
+    */
+  def deleteBatch(node: SpnNode, rows: Array[Array[Double]]): SpnNode =
+    if (rows.isEmpty) node
+    else node match {
+      case SumNode(w, ch, n) =>
+        val buckets = Array.fill(ch.length)(new ArrayBuffer[Array[Double]])
+        rows.foreach { row =>
+          var best = 0
+          var bestL = -1.0
+          var i = 0
+          while (i < ch.length) {
+            val l = w(i) * Spn.likelihood(ch(i), row)
+            if (l > bestL) { bestL = l; best = i }
+            i += 1
+          }
+          buckets(best) += row
+        }
+        val counts = w.map(_ * n)
+        val newCh = new Array[SpnNode](ch.length)
+        var i = 0
+        while (i < ch.length) {
+          counts(i) = math.max(counts(i) - buckets(i).length, 0.0)
+          newCh(i) = deleteBatch(ch(i), buckets(i).toArray)
+          i += 1
+        }
+        val total = counts.sum
+        val n1 = math.max(n - rows.length, 1.0)
+        // all mass clamped away → fall back to uniform weights (the node
+        // models no remaining rows; any normalized weighting is equally
+        // uninformative and uniform keeps downstream math finite)
+        val w1 =
+          if (total > 0) counts.map(_ / total)
+          else Array.fill(ch.length)(1.0 / ch.length)
+        SumNode(w1, newCh, n1)
+
+      case ProductNode(ch, n) =>
+        ProductNode(ch.map(c => deleteBatch(c, rows)), math.max(n - rows.length, 1.0))
+
+      case l: CategoricalLeaf =>
+        val counts = l.probs.map(_ * l.n)
+        var nullC = l.pNull * l.n
+        rows.foreach { row =>
+          val v = row(l.colIdx)
+          if (v.isNaN) nullC = math.max(nullC - 1, 0.0)
+          else if (v >= 0 && v < counts.length)
+            counts(v.toInt) = math.max(counts(v.toInt) - 1, 0.0)
+        }
+        // renormalize over the REMAINING mass, not n1: a clamped or
+        // unmatched delete removed less than one row of mass, and dividing
+        // by the row-count delta would silently denormalize the histogram
+        val total = counts.sum + nullC
+        val n1 = math.max(l.n - rows.length, 1.0)
+        if (total > 0)
+          CategoricalLeaf(l.colIdx, counts.map(_ / total), nullC / total, n1)
+        else
+          CategoricalLeaf(l.colIdx,
+            Array.fill(counts.length)(1.0 / counts.length), 0.0, n1)
+
+      case l: NumericLeaf =>
+        val counts = l.probs.map(_ * l.n)
+        var nullC = l.pNull * l.n
+        rows.foreach { row =>
+          val v = row(l.colIdx)
+          if (v.isNaN) nullC = math.max(nullC - 1, 0.0)
+          else {
+            // histogram support never shrinks on delete (a zero-count bin
+            // is harmless); only matching bins give mass back
+            val idx = java.util.Arrays.binarySearch(l.vals, v)
+            if (idx >= 0) counts(idx) = math.max(counts(idx) - 1, 0.0)
+          }
+        }
+        val total = counts.sum + nullC
+        val n1 = math.max(l.n - rows.length, 1.0)
+        if (total > 0)
+          NumericLeaf(l.colIdx, l.vals, counts.map(_ / total), nullC / total, n1)
+        else
+          NumericLeaf(l.colIdx, l.vals,
+            Array.fill(counts.length)(1.0 / math.max(counts.length, 1)), 0.0, n1)
+    }
 }

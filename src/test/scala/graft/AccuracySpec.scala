@@ -60,6 +60,45 @@ class AccuracySpec extends AnyFunSuite {
       s"updated-model drift $mu exceeds 1.5x the fresh model's $mf")
   }
 
+  test("M11b delete drift: micro-batch deletes track a fresh retrain on the kept rows") {
+    // the forget direction of updates_evaluation: train on the FULL events
+    // stream, delete the time-suffix in micro-batches, and measure est_count
+    // q-error of the shrunk model against a model trained fresh on only the
+    // kept prefix. Delete routing is max-likelihood (not a ledger of the
+    // original cluster assignment), so the bound is the same protocol with
+    // the same ~1.5× envelope plus a routing allowance.
+    val ev = schema.Tables(spark, sf, "events")
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+    val typeCode = map(types.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
+    val data = ev
+      .orderBy("ts", "event_id")
+      .select(element_at(typeCode, col("event_type")), col("value").cast("double"))
+      .collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1)))
+    val kinds = Array[Learn.ColKind](Learn.CategoricalCol(types.length), Learn.NumericCol)
+    val cut = data.length / 2
+    val (kept, dropped) = data.splitAt(cut)
+    val batchSize = math.max(1, math.ceil(dropped.length / 5.0).toInt)
+    val shrunk = dropped.grouped(batchSize)
+      .foldLeft(Learn.learn(data, kinds))((root, b) => Update.deleteBatch(root, b.toArray))
+    val fresh = Learn.learn(kept, kinds)
+    val n = kept.length.toDouble
+    val rng = new Random(13)
+    val (qDel, qFresh) = (1 to 40).map { _ =>
+      val tcode = rng.nextInt(types.length).toDouble
+      val lo = rng.nextDouble() * 250
+      val hi = lo + 20 + rng.nextDouble() * 80
+      val ranges: Array[ColRange] = Array(NominalSet(Array(tcode)), NumRange(lo, hi))
+      val truth = kept.count(d => d(0) == tcode && d(1) >= lo && d(1) <= hi).toDouble
+      (qerr(n * Spn.prob(shrunk, ranges), truth), qerr(n * Spn.prob(fresh, ranges), truth))
+    }.unzip
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val (md, mf) = (median(qDel), median(qFresh))
+    info(f"median q-error deleted=$md%.3f fresh=$mf%.3f")
+    assert(md <= mf * 1.5 + 0.1,
+      s"delete-model drift $md exceeds 1.5x the fresh model's $mf")
+  }
+
   test("est_count single-table: median q-error <= 1.5 over random predicates") {
     val rng = new Random(123)
     val errs = (1 to 20).map { _ =>

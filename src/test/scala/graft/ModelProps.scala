@@ -76,6 +76,38 @@ object ModelProps extends Properties("rspn") {
       massOk && nOk && math.abs(est - exact) < 1e-6 * n
     }
 
+  property("deleteBatch keeps the tree a normalized density and decrements the ledger") =
+    forAll(genData, genData) { (d1, d2) =>
+      val root0 = Learn.learn(d1, kinds)
+      val root1 = Update.insertBatch(root0, d2)
+      val root2 = Update.deleteBatch(root1, d2)
+      val massOk = math.abs(Spn.prob(root2, Array(null, null)) - 1.0) < 1e-9
+      val nOk = math.abs(root2.n - d1.length) < 1e-9
+      val p = Spn.prob(root2, Array(null, NumRange(0.0, 25.0)))
+      massOk && nOk && p >= 0.0 && p <= 1.0 + 1e-9
+    }
+
+  property("well-separated cluster deletion removes exactly that cluster's mass") =
+    forAll(Gen.choose(20, 100), Gen.choose(20, 100)) { (nA, nB) =>
+      // two modes far apart in BOTH columns: routing is unambiguous, so the
+      // tolerance can be exact-grade even though delete routing is
+      // max-likelihood, not a ledger of the original cluster assignment
+      val dA = Array.tabulate(nA)(i => Array(0.0, (i % 10).toDouble))
+      val dB = Array.tabulate(nB)(i => Array(1.0, 500.0 + (i % 10).toDouble))
+      val root = Learn.learn(dA ++ dB, kinds)
+      val after = Update.deleteBatch(root, dB)
+      val estB = after.n * Spn.prob(after, Array(null, NumRange(400.0, 600.0)))
+      val estA = after.n * Spn.prob(after, Array(null, NumRange(0.0, 10.0)))
+      estB < 1e-6 * (nA + nB) && math.abs(estA - nA) < 1e-6 * (nA + nB)
+    }
+
+  property("deleting every training row still leaves a valid (uniform-fallback) tree") =
+    forAll(genData) { data =>
+      val root = Learn.learn(data, kinds)
+      val empty = Update.deleteBatch(root, data)
+      math.abs(Spn.prob(empty, Array(null, null)) - 1.0) < 1e-9 && empty.n >= 1.0
+    }
+
   property("group enumeration support equals the data's support") =
     forAll(genData) { data =>
       val root = Learn.learn(data, kinds)
