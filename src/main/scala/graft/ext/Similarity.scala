@@ -336,6 +336,65 @@ object Similarity {
         .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
     },
 
+    // L3 scale path #4: IVFPQ — the production-default ANN index (FAISS
+    // IVFx,PQy): the IVF coarse quantizer prunes the scan to nProbe cells,
+    // and WITHIN the probed cells rows are scored from product-quantized
+    // RESIDUALS (vector − cell centroid) — residuals spread far less than
+    // raw vectors, so the same codebook budget quantizes them tighter.
+    // A query builds one residual lookup table per PROBED cell (nProbe ×
+    // pqM × pqK exact distances, driver-side); the probed scan scores each
+    // row with pqM lookups + adds picked by its cell id, TakeOrdered keeps
+    // a 100-candidate shortlist, exact cosine re-ranks to top-10. Combines
+    // both scale levers: touch nProbe/k of the corpus, at pqM bytes per
+    // touched row.
+    Op.noOracle("sim_topk_ivfpq") { (s, d) =>
+      val cents = ivfCentroids(s, d)
+      val books = ivfpqCodebooks(s, d)
+      val subDim = books.head.head.length
+      val centArr = array(cents.map(c => lit(c)): _*)
+      val codes = ModelCache.memo(s, d, "ivfpq_codes") {
+        def codeCol(sIdx: Int): Column = {
+          val sub = slice(col("resid"), sIdx * subDim + 1, subDim)
+          val dists = array(books(sIdx).map(c =>
+            lit(-2.0) * dotd(sub, lit(c)) + lit(c.map(x => x * x).sum)): _*)
+          (array_position(dists, array_min(dists)).cast("int") - 1)
+        }
+        ivfAssigned(s, d)
+          .withColumn("resid",
+            zip_with(col("unit"), centArr.getItem(col("cell")), (a, b) => a - b))
+          .select(col("vec_id"), col("cell"), col("v"), col("n2"),
+            array((0 until pqM).map(codeCol): _*).as("codes"))
+          .cache()
+      }
+      val qUnit = unitFeats(s, d).filter(col("vec_id") === 0)
+        .select("unit").head().getSeq[Double](0).toArray
+      val probes = nearestCells(cents, qUnit)
+      // residual LUT per probed cell: lut(s)(c) = |(q − cell)_s − c|²
+      def cellAdc(k: Int): Column = {
+        val qr = Array.tabulate(qUnit.length)(j => qUnit(j) - cents(k)(j))
+        (0 until pqM).map { sIdx =>
+          val qs = qr.slice(sIdx * subDim, (sIdx + 1) * subDim)
+          val lut = books(sIdx).map(c => sqdist(qs, c)).toArray
+          lit(lut).getItem(col("codes").getItem(sIdx))
+        }.reduce(_ + _)
+      }
+      val adc = probes.tail.foldLeft(when(col("cell") === probes.head, cellAdc(probes.head))) {
+        (acc, k) => acc.when(col("cell") === k, cellAdc(k))
+      }
+      val qv = broadcast(unitFeats(s, d).filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2")))
+      codes
+        .filter(col("cell").isin(probes.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
+        .withColumn("adc", adc)
+        .orderBy(col("adc").asc, col("vec_id")) // TakeOrdered: no full sort
+        .limit(100)
+        .crossJoin(qv)
+        .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+    },
+
     // Per-label embedding centroids (the "cluster centroid" step of every
     // embedding pipeline: class prototypes, IVF retraining, drift checks),
     // exploded to (label, pos, val) rows so the oracle is plain SQL. The
@@ -473,6 +532,39 @@ object Similarity {
       (0 until pqM).map { sIdx =>
         val subs = sample.map(v => v.slice(sIdx * subDim, (sIdx + 1) * subDim))
         lloyds(subs, pqK, iters = 10, seed = 42L + sIdx)
+      }
+    }
+
+  /** Per-subspace RESIDUAL codebooks for IVFPQ: the PQ trained not on the
+    * vectors but on (vector − its coarse cell centroid) — residuals have
+    * much smaller spread than raw vectors, so the same pqK centroids
+    * quantize them with less error (the reason FAISS's default index is
+    * IVFxx,PQyy and not flat PQ). Driver-side like every quantizer here:
+    * one bounded sorted sample, nearest-centroid assignment, pqM Lloyd's
+    * runs on the residual slices.
+    */
+  private[ext] def ivfpqCodebooks(s: SparkSession, d: String): Seq[Seq[Array[Double]]] =
+    ModelCache.memo(s, d, "ivfpq_codebooks") {
+      val cents = ivfCentroids(s, d)
+      val sample = unitFeats(s, d).filter(col("vec_id") < 4096)
+        .select("vec_id", "unit").collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val resid = sample.map { v =>
+        var best = 0
+        var bd = Double.MaxValue
+        var i = 0
+        while (i < cents.length) {
+          val dd = sqdist(v, cents(i)); if (dd < bd) { bd = dd; best = i }; i += 1
+        }
+        val c = cents(best)
+        Array.tabulate(v.length)(j => v(j) - c(j))
+      }
+      val dim = resid.head.length
+      require(dim % pqM == 0, s"IVFPQ needs dim divisible by $pqM, got $dim")
+      val subDim = dim / pqM
+      (0 until pqM).map { sIdx =>
+        val subs = resid.map(r => r.slice(sIdx * subDim, (sIdx + 1) * subDim))
+        lloyds(subs, pqK, iters = 10, seed = 4242L + sIdx)
       }
     }
 

@@ -38,6 +38,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pq.length == 10)
   }
 
+  test("IVFPQ tracks the pure-IVF path inside probed cells, exact cosines on hits") {
+    import TestSpark._
+    val brute = ext.Similarity.ops.find(_.name == "sim_topk").get.fn(spark, sf).collect()
+    val ivf = ext.Similarity.ops.find(_.name == "sim_topk_ivf").get.fn(spark, sf).collect()
+    val ivfpq = ext.Similarity.ops.find(_.name == "sim_topk_ivfpq").get.fn(spark, sf).collect()
+    val bruteMap = brute.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivfIds = ivf.map(_.getLong(0)).toSet
+    // cell recall is the IVF trade both paths share; the PQ shortlist +
+    // exact re-rank must not lose much WITHIN the probed cells
+    val vsBrute = ivfpq.map(_.getLong(0)).count(bruteMap.contains)
+    val vsIvf = ivfpq.map(_.getLong(0)).count(ivfIds.contains)
+    assert(vsBrute >= 5, s"IVFPQ recall@10 = $vsBrute/10 vs brute force")
+    assert(vsIvf >= 8, s"IVFPQ lost $vsIvf/10 of the pure-IVF answer inside probed cells")
+    ivfpq.foreach { r =>
+      bruteMap.get(r.getLong(0)).foreach(b => assert(r.getDouble(1) == b))
+    }
+    assert(ivfpq.length == 10)
+  }
+
   test("dup_ngram_corpus: saturated docs are exactly the near-dup pair members") {
     import TestSpark._
     val per = ext.Dedup.ops.find(_.name == "dup_ngram_corpus").get.fn(spark, sf).collect()

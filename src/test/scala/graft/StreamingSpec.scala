@@ -14,6 +14,7 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class CdcEv(op: String, event_type: String, value: Double)
   case class Chg(c_key: Long, op: String, c_status: Option[String], c_totalprice: Option[Double])
 
   test("tumbling window agg over a stream matches batch semantics") {
@@ -203,6 +204,52 @@ class StreamingSpec extends AnyFunSuite {
     val viewRange: Array[ColRange] = Array(NominalSet(Array(code("view"))), null)
     val pView = Spn.prob(model, viewRange)
     assert(pView > 1.0 / 3 + 0.05, s"P(view)=$pView did not track the inserted burst")
+  }
+
+  test("M11b streaming: a CDC stream of inserts AND deletes maintains the RSPN") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.rspn._
+
+    val types = Array("click", "purchase", "view")
+    def code(t: String): Double = types.indexOf(t).toDouble
+    def row(t: String, v: Double): Array[Double] = Array(code(t), v)
+
+    val seed = Array.tabulate(240)(i => row(types(i % 3), (i % 10).toDouble))
+    val kinds: Array[Learn.ColKind] = Array(Learn.CategoricalCol(3), Learn.NumericCol)
+    @volatile var model: SpnNode = Learn.learn(seed, kinds)
+    val n0 = model.n
+
+    // the change-feed shape: each record is (op, tuple); one foreachBatch
+    // applies the batch's inserts and deletes as TWO routed passes against
+    // one immutable snapshot swap — the streaming face of CDC-maintained
+    // model state
+    val mem = MemoryStream[CdcEv]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("op", "event_type", "value").collect()
+        val ins = rows.filter(_.getString(0) == "I").map(r => row(r.getString(1), r.getDouble(2)))
+        val del = rows.filter(_.getString(0) == "D").map(r => row(r.getString(1), r.getDouble(2)))
+        model = Update.deleteBatch(Update.insertBatch(model, ins), del)
+      }
+      .start()
+    // batch 1: a burst of views arrives
+    mem.addData((1 to 60).map(_ => CdcEv("I", "view", 1.0)): _*)
+    q.processAllAvailable()
+    val pAfterBurst = Spn.prob(model, Array(NominalSet(Array(code("view"))), null))
+    assert(model.n == n0 + 60)
+    // batch 2: the same burst is retracted (a correction/retention sweep)
+    mem.addData((1 to 60).map(_ => CdcEv("D", "view", 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(model.n == n0, s"retraction must restore the row ledger: ${model.n} vs $n0")
+    val pView = Spn.prob(model, Array(NominalSet(Array(code("view"))), null))
+    assert(pAfterBurst > 1.0 / 3 + 0.05, s"burst did not raise P(view): $pAfterBurst")
+    // insert-then-delete of the identical batch is a near-identity; the
+    // seed is uniform over types, so P(view) must return to ~1/3
+    assert(math.abs(pView - 1.0 / 3) < 0.02,
+      s"P(view)=$pView did not fall back to the seed distribution after retraction")
   }
 
   test("per-window top-k: streaming counts + foreachBatch rank match the batch form (T11)") {
