@@ -58,6 +58,25 @@ class WorkloadSpec extends AnyFunSuite {
     assert(json.contains("\\\"t\\\"")) // quotes in SQL must be escaped
   }
 
+  test("SSB-flight AQP workload meets the relative-error gate: median ≤ 0.05, p95 ≤ 0.25") {
+    // the reference's headline experiment — approximate answers to SSB
+    // flights — replayed through the model plane as a workload FILE, so the
+    // whole path (parse → model select → estimate → relative error) is the
+    // external-benchmark path, not the in-code generator
+    val ssb = QErrorEval.readWorkload("workloads/ssb_aqp_10.sql")
+    assert(ssb.length == 10)
+    val truth = QErrorEval.computeTruth(spark, sf, ssb, cache = false)
+    val rows = QErrorEval.runWorkload(spark, sf, ssb, truth)
+    val errs = rows.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = rows.maxBy(_.relErr)
+    info(f"median rel err $median%.4f p95 $p95%.4f max ${worst.relErr}%.4f " +
+      f"(q${worst.no}: est ${worst.est}%.1f vs true ${worst.truth}%.1f)")
+    assert(median <= 0.05, f"median relative error $median%.4f > 0.05")
+    assert(p95 <= 0.25, f"p95 relative error $p95%.4f > 0.25; worst q${worst.no}: ${worst.sql}")
+  }
+
   test("the AQP workload meets the relative-error gate: median ≤ 0.05, p95 ≤ 0.25") {
     val aqp = QErrorEval.readWorkload("workloads/testdata_aqp_20.sql")
     assert(aqp.length == 20)
