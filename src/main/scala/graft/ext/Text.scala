@@ -466,6 +466,55 @@ object Text {
             .when(col("ttr") < 0.35, "ttr")
             .otherwise("ok"))
         .orderBy("doc_id")
+    },
+
+    // L5g: unigram-LM perplexity scoring — the KenLM-shaped quality signal
+    // (CCNet/Gopher filter by LM perplexity; a unigram model is its
+    // distributable degenerate case and already separates fluent from
+    // degenerate token streams). The corpus IS the training set here
+    // (self-scoring), so every token has frequency ≥ 1 and no smoothing
+    // branch is needed; scoring corpus B against corpus A's vocabulary
+    // would add an OOV floor (broadcast top-K vocab + a fixed penalty).
+    // Plan: one gram-keyed window attaches each token's corpus frequency
+    // (same shape as dup_ngram_corpus), the corpus total rides as a 1-row
+    // broadcast, and the doc aggregation averages ln p — shuffle rows are
+    // (doc_id, token, count) scalars. ln/exp are IEEE doubles in both
+    // engines; results round (4/2 decimals) AFTER the full per-doc
+    // reduction, same policy as every float op here.
+    Op(
+      "perplexity_unigram",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) OVER (PARTITION BY tok) AS c FROM tok),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS nt,
+        |         CAST(SUM(CAST(ln(c / CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+        |           / COUNT(*) AS lp
+        |  FROM tf, tot GROUP BY doc_id)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |       ROUND(lp, 4) AS avg_logp, ROUND(exp(-lp), 2) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val exploded = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+      val total = broadcast(exploded.agg(count(lit(1)).as("n")))
+      exploded
+        .withColumn("c", count(lit(1)).over(w))
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_tokens"),
+          // decimal-exact sum of the per-token ln terms: double addition is
+          // order-dependent and partial-agg order differs between engines
+          (sum(log(col("c") / col("n").cast("double")).cast("decimal(28,12)"))
+            .cast("double") / count(lit(1))).as("lp"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("lp"), 4).as("avg_logp"),
+          round(exp(-col("lp")), 2).as("ppl"))
+        .orderBy("doc_id")
     }
   )
 
