@@ -395,6 +395,56 @@ object Extended {
         .withColumn("est_cnt", estimate(col("o_custkey")))
         .filter(col("est_cnt") >= lit(2.0 * mean))
         .orderBy("o_custkey")
+    },
+
+    // Ordered-sequence funnel analysis (view → click → purchase, each step
+    // within 12 h of the previous) — the product-analytics staple every
+    // event warehouse ships. Each stage is one user-keyed aggregate (MIN
+    // event time satisfying the step's ordering + deadline constraint
+    // against the previous stage's time), so the plan is three partial-agg
+    // shuffles on user_id and per-user state is ONE timestamp per stage —
+    // no per-user event-list collection, no window sort over the event
+    // log, which is what keeps it alive when one user has a million
+    // events. Timestamp ordering and interval arithmetic are exact in both
+    // engines; only the conversion rate is floating (rounded last).
+    Op(
+      "funnel_steps",
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1
+        |         AND ts <= t1 + INTERVAL 12 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2
+        |         AND ts <= t2 + INTERVAL 12 HOUR GROUP BY 1),
+        |c AS (SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS users
+        |      UNION ALL
+        |      SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |      UNION ALL
+        |      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, event_type, CAST(users AS BIGINT) AS users,
+        |       ROUND(users / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 4) AS conv_rate
+        |FROM c ORDER BY step""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val deadline = expr("INTERVAL 12 HOURS")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + deadline)
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + deadline)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val (n1, n2, n3) =
+        (s1.count(), s2.count(), s3.count()) // three scalar actions over tiny per-user frames
+      Seq((1L, "view", n1), (2L, "click", n2), (3L, "purchase", n3))
+        .toDF("step", "event_type", "users")
+        .withColumn("conv_rate", round(col("users") / lit(n1.toDouble), 4))
+        .orderBy("step")
     }
   )
 }

@@ -530,6 +530,134 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("p_id"), col("c_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("p_id", "c_id")
+    },
+
+    // THE WHOLE RECIPE AS ONE PLAN: quality gate (Gopher rules) →
+    // benchmark decontamination → near-dup canonical removal → temperature
+    // language mixing — the four stages every pretraining corpus passes
+    // through, composed declaratively so Catalyst sees one dataflow (each
+    // stage's drop set attaches as a semi/anti join or a narrow broadcast
+    // filter; nothing materializes between stages, and the mixing rates
+    // are computed over the CLEANED corpus, as a real recipe orders it).
+    // Stage costs are exactly the standalone ops': two doc-keyed quality
+    // aggregations, a one-row broadcast gram set, the memoized pair-graph
+    // labels, one bounded language-count aggregate. Scoped to the oracle
+    // corpus (doc_id < 500) like the dedup family it builds on.
+    Op(
+      "corpus_pipeline",
+      """WITH RECURSIVE
+        |tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cq AS (SELECT doc_id, tok, COUNT(*) AS c FROM tokq GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         ROUND(SUM(c * len(tok)) / CAST(SUM(c) AS DOUBLE), 4) AS mean_tok_len,
+        |         CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','is','in')
+        |                       THEN c ELSE 0 END) AS BIGINT) AS stop_cnt,
+        |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_frac,
+        |         ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS ttr
+        |  FROM cq GROUP BY doc_id),
+        |ok AS (SELECT doc_id FROM sig
+        |       WHERE n_tokens BETWEEN 25 AND 1000 AND mean_tok_len BETWEEN 2.0 AND 10.0
+        |         AND stop_cnt >= 2 AND top_frac <= 0.2 AND ttr >= 0.35),
+        |tl AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 3),
+        |         i -> concat_ws(' ', l[i], l[i+1], l[i+2], l[i+3]))) AS gram FROM tl)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 7),
+        |contam AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+        |           WHERE doc_id % 100 <> 7),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) pr
+        |  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+        |  WHERE inter / (ca.n + cb.n - inter) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(node, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node),
+        |drop_ids AS (SELECT node FROM reach GROUP BY node HAVING node <> MIN(r)),
+        |cleaned AS (
+        |  SELECT d.doc_id, d.lang, d.source FROM documents d
+        |  WHERE d.doc_id < 500
+        |    AND d.doc_id IN (SELECT doc_id FROM ok)
+        |    AND d.doc_id % 100 <> 7
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND d.doc_id NOT IN (SELECT node FROM drop_ids)),
+        |cnt2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM cleaned GROUP BY lang),
+        |tot AS (SELECT SUM(CAST(sqrt(c) AS DECIMAL(18,6))) AS sw,
+        |               CAST(SUM(c) AS BIGINT) AS n FROM cnt2),
+        |rate AS (SELECT lang,
+        |           least(round(0.5 * n * (CAST(CAST(sqrt(c) AS DECIMAL(18,6)) AS DOUBLE)
+        |                                  / CAST(sw AS DOUBLE)) / c, 6), 1.0) AS r
+        |         FROM cnt2, tot),
+        |thr AS (SELECT lang,
+        |          printf('%08x', CAST(least(floor(r * 4294967296), 4294967295) AS BIGINT)) AS h
+        |        FROM rate)
+        |SELECT c.doc_id, c.lang, c.source FROM cleaned c JOIN thr USING (lang)
+        |WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) <= h
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      // stage 1 — quality gate (exact quality_filter rules, rounded before
+      // comparison so the decision cannot flip between engines)
+      val cnts = docs(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val okIds = cnts.groupBy("doc_id")
+        .agg(
+          sum("c").as("n"), count(lit(1)).as("dn"), max("c").as("tc"),
+          sum(col("c") * length(col("tok"))).as("cs"),
+          sum(when(col("tok").isin(Text.stopwords: _*), col("c")).otherwise(0L)).as("sc"))
+        .select(
+          col("doc_id"),
+          col("n").cast("bigint").as("n_tokens"),
+          round(col("cs") / col("n").cast("double"), 4).as("mlen"),
+          col("sc").cast("bigint").as("stop_cnt"),
+          round(col("tc") / col("n").cast("double"), 4).as("top_frac"),
+          round(col("dn") / col("n").cast("double"), 4).as("ttr"))
+        .filter(col("n_tokens").between(25, 1000) && col("mlen").between(2.0, 10.0) &&
+          col("stop_cnt") >= 2 && col("top_frac") <= 0.2 && col("ttr") >= 0.35)
+        .select("doc_id")
+      // stage 2 — decontamination (1-row broadcast gram set, narrow filter)
+      val isBench = col("doc_id") % 100 === 7
+      val grams = Text.shinglesOfTokens(col("toks"), 4)
+      val benchSet = docs(s, d).filter(isBench)
+        .withColumn("toks", Text.tokens(lower(col("text"))))
+        .select(explode(grams).as("gram"))
+        .agg(collect_set(col("gram")).as("bench_grams"))
+      // stage 3 — near-dup canonical drop list (memoized pair-graph labels)
+      val labels = ModelCache.memo(s, d, "cluster_labels") { clusterLabels(s, d) }
+      val dropIds = labels.filter(col("node") =!= col("lbl")).select(col("node").as("doc_id"))
+      val cleaned = docs(s, d).filter(col("doc_id") < 500 && !isBench)
+        .join(okIds, Seq("doc_id"), "left_semi")
+        .withColumn("toks", Text.tokens(lower(col("text"))))
+        .crossJoin(broadcast(benchSet))
+        .filter(!arrays_overlap(grams, col("bench_grams")))
+        .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+      // stage 4 — temperature mixing, rates over the CLEANED corpus
+      val sqDec = sqrt(col("c")).cast("decimal(18,6)")
+      val cnt2 = cleaned.groupBy("lang").agg(count(lit(1)).cast("bigint").as("c"))
+      val tot = cnt2.agg(sum(sqDec).as("sw"), sum(col("c")).cast("bigint").as("n"))
+      val r = least(
+        round(lit(0.5) * col("n") * (sqDec.cast("double") / col("sw").cast("double")) /
+          col("c"), 6),
+        lit(1.0))
+      val thresholds = cnt2.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          format_string("%08x",
+            least(floor(r * 4294967296.0).cast("bigint"), lit(4294967295L))).as("h"))
+      cleaned
+        .join(broadcast(thresholds), Seq("lang"))
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8) <= col("h"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     }
   )
 

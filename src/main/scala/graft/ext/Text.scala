@@ -38,7 +38,7 @@ object Text {
           .otherwise(array().cast("array<int>")),
         i => concat_ws(" ", (1 to n).map(k => element_at(tk, i + k)): _*)))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
+  private[ext] val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
 
   /** pack_sequences capacity (tokens per packed sequence) — interpolated
     * into BOTH the Spark plan and the oracle SQL so the two cannot drift.
