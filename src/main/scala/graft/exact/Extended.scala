@@ -409,22 +409,7 @@ object Extended {
     // engines; only the conversion rate is floating (rounded last).
     Op(
       "funnel_steps",
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
-        |            WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
-        |       WHERE event_type = 'click' AND ts > t1
-        |         AND ts <= t1 + INTERVAL 12 HOUR GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
-        |       WHERE event_type = 'purchase' AND ts > t2
-        |         AND ts <= t2 + INTERVAL 12 HOUR GROUP BY 1),
-        |c AS (SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS users
-        |      UNION ALL
-        |      SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
-        |      UNION ALL
-        |      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
-        |SELECT CAST(step AS BIGINT) AS step, event_type, CAST(users AS BIGINT) AS users,
-        |       ROUND(users / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 4) AS conv_rate
-        |FROM c ORDER BY step""".stripMargin
+      Extended.funnelOracleSql
     ) { (s, d) =>
       import s.implicits._
       val ev = t(s, d, "events")
@@ -447,4 +432,28 @@ object Extended {
         .orderBy("step")
     }
   )
+
+  /** The funnel definition's oracle SQL, shared with the stateful
+    * streaming form (ext/Streaming.scala `funnel_steps_state`) so the two
+    * executions are pinned to ONE ground truth. A `def` (not a val): `ops`
+    * above reads it during object initialization, and a later-declared val
+    * would still be null at that point.
+    */
+  private[graft] def funnelOracleSql: String =
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1
+        |         AND ts <= t1 + INTERVAL 12 HOUR GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2
+        |         AND ts <= t2 + INTERVAL 12 HOUR GROUP BY 1),
+        |c AS (SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS users
+        |      UNION ALL
+        |      SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |      UNION ALL
+        |      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+        |SELECT CAST(step AS BIGINT) AS step, event_type, CAST(users AS BIGINT) AS users,
+        |       ROUND(users / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 4) AS conv_rate
+        |FROM c ORDER BY step""".stripMargin
 }

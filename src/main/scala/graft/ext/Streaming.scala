@@ -341,6 +341,88 @@ object Streaming {
         |  ON c.user_id = p.user_id
         | AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin
-    )((s, d) => intervalJoinLeft(events(s, d)).orderBy("p_id"))
+    )((s, d) => intervalJoinLeft(events(s, d)).orderBy("p_id")),
+
+    // T12: STATEFUL funnel — the batch funnel_steps re-expressed as a
+    // per-user forward fold in flatMapGroupsWithState, the form that runs
+    // incrementally on a live event stream (state = one FunnelTimes triple
+    // per user; a micro-batch advances each touched user's stage). Batch
+    // execution processes each user's full sorted history once, which is
+    // provably the same answer as the three-stage MIN-aggregate SQL — the
+    // op shares funnel_steps' EXACT oracle string so the two executions
+    // are pinned to one ground truth. StreamingSpec drives the cross-batch
+    // stage advancement and the deadline rejection over a MemoryStream.
+    Op(
+      "funnel_steps_state",
+      graft.exact.Extended.funnelOracleSql
+    ) { (s, d) =>
+      import s.implicits._
+      val st = funnelStages(events(s, d), emitTransitions = false)
+      val r = st.agg(
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n3")).head()
+      val (n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      Seq((1L, "view", n1), (2L, "click", n2), (3L, "purchase", n3))
+        .toDF("step", "event_type", "users")
+        .withColumn("conv_rate", round(col("users") / lit(n1.toDouble), 4))
+        .orderBy("step")
+    }
   )
+
+  /** Per-user funnel progress: epoch-micro times of the first qualifying
+    * view/click/purchase (−1 = not reached). Lives in GroupState across
+    * micro-batches in streaming execution.
+    */
+  case class FunnelTimes(t1: Long, t2: Long, t3: Long) {
+    def stage: Int = if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0
+  }
+
+  /** The funnel fold behind [[ops]]' `funnel_steps_state`: events process
+    * in event-time order within each micro-batch slice; a stage advances on
+    * the FIRST event satisfying its ordering + 12 h deadline constraint
+    * against the previous stage's recorded time. In-order processing makes
+    * the forward fold equal the MIN-aggregate SQL: when a click is
+    * examined, every earlier view has already been folded, so t1 is final.
+    * The streaming contract is per-user event-time-monotone arrival across
+    * micro-batches (the same assumption as any no-watermark stateful fold);
+    * out-of-order history would need the sessionize-style run merging.
+    *
+    * emitTransitions=false (batch): one (user, final stage) row per user.
+    * emitTransitions=true (streaming): a row only when a batch ADVANCES the
+    * user's stage — the live conversion feed.
+    */
+  def funnelStages(ev: DataFrame, emitTransitions: Boolean): DataFrame = {
+    val s = ev.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val deadline = 12L * 3600 * 1000000
+    ev.select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String)], state: GroupState[FunnelTimes]) =>
+          val evs = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(FunnelTimes(-1L, -1L, -1L))
+          val stage0 = st.stage
+          evs.foreach { case (_, ts, tpe) =>
+            tpe match {
+              case "view" if st.t1 < 0 =>
+                st = st.copy(t1 = ts)
+              case "click" if st.t1 >= 0 && st.t2 < 0 &&
+                  ts > st.t1 && ts <= st.t1 + deadline =>
+                st = st.copy(t2 = ts)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
+                  ts > st.t2 && ts <= st.t2 + deadline =>
+                st = st.copy(t3 = ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          if (emitTransitions)
+            (if (st.stage > stage0) Iterator((user, st.stage.toLong)) else Iterator.empty)
+          else Iterator((user, st.stage.toLong))
+      }
+      .toDF("user_id", "stage")
+  }
 }

@@ -252,6 +252,35 @@ class StreamingSpec extends AnyFunSuite {
       s"P(view)=$pView did not fall back to the seed distribution after retraction")
   }
 
+  test("T12 stateful funnel: stages advance across micro-batches, deadlines reject (and batch == SQL shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = ext.Streaming.funnelStages(mem.toDF(), emitTransitions = true)
+      .writeStream.format("memory").queryName("funnelq").outputMode("append").start()
+    // batch 1: user 7 starts the funnel; user 8's click has no view yet
+    mem.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:00:00"), 8, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 7 converts to click (within 12 h); user 8 finally views
+    mem.addData(
+      Ev(3, ts("2024-01-01 11:00:00"), 7, "click", 1.0),
+      Ev(4, ts("2024-01-01 11:30:00"), 8, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: user 7's purchase misses the 12 h deadline (t2 + 12.5 h);
+    // user 8 clicks in time
+    mem.addData(
+      Ev(5, ts("2024-01-01 23:30:00"), 7, "purchase", 1.0),
+      Ev(6, ts("2024-01-01 12:00:00"), 8, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select user_id, stage from funnelq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 1L), (7L, 2L), (8L, 1L), (8L, 2L)),
+      s"transition feed mismatch: $got")
+  }
+
   test("per-window top-k: streaming counts + foreachBatch rank match the batch form (T11)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
