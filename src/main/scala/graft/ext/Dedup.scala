@@ -60,12 +60,13 @@ object Dedup {
     * inverted index (join on shingle), never a cross join. Shared by
     * `dedup_ngram` (the pair list) and `dedup_cluster` (its edge set).
     */
-  def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    // both the inverted index and the size table re-read the shingled base,
-    // and the index self-joins — cache the featurized forms so the shingle
-    // HOFs run once per row, not once per plan branch (memoized so repeat
-    // invocations don't stack cached copies)
-    val base = ModelCache.memo(s, d, "ngram_base") {
+  /** The scoped, shingled oracle corpus — shared featurization of the
+    * exact-Jaccard family (ngramPairs, dedup_containment). Memoized+cached
+    * so the shingle HOFs run once per row per session, not once per
+    * consuming op or plan branch.
+    */
+  private def shingledBase(s: SparkSession, d: String): DataFrame =
+    ModelCache.memo(s, d, "ngram_base") {
       docs(s, d)
         .filter(col("doc_id") < 500)
         .filter(size(Text.tokens(col("text"))) >= 3)
@@ -77,9 +78,15 @@ object Dedup {
         .select(col("doc_id"), Text.shinglesOfTokens(col("toks"), 3).as("sh"))
         .cache()
     }
-    val exploded = ModelCache.memo(s, d, "ngram_exploded") {
-      base.select(col("doc_id"), explode(col("sh")).as("s")).cache()
+
+  private def shingledExploded(s: SparkSession, d: String): DataFrame =
+    ModelCache.memo(s, d, "ngram_exploded") {
+      shingledBase(s, d).select(col("doc_id"), explode(col("sh")).as("s")).cache()
     }
+
+  def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val base = shingledBase(s, d)
+    val exploded = shingledExploded(s, d)
     // the qualifying pair list itself is memoized+cached: dedup_ngram,
     // dedup_cluster and dedup_canonical all consume it, and the inverted-
     // index self-join is the expensive part (the result is dup-pair-sized,
@@ -530,6 +537,53 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .select(col("p_id"), col("c_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("p_id", "c_id")
+    },
+
+    // L2n: asymmetric CONTAINMENT pairs — |A∩B| / |A|, the directional
+    // cousin of Jaccard that catches a short document quoted INSIDE a long
+    // one (Jaccard punishes the size mismatch; containment of the smaller
+    // side stays ≈ 1). Same inverted-index candidate generation as
+    // dedup_ngram (shared memoized shingle frames — zero extra featurize
+    // cost in a session that ran the dedup family), thresholded on
+    // max(containment(a→b), containment(b→a)) ≥ 0.8 so the emitted pair
+    // list is orientation-annotated: which side is the contained one.
+    Op(
+      "dedup_containment",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       ROUND(greatest(inter / CAST(ca.n AS DOUBLE), inter / CAST(cb.n AS DOUBLE)), 4)
+        |         AS containment,
+        |       CASE WHEN ca.n <= cb.n THEN a_id ELSE b_id END AS contained_id
+        |FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+        |WHERE greatest(inter / CAST(ca.n AS DOUBLE), inter / CAST(cb.n AS DOUBLE)) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, d) =>
+      // reuse the exact-Jaccard machinery's shared shingle frames but
+      // apply the containment threshold — ngramPairs itself thresholds on
+      // jaccard, so the intersection counts recompute here
+      val exploded = shingledExploded(s, d)
+      val cnt = shingledBase(s, d)
+        .select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
+      val a = exploded.toDF("a_id", "s")
+      val b = exploded.toDF("b_id", "s2")
+      a.join(b, a("s") === b("s2") && a("a_id") < b("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).cast("double").as("inter"))
+        .join(cnt.toDF("a_id", "na"), "a_id")
+        .join(cnt.toDF("b_id", "nb"), "b_id")
+        .withColumn("containment",
+          greatest(col("inter") / col("na"), col("inter") / col("nb")))
+        .filter(col("containment") >= 0.8)
+        .select(col("a_id"), col("b_id"),
+          round(col("containment"), 4).as("containment"),
+          when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id")).as("contained_id"))
+        .orderBy("a_id", "b_id")
     },
 
     // THE WHOLE RECIPE AS ONE PLAN: quality gate (Gopher rules) →

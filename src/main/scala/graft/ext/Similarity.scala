@@ -148,6 +148,65 @@ object Similarity {
             (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos")))
     },
 
+    // L3c: k-NN CLASSIFICATION — the labeled-embeddings use every retrieval
+    // stack ships (label propagation, weak supervision, eval of an
+    // embedding space): each query's label is the majority vote of its 3
+    // nearest corpus neighbors, tie → smallest label. Builds on the exact
+    // k-NN join's ranking (same knnRankTail, same broadcast-query shape);
+    // the vote adds one q_id-keyed aggregate + rank over (q_id, label)
+    // count scalars. Every step deterministic: rounded-cosine rank with
+    // nn_id tie-break, vote tie-break by label — so the oracle replays it.
+    Op(
+      "knn_classify",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS true_label, c.vec_id AS nn_id, c.label AS nn_label,
+        |         list_dot_product(q.v, c.v) /
+        |           sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20),
+        |top AS (
+        |  SELECT q_id, true_label, nn_label,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, nn_id) AS rn
+        |  FROM scored QUALIFY rn <= 3),
+        |votes AS (SELECT q_id, true_label, nn_label, COUNT(*) AS c FROM top GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT q_id, true_label, nn_label AS pred_label,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nn_label) AS vr
+        |  FROM votes QUALIFY vr = 1)
+        |SELECT q_id, CAST(pred_label AS BIGINT) AS pred_label,
+        |       CAST(true_label AS BIGINT) AS true_label,
+        |       CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM pred ORDER BY q_id""".stripMargin
+    ) { (s, d) =>
+      val e = emb(s, d)
+        .select(col("vec_id"), col("label"), vecd(col("embedding")).as("v"))
+        .withColumn("n2", dotd(col("v"), col("v")))
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("v").as("qv"), col("n2").as("qn2"))
+      val scored = e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("true_label"), col("vec_id").as("nn_id"),
+          col("label").as("nn_label"),
+          (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
+      val voteW = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("c").desc, col("nn_label"))
+      scored
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 3)
+        .groupBy("q_id", "true_label", "nn_label").agg(count(lit(1)).as("c"))
+        .withColumn("vr", row_number().over(voteW))
+        .filter(col("vr") === 1)
+        .select(col("q_id"),
+          col("nn_label").cast("bigint").as("pred_label"),
+          col("true_label").cast("bigint").as("true_label"),
+          when(col("nn_label") === col("true_label"), 1L).otherwise(0L)
+            .cast("bigint").as("correct"))
+        .orderBy("q_id")
+    },
+
     // L2d: embedding-cosine near-dup pairs (threshold 0.45; background pairs
     // top out near 0.5). Exact quadratic ground truth, deliberately scoped to
     // vec_id < 1000 (like dedup_ngram's doc_id cap) so the pair space is
