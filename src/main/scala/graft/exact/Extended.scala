@@ -397,6 +397,50 @@ object Extended {
         .orderBy("o_custkey")
     },
 
+    // Cohort retention — the other product-analytics staple next to the
+    // funnel: customers cohorted by first-order year, each cohort's
+    // fraction still ordering in every later year. Three keyed aggregates
+    // (first order per customer; distinct (cohort, year, customer)
+    // activity; the matrix counts) — all partial-agg shuffles on the
+    // customer key, then cohort sizes attach by a broadcast-sized join
+    // (#cohorts rows at any SF). No window over the raw order log.
+    Op(
+      "cohort_retention",
+      """WITH first_o AS (
+        |  SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year
+        |  FROM orders GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT f.o_custkey, f.cohort_year, year(o.o_orderdate) AS order_year
+        |  FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey),
+        |mat AS (
+        |  SELECT cohort_year, order_year, COUNT(*) AS active_customers
+        |  FROM active GROUP BY 1, 2),
+        |sz AS (SELECT cohort_year, COUNT(*) AS cohort_size FROM first_o GROUP BY 1)
+        |SELECT CAST(m.cohort_year AS BIGINT) AS cohort_year,
+        |       CAST(m.order_year AS BIGINT) AS order_year,
+        |       CAST(m.active_customers AS BIGINT) AS active_customers,
+        |       ROUND(m.active_customers / CAST(s.cohort_size AS DOUBLE), 4) AS retention_rate
+        |FROM mat m JOIN sz s ON m.cohort_year = s.cohort_year
+        |ORDER BY cohort_year, order_year""".stripMargin
+    ) { (s, d) =>
+      val ord = t(s, d, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("oy"))
+      val firstO = ord.groupBy("o_custkey").agg(min("oy").as("cohort_year"))
+      val active = ord.join(firstO, "o_custkey")
+        .select("o_custkey", "cohort_year", "oy").distinct()
+      val mat = active.groupBy(col("cohort_year"), col("oy").as("order_year"))
+        .agg(count(lit(1)).as("active_customers"))
+      val sz = firstO.groupBy("cohort_year").agg(count(lit(1)).as("cohort_size"))
+      mat.join(broadcast(sz), "cohort_year")
+        .select(
+          col("cohort_year").cast("bigint").as("cohort_year"),
+          col("order_year").cast("bigint").as("order_year"),
+          col("active_customers").cast("bigint").as("active_customers"),
+          round(col("active_customers") / col("cohort_size").cast("double"), 4)
+            .as("retention_rate"))
+        .orderBy("cohort_year", "order_year")
+    },
+
     // Ordered-sequence funnel analysis (view → click → purchase, each step
     // within 12 h of the previous) — the product-analytics staple every
     // event warehouse ships. Each stage is one user-keyed aggregate (MIN
