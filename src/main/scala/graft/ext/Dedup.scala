@@ -84,34 +84,38 @@ object Dedup {
       shingledBase(s, d).select(col("doc_id"), explode(col("sh")).as("s")).cache()
     }
 
-  def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    val base = shingledBase(s, d)
-    val exploded = shingledExploded(s, d)
-    // the qualifying pair list itself is memoized+cached: dedup_ngram,
-    // dedup_cluster and dedup_canonical all consume it, and the inverted-
-    // index self-join is the expensive part (the result is dup-pair-sized,
-    // tiny next to the corpus)
-    ModelCache.memo(s, d, "ngram_pairs") {
+  /** Un-thresholded pair statistics of the shingle inverted index:
+    * (a_id, b_id, inter, na, nb) for every shingle-sharing pair. The
+    * self-join is the expensive step of the whole exact family, so it runs
+    * ONCE per session and every similarity definition (Jaccard ≥ 0.5 for
+    * ngramPairs, directional containment ≥ 0.8 for dedup_containment)
+    * derives by a cheap filter over the cached pair-sized frame.
+    */
+  private def pairStats(s: SparkSession, d: String): DataFrame =
+    ModelCache.memo(s, d, "ngram_pair_stats") {
+      val base = shingledBase(s, d)
+      val exploded = shingledExploded(s, d)
       val cnt = base.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
       val a = exploded.toDF("a_id", "s")
       val b = exploded.toDF("b_id", "s2")
-      val pairs = a.join(b, a("s") === b("s2") && a("a_id") < b("b_id"))
+      val stats = a.join(b, a("s") === b("s2") && a("a_id") < b("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      val qualified = pairs
         .join(cnt.toDF("a_id", "na"), "a_id")
         .join(cnt.toDF("b_id", "nb"), "b_id")
-        .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
         .cache()
       // materialize now and drop the featurized parents: once the (tiny)
       // pair frame is pinned, base/exploded are never read again — keeping
       // them cached would hold corpus-sized blocks for the whole session
-      qualified.count()
+      stats.count()
       base.unpersist()
       exploded.unpersist()
-      qualified
+      stats
     }
-  }
+
+  def ngramPairs(s: SparkSession, d: String): DataFrame =
+    pairStats(s, d)
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
 
   val ops: Seq[Op] = Seq(
     // L1/T5 batch form: exact dedup. The testdata has no exact duplicates,
@@ -565,18 +569,9 @@ object Dedup {
         |WHERE greatest(inter / CAST(ca.n AS DOUBLE), inter / CAST(cb.n AS DOUBLE)) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin
     ) { (s, d) =>
-      // reuse the exact-Jaccard machinery's shared shingle frames but
-      // apply the containment threshold — ngramPairs itself thresholds on
-      // jaccard, so the intersection counts recompute here
-      val exploded = shingledExploded(s, d)
-      val cnt = shingledBase(s, d)
-        .select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
-      val a = exploded.toDF("a_id", "s")
-      val b = exploded.toDF("b_id", "s2")
-      a.join(b, a("s") === b("s2") && a("a_id") < b("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).cast("double").as("inter"))
-        .join(cnt.toDF("a_id", "na"), "a_id")
-        .join(cnt.toDF("b_id", "nb"), "b_id")
+      // the shared once-per-session pair statistics, thresholded on the
+      // containment definition instead of Jaccard
+      pairStats(s, d)
         .withColumn("containment",
           greatest(col("inter") / col("na"), col("inter") / col("nb")))
         .filter(col("containment") >= 0.8)
