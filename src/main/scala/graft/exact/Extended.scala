@@ -468,8 +468,15 @@ object Extended {
         .join(s2, "user_id")
         .filter(col("ts") > col("t2") && col("ts") <= col("t2") + deadline)
         .groupBy("user_id").agg(min("ts").as("t3"))
-      val (n1, n2, n3) =
-        (s1.count(), s2.count(), s3.count()) // three scalar actions over tiny per-user frames
+      // ONE action: left-joining the (nested-subset) stage frames counts
+      // all three stages in a single job — separate count() actions would
+      // replay each stage's upstream aggregate, scanning the fact 6×
+      val r = s1
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count("t1").as("n1"), count("t2").as("n2"), count("t3").as("n3"))
+        .head()
+      val (n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2))
       Seq((1L, "view", n1), (2L, "click", n2), (3L, "purchase", n3))
         .toDF("step", "event_type", "users")
         .withColumn("conv_rate", round(col("users") / lit(n1.toDouble), 4))

@@ -102,6 +102,13 @@ object Dedup {
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
         .join(cnt.toDF("a_id", "na"), "a_id")
         .join(cnt.toDF("b_id", "nb"), "b_id")
+        // pin only the union of the consumers' qualified sets: the raw
+        // co-shingled pair space approaches O(n²) on gram-heavy corpora,
+        // and caching it would hold exactly the blocks this memo exists to
+        // keep small (each consumer re-applies its exact threshold below)
+        .filter(
+          col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5 ||
+            greatest(col("inter") / col("na"), col("inter") / col("nb")) >= 0.8)
         .cache()
       // materialize now and drop the featurized parents: once the (tiny)
       // pair frame is pinned, base/exploded are never read again — keeping
@@ -517,30 +524,19 @@ object Dedup {
         |WHERE inter / (cp.n + cc.n - inter) >= 0.5
         |ORDER BY p_id, c_id""".stripMargin
     ) { (s, d) =>
-      val probeSources = Seq("src0", "src1", "src2", "src3", "src4")
-      val sh = ModelCache.memo(s, d, "fuzzy_sh") {
-        docs(s, d)
-          .filter(size(Text.tokens(col("text"))) >= 3)
-          .repartition(s.sparkContext.defaultParallelism) // one-split local file; see dedup_near
-          .withColumn("toks", Text.tokens(col("text")))
-          .select(col("doc_id"), col("source"),
-            Text.shinglesOfTokens(col("toks"), 3).as("sh"))
-          .cache()
+      // memoize the (tiny, probe-bounded) MATCH LIST, not the corpus-sized
+      // shingled frame: the featurized parent caches only for the duration
+      // of the one materializing pass, then unpins (same discipline as
+      // pairStats — session-lived corpus-sized cache blocks are the thing
+      // to avoid)
+      val matches = ModelCache.memo(s, d, "fuzzy_pairs") {
+        val (pairs, sh) = fuzzyMatches(s, d)
+        val pinned = pairs.cache()
+        pinned.count()
+        sh.unpersist()
+        pinned
       }
-      val corpus = sh.select(col("doc_id").as("c_id"), explode(col("sh")).as("s"))
-      val probe = broadcast(
-        sh.filter(col("source").isin(probeSources: _*))
-          .select(col("doc_id").as("p_id"), explode(col("sh")).as("s2")))
-      val cnt = sh.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
-      corpus
-        .join(probe, col("s") === col("s2") && col("p_id") =!= col("c_id"))
-        .groupBy("p_id", "c_id").agg(count(lit(1)).cast("double").as("inter"))
-        .join(cnt.toDF("p_id", "np"), "p_id")
-        .join(cnt.toDF("c_id", "nc"), "c_id")
-        .withColumn("jaccard", col("inter") / (col("np") + col("nc") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("p_id"), col("c_id"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("p_id", "c_id")
+      matches.orderBy("p_id", "c_id")
     },
 
     // L2n: asymmetric CONTAINMENT pairs — |A∩B| / |A|, the directional
@@ -594,20 +590,22 @@ object Dedup {
     // corpus (doc_id < 500) like the dedup family it builds on.
     Op(
       "corpus_pipeline",
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |cq AS (SELECT doc_id, tok, COUNT(*) AS c FROM tokq GROUP BY 1, 2),
         |sig AS (
         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
         |         ROUND(SUM(c * len(tok)) / CAST(SUM(c) AS DOUBLE), 4) AS mean_tok_len,
-        |         CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','is','in')
+        |         CAST(SUM(CASE WHEN tok IN (${Text.stopSqlList})
         |                       THEN c ELSE 0 END) AS BIGINT) AS stop_cnt,
         |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_frac,
         |         ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS ttr
         |  FROM cq GROUP BY doc_id),
         |ok AS (SELECT doc_id FROM sig
-        |       WHERE n_tokens BETWEEN 25 AND 1000 AND mean_tok_len BETWEEN 2.0 AND 10.0
-        |         AND stop_cnt >= 2 AND top_frac <= 0.2 AND ttr >= 0.35),
+        |       WHERE n_tokens BETWEEN ${Text.qMinTok} AND ${Text.qMaxTok}
+        |         AND mean_tok_len BETWEEN ${Text.qMinLen} AND ${Text.qMaxLen}
+        |         AND stop_cnt >= ${Text.qMinStop} AND top_frac <= ${Text.qMaxTopFrac}
+        |         AND ttr >= ${Text.qMinTtr}),
         |tl AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
         |g AS (SELECT DISTINCT doc_id, gram FROM (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 3),
@@ -670,8 +668,10 @@ object Dedup {
           col("sc").cast("bigint").as("stop_cnt"),
           round(col("tc") / col("n").cast("double"), 4).as("top_frac"),
           round(col("dn") / col("n").cast("double"), 4).as("ttr"))
-        .filter(col("n_tokens").between(25, 1000) && col("mlen").between(2.0, 10.0) &&
-          col("stop_cnt") >= 2 && col("top_frac") <= 0.2 && col("ttr") >= 0.35)
+        .filter(col("n_tokens").between(Text.qMinTok, Text.qMaxTok) &&
+          col("mlen").between(Text.qMinLen, Text.qMaxLen) &&
+          col("stop_cnt") >= Text.qMinStop && col("top_frac") <= Text.qMaxTopFrac &&
+          col("ttr") >= Text.qMinTtr)
         .select("doc_id")
       // stage 2 — decontamination (1-row broadcast gram set, narrow filter)
       val isBench = col("doc_id") % 100 === 7
@@ -709,6 +709,45 @@ object Dedup {
         .orderBy("doc_id")
     }
   )
+
+  /** The fuzzy_join pipeline WITHOUT memoization — exposed so PlanSpec can
+    * assert the computation's physical shape (broadcast probe, single
+    * keyed exchange) directly; the op wraps this in a memo that pins only
+    * the bounded match list. Returns (match list, the transiently-cached
+    * featurized parent to unpersist after materializing).
+    */
+  private[graft] def fuzzyMatches(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    fuzzyMatches(docs(s, d))
+
+  /** Source-parameterized form: PlanSpec passes an UNCACHED raw read here —
+    * a plan built over the session-cached fixture would be silently
+    * substituted by the CacheManager with the already-materialized memo's
+    * InMemoryRelation, hiding the very shape the test pins.
+    */
+  private[graft] def fuzzyMatches(docsDf: DataFrame): (DataFrame, DataFrame) = {
+    val probeSources = Seq("src0", "src1", "src2", "src3", "src4")
+    val sh = docsDf
+      .filter(size(Text.tokens(col("text"))) >= 3)
+      .repartition(docsDf.sparkSession.sparkContext.defaultParallelism) // one-split local file; see dedup_near
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        Text.shinglesOfTokens(col("toks"), 3).as("sh"))
+      .cache()
+    val corpus = sh.select(col("doc_id").as("c_id"), explode(col("sh")).as("s"))
+    val probe = broadcast(
+      sh.filter(col("source").isin(probeSources: _*))
+        .select(col("doc_id").as("p_id"), explode(col("sh")).as("s2")))
+    val cnt = sh.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
+    val pairs = corpus
+      .join(probe, col("s") === col("s2") && col("p_id") =!= col("c_id"))
+      .groupBy("p_id", "c_id").agg(count(lit(1)).cast("double").as("inter"))
+      .join(cnt.toDF("p_id", "np"), "p_id")
+      .join(cnt.toDF("c_id", "nc"), "c_id")
+      .withColumn("jaccard", col("inter") / (col("np") + col("nc") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("p_id"), col("c_id"), round(col("jaccard"), 4).as("jaccard"))
+    (pairs, sh)
+  }
 
   /** Pair graphs at or below this many pairs run connected components as a
     * driver-side union-find (one bounded collect, microseconds of CPU, zero

@@ -189,13 +189,9 @@ object Similarity {
         .select(col("q_id"), col("true_label"), col("vec_id").as("nn_id"),
           col("label").as("nn_label"),
           (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
-      val rankW = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
       val voteW = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("c").desc, col("nn_label"))
-      scored
-        .withColumn("rn", row_number().over(rankW))
-        .filter(col("rn") <= 3)
+      rankTopNeighbors(scored, 3)
         .groupBy("q_id", "true_label", "nn_label").agg(count(lit(1)).as("c"))
         .withColumn("vr", row_number().over(voteW))
         .filter(col("vr") === 1)
@@ -674,15 +670,25 @@ object Similarity {
     * spec-compared (recall of the IVF path against the exact path), and a
     * drifting tie-break or k would silently desync that comparison.
     */
-  private def knnRankTail(scored: DataFrame): DataFrame = {
+  /** The ONE top-k ranking rule of every k-NN consumer (exact/IVF joins,
+    * classification): per q_id, rounded-cosine descending with nn_id
+    * tie-break. Preserves pass-through columns so label-carrying consumers
+    * can rank without re-declaring the window (a per-op copy would let a
+    * future k/rounding change silently desync results that are
+    * spec-compared or oracle-replayed).
+    */
+  private def rankTopNeighbors(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("nn_id"))
     scored
       .withColumn("rn", row_number().over(w).cast("bigint"))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
+  }
+
+  private def knnRankTail(scored: DataFrame): DataFrame =
+    rankTopNeighbors(scored, 3)
       .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"), col("rn"))
       .orderBy("q_id", "rn")
-  }
 
   /** The `ivfNProbe` centroid ids nearest a unit query — the ONE
     * probe-selection used by every IVF variant (a per-op copy would let a

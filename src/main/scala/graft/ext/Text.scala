@@ -40,6 +40,19 @@ object Text {
 
   private[ext] val stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
 
+  /** quality_filter rule thresholds — interpolated into BOTH the Spark
+    * plan and the oracle SQL of `quality_filter` AND the composed
+    * `corpus_pipeline` (Dedup.scala), so the four sites cannot drift.
+    */
+  private[ext] val qMinTok = 25
+  private[ext] val qMaxTok = 1000
+  private[ext] val qMinLen = 2.0
+  private[ext] val qMaxLen = 10.0
+  private[ext] val qMinStop = 2
+  private[ext] val qMaxTopFrac = 0.2
+  private[ext] val qMinTtr = 0.35
+  private[ext] def stopSqlList: String = stopwords.map(w => s"'$w'").mkString(",")
+
   /** pack_sequences capacity (tokens per packed sequence) — interpolated
     * into BOTH the Spark plan and the oracle SQL so the two cannot drift.
     */
@@ -419,7 +432,7 @@ object Text {
     // rule comparisons so a boundary value cannot flip between engines.
     Op(
       "quality_filter",
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |cnt AS (
         |  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
@@ -427,17 +440,17 @@ object Text {
         |  SELECT doc_id,
         |         CAST(SUM(c) AS BIGINT) AS n_tokens,
         |         ROUND(SUM(c * len(tok)) / CAST(SUM(c) AS DOUBLE), 4) AS mean_tok_len,
-        |         CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','is','in')
+        |         CAST(SUM(CASE WHEN tok IN ($stopSqlList)
         |                       THEN c ELSE 0 END) AS BIGINT) AS stop_cnt,
         |         ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_frac,
         |         ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS ttr
         |  FROM cnt GROUP BY doc_id)
         |SELECT doc_id, n_tokens, mean_tok_len, stop_cnt, top_frac, ttr,
-        |       CASE WHEN n_tokens < 25 OR n_tokens > 1000 THEN 'word_count'
-        |            WHEN mean_tok_len < 2.0 OR mean_tok_len > 10.0 THEN 'mean_tok_len'
-        |            WHEN stop_cnt < 2 THEN 'stopwords'
-        |            WHEN top_frac > 0.2 THEN 'repetition'
-        |            WHEN ttr < 0.35 THEN 'ttr'
+        |       CASE WHEN n_tokens < $qMinTok OR n_tokens > $qMaxTok THEN 'word_count'
+        |            WHEN mean_tok_len < $qMinLen OR mean_tok_len > $qMaxLen THEN 'mean_tok_len'
+        |            WHEN stop_cnt < $qMinStop THEN 'stopwords'
+        |            WHEN top_frac > $qMaxTopFrac THEN 'repetition'
+        |            WHEN ttr < $qMinTtr THEN 'ttr'
         |            ELSE 'ok' END AS reason
         |FROM sig ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
@@ -459,11 +472,11 @@ object Text {
           round(col("tc") / col("n").cast("double"), 4).as("top_frac"),
           round(col("d") / col("n").cast("double"), 4).as("ttr"))
         .withColumn("reason",
-          when(col("n_tokens") < 25 || col("n_tokens") > 1000, "word_count")
-            .when(col("mean_tok_len") < 2.0 || col("mean_tok_len") > 10.0, "mean_tok_len")
-            .when(col("stop_cnt") < 2, "stopwords")
-            .when(col("top_frac") > 0.2, "repetition")
-            .when(col("ttr") < 0.35, "ttr")
+          when(col("n_tokens") < qMinTok || col("n_tokens") > qMaxTok, "word_count")
+            .when(col("mean_tok_len") < qMinLen || col("mean_tok_len") > qMaxLen, "mean_tok_len")
+            .when(col("stop_cnt") < qMinStop, "stopwords")
+            .when(col("top_frac") > qMaxTopFrac, "repetition")
+            .when(col("ttr") < qMinTtr, "ttr")
             .otherwise("ok"))
         .orderBy("doc_id")
     },

@@ -18,6 +18,36 @@ object ModelQueries {
 
   private def days(d: String): Double = LocalDate.parse(d).toEpochDay.toDouble
 
+  /** Shared encode-and-sample harness of the update ops (`spn_update`,
+    * `spn_update_delete`): the (event_type, value) encoding, column kinds,
+    * the 'view' count predicate, and bounded deterministic sampling — ONE
+    * definition so the insert and delete evaluation protocols cannot
+    * diverge in sampling fraction, seed, or encoding.
+    */
+  private final case class EventHarness(
+      kinds: Array[Learn.ColKind],
+      viewRanges: Array[ColRange],
+      sample: DataFrame => (Array[Array[Double]], Long))
+
+  private def eventHarness(s: SparkSession, d: String): EventHarness = {
+    val ev = Tables(s, d, "events")
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+    val typeCode = map(types.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
+    val enc = Seq(element_at(typeCode, col("event_type")), col("value").cast("double"))
+    val cap = Ensemble.sampleCap
+    def sample(df: DataFrame): (Array[Array[Double]], Long) = {
+      val total = df.count()
+      val frac = math.min(1.0, cap * 1.2 / math.max(total, 1L))
+      val rows = df.select(enc: _*).sample(withReplacement = false, frac, 42L).limit(cap).collect()
+        .map(r => Array.tabulate(2)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
+      (rows, total)
+    }
+    EventHarness(
+      Array(Learn.CategoricalCol(types.length), Learn.NumericCol),
+      Array(NominalSet(Array(types.indexOf("view").toDouble)), null),
+      sample)
+  }
+
   private def resultDf(s: SparkSession, rows: Seq[(String, Double, Double, Double)]): DataFrame = {
     import s.implicits._
     rows.toDF("query", "est", "ci95_lo", "ci95_hi").orderBy("query")
@@ -460,27 +490,13 @@ object ModelQueries {
       import s.implicits._
       val ev = Tables(s, d, "events")
       val cut = lit("2024-01-16").cast("timestamp")
-      val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
-      val typeCode = map(types.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
-      val enc = Seq(element_at(typeCode, col("event_type")), col("value").cast("double"))
-      val cap = Ensemble.sampleCap
-      def sample(df: DataFrame): (Array[Array[Double]], Long) = {
-        val total = df.count()
-        val frac = math.min(1.0, cap * 1.2 / math.max(total, 1L))
-        val rows = df.select(enc: _*).sample(withReplacement = false, frac, 42L).limit(cap).collect()
-          .map(r => Array.tabulate(2)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
-        (rows, total)
-      }
-      val (before, nBefore) = sample(ev.filter(col("ts") < cut))
-      val (after, nAfter) = sample(ev.filter(col("ts") >= cut))
-      val kinds: Array[Learn.ColKind] =
-        Array(Learn.CategoricalCol(types.length), Learn.NumericCol)
-      val root0 = Learn.learn(before, kinds)
-      val viewCode = types.indexOf("view").toDouble
-      val ranges: Array[ColRange] = Array(NominalSet(Array(viewCode)), null)
-      val est0 = nBefore * Spn.prob(root0, ranges)
+      val h = eventHarness(s, d)
+      val (before, nBefore) = h.sample(ev.filter(col("ts") < cut))
+      val (after, nAfter) = h.sample(ev.filter(col("ts") >= cut))
+      val root0 = Learn.learn(before, h.kinds)
+      val est0 = nBefore * Spn.prob(root0, h.viewRanges)
       val root1 = Update.insertBatch(root0, after)
-      val est1 = (nBefore + nAfter) * Spn.prob(root1, ranges)
+      val est1 = (nBefore + nAfter) * Spn.prob(root1, h.viewRanges)
       Seq(
         ("before_update", math.rint(est0), nBefore),
         ("after_update", math.rint(est1), nBefore + nAfter))
@@ -501,29 +517,15 @@ object ModelQueries {
       import s.implicits._
       val ev = Tables(s, d, "events")
       val cut = lit("2024-01-16").cast("timestamp")
-      val types = ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
-      val typeCode = map(types.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
-      val enc = Seq(element_at(typeCode, col("event_type")), col("value").cast("double"))
-      val cap = Ensemble.sampleCap
-      def sample(df: DataFrame): (Array[Array[Double]], Long) = {
-        val total = df.count()
-        val frac = math.min(1.0, cap * 1.2 / math.max(total, 1L))
-        val rows = df.select(enc: _*).sample(withReplacement = false, frac, 42L).limit(cap).collect()
-          .map(r => Array.tabulate(2)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
-        (rows, total)
-      }
-      val (keep, nKeep) = sample(ev.filter(col("ts") < cut))
-      val (drop, nDrop) = sample(ev.filter(col("ts") >= cut))
-      val kinds: Array[Learn.ColKind] =
-        Array(Learn.CategoricalCol(types.length), Learn.NumericCol)
-      val rootAll = Learn.learn(keep ++ drop, kinds)
-      val viewCode = types.indexOf("view").toDouble
-      val ranges: Array[ColRange] = Array(NominalSet(Array(viewCode)), null)
-      val estAll = (nKeep + nDrop) * Spn.prob(rootAll, ranges)
+      val h = eventHarness(s, d)
+      val (keep, nKeep) = h.sample(ev.filter(col("ts") < cut))
+      val (drop, nDrop) = h.sample(ev.filter(col("ts") >= cut))
+      val rootAll = Learn.learn(keep ++ drop, h.kinds)
+      val estAll = (nKeep + nDrop) * Spn.prob(rootAll, h.viewRanges)
       val rootDel = Update.deleteBatch(rootAll, drop)
-      val estDel = nKeep * Spn.prob(rootDel, ranges)
-      val rootFresh = Learn.learn(keep, kinds)
-      val estFresh = nKeep * Spn.prob(rootFresh, ranges)
+      val estDel = nKeep * Spn.prob(rootDel, h.viewRanges)
+      val rootFresh = Learn.learn(keep, h.kinds)
+      val estFresh = nKeep * Spn.prob(rootFresh, h.viewRanges)
       Seq(
         ("all_rows", math.rint(estAll), nKeep + nDrop),
         ("after_delete", math.rint(estDel), nKeep),

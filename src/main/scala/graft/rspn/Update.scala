@@ -184,8 +184,13 @@ object Update {
         val n1 = math.max(l.n - rows.length, 1.0)
         if (total > 0)
           NumericLeaf(l.colIdx, l.vals, counts.map(_ / total), nullC / total, n1)
-        else
+        else if (counts.nonEmpty)
           NumericLeaf(l.colIdx, l.vals,
-            Array.fill(counts.length)(1.0 / math.max(counts.length, 1)), 0.0, n1)
+            Array.fill(counts.length)(1.0 / counts.length), 0.0, n1)
+        else
+          // a leaf trained on an all-null column has NO value bins to fall
+          // back on uniformly — the only normalized density it can express
+          // is all-null, so that is what an emptied one stays
+          NumericLeaf(l.colIdx, l.vals, counts, 1.0, n1)
     }
 }

@@ -50,7 +50,7 @@ class ExtOpsSpec extends AnyFunSuite {
     val vsBrute = ivfpq.map(_.getLong(0)).count(bruteMap.contains)
     val vsIvf = ivfpq.map(_.getLong(0)).count(ivfIds.contains)
     assert(vsBrute >= 5, s"IVFPQ recall@10 = $vsBrute/10 vs brute force")
-    assert(vsIvf >= 8, s"IVFPQ lost $vsIvf/10 of the pure-IVF answer inside probed cells")
+    assert(vsIvf >= 8, s"IVFPQ kept only $vsIvf/10 of the pure-IVF answer inside probed cells")
     ivfpq.foreach { r =>
       bruteMap.get(r.getLong(0)).foreach(b => assert(r.getDouble(1) == b))
     }

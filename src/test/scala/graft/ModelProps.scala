@@ -108,6 +108,17 @@ object ModelProps extends Properties("rspn") {
       math.abs(Spn.prob(empty, Array(null, null)) - 1.0) < 1e-9 && empty.n >= 1.0
     }
 
+  property("delete-all on an all-null numeric column stays a normalized (all-null) leaf") =
+    forAll(Gen.choose(10, 60)) { nRows =>
+      // a leaf trained with zero value bins (every value NaN) has no
+      // uniform fallback to reach for — after deleting everything it must
+      // remain the all-null density, not a zero-mass one
+      val data = Array.tabulate(nRows)(i => Array((i % 5).toDouble, Double.NaN))
+      val root = Learn.learn(data, kinds)
+      val empty = Update.deleteBatch(root, data)
+      math.abs(Spn.prob(empty, Array(null, null)) - 1.0) < 1e-9
+    }
+
   property("group enumeration support equals the data's support") =
     forAll(genData) { data =>
       val root = Learn.learn(data, kinds)

@@ -451,7 +451,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("fuzzy_join: the probe side broadcasts; the corpus never shuffles into the candidate join") {
-    val plan = planOf(SparkEntry.queries("fuzzy_join")(spark, sf))
+    // assert on the computation pipeline over an UNCACHED raw read — the
+    // op memoizes the bounded match list, and the CacheManager substitutes
+    // any equivalent plan with the materialized InMemoryRelation, hiding
+    // the shape this test pins
+    val (pairs, sh) = ext.Dedup.fuzzyMatches(schema.Tables.raw(spark, rawSf, "documents"))
+    val plan = planOf(pairs)
+    sh.unpersist()
     assert(plan.contains("BroadcastHashJoin"),
       s"candidate generation lost the broadcast probe index:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
