@@ -397,6 +397,27 @@ object Extended {
         .orderBy("o_custkey")
     },
 
+    // Mergeable distinct-count sketch state (DataSketches HLL via Spark's
+    // native hll_sketch_agg / hll_union_agg): per-source sketches are the
+    // REAGGREGATABLE form a warehouse stores per partition/day — the
+    // corpus-wide distinct then costs one union of sketch blobs, never a
+    // rescan (approx_count_distinct answers one query; stored sketches
+    // answer every future rollup). Sketch payloads are KBs per group at
+    // any SF; estimates are deterministic for fixed data. No DuckDB
+    // oracle (different sketch implementation) — the spec gates the
+    // merged estimate against the exact distinct count.
+    Op.noOracle("agg_hll_partitioned") { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val sketches = tok.groupBy("source").agg(hll_sketch_agg(col("tok")).as("sk"))
+      val per = sketches.select(col("source"),
+        hll_sketch_estimate(col("sk")).cast("bigint").as("est_distinct"))
+      val merged = sketches
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("bigint").as("est_distinct"))
+        .select(lit("ALL").as("source"), col("est_distinct"))
+      per.unionAll(merged).orderBy("source")
+    },
+
     // Cohort retention — the other product-analytics staple next to the
     // funnel: customers cohorted by first-order year, each cohort's
     // fraction still ordering in every later year. Three keyed aggregates

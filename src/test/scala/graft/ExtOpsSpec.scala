@@ -57,6 +57,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(ivfpq.length == 10)
   }
 
+  test("partitioned HLL sketches: union estimate tracks the exact distinct count") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val rows = exact.Extended.ops.find(_.name == "agg_hll_partitioned").get
+      .fn(spark, sf).collect()
+    val est = rows.find(_.getString(0) == "ALL").get.getLong(1)
+    val exactDistinct = schema.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_distinct(col("tok"))).head().getLong(0)
+    assert(math.abs(est - exactDistinct) <= math.max(1L, (exactDistinct * 0.05).toLong),
+      s"merged HLL estimate $est vs exact $exactDistinct")
+    // union can never exceed the per-source sum (sketch merge is a set union)
+    val perSum = rows.filter(_.getString(0) != "ALL").map(_.getLong(1)).sum
+    assert(est <= perSum + 1)
+  }
+
   test("dup_ngram_corpus: saturated docs are exactly the near-dup pair members") {
     import TestSpark._
     val per = ext.Dedup.ops.find(_.name == "dup_ngram_corpus").get.fn(spark, sf).collect()

@@ -481,6 +481,27 @@ class PlanSpec extends AnyFunSuite {
       s"ssb_q3 year range did not reach PartitionFilters:\n$q3")
   }
 
+  test("ssb flights: hints sit only on the nation/region slices; fact-side joins shuffle when size-barred") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // q2's hinted joins: region→nation and the nations-slice→supplier
+      // (both bounded); the lineorder⨝part fact join must shuffle
+      val q2 = planOf(SparkEntry.queries("ssb_q2")(spark, sf))
+      val q2Bhj = "BroadcastHashJoin".r.findAllIn(q2).length
+      assert(q2Bhj <= 2, s"ssb_q2 may broadcast only its bounded dim slices, got $q2Bhj:\n$q2")
+      assert(q2.contains("SortMergeJoin"),
+        s"ssb_q2's SF-scaling part join must shuffle when size-barred:\n$q2")
+      // q3 hints two nation/region slices (customer and supplier paths);
+      // both SF-scaling dimension attaches must shuffle
+      val q3 = planOf(SparkEntry.queries("ssb_q3")(spark, sf))
+      val q3Bhj = "BroadcastHashJoin".r.findAllIn(q3).length
+      assert(q3Bhj <= 4, s"ssb_q3 may broadcast only its bounded dim slices, got $q3Bhj:\n$q3")
+      assert("SortMergeJoin".r.findAllIn(q3).length >= 2,
+        s"ssb_q3's customer and supplier attaches must shuffle when size-barred:\n$q3")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("whole-stage codegen covers the scan-filter-aggregate pipeline") {
     val df = schema.Tables.raw(spark, rawSf, "lineitem")
       .filter(col("l_quantity") < 24)
