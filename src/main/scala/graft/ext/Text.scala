@@ -300,7 +300,28 @@ object Text {
     // no second aggregate branch, no tf⨝df join. Two shuffles + the final
     // per-doc one. The result frame is memoized+cached, so the norm sum
     // order — and with it the float result — is frozen per session.
-    Op.noOracle("text_tfidf") { (s, d) =>
+    // Round 8: oracle-checked (was no-oracle) — the decimal-exact ln-sum
+    // policy proven on perplexity_unigram applies here too: each squared
+    // weight rides DECIMAL(28,12) into the sum so the reduction is
+    // order-independent, sqrt is correctly-rounded IEEE in both engines,
+    // and rounding to 3 decimals happens last.
+    Op(
+      "text_tfidf",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT doc_id, term, tf,
+        |             CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE) AS df FROM tf),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, tf * ln((n_docs + 1.0) / (df + 1.0)) AS w FROM d, n),
+        |norms AS (
+        |  SELECT doc_id,
+        |         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, ROUND(COALESCE(norm, 0.0), 3) AS tfidf_norm
+        |FROM documents LEFT JOIN norms USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
       val norms = ModelCache.memo(s, d, "tfidf_norms") {
         // no repartition: a cluster-scale scan already splits the corpus
         // (files.maxPartitionBytes), and a round-robin exchange of raw text
@@ -321,7 +342,11 @@ object Text {
           .withColumn("w", when(col("term").isNotNull,
             col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))))
           .groupBy("doc_id")
-          .agg(round(coalesce(sqrt(sum(col("w") * col("w"))), lit(0.0)), 3).as("tfidf_norm"))
+          // decimal-exact sum of squared weights (order-independent across
+          // partial aggregation), sqrt + display rounding LAST
+          .agg(round(coalesce(
+            sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double")),
+            lit(0.0)), 3).as("tfidf_norm"))
           .cache()
       }
       norms.orderBy("doc_id")
