@@ -539,6 +539,60 @@ object Dedup {
       matches.orderBy("p_id", "c_id")
     },
 
+    // L2o: temperature EPOCH mixing — the upsampling half of domain
+    // re-weighting (mix_temperature only downsamples; real recipes also
+    // REPEAT tail domains, the per-source epoch counts of every published
+    // data mixture). Each language's target rate r = 1.5·N·p_α(lang)/count
+    // (α = 0.5 temperature target, corpus upsampled 1.5× overall) can
+    // exceed 1: every doc emits floor(r) copies plus one more for the
+    // md5-selected frac(r) slice — the same 32-bit-threshold determinism
+    // trick as mix_temperature, so membership is reproducible across
+    // engines/partitionings. The copy fan-out is a narrow generate
+    // (posexplode of a sequence) — no shuffle; rate math is decimal-exact.
+    Op(
+      "mix_epochs",
+      """WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+        |tot AS (SELECT SUM(CAST(sqrt(c) AS DECIMAL(18,6))) AS sw,
+        |               CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+        |rate AS (SELECT lang,
+        |           round(1.5 * n * (CAST(CAST(sqrt(c) AS DECIMAL(18,6)) AS DOUBLE)
+        |                            / CAST(sw AS DOUBLE)) / c, 6) AS r
+        |         FROM cnt, tot),
+        |thr AS (SELECT lang, CAST(floor(r) AS BIGINT) AS base,
+        |          printf('%08x', CAST(least(floor((r - floor(r)) * 4294967296), 4294967295)
+        |                              AS BIGINT)) AS h
+        |        FROM rate),
+        |nc AS (SELECT d.doc_id, d.lang,
+        |         base + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <= h
+        |                     THEN 1 ELSE 0 END AS n_copies
+        |       FROM documents d JOIN thr USING (lang))
+        |SELECT doc_id, lang, CAST(unnest(range(n_copies)) AS BIGINT) AS copy_id
+        |FROM nc WHERE n_copies > 0
+        |ORDER BY doc_id, copy_id""".stripMargin
+    ) { (s, d) =>
+      val sqDec = sqrt(col("c")).cast("decimal(18,6)")
+      val cnt = docs(s, d).groupBy("lang").agg(count(lit(1)).cast("bigint").as("c"))
+      val tot = cnt.agg(sum(sqDec).as("sw"), sum(col("c")).cast("bigint").as("n"))
+      val r = round(
+        lit(1.5) * col("n") * (sqDec.cast("double") / col("sw").cast("double")) / col("c"), 6)
+      val thr = cnt.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          floor(r).cast("bigint").as("base"),
+          format_string("%08x",
+            least(floor((r - floor(r)) * 4294967296.0).cast("bigint"),
+              lit(4294967295L))).as("h"))
+      docs(s, d)
+        .join(broadcast(thr), Seq("lang"))
+        .withColumn("n_copies",
+          col("base") + when(
+            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8) <= col("h"),
+            1L).otherwise(0L))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    },
+
     // L2n: asymmetric CONTAINMENT pairs — |A∩B| / |A|, the directional
     // cousin of Jaccard that catches a short document quoted INSIDE a long
     // one (Jaccard punishes the size mismatch; containment of the smaller
