@@ -65,7 +65,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec_total":$cpuTotal,"queries":$qs,"cpu_sec":$cpus_,"errors":$errs,"sf":"$sfDir"}""")
+    // per-query maps FIRST, headline totals + error map LAST: a capture that
+    // truncates the head of this (long) line still retains the totals at the
+    // tail — the driver's tail-grab was cutting them when they led the line
+    println(s"""{"queries":$qs,"cpu_sec":$cpus_,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","cpu_sec_total":$cpuTotal,"value":$total}""")
     if (errors.nonEmpty) System.err.println(s"BENCH ERRORS: ${errors.keys.mkString(", ")}")
     spark.stop()
   }

@@ -36,7 +36,17 @@ object QErrorEval {
       no: Int, sql: String, truth: Double, est: Double, qerr: Double, relErr: Double,
       /** model-plane answer latency (parse + estimate, no Spark job) — the
         * reference's evaluation records per-query latencies the same way */
-      latencyMs: Double = 0.0)
+      latencyMs: Double = 0.0,
+      /** GROUP BY replay (reference aqp_evaluation.py's grouped surface):
+        * one score per EXACT group, the model's mass for that group (0.0
+        * when pruned) graded against the true aggregate. Scalar queries
+        * leave this empty; for grouped rows `truth`/`est` carry the group
+        * sums and `qerr`/`relErr` the per-group medians. */
+      groups: Seq[GroupScore] = Nil)
+
+  /** One exact group's score; `key` is the stringified group tuple. */
+  final case class GroupScore(
+      key: Seq[String], truth: Double, est: Double, qerr: Double, relErr: Double)
 
   private def qerr(e: Double, x: Double): Double = {
     val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
@@ -84,10 +94,53 @@ object QErrorEval {
     }
     qs.map { case (no, sql) =>
       no -> (spark.sql(sql).head().get(0) match {
-        case n: Number => n.doubleValue()
-        case d: java.math.BigDecimal => d.doubleValue()
+        case n: Number => n.doubleValue() // covers BigDecimal too
         case other => sys.error(s"workload query $no truth is not numeric: $other")
       })
+    }.toMap
+  }
+
+  /** Canonical key-part form shared by BOTH planes: integral numerics print
+    * as longs ("10", never "10.0"), NULL marks SQL null — otherwise the
+    * exact plane's typed group values and the model dictionary's strings
+    * never hash to the same group.
+    */
+  private def normKeyPart(s: String): String = s.toDoubleOption match {
+    case Some(d) if d == math.rint(d) && math.abs(d) < 1e15 => d.toLong.toString
+    case _ => s
+  }
+
+  private def keyStr(v: Any): String = v match {
+    case null                    => "NULL"
+    case d: java.math.BigDecimal => normKeyPart(d.toPlainString)
+    case n: Number               => normKeyPart(n.toString)
+    case other                   => normKeyPart(other.toString)
+  }
+
+  /** Exact-plane truth for ARBITRARY workload rows, grouped or scalar: every
+    * result row keyed by its leading (group) columns stringified, the last
+    * column the aggregate. Scalar queries yield one empty-keyed row, so one
+    * truth shape serves both surfaces. Group results are driver-sized (the
+    * model enumerates categorical dictionaries), so collect() is bounded.
+    */
+  def computeGroupTruth(
+      spark: SparkSession, sfDir: String, qs: Seq[(Int, String)],
+      cache: Boolean = true): Map[Int, Seq[(Seq[String], Double)]] = {
+    Seq("lineitem", "orders", "customer", "part", "supplier").foreach { t =>
+      (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
+        .createOrReplaceTempView(t)
+    }
+    qs.map { case (no, sql) =>
+      val df = spark.sql(sql)
+      val w = df.schema.length
+      no -> df.collect().toSeq.map { row =>
+        val v = row.get(w - 1) match {
+          case n: java.math.BigDecimal => n.doubleValue()
+          case n: Number               => n.doubleValue()
+          case other => sys.error(s"workload query $no truth is not numeric: $other")
+        }
+        ((0 until w - 1).map(i => keyStr(row.get(i))), v)
+      }
     }.toMap
   }
 
@@ -96,19 +149,54 @@ object QErrorEval {
     */
   def runWorkload(
       spark: SparkSession, sfDir: String,
-      qs: Seq[(Int, String)], truth: Map[Int, Double]): Seq[WorkloadRow] = {
+      qs: Seq[(Int, String)], truth: Map[Int, Double]): Seq[WorkloadRow] =
+    runWorkloadGrouped(spark, sfDir, qs,
+      no => Seq((Seq.empty[String], truth.getOrElse(no,
+        sys.error(s"no true cardinality for query $no")))))
+
+  /** The grouped form (reference `evaluation/aqp_evaluation.py` scores
+    * per-group relative error for GROUP BY benchmark files): Scalar rows
+    * behave exactly as [[runWorkload]]; Groups rows are graded PER EXACT
+    * GROUP — the model's estimate for a group it pruned scores as 0.0, a
+    * grouped estimate against scalar-only truth fails loudly.
+    */
+  def runWorkloadGrouped(
+      spark: SparkSession, sfDir: String,
+      qs: Seq[(Int, String)],
+      truthOf: Int => Seq[(Seq[String], Double)]): Seq[WorkloadRow] = {
     val ens = Ensemble.get(spark, sfDir)
     val spec = schema.DatasetSpec.forDir(spark, sfDir)
     qs.map { case (no, sql) =>
       val t0 = System.nanoTime()
-      val est = SqlEstimate.estimate(ens, sql, spec) match {
-        case SqlEstimate.Scalar(e) => e.value
-        case other => sys.error(s"workload query $no is not a scalar COUNT: $other")
-      }
+      val res = SqlEstimate.estimate(ens, sql, spec)
       val ms = (System.nanoTime() - t0) / 1e6
-      val t = truth.getOrElse(no, sys.error(s"no true cardinality for query $no"))
-      WorkloadRow(no, sql, t, est, qerr(est, t),
-        math.abs(est - t) / math.max(math.abs(t), 1.0), ms)
+      res match {
+        case SqlEstimate.Scalar(e) =>
+          val est = e.value
+          val t = truthOf(no) match {
+            case Seq((k, v)) if k.isEmpty => v
+            case other => sys.error(
+              s"workload query $no is scalar but its truth is grouped (${other.length} rows)")
+          }
+          WorkloadRow(no, sql, t, est, qerr(est, t),
+            math.abs(est - t) / math.max(math.abs(t), 1.0), ms)
+        case SqlEstimate.Groups(estRows) =>
+          val tRows = truthOf(no)
+          if (tRows.forall(_._1.isEmpty)) sys.error(
+            s"workload query $no is grouped but its truth is scalar — " +
+              "omit --truth (grouped truth is computed live from the exact plane)")
+          val estMap = estRows.map { case (k, e) => k.map(normKeyPart) -> e.value }.toMap
+          val gs = tRows.map { case (k, t) =>
+            val est = estMap.getOrElse(k, 0.0) // pruned group: graded at 0
+            GroupScore(k, t, est, qerr(est, t),
+              math.abs(est - t) / math.max(math.abs(t), 1.0))
+          }
+          val (qm, _, _) = qstats(gs.map(_.qerr))
+          val (rm, _, _) = qstats(gs.map(_.relErr))
+          WorkloadRow(no, sql, gs.map(_.truth).sum, gs.map(_.est).sum, qm, rm, ms, gs)
+        case other => sys.error(
+          s"workload query $no shape is not replayable from a benchmark file: $other")
+      }
     }
   }
 
@@ -120,9 +208,17 @@ object QErrorEval {
 
   def workloadJson(file: String, sfDir: String, rows: Seq[WorkloadRow]): String = {
     val (med, p95, max) = qstats(rows.map(_.qerr))
-    val per = rows.map(r =>
-      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f,"rel_err":${r.relErr}%.4f,"latency_ms":${r.latencyMs}%.2f}""")
-      .mkString("[", ",", "]")
+    val per = rows.map { r =>
+      // grouped rows carry every exact group's score — the artifact the
+      // grouped-AQP gate and any external grader read per group
+      val gBlock = if (r.groups.isEmpty) "" else {
+        val gs = r.groups.map(g =>
+          f"""{"key":"${jsonEscape(g.key.mkString("|"))}","true":${g.truth}%.4f,"est":${g.est}%.4f,"qerr":${g.qerr}%.4f,"rel_err":${g.relErr}%.4f}""")
+          .mkString("[", ",", "]")
+        s""","groups":$gs"""
+      }
+      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f,"rel_err":${r.relErr}%.4f,"latency_ms":${r.latencyMs}%.2f$gBlock}"""
+    }.mkString("[", ",", "]")
     val (lm, lp, lx) = qstats(rows.map(_.latencyMs))
     val latBlock = f""","latency_ms":{"median":$lm%.2f,"p95":$lp%.2f,"max":$lx%.2f}"""
     // SUM/AVG rows get the reference's AQP metric as a separate aggregate
@@ -131,26 +227,42 @@ object QErrorEval {
       val (am, ap, ax) = qstats(aggs.map(_.relErr))
       f""","agg_rel_err":{"n":${aggs.length},"median":$am%.4f,"p95":$ap%.4f,"max":$ax%.4f}"""
     }
-    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock$latBlock,"per_query":$per}"""
+    // per-group aggregate over every grouped row's groups, flattened
+    val flat = rows.flatMap(_.groups)
+    val grpBlock = if (flat.isEmpty) "" else {
+      val (gm, gp, gx) = qstats(flat.map(_.relErr))
+      f""","group_rel_err":{"n":${flat.length},"median":$gm%.4f,"p95":$gp%.4f,"max":$gx%.4f}"""
+    }
+    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock$grpBlock$latBlock,"per_query":$per}"""
   }
 
   private def workloadMain(spark: SparkSession, sfDir: String, opts: Map[String, String]): Unit = {
     val file = opts("--workload")
     val qs = readWorkload(file)
-    val truth = opts.get("--truth").map(readTruthCsv)
-      .getOrElse(computeTruth(spark, sfDir, qs))
+    // the scalar truth CSV (reference true_cardinalities.csv layout) covers
+    // scalar rows; grouped rows always take live exact-plane truth — the
+    // 3-field CSV cannot carry per-group values
+    val csvTruth = opts.get("--truth").map(readTruthCsv).getOrElse(Map.empty[Int, Double])
+    lazy val liveTruth =
+      computeGroupTruth(spark, sfDir, qs.filterNot(q => csvTruth.contains(q._1)))
+    def truthOf(no: Int): Seq[(Seq[String], Double)] =
+      csvTruth.get(no).map(v => Seq((Seq.empty[String], v))).getOrElse(liveTruth(no))
     opts.get("--dump-truth").foreach { out =>
       val lines = "query_no,query,cardinality_true" +:
         qs.map { case (no, sql) =>
           // integral truths (cardinalities) print exactly; AQP aggregates
           // keep full double precision
-          val t = truth(no)
+          val t = truthOf(no) match {
+            case Seq((k, v)) if k.isEmpty => v
+            case _ => sys.error(s"--dump-truth: query $no is grouped; the scalar " +
+              "truth-CSV layout cannot carry per-group values (grouped truth is live)")
+          }
           val tS = if (t == math.rint(t) && math.abs(t) < 1e15) t.toLong.toString else t.toString
           s"""$no,"${sql.replace("\"", "\"\"")}",$tS"""
         }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lines.mkString("\n") + "\n")
     }
-    val rows = runWorkload(spark, sfDir, qs, truth)
+    val rows = runWorkloadGrouped(spark, sfDir, qs, truthOf)
     val json = workloadJson(file, sfDir, rows)
     opts.get("--out").foreach(out =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n"))

@@ -500,7 +500,11 @@ object Extended {
       val (n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2))
       Seq((1L, "view", n1), (2L, "click", n2), (3L, "purchase", n3))
         .toDF("step", "event_type", "users")
-        .withColumn("conv_rate", round(col("users") / lit(n1.toDouble), 4))
+        // zero-entry guard: on a viewless corpus the rate is NULL on both
+        // engines (the oracle divides by NULLIF(n1, 0)), never a NaN/Inf
+        // vs NULL divergence between Spark and IEEE-float engines
+        .withColumn("conv_rate",
+          when(lit(n1) =!= 0L, round(col("users") / lit(n1.toDouble), 4)))
         .orderBy("step")
     }
   )
@@ -526,6 +530,6 @@ object Extended {
         |      UNION ALL
         |      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
         |SELECT CAST(step AS BIGINT) AS step, event_type, CAST(users AS BIGINT) AS users,
-        |       ROUND(users / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 4) AS conv_rate
+        |       ROUND(users / CAST(NULLIF((SELECT COUNT(*) FROM s1), 0) AS DOUBLE), 4) AS conv_rate
         |FROM c ORDER BY step""".stripMargin
 }

@@ -365,7 +365,10 @@ object Streaming {
       val (n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2))
       Seq((1L, "view", n1), (2L, "click", n2), (3L, "purchase", n3))
         .toDF("step", "event_type", "users")
-        .withColumn("conv_rate", round(col("users") / lit(n1.toDouble), 4))
+        // same zero-entry guard as the batch form (the shared oracle
+        // divides by NULLIF(n1, 0))
+        .withColumn("conv_rate",
+          when(lit(n1) =!= 0L, round(col("users") / lit(n1.toDouble), 4)))
         .orderBy("step")
     }
   )

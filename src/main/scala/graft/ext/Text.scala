@@ -44,13 +44,13 @@ object Text {
     * plan and the oracle SQL of `quality_filter` AND the composed
     * `corpus_pipeline` (Dedup.scala), so the four sites cannot drift.
     */
-  private[ext] val qMinTok = 25
-  private[ext] val qMaxTok = 1000
-  private[ext] val qMinLen = 2.0
-  private[ext] val qMaxLen = 10.0
-  private[ext] val qMinStop = 2
-  private[ext] val qMaxTopFrac = 0.2
-  private[ext] val qMinTtr = 0.35
+  private[graft] val qMinTok = 25
+  private[graft] val qMaxTok = 1000
+  private[graft] val qMinLen = 2.0
+  private[graft] val qMaxLen = 10.0
+  private[graft] val qMinStop = 2
+  private[graft] val qMaxTopFrac = 0.2
+  private[graft] val qMinTtr = 0.35
   private[ext] def stopSqlList: String = stopwords.map(w => s"'$w'").mkString(",")
 
   /** pack_sequences capacity (tokens per packed sequence) — interpolated

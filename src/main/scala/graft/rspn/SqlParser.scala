@@ -163,6 +163,7 @@ object SqlParser {
   private val selectRe: Regex =
     """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\w+(?:\s*,\s*\w+)*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   private val selAliasRe: Regex = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r
+  private val leadColRe: Regex = """(?is)^(?:\w+\.)?(\w+)$""".r
   private val havingRe: Regex = """(?is)^(.+?)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$""".r
   private val orderKeyRe: Regex = """(?is)^(.*?)(?:\s+(ASC|DESC))?\s*$""".r
 
@@ -213,6 +214,26 @@ object SqlParser {
     case other => fail(s"aggregate '$other' (COUNT(*)/SUM(col)/SUM(a*b)/AVG(col) only)")
   }
 
+  /** Split on commas at paren-depth 0 outside quotes — the SELECT-list
+    * separator; commas inside function parens or string literals never
+    * split.
+    */
+  private def splitTopCommas(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach { c =>
+      if (c == '\'') { inQ = !inQ; cur.append(c) }
+      else if (!inQ && c == '(') { depth += 1; cur.append(c) }
+      else if (!inQ && c == ')') { depth -= 1; cur.append(c) }
+      else if (!inQ && depth == 0 && c == ',') { parts += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    parts += cur.toString
+    parts.toSeq
+  }
+
   /** One `+`/`-` at paren-depth 0 outside quotes, if any (the SUM(a)±SUM(b)
     * split point; `*` inside SUM(a*b) never reaches depth 0).
     */
@@ -251,8 +272,18 @@ object SqlParser {
       sel0: String, from: String, where: String, group: String,
       havingS: String, orderS: String, limitS: String): ParsedQuery = {
     {
+      // benchmark GROUP BY files list the group columns before the
+      // aggregate (SELECT g1, g2, AGG(...) ... GROUP BY g1, g2) — accept
+      // leading bare (optionally alias-qualified) columns as display
+      // columns, validated below to equal the GROUP BY list in order
+      val selParts = splitTopCommas(sel0)
+      val leadCols = selParts.init.map(_.trim).map {
+        case leadColRe(c) => c
+        case other => fail(
+          s"SELECT list item '$other' (only GROUP BY columns may precede the aggregate)")
+      }
       // a trailing `AS alias` names the aggregate for ORDER BY resolution
-      val (sel, aggAlias) = sel0.trim match {
+      val (sel, aggAlias) = selParts.last.trim match {
         case selAliasRe(e, a) => (e, Some(a))
         case e                => (e, None)
       }
@@ -284,6 +315,8 @@ object SqlParser {
         (t, g)
       }
       if (mode != GroupFlat && groupBy.isEmpty) fail("empty ROLLUP/CUBE column list")
+      if (leadCols.nonEmpty && leadCols.map(c => (tableOf(c), c)) != groupBy) fail(
+        s"SELECT columns ${leadCols.mkString(", ")} must equal the GROUP BY columns in order")
       val having = Option(havingS).map(_.trim).map {
         case havingRe(term, op, v) => Having(parseAggTerm(term), op, v.toDouble)
         case other                 => fail(s"HAVING '$other' (<agg> <cmp> <number> only)")

@@ -98,18 +98,21 @@ class ExtOpsSpec extends AnyFunSuite {
     val byReason = rows.groupBy(_.getString(6)).view.mapValues(_.length).toMap
     assert(byReason.contains("ok") && byReason.size >= 3,
       s"thresholds should produce a real keep/drop mix, got $byReason")
+    // rule thresholds come from the op's own constants (ext.Text.qMinTok…)
+    // so a future threshold change cannot silently desync this test's rules
+    import ext.Text.{qMinTok, qMaxTok, qMinLen, qMaxLen, qMinStop, qMaxTopFrac, qMinTtr}
     rows.foreach { r =>
       val (n, len, stop, top, ttr, reason) =
         (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getString(6))
       reason match {
-        case "word_count"   => assert(n < 25 || n > 1000)
-        case "mean_tok_len" => assert(n >= 25 && n <= 1000 && (len < 2.0 || len > 10.0))
-        case "stopwords"    => assert(stop < 2 && len >= 2.0 && len <= 10.0)
-        case "repetition"   => assert(top > 0.2 && stop >= 2)
-        case "ttr"          => assert(ttr < 0.35 && top <= 0.2)
+        case "word_count"   => assert(n < qMinTok || n > qMaxTok)
+        case "mean_tok_len" => assert(n >= qMinTok && n <= qMaxTok && (len < qMinLen || len > qMaxLen))
+        case "stopwords"    => assert(stop < qMinStop && len >= qMinLen && len <= qMaxLen)
+        case "repetition"   => assert(top > qMaxTopFrac && stop >= qMinStop)
+        case "ttr"          => assert(ttr < qMinTtr && top <= qMaxTopFrac)
         case "ok" =>
-          assert(n >= 25 && n <= 1000 && len >= 2.0 && len <= 10.0 &&
-            stop >= 2 && top <= 0.2 && ttr >= 0.35)
+          assert(n >= qMinTok && n <= qMaxTok && len >= qMinLen && len <= qMaxLen &&
+            stop >= qMinStop && top <= qMaxTopFrac && ttr >= qMinTtr)
         case other => fail(s"unknown reason $other")
       }
     }

@@ -231,6 +231,46 @@ class SpnStatsSpec extends AnyFunSuite {
     assert(math.abs(total - viaApi.map(_._2).sum) < 1e-6)
   }
 
+  test("spn_*_ci_lo/hi expose the estimator's confidence interval at the SQL surface") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", sf)
+    val spns = rspn.Ensemble.get(spark, sf)
+    val qtyLt25 = Map(("lineitem", "l_quantity") ->
+      (rspn.NumRange(Double.NegativeInfinity, 25.0, hiIncl = false): rspn.ColRange))
+    def sqlTriple(base: String, args: String): (Double, Double, Double) = {
+      val r = s2.sql(
+        s"SELECT $base($args) AS v, ${base}_ci_lo($args) AS lo, ${base}_ci_hi($args) AS hi")
+        .head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+
+    // count: SQL CI == Scala-API CI (lo clamped at 0 like the point value)
+    val (cv, clo, chi) = sqlTriple("spn_count", "'lineitem', 'l_quantity < 25'")
+    val ce = rspn.Ensemble.estCount(spns, Set("lineitem"), qtyLt25)
+    assert(close(cv, math.max(ce.value, 0.0)) && close(clo, math.max(ce.ci95Lo, 0.0)) &&
+      close(chi, math.max(ce.ci95Hi, 0.0)), s"count ($cv,$clo,$chi) vs $ce")
+    assert(clo <= cv && cv <= chi, "interval must bracket the point estimate")
+
+    // sum and avg: same single inference pass as the point function
+    val (sv, slo, shi) = sqlTriple("spn_sum", "'lineitem', 'l_extendedprice', 'l_quantity < 25'")
+    val se = rspn.Ensemble.estSum(spns, Set("lineitem"), ("lineitem", "l_extendedprice"), qtyLt25)
+    assert(close(sv, se.value) && close(slo, se.ci95Lo) && close(shi, se.ci95Hi),
+      s"sum ($sv,$slo,$shi) vs $se")
+    val (av, alo, ahi) = sqlTriple("spn_avg", "'lineitem', 'l_extendedprice'")
+    val ae = rspn.Ensemble.estAvg(spns, Set("lineitem"), ("lineitem", "l_extendedprice"), Map.empty)
+    assert(close(av, ae.value) && close(alo, ae.ci95Lo) && close(ahi, ae.ci95Hi),
+      s"avg ($av,$alo,$ahi) vs $ae")
+    assert(slo <= sv && sv <= shi && alo <= av && av <= ahi)
+
+    // CI bounds compose with surrounding SQL like any literal
+    val width = s2.sql(
+      "SELECT spn_count_ci_hi('lineitem', 'l_quantity < 25') - " +
+        "spn_count_ci_lo('lineitem', 'l_quantity < 25') AS w").head().getDouble(0)
+    assert(close(width, math.max(ce.ci95Hi, 0.0) - math.max(ce.ci95Lo, 0.0)))
+  }
+
   test("spn_count fails loudly on unanswerable input") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.spn.sfDir", sf)

@@ -77,6 +77,32 @@ class WorkloadSpec extends AnyFunSuite {
     assert(p95 <= 0.25, f"p95 relative error $p95%.4f > 0.25; worst q${worst.no}: ${worst.sql}")
   }
 
+  test("grouped-AQP workload replay: per-group median rel-err ≤ 0.10, artifact carries groups") {
+    // the reference's evaluation/aqp_evaluation.py GROUP BY surface as a
+    // benchmark FILE: every exact group of every query is graded against
+    // the model's per-group estimate (a pruned group grades at est = 0)
+    val g = QErrorEval.readWorkload("workloads/testdata_groupby_10.sql")
+    assert(g.length == 10)
+    assert(g.forall(_._2.toUpperCase.contains("GROUP BY")))
+    val truth = QErrorEval.computeGroupTruth(spark, sf, g, cache = false)
+    val rows = QErrorEval.runWorkloadGrouped(spark, sf, g, truth)
+    assert(rows.length == 10 && rows.forall(_.groups.nonEmpty),
+      "every replayed query must carry per-group scores")
+    val flat = rows.flatMap(_.groups)
+    val errs = flat.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = flat.maxBy(_.relErr)
+    info(f"${flat.length} groups: median rel err $median%.4f p95 $p95%.4f " +
+      f"max ${worst.relErr}%.4f (group ${worst.key.mkString("|")} " +
+      f"est ${worst.est}%.1f vs true ${worst.truth}%.1f)")
+    assert(median <= 0.10, f"per-group median relative error $median%.4f > 0.10")
+    // the --out artifact carries the per-group rows and their aggregate
+    val json = QErrorEval.workloadJson("workloads/testdata_groupby_10.sql", sf, rows)
+    assert(json.contains("\"groups\":["))
+    assert(json.contains("\"group_rel_err\":{"))
+  }
+
   test("the AQP workload meets the relative-error gate: median ≤ 0.05, p95 ≤ 0.25") {
     val aqp = QErrorEval.readWorkload("workloads/testdata_aqp_20.sql")
     assert(aqp.length == 20)
