@@ -16,7 +16,7 @@ object SparkEntry {
       plans.SpnPlanning.ops ++
       ext.Text.ops ++ ext.Dedup.ops ++
       ext.Similarity.ops ++ ext.Multimodal.ops ++ ext.Streaming.ops ++
-      rspn.ModelQueries.ops
+      rspn.ModelQueries.ops ++ schema.SidecarOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

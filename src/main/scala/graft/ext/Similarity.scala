@@ -356,16 +356,16 @@ object Similarity {
     Op.noOracle("sim_topk_pq") { (s, d) =>
       val books = pqCodebooks(s, d)
       val subDim = books.head.head.length
+      // the compressed corpus is ONLY (vec_id, packed codes): pqM one-byte
+      // codes in one 64-bit word — exactly pqM bytes per row, fixed-width
+      // primitive with no array/binary length headers, so the session-pinned
+      // frame really is ~4× smaller than the previous int-array layout and
+      // 30×+ smaller than the raw vectors. The exact re-rank re-joins the
+      // 100-row shortlist to unitFeats by vec_id instead of carrying v/n2
+      // through the compressed frame.
       val codes = ModelCache.memo(s, d, "pq_codes") {
-        def codeCol(sIdx: Int): Column = {
-          val sub = slice(col("unit"), sIdx * subDim + 1, subDim)
-          val dists = array(books(sIdx).map(c =>
-            lit(-2.0) * dotd(sub, lit(c)) + lit(c.map(x => x * x).sum)): _*)
-          (array_position(dists, array_min(dists)).cast("int") - 1)
-        }
         unitFeats(s, d)
-          .select(col("vec_id"), col("v"), col("n2"),
-            array((0 until pqM).map(codeCol): _*).as("codes"))
+          .select(col("vec_id"), packedCodes(books, subDim, col("unit")).as("codes"))
           .cache()
       }
       val qUnit = unitFeats(s, d).filter(col("vec_id") === 0)
@@ -375,15 +375,18 @@ object Similarity {
         val qs = qUnit.slice(sIdx * subDim, (sIdx + 1) * subDim)
         books(sIdx).map(c => sqdist(qs, c)).toArray
       }
-      // Spark SQL array indexing is 0-based; codes are stored 0-based
+      // decode byte sIdx straight inside the ADC expression (codes are
+      // 0-based LUT indexes)
       val adc = (0 until pqM).map(sIdx =>
-        lit(luts(sIdx)).getItem(col("codes").getItem(sIdx))).reduce(_ + _)
+        lit(luts(sIdx)).getItem(codeByte(col("codes"), sIdx))).reduce(_ + _)
       val qv = broadcast(unitFeats(s, d).filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("n2").as("qn2")))
       codes.filter(col("vec_id") =!= 0)
         .withColumn("adc", adc)
         .orderBy(col("adc").asc, col("vec_id")) // TakeOrdered: no full sort
         .limit(100)
+        .select("vec_id")
+        .join(unitFeats(s, d).select(col("vec_id"), col("v"), col("n2")), "vec_id")
         .crossJoin(qv)
         .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
@@ -407,18 +410,15 @@ object Similarity {
       val books = ivfpqCodebooks(s, d)
       val subDim = books.head.head.length
       val centArr = array(cents.map(c => lit(c)): _*)
+      // same one-word packing + slim layout as sim_topk_pq: the compressed
+      // frame carries (vec_id, cell, codes) only — cell drives probe
+      // pruning and LUT selection; v/n2 re-join at shortlist size
       val codes = ModelCache.memo(s, d, "ivfpq_codes") {
-        def codeCol(sIdx: Int): Column = {
-          val sub = slice(col("resid"), sIdx * subDim + 1, subDim)
-          val dists = array(books(sIdx).map(c =>
-            lit(-2.0) * dotd(sub, lit(c)) + lit(c.map(x => x * x).sum)): _*)
-          (array_position(dists, array_min(dists)).cast("int") - 1)
-        }
         ivfAssigned(s, d)
           .withColumn("resid",
             zip_with(col("unit"), centArr.getItem(col("cell")), (a, b) => a - b))
-          .select(col("vec_id"), col("cell"), col("v"), col("n2"),
-            array((0 until pqM).map(codeCol): _*).as("codes"))
+          .select(col("vec_id"), col("cell"),
+            packedCodes(books, subDim, col("resid")).as("codes"))
           .cache()
       }
       val qUnit = unitFeats(s, d).filter(col("vec_id") === 0)
@@ -430,7 +430,7 @@ object Similarity {
         (0 until pqM).map { sIdx =>
           val qs = qr.slice(sIdx * subDim, (sIdx + 1) * subDim)
           val lut = books(sIdx).map(c => sqdist(qs, c)).toArray
-          lit(lut).getItem(col("codes").getItem(sIdx))
+          lit(lut).getItem(codeByte(col("codes"), sIdx))
         }.reduce(_ + _)
       }
       val adc = probes.tail.foldLeft(when(col("cell") === probes.head, cellAdc(probes.head))) {
@@ -443,6 +443,8 @@ object Similarity {
         .withColumn("adc", adc)
         .orderBy(col("adc").asc, col("vec_id")) // TakeOrdered: no full sort
         .limit(100)
+        .select("vec_id")
+        .join(unitFeats(s, d).select(col("vec_id"), col("v"), col("n2")), "vec_id")
         .crossJoin(qv)
         .withColumn("cos", dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")))
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
@@ -561,11 +563,33 @@ object Similarity {
     }
 
   /** PQ geometry: pqM subspaces × pqK centroids each. 64-dim fixture →
-    * 8-dim subvectors; a code fits 4 bits (stored as int here — a packed
-    * byte/nibble layout is a storage detail, the plan is identical).
+    * 8-dim subvectors; a code fits 4 bits.
     */
   private val pqM = 8
   private val pqK = 16
+
+  /** Encode a vector as pqM one-byte codes (argmin sub-centroid per
+    * subspace, the −2·v·c + |c|² argmin trick) OR-packed into ONE 64-bit
+    * word — exactly pqM bytes per row as a fixed-width primitive, denser
+    * than an int array or a variable-length binary (both pay per-row
+    * length/offset headers) and fully codegen'd. Guarded: configurations
+    * beyond 8 one-byte codes would move to multiple words.
+    */
+  private def packedCodes(books: Seq[Seq[Array[Double]]], subDim: Int, vec: Column): Column = {
+    require(pqM <= 8 && pqK <= 256,
+      s"one-word packing holds up to 8 one-byte codes, got pqM=$pqM pqK=$pqK")
+    (0 until pqM).map { sIdx =>
+      val sub = slice(vec, sIdx * subDim + 1, subDim)
+      val dists = array(books(sIdx).map(c =>
+        lit(-2.0) * dotd(sub, lit(c)) + lit(c.map(x => x * x).sum)): _*)
+      shiftleft((array_position(dists, array_min(dists)) - 1).cast("bigint"), 8 * sIdx)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Byte `sIdx` of a packed code word — the 0-based LUT index the ADC
+    * expressions decode inline. */
+  private def codeByte(codes: Column, sIdx: Int): Column =
+    shiftright(codes, 8 * sIdx).bitwiseAND(lit(255L)).cast("int")
 
   /** Per-subspace PQ codebooks, trained driver-side on the same bounded
     * deterministic sample as [[ivfCentroids]] — one sample collect, pqM

@@ -4,8 +4,9 @@ import graft.rspn.Ensemble
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, ExprId}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -62,7 +63,10 @@ final case class SpnStatsRule(
     /** (table, column) → distinct count for declared key columns */
     keyNdv: (String, String) => Option[Double],
     /** same dataset gate as [[SpnBroadcastRule]] */
-    datasetDir: Option[String] = None) extends Rule[LogicalPlan] {
+    datasetDir: Option[String] = None,
+    /** join-subtree calibration switch — production keeps it on; tests
+      * build a scan-stats-only control rule to isolate its effect */
+    joinStats: Boolean = true) extends Rule[LogicalPlan] {
 
   import SpnCardinality.{atomsOf, splitConj}
 
@@ -80,6 +84,109 @@ final case class SpnStatsRule(
     case f @ Filter(cond, p @ Project(projList, rel: LogicalRelation))
         if projList.forall(_.isInstanceOf[AttributeReference]) && eligibleOrAnnotated(rel) =>
       refine(cond, rel).map(r => Filter(cond, p.copy(child = r))).getOrElse(f)
+    // inner-equi-join subtree over modeled scans → the ensemble's OWN join
+    // estimate (join SPN / factored), not |L||R|/max(key ndv) over the
+    // injected inputs: the scan-side key ndvs are CALIBRATED per join edge
+    // so Catalyst's own JoinEstimation formula reproduces the model number
+    // exactly — every stats consumer (build-side choice, CostBasedJoinReorder
+    // costing intermediate joins) then runs on join-aware cardinalities.
+    case j: Join if joinStats => calibrateJoin(j).getOrElse(j)
+  }
+
+  import SpnStatsRule.Sub
+
+  /** Walk an Inner-equi-join subtree whose leaves are (Project/Filter
+    * wrapped) modeled scans; compute the model estimate of EVERY nested
+    * join bottom-up and set each join edge's key-column ndv on BOTH leaf
+    * scans to round(|L|·|R| / J_model) — the unique divisor that makes
+    * `ceil(|L|·|R| / max(ndv))` equal the model's join cardinality. Any
+    * unrecognized shape, self-join, non-equi conjunct, or estimator miss
+    * bails to None (stats are advice, never an error). transformUp visits
+    * inner joins first; the outermost visit recomputes the full subtree —
+    * same inputs, same divisors — so re-annotation is idempotent.
+    */
+  private def calibrateJoin(j: Join): Option[LogicalPlan] = {
+    val leaves = scala.collection.mutable.ArrayBuffer
+      .empty[(LogicalRelation, String, Double)]
+    val overrides = scala.collection.mutable.Map.empty[(Int, String), Double]
+
+    def leafOf(p: LogicalPlan): Option[Sub] = {
+      def scan(q: LogicalPlan, conj: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
+        q match {
+          case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => scan(c, conj)
+          case Filter(cond, c) => scan(c, conj ++ splitConj(cond))
+          case rel: LogicalRelation if eligibleOrAnnotated(rel) => Some((rel, conj))
+          case _ => None
+        }
+      for {
+        (rel, conj) <- scan(p, Nil)
+        t <- tableNameOf(rel)
+        atoms <- atomsOf(conj)
+        rows <- if (atoms.exists(!_.isInstanceOf[SpnCardinality.NotNull]))
+          estimateRows(Set(t), Map(t -> atoms))
+        else tableRows(t)
+      } yield {
+        val idx = leaves.length
+        leaves += ((rel, t, rows))
+        Sub(Set(t), if (atoms.nonEmpty) Map(t -> atoms) else Map.empty, rows,
+          rel.output.map(_.exprId -> idx).toMap)
+      }
+    }
+
+    def keyPairs(cond: Expression, a: Sub, b: Sub): Option[Seq[((Int, String), (Int, String))]] = {
+      val pairs = splitConj(cond).map {
+        case EqualTo(x: AttributeReference, y: AttributeReference) =>
+          (a.attrLeaf.get(x.exprId), b.attrLeaf.get(y.exprId)) match {
+            case (Some(li), Some(ri)) => Some(((li, x.name), (ri, y.name)))
+            case _ =>
+              (a.attrLeaf.get(y.exprId), b.attrLeaf.get(x.exprId)) match {
+                case (Some(li), Some(ri)) => Some(((li, y.name), (ri, x.name)))
+                case _ => None
+              }
+          }
+        case _ => None
+      }
+      if (pairs.nonEmpty && pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+    }
+
+    def walk(p: LogicalPlan): Option[Sub] = p match {
+      // column pruning interposes pure projections between nested joins
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => walk(c)
+      case Join(l, r, Inner, Some(cond), _) =>
+        for {
+          a <- walk(l)
+          b <- walk(r)
+          // a self-join would merge both sides' atoms under one table name
+          if (a.tables & b.tables).isEmpty
+          pairs <- keyPairs(cond, a, b)
+          tables = a.tables ++ b.tables
+          atoms = a.atoms ++ b.atoms
+          rows <- estimateRows(tables, atoms)
+        } yield {
+          // min over key pairs in JoinEstimation: give every pair the same
+          // divisor, so each reproduces J and the min is J
+          val d = math.max(1L, math.round(a.rows * b.rows / math.max(rows, 0.5))).toDouble
+          pairs.foreach { case ((li, lc), (ri, rc)) =>
+            overrides((li, lc)) = d
+            overrides((ri, rc)) = d
+          }
+          Sub(tables, atoms, math.max(rows, 0.0), a.attrLeaf ++ b.attrLeaf)
+        }
+      case other => leafOf(other)
+    }
+
+    walk(j).map { _ =>
+      j.transformUp {
+        case rel: LogicalRelation =>
+          leaves.indexWhere(_._1 eq rel) match {
+            case -1 => rel
+            case i =>
+              val (_, t, rows) = leaves(i)
+              val extra = overrides.collect { case ((li, c), d) if li == i => c -> d }.toMap
+              annotate(rel, t, rows, extra)
+          }
+      }
+    }
   }
 
   /** The scan under `cond`, re-annotated with the learned POST-FILTER
@@ -119,7 +226,8 @@ final case class SpnStatsRule(
   private def normalize(dir: String): String =
     new org.apache.hadoop.fs.Path(dir).toUri.getPath
 
-  private def annotate(rel: LogicalRelation, table: String, rows: Double): LogicalRelation = {
+  private def annotate(rel: LogicalRelation, table: String, rows: Double,
+      ndvOverride: Map[String, Double] = Map.empty): LogicalRelation = {
     val r = math.max(rows, 0.0)
     val rowCount = BigInt(math.max(0L, math.round(r)))
     // byte estimate from the PROJECTED width — stats consumers compare this
@@ -127,12 +235,32 @@ final case class SpnStatsRule(
     val bytes = BigInt(math.max(1L,
       math.round(r * SpnBroadcastRule.rowBytes(rel.output.map(_.dataType)))))
     val colStats = rel.output.flatMap { a =>
-      keyNdv(table, a.name).map { ndv =>
-        // a filter can only shrink ndv; keys are near-unique per declared
-        // edge so capping at the (possibly filtered) row count keeps the
-        // join formula |L||R|/max(ndv) from underestimating the divisor
-        val d = BigInt(math.max(1L, math.round(math.min(ndv, math.max(r, 1.0)))))
-        a.name -> CatalogColumnStat(distinctCount = Some(d), nullCount = Some(BigInt(0)))
+      // calibrated join-edge divisors are EXACT by construction and must
+      // not be capped at the row count — |L||R|/d is the point
+      ndvOverride.get(a.name).orElse(
+        keyNdv(table, a.name).map { ndv =>
+          // a filter can only shrink ndv; keys are near-unique per declared
+          // edge so capping at the (possibly filtered) row count keeps the
+          // join formula |L||R|/max(ndv) from underestimating the divisor
+          math.min(ndv, math.max(r, 1.0))
+        }).map { ndv =>
+        val d = BigInt(math.max(1L, math.round(ndv)))
+        // JoinEstimation ZEROES any equi-join whose key intervals don't
+        // intersect, and a missing min/max reads as disjoint — declared
+        // PK/FK domains overlap by construction, so integral keys carry one
+        // shared synthetic interval whose only job is to mark that overlap
+        // (identical on every annotated key, so any range-proportional
+        // logic sees factor 1)
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val (mn, mx) = a.dataType match {
+          case LongType    => (Some("0"), Some(Long.MaxValue.toString))
+          case IntegerType => (Some("0"), Some(Int.MaxValue.toString))
+          case ShortType   => (Some("0"), Some(Short.MaxValue.toString))
+          case ByteType    => (Some("0"), Some(Byte.MaxValue.toString))
+          case _           => (None, None)
+        }
+        a.name -> CatalogColumnStat(distinctCount = Some(d), nullCount = Some(BigInt(0)),
+          min = mn, max = mx)
       }
     }.toMap
     val ct = CatalogTable(
@@ -148,6 +276,13 @@ final case class SpnStatsRule(
 
 object SpnStatsRule {
 
+  /** Model estimate + calibration bookkeeping for one join subtree node. */
+  private[plans] final case class Sub(
+      tables: Set[String],
+      atoms: Map[String, Seq[SpnCardinality.Atom]],
+      rows: Double,
+      attrLeaf: Map[ExprId, Int])
+
   /** Conf-driven wrapper mirroring [[SpnBroadcastRule.fromSession]]: inert
     * unless BOTH `spark.graft.spn.sfDir` and
     * `spark.graft.spn.statsInjection=true` are set. Estimation failures
@@ -162,7 +297,11 @@ object SpnStatsRule {
             SpnCardinality.estimatorFor(session, sfDir),
             tableRowsFor(session, sfDir),
             keyNdvFor(session, sfDir),
-            datasetDir = Some(sfDir))(plan)
+            datasetDir = Some(sfDir),
+            // join-subtree calibration rides the same opt-in; the extra
+            // knob exists to isolate scan-level stats (tests, debugging)
+            joinStats =
+              !session.conf.getOption("spark.graft.spn.joinStats").contains("false"))(plan)
         case _ => plan
       }
     }

@@ -163,9 +163,14 @@ object Update {
         val n1 = math.max(l.n - rows.length, 1.0)
         if (total > 0)
           CategoricalLeaf(l.colIdx, counts.map(_ / total), nullC / total, n1)
-        else
+        else if (l.probs.sum > 0)
           CategoricalLeaf(l.colIdx,
             Array.fill(counts.length)(1.0 / counts.length), 0.0, n1)
+        else
+          // mirror the NumericLeaf all-null branch: a leaf trained entirely
+          // on nulls has no value bins to fall back on uniformly — the only
+          // normalized density an emptied one can express is all-null
+          CategoricalLeaf(l.colIdx, Array.fill(counts.length)(0.0), 1.0, n1)
 
       case l: NumericLeaf =>
         val counts = l.probs.map(_ * l.n)

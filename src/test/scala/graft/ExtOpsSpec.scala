@@ -36,6 +36,13 @@ class ExtOpsSpec extends AnyFunSuite {
       bruteMap.get(r.getLong(0)).foreach(b => assert(r.getDouble(1) == b))
     }
     assert(pq.length == 10)
+    // the session-pinned compressed corpus really is compressed: ONE packed
+    // 64-bit code word (pqM = 8 bytes) per row and nothing else — raw
+    // vectors re-join only at shortlist size for the exact re-rank
+    val cached = ext.ModelCache.memo[org.apache.spark.sql.DataFrame](spark, sf, "pq_codes")(
+      fail("pq_codes must already be memoized by the op"))
+    assert(cached.schema.map(_.name) == Seq("vec_id", "codes"))
+    assert(cached.schema("codes").dataType == org.apache.spark.sql.types.LongType)
   }
 
   test("IVFPQ tracks the pure-IVF path inside probed cells, exact cosines on hits") {
@@ -55,6 +62,11 @@ class ExtOpsSpec extends AnyFunSuite {
       bruteMap.get(r.getLong(0)).foreach(b => assert(r.getDouble(1) == b))
     }
     assert(ivfpq.length == 10)
+    // same packed layout as pq_codes, plus the cell id for probe pruning
+    val cached = ext.ModelCache.memo[org.apache.spark.sql.DataFrame](spark, sf, "ivfpq_codes")(
+      fail("ivfpq_codes must already be memoized by the op"))
+    assert(cached.schema.map(_.name) == Seq("vec_id", "cell", "codes"))
+    assert(cached.schema("codes").dataType == org.apache.spark.sql.types.LongType)
   }
 
   test("partitioned HLL sketches: union estimate tracks the exact distinct count") {

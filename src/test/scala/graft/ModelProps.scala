@@ -119,6 +119,54 @@ object ModelProps extends Properties("rspn") {
       math.abs(Spn.prob(empty, Array(null, null)) - 1.0) < 1e-9
     }
 
+  /** Structural invariants every node of a maintained tree must satisfy:
+    * n ≥ 1 (the Update clamp floor), sum-node weights a normalized
+    * non-negative distribution, every leaf a normalized non-negative
+    * density (value bins + null mass).
+    */
+  private def nodeInvariants(node: SpnNode): Boolean = node match {
+    case SumNode(w, ch, n) =>
+      n >= 1.0 - 1e-9 && w.forall(_ >= -1e-12) &&
+        math.abs(w.sum - 1.0) < 1e-6 && ch.forall(nodeInvariants)
+    case ProductNode(ch, n) =>
+      n >= 1.0 - 1e-9 && ch.forall(nodeInvariants)
+    case l: CategoricalLeaf =>
+      l.n >= 1.0 - 1e-9 && l.probs.forall(_ >= -1e-12) && l.pNull >= -1e-12 &&
+        math.abs(l.probs.sum + l.pNull - 1.0) < 1e-6
+    case l: NumericLeaf =>
+      l.n >= 1.0 - 1e-9 && l.probs.forall(_ >= -1e-12) && l.pNull >= -1e-12 &&
+        math.abs(l.probs.sum + l.pNull - 1.0) < 1e-6
+  }
+
+  private val genOp: Gen[(Boolean, Array[Array[Double]])] = for {
+    ins <- Gen.oneOf(true, false)
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, genRow)
+  } yield (ins, rows.toArray)
+
+  property("random insert/delete interleavings keep every node normalized with n ≥ 1") =
+    forAll(genData, Gen.choose(1, 8).flatMap(Gen.listOfN(_, genOp))) { (d0, ops) =>
+      // deletes include rows the tree never absorbed — exactly the clamp
+      // paths (counts at 0, n at 1, uniform/all-null fallbacks) under test
+      var t: SpnNode = Learn.learn(d0, kinds)
+      ops.forall { case (ins, b) =>
+        t = if (ins) Update.insertBatch(t, b) else Update.deleteBatch(t, b)
+        nodeInvariants(t) && math.abs(Spn.prob(t, Array(null, null)) - 1.0) < 1e-9
+      }
+    }
+
+  property("delete-all on an all-null categorical column stays the all-null density") =
+    forAll(Gen.choose(10, 60)) { nRows =>
+      // the categorical mirror of the numeric all-null branch: a leaf
+      // trained entirely on nulls must stay pNull = 1 when emptied, never
+      // flip to a uniform value density it has no evidence for
+      val data = Array.tabulate(nRows)(i => Array(Double.NaN, (i % 7).toDouble))
+      val root = Learn.learn(data, kinds)
+      val empty = Update.deleteBatch(root, data)
+      val catNull = Spn.prob(empty, Array(NominalSet((0 until 5).map(_.toDouble).toArray), null))
+      math.abs(Spn.prob(empty, Array(null, null)) - 1.0) < 1e-9 && catNull < 1e-9
+    }
+
   property("group enumeration support equals the data's support") =
     forAll(genData) { data =>
       val root = Learn.learn(data, kinds)

@@ -126,6 +126,104 @@ class SpnStatsSpec extends AnyFunSuite {
         s"got deepest join over $deepTables:\n$learned")
   }
 
+  /** Both-sides-filtered join tree: (lineitem_1995 ⋈ orders_1995) ⋈
+    * customer_acctbal. The scan-stats-only formula collapses the deepest
+    * join to ~|O_f| (the ndv cap makes the divisor the smaller filtered
+    * side), while the ensemble's own join estimate is ~|L_f|·|O_f|/|O| —
+    * a 1.6×+ gap this fixture exhibits without any engineered skew.
+    */
+  private def filteredTriple(s2: SparkSession) = {
+    val li = s2.read.parquet(s"$tmpSf/lineitem.parquet")
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+      .select("l_orderkey", "l_quantity")
+    val ord = s2.read.parquet(s"$tmpSf/orders.parquet")
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01")
+      .select("o_orderkey", "o_custkey")
+    val cust = s2.read.parquet(s"$tmpSf/customer.parquet")
+      .filter(col("c_acctbal") > 1000).select("c_custkey", "c_acctbal")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy().agg(sum("l_quantity"))
+  }
+
+  private def modelJoinEst(tables: Set[String]): Double = {
+    val spns = rspn.Ensemble.get(spark, tmpSf)
+    def day(s: String): Double = java.time.LocalDate.parse(s).toEpochDay.toDouble
+    val preds = Map(
+      ("lineitem", "l_shipdate") ->
+        (rspn.NumRange(day("1995-01-01"), day("1996-01-01"), hiIncl = false): rspn.ColRange),
+      ("orders", "o_orderdate") ->
+        rspn.NumRange(day("1995-01-01"), day("1996-01-01"), hiIncl = false),
+      ("customer", "c_acctbal") ->
+        rspn.NumRange(1000.0, Double.PositiveInfinity, loIncl = false))
+      .filter { case ((t, _), _) => tables(t) }
+    rspn.Ensemble.estCount(spns, tables, preds).value
+  }
+
+  /** `plan.stats` reads SQLConf.get from the CALLING thread — reading a
+    * CBO-visitor statistic requires the cbo-enabled session to be active,
+    * or the size-only visitor answers (and poisons the node's stats cache).
+    */
+  private def joinCard(s2: SparkSession, plan: LogicalPlan, deepest: Boolean): Option[Double] = {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
+    try {
+      val joins = plan.collect { case j: Join => j }
+      (if (deepest) joins.last else joins.head).stats.rowCount.map(_.toDouble)
+    } finally prev.foreach(SparkSession.setActiveSession)
+  }
+
+  test("join-subtree stats: the Join reports the ensemble's estimate, not |L||R|/max(ndv)") {
+    val cbo = "spark.sql.cbo.enabled" -> "true"
+    // learned: the top join's reported cardinality IS the model's 3-table
+    // estimate (the calibrated key ndvs make JoinEstimation reproduce it)
+    val s2 = session(statsInjection = true, cbo)
+    val learned = filteredTriple(s2).queryExecution.optimizedPlan
+    val got = joinCard(s2, learned, deepest = false)
+      .getOrElse(fail(s"top join carries no rowCount:\n$learned"))
+    val want = modelJoinEst(Set("lineitem", "orders", "customer"))
+    val q3 = math.max((got + 1) / (want + 1), (want + 1) / (got + 1))
+    info(f"3-table: plan $got%.0f vs model $want%.1f (q $q3%.3f)")
+    assert(q3 <= 1.1, f"top join card $got%.0f must track the model estimate $want%.1f")
+    // ... and the nested (lineitem ⋈ orders) join likewise
+    val gotLO = joinCard(s2, learned, deepest = true).get
+    val wantLO = modelJoinEst(Set("lineitem", "orders"))
+    assert(math.max((gotLO + 1) / (wantLO + 1), (wantLO + 1) / (gotLO + 1)) <= 1.1,
+      f"deep join card $gotLO%.0f must track the model estimate $wantLO%.1f")
+
+    // control (scan stats only): the same plan's cardinality comes from the
+    // capped-ndv formula, which overshoots the model number by ≥ 1.3× here
+    val s3 = session(statsInjection = true, cbo, "spark.graft.spn.joinStats" -> "false")
+    val ctrl = filteredTriple(s3).queryExecution.optimizedPlan
+    val ctrlLO = joinCard(s3, ctrl, deepest = true).get
+    info(f"control deep join: $ctrlLO%.0f (formula) vs $wantLO%.1f (model)")
+    assert(ctrlLO / wantLO >= 1.3,
+      f"expected the ndv formula to overshoot the model here, got $ctrlLO%.0f vs $wantLO%.1f")
+  }
+
+  test("CBO join reorder flips only under the join-aware numbers") {
+    val cbo = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    // scan-stats control: formula card(L_f⋈O_f) ≈ |O_f| beats
+    // card(O_f⋈C_f) ≈ |O_f|·|C_f|/|C| — the reorderer puts orders-customer
+    // deepest
+    val ctrl = filteredTriple(session(statsInjection = true,
+      cbo :+ ("spark.graft.spn.joinStats" -> "false"): _*))
+      .queryExecution.optimizedPlan
+    val ctrlDeep = scansOf(ctrl.collect { case j: Join => j }.last).toSet
+    assert(ctrlDeep == Set("orders", "customer"),
+      s"control: capped-ndv numbers must favor orders⋈customer deepest, got $ctrlDeep:\n$ctrl")
+    // join-aware: the model's card(L_f⋈O_f) ≈ |L_f|·|O_f|/|O| is the
+    // smaller intermediate — the reorderer keeps lineitem⋈orders deepest
+    val learned = filteredTriple(session(statsInjection = true, cbo: _*))
+      .queryExecution.optimizedPlan
+    val learnedDeep = scansOf(learned.collect { case j: Join => j }.last).toSet
+    assert(learnedDeep == Set("lineitem", "orders"),
+      s"join-aware numbers must keep lineitem⋈orders deepest, got $learnedDeep:\n$learned")
+  }
+
   test("injected scan statistics carry the learned row counts and key ndvs") {
     val s2 = session(statsInjection = true, "spark.sql.cbo.enabled" -> "true")
     val df = s2.read.parquet(s"$tmpSf/orders.parquet").filter(col("o_totalprice") < 2000)
