@@ -42,11 +42,18 @@ object QErrorEval {
         * when pruned) graded against the true aggregate. Scalar queries
         * leave this empty; for grouped rows `truth`/`est` carry the group
         * sums and `qerr`/`relErr` the per-group medians. */
-      groups: Seq[GroupScore] = Nil)
+      groups: Seq[GroupScore] = Nil,
+      /** the estimator's 95% interval (reference
+        * evaluation/confidence_interval_evaluation.py scores every
+        * benchmark estimate's bounds the same way); grouped rows carry the
+        * per-group intervals inside `groups` and leave these at the group
+        * sums' bounds-of-sums */
+      ciLo: Double = 0.0, ciHi: Double = 0.0)
 
   /** One exact group's score; `key` is the stringified group tuple. */
   final case class GroupScore(
-      key: Seq[String], truth: Double, est: Double, qerr: Double, relErr: Double)
+      key: Seq[String], truth: Double, est: Double, qerr: Double, relErr: Double,
+      ciLo: Double = 0.0, ciHi: Double = 0.0)
 
   private def qerr(e: Double, x: Double): Double = {
     val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
@@ -179,21 +186,26 @@ object QErrorEval {
               s"workload query $no is scalar but its truth is grouped (${other.length} rows)")
           }
           WorkloadRow(no, sql, t, est, qerr(est, t),
-            math.abs(est - t) / math.max(math.abs(t), 1.0), ms)
+            math.abs(est - t) / math.max(math.abs(t), 1.0), ms,
+            ciLo = e.ci95Lo, ciHi = e.ci95Hi)
         case SqlEstimate.Groups(estRows) =>
           val tRows = truthOf(no)
           if (tRows.forall(_._1.isEmpty)) sys.error(
             s"workload query $no is grouped but its truth is scalar — " +
               "omit --truth (grouped truth is computed live from the exact plane)")
-          val estMap = estRows.map { case (k, e) => k.map(normKeyPart) -> e.value }.toMap
+          val estMap = estRows.map { case (k, e) => k.map(normKeyPart) -> e }.toMap
           val gs = tRows.map { case (k, t) =>
-            val est = estMap.getOrElse(k, 0.0) // pruned group: graded at 0
+            // pruned group: graded at 0 with a degenerate [0,0] interval
+            val e = estMap.get(k)
+            val est = e.map(_.value).getOrElse(0.0)
             GroupScore(k, t, est, qerr(est, t),
-              math.abs(est - t) / math.max(math.abs(t), 1.0))
+              math.abs(est - t) / math.max(math.abs(t), 1.0),
+              ciLo = e.map(_.ci95Lo).getOrElse(0.0), ciHi = e.map(_.ci95Hi).getOrElse(0.0))
           }
           val (qm, _, _) = qstats(gs.map(_.qerr))
           val (rm, _, _) = qstats(gs.map(_.relErr))
-          WorkloadRow(no, sql, gs.map(_.truth).sum, gs.map(_.est).sum, qm, rm, ms, gs)
+          WorkloadRow(no, sql, gs.map(_.truth).sum, gs.map(_.est).sum, qm, rm, ms, gs,
+            ciLo = gs.map(_.ciLo).sum, ciHi = gs.map(_.ciHi).sum)
         case other => sys.error(
           s"workload query $no shape is not replayable from a benchmark file: $other")
       }
@@ -213,11 +225,11 @@ object QErrorEval {
       // grouped-AQP gate and any external grader read per group
       val gBlock = if (r.groups.isEmpty) "" else {
         val gs = r.groups.map(g =>
-          f"""{"key":"${jsonEscape(g.key.mkString("|"))}","true":${g.truth}%.4f,"est":${g.est}%.4f,"qerr":${g.qerr}%.4f,"rel_err":${g.relErr}%.4f}""")
+          f"""{"key":"${jsonEscape(g.key.mkString("|"))}","true":${g.truth}%.4f,"est":${g.est}%.4f,"qerr":${g.qerr}%.4f,"rel_err":${g.relErr}%.4f,"ci_lo":${g.ciLo}%.4f,"ci_hi":${g.ciHi}%.4f}""")
           .mkString("[", ",", "]")
         s""","groups":$gs"""
       }
-      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f,"rel_err":${r.relErr}%.4f,"latency_ms":${r.latencyMs}%.2f$gBlock}"""
+      f"""{"no":${r.no},"sql":"${jsonEscape(r.sql)}","true":${r.truth}%.1f,"est":${r.est}%.2f,"qerr":${r.qerr}%.4f,"rel_err":${r.relErr}%.4f,"ci_lo":${r.ciLo}%.4f,"ci_hi":${r.ciHi}%.4f,"latency_ms":${r.latencyMs}%.2f$gBlock}"""
     }.mkString("[", ",", "]")
     val (lm, lp, lx) = qstats(rows.map(_.latencyMs))
     val latBlock = f""","latency_ms":{"median":$lm%.2f,"p95":$lp%.2f,"max":$lx%.2f}"""
@@ -233,7 +245,21 @@ object QErrorEval {
       val (gm, gp, gx) = qstats(flat.map(_.relErr))
       f""","group_rel_err":{"n":${flat.length},"median":$gm%.4f,"p95":$gp%.4f,"max":$gx%.4f}"""
     }
-    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock$grpBlock$latBlock,"per_query":$per}"""
+    // CI scoring (reference confidence_interval_evaluation.py): empirical
+    // coverage of the nominal 95% interval over every scored estimate
+    // (scalar rows + every exact group of grouped rows), plus the median
+    // relative interval width — a CI that covers by being vacuously wide
+    // shows up here
+    val ciBlock = {
+      val scored = rows.filter(_.groups.isEmpty).map(r => (r.truth, r.est, r.ciLo, r.ciHi)) ++
+        flat.map(g => (g.truth, g.est, g.ciLo, g.ciHi))
+      val inBounds = scored.count { case (t, _, lo, hi) => lo <= t && t <= hi }
+      val (wm, _, _) = qstats(scored.map { case (_, e, lo, hi) =>
+        (hi - lo) / math.max(math.abs(e), 1.0)
+      })
+      f""","ci":{"n":${scored.length},"coverage":${inBounds.toDouble / scored.length}%.4f,"median_rel_width":$wm%.4f}"""
+    }
+    f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock$grpBlock$ciBlock$latBlock,"per_query":$per}"""
   }
 
   private def workloadMain(spark: SparkSession, sfDir: String, opts: Map[String, String]): Unit = {

@@ -1,0 +1,336 @@
+package graft.plans
+
+import graft.rspn.Ensemble
+import graft.schema.{DatasetSpec, Relationship}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, StringType}
+
+import scala.util.Try
+
+/** Transparent approximate query answering — the reference's END-GAME
+  * surface. `deepdb-public::maqp.py --evaluate_aqp_queries` reads ordinary
+  * benchmark SQL and answers it from the model plane without touching the
+  * data; the Spark-native re-expression is an optimizer rule that rewrites
+  * a plain, unannotated aggregate — `spark.sql("SELECT count(*), avg(x)
+  * FROM t WHERE p")`, or the identical DataFrame chain — into its model
+  * answer whenever the session has opted in:
+  *
+  * {{{
+  *   spark.conf.set("spark.graft.spn.sfDir", dir)   // trained dataset
+  *   spark.conf.set("spark.graft.aqp.enabled", "true")
+  *   spark.sql("SELECT l_returnflag, count(*) AS n FROM lineitem " +
+  *             "WHERE l_quantity < 24 GROUP BY l_returnflag")  // no scan
+  * }}}
+  *
+  * Unlike the explicit `spn_count(...)` functions (which FAIL loudly when
+  * the model cannot answer — the caller asked for an estimate), transparent
+  * mode must preserve the query's meaning for every query in the session:
+  * any shape outside the model's answerable class — an unmodeled column, a
+  * LIKE predicate, a non-FK join, a MIN/MAX aggregate — leaves the plan
+  * untouched and Spark executes it exactly. Approximate-when-possible,
+  * exact-otherwise is precisely the reference's deployment posture (it
+  * routes the benchmark queries it can answer to the model and the rest to
+  * the DBMS).
+  *
+  * Recognized shape (after operator optimization, so filters sit directly
+  * on the scans and projections are pruned):
+  *
+  *   Aggregate(group: dictionary-modeled string cols,
+  *             aggs:  COUNT(*) | SUM(modeled num) | AVG(modeled num),
+  *             Project/Filter chain over a modeled scan
+  *               | Inner equi-joins over declared FK edges of such scans)
+  *
+  * The rewrite folds the whole subtree to a [[LocalRelation]] carrying the
+  * Aggregate's OWN output attributes (exprIds preserved, so enclosing
+  * sorts/filters/projections still resolve) with rows computed driver-side
+  * from the RSPN ensemble. At 100 TB this is the reference's whole value
+  * proposition made native: a dashboard query over the full corpus answers
+  * in milliseconds with ZERO bytes scanned, and the SAME query text runs
+  * exact the moment the flag is off.
+  *
+  * Reference anchors: `maqp.py --evaluate_aqp_queries` (entry),
+  * `evaluation/aqp_evaluation.py` (query routing),
+  * `ensemble_compilation/graph_representation.py::Query` (the answerable
+  * class this rule's guards mirror).
+  */
+object SpnAqpRule {
+
+  /** Conf-gated wrapper registered at builder time (inert until the session
+    * opts in — same pattern as [[SpnStatsRule.fromSession]]).
+    */
+  def fromSession(session: SparkSession): Rule[LogicalPlan] = new Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val conf = session.conf
+      if (!conf.getOption("spark.graft.aqp.enabled").contains("true")) plan
+      else conf.getOption("spark.graft.spn.sfDir") match {
+        case None        => plan
+        case Some(sfDir) => SpnAqpRule(session, sfDir)(plan)
+      }
+    }
+  }
+}
+
+final case class SpnAqpRule(session: SparkSession, sfDir: String)
+    extends Rule[LogicalPlan] {
+
+  import SpnCardinality.{atomsOf, splitConj, Atom, ScanShape}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // estimation failures must never fail the QUERY — any miss falls back
+    // to the exact plan (Try is the catch-all guard; every structural
+    // mismatch already returns None before estimation starts)
+    case agg: Aggregate => Try(rewrite(agg)).toOption.flatten.getOrElse(agg)
+  }
+
+  /** Join subtree summary: tables touched, understood filter atoms per
+    * table, and which table each output attribute belongs to (exprId keyed
+    * — name lookup would break on self-joins, which are rejected anyway).
+    */
+  private case class Shape(
+      tables: Set[String],
+      atoms: Map[String, Seq[Atom]],
+      attrTable: Map[ExprId, String])
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val spec = DatasetSpec.forDir(session, sfDir)
+    // per-table declared key columns: `isnotnull(key)` conjuncts that
+    // predicate pushdown strews onto the scans of an inner equi-join are
+    // implied by the join itself (and by the FK integrity the estimator
+    // already assumes), so they are dropped instead of blocking the rewrite
+    val keyCols: Map[String, Set[String]] = {
+      val fromRels = spec.graph.relationships
+        .flatMap(r => Seq(r.many -> r.fk, r.one -> r.pk))
+      val fromPks = spec.graph.tables.flatMap(t => t.primaryKey.map(t.name -> _))
+      (fromRels ++ fromPks).groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).toSet }
+    }
+    for {
+      sh <- walk(agg.child, spec.modeled, spec.graph.relationships, keyCols)
+      groups <- groupCols(agg, sh, spec.modeled)
+      cols <- outputCols(agg, sh, spec.modeled)
+      rows <- estimate(sh, groups.map(_._2), cols, agg.output.map(_.dataType))
+    } yield LocalRelation(agg.output, rows)
+  }
+
+  // ---- shape recognition ----
+
+  private def walk(
+      p: LogicalPlan,
+      modeled: Map[String, Seq[(String, String)]],
+      rels: Seq[Relationship],
+      keyCols: Map[String, Set[String]]): Option[Shape] = p match {
+    // single-table leaf: ScanShape swallows any Project/Filter chain down
+    // to the scan (resolving through cached InMemoryRelations too), so all
+    // its conjuncts belong to this one table
+    case ScanShape(dir, t, conjuncts)
+        if dirMatches(dir) && modeled.contains(t) =>
+      atomsOf(conjuncts)
+        .map(_.filterNot(a => a.isInstanceOf[SpnCardinality.NotNull] &&
+          keyCols.getOrElse(t, Set.empty).contains(a.column)))
+        .filter(_.forall(a => modeled(t).exists(_._1 == a.column)))
+        .map { atoms =>
+          Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
+            p.output.map(_.exprId -> t).toMap)
+        }
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      walk(c, modeled, rels, keyCols)
+    // residual filter above a join: each conjunct must be an understood
+    // atom over exactly one table's column
+    case Filter(cond, c) =>
+      walk(c, modeled, rels, keyCols).flatMap { sh =>
+        val perConj = splitConj(cond).map { cj =>
+          for {
+            as <- atomsOf(Seq(cj))
+            a <- as.headOption
+            ref <- cj.references.toSeq match {
+              case Seq(one) => Some(one)
+              case _        => None
+            }
+            t <- sh.attrTable.get(ref.exprId)
+            if modeled(t).exists(_._1 == a.column)
+          } yield (t, a)
+        }
+        if (perConj.forall(_.isDefined))
+          Some(sh.copy(atoms = mergeAtoms(sh.atoms, perConj.flatten)))
+        else None
+      }
+    case Join(l, r, Inner, Some(cond), _) =>
+      for {
+        a <- walk(l, modeled, rels, keyCols)
+        b <- walk(r, modeled, rels, keyCols)
+        // a self-join would merge both sides' atoms under one table name
+        if (a.tables & b.tables).isEmpty
+        at = a.attrTable ++ b.attrTable
+        // every conjunct must be an equi-pair on a DECLARED FK edge: the
+        // estimator's join semantics come from the schema graph, so an
+        // undeclared key pair would be silently estimated as the FK join —
+        // a wrong ANSWER, not just a bad plan
+        if splitConj(cond).forall {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            (at.get(x.exprId), at.get(y.exprId)) match {
+              case (Some(tx), Some(ty)) => declaredEdge(rels, tx, x.name, ty, y.name)
+              case _                    => false
+            }
+          case _ => false
+        }
+      } yield Shape(a.tables ++ b.tables,
+        mergeAtoms(a.atoms, b.atoms.toSeq.flatMap { case (t, as) => as.map(t -> _) }), at)
+    case _ => None
+  }
+
+  private def declaredEdge(
+      rels: Seq[Relationship],
+      ta: String, ca: String, tb: String, cb: String): Boolean =
+    rels.exists(r =>
+      (r.many == ta && r.fk == ca && r.one == tb && r.pk == cb) ||
+        (r.many == tb && r.fk == cb && r.one == ta && r.pk == ca))
+
+  private def mergeAtoms(
+      base: Map[String, Seq[Atom]],
+      extra: Seq[(String, Atom)]): Map[String, Seq[Atom]] =
+    extra.foldLeft(base) { case (m, (t, a)) =>
+      m.updated(t, m.getOrElse(t, Seq.empty) :+ a)
+    }
+
+  private def dirMatches(dir: String): Boolean =
+    new org.apache.hadoop.fs.Path(sfDir).toUri.getPath ==
+      new org.apache.hadoop.fs.Path(dir).toUri.getPath
+
+  // ---- aggregate-list recognition ----
+
+  /** Grouping columns, each a dictionary-modeled ("cat") STRING column —
+    * the only kind the group enumeration can materialize values for.
+    */
+  private def groupCols(
+      agg: Aggregate, sh: Shape,
+      modeled: Map[String, Seq[(String, String)]])
+      : Option[Seq[(AttributeReference, (String, String))]] = {
+    val gs = agg.groupingExpressions.map {
+      case a: AttributeReference if a.dataType == StringType =>
+        sh.attrTable.get(a.exprId)
+          .filter(t => modeled(t).exists(c => c._1 == a.name && c._2 == "cat"))
+          .map(t => (a, (t, a.name)))
+      case _ => None
+    }
+    if (gs.forall(_.isDefined)) Some(gs.flatten) else None
+  }
+
+  private sealed trait OutCol
+  private case class GroupOut(idx: Int) extends OutCol
+  private case class CountOut() extends OutCol
+  private case class SumOut(col: (String, String)) extends OutCol
+  private case class AvgOut(col: (String, String)) extends OutCol
+
+  /** One [[OutCol]] per output attribute, or None when any aggregate is
+    * outside the COUNT(*)/SUM/AVG class the estimator answers.
+    */
+  private def outputCols(
+      agg: Aggregate, sh: Shape,
+      modeled: Map[String, Seq[(String, String)]]): Option[Seq[OutCol]] = {
+    val groupIdx = agg.groupingExpressions.collect {
+      case a: AttributeReference => a.exprId
+    }.zipWithIndex.toMap
+
+    def numCol(e: Expression): Option[(String, String)] = e match {
+      // a widening numeric cast leaves SUM/AVG values unchanged
+      case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => numCol(c)
+      case a: AttributeReference =>
+        sh.attrTable.get(a.exprId)
+          .filter(t => modeled(t).exists(c => c._1 == a.name && c._2 == "num"))
+          .map(t => (t, a.name))
+      case _ => None
+    }
+
+    def ofNamed(ne: NamedExpression): Option[OutCol] = ne match {
+      case a: AttributeReference => groupIdx.get(a.exprId).map(GroupOut.apply)
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case c: Count if c.children.nonEmpty &&
+              c.children.forall { case Literal(v, _) => v != null; case _ => false } =>
+            Some(CountOut())
+          case s: Sum     => numCol(s.child).map(SumOut.apply)
+          case av: Average => numCol(av.child).map(AvgOut.apply)
+          case _          => None
+        }
+      case _ => None
+    }
+
+    val cols = agg.aggregateExpressions.map(ofNamed)
+    if (cols.forall(_.isDefined)) Some(cols.flatten) else None
+  }
+
+  // ---- driver-side estimation → LocalRelation rows ----
+
+  private def estimate(
+      sh: Shape,
+      groupCols: Seq[(String, String)],
+      cols: Seq[OutCol],
+      outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
+    val spns = Ensemble.get(session, sfDir)
+    val spec = DatasetSpec.forDir(session, sfDir)
+    SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).map { preds =>
+      val raw: Seq[Seq[Any]] =
+        if (groupCols.isEmpty) {
+          Seq(cols.map {
+            case CountOut()  => Ensemble.estCount(spns, sh.tables, preds).value
+            case SumOut(c)   => Ensemble.estSum(spns, sh.tables, c, preds).value
+            case AvgOut(c)   => Ensemble.estAvg(spns, sh.tables, c, preds).value
+            case GroupOut(_) => sys.error("group column without grouping")
+          })
+        } else {
+          // the COUNT enumeration fixes the group-key universe (groups with
+          // estimated mass 0 are pruned inside enumGroups, identically for
+          // every aggregate — all calls share the same prefix-pruned walk)
+          val counts = Ensemble.estGroupByMulti(spns, sh.tables, groupCols, preds)
+          def perGroup(col: OutCol): Map[Seq[String], Double] = col match {
+            case CountOut() => counts.map { case (k, e) => k -> e.value }.toMap
+            case SumOut(c) =>
+              Ensemble.estGroupByAgg(spns, sh.tables, groupCols, Map(c -> 1), preds)
+                .map { case (k, e) => k -> e.value }.toMap
+            case AvgOut(c) =>
+              Ensemble.estGroupByAvg(spns, sh.tables, groupCols, c, preds)
+                .map { case (k, e) => k -> e.value }.toMap
+            case GroupOut(_) => Map.empty
+          }
+          val aggVals: Map[Int, Map[Seq[String], Double]] = cols.zipWithIndex.collect {
+            case (c, i) if !c.isInstanceOf[GroupOut] => i -> perGroup(c)
+          }.toMap
+          counts.map(_._1).sortBy(_.mkString(" ")).map { k =>
+            cols.zipWithIndex.map {
+              case (GroupOut(gi), _) => k(gi): Any
+              case (_, i)            => aggVals(i).getOrElse(k, 0.0): Any
+            }
+          }
+        }
+      toRows(raw, outTypes)
+    }
+  }
+
+  /** Scala values → InternalRows under the Aggregate's own output types
+    * (COUNT folds to BIGINT, SUM over integral columns too — the estimate
+    * rounds; everything else stays floating).
+    */
+  private def toRows(rows: Seq[Seq[Any]], outTypes: Seq[DataType]): Seq[InternalRow] = {
+    def cast(v: Any, dt: DataType): Any = (v, dt) match {
+      case (s: String, StringType)  => s
+      case (d: Double, DoubleType)  => d
+      case (d: Double, FloatType)   => d.toFloat
+      case (d: Double, LongType)    => math.round(d)
+      case (d: Double, IntegerType) => math.round(d).toInt
+      case _ => sys.error(s"unsupported AQP output type $dt for $v")
+    }
+    val convs = outTypes.map(CatalystTypeConverters.createToCatalystConverter)
+    rows.map { vs =>
+      InternalRow.fromSeq(vs.lazyZip(outTypes).lazyZip(convs).map {
+        (v, dt, conv) => conv(cast(v, dt))
+      }.toSeq)
+    }
+  }
+}

@@ -462,6 +462,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(SpnBroadcastRule.fromSession)
     e.injectPreCBORule(SpnStatsRule.fromSession)
+    // transparent AQP first: a rewritten aggregate has no scans left for
+    // the stats rule to annotate, and exact-fallback queries pass through
+    // to it untouched
+    e.injectPreCBORule(SpnAqpRule.fromSession)
     SpnFunctions.register(e)
   }
 }
@@ -553,6 +557,25 @@ object SpnPlanning {
           round(sum(col("l_quantity").cast("decimal(18,6)")), 2)
             .cast("double").as("sum_qty"))
         .orderBy("c_mktsegment")
+    },
+
+    // Transparent AQP (plans/SpnAqp.scala): the SAME SQL text a user would
+    // run exactly, answered from the model with zero scans once the session
+    // opts in. No oracle — the result is an estimate by design; SpnAqpSpec
+    // gates q-error against the exact answers and pins the zero-scan plan
+    // shape. (Under Verify the shared session may have cached these tables,
+    // in which case the rewrite resolves through the cache — the surface
+    // contract is rows>0 here, accuracy is the spec's job.)
+    Op.noOracle("aqp_transparent") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      Seq("lineitem", "orders").foreach(t =>
+        s2.read.parquet(s"$d/$t.parquet").createOrReplaceTempView(t))
+      s2.sql(
+        """SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS avg_price
+          |FROM lineitem WHERE l_quantity < 24
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }
   )
 }

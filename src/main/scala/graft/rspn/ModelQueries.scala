@@ -504,6 +504,53 @@ object ModelQueries {
         .orderBy("phase")
     },
 
+    // M11c: incremental update fed by a STREAM — the SpnStreamUpdater
+    // (foreachBatch contract: in-order batchIds, idempotent re-delivery,
+    // copy-on-write snapshots) replayed here over three timestamp-sliced
+    // micro-batches of the events table. The final streamed model must be
+    // BIT-IDENTICAL to sequentially batch-inserting the same slices — the
+    // updater adds delivery discipline, never new math. StreamingSpec
+    // drives the same updater from a real MemoryStream query.
+    Op.noOracle("spn_update_stream") { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val h = eventHarness(s, d)
+      val cuts = Seq("2024-01-11", "2024-01-21")
+      val slices = Seq(
+        ev.filter(col("ts") < lit(cuts.head).cast("timestamp")),
+        ev.filter(col("ts") >= lit(cuts.head).cast("timestamp") &&
+          col("ts") < lit(cuts(1)).cast("timestamp")),
+        ev.filter(col("ts") >= lit(cuts(1)).cast("timestamp")))
+      val (seed, nSeed) = h.sample(slices.head)
+      val root0 = Learn.learn(seed, h.kinds)
+      val enc = Seq(
+        element_at(map(ev.select("event_type").distinct().collect().map(_.getString(0)).sorted
+          .zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*),
+          col("event_type")),
+        col("value").cast("double"))
+      val up = new SpnStreamUpdater(root0,
+        r => Array.tabulate(2)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)),
+        initRows = nSeed)
+      var ref = root0
+      val phases = slices.tail.zipWithIndex.map { case (slice, i) =>
+        val encoded = slice.select(enc: _*)
+        up(encoded, i.toLong)
+        up(encoded, i.toLong) // re-delivery of the same batchId: must no-op
+        ref = Update.insertBatch(ref,
+          encoded.collect().map(r => Array.tabulate(2)(j =>
+            if (r.isNullAt(j)) Double.NaN else r.getDouble(j))))
+        (s"batch_$i", math.rint(up.nRows * Spn.prob(up.root, h.viewRanges)), up.nRows)
+      }
+      // case-class equality over Array fields is referential; bit-identity
+      // is asserted on the estimates the trees produce (the observable)
+      val identical = Spn.prob(up.root, h.viewRanges) == Spn.prob(ref, h.viewRanges) &&
+        up.root.n == ref.n
+      (("seed", math.rint(nSeed * Spn.prob(root0, h.viewRanges)), nSeed) +: phases)
+        .toDF("phase", "est_views", "modeled_rows")
+        .withColumn("matches_batch_path", lit(identical))
+        .orderBy("phase")
+    },
+
     // M11b: incremental DELETION — the retention/CDC half of model
     // maintenance the insert-only path can't express. Train on the whole
     // events window, batch-delete the post-cut slice (same one-pass

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transparent AQP (plans/SpnAqp.scala): with `spark.graft.aqp.enabled`
+  * on, a plain unannotated SQL aggregate over modeled tables folds to its
+  * model answer (a LocalRelation — ZERO scans); anything outside the
+  * answerable class runs exactly, unchanged. Accuracy gates ride on the
+  * same ensemble the workload gates already pin (median q-error ≈ 1.002),
+  * so the bounds here are loose enough to never flake and tight enough to
+  * catch a broken rewrite (a column mix-up is orders of magnitude off).
+  *
+  * Like SpnStatsSpec, plan-shape assertions need genuine uncached parquet
+  * scans, so the fixture is copied to a private temp dir.
+  */
+class SpnAqpSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier")
+
+  private lazy val tmpSf: String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-aqp-")
+    planTables.foreach { t =>
+      Files.copy(Paths.get(s"$sf/$t.parquet"), dir.resolve(s"$t.parquet"))
+    }
+    val d = dir.toString
+    rspn.Ensemble.get(spark, d)
+    planTables.foreach(t => schema.Tables(spark, d, t).unpersist(blocking = true))
+    d
+  }
+
+  private def session(aqp: Boolean): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", tmpSf)
+    if (aqp) s2.conf.set("spark.graft.aqp.enabled", "true")
+    planTables.foreach(t =>
+      s2.read.parquet(s"$tmpSf/$t.parquet").createOrReplaceTempView(t))
+    s2
+  }
+
+  private def isRewritten(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.collectFirst { case _: LogicalRelation => () }.isEmpty &&
+      plan.collectFirst { case _: LocalRelation => () }.nonEmpty
+  }
+
+  private def qerr(est: Double, exact: Double): Double =
+    math.max(est / exact, exact / est)
+
+  test("scalar COUNT(*) answers from the model with zero scans") {
+    val sql = "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 24"
+    val exact = session(aqp = false).sql(sql)
+    assert(!isRewritten(exact), "flag off must scan")
+    val approx = session(aqp = true).sql(sql)
+    assert(isRewritten(approx), s"flag on must fold to a LocalRelation:\n${approx.queryExecution.optimizedPlan}")
+    val (e, a) = (exact.head.getLong(0).toDouble, approx.head.getLong(0).toDouble)
+    assert(qerr(a, e) <= 1.5, s"count q-error: est $a vs exact $e")
+  }
+
+  test("scalar SUM and AVG fold together, each within bounds") {
+    val sql = """SELECT sum(l_extendedprice) AS s, avg(l_extendedprice) AS a
+                 FROM lineitem WHERE l_quantity < 24""".stripMargin
+    val exact = session(aqp = false).sql(sql).head
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df))
+    val est = df.head
+    assert(qerr(est.getDouble(0), exact.getDouble(0)) <= 1.5,
+      s"sum: ${est.getDouble(0)} vs ${exact.getDouble(0)}")
+    assert(qerr(est.getDouble(1), exact.getDouble(1)) <= 1.2,
+      s"avg: ${est.getDouble(1)} vs ${exact.getDouble(1)}")
+  }
+
+  test("GROUP BY folds to per-group model estimates, same group keys") {
+    val sql = """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q
+                 FROM lineitem WHERE l_quantity < 24
+                 GROUP BY l_returnflag""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getString(0) -> (r.getLong(1).toDouble, r.getDouble(2))).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df))
+    val est = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1).toDouble, r.getDouble(2))).toMap
+    assert(est.keySet == exact.keySet, s"group keys ${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (k, (en, eq)) =>
+      assert(qerr(est(k)._1, en) <= 1.5, s"group $k count: ${est(k)._1} vs $en")
+      assert(qerr(est(k)._2, eq) <= 1.5, s"group $k sum: ${est(k)._2} vs $eq")
+    }
+  }
+
+  test("FK join COUNT answers through the join model; ORDER BY survives the fold") {
+    val sql = """SELECT count(*) AS n FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey
+                 WHERE o_totalprice < 2000""".stripMargin
+    val exact = session(aqp = false).sql(sql).head.getLong(0).toDouble
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df))
+    assert(qerr(df.head.getLong(0).toDouble, exact) <= 2.0)
+    // an enclosing sort over a folded grouped aggregate still resolves
+    // (output exprIds are preserved by the rewrite)
+    val sorted = session(aqp = true).sql(
+      """SELECT o_orderpriority, count(*) AS n FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice < 10000
+         GROUP BY o_orderpriority ORDER BY n DESC""".stripMargin)
+    assert(isRewritten(sorted))
+    val ns = sorted.collect().map(_.getLong(1))
+    assert(ns.nonEmpty && ns.sameElements(ns.sorted.reverse))
+  }
+
+  test("unanswerable shapes fall back to the exact plan, untouched") {
+    val s2 = session(aqp = true)
+    // LIKE predicate: not in the model's predicate algebra
+    val like = s2.sql("SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '1%'")
+    assert(!isRewritten(like), "LIKE must fall back to exact")
+    assert(like.head.getLong(0) ==
+      session(aqp = false).sql("SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '1%'")
+        .head.getLong(0))
+    // MIN: not a linear aggregate the estimator answers
+    val mn = s2.sql("SELECT min(l_quantity) AS m FROM lineitem")
+    assert(!isRewritten(mn))
+    // undeclared join edge: the schema graph doesn't relate these keys, so
+    // estimating it as the FK join would be a wrong ANSWER — must fall back
+    val badJoin = s2.sql(
+      "SELECT count(*) AS n FROM lineitem JOIN orders ON l_partkey = o_orderkey")
+    assert(!isRewritten(badJoin), "non-FK equi join must fall back to exact")
+    // unmodeled column in the filter
+    val unmodeled = s2.sql("SELECT count(*) AS n FROM lineitem WHERE l_suppkey < 5")
+    assert(!isRewritten(unmodeled))
+  }
+}

@@ -518,4 +518,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows(0).getAs[Long]("cnt") == 2 && rows(1).getAs[Long]("cnt") == 1)
   }
+
+  test("SpnStreamUpdater maintains the model from a live stream (M11c)") {
+    import rspn._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // 2-column model over (event_type code, value); types fixed up front so
+    // both the stream path and the batch reference share one encoding
+    val types = Seq("click", "purchase", "view")
+    def encRow(t: String, v: Double): Array[Double] = Array(types.indexOf(t).toDouble, v)
+    def enc(r: org.apache.spark.sql.Row): Array[Double] =
+      Array(types.indexOf(r.getString(0)).toDouble, r.getDouble(1))
+    val kinds: Array[Learn.ColKind] =
+      Array(Learn.CategoricalCol(types.length), Learn.NumericCol)
+    val viewRange: Array[ColRange] =
+      Array(NominalSet(Array(types.indexOf("view").toDouble)), null)
+
+    val rng = new scala.util.Random(11)
+    def mkBatch(n: Int): Seq[(String, Double)] =
+      Seq.fill(n)((types(rng.nextInt(3)), math.floor(rng.nextDouble() * 50)))
+    val seed = Seq.fill(60)((types(rng.nextInt(3)), math.floor(rng.nextDouble() * 50)))
+    val b1 = mkBatch(25)
+    val b2 = mkBatch(40)
+
+    val root0 = Learn.learn(seed.map { case (t, v) => encRow(t, v) }.toArray, kinds)
+    val up = new SpnStreamUpdater(root0, enc, initRows = seed.length.toLong)
+
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF().toDF("event_type", "value")
+      .writeStream.foreachBatch(up.apply _).start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    val afterB1 = Spn.prob(up.root, viewRange)
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // the streamed model is bit-identical (in every estimate) to inserting
+    // the same batches sequentially outside any stream
+    val ref = Update.insertBatch(
+      Update.insertBatch(root0, b1.map { case (t, v) => encRow(t, v) }.toArray),
+      b2.map { case (t, v) => encRow(t, v) }.toArray)
+    assert(up.nRows == seed.length + b1.length + b2.length)
+    assert(up.root.n == ref.n)
+    assert(Spn.prob(up.root, viewRange) == Spn.prob(ref, viewRange),
+      "streamed model diverged from the sequential batch path")
+    for (v <- Seq(10.0, 25.0, 40.0)) {
+      val r: Array[ColRange] = Array(null, NumRange(0.0, v))
+      assert(Spn.prob(up.root, r) == Spn.prob(ref, r), s"diverged on value<=$v")
+    }
+    // the model genuinely moved across micro-batches (not a frozen root)
+    assert(up.lastBatchId >= 1, "foreachBatch must have delivered two batches")
+    assert(Spn.prob(up.root, viewRange) != afterB1 || up.root.n != seed.length + b1.length)
+
+    // re-delivery of an already-applied batchId is a no-op (the failure
+    // -recovery path foreachBatch documents)
+    val before = up.root
+    up(Seq(("view", 1.0)).toDF("event_type", "value"), up.lastBatchId)
+    assert(up.root eq before, "replayed batchId must not touch the model")
+  }
 }
