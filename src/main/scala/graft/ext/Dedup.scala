@@ -631,6 +631,60 @@ object Dedup {
         .orderBy("a_id", "b_id")
     },
 
+    // Corpus-wide PARAGRAPH-level exact dedup — the CCNet/RefinedWeb step
+    // that removes repeated boilerplate (headers, license blocks, quoted
+    // passages) WITHIN surviving documents instead of dropping whole docs:
+    // every paragraph keeps only its FIRST corpus occurrence (ordered by
+    // doc_id, position) and documents are reassembled from their kept
+    // paragraphs. The fixture's texts carry no structural separators, so
+    // "paragraph" is a fixed 16-token segment — the same surrogate the
+    // exact-substring-dedup line of work (segment/window hashing) uses on
+    // unstructured text; the geometry is one shared constant with the
+    // oracle. Cost is LINEAR, not pairwise: one exchange keyed by the
+    // segment (first-occurrence rank), one doc_id agg to reassemble — the
+    // same two-exchange shape as dup_ngram_corpus. At 100 TB the rank key
+    // becomes xxhash64(segment) and the reassembly re-derives segment text
+    // from the doc row, so the wide shuffle carries only scalars; at
+    // fixture scale the text rides the exchange for oracle parity (DuckDB
+    // has no xxhash64).
+    Op(
+      "dedup_paragraph",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' ') AS seg
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(0, (len(toks) - 1) // 16)) AS i FROM t)),
+        |ranked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val segLen = 16
+      val segs = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / segLen).cast("int")),
+          i => array_join(slice(col("toks"), i * segLen + 1, lit(segLen)), " "))))
+        .toDF("doc_id", "seg_idx", "seg")
+      segs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("seg").orderBy("doc_id", "seg_idx")))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            x => x.getField("seg")), " ").as("text_dedup"))
+        .orderBy("doc_id")
+    },
+
     // THE WHOLE RECIPE AS ONE PLAN: quality gate (Gopher rules) →
     // benchmark decontamination → near-dup canonical removal → temperature
     // language mixing — the four stages every pretraining corpus passes

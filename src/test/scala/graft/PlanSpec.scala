@@ -450,6 +450,15 @@ class PlanSpec extends AnyFunSuite {
       s"gram frequencies must attach via the window, not a self-join:\n$plan")
   }
 
+  test("dedup_paragraph: segment-keyed rank + doc reassembly, linear (no self-join)") {
+    val plan = planOf(SparkEntry.queries("dedup_paragraph")(spark, sf))
+    val keyed = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 2, s"expected segment-rank + doc-agg exchanges only, got $keyed:\n$plan")
+    assert(plan.contains("Window"), s"first-occurrence rank lost its window form:\n$plan")
+    assert(!plan.contains("Join"),
+      s"paragraph dedup is linear — a join means a pairwise blowup crept in:\n$plan")
+  }
+
   test("fuzzy_join: the probe side broadcasts; the corpus never shuffles into the candidate join") {
     // assert on the computation pipeline over an UNCACHED raw read — the
     // op memoizes the bounded match list, and the CacheManager substitutes
