@@ -418,6 +418,36 @@ object Extended {
       per.unionAll(merged).orderBy("source")
     },
 
+    // Mergeable FREQUENCY sketch state (round 9; the count-min sibling of
+    // the HLL op below — agg_heavy_hitters_cms above builds ONE sketch for
+    // one query; this is the reaggregatable per-partition form a warehouse
+    // stores): per-source CMS sketches of the token stream via the native
+    // `count_min_sketch` aggregate — "how often does token X appear
+    // corpus-wide" then costs one driver-side merge of KB-sized blobs,
+    // never a token rescan. The merged sketch estimates
+    // the corpus count of each of the exact top-10 tokens; CMS guarantees
+    // est ≥ true and est ≤ true + ε·N w.h.p. — BOTH bounds are spec-gated
+    // (ExtOpsSpec), which no sampling-based estimator could pass. Output
+    // rows carry exact vs estimated so the over-count is visible.
+    Op.noOracle("agg_cms_partitioned") { (s, d) =>
+      import org.apache.spark.util.sketch.CountMinSketch
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val eps = 0.001
+      val sketches = tok.groupBy("source")
+        .agg(count_min_sketch(col("tok"), lit(eps), lit(0.99), lit(42)).as("sk"))
+        .collect() // one row per source — bounded at any SF
+      val merged = sketches.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val top = tok.groupBy("tok").agg(count(lit(1)).cast("bigint").as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(10).collect()
+      import s.implicits._
+      top.toSeq.map { r =>
+        val w = r.getString(0)
+        (w, r.getLong(1), merged.estimateCount(w))
+      }.toDF("tok", "exact_count", "cms_count").orderBy(col("exact_count").desc, col("tok"))
+    },
+
     // Cohort retention — the other product-analytics staple next to the
     // funnel: customers cohorted by first-order year, each cohort's
     // fraction still ordering in every later year. Three keyed aggregates

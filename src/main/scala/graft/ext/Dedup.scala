@@ -593,6 +593,38 @@ object Dedup {
         .orderBy("doc_id", "copy_id")
     },
 
+    // L2q: STRATIFIED sampling — exactly K docs per language, the balanced
+    // eval-slice / per-domain-calibration draw every data pipeline needs
+    // next to the rate-based mixers (mix_temperature keeps a FRACTION per
+    // stratum; this keeps a COUNT). Selection order is md5(doc_id), so the
+    // draw is uniform-at-random yet reproducible across engines,
+    // partitionings and reruns — growing the corpus only appends/evicts at
+    // the md5 boundary, it never reshuffles the kept set. Scale path is
+    // Spark's own WindowGroupLimit pushdown: the rank-≤-K filter over
+    // row_number turns into a per-mapper partial top-K BEFORE the
+    // lang-keyed exchange, so the shuffle carries ~K rows per language per
+    // mapper, not the corpus (PlanSpec pins the pushdown) — and a skewed
+    // giant language costs its mappers, not one reducer.
+    Op(
+      "sample_stratified",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rk").cast("bigint").as("rk"))
+        .orderBy("lang", "rk")
+    },
+
     // L2n: asymmetric CONTAINMENT pairs — |A∩B| / |A|, the directional
     // cousin of Jaccard that catches a short document quoted INSIDE a long
     // one (Jaccard punishes the size mismatch; containment of the smaller

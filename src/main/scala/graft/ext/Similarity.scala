@@ -148,6 +148,40 @@ object Similarity {
             (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos")))
     },
 
+    // L3r: RANGE search (round 9) — ALL corpus neighbors above a cosine
+    // threshold for each query in the bounded batch, the retrieval shape
+    // top-k cannot express (near-duplicate detection wants "everything
+    // this similar", not "the 3 closest regardless of how far"). Same
+    // broadcast-query scan as the k-NN join but with NO rank and NO
+    // exchange at all: the threshold is a narrow filter on the scored
+    // scan, so the whole operator is embarrassingly parallel — strictly
+    // cheaper than top-k at any scale (the IVF probe prunes it the same
+    // way when the corpus is cell-partitioned). Threshold compares on the
+    // 6-decimal rounding so an engine-boundary ulp cannot flip membership.
+    Op(
+      "sim_range_search",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |         list_dot_product(q.v, c.v) /
+        |           sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20)
+        |SELECT q_id, nn_id, round(cos, 4) AS cos_sim
+        |FROM scored WHERE round(cos, 6) >= 0.3 ORDER BY q_id, nn_id""".stripMargin
+    ) { (s, d) =>
+      val e = emb(s, d).select(col("vec_id"), vecd(col("embedding")).as("v"))
+        .withColumn("n2", dotd(col("v"), col("v")))
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+      e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id").as("nn_id"),
+          (dotd(col("qv"), col("v")) / sqrt(col("qn2") * col("n2"))).as("cos"))
+        .filter(round(col("cos"), 6) >= 0.3)
+        .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "nn_id")
+    },
+
     // L3c: k-NN CLASSIFICATION — the labeled-embeddings use every retrieval
     // stack ships (label propagation, weak supervision, eval of an
     // embedding space): each query's label is the majority vote of its 3

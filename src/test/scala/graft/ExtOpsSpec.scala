@@ -85,6 +85,24 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(est <= perSum + 1)
   }
 
+  test("partitioned CMS sketches: merged estimates respect both count-min bounds") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val rows = exact.Extended.ops.find(_.name == "agg_cms_partitioned").get
+      .fn(spark, sf).collect()
+    assert(rows.length == 10)
+    val nTokens = schema.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok")).count()
+    rows.foreach { r =>
+      val (tok, exact, cms) = (r.getString(0), r.getLong(1), r.getLong(2))
+      // count-min never undercounts, and overcounts by at most ε·N w.h.p.
+      // (deterministic here: fixed data + fixed seed)
+      assert(cms >= exact, s"CMS undercounted '$tok': $cms < $exact")
+      assert(cms <= exact + math.ceil(0.001 * nTokens).toLong,
+        s"CMS overcounted '$tok' beyond ε·N: $cms vs $exact + ${0.001 * nTokens}")
+    }
+  }
+
   test("dup_ngram_corpus: saturated docs are exactly the near-dup pair members") {
     import TestSpark._
     val per = ext.Dedup.ops.find(_.name == "dup_ngram_corpus").get.fn(spark, sf).collect()

@@ -459,6 +459,14 @@ class PlanSpec extends AnyFunSuite {
       s"paragraph dedup is linear — a join means a pairwise blowup crept in:\n$plan")
   }
 
+  test("sample_stratified: the rank-≤-K filter pushes a partial top-K below the exchange") {
+    // WindowGroupLimit is what makes per-stratum top-K viable at scale: each
+    // mapper pre-trims to K rows per language BEFORE the lang-keyed shuffle
+    val plan = planOf(SparkEntry.queries("sample_stratified")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter lost the group-limit pushdown — the full corpus would shuffle:\n$plan")
+  }
+
   test("fuzzy_join: the probe side broadcasts; the corpus never shuffles into the candidate join") {
     // assert on the computation pipeline over an UNCACHED raw read — the
     // op memoizes the bounded match list, and the CacheManager substitutes
