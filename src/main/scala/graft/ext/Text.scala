@@ -66,6 +66,64 @@ object Text {
   private val chunkStride = 48
   private val chunkOverlap = chunkSize - chunkStride
 
+  /** Classic BPE merge learning over a WEIGHTED word table — the loop every
+    * real tokenizer trainer runs after the corpus collapses to word counts
+    * (the corpus-sized work is exactly ONE word-frequency aggregate; the
+    * merge iterations then touch only word TYPES, bounded by vocabulary,
+    * never corpus tokens). Deterministic: the most frequent adjacent symbol
+    * pair merges each round, ties broken lexicographically. Returns
+    * (rank, left, right, pair_frequency) — `</w>` end-of-word marking is
+    * omitted because the fixture's words are whitespace-delimited tokens
+    * already (no cross-word merges are possible by construction).
+    */
+  private[graft] def bpeMerges(
+      words: Seq[(String, Long)], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var seqs: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= nMerges && !done) {
+      val pairCounts = seqs.flatMap { case (syms, c) =>
+        syms.sliding(2).collect { case Seq(a, b) => (a, b) -> c }
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairCounts.isEmpty) done = true
+      else {
+        // max count; among equal counts the lexicographically smallest
+        // (left, right) pair wins — the deterministic tie-break
+        val c = pairCounts.values.max
+        val best = pairCounts.collect { case (p, n) if n == c => p }.minBy(identity)
+        out += ((k, best._1, best._2, c))
+        val merged = best._1 + best._2
+        seqs = seqs.map { case (syms, cnt) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+              b += merged; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), cnt)
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Apply learned merges to one word (the encode side; spec round-trips). */
+  private[graft] def bpeEncode(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (syms, (l, r)) =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+
   val ops: Seq[Op] = Seq(
     // F2: tokenization + basic counts.
     Op(
@@ -299,6 +357,30 @@ object Text {
     // one at 100 TB), df is a COUNT over the term window on its output —
     // no second aggregate branch, no tf⨝df join. Two shuffles + the final
     // per-doc one. The result frame is memoized+cached, so the norm sum
+    // BPE vocabulary TRAINING (round 9) — the step upstream of token_count's
+    // BPE-ish segmentation: learn the merge table itself. The corpus-sized
+    // work is exactly ONE word-frequency aggregate (how HF/sentencepiece
+    // trainers structure it too: corpus → word counts, then the merge loop
+    // touches only word TYPES); the driver-side loop is bounded by
+    // |vocabulary| × nMerges, independent of corpus size. At 100 TB the
+    // word table caps at top-N types by count (covering ≥99.9% of token
+    // mass — the same truncation production trainers apply); the fixture's
+    // 31-type vocabulary needs no cap. No DuckDB oracle (iterative argmax
+    // isn't reasonably SQL-expressible) — ExtOpsSpec cross-checks merge #1
+    // against an independent SQL bigram count, pins determinism, monotone
+    // compression, and encode round-trip.
+    Op.noOracle("bpe_train") { (s, d) =>
+      import s.implicits._
+      val words = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      bpeMerges(words, nMerges = 20)
+        .toDF("rank", "left", "right", "pair_freq")
+        .orderBy("rank")
+    },
+
     // order — and with it the float result — is frozen per session.
     // Round 8: oracle-checked (was no-oracle) — the decimal-exact ln-sum
     // policy proven on perplexity_unigram applies here too: each squared

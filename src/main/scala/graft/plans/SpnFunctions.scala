@@ -78,7 +78,57 @@ object SpnFunctions {
       FunctionIdentifier("spn_groupby"),
       new ExpressionInfo(SpnEstExpr.getClass.getName, "spn_groupby"),
       (args: Seq[Expression]) => groupByRelation(SparkSession.active, args)))
+    // model-store introspection: `SELECT * FROM spn_models()` lists the
+    // trained ensemble (the reference's ensemble pickle is opaque; a SQL
+    // user of this engine can ASK what models back their estimates —
+    // name, covered tables, calibrated rows, training sample size, and
+    // tree shape, one row per SPN)
+    e.injectTableFunction((
+      FunctionIdentifier("spn_models"),
+      new ExpressionInfo(SpnEstExpr.getClass.getName, "spn_models"),
+      (args: Seq[Expression]) => modelsRelation(SparkSession.active, args)))
     e.injectResolutionRule(replaceRule)
+  }
+
+  private def modelsRelation(
+      session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import graft.rspn.{ProductNode, SpnNode, SumNode}
+    if (args.nonEmpty) throw new IllegalArgumentException(
+      s"spn_models(): takes no arguments, got ${args.size}")
+    val sfDir = session.conf.getOption("spark.graft.spn.sfDir").getOrElse(
+      throw new IllegalStateException(
+        "spn_models requires spark.graft.spn.sfDir to point at the trained dataset"))
+    def shape(n: SpnNode): (Long, Int) = n match {
+      case SumNode(_, ch, _) =>
+        val s = ch.map(shape); (1L + s.map(_._1).sum, 1 + s.map(_._2).max)
+      case ProductNode(ch, _) =>
+        val s = ch.map(shape); (1L + s.map(_._1).sum, 1 + s.map(_._2).max)
+      case _ => (1L, 1)
+    }
+    val rows = graft.rspn.Ensemble.get(session, sfDir).values.toSeq.sortBy(_.name)
+      .map { m =>
+        val (nodes, depth) = shape(m.root)
+        InternalRow.fromSeq(Seq(
+          UTF8String.fromString(m.name),
+          UTF8String.fromString(m.tables.toSeq.sorted.mkString(",")),
+          m.cols.length,
+          math.round(m.scaleRows),
+          m.sampleRows,
+          nodes,
+          depth))
+      }
+    val output = Seq(
+      AttributeReference("name", StringType)(),
+      AttributeReference("tables", StringType)(),
+      AttributeReference("n_columns", IntegerType)(),
+      AttributeReference("scale_rows", LongType)(),
+      AttributeReference("sample_rows", LongType)(),
+      AttributeReference("n_nodes", LongType)(),
+      AttributeReference("depth", IntegerType)())
+    LocalRelation(output, rows)
   }
 
   private def groupByRelation(

@@ -614,6 +614,19 @@ object ModelQueries {
         FROM spn_groupby('lineitem', 'l_returnflag', 'l_quantity < 10')
         WHERE est > 0
         ORDER BY l_returnflag""")
+    },
+
+    // model-store introspection (round 9): `spn_models()` lists the trained
+    // ensemble — name, covered tables, calibrated rows, sample size, tree
+    // shape — as a SQL table source. The reference's ensemble is an opaque
+    // pickle; here a SQL user can ASK what models back their estimates and
+    // filter/join over the listing like any other relation.
+    Op.noOracle("spn_models_sql") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.sql("""
+        SELECT name, tables, n_columns, scale_rows, n_nodes, depth
+        FROM spn_models() ORDER BY name""")
     }
   )
 

@@ -103,6 +103,54 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_train: first merge matches an independent bigram count; deterministic, compressive, round-trips") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val run1 = SparkEntry.queries("bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(run1.length == 20)
+    // determinism: a second run yields the identical merge table
+    val run2 = SparkEntry.queries("bpe_train")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(run1.sameElements(run2))
+    // cross-check merge #1 against an INDEPENDENT computation path: the
+    // corpus-weighted character-bigram count via Spark SQL over exploded
+    // positions (different code, same definition)
+    val words = schema.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val big = words.select(col("w"), col("c"))
+      .flatMap { r =>
+        val (w, c) = (r.getString(0), r.getLong(1))
+        w.sliding(2).filter(_.length == 2).map(p => (p.substring(0, 1), p.substring(1), c))
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("l", "r", "c")
+      .groupBy("l", "r").agg(sum("c").as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .head()
+    val (r1, l1, rr1, c1) = run1.head
+    assert(r1 == 1)
+    assert((l1, rr1, c1) == (big.getString(0), big.getString(1), big.getLong(2)),
+      s"merge #1 ($l1,$rr1,$c1) != independent bigram argmax (${big.getString(0)},${big.getString(1)},${big.getLong(2)})")
+    // pair frequencies never increase the symbol count: encoding every word
+    // with k merges yields no more symbols than with k-1 (monotone), and
+    // the concatenation always round-trips to the original word
+    val wordList = words.collect().map(_.getString(0)).toSeq
+    val merges = run1.map(m => (m._2, m._3)).toSeq
+    wordList.foreach { w =>
+      var prev = w.length
+      (1 to merges.length).foreach { k =>
+        val encoded = ext.Text.bpeEncode(w, merges.take(k))
+        assert(encoded.mkString == w, s"round-trip broke for '$w' at $k merges")
+        assert(encoded.length <= prev, s"symbol count grew for '$w' at merge $k")
+        prev = encoded.length
+      }
+    }
+  }
+
   test("dup_ngram_corpus: saturated docs are exactly the near-dup pair members") {
     import TestSpark._
     val per = ext.Dedup.ops.find(_.name == "dup_ngram_corpus").get.fn(spark, sf).collect()

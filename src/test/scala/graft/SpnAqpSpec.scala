@@ -111,6 +111,19 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(ns.nonEmpty && ns.sameElements(ns.sorted.reverse))
   }
 
+  test("HAVING composes over the folded aggregate (the filter runs on model rows)") {
+    // the rewrite preserves the Aggregate's output exprIds, so a HAVING
+    // clause — a Filter ABOVE the aggregate — evaluates over the
+    // LocalRelation of model answers with no special handling
+    val sql = """SELECT l_returnflag, count(*) AS n FROM lineitem
+                 GROUP BY l_returnflag HAVING count(*) > 100""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect().map(_.getString(0)).toSet
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df))
+    val est = df.collect().map(_.getString(0)).toSet
+    assert(est == exact, s"HAVING-surviving groups $est != exact $exact")
+  }
+
   test("unanswerable shapes fall back to the exact plan, untouched") {
     val s2 = session(aqp = true)
     // LIKE predicate: not in the model's predicate algebra

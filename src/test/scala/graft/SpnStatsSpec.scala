@@ -329,6 +329,26 @@ class SpnStatsSpec extends AnyFunSuite {
     assert(math.abs(total - viaApi.map(_._2).sum) < 1e-6)
   }
 
+  test("spn_models lists the trained ensemble with consistent metadata") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", sf)
+    val spns = rspn.Ensemble.get(spark, sf)
+    val rows = s2.sql("SELECT * FROM spn_models() ORDER BY name").collect()
+    assert(rows.map(_.getString(0)).toSeq == spns.values.map(_.name).toSeq.sorted)
+    rows.foreach { r =>
+      val m = spns.values.find(_.name == r.getString(0)).get
+      assert(r.getString(1) == m.tables.toSeq.sorted.mkString(","))
+      assert(r.getInt(2) == m.cols.length)
+      assert(r.getLong(3) == math.round(m.scaleRows))
+      assert(r.getLong(4) == m.sampleRows)
+      assert(r.getLong(5) >= 1 && r.getInt(6) >= 1, "tree shape must be positive")
+    }
+    // composes with plain SQL: which single-table models back lineitem?
+    val n = s2.sql(
+      "SELECT count(*) FROM spn_models() WHERE tables = 'lineitem'").head().getLong(0)
+    assert(n >= 1, "at least one lineitem-only SPN must be listed")
+  }
+
   test("spn_*_ci_lo/hi expose the estimator's confidence interval at the SQL surface") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.spn.sfDir", sf)
