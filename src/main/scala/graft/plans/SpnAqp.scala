@@ -4,7 +4,7 @@ import graft.rspn.Ensemble
 import graft.schema.{DatasetSpec, Relationship}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, ExprId, NamedExpression, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -97,7 +97,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private case class Shape(
       tables: Set[String],
       atoms: Map[String, Seq[Atom]],
-      attrTable: Map[ExprId, String])
+      attrTable: Map[ExprId, String],
+      /** at most ONE understood disjunction rides along: each side a
+        * conjunction of atoms, answered by the estimator's
+        * inclusion-exclusion path (estCountOr/estAggOr/estAvgOr). A second
+        * OR conjunct, or OR under grouping, falls back to exact. */
+      orBranch: Option[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = None)
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spec = DatasetSpec.forDir(session, sfDir)
@@ -131,35 +136,50 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // its conjuncts belong to this one table
     case ScanShape(dir, t, conjuncts)
         if dirMatches(dir) && modeled.contains(t) =>
-      atomsOf(conjuncts)
-        .map(_.filterNot(a => a.isInstanceOf[SpnCardinality.NotNull] &&
-          keyCols.getOrElse(t, Set.empty).contains(a.column)))
-        .filter(_.forall(a => modeled(t).exists(_._1 == a.column)))
-        .map { atoms =>
-          Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
-            p.output.map(_.exprId -> t).toMap)
+      val (ors, plain) = conjuncts.partition(_.isInstanceOf[Or])
+      for {
+        atoms0 <- atomsOf(plain)
+        atoms = atoms0.filterNot(a => a.isInstanceOf[SpnCardinality.NotNull] &&
+          keyCols.getOrElse(t, Set.empty).contains(a.column))
+        if atoms.forall(a => modeled(t).exists(_._1 == a.column))
+        ob <- ors match {
+          case Seq() => Some(None)
+          case Seq(o: Or) => orSides(o, _ => Some(t), modeled).map(Some(_))
+          case _ => None // two independent ORs: beyond pairwise I-E
         }
+      } yield Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
+        p.output.map(_.exprId -> t).toMap, ob)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       walk(c, modeled, rels, keyCols)
     // residual filter above a join: each conjunct must be an understood
     // atom over exactly one table's column
     case Filter(cond, c) =>
       walk(c, modeled, rels, keyCols).flatMap { sh =>
-        val perConj = splitConj(cond).map { cj =>
+        def tableOfAttr(a: AttributeReference): Option[String] =
+          sh.attrTable.get(a.exprId)
+        val (ors, plain) = splitConj(cond).partition(_.isInstanceOf[Or])
+        val perConj = plain.map { cj =>
           for {
             as <- atomsOf(Seq(cj))
             a <- as.headOption
             ref <- cj.references.toSeq match {
-              case Seq(one) => Some(one)
-              case _        => None
+              case Seq(one: AttributeReference) => Some(one)
+              case _                            => None
             }
-            t <- sh.attrTable.get(ref.exprId)
+            t <- tableOfAttr(ref)
             if modeled(t).exists(_._1 == a.column)
           } yield (t, a)
         }
-        if (perConj.forall(_.isDefined))
-          Some(sh.copy(atoms = mergeAtoms(sh.atoms, perConj.flatten)))
-        else None
+        for {
+          _ <- if (perConj.forall(_.isDefined)) Some(()) else None
+          ob <- (ors, sh.orBranch) match {
+            case (Seq(), b) => Some(b)
+            case (Seq(o: Or), None) =>
+              orSides(o, a => tableOfAttr(a), modeled)
+                .map(Some(_))
+            case _ => None // at most one OR across the whole subtree
+          }
+        } yield sh.copy(atoms = mergeAtoms(sh.atoms, perConj.flatten), orBranch = ob)
       }
     case Join(l, r, Inner, Some(cond), _) =>
       for {
@@ -180,8 +200,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             }
           case _ => false
         }
+        ob <- (a.orBranch, b.orBranch) match {
+          case (x, None) => Some(x)
+          case (None, y) => Some(y)
+          case _         => None // one OR on each side: beyond pairwise I-E
+        }
       } yield Shape(a.tables ++ b.tables,
-        mergeAtoms(a.atoms, b.atoms.toSeq.flatMap { case (t, as) => as.map(t -> _) }), at)
+        mergeAtoms(a.atoms, b.atoms.toSeq.flatMap { case (t, as) => as.map(t -> _) }), at, ob)
     case _ => None
   }
 
@@ -198,6 +223,34 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     extra.foldLeft(base) { case (m, (t, a)) =>
       m.updated(t, m.getOrElse(t, Seq.empty) :+ a)
     }
+
+  /** A 2-branch disjunction where each branch is a conjunction of
+    * understood atoms over modeled columns; None on any miss (a nested OR
+    * shows up as a failed atomsOf on the branch).
+    */
+  private def orSides(
+      o: Or,
+      tableOfAttr: AttributeReference => Option[String],
+      modeled: Map[String, Seq[(String, String)]])
+      : Option[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = {
+    def side(e: Expression): Option[Map[String, Seq[Atom]]] = {
+      val per = splitConj(e).map { cj =>
+        for {
+          as <- atomsOf(Seq(cj))
+          a <- as.headOption
+          ref <- cj.references.toSeq match {
+            case Seq(one: AttributeReference) => Some(one)
+            case _                            => None
+          }
+          t <- tableOfAttr(ref)
+          if modeled(t).exists(_._1 == a.column)
+        } yield (t, a)
+      }
+      if (per.forall(_.isDefined)) Some(mergeAtoms(Map.empty, per.flatten))
+      else None
+    }
+    for { a <- side(o.left); b <- side(o.right) } yield (a, b)
+  }
 
   private def dirMatches(dir: String): Boolean =
     new org.apache.hadoop.fs.Path(sfDir).toUri.getPath ==
@@ -275,6 +328,30 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
+    // a disjunction answers through inclusion-exclusion over the two
+    // branch predicate sets (each merged with the base conjuncts); the
+    // group enumeration has no I-E form, so OR + GROUP BY bails to exact
+    sh.orBranch match {
+      case Some((orA, orB)) =>
+        if (groupCols.nonEmpty) return None
+        val mA = orA.foldLeft(sh.atoms) { case (m, (t, as)) =>
+          m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
+        val mB = orB.foldLeft(sh.atoms) { case (m, (t, as)) =>
+          m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
+        return for {
+          pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+          pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
+        } yield toRows(Seq(cols.map {
+          case CountOut() =>
+            math.max(Ensemble.estCountOr(spns, sh.tables, pA, pB).value, 0.0)
+          case SumOut(c) =>
+            Ensemble.estAggOr(spns, sh.tables, pA, pB, Map(c -> 1)).value
+          case AvgOut(c) =>
+            Ensemble.estAvgOr(spns, sh.tables, c, pA, pB).value
+          case GroupOut(_) => sys.error("group column without grouping")
+        }), outTypes)
+      case None => ()
+    }
     SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).map { preds =>
       val raw: Seq[Seq[Any]] =
         if (groupCols.isEmpty) {

@@ -124,6 +124,35 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(est == exact, s"HAVING-surviving groups $est != exact $exact")
   }
 
+  test("a disjunctive predicate answers through inclusion-exclusion") {
+    val sql = """SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem
+                 WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin
+    val exact = session(aqp = false).sql(sql).head
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"OR must fold via estCountOr:\n${df.queryExecution.optimizedPlan}")
+    val est = df.head
+    assert(qerr(est.getLong(0).toDouble, exact.getLong(0).toDouble) <= 1.5)
+    assert(qerr(est.getDouble(1), exact.getDouble(1)) <= 1.5)
+    // OR combined with a plain conjunct: the base atom merges into BOTH branches
+    val sql2 = """SELECT count(*) AS n FROM lineitem
+                  WHERE l_returnflag = 'A' AND (l_quantity < 5 OR l_quantity > 45)""".stripMargin
+    val e2 = session(aqp = false).sql(sql2).head.getLong(0).toDouble
+    val d2 = session(aqp = true).sql(sql2)
+    assert(isRewritten(d2))
+    assert(qerr(d2.head.getLong(0).toDouble, e2) <= 1.5)
+    // OR under GROUP BY has no inclusion-exclusion enumeration: exact fallback
+    val grouped = session(aqp = true).sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY l_returnflag""".stripMargin)
+    assert(!isRewritten(grouped), "OR + GROUP BY must fall back to exact")
+    // two independent ORs exceed the pairwise I-E form: exact fallback
+    val twoOrs = session(aqp = true).sql(
+      """SELECT count(*) AS n FROM lineitem
+         WHERE (l_quantity < 5 OR l_quantity > 45)
+           AND (l_discount < 0.02 OR l_discount > 0.08)""".stripMargin)
+    assert(!isRewritten(twoOrs), "two ORs must fall back to exact")
+  }
+
   test("unanswerable shapes fall back to the exact plan, untouched") {
     val s2 = session(aqp = true)
     // LIKE predicate: not in the model's predicate algebra
