@@ -278,15 +278,24 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private sealed trait OutCol
   private case class GroupOut(idx: Int) extends OutCol
   private case class CountOut() extends OutCol
-  private case class SumOut(col: (String, String)) extends OutCol
+  /** COUNT(col): a count gated on the column's non-nullness. */
+  private case class CountColOut(col: (String, String)) extends OutCol
+  /** SUM of a LINEAR form: Σ coef · ∏ distinct modeled columns per term —
+    * the reference's PLUS/MINUS aggregation class. `sum(price)` is one
+    * term; `sum(price * (1 - disc))` distributes to
+    * (1, [price]) + (-1, [price, disc]) — the TPC-H/SSB revenue shape —
+    * each term answered by estSum/estSumProduct/estCount (empty product).
+    */
+  private case class SumOut(terms: Seq[(Double, Seq[(String, String)])]) extends OutCol
   private case class AvgOut(col: (String, String)) extends OutCol
 
   /** One [[OutCol]] per output attribute, or None when any aggregate is
-    * outside the COUNT(*)/SUM/AVG class the estimator answers.
+    * outside the COUNT(*)/COUNT(col)/SUM(linear form)/AVG class.
     */
   private def outputCols(
       agg: Aggregate, sh: Shape,
       modeled: Map[String, Seq[(String, String)]]): Option[Seq[OutCol]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Subtract, UnaryMinus}
     val groupIdx = agg.groupingExpressions.collect {
       case a: AttributeReference => a.exprId
     }.zipWithIndex.toMap
@@ -301,6 +310,29 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
 
+    /** e as Σ coef · ∏ cols (distributing +, -, ×); each term's product
+      * over DISTINCT columns (E[x²] needs a second-moment pass the
+      * estimator reserves for its own CI machinery — bail).
+      */
+    def sumTerms(e: Expression): Option[Seq[(Double, Seq[(String, String)])]] = e match {
+      case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => sumTerms(c)
+      case Literal(v, _) => Option(v).collect { case n: Number => Seq((n.doubleValue(), Seq.empty[(String, String)])) }
+      case a: AttributeReference => numCol(a).map(c => Seq((1.0, Seq(c))))
+      case m: Multiply =>
+        for {
+          l <- sumTerms(m.left); r <- sumTerms(m.right)
+          terms = for { (ca, xs) <- l; (cb, ys) <- r } yield (ca * cb, xs ++ ys)
+          if terms.forall(t => t._2.distinct.length == t._2.length)
+        } yield terms
+      case ad: Add =>
+        for { l <- sumTerms(ad.left); r <- sumTerms(ad.right) } yield l ++ r
+      case sb: Subtract =>
+        for { l <- sumTerms(sb.left); r <- sumTerms(sb.right) }
+          yield l ++ r.map { case (c, xs) => (-c, xs) }
+      case um: UnaryMinus => sumTerms(um.child).map(_.map { case (c, xs) => (-c, xs) })
+      case _ => None
+    }
+
     def ofNamed(ne: NamedExpression): Option[OutCol] = ne match {
       case a: AttributeReference => groupIdx.get(a.exprId).map(GroupOut.apply)
       case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
@@ -308,7 +340,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case c: Count if c.children.nonEmpty &&
               c.children.forall { case Literal(v, _) => v != null; case _ => false } =>
             Some(CountOut())
-          case s: Sum     => numCol(s.child).map(SumOut.apply)
+          case c: Count if c.children.sizeIs == 1 =>
+            numCol(c.children.head).map(CountColOut.apply)
+          case s: Sum =>
+            sumTerms(s.child).filter(_.exists(_._2.nonEmpty)).map(SumOut.apply)
           case av: Average => numCol(av.child).map(AvgOut.apply)
           case _          => None
         }
@@ -338,55 +373,93 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
         val mB = orB.foldLeft(sh.atoms) { case (m, (t, as)) =>
           m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
+        def notNull(m: Map[String, Seq[Atom]], c: (String, String)) =
+          m.updated(c._1, m.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2))
         return for {
           pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
           pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
         } yield toRows(Seq(cols.map {
           case CountOut() =>
             math.max(Ensemble.estCountOr(spns, sh.tables, pA, pB).value, 0.0)
-          case SumOut(c) =>
-            Ensemble.estAggOr(spns, sh.tables, pA, pB, Map(c -> 1)).value
+          case CountColOut(c) =>
+            (for {
+              nA <- SpnCardinality.predsFor(spns, sh.tables, notNull(mA, c), spec.modeled)
+              nB <- SpnCardinality.predsFor(spns, sh.tables, notNull(mB, c), spec.modeled)
+            } yield math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0))
+              .getOrElse(return None)
+          case SumOut(terms) =>
+            terms.map {
+              case (coef, Seq()) => coef * Ensemble.estCountOr(spns, sh.tables, pA, pB).value
+              case (coef, cs) =>
+                coef * Ensemble.estAggOr(spns, sh.tables, pA, pB, cs.map(_ -> 1).toMap).value
+            }.sum
           case AvgOut(c) =>
             Ensemble.estAvgOr(spns, sh.tables, c, pA, pB).value
           case GroupOut(_) => sys.error("group column without grouping")
         }), outTypes)
       case None => ()
     }
-    SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).map { preds =>
-      val raw: Seq[Seq[Any]] =
+    // COUNT(col) gates on the column's non-nullness: its OWN predicate set
+    def notNullPreds(c: (String, String)) = SpnCardinality.predsFor(spns, sh.tables,
+      sh.atoms.updated(c._1, sh.atoms.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2)),
+      spec.modeled)
+    SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { preds =>
+      def term(coef: Double, cs: Seq[(String, String)],
+          p: Map[(String, String), graft.rspn.ColRange]): Double = cs match {
+        case Seq()  => coef * Ensemble.estCount(spns, sh.tables, p).value
+        case Seq(c) => coef * Ensemble.estSum(spns, sh.tables, c, p).value
+        case _      => coef * Ensemble.estSumProduct(spns, sh.tables, cs, p).value
+      }
+      val raw: Option[Seq[Seq[Any]]] =
         if (groupCols.isEmpty) {
-          Seq(cols.map {
-            case CountOut()  => Ensemble.estCount(spns, sh.tables, preds).value
-            case SumOut(c)   => Ensemble.estSum(spns, sh.tables, c, preds).value
-            case AvgOut(c)   => Ensemble.estAvg(spns, sh.tables, c, preds).value
-            case GroupOut(_) => sys.error("group column without grouping")
-          })
+          val vals = cols.map {
+            case CountOut()     => Some(Ensemble.estCount(spns, sh.tables, preds).value)
+            case CountColOut(c) =>
+              notNullPreds(c).map(p => Ensemble.estCount(spns, sh.tables, p).value)
+            case SumOut(terms)  => Some(terms.map { case (cf, cs) => term(cf, cs, preds) }.sum)
+            case AvgOut(c)      => Some(Ensemble.estAvg(spns, sh.tables, c, preds).value)
+            case GroupOut(_)    => sys.error("group column without grouping")
+          }
+          if (vals.forall(_.isDefined)) Some(Seq(vals.flatten)) else None
         } else {
           // the COUNT enumeration fixes the group-key universe (groups with
           // estimated mass 0 are pruned inside enumGroups, identically for
           // every aggregate — all calls share the same prefix-pruned walk)
           val counts = Ensemble.estGroupByMulti(spns, sh.tables, groupCols, preds)
-          def perGroup(col: OutCol): Map[Seq[String], Double] = col match {
-            case CountOut() => counts.map { case (k, e) => k -> e.value }.toMap
-            case SumOut(c) =>
-              Ensemble.estGroupByAgg(spns, sh.tables, groupCols, Map(c -> 1), preds)
-                .map { case (k, e) => k -> e.value }.toMap
+          def perGroup(col: OutCol): Option[Map[Seq[String], Double]] = col match {
+            case CountOut() => Some(counts.map { case (k, e) => k -> e.value }.toMap)
+            case CountColOut(c) => notNullPreds(c).map(p =>
+              Ensemble.estGroupByMulti(spns, sh.tables, groupCols, p)
+                .map { case (k, e) => k -> e.value }.toMap)
+            case SumOut(terms) =>
+              val perTerm = terms.map {
+                case (cf, Seq()) => counts.map { case (k, e) => k -> cf * e.value }.toMap
+                case (cf, cs) =>
+                  Ensemble.estGroupByAgg(spns, sh.tables, groupCols, cs.map(_ -> 1).toMap, preds)
+                    .map { case (k, e) => k -> cf * e.value }.toMap
+              }
+              Some(perTerm.flatMap(_.keys).distinct
+                .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap)
             case AvgOut(c) =>
-              Ensemble.estGroupByAvg(spns, sh.tables, groupCols, c, preds)
-                .map { case (k, e) => k -> e.value }.toMap
-            case GroupOut(_) => Map.empty
+              Some(Ensemble.estGroupByAvg(spns, sh.tables, groupCols, c, preds)
+                .map { case (k, e) => k -> e.value }.toMap)
+            case GroupOut(_) => Some(Map.empty)
           }
-          val aggVals: Map[Int, Map[Seq[String], Double]] = cols.zipWithIndex.collect {
+          val per = cols.zipWithIndex.collect {
             case (c, i) if !c.isInstanceOf[GroupOut] => i -> perGroup(c)
-          }.toMap
-          counts.map(_._1).sortBy(_.mkString(" ")).map { k =>
-            cols.zipWithIndex.map {
-              case (GroupOut(gi), _) => k(gi): Any
-              case (_, i)            => aggVals(i).getOrElse(k, 0.0): Any
-            }
+          }
+          if (per.exists(_._2.isEmpty)) None
+          else {
+            val aggVals = per.map { case (i, m) => i -> m.get }.toMap
+            Some(counts.map(_._1).sortBy(_.mkString(" ")).map { k =>
+              cols.zipWithIndex.map {
+                case (GroupOut(gi), _) => k(gi): Any
+                case (_, i)            => aggVals(i).getOrElse(k, 0.0): Any
+              }
+            })
           }
         }
-      toRows(raw, outTypes)
+      raw.map(toRows(_, outTypes))
     }
   }
 

@@ -124,6 +124,37 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(est == exact, s"HAVING-surviving groups $est != exact $exact")
   }
 
+  test("the revenue shape folds: sum(price * (1 - disc)) distributes to estSum - estSumProduct") {
+    // the reference's PLUS/MINUS aggregation class — the TPC-H/SSB revenue
+    // expression — recognized by distributing the product over the sum
+    val sql = """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                        count(l_quantity) AS n_qty
+                 FROM lineitem WHERE l_quantity < 24""".stripMargin
+    val exact = session(aqp = false).sql(sql).head
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"revenue shape must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.head
+    assert(qerr(est.getDouble(0), exact.getDouble(0)) <= 1.5,
+      s"revenue: ${est.getDouble(0)} vs ${exact.getDouble(0)}")
+    assert(qerr(est.getLong(1).toDouble, exact.getLong(1).toDouble) <= 1.5)
+    // grouped: the same linear form per group
+    val gSql = """SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount)) AS revenue
+                  FROM lineitem GROUP BY l_returnflag""".stripMargin
+    val gExact = session(aqp = false).sql(gSql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gDf = session(aqp = true).sql(gSql)
+    assert(isRewritten(gDf))
+    val gEst = gDf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gEst.keySet == gExact.keySet)
+    gExact.foreach { case (k, v) =>
+      assert(qerr(gEst(k), v) <= 1.5, s"group $k revenue: ${gEst(k)} vs $v")
+    }
+    // E[x²] (a repeated column in one product term) is outside the class
+    val sq = session(aqp = true).sql(
+      "SELECT sum(l_quantity * l_quantity) AS s FROM lineitem")
+    assert(!isRewritten(sq), "second moments must fall back to exact")
+  }
+
   test("a disjunctive predicate answers through inclusion-exclusion") {
     val sql = """SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem
                  WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin
