@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property lock on the transparent AQP rewrite (plans/SpnAqp.scala): for
+  * RANDOM predicates inside the answerable class, the folded answer must
+  * stay within q-error bounds of the exact one AND the plan must be a
+  * zero-scan LocalRelation; for random predicates OUTSIDE the class, the
+  * rule must leave the plan scanning and the answer must equal the exact
+  * session's EXACTLY — approximate-when-possible, exact-otherwise, over
+  * the whole generated space (the example specs pin chosen points; this
+  * pins the contract's shape).
+  */
+object SpnAqpProps extends Properties("spn_aqp") {
+  import TestSpark._
+
+  // each case runs two Spark queries (exact + approx); keep the count sane
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier")
+
+  private lazy val tmpSf: String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-aqpprops-")
+    planTables.foreach { t =>
+      Files.copy(Paths.get(s"$sf/$t.parquet"), dir.resolve(s"$t.parquet"))
+    }
+    val d = dir.toString
+    rspn.Ensemble.get(spark, d)
+    planTables.foreach(t => schema.Tables(spark, d, t).unpersist(blocking = true))
+    d
+  }
+
+  private def session(aqp: Boolean): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", tmpSf)
+    if (aqp) s2.conf.set("spark.graft.aqp.enabled", "true")
+    planTables.foreach(t =>
+      s2.read.parquet(s"$tmpSf/$t.parquet").createOrReplaceTempView(t))
+    s2
+  }
+
+  private def isRewritten(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.collectFirst { case _: LogicalRelation => () }.isEmpty &&
+      plan.collectFirst { case _: LocalRelation => () }.nonEmpty
+  }
+
+  private def qerr(e: Double, x: Double): Double = {
+    val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
+  }
+
+  private val rangeGen: Gen[(Int, Int, Int)] = for {
+    lo <- Gen.choose(1, 38)
+    width <- Gen.choose(3, 12)
+    dHi <- Gen.choose(1, 10) // l_discount < dHi/100
+  } yield (lo, lo + width, dHi)
+
+  property("answerable conjunctions fold to zero-scan plans within q-error 2") =
+    forAll(rangeGen) { case (lo, hi, dHi) =>
+      val sql = s"""SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem
+                    WHERE l_quantity BETWEEN $lo AND $hi AND l_discount < 0.0$dHi"""
+      val exact = session(aqp = false).sql(sql).head
+      val df = session(aqp = true).sql(sql)
+      val est = df.head
+      val okPlan = isRewritten(df)
+      // an empty exact slice legitimately estimates near 0 — qerr's +1
+      // clamp keeps the bound meaningful there
+      val okN = qerr(est.getLong(0).toDouble, exact.getLong(0).toDouble) <= 2.0
+      val okS = exact.isNullAt(1) || qerr(est.getDouble(1), exact.getDouble(1)) <= 2.5
+      if (!(okPlan && okN && okS))
+        println(s"FAIL [$sql] plan=$okPlan n=${est.getLong(0)}/${exact.getLong(0)} " +
+          s"s=${if (exact.isNullAt(1)) "null" else est.getDouble(1) + "/" + exact.getDouble(1)}")
+      okPlan && okN && okS
+    }
+
+  private val unanswerableGen: Gen[String] = Gen.oneOf(
+    // LIKE: outside the predicate algebra
+    "SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '%URGENT%'",
+    // MAX: outside the aggregate class
+    "SELECT max(l_quantity) AS m FROM lineitem WHERE l_quantity < 30",
+    // unmodeled filter column
+    "SELECT count(*) AS n FROM lineitem WHERE l_partkey < 500",
+    // arithmetic between two columns in the predicate
+    "SELECT count(*) AS n FROM lineitem WHERE l_quantity < l_discount * 1000",
+    // DISTINCT aggregation
+    "SELECT count(DISTINCT l_returnflag) AS n FROM lineitem")
+
+  property("unanswerable queries run exactly, bit-identical to the flag-off session") =
+    forAll(unanswerableGen) { sql =>
+      val df = session(aqp = true).sql(sql)
+      val same = df.collect().toSeq == session(aqp = false).sql(sql).collect().toSeq
+      !isRewritten(df) && same
+    }
+}
