@@ -418,6 +418,64 @@ object Extended {
       per.unionAll(merged).orderBy("source")
     },
 
+    // Conditional aggregation (round 9) — the FILTER-clause surface every
+    // reporting query leans on: several differently-filtered aggregates of
+    // ONE scan in ONE aggregation (the alternative — one scan per
+    // condition — multiplies the table reads). Spark's codegen'd CASE/WHEN
+    // form and DuckDB's FILTER clause are the same algebra; both engines
+    // fold it into a single partial-agg pass, one shuffle on the group key.
+    Op(
+      "agg_conditional",
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_all,
+        |       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |                  FILTER (WHERE o_totalprice > 100000), 2) AS DOUBLE) AS big_sum
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_all"),
+          count(when(col("o_orderstatus") === "F", 1)).cast("bigint").as("n_f"),
+          round(sum(when(col("o_totalprice") > 100000,
+            col("o_totalprice").cast("decimal(18,6)"))), 2)
+            .cast("double").as("big_sum"))
+        .orderBy("o_orderpriority")
+    },
+
+    // RECURSIVE CTE (round 9; Spark 4's WITH RECURSIVE): iterative
+    // row-expansion inside ONE SQL statement — the halving-depth recursion
+    // here is the generic shape (frontier → step → union) of hierarchy
+    // walks and reachability queries. Each iteration is one narrow job
+    // over the CURRENT frontier only (rows leave the frontier as soon as
+    // their predicate fails), so total work is Σ frontier sizes, not
+    // iterations × table. Division by 2 is exact in binary floating point
+    // and both engines iterate the identical algebra, so the oracle
+    // replays it row-for-row.
+    Op(
+      "recursive_cte",
+      """WITH RECURSIVE h AS (
+        |  SELECT o_orderkey, o_totalprice AS p, 0 AS steps
+        |  FROM orders WHERE o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT o_orderkey, p / 2, steps + 1 FROM h WHERE p >= 100
+        |)
+        |SELECT o_orderkey, CAST(MAX(steps) AS BIGINT) AS halvings
+        |FROM h GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders_rec")
+      s.sql(
+        """WITH RECURSIVE h AS (
+          |  SELECT o_orderkey, o_totalprice AS p, 0 AS steps
+          |  FROM orders_rec WHERE o_orderkey < 1000
+          |  UNION ALL
+          |  SELECT o_orderkey, p / 2, steps + 1 FROM h WHERE p >= 100
+          |)
+          |SELECT o_orderkey, CAST(MAX(steps) AS BIGINT) AS halvings
+          |FROM h GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+    },
+
     // Mergeable FREQUENCY sketch state (round 9; the count-min sibling of
     // the HLL op below — agg_heavy_hitters_cms above builds ONE sketch for
     // one query; this is the reaggregatable per-partition form a warehouse
