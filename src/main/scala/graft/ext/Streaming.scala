@@ -242,7 +242,86 @@ object Streaming {
       ev.filter(col("event_type") === "click"))
       .groupBy("p_id").agg(count(col("c_user")).as("n_clicks"))
 
+  /** T13 (round 9): Spark 4's `transformWithState` — the arbitrary-state
+    * API that succeeds mapGroupsWithState. What it adds and this processor
+    * exercises: MULTIPLE independently-typed state variables per key (the
+    * old API forced one state object, so adding a metric meant a schema
+    * migration of the whole blob). Per-user running count + running max,
+    * each its own [[ValueState]] in the RocksDB store.
+    */
+  final class TwsCountMax
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var mx: ValueState[Double] = _
+    override def init(o: OutputMode, t: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      mx = getHandle.getValueState[Double]("mx",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    }
+    override def handleInputRows(k: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      var c = if (cnt.exists()) cnt.get() else 0L
+      var m = if (mx.exists()) mx.get() else Double.NegativeInfinity
+      rows.foreach { r => c += 1; m = math.max(m, r._2) }
+      cnt.update(c); mx.update(m)
+      Iterator.single((k, c, m))
+    }
+  }
+
+  /** The TWS query over an in-memory stream of (user_id, value) rows —
+    * shared by the registry op (one batch, oracle-checked) and the spec
+    * (two batches, cross-batch accumulation). Returns the memory-sink
+    * table name; caller reads it after `processAllAvailable`.
+    */
+  def runTwsCountMax(
+      s2: SparkSession,
+      batches: Seq[Seq[(Long, Double)]]): String = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s2.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val qn = s"tws_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new TwsCountMax, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "max_value")
+      .writeStream.format("memory").queryName(qn).outputMode("update").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    qn
+  }
+
   val ops: Seq[Op] = Seq(
+    // T13: transformWithState driven END-TO-END inside the correctness
+    // gate — a real streaming query (MemoryStream source, RocksDB state
+    // store, memory sink) over a bounded slice of the events table, its
+    // one-batch result hash-compared against the plain GROUP BY oracle.
+    // COUNT and MAX are order-independent and float-exact, so the
+    // streamed accumulation is oracle-identical regardless of row order.
+    Op(
+      "stream_tws_state",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS max_value
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      val s2 = s.newSession()
+      // transformWithState requires the RocksDB provider; per-session conf
+      // so sibling queries keep the default store
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s2.implicits._
+      val rows = events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("value")).as[(Long, Double)].collect().toSeq
+      val qn = runTwsCountMax(s2, Seq(rows))
+      s2.table(qn)
+        .select(col("user_id"), col("n_events").cast("bigint"), col("max_value"))
+        .orderBy("user_id")
+    },
+
     Op(
       "stream_tumbling",
       """SELECT date_trunc('hour', ts) AS win_start, event_type, COUNT(*) AS cnt,

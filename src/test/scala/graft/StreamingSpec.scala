@@ -519,6 +519,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("cnt") == 2 && rows(1).getAs[Long]("cnt") == 1)
   }
 
+  test("transformWithState carries both typed state vars across micro-batches (T13)") {
+    // two batches: the second must ACCUMULATE onto the first's RocksDB
+    // state (count grows, max is the max over both), and each key's final
+    // row reflects every batch it appeared in
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qn = ext.Streaming.runTwsCountMax(s2, Seq(
+      Seq((1L, 5.0), (1L, 9.0), (2L, 3.0)),
+      Seq((1L, 7.0), (3L, 1.0))))
+    // Update-mode memory sink keeps one row per (key, batch) emission; the
+    // LAST emission per key is the accumulated state
+    val last = s2.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+    assert(last(1L) == (1L, 3L, 9.0), s"user 1 must accumulate across batches: ${last(1L)}")
+    assert(last(2L) == (2L, 1L, 3.0))
+    assert(last(3L) == (3L, 1L, 1.0))
+  }
+
   test("SpnStreamUpdater maintains the model from a live stream (M11c)") {
     import rspn._
     import spark.implicits._
