@@ -623,6 +623,55 @@ object Relational {
           count(lit(1)).as("cnt"))
         .orderBy("event_type")),
 
+    // Semi-structured ingestion via VARIANT (round 9; Spark 4's answer to
+    // string-JSON at scale): `parse_json` decodes the text ONCE into the
+    // binary-columnar variant encoding, after which every `variant_get`
+    // probe is a path walk over the encoded form — repeated field access
+    // stops re-parsing text (get_json_object re-parses per call). Same
+    // answers as the string path, different engine mechanics; DuckDB's
+    // JSON probe is the oracle.
+    Op(
+      "json_variant",
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_big,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    )((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .filter(col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_big"),
+          max(col("k")).cast("bigint").as("max_k"))
+        .orderBy("event_type")),
+
+    // SQL PIPE syntax (round 9; Spark 4's `|>` operators): the linear
+    // query form — each stage reads top-to-bottom as the dataflow actually
+    // runs, exactly like the DataFrame API but in SQL text. Semantics are
+    // identical to the nested form, so the plain-SQL oracle checks that
+    // the surface is sugar, not a different engine path.
+    Op(
+      "sql_pipe",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders_pipe")
+      s.sql(
+        """FROM orders_pipe
+          ||> WHERE o_orderstatus = 'F'
+          ||> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+          |             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+          |   GROUP BY o_orderpriority
+          ||> ORDER BY o_orderpriority
+          ||> SELECT o_orderpriority, n, sum_price""".stripMargin)
+    },
+
     Op(
       "date_parts",
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
