@@ -155,6 +155,17 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(sq), "second moments must fall back to exact")
   }
 
+  test("date predicates fold through the days-kind model columns") {
+    val sql = """SELECT count(*) AS n FROM orders
+                 WHERE o_orderdate < DATE'1998-06-01' AND o_totalprice < 150000""".stripMargin
+    val exact = session(aqp = false).sql(sql).head.getLong(0).toDouble
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df),
+      s"date atoms must be answerable:\n${df.queryExecution.optimizedPlan}")
+    val est = df.head.getLong(0).toDouble
+    assert(qerr(est, exact) <= 1.5, s"date fold: est $est vs exact $exact")
+  }
+
   test("a disjunctive predicate answers through inclusion-exclusion") {
     val sql = """SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem
                  WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin
