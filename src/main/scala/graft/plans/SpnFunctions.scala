@@ -73,11 +73,17 @@ object SpnFunctions {
     // 'l_quantity < 10')` yields (group cols..., est, ci95_lo, ci95_hi)
     // rows materialized driver-side from the model (zero data scanned).
     // The builder runs during resolution, so the result is an ordinary
-    // LocalRelation any SQL can join/filter/aggregate over.
-    e.injectTableFunction((
-      FunctionIdentifier("spn_groupby"),
-      new ExpressionInfo(SpnEstExpr.getClass.getName, "spn_groupby"),
-      (args: Seq[Expression]) => groupByRelation(SparkSession.active, args)))
+    // LocalRelation any SQL can join/filter/aggregate over. The _sum/_avg
+    // companions take the aggregate column as a third argument — the
+    // reference's grouped AQP class (SUM/AVG per group) at the SQL surface,
+    // per-group CIs included.
+    Seq("spn_groupby" -> "count", "spn_groupby_sum" -> "sum",
+        "spn_groupby_avg" -> "avg").foreach { case (name, mode) =>
+      e.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(SpnEstExpr.getClass.getName, name),
+        (args: Seq[Expression]) => groupByRelation(SparkSession.active, name, mode, args)))
+    }
     // model-store introspection: `SELECT * FROM spn_models()` lists the
     // trained ensemble (the reference's ensemble pickle is opaque; a SQL
     // user of this engine can ASK what models back their estimates —
@@ -132,14 +138,17 @@ object SpnFunctions {
   }
 
   private def groupByRelation(
-      session: SparkSession, args: Seq[Expression]): LogicalPlan = {
+      session: SparkSession, fn: String, mode: String,
+      args: Seq[Expression]): LogicalPlan = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     import org.apache.spark.sql.types.StringType
-    val fn = "spn_groupby"
-    if (args.size < 2 || args.size > 3)
-      throw new IllegalArgumentException(
-        s"$fn(tables, group_columns[, predicate]): got ${args.size} arguments")
+    val isCount = mode == "count"
+    val (minArgs, maxArgs, usage) =
+      if (isCount) (2, 3, s"$fn(tables, group_columns[, predicate])")
+      else (3, 4, s"$fn(tables, group_columns, agg_column[, predicate])")
+    if (args.size < minArgs || args.size > maxArgs)
+      throw new IllegalArgumentException(s"$usage: got ${args.size} arguments")
     val sfDir = session.conf.getOption("spark.graft.spn.sfDir").getOrElse(
       throw new IllegalStateException(
         s"$fn requires spark.graft.spn.sfDir to point at the trained dataset"))
@@ -155,15 +164,25 @@ object SpnFunctions {
       .map(c => (tableOf(c), c))
     if (groupCols.isEmpty)
       throw new IllegalArgumentException(s"$fn: no group columns given")
-    val atoms = args.lift(2).map(e => atomsOfSql(session, fn, litString(fn, e, "predicate")))
+    val aggCol = if (isCount) None else {
+      val c = litString(fn, args(2), "agg_column")
+      Some((tableOf(c), c))
+    }
+    val atoms = args.lift(if (isCount) 2 else 3)
+      .map(e => atomsOfSql(session, fn, litString(fn, e, "predicate")))
       .getOrElse(Seq.empty)
     val byTable = atoms.groupBy(a => tableOf(a.column))
     val spns = Ensemble.get(session, sfDir)
     val preds = SpnCardinality.predsFor(spns, tables, byTable, modeled)
       .getOrElse(throw new IllegalArgumentException(
         s"$fn: the model cannot answer the given predicate over ${tables.mkString(",")}"))
-    val rows = Ensemble.estGroupByMulti(spns, tables, groupCols, preds)
-      .sortBy(_._1.mkString("\u0000"))
+    val rows = (mode match {
+      case "count" => Ensemble.estGroupByMulti(spns, tables, groupCols, preds)
+      case "sum" =>
+        Ensemble.estGroupByAgg(spns, tables, groupCols, Map(aggCol.get -> 1), preds)
+      case "avg" =>
+        Ensemble.estGroupByAvg(spns, tables, groupCols, aggCol.get, preds)
+    }).sortBy(_._1.mkString("\u0000"))
     val output = groupCols.map { case (_, c) => AttributeReference(c, StringType)() } ++
       Seq(AttributeReference("est", DoubleType)(),
         AttributeReference("ci95_lo", DoubleType)(),

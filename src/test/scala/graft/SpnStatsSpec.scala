@@ -329,6 +329,35 @@ class SpnStatsSpec extends AnyFunSuite {
     assert(math.abs(total - viaApi.map(_._2).sum) < 1e-6)
   }
 
+  test("spn_groupby_sum/avg expose the grouped aggregate estimators in SQL") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", sf)
+    val spns = rspn.Ensemble.get(spark, sf)
+    val preds = Map(("lineitem", "l_quantity") ->
+      rspn.NumRange(Double.NegativeInfinity, 25.0, hiIncl = false))
+    val sumSql = s2.sql(
+      "SELECT l_returnflag, est FROM spn_groupby_sum('lineitem', 'l_returnflag', " +
+        "'l_extendedprice', 'l_quantity < 25') ORDER BY l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val sumApi = rspn.Ensemble.estGroupByAgg(spns, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag")), Map(("lineitem", "l_extendedprice") -> 1), preds)
+      .map { case (gs, e) => (gs.head, e.value) }.sortBy(_._1)
+    assert(sumSql == sumApi, s"sum sql=$sumSql api=$sumApi")
+    val avgSql = s2.sql(
+      "SELECT l_returnflag, est, ci95_lo, ci95_hi FROM spn_groupby_avg('lineitem', " +
+        "'l_returnflag', 'l_extendedprice', 'l_quantity < 25') ORDER BY l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val avgApi = rspn.Ensemble.estGroupByAvg(spns, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag")), ("lineitem", "l_extendedprice"), preds)
+      .map { case (gs, e) => (gs.head, e.value, e.ci95Lo, e.ci95Hi) }.sortBy(_._1)
+    assert(avgSql == avgApi, s"avg sql=$avgSql api=$avgApi")
+    avgSql.foreach { case (_, v, lo, hi) => assert(lo <= v && v <= hi) }
+    // loud failure without the aggregate column
+    val err = intercept[Exception](
+      s2.sql("SELECT * FROM spn_groupby_sum('lineitem', 'l_returnflag')").collect())
+    assert(err.getMessage.contains("agg_column"))
+  }
+
   test("spn_models lists the trained ensemble with consistent metadata") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.spn.sfDir", sf)
