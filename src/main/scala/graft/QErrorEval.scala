@@ -190,11 +190,21 @@ object QErrorEval {
             ciLo = e.ci95Lo, ciHi = e.ci95Hi)
         case SqlEstimate.Groups(estRows) =>
           val tRows = truthOf(no)
-          if (tRows.forall(_._1.isEmpty)) sys.error(
+          // an EMPTY truth is a legitimate grouped result (the predicate
+          // matched nothing) — only a non-empty scalar-shaped truth means
+          // the caller fed a scalar CSV to a grouped query
+          if (tRows.nonEmpty && tRows.forall(_._1.isEmpty)) sys.error(
             s"workload query $no is grouped but its truth is scalar — " +
               "omit --truth (grouped truth is computed live from the exact plane)")
           val estMap = estRows.map { case (k, e) => k.map(normKeyPart) -> e }.toMap
-          val gs = tRows.map { case (k, t) =>
+          // zero exact groups: every model-emitted group is spurious and
+          // grades against truth 0 (a model that also returns nothing
+          // scores a clean qerr-1 row)
+          val spurious = if (tRows.nonEmpty) Nil else estRows.map { case (k, e) =>
+            GroupScore(k.map(normKeyPart), 0.0, e.value, qerr(e.value, 0.0),
+              math.abs(e.value), e.ci95Lo, e.ci95Hi)
+          }
+          val gs = spurious ++ tRows.map { case (k, t) =>
             // pruned group: graded at 0 with a degenerate [0,0] interval
             val e = estMap.get(k)
             val est = e.map(_.value).getOrElse(0.0)
@@ -202,8 +212,8 @@ object QErrorEval {
               math.abs(est - t) / math.max(math.abs(t), 1.0),
               ciLo = e.map(_.ci95Lo).getOrElse(0.0), ciHi = e.map(_.ci95Hi).getOrElse(0.0))
           }
-          val (qm, _, _) = qstats(gs.map(_.qerr))
-          val (rm, _, _) = qstats(gs.map(_.relErr))
+          val (qm, _, _) = if (gs.isEmpty) (1.0, 1.0, 1.0) else qstats(gs.map(_.qerr))
+          val (rm, _, _) = if (gs.isEmpty) (0.0, 0.0, 0.0) else qstats(gs.map(_.relErr))
           WorkloadRow(no, sql, gs.map(_.truth).sum, gs.map(_.est).sum, qm, rm, ms, gs,
             ciLo = gs.map(_.ciLo).sum, ciHi = gs.map(_.ciHi).sum)
         case other => sys.error(

@@ -102,7 +102,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         * conjunction of atoms, answered by the estimator's
         * inclusion-exclusion path (estCountOr/estAggOr/estAvgOr). A second
         * OR conjunct, or OR under grouping, falls back to exact. */
-      orBranch: Option[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = None)
+      orBranch: Option[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = None,
+      /** `isnotnull(key)` atoms on UNMODELED declared key columns, parked
+        * until an inner equi-join on that very column discharges them (the
+        * join implies them); any still pending at the top mean the user
+        * wrote an explicit IS NOT NULL the model cannot see — fall back. */
+      pendingKeyNotNull: Set[(String, String)] = Set.empty)
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spec = DatasetSpec.forDir(session, sfDir)
@@ -118,6 +123,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
     for {
       sh <- walk(agg.child, spec.modeled, spec.graph.relationships, keyCols)
+      // an undischarged key IS NOT NULL is a real predicate, not join noise
+      if sh.pendingKeyNotNull.isEmpty
       groups <- groupCols(agg, sh, spec.modeled)
       cols <- outputCols(agg, sh, spec.modeled)
       rows <- estimate(sh, groups.map(_._2), cols, agg.output.map(_.dataType))
@@ -131,16 +138,24 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       modeled: Map[String, Seq[(String, String)]],
       rels: Seq[Relationship],
       keyCols: Map[String, Set[String]]): Option[Shape] = p match {
-    // single-table leaf: ScanShape swallows any Project/Filter chain down
-    // to the scan (resolving through cached InMemoryRelations too), so all
-    // its conjuncts belong to this one table
-    case ScanShape(dir, t, conjuncts)
+    // single-table leaf: a Project/Filter chain over a GENUINE parquet
+    // relation. Deliberately NOT SpnCardinality.ScanShape: its cached
+    // -InMemoryRelation branch discards any filter baked into the cached
+    // plan — conservative for a broadcast DECISION, silently wrong for an
+    // ANSWER (a cached filtered view would fold to the full-table
+    // estimate). A cached input therefore falls back to exact here.
+    case StrictScan(dir, t, conjuncts)
         if dirMatches(dir) && modeled.contains(t) =>
       val (ors, plain) = conjuncts.partition(_.isInstanceOf[Or])
       for {
         atoms0 <- atomsOf(plain)
-        atoms = atoms0.filterNot(a => a.isInstanceOf[SpnCardinality.NotNull] &&
-          keyCols.getOrElse(t, Set.empty).contains(a.column))
+        // isnotnull on an UNMODELED declared key parks as pending — only a
+        // join on that column may discharge it; on a MODELED column it
+        // stays an ordinary answerable atom
+        (pend, atoms) = atoms0.partition(a =>
+          a.isInstanceOf[SpnCardinality.NotNull] &&
+            !modeled(t).exists(_._1 == a.column) &&
+            keyCols.getOrElse(t, Set.empty).contains(a.column))
         if atoms.forall(a => modeled(t).exists(_._1 == a.column))
         ob <- ors match {
           case Seq() => Some(None)
@@ -148,7 +163,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case _ => None // two independent ORs: beyond pairwise I-E
         }
       } yield Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
-        p.output.map(_.exprId -> t).toMap, ob)
+        p.output.map(_.exprId -> t).toMap, ob,
+        pendingKeyNotNull = pend.map(a => (t, a.column)).toSet)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       walk(c, modeled, rels, keyCols)
     // residual filter above a join: each conjunct must be an understood
@@ -205,9 +221,30 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case (None, y) => Some(y)
           case _         => None // one OR on each side: beyond pairwise I-E
         }
+        // this join's equi columns imply their own non-nullness
+        discharged = splitConj(cond).flatMap {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            Seq(at.get(x.exprId).map(_ -> x.name), at.get(y.exprId).map(_ -> y.name)).flatten
+          case _ => Nil
+        }.toSet
       } yield Shape(a.tables ++ b.tables,
-        mergeAtoms(a.atoms, b.atoms.toSeq.flatMap { case (t, as) => as.map(t -> _) }), at, ob)
+        mergeAtoms(a.atoms, b.atoms.toSeq.flatMap { case (t, as) => as.map(t -> _) }), at, ob,
+        pendingKeyNotNull = (a.pendingKeyNotNull ++ b.pendingKeyNotNull) -- discharged)
     case _ => None
+  }
+
+  /** Project/Filter chain down to a genuine parquet [[LogicalRelation]] —
+    * no InMemoryRelation resolution (see the leaf case's comment).
+    */
+  private object StrictScan {
+    def unapply(p: LogicalPlan): Option[(String, String, Seq[Expression])] = p match {
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => unapply(c)
+      case Filter(cond, c) =>
+        unapply(c).map { case (d, t, cs) => (d, t, cs ++ splitConj(cond)) }
+      case rel: LogicalRelation =>
+        SpnCardinality.tableOf(rel).map { case (d, t) => (d, t, Seq.empty) }
+      case _ => None
+    }
   }
 
   private def declaredEdge(
@@ -285,8 +322,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * term; `sum(price * (1 - disc))` distributes to
     * (1, [price]) + (-1, [price, disc]) — the TPC-H/SSB revenue shape —
     * each term answered by estSum/estSumProduct/estCount (empty product).
+    * `refCols` is the union of columns appearing ANYWHERE in the
+    * expression: SQL's SUM skips a row when the whole expression is NULL
+    * (any referenced column NULL), so every term — including constant
+    * terms, whose naive estimate would be a count over ALL rows — must be
+    * evaluated under the non-nullness of all of them.
     */
-  private case class SumOut(terms: Seq[(Double, Seq[(String, String)])]) extends OutCol
+  private case class SumOut(terms: Seq[(Double, Seq[(String, String)])],
+      refCols: Seq[(String, String)]) extends OutCol
   private case class AvgOut(col: (String, String)) extends OutCol
 
   /** One [[OutCol]] per output attribute, or None when any aggregate is
@@ -300,9 +343,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case a: AttributeReference => a.exprId
     }.zipWithIndex.toMap
 
+    // only a genuinely WIDENING cast leaves values unchanged; a narrowing
+    // cast (sum(cast(price AS int)) truncates per row) must fall back
+    def widening(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (from, to) match {
+        case (f, t) if f == t => true
+        case (ByteType | ShortType | IntegerType, LongType) => true
+        case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+        case _ => false
+      }
+    }
     def numCol(e: Expression): Option[(String, String)] = e match {
-      // a widening numeric cast leaves SUM/AVG values unchanged
-      case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => numCol(c)
+      case Cast(c, dt, _, _) if widening(c.dataType, dt) => numCol(c)
       case a: AttributeReference =>
         sh.attrTable.get(a.exprId)
           .filter(t => modeled(t).exists(c => c._1 == a.name && c._2 == "num"))
@@ -315,7 +369,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       * estimator reserves for its own CI machinery — bail).
       */
     def sumTerms(e: Expression): Option[Seq[(Double, Seq[(String, String)])]] = e match {
-      case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => sumTerms(c)
+      case Cast(c, dt, _, _) if widening(c.dataType, dt) => sumTerms(c)
       case Literal(v, _) => Option(v).collect { case n: Number => Seq((n.doubleValue(), Seq.empty[(String, String)])) }
       case a: AttributeReference => numCol(a).map(c => Seq((1.0, Seq(c))))
       case m: Multiply =>
@@ -343,7 +397,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case c: Count if c.children.sizeIs == 1 =>
             numCol(c.children.head).map(CountColOut.apply)
           case s: Sum =>
-            sumTerms(s.child).filter(_.exists(_._2.nonEmpty)).map(SumOut.apply)
+            sumTerms(s.child).filter(_.exists(_._2.nonEmpty))
+              .map(ts => SumOut(ts, ts.flatMap(_._2).distinct))
           case av: Average => numCol(av.child).map(AvgOut.apply)
           case _          => None
         }
@@ -373,8 +428,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
         val mB = orB.foldLeft(sh.atoms) { case (m, (t, as)) =>
           m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
-        def notNull(m: Map[String, Seq[Atom]], c: (String, String)) =
-          m.updated(c._1, m.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2))
+        def notNull(m: Map[String, Seq[Atom]], cs: Seq[(String, String)]) =
+          cs.foldLeft(m) { case (acc, c) =>
+            acc.updated(c._1, acc.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2)) }
+        def predPair(cs: Seq[(String, String)]) = for {
+          nA <- SpnCardinality.predsFor(spns, sh.tables, notNull(mA, cs), spec.modeled)
+          nB <- SpnCardinality.predsFor(spns, sh.tables, notNull(mB, cs), spec.modeled)
+        } yield (nA, nB)
         return for {
           pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
           pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
@@ -382,26 +442,38 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case CountOut() =>
             math.max(Ensemble.estCountOr(spns, sh.tables, pA, pB).value, 0.0)
           case CountColOut(c) =>
-            (for {
-              nA <- SpnCardinality.predsFor(spns, sh.tables, notNull(mA, c), spec.modeled)
-              nB <- SpnCardinality.predsFor(spns, sh.tables, notNull(mB, c), spec.modeled)
-            } yield math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0))
+            predPair(Seq(c)).map { case (nA, nB) =>
+              math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0) }
               .getOrElse(return None)
-          case SumOut(terms) =>
-            terms.map {
-              case (coef, Seq()) => coef * Ensemble.estCountOr(spns, sh.tables, pA, pB).value
-              case (coef, cs) =>
-                coef * Ensemble.estAggOr(spns, sh.tables, pA, pB, cs.map(_ -> 1).toMap).value
-            }.sum
+          // SQL SUM skips a row when the expression is NULL — i.e. when ANY
+          // referenced column is NULL — so every term (constant terms
+          // especially, whose naive value is a count over ALL rows)
+          // evaluates under the non-nullness of all referenced columns
+          case SumOut(terms, refCols) =>
+            predPair(refCols).map { case (nA, nB) =>
+              terms.map {
+                case (coef, Seq()) => coef * Ensemble.estCountOr(spns, sh.tables, nA, nB).value
+                case (coef, cs) =>
+                  coef * Ensemble.estAggOr(spns, sh.tables, nA, nB, cs.map(_ -> 1).toMap).value
+              }.sum
+            }.getOrElse(return None)
+          // SQL AVG divides by the NON-NULL count; estAvg's denominator is
+          // a plain count, so the non-nullness rides in through the preds
           case AvgOut(c) =>
-            Ensemble.estAvgOr(spns, sh.tables, c, pA, pB).value
+            predPair(Seq(c)).map { case (nA, nB) =>
+              Ensemble.estAvgOr(spns, sh.tables, c, nA, nB).value }
+              .getOrElse(return None)
           case GroupOut(_) => sys.error("group column without grouping")
         }), outTypes)
       case None => ()
     }
-    // COUNT(col) gates on the column's non-nullness: its OWN predicate set
-    def notNullPreds(c: (String, String)) = SpnCardinality.predsFor(spns, sh.tables,
-      sh.atoms.updated(c._1, sh.atoms.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2)),
+    // NULL-correct predicate sets: COUNT(col) counts non-null rows; SUM's
+    // expression is NULL (and skipped) when ANY referenced column is NULL;
+    // AVG divides by the non-null count — all three gate their estimation
+    // on the relevant columns' non-nullness
+    def notNullPreds(cs: Seq[(String, String)]) = SpnCardinality.predsFor(spns, sh.tables,
+      cs.foldLeft(sh.atoms) { case (m, c) =>
+        m.updated(c._1, m.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2)) },
       spec.modeled)
     SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { preds =>
       def term(coef: Double, cs: Seq[(String, String)],
@@ -415,9 +487,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           val vals = cols.map {
             case CountOut()     => Some(Ensemble.estCount(spns, sh.tables, preds).value)
             case CountColOut(c) =>
-              notNullPreds(c).map(p => Ensemble.estCount(spns, sh.tables, p).value)
-            case SumOut(terms)  => Some(terms.map { case (cf, cs) => term(cf, cs, preds) }.sum)
-            case AvgOut(c)      => Some(Ensemble.estAvg(spns, sh.tables, c, preds).value)
+              notNullPreds(Seq(c)).map(p => Ensemble.estCount(spns, sh.tables, p).value)
+            case SumOut(terms, refCols) =>
+              notNullPreds(refCols).map(p =>
+                terms.map { case (cf, cs) => term(cf, cs, p) }.sum)
+            case AvgOut(c) =>
+              notNullPreds(Seq(c)).map(p => Ensemble.estAvg(spns, sh.tables, c, p).value)
             case GroupOut(_)    => sys.error("group column without grouping")
           }
           if (vals.forall(_.isDefined)) Some(Seq(vals.flatten)) else None
@@ -428,20 +503,23 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           val counts = Ensemble.estGroupByMulti(spns, sh.tables, groupCols, preds)
           def perGroup(col: OutCol): Option[Map[Seq[String], Double]] = col match {
             case CountOut() => Some(counts.map { case (k, e) => k -> e.value }.toMap)
-            case CountColOut(c) => notNullPreds(c).map(p =>
+            case CountColOut(c) => notNullPreds(Seq(c)).map(p =>
               Ensemble.estGroupByMulti(spns, sh.tables, groupCols, p)
                 .map { case (k, e) => k -> e.value }.toMap)
-            case SumOut(terms) =>
+            case SumOut(terms, refCols) => notNullPreds(refCols).map { p =>
               val perTerm = terms.map {
-                case (cf, Seq()) => counts.map { case (k, e) => k -> cf * e.value }.toMap
+                case (cf, Seq()) =>
+                  Ensemble.estGroupByMulti(spns, sh.tables, groupCols, p)
+                    .map { case (k, e) => k -> cf * e.value }.toMap
                 case (cf, cs) =>
-                  Ensemble.estGroupByAgg(spns, sh.tables, groupCols, cs.map(_ -> 1).toMap, preds)
+                  Ensemble.estGroupByAgg(spns, sh.tables, groupCols, cs.map(_ -> 1).toMap, p)
                     .map { case (k, e) => k -> cf * e.value }.toMap
               }
-              Some(perTerm.flatMap(_.keys).distinct
-                .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap)
-            case AvgOut(c) =>
-              Some(Ensemble.estGroupByAvg(spns, sh.tables, groupCols, c, preds)
+              perTerm.flatMap(_.keys).distinct
+                .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap
+            }
+            case AvgOut(c) => notNullPreds(Seq(c)).map(p =>
+              Ensemble.estGroupByAvg(spns, sh.tables, groupCols, c, p)
                 .map { case (k, e) => k -> e.value }.toMap)
             case GroupOut(_) => Some(Map.empty)
           }

@@ -461,11 +461,12 @@ object SpnBroadcastRule {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(SpnBroadcastRule.fromSession)
-    e.injectPreCBORule(SpnStatsRule.fromSession)
-    // transparent AQP first: a rewritten aggregate has no scans left for
-    // the stats rule to annotate, and exact-fallback queries pass through
-    // to it untouched
+    // transparent AQP first (rules run in injection order): a rewritten
+    // aggregate has no scans left for the stats rule to annotate — running
+    // stats first would spend its driver-side estimation on a subtree the
+    // fold discards — and exact-fallback queries pass through untouched
     e.injectPreCBORule(SpnAqpRule.fromSession)
+    e.injectPreCBORule(SpnStatsRule.fromSession)
     SpnFunctions.register(e)
   }
 }

@@ -66,7 +66,12 @@ final case class SpnStatsRule(
     datasetDir: Option[String] = None,
     /** join-subtree calibration switch — production keeps it on; tests
       * build a scan-stats-only control rule to isolate its effect */
-    joinStats: Boolean = true) extends Rule[LogicalPlan] {
+    joinStats: Boolean = true,
+    /** is (table, column) a modeled column — such columns get NO default
+      * key colStat (see annotate: its synthetic min/max would let
+      * FilterEstimation re-apply a selectivity the learned post-filter
+      * row count already contains) */
+    modeledCol: (String, String) => Boolean = (_, _) => false) extends Rule[LogicalPlan] {
 
   import SpnCardinality.{atomsOf, splitConj}
 
@@ -236,9 +241,15 @@ final case class SpnStatsRule(
       math.round(r * SpnBroadcastRule.rowBytes(rel.output.map(_.dataType)))))
     val colStats = rel.output.flatMap { a =>
       // calibrated join-edge divisors are EXACT by construction and must
-      // not be capped at the row count — |L||R|/d is the point
+      // not be capped at the row count — |L||R|/d is the point.
+      // A column that is BOTH a declared key and a modeled column gets no
+      // default key stat: the synthetic min/max below would feed
+      // FilterEstimation and re-apply a selectivity the learned
+      // post-filter row count already contains (double counting toward
+      // ~0 cardinalities); join-edge overrides stay — their joins are
+      // freshly estimated under the formula they calibrate.
       ndvOverride.get(a.name).orElse(
-        keyNdv(table, a.name).map { ndv =>
+        keyNdv(table, a.name).filterNot(_ => modeledCol(table, a.name)).map { ndv =>
           // a filter can only shrink ndv; keys are near-unique per declared
           // edge so capping at the (possibly filtered) row count keeps the
           // join formula |L||R|/max(ndv) from underestimating the divisor
@@ -301,7 +312,11 @@ object SpnStatsRule {
             // join-subtree calibration rides the same opt-in; the extra
             // knob exists to isolate scan-level stats (tests, debugging)
             joinStats =
-              !session.conf.getOption("spark.graft.spn.joinStats").contains("false"))(plan)
+              !session.conf.getOption("spark.graft.spn.joinStats").contains("false"),
+            modeledCol = { (t, c) =>
+              graft.schema.DatasetSpec.forDir(session, sfDir)
+                .modeled.getOrElse(t, Seq.empty).exists(_._1 == c)
+            })(plan)
         case _ => plan
       }
     }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.scalatest.funsuite.AnyFunSuite
@@ -214,5 +215,26 @@ class SpnAqpSpec extends AnyFunSuite {
     // unmodeled column in the filter
     val unmodeled = s2.sql("SELECT count(*) AS n FROM lineitem WHERE l_suppkey < 5")
     assert(!isRewritten(unmodeled))
+    // a NARROWING cast truncates per row before summing — outside the class
+    val narrow = s2.sql("SELECT sum(cast(l_extendedprice AS int)) AS s FROM lineitem")
+    assert(!isRewritten(narrow), "narrowing casts must fall back to exact")
+    // an explicit IS NOT NULL on an unmodeled key column with NO join is a
+    // real predicate the model cannot see (the pushdown-implied form under
+    // an inner join still folds — the FK join test above proves it)
+    val keyNn = s2.sql("SELECT count(*) AS n FROM lineitem WHERE l_orderkey IS NOT NULL")
+    assert(!isRewritten(keyNn), "bare key IS NOT NULL must fall back to exact")
+    // a CACHED filtered DataFrame bakes its filter into the cached plan
+    // where the rewrite cannot see it — folding would answer for the WHOLE
+    // table; must fall back and answer exactly through the cache
+    val filtered = s2.read.parquet(s"$tmpSf/lineitem.parquet")
+      .filter(col("l_quantity") < 5).cache()
+    try {
+      filtered.createOrReplaceTempView("lineitem_cached")
+      val viaCache = s2.sql("SELECT count(*) AS n FROM lineitem_cached")
+      assert(!isRewritten(viaCache), "cached filtered input must fall back to exact")
+      val exactN = session(aqp = false).sql(
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 5").head.getLong(0)
+      assert(viaCache.head.getLong(0) == exactN)
+    } finally filtered.unpersist(blocking = true)
   }
 }
