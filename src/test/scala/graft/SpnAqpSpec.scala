@@ -196,6 +196,50 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(twoOrs), "two ORs must fall back to exact")
   }
 
+  test("NULL-bearing columns fold with SQL's skip-NULL semantics") {
+    // a sidecar-declared table where a THIRD of the measure column is NULL:
+    // SUM skips those rows, AVG divides by the non-null count, COUNT(col)
+    // counts non-nulls — a fold that forgot the NotNull gating would
+    // overcount AVG's denominator by 1.5x (qerr 1.5, well outside the gate)
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-aqp-nulls-").toString
+    spark.range(3000).toDF("visit_id")
+      .withColumn("amount",
+        when(pmod(col("visit_id"), lit(3)) === 0, lit(null).cast("double"))
+          .otherwise(pmod(col("visit_id") * 17, lit(100)).cast("double")))
+      .withColumn("seg",
+        element_at(array(lit("a"), lit("b")), (pmod(col("visit_id"), lit(2)) + 1).cast("int")))
+      .write.parquet(s"$d/visits.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/graft_schema.json"),
+      """{"tables": [{"name": "visits", "primaryKey": ["visit_id"]}],
+        | "modeled": {"visits": [{"col": "amount", "kind": "num"},
+        |                        {"col": "seg", "kind": "cat"}]}}""".stripMargin)
+    rspn.Ensemble.get(spark, d)
+    schema.Tables(spark, d, "visits").unpersist(blocking = true)
+    def sess(aqp: Boolean): SparkSession = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      if (aqp) s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/visits.parquet").createOrReplaceTempView("visits")
+      s2
+    }
+    val sql = """SELECT count(*) AS n, count(amount) AS nc,
+                        sum(amount) AS s, avg(amount) AS a
+                 FROM visits WHERE seg = 'a'""".stripMargin
+    val exact = sess(aqp = false).sql(sql).head
+    val df = sess(aqp = true).sql(sql)
+    assert(isRewritten(df), s"null fixture must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.head
+    assert(qerr(est.getLong(0).toDouble, exact.getLong(0).toDouble) <= 1.2, "count(*)")
+    assert(qerr(est.getLong(1).toDouble, exact.getLong(1).toDouble) <= 1.2,
+      s"count(amount) est ${est.getLong(1)} vs exact ${exact.getLong(1)} — non-null gating lost")
+    assert(qerr(est.getDouble(2), exact.getDouble(2)) <= 1.2,
+      s"sum est ${est.getDouble(2)} vs exact ${exact.getDouble(2)}")
+    assert(qerr(est.getDouble(3), exact.getDouble(3)) <= 1.2,
+      s"avg est ${est.getDouble(3)} vs exact ${exact.getDouble(3)} — denominator counted NULLs")
+  }
+
   test("unanswerable shapes fall back to the exact plan, untouched") {
     val s2 = session(aqp = true)
     // LIKE predicate: not in the model's predicate algebra
