@@ -233,7 +233,18 @@ object SpnCardinality {
       case _ => None
     }
 
-  /** Project*(Filter*(parquet scan)) → (table name, all filter conjuncts).
+  /** NOTE on plan-walker variants: three recognizers walk
+    * Project/Filter/Join shapes over modeled scans with deliberately
+    * different policies — this [[ScanShape]] (broadcast hints: resolves
+    * cached InMemoryRelations, discards their inner filters — conservative
+    * for a size DECISION), `SpnStatsRule.calibrateJoin` (stats: accepts any
+    * equi-pair, estimator bails), and `SpnAqpRule.walk` (answers: strict
+    * genuine-scan leaves, declared-FK edges only, OR + pending-NotNull
+    * handling — every guard is load-bearing for CORRECTNESS). A shared
+    * parameterized recognizer is the eventual shape; until then, a guard
+    * changed in one must be judged against the other two's policies.
+    *
+    * Project*(Filter*(parquet scan)) → (table name, all filter conjuncts).
     * Projects must be pure column selections — an alias or computed column
     * between the filter and the join would change the atoms' meaning. A
     * cached table (InMemoryRelation) resolves through its cached physical
