@@ -506,6 +506,24 @@ object Extended {
       }.toDF("tok", "exact_count", "cms_count").orderBy(col("exact_count").desc, col("tok"))
     },
 
+    // Native approx_top_k (round 9): Spark's built-in frequent-items
+    // sketch as ONE aggregate — the single-query companion to the
+    // mergeable CMS op above (that one stores per-source state; this
+    // answers "top K tokens now" in one partial-aggregated pass, no
+    // driver-side sketch handling at all). Spec gates the sketch result
+    // against the exact top-K: every exact heavy hitter appears, estimated
+    // counts never undercount beyond the sketch's deterministic answer for
+    // fixed data.
+    Op.noOracle("agg_topk_sketch") { (s, d) =>
+      import s.implicits._
+      val top = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(expr("approx_top_k(tok, 10)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("tok"), col("e.count").cast("bigint").as("est_count"))
+      top.orderBy(col("est_count").desc, col("tok"))
+    },
+
     // Cohort retention — the other product-analytics staple next to the
     // funnel: customers cohorted by first-order year, each cohort's
     // fraction still ordering in every later year. Three keyed aggregates

@@ -271,6 +271,45 @@ object Streaming {
     }
   }
 
+  /** T13b: event-time TIMERS through transformWithState — the inactivity
+    * flush every session/abandonment pipeline needs: each user's timer is
+    * re-armed to lastEvent + gap on every batch (old timer deleted — timers
+    * accumulate otherwise), and when the WATERMARK passes the armed time
+    * `handleExpiredTimer` emits the user's final count exactly once. This
+    * is the capability mapGroupsWithState exposed only as coarse
+    * per-group timeouts; TWS timers are explicit, per-key, many-per-key
+    * and visible to `listTimers`.
+    */
+  final class TwsInactivity(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var armed: ValueState[Long] = _
+    override def init(o: OutputMode, t: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(k: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[(Long, Long)] = {
+      val rs = rows.toSeq
+      cnt.update((if (cnt.exists()) cnt.get() else 0L) + rs.length)
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val at = rs.map(_._2.getTime).max + gapMs
+      getHandle.registerTimer(at)
+      armed.update(at)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(k: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val out = Iterator.single((k, if (cnt.exists()) cnt.get() else 0L))
+      cnt.clear(); armed.clear()
+      out
+    }
+  }
+
   /** The TWS query over an in-memory stream of (user_id, value) rows —
     * shared by the registry op (one batch, oracle-checked) and the spec
     * (two batches, cross-batch accumulation). Returns the memory-sink

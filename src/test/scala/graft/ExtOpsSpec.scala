@@ -103,6 +103,27 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_top_k sketch: exact heavy tokens all surface with near-exact counts") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val sk = exact.Extended.ops.find(_.name == "agg_topk_sketch").get
+      .fn(spark, sf).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.size == 10)
+    val tok = schema.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val nTokens = tok.count()
+    val exactTop = tok.groupBy("tok").agg(count(lit(1)).cast("bigint").as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(8).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // the top-8 exact tokens must all surface in the top-10 sketch (2 slots
+    // of tie slack), each within 1% of corpus size of its exact count
+    exactTop.foreach { case (w, c) =>
+      assert(sk.contains(w), s"exact heavy token '$w' missing from sketch")
+      assert(math.abs(sk(w) - c) <= math.max(1L, nTokens / 100),
+        s"sketch count for '$w': ${sk(w)} vs exact $c")
+    }
+  }
+
   test("bpe_train: first merge matches an independent bigram count; deterministic, compressive, round-trips") {
     import TestSpark._
     import org.apache.spark.sql.functions._

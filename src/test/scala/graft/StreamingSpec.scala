@@ -539,6 +539,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(3L) == (3L, 1L, 1.0))
   }
 
+  test("transformWithState event-time timers flush inactive users once (T13b)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "5 minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new ext.Streaming.TwsInactivity(30L * 60 * 1000), // 30 min gap
+        TimeMode.EventTime(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName("tws_timer").outputMode("update").start()
+    // batch 1: both users active around t=0
+    mem.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:01:00")),
+      (2L, ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    assert(s2.sql("select * from tws_timer").isEmpty, "no timer may fire while active")
+    // batch 2: only user 2 continues at t=45min; the watermark advances to
+    // 40min — past user 1's armed 31min timer, NOT past user 2's re-armed one
+    mem.addData((2L, ts("2024-01-01 00:45:00")))
+    q.processAllAvailable()
+    // timer firing is evaluated against the batch's watermark: one more
+    // empty-ish batch lets the expired timer emit
+    mem.addData((2L, ts("2024-01-01 00:46:00")))
+    q.processAllAvailable()
+    q.stop()
+    val flushed = s2.sql("select * from tws_timer").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(flushed == Seq((1L, 2L)),
+      s"exactly user 1 must flush with its 2 events: $flushed")
+  }
+
   test("SpnStreamUpdater maintains the model from a live stream (M11c)") {
     import rspn._
     import spark.implicits._
