@@ -381,6 +381,35 @@ object Text {
         .orderBy("rank")
     },
 
+    // BPE APPLICATION at corpus scale (round 9) — the encode half of the
+    // bpe_train/bpe_apply pair: the driver-learned merge table (bounded:
+    // nMerges rows) broadcasts inside a Scala UDF closure and every
+    // document tokenizes in place — a narrow per-row map over the scan,
+    // no shuffle beyond the final doc_id sort. A UDF (not codegen) is the
+    // honest implementation: the merge loop is inherently procedural per
+    // word; its cost is |word| × nMerges, independent of corpus size.
+    // Output is per-doc symbol counts (whitespace tokens vs post-BPE
+    // symbols) — the compression the learned vocabulary achieves. Spec
+    // cross-checks sampled docs against the driver-side bpeEncode and
+    // pins ws_tokens ≤ bpe_symbols ≤ characters.
+    Op.noOracle("bpe_apply") { (s, d) =>
+      import s.implicits._
+      val words = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = bpeMerges(words, nMerges = 20).map(m => (m._2, m._3))
+      val encodeCount = udf((text: String) =>
+        text.split(" ").iterator.map(w => bpeEncode(w, merges).length.toLong).sum)
+      docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("ws_tokens"),
+          encodeCount(col("text")).as("bpe_symbols"),
+          length(translate(col("text"), " ", "")).cast("bigint").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // order — and with it the float result — is frozen per session.
     // Round 8: oracle-checked (was no-oracle) — the decimal-exact ln-sum
     // policy proven on perplexity_unigram applies here too: each squared

@@ -172,6 +172,32 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_apply: corpus encoding matches driver-side bpeEncode; counts bracket correctly") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("bpe_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    // every doc: merges only ever shrink, and symbols can't go below words
+    rows.foreach { case (id, ws, bpe, chars) =>
+      assert(ws <= bpe && bpe <= chars, s"doc $id: ws $ws bpe $bpe chars $chars")
+    }
+    // cross-check 5 sampled docs against the independent driver-side encode
+    val words = schema.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = ext.Text.bpeMerges(words, 20).map(m => (m._2, m._3))
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    schema.Tables(spark, sf, "documents").filter(col("doc_id") < 5)
+      .select("doc_id", "text").collect().foreach { r =>
+      val expected = r.getString(1).split(" ").iterator
+        .map(w => ext.Text.bpeEncode(w, merges).length.toLong).sum
+      assert(byId(r.getLong(0)) == expected, s"doc ${r.getLong(0)} encode mismatch")
+    }
+  }
+
   test("dup_ngram_corpus: saturated docs are exactly the near-dup pair members") {
     import TestSpark._
     val per = ext.Dedup.ops.find(_.name == "dup_ngram_corpus").get.fn(spark, sf).collect()
