@@ -331,6 +331,19 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private case class SumOut(terms: Seq[(Double, Seq[(String, String)])],
       refCols: Seq[(String, String)]) extends OutCol
   private case class AvgOut(col: (String, String)) extends OutCol
+  /** ARITHMETIC over whole aggregates — the reference's PLUS/MINUS class
+    * at the aggregate level: `SUM(a) - SUM(b)`, `count(*) * 2`,
+    * `SUM(x) + AVG(y)` — each leaf estimated independently, the tree
+    * folded driver-side. Division is excluded: Spark (non-ANSI) yields
+    * NULL on /0 where a folded double would yield Inf/NaN — a semantic
+    * divergence, so it falls back.
+    */
+  private case class ExprOut(tree: ATree) extends OutCol
+
+  private sealed trait ATree
+  private case class ALeaf(agg: OutCol) extends ATree
+  private case class AConst(v: Double) extends ATree
+  private case class ABin(op: Char, l: ATree, r: ATree) extends ATree
 
   /** One [[OutCol]] per output attribute, or None when any aggregate is
     * outside the COUNT(*)/COUNT(col)/SUM(linear form)/AVG class.
@@ -387,26 +400,65 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
 
+    def leafAgg(ae: AggregateExpression): Option[OutCol] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
+        case c: Count if c.children.nonEmpty &&
+            c.children.forall { case Literal(v, _) => v != null; case _ => false } =>
+          Some(CountOut())
+        case c: Count if c.children.sizeIs == 1 =>
+          numCol(c.children.head).map(CountColOut.apply)
+        case s: Sum =>
+          sumTerms(s.child).filter(_.exists(_._2.nonEmpty))
+            .map(ts => SumOut(ts, ts.flatMap(_._2).distinct))
+        case av: Average => numCol(av.child).map(AvgOut.apply)
+        case _          => None
+      }
+
+    /** Arithmetic (+, -, ×, unary -) over aggregate leaves and numeric
+      * literals. A cast HERE wraps the final scalar, where the estimate's
+      * own rounding (toRows) subsumes it — unlike the per-row casts inside
+      * an aggregate, which must be widening.
+      */
+    def aggTree(e: Expression): Option[ATree] = e match {
+      case ae: AggregateExpression => leafAgg(ae).map(ALeaf.apply)
+      case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => aggTree(c)
+      case Literal(v, _) => Option(v).collect { case n: Number => AConst(n.doubleValue()) }
+      case ad: Add =>
+        for { l <- aggTree(ad.left); r <- aggTree(ad.right) } yield ABin('+', l, r)
+      case sb: Subtract =>
+        for { l <- aggTree(sb.left); r <- aggTree(sb.right) } yield ABin('-', l, r)
+      case m: Multiply =>
+        for { l <- aggTree(m.left); r <- aggTree(m.right) } yield ABin('*', l, r)
+      case um: UnaryMinus => aggTree(um.child).map(t => ABin('-', AConst(0.0), t))
+      case _ => None
+    }
+
     def ofNamed(ne: NamedExpression): Option[OutCol] = ne match {
       case a: AttributeReference => groupIdx.get(a.exprId).map(GroupOut.apply)
-      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case c: Count if c.children.nonEmpty &&
-              c.children.forall { case Literal(v, _) => v != null; case _ => false } =>
-            Some(CountOut())
-          case c: Count if c.children.sizeIs == 1 =>
-            numCol(c.children.head).map(CountColOut.apply)
-          case s: Sum =>
-            sumTerms(s.child).filter(_.exists(_._2.nonEmpty))
-              .map(ts => SumOut(ts, ts.flatMap(_._2).distinct))
-          case av: Average => numCol(av.child).map(AvgOut.apply)
-          case _          => None
-        }
+      case Alias(e, _) => aggTree(e).map {
+        case ALeaf(c) => c // a plain aggregate keeps its direct form
+        case t        => ExprOut(t)
+      }
       case _ => None
     }
 
     val cols = agg.aggregateExpressions.map(ofNamed)
     if (cols.forall(_.isDefined)) Some(cols.flatten) else None
+  }
+
+  private def treeLeaves(t: ATree): Seq[OutCol] = t match {
+    case ALeaf(c)      => Seq(c)
+    case AConst(_)     => Nil
+    case ABin(_, l, r) => treeLeaves(l) ++ treeLeaves(r)
+  }
+
+  private def foldTree(t: ATree, leafVal: OutCol => Double): Double = t match {
+    case ALeaf(c)        => leafVal(c)
+    case AConst(v)       => v
+    case ABin('+', l, r) => foldTree(l, leafVal) + foldTree(r, leafVal)
+    case ABin('-', l, r) => foldTree(l, leafVal) - foldTree(r, leafVal)
+    case ABin(_, l, r)   => foldTree(l, leafVal) * foldTree(r, leafVal)
   }
 
   // ---- driver-side estimation → LocalRelation rows ----
@@ -435,16 +487,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           nA <- SpnCardinality.predsFor(spns, sh.tables, notNull(mA, cs), spec.modeled)
           nB <- SpnCardinality.predsFor(spns, sh.tables, notNull(mB, cs), spec.modeled)
         } yield (nA, nB)
-        return for {
-          pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
-          pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
-        } yield toRows(Seq(cols.map {
+        def leafOr(col: OutCol): Option[Double] = col match {
           case CountOut() =>
-            math.max(Ensemble.estCountOr(spns, sh.tables, pA, pB).value, 0.0)
+            for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+                  pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
+              yield math.max(Ensemble.estCountOr(spns, sh.tables, pA, pB).value, 0.0)
           case CountColOut(c) =>
             predPair(Seq(c)).map { case (nA, nB) =>
               math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0) }
-              .getOrElse(return None)
           // SQL SUM skips a row when the expression is NULL — i.e. when ANY
           // referenced column is NULL — so every term (constant terms
           // especially, whose naive value is a count over ALL rows)
@@ -456,15 +506,25 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 case (coef, cs) =>
                   coef * Ensemble.estAggOr(spns, sh.tables, nA, nB, cs.map(_ -> 1).toMap).value
               }.sum
-            }.getOrElse(return None)
+            }
           // SQL AVG divides by the NON-NULL count; estAvg's denominator is
           // a plain count, so the non-nullness rides in through the preds
           case AvgOut(c) =>
             predPair(Seq(c)).map { case (nA, nB) =>
               Ensemble.estAvgOr(spns, sh.tables, c, nA, nB).value }
-              .getOrElse(return None)
+          case _ => None
+        }
+        val vals = cols.map {
           case GroupOut(_) => sys.error("group column without grouping")
-        }), outTypes)
+          case ExprOut(t) =>
+            val ls = treeLeaves(t).distinct
+            val lv = ls.map(l => l -> leafOr(l)).toMap
+            if (lv.values.exists(_.isEmpty)) None
+            else Some(foldTree(t, c => lv(c).get))
+          case leaf => leafOr(leaf)
+        }
+        return if (vals.forall(_.isDefined)) Some(toRows(Seq(vals.flatten), outTypes))
+          else None
       case None => ()
     }
     // NULL-correct predicate sets: COUNT(col) counts non-null rows; SUM's
@@ -484,7 +544,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       }
       val raw: Option[Seq[Seq[Any]]] =
         if (groupCols.isEmpty) {
-          val vals = cols.map {
+          def leafVal(col: OutCol): Option[Double] = col match {
             case CountOut()     => Some(Ensemble.estCount(spns, sh.tables, preds).value)
             case CountColOut(c) =>
               notNullPreds(Seq(c)).map(p => Ensemble.estCount(spns, sh.tables, p).value)
@@ -493,7 +553,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 terms.map { case (cf, cs) => term(cf, cs, p) }.sum)
             case AvgOut(c) =>
               notNullPreds(Seq(c)).map(p => Ensemble.estAvg(spns, sh.tables, c, p).value)
-            case GroupOut(_)    => sys.error("group column without grouping")
+            case _ => None
+          }
+          val vals = cols.map {
+            case GroupOut(_) => sys.error("group column without grouping")
+            case ExprOut(t) =>
+              val lv = treeLeaves(t).distinct.map(l => l -> leafVal(l)).toMap
+              if (lv.values.exists(_.isEmpty)) None
+              else Some(foldTree(t, c => lv(c).get))
+            case leaf => leafVal(leaf)
           }
           if (vals.forall(_.isDefined)) Some(Seq(vals.flatten)) else None
         } else {
@@ -521,6 +589,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             case AvgOut(c) => notNullPreds(Seq(c)).map(p =>
               Ensemble.estGroupByAvg(spns, sh.tables, groupCols, c, p)
                 .map { case (k, e) => k -> e.value }.toMap)
+            case ExprOut(t) =>
+              val ls = treeLeaves(t).distinct
+              val maps = ls.map(l => l -> perGroup(l)).toMap
+              if (maps.values.exists(_.isEmpty)) None
+              else {
+                val byLeaf = maps.map { case (l, m) => l -> m.get }
+                val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
+                // a leaf missing a group contributes 0 (a pruned estimate)
+                Some(keys.map(k =>
+                  k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
+              }
             case GroupOut(_) => Some(Map.empty)
           }
           val per = cols.zipWithIndex.collect {

@@ -741,8 +741,9 @@ object Ensemble {
       predsA: Map[(String, String), ColRange],
       predsB: Map[(String, String), ColRange]): Estimate = {
     val memo = new ExpectMemo // the six I–E terms share every factor
-    val s = aggOrRaw(spns, tables, predsA, predsB, Map(avgCol -> 1), memo)
-    val c = aggOrRaw(spns, tables, predsA, predsB, Map.empty, memo)
+    val (pA, pB) = (notNullOn(predsA, avgCol), notNullOn(predsB, avgCol))
+    val s = aggOrRaw(spns, tables, pA, pB, Map(avgCol -> 1), memo)
+    val c = aggOrRaw(spns, tables, pA, pB, Map.empty, memo)
     ratioEst(s, c)
   }
 
@@ -821,14 +822,28 @@ object Ensemble {
     * reference propagates exactly, is positive here, so this interval is
     * conservative).
     */
+  /** Predicates gated on the aggregate column's non-nullness: SQL AVG
+    * divides by the NON-NULL count, and the numerator expectation already
+    * excludes NULL mass — an ungated denominator would both overcount and
+    * (worse) select its model WITHOUT the avg column in the key set,
+    * potentially a different SPN than the numerator's. A pred already
+    * constraining the column implies non-null at the leaves (range
+    * probabilities sum over values only), so only an absent entry is added.
+    */
+  private def notNullOn(
+      preds: Map[(String, String), ColRange],
+      c: (String, String)): Map[(String, String), ColRange] =
+    if (preds.contains(c)) preds else preds + (c -> NotNullRange)
+
   def estAvg(
       spns: Map[String, TrainedSpn],
       tables: Set[String],
       avgCol: (String, String),
       preds: Map[(String, String), ColRange]): Estimate = {
     val memo = new ExpectMemo // numerator and denominator share every factor
-    val s = estAgg(spns, tables, preds, Map(avgCol -> 1), memo)
-    val c = estAgg(spns, tables, preds, Map.empty, memo)
+    val p = notNullOn(preds, avgCol)
+    val s = estAgg(spns, tables, p, Map(avgCol -> 1), memo)
+    val c = estAgg(spns, tables, p, Map.empty, memo)
     ratioEst(s, c)
   }
 
@@ -923,8 +938,14 @@ object Ensemble {
       avgCol: (String, String),
       preds: Map[(String, String), ColRange]): Seq[(Seq[String], Estimate)] = {
     val memo = new ExpectMemo
-    enumGroups(spns, tables, groupCols, preds, memo).map { case (vs, gp, c) =>
-      vs -> ratioEst(estAgg(spns, tables, gp, Map(avgCol -> 1), memo), c)
+    // same non-null gating as estAvg, per enumerated group (the group
+    // count c is over ALL rows of the group; AVG's denominator is the
+    // group's NON-NULL count)
+    enumGroups(spns, tables, groupCols, preds, memo).map { case (vs, gp, _) =>
+      val p = notNullOn(gp, avgCol)
+      vs -> ratioEst(
+        estAgg(spns, tables, p, Map(avgCol -> 1), memo),
+        estAgg(spns, tables, p, Map.empty, memo))
     }
   }
 

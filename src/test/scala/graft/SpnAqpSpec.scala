@@ -156,6 +156,37 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(sq), "second moments must fall back to exact")
   }
 
+  test("arithmetic over whole aggregates folds; division falls back") {
+    // the reference's PLUS/MINUS class at the AGGREGATE level:
+    // SUM(a) - SUM(a*b) and scaled counts, scalar and per group
+    val sql = """SELECT sum(l_extendedprice) - sum(l_extendedprice * l_discount) AS rev,
+                        count(*) * 2 AS n2
+                 FROM lineitem WHERE l_quantity < 24""".stripMargin
+    val exact = session(aqp = false).sql(sql).head
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"agg arithmetic must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.head
+    assert(qerr(est.getDouble(0), exact.getDouble(0)) <= 1.5,
+      s"rev: ${est.getDouble(0)} vs ${exact.getDouble(0)}")
+    assert(qerr(est.getLong(1).toDouble, exact.getLong(1).toDouble) <= 1.5)
+    // per group
+    val gSql = """SELECT l_returnflag, sum(l_quantity) - count(*) AS excess
+                  FROM lineitem WHERE l_quantity < 24 GROUP BY l_returnflag""".stripMargin
+    val gExact = session(aqp = false).sql(gSql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gDf = session(aqp = true).sql(gSql)
+    assert(isRewritten(gDf))
+    val gEst = gDf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gEst.keySet == gExact.keySet)
+    gExact.foreach { case (k, v) =>
+      assert(qerr(gEst(k), v) <= 1.5, s"group $k excess: ${gEst(k)} vs $v")
+    }
+    // division's /0 semantics diverge (SQL null vs folded Inf) — fall back
+    val div = session(aqp = true).sql(
+      "SELECT sum(l_extendedprice) / count(*) AS m FROM lineitem")
+    assert(!isRewritten(div), "aggregate division must fall back to exact")
+  }
+
   test("date predicates fold through the days-kind model columns") {
     val sql = """SELECT count(*) AS n FROM orders
                  WHERE o_orderdate < DATE'1998-06-01' AND o_totalprice < 150000""".stripMargin
@@ -238,6 +269,32 @@ class SpnAqpSpec extends AnyFunSuite {
       s"sum est ${est.getDouble(2)} vs exact ${exact.getDouble(2)}")
     assert(qerr(est.getDouble(3), exact.getDouble(3)) <= 1.2,
       s"avg est ${est.getDouble(3)} vs exact ${exact.getDouble(3)} — denominator counted NULLs")
+  }
+
+  test("the transparent plane agrees with the SQL-text estimator on the AQP workload") {
+    // two independent routes to the model — the Catalyst rewrite and the
+    // SqlParser/SqlEstimate text plane — must produce the same numbers for
+    // the same committed benchmark queries, or one of them has drifted
+    val qs = QErrorEval.readWorkload("workloads/testdata_aqp_20.sql")
+    val ens = rspn.Ensemble.get(spark, tmpSf)
+    val s2 = session(aqp = true)
+    var folded = 0
+    qs.foreach { case (no, sql0) =>
+      val sql = sql0.stripSuffix(";")
+      val df = s2.sql(sql)
+      if (isRewritten(df)) {
+        folded += 1
+        val viaText = rspn.SqlEstimate.estimate(ens, sql) match {
+          case rspn.SqlEstimate.Scalar(e) => e.value
+          case other                      => fail(s"q$no unexpected shape $other")
+        }
+        val viaRule = df.head.getDouble(0)
+        assert(math.abs(viaRule - viaText) <= math.max(1e-6 * math.abs(viaText), 1e-6),
+          s"q$no planes disagree: rule $viaRule vs text $viaText for [$sql]")
+      }
+    }
+    info(s"$folded/${qs.length} workload queries folded through the rule")
+    assert(folded >= 15, s"only $folded/${qs.length} AQP workload queries folded")
   }
 
   test("unanswerable shapes fall back to the exact plan, untouched") {
