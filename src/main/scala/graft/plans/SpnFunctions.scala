@@ -84,6 +84,15 @@ object SpnFunctions {
         new ExpressionInfo(SpnEstExpr.getClass.getName, name),
         (args: Seq[Expression]) => groupByRelation(SparkSession.active, name, mode, args)))
     }
+    // grouping-set companions: model-answered ROLLUP/CUBE as table sources
+    // — one expectation memo spans every subset driver-side, rows carry
+    // NULL markers for columns absent from a subset (the SQL convention)
+    Seq("spn_rollup", "spn_cube").foreach { name =>
+      e.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(SpnEstExpr.getClass.getName, name),
+        (args: Seq[Expression]) => groupSetsRelation(SparkSession.active, name, args)))
+    }
     // model-store introspection: `SELECT * FROM spn_models()` lists the
     // trained ensemble (the reference's ensemble pickle is opaque; a SQL
     // user of this engine can ASK what models back their estimates —
@@ -189,6 +198,52 @@ object SpnFunctions {
         AttributeReference("ci95_hi", DoubleType)())
     val data = rows.map { case (gs, e) =>
       InternalRow.fromSeq(gs.map(UTF8String.fromString) ++ Seq(e.value, e.ci95Lo, e.ci95Hi))
+    }
+    LocalRelation(output, data)
+  }
+
+  private def groupSetsRelation(
+      session: SparkSession, fn: String, args: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.StringType
+    if (args.size < 2 || args.size > 3)
+      throw new IllegalArgumentException(
+        s"$fn(tables, group_columns[, predicate]): got ${args.size} arguments")
+    val sfDir = session.conf.getOption("spark.graft.spn.sfDir").getOrElse(
+      throw new IllegalStateException(
+        s"$fn requires spark.graft.spn.sfDir to point at the trained dataset"))
+    val tables = litString(fn, args.head, "tables")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val modeled = graft.schema.DatasetSpec.forDir(session, sfDir).modeled
+    def tableOf(column: String): String =
+      tables.find(t => modeled.getOrElse(t, Seq.empty).exists(_._1 == column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$fn: column '$column' is not a modeled column of ${tables.mkString("{", ",", "}")}"))
+    val groupCols = litString(fn, args(1), "group_columns")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map(c => (tableOf(c), c))
+    if (groupCols.isEmpty)
+      throw new IllegalArgumentException(s"$fn: no group columns given")
+    val atoms = args.lift(2).map(e => atomsOfSql(session, fn, litString(fn, e, "predicate")))
+      .getOrElse(Seq.empty)
+    val byTable = atoms.groupBy(a => tableOf(a.column))
+    val spns = Ensemble.get(session, sfDir)
+    val preds = SpnCardinality.predsFor(spns, tables, byTable, modeled)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fn: the model cannot answer the given predicate over ${tables.mkString(",")}"))
+    val rows = (if (fn == "spn_rollup")
+        Ensemble.estRollup(spns, tables, groupCols, preds)
+      else Ensemble.estCube(spns, tables, groupCols, preds))
+      .sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
+    val output = groupCols.map { case (_, c) =>
+      AttributeReference(c, StringType, nullable = true)() } ++
+      Seq(AttributeReference("est", DoubleType)(),
+        AttributeReference("ci95_lo", DoubleType)(),
+        AttributeReference("ci95_hi", DoubleType)())
+    val data = rows.map { case (gs, e) =>
+      InternalRow.fromSeq(
+        gs.map(_.map(UTF8String.fromString).orNull) ++ Seq(e.value, e.ci95Lo, e.ci95Hi))
     }
     LocalRelation(output, data)
   }

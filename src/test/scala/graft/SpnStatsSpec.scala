@@ -358,6 +358,38 @@ class SpnStatsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("agg_column"))
   }
 
+  test("spn_rollup/spn_cube materialize model grouping sets with SQL NULL markers") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", sf)
+    val spns = rspn.Ensemble.get(spark, sf)
+    val viaSql = s2.sql(
+      "SELECT l_returnflag, l_linestatus, est FROM " +
+        "spn_rollup('lineitem', 'l_returnflag,l_linestatus', 'l_quantity < 30') " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getDouble(2))).toSeq
+    val viaApi = rspn.Ensemble.estRollup(spns, Set("lineitem"),
+      Seq(("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")),
+      Map(("lineitem", "l_quantity") ->
+        rspn.NumRange(Double.NegativeInfinity, 30.0, hiIncl = false)))
+      .map { case (gs, e) => (gs(0), gs(1), e.value) }
+      .sortBy(t => (t._1.getOrElse(""), t._2.getOrElse("")))
+    assert(viaSql.toSet == viaApi.toSet, s"sql=$viaSql api=$viaApi")
+    // the grand total row exists and composes: SQL filters the ALL row
+    val grand = s2.sql(
+      "SELECT est FROM spn_rollup('lineitem', 'l_returnflag,l_linestatus', " +
+        "'l_quantity < 30') WHERE l_returnflag IS NULL AND l_linestatus IS NULL")
+      .head().getDouble(0)
+    assert(grand == viaApi.find(t => t._1.isEmpty && t._2.isEmpty).get._3)
+    // cube carries strictly more sets than rollup (the partial subsets)
+    val nCube = s2.sql(
+      "SELECT count(*) FROM spn_cube('lineitem', 'l_returnflag,l_linestatus')")
+      .head().getLong(0)
+    val nRoll = s2.sql(
+      "SELECT count(*) FROM spn_rollup('lineitem', 'l_returnflag,l_linestatus')")
+      .head().getLong(0)
+    assert(nCube > nRoll, s"cube $nCube must exceed rollup $nRoll")
+  }
+
   test("spn_models lists the trained ensemble with consistent metadata") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.spn.sfDir", sf)
