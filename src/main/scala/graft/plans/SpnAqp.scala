@@ -471,11 +471,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
     // a disjunction answers through inclusion-exclusion over the two
-    // branch predicate sets (each merged with the base conjuncts); the
-    // group enumeration has no I-E form, so OR + GROUP BY bails to exact
+    // branch predicate sets (each merged with the base conjuncts); with
+    // GROUP BY, per enumerated group over both branches' group universes
     sh.orBranch match {
       case Some((orA, orB)) =>
-        if (groupCols.nonEmpty) return None
         val mA = orA.foldLeft(sh.atoms) { case (m, (t, as)) =>
           m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
         val mB = orB.foldLeft(sh.atoms) { case (m, (t, as)) =>
@@ -513,6 +512,56 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             predPair(Seq(c)).map { case (nA, nB) =>
               Ensemble.estAvgOr(spns, sh.tables, c, nA, nB).value }
           case _ => None
+        }
+        if (groupCols.nonEmpty) {
+          def leafOrG(col: OutCol): Option[Map[Seq[String], Double]] = col match {
+            case CountOut() =>
+              for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+                    pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
+                yield Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, pA, pB)
+                  .map { case (k, e) => k -> math.max(e.value, 0.0) }.toMap
+            case CountColOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
+              Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, nA, nB)
+                .map { case (k, e) => k -> math.max(e.value, 0.0) }.toMap }
+            case SumOut(terms, refCols) => predPair(refCols).map { case (nA, nB) =>
+              val perTerm = terms.map { case (cf, cs) =>
+                Ensemble.estGroupByAggOr(spns, sh.tables, groupCols,
+                  cs.map(_ -> 1).toMap, nA, nB)
+                  .map { case (k, e) => k -> cf * e.value }.toMap
+              }
+              perTerm.flatMap(_.keys).distinct
+                .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap }
+            case AvgOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
+              Ensemble.estGroupByAvgOr(spns, sh.tables, groupCols, c, nA, nB)
+                .map { case (k, e) => k -> e.value }.toMap }
+            case _ => None
+          }
+          def perG(col: OutCol): Option[Map[Seq[String], Double]] = col match {
+            case ExprOut(t) =>
+              val ls = treeLeaves(t).distinct
+              val maps = ls.map(l => l -> leafOrG(l)).toMap
+              if (maps.values.exists(_.isEmpty)) None
+              else {
+                val byLeaf = maps.map { case (l, m) => l -> m.get }
+                val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
+                Some(keys.map(k =>
+                  k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
+              }
+            case GroupOut(_) => Some(Map.empty)
+            case leaf        => leafOrG(leaf)
+          }
+          val per = cols.zipWithIndex.collect {
+            case (c, i) if !c.isInstanceOf[GroupOut] => i -> perG(c)
+          }
+          if (per.exists(_._2.isEmpty)) return None
+          val aggVals = per.map { case (i, m) => i -> m.get }.toMap
+          val keys = aggVals.values.flatMap(_.keys).toSeq.distinct
+          return Some(toRows(keys.sortBy(_.mkString(" ")).map { k =>
+            cols.zipWithIndex.map {
+              case (GroupOut(gi), _) => k(gi): Any
+              case (_, i)            => aggVals(i).getOrElse(k, 0.0): Any
+            }
+          }, outTypes))
         }
         val vals = cols.map {
           case GroupOut(_) => sys.error("group column without grouping")

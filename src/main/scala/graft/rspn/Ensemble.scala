@@ -977,6 +977,89 @@ object Ensemble {
     }
   }
 
+  /** GROUP BY under a DISJUNCTION — per-group inclusion-exclusion: the
+    * group universe is the union of both branches' enumerations, and each
+    * group's aggregate is Σ_A f + Σ_B f − Σ_{A∧B} f with the group pin
+    * merged into every term. A group contradicting one branch (its pin
+    * intersects that branch's predicate on the same column to ∅) takes the
+    * other branch's estimate alone. Empty `feature` = COUNT, one entry =
+    * SUM, several = SUM(∏). One memo spans all terms of all groups.
+    */
+  def estGroupByAggOr(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      feature: Map[(String, String), Int],
+      predsA: Map[(String, String), ColRange],
+      predsB: Map[(String, String), ColRange]): Seq[(Seq[String], Estimate)] = {
+    val memo = new ExpectMemo
+    groupOrKeys(spns, tables, groupCols, predsA, predsB, memo).flatMap {
+      case (vs, pA, pB) => orTermEst(spns, tables, pA, pB, feature, memo)
+        .map(e => vs -> e.toEstimate)
+    }
+  }
+
+  /** AVG per group under a disjunction: IE sum / IE count with the
+    * delta-method CI, both gated on the avg column's non-nullness.
+    */
+  def estGroupByAvgOr(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      avgCol: (String, String),
+      predsA: Map[(String, String), ColRange],
+      predsB: Map[(String, String), ColRange]): Seq[(Seq[String], Estimate)] = {
+    val memo = new ExpectMemo
+    val (nA, nB) = (notNullOn(predsA, avgCol), notNullOn(predsB, avgCol))
+    groupOrKeys(spns, tables, groupCols, nA, nB, memo).flatMap { case (vs, pA, pB) =>
+      for {
+        su <- orTermEst(spns, tables, pA, pB, Map(avgCol -> 1), memo)
+        c <- orTermEst(spns, tables, pA, pB, Map.empty, memo)
+      } yield vs -> ratioEst(su, c)
+    }
+  }
+
+  /** The disjunction's group universe: union of both branches' enumerated
+    * keys, each with the group pin merged into EACH branch's predicates
+    * (None where the pin contradicts that branch).
+    */
+  private def groupOrKeys(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      predsA: Map[(String, String), ColRange],
+      predsB: Map[(String, String), ColRange],
+      memo: ExpectMemo): Seq[(Seq[String],
+        Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])] = {
+    val kA = enumGroups(spns, tables, groupCols, predsA, memo).map(_._1)
+    val kB = enumGroups(spns, tables, groupCols, predsB, memo).map(_._1)
+    (kA ++ kB).distinct.map { vs =>
+      val pin = groupCols.zip(vs).map { case (gc, v) =>
+        val mc = findModelCol(spns, gc._1, gc._2)
+          .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
+        gc -> (NominalSet(Array(mc.code(v))): ColRange)
+      }.toMap
+      (vs, intersect(predsA, pin), intersect(predsB, pin))
+    }
+  }
+
+  /** Σ_A f + Σ_B f − Σ_{A∧B} f over OPTIONAL branch predicate maps —
+    * a contradicted branch contributes zero mass, so the IE collapses to
+    * the surviving branch's plain estimate; both gone → no group at all.
+    */
+  private def orTermEst(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      pA: Option[Map[(String, String), ColRange]],
+      pB: Option[Map[(String, String), ColRange]],
+      feature: Map[(String, String), Int],
+      memo: ExpectMemo): Option[Est] = (pA, pB) match {
+    case (Some(a), Some(b)) => Some(aggOrRaw(spns, tables, a, b, feature, memo))
+    case (Some(a), None)    => Some(estAgg(spns, tables, a, feature, memo))
+    case (None, Some(b))    => Some(estAgg(spns, tables, b, feature, memo))
+    case _                  => None
+  }
+
   /** ROLLUP: the prefix hierarchy (a,b) → [(a,b), (a), ()]. */
   def estRollup(
       spns: Map[String, TrainedSpn],

@@ -121,11 +121,29 @@ object SqlEstimate {
 
     if (q.orPreds.nonEmpty) {
       // OR reaches the model plane through inclusion–exclusion: exact for
-      // every linear aggregate (COUNT/SUM/SUM(a*b)), and AVG as their
-      // ratio; GROUP BY would need it per enumerated group — unsupported.
-      if (q.groupBy.nonEmpty) throw new IllegalArgumentException(
-        "unsupported SQL: OR combined with GROUP BY")
+      // every linear aggregate (COUNT/SUM/SUM(a*b)), AVG as their ratio,
+      // and GROUP BY per enumerated group over the union of both branches'
+      // group universes (round 9: estGroupByAggOr/estGroupByAvgOr).
       val predsB = mergePreds(spns, q.orPreds)
+      if (q.groupBy.nonEmpty) {
+        q.groupBy.foreach { case (gt, gcol) =>
+          require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+            s"GROUP BY $gcol: not a categorical model column")
+        }
+        return Groups(q.agg match {
+          case Count =>
+            Ensemble.estGroupByAggOr(spns, q.tables, q.groupBy, Map.empty, preds, predsB)
+          case Sum(t, c) =>
+            Ensemble.estGroupByAggOr(spns, q.tables, q.groupBy, Map((t, c) -> 1), preds, predsB)
+          case Avg(t, c) =>
+            Ensemble.estGroupByAvgOr(spns, q.tables, q.groupBy, (t, c), preds, predsB)
+          case SumProduct(ta, ca, tb, cb) =>
+            Ensemble.estGroupByAggOr(spns, q.tables, q.groupBy,
+              Map((ta, ca) -> 1, (tb, cb) -> 1), preds, predsB)
+          case other => throw new IllegalArgumentException(
+            s"unsupported SQL: $other with OR and GROUP BY")
+        })
+      }
       Scalar(q.agg match {
         case Count     => Ensemble.estCountOr(spns, q.tables, preds, predsB)
         case Sum(t, c) => Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((t, c) -> 1))

@@ -214,11 +214,19 @@ class SpnAqpSpec extends AnyFunSuite {
     val d2 = session(aqp = true).sql(sql2)
     assert(isRewritten(d2))
     assert(qerr(d2.head.getLong(0).toDouble, e2) <= 1.5)
-    // OR under GROUP BY has no inclusion-exclusion enumeration: exact fallback
-    val grouped = session(aqp = true).sql(
-      """SELECT l_returnflag, count(*) AS n FROM lineitem
-         WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY l_returnflag""".stripMargin)
-    assert(!isRewritten(grouped), "OR + GROUP BY must fall back to exact")
+    // OR under GROUP BY (round 9): per-group inclusion-exclusion over the
+    // union of both branches' group universes
+    val gSql = """SELECT l_returnflag, count(*) AS n FROM lineitem
+                  WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY l_returnflag""".stripMargin
+    val gExact = session(aqp = false).sql(gSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val grouped = session(aqp = true).sql(gSql)
+    assert(isRewritten(grouped), s"OR + GROUP BY must fold:\n${grouped.queryExecution.optimizedPlan}")
+    val gEst = grouped.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(gEst.keySet == gExact.keySet, s"group keys ${gEst.keySet} vs ${gExact.keySet}")
+    gExact.foreach { case (k, v) =>
+      assert(qerr(gEst(k), v) <= 1.5, s"group $k OR count: ${gEst(k)} vs $v")
+    }
     // two independent ORs exceed the pairwise I-E form: exact fallback
     val twoOrs = session(aqp = true).sql(
       """SELECT count(*) AS n FROM lineitem

@@ -525,8 +525,8 @@ class SqlSpec extends AnyFunSuite {
     // supported-shape boundaries of the round-4 extensions
     assertThrows[IllegalArgumentException](SqlParser.parseQuery(
       "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) OR (l_tax > 0.05)"))
-    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
-      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) GROUP BY l_returnflag"))
+    // OR + GROUP BY is SUPPORTED since round 9 (per-group inclusion-
+    // exclusion) — its correctness is pinned in the dedicated test below
     // GROUP BY over a non-categorical (numeric) column is rejected
     assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
       "SELECT COUNT(*) FROM lineitem GROUP BY l_quantity"))
@@ -626,6 +626,37 @@ class SqlSpec extends AnyFunSuite {
     spExact.foreach { case (g, x) =>
       assert(math.abs(spEst(g).value - x) / x <= 0.3,
         s"SUM(a*b) group $g est=${spEst(g).value} exact=$x")
+    }
+  }
+
+  test("OR + GROUP BY estimates every group via per-group inclusion-exclusion") {
+    val sql = "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) GROUP BY l_returnflag"
+    val est = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val exact = spark.sql(
+      "SELECT l_returnflag, COUNT(*) FROM lineitem " +
+        "WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet == exact.keySet, s"groups ${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (k, x) =>
+      val q = math.max(est(k) / x, x / est(k))
+      assert(q <= 1.5, s"group $k: est ${est(k)} vs exact $x")
+    }
+    // SUM under grouped OR too
+    val sumSql = "SELECT SUM(l_extendedprice) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) GROUP BY l_returnflag"
+    val sums = SqlEstimate.estimate(ens, sumSql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val exactS = spark.sql(
+      "SELECT l_returnflag, SUM(l_extendedprice) FROM lineitem " +
+        "WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exactS.foreach { case (k, x) =>
+      val q = math.max(sums(k) / x, x / sums(k))
+      assert(q <= 1.5, s"group $k sum: est ${sums(k)} vs exact $x")
     }
   }
 
