@@ -57,18 +57,24 @@ object Bench {
       }
       name -> (w, c)
     }.to(mutable.LinkedHashMap)
-    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + w }
+    // millisecond precision: full-double samples doubled the line length and
+    // pushed the cpu map out of the driver's tail capture (BENCH_r09 kept
+    // only cpu_sec_total, making per-query load-vs-work unfalsifiable)
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (w, _)) => s"\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, (_, c)) => s"\"" + k + "\":" + c }
+    val cpus_ = results.map { case (k, (_, c)) => s"\"" + k + "\":" + r3(c) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    // per-query maps FIRST, headline totals + error map LAST: a capture that
-    // truncates the head of this (long) line still retains the totals at the
-    // tail — the driver's tail-grab was cutting them when they led the line
-    println(s"""{"queries":$qs,"cpu_sec":$cpus_,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","cpu_sec_total":$cpuTotal,"value":$total}""")
+    // wall map FIRST, cpu map + headline totals + error map LAST: a capture
+    // that truncates the head of this (long) line still retains the tail —
+    // with the per-query cpu map THERE, load-vs-work stays falsifiable per
+    // query from the artifact alone (the r09 phantom regression cost a full
+    // judge re-run because only cpu_sec_total survived the tail grab)
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","cpu_sec":$cpus_,"errors":$errs,"cpu_sec_total":${r3(cpuTotal)},"value":${r3(total)}}""")
     if (errors.nonEmpty) System.err.println(s"BENCH ERRORS: ${errors.keys.mkString(", ")}")
     spark.stop()
   }

@@ -88,6 +88,40 @@ object QErrorEval {
     finally src.close()
   }
 
+  /** Grouped-truth CSV (`query_no,key,value`, header row): the committed
+    * drift pin for GROUP BY workloads — the 3-field scalar layout cannot
+    * carry per-group values, so groups get their own file. `key` is the
+    * group tuple joined with "|" and CSV-quoted (dictionary values may in
+    * principle contain commas); query_no is the FIRST field and value the
+    * LAST, so the parse never depends on the key's content.
+    */
+  def readGroupTruthCsv(path: String): Map[Int, Seq[(Seq[String], Double)]] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().drop(1).filter(_.nonEmpty).map { line =>
+      val firstComma = line.indexOf(',')
+      val lastComma = line.lastIndexOf(',')
+      val no = line.substring(0, firstComma).trim.toInt
+      val rawKey = line.substring(firstComma + 1, lastComma).trim
+        .stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+      val v = line.substring(lastComma + 1).trim.toDouble
+      (no, if (rawKey.isEmpty) Seq.empty[String] else rawKey.split("\\|", -1).toSeq, v)
+    }.toList.groupBy(_._1).map { case (no, rows) => no -> rows.map(r => (r._2, r._3)) }
+    finally src.close()
+  }
+
+  /** The matching writer (`--dump-group-truth`): one row per exact group,
+    * keys "|"-joined and quoted, values at full double precision (integral
+    * aggregates print exactly).
+    */
+  def groupTruthCsvLines(truth: Map[Int, Seq[(Seq[String], Double)]]): Seq[String] =
+    "query_no,key,value" +: truth.toSeq.sortBy(_._1).flatMap { case (no, rows) =>
+      rows.sortBy(_._1.mkString("|")).map { case (k, v) =>
+        val key = "\"" + k.mkString("|").replace("\"", "\"\"") + "\""
+        val vS = if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+        s"$no,$key,$vS"
+      }
+    }
+
   /** Exact counts through Spark itself — the workload's comma-join SQL is
     * plain ANSI, so the exact plane IS `spark.sql`. `cache = false` reads
     * the tables raw (one scan per query) for callers that must not perturb
@@ -263,11 +297,17 @@ object QErrorEval {
     val ciBlock = {
       val scored = rows.filter(_.groups.isEmpty).map(r => (r.truth, r.est, r.ciLo, r.ciHi)) ++
         flat.map(g => (g.truth, g.est, g.ciLo, g.ciHi))
-      val inBounds = scored.count { case (t, _, lo, hi) => lo <= t && t <= hi }
-      val (wm, _, _) = qstats(scored.map { case (_, e, lo, hi) =>
-        (hi - lo) / math.max(math.abs(e), 1.0)
-      })
-      f""","ci":{"n":${scored.length},"coverage":${inBounds.toDouble / scored.length}%.4f,"median_rel_width":$wm%.4f}"""
+      // a workload whose rows are all grouped with zero graded groups has
+      // nothing to score — emit an explicit empty block rather than NaN
+      // coverage / a qstats crash breaking artifact generation
+      if (scored.isEmpty) ""","ci":{"n":0}"""
+      else {
+        val inBounds = scored.count { case (t, _, lo, hi) => lo <= t && t <= hi }
+        val (wm, _, _) = qstats(scored.map { case (_, e, lo, hi) =>
+          (hi - lo) / math.max(math.abs(e), 1.0)
+        })
+        f""","ci":{"n":${scored.length},"coverage":${inBounds.toDouble / scored.length}%.4f,"median_rel_width":$wm%.4f}"""
+      }
     }
     f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock$grpBlock$ciBlock$latBlock,"per_query":$per}"""
   }
@@ -279,10 +319,16 @@ object QErrorEval {
     // scalar rows; grouped rows always take live exact-plane truth — the
     // 3-field CSV cannot carry per-group values
     val csvTruth = opts.get("--truth").map(readTruthCsv).getOrElse(Map.empty[Int, Double])
+    // grouped rows take the committed grouped pin when given, else live
+    // exact-plane truth (the 3-field scalar CSV cannot carry groups)
+    val groupCsvTruth = opts.get("--group-truth").map(readGroupTruthCsv)
+      .getOrElse(Map.empty[Int, Seq[(Seq[String], Double)]])
     lazy val liveTruth =
-      computeGroupTruth(spark, sfDir, qs.filterNot(q => csvTruth.contains(q._1)))
+      computeGroupTruth(spark, sfDir,
+        qs.filterNot(q => csvTruth.contains(q._1) || groupCsvTruth.contains(q._1)))
     def truthOf(no: Int): Seq[(Seq[String], Double)] =
-      csvTruth.get(no).map(v => Seq((Seq.empty[String], v))).getOrElse(liveTruth(no))
+      csvTruth.get(no).map(v => Seq((Seq.empty[String], v)))
+        .orElse(groupCsvTruth.get(no)).getOrElse(liveTruth(no))
     opts.get("--dump-truth").foreach { out =>
       val lines = "query_no,query,cardinality_true" +:
         qs.map { case (no, sql) =>
@@ -290,12 +336,16 @@ object QErrorEval {
           // keep full double precision
           val t = truthOf(no) match {
             case Seq((k, v)) if k.isEmpty => v
-            case _ => sys.error(s"--dump-truth: query $no is grouped; the scalar " +
-              "truth-CSV layout cannot carry per-group values (grouped truth is live)")
+            case _ => sys.error(s"--dump-truth: query $no is grouped; use " +
+              "--dump-group-truth (the scalar layout cannot carry per-group values)")
           }
           val tS = if (t == math.rint(t) && math.abs(t) < 1e15) t.toLong.toString else t.toString
           s"""$no,"${sql.replace("\"", "\"\"")}",$tS"""
         }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lines.mkString("\n") + "\n")
+    }
+    opts.get("--dump-group-truth").foreach { out =>
+      val lines = groupTruthCsvLines(qs.map { case (no, _) => no -> truthOf(no) }.toMap)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), lines.mkString("\n") + "\n")
     }
     val rows = runWorkloadGrouped(spark, sfDir, qs, truthOf)

@@ -273,12 +273,16 @@ object Streaming {
 
   /** T13b: event-time TIMERS through transformWithState — the inactivity
     * flush every session/abandonment pipeline needs: each user's timer is
-    * re-armed to lastEvent + gap on every batch (old timer deleted — timers
-    * accumulate otherwise), and when the WATERMARK passes the armed time
-    * `handleExpiredTimer` emits the user's final count exactly once. This
-    * is the capability mapGroupsWithState exposed only as coarse
-    * per-group timeouts; TWS timers are explicit, per-key, many-per-key
-    * and visible to `listTimers`.
+    * re-armed to maxEventSeen + gap on every batch (old timer deleted —
+    * timers accumulate otherwise), and when the WATERMARK passes the armed
+    * time `handleExpiredTimer` emits the user's final count exactly once.
+    * The max SEEN event time rides in state so a later micro-batch carrying
+    * out-of-order (but not watermark-dropped) events older than the key's
+    * previous max can never move the deadline BACKWARDS — that would flush
+    * the session early and emit a duplicate final count. This is the
+    * capability mapGroupsWithState exposed only as coarse per-group
+    * timeouts; TWS timers are explicit, per-key, many-per-key and visible
+    * to `listTimers`.
     */
   final class TwsInactivity(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -296,10 +300,16 @@ object Streaming {
         tv: TimerValues): Iterator[(Long, Long)] = {
       val rs = rows.toSeq
       cnt.update((if (cnt.exists()) cnt.get() else 0L) + rs.length)
-      if (armed.exists()) getHandle.deleteTimer(armed.get())
-      val at = rs.map(_._2.getTime).max + gapMs
-      getHandle.registerTimer(at)
-      armed.update(at)
+      // monotone deadline: the armed time only ever advances — an
+      // out-of-order batch whose max is older than a previously seen event
+      // keeps the existing deadline instead of pulling it earlier
+      val prev = if (armed.exists()) armed.get() else Long.MinValue
+      val at = math.max(prev, rs.map(_._2.getTime).max + gapMs)
+      if (at != prev) {
+        if (armed.exists()) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
       Iterator.empty
     }
     override def handleExpiredTimer(k: Long, tv: TimerValues,
@@ -353,8 +363,15 @@ object Streaming {
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import s2.implicits._
+      // the MemoryStream feed is a DRIVER-side collect, so it carries a hard
+      // row cap: events grow linearly with SF (3.3k rows at sf0.1, ~330k at
+      // sf10) and an uncapped slice would scale the driver footprint with
+      // the dataset. 100k leaves every tested SF untouched (the oracle sees
+      // the identical row set); past the cap the op is explicitly a bounded
+      // demo feed — a production TWS query reads readStream, not a collect.
       val rows = events(s, d).filter(col("user_id") < 50)
-        .select(col("user_id"), col("value")).as[(Long, Double)].collect().toSeq
+        .select(col("user_id"), col("value")).limit(100000)
+        .as[(Long, Double)].collect().toSeq
       val qn = runTwsCountMax(s2, Seq(rows))
       s2.table(qn)
         .select(col("user_id"), col("n_events").cast("bigint"), col("max_value"))

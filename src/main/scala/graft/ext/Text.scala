@@ -347,16 +347,6 @@ object Text {
         .orderBy("event_id")
     },
 
-    // L5: TF-IDF weighting, native exact term statistics (round 6: replaced
-    // HashingTF+IDF — no 2^15 hash space, no collisions, no Vector UDT in
-    // the plan; everything is codegen'd relational algebra). tf = per
-    // (doc, term) count, df = per-term doc count, idf = ln((N+1)/(df+1))
-    // (MLlib's formula). Emitted as the per-document L2 norm of the
-    // weighted vector. ONE exploded projection feeds both statistics: the
-    // (doc, term) aggregate is the word-count shuffle (the only fact-sized
-    // one at 100 TB), df is a COUNT over the term window on its output —
-    // no second aggregate branch, no tf⨝df join. Two shuffles + the final
-    // per-doc one. The result frame is memoized+cached, so the norm sum
     // BPE vocabulary TRAINING (round 9) — the step upstream of token_count's
     // BPE-ish segmentation: learn the merge table itself. The corpus-sized
     // work is exactly ONE word-frequency aggregate (how HF/sentencepiece
@@ -410,6 +400,16 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // L5: TF-IDF weighting, native exact term statistics (round 6: replaced
+    // HashingTF+IDF — no 2^15 hash space, no collisions, no Vector UDT in
+    // the plan; everything is codegen'd relational algebra). tf = per
+    // (doc, term) count, df = per-term doc count, idf = ln((N+1)/(df+1))
+    // (MLlib's formula). Emitted as the per-document L2 norm of the
+    // weighted vector. ONE exploded projection feeds both statistics: the
+    // (doc, term) aggregate is the word-count shuffle (the only fact-sized
+    // one at 100 TB), df is a COUNT over the term window on its output —
+    // no second aggregate branch, no tf⨝df join. Two shuffles + the final
+    // per-doc one. The result frame is memoized+cached, so the norm sum
     // order — and with it the float result — is frozen per session.
     // Round 8: oracle-checked (was no-oracle) — the decimal-exact ln-sum
     // policy proven on perplexity_unigram applies here too: each squared

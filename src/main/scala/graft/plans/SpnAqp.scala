@@ -139,11 +139,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       rels: Seq[Relationship],
       keyCols: Map[String, Set[String]]): Option[Shape] = p match {
     // single-table leaf: a Project/Filter chain over a GENUINE parquet
-    // relation. Deliberately NOT SpnCardinality.ScanShape: its cached
-    // -InMemoryRelation branch discards any filter baked into the cached
-    // plan — conservative for a broadcast DECISION, silently wrong for an
-    // ANSWER (a cached filtered view would fold to the full-table
-    // estimate). A cached input therefore falls back to exact here.
+    // relation, or over a cached BARE modeled scan. Deliberately NOT
+    // SpnCardinality.ScanShape: its cached-InMemoryRelation branch discards
+    // any filter baked into the cached plan — conservative for a broadcast
+    // DECISION, silently wrong for an ANSWER (a cached filtered view would
+    // fold to the full-table estimate). StrictScan therefore accepts an
+    // InMemoryRelation only when its cached physical plan is provably the
+    // unfiltered table (`lineitem.cache()` — the first thing every
+    // dashboard session does); any cached plan with a baked-in filter,
+    // computed column or join still falls back to exact.
     case StrictScan(dir, t, conjuncts)
         if dirMatches(dir) && modeled.contains(t) =>
       val (ors, plain) = conjuncts.partition(_.isInstanceOf[Or])
@@ -233,17 +237,46 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     case _ => None
   }
 
-  /** Project/Filter chain down to a genuine parquet [[LogicalRelation]] —
-    * no InMemoryRelation resolution (see the leaf case's comment).
+  /** Project/Filter chain down to a genuine parquet [[LogicalRelation]], or
+    * to an [[org.apache.spark.sql.execution.columnar.InMemoryRelation]]
+    * whose cached plan is PROVABLY the bare table (see the leaf case's
+    * comment): every physical node of the cached plan must be the scan
+    * itself (no pushed data/partition filters) or a pure execution wrapper
+    * (codegen, columnar→row). Anything else — FilterExec, a ProjectExec
+    * with computed columns, a join — means the cache holds a DERIVED
+    * dataset the model was not trained on, so the match fails and the
+    * query runs exact.
     */
   private object StrictScan {
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+
     def unapply(p: LogicalPlan): Option[(String, String, Seq[Expression])] = p match {
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) => unapply(c)
       case Filter(cond, c) =>
         unapply(c).map { case (d, t, cs) => (d, t, cs ++ splitConj(cond)) }
       case rel: LogicalRelation =>
         SpnCardinality.tableOf(rel).map { case (d, t) => (d, t, Seq.empty) }
+      case imr: InMemoryRelation => bareCachedScan(imr.cacheBuilder.cachedPlan)
       case _ => None
+    }
+
+    private def bareCachedScan(plan: SparkPlan): Option[(String, String, Seq[Expression])] = {
+      val nodes = plan.collect { case n => n }
+      val scans = nodes.collect { case f: FileSourceScanExec => f }
+      val wrappersOnly = nodes.forall {
+        case _: FileSourceScanExec | _: WholeStageCodegenExec |
+             _: InputAdapter | _: ColumnarToRowExec => true
+        case _ => false
+      }
+      scans match {
+        case Seq(f) if wrappersOnly && f.dataFilters.isEmpty && f.partitionFilters.isEmpty =>
+          f.relation.location.rootPaths.headOption.map { path =>
+            (Option(path.getParent).map(_.toUri.getPath).getOrElse(""),
+              path.getName.stripSuffix(".parquet"), Seq.empty[Expression])
+          }
+        case _ => None
+      }
     }
   }
 

@@ -51,6 +51,15 @@ object SpnCardinality {
   final case class Cmp(column: String, op: String, value: Any) extends Atom
   final case class InSet(column: String, values: Seq[Any]) extends Atom
   final case class NotNull(column: String) extends Atom
+  /** String pattern predicate on a dictionary-modeled column. `op` ∈
+    * prefix/suffix/contains/like — the optimizer simplifies most LIKEs to
+    * StartsWith/EndsWith/Contains before this rule runs, so all four forms
+    * occur. Compiles by DICTIONARY CLOSURE (toPreds): a categorical model
+    * column's dictionary is the column's complete value domain, so the
+    * pattern is exactly the member set that matches it — the same trick
+    * `SqlEstimate` applies on the SQL-text plane (SURVEY §2.2).
+    */
+  final case class StrMatch(column: String, op: String, pattern: String) extends Atom
 
   private val microsPerDay = 86400e6
 
@@ -128,6 +137,22 @@ object SpnCardinality {
                 add(c, NominalSet(codeOf(v).toArray))
               case InSet(c, vs) if vs.forall(stringValue(_).isDefined) =>
                 add(c, NominalSet(vs.flatMap(codeOf).toArray))
+              // dictionary closure: the dict is the column's COMPLETE value
+              // domain, so a pattern predicate is exactly its matching
+              // member set (NULL rows carry no NominalSet mass, matching
+              // SQL's LIKE-on-NULL = unknown)
+              case StrMatch(c, op, pat) =>
+                val matches: String => Boolean = op match {
+                  case "prefix"   => _.startsWith(pat)
+                  case "suffix"   => _.endsWith(pat)
+                  case "contains" => _.contains(pat)
+                  case _ =>
+                    val re = graft.rspn.SqlEstimate.likeRegex(pat)
+                    s => re.matcher(s).matches()
+                }
+                add(c, NominalSet(mc.dict.indices.collect {
+                  case i if matches(mc.dict(i)) => i.toDouble
+                }.toArray))
               case _ => false
             }
           case Some(kind) =>
@@ -294,6 +319,18 @@ object SpnCardinality {
       case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, hset) =>
         Some(InSet(a.name, hset.toSeq))
       case IsNotNull(a: AttributeReference) => Some(NotNull(a.name))
+      // string patterns: LikeSimplification rewrites single-wildcard LIKEs
+      // to StartsWith/EndsWith/Contains before this rule runs; raw Like
+      // survives for multi-wildcard patterns (default escape only — a
+      // custom escape char would change the pattern's meaning)
+      case StartsWith(a: AttributeReference, Literal(v: UTF8String, _)) =>
+        Some(StrMatch(a.name, "prefix", v.toString))
+      case EndsWith(a: AttributeReference, Literal(v: UTF8String, _)) =>
+        Some(StrMatch(a.name, "suffix", v.toString))
+      case Contains(a: AttributeReference, Literal(v: UTF8String, _)) =>
+        Some(StrMatch(a.name, "contains", v.toString))
+      case Like(a: AttributeReference, Literal(v: UTF8String, _), '\\') =>
+        Some(StrMatch(a.name, "like", v.toString))
       case _ => None
     }
     if (converted.forall(_.isDefined)) Some(converted.flatten) else None
@@ -575,9 +612,11 @@ object SpnPlanning {
     // run exactly, answered from the model with zero scans once the session
     // opts in. No oracle — the result is an estimate by design; SpnAqpSpec
     // gates q-error against the exact answers and pins the zero-scan plan
-    // shape. (Under Verify the shared session may have cached these tables,
-    // in which case the rewrite resolves through the cache — the surface
-    // contract is rows>0 here, accuracy is the spec's job.)
+    // shape. (Under Verify the shared session may have cached these tables:
+    // a cached BARE table folds through the cache — StrictScan proves the
+    // cached plan is the unfiltered scan — while a cached FILTERED view
+    // makes the rewrite fall back to exact execution; either way the
+    // surface contract is rows>0 here, accuracy is the spec's job.)
     Op.noOracle("aqp_transparent") { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.spn.sfDir", d)

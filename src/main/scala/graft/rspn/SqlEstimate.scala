@@ -269,8 +269,12 @@ object SqlEstimate {
       }.toArray)
   }
 
-  /** SQL LIKE → anchored regex: % ⇒ .*, _ ⇒ ., everything else literal. */
-  private def likeRegex(pattern: String): java.util.regex.Pattern = {
+  /** SQL LIKE → anchored regex: % ⇒ .*, _ ⇒ ., everything else literal.
+    * Shared with the Catalyst predicate compiler (`SpnCardinality`), which
+    * applies the same dictionary closure to `Like` atoms the optimizer
+    * hasn't already simplified to StartsWith/EndsWith/Contains.
+    */
+  private[graft] def likeRegex(pattern: String): java.util.regex.Pattern = {
     val sb = new StringBuilder
     pattern.foreach {
       case '%' => sb.append(".*")

@@ -305,13 +305,65 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(folded >= 15, s"only $folded/${qs.length} AQP workload queries folded")
   }
 
+  test("LIKE on a modeled cat column folds by dictionary closure") {
+    // round 10: StartsWith/EndsWith/Contains/Like atoms compile to the
+    // dictionary-code NominalSet exactly as the SQL-text plane does — the
+    // pattern's member set is EXACT (the dict is the complete domain), so
+    // the only error left is the model's selectivity error
+    val cases = Seq(
+      // LikeSimplification → StartsWith
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '1%'",
+      // → Contains
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '%URGENT%'",
+      // → EndsWith
+      "SELECT count(*) AS n FROM lineitem WHERE l_returnflag LIKE '%A'",
+      // multi-wildcard: survives as a raw Like expression
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '%-%G%'",
+      // combined with a numeric range, under a join
+      """SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority LIKE '1%' AND l_quantity < 24""".stripMargin)
+    cases.foreach { sql =>
+      val exact = session(aqp = false).sql(sql).head.getLong(0).toDouble
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df), s"LIKE must fold for [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val est = df.head.getLong(0).toDouble
+      assert(qerr(math.max(est, 1.0), math.max(exact, 1.0)) <= 1.5,
+        s"LIKE fold q-error for [$sql]: est $est vs exact $exact")
+    }
+  }
+
+  test("a cached BARE modeled scan folds through the cache; re-reads stay exact-correct") {
+    // the single most common dashboard idiom: cache the fact table, then
+    // fire plain aggregates at it. StrictScan proves the cached plan is the
+    // unfiltered scan and the rewrite answers from the model — zero jobs
+    // against the cache, zero scans
+    val s2 = session(aqp = true)
+    val cached = s2.read.parquet(s"$tmpSf/lineitem.parquet").cache()
+    try {
+      cached.count() // materialize so the IMR is genuinely in use
+      cached.createOrReplaceTempView("lineitem") // shadow the plain view
+      val sql = """SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS a
+                   FROM lineitem WHERE l_quantity < 24 GROUP BY l_returnflag""".stripMargin
+      val df = s2.sql(sql)
+      assert(isRewritten(df),
+        s"cached bare scan must fold:\n${df.queryExecution.optimizedPlan}")
+      val exact = session(aqp = false).sql(sql).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      val est = df.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      assert(est.keySet == exact.keySet)
+      exact.foreach { case (k, v) =>
+        assert(qerr(est(k), v) <= 1.5, s"cached-fold group $k: ${est(k)} vs $v")
+      }
+    } finally cached.unpersist(blocking = true)
+  }
+
   test("unanswerable shapes fall back to the exact plan, untouched") {
     val s2 = session(aqp = true)
-    // LIKE predicate: not in the model's predicate algebra
-    val like = s2.sql("SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '1%'")
-    assert(!isRewritten(like), "LIKE must fall back to exact")
+    // LIKE on an UNMODELED string column: no dictionary to close over
+    val like = s2.sql("SELECT count(*) AS n FROM customer WHERE c_name LIKE 'C%'")
+    assert(!isRewritten(like), "LIKE on an unmodeled column must fall back to exact")
     assert(like.head.getLong(0) ==
-      session(aqp = false).sql("SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '1%'")
+      session(aqp = false).sql("SELECT count(*) AS n FROM customer WHERE c_name LIKE 'C%'")
         .head.getLong(0))
     // MIN: not a linear aggregate the estimator answers
     val mn = s2.sql("SELECT min(l_quantity) AS m FROM lineitem")

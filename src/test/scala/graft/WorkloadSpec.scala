@@ -47,6 +47,28 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the committed sf0.01 GROUPED truth CSV matches live exact groups") {
+    // round 10: the grouped workload's truth gets the same drift pin as the
+    // scalar CSV — a silent fixture regeneration now fails here instead of
+    // quietly re-baselining the grouped-AQP gate. SUM rows are float
+    // aggregates whose exact value can wobble by ulps with partition order,
+    // so the comparison is relative-1e-9 (any real drift is ≫ that).
+    val g = QErrorEval.readWorkload("workloads/testdata_groupby_10.sql")
+    val fromCsv = QErrorEval.readGroupTruthCsv("workloads/testdata_groupby_10_true_sf0.01.csv")
+    val live = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, rows) =>
+      val liveMap = live(no).map { case (k, v) => k.mkString("|") -> v }.toMap
+      val csvMap = rows.map { case (k, v) => k.mkString("|") -> v }.toMap
+      assert(csvMap.keySet == liveMap.keySet,
+        s"group keys drifted for query $no: csv ${csvMap.keySet} vs live ${liveMap.keySet}")
+      csvMap.foreach { case (k, v) =>
+        assert(math.abs(v - liveMap(k)) <= 1e-9 * math.max(math.abs(v), 1.0),
+          s"grouped truth drifted for query $no group [$k]: csv $v vs live ${liveMap(k)}")
+      }
+    }
+  }
+
   test("the workload JSON artifact is well-formed and carries per-query rows") {
     val rows = Seq(
       QErrorEval.WorkloadRow(1, """SELECT COUNT(*) FROM "t"""", 10.0, 12.0, 1.2, 0.2),
