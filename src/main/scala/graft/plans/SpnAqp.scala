@@ -86,8 +86,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // estimation failures must never fail the QUERY — any miss falls back
     // to the exact plan (Try is the catch-all guard; every structural
-    // mismatch already returns None before estimation starts)
-    case agg: Aggregate => Try(rewrite(agg)).toOption.flatten.getOrElse(agg)
+    // mismatch already returns None before estimation starts). An Expand
+    // child is the analyzer's GROUP BY ROLLUP/CUBE/GROUPING SETS shape —
+    // folded per grouping set through the same estimators.
+    case agg: Aggregate => Try(agg.child match {
+      case ex: org.apache.spark.sql.catalyst.plans.logical.Expand => rewriteSets(agg, ex)
+      case _                                                      => rewrite(agg)
+    }).toOption.flatten.getOrElse(agg)
   }
 
   /** Join subtree summary: tables touched, understood filter atoms per
@@ -98,37 +103,181 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       tables: Set[String],
       atoms: Map[String, Seq[Atom]],
       attrTable: Map[ExprId, String],
-      /** at most ONE understood disjunction rides along: each side a
-        * conjunction of atoms, answered by the estimator's
-        * inclusion-exclusion path (estCountOr/estAggOr/estAvgOr). A second
-        * OR conjunct, or OR under grouping, falls back to exact. */
-      orBranch: Option[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = None,
+      /** up to TWO understood independent disjunctions ride along, each
+        * side a conjunction of atoms. One group answers through the
+        * estimator's shared-memo inclusion-exclusion path
+        * (estCountOr/estAggOr/estAvgOr); two groups answer through the
+        * product-form signed expansion (scalar shapes only — 9 conjunctive
+        * terms with signs (+,+,-)×(+,+,-)). A third group, or two groups
+        * under grouping, falls back to exact. */
+      orBranches: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = Nil,
       /** `isnotnull(key)` atoms on UNMODELED declared key columns, parked
         * until an inner equi-join on that very column discharges them (the
         * join implies them); any still pending at the top mean the user
         * wrote an explicit IS NOT NULL the model cannot see — fall back. */
       pendingKeyNotNull: Set[(String, String)] = Set.empty)
 
+  /** Per-table declared key columns: `isnotnull(key)` conjuncts that
+    * predicate pushdown strews onto the scans of an inner equi-join are
+    * implied by the join itself (and by the FK integrity the estimator
+    * already assumes), so they are dropped instead of blocking the rewrite.
+    */
+  private def keyColsOf(spec: DatasetSpec): Map[String, Set[String]] = {
+    val fromRels = spec.graph.relationships
+      .flatMap(r => Seq(r.many -> r.fk, r.one -> r.pk))
+    val fromPks = spec.graph.tables.flatMap(t => t.primaryKey.map(t.name -> _))
+    (fromRels ++ fromPks).groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).toSet }
+  }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spec = DatasetSpec.forDir(session, sfDir)
-    // per-table declared key columns: `isnotnull(key)` conjuncts that
-    // predicate pushdown strews onto the scans of an inner equi-join are
-    // implied by the join itself (and by the FK integrity the estimator
-    // already assumes), so they are dropped instead of blocking the rewrite
-    val keyCols: Map[String, Set[String]] = {
-      val fromRels = spec.graph.relationships
-        .flatMap(r => Seq(r.many -> r.fk, r.one -> r.pk))
-      val fromPks = spec.graph.tables.flatMap(t => t.primaryKey.map(t.name -> _))
-      (fromRels ++ fromPks).groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).toSet }
-    }
+    val keyCols = keyColsOf(spec)
     for {
       sh <- walk(agg.child, spec.modeled, spec.graph.relationships, keyCols)
       // an undischarged key IS NOT NULL is a real predicate, not join noise
       if sh.pendingKeyNotNull.isEmpty
       groups <- groupCols(agg, sh, spec.modeled)
-      cols <- outputCols(agg, sh, spec.modeled)
+      groupIdx = agg.groupingExpressions.collect {
+        case a: AttributeReference => a.exprId
+      }.zipWithIndex.toMap
+      cols <- outputCols(agg, sh, spec.modeled, groupIdx)
       rows <- estimate(sh, groups.map(_._2), cols, agg.output.map(_.dataType))
     } yield LocalRelation(agg.output, rows)
+  }
+
+  /** GROUP BY ROLLUP / CUBE / GROUPING SETS: the analyzer lowers these to
+    * Aggregate(groupAttrs :+ spark_grouping_id, aggs, Expand(projections))
+    * where each Expand projection replays the child with one grouping
+    * set's columns kept and the rest nulled, plus the set's grouping-id
+    * bitmask. The model plane already answers grouping sets
+    * (`estGroupingSets` / the spn_rollup / spn_cube TVFs); this recognizer
+    * folds the EXPAND form the optimizer actually produces, one
+    * plain-grouped estimation per set, with SQL's null convention for the
+    * grouped-out columns. Outputs referencing the grouping id itself (raw
+    * grouping_id(), a GROUPING(c) bit test) find no entry in the injected
+    * groupIdx and fall back to exact — the id is a per-SET constant the
+    * fold could emit, but its consumers (result disambiguation) deserve
+    * the exact plan until there's a test pinning every bitmask layout.
+    * Reference anchor: aqp_spn/group_by_combination.py (the reference
+    * enumerates per-set combinations the same way for its grouped AQP).
+    */
+  private def rewriteSets(
+      agg: Aggregate,
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand): Option[LogicalPlan] = {
+    val spec = DatasetSpec.forDir(session, sfDir)
+    val gidIdx = ex.output.indexWhere(_.name == "spark_grouping_id")
+    if (gidIdx < 0) return None
+    for {
+      sh <- walk(ex.child, spec.modeled, spec.graph.relationships, keyColsOf(spec))
+      if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
+      slots <- classifySlots(ex, gidIdx, sh, spec.modeled)
+      (groupAttrs, groupSrc) = slots
+      sets <- groupingSetsOf(ex, gidIdx, groupAttrs.map(_.exprId))
+      groupIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
+      // the Aggregate must group by exactly the Expand's grouping attrs
+      // plus the grouping id — anything else is a shape this fold doesn't
+      // understand
+      if agg.groupingExpressions.forall {
+        case a: AttributeReference =>
+          groupIdx.contains(a.exprId) || a.exprId == ex.output(gidIdx).exprId
+        case _ => false
+      }
+      cols <- outputCols(agg, sh, spec.modeled, groupIdx)
+      rows <- estimateSets(sh, groupSrc, sets, cols, agg.output.map(_.dataType))
+    } yield LocalRelation(agg.output, rows)
+  }
+
+  /** Split the Expand's output slots (grouping id excluded) into
+    * passthrough child attributes (aggregate inputs — every projection
+    * must carry the attr itself) and grouping slots (attr-or-null across
+    * projections, all non-null occurrences one child attr that must be a
+    * dictionary-modeled string column). Returns the grouping attributes in
+    * output order with their source (table, column).
+    */
+  private def classifySlots(
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      gidIdx: Int, sh: Shape,
+      modeled: Map[String, Seq[(String, String)]])
+      : Option[(Seq[AttributeReference], Seq[(String, String)])] = {
+    val classified = ex.output.zipWithIndex.collect {
+      case (out: AttributeReference, i) if i != gidIdx =>
+        val slotVals = ex.projections.map(_(i))
+        if (sh.attrTable.contains(out.exprId)) {
+          // passthrough: the child attr rides through every projection
+          if (slotVals.forall {
+            case a: AttributeReference => a.exprId == out.exprId
+            case _                     => false
+          }) Some(None) else None
+        } else {
+          val srcs = slotVals.collect { case a: AttributeReference => a }
+          val nullsOk = slotVals.forall {
+            case _: AttributeReference => true
+            case Literal(null, _)      => true
+            case _                     => false
+          }
+          for {
+            src <- srcs.headOption
+            if nullsOk && srcs.forall(_.exprId == src.exprId)
+            t <- sh.attrTable.get(src.exprId)
+            if out.dataType == StringType &&
+              modeled(t).exists(c => c._1 == src.name && c._2 == "cat")
+          } yield Some((out, (t, src.name)))
+        }
+      case (_, i) if i != gidIdx => None
+    }
+    if (classified.exists(_.isEmpty)) None
+    else {
+      val groups = classified.flatten.flatten
+      Some((groups.map(_._1), groups.map(_._2)))
+    }
+  }
+
+  /** One grouping set per Expand projection: the grouping attrs whose slot
+    * carries the attribute (rather than the null literal), as positions
+    * into the grouping-attr list. Duplicate sets are kept — SQL GROUPING
+    * SETS ((a),(a)) emits the rows twice.
+    */
+  private def groupingSetsOf(
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      gidIdx: Int, groupIds: Seq[ExprId]): Option[Seq[Seq[Int]]] = {
+    val posOf = groupIds.zipWithIndex.toMap
+    val outIdxOf = ex.output.zipWithIndex.collect {
+      case (a: AttributeReference, i) if posOf.contains(a.exprId) => a.exprId -> i
+    }.toMap
+    if (outIdxOf.size != groupIds.length) None
+    else Some(ex.projections.map { pr =>
+      groupIds.zipWithIndex.collect {
+        case (eid, pos) if pr(outIdxOf(eid)).isInstanceOf[AttributeReference] => pos
+      }
+    })
+  }
+
+  /** Fold every grouping set through the plain estimators: the empty set
+    * is the global aggregate (one row, all group slots null — SQL's
+    * convention), a non-empty set a grouped estimation over its columns
+    * with the absent columns nulled.
+    */
+  private def estimateSets(
+      sh: Shape, groupSrc: Seq[(String, String)], sets: Seq[Seq[Int]],
+      cols: Seq[OutCol], outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
+    val spns = Ensemble.get(session, sfDir)
+    val spec = DatasetSpec.forDir(session, sfDir)
+    val rowsPerSet: Seq[Option[Seq[Seq[Any]]]] = sets.map { set =>
+      if (set.isEmpty)
+        plainScalarVals(spns, spec, sh, cols)
+          .map(m => Seq(cols.indices.map(m): Seq[Any]))
+      else plainGroupRows(spns, spec, sh, set.map(groupSrc), cols).map { rows =>
+        rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
+          val kv = set.zip(k).toMap // grouping-attr position → key value
+          cols.zipWithIndex.map {
+            case (GroupOut(gi), _) => kv.getOrElse(gi, null): Any
+            case (_, i)            => m(i)
+          }
+        }
+      }
+    }
+    if (rowsPerSet.exists(_.isEmpty)) None
+    else Some(toRows(rowsPerSet.flatMap(_.get), outTypes))
   }
 
   // ---- shape recognition ----
@@ -161,13 +310,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             !modeled(t).exists(_._1 == a.column) &&
             keyCols.getOrElse(t, Set.empty).contains(a.column))
         if atoms.forall(a => modeled(t).exists(_._1 == a.column))
-        ob <- ors match {
-          case Seq() => Some(None)
-          case Seq(o: Or) => orSides(o, _ => Some(t), modeled).map(Some(_))
-          case _ => None // two independent ORs: beyond pairwise I-E
+        obs <- {
+          val sides = ors.map { case o: Or => orSides(o, _ => Some(t), modeled) }
+          // three independent ORs: beyond the product-form expansion
+          if (ors.length <= 2 && sides.forall(_.isDefined)) Some(sides.flatten)
+          else None
         }
       } yield Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
-        p.output.map(_.exprId -> t).toMap, ob,
+        p.output.map(_.exprId -> t).toMap, obs,
         pendingKeyNotNull = pend.map(a => (t, a.column)).toSet)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       walk(c, modeled, rels, keyCols)
@@ -192,14 +342,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
         for {
           _ <- if (perConj.forall(_.isDefined)) Some(()) else None
-          ob <- (ors, sh.orBranch) match {
-            case (Seq(), b) => Some(b)
-            case (Seq(o: Or), None) =>
-              orSides(o, a => tableOfAttr(a), modeled)
-                .map(Some(_))
-            case _ => None // at most one OR across the whole subtree
+          obs <- {
+            val sides = ors.map { case o: Or => orSides(o, a => tableOfAttr(a), modeled) }
+            val all = sh.orBranches ++ sides.flatten
+            // at most two ORs across the whole subtree
+            if (sides.forall(_.isDefined) && all.length <= 2) Some(all) else None
           }
-        } yield sh.copy(atoms = mergeAtoms(sh.atoms, perConj.flatten), orBranch = ob)
+        } yield sh.copy(atoms = mergeAtoms(sh.atoms, perConj.flatten), orBranches = obs)
       }
     case Join(l, r, Inner, Some(cond), _) =>
       for {
@@ -220,10 +369,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             }
           case _ => false
         }
-        ob <- (a.orBranch, b.orBranch) match {
-          case (x, None) => Some(x)
-          case (None, y) => Some(y)
-          case _         => None // one OR on each side: beyond pairwise I-E
+        obs <- {
+          val all = a.orBranches ++ b.orBranches
+          if (all.length <= 2) Some(all) else None
         }
         // this join's equi columns imply their own non-nullness
         discharged = splitConj(cond).flatMap {
@@ -232,7 +380,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case _ => Nil
         }.toSet
       } yield Shape(a.tables ++ b.tables,
-        mergeAtoms(a.atoms, b.atoms.toSeq.flatMap { case (t, as) => as.map(t -> _) }), at, ob,
+        mergeAtoms(a.atoms, b.atoms.toSeq.flatMap { case (t, as) => as.map(t -> _) }), at, obs,
         pendingKeyNotNull = (a.pendingKeyNotNull ++ b.pendingKeyNotNull) -- discharged)
     case _ => None
   }
@@ -379,15 +527,18 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private case class ABin(op: Char, l: ATree, r: ATree) extends ATree
 
   /** One [[OutCol]] per output attribute, or None when any aggregate is
-    * outside the COUNT(*)/COUNT(col)/SUM(linear form)/AVG class.
+    * outside the COUNT(*)/COUNT(col)/SUM(linear form)/AVG class. `groupIdx`
+    * maps a grouping attribute's exprId to its position in the group-key
+    * tuple — injected (rather than derived from `agg`) so the grouping-sets
+    * path can exclude the spark_grouping_id attribute: an output that
+    * references it (raw grouping_id(), a GROUPING(c) expression) then finds
+    * no entry and the whole rewrite falls back.
     */
   private def outputCols(
       agg: Aggregate, sh: Shape,
-      modeled: Map[String, Seq[(String, String)]]): Option[Seq[OutCol]] = {
+      modeled: Map[String, Seq[(String, String)]],
+      groupIdx: Map[ExprId, Int]): Option[Seq[OutCol]] = {
     import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Subtract, UnaryMinus}
-    val groupIdx = agg.groupingExpressions.collect {
-      case a: AttributeReference => a.exprId
-    }.zipWithIndex.toMap
 
     // only a genuinely WIDENING cast leaves values unchanged; a narrowing
     // cast (sum(cast(price AS int)) truncates per row) must fall back
@@ -496,6 +647,18 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
 
   // ---- driver-side estimation → LocalRelation rows ----
 
+  /** Merge NotNull atoms for the given columns into an atom map — the
+    * NULL-correct gating every SUM/AVG/COUNT(col) estimation rides on.
+    */
+  private def withNotNull(
+      m: Map[String, Seq[Atom]], cs: Seq[(String, String)]): Map[String, Seq[Atom]] =
+    cs.foldLeft(m) { case (acc, c) =>
+      acc.updated(c._1, acc.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2)) }
+
+  private def mergeAtomMaps(
+      x: Map[String, Seq[Atom]], y: Map[String, Seq[Atom]]): Map[String, Seq[Atom]] =
+    y.foldLeft(x) { case (m, (t, as)) => m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
+
   private def estimate(
       sh: Shape,
       groupCols: Seq[(String, String)],
@@ -503,120 +666,44 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
-    // a disjunction answers through inclusion-exclusion over the two
-    // branch predicate sets (each merged with the base conjuncts); with
-    // GROUP BY, per enumerated group over both branches' group universes
-    sh.orBranch match {
-      case Some((orA, orB)) =>
-        val mA = orA.foldLeft(sh.atoms) { case (m, (t, as)) =>
-          m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
-        val mB = orB.foldLeft(sh.atoms) { case (m, (t, as)) =>
-          m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
-        def notNull(m: Map[String, Seq[Atom]], cs: Seq[(String, String)]) =
-          cs.foldLeft(m) { case (acc, c) =>
-            acc.updated(c._1, acc.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2)) }
-        def predPair(cs: Seq[(String, String)]) = for {
-          nA <- SpnCardinality.predsFor(spns, sh.tables, notNull(mA, cs), spec.modeled)
-          nB <- SpnCardinality.predsFor(spns, sh.tables, notNull(mB, cs), spec.modeled)
-        } yield (nA, nB)
-        def leafOr(col: OutCol): Option[Double] = col match {
-          case CountOut() =>
-            for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
-                  pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
-              yield math.max(Ensemble.estCountOr(spns, sh.tables, pA, pB).value, 0.0)
-          case CountColOut(c) =>
-            predPair(Seq(c)).map { case (nA, nB) =>
-              math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0) }
-          // SQL SUM skips a row when the expression is NULL — i.e. when ANY
-          // referenced column is NULL — so every term (constant terms
-          // especially, whose naive value is a count over ALL rows)
-          // evaluates under the non-nullness of all referenced columns
-          case SumOut(terms, refCols) =>
-            predPair(refCols).map { case (nA, nB) =>
-              terms.map {
-                case (coef, Seq()) => coef * Ensemble.estCountOr(spns, sh.tables, nA, nB).value
-                case (coef, cs) =>
-                  coef * Ensemble.estAggOr(spns, sh.tables, nA, nB, cs.map(_ -> 1).toMap).value
-              }.sum
-            }
-          // SQL AVG divides by the NON-NULL count; estAvg's denominator is
-          // a plain count, so the non-nullness rides in through the preds
-          case AvgOut(c) =>
-            predPair(Seq(c)).map { case (nA, nB) =>
-              Ensemble.estAvgOr(spns, sh.tables, c, nA, nB).value }
-          case _ => None
-        }
-        if (groupCols.nonEmpty) {
-          def leafOrG(col: OutCol): Option[Map[Seq[String], Double]] = col match {
-            case CountOut() =>
-              for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
-                    pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
-                yield Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, pA, pB)
-                  .map { case (k, e) => k -> math.max(e.value, 0.0) }.toMap
-            case CountColOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
-              Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, nA, nB)
-                .map { case (k, e) => k -> math.max(e.value, 0.0) }.toMap }
-            case SumOut(terms, refCols) => predPair(refCols).map { case (nA, nB) =>
-              val perTerm = terms.map { case (cf, cs) =>
-                Ensemble.estGroupByAggOr(spns, sh.tables, groupCols,
-                  cs.map(_ -> 1).toMap, nA, nB)
-                  .map { case (k, e) => k -> cf * e.value }.toMap
-              }
-              perTerm.flatMap(_.keys).distinct
-                .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap }
-            case AvgOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
-              Ensemble.estGroupByAvgOr(spns, sh.tables, groupCols, c, nA, nB)
-                .map { case (k, e) => k -> e.value }.toMap }
-            case _ => None
-          }
-          def perG(col: OutCol): Option[Map[Seq[String], Double]] = col match {
-            case ExprOut(t) =>
-              val ls = treeLeaves(t).distinct
-              val maps = ls.map(l => l -> leafOrG(l)).toMap
-              if (maps.values.exists(_.isEmpty)) None
-              else {
-                val byLeaf = maps.map { case (l, m) => l -> m.get }
-                val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
-                Some(keys.map(k =>
-                  k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
-              }
-            case GroupOut(_) => Some(Map.empty)
-            case leaf        => leafOrG(leaf)
-          }
-          val per = cols.zipWithIndex.collect {
-            case (c, i) if !c.isInstanceOf[GroupOut] => i -> perG(c)
-          }
-          if (per.exists(_._2.isEmpty)) return None
-          val aggVals = per.map { case (i, m) => i -> m.get }.toMap
-          val keys = aggVals.values.flatMap(_.keys).toSeq.distinct
-          return Some(toRows(keys.sortBy(_.mkString(" ")).map { k =>
+    sh.orBranches match {
+      case Seq() =>
+        if (groupCols.isEmpty)
+          plainScalarVals(spns, spec, sh, cols)
+            .map(m => toRows(Seq(cols.indices.map(m)), outTypes))
+        else plainGroupRows(spns, spec, sh, groupCols, cols).map { rows =>
+          toRows(rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
             cols.zipWithIndex.map {
               case (GroupOut(gi), _) => k(gi): Any
-              case (_, i)            => aggVals(i).getOrElse(k, 0.0): Any
+              case (_, i)            => m(i)
             }
-          }, outTypes))
+          }, outTypes)
         }
-        val vals = cols.map {
-          case GroupOut(_) => sys.error("group column without grouping")
-          case ExprOut(t) =>
-            val ls = treeLeaves(t).distinct
-            val lv = ls.map(l => l -> leafOr(l)).toMap
-            if (lv.values.exists(_.isEmpty)) None
-            else Some(foldTree(t, c => lv(c).get))
-          case leaf => leafOr(leaf)
-        }
-        return if (vals.forall(_.isDefined)) Some(toRows(Seq(vals.flatten), outTypes))
-          else None
-      case None => ()
+      case Seq((orA, orB)) =>
+        singleOr(spns, spec, sh, orA, orB, groupCols, cols, outTypes)
+      // two independent disjunctions: (a∨b)∧(c∨d) through the product-form
+      // signed expansion — 9 conjunctive terms with signs (+,+,-)×(+,+,-),
+      // every one a plain estimate. Scalar shapes only: the grouped form
+      // would need the union-of-universes enumeration per term pair.
+      case Seq(g1, g2) if groupCols.isEmpty =>
+        twoOrScalarVals(spns, spec, sh, Seq(g1, g2), cols)
+          .map(m => toRows(Seq(cols.indices.map(m)), outTypes))
+      case _ => None
     }
-    // NULL-correct predicate sets: COUNT(col) counts non-null rows; SUM's
-    // expression is NULL (and skipped) when ANY referenced column is NULL;
-    // AVG divides by the non-null count — all three gate their estimation
-    // on the relevant columns' non-nullness
-    def notNullPreds(cs: Seq[(String, String)]) = SpnCardinality.predsFor(spns, sh.tables,
-      cs.foldLeft(sh.atoms) { case (m, c) =>
-        m.updated(c._1, m.getOrElse(c._1, Seq.empty) :+ SpnCardinality.NotNull(c._2)) },
-      spec.modeled)
+  }
+
+  /** Scalar (ungrouped) values for the conjunctive path, keyed by output
+    * position. SUM/AVG emit SQL's NULL when the gated non-null-count
+    * estimate rounds below one row — the empty aggregate is NULL in SQL,
+    * and a folded 0.0 would diverge for any caller distinguishing them.
+    * GroupOut slots yield null (only reachable from the grouping-sets ()
+    * set, where the SQL convention IS null).
+    */
+  private def plainScalarVals(
+      spns: Map[String, Ensemble.TrainedSpn],
+      spec: DatasetSpec, sh: Shape, cols: Seq[OutCol]): Option[Map[Int, Any]] = {
+    def predsNN(cs: Seq[(String, String)]) =
+      SpnCardinality.predsFor(spns, sh.tables, withNotNull(sh.atoms, cs), spec.modeled)
     SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { preds =>
       def term(coef: Double, cs: Seq[(String, String)],
           p: Map[(String, String), graft.rspn.ColRange]): Double = cs match {
@@ -624,82 +711,258 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case Seq(c) => coef * Ensemble.estSum(spns, sh.tables, c, p).value
         case _      => coef * Ensemble.estSumProduct(spns, sh.tables, cs, p).value
       }
-      val raw: Option[Seq[Seq[Any]]] =
-        if (groupCols.isEmpty) {
-          def leafVal(col: OutCol): Option[Double] = col match {
-            case CountOut()     => Some(Ensemble.estCount(spns, sh.tables, preds).value)
-            case CountColOut(c) =>
-              notNullPreds(Seq(c)).map(p => Ensemble.estCount(spns, sh.tables, p).value)
-            case SumOut(terms, refCols) =>
-              notNullPreds(refCols).map(p =>
-                terms.map { case (cf, cs) => term(cf, cs, p) }.sum)
-            case AvgOut(c) =>
-              notNullPreds(Seq(c)).map(p => Ensemble.estAvg(spns, sh.tables, c, p).value)
-            case _ => None
+      def leafVal(col: OutCol): Option[Any] = col match {
+        case CountOut()     => Some(Ensemble.estCount(spns, sh.tables, preds).value)
+        case CountColOut(c) =>
+          predsNN(Seq(c)).map(p => Ensemble.estCount(spns, sh.tables, p).value)
+        case SumOut(terms, refCols) =>
+          predsNN(refCols).map { p =>
+            if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) null
+            else terms.map { case (cf, cs) => term(cf, cs, p) }.sum
           }
-          val vals = cols.map {
-            case GroupOut(_) => sys.error("group column without grouping")
-            case ExprOut(t) =>
-              val lv = treeLeaves(t).distinct.map(l => l -> leafVal(l)).toMap
-              if (lv.values.exists(_.isEmpty)) None
-              else Some(foldTree(t, c => lv(c).get))
-            case leaf => leafVal(leaf)
+        case AvgOut(c) =>
+          predsNN(Seq(c)).map { p =>
+            if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) null
+            else Ensemble.estAvg(spns, sh.tables, c, p).value
           }
-          if (vals.forall(_.isDefined)) Some(Seq(vals.flatten)) else None
-        } else {
-          // the COUNT enumeration fixes the group-key universe (groups with
-          // estimated mass 0 are pruned inside enumGroups, identically for
-          // every aggregate — all calls share the same prefix-pruned walk)
-          val counts = Ensemble.estGroupByMulti(spns, sh.tables, groupCols, preds)
-          def perGroup(col: OutCol): Option[Map[Seq[String], Double]] = col match {
-            case CountOut() => Some(counts.map { case (k, e) => k -> e.value }.toMap)
-            case CountColOut(c) => notNullPreds(Seq(c)).map(p =>
-              Ensemble.estGroupByMulti(spns, sh.tables, groupCols, p)
-                .map { case (k, e) => k -> e.value }.toMap)
-            case SumOut(terms, refCols) => notNullPreds(refCols).map { p =>
-              val perTerm = terms.map {
-                case (cf, Seq()) =>
-                  Ensemble.estGroupByMulti(spns, sh.tables, groupCols, p)
-                    .map { case (k, e) => k -> cf * e.value }.toMap
-                case (cf, cs) =>
-                  Ensemble.estGroupByAgg(spns, sh.tables, groupCols, cs.map(_ -> 1).toMap, p)
-                    .map { case (k, e) => k -> cf * e.value }.toMap
-              }
-              perTerm.flatMap(_.keys).distinct
-                .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap
-            }
-            case AvgOut(c) => notNullPreds(Seq(c)).map(p =>
-              Ensemble.estGroupByAvg(spns, sh.tables, groupCols, c, p)
-                .map { case (k, e) => k -> e.value }.toMap)
-            case ExprOut(t) =>
-              val ls = treeLeaves(t).distinct
-              val maps = ls.map(l => l -> perGroup(l)).toMap
-              if (maps.values.exists(_.isEmpty)) None
-              else {
-                val byLeaf = maps.map { case (l, m) => l -> m.get }
-                val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
-                // a leaf missing a group contributes 0 (a pruned estimate)
-                Some(keys.map(k =>
-                  k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
-              }
-            case GroupOut(_) => Some(Map.empty)
-          }
-          val per = cols.zipWithIndex.collect {
-            case (c, i) if !c.isInstanceOf[GroupOut] => i -> perGroup(c)
-          }
-          if (per.exists(_._2.isEmpty)) None
-          else {
-            val aggVals = per.map { case (i, m) => i -> m.get }.toMap
-            Some(counts.map(_._1).sortBy(_.mkString(" ")).map { k =>
-              cols.zipWithIndex.map {
-                case (GroupOut(gi), _) => k(gi): Any
-                case (_, i)            => aggVals(i).getOrElse(k, 0.0): Any
-              }
-            })
-          }
-        }
-      raw.map(toRows(_, outTypes))
+        case _ => None
+      }
+      scalarFold(cols, leafVal)
     }
+  }
+
+  /** Per-group rows for the conjunctive path over ONE group-column list:
+    * each enumerated group's key values (aligned to `gcols`) plus every
+    * non-group output's value by output position. The COUNT enumeration
+    * fixes the group-key universe (groups with estimated mass 0 are pruned
+    * inside enumGroups, identically for every aggregate — all calls share
+    * the same prefix-pruned walk).
+    */
+  private def plainGroupRows(
+      spns: Map[String, Ensemble.TrainedSpn],
+      spec: DatasetSpec, sh: Shape,
+      gcols: Seq[(String, String)], cols: Seq[OutCol])
+      : Option[Seq[(Seq[String], Map[Int, Any])]] = {
+    def predsNN(cs: Seq[(String, String)]) =
+      SpnCardinality.predsFor(spns, sh.tables, withNotNull(sh.atoms, cs), spec.modeled)
+    SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { preds =>
+      val counts = Ensemble.estGroupByMulti(spns, sh.tables, gcols, preds)
+      def perGroup(col: OutCol): Option[Map[Seq[String], Double]] = col match {
+        case CountOut() => Some(counts.map { case (k, e) => k -> e.value }.toMap)
+        case CountColOut(c) => predsNN(Seq(c)).map(p =>
+          Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+            .map { case (k, e) => k -> e.value }.toMap)
+        case SumOut(terms, refCols) => predsNN(refCols).map { p =>
+          val perTerm = terms.map {
+            case (cf, Seq()) =>
+              Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+                .map { case (k, e) => k -> cf * e.value }.toMap
+            case (cf, cs) =>
+              Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
+                .map { case (k, e) => k -> cf * e.value }.toMap
+          }
+          perTerm.flatMap(_.keys).distinct
+            .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap
+        }
+        case AvgOut(c) => predsNN(Seq(c)).map(p =>
+          Ensemble.estGroupByAvg(spns, sh.tables, gcols, c, p)
+            .map { case (k, e) => k -> e.value }.toMap)
+        case ExprOut(t) =>
+          val ls = treeLeaves(t).distinct
+          val maps = ls.map(l => l -> perGroup(l)).toMap
+          if (maps.values.exists(_.isEmpty)) None
+          else {
+            val byLeaf = maps.map { case (l, m) => l -> m.get }
+            val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
+            // a leaf missing a group contributes 0 (a pruned estimate)
+            Some(keys.map(k =>
+              k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
+          }
+        case GroupOut(_) => Some(Map.empty)
+      }
+      val per = cols.zipWithIndex.collect {
+        case (c, i) if !c.isInstanceOf[GroupOut] => i -> perGroup(c)
+      }
+      if (per.exists(_._2.isEmpty)) None
+      else {
+        val aggVals = per.map { case (i, m) => i -> m.get }.toMap
+        Some(counts.map(_._1).map(k =>
+          (k, aggVals.map { case (i, m) => i -> (m.getOrElse(k, 0.0): Any) })))
+      }
+    }
+  }
+
+  /** Fold per-leaf values (Double, or null for an empty SUM/AVG) into the
+    * per-output map: an arithmetic tree with ANY null leaf is null — SQL
+    * arithmetic over NULL yields NULL.
+    */
+  private def scalarFold(
+      cols: Seq[OutCol], leafVal: OutCol => Option[Any]): Option[Map[Int, Any]] = {
+    val vals: Seq[Option[Any]] = cols.map {
+      case GroupOut(_) => Some(null)
+      case ExprOut(t) =>
+        val lv = treeLeaves(t).distinct.map(l => l -> leafVal(l)).toMap
+        if (lv.values.exists(_.isEmpty)) None
+        else if (lv.values.exists(_.get == null)) Some(null)
+        else Some(foldTree(t, c => lv(c).get.asInstanceOf[Double]))
+      case leaf => leafVal(leaf)
+    }
+    if (vals.forall(_.isDefined))
+      Some(vals.zipWithIndex.map { case (v, i) => i -> v.get }.toMap)
+    else None
+  }
+
+  /** One disjunction: inclusion-exclusion over the two branch predicate
+    * sets (each merged with the base conjuncts) through the estimator's
+    * shared-memo OR surfaces; with GROUP BY, per enumerated group over
+    * both branches' group universes.
+    */
+  private def singleOr(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
+      orA: Map[String, Seq[Atom]], orB: Map[String, Seq[Atom]],
+      groupCols: Seq[(String, String)], cols: Seq[OutCol],
+      outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
+    val mA = mergeAtomMaps(sh.atoms, orA)
+    val mB = mergeAtomMaps(sh.atoms, orB)
+    def predPair(cs: Seq[(String, String)]) = for {
+      nA <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mA, cs), spec.modeled)
+      nB <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mB, cs), spec.modeled)
+    } yield (nA, nB)
+    def leafOr(col: OutCol): Option[Any] = col match {
+      case CountOut() =>
+        for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+              pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
+          yield math.max(Ensemble.estCountOr(spns, sh.tables, pA, pB).value, 0.0)
+      case CountColOut(c) =>
+        predPair(Seq(c)).map { case (nA, nB) =>
+          math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0) }
+      // SQL SUM skips a row when the expression is NULL — i.e. when ANY
+      // referenced column is NULL — so every term (constant terms
+      // especially, whose naive value is a count over ALL rows) evaluates
+      // under the non-nullness of all referenced columns; the empty
+      // selection (gated count < 1) folds to SQL's NULL
+      case SumOut(terms, refCols) =>
+        predPair(refCols).map { case (nA, nB) =>
+          if (Ensemble.estCountOr(spns, sh.tables, nA, nB).value < 0.5) null
+          else terms.map {
+            case (coef, Seq()) => coef * Ensemble.estCountOr(spns, sh.tables, nA, nB).value
+            case (coef, cs) =>
+              coef * Ensemble.estAggOr(spns, sh.tables, nA, nB, cs.map(_ -> 1).toMap).value
+          }.sum
+        }
+      // SQL AVG divides by the NON-NULL count; estAvg's denominator is
+      // a plain count, so the non-nullness rides in through the preds
+      case AvgOut(c) =>
+        predPair(Seq(c)).map { case (nA, nB) =>
+          if (Ensemble.estCountOr(spns, sh.tables, nA, nB).value < 0.5) null
+          else Ensemble.estAvgOr(spns, sh.tables, c, nA, nB).value }
+      case _ => None
+    }
+    if (groupCols.nonEmpty) {
+      def leafOrG(col: OutCol): Option[Map[Seq[String], Double]] = col match {
+        case CountOut() =>
+          for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+                pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
+            yield Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, pA, pB)
+              .map { case (k, e) => k -> math.max(e.value, 0.0) }.toMap
+        case CountColOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
+          Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, nA, nB)
+            .map { case (k, e) => k -> math.max(e.value, 0.0) }.toMap }
+        case SumOut(terms, refCols) => predPair(refCols).map { case (nA, nB) =>
+          val perTerm = terms.map { case (cf, cs) =>
+            Ensemble.estGroupByAggOr(spns, sh.tables, groupCols,
+              cs.map(_ -> 1).toMap, nA, nB)
+              .map { case (k, e) => k -> cf * e.value }.toMap
+          }
+          perTerm.flatMap(_.keys).distinct
+            .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap }
+        case AvgOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
+          Ensemble.estGroupByAvgOr(spns, sh.tables, groupCols, c, nA, nB)
+            .map { case (k, e) => k -> e.value }.toMap }
+        case _ => None
+      }
+      def perG(col: OutCol): Option[Map[Seq[String], Double]] = col match {
+        case ExprOut(t) =>
+          val ls = treeLeaves(t).distinct
+          val maps = ls.map(l => l -> leafOrG(l)).toMap
+          if (maps.values.exists(_.isEmpty)) None
+          else {
+            val byLeaf = maps.map { case (l, m) => l -> m.get }
+            val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
+            Some(keys.map(k =>
+              k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
+          }
+        case GroupOut(_) => Some(Map.empty)
+        case leaf        => leafOrG(leaf)
+      }
+      val per = cols.zipWithIndex.collect {
+        case (c, i) if !c.isInstanceOf[GroupOut] => i -> perG(c)
+      }
+      if (per.exists(_._2.isEmpty)) return None
+      val aggVals = per.map { case (i, m) => i -> m.get }.toMap
+      val keys = aggVals.values.flatMap(_.keys).toSeq.distinct
+      return Some(toRows(keys.sortBy(_.mkString(" ")).map { k =>
+        cols.zipWithIndex.map {
+          case (GroupOut(gi), _) => k(gi): Any
+          case (_, i)            => aggVals(i).getOrElse(k, 0.0): Any
+        }
+      }, outTypes))
+    }
+    scalarFold(cols, leafOr).map(m => toRows(Seq(cols.indices.map(m)), outTypes))
+  }
+
+  /** Two independent disjunctions, scalar shapes: expand
+    * C ∧ (A₁∨B₁) ∧ (A₂∨B₂) into the product of per-group signed terms
+    * [(+,A),(+,B),(-,A∧B)] — 9 conjunctive estimates per aggregate leaf,
+    * every one a plain (memoized-model) fold. A contradictory A∧B term
+    * evaluates to mass 0 through range intersection; a term whose atoms
+    * cannot intersect (mixed point-set × range on one column) makes the
+    * whole rewrite fall back — conservative, never wrong.
+    */
+  private def twoOrScalarVals(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
+      groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
+      cols: Seq[OutCol]): Option[Map[Int, Any]] = {
+    val terms: Seq[(Double, Map[String, Seq[Atom]])] =
+      groups.foldLeft(Seq((1.0, sh.atoms))) { case (acc, (a, b)) =>
+        val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
+        for { (s1, m1) <- acc; (s2, m2) <- expansion }
+          yield (s1 * s2, mergeAtomMaps(m1, m2))
+      }
+    // Σ sign·f(term ∧ notnull(cs)) over all expansion terms, None when any
+    // term's atoms cannot compile (the caller then falls back to exact)
+    def signed(nnCols: Seq[(String, String)],
+        f: Map[(String, String), graft.rspn.ColRange] => Double): Option[Double] =
+      terms.foldLeft(Option(0.0)) { case (acc, (sgn, m)) =>
+        for {
+          a <- acc
+          p <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(m, nnCols), spec.modeled)
+        } yield a + sgn * f(p)
+      }
+    def estOf(cs: Seq[(String, String)])(p: Map[(String, String), graft.rspn.ColRange]): Double =
+      cs match {
+        case Seq()  => Ensemble.estCount(spns, sh.tables, p).value
+        case Seq(c) => Ensemble.estSum(spns, sh.tables, c, p).value
+        case _      => Ensemble.estSumProduct(spns, sh.tables, cs, p).value
+      }
+    def leaf2(col: OutCol): Option[Any] = col match {
+      case CountOut()     => signed(Nil, estOf(Nil)).map(v => math.max(v, 0.0))
+      case CountColOut(c) => signed(Seq(c), estOf(Nil)).map(v => math.max(v, 0.0))
+      case SumOut(ts, refCols) =>
+        for {
+          gate <- signed(refCols, estOf(Nil))
+          v <- ts.foldLeft(Option(0.0)) { case (acc, (cf, cs)) =>
+            for { a <- acc; s <- signed(refCols, estOf(cs)) } yield a + cf * s
+          }
+        } yield if (gate < 0.5) null else v
+      case AvgOut(c) =>
+        for {
+          den <- signed(Seq(c), estOf(Nil))
+          num <- signed(Seq(c), estOf(Seq(c)))
+        } yield if (den < 0.5) null else num / den
+      case _ => None
+    }
+    scalarFold(cols, leaf2)
   }
 
   /** Scala values → InternalRows under the Aggregate's own output types
@@ -708,6 +971,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     */
   private def toRows(rows: Seq[Seq[Any]], outTypes: Seq[DataType]): Seq[InternalRow] = {
     def cast(v: Any, dt: DataType): Any = (v, dt) match {
+      // SQL NULL: an empty SUM/AVG, or a grouping-set's absent group column
+      case (null, _)                => null
       case (s: String, StringType)  => s
       case (d: Double, DoubleType)  => d
       case (d: Double, FloatType)   => d.toFloat

@@ -627,6 +627,24 @@ object SpnPlanning {
         """SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS avg_price
           |FROM lineitem WHERE l_quantity < 24
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // Round 10: the transparent fold over the analyzer's Expand shape —
+    // plain GROUP BY ROLLUP SQL answered per grouping set from the model
+    // (SpnAqpSpec pins zero-scan + q-error + the SQL null convention and
+    // cross-checks CUBE row counts; here the surface contract is rows>0
+    // through the Verify gate). The WHERE carries a LIKE so the
+    // dictionary-closure atom path rides the same gate.
+    Op.noOracle("aqp_transparent_rollup") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS q
+          |FROM lineitem WHERE l_quantity < 30 AND l_returnflag LIKE '%A%'
+          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
     }
   )
 }

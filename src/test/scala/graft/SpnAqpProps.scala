@@ -72,7 +72,12 @@ object SpnAqpProps extends Properties("spn_aqp") {
       // an empty exact slice legitimately estimates near 0 — qerr's +1
       // clamp keeps the bound meaningful there
       val okN = qerr(est.getLong(0).toDouble, exact.getLong(0).toDouble) <= 2.0
-      val okS = exact.isNullAt(1) || qerr(est.getDouble(1), exact.getDouble(1)) <= 2.5
+      // round 10: the fold emits SQL's NULL for SUM over an (estimated)
+      // empty selection — accept est NULL whenever the exact slice is at
+      // most a couple of rows (the count gate already bounds the miss)
+      val okS = exact.isNullAt(1) ||
+        (est.isNullAt(1) && exact.getLong(0) <= 2) ||
+        (!est.isNullAt(1) && qerr(est.getDouble(1), exact.getDouble(1)) <= 2.5)
       if (!(okPlan && okN && okS))
         println(s"FAIL [$sql] plan=$okPlan n=${est.getLong(0)}/${exact.getLong(0)} " +
           s"s=${if (exact.isNullAt(1)) "null" else est.getDouble(1) + "/" + exact.getDouble(1)}")
@@ -80,8 +85,9 @@ object SpnAqpProps extends Properties("spn_aqp") {
     }
 
   private val unanswerableGen: Gen[String] = Gen.oneOf(
-    // LIKE: outside the predicate algebra
-    "SELECT count(*) AS n FROM orders WHERE o_orderpriority LIKE '%URGENT%'",
+    // LIKE on an UNMODELED string column (modeled cat columns fold by
+    // dictionary closure since round 10)
+    "SELECT count(*) AS n FROM customer WHERE c_name LIKE '%5%'",
     // MAX: outside the aggregate class
     "SELECT max(l_quantity) AS m FROM lineitem WHERE l_quantity < 30",
     // unmodeled filter column

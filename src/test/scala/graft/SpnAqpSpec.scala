@@ -227,12 +227,107 @@ class SpnAqpSpec extends AnyFunSuite {
     gExact.foreach { case (k, v) =>
       assert(qerr(gEst(k), v) <= 1.5, s"group $k OR count: ${gEst(k)} vs $v")
     }
-    // two independent ORs exceed the pairwise I-E form: exact fallback
-    val twoOrs = session(aqp = true).sql(
+    // THREE independent ORs exceed the product-form expansion: fallback
+    val threeOrs = session(aqp = true).sql(
       """SELECT count(*) AS n FROM lineitem
          WHERE (l_quantity < 5 OR l_quantity > 45)
-           AND (l_discount < 0.02 OR l_discount > 0.08)""".stripMargin)
-    assert(!isRewritten(twoOrs), "two ORs must fall back to exact")
+           AND (l_discount < 0.02 OR l_discount > 0.08)
+           AND (l_returnflag = 'A' OR l_returnflag = 'R')""".stripMargin)
+    assert(!isRewritten(threeOrs), "three ORs must fall back to exact")
+  }
+
+  test("two independent disjunctions fold through the signed product expansion") {
+    // (a OR b) AND (c OR d): 9 conjunctive terms with signs (+,+,-)×(+,+,-)
+    val cases = Seq(
+      """SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem
+         WHERE (l_quantity < 5 OR l_quantity > 45)
+           AND (l_discount < 0.02 OR l_discount > 0.08)""".stripMargin,
+      // branches over a cat column cross a numeric pair, plus a base conjunct
+      """SELECT count(*) AS n, avg(l_quantity) AS a FROM lineitem
+         WHERE l_tax < 0.05 AND (l_returnflag = 'A' OR l_returnflag = 'R')
+           AND (l_quantity < 20 OR l_quantity > 40)""".stripMargin)
+    cases.foreach { sql =>
+      val exact = session(aqp = false).sql(sql).head
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df), s"two ORs must fold:\n${df.queryExecution.optimizedPlan}")
+      val est = df.head
+      assert(qerr(est.getLong(0).toDouble, exact.getLong(0).toDouble) <= 1.5,
+        s"two-OR count for [$sql]: ${est.getLong(0)} vs ${exact.getLong(0)}")
+      assert(qerr(est.getDouble(1), exact.getDouble(1)) <= 1.5,
+        s"two-OR agg for [$sql]: ${est.getDouble(1)} vs ${exact.getDouble(1)}")
+    }
+    // overlapping branches: the A∧B correction term carries real mass
+    // (quantity<30 ∧ quantity>10 is a third of the table), so a sign slip
+    // would blow the bound by construction
+    val overlap = """SELECT count(*) AS n FROM lineitem
+                     WHERE (l_quantity < 30 OR l_discount < 0.05)
+                       AND (l_quantity > 10 OR l_discount > 0.02)""".stripMargin
+    val e = session(aqp = false).sql(overlap).head.getLong(0).toDouble
+    val d = session(aqp = true).sql(overlap)
+    assert(isRewritten(d), s"overlapping two-OR must fold:\n${d.queryExecution.optimizedPlan}")
+    assert(qerr(d.head.getLong(0).toDouble, e) <= 1.5,
+      s"overlap two-OR: ${d.head.getLong(0)} vs $e")
+    // grouped two-OR: the per-term union-of-universes enumeration isn't
+    // wired — falls back
+    val grouped2 = session(aqp = true).sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE (l_quantity < 5 OR l_quantity > 45)
+           AND (l_discount < 0.02 OR l_discount > 0.08)
+         GROUP BY l_returnflag""".stripMargin)
+    assert(!isRewritten(grouped2), "grouped two-OR must fall back to exact")
+  }
+
+  test("GROUP BY ROLLUP and CUBE fold per grouping set, SQL null convention") {
+    val rollup = """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                           sum(l_quantity) AS q
+                    FROM lineitem WHERE l_quantity < 30
+                    GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Double, Double)] =
+      df.collect().map { r =>
+        (if (r.isNullAt(0)) "␀" else r.getString(0),
+          if (r.isNullAt(1)) "␀" else r.getString(1)) ->
+          (r.getLong(2).toDouble, r.getDouble(3))
+      }.toMap
+    val exact = keyed(session(aqp = false).sql(rollup))
+    val df = session(aqp = true).sql(rollup)
+    assert(isRewritten(df), s"ROLLUP must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = keyed(df)
+    assert(est.keySet == exact.keySet,
+      s"rollup group keys ${est.keySet} vs exact ${exact.keySet}")
+    exact.foreach { case (k, (en, eq)) =>
+      assert(qerr(est(k)._1, en) <= 1.5, s"rollup $k count: ${est(k)._1} vs $en")
+      assert(qerr(est(k)._2, eq) <= 1.5, s"rollup $k sum: ${est(k)._2} vs $eq")
+    }
+    // the fold must agree with the model plane's own TVF surface on the
+    // total row (both route through the same estimators)
+    val cube = """SELECT l_returnflag, l_linestatus, count(*) AS n
+                  FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+    val cubeExact = session(aqp = false).sql(cube).count()
+    val cubeDf = session(aqp = true).sql(cube)
+    assert(isRewritten(cubeDf), "CUBE must fold")
+    assert(cubeDf.count() == cubeExact, "CUBE must emit every grouping-set row")
+    // GROUPING(col) reads the grouping-id bitmask — outside the fold, exact
+    val gid = session(aqp = true).sql(
+      """SELECT l_returnflag, GROUPING(l_returnflag) AS g, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+    assert(!isRewritten(gid), "GROUPING() must fall back to exact")
+  }
+
+  test("SUM/AVG over an (estimated) empty selection fold to SQL's NULL, not 0.0") {
+    // l_quantity is 1..50 in the fixture: the model's count estimate for
+    // an impossible range rounds to zero, and SQL's empty SUM/AVG is NULL
+    val sql = """SELECT count(*) AS n, sum(l_extendedprice) AS s,
+                        avg(l_extendedprice) AS a
+                 FROM lineitem WHERE l_quantity < -5""".stripMargin
+    val exact = session(aqp = false).sql(sql).head
+    assert(exact.getLong(0) == 0L && exact.isNullAt(1) && exact.isNullAt(2),
+      "fixture sanity: the slice must be empty")
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"empty slice must still fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.head
+    assert(est.getLong(0) == 0L, s"count over empty slice: ${est.getLong(0)}")
+    assert(est.isNullAt(1), "SUM over an empty selection must be NULL")
+    assert(est.isNullAt(2), "AVG over an empty selection must be NULL")
   }
 
   test("NULL-bearing columns fold with SQL's skip-NULL semantics") {
