@@ -5,6 +5,15 @@ import scala.collection.mutable
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // scale-sensitivity mode: SPARK_GRAFT_SF_DIRS=dir1,dir2 runs the whole
+    // suite once per directory in ONE session and prints one JSON line per
+    // SF — the artifact that turns "partition pruning would hold at 10×"
+    // into a measured per-query scaling ratio (tools/bench_scaling.py
+    // renders the comparison). The driver contract (single SPARK_GRAFT_SF_DIR,
+    // one line) is unchanged.
+    val sfDirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -14,6 +23,14 @@ object Bench {
       .withExtensions(new plans.GraftExtensions) // conf-gated, inert by default
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sfDirs.foreach(d => println(runSuite(spark, d)))
+    spark.stop()
+  }
+
+  /** One full pass of every registered query over one dataset directory,
+    * rendered as the single bench JSON line.
+    */
+  private def runSuite(spark: SparkSession, sfDir: String): String = {
     // warm the shared table cache (SURVEY §6: cache loaded tables across the
     // queries map) so per-query timings measure the operator, not whichever
     // query happens to touch a table first
@@ -74,8 +91,8 @@ object Bench {
     // with the per-query cpu map THERE, load-vs-work stays falsifiable per
     // query from the artifact alone (the r09 phantom regression cost a full
     // judge re-run because only cpu_sec_total survived the tail grab)
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","cpu_sec":$cpus_,"errors":$errs,"cpu_sec_total":${r3(cpuTotal)},"value":${r3(total)}}""")
-    if (errors.nonEmpty) System.err.println(s"BENCH ERRORS: ${errors.keys.mkString(", ")}")
-    spark.stop()
+    val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","cpu_sec":$cpus_,"errors":$errs,"cpu_sec_total":${r3(cpuTotal)},"value":${r3(total)}}"""
+    if (errors.nonEmpty) System.err.println(s"BENCH ERRORS ($sfDir): ${errors.keys.mkString(", ")}")
+    line
   }
 }
