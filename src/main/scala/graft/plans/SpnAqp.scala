@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType}
 
 import scala.util.Try
 
@@ -153,11 +153,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * (`estGroupingSets` / the spn_rollup / spn_cube TVFs); this recognizer
     * folds the EXPAND form the optimizer actually produces, one
     * plain-grouped estimation per set, with SQL's null convention for the
-    * grouped-out columns. Outputs referencing the grouping id itself (raw
-    * grouping_id(), a GROUPING(c) bit test) find no entry in the injected
-    * groupIdx and fall back to exact — the id is a per-SET constant the
-    * fold could emit, but its consumers (result disambiguation) deserve
-    * the exact plan until there's a test pinning every bitmask layout.
+    * grouped-out columns. Outputs over the grouping id (raw grouping_id(),
+    * a GROUPING(c) bit test, HAVING over either) fold too: the id is a
+    * per-SET literal already sitting in each Expand projection's last
+    * slot, so the output expression folds by substituting it in ([[GidOut]]).
     * Reference anchor: aqp_spn/group_by_combination.py (the reference
     * enumerates per-set combinations the same way for its grouped AQP).
     */
@@ -167,6 +166,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     val spec = DatasetSpec.forDir(session, sfDir)
     val gidIdx = ex.output.indexWhere(_.name == "spark_grouping_id")
     if (gidIdx < 0) return None
+    val gidId = ex.output(gidIdx).exprId
     for {
       sh <- walk(ex.child, spec.modeled, spec.graph.relationships, keyColsOf(spec))
       if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
@@ -179,11 +179,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // understand
       if agg.groupingExpressions.forall {
         case a: AttributeReference =>
-          groupIdx.contains(a.exprId) || a.exprId == ex.output(gidIdx).exprId
+          groupIdx.contains(a.exprId) || a.exprId == gidId
         case _ => false
       }
-      cols <- outputCols(agg, sh, spec.modeled, groupIdx)
-      rows <- estimateSets(sh, groupSrc, sets, cols, agg.output.map(_.dataType))
+      cols <- outputCols(agg, sh, spec.modeled, groupIdx, Some(gidId))
+      rows <- estimateSets(sh, groupSrc, sets, gidId, cols, agg.output.map(_.dataType))
     } yield LocalRelation(agg.output, rows)
   }
 
@@ -234,44 +234,68 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
 
   /** One grouping set per Expand projection: the grouping attrs whose slot
     * carries the attribute (rather than the null literal), as positions
-    * into the grouping-attr list. Duplicate sets are kept — SQL GROUPING
-    * SETS ((a),(a)) emits the rows twice.
+    * into the grouping-attr list, paired with the projection's grouping-id
+    * LITERAL (the bitmask Spark computed — reused verbatim so the fold can
+    * never disagree with the engine's own encoding). Duplicate sets are
+    * kept — SQL GROUPING SETS ((a),(a)) emits the rows twice.
     */
   private def groupingSetsOf(
       ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
-      gidIdx: Int, groupIds: Seq[ExprId]): Option[Seq[Seq[Int]]] = {
+      gidIdx: Int, groupIds: Seq[ExprId]): Option[Seq[(Seq[Int], Expression)]] = {
     val posOf = groupIds.zipWithIndex.toMap
     val outIdxOf = ex.output.zipWithIndex.collect {
       case (a: AttributeReference, i) if posOf.contains(a.exprId) => a.exprId -> i
     }.toMap
     if (outIdxOf.size != groupIds.length) None
-    else Some(ex.projections.map { pr =>
-      groupIds.zipWithIndex.collect {
-        case (eid, pos) if pr(outIdxOf(eid)).isInstanceOf[AttributeReference] => pos
+    else {
+      val sets = ex.projections.map { pr =>
+        val set = groupIds.zipWithIndex.collect {
+          case (eid, pos) if pr(outIdxOf(eid)).isInstanceOf[AttributeReference] => pos
+        }
+        pr(gidIdx) match {
+          case lit: Literal => Some((set, lit: Expression))
+          case _            => None
+        }
       }
-    })
+      if (sets.forall(_.isDefined)) Some(sets.flatten) else None
+    }
   }
 
   /** Fold every grouping set through the plain estimators: the empty set
     * is the global aggregate (one row, all group slots null — SQL's
     * convention), a non-empty set a grouped estimation over its columns
-    * with the absent columns nulled.
+    * with the absent columns nulled. [[GidOut]] outputs fold by
+    * substituting the set's grouping-id literal into the expression and
+    * evaluating it driver-side (a per-set constant).
     */
   private def estimateSets(
-      sh: Shape, groupSrc: Seq[(String, String)], sets: Seq[Seq[Int]],
+      sh: Shape, groupSrc: Seq[(String, String)],
+      sets: Seq[(Seq[Int], Expression)], gidId: ExprId,
       cols: Seq[OutCol], outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
-    val rowsPerSet: Seq[Option[Seq[Seq[Any]]]] = sets.map { set =>
-      if (set.isEmpty)
-        plainScalarVals(spns, spec, sh, cols)
-          .map(m => Seq(cols.indices.map(m): Seq[Any]))
-      else plainGroupRows(spns, spec, sh, set.map(groupSrc), cols).map { rows =>
-        rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
-          val kv = set.zip(k).toMap // grouping-attr position → key value
-          cols.zipWithIndex.map {
-            case (GroupOut(gi), _) => kv.getOrElse(gi, null): Any
-            case (_, i)            => m(i)
+    val rowsPerSet: Seq[Option[Seq[Seq[Any]]]] = sets.map { case (set, gidLit) =>
+      val gidVals: Map[Int, Option[Any]] = cols.zipWithIndex.collect {
+        case (GidOut(e), i) =>
+          val folded = e.transform {
+            case a: AttributeReference if a.exprId == gidId => gidLit
+          }
+          i -> (if (folded.foldable) Option(folded.eval(null)) else None)
+      }.toMap
+      if (gidVals.values.exists(_.isEmpty)) None
+      else {
+        val gv = gidVals.map { case (i, v) => i -> v.get }
+        if (set.isEmpty)
+          plainScalarVals(spns, spec, sh, cols)
+            .map(m => Seq(cols.indices.map(i => gv.getOrElse(i, m(i))): Seq[Any]))
+        else plainGroupRows(spns, spec, sh, set.map(groupSrc), cols).map { rows =>
+          rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
+            val kv = set.zip(k).toMap // grouping-attr position → key value
+            cols.zipWithIndex.map {
+              case (GroupOut(gi), _) => kv.getOrElse(gi, null): Any
+              case (GidOut(_), i)    => gv(i)
+              case (_, i)            => m(i)
+            }
           }
         }
       }
@@ -520,6 +544,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * divergence, so it falls back.
     */
   private case class ExprOut(tree: ATree) extends OutCol
+  /** A grouping-sets output over ONLY the spark_grouping_id attribute —
+    * raw grouping_id() or a GROUPING(c) bit test. A per-SET constant:
+    * estimateSets substitutes the set's grouping-id literal and evaluates
+    * the expression driver-side.
+    */
+  private case class GidOut(e: Expression) extends OutCol
 
   private sealed trait ATree
   private case class ALeaf(agg: OutCol) extends ATree
@@ -530,14 +560,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * outside the COUNT(*)/COUNT(col)/SUM(linear form)/AVG class. `groupIdx`
     * maps a grouping attribute's exprId to its position in the group-key
     * tuple — injected (rather than derived from `agg`) so the grouping-sets
-    * path can exclude the spark_grouping_id attribute: an output that
-    * references it (raw grouping_id(), a GROUPING(c) expression) then finds
-    * no entry and the whole rewrite falls back.
+    * path can exclude the spark_grouping_id attribute; `gidId` (set only on
+    * that path) instead classifies outputs over ONLY the grouping id —
+    * grouping_id(), GROUPING(c) — as per-set-constant [[GidOut]]s.
     */
   private def outputCols(
       agg: Aggregate, sh: Shape,
       modeled: Map[String, Seq[(String, String)]],
-      groupIdx: Map[ExprId, Int]): Option[Seq[OutCol]] = {
+      groupIdx: Map[ExprId, Int],
+      gidId: Option[ExprId] = None): Option[Seq[OutCol]] = {
     import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Subtract, UnaryMinus}
 
     // only a genuinely WIDENING cast leaves values unchanged; a narrowing
@@ -618,8 +649,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
 
+    // an output whose ONLY reference is the grouping id is a per-set
+    // constant (and must carry no aggregate function)
+    def gidOnly(e: Expression): Boolean =
+      gidId.exists(g => e.references.nonEmpty && e.references.forall(_.exprId == g)) &&
+        e.deterministic &&
+        !e.exists(_.isInstanceOf[AggregateExpression])
+
     def ofNamed(ne: NamedExpression): Option[OutCol] = ne match {
+      case a: AttributeReference if gidId.contains(a.exprId) => Some(GidOut(a))
       case a: AttributeReference => groupIdx.get(a.exprId).map(GroupOut.apply)
+      case Alias(e, _) if gidOnly(e) => Some(GidOut(e))
       case Alias(e, _) => aggTree(e).map {
         case ALeaf(c) => c // a plain aggregate keeps its direct form
         case t        => ExprOut(t)
@@ -779,9 +819,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
           }
         case GroupOut(_) => Some(Map.empty)
+        case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
       }
       val per = cols.zipWithIndex.collect {
-        case (c, i) if !c.isInstanceOf[GroupOut] => i -> perGroup(c)
+        case (c, i) if !c.isInstanceOf[GroupOut] && !c.isInstanceOf[GidOut] =>
+          i -> perGroup(c)
       }
       if (per.exists(_._2.isEmpty)) None
       else {
@@ -800,6 +842,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       cols: Seq[OutCol], leafVal: OutCol => Option[Any]): Option[Map[Int, Any]] = {
     val vals: Seq[Option[Any]] = cols.map {
       case GroupOut(_) => Some(null)
+      case GidOut(_)   => Some(null) // overridden per set by estimateSets
       case ExprOut(t) =>
         val lv = treeLeaves(t).distinct.map(l => l -> leafVal(l)).toMap
         if (lv.values.exists(_.isEmpty)) None
@@ -978,6 +1021,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case (d: Double, FloatType)   => d.toFloat
       case (d: Double, LongType)    => math.round(d)
       case (d: Double, IntegerType) => math.round(d).toInt
+      // grouping-id expressions evaluate to their exact Catalyst type
+      case (b: Byte, ByteType)      => b
+      case (s: Short, ShortType)    => s
+      case (i: Int, IntegerType)    => i
+      case (l: Long, LongType)      => l
       case _ => sys.error(s"unsupported AQP output type $dt for $v")
     }
     val convs = outTypes.map(CatalystTypeConverters.createToCatalystConverter)

@@ -306,11 +306,31 @@ class SpnAqpSpec extends AnyFunSuite {
     val cubeDf = session(aqp = true).sql(cube)
     assert(isRewritten(cubeDf), "CUBE must fold")
     assert(cubeDf.count() == cubeExact, "CUBE must emit every grouping-set row")
-    // GROUPING(col) reads the grouping-id bitmask — outside the fold, exact
-    val gid = session(aqp = true).sql(
-      """SELECT l_returnflag, GROUPING(l_returnflag) AS g, count(*) AS n
-         FROM lineitem GROUP BY ROLLUP(l_returnflag)""".stripMargin)
-    assert(!isRewritten(gid), "GROUPING() must fall back to exact")
+    // GROUPING(col) / grouping_id() are per-set constants: the fold
+    // substitutes each Expand projection's grouping-id literal, so the
+    // bitmask layout is Spark's own by construction — values must MATCH
+    // the exact plane's exactly
+    val gidSql = """SELECT l_returnflag, GROUPING(l_returnflag) AS g,
+                           grouping_id() AS gid, count(*) AS n
+                    FROM lineitem GROUP BY ROLLUP(l_returnflag)""".stripMargin
+    val gidExact = session(aqp = false).sql(gidSql).collect()
+      .map(r => (if (r.isNullAt(0)) "␀" else r.getString(0)) ->
+        (r.getByte(1), r.getLong(2))).toMap
+    val gidDf = session(aqp = true).sql(gidSql)
+    assert(isRewritten(gidDf),
+      s"GROUPING()/grouping_id() must fold:\n${gidDf.queryExecution.optimizedPlan}")
+    val gidEst = gidDf.collect()
+      .map(r => (if (r.isNullAt(0)) "␀" else r.getString(0)) ->
+        (r.getByte(1), r.getLong(2))).toMap
+    assert(gidEst == gidExact,
+      s"grouping-id bitmasks must match exact: $gidEst vs $gidExact")
+    // HAVING over GROUPING composes (it filters the folded rows)
+    val havingG = session(aqp = true).sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         GROUP BY ROLLUP(l_returnflag) HAVING GROUPING(l_returnflag) = 0""".stripMargin)
+    assert(isRewritten(havingG))
+    assert(havingG.collect().forall(!_.isNullAt(0)),
+      "HAVING GROUPING()=0 must drop the total row")
   }
 
   test("SUM/AVG over an (estimated) empty selection fold to SQL's NULL, not 0.0") {
