@@ -88,10 +88,19 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // to the exact plan (Try is the catch-all guard; every structural
     // mismatch already returns None before estimation starts). An Expand
     // child is the analyzer's GROUP BY ROLLUP/CUBE/GROUPING SETS shape —
-    // folded per grouping set through the same estimators.
+    // folded per grouping set through the same estimators. A Filter
+    // BETWEEN the Aggregate and the Expand is what the optimizer makes of
+    // `HAVING GROUPING(c) = 0` / `HAVING grouping_id() = ...`
+    // (PushPredicateThroughNonJoin pushes the gid-only condition below the
+    // Aggregate): the condition is a per-SET constant, so rewriteSets
+    // evaluates it per Expand projection and folds only the surviving
+    // grouping sets — the "drop the total row" idiom stays zero-scan.
     case agg: Aggregate => Try(agg.child match {
-      case ex: org.apache.spark.sql.catalyst.plans.logical.Expand => rewriteSets(agg, ex)
-      case _                                                      => rewrite(agg)
+      case ex: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        rewriteSets(agg, ex, setFilter = None)
+      case Filter(cond, ex: org.apache.spark.sql.catalyst.plans.logical.Expand) =>
+        rewriteSets(agg, ex, setFilter = Some(cond))
+      case _ => rewrite(agg)
     }).toOption.flatten.getOrElse(agg)
   }
 
@@ -162,26 +171,54 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     */
   private def rewriteSets(
       agg: Aggregate,
-      ex: org.apache.spark.sql.catalyst.plans.logical.Expand): Option[LogicalPlan] = {
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      setFilter: Option[Expression]): Option[LogicalPlan] = {
     val spec = DatasetSpec.forDir(session, sfDir)
     val gidIdx = ex.output.indexWhere(_.name == "spark_grouping_id")
     if (gidIdx < 0) return None
     val gidId = ex.output(gidIdx).exprId
+    // an interposed Filter is only foldable when its condition is a pure
+    // per-set constant: deterministic, references ONLY the grouping id
+    // (anything over a grouping attr or a data column is a real predicate
+    // this fold cannot evaluate per set — fall back)
+    if (setFilter.exists(c =>
+      !c.deterministic || !c.references.forall(_.exprId == gidId))) return None
     for {
       sh <- walk(ex.child, spec.modeled, spec.graph.relationships, keyColsOf(spec))
       if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
       slots <- classifySlots(ex, gidIdx, sh, spec.modeled)
       (groupAttrs, groupSrc) = slots
-      sets <- groupingSetsOf(ex, gidIdx, groupAttrs.map(_.exprId))
-      groupIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
-      // the Aggregate must group by exactly the Expand's grouping attrs
-      // plus the grouping id — anything else is a shape this fold doesn't
-      // understand
-      if agg.groupingExpressions.forall {
-        case a: AttributeReference =>
-          groupIdx.contains(a.exprId) || a.exprId == gidId
-        case _ => false
+      allSets <- groupingSetsOf(ex, gidIdx, groupAttrs.map(_.exprId))
+      // HAVING over GROUPING()/grouping_id(): substitute each set's
+      // grouping-id literal into the pushed-down condition (the same trick
+      // GidOut uses for outputs) and keep only the sets it passes; a
+      // condition that does not fold to a literal boolean bails the whole
+      // rewrite (never guess which sets survive)
+      sets <- setFilter match {
+        case None => Some(allSets)
+        case Some(cond) =>
+          val verdicts = allSets.map { case (_, gidLit) =>
+            val folded = cond.transform {
+              case a: AttributeReference if a.exprId == gidId => gidLit
+            }
+            if (folded.foldable) Option(folded.eval(null) == true) else None
+          }
+          if (verdicts.exists(_.isEmpty)) None
+          else Some(allSets.zip(verdicts).collect { case (s, Some(true)) => s })
       }
+      groupIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
+      // the Aggregate must group by EXACTLY the Expand's grouping attrs
+      // plus the grouping id — a subset (or a missing gid) would collapse
+      // distinct per-set rows into one group and disagree with the real
+      // aggregate's row set, so the check is set equality, not forall
+      aggGroupIds <- {
+        val ids = agg.groupingExpressions.map {
+          case a: AttributeReference => Some(a.exprId)
+          case _                     => None
+        }
+        if (ids.forall(_.isDefined)) Some(ids.flatten.toSet) else None
+      }
+      if aggGroupIds == groupIdx.keySet + gidId
       cols <- outputCols(agg, sh, spec.modeled, groupIdx, Some(gidId))
       rows <- estimateSets(sh, groupSrc, sets, gidId, cols, agg.output.map(_.dataType))
     } yield LocalRelation(agg.output, rows)

@@ -324,13 +324,39 @@ class SpnAqpSpec extends AnyFunSuite {
         (r.getByte(1), r.getLong(2))).toMap
     assert(gidEst == gidExact,
       s"grouping-id bitmasks must match exact: $gidEst vs $gidExact")
-    // HAVING over GROUPING composes (it filters the folded rows)
+    // HAVING over GROUPING composes. The optimizer pushes the gid-only
+    // condition BELOW the Aggregate (Filter between Aggregate and Expand);
+    // the rewrite evaluates it per grouping set and folds the survivors
     val havingG = session(aqp = true).sql(
       """SELECT l_returnflag, count(*) AS n FROM lineitem
          GROUP BY ROLLUP(l_returnflag) HAVING GROUPING(l_returnflag) = 0""".stripMargin)
-    assert(isRewritten(havingG))
+    assert(isRewritten(havingG),
+      s"HAVING GROUPING must fold:\n${havingG.queryExecution.optimizedPlan}")
     assert(havingG.collect().forall(!_.isNullAt(0)),
       "HAVING GROUPING()=0 must drop the total row")
+    // raw grouping_id() in the HAVING: same pushed-down shape, and the
+    // surviving row set must MATCH the exact plane's (set selection is by
+    // Spark's own per-projection gid literal, so it cannot drift)
+    val havingGid = """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+                       GROUP BY ROLLUP(l_returnflag, l_linestatus)
+                       HAVING grouping_id() = 0""".stripMargin
+    val gidHavingExact = session(aqp = false).sql(havingGid).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val gidHavingDf = session(aqp = true).sql(havingGid)
+    assert(isRewritten(gidHavingDf),
+      s"HAVING grouping_id() must fold:\n${gidHavingDf.queryExecution.optimizedPlan}")
+    assert(gidHavingDf.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == gidHavingExact, "HAVING grouping_id()=0 must keep exactly the finest sets")
+    // a HAVING that ALSO filters on a data aggregate splits: the aggregate
+    // half stays ABOVE the fold (filters the LocalRelation rows), the
+    // gid-only half folds — the composition must still rewrite
+    val mixed = session(aqp = true).sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         GROUP BY ROLLUP(l_returnflag)
+         HAVING GROUPING(l_returnflag) = 0 AND count(*) > 0""".stripMargin)
+    assert(isRewritten(mixed),
+      s"mixed HAVING (gid + aggregate) must fold:\n${mixed.queryExecution.optimizedPlan}")
+    assert(mixed.collect().forall(!_.isNullAt(0)))
   }
 
   test("SUM/AVG over an (estimated) empty selection fold to SQL's NULL, not 0.0") {
