@@ -760,11 +760,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         singleOr(spns, spec, sh, orA, orB, groupCols, cols, outTypes)
       // two independent disjunctions: (a∨b)∧(c∨d) through the product-form
       // signed expansion — 9 conjunctive terms with signs (+,+,-)×(+,+,-),
-      // every one a plain estimate. Scalar shapes only: the grouped form
-      // would need the union-of-universes enumeration per term pair.
+      // every one a plain estimate; grouped shapes enumerate each signed
+      // term per group and combine over the union of the terms' universes.
       case Seq(g1, g2) if groupCols.isEmpty =>
         twoOrScalarVals(spns, spec, sh, Seq(g1, g2), cols)
           .map(m => toRows(Seq(cols.indices.map(m)), outTypes))
+      case Seq(g1, g2) =>
+        twoOrGroupRows(spns, spec, sh, Seq(g1, g2), groupCols, cols, outTypes)
       case _ => None
     }
   }
@@ -808,12 +810,29 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
   }
 
+  /** The value an aggregate output takes for a group ABSENT from its own
+    * (gated) enumeration: SUM/AVG over a group whose aggregate column has
+    * no non-NULL row is SQL's NULL — the same convention the scalar paths
+    * apply — while COUNT folds to 0. An arithmetic tree inherits NULL from
+    * any SUM/AVG leaf (SQL arithmetic over NULL is NULL), else folds its
+    * count leaves at 0.
+    */
+  private def aggDefault(col: OutCol): Any = col match {
+    case SumOut(_, _) | AvgOut(_) => null
+    case ExprOut(t) =>
+      if (treeLeaves(t).exists(l => l.isInstanceOf[SumOut] || l.isInstanceOf[AvgOut])) null
+      else foldTree(t, _ => 0.0)
+    case _ => 0.0
+  }
+
   /** Per-group rows for the conjunctive path over ONE group-column list:
     * each enumerated group's key values (aligned to `gcols`) plus every
     * non-group output's value by output position. The COUNT enumeration
     * fixes the group-key universe (groups with estimated mass 0 are pruned
     * inside enumGroups, identically for every aggregate — all calls share
-    * the same prefix-pruned walk).
+    * the same prefix-pruned walk). SUM/AVG are count-gated PER GROUP: a
+    * group present in the count universe whose gated non-null count
+    * estimates below one row folds to SQL's NULL, not 0.0.
     */
   private def plainGroupRows(
       spns: Map[String, Ensemble.TrainedSpn],
@@ -824,12 +843,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       SpnCardinality.predsFor(spns, sh.tables, withNotNull(sh.atoms, cs), spec.modeled)
     SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { preds =>
       val counts = Ensemble.estGroupByMulti(spns, sh.tables, gcols, preds)
-      def perGroup(col: OutCol): Option[Map[Seq[String], Double]] = col match {
-        case CountOut() => Some(counts.map { case (k, e) => k -> e.value }.toMap)
+      def perGroup(col: OutCol): Option[Map[Seq[String], Any]] = col match {
+        case CountOut() => Some(counts.map { case (k, e) => k -> (e.value: Any) }.toMap)
         case CountColOut(c) => predsNN(Seq(c)).map(p =>
           Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
-            .map { case (k, e) => k -> e.value }.toMap)
+            .map { case (k, e) => k -> (e.value: Any) }.toMap)
         case SumOut(terms, refCols) => predsNN(refCols).map { p =>
+          val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+            .map { case (k, e) => k -> e.value }.toMap
           val perTerm = terms.map {
             case (cf, Seq()) =>
               Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
@@ -838,12 +859,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
                 .map { case (k, e) => k -> cf * e.value }.toMap
           }
-          perTerm.flatMap(_.keys).distinct
-            .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap
+          // a group below the gate is left ABSENT → assembly fills aggDefault
+          // (NULL), matching the scalar empty-aggregate convention
+          perTerm.flatMap(_.keys).distinct.collect {
+            case k if gate.getOrElse(k, 0.0) >= 0.5 =>
+              k -> (perTerm.map(_.getOrElse(k, 0.0)).sum: Any)
+          }.toMap
         }
-        case AvgOut(c) => predsNN(Seq(c)).map(p =>
+        case AvgOut(c) => predsNN(Seq(c)).map { p =>
+          val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+            .map { case (k, e) => k -> e.value }.toMap
           Ensemble.estGroupByAvg(spns, sh.tables, gcols, c, p)
-            .map { case (k, e) => k -> e.value }.toMap)
+            .collect { case (k, e) if gate.getOrElse(k, 0.0) >= 0.5 =>
+              k -> (e.value: Any) }.toMap
+        }
         case ExprOut(t) =>
           val ls = treeLeaves(t).distinct
           val maps = ls.map(l => l -> perGroup(l)).toMap
@@ -851,9 +880,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           else {
             val byLeaf = maps.map { case (l, m) => l -> m.get }
             val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
-            // a leaf missing a group contributes 0 (a pruned estimate)
-            Some(keys.map(k =>
-              k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
+            Some(keys.map { k =>
+              val leafVals: Map[OutCol, Any] =
+                byLeaf.map { case (l, m) => l -> m.getOrElse(k, aggDefault(l)) }
+              k -> (if (leafVals.values.exists(_ == null)) null
+                    else foldTree(t, c => leafVals(c).asInstanceOf[Double]): Any)
+            }.toMap)
           }
         case GroupOut(_) => Some(Map.empty)
         case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
@@ -866,7 +898,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       else {
         val aggVals = per.map { case (i, m) => i -> m.get }.toMap
         Some(counts.map(_._1).map(k =>
-          (k, aggVals.map { case (i, m) => i -> (m.getOrElse(k, 0.0): Any) })))
+          (k, aggVals.map { case (i, m) => i -> m.getOrElse(k, aggDefault(cols(i))) })))
       }
     }
   }
@@ -939,29 +971,40 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
     if (groupCols.nonEmpty) {
-      def leafOrG(col: OutCol): Option[Map[Seq[String], Double]] = col match {
+      def leafOrG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
         case CountOut() =>
           for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
                 pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
             yield Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, pA, pB)
-              .map { case (k, e) => k -> math.max(e.value, 0.0) }.toMap
+              .map { case (k, e) => k -> (math.max(e.value, 0.0): Any) }.toMap
         case CountColOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
           Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, nA, nB)
-            .map { case (k, e) => k -> math.max(e.value, 0.0) }.toMap }
+            .map { case (k, e) => k -> (math.max(e.value, 0.0): Any) }.toMap }
+        // per-group count gate under the non-nullness of the referenced
+        // columns: a group whose aggregate column is NULL throughout folds
+        // to SQL's NULL (absent here → aggDefault at assembly), matching
+        // the scalar OR path's convention
         case SumOut(terms, refCols) => predPair(refCols).map { case (nA, nB) =>
+          val gate = Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, nA, nB)
+            .map { case (k, e) => k -> e.value }.toMap
           val perTerm = terms.map { case (cf, cs) =>
             Ensemble.estGroupByAggOr(spns, sh.tables, groupCols,
               cs.map(_ -> 1).toMap, nA, nB)
               .map { case (k, e) => k -> cf * e.value }.toMap
           }
-          perTerm.flatMap(_.keys).distinct
-            .map(k => k -> perTerm.map(_.getOrElse(k, 0.0)).sum).toMap }
+          perTerm.flatMap(_.keys).distinct.collect {
+            case k if gate.getOrElse(k, 0.0) >= 0.5 =>
+              k -> (perTerm.map(_.getOrElse(k, 0.0)).sum: Any)
+          }.toMap }
         case AvgOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
+          val gate = Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, nA, nB)
+            .map { case (k, e) => k -> e.value }.toMap
           Ensemble.estGroupByAvgOr(spns, sh.tables, groupCols, c, nA, nB)
-            .map { case (k, e) => k -> e.value }.toMap }
+            .collect { case (k, e) if gate.getOrElse(k, 0.0) >= 0.5 =>
+              k -> (e.value: Any) }.toMap }
         case _ => None
       }
-      def perG(col: OutCol): Option[Map[Seq[String], Double]] = col match {
+      def perG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
         case ExprOut(t) =>
           val ls = treeLeaves(t).distinct
           val maps = ls.map(l => l -> leafOrG(l)).toMap
@@ -969,8 +1012,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           else {
             val byLeaf = maps.map { case (l, m) => l -> m.get }
             val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
-            Some(keys.map(k =>
-              k -> foldTree(t, c => byLeaf(c).getOrElse(k, 0.0))).toMap)
+            Some(keys.map { k =>
+              val leafVals: Map[OutCol, Any] =
+                byLeaf.map { case (l, m) => l -> m.getOrElse(k, aggDefault(l)) }
+              k -> (if (leafVals.values.exists(_ == null)) null
+                    else foldTree(t, c => leafVals(c).asInstanceOf[Double]): Any)
+            }.toMap)
           }
         case GroupOut(_) => Some(Map.empty)
         case leaf        => leafOrG(leaf)
@@ -980,11 +1027,19 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       }
       if (per.exists(_._2.isEmpty)) return None
       val aggVals = per.map { case (i, m) => i -> m.get }.toMap
-      val keys = aggVals.values.flatMap(_.keys).toSeq.distinct
+      // the row universe is SQL's: every group with ≥1 row matching the OR
+      // predicate, from the UNGATED count enumeration — a group whose
+      // aggregate column is NULL throughout still emits (with NULL aggs)
+      val baseKeys = for {
+        pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+        pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
+      } yield Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, pA, pB)
+        .collect { case (k, e) if e.value >= 0.5 => k }
+      val keys = (baseKeys.getOrElse(Nil) ++ aggVals.values.flatMap(_.keys)).distinct
       return Some(toRows(keys.sortBy(_.mkString(" ")).map { k =>
         cols.zipWithIndex.map {
           case (GroupOut(gi), _) => k(gi): Any
-          case (_, i)            => aggVals(i).getOrElse(k, 0.0): Any
+          case (_, i)            => aggVals(i).getOrElse(k, aggDefault(cols(i)))
         }
       }, outTypes))
     }
@@ -1043,6 +1098,112 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
     scalarFold(cols, leaf2)
+  }
+
+  /** Two independent disjunctions UNDER GROUP BY: the same 9-term signed
+    * product expansion as [[twoOrScalarVals]], but each term runs the
+    * per-group enumeration and the signed sum combines per group over the
+    * UNION of all terms' group universes (a group absent from a term's
+    * enumeration contributes that term 0 mass — the pruned estimate).
+    * The row universe is SQL's: groups whose signed count combination
+    * reaches one row under the bare (ungated) predicate. SUM/AVG stay
+    * count-gated per group to SQL's empty-aggregate NULL.
+    */
+  private def twoOrGroupRows(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
+      groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
+      gcols: Seq[(String, String)], cols: Seq[OutCol],
+      outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
+    val terms: Seq[(Double, Map[String, Seq[Atom]])] =
+      groups.foldLeft(Seq((1.0, sh.atoms))) { case (acc, (a, b)) =>
+        val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
+        for { (s1, m1) <- acc; (s2, m2) <- expansion }
+          yield (s1 * s2, mergeAtomMaps(m1, m2))
+      }
+    // per-group signed combination of one enumeration across all expansion
+    // terms; None when any term's atoms cannot compile (caller falls back)
+    def signedG(nnCols: Seq[(String, String)],
+        f: Map[(String, String), graft.rspn.ColRange] => Seq[(Seq[String], Double)])
+        : Option[Map[Seq[String], Double]] =
+      terms.foldLeft(Option(Map.empty[Seq[String], Double])) { case (acc, (sgn, m)) =>
+        for {
+          a <- acc
+          p <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(m, nnCols), spec.modeled)
+        } yield f(p).foldLeft(a) { case (mm, (k, v)) =>
+          mm.updated(k, mm.getOrElse(k, 0.0) + sgn * v)
+        }
+      }
+    def countEnum(p: Map[(String, String), graft.rspn.ColRange]): Seq[(Seq[String], Double)] =
+      Ensemble.estGroupByMulti(spns, sh.tables, gcols, p).map { case (k, e) => k -> e.value }
+    def aggEnum(cs: Seq[(String, String)])(
+        p: Map[(String, String), graft.rspn.ColRange]): Seq[(Seq[String], Double)] =
+      Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
+        .map { case (k, e) => k -> e.value }
+    def leafG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
+      case CountOut() =>
+        signedG(Nil, countEnum).map(_.map { case (k, v) => k -> (math.max(v, 0.0): Any) })
+      case CountColOut(c) =>
+        signedG(Seq(c), countEnum).map(_.map { case (k, v) => k -> (math.max(v, 0.0): Any) })
+      case SumOut(ts, refCols) =>
+        for {
+          gate <- signedG(refCols, countEnum)
+          per <- ts.foldLeft(Option(Map.empty[Seq[String], Double])) { case (acc, (cf, cs)) =>
+            for {
+              a <- acc
+              m <- if (cs.isEmpty) signedG(refCols, countEnum)
+                   else signedG(refCols, aggEnum(cs))
+            } yield (a.keySet ++ m.keySet).iterator
+              .map(k => k -> (a.getOrElse(k, 0.0) + cf * m.getOrElse(k, 0.0))).toMap
+          }
+        } yield per.collect {
+          case (k, v) if gate.getOrElse(k, 0.0) >= 0.5 => k -> (v: Any)
+        }.toMap
+      case AvgOut(c) =>
+        for {
+          den <- signedG(Seq(c), countEnum)
+          num <- signedG(Seq(c), aggEnum(Seq(c)))
+        } yield num.collect {
+          case (k, v) if den.getOrElse(k, 0.0) >= 0.5 => k -> (v / den(k): Any)
+        }.toMap
+      case _ => None
+    }
+    def perG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
+      case ExprOut(t) =>
+        val ls = treeLeaves(t).distinct
+        val maps = ls.map(l => l -> leafG(l)).toMap
+        if (maps.values.exists(_.isEmpty)) None
+        else {
+          val byLeaf = maps.map { case (l, m) => l -> m.get }
+          val keys = byLeaf.values.flatMap(_.keys).toSeq.distinct
+          Some(keys.map { k =>
+            val leafVals: Map[OutCol, Any] =
+              byLeaf.map { case (l, m) => l -> m.getOrElse(k, aggDefault(l)) }
+            k -> (if (leafVals.values.exists(_ == null)) null
+                  else foldTree(t, c => leafVals(c).asInstanceOf[Double]): Any)
+          }.toMap)
+        }
+      case GroupOut(_) => Some(Map.empty)
+      case leaf        => leafG(leaf)
+    }
+    val per = cols.zipWithIndex.collect {
+      case (c, i) if !c.isInstanceOf[GroupOut] => i -> perG(c)
+    }
+    if (per.exists(_._2.isEmpty)) None
+    else {
+      val aggVals = per.map { case (i, m) => i -> m.get }.toMap
+      signedG(Nil, countEnum).map { base =>
+        // exactly the groups whose signed count combination reaches one
+        // row — unioning unfiltered per-leaf keys would emit spurious
+        // near-zero groups the exact plane doesn't have
+        val keys = base.collect { case (k, v) if v >= 0.5 => k }.toSeq
+        toRows(keys.sortBy(_.mkString(" ")).map { k =>
+          cols.zipWithIndex.map {
+            case (GroupOut(gi), _) => k(gi): Any
+            case (_, i)            => aggVals(i).getOrElse(k, aggDefault(cols(i)))
+          }
+        }, outTypes)
+      }
+    }
   }
 
   /** Scala values → InternalRows under the Aggregate's own output types

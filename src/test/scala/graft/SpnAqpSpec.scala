@@ -267,14 +267,26 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(isRewritten(d), s"overlapping two-OR must fold:\n${d.queryExecution.optimizedPlan}")
     assert(qerr(d.head.getLong(0).toDouble, e) <= 1.5,
       s"overlap two-OR: ${d.head.getLong(0)} vs $e")
-    // grouped two-OR: the per-term union-of-universes enumeration isn't
-    // wired — falls back
-    val grouped2 = session(aqp = true).sql(
-      """SELECT l_returnflag, count(*) AS n FROM lineitem
-         WHERE (l_quantity < 5 OR l_quantity > 45)
-           AND (l_discount < 0.02 OR l_discount > 0.08)
-         GROUP BY l_returnflag""".stripMargin)
-    assert(!isRewritten(grouped2), "grouped two-OR must fall back to exact")
+    // grouped two-OR: each of the 9 signed terms enumerates per group and
+    // the combination runs over the union of the terms' universes
+    val g2Sql = """SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS s
+                   FROM lineitem
+                   WHERE (l_quantity < 5 OR l_quantity > 45)
+                     AND (l_discount < 0.02 OR l_discount > 0.08)
+                   GROUP BY l_returnflag""".stripMargin
+    val g2Exact = session(aqp = false).sql(g2Sql).collect()
+      .map(r => r.getString(0) -> (r.getLong(1).toDouble, r.getDouble(2))).toMap
+    val grouped2 = session(aqp = true).sql(g2Sql)
+    assert(isRewritten(grouped2),
+      s"grouped two-OR must fold:\n${grouped2.queryExecution.optimizedPlan}")
+    val g2Est = grouped2.collect()
+      .map(r => r.getString(0) -> (r.getLong(1).toDouble, r.getDouble(2))).toMap
+    assert(g2Est.keySet == g2Exact.keySet,
+      s"grouped two-OR keys ${g2Est.keySet} vs ${g2Exact.keySet}")
+    g2Exact.foreach { case (k, (en, es)) =>
+      assert(qerr(g2Est(k)._1, en) <= 1.5, s"group $k two-OR count: ${g2Est(k)._1} vs $en")
+      assert(qerr(g2Est(k)._2, es) <= 1.5, s"group $k two-OR sum: ${g2Est(k)._2} vs $es")
+    }
   }
 
   test("GROUP BY ROLLUP and CUBE fold per grouping set, SQL null convention") {
@@ -418,6 +430,62 @@ class SpnAqpSpec extends AnyFunSuite {
       s"sum est ${est.getDouble(2)} vs exact ${exact.getDouble(2)}")
     assert(qerr(est.getDouble(3), exact.getDouble(3)) <= 1.2,
       s"avg est ${est.getDouble(3)} vs exact ${exact.getDouble(3)} — denominator counted NULLs")
+  }
+
+  test("a group whose aggregate column is all-NULL folds to per-group NULL, not 0.0") {
+    // seg 'c' rows carry ONLY NULL amounts: exact SQL emits the group with
+    // SUM/AVG = NULL; the fold must apply the same count-gated NULL the
+    // scalar path uses — per group, on BOTH the conjunctive and the OR path
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-aqp-nullgrp-").toString
+    spark.range(3000).toDF("visit_id")
+      .withColumn("seg",
+        element_at(array(lit("a"), lit("b"), lit("c")),
+          (pmod(col("visit_id"), lit(3)) + 1).cast("int")))
+      .withColumn("amount",
+        when(col("seg") === "c", lit(null).cast("double"))
+          .otherwise(pmod(col("visit_id") * 17, lit(100)).cast("double")))
+      .withColumn("x", pmod(col("visit_id"), lit(100)).cast("double"))
+      .write.parquet(s"$d/visits.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/graft_schema.json"),
+      """{"tables": [{"name": "visits", "primaryKey": ["visit_id"]}],
+        | "modeled": {"visits": [{"col": "amount", "kind": "num"},
+        |                        {"col": "x", "kind": "num"},
+        |                        {"col": "seg", "kind": "cat"}]}}""".stripMargin)
+    rspn.Ensemble.get(spark, d)
+    schema.Tables(spark, d, "visits").unpersist(blocking = true)
+    def sess(aqp: Boolean): SparkSession = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      if (aqp) s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/visits.parquet").createOrReplaceTempView("visits")
+      s2
+    }
+    def checkNullGroup(sql: String): Unit = {
+      val exact = sess(aqp = false).sql(sql).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(exact.contains("c") && exact("c").isNullAt(2) && exact("c").isNullAt(3),
+        s"fixture sanity: exact plane must emit seg c with NULL sum/avg for [$sql]")
+      val df = sess(aqp = true).sql(sql)
+      assert(isRewritten(df), s"must fold:\n${df.queryExecution.optimizedPlan}")
+      val est = df.collect().map(r => r.getString(0) -> r).toMap
+      assert(est.keySet == exact.keySet, s"group keys ${est.keySet} vs ${exact.keySet}")
+      assert(est("c").isNullAt(2), s"seg c SUM must fold to NULL for [$sql]")
+      assert(est("c").isNullAt(3), s"seg c AVG must fold to NULL for [$sql]")
+      Seq("a", "b").foreach { k =>
+        assert(!est(k).isNullAt(2) &&
+          qerr(est(k).getDouble(2), exact(k).getDouble(2)) <= 1.3, s"seg $k sum for [$sql]")
+      }
+    }
+    // conjunctive grouped path
+    checkNullGroup(
+      """SELECT seg, count(*) AS n, sum(amount) AS s, avg(amount) AS a
+         FROM visits GROUP BY seg""".stripMargin)
+    // single-OR grouped path (per-group inclusion-exclusion)
+    checkNullGroup(
+      """SELECT seg, count(*) AS n, sum(amount) AS s, avg(amount) AS a
+         FROM visits WHERE x < 20 OR x > 80 GROUP BY seg""".stripMargin)
   }
 
   test("the transparent plane agrees with the SQL-text estimator on the AQP workload") {
