@@ -93,7 +93,12 @@ object QErrorEval {
     * carry per-group values, so groups get their own file. `key` is the
     * group tuple joined with "|" and CSV-quoted (dictionary values may in
     * principle contain commas); query_no is the FIRST field and value the
-    * LAST, so the parse never depends on the key's content.
+    * LAST, so the parse never depends on the key's content. The tuple
+    * separator itself is backslash-escaped INSIDE components ("\\|", and
+    * "\\\\" for a literal backslash), so a dictionary value containing '|'
+    * round-trips to the right key tuple instead of silently mis-keying the
+    * drift comparison. The committed fixture keys contain neither char, so
+    * the pinned file's bytes are unchanged.
     */
   def readGroupTruthCsv(path: String): Map[Int, Seq[(Seq[String], Double)]] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
@@ -104,19 +109,41 @@ object QErrorEval {
       val rawKey = line.substring(firstComma + 1, lastComma).trim
         .stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
       val v = line.substring(lastComma + 1).trim.toDouble
-      (no, if (rawKey.isEmpty) Seq.empty[String] else rawKey.split("\\|", -1).toSeq, v)
+      (no, if (rawKey.isEmpty) Seq.empty[String] else splitEscapedKey(rawKey), v)
     }.toList.groupBy(_._1).map { case (no, rows) => no -> rows.map(r => (r._2, r._3)) }
     finally src.close()
   }
 
+  private def escapeKeyComponent(s: String): String =
+    s.replace("\\", "\\\\").replace("|", "\\|")
+
+  /** Split on UNESCAPED '|' and unescape components — inverse of
+    * [[escapeKeyComponent]] + mkString("|").
+    */
+  private[graft] def splitEscapedKey(raw: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '\\' if i + 1 < raw.length => sb.append(raw.charAt(i + 1)); i += 1
+        case '|'                        => out += sb.toString; sb.clear()
+        case c                          => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
   /** The matching writer (`--dump-group-truth`): one row per exact group,
-    * keys "|"-joined and quoted, values at full double precision (integral
-    * aggregates print exactly).
+    * keys escaped, "|"-joined and quoted, values at full double precision
+    * (integral aggregates print exactly).
     */
   def groupTruthCsvLines(truth: Map[Int, Seq[(Seq[String], Double)]]): Seq[String] =
     "query_no,key,value" +: truth.toSeq.sortBy(_._1).flatMap { case (no, rows) =>
-      rows.sortBy(_._1.mkString("|")).map { case (k, v) =>
-        val key = "\"" + k.mkString("|").replace("\"", "\"\"") + "\""
+      rows.sortBy(_._1.map(escapeKeyComponent).mkString("|")).map { case (k, v) =>
+        val key = "\"" + k.map(escapeKeyComponent).mkString("|").replace("\"", "\"\"") + "\""
         val vS = if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
         s"$no,$key,$vS"
       }

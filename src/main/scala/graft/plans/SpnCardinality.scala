@@ -321,15 +321,19 @@ object SpnCardinality {
       case IsNotNull(a: AttributeReference) => Some(NotNull(a.name))
       // string patterns: LikeSimplification rewrites single-wildcard LIKEs
       // to StartsWith/EndsWith/Contains before this rule runs; raw Like
-      // survives for multi-wildcard patterns (default escape only — a
-      // custom escape char would change the pattern's meaning)
+      // survives for multi-wildcard AND escape-bearing patterns (default
+      // escape only — a custom escape char would change the pattern's
+      // meaning). validLikePattern mirrors Spark's own escape rule (escape
+      // precedes only %, _ or \): likeRegex treats the escaped char as a
+      // literal, and a pattern Spark itself would throw on falls back.
       case StartsWith(a: AttributeReference, Literal(v: UTF8String, _)) =>
         Some(StrMatch(a.name, "prefix", v.toString))
       case EndsWith(a: AttributeReference, Literal(v: UTF8String, _)) =>
         Some(StrMatch(a.name, "suffix", v.toString))
       case Contains(a: AttributeReference, Literal(v: UTF8String, _)) =>
         Some(StrMatch(a.name, "contains", v.toString))
-      case Like(a: AttributeReference, Literal(v: UTF8String, _), '\\') =>
+      case Like(a: AttributeReference, Literal(v: UTF8String, _), '\\')
+          if graft.rspn.SqlEstimate.validLikePattern(v.toString) =>
         Some(StrMatch(a.name, "like", v.toString))
       case _ => None
     }

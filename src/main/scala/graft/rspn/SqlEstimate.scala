@@ -263,24 +263,58 @@ object SqlEstimate {
       val mc = modelColOf(spns, p.table, p.col)
       require(mc.dict.nonEmpty,
         s"LIKE on non-categorical column ${p.table}.${p.col} (the exact plane would cast-and-match; the model plane cannot)")
+      require(validLikePattern(pattern),
+        s"invalid LIKE pattern '$pattern' (escape must precede %, _ or \\ — the exact plane throws on it too)")
       val re = likeRegex(pattern)
       NominalSet(mc.dict.indices.collect {
         case i if re.matcher(mc.dict(i)).matches() => i.toDouble
       }.toArray)
   }
 
-  /** SQL LIKE → anchored regex: % ⇒ .*, _ ⇒ ., everything else literal.
-    * Shared with the Catalyst predicate compiler (`SpnCardinality`), which
-    * applies the same dictionary closure to `Like` atoms the optimizer
-    * hasn't already simplified to StartsWith/EndsWith/Contains.
+  /** SQL LIKE → anchored regex: % ⇒ .*, _ ⇒ ., `\%`/`\_`/`\\` ⇒ the
+    * escaped char as a LITERAL (SQL's default-escape semantics — without
+    * this, LIKE '100\%' would expand the escaped wildcard and the
+    * dictionary closure would pick the WRONG member set, a silently wrong
+    * fold rather than a fallback). Shared with the Catalyst predicate
+    * compiler (`SpnCardinality`), which applies the same dictionary
+    * closure to `Like` atoms the optimizer hasn't already simplified to
+    * StartsWith/EndsWith/Contains. Callers must reject patterns
+    * [[validLikePattern]] refuses — this function assumes a valid one.
     */
   private[graft] def likeRegex(pattern: String): java.util.regex.Pattern = {
     val sb = new StringBuilder
-    pattern.foreach {
-      case '%' => sb.append(".*")
-      case '_' => sb.append('.')
-      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+          i += 1
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
     }
     java.util.regex.Pattern.compile(sb.toString, java.util.regex.Pattern.DOTALL)
+  }
+
+  /** Spark's own default-escape validity rule (`StringUtils
+    * .escapeLikeRegex` semantics): the escape char may precede only `%`,
+    * `_`, or itself; a trailing or misplaced escape makes the whole LIKE
+    * throw at eval on the exact plane, so the model plane must refuse to
+    * fold it rather than invent an answer for a query that errors.
+    */
+  private[graft] def validLikePattern(pattern: String): Boolean = {
+    var i = 0
+    while (i < pattern.length) {
+      if (pattern.charAt(i) == '\\') {
+        if (i + 1 >= pattern.length) return false
+        val n = pattern.charAt(i + 1)
+        if (n != '%' && n != '_' && n != '\\') return false
+        i += 1
+      }
+      i += 1
+    }
+    true
   }
 }

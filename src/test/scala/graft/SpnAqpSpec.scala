@@ -541,6 +541,50 @@ class SpnAqpSpec extends AnyFunSuite {
     }
   }
 
+  test("escaped LIKE wildcards fold as literals; invalid escapes fall back") {
+    // dictionary values containing a literal '%': LIKE '10\%' must close
+    // over ONLY "10%" — an escape-blind regex would expand the escaped
+    // wildcard and pick the wrong member set (silently wrong fold, the
+    // exact opposite of the rule's conservative-fallback contract)
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-aqp-esc-").toString
+    spark.range(300).toDF("item_id")
+      .withColumn("tag",
+        element_at(array(lit("10%"), lit("10x"), lit("100")),
+          (pmod(col("item_id"), lit(3)) + 1).cast("int")))
+      .write.parquet(s"$d/items.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/graft_schema.json"),
+      """{"tables": [{"name": "items", "primaryKey": ["item_id"]}],
+        | "modeled": {"items": [{"col": "tag", "kind": "cat"}]}}""".stripMargin)
+    rspn.Ensemble.get(spark, d)
+    schema.Tables(spark, d, "items").unpersist(blocking = true)
+    def sess(aqp: Boolean): SparkSession = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      if (aqp) s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/items.parquet").createOrReplaceTempView("items")
+      s2
+    }
+    // SQL-literal '\\%' reaches Like as the pattern 10\% (escaped percent)
+    val sql = "SELECT count(*) AS n FROM items WHERE tag LIKE '10\\\\%'"
+    val exact = sess(aqp = false).sql(sql).head.getLong(0)
+    assert(exact == 100L, s"fixture sanity: literal-percent rows, got $exact")
+    val df = sess(aqp = true).sql(sql)
+    assert(isRewritten(df), s"escaped LIKE must fold:\n${df.queryExecution.optimizedPlan}")
+    assert(qerr(df.head.getLong(0).toDouble, exact.toDouble) <= 1.2,
+      s"escaped-LIKE closure: est ${df.head.getLong(0)} vs exact $exact")
+    // '\\\\' (escaped escape) is valid and matches nothing here; still folds
+    val esc2 = sess(aqp = true).sql(
+      "SELECT count(*) AS n FROM items WHERE tag LIKE '10\\\\\\\\%'")
+    assert(isRewritten(esc2), "escaped-escape pattern must fold")
+    assert(esc2.head.getLong(0) == 0L)
+    // an escape before an ordinary char is a pattern Spark itself throws
+    // on at eval — the fold must refuse it (never invent an answer)
+    val bad = sess(aqp = true).sql("SELECT count(*) AS n FROM items WHERE tag LIKE '1\\\\0%'")
+    assert(!isRewritten(bad), "invalid escape placement must fall back to exact")
+  }
+
   test("a cached BARE modeled scan folds through the cache; re-reads stay exact-correct") {
     // the single most common dashboard idiom: cache the fact table, then
     // fire plain aggregates at it. StrictScan proves the cached plan is the

@@ -69,6 +69,28 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("group-truth CSV round-trips keys containing the tuple separator") {
+    // a dictionary value containing '|' (or a backslash) must come back as
+    // the same key TUPLE — unescaped joining would split it into two
+    // components and silently mis-key the drift comparison
+    val truth: Map[Int, Seq[(Seq[String], Double)]] = Map(
+      1 -> Seq(
+        (Seq("a|b", "c"), 10.0),
+        (Seq("a", "b|c"), 20.0),          // same flat join as above if unescaped
+        (Seq("""back\slash""", "x"), 3.5),
+        (Seq("plain", "key"), 7.0)),
+      2 -> Seq((Seq.empty[String], 42.0)))
+    val tmp = java.nio.file.Files.createTempFile("graft-grouptruth-", ".csv")
+    java.nio.file.Files.write(tmp,
+      QErrorEval.groupTruthCsvLines(truth).mkString("\n").getBytes("UTF-8"))
+    val back = QErrorEval.readGroupTruthCsv(tmp.toString)
+    assert(back.keySet == truth.keySet)
+    truth.foreach { case (no, rows) =>
+      assert(back(no).toSet == rows.toSet,
+        s"query $no keys did not round-trip: ${back(no)} vs $rows")
+    }
+  }
+
   test("the workload JSON artifact is well-formed and carries per-query rows") {
     val rows = Seq(
       QErrorEval.WorkloadRow(1, """SELECT COUNT(*) FROM "t"""", 10.0, 12.0, 1.2, 0.2),
