@@ -23,7 +23,12 @@ object Bench {
       .withExtensions(new plans.GraftExtensions) // conf-gated, inert by default
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sfDirs.foreach(d => println(runSuite(spark, d)))
+    sfDirs.foreach { d =>
+      println(runSuite(spark, d))
+      // multi-SF mode: evict this SF's cached tables before the next one
+      // runs, so cross-SF ratios measure the data, not cache pressure
+      schema.Tables.dropDir(spark, d)
+    }
     spark.stop()
   }
 
@@ -86,12 +91,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    // wall map FIRST, cpu map + headline totals + error map LAST: a capture
-    // that truncates the head of this (long) line still retains the tail —
-    // with the per-query cpu map THERE, load-vs-work stays falsifiable per
-    // query from the artifact alone (the r09 phantom regression cost a full
-    // judge re-run because only cpu_sec_total survived the tail grab)
-    val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","cpu_sec":$cpus_,"errors":$errs,"cpu_sec_total":${r3(cpuTotal)},"value":${r3(total)}}"""
+    // "wc": BOTH metrics per query as [wall,cpu] pairs, placed at the
+    // line's END and sorted ASCENDING by wall, so the driver's ~2.3 KB
+    // tail capture retains wall AND cpu together for the slowest (= the
+    // only interesting) queries — r10's wall-first/cpu-last split meant
+    // whichever map led the line was truncated away and per-query
+    // load-vs-work still needed a judge re-run. The full wall ("queries")
+    // and cpu ("cpu_sec") maps stay for whole-line consumers.
+    val wc = results.toSeq.sortBy(_._2._1).map { case (k, (w, c)) =>
+      s"\"" + k + "\":[" + r3(w) + "," + r3(c) + "]"
+    }.mkString("{", ",", "}")
+    val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","cpu_sec":$cpus_,"errors":$errs,"wc":$wc,"cpu_sec_total":${r3(cpuTotal)},"value":${r3(total)}}"""
     if (errors.nonEmpty) System.err.println(s"BENCH ERRORS ($sfDir): ${errors.keys.mkString(", ")}")
     line
   }

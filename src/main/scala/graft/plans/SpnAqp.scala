@@ -470,7 +470,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
 
-    private def bareCachedScan(plan: SparkPlan): Option[(String, String, Seq[Expression])] = {
+    private def bareCachedScan(plan: SparkPlan): Option[(String, String, Seq[Expression])] = plan match {
+      // under spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+      // the cached physical plan's root is an AdaptiveSparkPlanExec (a
+      // LEAF node — a plain collect would never see the scan inside).
+      // Its inputPlan is the deterministic pre-adaptive physical plan;
+      // recurse on that — AQE only re-plans exchanges at runtime, it
+      // cannot add a filter or a computed column, so bare-ness of the
+      // input plan is bare-ness of whatever AQE executes.
+      case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        bareCachedScan(aqe.inputPlan)
+      case _ => bareCachedNodes(plan)
+    }
+
+    private def bareCachedNodes(plan: SparkPlan): Option[(String, String, Seq[Expression])] = {
       val nodes = plan.collect { case n => n }
       val scans = nodes.collect { case f: FileSourceScanExec => f }
       val wrappersOnly = nodes.forall {

@@ -287,7 +287,14 @@ object SpnCardinality {
       case rel: LogicalRelation =>
         tableOf(rel).map { case (dir, t) => (dir, t, Seq.empty) }
       case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        imr.cacheBuilder.cachedPlan.collectFirst {
+        // an AQE-wrapped cached plan (canChangeCachedPlanOutputPartitioning)
+        // is a LEAF from collect's view — resolve through its input plan
+        val cached = imr.cacheBuilder.cachedPlan match {
+          case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            aqe.inputPlan
+          case p => p
+        }
+        cached.collectFirst {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
             f.relation.location.rootPaths.headOption.map { path =>
               (Option(path.getParent).map(_.toUri.getPath).getOrElse(""),

@@ -81,6 +81,20 @@ object Tables {
       if (diskBytes(spark, s"$sfDir/$name.parquet") <= cacheMaxBytes) df.cache() else df
     })
 
+  /** Unpersist and forget every cached table of one (session, directory):
+    * multi-SF bench runs call this between suites so the previous SF's
+    * cached tables stop occupying executor memory while the next SF runs
+    * (a never-evicted entry would bias exactly the cross-SF wall ratios
+    * the scaling artifact reports).
+    */
+  def dropDir(spark: SparkSession, sfDir: String): Unit =
+    cache.keys.filter(k => k._1 == spark && k._2 == sfDir).foreach { k =>
+      cache.remove(k).foreach { df =>
+        try df.unpersist(blocking = true)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
   private def cacheMaxBytes: Long =
     sys.props.get("graft.cacheMaxBytes")
       .orElse(sys.env.get("SPARK_GRAFT_CACHE_MAX_BYTES"))

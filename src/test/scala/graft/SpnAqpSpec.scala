@@ -610,6 +610,36 @@ class SpnAqpSpec extends AnyFunSuite {
     } finally cached.unpersist(blocking = true)
   }
 
+  test("a cached bare scan folds under canChangeCachedPlanOutputPartitioning (AQE-wrapped cache)") {
+    // with this conf the cached physical plan's root is an
+    // AdaptiveSparkPlanExec — a LEAF node whose inner scan a plain
+    // collect never sees; StrictScan must resolve through its inputPlan
+    // or the fold silently misses for every session running the conf
+    val s2 = session(aqp = true)
+    s2.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    val cached = s2.read.parquet(s"$tmpSf/lineitem.parquet").cache()
+    try {
+      cached.count()
+      cached.createOrReplaceTempView("lineitem")
+      val sql = "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 24"
+      val df = s2.sql(sql)
+      assert(isRewritten(df),
+        s"AQE-wrapped cached bare scan must fold:\n${df.queryExecution.optimizedPlan}")
+      val exact = session(aqp = false).sql(sql).head.getLong(0).toDouble
+      assert(qerr(df.head.getLong(0).toDouble, exact) <= 1.5)
+      // a FILTERED cache under the same conf must still fall back: the
+      // filter is baked inside the AQE-wrapped cached plan
+      val filtered = s2.read.parquet(s"$tmpSf/lineitem.parquet")
+        .filter(col("l_quantity") < 5).cache()
+      try {
+        filtered.createOrReplaceTempView("lineitem_aqe_filtered")
+        val viaCache = s2.sql("SELECT count(*) AS n FROM lineitem_aqe_filtered")
+        assert(!isRewritten(viaCache),
+          "AQE-wrapped cached FILTERED input must fall back to exact")
+      } finally filtered.unpersist(blocking = true)
+    } finally cached.unpersist(blocking = true)
+  }
+
   test("unanswerable shapes fall back to the exact plan, untouched") {
     val s2 = session(aqp = true)
     // LIKE on an UNMODELED string column: no dictionary to close over
