@@ -103,4 +103,74 @@ object SpnAqpProps extends Properties("spn_aqp") {
       val same = df.collect().toSeq == session(aqp = false).sql(sql).collect().toSeq
       !isRewritten(df) && same
     }
+
+  /** Boundary fixture: `amount` holds the DISTINCT values 0..199 (one row
+    * each) plus 60 NULL rows, so a random width-0..2 range selects 0, 1 or
+    * 2 rows — exactly the regime where the < 0.5 count gate decides
+    * between SQL's NULL and a real aggregate.
+    */
+  private lazy val boundarySf: String = {
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-aqpprops-nullgate-").toString
+    spark.range(260).toDF("row_id")
+      .withColumn("amount",
+        when(col("row_id") >= 200, lit(null).cast("double"))
+          .otherwise(col("row_id").cast("double")))
+      .write.parquet(s"$d/points.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/graft_schema.json"),
+      """{"tables": [{"name": "points", "primaryKey": ["row_id"]}],
+        | "modeled": {"points": [{"col": "amount", "kind": "num"}]}}""".stripMargin)
+    rspn.Ensemble.get(spark, d)
+    schema.Tables(spark, d, "points").unpersist(blocking = true)
+    d
+  }
+
+  private def boundarySession(aqp: Boolean): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", boundarySf)
+    if (aqp) s2.conf.set("spark.graft.aqp.enabled", "true")
+    s2.read.parquet(s"$boundarySf/points.parquet").createOrReplaceTempView("points")
+    s2
+  }
+
+  // lo may land outside the domain (negative / past 199) so empty slices
+  // are generated, and width 0..2 keeps every slice at 0–2 rows
+  private val boundaryGen: Gen[(Int, Int)] = for {
+    lo <- Gen.choose(-5, 205)
+    width <- Gen.choose(0, 2)
+  } yield (lo, width)
+
+  property("SUM/AVG fold to NULL exactly at the count gate's boundary (0-2 row slices)") =
+    forAll(boundaryGen) { case (lo, width) =>
+      val sql = s"""SELECT count(amount) AS nc, sum(amount) AS s, avg(amount) AS a
+                    FROM points WHERE amount >= $lo AND amount < ${lo + width}"""
+      val exact = boundarySession(aqp = false).sql(sql).head
+      val df = boundarySession(aqp = true).sql(sql)
+      val est = df.head
+      val okPlan = isRewritten(df)
+      // SQL's own invariant, which the gate must reproduce EXACTLY on the
+      // fold's emitted row: SUM and AVG are NULL iff the non-null count
+      // is zero — a fold emitting (nc=0, s=0.0) or (nc=2, s=null) has a
+      // broken gate regardless of estimation error
+      val okInvariant = (est.isNullAt(1) == (est.getLong(0) == 0L)) &&
+        (est.isNullAt(2) == (est.getLong(0) == 0L))
+      // agreement with exact: whenever the count ESTIMATE lands on the
+      // same side of the boundary as the exact count, NULL-ness must
+      // match the exact plane's; a disagreement is excused only when the
+      // count itself crossed the boundary (the documented tolerance)
+      val sameSide = (est.getLong(0) == 0L) == (exact.getLong(0) == 0L)
+      val okAgreement = !sameSide ||
+        (est.isNullAt(1) == exact.isNullAt(1) && est.isNullAt(2) == exact.isNullAt(2))
+      // and on 1–2 row slices the model on this 260-row fixture should
+      // rarely miss by more than a row — q-error bound on the count keeps
+      // the excuse path honest (never systematically wrong)
+      val okCount = qerr(est.getLong(0).toDouble, exact.getLong(0).toDouble) <= 3.0
+      if (!(okPlan && okInvariant && okAgreement && okCount))
+        println(s"FAIL [$sql] plan=$okPlan inv=$okInvariant agree=$okAgreement " +
+          s"nc=${est.getLong(0)}/${exact.getLong(0)} " +
+          s"s=${if (est.isNullAt(1)) "null" else est.getDouble(1)}/" +
+          s"${if (exact.isNullAt(1)) "null" else exact.getDouble(1)}")
+      okPlan && okInvariant && okAgreement && okCount
+    }
 }
