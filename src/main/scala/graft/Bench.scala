@@ -44,10 +44,16 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     val errors = mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite to named queries —
+    // the scale-sensitivity runs use it to take a third (larger) SF point
+    // for just the data-bound queries without paying the whole suite there
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // run spn_train first: the once-per-session ensemble training then
     // lands on its natural key instead of whichever model-plane query the
     // map iteration happens to reach first (sql_estimate in BENCH_r03)
     val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (if (name == "spn_train") 0 else 1, name) }
     // Process CPU time covers every thread in the JVM — in local mode that
     // is driver AND all 32 executor threads, so cpu/wall together separate

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture scaler for scale-sensitivity measurement: replicates selected
+  * tables of a dataset directory N× with key-space offsets, producing a
+  * larger SF whose distributions match the source (`BENCH_SCALING.md`'s
+  * third scale point — sf0.1 → sf1 for the shuffle-/scan-bound queries
+  * whose cost is SUPPOSED to track data size).
+  *
+  * Replication choices that keep the ops' own 100 TB cost stories honest:
+  *  - `documents.text` is copied VERBATIM across replicas: benchmark/
+  *    decontamination gram sets are bounded by design (they don't grow
+  *    with the corpus), so the broadcast side of `decontaminate` must
+  *    stay constant while the corpus side scales — perturbing text would
+  *    grow the gram set 10× and measure a quadratic nobody ships.
+  *  - orders/lineitem offset `*_orderkey` by the SAME base (max o_orderkey
+  *    + 1) so FK integrity holds across replicas and the join fan-out per
+  *    key is unchanged — the skew profile scales, the per-key multiplicity
+  *    doesn't.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    val Array(src, dst, factorS) = args.take(3)
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def reps(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(factor).toDF("rep"))
+
+    // documents: doc_id offset per replica, text verbatim (see scaladoc)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docBase = docs.agg(max("doc_id")).head.getLong(0) + 1L
+    reps(docs)
+      .withColumn("doc_id", col("doc_id") + col("rep") * docBase)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    // orders + lineitem: shared key base preserves FK integrity and
+    // per-key join multiplicity across replicas
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val keyBase = orders.agg(max("o_orderkey")).head.getLong(0) + 1L
+    reps(orders)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * keyBase)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    reps(spark.read.parquet(s"$src/lineitem.parquet"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keyBase)
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
+    spark.stop()
+  }
+}
