@@ -177,34 +177,25 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     val gidIdx = ex.output.indexWhere(_.name == "spark_grouping_id")
     if (gidIdx < 0) return None
     val gidId = ex.output(gidIdx).exprId
-    // an interposed Filter is only foldable when its condition is a pure
-    // per-set constant: deterministic, references ONLY the grouping id
-    // (anything over a grouping attr or a data column is a real predicate
-    // this fold cannot evaluate per set — fall back)
-    if (setFilter.exists(c =>
-      !c.deterministic || !c.references.forall(_.exprId == gidId))) return None
+    if (setFilter.exists(!_.deterministic)) return None
     for {
       sh <- walk(ex.child, spec.modeled, spec.graph.relationships, keyColsOf(spec))
       if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
       slots <- classifySlots(ex, gidIdx, sh, spec.modeled)
       (groupAttrs, groupSrc) = slots
       allSets <- groupingSetsOf(ex, gidIdx, groupAttrs.map(_.exprId))
-      // HAVING over GROUPING()/grouping_id(): substitute each set's
-      // grouping-id literal into the pushed-down condition (the same trick
-      // GidOut uses for outputs) and keep only the sets it passes; a
-      // condition that does not fold to a literal boolean bails the whole
-      // rewrite (never guess which sets survive)
+      // the interposed Filter's conjuncts classify per SET: gid-only
+      // conditions (HAVING GROUPING()/grouping_id()) evaluate by literal
+      // substitution and keep or drop whole sets; an understood atom over
+      // ONE grouping attribute (HAVING a = 'x') joins the estimation
+      // predicates of every set grouping by that attribute, and DROPS any
+      // set that nulls it (the conjunct evaluates over the nulled slot —
+      // SQL filters every row of that projection out). Anything else bails
+      // the whole rewrite — never guess which sets or rows survive.
       sets <- setFilter match {
-        case None => Some(allSets)
-        case Some(cond) =>
-          val verdicts = allSets.map { case (_, gidLit) =>
-            val folded = cond.transform {
-              case a: AttributeReference if a.exprId == gidId => gidLit
-            }
-            if (folded.foldable) Option(folded.eval(null) == true) else None
-          }
-          if (verdicts.exists(_.isEmpty)) None
-          else Some(allSets.zip(verdicts).collect { case (s, Some(true)) => s })
+        case None =>
+          Some(allSets.map { case (s, g) => (s, g, Seq.empty[(String, Atom)]) })
+        case Some(cond) => filterSets(cond, allSets, gidId, groupAttrs, groupSrc)
       }
       groupIdx = groupAttrs.map(_.exprId).zipWithIndex.toMap
       // the Aggregate must group by EXACTLY the Expand's grouping attrs
@@ -222,6 +213,64 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       cols <- outputCols(agg, sh, spec.modeled, groupIdx, Some(gidId))
       rows <- estimateSets(sh, groupSrc, sets, gidId, cols, agg.output.map(_.dataType))
     } yield LocalRelation(agg.output, rows)
+  }
+
+  /** Per-set verdicts for a Filter interposed between the Aggregate and
+    * the Expand (see [[rewriteSets]]): None when any conjunct is outside
+    * the {gid-only expression, single-grouping-attr atom} class; otherwise
+    * the surviving sets, each with the atoms (retargeted onto the source
+    * table/column) that apply to its estimation.
+    */
+  private def filterSets(
+      cond: Expression,
+      allSets: Seq[(Seq[Int], Expression)],
+      gidId: ExprId,
+      groupAttrs: Seq[AttributeReference],
+      groupSrc: Seq[(String, String)])
+      : Option[Seq[(Seq[Int], Expression, Seq[(String, Atom)])]] = {
+    val posOf = groupAttrs.map(_.exprId).zipWithIndex.toMap
+    val classified: Seq[Option[Either[Expression, (Int, (String, Atom))]]] =
+      splitConj(cond).map { cj =>
+        val refs = cj.references.toSeq
+        if (refs.forall(_.exprId == gidId)) Some(Left(cj))
+        else refs match {
+          case Seq(one: AttributeReference) if posOf.contains(one.exprId) =>
+            atomsOf(Seq(cj)).flatMap(_.headOption).map { a =>
+              val pos = posOf(one.exprId)
+              Right((pos, (groupSrc(pos)._1, retarget(a, groupSrc(pos)._2))))
+            }
+          case _ => None
+        }
+      }
+    if (classified.exists(_.isEmpty)) return None
+    val (gidConds, attrConds) = classified.flatten.partitionMap(identity)
+    val perSet: Seq[Option[Option[(Seq[Int], Expression, Seq[(String, Atom)])]]] =
+      allSets.map { case (set, gidLit) =>
+        val gidOk = gidConds.map { c =>
+          val folded = c.transform {
+            case a: AttributeReference if a.exprId == gidId => gidLit
+          }
+          // a condition that does not fold to a literal boolean bails the
+          // whole rewrite; null (UNKNOWN) drops the set like SQL drops rows
+          if (folded.foldable) Option(folded.eval(null) == true) else None
+        }
+        if (gidOk.exists(_.isEmpty)) None
+        else if (gidOk.exists(_.contains(false))) Some(None)
+        else if (!attrConds.forall { case (pos, _) => set.contains(pos) }) Some(None)
+        else Some(Some((set, gidLit, attrConds.map(_._2))))
+      }
+    if (perSet.exists(_.isEmpty)) None else Some(perSet.flatten.flatten)
+  }
+
+  /** Rebind an understood atom onto the grouping attribute's SOURCE column
+    * (the Expand output attr may carry a different name than the scan
+    * column the estimator knows).
+    */
+  private def retarget(a: Atom, c: String): Atom = a match {
+    case x: SpnCardinality.Cmp      => x.copy(column = c)
+    case x: SpnCardinality.InSet    => x.copy(column = c)
+    case x: SpnCardinality.NotNull  => x.copy(column = c)
+    case x: SpnCardinality.StrMatch => x.copy(column = c)
   }
 
   /** Split the Expand's output slots (grouping id excluded) into
@@ -303,15 +352,18 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * convention), a non-empty set a grouped estimation over its columns
     * with the absent columns nulled. [[GidOut]] outputs fold by
     * substituting the set's grouping-id literal into the expression and
-    * evaluating it driver-side (a per-set constant).
+    * evaluating it driver-side (a per-set constant). A set may carry
+    * extra atoms (a pushed-down HAVING over one of its grouping attrs) —
+    * merged into that set's estimation only.
     */
   private def estimateSets(
       sh: Shape, groupSrc: Seq[(String, String)],
-      sets: Seq[(Seq[Int], Expression)], gidId: ExprId,
+      sets: Seq[(Seq[Int], Expression, Seq[(String, Atom)])], gidId: ExprId,
       cols: Seq[OutCol], outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
-    val rowsPerSet: Seq[Option[Seq[Seq[Any]]]] = sets.map { case (set, gidLit) =>
+    val rowsPerSet: Seq[Option[Seq[Seq[Any]]]] = sets.map { case (set, gidLit, extra) =>
+      val shSet = if (extra.isEmpty) sh else sh.copy(atoms = mergeAtoms(sh.atoms, extra))
       val gidVals: Map[Int, Option[Any]] = cols.zipWithIndex.collect {
         case (GidOut(e), i) =>
           val folded = e.transform {
@@ -323,9 +375,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       else {
         val gv = gidVals.map { case (i, v) => i -> v.get }
         if (set.isEmpty)
-          plainScalarVals(spns, spec, sh, cols)
+          plainScalarVals(spns, spec, shSet, cols)
             .map(m => Seq(cols.indices.map(i => gv.getOrElse(i, m(i))): Seq[Any]))
-        else plainGroupRows(spns, spec, sh, set.map(groupSrc), cols).map { rows =>
+        else plainGroupRows(spns, spec, shSet, set.map(groupSrc), cols).map { rows =>
           rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
             val kv = set.zip(k).toMap // grouping-attr position → key value
             cols.zipWithIndex.map {
@@ -665,6 +717,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
 
+    // COUNT(col) gates on non-nullness only, so ANY modeled column kind
+    // qualifies (num, days, AND dictionary cat — NotNullRange is 1−pNull
+    // on categorical leaves); SUM/AVG stay numeric-only
+    def anyModeledCol(e: Expression): Option[(String, String)] = e match {
+      case a: AttributeReference =>
+        sh.attrTable.get(a.exprId)
+          .filter(t => modeled(t).exists(_._1 == a.name))
+          .map(t => (t, a.name))
+      case _ => numCol(e)
+    }
+
     def leafAgg(ae: AggregateExpression): Option[OutCol] =
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
@@ -672,7 +735,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             c.children.forall { case Literal(v, _) => v != null; case _ => false } =>
           Some(CountOut())
         case c: Count if c.children.sizeIs == 1 =>
-          numCol(c.children.head).map(CountColOut.apply)
+          anyModeledCol(c.children.head).map(CountColOut.apply)
         case s: Sum =>
           sumTerms(s.child).filter(_.exists(_._2.nonEmpty))
             .map(ts => SumOut(ts, ts.flatMap(_._2).distinct))

@@ -369,6 +369,40 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(isRewritten(mixed),
       s"mixed HAVING (gid + aggregate) must fold:\n${mixed.queryExecution.optimizedPlan}")
     assert(mixed.collect().forall(!_.isNullAt(0)))
+    // HAVING over a grouping ATTRIBUTE: the atom joins the estimation of
+    // every set grouping by it; the sets that NULL it (here the () total)
+    // are dropped — SQL filters all of that projection's rows out
+    val havingAttr = """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+                        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+                        HAVING l_returnflag = 'A'""".stripMargin
+    val haExact = session(aqp = false).sql(havingAttr).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) "␀" else r.getString(1)) ->
+        r.getLong(2).toDouble).toMap
+    val haDf = session(aqp = true).sql(havingAttr)
+    assert(isRewritten(haDf),
+      s"HAVING over a grouping attr must fold:\n${haDf.queryExecution.optimizedPlan}")
+    val haEst = haDf.collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) "␀" else r.getString(1)) ->
+        r.getLong(2).toDouble).toMap
+    assert(haEst.keySet == haExact.keySet,
+      s"attr-HAVING keys ${haEst.keySet} vs exact ${haExact.keySet}")
+    haExact.foreach { case (k, v) =>
+      assert(qerr(haEst(k), v) <= 1.5, s"attr-HAVING $k: ${haEst(k)} vs $v")
+    }
+    // attr + gid conjuncts together: only the finest set's 'A' rows survive
+    val haBoth = session(aqp = true).sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         HAVING l_returnflag = 'A' AND GROUPING(l_linestatus) = 0""".stripMargin)
+    assert(isRewritten(haBoth), "attr + gid HAVING must fold")
+    val bothRows = haBoth.collect()
+    assert(bothRows.nonEmpty &&
+      bothRows.forall(r => r.getString(0) == "A" && !r.isNullAt(1)))
+    // a HAVING over a DATA column's aggregate input can't fold per set
+    val haData = session(aqp = true).sql(
+      """SELECT l_returnflag, count(*) AS n, max(l_quantity) AS mq FROM lineitem
+         GROUP BY ROLLUP(l_returnflag) HAVING max(l_quantity) > 0""".stripMargin)
+    assert(!isRewritten(haData), "MAX keeps the grouping-sets query exact")
   }
 
   test("SUM/AVG over an (estimated) empty selection fold to SQL's NULL, not 0.0") {
@@ -446,13 +480,18 @@ class SpnAqpSpec extends AnyFunSuite {
         when(col("seg") === "c", lit(null).cast("double"))
           .otherwise(pmod(col("visit_id") * 17, lit(100)).cast("double")))
       .withColumn("x", pmod(col("visit_id"), lit(100)).cast("double"))
+      .withColumn("flag",
+        when(pmod(col("visit_id"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(element_at(array(lit("u"), lit("v")),
+            (pmod(col("visit_id"), lit(2)) + 1).cast("int"))))
       .write.parquet(s"$d/visits.parquet")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$d/graft_schema.json"),
       """{"tables": [{"name": "visits", "primaryKey": ["visit_id"]}],
         | "modeled": {"visits": [{"col": "amount", "kind": "num"},
         |                        {"col": "x", "kind": "num"},
-        |                        {"col": "seg", "kind": "cat"}]}}""".stripMargin)
+        |                        {"col": "seg", "kind": "cat"},
+        |                        {"col": "flag", "kind": "cat"}]}}""".stripMargin)
     rspn.Ensemble.get(spark, d)
     schema.Tables(spark, d, "visits").unpersist(blocking = true)
     def sess(aqp: Boolean): SparkSession = {
@@ -486,6 +525,18 @@ class SpnAqpSpec extends AnyFunSuite {
     checkNullGroup(
       """SELECT seg, count(*) AS n, sum(amount) AS s, avg(amount) AS a
          FROM visits WHERE x < 20 OR x > 80 GROUP BY seg""".stripMargin)
+    // COUNT over a DICTIONARY (cat) column: gates on 1−pNull of the
+    // categorical leaf — a fifth of `flag` is NULL, so an ungated fold
+    // would overcount by 1.25x (outside the 1.2 gate by construction)
+    val catSql = "SELECT count(*) AS n, count(flag) AS nf FROM visits"
+    val catExact = sess(aqp = false).sql(catSql).head
+    val catDf = sess(aqp = true).sql(catSql)
+    assert(isRewritten(catDf),
+      s"count(cat) must fold:\n${catDf.queryExecution.optimizedPlan}")
+    val catEst = catDf.head
+    assert(catExact.getLong(1) < catExact.getLong(0), "fixture sanity: flag has NULLs")
+    assert(qerr(catEst.getLong(1).toDouble, catExact.getLong(1).toDouble) <= 1.2,
+      s"count(flag): est ${catEst.getLong(1)} vs exact ${catExact.getLong(1)}")
   }
 
   test("the transparent plane agrees with the SQL-text estimator on the AQP workload") {
