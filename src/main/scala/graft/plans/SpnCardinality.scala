@@ -656,6 +656,23 @@ object SpnPlanning {
           |FROM lineitem WHERE l_quantity < 30 AND l_returnflag LIKE '%A%'
           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // Round 11: the pushed-down HAVING shapes over a ROLLUP — the gid-only
+    // conjunct (drop the total row) AND an atom over a grouping attribute
+    // — folded per grouping set (SpnAqpSpec pins zero-scan + exact-plane
+    // key agreement; the Verify gate's contract here is rows>0).
+    Op.noOracle("aqp_transparent_having") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem WHERE l_quantity < 30
+          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |HAVING GROUPING(l_returnflag) = 0 AND l_returnflag = 'A'
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
     }
   )
 }
