@@ -638,6 +638,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private case class SumOut(terms: Seq[(Double, Seq[(String, String)])],
       refCols: Seq[(String, String)]) extends OutCol
   private case class AvgOut(col: (String, String)) extends OutCol
+  /** AVG of a LINEAR form (`avg(price * (1 - disc))`): SQL's AVG divides
+    * the expression's sum by the count of rows where the expression is
+    * NON-NULL — i.e. all referenced columns non-null — so the fold is
+    * Σ coef·estSum(term) / estCount, both under NotNull(refCols). The
+    * plain-column case keeps its own [[AvgOut]] (estAvg's direct path).
+    */
+  private case class AvgExprOut(terms: Seq[(Double, Seq[(String, String)])],
+      refCols: Seq[(String, String)]) extends OutCol
   /** ARITHMETIC over whole aggregates — the reference's PLUS/MINUS class
     * at the aggregate level: `SUM(a) - SUM(b)`, `count(*) * 2`,
     * `SUM(x) + AVG(y)` — each leaf estimated independently, the tree
@@ -739,8 +747,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case s: Sum =>
           sumTerms(s.child).filter(_.exists(_._2.nonEmpty))
             .map(ts => SumOut(ts, ts.flatMap(_._2).distinct))
-        case av: Average => numCol(av.child).map(AvgOut.apply)
-        case _          => None
+        case av: Average =>
+          numCol(av.child).map(AvgOut.apply).orElse(
+            sumTerms(av.child).filter(_.exists(_._2.nonEmpty))
+              .map(ts => AvgExprOut(ts, ts.flatMap(_._2).distinct)))
+        case _ => None
       }
 
     /** Arithmetic (+, -, ×, unary -) over aggregate leaves and numeric
@@ -880,6 +891,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) null
             else Ensemble.estAvg(spns, sh.tables, c, p).value
           }
+        case AvgExprOut(terms, refCols) =>
+          predsNN(refCols).map { p =>
+            val gate = Ensemble.estCount(spns, sh.tables, p).value
+            if (gate < 0.5) null
+            else terms.map { case (cf, cs) => term(cf, cs, p) }.sum / gate
+          }
         case _ => None
       }
       scalarFold(cols, leafVal)
@@ -894,9 +911,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * count leaves at 0.
     */
   private def aggDefault(col: OutCol): Any = col match {
-    case SumOut(_, _) | AvgOut(_) => null
+    case SumOut(_, _) | AvgOut(_) | AvgExprOut(_, _) => null
     case ExprOut(t) =>
-      if (treeLeaves(t).exists(l => l.isInstanceOf[SumOut] || l.isInstanceOf[AvgOut])) null
+      if (treeLeaves(t).exists(l => l.isInstanceOf[SumOut] ||
+        l.isInstanceOf[AvgOut] || l.isInstanceOf[AvgExprOut])) null
       else foldTree(t, _ => 0.0)
     case _ => 0.0
   }
@@ -948,6 +966,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           Ensemble.estGroupByAvg(spns, sh.tables, gcols, c, p)
             .collect { case (k, e) if gate.getOrElse(k, 0.0) >= 0.5 =>
               k -> (e.value: Any) }.toMap
+        }
+        case AvgExprOut(terms, refCols) => predsNN(refCols).map { p =>
+          val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+            .map { case (k, e) => k -> e.value }.toMap
+          val perTerm = terms.map {
+            case (cf, Seq()) => gate.map { case (k, v) => k -> cf * v }
+            case (cf, cs) =>
+              Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
+                .map { case (k, e) => k -> cf * e.value }.toMap
+          }
+          perTerm.flatMap(_.keys).toSeq.distinct.collect {
+            case k if gate.getOrElse(k, 0.0) >= 0.5 =>
+              k -> (perTerm.map(_.getOrElse(k, 0.0)).sum / gate(k): Any)
+          }.toMap
         }
         case ExprOut(t) =>
           val ls = treeLeaves(t).distinct
@@ -1044,6 +1076,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         predPair(Seq(c)).map { case (nA, nB) =>
           if (Ensemble.estCountOr(spns, sh.tables, nA, nB).value < 0.5) null
           else Ensemble.estAvgOr(spns, sh.tables, c, nA, nB).value }
+      case AvgExprOut(terms, refCols) =>
+        predPair(refCols).map { case (nA, nB) =>
+          val gate = Ensemble.estCountOr(spns, sh.tables, nA, nB).value
+          if (gate < 0.5) null
+          else terms.map {
+            case (cf, Seq()) => cf * gate
+            case (cf, cs) =>
+              cf * Ensemble.estAggOr(spns, sh.tables, nA, nB, cs.map(_ -> 1).toMap).value
+          }.sum / gate
+        }
       case _ => None
     }
     if (groupCols.nonEmpty) {
@@ -1078,6 +1120,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           Ensemble.estGroupByAvgOr(spns, sh.tables, groupCols, c, nA, nB)
             .collect { case (k, e) if gate.getOrElse(k, 0.0) >= 0.5 =>
               k -> (e.value: Any) }.toMap }
+        case AvgExprOut(terms, refCols) => predPair(refCols).map { case (nA, nB) =>
+          val gate = Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, nA, nB)
+            .map { case (k, e) => k -> e.value }.toMap
+          val perTerm = terms.map {
+            case (cf, Seq()) => gate.map { case (k, v) => k -> cf * v }
+            case (cf, cs) =>
+              Ensemble.estGroupByAggOr(spns, sh.tables, groupCols,
+                cs.map(_ -> 1).toMap, nA, nB)
+                .map { case (k, e) => k -> cf * e.value }.toMap
+          }
+          perTerm.flatMap(_.keys).toSeq.distinct.collect {
+            case k if gate.getOrElse(k, 0.0) >= 0.5 =>
+              k -> (perTerm.map(_.getOrElse(k, 0.0)).sum / gate(k): Any)
+          }.toMap }
         case _ => None
       }
       def perG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
@@ -1171,6 +1227,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           den <- signed(Seq(c), estOf(Nil))
           num <- signed(Seq(c), estOf(Seq(c)))
         } yield if (den < 0.5) null else num / den
+      case AvgExprOut(ts, refCols) =>
+        for {
+          den <- signed(refCols, estOf(Nil))
+          num <- ts.foldLeft(Option(0.0)) { case (acc, (cf, cs)) =>
+            for { a <- acc; s <- signed(refCols, estOf(cs)) } yield a + cf * s
+          }
+        } yield if (den < 0.5) null else num / den
       case _ => None
     }
     scalarFold(cols, leaf2)
@@ -1239,6 +1302,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           den <- signedG(Seq(c), countEnum)
           num <- signedG(Seq(c), aggEnum(Seq(c)))
         } yield num.collect {
+          case (k, v) if den.getOrElse(k, 0.0) >= 0.5 => k -> (v / den(k): Any)
+        }.toMap
+      case AvgExprOut(ts, refCols) =>
+        for {
+          den <- signedG(refCols, countEnum)
+          per <- ts.foldLeft(Option(Map.empty[Seq[String], Double])) { case (acc, (cf, cs)) =>
+            for {
+              a <- acc
+              m <- if (cs.isEmpty) signedG(refCols, countEnum)
+                   else signedG(refCols, aggEnum(cs))
+            } yield (a.keySet ++ m.keySet).iterator
+              .map(k => k -> (a.getOrElse(k, 0.0) + cf * m.getOrElse(k, 0.0))).toMap
+          }
+        } yield per.collect {
           case (k, v) if den.getOrElse(k, 0.0) >= 0.5 => k -> (v / den(k): Any)
         }.toMap
       case _ => None

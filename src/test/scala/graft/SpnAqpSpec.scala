@@ -150,10 +150,40 @@ class SpnAqpSpec extends AnyFunSuite {
     gExact.foreach { case (k, v) =>
       assert(qerr(gEst(k), v) <= 1.5, s"group $k revenue: ${gEst(k)} vs $v")
     }
+    // AVG of the same linear form (round 11): Σ coef·estSum(term) divided
+    // by the NotNull-gated count — scalar, grouped, and through an OR
+    val avgCases = Seq(
+      """SELECT avg(l_extendedprice * (1 - l_discount)) AS a
+         FROM lineitem WHERE l_quantity < 24""".stripMargin -> None,
+      """SELECT l_returnflag, avg(l_extendedprice * (1 - l_discount)) AS a
+         FROM lineitem GROUP BY l_returnflag""".stripMargin -> Some(0),
+      """SELECT avg(l_extendedprice * (1 - l_discount)) AS a
+         FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin -> None)
+    avgCases.foreach { case (sql2, groupCol) =>
+      val ex2 = session(aqp = false).sql(sql2).collect()
+      val df2 = session(aqp = true).sql(sql2)
+      assert(isRewritten(df2), s"avg(linear form) must fold for [$sql2]:\n${df2.queryExecution.optimizedPlan}")
+      val es2 = df2.collect()
+      groupCol match {
+        case None =>
+          assert(qerr(es2.head.getDouble(0), ex2.head.getDouble(0)) <= 1.3,
+            s"avg-expr: ${es2.head.getDouble(0)} vs ${ex2.head.getDouble(0)} for [$sql2]")
+        case Some(g) =>
+          val exM = ex2.map(r => r.getString(g) -> r.getDouble(1)).toMap
+          val esM = es2.map(r => r.getString(g) -> r.getDouble(1)).toMap
+          assert(esM.keySet == exM.keySet)
+          exM.foreach { case (k, v) =>
+            assert(qerr(esM(k), v) <= 1.3, s"avg-expr group $k: ${esM(k)} vs $v")
+          }
+      }
+    }
     // E[x²] (a repeated column in one product term) is outside the class
     val sq = session(aqp = true).sql(
       "SELECT sum(l_quantity * l_quantity) AS s FROM lineitem")
     assert(!isRewritten(sq), "second moments must fall back to exact")
+    val sqAvg = session(aqp = true).sql(
+      "SELECT avg(l_quantity * l_quantity) AS a FROM lineitem")
+    assert(!isRewritten(sqAvg), "avg of a second moment must fall back too")
   }
 
   test("arithmetic over whole aggregates folds; division falls back") {
