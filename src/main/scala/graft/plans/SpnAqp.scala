@@ -624,6 +624,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private case class CountOut() extends OutCol
   /** COUNT(col): a count gated on the column's non-nullness. */
   private case class CountColOut(col: (String, String)) extends OutCol
+  /** COUNT(DISTINCT col) on a DICTIONARY (cat) column: the categorical
+    * dictionary is the column's complete domain, so the nonzero-mass group
+    * enumeration under the predicates IS the distinct set — the SQL-text
+    * plane's convention (SqlEstimate CountDistinct) in the Catalyst rule.
+    * Under disjunctions the support sets UNION exactly (enumeration is a
+    * set, not an additive measure — the signed expansion must not touch it).
+    */
+  private case class CountDistinctOut(col: (String, String)) extends OutCol
   /** SUM of a LINEAR form: Σ coef · ∏ distinct modeled columns per term —
     * the reference's PLUS/MINUS aggregation class. `sum(price)` is one
     * term; `sum(price * (1 - disc))` distributes to
@@ -736,8 +744,23 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => numCol(e)
     }
 
+    // dictionary-modeled (cat) column — the only kind whose value domain
+    // the model can enumerate
+    def catCol(e: Expression): Option[(String, String)] = e match {
+      case a: AttributeReference =>
+        sh.attrTable.get(a.exprId)
+          .filter(t => modeled(t).exists(c => c._1 == a.name && c._2 == "cat"))
+          .map(t => (t, a.name))
+      case _ => None
+    }
+
     def leafAgg(ae: AggregateExpression): Option[OutCol] =
-      if (ae.isDistinct || ae.filter.nonEmpty) None
+      if (ae.filter.nonEmpty) None
+      else if (ae.isDistinct) ae.aggregateFunction match {
+        case c: Count if c.children.sizeIs == 1 =>
+          catCol(c.children.head).map(CountDistinctOut.apply)
+        case _ => None
+      }
       else ae.aggregateFunction match {
         case c: Count if c.children.nonEmpty &&
             c.children.forall { case Literal(v, _) => v != null; case _ => false } =>
@@ -881,6 +904,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case CountOut()     => Some(Ensemble.estCount(spns, sh.tables, preds).value)
         case CountColOut(c) =>
           predsNN(Seq(c)).map(p => Ensemble.estCount(spns, sh.tables, p).value)
+        case CountDistinctOut(c) =>
+          Some(Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), preds).length.toDouble)
         case SumOut(terms, refCols) =>
           predsNN(refCols).map { p =>
             if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) null
@@ -942,6 +967,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case CountColOut(c) => predsNN(Seq(c)).map(p =>
           Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
             .map { case (k, e) => k -> (e.value: Any) }.toMap)
+        // per-group distinct set = the (gcols..., c) enumeration grouped by
+        // its gcols prefix (the text plane's convention)
+        case CountDistinctOut(c) =>
+          Some(Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, preds)
+            .map(_._1).groupBy(_.dropRight(1))
+            .map { case (g, rows) => g -> (rows.length.toDouble: Any) })
         case SumOut(terms, refCols) => predsNN(refCols).map { p =>
           val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
             .map { case (k, e) => k -> e.value }.toMap
@@ -1053,6 +1084,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
               pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
           yield math.max(Ensemble.estCountOr(spns, sh.tables, pA, pB).value, 0.0)
+      // support sets union EXACTLY across the branches (enumeration is a
+      // set, not an additive measure)
+      case CountDistinctOut(c) =>
+        for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+              pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
+          yield (Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pA).map(_._1) ++
+            Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pB).map(_._1))
+            .distinct.length.toDouble
       case CountColOut(c) =>
         predPair(Seq(c)).map { case (nA, nB) =>
           math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0) }
@@ -1098,6 +1137,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case CountColOut(c) => predPair(Seq(c)).map { case (nA, nB) =>
           Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, nA, nB)
             .map { case (k, e) => k -> (math.max(e.value, 0.0): Any) }.toMap }
+        case CountDistinctOut(c) =>
+          for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+                pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
+            yield (Ensemble.estGroupByMulti(spns, sh.tables, groupCols :+ c, pA).map(_._1) ++
+              Ensemble.estGroupByMulti(spns, sh.tables, groupCols :+ c, pB).map(_._1))
+              .distinct.groupBy(_.dropRight(1))
+              .map { case (g, rows) => g -> (rows.length.toDouble: Any) }
         // per-group count gate under the non-nullness of the referenced
         // columns: a group whose aggregate column is NULL throughout folds
         // to SQL's NULL (absent here → aggDefault at assembly), matching
@@ -1212,9 +1258,24 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case Seq(c) => Ensemble.estSum(spns, sh.tables, c, p).value
         case _      => Ensemble.estSumProduct(spns, sh.tables, cs, p).value
       }
+    // (a∨b)∧(c∨d)'s support set is the UNION over the 4 positive branch
+    // combinations — exact set semantics, the signed expansion must not
+    // touch a non-additive distinct count
+    def distinctUnion(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
+      val Seq((a1, b1), (a2, b2)) = groups
+      val combos = for { x <- Seq(a1, b1); y <- Seq(a2, b2) }
+        yield mergeAtomMaps(mergeAtomMaps(sh.atoms, x), y)
+      combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
+        for {
+          s <- acc
+          p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+        } yield s ++ Ensemble.estGroupByMulti(spns, sh.tables, enumCols, p).map(_._1)
+      }
+    }
     def leaf2(col: OutCol): Option[Any] = col match {
       case CountOut()     => signed(Nil, estOf(Nil)).map(v => math.max(v, 0.0))
       case CountColOut(c) => signed(Seq(c), estOf(Nil)).map(v => math.max(v, 0.0))
+      case CountDistinctOut(c) => distinctUnion(Seq(c)).map(_.size.toDouble)
       case SumOut(ts, refCols) =>
         for {
           gate <- signed(refCols, estOf(Nil))
@@ -1278,11 +1339,26 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         p: Map[(String, String), graft.rspn.ColRange]): Seq[(Seq[String], Double)] =
       Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
         .map { case (k, e) => k -> e.value }
+    // set-union semantics for distinct (see twoOrScalarVals.distinctUnion)
+    def distinctUnionG(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
+      val Seq((a1, b1), (a2, b2)) = groups
+      val combos = for { x <- Seq(a1, b1); y <- Seq(a2, b2) }
+        yield mergeAtomMaps(mergeAtomMaps(sh.atoms, x), y)
+      combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
+        for {
+          s <- acc
+          p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+        } yield s ++ Ensemble.estGroupByMulti(spns, sh.tables, enumCols, p).map(_._1)
+      }
+    }
     def leafG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
       case CountOut() =>
         signedG(Nil, countEnum).map(_.map { case (k, v) => k -> (math.max(v, 0.0): Any) })
       case CountColOut(c) =>
         signedG(Seq(c), countEnum).map(_.map { case (k, v) => k -> (math.max(v, 0.0): Any) })
+      case CountDistinctOut(c) =>
+        distinctUnionG(gcols :+ c).map(_.toSeq.groupBy(_.dropRight(1))
+          .map { case (g, rows) => g -> (rows.length.toDouble: Any) })
       case SumOut(ts, refCols) =>
         for {
           gate <- signedG(refCols, countEnum)

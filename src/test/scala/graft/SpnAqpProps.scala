@@ -94,8 +94,9 @@ object SpnAqpProps extends Properties("spn_aqp") {
     "SELECT count(*) AS n FROM lineitem WHERE l_partkey < 500",
     // arithmetic between two columns in the predicate
     "SELECT count(*) AS n FROM lineitem WHERE l_quantity < l_discount * 1000",
-    // DISTINCT aggregation
-    "SELECT count(DISTINCT l_returnflag) AS n FROM lineitem")
+    // DISTINCT over a NUMERIC column: no dictionary to enumerate (the cat
+    // form folds by dictionary support since round 11)
+    "SELECT count(DISTINCT l_quantity) AS n FROM lineitem")
 
   property("unanswerable queries run exactly, bit-identical to the flag-off session") =
     forAll(unanswerableGen) { sql =>

@@ -622,6 +622,46 @@ class SpnAqpSpec extends AnyFunSuite {
     }
   }
 
+  test("COUNT(DISTINCT cat) folds by dictionary-support enumeration, exact on every path") {
+    // the dictionary is the column's complete domain, so the distinct set
+    // under a predicate is the nonzero-mass enumeration — the SQL-text
+    // plane's CountDistinct convention in the Catalyst rule. The fixture
+    // slices keep every member's mass far from the pruning threshold, so
+    // the fold should match exact EXACTLY here
+    val cases = Seq(
+      // conjunctive scalar
+      "SELECT count(DISTINCT l_returnflag) AS n FROM lineitem WHERE l_quantity < 24",
+      // grouped
+      """SELECT l_returnflag, count(DISTINCT l_linestatus) AS n
+         FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      // single OR (support sets union across branches)
+      """SELECT count(DISTINCT l_linestatus) AS n FROM lineitem
+         WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin,
+      // two ORs (union over the 4 positive branch combos)
+      """SELECT count(DISTINCT l_returnflag) AS n FROM lineitem
+         WHERE (l_quantity < 5 OR l_quantity > 45)
+           AND (l_discount < 0.02 OR l_discount > 0.08)""".stripMargin,
+      // grouping sets: per-set distinct via the same enumeration
+      """SELECT l_returnflag, count(DISTINCT l_linestatus) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+    cases.foreach { sql =>
+      val exact = session(aqp = false).sql(sql).collect()
+        .map(r => (0 until r.length - 1).map(i =>
+          if (r.isNullAt(i)) "␀" else r.get(i).toString) -> r.getLong(r.length - 1)).toMap
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df),
+        s"count(DISTINCT cat) must fold for [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val est = df.collect()
+        .map(r => (0 until r.length - 1).map(i =>
+          if (r.isNullAt(i)) "␀" else r.get(i).toString) -> r.getLong(r.length - 1)).toMap
+      assert(est == exact, s"distinct sets must match exact for [$sql]: $est vs $exact")
+    }
+    // numeric distinct: no dictionary — falls back
+    val numDistinct = session(aqp = true).sql(
+      "SELECT count(DISTINCT l_quantity) AS n FROM lineitem")
+    assert(!isRewritten(numDistinct), "count(DISTINCT num) must fall back to exact")
+  }
+
   test("escaped LIKE wildcards fold as literals; invalid escapes fall back") {
     // dictionary values containing a literal '%': LIKE '10\%' must close
     // over ONLY "10%" — an escape-blind regex would expand the escaped
