@@ -267,10 +267,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * column the estimator knows).
     */
   private def retarget(a: Atom, c: String): Atom = a match {
-    case x: SpnCardinality.Cmp      => x.copy(column = c)
-    case x: SpnCardinality.InSet    => x.copy(column = c)
-    case x: SpnCardinality.NotNull  => x.copy(column = c)
-    case x: SpnCardinality.StrMatch => x.copy(column = c)
+    case x: SpnCardinality.Cmp        => x.copy(column = c)
+    case x: SpnCardinality.InSet      => x.copy(column = c)
+    case x: SpnCardinality.NotNull    => x.copy(column = c)
+    case x: SpnCardinality.StrMatch   => x.copy(column = c)
+    case x: SpnCardinality.Complement => x.copy(inner = retarget(x.inner, c))
   }
 
   /** Split the Expand's output slots (grouping id excluded) into

@@ -60,6 +60,16 @@ object SpnCardinality {
     * `SqlEstimate` applies on the SQL-text plane (SURVEY §2.2).
     */
   final case class StrMatch(column: String, op: String, pattern: String) extends Atom
+  /** Negation of a point/set/pattern atom on a DICTIONARY column, compiled
+    * by dictionary COMPLEMENT (the text plane's !=/NOT IN convention): the
+    * member set is every dict value the inner atom does NOT match — which
+    * carries no NULL mass, exactly SQL's `col != 'x'` (NULL rows are
+    * UNKNOWN, dropped). Unsupported on non-cat kinds — a numeric `!=`
+    * cannot be a single range, so it falls back.
+    */
+  final case class Complement(inner: Atom) extends Atom {
+    def column: String = inner.column
+  }
 
   private val microsPerDay = 86400e6
 
@@ -130,18 +140,17 @@ object SpnCardinality {
             val mc = spn.cols(spn.colIdx(table, a.column))
             def codeOf(v: Any): Option[Double] =
               stringValue(v).flatMap(s => Try(mc.code(s)).toOption)
-            a match {
-              // a value missing from the dictionary matches zero rows (the
-              // dict is collected over the whole column, not a sample)
-              case Cmp(c, "eq", v) =>
-                add(c, NominalSet(codeOf(v).toArray))
-              case InSet(c, vs) if vs.forall(stringValue(_).isDefined) =>
-                add(c, NominalSet(vs.flatMap(codeOf).toArray))
-              // dictionary closure: the dict is the column's COMPLETE value
-              // domain, so a pattern predicate is exactly its matching
-              // member set (NULL rows carry no NominalSet mass, matching
-              // SQL's LIKE-on-NULL = unknown)
-              case StrMatch(c, op, pat) =>
+            // a value missing from the dictionary matches zero rows (the
+            // dict is collected over the whole column, not a sample).
+            // Pattern atoms close over the dict: it is the column's
+            // COMPLETE value domain, so the matching member set is exact
+            // (NULL rows carry no NominalSet mass — SQL's LIKE-on-NULL
+            // is unknown).
+            def members(at: Atom): Option[Array[Double]] = at match {
+              case Cmp(_, "eq", v) => Some(codeOf(v).toArray)
+              case InSet(_, vs) if vs.forall(stringValue(_).isDefined) =>
+                Some(vs.flatMap(codeOf).toArray)
+              case StrMatch(_, op, pat) =>
                 val matches: String => Boolean = op match {
                   case "prefix"   => _.startsWith(pat)
                   case "suffix"   => _.endsWith(pat)
@@ -150,10 +159,20 @@ object SpnCardinality {
                     val re = graft.rspn.SqlEstimate.likeRegex(pat)
                     s => re.matcher(s).matches()
                 }
-                add(c, NominalSet(mc.dict.indices.collect {
+                Some(mc.dict.indices.collect {
                   case i if matches(mc.dict(i)) => i.toDouble
-                }.toArray))
-              case _ => false
+                }.toArray)
+              case _ => None
+            }
+            a match {
+              case Complement(inner) =>
+                members(inner).exists { ms =>
+                  val excl = ms.toSet
+                  add(a.column, NominalSet(mc.dict.indices.collect {
+                    case i if !excl(i.toDouble) => i.toDouble
+                  }.toArray))
+                }
+              case at => members(at).exists(ms => add(at.column, NominalSet(ms)))
             }
           case Some(kind) =>
             a match {
@@ -310,7 +329,18 @@ object SpnCardinality {
     * overcount of trust, not just of rows).
     */
   private[plans] def atomsOf(conjuncts: Seq[Expression]): Option[Seq[Atom]] = {
+    // NOT over a point/set/pattern predicate → Complement (answered by
+    // dictionary complement on cat columns; toPreds rejects other kinds).
+    // Negated comparisons (NOT a < b) never reach here — BooleanSimplification
+    // flips them to the opposite comparison first.
+    def negated(e: Expression): Option[Atom] =
+      atomsOf(Seq(e)).flatMap(_.headOption).collect {
+        case a: Cmp if a.op == "eq" => Complement(a)
+        case a: InSet               => Complement(a)
+        case a: StrMatch            => Complement(a)
+      }
     val converted = conjuncts.map {
+      case Not(inner) => negated(inner)
       case EqualTo(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "eq", v))
       case EqualTo(Literal(v, _), a: AttributeReference) => Some(Cmp(a.name, "eq", v))
       case LessThan(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "lt", v))

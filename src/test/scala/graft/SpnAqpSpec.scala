@@ -622,6 +622,37 @@ class SpnAqpSpec extends AnyFunSuite {
     }
   }
 
+  test("negated predicates on dictionary columns fold by complement; numeric != falls back") {
+    // != / NOT IN / NOT LIKE close over the dictionary COMPLEMENT — no
+    // NULL mass, matching SQL's unknown-on-NULL semantics
+    val cases = Seq(
+      "SELECT count(*) AS n FROM lineitem WHERE l_returnflag != 'A'",
+      "SELECT count(*) AS n FROM lineitem WHERE l_returnflag NOT IN ('A', 'R')",
+      "SELECT count(*) AS n FROM orders WHERE o_orderpriority NOT LIKE '1%'",
+      // combined with a range and under GROUP BY
+      """SELECT l_linestatus, count(*) AS n FROM lineitem
+         WHERE l_returnflag != 'N' AND l_quantity < 24
+         GROUP BY l_linestatus""".stripMargin)
+    cases.foreach { sql =>
+      val exact = session(aqp = false).sql(sql).collect()
+        .map(r => (0 until r.length - 1).map(r.get(_).toString) -> r.getLong(r.length - 1).toDouble).toMap
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df),
+        s"negated cat predicate must fold for [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val est = df.collect()
+        .map(r => (0 until r.length - 1).map(r.get(_).toString) -> r.getLong(r.length - 1).toDouble).toMap
+      assert(est.keySet == exact.keySet, s"keys for [$sql]: ${est.keySet} vs ${exact.keySet}")
+      exact.foreach { case (k, v) =>
+        assert(qerr(math.max(est(k), 1.0), math.max(v, 1.0)) <= 1.5,
+          s"complement fold for [$sql] key $k: ${est(k)} vs $v")
+      }
+    }
+    // numeric != cannot be a single range — falls back
+    val numNe = session(aqp = true).sql(
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity != 24")
+    assert(!isRewritten(numNe), "numeric != must fall back to exact")
+  }
+
   test("COUNT(DISTINCT cat) folds by dictionary-support enumeration, exact on every path") {
     // the dictionary is the column's complete domain, so the distinct set
     // under a predicate is the nonzero-mass enumeration — the SQL-text
