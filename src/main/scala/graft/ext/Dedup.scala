@@ -176,7 +176,15 @@ object Dedup {
     Op.noOracle("dedup_near") { (s, d) =>
       val K = 12; val nBands = 6; val r = 2
       // memoized+cached: the band self-join and the exact re-check both read
-      // the signature frame; shingling + K×|sh| hashing must run once per doc
+      // the signature frame; shingling + K×|sh| hashing must run once per doc.
+      // EXACT-DUPLICATE CLASSES FIRST (same move as cosineLshPairs, same
+      // measured reason: verbatim duplicates collide in EVERY band, so
+      // banding raw docs makes the candidate join quadratic in the
+      // duplication factor — 15× wall for 10× data on the replicated sf1).
+      // Every downstream value (minhash sig, band keys, the Jaccard
+      // recheck) is a function of `sh` alone, so grouping by `sh` is
+      // output-preserving: candidates and hashing run once per UNIQUE
+      // shingle sequence, duplicate classes re-expand at the end.
       val sigs = ModelCache.memo(s, d, "near_sigs") {
         docs(s, d)
           // local corpora are one parquet split; fan the per-doc hash work
@@ -186,6 +194,9 @@ object Dedup {
           .filter(size(Text.tokens(col("text"))) >= 3)
           .withColumn("toks", Text.tokens(col("text")))
           .select(col("doc_id"), Text.shinglesOfTokens(col("toks"), 3).as("sh"))
+          .groupBy("sh")
+          .agg(min(col("doc_id")).as("doc_id"),
+            sort_array(collect_list(col("doc_id"))).as("members"))
           // single pass over sh: K hashes per shingle, elementwise-min fold.
           // (K separate array_min(transform(sh, …)) columns would let
           // CollapseProject inline the shingle construction K times per row.)
@@ -206,13 +217,31 @@ object Dedup {
       val cand = bands.toDF("a_id", "bk")
         .join(bands.toDF("b_id", "bk2"), col("bk") === col("bk2") && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      val sh = sigs.select(col("doc_id"), col("sh"))
-      cand
-        .join(sh.toDF("a_id", "a_sh"), "a_id")
-        .join(sh.toDF("b_id", "b_sh"), "b_id")
+      val sh = sigs.select(col("doc_id"), col("sh"), col("members"))
+      // the Jaccard depends only on the two shingle sequences, so every
+      // member pair of a qualifying canonical pair shares its distance
+      val cross = cand
+        .join(sh.toDF("a_id", "a_sh", "a_members"), "a_id")
+        .join(sh.toDF("b_id", "b_sh", "b_members"), "b_id")
         .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
         .withColumn("jac", col("inter") / (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
         .filter(col("jac") >= 0.5)
+        .select(col("jac"), explode(col("a_members")).as("ma"), col("b_members"))
+        .select(col("jac"), col("ma"), explode(col("b_members")).as("mb"))
+        .select(least(col("ma"), col("mb")).as("a_id"),
+          greatest(col("ma"), col("mb")).as("b_id"), col("jac"))
+      // within-class pairs: the self-Jaccard is NOT always 1 — `sh` can
+      // repeat shingles and array_intersect is distinct-valued, exactly as
+      // the raw recheck computed it: d/(2n − d)
+      val within = sigs.filter(size(col("members")) >= 2)
+        .withColumn("inter", size(array_intersect(col("sh"), col("sh"))).cast("double"))
+        .withColumn("jac", col("inter") / (size(col("sh")) * 2 - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("jac"), explode(col("members")).as("ma"), col("members"))
+        .select(col("jac"), col("ma"), explode(col("members")).as("mb"))
+        .filter(col("ma") < col("mb"))
+        .select(col("ma").as("a_id"), col("mb").as("b_id"), col("jac"))
+      cross.unionByName(within)
         .select(col("a_id"), col("b_id"), round(lit(1.0) - col("jac"), 4).as("jacc_dist"))
         .orderBy("a_id", "b_id")
     },

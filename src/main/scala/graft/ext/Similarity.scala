@@ -857,9 +857,26 @@ object Similarity {
     // pair's any-band collision stays ≥ 0.99: p^k ≥ 1 − 0.01^(1/16) ≈ 0.28
     val p = 1.0 - math.acos(threshold) / math.Pi
     val k = math.max(1, math.floor(math.log(0.28) / math.log(p)).toInt)
+    // EXACT-DUPLICATE CLASSES FIRST. Web-scale corpora are duplicate-heavy
+    // (that is what dedup is FOR), and byte-identical vectors collide in
+    // EVERY band, so banding raw rows makes the within-bucket pair join
+    // quadratic in the duplication factor — measured: a 10× verbatim
+    // replication of sf0.1 took this op from 1.1 s to 703 s (641×) and
+    // OOM-killed the context. One hash-groupBy collapses each identical
+    // vector to a canonical row carrying its member-id list; bands and the
+    // candidate join run over UNIQUE vectors (work independent of the
+    // duplication factor), and the duplicate classes re-expand at the end
+    // as a narrow, output-sized generate. The emitted pair set is
+    // IDENTICAL to banding raw rows: members share their canonical's
+    // buckets, so cross-class pairs collide iff the canonicals do, and
+    // within-class pairs (cos = 1 ≥ t) always share every band.
     val bucketed = ModelCache.memo(s, d, s"cosine_band_keys_$threshold") {
       val u = unitFeats(s, d).select("vec_id", "v", "n2", "unit")
-      val dim = u.select(size(col("unit"))).head().getInt(0)
+      val classes = u.groupBy("v")
+        .agg(min(col("vec_id")).as("vec_id"), first(col("n2")).as("n2"),
+          first(col("unit")).as("unit"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+      val dim = classes.select(size(col("unit"))).head().getInt(0)
       val projs = projections(nBands * k, dim, seed = 42L)
       // band key = k packed sign bits, one codegen'd dot each
       val keys = (0 until nBands).map { b =>
@@ -867,7 +884,7 @@ object Similarity {
           shiftleft((dotd(col("unit"), lit(projs(b * k + j))) > 0).cast("long"), j)
         }.reduce(_ bitwiseOR _)
       }
-      u.withColumn("buckets", array(keys: _*)).cache()
+      classes.withColumn("buckets", array(keys: _*)).cache()
     }
     val ids = bucketed.select(col("vec_id"), posexplode(col("buckets")))
       .toDF("id", "tbl", "bucket")
@@ -876,11 +893,30 @@ object Similarity {
         col("tbl") === col("tbl_r") && col("bucket") === col("bucket_r") &&
           col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    cand
-      .join(bucketed.select(col("vec_id").as("a_id"), col("v").as("va"), col("n2").as("na2")), "a_id")
-      .join(bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"), col("n2").as("nb2")), "b_id")
+    // exact recheck over canonical pairs; the members ride along for the
+    // expansion (identical vectors ⇒ every member pair has the canonical
+    // pair's exact cosine)
+    val canonicalPairs = cand
+      .join(bucketed.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("n2").as("na2"), col("members").as("members_a")), "a_id")
+      .join(bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("n2").as("nb2"), col("members").as("members_b")), "b_id")
       .withColumn("cos", dotd(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
       .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cos"))
+    val cross = canonicalPairs
+      .select(col("cos"), explode(col("members_a")).as("ma"), col("members_b"))
+      .select(col("cos"), col("ma"), explode(col("members_b")).as("mb"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("cos"))
+    val within = bucketed.filter(size(col("members")) >= 2)
+      .select((dotd(col("v"), col("v")) / sqrt(col("n2") * col("n2"))).as("cos"),
+        explode(col("members")).as("ma"), col("members"))
+      // a zero vector's self-cosine is NaN — fails the threshold exactly
+      // like the raw-row recheck did
+      .filter(col("cos") >= threshold)
+      .select(col("cos"), col("ma"), explode(col("members")).as("mb"))
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("a_id"), col("mb").as("b_id"), col("cos"))
+    cross.unionByName(within).select(col("a_id"), col("b_id"), col("cos"))
   }
 }

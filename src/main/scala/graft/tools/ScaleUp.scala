@@ -38,29 +38,51 @@ object ScaleUp {
     def reps(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).toDF("rep"))
 
-    // documents: doc_id offset per replica, text verbatim (see scaladoc)
+    def writeScaled(name: String, df: DataFrame): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    // FACTS replicate with key-space offsets; DIMENSIONS copy verbatim —
+    // at a larger SF the fact side grows while dims stay bounded, so the
+    // many-to-one FK edges (l_partkey→part, o_custkey→customer, …) keep
+    // their shape with fan-out scaled by exactly `factor`.
+
+    // documents + embeddings share the doc key space (doc_id = vec_id)
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val docBase = docs.agg(max("doc_id")).head.getLong(0) + 1L
-    reps(docs)
-      .withColumn("doc_id", col("doc_id") + col("rep") * docBase)
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val docBase = math.max(
+      docs.agg(max("doc_id")).head.getLong(0),
+      emb.agg(max("vec_id")).head.getLong(0)) + 1L
+    writeScaled("documents",
+      reps(docs).withColumn("doc_id", col("doc_id") + col("rep") * docBase).drop("rep"))
+    writeScaled("embeddings",
+      reps(emb).withColumn("vec_id", col("vec_id") + col("rep") * docBase).drop("rep"))
 
     // orders + lineitem: shared key base preserves FK integrity and
     // per-key join multiplicity across replicas
     val orders = spark.read.parquet(s"$src/orders.parquet")
     val keyBase = orders.agg(max("o_orderkey")).head.getLong(0) + 1L
-    reps(orders)
-      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * keyBase)
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
-    reps(spark.read.parquet(s"$src/lineitem.parquet"))
-      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keyBase)
-      .drop("rep")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    writeScaled("orders",
+      reps(orders).withColumn("o_orderkey", col("o_orderkey") + col("rep") * keyBase).drop("rep"))
+    writeScaled("lineitem",
+      reps(spark.read.parquet(s"$src/lineitem.parquet"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keyBase).drop("rep"))
+
+    // events: new users per replica (scale adds users, not per-user
+    // density — session/window state per key stays bounded)
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val evBase = events.agg(max("event_id")).head.getLong(0) + 1L
+    val userBase = events.agg(max("user_id")).head.getLong(0) + 1L
+    writeScaled("events",
+      reps(events)
+        .withColumn("event_id", col("event_id") + col("rep") * evBase)
+        .withColumn("user_id", col("user_id") + col("rep") * userBase)
+        .drop("rep"))
+
+    // dims verbatim
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
 
     println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
     spark.stop()

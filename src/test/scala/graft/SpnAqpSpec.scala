@@ -674,7 +674,11 @@ class SpnAqpSpec extends AnyFunSuite {
            AND (l_discount < 0.02 OR l_discount > 0.08)""".stripMargin,
       // grouping sets: per-set distinct via the same enumeration
       """SELECT l_returnflag, count(DISTINCT l_linestatus) AS n
-         FROM lineitem GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+         FROM lineitem GROUP BY ROLLUP(l_returnflag)""".stripMargin,
+      // through a declared FK join: the enumeration runs over the join model
+      """SELECT count(DISTINCT o_orderpriority) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_quantity < 10""".stripMargin)
     cases.foreach { sql =>
       val exact = session(aqp = false).sql(sql).collect()
         .map(r => (0 until r.length - 1).map(i =>
