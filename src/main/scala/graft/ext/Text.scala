@@ -683,7 +683,19 @@ object Text {
     // form shuffled len× rows per document through a doc_id exchange).
     // Per-row transient memory is ~32 bytes per gram position — bounded by
     // 32× the document size the scan already holds.
-    docsDf
+    //
+    // Small-input fan-out: a corpus that arrives in fewer splits than the
+    // session has cores would run the (md5-heavy) map on those few cores —
+    // the local fixture is ONE 584 KB parquet split, so the whole op was
+    // single-threaded (measured 2.9 s wall at cpu/wall ≈ 1). Repartition
+    // ONLY in that case; at scale the source has ≥ cores splits and this
+    // branch costs exactly nothing (no exchange added).
+    val s = docsDf.sparkSession
+    val fanned =
+      if (docsDf.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        docsDf.repartition(s.sparkContext.defaultParallelism)
+      else docsDf
+    fanned
       .select(col("doc_id"), lower(col("text")).as("txt"),
         (length(col("text")) - (k - 1)).as("len"))
       // a doc shorter than k+w-1 chars spans no full hash window and

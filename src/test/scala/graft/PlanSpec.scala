@@ -425,12 +425,25 @@ class PlanSpec extends AnyFunSuite {
 
   test("winnowing fingerprint plans as a narrow map: no exchange, no window sort") {
     // the whole selection is array HOFs within the row — any Exchange or
-    // Window operator means the per-position explode+shuffle form came back
-    val plan = planOf(ext.Text.winnowFp(schema.Tables.raw(spark, rawSf, "documents")))
-    assert(!plan.contains("Exchange"),
-      s"winnowing must not shuffle gram positions:\n$plan")
+    // Window operator means the per-position explode+shuffle form came
+    // back. The AT-SCALE input shape (≥ cores splits) must plan with ZERO
+    // exchanges; the fixture's single 584 KB split instead takes the
+    // small-input fan-out (one round-robin exchange so the md5 map uses
+    // every core, measured 2.9 s → 1.0 s) — asserted separately below.
+    val wide = schema.Tables.raw(spark, rawSf, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val plan = planOf(ext.Text.winnowFp(wide))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, // only the fixture's own repartition above
+      s"at-scale winnowing must not add any exchange:\n$plan")
     assert(!plan.contains("Window"),
       s"winnowing must not sort per-doc windows:\n$plan")
+    // small input: exactly ONE round-robin fan-out, still no Window
+    val small = planOf(ext.Text.winnowFp(schema.Tables.raw(spark, rawSf, "documents")))
+    assert(small.linesIterator.count(_.contains("Exchange")) == 1 &&
+      small.contains("RoundRobinPartitioning"),
+      s"small input must fan out through one round-robin exchange:\n$small")
+    assert(!small.contains("Window"))
   }
 
   test("quality_filter: two keyed aggregations, both partial, never the text through a join") {
