@@ -180,7 +180,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     if (setFilter.exists(!_.deterministic)) return None
     for {
       sh <- walk(ex.child, spec.modeled, spec.graph.relationships, keyColsOf(spec))
-      if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
+      if sh.pendingKeyNotNull.isEmpty
       slots <- classifySlots(ex, gidIdx, sh, spec.modeled)
       (groupAttrs, groupSrc) = slots
       allSets <- groupingSetsOf(ex, gidIdx, groupAttrs.map(_.exprId))
@@ -376,9 +376,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       else {
         val gv = gidVals.map { case (i, v) => i -> v.get }
         if (set.isEmpty)
-          plainScalarVals(spns, spec, shSet, cols)
+          scalarVals(spns, spec, shSet, cols)
             .map(m => Seq(cols.indices.map(i => gv.getOrElse(i, m(i))): Seq[Any]))
-        else plainGroupRows(spns, spec, shSet, set.map(groupSrc), cols).map { rows =>
+        else groupRows(spns, spec, shSet, set.map(groupSrc), cols).map { rows =>
           rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
             val kv = set.zip(k).toMap // grouping-attr position → key value
             cols.zipWithIndex.map {
@@ -854,32 +854,46 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
-    sh.orBranches match {
-      case Seq() =>
-        if (groupCols.isEmpty)
-          plainScalarVals(spns, spec, sh, cols)
-            .map(m => toRows(Seq(cols.indices.map(m)), outTypes))
-        else plainGroupRows(spns, spec, sh, groupCols, cols).map { rows =>
-          toRows(rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
-            cols.zipWithIndex.map {
-              case (GroupOut(gi), _) => k(gi): Any
-              case (_, i)            => m(i)
-            }
-          }, outTypes)
+    if (groupCols.isEmpty)
+      scalarVals(spns, spec, sh, cols)
+        .map(m => toRows(Seq(cols.indices.map(m)), outTypes))
+    else groupRows(spns, spec, sh, groupCols, cols).map { rows =>
+      toRows(rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
+        cols.zipWithIndex.map {
+          case (GroupOut(gi), _) => k(gi): Any
+          case (_, i)            => m(i)
         }
-      case Seq((orA, orB)) =>
-        singleOr(spns, spec, sh, orA, orB, groupCols, cols, outTypes)
-      // two independent disjunctions: (a∨b)∧(c∨d) through the product-form
-      // signed expansion — 9 conjunctive terms with signs (+,+,-)×(+,+,-),
-      // every one a plain estimate; grouped shapes enumerate each signed
-      // term per group and combine over the union of the terms' universes.
-      case Seq(g1, g2) if groupCols.isEmpty =>
-        twoOrScalarVals(spns, spec, sh, Seq(g1, g2), cols)
-          .map(m => toRows(Seq(cols.indices.map(m)), outTypes))
-      case Seq(g1, g2) =>
-        twoOrGroupRows(spns, spec, sh, Seq(g1, g2), groupCols, cols, outTypes)
-      case _ => None
+      }, outTypes)
     }
+  }
+
+  /** Shape dispatch, SCALAR: output-position → value under whatever OR
+    * structure the Shape carries — the conjunctive fold, one disjunction
+    * through inclusion-exclusion, or two through the 9-term signed product
+    * expansion. Shared by the plain-aggregate path and (per grouping set)
+    * the ROLLUP/CUBE fold.
+    */
+  private def scalarVals(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
+      sh: Shape, cols: Seq[OutCol]): Option[Map[Int, Any]] = sh.orBranches match {
+    case Seq()       => plainScalarVals(spns, spec, sh, cols)
+    case Seq((a, b)) => singleOrScalarVals(spns, spec, sh, a, b, cols)
+    case Seq(g1, g2) => twoOrScalarVals(spns, spec, sh, Seq(g1, g2), cols)
+    case _           => None
+  }
+
+  /** Shape dispatch, GROUPED: per-group key tuples plus COMPLETE
+    * output-position value maps (absent enumerations filled with
+    * [[aggDefault]] — SQL's NULL for SUM/AVG, 0 for counts).
+    */
+  private def groupRows(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
+      sh: Shape, gcols: Seq[(String, String)], cols: Seq[OutCol])
+      : Option[Seq[(Seq[String], Map[Int, Any])]] = sh.orBranches match {
+    case Seq()       => plainGroupRows(spns, spec, sh, gcols, cols)
+    case Seq((a, b)) => singleOrGroupRows(spns, spec, sh, a, b, gcols, cols)
+    case Seq(g1, g2) => twoOrGroupRows(spns, spec, sh, Seq(g1, g2), gcols, cols)
+    case _           => None
   }
 
   /** Scalar (ungrouped) values for the conjunctive path, keyed by output
@@ -1064,16 +1078,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     else None
   }
 
-  /** One disjunction: inclusion-exclusion over the two branch predicate
-    * sets (each merged with the base conjuncts) through the estimator's
-    * shared-memo OR surfaces; with GROUP BY, per enumerated group over
-    * both branches' group universes.
+  /** One disjunction, SCALAR: inclusion-exclusion over the two branch
+    * predicate sets (each merged with the base conjuncts) through the
+    * estimator's shared-memo OR surfaces.
     */
-  private def singleOr(
+  private def singleOrScalarVals(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
       orA: Map[String, Seq[Atom]], orB: Map[String, Seq[Atom]],
-      groupCols: Seq[(String, String)], cols: Seq[OutCol],
-      outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
+      cols: Seq[OutCol]): Option[Map[Int, Any]] = {
     val mA = mergeAtomMaps(sh.atoms, orA)
     val mB = mergeAtomMaps(sh.atoms, orB)
     def predPair(cs: Seq[(String, String)]) = for {
@@ -1128,7 +1140,24 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
       case _ => None
     }
-    if (groupCols.nonEmpty) {
+    scalarFold(cols, leafOr)
+  }
+
+  /** One disjunction, GROUPED: per enumerated group over both branches'
+    * group universes.
+    */
+  private def singleOrGroupRows(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
+      orA: Map[String, Seq[Atom]], orB: Map[String, Seq[Atom]],
+      groupCols: Seq[(String, String)], cols: Seq[OutCol])
+      : Option[Seq[(Seq[String], Map[Int, Any])]] = {
+    val mA = mergeAtomMaps(sh.atoms, orA)
+    val mB = mergeAtomMaps(sh.atoms, orB)
+    def predPair(cs: Seq[(String, String)]) = for {
+      nA <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mA, cs), spec.modeled)
+      nB <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mB, cs), spec.modeled)
+    } yield (nA, nB)
+    locally {
       def leafOrG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
         case CountOut() =>
           for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
@@ -1199,30 +1228,31 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             }.toMap)
           }
         case GroupOut(_) => Some(Map.empty)
+        case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
         case leaf        => leafOrG(leaf)
       }
       val per = cols.zipWithIndex.collect {
-        case (c, i) if !c.isInstanceOf[GroupOut] => i -> perG(c)
+        case (c, i) if !c.isInstanceOf[GroupOut] && !c.isInstanceOf[GidOut] =>
+          i -> perG(c)
       }
-      if (per.exists(_._2.isEmpty)) return None
-      val aggVals = per.map { case (i, m) => i -> m.get }.toMap
-      // the row universe is SQL's: every group with ≥1 row matching the OR
-      // predicate, from the UNGATED count enumeration — a group whose
-      // aggregate column is NULL throughout still emits (with NULL aggs)
-      val baseKeys = for {
-        pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
-        pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
-      } yield Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, pA, pB)
-        .collect { case (k, e) if e.value >= 0.5 => k }
-      val keys = (baseKeys.getOrElse(Nil) ++ aggVals.values.flatMap(_.keys)).distinct
-      return Some(toRows(keys.sortBy(_.mkString(" ")).map { k =>
-        cols.zipWithIndex.map {
-          case (GroupOut(gi), _) => k(gi): Any
-          case (_, i)            => aggVals(i).getOrElse(k, aggDefault(cols(i)))
-        }
-      }, outTypes))
+      if (per.exists(_._2.isEmpty)) None
+      else {
+        val aggVals = per.map { case (i, m) => i -> m.get }.toMap
+        // the row universe is SQL's: every group with ≥1 row matching the
+        // OR predicate, from the UNGATED count enumeration — a group whose
+        // aggregate column is NULL throughout still emits (with NULL aggs)
+        val baseKeys = for {
+          pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+          pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
+        } yield Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, pA, pB)
+          .collect { case (k, e) if e.value >= 0.5 => k }
+        val keys = (baseKeys.getOrElse(Nil) ++ aggVals.values.flatMap(_.keys)).distinct
+        Some(keys.sortBy(_.mkString(" ")).map { k =>
+          (k, per.map { case (i, _) =>
+            i -> aggVals(i).getOrElse(k, aggDefault(cols(i))) }.toMap)
+        })
+      }
     }
-    scalarFold(cols, leafOr).map(m => toRows(Seq(cols.indices.map(m)), outTypes))
   }
 
   /** Two independent disjunctions, scalar shapes: expand
@@ -1313,8 +1343,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private def twoOrGroupRows(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
       groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
-      gcols: Seq[(String, String)], cols: Seq[OutCol],
-      outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
+      gcols: Seq[(String, String)], cols: Seq[OutCol])
+      : Option[Seq[(Seq[String], Map[Int, Any])]] = {
     val terms: Seq[(Double, Map[String, Seq[Atom]])] =
       groups.foldLeft(Seq((1.0, sh.atoms))) { case (acc, (a, b)) =>
         val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
@@ -1413,10 +1443,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           }.toMap)
         }
       case GroupOut(_) => Some(Map.empty)
+      case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
       case leaf        => leafG(leaf)
     }
     val per = cols.zipWithIndex.collect {
-      case (c, i) if !c.isInstanceOf[GroupOut] => i -> perG(c)
+      case (c, i) if !c.isInstanceOf[GroupOut] && !c.isInstanceOf[GidOut] =>
+        i -> perG(c)
     }
     if (per.exists(_._2.isEmpty)) None
     else {
@@ -1426,12 +1458,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         // row — unioning unfiltered per-leaf keys would emit spurious
         // near-zero groups the exact plane doesn't have
         val keys = base.collect { case (k, v) if v >= 0.5 => k }.toSeq
-        toRows(keys.sortBy(_.mkString(" ")).map { k =>
-          cols.zipWithIndex.map {
-            case (GroupOut(gi), _) => k(gi): Any
-            case (_, i)            => aggVals(i).getOrElse(k, aggDefault(cols(i)))
-          }
-        }, outTypes)
+        keys.sortBy(_.mkString(" ")).map { k =>
+          (k, per.map { case (i, _) =>
+            i -> aggVals(i).getOrElse(k, aggDefault(cols(i))) }.toMap)
+        }
       }
     }
   }

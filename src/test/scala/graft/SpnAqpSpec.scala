@@ -433,6 +433,35 @@ class SpnAqpSpec extends AnyFunSuite {
       """SELECT l_returnflag, count(*) AS n, max(l_quantity) AS mq FROM lineitem
          GROUP BY ROLLUP(l_returnflag) HAVING max(l_quantity) > 0""".stripMargin)
     assert(!isRewritten(haData), "MAX keeps the grouping-sets query exact")
+    // disjunctive predicates compose with grouping sets: every set routes
+    // through the same OR machinery the flat GROUP BY uses (round 11's
+    // shared scalarVals/groupRows dispatch)
+    val orCases = Seq(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+         WHERE l_quantity < 5 OR l_quantity > 45
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE (l_quantity < 5 OR l_quantity > 45)
+           AND (l_discount < 0.02 OR l_discount > 0.08)
+         GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+    orCases.foreach { sql =>
+      def keyedN(df: org.apache.spark.sql.DataFrame): Map[Seq[String], Double] =
+        df.collect().map { r =>
+          (0 until r.length - 1).map(i =>
+            if (r.isNullAt(i)) "␀" else r.getString(i)) -> r.getLong(r.length - 1).toDouble
+        }.toMap
+      val exactM = keyedN(session(aqp = false).sql(sql))
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df),
+        s"ROLLUP + OR must fold for [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val estM = keyedN(df)
+      assert(estM.keySet == exactM.keySet,
+        s"ROLLUP+OR keys for [$sql]: ${estM.keySet} vs ${exactM.keySet}")
+      exactM.foreach { case (k, v) =>
+        assert(qerr(math.max(estM(k), 1.0), math.max(v, 1.0)) <= 1.5,
+          s"ROLLUP+OR $k for [$sql]: ${estM(k)} vs $v")
+      }
+    }
   }
 
   test("SUM/AVG over an (estimated) empty selection fold to SQL's NULL, not 0.0") {
