@@ -105,13 +105,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   }
 
   /** Join subtree summary: tables touched, understood filter atoms per
-    * table, and which table each output attribute belongs to (exprId keyed
-    * — name lookup would break on self-joins, which are rejected anyway).
+    * table, and each output attribute's SOURCE (table, scan column) —
+    * exprId keyed (name lookup would break on self-joins, which are
+    * rejected anyway), and carrying the scan-level column name so PURE
+    * RENAMES (`SELECT l_returnflag AS flag FROM ...` in a derived table /
+    * view) resolve to the modeled column the estimator knows.
     */
   private case class Shape(
       tables: Set[String],
       atoms: Map[String, Seq[Atom]],
-      attrTable: Map[ExprId, String],
+      attrTable: Map[ExprId, (String, String)],
       /** up to TWO understood independent disjunctions ride along, each
         * side a conjunction of atoms. One group answers through the
         * estimator's shared-memo inclusion-exclusion path
@@ -305,10 +308,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           for {
             src <- srcs.headOption
             if nullsOk && srcs.forall(_.exprId == src.exprId)
-            t <- sh.attrTable.get(src.exprId)
+            tc <- sh.attrTable.get(src.exprId)
             if out.dataType == StringType &&
-              modeled(t).exists(c => c._1 == src.name && c._2 == "cat")
-          } yield Some((out, (t, src.name)))
+              modeled(tc._1).exists(c => c._1 == tc._2 && c._2 == "cat")
+          } yield Some((out, tc))
         }
       case (_, i) if i != gidIdx => None
     }
@@ -425,21 +428,35 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             keyCols.getOrElse(t, Set.empty).contains(a.column))
         if atoms.forall(a => modeled(t).exists(_._1 == a.column))
         obs <- {
-          val sides = ors.map { case o: Or => orSides(o, _ => Some(t), modeled) }
+          val sides = ors.map { case o: Or => orSides(o, a => Some((t, a.name)), modeled) }
           // three independent ORs: beyond the product-form expansion
           if (ors.length <= 2 && sides.forall(_.isDefined)) Some(sides.flatten)
           else None
         }
       } yield Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
-        p.output.map(_.exprId -> t).toMap, obs,
+        p.output.map(a => a.exprId -> ((t, a.name))).toMap, obs,
         pendingKeyNotNull = pend.map(a => (t, a.column)).toSet)
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      walk(c, modeled, rels, keyCols)
+    // a Project may RENAME (alias a bare attribute — derived tables and
+    // views do constantly); the new exprId inherits the source's (table,
+    // scan column) so everything above resolves to the modeled column
+    case Project(pl, c) if pl.forall {
+      case _: AttributeReference           => true
+      case Alias(_: AttributeReference, _) => true
+      case _                               => false
+    } =>
+      walk(c, modeled, rels, keyCols).map { sh =>
+        val renames = pl.collect {
+          case al @ Alias(a: AttributeReference, _) =>
+            sh.attrTable.get(a.exprId).map(al.exprId -> _)
+        }.flatten
+        sh.copy(attrTable = sh.attrTable ++ renames)
+      }
     // residual filter above a join: each conjunct must be an understood
-    // atom over exactly one table's column
+    // atom over exactly one table's column (retargeted onto the SOURCE
+    // scan column — the filter may reference a renamed attribute)
     case Filter(cond, c) =>
       walk(c, modeled, rels, keyCols).flatMap { sh =>
-        def tableOfAttr(a: AttributeReference): Option[String] =
+        def tableOfAttr(a: AttributeReference): Option[(String, String)] =
           sh.attrTable.get(a.exprId)
         val (ors, plain) = splitConj(cond).partition(_.isInstanceOf[Or])
         val perConj = plain.map { cj =>
@@ -450,9 +467,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               case Seq(one: AttributeReference) => Some(one)
               case _                            => None
             }
-            t <- tableOfAttr(ref)
-            if modeled(t).exists(_._1 == a.column)
-          } yield (t, a)
+            tc <- tableOfAttr(ref)
+            if modeled(tc._1).exists(_._1 == tc._2)
+          } yield (tc._1, retarget(a, tc._2))
         }
         for {
           _ <- if (perConj.forall(_.isDefined)) Some(()) else None
@@ -478,8 +495,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         if splitConj(cond).forall {
           case EqualTo(x: AttributeReference, y: AttributeReference) =>
             (at.get(x.exprId), at.get(y.exprId)) match {
-              case (Some(tx), Some(ty)) => declaredEdge(rels, tx, x.name, ty, y.name)
-              case _                    => false
+              case (Some((tx, cx)), Some((ty, cy))) => declaredEdge(rels, tx, cx, ty, cy)
+              case _                                => false
             }
           case _ => false
         }
@@ -490,7 +507,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         // this join's equi columns imply their own non-nullness
         discharged = splitConj(cond).flatMap {
           case EqualTo(x: AttributeReference, y: AttributeReference) =>
-            Seq(at.get(x.exprId).map(_ -> x.name), at.get(y.exprId).map(_ -> y.name)).flatten
+            Seq(at.get(x.exprId), at.get(y.exprId)).flatten
           case _ => Nil
         }.toSet
       } yield Shape(a.tables ++ b.tables,
@@ -575,7 +592,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     */
   private def orSides(
       o: Or,
-      tableOfAttr: AttributeReference => Option[String],
+      tableOfAttr: AttributeReference => Option[(String, String)],
       modeled: Map[String, Seq[(String, String)]])
       : Option[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = {
     def side(e: Expression): Option[Map[String, Seq[Atom]]] = {
@@ -587,9 +604,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             case Seq(one: AttributeReference) => Some(one)
             case _                            => None
           }
-          t <- tableOfAttr(ref)
-          if modeled(t).exists(_._1 == a.column)
-        } yield (t, a)
+          tc <- tableOfAttr(ref)
+          if modeled(tc._1).exists(_._1 == tc._2)
+        } yield (tc._1, retarget(a, tc._2))
       }
       if (per.forall(_.isDefined)) Some(mergeAtoms(Map.empty, per.flatten))
       else None
@@ -613,8 +630,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     val gs = agg.groupingExpressions.map {
       case a: AttributeReference if a.dataType == StringType =>
         sh.attrTable.get(a.exprId)
-          .filter(t => modeled(t).exists(c => c._1 == a.name && c._2 == "cat"))
-          .map(t => (a, (t, a.name)))
+          .filter { case (t, c) => modeled(t).exists(x => x._1 == c && x._2 == "cat") }
+          .map(tc => (a, tc))
       case _ => None
     }
     if (gs.forall(_.isDefined)) Some(gs.flatten) else None
@@ -706,8 +723,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case Cast(c, dt, _, _) if widening(c.dataType, dt) => numCol(c)
       case a: AttributeReference =>
         sh.attrTable.get(a.exprId)
-          .filter(t => modeled(t).exists(c => c._1 == a.name && c._2 == "num"))
-          .map(t => (t, a.name))
+          .filter { case (t, c) => modeled(t).exists(x => x._1 == c && x._2 == "num") }
       case _ => None
     }
 
@@ -740,8 +756,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     def anyModeledCol(e: Expression): Option[(String, String)] = e match {
       case a: AttributeReference =>
         sh.attrTable.get(a.exprId)
-          .filter(t => modeled(t).exists(_._1 == a.name))
-          .map(t => (t, a.name))
+          .filter { case (t, c) => modeled(t).exists(_._1 == c) }
       case _ => numCol(e)
     }
 
@@ -750,8 +765,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     def catCol(e: Expression): Option[(String, String)] = e match {
       case a: AttributeReference =>
         sh.attrTable.get(a.exprId)
-          .filter(t => modeled(t).exists(c => c._1 == a.name && c._2 == "cat"))
-          .map(t => (t, a.name))
+          .filter { case (t, c) => modeled(t).exists(x => x._1 == c && x._2 == "cat") }
       case _ => None
     }
 

@@ -651,6 +651,44 @@ class SpnAqpSpec extends AnyFunSuite {
     }
   }
 
+  test("renamed columns in derived tables resolve to their source and fold") {
+    // views/CTEs rename constantly: the rewrite tracks each alias back to
+    // its (table, scan column), so filters, grouping, aggregates and the
+    // FK-join check all see the modeled column behind the new name
+    val sql = """SELECT flag, count(*) AS n, sum(q) AS s, avg(price) AS a
+                 FROM (SELECT l_returnflag AS flag, l_quantity AS q,
+                              l_extendedprice AS price FROM lineitem) t
+                 WHERE q < 24 GROUP BY flag""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getString(0) -> (r.getLong(1).toDouble, r.getDouble(2))).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df),
+      s"renamed derived table must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1).toDouble, r.getDouble(2))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, (en, es)) =>
+      assert(qerr(est(k)._1, en) <= 1.5, s"renamed group $k count: ${est(k)._1} vs $en")
+      assert(qerr(est(k)._2, es) <= 1.5, s"renamed group $k sum: ${est(k)._2} vs $es")
+    }
+    // renamed FK keys still satisfy the declared-edge check through a join
+    val joinSql = """SELECT count(*) AS n FROM
+                      (SELECT l_orderkey AS lk, l_quantity AS q FROM lineitem) l
+                      JOIN (SELECT o_orderkey AS ok, o_totalprice FROM orders) o
+                        ON lk = ok
+                     WHERE o_totalprice < 2000""".stripMargin
+    val jExact = session(aqp = false).sql(joinSql).head.getLong(0).toDouble
+    val jDf = session(aqp = true).sql(joinSql)
+    assert(isRewritten(jDf),
+      s"renamed FK join must fold:\n${jDf.queryExecution.optimizedPlan}")
+    assert(qerr(jDf.head.getLong(0).toDouble, jExact) <= 2.0)
+    // a COMPUTED alias is not a rename — still falls back
+    val computed = session(aqp = true).sql(
+      """SELECT count(*) AS n FROM
+          (SELECT l_quantity * 2 AS q2 FROM lineitem) t WHERE q2 < 48""".stripMargin)
+    assert(!isRewritten(computed), "computed-column aliases must fall back to exact")
+  }
+
   test("negated predicates on dictionary columns fold by complement; numeric != falls back") {
     // != / NOT IN / NOT LIKE close over the dictionary COMPLEMENT — no
     // NULL mass, matching SQL's unknown-on-NULL semantics
