@@ -34,6 +34,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor)
+    println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
+    spark.stop()
+  }
+
+  /** The scaling itself, on a caller-owned session (specs use this). */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
 
     def reps(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).toDF("rep"))
@@ -83,8 +90,5 @@ object ScaleUp {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-
-    println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
-    spark.stop()
   }
 }
