@@ -55,15 +55,25 @@ object SpnAqpProps extends Properties("spn_aqp") {
     val a = math.max(e, 1.0); val b = math.max(x, 1.0); math.max(a / b, b / a)
   }
 
-  private val rangeGen: Gen[(Int, Int, Int)] = for {
+  private val rangeGen: Gen[(Int, Int, Int, Boolean)] = for {
     lo <- Gen.choose(1, 38)
     width <- Gen.choose(3, 12)
     dHi <- Gen.choose(1, 10) // l_discount < dHi/100
-  } yield (lo, lo + width, dHi)
+    renamed <- Gen.oneOf(true, false)
+  } yield (lo, lo + width, dHi, renamed)
 
   property("answerable conjunctions fold to zero-scan plans within q-error 2") =
-    forAll(rangeGen) { case (lo, hi, dHi) =>
-      val sql = s"""SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem
+    forAll(rangeGen) { case (lo, hi, dHi, renamed) =>
+      // half the space routes through a RENAMED derived table — the alias
+      // layer must be transparent to the fold across the whole generator
+      val sql =
+        if (renamed)
+          s"""SELECT count(*) AS n, sum(price) AS s FROM
+                (SELECT l_quantity AS q, l_discount AS disc,
+                        l_extendedprice AS price FROM lineitem) t
+              WHERE q BETWEEN $lo AND $hi AND disc < 0.0$dHi"""
+        else
+          s"""SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem
                     WHERE l_quantity BETWEEN $lo AND $hi AND l_discount < 0.0$dHi"""
       val exact = session(aqp = false).sql(sql).head
       val df = session(aqp = true).sql(sql)
