@@ -464,6 +464,73 @@ class SpnAqpSpec extends AnyFunSuite {
     }
   }
 
+  test("the answerable-class matrix folds: filters × aggregates × groupings") {
+    // cross-product regression net: every filter shape must compose with
+    // every aggregate shape under every grouping shape — the individual
+    // specs pin each path, THIS pins their interactions (two-OR × avg-expr
+    // × ROLLUP exercises code no single-feature test reaches). Filters are
+    // chosen selective-but-not-tiny so no slice is empty and q-error
+    // bounds stay meaningful.
+    val filters = Seq(
+      "" -> "none",
+      "WHERE l_quantity < 30" -> "conj",
+      "WHERE l_returnflag LIKE '%A%' AND l_quantity < 30" -> "like",
+      "WHERE l_returnflag != 'N'" -> "neq",
+      "WHERE l_quantity < 10 OR l_quantity > 40" -> "or1",
+      """WHERE (l_quantity < 10 OR l_quantity > 40)
+           AND (l_discount < 0.03 OR l_discount > 0.07)""" -> "or2")
+    val aggs = Seq(
+      "count(*)" -> "cnt",
+      "count(l_extendedprice)" -> "cntcol",
+      "count(DISTINCT l_linestatus)" -> "cntd",
+      "sum(l_extendedprice)" -> "sum",
+      "sum(l_extendedprice * (1 - l_discount))" -> "sumexpr",
+      "avg(l_extendedprice)" -> "avg",
+      "avg(l_extendedprice * (1 - l_discount))" -> "avgexpr",
+      "sum(l_quantity) - count(*)" -> "arith")
+    val groupings = Seq(
+      "" -> "scalar",
+      "GROUP BY l_returnflag" -> "grouped",
+      "GROUP BY ROLLUP(l_returnflag)" -> "rollup")
+    var checked = 0
+    for {
+      (fSql, fTag) <- filters
+      (aSql, aTag) <- aggs
+      (gSql, gTag) <- groupings
+    } {
+      val sel = if (gTag == "scalar") s"$aSql AS v" else s"l_returnflag, $aSql AS v"
+      val sql = s"SELECT $sel FROM lineitem $fSql $gSql"
+      val tag = s"$fTag×$aTag×$gTag"
+      def keyed(rows: Array[org.apache.spark.sql.Row]): Map[String, Double] =
+        rows.map { r =>
+          val k = if (gTag == "scalar") "" else if (r.isNullAt(0)) "␀" else r.getString(0)
+          val iv = if (gTag == "scalar") 0 else 1
+          k -> (r.get(iv) match {
+            case n: Number => n.doubleValue()
+            case other     => fail(s"[$tag] non-numeric cell $other")
+          })
+        }.toMap
+      val exact = keyed(session(aqp = false).sql(sql).collect())
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df),
+        s"[$tag] must fold:\n${df.queryExecution.optimizedPlan}")
+      val est = keyed(df.collect())
+      assert(est.keySet == exact.keySet,
+        s"[$tag] keys ${est.keySet} vs ${exact.keySet}")
+      exact.foreach { case (k, v) =>
+        // arith can legitimately cross zero — compare by absolute error
+        // scaled to the exact magnitude there; everything else by q-error
+        val ok =
+          if (aTag == "arith") math.abs(est(k) - v) <= 0.5 * math.max(math.abs(v), 1000.0)
+          else qerr(math.max(est(k), 1e-9), math.max(v, 1e-9)) <= 2.0
+        assert(ok, s"[$tag] group '$k': est ${est(k)} vs exact $v")
+      }
+      checked += 1
+    }
+    info(s"$checked matrix cells folded within bounds")
+    assert(checked == filters.length * aggs.length * groupings.length)
+  }
+
   test("SUM/AVG over an (estimated) empty selection fold to SQL's NULL, not 0.0") {
     // l_quantity is 1..50 in the fixture: the model's count estimate for
     // an impossible range rounds to zero, and SQL's empty SUM/AVG is NULL
