@@ -691,6 +691,34 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(folded >= 15, s"only $folded/${qs.length} AQP workload queries folded")
   }
 
+  test("the round-11 shapes agree across planes: rule fold == text estimate, per query") {
+    // negations, LIKE closure, COUNT(DISTINCT): two independent routes to
+    // the model (Catalyst rewrite vs SqlParser/SqlEstimate) must produce
+    // identical numbers for every query in the committed r11 workload —
+    // and every one must actually FOLD (a fallback here means the rule
+    // plane lost a shape the text plane kept)
+    val qs = QErrorEval.readWorkload("workloads/testdata_aqp_r11.sql")
+    val ens = rspn.Ensemble.get(spark, tmpSf)
+    val s2 = session(aqp = true)
+    qs.foreach { case (no, sql0) =>
+      val sql = sql0.stripSuffix(";")
+      val df = s2.sql(sql)
+      assert(isRewritten(df),
+        s"r11 workload q$no must fold:\n${df.queryExecution.optimizedPlan}")
+      val viaText = rspn.SqlEstimate.estimate(ens, sql) match {
+        case rspn.SqlEstimate.Scalar(e) => e.value
+        case other                      => fail(s"q$no unexpected shape $other")
+      }
+      val viaRule = df.head.get(0) match {
+        case n: Number => n.doubleValue()
+        case other     => fail(s"q$no non-numeric fold $other")
+      }
+      // counts round to BIGINT on the rule plane; compare at that grain
+      assert(math.abs(viaRule - viaText) <= math.max(1e-6 * math.abs(viaText), 0.5),
+        s"q$no planes disagree: rule $viaRule vs text $viaText for [$sql]")
+    }
+  }
+
   test("LIKE on a modeled cat column folds by dictionary closure") {
     // round 10: StartsWith/EndsWith/Contains/Like atoms compile to the
     // dictionary-code NominalSet exactly as the SQL-text plane does — the

@@ -182,6 +182,26 @@ class WorkloadSpec extends AnyFunSuite {
     assert(json.contains("\"ci_lo\":"))
   }
 
+  test("the round-11 shapes workload (negations, LIKE, COUNT DISTINCT) meets the rel-err gate") {
+    val aqp = QErrorEval.readWorkload("workloads/testdata_aqp_r11.sql")
+    assert(aqp.length == 12)
+    val truth = QErrorEval.computeTruth(spark, sf, aqp, cache = false)
+    val rows = QErrorEval.runWorkload(spark, sf, aqp, truth)
+    val errs = rows.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val worst = rows.maxBy(_.relErr)
+    info(f"median rel err $median%.4f max ${worst.relErr}%.4f " +
+      f"(q${worst.no}: est ${worst.est}%.1f vs true ${worst.truth}%.1f)")
+    assert(median <= 0.05, f"median relative error $median%.4f > 0.05")
+    assert(errs.last <= 0.30,
+      f"max relative error ${errs.last}%.4f > 0.30; worst q${worst.no}: ${worst.sql}")
+    // the COUNT(DISTINCT) rows are support-set sizes — on these wide
+    // filters every member survives, so they must be EXACT
+    rows.filter(_.sql.toUpperCase.contains("DISTINCT")).foreach { r =>
+      assert(r.est == r.truth, s"q${r.no} distinct support must be exact: ${r.est} vs ${r.truth}")
+    }
+  }
+
   test("the AQP workload meets the relative-error gate: median ≤ 0.05, p95 ≤ 0.25") {
     val aqp = QErrorEval.readWorkload("workloads/testdata_aqp_20.sql")
     assert(aqp.length == 20)
