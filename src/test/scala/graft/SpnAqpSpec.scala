@@ -782,6 +782,29 @@ class SpnAqpSpec extends AnyFunSuite {
       """SELECT count(*) AS n FROM
           (SELECT l_quantity * 2 AS q2 FROM lineitem) t WHERE q2 < 48""".stripMargin)
     assert(!isRewritten(computed), "computed-column aliases must fall back to exact")
+    // ROLLUP over a renamed column: classifySlots resolves the grouping
+    // slot through the alias to the modeled source
+    val rolledSql = """SELECT flag, count(*) AS n FROM
+                        (SELECT l_returnflag AS flag FROM lineitem) t
+                       GROUP BY ROLLUP(flag)""".stripMargin
+    val rExact = session(aqp = false).sql(rolledSql).collect()
+      .map(r => (if (r.isNullAt(0)) "␀" else r.getString(0)) -> r.getLong(1).toDouble).toMap
+    val rDf = session(aqp = true).sql(rolledSql)
+    assert(isRewritten(rDf),
+      s"ROLLUP over a rename must fold:\n${rDf.queryExecution.optimizedPlan}")
+    val rEst = rDf.collect()
+      .map(r => (if (r.isNullAt(0)) "␀" else r.getString(0)) -> r.getLong(1).toDouble).toMap
+    assert(rEst.keySet == rExact.keySet)
+    rExact.foreach { case (k, v) => assert(qerr(rEst(k), v) <= 1.5, s"rolled rename $k") }
+    // a negated atom INSIDE an OR branch: the branch compiler routes the
+    // complement through the same dictionary closure
+    val negOrSql = """SELECT count(*) AS n FROM lineitem
+                      WHERE l_returnflag != 'N' OR l_quantity < 3""".stripMargin
+    val noExact = session(aqp = false).sql(negOrSql).head.getLong(0).toDouble
+    val noDf = session(aqp = true).sql(negOrSql)
+    assert(isRewritten(noDf),
+      s"negation inside OR must fold:\n${noDf.queryExecution.optimizedPlan}")
+    assert(qerr(noDf.head.getLong(0).toDouble, noExact) <= 1.5)
   }
 
   test("negated predicates on dictionary columns fold by complement; numeric != falls back") {
