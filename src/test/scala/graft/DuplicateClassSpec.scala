@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics lock on the duplicate-class canonicalization inside
+  * `cosineLshPairs` and `dedup_near` (round 11's fix for the quadratic
+  * that a 10× verbatim replication exposed): on duplicate-HEAVY input the
+  * emitted pair set must be EXACTLY what banding raw rows would produce.
+  * The fixtures are engineered so the expected set is deterministic:
+  * mutually orthogonal base vectors (pairwise cosine 0, far below the
+  * threshold) and token-disjoint sentences (pairwise Jaccard 0), each
+  * duplicated a different number of times — the answer is precisely the
+  * within-class pairs, nothing else.
+  */
+class DuplicateClassSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def withinClassPairs(classes: Seq[Seq[Long]]): Set[(Long, Long)] =
+    classes.flatMap { ms =>
+      for { a <- ms; b <- ms if a < b } yield (a, b)
+    }.toSet
+
+  test("cosineLshPairs on duplicated orthogonal vectors emits exactly the duplicate pairs") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dupclass-vec-").toString
+    val dim = 32
+    // 12 orthogonal unit vectors, class i duplicated (i % 4 + 1) times
+    val rows = for {
+      i <- 0 until 12
+      copies = i % 4 + 1
+      j <- 0 until copies
+    } yield (i.toLong * 10 + j, Array.tabulate(dim)(k => if (k == i) 1.0f else 0.0f))
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val expected = withinClassPairs(
+      (0 until 12).map(i => (0 until i % 4 + 1).map(j => i.toLong * 10 + j)))
+    val got = ext.Similarity.cosineLshPairs(spark, d, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected,
+      s"pair set must be exactly the duplicate classes: got ${got.keySet}, want $expected")
+    got.values.foreach(cos => assert(math.abs(cos - 1.0) < 1e-12,
+      "identical vectors must carry cosine 1"))
+  }
+
+  test("dedup_near on duplicated token-disjoint docs emits exactly the duplicate pairs") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dupclass-doc-").toString
+    // 8 sentences over disjoint token alphabets (Jaccard 0 across classes),
+    // class i duplicated (i % 3 + 1) times
+    val rows = for {
+      i <- 0 until 8
+      copies = i % 3 + 1
+      j <- 0 until copies
+    } yield (i.toLong * 10 + j,
+      (0 until 6).map(w => s"w${i}_$w").mkString(" "), "en", "synth")
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source").write.parquet(s"$d/documents.parquet")
+    val expected = withinClassPairs(
+      (0 until 8).map(i => (0 until i % 3 + 1).map(j => i.toLong * 10 + j)))
+    val got = SparkEntry.queries("dedup_near")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected,
+      s"pair set must be exactly the duplicate classes: got ${got.keySet}, want $expected")
+    got.values.foreach(dist => assert(dist == 0.0,
+      "identical docs must carry jaccard distance 0"))
+  }
+}
