@@ -252,26 +252,52 @@ object Dedup {
     Op.noOracle("dedup_simhash") { (s, d) =>
       // memoized+cached: the band self-join reads sigs on both sides; the
       // simhash vote loop is the expensive part and must run once per doc,
-      // once per session (not once per invocation)
+      // once per session (not once per invocation).
+      // EXACT-DUPLICATE CLASSES FIRST (the cosineLshPairs/dedup_near move):
+      // both the band keys and the hamming recheck are pure functions of
+      // the 64-bit fingerprint, so docs with an IDENTICAL simhash — every
+      // verbatim duplicate, which collides in all 4 bands and makes the
+      // candidate join quadratic in the duplication factor — collapse to a
+      // canonical row + member list; classes re-expand after the recheck.
       val sigs = ModelCache.memo(s, d, "simhash_sigs") {
         docs(s, d)
           .repartition(s.sparkContext.defaultParallelism) // one-split local file; see dedup_near
           .filter(size(Text.tokens(col("text"))) >= 3)
           .withColumn("toks", Text.tokens(col("text")))
           .select(col("doc_id"), simhashUdf(Text.shinglesOfTokens(col("toks"), 3)).as("sig"))
+          .groupBy("sig")
+          .agg(min(col("doc_id")).as("doc_id"),
+            sort_array(collect_list(col("doc_id"))).as("members"))
           .cache()
       }
       val bands = sigs.select(
-        col("doc_id"), col("sig"),
+        col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("bk"))
-      val a = bands.select(col("doc_id").as("a_id"), col("sig").as("a_sig"), col("bk"))
-      val b = bands.select(col("doc_id").as("b_id"), col("sig").as("b_sig"), col("bk").as("bk2"))
-      a.join(b, a("bk") === b("bk2") && a("a_id") < b("b_id"))
-        .select(col("a_id"), col("b_id"),
-          bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("bigint").as("hamming"))
-        .distinct()
+      val cand = bands.toDF("a_id", "bk")
+        .join(bands.toDF("b_id", "bk2"), col("bk") === col("bk2") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      // the hamming distance depends only on the two fingerprints, so
+      // every member pair of a qualifying canonical pair shares it
+      val cross = cand
+        .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+          col("members").as("a_members")), "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+          col("members").as("b_members")), "b_id")
+        .withColumn("hamming",
+          bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("bigint"))
         .filter(col("hamming") <= 12)
+        .select(col("hamming"), explode(col("a_members")).as("ma"), col("b_members"))
+        .select(col("hamming"), col("ma"), explode(col("b_members")).as("mb"))
+        .select(least(col("ma"), col("mb")).as("a_id"),
+          greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
+      val within = sigs.filter(size(col("members")) >= 2)
+        .select(explode(col("members")).as("ma"), col("members"))
+        .select(col("ma"), explode(col("members")).as("mb"))
+        .filter(col("ma") < col("mb"))
+        .select(col("ma").as("a_id"), col("mb").as("b_id"), lit(0L).as("hamming"))
+      cross.unionByName(within)
+        .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy("a_id", "b_id")
     },
 

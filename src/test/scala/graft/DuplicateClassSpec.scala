@@ -42,6 +42,28 @@ class DuplicateClassSpec extends AnyFunSuite {
       "identical vectors must carry cosine 1"))
   }
 
+  test("dedup_simhash on duplicated token-disjoint docs emits exactly the duplicate pairs") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dupclass-sim-").toString
+    // token-disjoint 12-word sentences: cross-class simhashes are
+    // near-random 64-bit values (expected hamming 32, far above the 12
+    // gate), within-class hamming is 0 — only duplicate pairs survive
+    val rows = for {
+      i <- 0 until 8
+      copies = i % 3 + 1
+      j <- 0 until copies
+    } yield (i.toLong * 10 + j,
+      (0 until 12).map(w => s"s${i}_$w").mkString(" "), "en", "synth")
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source").write.parquet(s"$d/documents.parquet")
+    val expected = withinClassPairs(
+      (0 until 8).map(i => (0 until i % 3 + 1).map(j => i.toLong * 10 + j)))
+    val got = SparkEntry.queries("dedup_simhash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == expected,
+      s"pair set must be exactly the duplicate classes: got ${got.keySet}, want $expected")
+    got.values.foreach(h => assert(h == 0L, "identical docs must carry hamming 0"))
+  }
+
   test("dedup_near on duplicated token-disjoint docs emits exactly the duplicate pairs") {
     val d = java.nio.file.Files.createTempDirectory("graft-dupclass-doc-").toString
     // 8 sentences over disjoint token alphabets (Jaccard 0 across classes),
