@@ -25,9 +25,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     sfDirs.foreach { d =>
       println(runSuite(spark, d))
-      // multi-SF mode: evict this SF's cached tables before the next one
-      // runs, so cross-SF ratios measure the data, not cache pressure
+      // multi-SF mode: evict this SF's cached tables AND the dedup
+      // family's memoized signature/band frames before the next SF runs,
+      // so cross-SF ratios measure the data, not cache pressure
       schema.Tables.dropDir(spark, d)
+      ext.ModelCache.dropDir(spark, d)
     }
     spark.stop()
   }

@@ -220,28 +220,18 @@ object Dedup {
       val sh = sigs.select(col("doc_id"), col("sh"), col("members"))
       // the Jaccard depends only on the two shingle sequences, so every
       // member pair of a qualifying canonical pair shares its distance
-      val cross = cand
+      val canonicalPairs = cand
         .join(sh.toDF("a_id", "a_sh", "a_members"), "a_id")
         .join(sh.toDF("b_id", "b_sh", "b_members"), "b_id")
         .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
         .withColumn("jac", col("inter") / (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
         .filter(col("jac") >= 0.5)
-        .select(col("jac"), explode(col("a_members")).as("ma"), col("b_members"))
-        .select(col("jac"), col("ma"), explode(col("b_members")).as("mb"))
-        .select(least(col("ma"), col("mb")).as("a_id"),
-          greatest(col("ma"), col("mb")).as("b_id"), col("jac"))
       // within-class pairs: the self-Jaccard is NOT always 1 — `sh` can
       // repeat shingles and array_intersect is distinct-valued, exactly as
       // the raw recheck computed it: d/(2n − d)
-      val within = sigs.filter(size(col("members")) >= 2)
-        .withColumn("inter", size(array_intersect(col("sh"), col("sh"))).cast("double"))
-        .withColumn("jac", col("inter") / (size(col("sh")) * 2 - col("inter")))
-        .filter(col("jac") >= 0.5)
-        .select(col("jac"), explode(col("members")).as("ma"), col("members"))
-        .select(col("jac"), col("ma"), explode(col("members")).as("mb"))
-        .filter(col("ma") < col("mb"))
-        .select(col("ma").as("a_id"), col("mb").as("b_id"), col("jac"))
-      cross.unionByName(within)
+      val selfInter = size(array_intersect(col("sh"), col("sh"))).cast("double")
+      val selfJac = selfInter / (size(col("sh")) * 2 - selfInter)
+      DupClasses.expand(canonicalPairs, sigs.filter(selfJac >= 0.5), "jac", selfJac)
         .select(col("a_id"), col("b_id"), round(lit(1.0) - col("jac"), 4).as("jacc_dist"))
         .orderBy("a_id", "b_id")
     },
@@ -278,8 +268,9 @@ object Dedup {
         .join(bands.toDF("b_id", "bk2"), col("bk") === col("bk2") && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
       // the hamming distance depends only on the two fingerprints, so
-      // every member pair of a qualifying canonical pair shares it
-      val cross = cand
+      // every member pair of a qualifying canonical pair shares it; an
+      // identical-fingerprint class is trivially hamming 0
+      val canonicalPairs = cand
         .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
           col("members").as("a_members")), "a_id")
         .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
@@ -287,17 +278,7 @@ object Dedup {
         .withColumn("hamming",
           bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("bigint"))
         .filter(col("hamming") <= 12)
-        .select(col("hamming"), explode(col("a_members")).as("ma"), col("b_members"))
-        .select(col("hamming"), col("ma"), explode(col("b_members")).as("mb"))
-        .select(least(col("ma"), col("mb")).as("a_id"),
-          greatest(col("ma"), col("mb")).as("b_id"), col("hamming"))
-      val within = sigs.filter(size(col("members")) >= 2)
-        .select(explode(col("members")).as("ma"), col("members"))
-        .select(col("ma"), explode(col("members")).as("mb"))
-        .filter(col("ma") < col("mb"))
-        .select(col("ma").as("a_id"), col("mb").as("b_id"), lit(0L).as("hamming"))
-      cross.unionByName(within)
-        .select(col("a_id"), col("b_id"), col("hamming"))
+      DupClasses.expand(canonicalPairs, sigs, "hamming", lit(0L))
         .orderBy("a_id", "b_id")
     },
 

@@ -55,4 +55,21 @@ object ModelCache {
 
   /** Test hook: drop everything (e.g. between suites that reuse a session). */
   def clear(): Unit = cache.clear()
+
+  /** Drop (and unpersist) every memoized entry of one (session, directory):
+    * multi-SF bench runs call this between suites — the signature/band
+    * frames the dedup family pins via `.cache()` inside `memo` would
+    * otherwise occupy executor memory while the next SF runs, exactly the
+    * cross-SF bias `Tables.dropDir` already removes for the base tables.
+    */
+  def dropDir(s: SparkSession, dir: String): Unit = cache.synchronized {
+    cache.keys.filter(k => k._1 == s && k._2 == dir).foreach { k =>
+      cache.remove(k).foreach {
+        case df: org.apache.spark.sql.DataFrame =>
+          try df.unpersist(blocking = true)
+          catch { case scala.util.control.NonFatal(_) => () }
+        case _ => () // fitted models hold no block-manager state
+      }
+    }
+  }
 }

@@ -903,20 +903,14 @@ object Similarity {
         col("n2").as("nb2"), col("members").as("members_b")), "b_id")
       .withColumn("cos", dotd(col("va"), col("vb")) / sqrt(col("na2") * col("nb2")))
       .filter(col("cos") >= threshold)
-    val cross = canonicalPairs
-      .select(col("cos"), explode(col("members_a")).as("ma"), col("members_b"))
-      .select(col("cos"), col("ma"), explode(col("members_b")).as("mb"))
-      .select(least(col("ma"), col("mb")).as("a_id"),
-        greatest(col("ma"), col("mb")).as("b_id"), col("cos"))
-    val within = bucketed.filter(size(col("members")) >= 2)
-      .select((dotd(col("v"), col("v")) / sqrt(col("n2") * col("n2"))).as("cos"),
-        explode(col("members")).as("ma"), col("members"))
+    val selfCos = dotd(col("v"), col("v")) / sqrt(col("n2") * col("n2"))
+    DupClasses.expand(
+      canonicalPairs.select(col("cos"),
+        col("members_a").as("a_members"), col("members_b").as("b_members")),
       // a zero vector's self-cosine is NaN — fails the threshold exactly
       // like the raw-row recheck did
-      .filter(col("cos") >= threshold)
-      .select(col("cos"), col("ma"), explode(col("members")).as("mb"))
-      .filter(col("ma") < col("mb"))
-      .select(col("ma").as("a_id"), col("mb").as("b_id"), col("cos"))
-    cross.unionByName(within).select(col("a_id"), col("b_id"), col("cos"))
+      classes = bucketed.filter(selfCos >= threshold),
+      metric = "cos",
+      withinMetric = selfCos)
   }
 }

@@ -1252,19 +1252,25 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       if (per.exists(_._2.isEmpty)) None
       else {
         val aggVals = per.map { case (i, m) => i -> m.get }.toMap
-        // the row universe is SQL's: every group with ≥1 row matching the
-        // OR predicate, from the UNGATED count enumeration — a group whose
-        // aggregate column is NULL throughout still emits (with NULL aggs)
+        // the row universe is SQL's: EXACTLY the groups whose ungated
+        // inclusion-exclusion count reaches one row — a group whose
+        // aggregate column is NULL throughout still emits (with NULL aggs),
+        // but unioning unfiltered per-leaf keys would emit spurious
+        // near-zero groups the exact plane doesn't have (the twoOrGroupRows
+        // convention). If the base enumeration itself cannot compile —
+        // impossible when any leaf compiled, since leaves ride supersets of
+        // these atoms — fall back rather than emit an empty universe.
         val baseKeys = for {
           pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
           pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
         } yield Ensemble.estGroupByAggOr(spns, sh.tables, groupCols, Map.empty, pA, pB)
           .collect { case (k, e) if e.value >= 0.5 => k }
-        val keys = (baseKeys.getOrElse(Nil) ++ aggVals.values.flatMap(_.keys)).distinct
-        Some(keys.sortBy(_.mkString(" ")).map { k =>
-          (k, per.map { case (i, _) =>
-            i -> aggVals(i).getOrElse(k, aggDefault(cols(i))) }.toMap)
-        })
+        baseKeys.map { keys =>
+          keys.sortBy(_.mkString(" ")).map { k =>
+            (k, per.map { case (i, _) =>
+              i -> aggVals(i).getOrElse(k, aggDefault(cols(i))) }.toMap)
+          }
+        }
       }
     }
   }
