@@ -119,21 +119,28 @@ class CompiledSpec extends AnyFunSuite {
         java.lang.Double.doubleToRawLongBits(flat), s"adt=$adt flat=$flat")
     }
 
+    // THREAD-CPU time, not wall: both loops are single-threaded compute,
+    // and wall time under a loaded machine (a concurrent Spark job on the
+    // same JVM's executor threads) charges scheduler preemption to
+    // whichever loop got unlucky — the flake that shipped a red full-suite
+    // run while the isolated suite passed. CPU time measures the work.
+    def threadCpu(): Long =
+      java.lang.management.ManagementFactory.getThreadMXBean.getCurrentThreadCpuTime
     def timeAdt(): Long = {
-      val t0 = System.nanoTime()
+      val t0 = threadCpu()
       var i = 0
       var acc = 0.0
       while (i < qs.length) { acc += Spn.expect(root, qs(i)._1, qs(i)._2); i += 1 }
       sink = acc
-      System.nanoTime() - t0
+      threadCpu() - t0
     }
     def timeFlat(): Long = {
-      val t0 = System.nanoTime()
+      val t0 = threadCpu()
       var i = 0
       var acc = 0.0
       while (i < qs.length) { acc += compiled.expect(qs(i)._1, qs(i)._2); i += 1 }
       sink = acc
-      System.nanoTime() - t0
+      threadCpu() - t0
     }
 
     // JIT warmup, then interleaved trials; min filters scheduler noise.
