@@ -4,8 +4,8 @@ import graft.rspn.Ensemble
 import graft.schema.{DatasetSpec, Relationship}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, ExprId, NamedExpression, Or}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, ExprId, GreaterThan, LessThan, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
@@ -115,13 +115,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       tables: Set[String],
       atoms: Map[String, Seq[Atom]],
       attrTable: Map[ExprId, (String, String)],
-      /** up to TWO understood independent disjunctions ride along, each
+      /** up to THREE understood independent disjunctions ride along, each
         * side a conjunction of atoms. One group answers through the
         * estimator's shared-memo inclusion-exclusion path
-        * (estCountOr/estAggOr/estAvgOr); two groups answer through the
-        * product-form signed expansion (scalar shapes only — 9 conjunctive
-        * terms with signs (+,+,-)×(+,+,-)). A third group, or two groups
-        * under grouping, falls back to exact. */
+        * (estCountOr/estAggOr/estAvgOr); two or three groups answer
+        * through the product-form signed expansion (scalar AND grouped —
+        * 3^N conjunctive terms with per-group signs (+,+,-): 9 for two,
+        * 27 for three). A fourth group falls back to exact: the term
+        * count still grows 3^N while each signed term's relative error
+        * compounds, so the cap is an accuracy bound, not a structural
+        * one. */
       orBranches: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = Nil,
       /** `isnotnull(key)` atoms on UNMODELED declared key columns, parked
         * until an inner equi-join on that very column discharges them (the
@@ -399,6 +402,32 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
 
   // ---- shape recognition ----
 
+  /** `x != lit` (`Not(EqualTo)`) on an ORDERED modeled column — "num" or
+    * "days" — rewrites to the disjoint disjunction `x < lit ∨ x > lit`:
+    * the same row set under SQL's NULL semantics (both forms exclude
+    * NULL x), and the branches' A∧B correction term is a contradiction
+    * with zero mass, so the OR machinery's inclusion-exclusion union is
+    * exact, not approximate. Costs one of the three OR slots. Dictionary
+    * (cat) `!=` is deliberately NOT rewritten — its Complement atom folds
+    * by dictionary complement without spending a slot. `kindOf` resolves
+    * through the Shape's rename layer, so a negated renamed column in a
+    * derived table rewrites the SOURCE column's comparison.
+    */
+  private def neqToRange(
+      e: Expression, kindOf: AttributeReference => Option[String]): Expression = {
+    def ordered(a: AttributeReference): Boolean =
+      kindOf(a).exists(k => k == "num" || k == "days")
+    e match {
+      case Not(EqualTo(a: AttributeReference, l @ Literal(v, _)))
+          if v != null && ordered(a) =>
+        Or(LessThan(a, l), GreaterThan(a, l))
+      case Not(EqualTo(l @ Literal(v, _), a: AttributeReference))
+          if v != null && ordered(a) =>
+        Or(LessThan(a, l), GreaterThan(a, l))
+      case other => other
+    }
+  }
+
   private def walk(
       p: LogicalPlan,
       modeled: Map[String, Seq[(String, String)]],
@@ -414,8 +443,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // unfiltered table (`lineitem.cache()` — the first thing every
     // dashboard session does); any cached plan with a baked-in filter,
     // computed column or join still falls back to exact.
-    case StrictScan(dir, t, conjuncts)
+    case StrictScan(dir, t, conjuncts0)
         if dirMatches(dir) && modeled.contains(t) =>
+      val conjuncts = conjuncts0.map(neqToRange(_,
+        a => modeled(t).collectFirst { case (c, k) if c == a.name => k }))
       val (ors, plain) = conjuncts.partition(_.isInstanceOf[Or])
       for {
         atoms0 <- atomsOf(plain)
@@ -429,8 +460,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         if atoms.forall(a => modeled(t).exists(_._1 == a.column))
         obs <- {
           val sides = ors.map { case o: Or => orSides(o, a => Some((t, a.name)), modeled) }
-          // three independent ORs: beyond the product-form expansion
-          if (ors.length <= 2 && sides.forall(_.isDefined)) Some(sides.flatten)
+          // four independent ORs: beyond the product-form expansion's
+          // accuracy cap (81 signed terms compound the per-term error)
+          if (ors.length <= 3 && sides.forall(_.isDefined)) Some(sides.flatten)
           else None
         }
       } yield Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
@@ -458,7 +490,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       walk(c, modeled, rels, keyCols).flatMap { sh =>
         def tableOfAttr(a: AttributeReference): Option[(String, String)] =
           sh.attrTable.get(a.exprId)
-        val (ors, plain) = splitConj(cond).partition(_.isInstanceOf[Or])
+        val (ors, plain) = splitConj(cond).map(neqToRange(_,
+          a => tableOfAttr(a).flatMap { case (t, c) =>
+            modeled(t).collectFirst { case (cc, k) if cc == c => k } }))
+          .partition(_.isInstanceOf[Or])
         val perConj = plain.map { cj =>
           for {
             as <- atomsOf(Seq(cj))
@@ -476,8 +511,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           obs <- {
             val sides = ors.map { case o: Or => orSides(o, a => tableOfAttr(a), modeled) }
             val all = sh.orBranches ++ sides.flatten
-            // at most two ORs across the whole subtree
-            if (sides.forall(_.isDefined) && all.length <= 2) Some(all) else None
+            // at most three ORs across the whole subtree
+            if (sides.forall(_.isDefined) && all.length <= 3) Some(all) else None
           }
         } yield sh.copy(atoms = mergeAtoms(sh.atoms, perConj.flatten), orBranches = obs)
       }
@@ -502,7 +537,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
         obs <- {
           val all = a.orBranches ++ b.orBranches
-          if (all.length <= 2) Some(all) else None
+          if (all.length <= 3) Some(all) else None
         }
         // this join's equi columns imply their own non-nullness
         discharged = splitConj(cond).flatMap {
@@ -650,6 +685,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * set, not an additive measure — the signed expansion must not touch it).
     */
   private case class CountDistinctOut(col: (String, String)) extends OutCol
+  /** MIN/MAX on a DICTIONARY (cat) column: the nonzero-mass support
+    * enumeration under the predicates is the column's surviving value set
+    * (exactly [[CountDistinctOut]]'s machinery), and MIN/MAX is its
+    * lexicographic extreme — the same ordering Spark applies to StringType.
+    * Under disjunctions the supports UNION exactly (a set, never the
+    * signed expansion); an empty support folds to SQL's NULL. Numeric
+    * MIN/MAX stays unanswerable — the model's histogram bins bound the
+    * range but not the realized extreme.
+    */
+  private case class MinMaxCatOut(col: (String, String), isMin: Boolean) extends OutCol
   /** SUM of a LINEAR form: Σ coef · ∏ distinct modeled columns per term —
     * the reference's PLUS/MINUS aggregation class. `sum(price)` is one
     * term; `sum(price * (1 - disc))` distributes to
@@ -789,6 +834,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           numCol(av.child).map(AvgOut.apply).orElse(
             sumTerms(av.child).filter(_.exists(_._2.nonEmpty))
               .map(ts => AvgExprOut(ts, ts.flatMap(_._2).distinct)))
+        case m: Min => catCol(m.child).map(MinMaxCatOut(_, isMin = true))
+        case m: Max => catCol(m.child).map(MinMaxCatOut(_, isMin = false))
         case _ => None
       }
 
@@ -798,7 +845,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       * an aggregate, which must be widening.
       */
     def aggTree(e: Expression): Option[ATree] = e match {
-      case ae: AggregateExpression => leafAgg(ae).map(ALeaf.apply)
+      // a MIN/MAX leaf is a STRING — it cannot participate in arithmetic
+      // (ofNamed's direct-alias case folds the bare aggregate)
+      case ae: AggregateExpression =>
+        leafAgg(ae).filterNot(_.isInstanceOf[MinMaxCatOut]).map(ALeaf.apply)
       case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => aggTree(c)
       case Literal(v, _) => Option(v).collect { case n: Number => AConst(n.doubleValue()) }
       case ad: Add =>
@@ -822,6 +872,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case a: AttributeReference if gidId.contains(a.exprId) => Some(GidOut(a))
       case a: AttributeReference => groupIdx.get(a.exprId).map(GroupOut.apply)
       case Alias(e, _) if gidOnly(e) => Some(GidOut(e))
+      case Alias(ae: AggregateExpression, _) => leafAgg(ae)
       case Alias(e, _) => aggTree(e).map {
         case ALeaf(c) => c // a plain aggregate keeps its direct form
         case t        => ExprOut(t)
@@ -883,16 +934,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
 
   /** Shape dispatch, SCALAR: output-position → value under whatever OR
     * structure the Shape carries — the conjunctive fold, one disjunction
-    * through inclusion-exclusion, or two through the 9-term signed product
-    * expansion. Shared by the plain-aggregate path and (per grouping set)
-    * the ROLLUP/CUBE fold.
+    * through inclusion-exclusion, or two/three through the 3^N-term
+    * signed product expansion. Shared by the plain-aggregate path and
+    * (per grouping set) the ROLLUP/CUBE fold.
     */
   private def scalarVals(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
       sh: Shape, cols: Seq[OutCol]): Option[Map[Int, Any]] = sh.orBranches match {
     case Seq()       => plainScalarVals(spns, spec, sh, cols)
     case Seq((a, b)) => singleOrScalarVals(spns, spec, sh, a, b, cols)
-    case Seq(g1, g2) => twoOrScalarVals(spns, spec, sh, Seq(g1, g2), cols)
+    case gs if gs.length <= 3 => multiOrScalarVals(spns, spec, sh, gs, cols)
     case _           => None
   }
 
@@ -906,7 +957,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       : Option[Seq[(Seq[String], Map[Int, Any])]] = sh.orBranches match {
     case Seq()       => plainGroupRows(spns, spec, sh, gcols, cols)
     case Seq((a, b)) => singleOrGroupRows(spns, spec, sh, a, b, gcols, cols)
-    case Seq(g1, g2) => twoOrGroupRows(spns, spec, sh, Seq(g1, g2), gcols, cols)
+    case gs if gs.length <= 3 => multiOrGroupRows(spns, spec, sh, gs, gcols, cols)
     case _           => None
   }
 
@@ -935,6 +986,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           predsNN(Seq(c)).map(p => Ensemble.estCount(spns, sh.tables, p).value)
         case CountDistinctOut(c) =>
           Some(Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), preds).length.toDouble)
+        case MinMaxCatOut(c, isMin) =>
+          Some {
+            val support = Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), preds).map(_._1.head)
+            if (support.isEmpty) null
+            else if (isMin) support.min else support.max
+          }
         case SumOut(terms, refCols) =>
           predsNN(refCols).map { p =>
             if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) null
@@ -965,7 +1022,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * count leaves at 0.
     */
   private def aggDefault(col: OutCol): Any = col match {
-    case SumOut(_, _) | AvgOut(_) | AvgExprOut(_, _) => null
+    case SumOut(_, _) | AvgOut(_) | AvgExprOut(_, _) | MinMaxCatOut(_, _) => null
     case ExprOut(t) =>
       if (treeLeaves(t).exists(l => l.isInstanceOf[SumOut] ||
         l.isInstanceOf[AvgOut] || l.isInstanceOf[AvgExprOut])) null
@@ -1002,6 +1059,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           Some(Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, preds)
             .map(_._1).groupBy(_.dropRight(1))
             .map { case (g, rows) => g -> (rows.length.toDouble: Any) })
+        case MinMaxCatOut(c, isMin) =>
+          Some(Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, preds)
+            .map(_._1).groupBy(_.dropRight(1))
+            .map { case (g, rows) =>
+              val vs = rows.map(_.last)
+              g -> ((if (isMin) vs.min else vs.max): Any) })
         case SumOut(terms, refCols) => predsNN(refCols).map { p =>
           val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
             .map { case (k, e) => k -> e.value }.toMap
@@ -1119,6 +1182,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           yield (Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pA).map(_._1) ++
             Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pB).map(_._1))
             .distinct.length.toDouble
+      case MinMaxCatOut(c, isMin) =>
+        for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+              pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
+          yield {
+            val support = (Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pA).map(_._1.head) ++
+              Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pB).map(_._1.head)).distinct
+            if (support.isEmpty) null
+            else if (isMin) support.min else support.max
+          }
       case CountColOut(c) =>
         predPair(Seq(c)).map { case (nA, nB) =>
           math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0) }
@@ -1188,6 +1260,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               Ensemble.estGroupByMulti(spns, sh.tables, groupCols :+ c, pB).map(_._1))
               .distinct.groupBy(_.dropRight(1))
               .map { case (g, rows) => g -> (rows.length.toDouble: Any) }
+        case MinMaxCatOut(c, isMin) =>
+          for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+                pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
+            yield (Ensemble.estGroupByMulti(spns, sh.tables, groupCols :+ c, pA).map(_._1) ++
+              Ensemble.estGroupByMulti(spns, sh.tables, groupCols :+ c, pB).map(_._1))
+              .distinct.groupBy(_.dropRight(1))
+              .map { case (g, rows) =>
+                val vs = rows.map(_.last)
+                g -> ((if (isMin) vs.min else vs.max): Any) }
         // per-group count gate under the non-nullness of the referenced
         // columns: a group whose aggregate column is NULL throughout folds
         // to SQL's NULL (absent here → aggDefault at assembly), matching
@@ -1256,7 +1337,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         // inclusion-exclusion count reaches one row — a group whose
         // aggregate column is NULL throughout still emits (with NULL aggs),
         // but unioning unfiltered per-leaf keys would emit spurious
-        // near-zero groups the exact plane doesn't have (the twoOrGroupRows
+        // near-zero groups the exact plane doesn't have (the multiOrGroupRows
         // convention). If the base enumeration itself cannot compile —
         // impossible when any leaf compiled, since leaves ride supersets of
         // these atoms — fall back rather than emit an empty universe.
@@ -1275,15 +1356,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
   }
 
-  /** Two independent disjunctions, scalar shapes: expand
-    * C ∧ (A₁∨B₁) ∧ (A₂∨B₂) into the product of per-group signed terms
-    * [(+,A),(+,B),(-,A∧B)] — 9 conjunctive estimates per aggregate leaf,
-    * every one a plain (memoized-model) fold. A contradictory A∧B term
-    * evaluates to mass 0 through range intersection; a term whose atoms
-    * cannot intersect (mixed point-set × range on one column) makes the
-    * whole rewrite fall back — conservative, never wrong.
+  /** Two or three independent disjunctions, scalar shapes: expand
+    * C ∧ (A₁∨B₁) ∧ … ∧ (Aₙ∨Bₙ) into the product of per-group signed
+    * terms [(+,A),(+,B),(-,A∧B)] — 3^N conjunctive estimates per
+    * aggregate leaf (9 for two groups, 27 for three), every one a plain
+    * (memoized-model) fold. A contradictory A∧B term evaluates to mass 0
+    * through range intersection; a term whose atoms cannot intersect
+    * (mixed point-set × range on one column) makes the whole rewrite
+    * fall back — conservative, never wrong.
     */
-  private def twoOrScalarVals(
+  private def multiOrScalarVals(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
       groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
       cols: Seq[OutCol]): Option[Map[Int, Any]] = {
@@ -1309,13 +1391,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case Seq(c) => Ensemble.estSum(spns, sh.tables, c, p).value
         case _      => Ensemble.estSumProduct(spns, sh.tables, cs, p).value
       }
-    // (a∨b)∧(c∨d)'s support set is the UNION over the 4 positive branch
-    // combinations — exact set semantics, the signed expansion must not
-    // touch a non-additive distinct count
+    // (a∨b)∧(c∨d)∧…'s support set is the UNION over the 2^N positive
+    // branch combinations — exact set semantics, the signed expansion
+    // must not touch a non-additive distinct count
     def distinctUnion(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
-      val Seq((a1, b1), (a2, b2)) = groups
-      val combos = for { x <- Seq(a1, b1); y <- Seq(a2, b2) }
-        yield mergeAtomMaps(mergeAtomMaps(sh.atoms, x), y)
+      val combos = groups.foldLeft(Seq(sh.atoms)) { case (acc, (a, b)) =>
+        for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
+      }
       combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
         for {
           s <- acc
@@ -1327,6 +1409,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case CountOut()     => signed(Nil, estOf(Nil)).map(v => math.max(v, 0.0))
       case CountColOut(c) => signed(Seq(c), estOf(Nil)).map(v => math.max(v, 0.0))
       case CountDistinctOut(c) => distinctUnion(Seq(c)).map(_.size.toDouble)
+      case MinMaxCatOut(c, isMin) => distinctUnion(Seq(c)).map { s =>
+        val support = s.map(_.head)
+        if (support.isEmpty) null
+        else if (isMin) support.min else support.max
+      }
       case SumOut(ts, refCols) =>
         for {
           gate <- signed(refCols, estOf(Nil))
@@ -1351,16 +1438,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     scalarFold(cols, leaf2)
   }
 
-  /** Two independent disjunctions UNDER GROUP BY: the same 9-term signed
-    * product expansion as [[twoOrScalarVals]], but each term runs the
-    * per-group enumeration and the signed sum combines per group over the
-    * UNION of all terms' group universes (a group absent from a term's
-    * enumeration contributes that term 0 mass — the pruned estimate).
-    * The row universe is SQL's: groups whose signed count combination
-    * reaches one row under the bare (ungated) predicate. SUM/AVG stay
-    * count-gated per group to SQL's empty-aggregate NULL.
+  /** Two or three independent disjunctions UNDER GROUP BY: the same
+    * 3^N-term signed product expansion as [[multiOrScalarVals]], but each
+    * term runs the per-group enumeration and the signed sum combines per
+    * group over the UNION of all terms' group universes (a group absent
+    * from a term's enumeration contributes that term 0 mass — the pruned
+    * estimate). The row universe is SQL's: groups whose signed count
+    * combination reaches one row under the bare (ungated) predicate.
+    * SUM/AVG stay count-gated per group to SQL's empty-aggregate NULL.
     */
-  private def twoOrGroupRows(
+  private def multiOrGroupRows(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
       groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
       gcols: Seq[(String, String)], cols: Seq[OutCol])
@@ -1390,11 +1477,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         p: Map[(String, String), graft.rspn.ColRange]): Seq[(Seq[String], Double)] =
       Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
         .map { case (k, e) => k -> e.value }
-    // set-union semantics for distinct (see twoOrScalarVals.distinctUnion)
+    // set-union semantics for distinct (see multiOrScalarVals.distinctUnion)
     def distinctUnionG(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
-      val Seq((a1, b1), (a2, b2)) = groups
-      val combos = for { x <- Seq(a1, b1); y <- Seq(a2, b2) }
-        yield mergeAtomMaps(mergeAtomMaps(sh.atoms, x), y)
+      val combos = groups.foldLeft(Seq(sh.atoms)) { case (acc, (a, b)) =>
+        for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
+      }
       combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
         for {
           s <- acc
@@ -1410,6 +1497,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case CountDistinctOut(c) =>
         distinctUnionG(gcols :+ c).map(_.toSeq.groupBy(_.dropRight(1))
           .map { case (g, rows) => g -> (rows.length.toDouble: Any) })
+      case MinMaxCatOut(c, isMin) =>
+        distinctUnionG(gcols :+ c).map(_.toSeq.groupBy(_.dropRight(1))
+          .map { case (g, rows) =>
+            val vs = rows.map(_.last)
+            g -> ((if (isMin) vs.min else vs.max): Any) })
       case SumOut(ts, refCols) =>
         for {
           gate <- signedG(refCols, countEnum)

@@ -257,13 +257,24 @@ class SpnAqpSpec extends AnyFunSuite {
     gExact.foreach { case (k, v) =>
       assert(qerr(gEst(k), v) <= 1.5, s"group $k OR count: ${gEst(k)} vs $v")
     }
-    // THREE independent ORs exceed the product-form expansion: fallback
-    val threeOrs = session(aqp = true).sql(
+    // THREE independent ORs fold through the 27-term signed expansion
+    val threeSql = """SELECT count(*) AS n FROM lineitem
+         WHERE (l_quantity < 5 OR l_quantity > 45)
+           AND (l_discount < 0.02 OR l_discount > 0.08)
+           AND (l_returnflag = 'A' OR l_returnflag = 'R')""".stripMargin
+    val e3 = session(aqp = false).sql(threeSql).head.getLong(0).toDouble
+    val threeOrs = session(aqp = true).sql(threeSql)
+    assert(isRewritten(threeOrs), s"three ORs must fold:\n${threeOrs.queryExecution.optimizedPlan}")
+    assert(qerr(threeOrs.head.getLong(0).toDouble, e3) <= 1.5,
+      s"three-OR count: ${threeOrs.head.getLong(0)} vs $e3")
+    // FOUR independent ORs exceed the expansion's accuracy cap: fallback
+    val fourOrs = session(aqp = true).sql(
       """SELECT count(*) AS n FROM lineitem
          WHERE (l_quantity < 5 OR l_quantity > 45)
            AND (l_discount < 0.02 OR l_discount > 0.08)
-           AND (l_returnflag = 'A' OR l_returnflag = 'R')""".stripMargin)
-    assert(!isRewritten(threeOrs), "three ORs must fall back to exact")
+           AND (l_returnflag = 'A' OR l_returnflag = 'R')
+           AND (l_tax < 0.01 OR l_tax > 0.07)""".stripMargin)
+    assert(!isRewritten(fourOrs), "four ORs must fall back to exact")
   }
 
   test("two independent disjunctions fold through the signed product expansion") {
@@ -316,6 +327,23 @@ class SpnAqpSpec extends AnyFunSuite {
     g2Exact.foreach { case (k, (en, es)) =>
       assert(qerr(g2Est(k)._1, en) <= 1.5, s"group $k two-OR count: ${g2Est(k)._1} vs $en")
       assert(qerr(g2Est(k)._2, es) <= 1.5, s"group $k two-OR sum: ${g2Est(k)._2} vs $es")
+    }
+    // grouped THREE-OR: 27 signed terms per enumeration, union universe
+    val g3Sql = """SELECT l_returnflag, count(*) AS n FROM lineitem
+                   WHERE (l_quantity < 10 OR l_quantity > 40)
+                     AND (l_discount < 0.03 OR l_discount > 0.07)
+                     AND (l_tax < 0.02 OR l_tax > 0.06)
+                   GROUP BY l_returnflag""".stripMargin
+    val g3Exact = session(aqp = false).sql(g3Sql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val grouped3 = session(aqp = true).sql(g3Sql)
+    assert(isRewritten(grouped3),
+      s"grouped three-OR must fold:\n${grouped3.queryExecution.optimizedPlan}")
+    val g3Est = grouped3.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(g3Est.keySet == g3Exact.keySet,
+      s"grouped three-OR keys ${g3Est.keySet} vs ${g3Exact.keySet}")
+    g3Exact.foreach { case (k, v) =>
+      assert(qerr(g3Est(k), v) <= 1.5, s"group $k three-OR count: ${g3Est(k)} vs $v")
     }
   }
 
@@ -478,7 +506,11 @@ class SpnAqpSpec extends AnyFunSuite {
       "WHERE l_returnflag != 'N'" -> "neq",
       "WHERE l_quantity < 10 OR l_quantity > 40" -> "or1",
       """WHERE (l_quantity < 10 OR l_quantity > 40)
-           AND (l_discount < 0.03 OR l_discount > 0.07)""" -> "or2")
+           AND (l_discount < 0.03 OR l_discount > 0.07)""" -> "or2",
+      "WHERE l_quantity != 24" -> "numneq",
+      """WHERE (l_quantity < 10 OR l_quantity > 40)
+           AND (l_discount < 0.03 OR l_discount > 0.07)
+           AND (l_tax < 0.02 OR l_tax > 0.06)""" -> "or3")
     val aggs = Seq(
       "count(*)" -> "cnt",
       "count(l_extendedprice)" -> "cntcol",
@@ -807,7 +839,7 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(qerr(noDf.head.getLong(0).toDouble, noExact) <= 1.5)
   }
 
-  test("negated predicates on dictionary columns fold by complement; numeric != falls back") {
+  test("negated predicates on dictionary columns fold by complement; numeric != by disjoint ranges") {
     // != / NOT IN / NOT LIKE close over the dictionary COMPLEMENT — no
     // NULL mass, matching SQL's unknown-on-NULL semantics
     val cases = Seq(
@@ -832,10 +864,27 @@ class SpnAqpSpec extends AnyFunSuite {
           s"complement fold for [$sql] key $k: ${est(k)} vs $v")
       }
     }
-    // numeric != cannot be a single range — falls back
-    val numNe = session(aqp = true).sql(
-      "SELECT count(*) AS n FROM lineitem WHERE l_quantity != 24")
-    assert(!isRewritten(numNe), "numeric != must fall back to exact")
+    // numeric != rewrites to the disjoint disjunction (< ∨ >): the
+    // branches cannot overlap, so the inclusion-exclusion union is exact —
+    // scalar, grouped, and composed with a dictionary complement
+    val neCases = Seq(
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity != 24",
+      """SELECT l_linestatus, count(*) AS n FROM lineitem
+         WHERE l_quantity != 24 AND l_returnflag != 'A'
+         GROUP BY l_linestatus""".stripMargin)
+    neCases.foreach { sql =>
+      val exact = session(aqp = false).sql(sql).collect()
+        .map(r => (0 until r.length - 1).map(r.get(_).toString) -> r.getLong(r.length - 1).toDouble).toMap
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df),
+        s"numeric != must fold via disjoint ranges for [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val est = df.collect()
+        .map(r => (0 until r.length - 1).map(r.get(_).toString) -> r.getLong(r.length - 1).toDouble).toMap
+      assert(est.keySet == exact.keySet, s"keys for [$sql]: ${est.keySet} vs ${exact.keySet}")
+      exact.foreach { case (k, v) =>
+        assert(qerr(est(k), v) <= 1.5, s"numeric != fold for [$sql] key $k: ${est(k)} vs $v")
+      }
+    }
   }
 
   test("COUNT(DISTINCT cat) folds by dictionary-support enumeration, exact on every path") {
@@ -880,6 +929,46 @@ class SpnAqpSpec extends AnyFunSuite {
     val numDistinct = session(aqp = true).sql(
       "SELECT count(DISTINCT l_quantity) AS n FROM lineitem")
     assert(!isRewritten(numDistinct), "count(DISTINCT num) must fall back to exact")
+  }
+
+  test("MIN/MAX on dictionary columns fold by support-enumeration extremes") {
+    // the surviving dictionary support under the predicates IS the value
+    // set, so MIN/MAX is its lexicographic extreme — exact whenever the
+    // model's nonzero-mass support matches the realized one. Scalar,
+    // grouped, under a disjunction, and per grouping set.
+    val cases = Seq(
+      """SELECT min(l_returnflag) AS mn, max(l_returnflag) AS mx
+         FROM lineitem WHERE l_quantity < 30""".stripMargin,
+      """SELECT l_linestatus, min(l_returnflag) AS mn, max(l_returnflag) AS mx
+         FROM lineitem WHERE l_quantity < 30 GROUP BY l_linestatus""".stripMargin,
+      """SELECT min(l_returnflag) AS mn, max(l_returnflag) AS mx
+         FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin,
+      """SELECT l_linestatus, min(l_returnflag) AS mn
+         FROM lineitem GROUP BY ROLLUP(l_linestatus)""".stripMargin)
+    cases.foreach { sql =>
+      val exact = session(aqp = false).sql(sql).collect()
+        .map(_.toSeq.map(v => if (v == null) "␀" else v.toString)).toSet
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df),
+        s"dictionary MIN/MAX must fold for [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val est = df.collect()
+        .map(_.toSeq.map(v => if (v == null) "␀" else v.toString)).toSet
+      assert(est == exact, s"MIN/MAX rows for [$sql]: $est vs $exact")
+    }
+    // a MIN leaf is a string — it cannot ride aggregate arithmetic
+    val arith = session(aqp = true).sql(
+      "SELECT min(l_returnflag) || 'x' AS v FROM lineitem")
+    assert(!isRewritten(arith), "MIN inside an expression must fall back")
+    // numeric MIN/MAX: the model bounds the range, not the realized
+    // extreme — falls back
+    val numeric = session(aqp = true).sql(
+      "SELECT min(l_quantity) AS mn FROM lineitem")
+    assert(!isRewritten(numeric), "numeric MIN must fall back to exact")
+    // empty selection: SQL's MIN over no rows is NULL on both planes
+    val empty = session(aqp = true).sql(
+      "SELECT min(l_returnflag) AS mn FROM lineitem WHERE l_quantity < -5")
+    assert(isRewritten(empty), "empty-slice MIN must still fold")
+    assert(empty.head.isNullAt(0), "MIN over an empty selection must be NULL")
   }
 
   test("escaped LIKE wildcards fold as literals; invalid escapes fall back") {
