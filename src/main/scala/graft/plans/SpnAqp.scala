@@ -695,6 +695,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * range but not the realized extreme.
     */
   private case class MinMaxCatOut(col: (String, String), isMin: Boolean) extends OutCol
+  /** `agg(...) FILTER (WHERE p)`: the inner aggregate evaluated under the
+    * base predicates ∧ the clause's own understood atoms — exactly SQL's
+    * per-aggregate row narrowing. CONJUNCTIVE paths only: the per-leaf
+    * atom merge composes with the shared base fold, while a disjunctive
+    * outer predicate would need per-leaf branch re-expansion — the OR
+    * paths' default case makes the whole query fall back instead (never
+    * guess). Grouped shapes keep the BASE row universe: a group the
+    * filter empties still emits, with COUNT 0 / SUM NULL.
+    */
+  private case class FilteredOut(extra: Seq[(String, Atom)], inner: OutCol) extends OutCol
   /** SUM of a LINEAR form: Σ coef · ∏ distinct modeled columns per term —
     * the reference's PLUS/MINUS aggregation class. `sum(price)` is one
     * term; `sum(price * (1 - disc))` distributes to
@@ -814,9 +824,38 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
 
-    def leafAgg(ae: AggregateExpression): Option[OutCol] =
-      if (ae.filter.nonEmpty) None
-      else if (ae.isDistinct) ae.aggregateFunction match {
+    // a FILTER (WHERE ...) clause compiles to extra atoms over modeled
+    // columns (single-attribute understood conjuncts, resolved through the
+    // rename layer like any residual filter); anything else bails
+    def filterAtoms(cond: Expression): Option[Seq[(String, Atom)]] = {
+      val per = splitConj(cond).map { cj =>
+        for {
+          as <- atomsOf(Seq(cj))
+          a <- as.headOption
+          ref <- cj.references.toSeq match {
+            case Seq(one: AttributeReference) => Some(one)
+            case _                            => None
+          }
+          tc <- sh.attrTable.get(ref.exprId)
+          if modeled(tc._1).exists(_._1 == tc._2)
+        } yield (tc._1, retarget(a, tc._2))
+      }
+      if (per.forall(_.isDefined)) Some(per.flatten) else None
+    }
+
+    def leafAgg(ae: AggregateExpression): Option[OutCol] = {
+      val inner: Option[OutCol] = bareAgg(ae)
+      ae.filter match {
+        case None => inner
+        case Some(cond) => for {
+          extra <- filterAtoms(cond)
+          i <- inner
+        } yield if (extra.isEmpty) i else FilteredOut(extra, i)
+      }
+    }
+
+    def bareAgg(ae: AggregateExpression): Option[OutCol] =
+      if (ae.isDistinct) ae.aggregateFunction match {
         case c: Count if c.children.sizeIs == 1 =>
           catCol(c.children.head).map(CountDistinctOut.apply)
         case _ => None
@@ -848,7 +887,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // a MIN/MAX leaf is a STRING — it cannot participate in arithmetic
       // (ofNamed's direct-alias case folds the bare aggregate)
       case ae: AggregateExpression =>
-        leafAgg(ae).filterNot(_.isInstanceOf[MinMaxCatOut]).map(ALeaf.apply)
+        def stringLeaf(c: OutCol): Boolean = c match {
+          case FilteredOut(_, i) => stringLeaf(i)
+          case _                 => c.isInstanceOf[MinMaxCatOut]
+        }
+        leafAgg(ae).filterNot(stringLeaf).map(ALeaf.apply)
       case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => aggTree(c)
       case Literal(v, _) => Option(v).collect { case n: Number => AConst(n.doubleValue()) }
       case ad: Add =>
@@ -971,24 +1014,33 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private def plainScalarVals(
       spns: Map[String, Ensemble.TrainedSpn],
       spec: DatasetSpec, sh: Shape, cols: Seq[OutCol]): Option[Map[Int, Any]] = {
-    def predsNN(cs: Seq[(String, String)]) =
-      SpnCardinality.predsFor(spns, sh.tables, withNotNull(sh.atoms, cs), spec.modeled)
-    SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { preds =>
-      def term(coef: Double, cs: Seq[(String, String)],
-          p: Map[(String, String), graft.rspn.ColRange]): Double = cs match {
-        case Seq()  => coef * Ensemble.estCount(spns, sh.tables, p).value
-        case Seq(c) => coef * Ensemble.estSum(spns, sh.tables, c, p).value
-        case _      => coef * Ensemble.estSumProduct(spns, sh.tables, cs, p).value
-      }
-      def leafVal(col: OutCol): Option[Any] = col match {
-        case CountOut()     => Some(Ensemble.estCount(spns, sh.tables, preds).value)
+    def term(coef: Double, cs: Seq[(String, String)],
+        p: Map[(String, String), graft.rspn.ColRange]): Double = cs match {
+      case Seq()  => coef * Ensemble.estCount(spns, sh.tables, p).value
+      case Seq(c) => coef * Ensemble.estSum(spns, sh.tables, c, p).value
+      case _      => coef * Ensemble.estSumProduct(spns, sh.tables, cs, p).value
+    }
+    // atom-parameterized so a FILTER (WHERE ...) clause recurses with its
+    // extra conjuncts merged in: the inner aggregate then evaluates under
+    // base ∧ filter — exactly SQL's FILTER semantics. Any atom set that
+    // cannot compile makes the leaf None and the whole rewrite falls back.
+    def leafValUnder(atoms: Map[String, Seq[Atom]])(col: OutCol): Option[Any] = {
+      def predsNN(cs: Seq[(String, String)]) =
+        SpnCardinality.predsFor(spns, sh.tables, withNotNull(atoms, cs), spec.modeled)
+      def preds = SpnCardinality.predsFor(spns, sh.tables, atoms, spec.modeled)
+      col match {
+        case FilteredOut(extra, inner) =>
+          leafValUnder(mergeAtoms(atoms, extra))(inner)
+        case CountOut() =>
+          preds.map(p => Ensemble.estCount(spns, sh.tables, p).value)
         case CountColOut(c) =>
           predsNN(Seq(c)).map(p => Ensemble.estCount(spns, sh.tables, p).value)
         case CountDistinctOut(c) =>
-          Some(Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), preds).length.toDouble)
+          preds.map(p =>
+            Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), p).length.toDouble)
         case MinMaxCatOut(c, isMin) =>
-          Some {
-            val support = Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), preds).map(_._1.head)
+          preds.map { p =>
+            val support = Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), p).map(_._1.head)
             if (support.isEmpty) null
             else if (isMin) support.min else support.max
           }
@@ -1010,8 +1062,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           }
         case _ => None
       }
-      scalarFold(cols, leafVal)
     }
+    scalarFold(cols, leafValUnder(sh.atoms))
   }
 
   /** The value an aggregate output takes for a group ABSENT from its own
@@ -1023,9 +1075,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     */
   private def aggDefault(col: OutCol): Any = col match {
     case SumOut(_, _) | AvgOut(_) | AvgExprOut(_, _) | MinMaxCatOut(_, _) => null
+    case FilteredOut(_, inner) => aggDefault(inner)
     case ExprOut(t) =>
-      if (treeLeaves(t).exists(l => l.isInstanceOf[SumOut] ||
-        l.isInstanceOf[AvgOut] || l.isInstanceOf[AvgExprOut])) null
+      def nullable(l: OutCol): Boolean = l match {
+        case FilteredOut(_, i) => nullable(i)
+        case _ => l.isInstanceOf[SumOut] || l.isInstanceOf[AvgOut] ||
+          l.isInstanceOf[AvgExprOut]
+      }
+      if (treeLeaves(t).exists(nullable)) null
       else foldTree(t, _ => 0.0)
     case _ => 0.0
   }
@@ -1044,23 +1101,32 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       spec: DatasetSpec, sh: Shape,
       gcols: Seq[(String, String)], cols: Seq[OutCol])
       : Option[Seq[(Seq[String], Map[Int, Any])]] = {
-    def predsNN(cs: Seq[(String, String)]) =
-      SpnCardinality.predsFor(spns, sh.tables, withNotNull(sh.atoms, cs), spec.modeled)
-    SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { preds =>
-      val counts = Ensemble.estGroupByMulti(spns, sh.tables, gcols, preds)
-      def perGroup(col: OutCol): Option[Map[Seq[String], Any]] = col match {
-        case CountOut() => Some(counts.map { case (k, e) => k -> (e.value: Any) }.toMap)
+    // atom-parameterized for FILTER (WHERE ...) recursion, exactly like
+    // plainScalarVals.leafValUnder. The ROW UNIVERSE stays the BASE
+    // predicate's count enumeration (computed at assembly below): SQL's
+    // FILTER narrows one aggregate's rows, never the group list — a group
+    // the filter empties still emits, with COUNT 0 / SUM NULL (aggDefault).
+    def perGroupUnder(atoms: Map[String, Seq[Atom]])(col: OutCol): Option[Map[Seq[String], Any]] = {
+      def predsNN(cs: Seq[(String, String)]) =
+        SpnCardinality.predsFor(spns, sh.tables, withNotNull(atoms, cs), spec.modeled)
+      def preds = SpnCardinality.predsFor(spns, sh.tables, atoms, spec.modeled)
+      col match {
+        case FilteredOut(extra, inner) =>
+          perGroupUnder(mergeAtoms(atoms, extra))(inner)
+        case CountOut() => preds.map(p =>
+          Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+            .map { case (k, e) => k -> (e.value: Any) }.toMap)
         case CountColOut(c) => predsNN(Seq(c)).map(p =>
           Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
             .map { case (k, e) => k -> (e.value: Any) }.toMap)
         // per-group distinct set = the (gcols..., c) enumeration grouped by
         // its gcols prefix (the text plane's convention)
         case CountDistinctOut(c) =>
-          Some(Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, preds)
+          preds.map(p => Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, p)
             .map(_._1).groupBy(_.dropRight(1))
             .map { case (g, rows) => g -> (rows.length.toDouble: Any) })
         case MinMaxCatOut(c, isMin) =>
-          Some(Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, preds)
+          preds.map(p => Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, p)
             .map(_._1).groupBy(_.dropRight(1))
             .map { case (g, rows) =>
               val vs = rows.map(_.last)
@@ -1106,7 +1172,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
         case ExprOut(t) =>
           val ls = treeLeaves(t).distinct
-          val maps = ls.map(l => l -> perGroup(l)).toMap
+          val maps = ls.map(l => l -> perGroupUnder(atoms)(l)).toMap
           if (maps.values.exists(_.isEmpty)) None
           else {
             val byLeaf = maps.map { case (l, m) => l -> m.get }
@@ -1121,9 +1187,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case GroupOut(_) => Some(Map.empty)
         case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
       }
+    }
+    SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { basePreds =>
+      val counts = Ensemble.estGroupByMulti(spns, sh.tables, gcols, basePreds)
       val per = cols.zipWithIndex.collect {
         case (c, i) if !c.isInstanceOf[GroupOut] && !c.isInstanceOf[GidOut] =>
-          i -> perGroup(c)
+          i -> perGroupUnder(sh.atoms)(c)
       }
       if (per.exists(_._2.isEmpty)) None
       else {

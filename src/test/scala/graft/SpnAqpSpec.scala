@@ -971,6 +971,64 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(empty.head.isNullAt(0), "MIN over an empty selection must be NULL")
   }
 
+  test("FILTER (WHERE ...) aggregates fold with per-aggregate predicate merge") {
+    // the clause's conjuncts merge into that ONE aggregate's estimation
+    // predicates — the conditional-count / pivot idiom answers zero-scan
+    val sql = """SELECT count(*) AS n,
+                        count(*) FILTER (WHERE l_returnflag = 'A') AS na,
+                        sum(l_extendedprice) FILTER (WHERE l_quantity < 10) AS s,
+                        avg(l_extendedprice) FILTER (WHERE l_discount < 0.05) AS a
+                 FROM lineitem WHERE l_quantity < 30""".stripMargin
+    val exact = session(aqp = false).sql(sql).head
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"FILTER aggregates must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.head
+    (0 until 4).foreach { i =>
+      val (e, v) = (exact.get(i) match { case n: Number => n.doubleValue() },
+        est.get(i) match { case n: Number => n.doubleValue() })
+      assert(qerr(v, e) <= 1.5, s"FILTER col $i: $v vs $e")
+    }
+    // grouped: the row universe is the BASE predicate's — a group the
+    // filter empties still emits with COUNT 0 and SUM NULL
+    val gSql = """SELECT l_linestatus,
+                         count(*) FILTER (WHERE l_returnflag = 'A') AS na,
+                         sum(l_extendedprice) FILTER (WHERE l_quantity < -5) AS s
+                  FROM lineitem GROUP BY l_linestatus""".stripMargin
+    val gExact = session(aqp = false).sql(gSql).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1).toDouble, r.isNullAt(2)))).toMap
+    val gDf = session(aqp = true).sql(gSql)
+    assert(isRewritten(gDf), s"grouped FILTER must fold:\n${gDf.queryExecution.optimizedPlan}")
+    val gEst = gDf.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1).toDouble, r.isNullAt(2)))).toMap
+    assert(gEst.keySet == gExact.keySet, s"keys ${gEst.keySet} vs ${gExact.keySet}")
+    gExact.foreach { case (k, (en, eNull)) =>
+      assert(qerr(math.max(gEst(k)._1, 1.0), math.max(en, 1.0)) <= 1.5,
+        s"group $k filtered count: ${gEst(k)._1} vs $en")
+      assert(gEst(k)._2 == eNull, s"group $k filter-emptied SUM null: ${gEst(k)._2} vs $eNull")
+    }
+    // FILTER leaves ride aggregate arithmetic (net-count shape)
+    val arith = """SELECT count(*) FILTER (WHERE l_returnflag = 'A')
+                        - count(*) FILTER (WHERE l_returnflag = 'R') AS net
+                   FROM lineitem WHERE l_quantity < 30""".stripMargin
+    val aExact = session(aqp = false).sql(arith).head.getLong(0).toDouble
+    val aDf = session(aqp = true).sql(arith)
+    assert(isRewritten(aDf), s"FILTER arithmetic must fold:\n${aDf.queryExecution.optimizedPlan}")
+    assert(math.abs(aDf.head.getLong(0).toDouble - aExact) <=
+      0.5 * math.max(math.abs(aExact), 1000.0),
+      s"net filtered count: ${aDf.head.getLong(0)} vs $aExact")
+    // a disjunctive OUTER predicate with a FILTER aggregate falls back
+    // (the per-leaf merge does not compose with branch expansion)
+    val orOuter = session(aqp = true).sql(
+      """SELECT count(*) FILTER (WHERE l_returnflag = 'A') AS na
+         FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin)
+    assert(!isRewritten(orOuter), "FILTER under an OR outer predicate must fall back")
+    // an un-understood FILTER condition (multi-column arithmetic — not a
+    // single-attribute atom) falls back
+    val opaque = session(aqp = true).sql(
+      "SELECT count(*) FILTER (WHERE l_quantity + l_tax > 5) AS n FROM lineitem")
+    assert(!isRewritten(opaque), "un-understood FILTER condition must fall back")
+  }
+
   test("escaped LIKE wildcards fold as literals; invalid escapes fall back") {
     // dictionary values containing a literal '%': LIKE '10\%' must close
     // over ONLY "10%" — an escape-blind regex would expand the escaped
