@@ -703,6 +703,44 @@ object SpnPlanning {
           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |HAVING GROUPING(l_returnflag) = 0 AND l_returnflag = 'A'
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // Round 11 late widenings, conjunctive composition: per-aggregate
+    // FILTER clauses (the conditional-count idiom) plus dictionary MIN/MAX
+    // — all folding zero-scan on the plain path (SpnAqpSpec pins each
+    // against the exact plane; the Verify contract here is rows>0).
+    // FILTER stays conjunctive by design — under a disjunctive outer
+    // predicate it falls back, so the OR shapes ride the next op.
+    Op.noOracle("aqp_transparent_filter") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT l_linestatus, count(*) AS n,
+          |       count(*) FILTER (WHERE l_returnflag = 'A') AS n_a,
+          |       sum(l_extendedprice) FILTER (WHERE l_discount < 0.05) AS rev_lo_disc,
+          |       min(l_returnflag) AS first_flag,
+          |       max(l_returnflag) AS last_flag
+          |FROM lineitem WHERE l_quantity < 30
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    },
+
+    // Round 11 late widenings, disjunctive composition: a numeric !=
+    // (disjoint-range rewrite — one OR slot) stacked with two explicit
+    // disjunctions = the full three-slot 27-term signed expansion, grouped.
+    Op.noOracle("aqp_transparent_or3") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT l_linestatus, count(*) AS n, sum(l_extendedprice) AS rev
+          |FROM lineitem
+          |WHERE l_quantity != 24
+          |  AND (l_quantity < 10 OR l_quantity > 40)
+          |  AND (l_discount < 0.03 OR l_discount > 0.07)
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
     }
   )
 }
