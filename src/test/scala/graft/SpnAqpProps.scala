@@ -94,6 +94,42 @@ object SpnAqpProps extends Properties("spn_aqp") {
       okPlan && okN && okS
     }
 
+  // round 11 late: EITHER a numeric != landing inside, at the edge of, or
+  // outside the BETWEEN range (the disjoint-range rewrite must compose
+  // with the range atoms — an empty branch intersection is mass 0, not a
+  // miss), OR a FILTER clause narrowing one aggregate over the conjunctive
+  // base. Never both: != spends an OR slot and FILTER is conjunctive-only
+  // by design, so their combination is a pinned fallback, not a fold.
+  private val r11Gen: Gen[(Boolean, Int, Int, Int, Int)] = for {
+    useNeq <- Gen.oneOf(true, false)
+    ne <- Gen.choose(1, 50)
+    lo <- Gen.choose(1, 38)
+    width <- Gen.choose(3, 12)
+    dHi <- Gen.choose(1, 10)
+  } yield (useNeq, ne, lo, lo + width, dHi)
+
+  property("numeric != and FILTER clauses fold zero-scan within q-error 2") =
+    forAll(r11Gen) { case (useNeq, ne, lo, hi, dHi) =>
+      val sql =
+        if (useNeq)
+          s"""SELECT count(*) AS n, count(l_discount) AS n2 FROM lineitem
+              WHERE l_quantity BETWEEN $lo AND $hi AND l_quantity != $ne"""
+        else
+          s"""SELECT count(*) AS n,
+                    count(*) FILTER (WHERE l_discount < 0.0$dHi) AS n2
+              FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi"""
+      val exact = session(aqp = false).sql(sql).head
+      val df = session(aqp = true).sql(sql)
+      val est = df.head
+      val okPlan = isRewritten(df)
+      val okN = qerr(est.getLong(0).toDouble, exact.getLong(0).toDouble) <= 2.0
+      val okF = qerr(est.getLong(1).toDouble, exact.getLong(1).toDouble) <= 2.0
+      if (!(okPlan && okN && okF))
+        println(s"FAIL [$sql] plan=$okPlan n=${est.getLong(0)}/${exact.getLong(0)} " +
+          s"n2=${est.getLong(1)}/${exact.getLong(1)}")
+      okPlan && okN && okF
+    }
+
   private val unanswerableGen: Gen[String] = Gen.oneOf(
     // LIKE on an UNMODELED string column (modeled cat columns fold by
     // dictionary closure since round 10)

@@ -1016,6 +1016,23 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(math.abs(aDf.head.getLong(0).toDouble - aExact) <=
       0.5 * math.max(math.abs(aExact), 1000.0),
       s"net filtered count: ${aDf.head.getLong(0)} vs $aExact")
+    // FILTER composes with grouping sets (per-set estimation routes
+    // through the same conjunctive dispatchers)
+    val ruSql = """SELECT l_linestatus,
+                          count(*) FILTER (WHERE l_returnflag = 'A') AS na
+                   FROM lineitem WHERE l_quantity < 30
+                   GROUP BY ROLLUP(l_linestatus)""".stripMargin
+    val ruExact = session(aqp = false).sql(ruSql).collect()
+      .map(r => (if (r.isNullAt(0)) "␀" else r.getString(0)) -> r.getLong(1).toDouble).toMap
+    val ruDf = session(aqp = true).sql(ruSql)
+    assert(isRewritten(ruDf), s"FILTER under ROLLUP must fold:\n${ruDf.queryExecution.optimizedPlan}")
+    val ruEst = ruDf.collect()
+      .map(r => (if (r.isNullAt(0)) "␀" else r.getString(0)) -> r.getLong(1).toDouble).toMap
+    assert(ruEst.keySet == ruExact.keySet, s"rollup keys ${ruEst.keySet} vs ${ruExact.keySet}")
+    ruExact.foreach { case (k, v) =>
+      assert(qerr(math.max(ruEst(k), 1.0), math.max(v, 1.0)) <= 1.5,
+        s"rollup set $k filtered count: ${ruEst(k)} vs $v")
+    }
     // a disjunctive OUTER predicate with a FILTER aggregate falls back
     // (the per-leaf merge does not compose with branch expansion)
     val orOuter = session(aqp = true).sql(
