@@ -1101,11 +1101,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       spec: DatasetSpec, sh: Shape,
       gcols: Seq[(String, String)], cols: Seq[OutCol])
       : Option[Seq[(Seq[String], Map[Int, Any])]] = {
+    // the base predicate's count enumeration — the ROW UNIVERSE at
+    // assembly, and the unfiltered CountOut's own values (shared so the
+    // common all-plain-aggregates query enumerates it exactly once)
+    lazy val baseEnum: Option[Seq[(Seq[String], Ensemble.Estimate)]] =
+      SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+        .map(p => Ensemble.estGroupByMulti(spns, sh.tables, gcols, p))
     // atom-parameterized for FILTER (WHERE ...) recursion, exactly like
     // plainScalarVals.leafValUnder. The ROW UNIVERSE stays the BASE
-    // predicate's count enumeration (computed at assembly below): SQL's
-    // FILTER narrows one aggregate's rows, never the group list — a group
-    // the filter empties still emits, with COUNT 0 / SUM NULL (aggDefault).
+    // predicate's count enumeration: SQL's FILTER narrows one aggregate's
+    // rows, never the group list — a group the filter empties still
+    // emits, with COUNT 0 / SUM NULL (aggDefault).
     def perGroupUnder(atoms: Map[String, Seq[Atom]])(col: OutCol): Option[Map[Seq[String], Any]] = {
       def predsNN(cs: Seq[(String, String)]) =
         SpnCardinality.predsFor(spns, sh.tables, withNotNull(atoms, cs), spec.modeled)
@@ -1113,6 +1119,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       col match {
         case FilteredOut(extra, inner) =>
           perGroupUnder(mergeAtoms(atoms, extra))(inner)
+        case CountOut() if atoms eq sh.atoms =>
+          baseEnum.map(_.map { case (k, e) => k -> (e.value: Any) }.toMap)
         case CountOut() => preds.map(p =>
           Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
             .map { case (k, e) => k -> (e.value: Any) }.toMap)
@@ -1188,8 +1196,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
       }
     }
-    SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled).flatMap { basePreds =>
-      val counts = Ensemble.estGroupByMulti(spns, sh.tables, gcols, basePreds)
+    baseEnum.flatMap { counts =>
       val per = cols.zipWithIndex.collect {
         case (c, i) if !c.isInstanceOf[GroupOut] && !c.isInstanceOf[GidOut] =>
           i -> perGroupUnder(sh.atoms)(c)
