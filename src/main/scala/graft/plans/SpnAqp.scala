@@ -697,12 +697,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private case class MinMaxCatOut(col: (String, String), isMin: Boolean) extends OutCol
   /** `agg(...) FILTER (WHERE p)`: the inner aggregate evaluated under the
     * base predicates ∧ the clause's own understood atoms — exactly SQL's
-    * per-aggregate row narrowing. CONJUNCTIVE paths only: the per-leaf
-    * atom merge composes with the shared base fold, while a disjunctive
-    * outer predicate would need per-leaf branch re-expansion — the OR
-    * paths' default case makes the whole query fall back instead (never
-    * guess). Grouped shapes keep the BASE row universe: a group the
-    * filter empties still emits, with COUNT 0 / SUM NULL.
+    * per-aggregate row narrowing. Every estimation path handles it by
+    * atom-parameterized recursion: the extra conjuncts ride the BASE atom
+    * set, which on the OR paths distributes into each branch set /
+    * signed-expansion term — count((A∨B)∧base∧extra) is the IE (or 3^N
+    * product) over the extra-merged branches, so FILTER composes with
+    * disjunctive outer predicates too. Grouped shapes keep the BASE row
+    * universe: a group the filter empties still emits, with COUNT 0 /
+    * SUM NULL.
     */
   private case class FilteredOut(extra: Seq[(String, Atom)], inner: OutCol) extends OutCol
   /** SUM of a LINEAR form: Σ coef · ∏ distinct modeled columns per term —
@@ -1233,19 +1235,25 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
 
   /** One disjunction, SCALAR: inclusion-exclusion over the two branch
     * predicate sets (each merged with the base conjuncts) through the
-    * estimator's shared-memo OR surfaces.
+    * estimator's shared-memo OR surfaces. Atom-parameterized like the
+    * plain paths: a FILTER (WHERE ...) clause recurses with its extra
+    * conjuncts merged into the BASE, which distributes into both branch
+    * sets — count((A∨B)∧base∧extra) = IE over (A∧base∧extra, B∧base∧extra).
     */
   private def singleOrScalarVals(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
       orA: Map[String, Seq[Atom]], orB: Map[String, Seq[Atom]],
       cols: Seq[OutCol]): Option[Map[Int, Any]] = {
-    val mA = mergeAtomMaps(sh.atoms, orA)
-    val mB = mergeAtomMaps(sh.atoms, orB)
-    def predPair(cs: Seq[(String, String)]) = for {
-      nA <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mA, cs), spec.modeled)
-      nB <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mB, cs), spec.modeled)
-    } yield (nA, nB)
-    def leafOr(col: OutCol): Option[Any] = col match {
+    def leafOrUnder(base: Map[String, Seq[Atom]])(col: OutCol): Option[Any] = {
+      val mA = mergeAtomMaps(base, orA)
+      val mB = mergeAtomMaps(base, orB)
+      def predPair(cs: Seq[(String, String)]) = for {
+        nA <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mA, cs), spec.modeled)
+        nB <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mB, cs), spec.modeled)
+      } yield (nA, nB)
+      col match {
+        case FilteredOut(extra, inner) =>
+          leafOrUnder(mergeAtoms(base, extra))(inner)
       case CountOut() =>
         for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
               pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
@@ -1301,8 +1309,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           }.sum / gate
         }
       case _ => None
+      }
     }
-    scalarFold(cols, leafOr)
+    scalarFold(cols, leafOrUnder(sh.atoms))
   }
 
   /** One disjunction, GROUPED: per enumerated group over both branches'
@@ -1315,12 +1324,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       : Option[Seq[(Seq[String], Map[Int, Any])]] = {
     val mA = mergeAtomMaps(sh.atoms, orA)
     val mB = mergeAtomMaps(sh.atoms, orB)
-    def predPair(cs: Seq[(String, String)]) = for {
-      nA <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mA, cs), spec.modeled)
-      nB <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mB, cs), spec.modeled)
-    } yield (nA, nB)
     locally {
-      def leafOrG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
+      // atom-parameterized (FILTER recursion — see singleOrScalarVals);
+      // the inner mA/mB/predPair shadow the outer pair, which the ROW
+      // UNIVERSE below keeps at the bare base predicates
+      def leafOrGUnder(base: Map[String, Seq[Atom]])(col: OutCol): Option[Map[Seq[String], Any]] = {
+        val mA = mergeAtomMaps(base, orA)
+        val mB = mergeAtomMaps(base, orB)
+        def predPair(cs: Seq[(String, String)]) = for {
+          nA <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mA, cs), spec.modeled)
+          nB <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(mB, cs), spec.modeled)
+        } yield (nA, nB)
+        col match {
+        case FilteredOut(extra, inner) =>
+          leafOrGUnder(mergeAtoms(base, extra))(inner)
         case CountOut() =>
           for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
                 pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled) }
@@ -1382,7 +1399,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               k -> (perTerm.map(_.getOrElse(k, 0.0)).sum / gate(k): Any)
           }.toMap }
         case _ => None
+        }
       }
+      def leafOrG(col: OutCol): Option[Map[Seq[String], Any]] =
+        leafOrGUnder(sh.atoms)(col)
       def perG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
         case ExprOut(t) =>
           val ls = treeLeaves(t).distinct
@@ -1445,43 +1465,49 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
       groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
       cols: Seq[OutCol]): Option[Map[Int, Any]] = {
-    val terms: Seq[(Double, Map[String, Seq[Atom]])] =
-      groups.foldLeft(Seq((1.0, sh.atoms))) { case (acc, (a, b)) =>
-        val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
-        for { (s1, m1) <- acc; (s2, m2) <- expansion }
-          yield (s1 * s2, mergeAtomMaps(m1, m2))
-      }
-    // Σ sign·f(term ∧ notnull(cs)) over all expansion terms, None when any
-    // term's atoms cannot compile (the caller then falls back to exact)
-    def signed(nnCols: Seq[(String, String)],
-        f: Map[(String, String), graft.rspn.ColRange] => Double): Option[Double] =
-      terms.foldLeft(Option(0.0)) { case (acc, (sgn, m)) =>
-        for {
-          a <- acc
-          p <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(m, nnCols), spec.modeled)
-        } yield a + sgn * f(p)
-      }
     def estOf(cs: Seq[(String, String)])(p: Map[(String, String), graft.rspn.ColRange]): Double =
       cs match {
         case Seq()  => Ensemble.estCount(spns, sh.tables, p).value
         case Seq(c) => Ensemble.estSum(spns, sh.tables, c, p).value
         case _      => Ensemble.estSumProduct(spns, sh.tables, cs, p).value
       }
-    // (a∨b)∧(c∨d)∧…'s support set is the UNION over the 2^N positive
-    // branch combinations — exact set semantics, the signed expansion
-    // must not touch a non-additive distinct count
-    def distinctUnion(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
-      val combos = groups.foldLeft(Seq(sh.atoms)) { case (acc, (a, b)) =>
-        for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
+    // atom-parameterized (FILTER recursion — the extra conjuncts ride the
+    // BASE of every signed term, i.e. distribute into each of the 3^N
+    // expansion products; the row semantics are count((∧ᵢ Aᵢ∨Bᵢ)∧base∧extra))
+    def leaf2Under(base: Map[String, Seq[Atom]])(col: OutCol): Option[Any] = {
+      val terms: Seq[(Double, Map[String, Seq[Atom]])] =
+        groups.foldLeft(Seq((1.0, base))) { case (acc, (a, b)) =>
+          val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
+          for { (s1, m1) <- acc; (s2, m2) <- expansion }
+            yield (s1 * s2, mergeAtomMaps(m1, m2))
+        }
+      // Σ sign·f(term ∧ notnull(cs)) over all expansion terms, None when any
+      // term's atoms cannot compile (the caller then falls back to exact)
+      def signed(nnCols: Seq[(String, String)],
+          f: Map[(String, String), graft.rspn.ColRange] => Double): Option[Double] =
+        terms.foldLeft(Option(0.0)) { case (acc, (sgn, m)) =>
+          for {
+            a <- acc
+            p <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(m, nnCols), spec.modeled)
+          } yield a + sgn * f(p)
+        }
+      // (a∨b)∧(c∨d)∧…'s support set is the UNION over the 2^N positive
+      // branch combinations — exact set semantics, the signed expansion
+      // must not touch a non-additive distinct count
+      def distinctUnion(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
+        val combos = groups.foldLeft(Seq(base)) { case (acc, (a, b)) =>
+          for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
+        }
+        combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
+          for {
+            s <- acc
+            p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+          } yield s ++ Ensemble.estGroupByMulti(spns, sh.tables, enumCols, p).map(_._1)
+        }
       }
-      combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
-        for {
-          s <- acc
-          p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
-        } yield s ++ Ensemble.estGroupByMulti(spns, sh.tables, enumCols, p).map(_._1)
-      }
-    }
-    def leaf2(col: OutCol): Option[Any] = col match {
+      col match {
+      case FilteredOut(extra, inner) =>
+        leaf2Under(mergeAtoms(base, extra))(inner)
       case CountOut()     => signed(Nil, estOf(Nil)).map(v => math.max(v, 0.0))
       case CountColOut(c) => signed(Seq(c), estOf(Nil)).map(v => math.max(v, 0.0))
       case CountDistinctOut(c) => distinctUnion(Seq(c)).map(_.size.toDouble)
@@ -1510,8 +1536,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           }
         } yield if (den < 0.5) null else num / den
       case _ => None
+      }
     }
-    scalarFold(cols, leaf2)
+    scalarFold(cols, leaf2Under(sh.atoms))
   }
 
   /** Two or three independent disjunctions UNDER GROUP BY: the same
@@ -1528,18 +1555,18 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
       gcols: Seq[(String, String)], cols: Seq[OutCol])
       : Option[Seq[(Seq[String], Map[Int, Any])]] = {
-    val terms: Seq[(Double, Map[String, Seq[Atom]])] =
-      groups.foldLeft(Seq((1.0, sh.atoms))) { case (acc, (a, b)) =>
+    def termsFor(base: Map[String, Seq[Atom]]): Seq[(Double, Map[String, Seq[Atom]])] =
+      groups.foldLeft(Seq((1.0, base))) { case (acc, (a, b)) =>
         val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
         for { (s1, m1) <- acc; (s2, m2) <- expansion }
           yield (s1 * s2, mergeAtomMaps(m1, m2))
       }
     // per-group signed combination of one enumeration across all expansion
     // terms; None when any term's atoms cannot compile (caller falls back)
-    def signedG(nnCols: Seq[(String, String)],
+    def signedGFor(base: Map[String, Seq[Atom]])(nnCols: Seq[(String, String)],
         f: Map[(String, String), graft.rspn.ColRange] => Seq[(Seq[String], Double)])
         : Option[Map[Seq[String], Double]] =
-      terms.foldLeft(Option(Map.empty[Seq[String], Double])) { case (acc, (sgn, m)) =>
+      termsFor(base).foldLeft(Option(Map.empty[Seq[String], Double])) { case (acc, (sgn, m)) =>
         for {
           a <- acc
           p <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(m, nnCols), spec.modeled)
@@ -1554,8 +1581,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
         .map { case (k, e) => k -> e.value }
     // set-union semantics for distinct (see multiOrScalarVals.distinctUnion)
-    def distinctUnionG(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
-      val combos = groups.foldLeft(Seq(sh.atoms)) { case (acc, (a, b)) =>
+    def distinctUnionGFor(base: Map[String, Seq[Atom]])(
+        enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
+      val combos = groups.foldLeft(Seq(base)) { case (acc, (a, b)) =>
         for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
       }
       combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
@@ -1565,7 +1593,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         } yield s ++ Ensemble.estGroupByMulti(spns, sh.tables, enumCols, p).map(_._1)
       }
     }
-    def leafG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
+    // atom-parameterized (FILTER recursion — see multiOrScalarVals)
+    def leafGUnder(base: Map[String, Seq[Atom]])(col: OutCol): Option[Map[Seq[String], Any]] = {
+      def signedG(nnCols: Seq[(String, String)],
+          f: Map[(String, String), graft.rspn.ColRange] => Seq[(Seq[String], Double)]) =
+        signedGFor(base)(nnCols, f)
+      def distinctUnionG(enumCols: Seq[(String, String)]) =
+        distinctUnionGFor(base)(enumCols)
+      col match {
+      case FilteredOut(extra, inner) =>
+        leafGUnder(mergeAtoms(base, extra))(inner)
       case CountOut() =>
         signedG(Nil, countEnum).map(_.map { case (k, v) => k -> (math.max(v, 0.0): Any) })
       case CountColOut(c) =>
@@ -1614,7 +1651,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case (k, v) if den.getOrElse(k, 0.0) >= 0.5 => k -> (v / den(k): Any)
         }.toMap
       case _ => None
+      }
     }
+    def leafG(col: OutCol): Option[Map[Seq[String], Any]] = leafGUnder(sh.atoms)(col)
     def perG(col: OutCol): Option[Map[Seq[String], Any]] = col match {
       case ExprOut(t) =>
         val ls = treeLeaves(t).distinct
@@ -1641,7 +1680,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     if (per.exists(_._2.isEmpty)) None
     else {
       val aggVals = per.map { case (i, m) => i -> m.get }.toMap
-      signedG(Nil, countEnum).map { base =>
+      signedGFor(sh.atoms)(Nil, countEnum).map { base =>
         // exactly the groups whose signed count combination reaches one
         // row — unioning unfiltered per-leaf keys would emit spurious
         // near-zero groups the exact plane doesn't have

@@ -709,8 +709,6 @@ object SpnPlanning {
     // FILTER clauses (the conditional-count idiom) plus dictionary MIN/MAX
     // — all folding zero-scan on the plain path (SpnAqpSpec pins each
     // against the exact plane; the Verify contract here is rows>0).
-    // FILTER stays conjunctive by design — under a disjunctive outer
-    // predicate it falls back, so the OR shapes ride the next op.
     Op.noOracle("aqp_transparent_filter") { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.spn.sfDir", d)
@@ -728,14 +726,16 @@ object SpnPlanning {
 
     // Round 11 late widenings, disjunctive composition: a numeric !=
     // (disjoint-range rewrite — one OR slot) stacked with two explicit
-    // disjunctions = the full three-slot 27-term signed expansion, grouped.
+    // disjunctions = the full three-slot 27-term signed expansion,
+    // grouped, with a FILTER clause distributing into every signed term.
     Op.noOracle("aqp_transparent_or3") { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.spn.sfDir", d)
       s2.conf.set("spark.graft.aqp.enabled", "true")
       s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
       s2.sql(
-        """SELECT l_linestatus, count(*) AS n, sum(l_extendedprice) AS rev
+        """SELECT l_linestatus, count(*) AS n, sum(l_extendedprice) AS rev,
+          |       count(*) FILTER (WHERE l_returnflag = 'A') AS n_a
           |FROM lineitem
           |WHERE l_quantity != 24
           |  AND (l_quantity < 10 OR l_quantity > 40)

@@ -94,30 +94,36 @@ object SpnAqpProps extends Properties("spn_aqp") {
       okPlan && okN && okS
     }
 
-  // round 11 late: EITHER a numeric != landing inside, at the edge of, or
+  // round 11 late: a numeric != landing inside, at the edge of, or
   // outside the BETWEEN range (the disjoint-range rewrite must compose
   // with the range atoms — an empty branch intersection is mass 0, not a
-  // miss), OR a FILTER clause narrowing one aggregate over the conjunctive
-  // base. Never both: != spends an OR slot and FILTER is conjunctive-only
-  // by design, so their combination is a pinned fallback, not a fold.
-  private val r11Gen: Gen[(Boolean, Int, Int, Int, Int)] = for {
-    useNeq <- Gen.oneOf(true, false)
+  // miss), a FILTER clause narrowing one aggregate over the conjunctive
+  // base, or BOTH (the clause's atoms distribute into the !='s branch
+  // sets through the OR paths' atom-parameterized recursion).
+  private val r11Gen: Gen[(Int, Int, Int, Int, Int)] = for {
+    shape <- Gen.choose(0, 2) // 0 = neq, 1 = filter, 2 = both
     ne <- Gen.choose(1, 50)
     lo <- Gen.choose(1, 38)
     width <- Gen.choose(3, 12)
     dHi <- Gen.choose(1, 10)
-  } yield (useNeq, ne, lo, lo + width, dHi)
+  } yield (shape, ne, lo, lo + width, dHi)
 
   property("numeric != and FILTER clauses fold zero-scan within q-error 2") =
-    forAll(r11Gen) { case (useNeq, ne, lo, hi, dHi) =>
-      val sql =
-        if (useNeq)
+    forAll(r11Gen) { case (shape, ne, lo, hi, dHi) =>
+      val sql = shape match {
+        case 0 =>
           s"""SELECT count(*) AS n, count(l_discount) AS n2 FROM lineitem
               WHERE l_quantity BETWEEN $lo AND $hi AND l_quantity != $ne"""
-        else
+        case 1 =>
           s"""SELECT count(*) AS n,
                     count(*) FILTER (WHERE l_discount < 0.0$dHi) AS n2
               FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi"""
+        case _ =>
+          s"""SELECT count(*) AS n,
+                    count(*) FILTER (WHERE l_discount < 0.0$dHi) AS n2
+              FROM lineitem
+              WHERE l_quantity BETWEEN $lo AND $hi AND l_quantity != $ne"""
+      }
       val exact = session(aqp = false).sql(sql).head
       val df = session(aqp = true).sql(sql)
       val est = df.head

@@ -1033,12 +1033,25 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(math.max(ruEst(k), 1.0), math.max(v, 1.0)) <= 1.5,
         s"rollup set $k filtered count: ${ruEst(k)} vs $v")
     }
-    // a disjunctive OUTER predicate with a FILTER aggregate falls back
-    // (the per-leaf merge does not compose with branch expansion)
-    val orOuter = session(aqp = true).sql(
-      """SELECT count(*) FILTER (WHERE l_returnflag = 'A') AS na
-         FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin)
-    assert(!isRewritten(orOuter), "FILTER under an OR outer predicate must fall back")
+    // FILTER composes with disjunctive outer predicates: the clause's
+    // atoms distribute into the branch sets (single-OR) and into every
+    // signed expansion term (two-OR)
+    val orCases = Seq(
+      """SELECT count(*) AS n, count(*) FILTER (WHERE l_returnflag = 'A') AS na
+         FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin,
+      """SELECT count(*) AS n, count(*) FILTER (WHERE l_returnflag = 'A') AS na
+         FROM lineitem WHERE (l_quantity < 5 OR l_quantity > 45)
+           AND (l_discount < 0.02 OR l_discount > 0.08)""".stripMargin)
+    orCases.foreach { s =>
+      val ex = session(aqp = false).sql(s).head
+      val d = session(aqp = true).sql(s)
+      assert(isRewritten(d), s"FILTER under OR must fold for [$s]:\n${d.queryExecution.optimizedPlan}")
+      val e = d.head
+      assert(qerr(e.getLong(0).toDouble, ex.getLong(0).toDouble) <= 1.5,
+        s"OR+FILTER base count: ${e.getLong(0)} vs ${ex.getLong(0)}")
+      assert(qerr(math.max(e.getLong(1).toDouble, 1.0), math.max(ex.getLong(1).toDouble, 1.0)) <= 1.5,
+        s"OR+FILTER filtered count: ${e.getLong(1)} vs ${ex.getLong(1)}")
+    }
     // an un-understood FILTER condition (multi-column arithmetic — not a
     // single-attribute atom) falls back
     val opaque = session(aqp = true).sql(
