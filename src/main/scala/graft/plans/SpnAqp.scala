@@ -428,6 +428,34 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
   }
 
+  /** `a = 'x' OR a = 'y' [OR ...]` — a same-column disjunction of point
+    * predicates — is exactly `a IN ('x','y',...)` (NULL is unknown under
+    * both spellings), so fold it to an In: it then compiles as ONE InSet
+    * atom instead of spending an OR slot, and it is admissible inside
+    * FILTER clauses, whose atom lists are conjunctive. Mixed-column or
+    * non-point disjunctions are left for the OR machinery.
+    */
+  private def eqOrToIn(e: Expression): Expression = {
+    def disjuncts(x: Expression): Seq[Expression] = x match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other    => Seq(other)
+    }
+    e match {
+      case o: Or =>
+        val eqs = disjuncts(o).map {
+          case EqualTo(a: AttributeReference, l: Literal) if l.value != null => Some((a, l))
+          case EqualTo(l: Literal, a: AttributeReference) if l.value != null => Some((a, l))
+          case _ => None
+        }
+        eqs.flatten match {
+          case all if all.length == eqs.length && all.map(_._1.exprId).distinct.sizeIs == 1 =>
+            org.apache.spark.sql.catalyst.expressions.In(all.head._1, all.map(_._2))
+          case _ => o
+        }
+      case other => other
+    }
+  }
+
   private def walk(
       p: LogicalPlan,
       modeled: Map[String, Seq[(String, String)]],
@@ -445,7 +473,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // computed column or join still falls back to exact.
     case StrictScan(dir, t, conjuncts0)
         if dirMatches(dir) && modeled.contains(t) =>
-      val conjuncts = conjuncts0.map(neqToRange(_,
+      val conjuncts = conjuncts0.map(eqOrToIn).map(neqToRange(_,
         a => modeled(t).collectFirst { case (c, k) if c == a.name => k }))
       val (ors, plain) = conjuncts.partition(_.isInstanceOf[Or])
       for {
@@ -490,7 +518,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       walk(c, modeled, rels, keyCols).flatMap { sh =>
         def tableOfAttr(a: AttributeReference): Option[(String, String)] =
           sh.attrTable.get(a.exprId)
-        val (ors, plain) = splitConj(cond).map(neqToRange(_,
+        val (ors, plain) = splitConj(cond).map(eqOrToIn).map(neqToRange(_,
           a => tableOfAttr(a).flatMap { case (t, c) =>
             modeled(t).collectFirst { case (cc, k) if cc == c => k } }))
           .partition(_.isInstanceOf[Or])
@@ -762,7 +790,19 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       modeled: Map[String, Seq[(String, String)]],
       groupIdx: Map[ExprId, Int],
       gidId: Option[ExprId] = None): Option[Seq[OutCol]] = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Subtract, UnaryMinus}
+    import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Multiply, Subtract, UnaryMinus}
+
+    // a division is foldable ONLY by a nonzero numeric literal — a scale
+    // factor with no /0 divergence (`sum(x / 100)`, `count(*) / 2`);
+    // division by an expression keeps its exact-plane NULL-on-zero
+    // semantics and falls back
+    def literalDivisor(e: Expression): Option[Double] = e match {
+      case Literal(v, _) => Option(v).collect {
+        case n: Number if n.doubleValue() != 0.0 => n.doubleValue()
+      }
+      case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => literalDivisor(c)
+      case _ => None
+    }
 
     // only a genuinely WIDENING cast leaves values unchanged; a narrowing
     // cast (sum(cast(price AS int)) truncates per row) must fall back
@@ -804,6 +844,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         for { l <- sumTerms(sb.left); r <- sumTerms(sb.right) }
           yield l ++ r.map { case (c, xs) => (-c, xs) }
       case um: UnaryMinus => sumTerms(um.child).map(_.map { case (c, xs) => (-c, xs) })
+      case dv: Divide =>
+        for { d <- literalDivisor(dv.right); l <- sumTerms(dv.left) }
+          yield l.map { case (c, xs) => (c / d, xs) }
       case _ => None
     }
 
@@ -830,7 +873,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // columns (single-attribute understood conjuncts, resolved through the
     // rename layer like any residual filter); anything else bails
     def filterAtoms(cond: Expression): Option[Seq[(String, Atom)]] = {
-      val per = splitConj(cond).map { cj =>
+      val per = splitConj(cond).map(eqOrToIn).map { cj =>
         for {
           as <- atomsOf(Seq(cj))
           a <- as.headOption
@@ -903,6 +946,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case m: Multiply =>
         for { l <- aggTree(m.left); r <- aggTree(m.right) } yield ABin('*', l, r)
       case um: UnaryMinus => aggTree(um.child).map(t => ABin('-', AConst(0.0), t))
+      case dv: Divide =>
+        for { d <- literalDivisor(dv.right); l <- aggTree(dv.left) }
+          yield ABin('*', l, AConst(1.0 / d))
       case _ => None
     }
 

@@ -211,6 +211,19 @@ class SpnAqpSpec extends AnyFunSuite {
     gExact.foreach { case (k, v) =>
       assert(qerr(gEst(k), v) <= 1.5, s"group $k excess: ${gEst(k)} vs $v")
     }
+    // division by a nonzero LITERAL is a scale factor — no /0 divergence —
+    // so it folds both per row (sum(x/100)) and over the whole aggregate
+    // (count(*)/2); division by an AGGREGATE keeps the fallback below
+    val divLit = """SELECT sum(l_extendedprice / 100) AS s100,
+                           count(*) / 2 AS half
+                    FROM lineitem WHERE l_quantity < 24""".stripMargin
+    val dlExact = session(aqp = false).sql(divLit).head
+    val dlDf = session(aqp = true).sql(divLit)
+    assert(isRewritten(dlDf), s"literal division must fold:\n${dlDf.queryExecution.optimizedPlan}")
+    assert(qerr(dlDf.head.getDouble(0), dlExact.getDouble(0)) <= 1.5,
+      s"sum(x/100): ${dlDf.head.getDouble(0)} vs ${dlExact.getDouble(0)}")
+    assert(qerr(dlDf.head.getDouble(1), dlExact.getDouble(1)) <= 1.5,
+      s"count(*)/2: ${dlDf.head.getDouble(1)} vs ${dlExact.getDouble(1)}")
     // division's /0 semantics diverge (SQL null vs folded Inf) — fall back
     val div = session(aqp = true).sql(
       "SELECT sum(l_extendedprice) / count(*) AS m FROM lineitem")
@@ -267,14 +280,27 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(isRewritten(threeOrs), s"three ORs must fold:\n${threeOrs.queryExecution.optimizedPlan}")
     assert(qerr(threeOrs.head.getLong(0).toDouble, e3) <= 1.5,
       s"three-OR count: ${threeOrs.head.getLong(0)} vs $e3")
-    // FOUR independent ORs exceed the expansion's accuracy cap: fallback
+    // a same-column eq-disjunction is NOT an OR group — it folds to an
+    // IN (one InSet atom), so it coexists with three true range ORs
+    val eqOrSql = """SELECT count(*) AS n FROM lineitem
+         WHERE (l_returnflag = 'A' OR l_returnflag = 'R')
+           AND (l_quantity < 5 OR l_quantity > 45)
+           AND (l_discount < 0.02 OR l_discount > 0.08)
+           AND (l_tax < 0.02 OR l_tax > 0.06)""".stripMargin
+    val eqOrExact = session(aqp = false).sql(eqOrSql).head.getLong(0).toDouble
+    val eqOr = session(aqp = true).sql(eqOrSql)
+    assert(isRewritten(eqOr),
+      s"eq-OR must collapse to IN and free the slot:\n${eqOr.queryExecution.optimizedPlan}")
+    assert(qerr(math.max(eqOr.head.getLong(0).toDouble, 1.0), math.max(eqOrExact, 1.0)) <= 2.0,
+      s"eq-OR + three ranges: ${eqOr.head.getLong(0)} vs $eqOrExact")
+    // FOUR independent range ORs exceed the expansion's accuracy cap: fallback
     val fourOrs = session(aqp = true).sql(
       """SELECT count(*) AS n FROM lineitem
          WHERE (l_quantity < 5 OR l_quantity > 45)
            AND (l_discount < 0.02 OR l_discount > 0.08)
-           AND (l_returnflag = 'A' OR l_returnflag = 'R')
+           AND (l_extendedprice < 10000 OR l_extendedprice > 50000)
            AND (l_tax < 0.01 OR l_tax > 0.07)""".stripMargin)
-    assert(!isRewritten(fourOrs), "four ORs must fall back to exact")
+    assert(!isRewritten(fourOrs), "four range ORs must fall back to exact")
   }
 
   test("two independent disjunctions fold through the signed product expansion") {
@@ -519,7 +545,8 @@ class SpnAqpSpec extends AnyFunSuite {
       "sum(l_extendedprice * (1 - l_discount))" -> "sumexpr",
       "avg(l_extendedprice)" -> "avg",
       "avg(l_extendedprice * (1 - l_discount))" -> "avgexpr",
-      "sum(l_quantity) - count(*)" -> "arith")
+      "sum(l_quantity) - count(*)" -> "arith",
+      "count(*) FILTER (WHERE l_linestatus = 'F')" -> "cntf")
     val groupings = Seq(
       "" -> "scalar",
       "GROUP BY l_returnflag" -> "grouped",
@@ -1052,6 +1079,16 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(math.max(e.getLong(1).toDouble, 1.0), math.max(ex.getLong(1).toDouble, 1.0)) <= 1.5,
         s"OR+FILTER filtered count: ${e.getLong(1)} vs ${ex.getLong(1)}")
     }
+    // a same-column eq-disjunction INSIDE the clause folds as an IN atom
+    val inOr = """SELECT count(*) AS n,
+                         count(*) FILTER (WHERE l_returnflag = 'A' OR l_returnflag = 'R') AS nar
+                  FROM lineitem WHERE l_quantity < 30""".stripMargin
+    val inOrExact = session(aqp = false).sql(inOr).head
+    val inOrDf = session(aqp = true).sql(inOr)
+    assert(isRewritten(inOrDf),
+      s"eq-OR inside FILTER must fold:\n${inOrDf.queryExecution.optimizedPlan}")
+    assert(qerr(inOrDf.head.getLong(1).toDouble, inOrExact.getLong(1).toDouble) <= 1.5,
+      s"FILTER(eq-OR) count: ${inOrDf.head.getLong(1)} vs ${inOrExact.getLong(1)}")
     // an un-understood FILTER condition (multi-column arithmetic — not a
     // single-attribute atom) falls back
     val opaque = session(aqp = true).sql(
