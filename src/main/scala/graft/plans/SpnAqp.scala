@@ -702,6 +702,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
 
   private sealed trait OutCol
   private case class GroupOut(idx: Int) extends OutCol
+  /** A constant literal output (`SELECT 'lo' AS bucket, count(*) ...` —
+    * the tagged-UNION-ALL idiom): the value rides along unchanged, scalar
+    * and per group, already converted to its Scala form for [[toRows]].
+    */
+  private case class ConstOut(value: Any) extends OutCol
   private case class CountOut() extends OutCol
   /** COUNT(col): a count gated on the column's non-nullness. */
   private case class CountColOut(col: (String, String)) extends OutCol
@@ -964,6 +969,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case a: AttributeReference => groupIdx.get(a.exprId).map(GroupOut.apply)
       case Alias(e, _) if gidOnly(e) => Some(GidOut(e))
       case Alias(ae: AggregateExpression, _) => leafAgg(ae)
+      case Alias(l: Literal, _) =>
+        Some(ConstOut(CatalystTypeConverters.convertToScala(l.value, l.dataType)))
       case Alias(e, _) => aggTree(e).map {
         case ALeaf(c) => c // a plain aggregate keeps its direct form
         case t        => ExprOut(t)
@@ -1123,6 +1130,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     */
   private def aggDefault(col: OutCol): Any = col match {
     case SumOut(_, _) | AvgOut(_) | AvgExprOut(_, _) | MinMaxCatOut(_, _) => null
+    case ConstOut(v) => v
     case FilteredOut(_, inner) => aggDefault(inner)
     case ExprOut(t) =>
       def nullable(l: OutCol): Boolean = l match {
@@ -1240,6 +1248,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                     else foldTree(t, c => leafVals(c).asInstanceOf[Double]): Any)
             }.toMap)
           }
+        case ConstOut(_) => Some(Map.empty) // assembly fills aggDefault = the value
         case GroupOut(_) => Some(Map.empty)
         case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
       }
@@ -1267,6 +1276,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     val vals: Seq[Option[Any]] = cols.map {
       case GroupOut(_) => Some(null)
       case GidOut(_)   => Some(null) // overridden per set by estimateSets
+      case ConstOut(v) => Some(v)
       case ExprOut(t) =>
         val lv = treeLeaves(t).distinct.map(l => l -> leafVal(l)).toMap
         if (lv.values.exists(_.isEmpty)) None
@@ -1464,6 +1474,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                     else foldTree(t, c => leafVals(c).asInstanceOf[Double]): Any)
             }.toMap)
           }
+        case ConstOut(_) => Some(Map.empty) // assembly fills aggDefault = the value
         case GroupOut(_) => Some(Map.empty)
         case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
         case leaf        => leafOrG(leaf)
@@ -1715,7 +1726,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                   else foldTree(t, c => leafVals(c).asInstanceOf[Double]): Any)
           }.toMap)
         }
-      case GroupOut(_) => Some(Map.empty)
+      case ConstOut(_) => Some(Map.empty) // assembly fills aggDefault = the value
+        case GroupOut(_) => Some(Map.empty)
       case GidOut(_)   => Some(Map.empty) // resolved per set by estimateSets
       case leaf        => leafG(leaf)
     }

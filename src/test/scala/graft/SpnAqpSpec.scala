@@ -1195,6 +1195,36 @@ class SpnAqpSpec extends AnyFunSuite {
     } finally cached.unpersist(blocking = true)
   }
 
+  test("answerable aggregates fold inside UNION ALL; constant tag columns ride along") {
+    // transformUp folds each branch's Aggregate independently — the
+    // tagged-bucket dashboard idiom becomes a Union of LocalRelations,
+    // zero scans total; the literal tag is a ConstOut riding the fold
+    val sql = """SELECT 'lo' AS bucket, count(*) AS n FROM lineitem WHERE l_quantity < 10
+                 UNION ALL
+                 SELECT 'hi' AS bucket, count(*) AS n FROM lineitem WHERE l_quantity > 40""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"UNION ALL branches must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet == exact.keySet, s"buckets ${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (k, v) =>
+      assert(qerr(est(k), v) <= 1.5, s"bucket $k: ${est(k)} vs $v")
+    }
+    // grouped with a constant column: every group carries the tag
+    val gSql = """SELECT 'q24' AS tag, l_returnflag, count(*) AS n FROM lineitem
+                  WHERE l_quantity < 24 GROUP BY l_returnflag""".stripMargin
+    val gExact = session(aqp = false).sql(gSql).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    val gDf = session(aqp = true).sql(gSql)
+    assert(isRewritten(gDf), s"constant tag must ride the grouped fold:\n${gDf.queryExecution.optimizedPlan}")
+    val gEst = gDf.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    assert(gEst.keySet == gExact.keySet, s"tagged groups ${gEst.keySet} vs ${gExact.keySet}")
+    gExact.foreach { case (k, v) =>
+      assert(qerr(gEst(k), v) <= 1.5, s"tagged group $k: ${gEst(k)} vs $v")
+    }
+  }
+
   test("unanswerable shapes fall back to the exact plan, untouched") {
     val s2 = session(aqp = true)
     // LIKE on an UNMODELED string column: no dictionary to close over
