@@ -339,8 +339,29 @@ object SpnCardinality {
         case a: InSet               => Complement(a)
         case a: StrMatch            => Complement(a)
       }
+    // a same-column disjunction of point predicates (`a='x' OR a='y'`) IS
+    // `a IN ('x','y')` — one InSet atom, so the broadcast-hint and stats
+    // planes estimate it instead of bailing, and the AQP plane's nested OR
+    // branches compile it without an OR slot (SpnAqpRule.eqOrToIn performs
+    // the same collapse at the Expression level before its OR partition)
+    def eqOrAtom(o: Or): Option[Atom] = {
+      def disjuncts(x: Expression): Seq[Expression] = x match {
+        case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+        case other    => Seq(other)
+      }
+      val eqs = disjuncts(o).map {
+        case EqualTo(a: AttributeReference, l: Literal) if l.value != null => Some((a, l.value))
+        case EqualTo(l: Literal, a: AttributeReference) if l.value != null => Some((a, l.value))
+        case _ => None
+      }
+      val flat = eqs.flatten
+      if (flat.length == eqs.length && flat.map(_._1.exprId).distinct.sizeIs == 1)
+        Some(InSet(flat.head._1.name, flat.map(_._2)))
+      else None
+    }
     val converted = conjuncts.map {
       case Not(inner) => negated(inner)
+      case o: Or => eqOrAtom(o)
       case EqualTo(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "eq", v))
       case EqualTo(Literal(v, _), a: AttributeReference) => Some(Cmp(a.name, "eq", v))
       case LessThan(a: AttributeReference, Literal(v, _)) => Some(Cmp(a.name, "lt", v))

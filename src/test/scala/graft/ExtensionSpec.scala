@@ -57,6 +57,29 @@ class ExtensionSpec extends AnyFunSuite {
       s"learned estimate must place a broadcast hint:\n$plan")
   }
 
+  test("a same-column eq-disjunction compiles to ONE InSet atom in the shared compiler") {
+    // (a='x' OR a='y') is a IN ('x','y'): atomsOf folds it, so the
+    // broadcast/stats planes estimate instead of bailing on the Or conjunct
+    val rule = SpnBroadcastRule((tables, atomsByTable) => {
+      assert(tables == Set("orders"))
+      val atoms = atomsByTable("orders")
+      val ins = atoms.collect {
+        case SpnCardinality.InSet(c, vs) => (c, vs.map(String.valueOf(_)).toSet)
+      }
+      assert(ins == Seq(("o_orderpriority", Set("1-URGENT", "2-HIGH"))), s"atoms: $atoms")
+      Some(50.0)
+    }, 10L * 1024 * 1024)
+    val s2 = sessionWith(rule)
+    val li = s2.read.parquet(s"$rawSf/lineitem.parquet").select("l_orderkey", "l_extendedprice")
+    val ord = s2.read.parquet(s"$rawSf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH")
+      .select("o_orderkey", "o_orderpriority")
+    val plan = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eq-OR InSet estimate must place a broadcast hint:\n$plan")
+  }
+
   test("a PK-FK joined side is estimated through the join-cardinality path") {
     var joinAsked = false
     val rule = SpnBroadcastRule((tables, _) => {
