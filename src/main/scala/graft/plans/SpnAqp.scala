@@ -100,7 +100,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         rewriteSets(agg, ex, setFilter = None)
       case Filter(cond, ex: org.apache.spark.sql.catalyst.plans.logical.Expand) =>
         rewriteSets(agg, ex, setFilter = Some(cond))
-      case _ => rewrite(agg)
+      case _ => rewrite(agg).orElse(rewriteYearBuckets(agg))
     }).toOption.flatten.getOrElse(agg)
   }
 
@@ -158,6 +158,106 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       cols <- outputCols(agg, sh, spec.modeled, groupIdx)
       rows <- estimate(sh, groups.map(_._2), cols, agg.output.map(_.dataType))
     } yield LocalRelation(agg.output, rows)
+  }
+
+  /** `GROUP BY year(datecol)`: the time-series dashboard shape the
+    * dictionary-grouped path cannot serve (a days column has no value
+    * dictionary). Fold it as CALENDAR-YEAR BUCKETS instead: the model's
+    * [[Ensemble.colDomain]] bounds the realized date range, each year
+    * becomes one range-conjoined scalar estimation (`d ∈ [Jan 1, Dec 31]`
+    * merged into the base atoms — all memoized model folds), and a year
+    * whose bucket estimates below one row emits no group, matching SQL's
+    * row universe. Conjunctive predicates only, single grouping
+    * expression, `Year` over a bare modeled days attribute — anything
+    * else (timestamps behind casts, month()'s cross-year cyclic buckets,
+    * disjunctions) falls back to exact.
+    */
+  private def rewriteYearBuckets(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.Year
+    import org.apache.spark.sql.types.DateType
+    // year(...) over a bare modeled date attribute, or over the
+    // timestamp-to-date cast the analyzer inserts for timestamp columns
+    object YearOf {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case Year(a: AttributeReference)                       => Some(a)
+        case Year(Cast(a: AttributeReference, DateType, _, _)) => Some(a)
+        case _                                                 => None
+      }
+    }
+    val spec = DatasetSpec.forDir(session, sfDir)
+    // the analyzer extracts the grouping expression into a child-Project
+    // alias (`_groupingexpression`) and groups by the resulting attribute
+    (agg.groupingExpressions, agg.child) match {
+      case (Seq(gAttr: AttributeReference), Project(pl, inner)) =>
+        for {
+          ga <- pl.collectFirst {
+            case al: Alias if al.exprId == gAttr.exprId => al.child
+          }.flatMap(YearOf.unapply)
+          // the remaining projection must be walkable (pure attrs/renames);
+          // re-add the bare date attribute the alias consumed, so the scan
+          // leaf's attrTable resolves it
+          rest = pl.filter {
+            case al: Alias => al.exprId != gAttr.exprId
+            case _         => true
+          }
+          walkable = if (rest.exists(_.exprId == ga.exprId)) rest else rest :+ ga
+          sh <- walk(Project(walkable, inner), spec.modeled, spec.graph.relationships,
+            keyColsOf(spec))
+          if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
+          tc <- sh.attrTable.get(ga.exprId)
+          (t, c) = tc
+          if spec.modeled(t).exists(x => x._1 == c && x._2 == "days")
+          // classify the NON-key outputs through the shared recognizer
+          // (no grouping attrs — a bare AttributeReference must not pass)
+          others = agg.aggregateExpressions.filter(_.references.forall(_.exprId != gAttr.exprId))
+          if others.length == agg.aggregateExpressions.length - 1 ||
+            others.length == agg.aggregateExpressions.length
+          aggCols <- outputCols(
+            agg.copy(aggregateExpressions = others), sh, spec.modeled, Map.empty)
+          spns = Ensemble.get(session, sfDir)
+          // SQL groups NULL dates into a year-NULL row these buckets
+          // cannot produce — fold only when the column's null mass under
+          // the base predicates estimates below one row
+          nullMass <- for {
+            pAll <- SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+            pNN <- SpnCardinality.predsFor(
+              spns, sh.tables, withNotNull(sh.atoms, Seq((t, c))), spec.modeled)
+          } yield Ensemble.estCount(spns, sh.tables, pAll).value -
+            Ensemble.estCount(spns, sh.tables, pNN).value
+          if nullMass < 0.5
+          dom <- Ensemble.colDomain(spns, t, c)
+          rows <- {
+            import java.time.LocalDate
+            val (yLo, yHi) = (LocalDate.ofEpochDay(dom._1.toLong).getYear,
+              LocalDate.ofEpochDay(dom._2.toLong).getYear)
+            // HALF-OPEN buckets [Jan 1 y, Jan 1 y+1): timestamp columns
+            // model as FRACTIONAL days, so a closed `le Dec 31` bound
+            // would drop Dec 31's intra-day mass
+            val perYear = (yLo to yHi).map { y =>
+              val bucket = mergeAtoms(sh.atoms, Seq(
+                t -> SpnCardinality.Cmp(c, "ge",
+                  Int.box(LocalDate.of(y, 1, 1).toEpochDay.toInt)),
+                t -> SpnCardinality.Cmp(c, "lt",
+                  Int.box(LocalDate.of(y + 1, 1, 1).toEpochDay.toInt))))
+              val shY = sh.copy(atoms = bucket)
+              val gate = SpnCardinality
+                .predsFor(spns, sh.tables, bucket, spec.modeled)
+                .map(p => Ensemble.estCount(spns, sh.tables, p).value)
+              (y, gate, plainScalarVals(spns, spec, shY, aggCols))
+            }
+            // any uncompilable bucket means fall back — never guess a year
+            if (perYear.exists { case (_, g, m) => g.isEmpty || m.isEmpty }) None
+            else Some(perYear.collect { case (y, Some(g), Some(m)) if g >= 0.5 =>
+              var j = -1
+              agg.aggregateExpressions.map {
+                case ne if ne.references.exists(_.exprId == gAttr.exprId) => y: Any
+                case _ => j += 1; m(j)
+              }
+            })
+          }
+        } yield LocalRelation(agg.output, toRows(rows, agg.output.map(_.dataType)))
+      case _ => None
+    }
   }
 
   /** GROUP BY ROLLUP / CUBE / GROUPING SETS: the analyzer lowers these to

@@ -685,6 +685,31 @@ object Ensemble {
       preds: Map[(String, String), ColRange]): Estimate =
     estAgg(spns, tables, preds, Map.empty).toEstimate
 
+  /** Realized [min, max] of a modeled numeric/days column — the union of
+    * the NumericLeaf value sets across every model carrying the column.
+    * Bounds calendar-bucket enumerations (`GROUP BY year(d)` in the
+    * transparent AQP plane) without touching the data: the training
+    * sample's extremes ARE the leaves' first/last sorted values.
+    */
+  def colDomain(
+      spns: Map[String, TrainedSpn],
+      table: String, col: String): Option[(Double, Double)] = {
+    def walk(n: SpnNode, idx: Int): Seq[(Double, Double)] = n match {
+      case l: NumericLeaf if l.colIdx == idx && l.vals.nonEmpty =>
+        Seq((l.vals.head, l.vals.last))
+      case s: SumNode     => s.children.toSeq.flatMap(walk(_, idx))
+      case p: ProductNode => p.children.toSeq.flatMap(walk(_, idx))
+      case _              => Nil
+    }
+    val ranges = spns.values.toSeq.flatMap { m =>
+      m.cols.zipWithIndex.collect {
+        case (c, i) if c.table == table && c.name == col => i
+      }.flatMap(walk(m.root, _))
+    }
+    if (ranges.isEmpty) None
+    else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+  }
+
   def estSum(
       spns: Map[String, TrainedSpn],
       tables: Set[String],

@@ -31,20 +31,19 @@ class AqpSweepSpec extends AnyFunSuite {
       val exact = fn(spark, sf)
       val under = fn(s2, sf)
       assert(under.schema == exact.schema, s"$name: schema drift under aqp.enabled")
-      // a TRUE fold left NO data source at all — parquet scan, cached
-      // table, or stream — only the driver-computed LocalRelation. A
-      // query over cached tables or a MemoryStream also lacks a
-      // LogicalRelation, but its InMemoryRelation / streaming leaf keeps
-      // it in the strict-equality branch below.
-      def hasSource(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-        p.collectFirst {
-          case _: LogicalRelation => ()
-          case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => ()
-        }.nonEmpty
-      val plan = under.queryExecution.optimizedPlan
-      val isFold = !hasSource(plan) &&
-        plan.collectFirst { case _: LocalRelation => () }.nonEmpty &&
-        hasSource(exact.queryExecution.optimizedPlan)
+      // a fold shows as a LocalRelation the flag-off plan does not have:
+      // either the WHOLE query folded (no data source left — parquet,
+      // cached, or stream), or SOME branches of a mixed union did (a
+      // tagged multi-query op like sql_exact, where the answerable
+      // members fold to estimates and the rest keep their scans). A
+      // query over cached tables or a MemoryStream lacks a
+      // LogicalRelation but gains no LocalRelation, so it stays in the
+      // strict-equality branch below.
+      def locals(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+        p.collect { case _: LocalRelation => () }.size
+      val isFold =
+        locals(under.queryExecution.optimizedPlan) >
+          locals(exact.queryExecution.optimizedPlan)
       if (isFold) {
         folded ::= name
         assert(under.count() > 0, s"$name folded to an empty result")

@@ -1195,6 +1195,27 @@ class SpnAqpSpec extends AnyFunSuite {
     } finally cached.unpersist(blocking = true)
   }
 
+  test("GROUP BY year(date) folds as calendar-year buckets over the model's domain") {
+    val sql = """SELECT year(o_orderdate) AS y, count(*) AS n, sum(o_totalprice) AS s
+                 FROM orders WHERE o_totalprice < 150000
+                 GROUP BY year(o_orderdate) ORDER BY y""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1).toDouble, r.getDouble(2)))).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"year buckets must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1).toDouble, r.getDouble(2)))).toMap
+    assert(est.keySet == exact.keySet, s"year keys ${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (y, (en, es)) =>
+      assert(qerr(est(y)._1, en) <= 2.0, s"year $y count: ${est(y)._1} vs $en")
+      assert(qerr(est(y)._2, es) <= 2.0, s"year $y sum: ${est(y)._2} vs $es")
+    }
+    // month()'s buckets are cyclic across years — not a single range: fallback
+    val m = session(aqp = true).sql(
+      "SELECT month(o_orderdate) AS m, count(*) AS n FROM orders GROUP BY month(o_orderdate)")
+    assert(!isRewritten(m), "month() grouping must fall back to exact")
+  }
+
   test("answerable aggregates fold inside UNION ALL; constant tag columns ride along") {
     // transformUp folds each branch's Aggregate independently — the
     // tagged-bucket dashboard idiom becomes a Union of LocalRelations,
