@@ -160,39 +160,74 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     } yield LocalRelation(agg.output, rows)
   }
 
-  /** `GROUP BY year(datecol)`: the time-series dashboard shape the
+  /** `GROUP BY year(datecol)` / `GROUP BY date_trunc('year'|'quarter'|
+    * 'month', datecol)`: the time-series dashboard shapes the
     * dictionary-grouped path cannot serve (a days column has no value
-    * dictionary). Fold it as CALENDAR-YEAR BUCKETS instead: the model's
-    * [[Ensemble.colDomain]] bounds the realized date range, each year
-    * becomes one range-conjoined scalar estimation (`d ∈ [Jan 1, Dec 31]`
-    * merged into the base atoms — all memoized model folds), and a year
-    * whose bucket estimates below one row emits no group, matching SQL's
-    * row universe. Conjunctive predicates only, single grouping
-    * expression, `Year` over a bare modeled days attribute — anything
-    * else (timestamps behind casts, month()'s cross-year cyclic buckets,
-    * disjunctions) falls back to exact.
+    * dictionary). Fold them as CALENDAR BUCKETS instead: the model's
+    * [[Ensemble.colDomain]] bounds the realized date range, each bucket
+    * becomes one HALF-OPEN range-conjoined scalar estimation
+    * (`d ∈ [floor, next)` merged into the base atoms — all memoized model
+    * folds; half-open because timestamp columns model as FRACTIONAL
+    * days), and a bucket estimating below one row emits no group,
+    * matching SQL's row universe. Conjunctive predicates only, single
+    * grouping expression, UTC session timezone only (truncation
+    * boundaries and the model's epoch-day encoding agree exactly there),
+    * at most 400 buckets. month()'s CROSS-YEAR cyclic buckets (unlike
+    * date_trunc('month')'s calendar months), other trunc units,
+    * non-UTC sessions, and disjunctions fall back to exact. An estimated
+    * NULL-date mass of one row or more also falls back — SQL's NULL
+    * group is unproducible from range buckets.
     */
   private def rewriteYearBuckets(agg: Aggregate): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.Year
-    import org.apache.spark.sql.types.DateType
-    // year(...) over a bare modeled date attribute, or over the
-    // timestamp-to-date cast the analyzer inserts for timestamp columns
-    object YearOf {
+    import org.apache.spark.sql.catalyst.expressions.{TruncTimestamp, Year}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    import java.time.LocalDate
+    // the date attribute, behind the date/timestamp cast the analyzer
+    // inserts when the column's SQL type differs from the function's
+    object DateAttr {
       def unapply(e: Expression): Option[AttributeReference] = e match {
-        case Year(a: AttributeReference)                       => Some(a)
-        case Year(Cast(a: AttributeReference, DateType, _, _)) => Some(a)
-        case _                                                 => None
+        case a: AttributeReference                                  => Some(a)
+        case Cast(a: AttributeReference, DateType, _, _)            => Some(a)
+        case Cast(a: AttributeReference, TimestampType, _, _)       => Some(a)
+        case _                                                      => None
       }
+    }
+    // (attr, bucket floor, bucket advance, bucket key value)
+    final case class Gen(
+        attr: AttributeReference,
+        floor: LocalDate => LocalDate,
+        advance: LocalDate => LocalDate,
+        keyOf: LocalDate => Any)
+    def gen(e: Expression): Option[Gen] = e match {
+      case Year(DateAttr(a)) =>
+        Some(Gen(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear))
+      case TruncTimestamp(Literal(f: org.apache.spark.unsafe.types.UTF8String, _),
+          DateAttr(a), _) =>
+        val key = (d: LocalDate) =>
+          java.sql.Timestamp.from(d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+        f.toString.toLowerCase match {
+          case "year" | "yyyy" | "yy" =>
+            Some(Gen(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), key))
+          case "quarter" =>
+            Some(Gen(a, d => LocalDate.of(d.getYear, (d.getMonthValue - 1) / 3 * 3 + 1, 1),
+              _.plusMonths(3), key))
+          case "month" | "mon" | "mm" =>
+            Some(Gen(a, _.withDayOfMonth(1), _.plusMonths(1), key))
+          case _ => None
+        }
+      case _ => None
     }
     val spec = DatasetSpec.forDir(session, sfDir)
     // the analyzer extracts the grouping expression into a child-Project
     // alias (`_groupingexpression`) and groups by the resulting attribute
     (agg.groupingExpressions, agg.child) match {
-      case (Seq(gAttr: AttributeReference), Project(pl, inner)) =>
+      case (Seq(gAttr: AttributeReference), Project(pl, inner))
+          if session.sessionState.conf.sessionLocalTimeZone == "UTC" =>
         for {
-          ga <- pl.collectFirst {
+          g <- pl.collectFirst {
             case al: Alias if al.exprId == gAttr.exprId => al.child
-          }.flatMap(YearOf.unapply)
+          }.flatMap(gen)
+          ga = g.attr
           // the remaining projection must be walkable (pure attrs/renames);
           // re-add the bare date attribute the alias consumed, so the scan
           // leaf's attrTable resolves it
@@ -227,33 +262,34 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           if nullMass < 0.5
           dom <- Ensemble.colDomain(spns, t, c)
           rows <- {
-            import java.time.LocalDate
-            val (yLo, yHi) = (LocalDate.ofEpochDay(dom._1.toLong).getYear,
-              LocalDate.ofEpochDay(dom._2.toLong).getYear)
-            // HALF-OPEN buckets [Jan 1 y, Jan 1 y+1): timestamp columns
-            // model as FRACTIONAL days, so a closed `le Dec 31` bound
-            // would drop Dec 31's intra-day mass
-            val perYear = (yLo to yHi).map { y =>
-              val bucket = mergeAtoms(sh.atoms, Seq(
-                t -> SpnCardinality.Cmp(c, "ge",
-                  Int.box(LocalDate.of(y, 1, 1).toEpochDay.toInt)),
-                t -> SpnCardinality.Cmp(c, "lt",
-                  Int.box(LocalDate.of(y + 1, 1, 1).toEpochDay.toInt))))
-              val shY = sh.copy(atoms = bucket)
-              val gate = SpnCardinality
-                .predsFor(spns, sh.tables, bucket, spec.modeled)
-                .map(p => Ensemble.estCount(spns, sh.tables, p).value)
-              (y, gate, plainScalarVals(spns, spec, shY, aggCols))
-            }
-            // any uncompilable bucket means fall back — never guess a year
-            if (perYear.exists { case (_, g, m) => g.isEmpty || m.isEmpty }) None
-            else Some(perYear.collect { case (y, Some(g), Some(m)) if g >= 0.5 =>
-              var j = -1
-              agg.aggregateExpressions.map {
-                case ne if ne.references.exists(_.exprId == gAttr.exprId) => y: Any
-                case _ => j += 1; m(j)
+            val start = g.floor(LocalDate.ofEpochDay(dom._1.toLong))
+            val endEx = g.advance(g.floor(LocalDate.ofEpochDay(dom._2.toLong)))
+            val starts = Iterator.iterate(start)(g.advance)
+              .takeWhile(_.isBefore(endEx)).take(401).toSeq
+            // a runaway span (bad domain, tiny unit) bounds driver time
+            if (starts.length > 400) None
+            else {
+              val perBucket = starts.map { b =>
+                val bucket = mergeAtoms(sh.atoms, Seq(
+                  t -> SpnCardinality.Cmp(c, "ge", Int.box(b.toEpochDay.toInt)),
+                  t -> SpnCardinality.Cmp(c, "lt",
+                    Int.box(g.advance(b).toEpochDay.toInt))))
+                val shB = sh.copy(atoms = bucket)
+                val gate = SpnCardinality
+                  .predsFor(spns, sh.tables, bucket, spec.modeled)
+                  .map(p => Ensemble.estCount(spns, sh.tables, p).value)
+                (g.keyOf(b), gate, plainScalarVals(spns, spec, shB, aggCols))
               }
-            })
+              // any uncompilable bucket means fall back — never guess one
+              if (perBucket.exists { case (_, gt, m) => gt.isEmpty || m.isEmpty }) None
+              else Some(perBucket.collect { case (k, Some(gt), Some(m)) if gt >= 0.5 =>
+                var j = -1
+                agg.aggregateExpressions.map {
+                  case ne if ne.references.exists(_.exprId == gAttr.exprId) => k
+                  case _ => j += 1; m(j)
+                }
+              })
+            }
           }
         } yield LocalRelation(agg.output, toRows(rows, agg.output.map(_.dataType)))
       case _ => None
@@ -1869,6 +1905,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case (s: Short, ShortType)    => s
       case (i: Int, IntegerType)    => i
       case (l: Long, LongType)      => l
+      // calendar-bucket keys (date_trunc folds) pass through to the
+      // Catalyst converter as external java.sql values
+      case (ts: java.sql.Timestamp, _: org.apache.spark.sql.types.TimestampType) => ts
+      case (d: java.sql.Date, _: org.apache.spark.sql.types.DateType) => d
       case _ => sys.error(s"unsupported AQP output type $dt for $v")
     }
     val convs = outTypes.map(CatalystTypeConverters.createToCatalystConverter)

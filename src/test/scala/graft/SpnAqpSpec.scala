@@ -1210,10 +1210,37 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(est(y)._1, en) <= 2.0, s"year $y count: ${est(y)._1} vs $en")
       assert(qerr(est(y)._2, es) <= 2.0, s"year $y sum: ${est(y)._2} vs $es")
     }
+    // date_trunc folds per calendar month/quarter — the monthly time
+    // series every dashboard draws (keys are the truncated timestamps)
+    Seq("month", "quarter").foreach { unit =>
+      val tSql = s"""SELECT date_trunc('$unit', o_orderdate) AS p, count(*) AS n
+                     FROM orders WHERE o_totalprice < 150000
+                     GROUP BY date_trunc('$unit', o_orderdate) ORDER BY p"""
+      val tExact = session(aqp = false).sql(tSql).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+      val tDf = session(aqp = true).sql(tSql)
+      assert(isRewritten(tDf),
+        s"date_trunc('$unit') must fold:\n${tDf.queryExecution.optimizedPlan}")
+      val tEst = tDf.collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+      assert(tEst.keySet == tExact.keySet,
+        s"$unit keys ${tEst.keySet.toSeq.sorted.take(5)}... vs ${tExact.keySet.toSeq.sorted.take(5)}...")
+      tExact.foreach { case (k, v) =>
+        // sparse buckets (a handful of rows) are q-error-noisy by nature;
+        // a small absolute slack keeps the gate meaningful for real mass
+        assert(qerr(tEst(k), v) <= 3.0 || math.abs(tEst(k) - v) <= 5.0,
+          s"$unit bucket $k: ${tEst(k)} vs $v")
+      }
+    }
     // month()'s buckets are cyclic across years — not a single range: fallback
     val m = session(aqp = true).sql(
       "SELECT month(o_orderdate) AS m, count(*) AS n FROM orders GROUP BY month(o_orderdate)")
     assert(!isRewritten(m), "month() grouping must fall back to exact")
+    // 'week' has no calendar-bucket generator: fallback
+    val w = session(aqp = true).sql(
+      """SELECT date_trunc('week', o_orderdate) AS p, count(*) AS n
+         FROM orders GROUP BY date_trunc('week', o_orderdate)""".stripMargin)
+    assert(!isRewritten(w), "date_trunc('week') must fall back to exact")
   }
 
   test("answerable aggregates fold inside UNION ALL; constant tag columns ride along") {
