@@ -762,6 +762,21 @@ object SpnPlanning {
           |  AND (l_quantity < 10 OR l_quantity > 40)
           |  AND (l_discount < 0.03 OR l_discount > 0.07)
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    },
+
+    // Round 11 late: the time-series fold — GROUP BY year(date) answered
+    // as calendar-year range buckets off the model's realized domain
+    // (zero scans; SpnAqpSpec pins year + date_trunc month/quarter
+    // against the exact plane; rows>0 is the Verify contract here).
+    Op.noOracle("aqp_transparent_timeseries") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders")
+      s2.sql(
+        """SELECT year(o_orderdate) AS y, count(*) AS n, sum(o_totalprice) AS rev
+          |FROM orders WHERE o_totalprice < 150000
+          |GROUP BY year(o_orderdate) ORDER BY y""".stripMargin)
     }
   )
 }
