@@ -242,11 +242,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           tc <- sh.attrTable.get(ga.exprId)
           (t, c) = tc
           if spec.modeled(t).exists(x => x._1 == c && x._2 == "days")
+          // a key output is EXACTLY the bare grouping attribute (possibly
+          // re-aliased) — an expression OVER it (`year(d)+1`) is neither a
+          // key nor an aggregate the recognizer knows, so it must fail the
+          // whole rewrite rather than silently emit the raw key
+          keyOut = (ne: NamedExpression) => ne match {
+            case a: AttributeReference           => a.exprId == gAttr.exprId
+            case Alias(a: AttributeReference, _) => a.exprId == gAttr.exprId
+            case _                               => false
+          }
+          if agg.aggregateExpressions.forall(ne =>
+            keyOut(ne) || ne.references.forall(_.exprId != gAttr.exprId))
           // classify the NON-key outputs through the shared recognizer
           // (no grouping attrs — a bare AttributeReference must not pass)
-          others = agg.aggregateExpressions.filter(_.references.forall(_.exprId != gAttr.exprId))
-          if others.length == agg.aggregateExpressions.length - 1 ||
-            others.length == agg.aggregateExpressions.length
+          others = agg.aggregateExpressions.filterNot(keyOut)
           aggCols <- outputCols(
             agg.copy(aggregateExpressions = others), sh, spec.modeled, Map.empty)
           spns = Ensemble.get(session, sfDir)
@@ -285,8 +294,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               else Some(perBucket.collect { case (k, Some(gt), Some(m)) if gt >= 0.5 =>
                 var j = -1
                 agg.aggregateExpressions.map {
-                  case ne if ne.references.exists(_.exprId == gAttr.exprId) => k
-                  case _ => j += 1; m(j)
+                  case ne if keyOut(ne) => k
+                  case _                => j += 1; m(j)
                 }
               })
             }

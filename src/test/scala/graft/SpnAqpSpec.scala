@@ -1232,6 +1232,23 @@ class SpnAqpSpec extends AnyFunSuite {
           s"$unit bucket $k: ${tEst(k)} vs $v")
       }
     }
+    // the buckets compose with FK joins (the walk resolves the date
+    // attribute across the join) and with ORDER BY/LIMIT above the fold
+    val jSql = """SELECT year(o_orderdate) AS y, count(*) AS n
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE l_quantity < 30
+                  GROUP BY year(o_orderdate) ORDER BY n DESC LIMIT 3""".stripMargin
+    val jExact = session(aqp = false).sql(jSql).collect().map(_.getInt(0)).toSet
+    val jDf = session(aqp = true).sql(jSql)
+    assert(isRewritten(jDf), s"join + year buckets must fold:\n${jDf.queryExecution.optimizedPlan}")
+    val jEst = jDf.collect().map(_.getInt(0)).toSet
+    assert(jEst.size == 3 && jExact.size == 3, s"top-3 years: $jEst vs $jExact")
+    // an expression OVER the key (`year(d)+1`) is not the bare key:
+    // folding it would silently emit the raw year — must fall back
+    val keyExpr = session(aqp = true).sql(
+      """SELECT year(o_orderdate) + 1 AS y1, count(*) AS n
+         FROM orders GROUP BY year(o_orderdate)""".stripMargin)
+    assert(!isRewritten(keyExpr), "an expression over the year key must fall back")
     // month()'s buckets are cyclic across years — not a single range: fallback
     val m = session(aqp = true).sql(
       "SELECT month(o_orderdate) AS m, count(*) AS n FROM orders GROUP BY month(o_orderdate)")
