@@ -594,7 +594,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
         eqs.flatten match {
           case all if all.length == eqs.length && all.map(_._1.exprId).distinct.sizeIs == 1 =>
-            org.apache.spark.sql.catalyst.expressions.In(all.head._1, all.map(_._2))
+            // distinct: a repeated literal must not enter the In twice
+            // (the InSet-to-NominalSet compile dedupes codes too)
+            org.apache.spark.sql.catalyst.expressions.In(all.head._1, all.map(_._2).distinct)
           case _ => o
         }
       case other => other

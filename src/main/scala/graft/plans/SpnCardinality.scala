@@ -149,7 +149,10 @@ object SpnCardinality {
             def members(at: Atom): Option[Array[Double]] = at match {
               case Cmp(_, "eq", v) => Some(codeOf(v).toArray)
               case InSet(_, vs) if vs.forall(stringValue(_).isDefined) =>
-                Some(vs.flatMap(codeOf).toArray)
+                // dedupe: NominalSet SUMS per code, so a repeated member
+                // ((a='x' OR a='y' OR a='x') survives BooleanSimplification
+                // with the dup) would double its probability mass
+                Some(vs.flatMap(codeOf).distinct.toArray)
               case StrMatch(_, op, pat) =>
                 val matches: String => Boolean = op match {
                   case "prefix"   => _.startsWith(pat)
@@ -190,8 +193,9 @@ object SpnCardinality {
                 }
               case InSet(c, vs) =>
                 // numeric leaves evaluate NominalSet as an exact point set
+                // (distinct — repeated members must not sum twice)
                 val xs = vs.map(numericValue(kind, _))
-                xs.forall(_.isDefined) && add(c, NominalSet(xs.flatten.toArray))
+                xs.forall(_.isDefined) && add(c, NominalSet(xs.flatten.distinct.toArray))
               case _ => false
             }
         }
@@ -356,7 +360,7 @@ object SpnCardinality {
       }
       val flat = eqs.flatten
       if (flat.length == eqs.length && flat.map(_._1.exprId).distinct.sizeIs == 1)
-        Some(InSet(flat.head._1.name, flat.map(_._2)))
+        Some(InSet(flat.head._1.name, flat.map(_._2).distinct))
       else None
     }
     val converted = conjuncts.map {

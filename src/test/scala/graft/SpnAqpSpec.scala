@@ -293,6 +293,18 @@ class SpnAqpSpec extends AnyFunSuite {
       s"eq-OR must collapse to IN and free the slot:\n${eqOr.queryExecution.optimizedPlan}")
     assert(qerr(math.max(eqOr.head.getLong(0).toDouble, 1.0), math.max(eqOrExact, 1.0)) <= 2.0,
       s"eq-OR + three ranges: ${eqOr.head.getLong(0)} vs $eqOrExact")
+    // a REPEATED literal in the eq-disjunction must not double its mass:
+    // BooleanSimplification only folds syntactically adjacent duplicates,
+    // so (A ∨ R ∨ A) reaches the compiler carrying the dup — the InSet
+    // codes dedupe before the NominalSet sums leaf probabilities
+    val dupSql = """SELECT count(*) AS n FROM lineitem
+         WHERE (l_returnflag = 'A' OR l_returnflag = 'R' OR l_returnflag = 'A')
+           AND l_quantity < 30""".stripMargin
+    val dupExact = session(aqp = false).sql(dupSql).head.getLong(0).toDouble
+    val dup = session(aqp = true).sql(dupSql)
+    assert(isRewritten(dup), s"dup eq-OR must fold:\n${dup.queryExecution.optimizedPlan}")
+    assert(qerr(dup.head.getLong(0).toDouble, dupExact) <= 1.5,
+      s"repeated-literal eq-OR: ${dup.head.getLong(0)} vs $dupExact (a 2x 'A' mass would blow this)")
     // FOUR independent range ORs exceed the expansion's accuracy cap: fallback
     val fourOrs = session(aqp = true).sql(
       """SELECT count(*) AS n FROM lineitem
