@@ -100,8 +100,44 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         rewriteSets(agg, ex, setFilter = None)
       case Filter(cond, ex: org.apache.spark.sql.catalyst.plans.logical.Expand) =>
         rewriteSets(agg, ex, setFilter = Some(cond))
-      case _ => rewrite(agg).orElse(rewriteYearBuckets(agg))
+      case _ =>
+        rewrite(agg).orElse {
+          val inlined = inlineProjectAliases(agg)
+          if (inlined eq agg) None else rewrite(inlined)
+        }.orElse(rewriteYearBuckets(agg))
     }).toOption.flatten.getOrElse(agg)
+  }
+
+  /** Inline computed aliases the analyzer/optimizer extracted into a
+    * Project under the Aggregate — `count_if`'s `_common_expr` boolean,
+    * common-subexpression projections — by substituting each alias's
+    * defining child back into the aggregate and grouping expressions and
+    * re-exposing the source attributes the aliases consumed. The
+    * resulting Aggregate keeps its OUTPUT exprIds (only inner references
+    * change), so the fold's LocalRelation still resolves for enclosing
+    * operators; the rewritten child Project is pure attributes, which the
+    * walk accepts. Tried only after the original shape fails — pure
+    * renames already resolve through the Shape's rename layer.
+    */
+  private def inlineProjectAliases(agg: Aggregate): Aggregate = agg.child match {
+    case Project(pl, inner)
+        if pl.exists(_.isInstanceOf[Alias]) && pl.forall(_.deterministic) =>
+      val subs: Map[ExprId, Expression] =
+        pl.collect { case al @ Alias(child, _) => al.exprId -> child }.toMap
+      def sub(e: Expression): Expression = e.transformUp {
+        case a: AttributeReference if subs.contains(a.exprId) => subs(a.exprId)
+      }
+      val aggExprs = agg.aggregateExpressions
+        .map(ne => sub(ne).asInstanceOf[NamedExpression])
+      val groups = agg.groupingExpressions.map(sub)
+      val keep = (pl.filterNot(_.isInstanceOf[Alias]) ++
+        (aggExprs ++ groups).flatMap(_.references)
+          .filterNot(a => subs.contains(a.exprId)))
+        .foldLeft(Vector.empty[NamedExpression]) { (acc, ne) =>
+          if (acc.exists(_.exprId == ne.exprId)) acc else acc :+ ne
+        }
+      Aggregate(groups, aggExprs, Project(keep, inner))
+    case _ => agg
   }
 
   /** Join subtree summary: tables touched, understood filter atoms per
@@ -1051,6 +1087,30 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       }
     }
 
+    // `CASE WHEN p THEN x END` (else absent or NULL) inside an aggregate
+    // is the FILTER clause in disguise: rows failing p contribute NULL,
+    // which SUM/AVG/COUNT skip — exactly the per-aggregate predicate
+    // narrowing, so it compiles to the same FilteredOut wrapper. An
+    // `ELSE 0` is NOT that (zeros are summed; a p-emptied group yields
+    // 0, not NULL) and falls back.
+    def condOf(child: Expression): Option[(Seq[(String, Atom)], Expression)] = {
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, If}
+      child match {
+        case CaseWhen(Seq((p, thenE)), None) => filterAtoms(p).map(_ -> thenE)
+        case CaseWhen(Seq((p, thenE)), Some(Literal(null, _))) =>
+          filterAtoms(p).map(_ -> thenE)
+        case If(p, thenE, Literal(null, _)) => filterAtoms(p).map(_ -> thenE)
+        // count_if's lowering: `If(NOT p, NULL, p)` — the value arm is
+        // the (then necessarily true) boolean itself, so this is a
+        // filtered COUNT of a non-null literal
+        case If(Not(p), Literal(null, _), p2) if p.semanticEquals(p2) =>
+          filterAtoms(p).map(_ -> Literal(true))
+        case _ => None
+      }
+    }
+    def condWrap(extra: Seq[(String, Atom)], oc: OutCol): OutCol =
+      if (extra.isEmpty) oc else FilteredOut(extra, oc)
+
     def bareAgg(ae: AggregateExpression): Option[OutCol] =
       if (ae.isDistinct) ae.aggregateFunction match {
         case c: Count if c.children.sizeIs == 1 =>
@@ -1061,11 +1121,30 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case c: Count if c.children.nonEmpty &&
             c.children.forall { case Literal(v, _) => v != null; case _ => false } =>
           Some(CountOut())
+        case c: Count if c.children.sizeIs == 1 &&
+            condOf(c.children.head).isDefined =>
+          condOf(c.children.head).flatMap { case (extra, thenE) =>
+            (thenE match {
+              case Literal(v, _) if v != null => Some(CountOut())
+              case e                          => anyModeledCol(e).map(CountColOut.apply)
+            }).map(condWrap(extra, _))
+          }
         case c: Count if c.children.sizeIs == 1 =>
           anyModeledCol(c.children.head).map(CountColOut.apply)
+        case s: Sum if condOf(s.child).isDefined =>
+          condOf(s.child).flatMap { case (extra, thenE) =>
+            sumTerms(thenE).filter(_.exists(_._2.nonEmpty))
+              .map(ts => condWrap(extra, SumOut(ts, ts.flatMap(_._2).distinct)))
+          }
         case s: Sum =>
           sumTerms(s.child).filter(_.exists(_._2.nonEmpty))
             .map(ts => SumOut(ts, ts.flatMap(_._2).distinct))
+        case av: Average if condOf(av.child).isDefined =>
+          condOf(av.child).flatMap { case (extra, thenE) =>
+            numCol(thenE).map(cc => condWrap(extra, AvgOut(cc))).orElse(
+              sumTerms(thenE).filter(_.exists(_._2.nonEmpty))
+                .map(ts => condWrap(extra, AvgExprOut(ts, ts.flatMap(_._2).distinct))))
+          }
         case av: Average =>
           numCol(av.child).map(AvgOut.apply).orElse(
             sumTerms(av.child).filter(_.exists(_._2.nonEmpty))

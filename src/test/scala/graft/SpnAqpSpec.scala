@@ -1108,6 +1108,59 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(opaque), "un-understood FILTER condition must fall back")
   }
 
+  test("CASE WHEN inside aggregates folds as the FILTER clause in disguise") {
+    // else-less CASE yields NULL on failing rows, which SUM/AVG/COUNT
+    // skip — identical semantics to FILTER (WHERE p), and the fold must
+    // produce the IDENTICAL estimate (same FilteredOut machinery)
+    val caseSql = """SELECT sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS s,
+                            count(CASE WHEN l_quantity < 10 THEN 1 END) AS n,
+                            avg(CASE WHEN l_discount < 0.05 THEN l_extendedprice END) AS a
+                     FROM lineitem WHERE l_quantity < 30""".stripMargin
+    val filterSql = """SELECT sum(l_extendedprice) FILTER (WHERE l_returnflag = 'A') AS s,
+                              count(*) FILTER (WHERE l_quantity < 10) AS n,
+                              avg(l_extendedprice) FILTER (WHERE l_discount < 0.05) AS a
+                       FROM lineitem WHERE l_quantity < 30""".stripMargin
+    val caseDf = session(aqp = true).sql(caseSql)
+    assert(isRewritten(caseDf), s"CASE aggregates must fold:\n${caseDf.queryExecution.optimizedPlan}")
+    val (cr, fr) = (caseDf.head, session(aqp = true).sql(filterSql).head)
+    (0 until 3).foreach { i =>
+      assert(cr.get(i) == fr.get(i), s"CASE vs FILTER col $i: ${cr.get(i)} vs ${fr.get(i)}")
+    }
+    // ...and within bounds of the exact answers
+    val exact = session(aqp = false).sql(caseSql).head
+    assert(qerr(cr.getDouble(0), exact.getDouble(0)) <= 1.5,
+      s"conditional sum: ${cr.getDouble(0)} vs ${exact.getDouble(0)}")
+    assert(qerr(cr.getLong(1).toDouble, exact.getLong(1).toDouble) <= 1.5)
+    assert(qerr(cr.getDouble(2), exact.getDouble(2)) <= 1.5)
+    // grouped conditional aggregates fold too
+    val gSql = """SELECT l_linestatus,
+                         sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qa
+                  FROM lineitem GROUP BY l_linestatus""".stripMargin
+    val gExact = session(aqp = false).sql(gSql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gDf = session(aqp = true).sql(gSql)
+    assert(isRewritten(gDf), s"grouped CASE must fold:\n${gDf.queryExecution.optimizedPlan}")
+    val gEst = gDf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gEst.keySet == gExact.keySet)
+    gExact.foreach { case (k, v) =>
+      assert(qerr(gEst(k), v) <= 1.5, s"group $k conditional sum: ${gEst(k)} vs $v")
+    }
+    // count_if(p): ReplaceExpressions lowers it to COUNT(If(p, .., NULL))
+    // — the If arm of the same recognizer
+    val ciSql = "SELECT count_if(l_quantity < 10) AS n FROM lineitem"
+    val ciExact = session(aqp = false).sql(ciSql).head.getLong(0).toDouble
+    val ciDf = session(aqp = true).sql(ciSql)
+    assert(isRewritten(ciDf), s"count_if must fold:\n${ciDf.queryExecution.optimizedPlan}")
+    assert(qerr(ciDf.head.getLong(0).toDouble, ciExact) <= 1.5,
+      s"count_if: ${ciDf.head.getLong(0)} vs $ciExact")
+    // ELSE 0 sums zeros (a p-emptied group yields 0, not NULL) — that is
+    // NOT the FILTER convention, so it falls back rather than diverge
+    val elseZero = session(aqp = true).sql(
+      """SELECT sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END) AS s
+         FROM lineitem""".stripMargin)
+    assert(!isRewritten(elseZero), "CASE ... ELSE 0 must fall back to exact")
+  }
+
   test("escaped LIKE wildcards fold as literals; invalid escapes fall back") {
     // dictionary values containing a literal '%': LIKE '10\%' must close
     // over ONLY "10%" — an escape-blind regex would expand the escaped
