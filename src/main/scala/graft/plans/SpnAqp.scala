@@ -127,8 +127,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       def sub(e: Expression): Expression = e.transformUp {
         case a: AttributeReference if subs.contains(a.exprId) => subs(a.exprId)
       }
-      val aggExprs = agg.aggregateExpressions
-        .map(ne => sub(ne).asInstanceOf[NamedExpression])
+      val aggExprs = agg.aggregateExpressions.map { ne =>
+        sub(ne) match {
+          // a BARE computed-alias output substitutes to a non-named
+          // expression — re-wrap under the SAME exprId so the Aggregate's
+          // output contract survives the inlining
+          case nn: NamedExpression => nn
+          case e                   => Alias(e, ne.name)(exprId = ne.exprId)
+        }
+      }
       val groups = agg.groupingExpressions.map(sub)
       val keep = (pl.filterNot(_.isInstanceOf[Alias]) ++
         (aggExprs ++ groups).flatMap(_.references)
