@@ -1158,6 +1158,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               .map(ts => AvgExprOut(ts, ts.flatMap(_._2).distinct)))
         case m: Min => catCol(m.child).map(MinMaxCatOut(_, isMin = true))
         case m: Max => catCol(m.child).map(MinMaxCatOut(_, isMin = false))
+        // approx_count_distinct already promises an approximation; the
+        // dictionary-support enumeration is the model's (typically exact)
+        // answer to the same question, so it rides CountDistinctOut
+        case h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus =>
+          catCol(h.child).map(CountDistinctOut.apply)
         case _ => None
       }
 

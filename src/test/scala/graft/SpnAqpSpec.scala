@@ -964,6 +964,18 @@ class SpnAqpSpec extends AnyFunSuite {
           if (r.isNullAt(i)) "␀" else r.get(i).toString) -> r.getLong(r.length - 1)).toMap
       assert(est == exact, s"distinct sets must match exact for [$sql]: $est vs $exact")
     }
+    // approx_count_distinct asked for an approximation — the support
+    // enumeration answers it (typically exactly, beating HLL)
+    val approxSql =
+      "SELECT approx_count_distinct(l_returnflag) AS n FROM lineitem WHERE l_quantity < 24"
+    val approxDf = session(aqp = true).sql(approxSql)
+    assert(isRewritten(approxDf),
+      s"approx_count_distinct(cat) must fold:\n${approxDf.queryExecution.optimizedPlan}")
+    assert(approxDf.head.getLong(0) ==
+      session(aqp = false).sql(
+        "SELECT count(DISTINCT l_returnflag) AS n FROM lineitem WHERE l_quantity < 24")
+        .head.getLong(0),
+      "approx distinct must equal the support enumeration")
     // numeric distinct: no dictionary — falls back
     val numDistinct = session(aqp = true).sql(
       "SELECT count(DISTINCT l_quantity) AS n FROM lineitem")
