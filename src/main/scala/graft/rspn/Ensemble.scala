@@ -423,7 +423,22 @@ object Ensemble {
 
   def state(spark: SparkSession, sfDir: String): EnsembleState =
     cache.getOrElseUpdate((spark.sparkContext, sfDir), {
-      val spec = DatasetSpec.forDir(spark, sfDir)
+      // TRAINING runs its own Spark queries (sample scans, count(*) row
+      // scales). Under a session with the conf-gated planner integrations
+      // enabled, those queries would RE-ENTER this method — the transparent
+      // AQP rule folds an answerable count(*) by consulting the ensemble —
+      // and each re-entry would start ANOTHER training whose awaits the
+      // first one waits on: a deadlock, hit by the FIRST aqp-enabled query
+      // against a not-yet-trained directory. Clone the session (same
+      // context, and the runtime confs are copied over so sampling stays
+      // bit-identical to a plain-session run) minus every graft conf:
+      // training always plans EXACTLY.
+      val spark0 = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        if (!k.startsWith("spark.graft."))
+          scala.util.Try(spark0.conf.set(k, v)) // read-only confs refuse; fine
+      }
+      val spec = DatasetSpec.forDir(spark0, sfDir)
       // models are independent: train them concurrently (Spark schedules the
       // sampling jobs from multiple threads; structure learning is
       // driver-CPU and per-model seeded, so results are order-independent
@@ -434,14 +449,14 @@ object Ensemble {
       // singles for every modeled table, so the independence fallback in
       // `factored` always has a marginal model; sorted for determinism
       val fSingles = spec.modeled.keys.toSeq.sorted.map(t =>
-        Future(timed(s"single:$t")(trainSingle(spark, sfDir, t))))
+        Future(timed(s"single:$t")(trainSingle(spark0, sfDir, t))))
       val fChains = spec.chains.map { case (rels, dims) =>
         val nm = ((rels.head.one +: rels.map(_.many)) ++ dims.map(_.one)).mkString("_")
-        Future(timed(s"chain:$nm")(trainChain(spark, sfDir, rels, dims)))
+        Future(timed(s"chain:$nm")(trainChain(spark0, sfDir, rels, dims)))
       }
-      val candidates = timed("rank-candidates")(rankCandidates(spark, sfDir))
+      val candidates = timed("rank-candidates")(rankCandidates(spark0, sfDir))
       val fJoins = candidates.filter(_.trained).map(c =>
-        Future(timed(s"join:${c.name}")(trainJoin(spark, sfDir, c.rel))))
+        Future(timed(s"join:${c.name}")(trainJoin(spark0, sfDir, c.rel))))
       val spns = Await.result(Future.sequence(fSingles ++ fChains ++ fJoins), 15.minutes)
       val byName = spns.map(s => s.name -> s).toMap
       specBySpns.put(byName, spec)

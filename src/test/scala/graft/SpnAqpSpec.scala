@@ -1367,6 +1367,34 @@ class SpnAqpSpec extends AnyFunSuite {
     }
   }
 
+  test("first aqp-enabled query against an untrained directory trains inside planning, no deadlock") {
+    // the planner-re-entrancy regression: the AQP rule consults the
+    // ensemble DURING optimization; if that triggers training, training's
+    // own Spark queries (sample scans, count(*) row scales) must NOT
+    // re-enter the rule — before the training-session isolation this
+    // recursed into concurrent re-trainings that deadlocked the awaits,
+    // hanging the FIRST aqp query any user ran against a fresh directory
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.concurrent.{Signaler, ThreadSignaler}
+    import org.scalatest.time.{Seconds, Span}
+    implicit val signaler: Signaler = ThreadSignaler
+    val dir = java.nio.file.Files.createTempDirectory("graft-aqp-firsttouch-")
+    Seq("lineitem", "orders", "customer", "part", "supplier").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/$t.parquet"), dir.resolve(s"$t.parquet"))
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", dir.toString)
+    s2.conf.set("spark.graft.aqp.enabled", "true")
+    s2.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+    failAfter(Span(300, Seconds)) {
+      val df = s2.sql("SELECT count(*) AS n FROM lineitem WHERE l_quantity < 24")
+      assert(isRewritten(df),
+        s"the first-touch query must train and fold:\n${df.queryExecution.optimizedPlan}")
+      assert(df.head.getLong(0) > 0)
+    }
+  }
+
   test("unanswerable shapes fall back to the exact plan, untouched") {
     val s2 = session(aqp = true)
     // LIKE on an UNMODELED string column: no dictionary to close over
