@@ -45,6 +45,15 @@ object ScaleUp {
     def reps(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(factor).toDF("rep"))
 
+    // max(key) over an empty table is NULL — fail with the table/column
+    // name instead of an anonymous NPE from getLong
+    def maxKey(df: DataFrame, table: String, keyCol: String): Long = {
+      val row = df.agg(max(keyCol)).head
+      require(!row.isNullAt(0),
+        s"ScaleUp: source table '$table' is empty — cannot derive a key base from max($keyCol)")
+      row.getLong(0)
+    }
+
     def writeScaled(name: String, df: DataFrame): Unit =
       df.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
@@ -57,8 +66,8 @@ object ScaleUp {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val docBase = math.max(
-      docs.agg(max("doc_id")).head.getLong(0),
-      emb.agg(max("vec_id")).head.getLong(0)) + 1L
+      maxKey(docs, "documents", "doc_id"),
+      maxKey(emb, "embeddings", "vec_id")) + 1L
     writeScaled("documents",
       reps(docs).withColumn("doc_id", col("doc_id") + col("rep") * docBase).drop("rep"))
     writeScaled("embeddings",
@@ -67,7 +76,7 @@ object ScaleUp {
     // orders + lineitem: shared key base preserves FK integrity and
     // per-key join multiplicity across replicas
     val orders = spark.read.parquet(s"$src/orders.parquet")
-    val keyBase = orders.agg(max("o_orderkey")).head.getLong(0) + 1L
+    val keyBase = maxKey(orders, "orders", "o_orderkey") + 1L
     writeScaled("orders",
       reps(orders).withColumn("o_orderkey", col("o_orderkey") + col("rep") * keyBase).drop("rep"))
     writeScaled("lineitem",
@@ -77,8 +86,8 @@ object ScaleUp {
     // events: new users per replica (scale adds users, not per-user
     // density — session/window state per key stays bounded)
     val events = spark.read.parquet(s"$src/events.parquet")
-    val evBase = events.agg(max("event_id")).head.getLong(0) + 1L
-    val userBase = events.agg(max("user_id")).head.getLong(0) + 1L
+    val evBase = maxKey(events, "events", "event_id") + 1L
+    val userBase = maxKey(events, "events", "user_id") + 1L
     writeScaled("events",
       reps(events)
         .withColumn("event_id", col("event_id") + col("rep") * evBase)

@@ -72,4 +72,17 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(out("documents").select("text").distinct().count() ==
       src("documents").select("text").distinct().count())
   }
+
+  test("an empty source table fails loudly with the table and key named") {
+    // max(key) over an empty table is NULL; the key-base derivation must
+    // name the offender instead of NPE-ing on getLong
+    val d = java.nio.file.Files.createTempDirectory("graft-scaleup-empty-").toString
+    spark.range(0).select(col("id").as("doc_id")).write.parquet(s"$d/documents.parquet")
+    spark.range(0).select(col("id").as("vec_id")).write.parquet(s"$d/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      tools.ScaleUp.run(spark, d, s"$d/out", 2)
+    }
+    assert(e.getMessage.contains("documents") && e.getMessage.contains("doc_id"),
+      s"message must name the empty table and key column: ${e.getMessage}")
+  }
 }
