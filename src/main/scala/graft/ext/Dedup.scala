@@ -936,11 +936,46 @@ object Dedup {
     */
   private val unionFindPairCap = 200000L
 
+  /** Canonicalized near-dup EDGE set for the clustering ops (connected
+    * components): exact-duplicate classes (identical distinct-shingle sets
+    * — pairwise Jaccard exactly 1) collapse to one canonical doc BEFORE
+    * the inverted-index pair join, qualify as canonical pairs, and re-enter
+    * the graph as spanning stars ([[DupClasses.starEdges]]) instead of
+    * |A|×|B| member-pair expansions. Components (and therefore labels) are
+    * identical to the full pair graph's; edges are LINEAR in class size,
+    * so a heavily-boilerplated corpus no longer feeds a quadratic edge set
+    * to label propagation. The pair-contract ops (dedup_ngram /
+    * dedup_containment / dedup_near / dedup_simhash) keep their full
+    * expansions — there the pair set IS the output.
+    */
+  private def clusterEdges(s: SparkSession, d: String): DataFrame =
+    ModelCache.memo(s, d, "cluster_edges") {
+      val classes = shingledBase(s, d)
+        .groupBy("sh")
+        .agg(min(col("doc_id")).as("doc_id"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+        .cache()
+      val exploded = classes.select(col("doc_id"), explode(col("sh")).as("s"))
+      val cnt = classes.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
+      val a = exploded.toDF("a_id", "s")
+      val b = exploded.toDF("b_id", "s2")
+      val canonicalPairs = a.join(b, a("s") === b("s2") && a("a_id") < b("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        .join(cnt.toDF("a_id", "na"), "a_id")
+        .join(cnt.toDF("b_id", "nb"), "b_id")
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+        .select("a_id", "b_id")
+      val edges = DupClasses.starEdges(canonicalPairs, classes).cache()
+      edges.count() // materialize before dropping the featurized parent
+      classes.unpersist()
+      edges
+    }
+
   /** Converged min-label frame (node, lbl) over the near-dup pair graph.
     * Returned cached; intermediates and the edge frame are unpersisted.
     */
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramPairs(s, d).select("a_id", "b_id")
+    val pairs = clusterEdges(s, d).select("a_id", "b_id")
     if (pairs.count() <= unionFindPairCap) {
       // union-find with path compression; attaching the larger root under
       // the smaller makes every root the component MINIMUM — the same

@@ -36,4 +36,28 @@ object DupClasses {
       .select(col("ma").as("a_id"), col("mb").as("b_id"), col(metric))
     cross.unionByName(within)
   }
+
+  /** Spanning-STAR edge set for connected components over duplicate-class-
+    * canonicalized pairs — the clustering-path alternative to [[expand]]:
+    * one edge per qualifying canonical pair plus one `canonical → member`
+    * edge per member of every multi-member class. The components are
+    * IDENTICAL to the fully-expanded member-pair graph's (a class is
+    * internally connected through its canonical — exact duplicates are
+    * near-dups of themselves under the callers' metrics, Jaccard/Hamming
+    * of identical feature sets; cross-class connectivity rides the
+    * canonical pair, whose member biclique the star replaces), while the
+    * edge count stays LINEAR in class size: a million-copy boilerplate
+    * class contributes 10⁶ star edges instead of the ~10¹² member pairs
+    * that would otherwise feed label propagation at 100 TB.
+    * `canonicalPairs` must carry (a_id, b_id) already filtered to
+    * qualifying pairs; `classes` must carry `doc_id` (the canonical =
+    * class minimum) and `members`.
+    */
+  def starEdges(canonicalPairs: DataFrame, classes: DataFrame): DataFrame = {
+    val cross = canonicalPairs.select(col("a_id"), col("b_id"))
+    val stars = classes.filter(size(col("members")) >= 2)
+      .select(col("doc_id").as("a_id"), explode(col("members")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    cross.unionByName(stars)
+  }
 }
