@@ -38,6 +38,37 @@ class WorkloadSpec extends AnyFunSuite {
       f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
   }
 
+  test("the JOIN-CHAIN workload meets the cardinality gate: median ≤ 2.0, p95 ≤ 5.0") {
+    // testdata_30.sql is mostly 1-2 tables; this file is 3-5-table comma-
+    // join chains — the JOB-light class where model choice (chain SPN vs
+    // factored PK-FK composition) carries the estimate
+    val jq = QErrorEval.readWorkload("workloads/testdata_joins_30.sql")
+    assert(jq.length == 30 && jq.map(_._1) == (1 to 30))
+    // every query genuinely multi-table (3+ aliases in the FROM list)
+    assert(jq.forall(_._2.split("WHERE")(0).split(",").length >= 3),
+      "every join-workload query must chain at least 3 tables")
+    val truth = QErrorEval.computeTruth(spark, sf, jq, cache = false)
+    val rows = QErrorEval.runWorkload(spark, sf, jq, truth)
+    val errs = rows.map(_.qerr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = rows.maxBy(_.qerr)
+    info(f"join-chain median $median%.3f p95 $p95%.3f max ${worst.qerr}%.3f (q${worst.no})")
+    assert(median <= 2.0, f"join-chain median q-error $median%.3f > 2.0")
+    assert(p95 <= 5.0, f"join-chain p95 q-error $p95%.3f > 5.0; worst q${worst.no} " +
+      f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
+  }
+
+  test("the committed sf0.01 join-chain truth CSV matches live exact counts") {
+    val jq = QErrorEval.readWorkload("workloads/testdata_joins_30.sql")
+    val fromCsv = QErrorEval.readTruthCsv("workloads/testdata_joins_30_true_sf0.01.csv")
+    val live = QErrorEval.computeTruth(spark, sfMid, jq, cache = false)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, t) =>
+      assert(t == live(no), s"join truth CSV drifted for query $no: csv $t vs live ${live(no)}")
+    }
+  }
+
   test("the committed sf0.01 truth CSV matches live exact counts") {
     val fromCsv = QErrorEval.readTruthCsv(truthCsv)
     val live = QErrorEval.computeTruth(spark, sfMid, qs, cache = false)
