@@ -76,6 +76,56 @@ object SpnAqpRule {
       }
     }
   }
+
+  /** Spark orders StringType by UTF-8 BINARY; Scala's default String
+    * ordering compares UTF-16 code units. The two disagree exactly where a
+    * supplementary character (4-byte UTF-8; surrogate pair starting at
+    * 0xD800 in UTF-16) meets U+E000..U+FFFF (3-byte UTF-8; a single unit
+    * ≥ 0xE000), so a folded MIN/MAX must compare the way the exact plane
+    * sorts or the two planes disagree on such dictionaries.
+    */
+  private[graft] val utf8Ordering: Ordering[String] =
+    Ordering.comparatorToOrdering((a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+
+  private[graft] def utf8Extreme(support: Iterable[String], isMin: Boolean): Any =
+    if (support.isEmpty) null
+    else if (isMin) support.min(utf8Ordering)
+    else support.max(utf8Ordering)
+
+  /** The last annotated fold's per-output estimator Estimates — the
+    * "how sure?" channel the transparent plane otherwise loses: a folded
+    * `LocalRelation` must match the query's own schema, so CI bounds can't
+    * ride the result rows. With `spark.graft.aqp.annotate=true` every
+    * PLAIN-CONJUNCTIVE fold records its recipe here (per group × per
+    * aggregate output: the same estimator calls the `spn_groupby*` TVFs
+    * make, so the intervals agree with `est_groupby`'s ci95 by
+    * construction), queryable via `SELECT * FROM spn_last_fold()`.
+    * Disjunctive / grouping-set / calendar folds CLEAR the entry — a stale
+    * annotation must never masquerade as the latest query's uncertainty.
+    * Reference posture: `--confidence_intervals`
+    * (evaluation/confidence_interval_evaluation.py) attaches CIs to every
+    * reported estimate.
+    */
+  final case class FoldAnnotation(
+      groupNames: Seq[String],
+      rows: Seq[(Seq[String], String, Ensemble.Estimate)])
+
+  // the stored value is PLAIN DATA (a WeakHashMap value must not reach
+  // back to its session key, or the entry is pinned forever); annotate is
+  // opt-in and the estimator calls are memoized driver-side milliseconds,
+  // so the annotation materializes eagerly at fold time
+  private val lastFold =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, FoldAnnotation]())
+
+  private[plans] def record(session: SparkSession, fa: FoldAnnotation): Unit =
+    lastFold.put(session, fa)
+  private[plans] def clearAnnotation(session: SparkSession): Unit =
+    lastFold.remove(session)
+  private[graft] def lastFoldOf(session: SparkSession): Option[FoldAnnotation] =
+    Option(lastFold.get(session))
 }
 
 final case class SpnAqpRule(session: SparkSession, sfDir: String)
@@ -104,7 +154,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         rewrite(agg).orElse {
           val inlined = inlineProjectAliases(agg)
           if (inlined eq agg) None else rewrite(inlined)
-        }.orElse(rewriteYearBuckets(agg))
+        }.orElse(rewriteCalendar(agg))
     }).toOption.flatten.getOrElse(agg)
   }
 
@@ -200,29 +250,94 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       }.zipWithIndex.toMap
       cols <- outputCols(agg, sh, spec.modeled, groupIdx)
       rows <- estimate(sh, groups.map(_._2), cols, agg.output.map(_.dataType))
-    } yield LocalRelation(agg.output, rows)
+    } yield {
+      annotate(sh, groups, cols, agg)
+      LocalRelation(agg.output, rows)
+    }
   }
 
-  /** `GROUP BY year(datecol)` / `GROUP BY date_trunc('year'|'quarter'|
-    * 'month', datecol)`: the time-series dashboard shapes the
-    * dictionary-grouped path cannot serve (a days column has no value
-    * dictionary). Fold them as CALENDAR BUCKETS instead: the model's
-    * [[Ensemble.colDomain]] bounds the realized date range, each bucket
-    * becomes one HALF-OPEN range-conjoined scalar estimation
-    * (`d ∈ [floor, next)` merged into the base atoms — all memoized model
-    * folds; half-open because timestamp columns model as FRACTIONAL
-    * days), and a bucket estimating below one row emits no group,
-    * matching SQL's row universe. Conjunctive predicates only, single
-    * grouping expression, UTC session timezone only (truncation
-    * boundaries and the model's epoch-day encoding agree exactly there),
-    * at most 400 buckets. month()'s CROSS-YEAR cyclic buckets (unlike
-    * date_trunc('month')'s calendar months), other trunc units,
-    * non-UTC sessions, and disjunctions fall back to exact. An estimated
-    * NULL-date mass of one row or more also falls back — SQL's NULL
-    * group is unproducible from range buckets.
+  /** Record the fold's CI annotation for `spn_last_fold()` (see
+    * [[SpnAqpRule.FoldAnnotation]]) — plain-conjunctive folds only; every
+    * other annotated fold clears the entry so the TVF can never serve a
+    * stale query's intervals. The annotation re-runs the SAME estimator
+    * calls the `spn_groupby*` TVFs make (estCount / estGroupByMulti /
+    * estSum / estGroupByAgg / estAvg / estGroupByAvg), so the intervals
+    * agree with `est_groupby`'s ci95 on the same shape by construction;
+    * outputs without a one-call CI channel (expression trees, distinct
+    * counts, MIN/MAX, FILTER clauses) are skipped rather than guessed.
     */
-  private def rewriteYearBuckets(agg: Aggregate): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.{TruncTimestamp, Year}
+  private def annotate(
+      sh: Shape, groups: Seq[(AttributeReference, (String, String))],
+      cols: Seq[OutCol], agg: Aggregate): Unit = {
+    if (!session.conf.getOption("spark.graft.aqp.annotate").contains("true")) return
+    if (sh.orBranches.nonEmpty) { SpnAqpRule.clearAnnotation(session); return }
+    val spns = Ensemble.get(session, sfDir)
+    val spec = DatasetSpec.forDir(session, sfDir)
+    val gcols = groups.map(_._2)
+    val colPairs = cols.zip(agg.aggregateExpressions.map(_.name))
+    SpnAqpRule.record(session, {
+      val preds = SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+        .getOrElse(Map.empty) // the fold compiled the same atoms already
+      val entries = colPairs.flatMap { case (c, nm) =>
+        def one(e: => Ensemble.Estimate) = Seq((Seq.empty[String], nm, e))
+        c match {
+          case CountOut() =>
+            if (gcols.isEmpty) one(Ensemble.estCount(spns, sh.tables, preds))
+            else Ensemble.estGroupByMulti(spns, sh.tables, gcols, preds)
+              .map { case (k, e) => (k, nm, e) }
+          case SumOut(Seq((1.0, Seq(sc))), _) =>
+            if (gcols.isEmpty) one(Ensemble.estSum(spns, sh.tables, sc, preds))
+            else Ensemble.estGroupByAgg(spns, sh.tables, gcols, Map(sc -> 1), preds)
+              .map { case (k, e) => (k, nm, e) }
+          case AvgOut(ac) =>
+            if (gcols.isEmpty) one(Ensemble.estAvg(spns, sh.tables, ac, preds))
+            else Ensemble.estGroupByAvg(spns, sh.tables, gcols, ac, preds)
+              .map { case (k, e) => (k, nm, e) }
+          case _ => Nil
+        }
+      }
+      SpnAqpRule.FoldAnnotation(groups.map(_._1.name), entries)
+    })
+  }
+
+  private def clearAnnotationIfOn(): Unit =
+    if (session.conf.getOption("spark.graft.aqp.annotate").contains("true"))
+      SpnAqpRule.clearAnnotation(session)
+
+  /** Calendar-bucket folding for the time-series dashboard shapes the
+    * dictionary-grouped path cannot serve (a days column has no value
+    * dictionary):
+    *
+    *   GROUP BY <calendar expr> [, dictionary cat columns...]
+    *
+    * with calendar expr ∈ `year(d)` / `date_trunc('year'|'quarter'|'month'
+    * |'week'|'day', d)` (LINEAR buckets: consecutive half-open ranges over
+    * the model's realized domain) or `month(d)` / `quarter(d)` (CYCLIC
+    * buckets: each key is the UNION of its per-year intervals — one
+    * multi-interval [[SpnCardinality.RangeUnion]] atom, the reference's
+    * `ranges.py::NumericRange` list-of-intervals put to work). The model's
+    * [[Ensemble.colDomain]] bounds the realized date range; every bucket
+    * is one range-conjoined estimation over the base atoms (all memoized
+    * model folds).
+    *
+    * The MIXED shape — `GROUP BY year(d), dimcol` — enumerates dictionary
+    * groups PER BUCKET under the bucket-conjoined predicate (the
+    * reference's `aqp_spn/group_by_combination.py` arbitrary-combination
+    * enumeration, with the calendar bucket as one more range conjunct);
+    * the row universe per bucket is the enumeration's nonzero-mass groups,
+    * exactly the plain grouped path's convention. A scalar bucket (no dim
+    * columns) estimating below one row emits no group, matching SQL's row
+    * universe.
+    *
+    * Guards: conjunctive predicates only, exactly ONE calendar grouping
+    * expression (the rest must be dictionary-modeled strings), UTC session
+    * timezone only (truncation boundaries and the model's epoch-day
+    * encoding agree exactly there), at most 400 buckets / 400 domain
+    * years. An estimated NULL-date mass of one row or more falls back —
+    * SQL's NULL group is unproducible from range buckets.
+    */
+  private def rewriteCalendar(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Month, Quarter, TruncTimestamp, Year}
     import org.apache.spark.sql.types.{DateType, TimestampType}
     import java.time.LocalDate
     // the date attribute, behind the date/timestamp cast the analyzer
@@ -235,115 +350,212 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case _                                                      => None
       }
     }
-    // (attr, bucket floor, bucket advance, bucket key value)
+    // one bucket = key value + DISJOINT half-open [lo, hi) epoch-day
+    // intervals; the generator sees the floored domain endpoints and
+    // returns None on a runaway span (bad domain, tiny unit) to bound
+    // driver time
     final case class Gen(
         attr: AttributeReference,
-        floor: LocalDate => LocalDate,
-        advance: LocalDate => LocalDate,
-        keyOf: LocalDate => Any)
+        buckets: (LocalDate, LocalDate) => Option[Seq[(Any, Seq[(Double, Double)])]])
+    def linear(a: AttributeReference, floor: LocalDate => LocalDate,
+        advance: LocalDate => LocalDate, keyOf: LocalDate => Any): Gen =
+      Gen(a, (lo, hi) => {
+        val start = floor(lo)
+        val endEx = advance(floor(hi))
+        val starts = Iterator.iterate(start)(advance)
+          .takeWhile(_.isBefore(endEx)).take(401).toSeq
+        if (starts.length > 400) None
+        else Some(starts.map(b =>
+          (keyOf(b), Seq((b.toEpochDay.toDouble, advance(b).toEpochDay.toDouble)))))
+      })
+    // cross-year cyclic keys (month() = 12, quarter() = 4): bucket k is the
+    // union of its interval in EVERY domain year — disjoint by construction
+    def cyclic(a: AttributeReference, nKeys: Int,
+        monthOfKey: Int => Int, spanMonths: Int): Gen =
+      Gen(a, (lo, hi) => {
+        val years = lo.getYear to hi.getYear
+        if (years.length > 400) None
+        else Some((1 to nKeys).map { k =>
+          (k: Any, years.map { y =>
+            val s = LocalDate.of(y, monthOfKey(k), 1)
+            (s.toEpochDay.toDouble, s.plusMonths(spanMonths.toLong).toEpochDay.toDouble)
+          })
+        })
+      })
     def gen(e: Expression): Option[Gen] = e match {
       case Year(DateAttr(a)) =>
-        Some(Gen(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear))
+        Some(linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear))
+      case Month(DateAttr(a))   => Some(cyclic(a, 12, identity, 1))
+      case Quarter(DateAttr(a)) => Some(cyclic(a, 4, k => (k - 1) * 3 + 1, 3))
       case TruncTimestamp(Literal(f: org.apache.spark.unsafe.types.UTF8String, _),
           DateAttr(a), _) =>
         val key = (d: LocalDate) =>
           java.sql.Timestamp.from(d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
         f.toString.toLowerCase match {
           case "year" | "yyyy" | "yy" =>
-            Some(Gen(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), key))
+            Some(linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), key))
           case "quarter" =>
-            Some(Gen(a, d => LocalDate.of(d.getYear, (d.getMonthValue - 1) / 3 * 3 + 1, 1),
+            Some(linear(a, d => LocalDate.of(d.getYear, (d.getMonthValue - 1) / 3 * 3 + 1, 1),
               _.plusMonths(3), key))
           case "month" | "mon" | "mm" =>
-            Some(Gen(a, _.withDayOfMonth(1), _.plusMonths(1), key))
+            Some(linear(a, _.withDayOfMonth(1), _.plusMonths(1), key))
+          // ISO week: Spark's date_trunc('week') floors to MONDAY
+          case "week" =>
+            Some(linear(a, d => d.minusDays(d.getDayOfWeek.getValue - 1L),
+              _.plusWeeks(1), key))
+          case "day" | "dd" =>
+            Some(linear(a, identity, _.plusDays(1), key))
           case _ => None
         }
       case _ => None
     }
     val spec = DatasetSpec.forDir(session, sfDir)
     // the analyzer extracts the grouping expression into a child-Project
-    // alias (`_groupingexpression`) and groups by the resulting attribute
+    // alias (`_groupingexpression`) and groups by the resulting attribute;
+    // dimension grouping columns ride along as bare attributes
     (agg.groupingExpressions, agg.child) match {
-      case (Seq(gAttr: AttributeReference), Project(pl, inner))
-          if session.sessionState.conf.sessionLocalTimeZone == "UTC" =>
-        for {
-          g <- pl.collectFirst {
-            case al: Alias if al.exprId == gAttr.exprId => al.child
-          }.flatMap(gen)
-          ga = g.attr
-          // the remaining projection must be walkable (pure attrs/renames);
-          // re-add the bare date attribute the alias consumed, so the scan
-          // leaf's attrTable resolves it
-          rest = pl.filter {
-            case al: Alias => al.exprId != gAttr.exprId
-            case _         => true
-          }
-          walkable = if (rest.exists(_.exprId == ga.exprId)) rest else rest :+ ga
-          sh <- walk(Project(walkable, inner), spec.modeled, spec.graph.relationships,
-            keyColsOf(spec))
-          if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
-          tc <- sh.attrTable.get(ga.exprId)
-          (t, c) = tc
-          if spec.modeled(t).exists(x => x._1 == c && x._2 == "days")
-          // a key output is EXACTLY the bare grouping attribute (possibly
-          // re-aliased) — an expression OVER it (`year(d)+1`) is neither a
-          // key nor an aggregate the recognizer knows, so it must fail the
-          // whole rewrite rather than silently emit the raw key
-          keyOut = (ne: NamedExpression) => ne match {
-            case a: AttributeReference           => a.exprId == gAttr.exprId
-            case Alias(a: AttributeReference, _) => a.exprId == gAttr.exprId
-            case _                               => false
-          }
-          if agg.aggregateExpressions.forall(ne =>
-            keyOut(ne) || ne.references.forall(_.exprId != gAttr.exprId))
-          // classify the NON-key outputs through the shared recognizer
-          // (no grouping attrs — a bare AttributeReference must not pass)
-          others = agg.aggregateExpressions.filterNot(keyOut)
-          aggCols <- outputCols(
-            agg.copy(aggregateExpressions = others), sh, spec.modeled, Map.empty)
-          spns = Ensemble.get(session, sfDir)
-          // SQL groups NULL dates into a year-NULL row these buckets
-          // cannot produce — fold only when the column's null mass under
-          // the base predicates estimates below one row
-          nullMass <- for {
-            pAll <- SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
-            pNN <- SpnCardinality.predsFor(
-              spns, sh.tables, withNotNull(sh.atoms, Seq((t, c))), spec.modeled)
-          } yield Ensemble.estCount(spns, sh.tables, pAll).value -
-            Ensemble.estCount(spns, sh.tables, pNN).value
-          if nullMass < 0.5
-          dom <- Ensemble.colDomain(spns, t, c)
-          rows <- {
-            val start = g.floor(LocalDate.ofEpochDay(dom._1.toLong))
-            val endEx = g.advance(g.floor(LocalDate.ofEpochDay(dom._2.toLong)))
-            val starts = Iterator.iterate(start)(g.advance)
-              .takeWhile(_.isBefore(endEx)).take(401).toSeq
-            // a runaway span (bad domain, tiny unit) bounds driver time
-            if (starts.length > 400) None
-            else {
-              val perBucket = starts.map { b =>
-                val bucket = mergeAtoms(sh.atoms, Seq(
-                  t -> SpnCardinality.Cmp(c, "ge", Int.box(b.toEpochDay.toInt)),
-                  t -> SpnCardinality.Cmp(c, "lt",
-                    Int.box(g.advance(b).toEpochDay.toInt))))
-                val shB = sh.copy(atoms = bucket)
-                val gate = SpnCardinality
-                  .predsFor(spns, sh.tables, bucket, spec.modeled)
-                  .map(p => Ensemble.estCount(spns, sh.tables, p).value)
-                (g.keyOf(b), gate, plainScalarVals(spns, spec, shB, aggCols))
-              }
-              // any uncompilable bucket means fall back — never guess one
-              if (perBucket.exists { case (_, gt, m) => gt.isEmpty || m.isEmpty }) None
-              else Some(perBucket.collect { case (k, Some(gt), Some(m)) if gt >= 0.5 =>
-                var j = -1
-                agg.aggregateExpressions.map {
-                  case ne if keyOut(ne) => k
-                  case _                => j += 1; m(j)
-                }
-              })
+      case (gs, Project(pl, inner))
+          if gs.nonEmpty && gs.forall(_.isInstanceOf[AttributeReference]) &&
+            session.sessionState.conf.sessionLocalTimeZone == "UTC" =>
+        val gAttrs = gs.map(_.asInstanceOf[AttributeReference])
+        val calCandidates = gAttrs.flatMap { a =>
+          pl.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+            .flatMap(gen).map(a -> _)
+        }
+        calCandidates match {
+          // exactly ONE calendar expression; two (year(d), month(d)) would
+          // need a bucket cross product this fold does not model
+          case Seq((gAttr, g)) =>
+            val dimAttrs = gAttrs.filterNot(_.exprId == gAttr.exprId)
+            val ga = g.attr
+            // the remaining projection must be walkable (pure attrs/
+            // renames); re-add the bare date attribute the alias consumed,
+            // so the scan leaf's attrTable resolves it
+            val rest = pl.filter {
+              case al: Alias => al.exprId != gAttr.exprId
+              case _         => true
             }
-          }
-        } yield LocalRelation(agg.output, toRows(rows, agg.output.map(_.dataType)))
+            val walkable = if (rest.exists(_.exprId == ga.exprId)) rest else rest :+ ga
+            for {
+              sh <- walk(Project(walkable, inner), spec.modeled, spec.graph.relationships,
+                keyColsOf(spec))
+              if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
+              tc <- sh.attrTable.get(ga.exprId)
+              (t, c) = tc
+              if spec.modeled(t).exists(x => x._1 == c && x._2 == "days")
+              // every OTHER grouping column must be a dictionary-modeled
+              // string — the kind the per-bucket enumeration can serve
+              dims <- {
+                val ds = dimAttrs.map {
+                  case a if a.dataType == StringType =>
+                    sh.attrTable.get(a.exprId).filter { case (dt, dc) =>
+                      spec.modeled(dt).exists(x => x._1 == dc && x._2 == "cat")
+                    }
+                  case _ => None
+                }
+                if (ds.forall(_.isDefined)) Some(ds.flatten) else None
+              }
+              // a key output is EXACTLY the bare grouping attribute
+              // (possibly re-aliased) — an expression OVER it (`year(d)+1`)
+              // is neither a key nor an aggregate the recognizer knows, so
+              // it must fail the whole rewrite rather than silently emit
+              // the raw key
+              keyOut = (ne: NamedExpression) => ne match {
+                case a: AttributeReference           => a.exprId == gAttr.exprId
+                case Alias(a: AttributeReference, _) => a.exprId == gAttr.exprId
+                case _                               => false
+              }
+              if agg.aggregateExpressions.forall(ne =>
+                keyOut(ne) || ne.references.forall(_.exprId != gAttr.exprId))
+              // classify the NON-key outputs through the shared recognizer;
+              // dimension grouping attrs resolve as GroupOut via dimIdx
+              others = agg.aggregateExpressions.filterNot(keyOut)
+              dimIdx = dimAttrs.map(_.exprId).zipWithIndex.toMap
+              aggCols <- outputCols(
+                agg.copy(aggregateExpressions = others), sh, spec.modeled, dimIdx)
+              spns = Ensemble.get(session, sfDir)
+              // SQL groups NULL dates into a calendar-NULL row these
+              // buckets cannot produce — fold only when the column's null
+              // mass under the base predicates estimates below one row
+              nullMass <- for {
+                pAll <- SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+                pNN <- SpnCardinality.predsFor(
+                  spns, sh.tables, withNotNull(sh.atoms, Seq((t, c))), spec.modeled)
+              } yield Ensemble.estCount(spns, sh.tables, pAll).value -
+                Ensemble.estCount(spns, sh.tables, pNN).value
+              if nullMass < 0.5
+              dom0 <- Ensemble.colDomain(spns, t, c)
+              // narrow the bucket span by the query's OWN predicate on the
+              // date column (its compiled range's hull): a daily series
+              // over `WHERE d < DATE'...'` must bucket the asked-for span,
+              // not the table's whole history — the difference between
+              // folding under the 400-bucket cap and falling back
+              dom = {
+                val hull = SpnCardinality
+                  .predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+                  .flatMap(_.get((t, c)))
+                  .flatMap {
+                    case graft.rspn.NumRange(lo, hi, _, _) => Some((lo, hi))
+                    case graft.rspn.MultiRange(is) => Some((is.head.lo, is.last.hi))
+                    case graft.rspn.NominalSet(cs) if cs.nonEmpty => Some((cs.min, cs.max))
+                    case _ => None
+                  }
+                hull.fold(dom0) { case (lo, hi) =>
+                  (math.max(dom0._1, lo), math.min(dom0._2, hi))
+                }
+              }
+              // math.floor, not toLong: toLong truncates toward zero, so a
+              // negative (pre-1970) fractional domain start would shift
+              // into the NEXT day and could silently skip the first bucket
+              buckets <- {
+                if (dom._1 > dom._2) Some(Seq.empty[(Any, Seq[(Double, Double)])])
+                else g.buckets(
+                  LocalDate.ofEpochDay(math.floor(dom._1).toLong),
+                  LocalDate.ofEpochDay(math.floor(dom._2).toLong))
+              }
+              rows <- {
+                // per bucket: the bucket's interval union conjoins the base
+                // atoms; scalar buckets gate on >= half a row, mixed
+                // buckets take the dictionary enumeration's own nonzero
+                // row universe (groups of an empty bucket enumerate empty)
+                val perBucket: Seq[Option[Seq[Seq[Any]]]] = buckets.map { case (k, ivs) =>
+                  val bucket = mergeAtoms(sh.atoms,
+                    Seq(t -> (SpnCardinality.RangeUnion(c, ivs): Atom)))
+                  val shB = sh.copy(atoms = bucket)
+                  val bucketRows: Option[Seq[(Seq[String], Map[Int, Any])]] =
+                    if (dims.isEmpty)
+                      for {
+                        p <- SpnCardinality.predsFor(spns, sh.tables, bucket, spec.modeled)
+                        m <- plainScalarVals(spns, spec, shB, aggCols)
+                      } yield {
+                        if (Ensemble.estCount(spns, sh.tables, p).value >= 0.5)
+                          Seq(Seq.empty[String] -> m)
+                        else Nil
+                      }
+                    else plainGroupRows(spns, spec, shB, dims, aggCols)
+                  bucketRows.map(_.map { case (dk, m) =>
+                    var j = -1
+                    agg.aggregateExpressions.map {
+                      case ne if keyOut(ne) => k
+                      case _ =>
+                        j += 1
+                        aggCols(j) match {
+                          case GroupOut(gi) => dk(gi): Any
+                          case _            => m(j)
+                        }
+                    }
+                  })
+                }
+                // any uncompilable bucket means fall back — never guess one
+                if (perBucket.exists(_.isEmpty)) None
+                else Some(perBucket.flatMap(_.get))
+              }
+            } yield {
+              clearAnnotationIfOn() // calendar folds carry no CI channel
+              LocalRelation(agg.output, toRows(rows, agg.output.map(_.dataType)))
+            }
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -406,7 +618,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       if aggGroupIds == groupIdx.keySet + gidId
       cols <- outputCols(agg, sh, spec.modeled, groupIdx, Some(gidId))
       rows <- estimateSets(sh, groupSrc, sets, gidId, cols, agg.output.map(_.dataType))
-    } yield LocalRelation(agg.output, rows)
+    } yield {
+      clearAnnotationIfOn() // grouping-set folds carry no CI channel
+      LocalRelation(agg.output, rows)
+    }
   }
 
   /** Per-set verdicts for a Filter interposed between the Aggregate and
@@ -466,6 +681,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     case x: SpnCardinality.NotNull    => x.copy(column = c)
     case x: SpnCardinality.StrMatch   => x.copy(column = c)
     case x: SpnCardinality.Complement => x.copy(inner = retarget(x.inner, c))
+    case x: SpnCardinality.AnyOf      =>
+      x.copy(column = c, alts = x.alts.map(_.map(retarget(_, c))))
+    case x: SpnCardinality.RangeUnion => x.copy(column = c)
   }
 
   /** Split the Expand's output slots (grouping id excluded) into
@@ -590,32 +808,6 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
 
   // ---- shape recognition ----
 
-  /** `x != lit` (`Not(EqualTo)`) on an ORDERED modeled column — "num" or
-    * "days" — rewrites to the disjoint disjunction `x < lit ∨ x > lit`:
-    * the same row set under SQL's NULL semantics (both forms exclude
-    * NULL x), and the branches' A∧B correction term is a contradiction
-    * with zero mass, so the OR machinery's inclusion-exclusion union is
-    * exact, not approximate. Costs one of the three OR slots. Dictionary
-    * (cat) `!=` is deliberately NOT rewritten — its Complement atom folds
-    * by dictionary complement without spending a slot. `kindOf` resolves
-    * through the Shape's rename layer, so a negated renamed column in a
-    * derived table rewrites the SOURCE column's comparison.
-    */
-  private def neqToRange(
-      e: Expression, kindOf: AttributeReference => Option[String]): Expression = {
-    def ordered(a: AttributeReference): Boolean =
-      kindOf(a).exists(k => k == "num" || k == "days")
-    e match {
-      case Not(EqualTo(a: AttributeReference, l @ Literal(v, _)))
-          if v != null && ordered(a) =>
-        Or(LessThan(a, l), GreaterThan(a, l))
-      case Not(EqualTo(l @ Literal(v, _), a: AttributeReference))
-          if v != null && ordered(a) =>
-        Or(LessThan(a, l), GreaterThan(a, l))
-      case other => other
-    }
-  }
-
   /** `a = 'x' OR a = 'y' [OR ...]` — a same-column disjunction of point
     * predicates — is exactly `a IN ('x','y',...)` (NULL is unknown under
     * both spellings), so fold it to an In: it then compiles as ONE InSet
@@ -663,9 +855,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // computed column or join still falls back to exact.
     case StrictScan(dir, t, conjuncts0)
         if dirMatches(dir) && modeled.contains(t) =>
-      val conjuncts = conjuncts0.map(eqOrToIn).map(neqToRange(_,
-        a => modeled(t).collectFirst { case (c, k) if c == a.name => k }))
-      val (ors, plain) = conjuncts.partition(_.isInstanceOf[Or])
+      // an Or conjunct atomsOf UNDERSTANDS (single-column — point sets,
+      // multi-interval range unions; numeric != arrives as Complement, not
+      // here) compiles as a PLAIN atom and never costs a disjunction slot;
+      // only genuinely multi-column disjunctions ride orBranches
+      val conjuncts = conjuncts0.map(eqOrToIn)
+      val (ors, plain) = conjuncts.partition(e =>
+        e.isInstanceOf[Or] && atomsOf(Seq(e)).isEmpty)
       for {
         atoms0 <- atomsOf(plain)
         // isnotnull on an UNMODELED declared key parks as pending — only a
@@ -708,10 +904,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       walk(c, modeled, rels, keyCols).flatMap { sh =>
         def tableOfAttr(a: AttributeReference): Option[(String, String)] =
           sh.attrTable.get(a.exprId)
-        val (ors, plain) = splitConj(cond).map(eqOrToIn).map(neqToRange(_,
-          a => tableOfAttr(a).flatMap { case (t, c) =>
-            modeled(t).collectFirst { case (cc, k) if cc == c => k } }))
-          .partition(_.isInstanceOf[Or])
+        // same policy as the leaf: an understood single-column Or is a
+        // plain atom (perConj resolves it through the rename layer — its
+        // reference set is exactly one attribute), multi-column Ors ride
+        // the slot machinery
+        val (ors, plain) = splitConj(cond).map(eqOrToIn)
+          .partition(e => e.isInstanceOf[Or] && atomsOf(Seq(e)).isEmpty)
         val perConj = plain.map { cj =>
           for {
             as <- atomsOf(Seq(cj))
@@ -889,6 +1087,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
     if (gs.forall(_.isDefined)) Some(gs.flatten) else None
   }
+
+  import SpnAqpRule.utf8Extreme
 
   private sealed trait OutCol
   private case class GroupOut(idx: Int) extends OutCol
@@ -1334,8 +1534,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case MinMaxCatOut(c, isMin) =>
           preds.map { p =>
             val support = Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), p).map(_._1.head)
-            if (support.isEmpty) null
-            else if (isMin) support.min else support.max
+            utf8Extreme(support, isMin)
           }
         case SumOut(terms, refCols) =>
           predsNN(refCols).map { p =>
@@ -1430,9 +1629,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case MinMaxCatOut(c, isMin) =>
           preds.map(p => Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, p)
             .map(_._1).groupBy(_.dropRight(1))
-            .map { case (g, rows) =>
-              val vs = rows.map(_.last)
-              g -> ((if (isMin) vs.min else vs.max): Any) })
+            .map { case (g, rows) => g -> utf8Extreme(rows.map(_.last), isMin) })
         case SumOut(terms, refCols) => predsNN(refCols).map { p =>
           val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
             .map { case (k, e) => k -> e.value }.toMap
@@ -1566,8 +1763,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           yield {
             val support = (Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pA).map(_._1.head) ++
               Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pB).map(_._1.head)).distinct
-            if (support.isEmpty) null
-            else if (isMin) support.min else support.max
+            utf8Extreme(support, isMin)
           }
       case CountColOut(c) =>
         predPair(Seq(c)).map { case (nA, nB) =>
@@ -1653,9 +1849,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             yield (Ensemble.estGroupByMulti(spns, sh.tables, groupCols :+ c, pA).map(_._1) ++
               Ensemble.estGroupByMulti(spns, sh.tables, groupCols :+ c, pB).map(_._1))
               .distinct.groupBy(_.dropRight(1))
-              .map { case (g, rows) =>
-                val vs = rows.map(_.last)
-                g -> ((if (isMin) vs.min else vs.max): Any) }
+              .map { case (g, rows) => g -> utf8Extreme(rows.map(_.last), isMin) }
         // per-group count gate under the non-nullness of the referenced
         // columns: a group whose aggregate column is NULL throughout folds
         // to SQL's NULL (absent here → aggDefault at assembly), matching
@@ -1806,11 +2000,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case CountOut()     => signed(Nil, estOf(Nil)).map(v => math.max(v, 0.0))
       case CountColOut(c) => signed(Seq(c), estOf(Nil)).map(v => math.max(v, 0.0))
       case CountDistinctOut(c) => distinctUnion(Seq(c)).map(_.size.toDouble)
-      case MinMaxCatOut(c, isMin) => distinctUnion(Seq(c)).map { s =>
-        val support = s.map(_.head)
-        if (support.isEmpty) null
-        else if (isMin) support.min else support.max
-      }
+      case MinMaxCatOut(c, isMin) =>
+        distinctUnion(Seq(c)).map(s => utf8Extreme(s.map(_.head), isMin))
       case SumOut(ts, refCols) =>
         for {
           gate <- signed(refCols, estOf(Nil))
@@ -1907,9 +2098,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           .map { case (g, rows) => g -> (rows.length.toDouble: Any) })
       case MinMaxCatOut(c, isMin) =>
         distinctUnionG(gcols :+ c).map(_.toSeq.groupBy(_.dropRight(1))
-          .map { case (g, rows) =>
-            val vs = rows.map(_.last)
-            g -> ((if (isMin) vs.min else vs.max): Any) })
+          .map { case (g, rows) => g -> utf8Extreme(rows.map(_.last), isMin) })
       case SumOut(ts, refCols) =>
         for {
           gate <- signedG(refCols, countEnum)

@@ -185,8 +185,7 @@ final class CompiledSpn private (
         val cI = leafCol(i)
         require(exps(cI) == 0, s"feature on categorical col $cI")
         val probs = catProbs(payload(i))
-        ranges(cI) match {
-          case null => 1.0
+        def catMass(r: ColRange): Double = r match {
           case NominalSet(codes) =>
             var s = 0.0
             var k = 0
@@ -206,6 +205,11 @@ final class CompiledSpn private (
               cc += 1
             }
             s
+          case MultiRange(is) => is.iterator.map(catMass).sum // disjoint
+        }
+        ranges(cI) match {
+          case null => 1.0
+          case r    => catMass(r)
         }
       case 3 => // numeric leaf: prefix-moment range sums
         val l = numLeaf(payload(i))

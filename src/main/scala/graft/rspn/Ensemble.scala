@@ -421,6 +421,26 @@ object Ensemble {
   private[rspn] def relationshipsFor(spns: Map[String, TrainedSpn]): Seq[Relationship] =
     Option(specBySpns.get(spns)).getOrElse(DatasetSpec.testdata).graph.relationships
 
+  /** The conf-stripped clone training runs on (see [[state]]'s comment).
+    * Copying the parent's runtime confs minus `spark.graft.*` is not
+    * enough: `newSession()` seeds its SQLConf from the CONTEXT's SparkConf,
+    * so a graft key supplied via `--conf`/spark-defaults survives the
+    * filtered copy — strip every `spark.graft.*` key visible on the clone
+    * AFTER the copy, whatever its source. Training must always plan
+    * exactly; a live AQP rule inside a training query re-enters `state`
+    * and deadlocks on its own in-flight future.
+    */
+  private[graft] def trainingSession(spark: SparkSession): SparkSession = {
+    val spark0 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!k.startsWith("spark.graft."))
+        scala.util.Try(spark0.conf.set(k, v)) // read-only confs refuse; fine
+    }
+    spark0.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+      .foreach(k => scala.util.Try(spark0.conf.unset(k)))
+    spark0
+  }
+
   def state(spark: SparkSession, sfDir: String): EnsembleState =
     cache.getOrElseUpdate((spark.sparkContext, sfDir), {
       // TRAINING runs its own Spark queries (sample scans, count(*) row
@@ -433,11 +453,7 @@ object Ensemble {
       // context, and the runtime confs are copied over so sampling stays
       // bit-identical to a plain-session run) minus every graft conf:
       // training always plans EXACTLY.
-      val spark0 = spark.newSession()
-      spark.conf.getAll.foreach { case (k, v) =>
-        if (!k.startsWith("spark.graft."))
-          scala.util.Try(spark0.conf.set(k, v)) // read-only confs refuse; fine
-      }
+      val spark0 = trainingSession(spark)
       val spec = DatasetSpec.forDir(spark0, sfDir)
       // models are independent: train them concurrently (Spark schedules the
       // sampling jobs from multiple threads; structure learning is
@@ -819,33 +835,11 @@ object Ensemble {
       (a.get(k), b.get(k)) match {
         case (Some(x), None) => Some(k -> x)
         case (None, Some(y)) => Some(k -> y)
-        // an empty nominal set (a recorded contradiction) is disjoint with
-        // everything — further conjuncts must keep the result empty, not throw
-        case (Some(NominalSet(c1)), Some(_)) if c1.isEmpty => None
-        case (Some(_), Some(NominalSet(c2))) if c2.isEmpty => None
-        case (Some(NumRange(lo1, hi1, li1, hi1i)), Some(NumRange(lo2, hi2, li2, hi2i))) =>
-          val lo = math.max(lo1, lo2); val hi = math.min(hi1, hi2)
-          val loI = if (lo1 == lo2) li1 && li2 else if (lo == lo1) li1 else li2
-          val hiI = if (hi1 == hi2) hi1i && hi2i else if (hi == hi1) hi1i else hi2i
-          if (lo > hi || (lo == hi && !(loI && hiI))) None
-          else Some(k -> NumRange(lo, hi, loI, hiI))
-        case (Some(NominalSet(c1)), Some(NominalSet(c2))) =>
-          val inter = c1.toSet.intersect(c2.toSet).toArray
-          if (inter.isEmpty) None else Some(k -> NominalSet(inter))
-        // categorical leaves accept numeric ranges over codes, so a nominal
-        // set intersects a range by filtering its codes
-        case (Some(NominalSet(cs)), Some(NumRange(lo, hi, li, hi2))) =>
-          val inter = cs.filter(c => (if (li) c >= lo else c > lo) && (if (hi2) c <= hi else c < hi))
-          if (inter.isEmpty) None else Some(k -> NominalSet(inter))
-        case (Some(NumRange(lo, hi, li, hi2)), Some(NominalSet(cs))) =>
-          val inter = cs.filter(c => (if (li) c >= lo else c > lo) && (if (hi2) c <= hi else c < hi))
-          if (inter.isEmpty) None else Some(k -> NominalSet(inter))
-        // NOT NULL is implied by any concrete range: identity element
-        case (Some(NotNullRange), Some(y)) => Some(k -> y)
-        case (Some(x), Some(NotNullRange)) => Some(k -> x)
-        case (Some(x), Some(y)) =>
-          if (x == y) Some(k -> x)
-          else throw new IllegalArgumentException(s"cannot intersect $x with $y on $k")
+        // ONE interval algebra for every shape pair (NumRange, NominalSet,
+        // MultiRange, NotNullRange) — ColRangeOps.meet; None = provably
+        // disjoint on this column, so the whole conjunction has zero mass
+        case (Some(x), Some(y)) => ColRangeOps.meet(x, y).map(k -> _)
+        case (None, None)       => None // unreachable: k comes from the key union
       }
     }
     if (merged.contains(None)) None else Some(merged.flatten.toMap)

@@ -30,8 +30,131 @@ final case class NominalSet(codes: Array[Double]) extends ColRange
 /** Numeric interval, optionally open on either side. */
 final case class NumRange(lo: Double, hi: Double, loIncl: Boolean = true, hiIncl: Boolean = true)
     extends ColRange
+/** Union of DISJOINT, SORTED numeric intervals — the reference's
+  * `aqp_spn/ranges.py::NumericRange` carries a LIST of [lo, hi] intervals
+  * with inclusive flags, which is what lets numeric `!=`, `NOT IN`, and
+  * cyclic calendar buckets (`month(d)`) compile as ONE predicate instead of
+  * spending disjunction machinery. Leaves evaluate it as the sum of the
+  * per-interval masses (exact, since the intervals are disjoint). Build via
+  * [[ColRangeOps.union]]/[[ColRangeOps.normalize]] — constructors that
+  * enforce the invariant. A Vector (not Array) so structural equality holds
+  * for the expectation memo's cache key.
+  */
+final case class MultiRange(intervals: Vector[NumRange]) extends ColRange
 /** IS NOT NULL (the reference's `*_nn` indicator predicate). */
 case object NotNullRange extends ColRange
+
+/** Interval algebra over [[ColRange]] — ONE implementation of
+  * intersection/union/normalization shared by the predicate compilers
+  * (plans.SpnCardinality.toPreds) and the estimator's conjunction logic
+  * (Ensemble.intersect), so the two can never disagree on emptiness.
+  */
+object ColRangeOps {
+
+  /** lo-bound ordering key: position first, open beats closed at equal lo. */
+  private def loKey(r: NumRange): (Double, Int) = (r.lo, if (r.loIncl) 0 else 1)
+
+  private def isEmpty(r: NumRange): Boolean =
+    r.lo > r.hi || (r.lo == r.hi && !(r.loIncl && r.hiIncl))
+
+  /** Two intervals overlap or touch COMPATIBLY (their union is one
+    * interval): a.hi vs b.lo with inclusivity — (5, 10) and [10, 20] touch
+    * (10 covered), (5, 10) and (10, 20) do NOT (10 excluded, the `!=` gap).
+    */
+  private def mergeable(a: NumRange, b: NumRange): Boolean =
+    b.lo < a.hi || (b.lo == a.hi && (a.hiIncl || b.loIncl))
+
+  /** Sorted-disjoint normalization of an interval list: drop empties, sort,
+    * merge overlapping/compatibly-touching neighbors. None = provably empty.
+    */
+  def normalize(intervals: Seq[NumRange]): Option[ColRange] = {
+    val live = intervals.filterNot(isEmpty).sortBy(loKey)
+    if (live.isEmpty) return None
+    val out = scala.collection.mutable.ArrayBuffer(live.head)
+    live.tail.foreach { r =>
+      val last = out.last
+      if (mergeable(last, r)) {
+        val (hi, hiIncl) =
+          if (r.hi > last.hi) (r.hi, r.hiIncl)
+          else if (r.hi < last.hi) (last.hi, last.hiIncl)
+          else (last.hi, last.hiIncl || r.hiIncl)
+        out(out.length - 1) = NumRange(last.lo, hi, last.loIncl, hiIncl)
+      } else out += r
+    }
+    Some(if (out.length == 1) out.head else MultiRange(out.toVector))
+  }
+
+  private def intervalsOf(r: ColRange): Option[Seq[NumRange]] = r match {
+    case n: NumRange      => Some(Seq(n))
+    case MultiRange(is)   => Some(is)
+    // a numeric point set is a union of degenerate closed intervals
+    case NominalSet(cs)   => Some(cs.toSeq.map(v => NumRange(v, v)))
+    case NotNullRange     => None
+  }
+
+  private def meetIntervals(a: NumRange, b: NumRange): NumRange = {
+    val (lo, loI) =
+      if (a.lo > b.lo) (a.lo, a.loIncl)
+      else if (b.lo > a.lo) (b.lo, b.loIncl)
+      else (a.lo, a.loIncl && b.loIncl)
+    val (hi, hiI) =
+      if (a.hi < b.hi) (a.hi, a.hiIncl)
+      else if (b.hi < a.hi) (b.hi, b.hiIncl)
+      else (a.hi, a.hiIncl && b.hiIncl)
+    NumRange(lo, hi, loI, hiI)
+  }
+
+  /** Conjunction of two ranges on one column; None = PROVABLY EMPTY (zero
+    * mass). Every ColRange shape pair is supported: NotNull is the identity
+    * (any concrete range implies non-null), nominal×nominal intersects code
+    * sets, and anything interval-like goes through pairwise interval meets.
+    * Nominal sets survive as nominal sets (categorical leaves index probs
+    * by code; numeric leaves treat them as exact point sets).
+    */
+  def meet(a: ColRange, b: ColRange): Option[ColRange] = (a, b) match {
+    // an empty nominal set (a recorded contradiction) is disjoint with
+    // everything — checked before the NotNull identity would keep it
+    case (NominalSet(cs), _) if cs.isEmpty => None
+    case (_, NominalSet(cs)) if cs.isEmpty => None
+    case (NotNullRange, r) => Some(r)
+    case (r, NotNullRange) => Some(r)
+    case (NominalSet(c1), NominalSet(c2)) =>
+      val s2 = c2.toSet
+      val inter = c1.filter(s2.contains)
+      if (inter.isEmpty) None else Some(NominalSet(inter))
+    case (NominalSet(cs), other) => nominalMeet(cs, other)
+    case (other, NominalSet(cs)) => nominalMeet(cs, other)
+    case _ =>
+      for {
+        ia <- intervalsOf(a)
+        ib <- intervalsOf(b)
+        m <- normalize(for { x <- ia; y <- ib } yield meetIntervals(x, y))
+      } yield m
+  }
+
+  private def nominalMeet(cs: Array[Double], r: ColRange): Option[ColRange] = {
+    def in(v: Double, i: NumRange): Boolean =
+      (if (i.loIncl) v >= i.lo else v > i.lo) && (if (i.hiIncl) v <= i.hi else v < i.hi)
+    val is = intervalsOf(r).getOrElse(return Some(NominalSet(cs)))
+    val kept = cs.filter(v => is.exists(in(v, _)))
+    if (kept.isEmpty) None else Some(NominalSet(kept))
+  }
+
+  /** Disjunction of ranges on one column (the AnyOf atom / cyclic calendar
+    * buckets). All-nominal unions stay nominal; any NotNull absorbs
+    * everything (x IS NOT NULL ∨ anything-null-excluding = IS NOT NULL);
+    * otherwise everything lowers to intervals and normalizes. None only on
+    * empty input.
+    */
+  def union(rs: Seq[ColRange]): Option[ColRange] = {
+    if (rs.isEmpty) return None
+    if (rs.contains(NotNullRange)) return Some(NotNullRange)
+    if (rs.forall(_.isInstanceOf[NominalSet]))
+      return Some(NominalSet(
+        rs.flatMap { case NominalSet(cs) => cs.toSeq; case _ => Nil }.distinct.toArray))
+    normalize(rs.flatMap(intervalsOf(_).getOrElse(Nil)))
+  }
+}
 
 final case class SumNode(weights: Array[Double], children: Array[SpnNode], n: Double)
     extends SpnNode {
@@ -97,6 +220,12 @@ final case class NumericLeaf(
       val a = if (loIncl) lower(lo) else upper(lo)
       val b = if (hiIncl) upper(hi) else lower(hi)
       if (b <= a) 0.0 else cum(b) - cum(a)
+    // intervals are disjoint by the ColRangeOps invariant, so the per-
+    // interval masses sum exactly
+    case MultiRange(is) =>
+      var s = 0.0
+      is.foreach(i => s += rangeSum(i, cum))
+      s
     case NominalSet(codes) =>
       var s = 0.0
       codes.foreach { c =>
@@ -128,8 +257,7 @@ object Spn {
       val r = ranges(l.colIdx)
       val e = exps(l.colIdx)
       require(e == 0, s"feature on categorical col ${l.colIdx}")
-      r match {
-        case null => 1.0
+      def mass(rr: ColRange): Double = rr match {
         case NominalSet(codes) =>
           var s = 0.0
           codes.foreach(c => if (c >= 0 && c < l.probs.length) s += l.probs(c.toInt))
@@ -144,6 +272,11 @@ object Spn {
             c += 1
           }
           s
+        case MultiRange(is) => is.iterator.map(mass).sum // disjoint intervals
+      }
+      r match {
+        case null => 1.0
+        case rr   => mass(rr)
       }
     case l: NumericLeaf =>
       val r0 = ranges(l.colIdx)

@@ -305,14 +305,29 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(isRewritten(dup), s"dup eq-OR must fold:\n${dup.queryExecution.optimizedPlan}")
     assert(qerr(dup.head.getLong(0).toDouble, dupExact) <= 1.5,
       s"repeated-literal eq-OR: ${dup.head.getLong(0)} vs $dupExact (a 2x 'A' mass would blow this)")
-    // FOUR independent range ORs exceed the expansion's accuracy cap: fallback
-    val fourOrs = session(aqp = true).sql(
-      """SELECT count(*) AS n FROM lineitem
+    // FOUR single-column range ORs are (round 13) four plain multi-interval
+    // atoms — zero disjunction slots, exact range-union semantics — so the
+    // query now FOLDS where it used to exhaust the expansion cap
+    val fourSql = """SELECT count(*) AS n FROM lineitem
          WHERE (l_quantity < 5 OR l_quantity > 45)
            AND (l_discount < 0.02 OR l_discount > 0.08)
            AND (l_extendedprice < 10000 OR l_extendedprice > 50000)
-           AND (l_tax < 0.01 OR l_tax > 0.07)""".stripMargin)
-    assert(!isRewritten(fourOrs), "four range ORs must fall back to exact")
+           AND (l_tax < 0.01 OR l_tax > 0.07)""".stripMargin
+    val fourExact = session(aqp = false).sql(fourSql).head.getLong(0).toDouble
+    val fourOrs = session(aqp = true).sql(fourSql)
+    assert(isRewritten(fourOrs),
+      s"four SINGLE-column ORs are plain range unions and must fold:\n${fourOrs.queryExecution.optimizedPlan}")
+    assert(qerr(math.max(fourOrs.head.getLong(0).toDouble, 1.0), math.max(fourExact, 1.0)) <= 2.0,
+      s"four single-column ORs: ${fourOrs.head.getLong(0)} vs $fourExact")
+    // four MULTI-column disjunctions still exceed the signed expansion's
+    // accuracy cap (81 terms compound per-term error): fallback
+    val fourMixed = session(aqp = true).sql(
+      """SELECT count(*) AS n FROM lineitem
+         WHERE (l_quantity < 5 OR l_discount > 0.08)
+           AND (l_discount < 0.02 OR l_tax > 0.07)
+           AND (l_extendedprice < 10000 OR l_quantity > 45)
+           AND (l_tax < 0.01 OR l_extendedprice > 50000)""".stripMargin)
+    assert(!isRewritten(fourMixed), "four multi-column ORs must fall back to exact")
   }
 
   test("two independent disjunctions fold through the signed product expansion") {
@@ -546,6 +561,8 @@ class SpnAqpSpec extends AnyFunSuite {
       """WHERE (l_quantity < 10 OR l_quantity > 40)
            AND (l_discount < 0.03 OR l_discount > 0.07)""" -> "or2",
       "WHERE l_quantity != 24" -> "numneq",
+      "WHERE l_quantity NOT IN (5, 10, 15)" -> "numnotin",
+      "WHERE l_quantity < 10 OR l_quantity BETWEEN 40 AND 45" -> "rangeunion",
       """WHERE (l_quantity < 10 OR l_quantity > 40)
            AND (l_discount < 0.03 OR l_discount > 0.07)
            AND (l_tax < 0.02 OR l_tax > 0.06)""" -> "or3")
@@ -903,9 +920,10 @@ class SpnAqpSpec extends AnyFunSuite {
           s"complement fold for [$sql] key $k: ${est(k)} vs $v")
       }
     }
-    // numeric != rewrites to the disjoint disjunction (< ∨ >): the
-    // branches cannot overlap, so the inclusion-exclusion union is exact —
-    // scalar, grouped, and composed with a dictionary complement
+    // numeric != compiles to the multi-interval complement (-∞,v)∪(v,∞) —
+    // ONE plain atom (reference ranges.py::NumericRange parity), exact and
+    // costing no disjunction slot — scalar, grouped, and composed with a
+    // dictionary complement
     val neCases = Seq(
       "SELECT count(*) AS n FROM lineitem WHERE l_quantity != 24",
       """SELECT l_linestatus, count(*) AS n FROM lineitem
@@ -1326,15 +1344,113 @@ class SpnAqpSpec extends AnyFunSuite {
       """SELECT year(o_orderdate) + 1 AS y1, count(*) AS n
          FROM orders GROUP BY year(o_orderdate)""".stripMargin)
     assert(!isRewritten(keyExpr), "an expression over the year key must fall back")
-    // month()'s buckets are cyclic across years — not a single range: fallback
-    val m = session(aqp = true).sql(
-      "SELECT month(o_orderdate) AS m, count(*) AS n FROM orders GROUP BY month(o_orderdate)")
-    assert(!isRewritten(m), "month() grouping must fall back to exact")
-    // 'week' has no calendar-bucket generator: fallback
-    val w = session(aqp = true).sql(
-      """SELECT date_trunc('week', o_orderdate) AS p, count(*) AS n
-         FROM orders GROUP BY date_trunc('week', o_orderdate)""".stripMargin)
-    assert(!isRewritten(w), "date_trunc('week') must fall back to exact")
+  }
+
+  test("month()/quarter() fold as cross-year cyclic multi-interval buckets; week/day trunc fold") {
+    // month(d)'s bucket k is the UNION of month-k intervals across every
+    // domain year — ONE RangeUnion atom per bucket (multi-interval leaf
+    // evaluation), not inclusion-exclusion
+    Seq(
+      "SELECT month(o_orderdate) AS k, count(*) AS n FROM orders GROUP BY month(o_orderdate)",
+      "SELECT quarter(o_orderdate) AS k, count(*) AS n FROM orders GROUP BY quarter(o_orderdate)",
+      """SELECT month(o_orderdate) AS k, count(*) AS n FROM orders
+         WHERE o_totalprice < 150000 GROUP BY month(o_orderdate)""".stripMargin)
+      .foreach { sql =>
+        val exact = session(aqp = false).sql(sql).collect()
+          .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+        val df = session(aqp = true).sql(sql)
+        assert(isRewritten(df), s"cyclic buckets must fold for [$sql]:\n${df.queryExecution.optimizedPlan}")
+        val est = df.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+        assert(est.keySet == exact.keySet, s"cyclic keys for [$sql]: ${est.keySet} vs ${exact.keySet}")
+        exact.foreach { case (k, v) =>
+          assert(qerr(est(k), v) <= 2.0 || math.abs(est(k) - v) <= 5.0,
+            s"cyclic bucket $k for [$sql]: ${est(k)} vs $v")
+        }
+      }
+    // ISO week: Spark's date_trunc('week') floors to MONDAY — bucket keys
+    // must agree with the engine's own truncation exactly (a one-day-off
+    // floor shifts every key); restricted span keeps buckets dense
+    val wSql = """SELECT date_trunc('week', o_orderdate) AS p, count(*) AS n
+                  FROM orders WHERE o_orderdate < DATE'1992-06-01'
+                  GROUP BY date_trunc('week', o_orderdate)""".stripMargin
+    val wExact = session(aqp = false).sql(wSql).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+    val wDf = session(aqp = true).sql(wSql)
+    assert(isRewritten(wDf), s"date_trunc('week') must fold:\n${wDf.queryExecution.optimizedPlan}")
+    val wEst = wDf.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+    assert(wEst.keySet == wExact.keySet,
+      s"week keys ${wEst.keySet.toSeq.sorted.take(4)} vs ${wExact.keySet.toSeq.sorted.take(4)}")
+    wEst.keys.foreach { k =>
+      assert(java.time.LocalDate.parse(k.substring(0, 10)).getDayOfWeek
+        == java.time.DayOfWeek.MONDAY, s"week key $k must floor to Monday")
+    }
+    // 'day' buckets under the 400 cap fold; the full multi-year span
+    // (>400 daily buckets) pins the cap-exceeded fallback
+    val dSql = """SELECT date_trunc('day', o_orderdate) AS p, count(*) AS n
+                  FROM orders WHERE o_orderdate < DATE'1992-03-01'
+                  GROUP BY date_trunc('day', o_orderdate)""".stripMargin
+    val dExact = session(aqp = false).sql(dSql).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+    val dDf = session(aqp = true).sql(dSql)
+    assert(isRewritten(dDf), s"date_trunc('day') must fold:\n${dDf.queryExecution.optimizedPlan}")
+    assert(dDf.collect().map(r => r.getTimestamp(0).toString).toSet == dExact.keySet)
+    val dAll = session(aqp = true).sql(
+      """SELECT date_trunc('day', o_orderdate) AS p, count(*) AS n
+         FROM orders GROUP BY date_trunc('day', o_orderdate)""".stripMargin)
+    assert(!isRewritten(dAll), "a multi-year daily series exceeds the 400-bucket cap: fallback")
+  }
+
+  test("mixed calendar × dimension grouping folds: GROUP BY year(d), dimcol") {
+    // the highest-frequency dashboard shape: one calendar bucket axis, one
+    // dictionary axis — per bucket the dictionary groups enumerate under
+    // the bucket-conjoined predicate (group_by_combination over a range)
+    val sql = """SELECT year(o_orderdate) AS y, o_orderpriority, count(*) AS n,
+                        sum(o_totalprice) AS rev
+                 FROM orders WHERE o_totalprice < 150000
+                 GROUP BY year(o_orderdate), o_orderpriority""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2).toDouble, r.getDouble(3)))).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"mixed grouping must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2).toDouble, r.getDouble(3)))).toMap
+    assert(est.keySet == exact.keySet,
+      s"mixed keys: ${(est.keySet -- exact.keySet).take(4)} extra, ${(exact.keySet -- est.keySet).take(4)} missing")
+    // year × priority cells at sf0.001 hold a handful of rows each —
+    // sparse-bucket q-error is noisy by nature (the month test's slack
+    // convention); the keyset equality above is the strict gate
+    exact.foreach { case (k, (en, es)) =>
+      assert(qerr(est(k)._1, en) <= 3.0 || math.abs(est(k)._1 - en) <= 10.0,
+        s"mixed group $k count: ${est(k)._1} vs $en")
+      assert(qerr(est(k)._2, es) <= 3.0 || math.abs(est(k)._2 - es) <= 10.0 * 150000,
+        s"mixed group $k rev: ${est(k)._2} vs $es")
+    }
+    // grouping order is the USER's: (dim, calendar) works too, and the
+    // fold composes with cyclic buckets and joins
+    val sql2 = """SELECT l_returnflag, month(o_orderdate) AS m, count(*) AS n
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE l_quantity < 30
+                  GROUP BY l_returnflag, month(o_orderdate)""".stripMargin
+    val exact2 = session(aqp = false).sql(sql2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2).toDouble).toMap
+    val df2 = session(aqp = true).sql(sql2)
+    assert(isRewritten(df2), s"dim × cyclic over a join must fold:\n${df2.queryExecution.optimizedPlan}")
+    val est2 = df2.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2).toDouble).toMap
+    assert(est2.keySet == exact2.keySet, s"dim×month keys differ: ${(est2.keySet diff exact2.keySet).take(3)} / ${(exact2.keySet diff est2.keySet).take(3)}")
+    exact2.foreach { case (k, v) =>
+      assert(qerr(est2(k), v) <= 2.0 || math.abs(est2(k) - v) <= 5.0,
+        s"dim×month group $k: ${est2(k)} vs $v")
+    }
+    // TWO calendar expressions would need a bucket cross product: fallback
+    val twoCal = session(aqp = true).sql(
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n
+         FROM orders GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin)
+    assert(!isRewritten(twoCal), "two calendar grouping expressions must fall back")
+    // a NUMERIC second grouping column (no dictionary) must fall back
+    val numDim = session(aqp = true).sql(
+      """SELECT year(o_orderdate) AS y, o_custkey, count(*) AS n
+         FROM orders GROUP BY year(o_orderdate), o_custkey""".stripMargin)
+    assert(!isRewritten(numDim), "a non-dictionary dimension column must fall back")
   }
 
   test("answerable aggregates fold inside UNION ALL; constant tag columns ride along") {
@@ -1435,5 +1551,96 @@ class SpnAqpSpec extends AnyFunSuite {
         "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 5").head.getLong(0)
       assert(viaCache.head.getLong(0) == exactN)
     } finally filtered.unpersist(blocking = true)
+  }
+
+  test("multi-interval atoms: !=, NOT IN, and single-column ORs fold without disjunction slots") {
+    def checkFold(sql: String, bound: Double = 1.5): Unit = {
+      val exact = session(aqp = false).sql(sql).collect()
+        .map(r => (0 until r.length - 1).map(r.get(_).toString) -> r.getLong(r.length - 1).toDouble).toMap
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df), s"must fold for [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val est = df.collect()
+        .map(r => (0 until r.length - 1).map(r.get(_).toString) -> r.getLong(r.length - 1).toDouble).toMap
+      assert(est.keySet == exact.keySet, s"keys for [$sql]: ${est.keySet} vs ${exact.keySet}")
+      exact.foreach { case (k, v) =>
+        assert(qerr(math.max(est(k), 1.0), math.max(v, 1.0)) <= bound,
+          s"fold for [$sql] key $k: ${est(k)} vs $v")
+      }
+    }
+    // numeric NOT IN: the gaps between the sorted points, one plain atom
+    // (reference ranges.py::NumericRange list-of-intervals parity)
+    checkFold("SELECT count(*) AS n FROM lineitem WHERE l_quantity NOT IN (5, 10, 15)")
+    // a single-column range disjunction is a range UNION, not an OR slot
+    checkFold(
+      """SELECT l_linestatus, count(*) AS n FROM lineitem
+         WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY l_linestatus""".stripMargin)
+    // ...which is what admits it inside a FILTER clause (conjunctive atom lists)
+    checkFold(
+      """SELECT l_linestatus, count(*) FILTER (WHERE l_quantity < 5 OR l_quantity > 45) AS n
+         FROM lineitem GROUP BY l_linestatus""".stripMargin)
+    // the slot-budget proof: numeric != plus a single-column interval OR
+    // stacked with THREE genuinely multi-column disjunctions (the whole
+    // slot budget) still folds — before multi-interval atoms the != or the
+    // single-column OR would have burned a fourth slot and fallen back
+    checkFold(
+      """SELECT count(*) AS n FROM lineitem
+         WHERE l_quantity != 24
+           AND (l_quantity < 10 OR l_quantity > 40)
+           AND (l_quantity < 20 OR l_discount > 0.05)
+           AND (l_extendedprice < 40000 OR l_discount < 0.08)
+           AND (l_quantity > 5 OR l_extendedprice > 20000)""".stripMargin, bound = 2.0)
+    // mixed shapes on ONE column conjoin exactly: IN ∧ != intersects the
+    // point set against the interval complement (kills 10, keeps the rest)
+    checkFold("SELECT count(*) AS n FROM lineitem WHERE l_quantity IN (5, 10, 15) AND l_quantity != 10")
+  }
+
+  test("spn_last_fold() surfaces the fold's per-group 95% intervals (annotate opt-in)") {
+    val s2 = session(aqp = true)
+    s2.conf.set("spark.graft.aqp.annotate", "true")
+    val sql = """SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS s,
+                        avg(l_extendedprice) AS a
+                 FROM lineitem WHERE l_quantity < 24 GROUP BY l_returnflag""".stripMargin
+    val df = s2.sql(sql)
+    assert(isRewritten(df), s"annotated query must fold:\n${df.queryExecution.optimizedPlan}")
+    df.collect()
+    val tvf = s2.sql("SELECT * FROM spn_last_fold()").collect()
+    assert(tvf.nonEmpty, "annotation must record rows")
+    def tvfCol(c: String): Map[String, (Double, Double, Double)] =
+      tvf.filter(_.getString(1) == c)
+        .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // the intervals must EQUAL the explicit model surface's — same
+    // estimator calls, deterministic models, so exact double equality
+    def viaTvf(call: String): Map[String, (Double, Double, Double)] =
+      s2.sql(s"SELECT * FROM $call").collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(tvfCol("n") == viaTvf("spn_groupby('lineitem', 'l_returnflag', 'l_quantity < 24')"),
+      "count intervals must equal spn_groupby's")
+    assert(tvfCol("s") == viaTvf(
+      "spn_groupby_sum('lineitem', 'l_returnflag', 'l_extendedprice', 'l_quantity < 24')"),
+      "sum intervals must equal spn_groupby_sum's")
+    assert(tvfCol("a") == viaTvf(
+      "spn_groupby_avg('lineitem', 'l_returnflag', 'l_extendedprice', 'l_quantity < 24')"),
+      "avg intervals must equal spn_groupby_avg's")
+    tvf.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4),
+        s"lo <= est <= hi must hold: $r")
+    }
+    // the folded point answers sit inside their own intervals
+    val folded = df.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    tvfCol("n").foreach { case (k, (_, lo, hi)) =>
+      assert(folded(k) >= lo - 1 && folded(k) <= hi + 1,
+        s"folded count for $k (${folded(k)}) outside its CI [$lo, $hi]")
+    }
+    // a disjunctive fold has no one-call CI channel: it must CLEAR the
+    // annotation, and the TVF must fail loudly instead of serving stale rows
+    val orDf = s2.sql(
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 5 OR l_discount > 0.07")
+    assert(isRewritten(orDf))
+    orDf.collect()
+    val e = intercept[Throwable] { s2.sql("SELECT * FROM spn_last_fold()").collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("no annotated fold")),
+      s"stale annotation must not survive a disjunctive fold: $e")
   }
 }
