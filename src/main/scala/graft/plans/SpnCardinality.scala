@@ -215,13 +215,7 @@ object SpnCardinality {
             if (xs.forall(_.isDefined)) Some(xs.flatten.distinct) else None
           case _ => None
         }
-        points.map { ps =>
-          val sorted = ps.sorted
-          val bounds = (Double.NegativeInfinity +: sorted).zip(sorted :+ Double.PositiveInfinity)
-          ColRangeOps.normalize(bounds.map { case (lo, hi) =>
-            NumRange(lo, hi, loIncl = false, hiIncl = false)
-          }).getOrElse(NominalSet(Array.empty))
-        }
+        points.map(ColRangeOps.pointComplement)
       case _ => None
     }
 

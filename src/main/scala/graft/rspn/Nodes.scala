@@ -140,6 +140,23 @@ object ColRangeOps {
     if (kept.isEmpty) None else Some(NominalSet(kept))
   }
 
+  /** Complement of a finite numeric point set over the reals — the
+    * multi-interval form of `x != v` / `x NOT IN (…)` (the reference's
+    * `ranges.py::NumericRange` negation): open intervals between the
+    * sorted points plus unbounded open rays at the ends. Carries no NULL
+    * mass, matching SQL's unknown-on-NULL for both spellings. Shared by
+    * the Catalyst atom compiler and the SQL-text plane so the two can
+    * never disagree.
+    */
+  def pointComplement(points: Seq[Double]): ColRange = {
+    val sorted = points.distinct.sorted
+    val bounds =
+      (Double.NegativeInfinity +: sorted).zip(sorted :+ Double.PositiveInfinity)
+    normalize(bounds.map { case (lo, hi) =>
+      NumRange(lo, hi, loIncl = false, hiIncl = false)
+    }).getOrElse(NominalSet(Array.empty)) // unreachable: the rays are never empty
+  }
+
   /** Disjunction of ranges on one column (the AnyOf atom / cyclic calendar
     * buckets). All-nominal unions stay nominal; any NotNull absorbs
     * everything (x IS NOT NULL ∨ anything-null-excluding = IS NOT NULL);

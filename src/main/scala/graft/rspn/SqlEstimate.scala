@@ -257,6 +257,11 @@ object SqlEstimate {
       NominalSet(mc.dict.indices.collect {
         case i if !excluded(mc.dict(i)) => i.toDouble
       }.toArray)
+    case NumNotIn(values, _) =>
+      // multi-interval point complement (shared with the Catalyst atom
+      // compiler via ColRangeOps — the two planes cannot disagree); no
+      // NULL mass, matching SQL != / NOT IN
+      ColRangeOps.pointComplement(values)
     case StrLike(pattern) =>
       // a categorical dictionary is the column's complete value domain, so
       // LIKE is exactly the member set matching the pattern

@@ -146,6 +146,13 @@ object SqlExact {
         d => lit(java.time.LocalDate.ofEpochDay(d.toLong).toString).cast("timestamp"))
     case StrIn(values)    => col(p.col).isin(values: _*)
     case StrNotIn(values) => !col(p.col).isin(values: _*) // SQL 3VL drops NULLs
+    case NumNotIn(values, isDate) =>
+      // values arrive in the MODEL encoding (epoch days for dates)
+      if (!isDate) !col(p.col).isin(values: _*)
+      else !values
+        .map(d => col(p.col) ===
+          lit(java.time.LocalDate.ofEpochDay(d.toLong).toString).cast("timestamp"))
+        .reduce(_ || _)
     case StrLike(pat)     => col(p.col).like(pat)
     case NotNull          => col(p.col).isNotNull
   }

@@ -99,6 +99,13 @@ object SqlParser {
     * planes (a NominalSet's mass never includes the null mass).
     */
   final case class StrNotIn(values: Seq[String]) extends RangeSpec
+  /** `!=` / `<>` / `NOT IN` over NUMERIC or DATE literals: the
+    * multi-interval point complement (the reference's
+    * `ranges.py::NumericRange` negation). Values are in the MODEL's
+    * numeric encoding — raw doubles for "num" columns, epoch days for
+    * dates.
+    */
+  final case class NumNotIn(values: Seq[Double], isDate: Boolean = false) extends RangeSpec
   /** `IS NOT NULL` — the reference's `*_nn` indicator predicate, mapped
     * straight onto the model plane's NotNullRange.
     */
@@ -492,6 +499,7 @@ object SqlParser {
   private val inRe: Regex = """(?i)^(\w+)\s+IN\s*\((.+)\)$""".r
   private val likeRe: Regex = """(?i)^(\w+)\s+LIKE\s+'([^']*)'$""".r
   private val neqRe: Regex = """(?i)^(\w+)\s*(?:!=|<>)\s*'([^']*)'$""".r
+  private val neqAnyRe: Regex = """(?i)^(\w+)\s*(?:!=|<>)\s*(.+)$""".r
   private val notInRe: Regex = """(?i)^(\w+)\s+NOT\s+IN\s*\((.+)\)$""".r
   private val notNullRe: Regex = """(?i)^(\w+)\s+IS\s+NOT\s+NULL$""".r
   private val strLit: Regex = """^'(.*)'$""".r
@@ -519,6 +527,37 @@ object SqlParser {
     }.toSeq
   }
 
+  /** A NOT IN list is either ALL string literals (dictionary complement)
+    * or ALL numeric/date literals (multi-interval point complement in the
+    * model's encoding); a mixed list fails loudly.
+    */
+  private def litList(vs: String, ctx: String): Either[Seq[String], (Seq[Double], Boolean)] = {
+    val raw = {
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      val cur = new StringBuilder
+      var inQ = false
+      vs.foreach { c =>
+        if (c == '\'') { inQ = !inQ; cur += c }
+        else if (c == ',' && !inQ) { parts += cur.toString; cur.clear() }
+        else cur += c
+      }
+      parts += cur.toString
+      parts.map(_.trim).toSeq
+    }
+    if (raw.forall { case dateLit(_) => false; case strLit(_) => true; case _ => false })
+      Left(raw.map { case strLit(s) => s })
+    else {
+      val parsed = raw.map(lit)
+      // a mixed date/number list has no single model encoding
+      if (parsed.exists(_.isLeft) && parsed.exists(_.isRight))
+        fail(s"$ctx list mixes date and numeric literals")
+      Right((parsed.map {
+        case Right(d) => days(d)
+        case Left(n)  => n
+      }, parsed.headOption.exists(_.isRight)))
+    }
+  }
+
   private def parseConjunct(c: String): Pred = c match {
     case betweenRe(col, lo, hi) =>
       val t = tableOf(col)
@@ -533,8 +572,19 @@ object SqlParser {
       Pred(tableOf(col), col, StrLike(pat))
     case neqRe(col, v) =>
       Pred(tableOf(col), col, StrNotIn(Seq(v)))
+    // numeric/date != — the string-literal form is matched above
+    case neqAnyRe(col, rawLit) =>
+      val t = tableOf(col)
+      lit(rawLit.trim) match {
+        case Right(d) => Pred(t, col, NumNotIn(Seq(days(d)), isDate = true))
+        case Left(n)  => Pred(t, col, NumNotIn(Seq(n)))
+      }
     case notInRe(col, vs) =>
-      Pred(tableOf(col), col, StrNotIn(strList(vs, "NOT IN")))
+      val t = tableOf(col)
+      litList(vs, "NOT IN") match {
+        case Left(strs)             => Pred(t, col, StrNotIn(strs))
+        case Right((nums, isDate))  => Pred(t, col, NumNotIn(nums, isDate))
+      }
     case notNullRe(col) =>
       Pred(tableOf(col), col, NotNull)
     case cmpRe(col, op, rawLit) =>

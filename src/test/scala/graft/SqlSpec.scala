@@ -693,4 +693,32 @@ class SqlSpec extends AnyFunSuite {
       .collect()
     assert(sqlExact.length == exact.size)
   }
+
+  test("numeric and date != / NOT IN estimate via the multi-interval point complement") {
+    views
+    // reference ranges.py::NumericRange negation on the TEXT plane: both
+    // planes share ColRangeOps.pointComplement, so the estimate matches
+    // exact within the usual single-table headroom and the exact-plane
+    // compiler produces the same row set as spark.sql
+    val cases = Seq(
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity != 24",
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity NOT IN (5, 10, 15)",
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity NOT IN (5, 10) AND l_quantity < 20",
+      "SELECT COUNT(*) FROM lineitem WHERE l_shipdate != DATE '1996-06-01'",
+      // composes with the dictionary complement on the same query
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity != 24 AND l_returnflag != 'A'")
+    cases.foreach { sql =>
+      val exact = exactScalar(sql)
+      val est = estScalar(sql)
+      assert(qerr(est, exact) <= 1.5, f"[$sql] est $est%.1f vs exact $exact%.1f")
+      val viaExact = rspn.SqlExact.compile(spark, sf, sql).head().get(0) match {
+        case n: Number => n.doubleValue()
+      }
+      assert(viaExact == exact, s"[$sql] SqlExact $viaExact vs spark.sql $exact")
+    }
+    // a mixed date/numeric NOT IN list has no single encoding: loud failure
+    val e = intercept[Exception](estScalar(
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity NOT IN (5, DATE '1996-06-01')"))
+    assert(e.getMessage.contains("mixes date and numeric"), e.getMessage)
+  }
 }
