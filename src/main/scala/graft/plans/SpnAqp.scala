@@ -270,34 +270,59 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       sh: Shape, groups: Seq[(AttributeReference, (String, String))],
       cols: Seq[OutCol], agg: Aggregate): Unit = {
     if (!session.conf.getOption("spark.graft.aqp.annotate").contains("true")) return
-    if (sh.orBranches.nonEmpty) { SpnAqpRule.clearAnnotation(session); return }
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
     val gcols = groups.map(_._2)
     val colPairs = cols.zip(agg.aggregateExpressions.map(_.name))
-    SpnAqpRule.record(session, {
-      val preds = SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
-        .getOrElse(Map.empty) // the fold compiled the same atoms already
-      val entries = colPairs.flatMap { case (c, nm) =>
-        def one(e: => Ensemble.Estimate) = Seq((Seq.empty[String], nm, e))
-        c match {
+    def predsOf(m: Map[String, Seq[Atom]]) =
+      SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+    def build(est: OutCol => Seq[(Seq[String], Ensemble.Estimate)]) =
+      SpnAqpRule.FoldAnnotation(groups.map(_._1.name),
+        colPairs.flatMap { case (c, nm) => est(c).map { case (k, e) => (k, nm, e) } })
+    val annotation: Option[SpnAqpRule.FoldAnnotation] = sh.orBranches match {
+      case Seq() =>
+        predsOf(sh.atoms).map { preds =>
+          build {
+            case CountOut() =>
+              if (gcols.isEmpty) Seq(Nil -> Ensemble.estCount(spns, sh.tables, preds))
+              else Ensemble.estGroupByMulti(spns, sh.tables, gcols, preds)
+            case SumOut(Seq((1.0, Seq(sc))), _) =>
+              if (gcols.isEmpty) Seq(Nil -> Ensemble.estSum(spns, sh.tables, sc, preds))
+              else Ensemble.estGroupByAgg(spns, sh.tables, gcols, Map(sc -> 1), preds)
+            case AvgOut(ac) =>
+              if (gcols.isEmpty) Seq(Nil -> Ensemble.estAvg(spns, sh.tables, ac, preds))
+              else Ensemble.estGroupByAvg(spns, sh.tables, gcols, ac, preds)
+            case _ => Nil
+          }
+        }
+      // ONE disjunction: the inclusion-exclusion estimators carry CIs too
+      // (estCountOr/estAggOr/estAvgOr and their grouped forms — the same
+      // calls the fold made), so the annotation survives the OR path
+      case Seq((a, b)) =>
+        for {
+          pA <- predsOf(mergeAtomMaps(sh.atoms, a))
+          pB <- predsOf(mergeAtomMaps(sh.atoms, b))
+        } yield build {
           case CountOut() =>
-            if (gcols.isEmpty) one(Ensemble.estCount(spns, sh.tables, preds))
-            else Ensemble.estGroupByMulti(spns, sh.tables, gcols, preds)
-              .map { case (k, e) => (k, nm, e) }
+            if (gcols.isEmpty) Seq(Nil -> Ensemble.estCountOr(spns, sh.tables, pA, pB))
+            else Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map.empty, pA, pB)
           case SumOut(Seq((1.0, Seq(sc))), _) =>
-            if (gcols.isEmpty) one(Ensemble.estSum(spns, sh.tables, sc, preds))
-            else Ensemble.estGroupByAgg(spns, sh.tables, gcols, Map(sc -> 1), preds)
-              .map { case (k, e) => (k, nm, e) }
+            if (gcols.isEmpty)
+              Seq(Nil -> Ensemble.estAggOr(spns, sh.tables, pA, pB, Map(sc -> 1)))
+            else Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map(sc -> 1), pA, pB)
           case AvgOut(ac) =>
-            if (gcols.isEmpty) one(Ensemble.estAvg(spns, sh.tables, ac, preds))
-            else Ensemble.estGroupByAvg(spns, sh.tables, gcols, ac, preds)
-              .map { case (k, e) => (k, nm, e) }
+            if (gcols.isEmpty) Seq(Nil -> Ensemble.estAvgOr(spns, sh.tables, ac, pA, pB))
+            else Ensemble.estGroupByAvgOr(spns, sh.tables, gcols, ac, pA, pB)
           case _ => Nil
         }
-      }
-      SpnAqpRule.FoldAnnotation(groups.map(_._1.name), entries)
-    })
+      // the multi-OR signed expansion composes point values from 3^N
+      // terms — no one-call CI channel, so the entry clears
+      case _ => None
+    }
+    annotation match {
+      case Some(fa) => SpnAqpRule.record(session, fa)
+      case None     => SpnAqpRule.clearAnnotation(session)
+    }
   }
 
   private def clearAnnotationIfOn(): Unit =
@@ -337,7 +362,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * SQL's NULL group is unproducible from range buckets.
     */
   private def rewriteCalendar(agg: Aggregate): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.{Month, Quarter, TruncTimestamp, Year}
+    import org.apache.spark.sql.catalyst.expressions.{DayOfWeek, Month, Quarter, TruncTimestamp, Year}
     import org.apache.spark.sql.types.{DateType, TimestampType}
     import java.time.LocalDate
     // the date attribute, behind the date/timestamp cast the analyzer
@@ -387,6 +412,22 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         Some(linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear))
       case Month(DateAttr(a))   => Some(cyclic(a, 12, identity, 1))
       case Quarter(DateAttr(a)) => Some(cyclic(a, 4, k => (k - 1) * 3 + 1, 3))
+      // dayofweek(): 1 = Sunday .. 7 = Saturday (Spark's convention) — each
+      // key is one single-day interval per week of the domain, disjoint by
+      // construction (same-dow days are 7 apart); the day cap bounds the
+      // per-key interval lists like the daily-series cap does
+      case DayOfWeek(DateAttr(a)) =>
+        Some(Gen(a, (lo, hi) => {
+          if (hi.toEpochDay - lo.toEpochDay + 1 > 2800) None
+          else Some((1 to 7).map { k =>
+            val target =
+              if (k == 1) java.time.DayOfWeek.SUNDAY else java.time.DayOfWeek.of(k - 1)
+            val first = Iterator.iterate(lo)(_.plusDays(1)).take(7)
+              .find(_.getDayOfWeek == target).get
+            (k: Any, Iterator.iterate(first)(_.plusWeeks(1)).takeWhile(!_.isAfter(hi))
+              .map(d => (d.toEpochDay.toDouble, d.toEpochDay + 1.0)).toSeq)
+          })
+        }))
       case TruncTimestamp(Literal(f: org.apache.spark.unsafe.types.UTF8String, _),
           DateAttr(a), _) =>
         val key = (d: LocalDate) =>

@@ -1367,6 +1367,21 @@ class SpnAqpSpec extends AnyFunSuite {
             s"cyclic bucket $k for [$sql]: ${est(k)} vs $v")
         }
       }
+    // dayofweek(): 1=Sunday..7=Saturday, each bucket one single-day
+    // interval per domain week — the "traffic by weekday" dashboard shape
+    val dowSql = """SELECT dayofweek(o_orderdate) AS k, count(*) AS n
+                    FROM orders WHERE o_orderdate < DATE'1999-01-01'
+                    GROUP BY dayofweek(o_orderdate)""".stripMargin
+    val dowExact = session(aqp = false).sql(dowSql).collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val dowDf = session(aqp = true).sql(dowSql)
+    assert(isRewritten(dowDf), s"dayofweek() must fold:\n${dowDf.queryExecution.optimizedPlan}")
+    val dowEst = dowDf.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    assert(dowEst.keySet == dowExact.keySet, s"dow keys ${dowEst.keySet} vs ${dowExact.keySet}")
+    dowExact.foreach { case (k, v) =>
+      assert(qerr(dowEst(k), v) <= 2.0 || math.abs(dowEst(k) - v) <= 5.0,
+        s"dow bucket $k: ${dowEst(k)} vs $v")
+    }
     // ISO week: Spark's date_trunc('week') floors to MONDAY — bucket keys
     // must agree with the engine's own truncation exactly (a one-day-off
     // floor shifts every key); restricted span keeps buckets dense
@@ -1631,16 +1646,31 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(folded(k) >= lo - 1 && folded(k) <= hi + 1,
         s"folded count for $k (${folded(k)}) outside its CI [$lo, $hi]")
     }
-    // a disjunctive fold has no one-call CI channel: it must CLEAR the
-    // annotation, and the TVF must fail loudly instead of serving stale rows
+    // a SINGLE disjunction annotates too — the inclusion-exclusion
+    // estimators carry CIs, and the point value equals the fold's own
     val orDf = s2.sql(
       "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 5 OR l_discount > 0.07")
     assert(isRewritten(orDf))
-    orDf.collect()
+    val orFolded = orDf.head.getLong(0).toDouble
+    val orTvf = s2.sql("SELECT * FROM spn_last_fold()").collect()
+    assert(orTvf.length == 1 && orTvf.head.getString(0) == "n")
+    assert(math.round(orTvf.head.getDouble(1)).toDouble == orFolded,
+      s"single-OR annotation est ${orTvf.head.getDouble(1)} vs folded $orFolded")
+    assert(orTvf.head.getDouble(2) <= orTvf.head.getDouble(1) &&
+      orTvf.head.getDouble(1) <= orTvf.head.getDouble(3))
+    // a MULTI-disjunction fold composes point values from the signed
+    // expansion — no one-call CI channel: it must CLEAR the annotation,
+    // and the TVF must fail loudly instead of serving stale rows
+    val or2Df = s2.sql(
+      """SELECT count(*) AS n FROM lineitem
+         WHERE (l_quantity < 5 OR l_discount > 0.07)
+           AND (l_extendedprice < 10000 OR l_tax > 0.06)""".stripMargin)
+    assert(isRewritten(or2Df))
+    or2Df.collect()
     val e = intercept[Throwable] { s2.sql("SELECT * FROM spn_last_fold()").collect() }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("no annotated fold")),
-      s"stale annotation must not survive a disjunctive fold: $e")
+      s"stale annotation must not survive a multi-disjunctive fold: $e")
   }
 }
