@@ -1737,7 +1737,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       if (per.exists(_._2.isEmpty)) None
       else {
         val aggVals = per.map { case (i, m) => i -> m.get }.toMap
-        Some(counts.map(_._1).map(k =>
+        // the row universe is SQL's: groups whose count estimate reaches
+        // ONE row (the OR paths' convention) — fine-grained multi-column
+        // groupings otherwise emit phantom fractional-mass groups the
+        // exact plane doesn't have
+        Some(counts.collect { case (k, e) if e.value >= 0.5 => k }.map(k =>
           (k, aggVals.map { case (i, m) => i -> m.getOrElse(k, aggDefault(cols(i))) })))
       }
     }

@@ -80,6 +80,28 @@ class ExtensionSpec extends AnyFunSuite {
       s"the eq-OR InSet estimate must place a broadcast hint:\n$plan")
   }
 
+  test("a single-column range disjunction compiles to ONE AnyOf atom in the shared compiler") {
+    // (a < x OR a > y) lowers to one multi-interval AnyOf atom (round 13),
+    // so the broadcast/stats planes estimate instead of bailing on the Or
+    val rule = SpnBroadcastRule((tables, atomsByTable) => {
+      assert(tables == Set("orders"))
+      val atoms = atomsByTable("orders")
+      val anyOfs = atoms.collect { case a: SpnCardinality.AnyOf => a }
+      assert(anyOfs.exists(a => a.column == "o_totalprice" && a.alts.length == 2),
+        s"expected a 2-alternative AnyOf on o_totalprice, got: $atoms")
+      Some(50.0)
+    }, 10L * 1024 * 1024)
+    val s2 = sessionWith(rule)
+    val li = s2.read.parquet(s"$rawSf/lineitem.parquet").select("l_orderkey", "l_extendedprice")
+    val ord = s2.read.parquet(s"$rawSf/orders.parquet")
+      .filter(col("o_totalprice") < 1000 || col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_orderpriority")
+    val plan = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the range-union AnyOf estimate must place a broadcast hint:\n$plan")
+  }
+
   test("a PK-FK joined side is estimated through the join-cardinality path") {
     var joinAsked = false
     val rule = SpnBroadcastRule((tables, _) => {

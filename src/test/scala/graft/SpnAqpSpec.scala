@@ -1456,6 +1456,32 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(est2(k), v) <= 2.0 || math.abs(est2(k) - v) <= 5.0,
         s"dim×month group $k: ${est2(k)} vs $v")
     }
+    // TWO dictionary dimensions beside the calendar bucket: the per-bucket
+    // enumeration is multi-attribute (prefix-pruned), so the general
+    // calendar × dim × dim shape folds too
+    val sql3 = """SELECT year(o_orderdate) AS y, o_orderstatus, o_orderpriority, count(*) AS n
+                  FROM orders WHERE o_totalprice < 150000
+                  GROUP BY year(o_orderdate), o_orderstatus, o_orderpriority""".stripMargin
+    val exact3 = session(aqp = false).sql(sql3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) -> r.getLong(3).toDouble).toMap
+    val df3 = session(aqp = true).sql(sql3)
+    assert(isRewritten(df3), s"calendar × dim × dim must fold:\n${df3.queryExecution.optimizedPlan}")
+    val est3 = df3.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) -> r.getLong(3).toDouble).toMap
+    // at 105-cell granularity the model's universe can disagree with the
+    // exact plane's only AT THE EMPTY-CELL BOUNDARY (a sampled model puts
+    // fractional mass on genuinely empty fine cells and vice versa) — any
+    // disagreement on a non-trivial cell is a real bug
+    (est3.keySet diff exact3.keySet).foreach { k =>
+      assert(est3(k) <= 5.0, s"3-way phantom group $k carries real mass: ${est3(k)}")
+    }
+    (exact3.keySet diff est3.keySet).foreach { k =>
+      assert(exact3(k) <= 5.0, s"3-way dropped group $k has real rows: ${exact3(k)}")
+    }
+    (est3.keySet intersect exact3.keySet).foreach { k =>
+      assert(qerr(est3(k), exact3(k)) <= 3.0 || math.abs(est3(k) - exact3(k)) <= 10.0,
+        s"3-way group $k: ${est3(k)} vs ${exact3(k)}")
+    }
     // TWO calendar expressions would need a bucket cross product: fallback
     val twoCal = session(aqp = true).sql(
       """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n
