@@ -852,6 +852,22 @@ object SpnPlanning {
           |FROM orders WHERE o_totalprice < 150000
           |GROUP BY year(o_orderdate), o_orderpriority
           |ORDER BY y, o_orderpriority""".stripMargin)
+    },
+
+    // Round 13: the corpus-quality dashboard answered from the model — the
+    // documents table is modeled (n_chars num, lang/source cat) like any
+    // TPC-H slice, so the LLM-pipeline monitoring queries ("docs per
+    // language/source", "avg length") fold zero-scan (SpnAqpSpec pins them
+    // against the exact plane; rows>0 is the Verify contract here).
+    Op.noOracle("aqp_transparent_corpus") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/documents.parquet").createOrReplaceTempView("documents")
+      s2.sql(
+        """SELECT lang, source, count(*) AS n, avg(n_chars) AS avg_chars
+          |FROM documents WHERE n_chars > 100
+          |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
     }
   )
 }

@@ -81,7 +81,12 @@ object DatasetSpec {
         "part" -> Seq(
           ("p_brand", "cat"), ("p_type", "cat"), ("p_size", "num"),
           ("p_retailprice", "num")),
-        "supplier" -> Seq(("s_acctbal", "num"))),
+        "supplier" -> Seq(("s_acctbal", "num")),
+        // the corpus table: the LLM-pipeline dashboard queries ("docs per
+        // language/source", "avg length where ...") answer from the model
+        // plane like any TPC-H slice — text itself stays irrelevant
+        "documents" -> Seq(
+          ("n_chars", "num"), ("lang", "cat"), ("source", "cat"))),
       chains = Seq(
         (Seq(g.rel("orders", "customer"), g.rel("lineitem", "orders")), Nil),
         (Seq(g.rel("orders", "customer"), g.rel("lineitem", "orders")),

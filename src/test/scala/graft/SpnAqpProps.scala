@@ -22,7 +22,7 @@ object SpnAqpProps extends Properties("spn_aqp") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(12)
 
-  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier")
+  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier", "documents")
 
   private lazy val tmpSf: String = {
     import java.nio.file.{Files, Paths}

@@ -20,7 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SpnAqpSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier")
+  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier", "documents")
 
   private lazy val tmpSf: String = {
     import java.nio.file.{Files, Paths}
@@ -1536,7 +1536,7 @@ class SpnAqpSpec extends AnyFunSuite {
     import org.scalatest.time.{Seconds, Span}
     implicit val signaler: Signaler = ThreadSignaler
     val dir = java.nio.file.Files.createTempDirectory("graft-aqp-firsttouch-")
-    Seq("lineitem", "orders", "customer", "part", "supplier").foreach { t =>
+    Seq("lineitem", "orders", "customer", "part", "supplier", "documents").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sf/$t.parquet"), dir.resolve(s"$t.parquet"))
     }
@@ -1633,6 +1633,42 @@ class SpnAqpSpec extends AnyFunSuite {
     // mixed shapes on ONE column conjoin exactly: IN ∧ != intersects the
     // point set against the interval complement (kills 10, keeps the rest)
     checkFold("SELECT count(*) AS n FROM lineitem WHERE l_quantity IN (5, 10, 15) AND l_quantity != 10")
+  }
+
+  test("corpus dashboard queries over the documents table fold from the model") {
+    // the LLM-pipeline table is modeled like any TPC-H slice (n_chars num,
+    // lang/source cat): "docs per language", "avg length per source" — the
+    // corpus-quality dashboard — answers zero-scan under aqp.enabled
+    val cases = Seq(
+      """SELECT lang, count(*) AS n, avg(n_chars) AS chars
+         FROM documents GROUP BY lang""".stripMargin,
+      """SELECT lang, source, count(*) AS n FROM documents
+         WHERE n_chars > 200 GROUP BY lang, source""".stripMargin,
+      "SELECT count(*) AS n FROM documents WHERE n_chars BETWEEN 100 AND 500 AND lang != 'en'")
+    cases.foreach { sql =>
+      val exact = session(aqp = false).sql(sql).collect()
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df), s"corpus query must fold for [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val keyCols = df.schema.fields.indexWhere(_.name == "n")
+      val ex = exact.map(r => (0 until keyCols).map(r.getString) -> r.getLong(keyCols).toDouble).toMap
+      val es = df.collect().map(r => (0 until keyCols).map(r.getString) -> r.getLong(keyCols).toDouble).toMap
+      // fine lang × source cells over the small corpus slice: universe
+      // disagreement is tolerable only at the empty-cell boundary (the
+      // 3-way mixed-calendar test's convention)
+      (es.keySet diff ex.keySet).foreach { k =>
+        assert(es(k) <= 5.0, s"corpus phantom group $k carries real mass for [$sql]: ${es(k)}")
+      }
+      (ex.keySet diff es.keySet).foreach { k =>
+        assert(ex(k) <= 5.0, s"corpus dropped group $k has real rows for [$sql]: ${ex(k)}")
+      }
+      // lang x source cells hold a handful of docs each at this SF —
+      // sparse-cell slack (the mixed-calendar convention); the phantom/
+      // dropped-group gates above are the strict universe check
+      (es.keySet intersect ex.keySet).foreach { k =>
+        assert(qerr(math.max(es(k), 1.0), math.max(ex(k), 1.0)) <= 3.0 || math.abs(es(k) - ex(k)) <= 10.0,
+          s"corpus group $k for [$sql]: ${es(k)} vs ${ex(k)}")
+      }
+    }
   }
 
   test("spn_last_fold() surfaces the fold's per-group 95% intervals (annotate opt-in)") {

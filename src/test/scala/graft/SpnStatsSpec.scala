@@ -25,7 +25,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SpnStatsSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier")
+  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier", "documents")
 
   /** Fixture copy + one-time ensemble training, after which the training
     * reads are unpersisted so this directory's scans stay LogicalRelations.
