@@ -84,18 +84,44 @@ object Dedup {
       shingledBase(s, d).select(col("doc_id"), explode(col("sh")).as("s")).cache()
     }
 
-  /** Un-thresholded pair statistics of the shingle inverted index:
-    * (a_id, b_id, inter, na, nb) for every shingle-sharing pair. The
-    * self-join is the expensive step of the whole exact family, so it runs
-    * ONCE per session and every similarity definition (Jaccard ≥ 0.5 for
+  /** Exact-duplicate classes of the scoped corpus (identical distinct-
+    * shingle sets — pairwise Jaccard exactly 1), WITHOUT the shingle
+    * payload: (canonical doc_id = class minimum, members, n = |shingle
+    * set|). The whole exact-Jaccard family joins over these unique classes
+    * rather than raw docs — the same canonicalization dedup_near /
+    * dedup_simhash apply before banding — so the inverted-index self-join
+    * (the family's expensive step) is LINEAR in the duplication factor;
+    * only each op's OUTPUT expansion stays pairwise, where the pair set is
+    * the contract.
+    */
+  private def ngramClasses(s: SparkSession, d: String): DataFrame =
+    ModelCache.memo(s, d, "ngram_classes") {
+      val c = shingledBase(s, d)
+        .groupBy("sh")
+        .agg(min(col("doc_id")).as("doc_id"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+        .select(col("doc_id"), col("members"), size(col("sh")).cast("bigint").as("n"))
+        .cache()
+      c.count()
+      c
+    }
+
+  /** Un-thresholded pair statistics of the shingle inverted index over
+    * CANONICAL class representatives: (a_id, b_id, inter, na, nb,
+    * a_members, b_members) for every shingle-sharing class pair. Runs ONCE
+    * per session; every similarity definition (Jaccard ≥ 0.5 for
     * ngramPairs, directional containment ≥ 0.8 for dedup_containment)
-    * derives by a cheap filter over the cached pair-sized frame.
+    * derives by a cheap filter + member expansion over the cached
+    * pair-sized frame — the metrics are pure functions of the two shingle
+    * SETS, so every member pair inherits its canonical pair's values.
     */
   private def pairStats(s: SparkSession, d: String): DataFrame =
     ModelCache.memo(s, d, "ngram_pair_stats") {
       val base = shingledBase(s, d)
-      val exploded = shingledExploded(s, d)
-      val cnt = base.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
+      val classes = ngramClasses(s, d)
+      val reps = classes.select("doc_id")
+      val exploded = shingledExploded(s, d).join(reps, Seq("doc_id"), "left_semi")
+      val cnt = classes.select(col("doc_id"), col("n"))
       val a = exploded.toDF("a_id", "s")
       val b = exploded.toDF("b_id", "s2")
       val stats = a.join(b, a("s") === b("s2") && a("a_id") < b("b_id"))
@@ -109,20 +135,26 @@ object Dedup {
         .filter(
           col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5 ||
             greatest(col("inter") / col("na"), col("inter") / col("nb")) >= 0.8)
+        .join(classes.select(col("doc_id").as("a_id"), col("members").as("a_members")), "a_id")
+        .join(classes.select(col("doc_id").as("b_id"), col("members").as("b_members")), "b_id")
         .cache()
       // materialize now and drop the featurized parents: once the (tiny)
       // pair frame is pinned, base/exploded are never read again — keeping
       // them cached would hold corpus-sized blocks for the whole session
       stats.count()
       base.unpersist()
-      exploded.unpersist()
+      shingledExploded(s, d).unpersist()
       stats
     }
 
-  def ngramPairs(s: SparkSession, d: String): DataFrame =
-    pairStats(s, d)
+  def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val qualified = pairStats(s, d)
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
+    // member pairs of a qualifying canonical pair inherit its Jaccard;
+    // within-class pairs are identical sets — Jaccard exactly 1
+    DupClasses.expand(qualified, ngramClasses(s, d), "jaccard", lit(1.0))
+  }
 
   val ops: Seq[Op] = Seq(
     // L1/T5 batch form: exact dedup. The testdata has no exact duplicates,
@@ -687,15 +719,37 @@ object Dedup {
         |WHERE greatest(inter / CAST(ca.n AS DOUBLE), inter / CAST(cb.n AS DOUBLE)) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin
     ) { (s, d) =>
-      // the shared once-per-session pair statistics, thresholded on the
-      // containment definition instead of Jaccard
-      pairStats(s, d)
+      // the shared once-per-session CANONICAL pair statistics, thresholded
+      // on the containment definition instead of Jaccard. Expansion carries
+      // each side's shingle-set size so contained_id (the smaller-set
+      // member) re-orients correctly when least/greatest swaps a pair.
+      val qualified = pairStats(s, d)
         .withColumn("containment",
           greatest(col("inter") / col("na"), col("inter") / col("nb")))
         .filter(col("containment") >= 0.8)
+      val cross = qualified
+        .select(col("containment"), col("na"), col("nb"),
+          explode(col("a_members")).as("ma"), col("b_members"))
+        .select(col("containment"), col("na"), col("nb"), col("ma"),
+          explode(col("b_members")).as("mb"))
+        .select(
+          least(col("ma"), col("mb")).as("a_id"),
+          greatest(col("ma"), col("mb")).as("b_id"),
+          col("containment"),
+          when(col("ma") < col("mb"), col("na")).otherwise(col("nb")).as("an"),
+          when(col("ma") < col("mb"), col("nb")).otherwise(col("na")).as("bn"))
+      // within-class: identical sets — containment exactly 1, equal sizes
+      // (ties resolve to the lesser id, the oracle's CASE convention)
+      val within = ngramClasses(s, d).filter(size(col("members")) >= 2)
+        .select(col("n"), explode(col("members")).as("ma"), col("members"))
+        .select(col("n"), col("ma"), explode(col("members")).as("mb"))
+        .filter(col("ma") < col("mb"))
+        .select(col("ma").as("a_id"), col("mb").as("b_id"),
+          lit(1.0).as("containment"), col("n").as("an"), col("n").as("bn"))
+      cross.unionByName(within)
         .select(col("a_id"), col("b_id"),
           round(col("containment"), 4).as("containment"),
-          when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id")).as("contained_id"))
+          when(col("an") <= col("bn"), col("a_id")).otherwise(col("b_id")).as("contained_id"))
         .orderBy("a_id", "b_id")
     },
 
@@ -950,24 +1004,13 @@ object Dedup {
     */
   private def clusterEdges(s: SparkSession, d: String): DataFrame =
     ModelCache.memo(s, d, "cluster_edges") {
-      val classes = shingledBase(s, d)
-        .groupBy("sh")
-        .agg(min(col("doc_id")).as("doc_id"),
-          sort_array(collect_list(col("doc_id"))).as("members"))
-        .cache()
-      val exploded = classes.select(col("doc_id"), explode(col("sh")).as("s"))
-      val cnt = classes.select(col("doc_id"), size(col("sh")).cast("bigint").as("n"))
-      val a = exploded.toDF("a_id", "s")
-      val b = exploded.toDF("b_id", "s2")
-      val canonicalPairs = a.join(b, a("s") === b("s2") && a("a_id") < b("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-        .join(cnt.toDF("a_id", "na"), "a_id")
-        .join(cnt.toDF("b_id", "nb"), "b_id")
+      // the canonical pair stats are the family's shared self-join; CC
+      // only needs the qualifying canonical pairs plus class stars
+      val canonicalPairs = pairStats(s, d)
         .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
         .select("a_id", "b_id")
-      val edges = DupClasses.starEdges(canonicalPairs, classes).cache()
-      edges.count() // materialize before dropping the featurized parent
-      classes.unpersist()
+      val edges = DupClasses.starEdges(canonicalPairs, ngramClasses(s, d)).cache()
+      edges.count()
       edges
     }
 

@@ -85,4 +85,46 @@ class DuplicateClassSpec extends AnyFunSuite {
     got.values.foreach(dist => assert(dist == 0.0,
       "identical docs must carry jaccard distance 0"))
   }
+
+  test("the exact-Jaccard family canonicalizes: ngram pairs, containment, clusters on dup-heavy input") {
+    // round 13: dedup_ngram / dedup_containment / dedup_cluster join over
+    // unique shingle-set classes and expand members only at output — on
+    // duplicate-heavy input the emitted sets must be EXACTLY what the raw
+    // per-doc joins would produce. Token-disjoint sentences duplicated a
+    // varying number of times: the answer is precisely the within-class
+    // pairs (Jaccard/containment exactly 1), nothing else.
+    val d = java.nio.file.Files.createTempDirectory("graft-dupclass-exact-").toString
+    val rows = for {
+      i <- 0 until 8
+      copies = i % 3 + 1
+      j <- 0 until copies
+    } yield (i.toLong * 10 + j,
+      (0 until 6).map(w => s"x${i}_$w").mkString(" "), "en", "synth")
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source").write.parquet(s"$d/documents.parquet")
+    val classes = (0 until 8).map(i => (0 until i % 3 + 1).map(j => i.toLong * 10 + j))
+    val expected = withinClassPairs(classes)
+
+    val ngram = SparkEntry.queries("dedup_ngram")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ngram.keySet == expected,
+      s"ngram pair set: got ${ngram.keySet}, want $expected")
+    ngram.values.foreach(j => assert(j == 1.0, "identical docs must carry jaccard 1"))
+
+    val cont = SparkEntry.queries("dedup_containment")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(cont.keySet == expected,
+      s"containment pair set: got ${cont.keySet}, want $expected")
+    cont.foreach { case ((a, _), (c, containedId)) =>
+      assert(c == 1.0, "identical docs must carry containment 1")
+      assert(containedId == a, "equal-size tie must resolve to the lesser id")
+    }
+
+    // clusters: each duplicate class is one component labeled by its min
+    val labels = SparkEntry.queries("dedup_cluster")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedLabels = classes.filter(_.length >= 2)
+      .flatMap(ms => ms.map(_ -> ms.min)).toMap
+    assert(labels == expectedLabels, s"cluster labels: got $labels, want $expectedLabels")
+  }
 }
