@@ -407,6 +407,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           })
         })
       })
+    // day-of-week keys: each key is one single-day interval per domain
+    // week, disjoint by construction (same-dow days are 7 apart); the day
+    // cap bounds the per-key interval lists like the daily-series cap does
+    def dowGen(a: AttributeReference, keys: Range,
+        targetOf: Int => java.time.DayOfWeek): Gen =
+      Gen(a, (lo, hi) => {
+        if (hi.toEpochDay - lo.toEpochDay + 1 > 2800) None
+        else Some(keys.map { k =>
+          val first = Iterator.iterate(lo)(_.plusDays(1)).take(7)
+            .find(_.getDayOfWeek == targetOf(k)).get
+          (k: Any, Iterator.iterate(first)(_.plusWeeks(1)).takeWhile(!_.isAfter(hi))
+            .map(d => (d.toEpochDay.toDouble, d.toEpochDay + 1.0)).toSeq)
+        })
+      })
     def gen(e: Expression): Option[Gen] = e match {
       case Year(DateAttr(a)) =>
         Some(linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear))
@@ -417,17 +431,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // construction (same-dow days are 7 apart); the day cap bounds the
       // per-key interval lists like the daily-series cap does
       case DayOfWeek(DateAttr(a)) =>
-        Some(Gen(a, (lo, hi) => {
-          if (hi.toEpochDay - lo.toEpochDay + 1 > 2800) None
-          else Some((1 to 7).map { k =>
-            val target =
-              if (k == 1) java.time.DayOfWeek.SUNDAY else java.time.DayOfWeek.of(k - 1)
-            val first = Iterator.iterate(lo)(_.plusDays(1)).take(7)
-              .find(_.getDayOfWeek == target).get
-            (k: Any, Iterator.iterate(first)(_.plusWeeks(1)).takeWhile(!_.isAfter(hi))
-              .map(d => (d.toEpochDay.toDouble, d.toEpochDay + 1.0)).toSeq)
-          })
-        }))
+        Some(dowGen(a, 1 to 7,
+          k => if (k == 1) java.time.DayOfWeek.SUNDAY else java.time.DayOfWeek.of(k - 1)))
+      // weekday(): 0 = Monday .. 6 = Sunday
+      case org.apache.spark.sql.catalyst.expressions.WeekDay(DateAttr(a)) =>
+        Some(dowGen(a, 0 to 6, k => java.time.DayOfWeek.of(k + 1)))
       case TruncTimestamp(Literal(f: org.apache.spark.unsafe.types.UTF8String, _),
           DateAttr(a), _) =>
         val key = (d: LocalDate) =>

@@ -1382,6 +1382,21 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(dowEst(k), v) <= 2.0 || math.abs(dowEst(k) - v) <= 5.0,
         s"dow bucket $k: ${dowEst(k)} vs $v")
     }
+    // weekday(): 0=Monday..6=Sunday — same machinery, shifted keys
+    val wdSql = """SELECT weekday(o_orderdate) AS k, count(*) AS n
+                   FROM orders WHERE o_orderdate < DATE'1999-01-01'
+                   GROUP BY weekday(o_orderdate)""".stripMargin
+    val wdExact = session(aqp = false).sql(wdSql).collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val wdDf = session(aqp = true).sql(wdSql)
+    assert(isRewritten(wdDf), s"weekday() must fold:\n${wdDf.queryExecution.optimizedPlan}")
+    val wdEst = wdDf.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    assert(wdEst.keySet == wdExact.keySet)
+    // weekday k maps to dayofweek (k+2-1)%7+1: the two folds must agree
+    wdExact.foreach { case (k, v) =>
+      assert(qerr(wdEst(k), v) <= 2.0 || math.abs(wdEst(k) - v) <= 5.0,
+        s"weekday bucket $k: ${wdEst(k)} vs $v")
+    }
     // ISO week: Spark's date_trunc('week') floors to MONDAY — bucket keys
     // must agree with the engine's own truncation exactly (a one-day-off
     // floor shifts every key); restricted span keeps buckets dense
