@@ -279,22 +279,68 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     def build(est: OutCol => Seq[(Seq[String], Ensemble.Estimate)]) =
       SpnAqpRule.FoldAnnotation(groups.map(_._1.name),
         colPairs.flatMap { case (c, nm) => est(c).map { case (k, e) => (k, nm, e) } })
+    // coefficient scaling and conservative interval ADDITION for linear
+    // forms (the SqlEstimate Combo convention: the terms share predicates,
+    // so their errors are positively correlated and the summed interval
+    // can only over-cover)
+    def scaleE(cf: Double, e: Ensemble.Estimate): Ensemble.Estimate =
+      if (cf >= 0) Ensemble.Estimate(cf * e.value, cf * e.ci95Lo, cf * e.ci95Hi)
+      else Ensemble.Estimate(cf * e.value, cf * e.ci95Hi, cf * e.ci95Lo)
+    def addE(a: Ensemble.Estimate, b: Ensemble.Estimate): Ensemble.Estimate =
+      Ensemble.Estimate(a.value + b.value, a.ci95Lo + b.ci95Lo, a.ci95Hi + b.ci95Hi)
     val annotation: Option[SpnAqpRule.FoldAnnotation] = sh.orBranches match {
       case Seq() =>
-        predsOf(sh.atoms).map { preds =>
-          build {
-            case CountOut() =>
-              if (gcols.isEmpty) Seq(Nil -> Ensemble.estCount(spns, sh.tables, preds))
-              else Ensemble.estGroupByMulti(spns, sh.tables, gcols, preds)
-            case SumOut(Seq((1.0, Seq(sc))), _) =>
-              if (gcols.isEmpty) Seq(Nil -> Ensemble.estSum(spns, sh.tables, sc, preds))
-              else Ensemble.estGroupByAgg(spns, sh.tables, gcols, Map(sc -> 1), preds)
-            case AvgOut(ac) =>
-              if (gcols.isEmpty) Seq(Nil -> Ensemble.estAvg(spns, sh.tables, ac, preds))
-              else Ensemble.estGroupByAvg(spns, sh.tables, gcols, ac, preds)
-            case _ => Nil
-          }
+        // atom-parameterized like the fold itself: FILTER (WHERE ...)
+        // clauses annotate under their merged predicates, SUM of a linear
+        // form (the revenue shape) combines per-term intervals under the
+        // referenced columns' non-nullness — the SAME gating the folded
+        // values used
+        def scalarEst(atoms: Map[String, Seq[Atom]], c: OutCol): Option[Ensemble.Estimate] = c match {
+          case FilteredOut(extra, inner) => scalarEst(mergeAtoms(atoms, extra), inner)
+          case CountOut() => predsOf(atoms).map(Ensemble.estCount(spns, sh.tables, _))
+          case CountColOut(cc) =>
+            predsOf(withNotNull(atoms, Seq(cc))).map(Ensemble.estCount(spns, sh.tables, _))
+          case SumOut(terms, refCols) =>
+            predsOf(withNotNull(atoms, refCols)).map { p =>
+              terms.map {
+                case (cf, Seq())   => scaleE(cf, Ensemble.estCount(spns, sh.tables, p))
+                case (cf, Seq(c1)) => scaleE(cf, Ensemble.estSum(spns, sh.tables, c1, p))
+                case (cf, cs)     => scaleE(cf, Ensemble.estSumProduct(spns, sh.tables, cs, p))
+              }.reduce(addE)
+            }
+          case AvgOut(ac) => predsOf(atoms).map(p => Ensemble.estAvg(spns, sh.tables, ac, p))
+          case _ => None
         }
+        def groupEst(atoms: Map[String, Seq[Atom]], c: OutCol): Option[Seq[(Seq[String], Ensemble.Estimate)]] = c match {
+          case FilteredOut(extra, inner) => groupEst(mergeAtoms(atoms, extra), inner)
+          case CountOut() =>
+            predsOf(atoms).map(Ensemble.estGroupByMulti(spns, sh.tables, gcols, _))
+          case CountColOut(cc) =>
+            predsOf(withNotNull(atoms, Seq(cc)))
+              .map(Ensemble.estGroupByMulti(spns, sh.tables, gcols, _))
+          case SumOut(terms, refCols) =>
+            predsOf(withNotNull(atoms, refCols)).map { p =>
+              val perTerm: Seq[Map[Seq[String], Ensemble.Estimate]] = terms.map {
+                case (cf, Seq()) =>
+                  Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+                    .map { case (k, e) => k -> scaleE(cf, e) }.toMap
+                case (cf, cs) =>
+                  Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
+                    .map { case (k, e) => k -> scaleE(cf, e) }.toMap
+              }
+              val zero = Ensemble.Estimate(0.0, 0.0, 0.0)
+              perTerm.flatMap(_.keys).distinct.map { k =>
+                k -> perTerm.map(_.getOrElse(k, zero)).reduce(addE)
+              }
+            }
+          case AvgOut(ac) =>
+            predsOf(atoms).map(Ensemble.estGroupByAvg(spns, sh.tables, gcols, ac, _))
+          case _ => None
+        }
+        Some(build { c =>
+          (if (gcols.isEmpty) scalarEst(sh.atoms, c).map(e => Seq(Seq.empty[String] -> e))
+           else groupEst(sh.atoms, c)).getOrElse(Nil)
+        })
       // ONE disjunction: the inclusion-exclusion estimators carry CIs too
       // (estCountOr/estAggOr/estAvgOr and their grouped forms — the same
       // calls the fold made), so the annotation survives the OR path

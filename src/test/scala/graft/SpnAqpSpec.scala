@@ -1690,7 +1690,9 @@ class SpnAqpSpec extends AnyFunSuite {
     val s2 = session(aqp = true)
     s2.conf.set("spark.graft.aqp.annotate", "true")
     val sql = """SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS s,
-                        avg(l_extendedprice) AS a
+                        avg(l_extendedprice) AS a,
+                        sum(l_extendedprice * (1 - l_discount)) AS rev,
+                        count(*) FILTER (WHERE l_linestatus = 'F') AS nf
                  FROM lineitem WHERE l_quantity < 24 GROUP BY l_returnflag""".stripMargin
     val df = s2.sql(sql)
     assert(isRewritten(df), s"annotated query must fold:\n${df.queryExecution.optimizedPlan}")
@@ -1716,6 +1718,19 @@ class SpnAqpSpec extends AnyFunSuite {
     tvf.foreach { r =>
       assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4),
         s"lo <= est <= hi must hold: $r")
+    }
+    // the REVENUE shape (multi-term linear SUM) and the FILTER-clause count
+    // annotate too: point values must equal the folded answers
+    val foldedRows = df.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(4), r.getLong(5).toDouble))).toMap
+    foldedRows.foreach { case (k, (rev, nf)) =>
+      val (revEst, revLo, revHi) = tvfCol("rev")(k)
+      assert(math.abs(revEst - rev) < 1e-6 * math.max(1.0, math.abs(rev)),
+        s"revenue annotation for $k: $revEst vs folded $rev")
+      assert(revLo <= revEst && revEst <= revHi)
+      val (nfEst, _, _) = tvfCol("nf")(k)
+      assert(math.round(nfEst).toDouble == nf,
+        s"FILTER-count annotation for $k: $nfEst vs folded $nf")
     }
     // the folded point answers sit inside their own intervals
     val folded = df.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
