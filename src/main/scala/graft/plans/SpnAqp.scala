@@ -504,6 +504,28 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
       case _ => None
     }
+    // intersection of two SORTED DISJOINT half-open interval lists (the
+    // RangeUnion convention) — the meet of a linear year bucket and a
+    // cyclic month bucket is that year's month slice; empty means the key
+    // pair is structurally impossible (no row can satisfy both)
+    def intersectIvs(a: Seq[(Double, Double)], b: Seq[(Double, Double)])
+        : Seq[(Double, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val (av, bv) = (a.toIndexedSeq, b.toIndexedSeq)
+      var i = 0; var j = 0
+      while (i < av.length && j < bv.length) {
+        val lo = math.max(av(i)._1, bv(j)._1)
+        val hi = math.min(av(i)._2, bv(j)._2)
+        if (lo < hi) out += ((lo, hi))
+        if (av(i)._2 <= bv(j)._2) i += 1 else j += 1
+      }
+      out.toSeq
+    }
+    def D[T](label: String)(o: Option[T]): Option[T] = {
+      if (sys.env.contains("GRAFT_AQP_DEBUG") && o.isEmpty)
+        System.err.println(s"[aqpdbg] $label -> None")
+      o
+    }
     val spec = DatasetSpec.forDir(session, sfDir)
     // the analyzer extracts the grouping expression into a child-Project
     // alias (`_groupingexpression`) and groups by the resulting attribute;
@@ -518,29 +540,42 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             .flatMap(gen).map(a -> _)
         }
         calCandidates match {
-          // exactly ONE calendar expression; two (year(d), month(d)) would
-          // need a bucket cross product this fold does not model
-          case Seq((gAttr, g)) =>
-            val dimAttrs = gAttrs.filterNot(_.exprId == gAttr.exprId)
-            val ga = g.attr
+          // ONE calendar expression, or TWO composed as a bucket cross
+          // product — the seasonal-matrix shape (`GROUP BY year(d),
+          // month(d)`): each key pair's predicate is the MEET of the two
+          // bucket interval sets (same date column) or their conjunction
+          // (two date columns). Three would cube the product past the
+          // 400-bucket accuracy/latency cap for any realistic domain.
+          case cals if cals.nonEmpty && cals.length <= 2 =>
+            val calIds = cals.map(_._1.exprId)
+            val dimAttrs = gAttrs.filterNot(a => calIds.contains(a.exprId))
             // the remaining projection must be walkable (pure attrs/
-            // renames); re-add the bare date attribute the alias consumed,
-            // so the scan leaf's attrTable resolves it
+            // renames); re-add the bare date attributes the aliases
+            // consumed, so the scan leaf's attrTable resolves them
             val rest = pl.filter {
-              case al: Alias => al.exprId != gAttr.exprId
+              case al: Alias => !calIds.contains(al.exprId)
               case _         => true
             }
-            val walkable = if (rest.exists(_.exprId == ga.exprId)) rest else rest :+ ga
+            val walkable = cals.map(_._2.attr).foldLeft(rest) { (acc, ga) =>
+              if (acc.exists(_.exprId == ga.exprId)) acc else acc :+ ga
+            }
             for {
-              sh <- walk(Project(walkable, inner), spec.modeled, spec.graph.relationships,
-                keyColsOf(spec))
-              if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
-              tc <- sh.attrTable.get(ga.exprId)
-              (t, c) = tc
-              if spec.modeled(t).exists(x => x._1 == c && x._2 == "days")
+              sh <- D("walk")(walk(Project(walkable, inner), spec.modeled, spec.graph.relationships,
+                keyColsOf(spec)))
+              _ <- D("pend/or")(if (sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty) Some(()) else None)
+              // every calendar expression's source must be a days-modeled
+              // column (possibly the SAME column for both)
+              tcs <- D("tcs"){
+                val r = cals.map { case (_, g) =>
+                  sh.attrTable.get(g.attr.exprId).filter { case (t, c) =>
+                    spec.modeled(t).exists(x => x._1 == c && x._2 == "days")
+                  }
+                }
+                if (r.forall(_.isDefined)) Some(r.flatten) else None
+              }
               // every OTHER grouping column must be a dictionary-modeled
               // string — the kind the per-bucket enumeration can serve
-              dims <- {
+              dims <- D("dims"){
                 val ds = dimAttrs.map {
                   case a if a.dataType == StringType =>
                     sh.attrTable.get(a.exprId).filter { case (dt, dc) =>
@@ -550,72 +585,124 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 }
                 if (ds.forall(_.isDefined)) Some(ds.flatten) else None
               }
-              // a key output is EXACTLY the bare grouping attribute
+              // a key output is EXACTLY a bare calendar grouping attribute
               // (possibly re-aliased) — an expression OVER it (`year(d)+1`)
               // is neither a key nor an aggregate the recognizer knows, so
               // it must fail the whole rewrite rather than silently emit
               // the raw key
-              keyOut = (ne: NamedExpression) => ne match {
-                case a: AttributeReference           => a.exprId == gAttr.exprId
-                case Alias(a: AttributeReference, _) => a.exprId == gAttr.exprId
-                case _                               => false
+              keyIdxOf = (ne: NamedExpression) => ne match {
+                case a: AttributeReference           => calIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
+                case Alias(a: AttributeReference, _) => calIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
+                case _                               => None
               }
-              if agg.aggregateExpressions.forall(ne =>
-                keyOut(ne) || ne.references.forall(_.exprId != gAttr.exprId))
+              _ <- D("keyguard")(if (agg.aggregateExpressions.forall(ne =>
+                keyIdxOf(ne).isDefined ||
+                  ne.references.forall(r => !calIds.contains(r.exprId)))) Some(()) else None)
               // classify the NON-key outputs through the shared recognizer;
               // dimension grouping attrs resolve as GroupOut via dimIdx
-              others = agg.aggregateExpressions.filterNot(keyOut)
+              others = agg.aggregateExpressions.filter(keyIdxOf(_).isEmpty)
               dimIdx = dimAttrs.map(_.exprId).zipWithIndex.toMap
-              aggCols <- outputCols(
-                agg.copy(aggregateExpressions = others), sh, spec.modeled, dimIdx)
+              aggCols <- D("aggCols")(outputCols(
+                agg.copy(aggregateExpressions = others), sh, spec.modeled, dimIdx))
               spns = Ensemble.get(session, sfDir)
               // SQL groups NULL dates into a calendar-NULL row these
-              // buckets cannot produce — fold only when the column's null
-              // mass under the base predicates estimates below one row
-              nullMass <- for {
-                pAll <- SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
-                pNN <- SpnCardinality.predsFor(
-                  spns, sh.tables, withNotNull(sh.atoms, Seq((t, c))), spec.modeled)
-              } yield Ensemble.estCount(spns, sh.tables, pAll).value -
-                Ensemble.estCount(spns, sh.tables, pNN).value
-              if nullMass < 0.5
-              dom0 <- Ensemble.colDomain(spns, t, c)
-              // narrow the bucket span by the query's OWN predicate on the
-              // date column (its compiled range's hull): a daily series
-              // over `WHERE d < DATE'...'` must bucket the asked-for span,
-              // not the table's whole history — the difference between
-              // folding under the 400-bucket cap and falling back
-              dom = {
-                val hull = SpnCardinality
-                  .predsFor(spns, sh.tables, sh.atoms, spec.modeled)
-                  .flatMap(_.get((t, c)))
-                  .flatMap {
-                    case graft.rspn.NumRange(lo, hi, _, _) => Some((lo, hi))
-                    case graft.rspn.MultiRange(is) => Some((is.head.lo, is.last.hi))
-                    case graft.rspn.NominalSet(cs) if cs.nonEmpty => Some((cs.min, cs.max))
-                    case _ => None
-                  }
-                hull.fold(dom0) { case (lo, hi) =>
-                  (math.max(dom0._1, lo), math.min(dom0._2, hi))
+              // buckets cannot produce — fold only when every calendar
+              // column's null mass estimates below one row. Evaluated on
+              // the column's OWN table (under that table's atoms): an FK
+              // join can only replicate base-table rows, so zero base
+              // nulls imply zero join nulls, and the single-model
+              // difference is free of the cross-model selection noise a
+              // joint-estimate difference would carry.
+              _ <- {
+                val masses = tcs.distinct.map { case (t, c) =>
+                  val tAtoms = Map(t -> sh.atoms.getOrElse(t, Seq.empty))
+                  // both counts under the table's SINGLE model: RDC-aware
+                  // selection would otherwise pick DIFFERENT models for the
+                  // two predicate sets (the NotNull widens the key set) and
+                  // their cross-model noise would masquerade as null mass
+                  val single = spns.get(t).map(m => Map(t -> m)).getOrElse(spns)
+                  for {
+                    pAll <- SpnCardinality.predsFor(single, Set(t), tAtoms, spec.modeled)
+                    pNN <- SpnCardinality.predsFor(
+                      single, Set(t), withNotNull(tAtoms, Seq((t, c))), spec.modeled)
+                  } yield Ensemble.estCount(single, Set(t), pAll).value -
+                    Ensemble.estCount(single, Set(t), pNN).value
                 }
+                D("nullmass")(if (masses.forall(_.exists(_ < 0.5))) Some(()) else None)
               }
-              // math.floor, not toLong: toLong truncates toward zero, so a
-              // negative (pre-1970) fractional domain start would shift
-              // into the NEXT day and could silently skip the first bucket
-              buckets <- {
-                if (dom._1 > dom._2) Some(Seq.empty[(Any, Seq[(Double, Double)])])
-                else g.buckets(
-                  LocalDate.ofEpochDay(math.floor(dom._1).toLong),
-                  LocalDate.ofEpochDay(math.floor(dom._2).toLong))
+              // per-candidate buckets over the model's realized domain,
+              // narrowed by the query's OWN predicate on that date column
+              // (its compiled range's hull): a daily series over
+              // `WHERE d < DATE'...'` must bucket the asked-for span, not
+              // the table's whole history — the difference between folding
+              // under the 400-bucket cap and falling back
+              perCal <- {
+                val bs = cals.zip(tcs).map { case ((_, g), (t, c)) =>
+                  Ensemble.colDomain(spns, t, c).flatMap { dom0 =>
+                    val hull = SpnCardinality
+                      .predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+                      .flatMap(_.get((t, c)))
+                      .flatMap {
+                        case graft.rspn.NumRange(lo, hi, _, _) => Some((lo, hi))
+                        case graft.rspn.MultiRange(is) => Some((is.head.lo, is.last.hi))
+                        case graft.rspn.NominalSet(cs) if cs.nonEmpty => Some((cs.min, cs.max))
+                        case _ => None
+                      }
+                    val dom = hull.fold(dom0) { case (lo, hi) =>
+                      (math.max(dom0._1, lo), math.min(dom0._2, hi))
+                    }
+                    // math.floor, not toLong: toLong truncates toward zero,
+                    // so a negative (pre-1970) fractional domain start would
+                    // shift into the NEXT day and could silently skip the
+                    // first bucket
+                    if (dom._1 > dom._2) Some(Seq.empty[(Any, Seq[(Double, Double)])])
+                    else g.buckets(
+                      LocalDate.ofEpochDay(math.floor(dom._1).toLong),
+                      LocalDate.ofEpochDay(math.floor(dom._2).toLong))
+                  }
+                }
+                D("perCal")(if (bs.forall(_.isDefined)) Some(bs.flatten) else None)
+              }
+              // bucket tuples: key per calendar attr + that tuple's atoms.
+              // Same-column pairs MEET their interval sets (empty meet =
+              // structurally impossible pair, emitted as no row — SQL's
+              // behavior exactly); distinct columns conjoin two RangeUnions.
+              tuples <- {
+                val raw: Seq[(Seq[Any], Seq[(String, Atom)])] = perCal match {
+                  case Seq(b1) =>
+                    val (t, c) = tcs.head
+                    b1.map { case (k, ivs) =>
+                      (Seq(k), Seq(t -> (SpnCardinality.RangeUnion(c, ivs): Atom)))
+                    }
+                  case Seq(b1, b2) =>
+                    val (t1, c1) = tcs.head
+                    val (t2, c2) = tcs.last
+                    for {
+                      (k1, ivs1) <- b1
+                      (k2, ivs2) <- b2
+                      atoms <- {
+                        if (t1 == t2 && c1 == c2) {
+                          val met = intersectIvs(ivs1, ivs2)
+                          if (met.isEmpty) None
+                          else Some(Seq(t1 -> (SpnCardinality.RangeUnion(c1, met): Atom)))
+                        } else Some(Seq(
+                          t1 -> (SpnCardinality.RangeUnion(c1, ivs1): Atom),
+                          t2 -> (SpnCardinality.RangeUnion(c2, ivs2): Atom)))
+                      }
+                    } yield (Seq(k1, k2), atoms)
+                }
+                // the existing 400-bucket accuracy/latency cap governs the
+                // CROSS PRODUCT too (surviving tuples, not the raw product —
+                // year × month over a 30-year domain folds at 360)
+                D("cap")(if (raw.length > 400) None else Some(raw))
               }
               rows <- {
-                // per bucket: the bucket's interval union conjoins the base
+                // per bucket tuple: its interval atoms conjoin the base
                 // atoms; scalar buckets gate on >= half a row, mixed
                 // buckets take the dictionary enumeration's own nonzero
                 // row universe (groups of an empty bucket enumerate empty)
-                val perBucket: Seq[Option[Seq[Seq[Any]]]] = buckets.map { case (k, ivs) =>
-                  val bucket = mergeAtoms(sh.atoms,
-                    Seq(t -> (SpnCardinality.RangeUnion(c, ivs): Atom)))
+                val perBucket: Seq[Option[Seq[Seq[Any]]]] = tuples.map { case (ks, extra) =>
+                  val bucket = mergeAtoms(sh.atoms, extra)
                   val shB = sh.copy(atoms = bucket)
                   val bucketRows: Option[Seq[(Seq[String], Map[Int, Any])]] =
                     if (dims.isEmpty)
@@ -630,20 +717,22 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                     else plainGroupRows(spns, spec, shB, dims, aggCols)
                   bucketRows.map(_.map { case (dk, m) =>
                     var j = -1
-                    agg.aggregateExpressions.map {
-                      case ne if keyOut(ne) => k
-                      case _ =>
-                        j += 1
-                        aggCols(j) match {
-                          case GroupOut(gi) => dk(gi): Any
-                          case _            => m(j)
-                        }
+                    agg.aggregateExpressions.map { ne =>
+                      keyIdxOf(ne) match {
+                        case Some(ki) => ks(ki)
+                        case None =>
+                          j += 1
+                          aggCols(j) match {
+                            case GroupOut(gi) => dk(gi): Any
+                            case _            => m(j)
+                          }
+                      }
                     }
                   })
                 }
                 // any uncompilable bucket means fall back — never guess one
-                if (perBucket.exists(_.isEmpty)) None
-                else Some(perBucket.flatMap(_.get))
+                D("rows")(if (perBucket.exists(_.isEmpty)) None
+                else Some(perBucket.flatMap(_.get)))
               }
             } yield {
               clearAnnotationIfOn() // calendar folds carry no CI channel

@@ -868,6 +868,25 @@ object SpnPlanning {
         """SELECT lang, source, count(*) AS n, avg(n_chars) AS avg_chars
           |FROM documents WHERE n_chars > 100
           |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+    },
+
+    // Round 14: the seasonal matrix — TWO calendar grouping expressions
+    // composed as a bucket cross product (each (year, month) key pair's
+    // predicate is the meet of the year range and the cyclic month
+    // multi-interval), still zero-scan (SpnAqpSpec pins same-column,
+    // cross-column and cap-fallback shapes against the exact plane;
+    // rows>0 is the Verify contract here).
+    Op.noOracle("aqp_transparent_seasonal") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders")
+      s2.sql(
+        """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+          |       count(*) AS n, sum(o_totalprice) AS rev
+          |FROM orders WHERE o_totalprice < 150000
+          |GROUP BY year(o_orderdate), month(o_orderdate)
+          |ORDER BY y, m""".stripMargin)
     }
   )
 }

@@ -1497,16 +1497,95 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(est3(k), exact3(k)) <= 3.0 || math.abs(est3(k) - exact3(k)) <= 10.0,
         s"3-way group $k: ${est3(k)} vs ${exact3(k)}")
     }
-    // TWO calendar expressions would need a bucket cross product: fallback
-    val twoCal = session(aqp = true).sql(
-      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n
-         FROM orders GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin)
-    assert(!isRewritten(twoCal), "two calendar grouping expressions must fall back")
     // a NUMERIC second grouping column (no dictionary) must fall back
     val numDim = session(aqp = true).sql(
       """SELECT year(o_orderdate) AS y, o_custkey, count(*) AS n
          FROM orders GROUP BY year(o_orderdate), o_custkey""".stripMargin)
     assert(!isRewritten(numDim), "a non-dictionary dimension column must fall back")
+  }
+
+  test("two-calendar cross product folds: GROUP BY year(d), month(d)") {
+    // the seasonal-matrix dashboard shape — each (year, month) key pair's
+    // predicate is the MEET of the year bucket's range and the cyclic
+    // month bucket's multi-interval (that year's month slice)
+    val sql = """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n
+                 FROM orders WHERE o_totalprice < 150000
+                 GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"year × month must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2).toDouble).toMap
+    // year × month cells at sf0.001 hold a handful of rows each — the
+    // empty-cell boundary can disagree (the mixed 3-way test's convention);
+    // any disagreement on a non-trivial cell is a real bug
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"y×m phantom cell $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"y×m dropped cell $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"y×m cell $k: ${est(k)} vs ${exact(k)}")
+    }
+    // calendar × calendar × dimension: the pair tuples compose with the
+    // per-bucket dictionary enumeration like any single calendar bucket
+    val sql2 = """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+                         o_orderpriority, count(*) AS n
+                  FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate),
+                                       o_orderpriority""".stripMargin
+    val exact2 = session(aqp = false).sql(sql2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3).toDouble).toMap
+    val df2 = session(aqp = true).sql(sql2)
+    assert(isRewritten(df2), s"year × quarter × dim must fold:\n${df2.queryExecution.optimizedPlan}")
+    val est2 = df2.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3).toDouble).toMap
+    (est2.keySet diff exact2.keySet).foreach { k =>
+      assert(est2(k) <= 5.0, s"y×q×dim phantom cell $k carries real mass: ${est2(k)}")
+    }
+    (exact2.keySet diff est2.keySet).foreach { k =>
+      assert(exact2(k) <= 5.0, s"y×q×dim dropped cell $k has real rows: ${exact2(k)}")
+    }
+    (est2.keySet intersect exact2.keySet).foreach { k =>
+      assert(qerr(est2(k), exact2(k)) <= 3.0 || math.abs(est2(k) - exact2(k)) <= 10.0,
+        s"y×q×dim cell $k: ${est2(k)} vs ${exact2(k)}")
+    }
+    // two DIFFERENT date columns over a join: the pair conjoins TWO
+    // RangeUnion atoms instead of meeting interval sets on one
+    val sql3 = """SELECT year(o_orderdate) AS y, quarter(l_shipdate) AS q, count(*) AS n
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE l_quantity < 30
+                  GROUP BY year(o_orderdate), quarter(l_shipdate)""".stripMargin
+    val exact3 = session(aqp = false).sql(sql3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2).toDouble).toMap
+    val df3 = session(aqp = true).sql(sql3)
+    assert(isRewritten(df3), s"two date columns must fold:\n${df3.queryExecution.optimizedPlan}")
+    val est3 = df3.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2).toDouble).toMap
+    (est3.keySet diff exact3.keySet).foreach { k =>
+      assert(est3(k) <= 5.0, s"two-col phantom cell $k carries real mass: ${est3(k)}")
+    }
+    (exact3.keySet diff est3.keySet).foreach { k =>
+      assert(exact3(k) <= 5.0, s"two-col dropped cell $k has real rows: ${exact3(k)}")
+    }
+    (est3.keySet intersect exact3.keySet).foreach { k =>
+      assert(qerr(est3(k), exact3(k)) <= 3.0 || math.abs(est3(k) - exact3(k)) <= 10.0,
+        s"two-col cell $k: ${est3(k)} vs ${exact3(k)}")
+    }
+    // a cross product past the 400-tuple cap falls back (monthly trunc ×
+    // day-of-week over a multi-year domain crosses it), and a THIRD
+    // calendar expression falls back structurally
+    val capped = session(aqp = true).sql(
+      """SELECT date_trunc('month', o_orderdate) AS p, dayofweek(o_orderdate) AS d,
+                count(*) AS n
+         FROM orders GROUP BY date_trunc('month', o_orderdate), dayofweek(o_orderdate)""".stripMargin)
+    assert(!isRewritten(capped), "a cap-exceeded bucket cross product must fall back")
+    val threeCal = session(aqp = true).sql(
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+                month(o_orderdate) AS m, count(*) AS n
+         FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate),
+                              month(o_orderdate)""".stripMargin)
+    assert(!isRewritten(threeCal), "three calendar grouping expressions must fall back")
   }
 
   test("answerable aggregates fold inside UNION ALL; constant tag columns ride along") {
