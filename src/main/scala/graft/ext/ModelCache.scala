@@ -39,8 +39,13 @@ object ModelCache {
     * loses the putIfAbsent and leaks in the block manager. Fits are rare
     * (once per op per session) so coarse locking costs nothing steady-state.
     */
-  def memo[T](s: SparkSession, dir: String, key: String)(fit: => T): T =
-    cache.get((s, dir, key)) match {
+  def memo[T](s: SparkSession, dir: String, key: String)(fit: => T): T = {
+    // staleness guard: the directory's content fingerprint rides the key,
+    // so a dataset mutated mid-session REFITS instead of silently serving
+    // models of data that no longer exists (same contract as
+    // Ensemble.state's fingerprinted memo)
+    val fullKey = s"$key@${graft.rspn.Ensemble.dirFingerprint(s, dir)}"
+    cache.get((s, dir, fullKey)) match {
       case Some(v) => v.asInstanceOf[T] // fast path, no lock once populated
       case None => cache.synchronized {
         // opportunistic eviction on the (rare) miss path: entries keyed by a
@@ -49,9 +54,23 @@ object ModelCache {
         // frames and fitted models for the life of the JVM (spec suites and
         // long-lived drivers create many sessions)
         cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
-        cache.getOrElseUpdate((s, dir, key), { fits.incrementAndGet(); fit }).asInstanceOf[T]
+        // evict SUPERSEDED fingerprints of this same (session, dir, op):
+        // their pinned featurized frames describe the pre-mutation data
+        cache.keys.filter(k => k._1 == s && k._2 == dir &&
+            k._3.startsWith(key + "@") && k._3 != fullKey)
+          .foreach { k =>
+            cache.remove(k).foreach {
+              case df: org.apache.spark.sql.DataFrame =>
+                try df.unpersist(blocking = false)
+                catch { case scala.util.control.NonFatal(_) => () }
+              case _ => ()
+            }
+          }
+        cache.getOrElseUpdate((s, dir, fullKey), { fits.incrementAndGet(); fit })
+          .asInstanceOf[T]
       }
     }
+  }
 
   /** Test hook: drop everything (e.g. between suites that reuse a session). */
   def clear(): Unit = cache.clear()

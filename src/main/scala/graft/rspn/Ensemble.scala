@@ -399,7 +399,33 @@ object Ensemble {
 
   final case class EnsembleState(spns: Map[String, TrainedSpn], candidates: Seq[JoinCandidate])
 
-  private val cache = TrieMap.empty[(org.apache.spark.SparkContext, String), EnsembleState]
+  private val cache =
+    TrieMap.empty[(org.apache.spark.SparkContext, String), (String, EnsembleState)]
+
+  /** Cheap staleness fingerprint of a dataset directory: (name, size,
+    * mtime) of its top-level entries plus one level down (parquet "files"
+    * are directories of part files — a regenerated table changes its part
+    * files, hence its signature). A mutated directory therefore changes
+    * the memo key and the ensemble REFITS with a log line instead of
+    * silently serving models of data that no longer exists.
+    * ~tens of file stats per call — driver-side microseconds against the
+    * fold's millisecond budget.
+    */
+  private[graft] def dirFingerprint(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    try {
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def sig(p: Path, depth: Int): Seq[String] =
+        fs.listStatus(p).sortBy(_.getPath.getName).toSeq.flatMap { f =>
+          val self = s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+          if (f.isDirectory && depth > 0) self +: sig(f.getPath, depth - 1)
+          else Seq(self)
+        }
+      java.util.UUID.nameUUIDFromBytes(
+        sig(root, 1).mkString("\n").getBytes("UTF-8")).toString
+    } catch { case scala.util.control.NonFatal(_) => "unreadable" }
+  }
 
   /** Set GRAFT_TRAIN_TIMING=1 to print per-stage training times to stderr. */
   private def timed[A](what: String)(f: => A): A =
@@ -441,8 +467,36 @@ object Ensemble {
     spark0
   }
 
-  def state(spark: SparkSession, sfDir: String): EnsembleState =
-    cache.getOrElseUpdate((spark.sparkContext, sfDir), {
+  def state(spark: SparkSession, sfDir: String): EnsembleState = {
+    val key = (spark.sparkContext, sfDir)
+    val fp = dirFingerprint(spark, sfDir)
+    cache.get(key) match {
+      case Some((`fp`, st)) => st
+      case before =>
+        // one lock around training: a concurrent first call must not
+        // double-train, and a refit must invalidate the per-dir dictionary
+        // cache before rebuilding (stale dicts would feed the new fit)
+        cache.synchronized {
+          cache.get(key) match {
+            case Some((`fp`, st)) => st
+            case _ =>
+              if (before.isDefined) {
+                System.err.println(s"[graft] dataset directory $sfDir changed on " +
+                  "disk — refitting the SPN ensemble (stale models never serve)")
+                dictCache.keys.filter(k => k._1 == spark.sparkContext && k._2 == sfDir)
+                  .foreach(dictCache.remove)
+                countCache.keys.filter(k => k._1 == spark.sparkContext && k._2 == sfDir)
+                  .foreach(countCache.remove)
+              }
+              val st = trainState(spark, sfDir)
+              cache.put(key, (fp, st))
+              st
+          }
+        }
+    }
+  }
+
+  private def trainState(spark: SparkSession, sfDir: String): EnsembleState = {
       // TRAINING runs its own Spark queries (sample scans, count(*) row
       // scales). Under a session with the conf-gated planner integrations
       // enabled, those queries would RE-ENTER this method — the transparent
@@ -477,7 +531,7 @@ object Ensemble {
       val byName = spns.map(s => s.name -> s).toMap
       specBySpns.put(byName, spec)
       EnsembleState(byName, candidates)
-    })
+  }
 
   def get(spark: SparkSession, sfDir: String): Map[String, TrainedSpn] =
     state(spark, sfDir).spns
@@ -739,6 +793,148 @@ object Ensemble {
     }
     if (ranges.isEmpty) None
     else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+  }
+
+  // ---- realized-value support of a numeric/days column -------------------
+  //
+  // The numeric mirror of the dictionary path: NumericLeaf carries the
+  // SORTED realized values of its training slice (reference
+  // IdentityNumericLeaf.unique_vals), so MIN/MAX under a predicate is the
+  // extreme in-range value with mass, and a bounded-support distinct count
+  // enumerates the same way — exact on the realized domain, like the
+  // categorical enumeration. All driver-side model math, zero scans.
+
+  /** Realized values of (table, col) across every model carrying it,
+    * narrowed to the predicate's own range on the column. Sorted distinct.
+    */
+  private def realizedInRange(
+      spns: Map[String, TrainedSpn],
+      col: (String, String),
+      preds: Map[(String, String), ColRange]): Array[Double] = {
+    def walk(n: SpnNode, idx: Int): Iterator[Double] = n match {
+      case l: NumericLeaf if l.colIdx == idx => l.vals.iterator
+      case s: SumNode     => s.children.iterator.flatMap(walk(_, idx))
+      case p: ProductNode => p.children.iterator.flatMap(walk(_, idx))
+      case _              => Iterator.empty
+    }
+    val all = spns.values.toSeq.flatMap { m =>
+      m.cols.zipWithIndex.collect {
+        case (c, i) if c.table == col._1 && c.name == col._2 => i
+      }.flatMap(walk(m.root, _))
+    }.distinct.sorted.toArray
+    preds.get(col) match {
+      case None | Some(NotNullRange) => all
+      case Some(r) => all.filter(v => ColRangeOps.meet(r, NumRange(v, v)).isDefined)
+    }
+  }
+
+  /** Full mass-filtered support under the predicates — the COUNT(DISTINCT
+    * numeric) enumeration. None when the in-range realized set exceeds
+    * `cap` (the enumeration cost/honesty bound — a near-continuous column's
+    * sampled support is neither cheap nor a faithful distinct count), so
+    * callers fall back to exact.
+    */
+  def numericSupport(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      col: (String, String),
+      preds: Map[(String, String), ColRange],
+      cap: Int = 4096): Option[Seq[Double]] =
+    numericSupportMemo(spns, tables, col, preds, cap, new ExpectMemo)
+
+  private def numericSupportMemo(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      col: (String, String),
+      preds: Map[(String, String), ColRange],
+      cap: Int,
+      memo: ExpectMemo): Option[Seq[Double]] = {
+    val inRange = realizedInRange(spns, col, preds)
+    if (inRange.length > cap) None
+    else Some(inRange.toSeq.filter { v =>
+      intersect(preds, Map(col -> NominalSet(Array(v)))) match {
+        case None    => false
+        case Some(p) => estAgg(spns, tables, p, Map.empty, memo).v > 0
+      }
+    })
+  }
+
+  /** MIN/MAX via the realized support with EARLY EXIT: probe values from
+    * the asked-for end and stop at the first with mass. `probeCap` bounds
+    * zero-mass probes (a highly selective predicate over a wide support
+    * would otherwise cost one fold per realized value); a miss within the
+    * cap returns None and the caller falls back. Some(None) = provably
+    * empty support (SQL's NULL aggregate).
+    */
+  def numericExtreme(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      col: (String, String),
+      preds: Map[(String, String), ColRange],
+      isMin: Boolean,
+      probeCap: Int = 512): Option[Option[Double]] =
+    numericExtremeMemo(spns, tables, col, preds, isMin, probeCap, new ExpectMemo)
+
+  private def numericExtremeMemo(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      col: (String, String),
+      preds: Map[(String, String), ColRange],
+      isMin: Boolean,
+      probeCap: Int,
+      memo: ExpectMemo): Option[Option[Double]] = {
+    val inRange = realizedInRange(spns, col, preds)
+    val ordered = if (isMin) inRange.iterator else inRange.reverseIterator
+    var probes = 0
+    while (ordered.hasNext) {
+      val v = ordered.next()
+      probes += 1
+      intersect(preds, Map(col -> NominalSet(Array(v)))) match {
+        case Some(p) if estAgg(spns, tables, p, Map.empty, memo).v > 0 =>
+          return Some(Some(v))
+        case _ => if (probes >= probeCap) return None
+      }
+    }
+    Some(None)
+  }
+
+  /** Per-dictionary-group numeric support (the grouped COUNT(DISTINCT num)
+    * / MIN / MAX enumeration): for every surviving group combination, the
+    * mass-filtered support under the group-pinned predicates. One memo
+    * spans the group enumeration and every pin probe. None when any
+    * group's enumeration exceeds the cap.
+    */
+  def estGroupByNumericSupport(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      col: (String, String),
+      preds: Map[(String, String), ColRange],
+      cap: Int = 4096): Option[Seq[(Seq[String], Seq[Double])]] = {
+    val memo = new ExpectMemo
+    val per = enumGroups(spns, tables, groupCols, preds, memo).map { case (vs, gp, _) =>
+      numericSupportMemo(spns, tables, col, gp, cap, memo).map(vs -> _)
+    }
+    if (per.forall(_.isDefined)) Some(per.flatten) else None
+  }
+
+  /** Per-group MIN/MAX with the early-exit probe (see [[numericExtreme]]).
+    * A group with empty support is ABSENT from the result — callers fill
+    * SQL's NULL, matching the empty-aggregate convention.
+    */
+  def estGroupByNumericExtreme(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      groupCols: Seq[(String, String)],
+      col: (String, String),
+      preds: Map[(String, String), ColRange],
+      isMin: Boolean): Option[Seq[(Seq[String], Double)]] = {
+    val memo = new ExpectMemo
+    val per = enumGroups(spns, tables, groupCols, preds, memo).map { case (vs, gp, _) =>
+      numericExtremeMemo(spns, tables, col, gp, isMin, 512, memo).map(vs -> _)
+    }
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.collect { case (vs, Some(v)) => vs -> v })
   }
 
   def estSum(

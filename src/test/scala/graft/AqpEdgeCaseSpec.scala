@@ -131,4 +131,39 @@ class AqpEdgeCaseSpec extends AnyFunSuite {
     val t2 = Ensemble.trainingSession(seeded)
     assert(t2.conf.getOption("spark.graft.aqp.enabled").isEmpty)
   }
+
+  test("a dataset directory mutated mid-session refits instead of serving stale models") {
+    // fit-once-per-(context, dir, CONTENT): the directory fingerprint rides
+    // the ensemble and ML-model memo keys, so a regenerated dataset refits
+    // with a log line — a stale model must never silently answer for data
+    // that no longer exists (r13 ADVICE note on ModelCache)
+    val d = java.nio.file.Files.createTempDirectory("graft-stale-").toString
+    def writeRows(n: Int): Unit =
+      spark.range(n.toLong).toDF("id")
+        .withColumn("v", pmod(col("id") * 7, lit(100)).cast("double"))
+        .write.mode("overwrite").parquet(s"$d/tab.parquet")
+    writeRows(500)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/graft_schema.json"),
+      """{"tables": [{"name": "tab", "primaryKey": ["id"]}],
+        | "modeled": {"tab": [{"col": "v", "kind": "num"}]}}""".stripMargin)
+    val n1 = Ensemble.estCount(Ensemble.get(spark, d), Set("tab"), Map.empty).value
+    assert(math.round(n1) == 500, s"initial fit must see 500 rows, got $n1")
+    // unchanged content → memo hit, same state instance (no refit churn)
+    assert(Ensemble.get(spark, d) eq Ensemble.get(spark, d),
+      "an unchanged directory must serve the memoized ensemble")
+    writeRows(1200)
+    val n2 = Ensemble.estCount(Ensemble.get(spark, d), Set("tab"), Map.empty).value
+    assert(math.round(n2) == 1200, s"mutated dir must refit: still estimating $n2 rows")
+    // the fitted-ML-model memo refits under the same contract
+    val before = ext.ModelCache.fitCount
+    assert(ext.ModelCache.memo(spark, d, "probe") { "a" } == "a")
+    assert(ext.ModelCache.memo(spark, d, "probe") { "b" } == "a",
+      "unchanged content must memo-hit")
+    assert(ext.ModelCache.fitCount == before + 1)
+    writeRows(1300)
+    assert(ext.ModelCache.memo(spark, d, "probe") { "c" } == "c",
+      "a mutated dir must re-fit the memoized model")
+    assert(ext.ModelCache.fitCount == before + 2)
+  }
 }
