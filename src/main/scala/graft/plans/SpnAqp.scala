@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType}
 
 import scala.util.Try
 
@@ -94,17 +94,29 @@ object SpnAqpRule {
     else if (isMin) support.min(utf8Ordering)
     else support.max(utf8Ordering)
 
-  /** The last annotated fold's per-output estimator Estimates — the
-    * "how sure?" channel the transparent plane otherwise loses: a folded
+  /** An annotated fold's per-output estimator Estimates — the "how sure?"
+    * channel the transparent plane otherwise loses: a folded
     * `LocalRelation` must match the query's own schema, so CI bounds can't
-    * ride the result rows. With `spark.graft.aqp.annotate=true` every
-    * PLAIN-CONJUNCTIVE fold records its recipe here (per group × per
-    * aggregate output: the same estimator calls the `spn_groupby*` TVFs
-    * make, so the intervals agree with `est_groupby`'s ci95 by
-    * construction), queryable via `SELECT * FROM spn_last_fold()`.
-    * Disjunctive / grouping-set / calendar folds CLEAR the entry — a stale
-    * annotation must never masquerade as the latest query's uncertainty.
-    * Reference posture: `--confidence_intervals`
+    * ride the result rows. With `spark.graft.aqp.annotate=true` every fold
+    * class records its recipe here (per group × per aggregate output: the
+    * SAME estimator calls the fold's own values came from, so point values
+    * match the folded cells by construction) — plain-conjunctive,
+    * single-OR (inclusion-exclusion CIs), multi-OR (conservative signed
+    * interval combination), grouping sets (per set, absent key columns
+    * NULL), and calendar buckets (per bucket, key stringified) — queryable
+    * via `SELECT * FROM spn_last_fold()`. Row universe and per-aggregate
+    * gates mirror the fold exactly: a group the fold dropped, or an output
+    * it returned as NULL, gets no annotation row. Outputs with no one-call
+    * CI channel (expression trees, distinct counts, MIN/MAX, AVG of a
+    * linear form) are skipped rather than guessed.
+    *
+    * STALENESS: any Aggregate the rule processes WITHOUT folding clears
+    * the entry, so the TVF can never serve an earlier query's intervals
+    * after a fallback. The entry is keyed per query TAG
+    * (`spark.graft.aqp.tag`, default "") — two annotated folds under
+    * different tags never clobber each other, eliminating the
+    * concurrent-fold race on one session; `spn_last_fold()` reads the
+    * session's CURRENT tag. Reference posture: `--confidence_intervals`
     * (evaluation/confidence_interval_evaluation.py) attaches CIs to every
     * reported estimate.
     */
@@ -118,14 +130,22 @@ object SpnAqpRule {
   // so the annotation materializes eagerly at fold time
   private val lastFold =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, FoldAnnotation]())
+      new java.util.WeakHashMap[SparkSession, Map[String, FoldAnnotation]]())
+
+  private[graft] def tagOf(session: SparkSession): String =
+    session.conf.getOption("spark.graft.aqp.tag").getOrElse("")
 
   private[plans] def record(session: SparkSession, fa: FoldAnnotation): Unit =
-    lastFold.put(session, fa)
+    lastFold.synchronized {
+      val m = Option(lastFold.get(session)).getOrElse(Map.empty[String, FoldAnnotation])
+      lastFold.put(session, m.updated(tagOf(session), fa))
+    }
   private[plans] def clearAnnotation(session: SparkSession): Unit =
-    lastFold.remove(session)
+    lastFold.synchronized {
+      Option(lastFold.get(session)).foreach(m => lastFold.put(session, m - tagOf(session)))
+    }
   private[graft] def lastFoldOf(session: SparkSession): Option[FoldAnnotation] =
-    Option(lastFold.get(session))
+    Option(lastFold.get(session)).flatMap(_.get(tagOf(session)))
 }
 
 final case class SpnAqpRule(session: SparkSession, sfDir: String)
@@ -155,7 +175,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           val inlined = inlineProjectAliases(agg)
           if (inlined eq agg) None else rewrite(inlined)
         }.orElse(rewriteCalendar(agg))
-    }).toOption.flatten.getOrElse(agg)
+    }).toOption.flatten match {
+      case Some(folded) => folded
+      case None =>
+        // STALENESS: an Aggregate the rule saw but did NOT fold must not
+        // leave an earlier fold's intervals queryable under this tag —
+        // spn_last_fold() after a fallback query would otherwise attribute
+        // the previous query's CIs to the latest one
+        SpnAqpRule.clearAnnotation(session)
+        agg
+    }
   }
 
   /** Inline computed aliases the analyzer/optimizer extracted into a
@@ -257,123 +286,407 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   }
 
   /** Record the fold's CI annotation for `spn_last_fold()` (see
-    * [[SpnAqpRule.FoldAnnotation]]) — plain-conjunctive folds only; every
-    * other annotated fold clears the entry so the TVF can never serve a
-    * stale query's intervals. The annotation re-runs the SAME estimator
-    * calls the `spn_groupby*` TVFs make (estCount / estGroupByMulti /
-    * estSum / estGroupByAgg / estAvg / estGroupByAvg), so the intervals
-    * agree with `est_groupby`'s ci95 on the same shape by construction;
-    * outputs without a one-call CI channel (expression trees, distinct
-    * counts, MIN/MAX, FILTER clauses) are skipped rather than guessed.
+    * [[SpnAqpRule.FoldAnnotation]] for the contract): the SAME estimator
+    * calls the fold's own values came from — so point values equal the
+    * folded cells — with the SAME row universe and per-aggregate gates (a
+    * group the fold dropped, or an output it returned as NULL, gets no
+    * annotation row), across every shape class the fold dispatch serves:
+    * plain-conjunctive, single-OR (the inclusion-exclusion estimators
+    * carry CIs), and the multi-OR signed expansion (conservative interval
+    * combination per signed term — signs flip bounds, intervals add).
+    * Outputs without a one-call CI channel (expression trees, distinct
+    * counts, MIN/MAX, AVG of a linear form) are skipped rather than
+    * guessed. With the annotate conf OFF a fold CLEARS the current tag's
+    * entry — an earlier annotated query's intervals must not survive a
+    * newer un-annotated fold.
     */
   private def annotate(
       sh: Shape, groups: Seq[(AttributeReference, (String, String))],
       cols: Seq[OutCol], agg: Aggregate): Unit = {
-    if (!session.conf.getOption("spark.graft.aqp.annotate").contains("true")) return
+    if (!session.conf.getOption("spark.graft.aqp.annotate").contains("true")) {
+      SpnAqpRule.clearAnnotation(session)
+      return
+    }
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
-    val gcols = groups.map(_._2)
-    val colPairs = cols.zip(agg.aggregateExpressions.map(_.name))
+    SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(
+      groups.map(_._1.name),
+      annotationRows(spns, spec, sh, groups.map(_._2),
+        cols.zip(agg.aggregateExpressions.map(_.name)))))
+  }
+
+  // ---- interval algebra for annotation combination ----
+  // coefficient scaling and conservative interval ADDITION for linear
+  // forms and signed expansions (the SqlEstimate Combo convention: terms
+  // share predicates, so their errors are positively correlated and the
+  // summed interval can only over-cover); a negative coefficient or sign
+  // FLIPS the bounds
+  private def scaleE(cf: Double, e: Ensemble.Estimate): Ensemble.Estimate =
+    if (cf >= 0) Ensemble.Estimate(cf * e.value, cf * e.ci95Lo, cf * e.ci95Hi)
+    else Ensemble.Estimate(cf * e.value, cf * e.ci95Hi, cf * e.ci95Lo)
+  private def addE(a: Ensemble.Estimate, b: Ensemble.Estimate): Ensemble.Estimate =
+    Ensemble.Estimate(a.value + b.value, a.ci95Lo + b.ci95Lo, a.ci95Hi + b.ci95Hi)
+  private val zeroE = Ensemble.Estimate(0.0, 0.0, 0.0)
+  /** The fold clamps count POINT values at zero; the interval keeps its
+    * conservative bounds.
+    */
+  private def clamp0(e: Ensemble.Estimate): Ensemble.Estimate =
+    if (e.value < 0) e.copy(value = 0.0) else e
+  /** Conservative interval quotient for the AVG ratio under the signed
+    * expansion — only when the fold emitted the cell (den >= half a row)
+    * AND the denominator interval is strictly positive (a sign-crossing
+    * denominator has no finite quotient interval → skip, never guess).
+    */
+  private def ratioE(
+      num: Ensemble.Estimate, den: Ensemble.Estimate): Option[Ensemble.Estimate] =
+    if (den.value < 0.5 || den.ci95Lo <= 0) None
+    else {
+      val qs = for { n <- Seq(num.ci95Lo, num.ci95Hi); d <- Seq(den.ci95Lo, den.ci95Hi) }
+        yield n / d
+      Some(Ensemble.Estimate(num.value / den.value, qs.min, qs.max))
+    }
+
+  /** Per-output (group key, output name, Estimate) annotation rows — see
+    * [[annotate]]. Shape-parameterized so the grouping-set fold (per set)
+    * and the calendar fold (per bucket) reuse it with their conjoined
+    * atoms and effective dictionary group columns.
+    */
+  private def annotationRows(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
+      sh: Shape, gcols: Seq[(String, String)],
+      colPairs: Seq[(OutCol, String)]): Seq[(Seq[String], String, Ensemble.Estimate)] =
+    sh.orBranches match {
+      case Seq()       => annPlain(spns, spec, sh, gcols, colPairs)
+      case Seq((a, b)) => annSingleOr(spns, spec, sh, a, b, gcols, colPairs)
+      case gs          => annMultiOr(spns, spec, sh, gs, gcols, colPairs)
+    }
+
+  private def annPlain(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
+      gcols: Seq[(String, String)], colPairs: Seq[(OutCol, String)])
+      : Seq[(Seq[String], String, Ensemble.Estimate)] = {
     def predsOf(m: Map[String, Seq[Atom]]) =
       SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
-    def build(est: OutCol => Seq[(Seq[String], Ensemble.Estimate)]) =
-      SpnAqpRule.FoldAnnotation(groups.map(_._1.name),
-        colPairs.flatMap { case (c, nm) => est(c).map { case (k, e) => (k, nm, e) } })
-    // coefficient scaling and conservative interval ADDITION for linear
-    // forms (the SqlEstimate Combo convention: the terms share predicates,
-    // so their errors are positively correlated and the summed interval
-    // can only over-cover)
-    def scaleE(cf: Double, e: Ensemble.Estimate): Ensemble.Estimate =
-      if (cf >= 0) Ensemble.Estimate(cf * e.value, cf * e.ci95Lo, cf * e.ci95Hi)
-      else Ensemble.Estimate(cf * e.value, cf * e.ci95Hi, cf * e.ci95Lo)
-    def addE(a: Ensemble.Estimate, b: Ensemble.Estimate): Ensemble.Estimate =
-      Ensemble.Estimate(a.value + b.value, a.ci95Lo + b.ci95Lo, a.ci95Hi + b.ci95Hi)
-    val annotation: Option[SpnAqpRule.FoldAnnotation] = sh.orBranches match {
-      case Seq() =>
-        // atom-parameterized like the fold itself: FILTER (WHERE ...)
-        // clauses annotate under their merged predicates, SUM of a linear
-        // form (the revenue shape) combines per-term intervals under the
-        // referenced columns' non-nullness — the SAME gating the folded
-        // values used
-        def scalarEst(atoms: Map[String, Seq[Atom]], c: OutCol): Option[Ensemble.Estimate] = c match {
-          case FilteredOut(extra, inner) => scalarEst(mergeAtoms(atoms, extra), inner)
-          case CountOut() => predsOf(atoms).map(Ensemble.estCount(spns, sh.tables, _))
-          case CountColOut(cc) =>
-            predsOf(withNotNull(atoms, Seq(cc))).map(Ensemble.estCount(spns, sh.tables, _))
-          case SumOut(terms, refCols) =>
-            predsOf(withNotNull(atoms, refCols)).map { p =>
-              terms.map {
-                case (cf, Seq())   => scaleE(cf, Ensemble.estCount(spns, sh.tables, p))
-                case (cf, Seq(c1)) => scaleE(cf, Ensemble.estSum(spns, sh.tables, c1, p))
-                case (cf, cs)     => scaleE(cf, Ensemble.estSumProduct(spns, sh.tables, cs, p))
-              }.reduce(addE)
-            }
-          case AvgOut(ac) => predsOf(atoms).map(p => Ensemble.estAvg(spns, sh.tables, ac, p))
-          case _ => None
+    def scalarEst(atoms: Map[String, Seq[Atom]])(c: OutCol): Option[Ensemble.Estimate] = c match {
+      case FilteredOut(extra, inner) => scalarEst(mergeAtoms(atoms, extra))(inner)
+      case CountOut() => predsOf(atoms).map(Ensemble.estCount(spns, sh.tables, _))
+      case CountColOut(cc) =>
+        predsOf(withNotNull(atoms, Seq(cc))).map(Ensemble.estCount(spns, sh.tables, _))
+      case SumOut(terms, refCols) =>
+        predsOf(withNotNull(atoms, refCols)).flatMap { p =>
+          if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) None // fold: NULL
+          else Some(terms.map {
+            case (cf, Seq())   => scaleE(cf, Ensemble.estCount(spns, sh.tables, p))
+            case (cf, Seq(c1)) => scaleE(cf, Ensemble.estSum(spns, sh.tables, c1, p))
+            case (cf, cs)      => scaleE(cf, Ensemble.estSumProduct(spns, sh.tables, cs, p))
+          }.reduce(addE))
         }
-        def groupEst(atoms: Map[String, Seq[Atom]], c: OutCol): Option[Seq[(Seq[String], Ensemble.Estimate)]] = c match {
-          case FilteredOut(extra, inner) => groupEst(mergeAtoms(atoms, extra), inner)
-          case CountOut() =>
-            predsOf(atoms).map(Ensemble.estGroupByMulti(spns, sh.tables, gcols, _))
-          case CountColOut(cc) =>
-            predsOf(withNotNull(atoms, Seq(cc)))
-              .map(Ensemble.estGroupByMulti(spns, sh.tables, gcols, _))
-          case SumOut(terms, refCols) =>
-            predsOf(withNotNull(atoms, refCols)).map { p =>
-              val perTerm: Seq[Map[Seq[String], Ensemble.Estimate]] = terms.map {
-                case (cf, Seq()) =>
-                  Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
-                    .map { case (k, e) => k -> scaleE(cf, e) }.toMap
-                case (cf, cs) =>
-                  Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
-                    .map { case (k, e) => k -> scaleE(cf, e) }.toMap
-              }
-              val zero = Ensemble.Estimate(0.0, 0.0, 0.0)
-              perTerm.flatMap(_.keys).distinct.map { k =>
-                k -> perTerm.map(_.getOrElse(k, zero)).reduce(addE)
-              }
-            }
-          case AvgOut(ac) =>
-            predsOf(atoms).map(Ensemble.estGroupByAvg(spns, sh.tables, gcols, ac, _))
-          case _ => None
+      case AvgOut(ac) =>
+        predsOf(withNotNull(atoms, Seq(ac))).flatMap { p =>
+          if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) None // fold: NULL
+          else Some(Ensemble.estAvg(spns, sh.tables, ac, p))
         }
-        Some(build { c =>
-          (if (gcols.isEmpty) scalarEst(sh.atoms, c).map(e => Seq(Seq.empty[String] -> e))
-           else groupEst(sh.atoms, c)).getOrElse(Nil)
-        })
-      // ONE disjunction: the inclusion-exclusion estimators carry CIs too
-      // (estCountOr/estAggOr/estAvgOr and their grouped forms — the same
-      // calls the fold made), so the annotation survives the OR path
-      case Seq((a, b)) =>
-        for {
-          pA <- predsOf(mergeAtomMaps(sh.atoms, a))
-          pB <- predsOf(mergeAtomMaps(sh.atoms, b))
-        } yield build {
-          case CountOut() =>
-            if (gcols.isEmpty) Seq(Nil -> Ensemble.estCountOr(spns, sh.tables, pA, pB))
-            else Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map.empty, pA, pB)
-          case SumOut(Seq((1.0, Seq(sc))), _) =>
-            if (gcols.isEmpty)
-              Seq(Nil -> Ensemble.estAggOr(spns, sh.tables, pA, pB, Map(sc -> 1)))
-            else Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map(sc -> 1), pA, pB)
-          case AvgOut(ac) =>
-            if (gcols.isEmpty) Seq(Nil -> Ensemble.estAvgOr(spns, sh.tables, ac, pA, pB))
-            else Ensemble.estGroupByAvgOr(spns, sh.tables, gcols, ac, pA, pB)
-          case _ => Nil
-        }
-      // the multi-OR signed expansion composes point values from 3^N
-      // terms — no one-call CI channel, so the entry clears
       case _ => None
     }
-    annotation match {
-      case Some(fa) => SpnAqpRule.record(session, fa)
-      case None     => SpnAqpRule.clearAnnotation(session)
+    def groupEst(atoms: Map[String, Seq[Atom]])(c: OutCol)
+        : Option[Map[Seq[String], Ensemble.Estimate]] = c match {
+      case FilteredOut(extra, inner) => groupEst(mergeAtoms(atoms, extra))(inner)
+      case CountOut() =>
+        predsOf(atoms).map(Ensemble.estGroupByMulti(spns, sh.tables, gcols, _).toMap)
+      case CountColOut(cc) =>
+        predsOf(withNotNull(atoms, Seq(cc)))
+          .map(Ensemble.estGroupByMulti(spns, sh.tables, gcols, _).toMap)
+      case SumOut(terms, refCols) =>
+        predsOf(withNotNull(atoms, refCols)).map { p =>
+          // per-group SUM gate mirrors the fold: a gate-failing group's
+          // cell folded to NULL, so it gets no annotation row
+          val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+            .map { case (k, e) => k -> e.value }.toMap
+          val perTerm: Seq[Map[Seq[String], Ensemble.Estimate]] = terms.map {
+            case (cf, Seq()) =>
+              Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+                .map { case (k, e) => k -> scaleE(cf, e) }.toMap
+            case (cf, cs) =>
+              Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
+                .map { case (k, e) => k -> scaleE(cf, e) }.toMap
+          }
+          perTerm.flatMap(_.keys).distinct.collect {
+            case k if gate.getOrElse(k, 0.0) >= 0.5 =>
+              k -> perTerm.map(_.getOrElse(k, zeroE)).reduce(addE)
+          }.toMap
+        }
+      case AvgOut(ac) =>
+        predsOf(withNotNull(atoms, Seq(ac))).map { p =>
+          val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+            .map { case (k, e) => k -> e.value }.toMap
+          Ensemble.estGroupByAvg(spns, sh.tables, gcols, ac, p)
+            .collect { case (k, e) if gate.getOrElse(k, 0.0) >= 0.5 => k -> e }.toMap
+        }
+      case _ => None
+    }
+    if (gcols.isEmpty)
+      colPairs.flatMap { case (c, nm) =>
+        scalarEst(sh.atoms)(c).map(e => (Seq.empty[String], nm, e)) }
+    else {
+      // the folded ROW UNIVERSE: base-count groups at >= half a row —
+      // exactly plainGroupRows' assembly gate, so the annotation can never
+      // list a group the fold dropped
+      val universe: Set[Seq[String]] = predsOf(sh.atoms).map(p =>
+        Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+          .collect { case (k, e) if e.value >= 0.5 => k }.toSet).getOrElse(Set.empty)
+      colPairs.flatMap { case (c, nm) =>
+        groupEst(sh.atoms)(c).map(_.collect {
+          case (k, e) if universe(k) => (k, nm, e)
+        }.toSeq).getOrElse(Nil)
+      }
     }
   }
 
-  private def clearAnnotationIfOn(): Unit =
-    if (session.conf.getOption("spark.graft.aqp.annotate").contains("true"))
+  /** One disjunction: the inclusion-exclusion estimators carry CIs too
+    * (estCountOr/estAggOr/estAvgOr and the grouped forms — the same calls
+    * the fold made), with the fold's universe and per-aggregate gates.
+    */
+  private def annSingleOr(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
+      orA: Map[String, Seq[Atom]], orB: Map[String, Seq[Atom]],
+      gcols: Seq[(String, String)], colPairs: Seq[(OutCol, String)])
+      : Seq[(Seq[String], String, Ensemble.Estimate)] = {
+    def predsOf(m: Map[String, Seq[Atom]]) =
+      SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+    def pairFor(base: Map[String, Seq[Atom]], cs: Seq[(String, String)]) = for {
+      nA <- predsOf(withNotNull(mergeAtomMaps(base, orA), cs))
+      nB <- predsOf(withNotNull(mergeAtomMaps(base, orB), cs))
+    } yield (nA, nB)
+    def scalarEst(base: Map[String, Seq[Atom]])(c: OutCol): Option[Ensemble.Estimate] = c match {
+      case FilteredOut(extra, inner) => scalarEst(mergeAtoms(base, extra))(inner)
+      case CountOut() => pairFor(base, Nil).map { case (pA, pB) =>
+        Ensemble.estCountOr(spns, sh.tables, pA, pB) }
+      case CountColOut(cc) => pairFor(base, Seq(cc)).map { case (nA, nB) =>
+        Ensemble.estCountOr(spns, sh.tables, nA, nB) }
+      case SumOut(terms, refCols) => pairFor(base, refCols).flatMap { case (nA, nB) =>
+        if (Ensemble.estCountOr(spns, sh.tables, nA, nB).value < 0.5) None // fold: NULL
+        else Some(terms.map {
+          case (cf, Seq()) => scaleE(cf, Ensemble.estCountOr(spns, sh.tables, nA, nB))
+          case (cf, cs) =>
+            scaleE(cf, Ensemble.estAggOr(spns, sh.tables, nA, nB, cs.map(_ -> 1).toMap))
+        }.reduce(addE))
+      }
+      case AvgOut(ac) => pairFor(base, Seq(ac)).flatMap { case (nA, nB) =>
+        if (Ensemble.estCountOr(spns, sh.tables, nA, nB).value < 0.5) None
+        else Some(Ensemble.estAvgOr(spns, sh.tables, ac, nA, nB))
+      }
+      case _ => None
+    }
+    def groupEst(base: Map[String, Seq[Atom]])(c: OutCol)
+        : Option[Map[Seq[String], Ensemble.Estimate]] = c match {
+      case FilteredOut(extra, inner) => groupEst(mergeAtoms(base, extra))(inner)
+      case CountOut() => pairFor(base, Nil).map { case (pA, pB) =>
+        Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map.empty, pA, pB)
+          .map { case (k, e) => k -> clamp0(e) }.toMap }
+      case CountColOut(cc) => pairFor(base, Seq(cc)).map { case (nA, nB) =>
+        Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map.empty, nA, nB)
+          .map { case (k, e) => k -> clamp0(e) }.toMap }
+      case SumOut(terms, refCols) => pairFor(base, refCols).map { case (nA, nB) =>
+        val gate = Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map.empty, nA, nB)
+          .map { case (k, e) => k -> e.value }.toMap
+        val perTerm = terms.map { case (cf, cs) =>
+          Ensemble.estGroupByAggOr(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, nA, nB)
+            .map { case (k, e) => k -> scaleE(cf, e) }.toMap
+        }
+        perTerm.flatMap(_.keys).distinct.collect {
+          case k if gate.getOrElse(k, 0.0) >= 0.5 =>
+            k -> perTerm.map(_.getOrElse(k, zeroE)).reduce(addE)
+        }.toMap
+      }
+      case AvgOut(ac) => pairFor(base, Seq(ac)).map { case (nA, nB) =>
+        val gate = Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map.empty, nA, nB)
+          .map { case (k, e) => k -> e.value }.toMap
+        Ensemble.estGroupByAvgOr(spns, sh.tables, gcols, ac, nA, nB)
+          .collect { case (k, e) if gate.getOrElse(k, 0.0) >= 0.5 => k -> e }.toMap
+      }
+      case _ => None
+    }
+    if (gcols.isEmpty)
+      colPairs.flatMap { case (c, nm) =>
+        scalarEst(sh.atoms)(c).map(e => (Seq.empty[String], nm, e)) }
+    else {
+      // the fold's row universe: the ungated IE count at >= half a row
+      // (singleOrGroupRows' baseKeys convention)
+      val universe: Set[Seq[String]] = pairFor(sh.atoms, Nil).map { case (pA, pB) =>
+        Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map.empty, pA, pB)
+          .collect { case (k, e) if e.value >= 0.5 => k }.toSet
+      }.getOrElse(Set.empty)
+      colPairs.flatMap { case (c, nm) =>
+        groupEst(sh.atoms)(c).map(_.collect {
+          case (k, e) if universe(k) => (k, nm, e)
+        }.toSeq).getOrElse(Nil)
+      }
+    }
+  }
+
+  /** Two/three disjunctions: the 3^N signed expansion's per-term Estimates
+    * combine through scaleE/addE — signs flip bounds, intervals add — so
+    * the compounded signed error is covered CONSERVATIVELY; the AVG ratio
+    * gets the interval quotient (skipped on a sign-crossing denominator).
+    */
+  private def annMultiOr(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
+      groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
+      gcols: Seq[(String, String)], colPairs: Seq[(OutCol, String)])
+      : Seq[(Seq[String], String, Ensemble.Estimate)] = {
+    def predsOf(m: Map[String, Seq[Atom]]) =
+      SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+    def termsFor(base: Map[String, Seq[Atom]]): Seq[(Double, Map[String, Seq[Atom]])] =
+      groups.foldLeft(Seq((1.0, base))) { case (acc, (a, b)) =>
+        val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
+        for { (s1, m1) <- acc; (s2, m2) <- expansion }
+          yield (s1 * s2, mergeAtomMaps(m1, m2))
+      }
+    def estOfE(cs: Seq[(String, String)])(
+        p: Map[(String, String), graft.rspn.ColRange]): Ensemble.Estimate = cs match {
+      case Seq()  => Ensemble.estCount(spns, sh.tables, p)
+      case Seq(c) => Ensemble.estSum(spns, sh.tables, c, p)
+      case more   => Ensemble.estSumProduct(spns, sh.tables, more, p)
+    }
+    def signedE(base: Map[String, Seq[Atom]], nnCols: Seq[(String, String)],
+        feature: Seq[(String, String)]): Option[Ensemble.Estimate] =
+      termsFor(base).foldLeft(Option(zeroE)) { case (acc, (sgn, m)) =>
+        for { a <- acc; p <- predsOf(withNotNull(m, nnCols)) }
+          yield addE(a, scaleE(sgn, estOfE(feature)(p)))
+      }
+    def signedGE(base: Map[String, Seq[Atom]], nnCols: Seq[(String, String)],
+        feature: Seq[(String, String)]): Option[Map[Seq[String], Ensemble.Estimate]] =
+      termsFor(base).foldLeft(Option(Map.empty[Seq[String], Ensemble.Estimate])) {
+        case (acc, (sgn, m)) =>
+          for { a <- acc; p <- predsOf(withNotNull(m, nnCols)) } yield {
+            val enumed =
+              if (feature.isEmpty) Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+              else Ensemble.estGroupByAgg(spns, sh.tables, gcols, feature.map(_ -> 1).toMap, p)
+            enumed.foldLeft(a) { case (mm, (k, e)) =>
+              mm.updated(k, addE(mm.getOrElse(k, zeroE), scaleE(sgn, e)))
+            }
+          }
+      }
+    def scalarEst(base: Map[String, Seq[Atom]])(c: OutCol): Option[Ensemble.Estimate] = c match {
+      case FilteredOut(extra, inner) => scalarEst(mergeAtoms(base, extra))(inner)
+      case CountOut()      => signedE(base, Nil, Nil).map(clamp0)
+      case CountColOut(cc) => signedE(base, Seq(cc), Nil).map(clamp0)
+      case SumOut(terms, refCols) =>
+        signedE(base, refCols, Nil).flatMap { gate =>
+          if (gate.value < 0.5) None // fold: NULL
+          else terms.foldLeft(Option(zeroE)) { case (acc, (cf, cs)) =>
+            for { a <- acc; t <- signedE(base, refCols, cs) } yield addE(a, scaleE(cf, t))
+          }
+        }
+      case AvgOut(ac) =>
+        for {
+          den <- signedE(base, Seq(ac), Nil)
+          num <- signedE(base, Seq(ac), Seq(ac))
+          r <- ratioE(num, den)
+        } yield r
+      case _ => None
+    }
+    def groupEst(base: Map[String, Seq[Atom]])(c: OutCol)
+        : Option[Map[Seq[String], Ensemble.Estimate]] = c match {
+      case FilteredOut(extra, inner) => groupEst(mergeAtoms(base, extra))(inner)
+      case CountOut() =>
+        signedGE(base, Nil, Nil).map(_.map { case (k, e) => k -> clamp0(e) })
+      case CountColOut(cc) =>
+        signedGE(base, Seq(cc), Nil).map(_.map { case (k, e) => k -> clamp0(e) })
+      case SumOut(terms, refCols) =>
+        for {
+          gate <- signedGE(base, refCols, Nil)
+          per <- terms.foldLeft(Option(Map.empty[Seq[String], Ensemble.Estimate])) {
+            case (acc, (cf, cs)) =>
+              for { a <- acc; m <- signedGE(base, refCols, cs) } yield
+                (a.keySet ++ m.keySet).iterator.map(k =>
+                  k -> addE(a.getOrElse(k, zeroE), scaleE(cf, m.getOrElse(k, zeroE)))).toMap
+          }
+        } yield per.filter { case (k, _) => gate.get(k).exists(_.value >= 0.5) }
+      case AvgOut(ac) =>
+        for {
+          den <- signedGE(base, Seq(ac), Nil)
+          num <- signedGE(base, Seq(ac), Seq(ac))
+        } yield num.flatMap { case (k, n) =>
+          den.get(k).flatMap(d => ratioE(n, d)).map(k -> _)
+        }
+      case _ => None
+    }
+    if (gcols.isEmpty)
+      colPairs.flatMap { case (c, nm) =>
+        scalarEst(sh.atoms)(c).map(e => (Seq.empty[String], nm, e)) }
+    else {
+      // the fold's row universe: the signed count combination at >= half
+      // a row (multiOrGroupRows' convention)
+      val universe: Set[Seq[String]] = signedGE(sh.atoms, Nil, Nil)
+        .map(_.collect { case (k, e) if e.value >= 0.5 => k }.toSet).getOrElse(Set.empty)
+      colPairs.flatMap { case (c, nm) =>
+        groupEst(sh.atoms)(c).map(_.collect {
+          case (k, e) if universe(k) => (k, nm, e)
+        }.toSeq).getOrElse(Nil)
+      }
+    }
+  }
+
+  /** Grouping-set folds annotate PER SET: each set's rows come from the
+    * same shape-parameterized builders under the set's extra atoms (and
+    * whatever OR structure the shape carries), keys padded to the full
+    * grouping width with SQL NULL for the columns the set grouped out.
+    */
+  private def annotateSets(
+      sh: Shape, groupAttrs: Seq[AttributeReference], groupSrc: Seq[(String, String)],
+      sets: Seq[(Seq[Int], Expression, Seq[(String, Atom)])],
+      colPairs: Seq[(OutCol, String)]): Unit = {
+    if (!session.conf.getOption("spark.graft.aqp.annotate").contains("true")) {
       SpnAqpRule.clearAnnotation(session)
+      return
+    }
+    val spns = Ensemble.get(session, sfDir)
+    val spec = DatasetSpec.forDir(session, sfDir)
+    val rows = sets.flatMap { case (set, _, extra) =>
+      val shSet = if (extra.isEmpty) sh else sh.copy(atoms = mergeAtoms(sh.atoms, extra))
+      annotationRows(spns, spec, shSet, set.map(groupSrc), colPairs).map { case (k, nm, e) =>
+        val full = Array.fill[String](groupAttrs.length)(null)
+        set.zip(k).foreach { case (pos, v) => full(pos) = v }
+        (full.toSeq, nm, e)
+      }
+    }
+    SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(groupAttrs.map(_.name), rows))
+  }
+
+  /** Calendar folds annotate PER BUCKET TUPLE: plain-conjunctive per
+    * bucket (the calendar guard excludes OR shapes), the calendar key
+    * stringified as the leading group column(s).
+    */
+  private def annotateCalendar(
+      sh: Shape,
+      tuples: Seq[(Seq[Any], Seq[(String, Atom)])],
+      dims: Seq[(String, String)],
+      groupNames: Seq[String],
+      colPairs: Seq[(OutCol, String)]): Unit = {
+    if (!session.conf.getOption("spark.graft.aqp.annotate").contains("true")) {
+      SpnAqpRule.clearAnnotation(session)
+      return
+    }
+    val spns = Ensemble.get(session, sfDir)
+    val spec = DatasetSpec.forDir(session, sfDir)
+    val rows = tuples.flatMap { case (ks, extra) =>
+      val shB = sh.copy(atoms = mergeAtoms(sh.atoms, extra))
+      val prefix = ks.map(String.valueOf)
+      if (dims.isEmpty) {
+        // scalar buckets annotate only when the fold emitted them
+        // (count >= half a row — the fold's own bucket gate)
+        val emitted = SpnCardinality.predsFor(spns, sh.tables, shB.atoms, spec.modeled)
+          .exists(p => Ensemble.estCount(spns, sh.tables, p).value >= 0.5)
+        if (!emitted) Nil
+        else annotationRows(spns, spec, shB, Nil, colPairs)
+          .map { case (_, nm, e) => (prefix, nm, e) }
+      } else annotationRows(spns, spec, shB, dims, colPairs)
+        .map { case (k, nm, e) => (prefix ++ k, nm, e) }
+    }
+    SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(groupNames, rows))
+  }
+
 
   /** Calendar-bucket folding for the time-series dashboard shapes the
     * dictionary-grouped path cannot serve (a days column has no value
@@ -735,7 +1048,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 else Some(perBucket.flatMap(_.get)))
               }
             } yield {
-              clearAnnotationIfOn() // calendar folds carry no CI channel
+              val calNames = cals.indices.map(i =>
+                agg.aggregateExpressions.find(ne => keyIdxOf(ne).contains(i))
+                  .map(_.name).getOrElse(s"_cal$i"))
+              annotateCalendar(sh, tuples, dims, calNames ++ dimAttrs.map(_.name),
+                aggCols.zip(others.map(_.name)))
               LocalRelation(agg.output, toRows(rows, agg.output.map(_.dataType)))
             }
           case _ => None
@@ -803,7 +1120,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       cols <- outputCols(agg, sh, spec.modeled, groupIdx, Some(gidId))
       rows <- estimateSets(sh, groupSrc, sets, gidId, cols, agg.output.map(_.dataType))
     } yield {
-      clearAnnotationIfOn() // grouping-set folds carry no CI channel
+      annotateSets(sh, groupAttrs, groupSrc, sets,
+        cols.zip(agg.aggregateExpressions.map(_.name)))
       LocalRelation(agg.output, rows)
     }
   }
@@ -1028,15 +1346,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       rels: Seq[Relationship],
       keyCols: Map[String, Set[String]]): Option[Shape] = p match {
     // single-table leaf: a Project/Filter chain over a GENUINE parquet
-    // relation, or over a cached BARE modeled scan. Deliberately NOT
+    // relation, or over a cached modeled scan. Deliberately NOT
     // SpnCardinality.ScanShape: its cached-InMemoryRelation branch discards
     // any filter baked into the cached plan — conservative for a broadcast
     // DECISION, silently wrong for an ANSWER (a cached filtered view would
-    // fold to the full-table estimate). StrictScan therefore accepts an
-    // InMemoryRelation only when its cached physical plan is provably the
-    // unfiltered table (`lineitem.cache()` — the first thing every
-    // dashboard session does); any cached plan with a baked-in filter,
-    // computed column or join still falls back to exact.
+    // fold to the full-table estimate). StrictScan instead RETURNS the
+    // cached plan's baked filter conjuncts (r14: a cached FILTERED view —
+    // `lineitem.filter(...).cache()` — folds by conjoining the baked atoms
+    // into the estimation predicates, exactly like an uncached Filter);
+    // any baked conjunct outside the understood-atom class, a computed
+    // column or a join still falls back to exact through the same atomsOf
+    // gate every uncached filter passes.
     case StrictScan(dir, t, conjuncts0)
         if dirMatches(dir) && modeled.contains(t) =>
       // an Or conjunct atomsOf UNDERSTANDS (single-column — point sets,
@@ -1153,16 +1473,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
 
   /** Project/Filter chain down to a genuine parquet [[LogicalRelation]], or
     * to an [[org.apache.spark.sql.execution.columnar.InMemoryRelation]]
-    * whose cached plan is PROVABLY the bare table (see the leaf case's
-    * comment): every physical node of the cached plan must be the scan
-    * itself (no pushed data/partition filters) or a pure execution wrapper
-    * (codegen, columnar→row). Anything else — FilterExec, a ProjectExec
-    * with computed columns, a join — means the cache holds a DERIVED
-    * dataset the model was not trained on, so the match fails and the
-    * query runs exact.
+    * whose cached plan is a (possibly FILTERED) scan of one table (see the
+    * leaf case's comment): the cached physical plan must be the scan plus
+    * pure execution wrappers (codegen, columnar→row), attribute-only
+    * projections, and FilterExecs — whose conjuncts are RETURNED like an
+    * uncached Filter's, to be vetted by the same understood-atom gate.
+    * Anything else — a ProjectExec with computed columns, a join, an
+    * aggregate — means the cache holds a DERIVED dataset the model was
+    * not trained on, so the match fails and the query runs exact.
     */
   private object StrictScan {
-    import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
 
     def unapply(p: LogicalPlan): Option[(String, String, Seq[Expression])] = p match {
@@ -1171,39 +1492,56 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         unapply(c).map { case (d, t, cs) => (d, t, cs ++ splitConj(cond)) }
       case rel: LogicalRelation =>
         SpnCardinality.tableOf(rel).map { case (d, t) => (d, t, Seq.empty) }
-      case imr: InMemoryRelation => bareCachedScan(imr.cacheBuilder.cachedPlan)
+      case imr: InMemoryRelation => cachedScan(imr.cacheBuilder.cachedPlan)
       case _ => None
     }
 
-    private def bareCachedScan(plan: SparkPlan): Option[(String, String, Seq[Expression])] = plan match {
+    private def cachedScan(plan: SparkPlan): Option[(String, String, Seq[Expression])] = plan match {
       // under spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
       // the cached physical plan's root is an AdaptiveSparkPlanExec (a
       // LEAF node — a plain collect would never see the scan inside).
       // Its inputPlan is the deterministic pre-adaptive physical plan;
       // recurse on that — AQE only re-plans exchanges at runtime, it
-      // cannot add a filter or a computed column, so bare-ness of the
-      // input plan is bare-ness of whatever AQE executes.
+      // cannot add a filter or a computed column, so scan-ness of the
+      // input plan is scan-ness of whatever AQE executes.
       case aqe: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        bareCachedScan(aqe.inputPlan)
-      case _ => bareCachedNodes(plan)
+        cachedScan(aqe.inputPlan)
+      case _ => cachedNodes(plan)
     }
 
-    private def bareCachedNodes(plan: SparkPlan): Option[(String, String, Seq[Expression])] = {
-      val nodes = plan.collect { case n => n }
-      val scans = nodes.collect { case f: FileSourceScanExec => f }
-      val wrappersOnly = nodes.forall {
-        case _: FileSourceScanExec | _: WholeStageCodegenExec |
-             _: InputAdapter | _: ColumnarToRowExec => true
-        case _ => false
-      }
-      scans match {
-        case Seq(f) if wrappersOnly && f.dataFilters.isEmpty && f.partitionFilters.isEmpty =>
+    private def cachedNodes(plan: SparkPlan): Option[(String, String, Seq[Expression])] = {
+      // walk the wrapper/filter/projection chain down to the scan,
+      // collecting baked filter conjuncts; any computed column or
+      // non-scan leaf rejects the whole cache
+      def walk(p: SparkPlan): Option[(String, String, Seq[Expression])] = p match {
+        // the scan's pushed data/partition filters either DUPLICATE a
+        // FilterExec condition above (parquet pushdown keeps the exact
+        // filter) or — when fully pushed — ARE the baked predicate, so
+        // both join the conjunct list; duplicate atoms conjoin
+        // idempotently (a range meets itself), and any conjunct outside
+        // the understood class fails the leaf's atomsOf gate
+        case f: FileSourceScanExec =>
           f.relation.location.rootPaths.headOption.map { path =>
             (Option(path.getParent).map(_.toUri.getPath).getOrElse(""),
-              path.getName.stripSuffix(".parquet"), Seq.empty[Expression])
+              path.getName.stripSuffix(".parquet"),
+              (f.dataFilters ++ f.partitionFilters): Seq[Expression])
           }
+        // a cache built OVER another cached dataset (filter a cached bare
+        // table, cache again): recurse into the inner cached plan and add
+        // this scan's pushed predicates
+        case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          cachedScan(imts.relation.cacheBuilder.cachedPlan)
+            .map { case (d, t, cs) => (d, t, cs ++ imts.predicates) }
+        case w: WholeStageCodegenExec => walk(w.child)
+        case i: InputAdapter          => walk(i.child)
+        case c: ColumnarToRowExec     => walk(c.child)
+        case fe: FilterExec =>
+          walk(fe.child).map { case (d, t, cs) => (d, t, cs ++ splitConj(fe.condition)) }
+        case pr: ProjectExec if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+          walk(pr.child)
         case _ => None
       }
+      walk(plan)
     }
   }
 
@@ -1302,6 +1640,25 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * range but not the realized extreme.
     */
   private case class MinMaxCatOut(col: (String, String), isMin: Boolean) extends OutCol
+  /** MIN/MAX on a modeled NUMERIC ("num") or DATE ("days") column: the
+    * NumericLeaf mirror of [[MinMaxCatOut]] — leaves carry the SORTED
+    * realized values of the training slice (reference
+    * IdentityNumericLeaf.unique_vals), so the extreme under a predicate is
+    * the first/last in-range realized value with mass
+    * ([[Ensemble.numericExtreme]], early-exit probes). Exact on the
+    * realized domain like the dictionary path; an unprobed tail (probe cap)
+    * falls back rather than guessing. Under disjunctions the per-branch
+    * extremes combine by min/max — exact set semantics, never the signed
+    * expansion. Empty support folds to SQL's NULL.
+    */
+  private case class MinMaxNumOut(col: (String, String), isMin: Boolean) extends OutCol
+  /** COUNT(DISTINCT numeric/days): the bounded-support enumeration
+    * ([[Ensemble.numericSupport]]) — in-range realized values with mass,
+    * capped (a near-continuous column's sampled support is neither cheap
+    * nor faithful → fall back). Branch supports UNION exactly under
+    * disjunctions, like the dictionary path.
+    */
+  private case class CountDistinctNumOut(col: (String, String)) extends OutCol
   /** `agg(...) FILTER (WHERE p)`: the inner aggregate evaluated under the
     * base predicates ∧ the clause's own understood atoms — exactly SQL's
     * per-aggregate row narrowing. Every estimation path handles it by
@@ -1448,6 +1805,29 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case _ => None
     }
 
+    // realized-domain ordered column for MIN/MAX / COUNT(DISTINCT): a
+    // modeled "num" column of numeric SQL type, or a "days" column AT DAY
+    // GRANULARITY — a bare DATE attribute, or an explicit `cast(ts AS
+    // date)`, which in the UTC session equals the model's own epoch-day
+    // encoding (`to_date` floor). A BARE days-modeled TIMESTAMP falls back:
+    // its exact extreme carries intra-day precision the day-granular
+    // realized values cannot reproduce.
+    def ordCol(e: Expression): Option[(String, String)] = e match {
+      case a: AttributeReference =>
+        sh.attrTable.get(a.exprId).filter { case (t, c) =>
+          modeled(t).exists(x => x._1 == c &&
+            ((x._2 == "num" && a.dataType.isInstanceOf[NumericType]) ||
+              (x._2 == "days" && a.dataType == DateType)))
+        }
+      case Cast(a: AttributeReference, DateType, _, _)
+          if session.sessionState.conf.sessionLocalTimeZone == "UTC" =>
+        sh.attrTable.get(a.exprId).filter { case (t, c) =>
+          modeled(t).exists(x => x._1 == c && x._2 == "days")
+        }
+      case Cast(c, dt, _, _) if widening(c.dataType, dt) => ordCol(c)
+      case _ => None
+    }
+
     // a FILTER (WHERE ...) clause compiles to extra atoms over modeled
     // columns (single-attribute understood conjuncts, resolved through the
     // rename layer like any residual filter); anything else bails
@@ -1506,6 +1886,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       if (ae.isDistinct) ae.aggregateFunction match {
         case c: Count if c.children.sizeIs == 1 =>
           catCol(c.children.head).map(CountDistinctOut.apply)
+            .orElse(ordCol(c.children.head).map(CountDistinctNumOut.apply))
         case _ => None
       }
       else ae.aggregateFunction match {
@@ -1541,12 +1922,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             sumTerms(av.child).filter(_.exists(_._2.nonEmpty))
               .map(ts => AvgExprOut(ts, ts.flatMap(_._2).distinct)))
         case m: Min => catCol(m.child).map(MinMaxCatOut(_, isMin = true))
+          .orElse(ordCol(m.child).map(MinMaxNumOut(_, isMin = true)))
         case m: Max => catCol(m.child).map(MinMaxCatOut(_, isMin = false))
+          .orElse(ordCol(m.child).map(MinMaxNumOut(_, isMin = false)))
         // approx_count_distinct already promises an approximation; the
         // dictionary-support enumeration is the model's (typically exact)
         // answer to the same question, so it rides CountDistinctOut
         case h: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus =>
           catCol(h.child).map(CountDistinctOut.apply)
+            .orElse(ordCol(h.child).map(CountDistinctNumOut.apply))
         case _ => None
       }
 
@@ -1559,11 +1943,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // a MIN/MAX leaf is a STRING — it cannot participate in arithmetic
       // (ofNamed's direct-alias case folds the bare aggregate)
       case ae: AggregateExpression =>
-        def stringLeaf(c: OutCol): Boolean = c match {
-          case FilteredOut(_, i) => stringLeaf(i)
-          case _                 => c.isInstanceOf[MinMaxCatOut]
+        // a MIN/MAX leaf (string, or a realized-domain numeric extreme)
+        // does not participate in arithmetic — the numeric form's value is
+        // a domain POINT, not an additive measure the tree algebra models
+        def minMaxLeaf(c: OutCol): Boolean = c match {
+          case FilteredOut(_, i) => minMaxLeaf(i)
+          case _ => c.isInstanceOf[MinMaxCatOut] || c.isInstanceOf[MinMaxNumOut]
         }
-        leafAgg(ae).filterNot(stringLeaf).map(ALeaf.apply)
+        leafAgg(ae).filterNot(minMaxLeaf).map(ALeaf.apply)
       case Cast(c, dt, _, _) if dt.isInstanceOf[NumericType] => aggTree(c)
       case Literal(v, _) => Option(v).collect { case n: Number => AConst(n.doubleValue()) }
       case ad: Add =>
@@ -1720,6 +2107,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             val support = Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), p).map(_._1.head)
             utf8Extreme(support, isMin)
           }
+        case CountDistinctNumOut(c) =>
+          preds.flatMap(p => Ensemble.numericSupport(spns, sh.tables, c, p))
+            .map(_.length.toDouble)
+        case MinMaxNumOut(c, isMin) =>
+          preds.flatMap(p => Ensemble.numericExtreme(spns, sh.tables, c, p, isMin))
+            .map { case Some(v) => v: Any; case None => null }
         case SumOut(terms, refCols) =>
           predsNN(refCols).map { p =>
             if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) null
@@ -1750,7 +2143,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * count leaves at 0.
     */
   private def aggDefault(col: OutCol): Any = col match {
-    case SumOut(_, _) | AvgOut(_) | AvgExprOut(_, _) | MinMaxCatOut(_, _) => null
+    case SumOut(_, _) | AvgOut(_) | AvgExprOut(_, _) | MinMaxCatOut(_, _) |
+         MinMaxNumOut(_, _) => null
     case ConstOut(v) => v
     case FilteredOut(_, inner) => aggDefault(inner)
     case ExprOut(t) =>
@@ -1814,6 +2208,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           preds.map(p => Ensemble.estGroupByMulti(spns, sh.tables, gcols :+ c, p)
             .map(_._1).groupBy(_.dropRight(1))
             .map { case (g, rows) => g -> utf8Extreme(rows.map(_.last), isMin) })
+        case CountDistinctNumOut(c) =>
+          preds.flatMap(p =>
+            Ensemble.estGroupByNumericSupport(spns, sh.tables, gcols, c, p))
+            .map(_.map { case (k, sup) => k -> (sup.length.toDouble: Any) }.toMap)
+        // a group with empty support stays ABSENT -> assembly fills
+        // aggDefault (SQL's NULL), like the SUM gate
+        case MinMaxNumOut(c, isMin) =>
+          preds.flatMap(p =>
+            Ensemble.estGroupByNumericExtreme(spns, sh.tables, gcols, c, p, isMin))
+            .map(_.map { case (k, v) => k -> (v: Any) }.toMap)
         case SumOut(terms, refCols) => predsNN(refCols).map { p =>
           val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
             .map { case (k, e) => k -> e.value }.toMap
@@ -1953,6 +2357,23 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               Ensemble.estGroupByMulti(spns, sh.tables, Seq(c), pB).map(_._1.head)).distinct
             utf8Extreme(support, isMin)
           }
+      // branch supports union EXACTLY (a set, never the IE sum)
+      case CountDistinctNumOut(c) =>
+        for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+              pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
+              sA <- Ensemble.numericSupport(spns, sh.tables, c, pA)
+              sB <- Ensemble.numericSupport(spns, sh.tables, c, pB) }
+          yield (sA ++ sB).distinct.length.toDouble
+      case MinMaxNumOut(c, isMin) =>
+        for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+              pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
+              eA <- Ensemble.numericExtreme(spns, sh.tables, c, pA, isMin)
+              eB <- Ensemble.numericExtreme(spns, sh.tables, c, pB, isMin) }
+          yield {
+            val both = Seq(eA, eB).flatten
+            (if (both.isEmpty) null
+             else if (isMin) both.min else both.max): Any
+          }
       case CountColOut(c) =>
         predPair(Seq(c)).map { case (nA, nB) =>
           math.max(Ensemble.estCountOr(spns, sh.tables, nA, nB).value, 0.0) }
@@ -2038,6 +2459,31 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               Ensemble.estGroupByMulti(spns, sh.tables, groupCols :+ c, pB).map(_._1))
               .distinct.groupBy(_.dropRight(1))
               .map { case (g, rows) => g -> utf8Extreme(rows.map(_.last), isMin) }
+        // per-group branch supports union exactly (sets, never the IE sum)
+        case CountDistinctNumOut(c) =>
+          for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+                pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
+                gA <- Ensemble.estGroupByNumericSupport(spns, sh.tables, groupCols, c, pA)
+                gB <- Ensemble.estGroupByNumericSupport(spns, sh.tables, groupCols, c, pB) }
+            yield {
+              val (aM, bM) = (gA.toMap, gB.toMap)
+              (aM.keySet ++ bM.keySet).iterator.map { k =>
+                k -> ((aM.getOrElse(k, Nil) ++ bM.getOrElse(k, Nil))
+                  .distinct.length.toDouble: Any)
+              }.toMap
+            }
+        case MinMaxNumOut(c, isMin) =>
+          for { pA <- SpnCardinality.predsFor(spns, sh.tables, mA, spec.modeled)
+                pB <- SpnCardinality.predsFor(spns, sh.tables, mB, spec.modeled)
+                gA <- Ensemble.estGroupByNumericExtreme(spns, sh.tables, groupCols, c, pA, isMin)
+                gB <- Ensemble.estGroupByNumericExtreme(spns, sh.tables, groupCols, c, pB, isMin) }
+            yield {
+              val (aM, bM) = (gA.toMap, gB.toMap)
+              (aM.keySet ++ bM.keySet).iterator.map { k =>
+                val vs = Seq(aM.get(k), bM.get(k)).flatten
+                k -> ((if (isMin) vs.min else vs.max): Any)
+              }.toMap
+            }
         // per-group count gate under the non-nullness of the referenced
         // columns: a group whose aggregate column is NULL throughout folds
         // to SQL's NULL (absent here → aggDefault at assembly), matching
@@ -2182,6 +2628,28 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           } yield s ++ Ensemble.estGroupByMulti(spns, sh.tables, enumCols, p).map(_._1)
         }
       }
+      // numeric analogs of distinctUnion: union of the per-positive-combo
+      // realized supports / combination of per-combo early-exit extremes
+      def numCombos: Seq[Map[String, Seq[Atom]]] =
+        groups.foldLeft(Seq(base)) { case (acc, (a, b)) =>
+          for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
+        }
+      def numSupportUnion(c: (String, String)): Option[Set[Double]] =
+        numCombos.foldLeft(Option(Set.empty[Double])) { case (acc, m) =>
+          for {
+            s <- acc
+            p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+            sup <- Ensemble.numericSupport(spns, sh.tables, c, p)
+          } yield s ++ sup
+        }
+      def numExtremeUnion(c: (String, String), isMin: Boolean): Option[Seq[Double]] =
+        numCombos.foldLeft(Option(Seq.empty[Double])) { case (acc, m) =>
+          for {
+            s <- acc
+            p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+            e <- Ensemble.numericExtreme(spns, sh.tables, c, p, isMin)
+          } yield s ++ e.toSeq
+        }
       col match {
       case FilteredOut(extra, inner) =>
         leaf2Under(mergeAtoms(base, extra))(inner)
@@ -2190,6 +2658,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case CountDistinctOut(c) => distinctUnion(Seq(c)).map(_.size.toDouble)
       case MinMaxCatOut(c, isMin) =>
         distinctUnion(Seq(c)).map(s => utf8Extreme(s.map(_.head), isMin))
+      case CountDistinctNumOut(c) => numSupportUnion(c).map(_.size.toDouble)
+      case MinMaxNumOut(c, isMin) =>
+        numExtremeUnion(c, isMin).map(vs =>
+          (if (vs.isEmpty) null else if (isMin) vs.min else vs.max): Any)
       case SumOut(ts, refCols) =>
         for {
           gate <- signed(refCols, estOf(Nil))
@@ -2254,6 +2726,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         p: Map[(String, String), graft.rspn.ColRange]): Seq[(Seq[String], Double)] =
       Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
         .map { case (k, e) => k -> e.value }
+    def numCombosG(base: Map[String, Seq[Atom]]): Seq[Map[String, Seq[Atom]]] =
+      groups.foldLeft(Seq(base)) { case (acc, (a, b)) =>
+        for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
+      }
     // set-union semantics for distinct (see multiOrScalarVals.distinctUnion)
     def distinctUnionGFor(base: Map[String, Seq[Atom]])(
         enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
@@ -2287,6 +2763,32 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       case MinMaxCatOut(c, isMin) =>
         distinctUnionG(gcols :+ c).map(_.toSeq.groupBy(_.dropRight(1))
           .map { case (g, rows) => g -> utf8Extreme(rows.map(_.last), isMin) })
+      // per-group numeric supports/extremes over the positive combos
+      // (sets / domain points — never the signed expansion)
+      case CountDistinctNumOut(c) =>
+        numCombosG(base).foldLeft(Option(Map.empty[Seq[String], Seq[Double]])) {
+          case (acc, m) =>
+            for {
+              a <- acc
+              p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+              g <- Ensemble.estGroupByNumericSupport(spns, sh.tables, gcols, c, p)
+            } yield g.foldLeft(a) { case (mm, (k, sup)) =>
+              mm.updated(k, mm.getOrElse(k, Nil) ++ sup)
+            }
+        }.map(_.map { case (k, sup) => k -> (sup.distinct.length.toDouble: Any) })
+      case MinMaxNumOut(c, isMin) =>
+        numCombosG(base).foldLeft(Option(Map.empty[Seq[String], Seq[Double]])) {
+          case (acc, m) =>
+            for {
+              a <- acc
+              p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
+              g <- Ensemble.estGroupByNumericExtreme(spns, sh.tables, gcols, c, p, isMin)
+            } yield g.foldLeft(a) { case (mm, (k, v)) =>
+              mm.updated(k, mm.getOrElse(k, Nil) :+ v)
+            }
+        }.map(_.map { case (k, vs) =>
+          k -> ((if (isMin) vs.min else vs.max): Any)
+        })
       case SumOut(ts, refCols) =>
         for {
           gate <- signedG(refCols, countEnum)
@@ -2388,6 +2890,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // Catalyst converter as external java.sql values
       case (ts: java.sql.Timestamp, _: org.apache.spark.sql.types.TimestampType) => ts
       case (d: java.sql.Date, _: org.apache.spark.sql.types.DateType) => d
+      // folded MIN/MAX over a days-modeled column: realized epoch days
+      case (d: Double, _: org.apache.spark.sql.types.DateType) =>
+        java.time.LocalDate.ofEpochDay(math.round(d))
       case _ => sys.error(s"unsupported AQP output type $dt for $v")
     }
     val convs = outTypes.map(CatalystTypeConverters.createToCatalystConverter)

@@ -511,9 +511,9 @@ class SpnAqpSpec extends AnyFunSuite {
       bothRows.forall(r => r.getString(0) == "A" && !r.isNullAt(1)))
     // a HAVING over a DATA column's aggregate input can't fold per set
     val haData = session(aqp = true).sql(
-      """SELECT l_returnflag, count(*) AS n, max(l_quantity) AS mq FROM lineitem
-         GROUP BY ROLLUP(l_returnflag) HAVING max(l_quantity) > 0""".stripMargin)
-    assert(!isRewritten(haData), "MAX keeps the grouping-sets query exact")
+      """SELECT l_returnflag, count(*) AS n, stddev(l_quantity) AS sq FROM lineitem
+         GROUP BY ROLLUP(l_returnflag) HAVING stddev(l_quantity) > 0""".stripMargin)
+    assert(!isRewritten(haData), "STDDEV keeps the grouping-sets query exact")
     // disjunctive predicates compose with grouping sets: every set routes
     // through the same OR machinery the flat GROUP BY uses (round 11's
     // shared scalarVals/groupRows dispatch)
@@ -994,10 +994,13 @@ class SpnAqpSpec extends AnyFunSuite {
         "SELECT count(DISTINCT l_returnflag) AS n FROM lineitem WHERE l_quantity < 24")
         .head.getLong(0),
       "approx distinct must equal the support enumeration")
-    // numeric distinct: no dictionary — falls back
+    // numeric distinct folds via the bounded realized support (see the
+    // realized-domain test); a NEAR-CONTINUOUS column exceeds the cap —
+    // its sampled support is neither cheap nor a faithful distinct count
     val numDistinct = session(aqp = true).sql(
-      "SELECT count(DISTINCT l_quantity) AS n FROM lineitem")
-    assert(!isRewritten(numDistinct), "count(DISTINCT num) must fall back to exact")
+      "SELECT count(DISTINCT l_extendedprice) AS n FROM lineitem")
+    assert(!isRewritten(numDistinct),
+      "count(DISTINCT near-continuous) must fall back past the support cap")
   }
 
   test("MIN/MAX on dictionary columns fold by support-enumeration extremes") {
@@ -1028,16 +1031,137 @@ class SpnAqpSpec extends AnyFunSuite {
     val arith = session(aqp = true).sql(
       "SELECT min(l_returnflag) || 'x' AS v FROM lineitem")
     assert(!isRewritten(arith), "MIN inside an expression must fall back")
-    // numeric MIN/MAX: the model bounds the range, not the realized
-    // extreme — falls back
-    val numeric = session(aqp = true).sql(
-      "SELECT min(l_quantity) AS mn FROM lineitem")
-    assert(!isRewritten(numeric), "numeric MIN must fall back to exact")
     // empty selection: SQL's MIN over no rows is NULL on both planes
     val empty = session(aqp = true).sql(
       "SELECT min(l_returnflag) AS mn FROM lineitem WHERE l_quantity < -5")
     assert(isRewritten(empty), "empty-slice MIN must still fold")
     assert(empty.head.isNullAt(0), "MIN over an empty selection must be NULL")
+  }
+
+  test("numeric MIN/MAX and COUNT(DISTINCT num) fold via realized-value support") {
+    // NumericLeaf stores the sorted realized values of the training slice,
+    // so the extreme under a predicate is the first/last in-range value
+    // with mass, and a bounded support enumerates like the dictionary path.
+    // At sf0.001 the sample IS the full table, so same-column-predicate
+    // shapes are exact; cross-column shapes carry cluster-independence
+    // noise and get distance slack.
+    //
+    // 1. scalar, same-column predicate: exact on the realized domain
+    val sql1 = """SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+                         count(DISTINCT l_quantity) AS nd
+                  FROM lineitem WHERE l_quantity BETWEEN 10 AND 30""".stripMargin
+    val ex1 = session(aqp = false).sql(sql1).head
+    val df1 = session(aqp = true).sql(sql1)
+    assert(isRewritten(df1), s"numeric MIN/MAX must fold:\n${df1.queryExecution.optimizedPlan}")
+    val es1 = df1.head
+    assert(es1.getDouble(0) == ex1.getDouble(0) && es1.getDouble(1) == ex1.getDouble(1),
+      s"min/max: (${es1.getDouble(0)}, ${es1.getDouble(1)}) vs (${ex1.getDouble(0)}, ${ex1.getDouble(1)})")
+    assert(math.abs(es1.getLong(2) - ex1.getLong(2)) <= 2,
+      s"distinct: ${es1.getLong(2)} vs ${ex1.getLong(2)}")
+    // 2. DATE extremes at day granularity: cast(ts AS date) equals the
+    // model's own epoch-day encoding in the UTC session
+    val sql2 = """SELECT min(cast(o_orderdate AS date)) AS mn,
+                         max(cast(o_orderdate AS date)) AS mx FROM orders""".stripMargin
+    val ex2 = session(aqp = false).sql(sql2).head
+    val df2 = session(aqp = true).sql(sql2)
+    assert(isRewritten(df2), s"date MIN/MAX must fold:\n${df2.queryExecution.optimizedPlan}")
+    assert(df2.head.getDate(0).toString == ex2.getDate(0).toString &&
+      df2.head.getDate(1).toString == ex2.getDate(1).toString,
+      s"date extremes: ${df2.head.getDate(0)}/${df2.head.getDate(1)} vs ${ex2.getDate(0)}/${ex2.getDate(1)}")
+    // 3. grouped: per-dictionary-group support
+    val sql3 = """SELECT l_returnflag, min(l_quantity) AS mn, max(l_quantity) AS mx,
+                         count(DISTINCT l_quantity) AS nd
+                  FROM lineitem GROUP BY l_returnflag""".stripMargin
+    val ex3 = session(aqp = false).sql(sql3).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val df3 = session(aqp = true).sql(sql3)
+    assert(isRewritten(df3), s"grouped numeric MIN/MAX must fold:\n${df3.queryExecution.optimizedPlan}")
+    val es3 = df3.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(es3.keySet == ex3.keySet, s"groups ${es3.keySet} vs ${ex3.keySet}")
+    ex3.foreach { case (k, (mn, mx, nd)) =>
+      assert(math.abs(es3(k)._1 - mn) <= 2 && math.abs(es3(k)._2 - mx) <= 2,
+        s"group $k min/max: ${es3(k)} vs ($mn, $mx)")
+      assert(math.abs(es3(k)._3 - nd) <= 3, s"group $k distinct: ${es3(k)._3} vs $nd")
+    }
+    // grouped DATE extreme: global-support noise is bounded by the per-
+    // group date density (~9-day mean gap per priority at sf0.001)
+    val sql3b = """SELECT o_orderpriority, max(cast(o_orderdate AS date)) AS mx
+                   FROM orders GROUP BY o_orderpriority""".stripMargin
+    val ex3b = session(aqp = false).sql(sql3b).collect()
+      .map(r => r.getString(0) -> r.getDate(1).toLocalDate.toEpochDay).toMap
+    val df3b = session(aqp = true).sql(sql3b)
+    assert(isRewritten(df3b), s"grouped date MAX must fold:\n${df3b.queryExecution.optimizedPlan}")
+    df3b.collect().foreach { r =>
+      val est = r.getDate(1).toLocalDate.toEpochDay
+      assert(math.abs(est - ex3b(r.getString(0))) <= 60,
+        s"group ${r.getString(0)} max date: $est vs ${ex3b(r.getString(0))}")
+    }
+    // 4. disjunctions: branch supports union exactly (single OR, scalar +
+    // grouped, and the multi-OR positive-combo union)
+    val sql4 = """SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+                  FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45""".stripMargin
+    val ex4 = session(aqp = false).sql(sql4).head
+    val df4 = session(aqp = true).sql(sql4)
+    assert(isRewritten(df4), s"OR MIN/MAX must fold:\n${df4.queryExecution.optimizedPlan}")
+    assert(df4.head.getDouble(0) == ex4.getDouble(0) && df4.head.getDouble(1) == ex4.getDouble(1),
+      s"OR min/max: ${df4.head.getDouble(0)}/${df4.head.getDouble(1)} vs ${ex4.getDouble(0)}/${ex4.getDouble(1)}")
+    val sql4g = """SELECT l_returnflag, max(l_quantity) AS mx, count(DISTINCT l_quantity) AS nd
+                   FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45
+                   GROUP BY l_returnflag""".stripMargin
+    val ex4g = session(aqp = false).sql(sql4g).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val df4g = session(aqp = true).sql(sql4g)
+    assert(isRewritten(df4g), s"grouped OR MIN/MAX must fold:\n${df4g.queryExecution.optimizedPlan}")
+    df4g.collect().foreach { r =>
+      val (mx, nd) = ex4g(r.getString(0))
+      assert(math.abs(r.getDouble(1) - mx) <= 2, s"OR group max: ${r.getDouble(1)} vs $mx")
+      assert(math.abs(r.getLong(2) - nd) <= 2, s"OR group distinct: ${r.getLong(2)} vs $nd")
+    }
+    val sql5 = """SELECT min(l_quantity) AS mn, count(DISTINCT l_quantity) AS nd
+                  FROM lineitem
+                  WHERE (l_quantity < 5 OR l_quantity > 45)
+                    AND (l_discount < 0.03 OR l_discount > 0.07)""".stripMargin
+    val ex5 = session(aqp = false).sql(sql5).head
+    val df5 = session(aqp = true).sql(sql5)
+    assert(isRewritten(df5), s"multi-OR numeric MIN must fold:\n${df5.queryExecution.optimizedPlan}")
+    assert(math.abs(df5.head.getDouble(0) - ex5.getDouble(0)) <= 2,
+      s"multi-OR min: ${df5.head.getDouble(0)} vs ${ex5.getDouble(0)}")
+    assert(math.abs(df5.head.getLong(1) - ex5.getLong(1)) <= 2,
+      s"multi-OR distinct: ${df5.head.getLong(1)} vs ${ex5.getLong(1)}")
+    val sql5g = """SELECT l_returnflag, max(l_quantity) AS mx FROM lineitem
+                   WHERE (l_quantity < 5 OR l_quantity > 45)
+                     AND (l_discount < 0.03 OR l_discount > 0.07)
+                   GROUP BY l_returnflag""".stripMargin
+    val ex5g = session(aqp = false).sql(sql5g).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val df5g = session(aqp = true).sql(sql5g)
+    assert(isRewritten(df5g), s"multi-OR grouped MAX must fold:\n${df5g.queryExecution.optimizedPlan}")
+    df5g.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - ex5g(r.getString(0))) <= 2,
+        s"multi-OR group max: ${r.getDouble(1)} vs ${ex5g(r.getString(0))}")
+    }
+    // 5. FILTER clause composes (atom-parameterized recursion)
+    val sql6 = """SELECT min(l_quantity) FILTER (WHERE l_quantity > 20) AS mn
+                  FROM lineitem""".stripMargin
+    val ex6 = session(aqp = false).sql(sql6).head.getDouble(0)
+    val df6 = session(aqp = true).sql(sql6)
+    assert(isRewritten(df6), s"FILTERed numeric MIN must fold:\n${df6.queryExecution.optimizedPlan}")
+    assert(df6.head.getDouble(0) == ex6, s"FILTERed min: ${df6.head.getDouble(0)} vs $ex6")
+    // 6. fallbacks stay pinned: numeric MIN/MAX inside arithmetic (a domain
+    // POINT, not an additive measure), and a BARE days-modeled timestamp
+    // (day-granular values cannot carry intra-day precision)
+    val arith = session(aqp = true).sql(
+      "SELECT min(l_quantity) + 1 AS v FROM lineitem")
+    assert(!isRewritten(arith), "numeric MIN inside arithmetic must fall back")
+    val bareTs = session(aqp = true).sql(
+      "SELECT max(o_orderdate) AS mx FROM orders")
+    assert(!isRewritten(bareTs), "bare timestamp MAX must fall back")
+    // 7. empty selection folds to SQL's NULL
+    val empty = session(aqp = true).sql(
+      "SELECT min(l_quantity) AS mn FROM lineitem WHERE l_quantity < -5")
+    assert(isRewritten(empty), "empty-slice numeric MIN must still fold")
+    assert(empty.head.isNullAt(0), "numeric MIN over an empty selection must be NULL")
   }
 
   test("FILTER (WHERE ...) aggregates fold with per-aggregate predicate merge") {
@@ -1277,15 +1401,20 @@ class SpnAqpSpec extends AnyFunSuite {
         s"AQE-wrapped cached bare scan must fold:\n${df.queryExecution.optimizedPlan}")
       val exact = session(aqp = false).sql(sql).head.getLong(0).toDouble
       assert(qerr(df.head.getLong(0).toDouble, exact) <= 1.5)
-      // a FILTERED cache under the same conf must still fall back: the
-      // filter is baked inside the AQE-wrapped cached plan
+      // a FILTERED cache under the same conf folds too: the baked filter
+      // sits inside the AQE wrapper's input plan, where the walk finds it
       val filtered = s2.read.parquet(s"$tmpSf/lineitem.parquet")
         .filter(col("l_quantity") < 5).cache()
       try {
         filtered.createOrReplaceTempView("lineitem_aqe_filtered")
         val viaCache = s2.sql("SELECT count(*) AS n FROM lineitem_aqe_filtered")
-        assert(!isRewritten(viaCache),
-          "AQE-wrapped cached FILTERED input must fall back to exact")
+        assert(isRewritten(viaCache),
+          s"AQE-wrapped cached FILTERED view must fold:\n${viaCache.queryExecution.optimizedPlan}")
+        val exactF = session(aqp = false).sql(
+          "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 5").head.getLong(0)
+        assert(qerr(math.max(viaCache.head.getLong(0).toDouble, 1.0),
+          math.max(exactF.toDouble, 1.0)) <= 1.5,
+          s"AQE cached-view fold: ${viaCache.head.getLong(0)} vs $exactF")
       } finally filtered.unpersist(blocking = true)
     } finally cached.unpersist(blocking = true)
   }
@@ -1654,9 +1783,9 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(like.head.getLong(0) ==
       session(aqp = false).sql("SELECT count(*) AS n FROM customer WHERE c_name LIKE 'C%'")
         .head.getLong(0))
-    // MIN: not a linear aggregate the estimator answers
-    val mn = s2.sql("SELECT min(l_quantity) AS m FROM lineitem")
-    assert(!isRewritten(mn))
+    // MIN over an UNMODELED numeric column: no realized-value support
+    val mn = s2.sql("SELECT min(l_linenumber) AS m FROM lineitem")
+    assert(!isRewritten(mn), "MIN on an unmodeled column must fall back to exact")
     // undeclared join edge: the schema graph doesn't relate these keys, so
     // estimating it as the FK join would be a wrong ANSWER — must fall back
     val badJoin = s2.sql(
@@ -1673,19 +1802,55 @@ class SpnAqpSpec extends AnyFunSuite {
     // an inner join still folds — the FK join test above proves it)
     val keyNn = s2.sql("SELECT count(*) AS n FROM lineitem WHERE l_orderkey IS NOT NULL")
     assert(!isRewritten(keyNn), "bare key IS NOT NULL must fall back to exact")
-    // a CACHED filtered DataFrame bakes its filter into the cached plan
-    // where the rewrite cannot see it — folding would answer for the WHOLE
-    // table; must fall back and answer exactly through the cache
+    // a CACHED filtered DataFrame with an UNDERSTOOD baked filter now
+    // FOLDS — the baked conjuncts conjoin the estimation predicates like
+    // an uncached Filter's (r14); see the cached-view test for the full
+    // matrix. An UN-UNDERSTOOD baked filter must still fall back and
+    // answer exactly through the cache.
     val filtered = s2.read.parquet(s"$tmpSf/lineitem.parquet")
       .filter(col("l_quantity") < 5).cache()
     try {
       filtered.createOrReplaceTempView("lineitem_cached")
       val viaCache = s2.sql("SELECT count(*) AS n FROM lineitem_cached")
-      assert(!isRewritten(viaCache), "cached filtered input must fall back to exact")
+      assert(isRewritten(viaCache),
+        s"cached filtered view must fold:\n${viaCache.queryExecution.optimizedPlan}")
       val exactN = session(aqp = false).sql(
         "SELECT count(*) AS n FROM lineitem WHERE l_quantity < 5").head.getLong(0)
-      assert(viaCache.head.getLong(0) == exactN)
+      assert(qerr(math.max(viaCache.head.getLong(0).toDouble, 1.0), math.max(exactN.toDouble, 1.0)) <= 1.5,
+        s"cached-view fold: ${viaCache.head.getLong(0)} vs $exactN")
     } finally filtered.unpersist(blocking = true)
+    // un-understood baked filter (multi-column arithmetic): falls back
+    val opaqueCache = s2.read.parquet(s"$tmpSf/lineitem.parquet")
+      .filter(col("l_quantity") + col("l_tax") > 5).cache()
+    try {
+      opaqueCache.createOrReplaceTempView("lineitem_opaque_cached")
+      val viaOpaque = s2.sql("SELECT count(*) AS n FROM lineitem_opaque_cached")
+      assert(!isRewritten(viaOpaque), "un-understood baked filter must fall back")
+      val exactO = session(aqp = false).sql(
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity + l_tax > 5").head.getLong(0)
+      assert(viaOpaque.head.getLong(0) == exactO)
+    } finally opaqueCache.unpersist(blocking = true)
+    // a baked filter COMPOSES with query-time predicates: the cached
+    // view's atoms and the query's own conjoin
+    val composed = s2.read.parquet(s"$tmpSf/lineitem.parquet")
+      .filter(col("l_quantity") < 30).cache()
+    try {
+      composed.createOrReplaceTempView("lineitem_q30_cached")
+      val viaBoth = s2.sql(
+        """SELECT l_returnflag, count(*) AS n FROM lineitem_q30_cached
+           WHERE l_discount < 0.05 GROUP BY l_returnflag""".stripMargin)
+      assert(isRewritten(viaBoth),
+        s"baked + query predicates must fold:\n${viaBoth.queryExecution.optimizedPlan}")
+      val exactB = session(aqp = false).sql(
+        """SELECT l_returnflag, count(*) AS n FROM lineitem
+           WHERE l_quantity < 30 AND l_discount < 0.05 GROUP BY l_returnflag""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      val estB = viaBoth.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      assert(estB.keySet == exactB.keySet, s"cached-view group keys: ${estB.keySet} vs ${exactB.keySet}")
+      exactB.foreach { case (k, v) =>
+        assert(qerr(estB(k), v) <= 1.5, s"cached-view group $k: ${estB(k)} vs $v")
+      }
+    } finally composed.unpersist(blocking = true)
   }
 
   test("multi-interval atoms: !=, NOT IN, and single-column ORs fold without disjunction slots") {
@@ -1829,19 +1994,78 @@ class SpnAqpSpec extends AnyFunSuite {
       s"single-OR annotation est ${orTvf.head.getDouble(1)} vs folded $orFolded")
     assert(orTvf.head.getDouble(2) <= orTvf.head.getDouble(1) &&
       orTvf.head.getDouble(1) <= orTvf.head.getDouble(3))
-    // a MULTI-disjunction fold composes point values from the signed
-    // expansion — no one-call CI channel: it must CLEAR the annotation,
-    // and the TVF must fail loudly instead of serving stale rows
+    // a MULTI-disjunction fold annotates through the signed expansion:
+    // conservative interval combination (signs flip bounds, intervals
+    // add), point values equal to the fold's own
     val or2Df = s2.sql(
-      """SELECT count(*) AS n FROM lineitem
+      """SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem
          WHERE (l_quantity < 5 OR l_discount > 0.07)
            AND (l_extendedprice < 10000 OR l_tax > 0.06)""".stripMargin)
     assert(isRewritten(or2Df))
-    or2Df.collect()
+    val or2Row = or2Df.head
+    val or2Tvf = s2.sql("SELECT * FROM spn_last_fold()").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(math.round(or2Tvf("n")._1).toDouble == or2Row.getLong(0).toDouble,
+      s"multi-OR count annotation ${or2Tvf("n")._1} vs folded ${or2Row.getLong(0)}")
+    assert(or2Tvf("n")._2 <= or2Tvf("n")._1 && or2Tvf("n")._1 <= or2Tvf("n")._3,
+      s"multi-OR count interval must cover its point: ${or2Tvf("n")}")
+    assert(math.abs(or2Tvf("s")._1 - or2Row.getDouble(1)) <=
+      1e-6 * math.max(1.0, math.abs(or2Row.getDouble(1))),
+      s"multi-OR sum annotation ${or2Tvf("s")._1} vs folded ${or2Row.getDouble(1)}")
+    // STALENESS: an Aggregate the rule sees but does NOT fold clears the
+    // tag's annotation — a fallback query can never serve the previous
+    // query's intervals as its own
+    s2.sql("SELECT count(*) AS n FROM lineitem WHERE l_suppkey < 5").collect()
     val e = intercept[Throwable] { s2.sql("SELECT * FROM spn_last_fold()").collect() }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("no annotated fold")),
-      s"stale annotation must not survive a multi-disjunctive fold: $e")
+      s"a non-folding aggregate must clear the annotation: $e")
+    // GROUPING SETS annotate per set, grouped-out key columns SQL NULL
+    val setsDf = s2.sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+         WHERE l_quantity < 24 GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+    assert(isRewritten(setsDf))
+    val setsFold = setsDf.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1).toDouble).toMap
+    val setsTvf = s2.sql("SELECT * FROM spn_last_fold()").collect()
+    assert(setsTvf.length == setsFold.size,
+      s"per-set annotation rows ${setsTvf.length} vs folded ${setsFold.size}")
+    setsTvf.foreach { r =>
+      val k = if (r.isNullAt(0)) null else r.getString(0)
+      assert(math.round(r.getDouble(2)).toDouble == setsFold(k),
+        s"set annotation for $k: ${r.getDouble(2)} vs folded ${setsFold(k)}")
+      assert(r.getDouble(3) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(4))
+    }
+    // CALENDAR buckets annotate per bucket (key stringified), with the
+    // fold's own bucket gate as the row universe
+    val calDf = s2.sql(
+      """SELECT year(o_orderdate) AS y, count(*) AS n FROM orders
+         WHERE o_totalprice < 150000 GROUP BY year(o_orderdate)""".stripMargin)
+    assert(isRewritten(calDf))
+    val calFold = calDf.collect().map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    val calTvf = s2.sql("SELECT * FROM spn_last_fold()").collect()
+    assert(calTvf.length == calFold.size,
+      s"per-bucket annotation rows ${calTvf.length} vs folded ${calFold.size}")
+    calTvf.foreach { r =>
+      assert(math.round(r.getDouble(2)).toDouble == calFold(r.getString(0)),
+        s"bucket ${r.getString(0)} annotation ${r.getDouble(2)} vs folded ${calFold(r.getString(0))}")
+    }
+    // PER-TAG handles: two annotated folds under different tags each keep
+    // their own intervals — the session-global last-write race is gone
+    s2.conf.set("spark.graft.aqp.tag", "q1")
+    val q1 = s2.sql("SELECT count(*) AS n FROM lineitem WHERE l_quantity < 10")
+    assert(isRewritten(q1))
+    val v1 = q1.head.getLong(0).toDouble
+    s2.conf.set("spark.graft.aqp.tag", "q2")
+    val q2 = s2.sql("SELECT count(*) AS n FROM lineitem WHERE l_quantity > 40")
+    assert(isRewritten(q2))
+    val v2 = q2.head.getLong(0).toDouble
+    val t2 = s2.sql("SELECT est FROM spn_last_fold()").head.getDouble(0)
+    s2.conf.set("spark.graft.aqp.tag", "q1")
+    val t1 = s2.sql("SELECT est FROM spn_last_fold()").head.getDouble(0)
+    assert(math.round(t1).toDouble == v1, s"tag q1 annotation $t1 vs folded $v1")
+    assert(math.round(t2).toDouble == v2, s"tag q2 annotation $t2 vs folded $v2")
+    s2.conf.unset("spark.graft.aqp.tag")
   }
 }
