@@ -101,6 +101,14 @@ object SqlEstimate {
   private def estimateCore(spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery): SqlResult = {
     val preds = mergePreds(spns, q.preds)
 
+    q.calGroup match {
+      case Some((fn, t, c)) =>
+        if (q.orPreds.nonEmpty) throw new IllegalArgumentException(
+          "unsupported SQL: OR with calendar GROUP BY")
+        return Groups(calendarGroups(spns, q, preds, fn, t, c))
+      case None => ()
+    }
+
     if (q.groupMode != GroupFlat) {
       // ROLLUP/CUBE sugar over estRollup/estCube — COUNT(*) only (the
       // grouping-set API enumerates count expectations; per-set SUM/AVG
@@ -188,6 +196,67 @@ object SqlEstimate {
     }
   }
 
+  /** `GROUP BY year(d)/month(d)/quarter(d)` on the estimate plane: bucket
+    * the model's realized date domain exactly like the Catalyst calendar
+    * fold (plans/SpnAqp.scala rewriteCalendar) — linear year ranges, or
+    * cross-year cyclic multi-intervals for month/quarter — and answer each
+    * bucket as one range-conjoined estimation over the query's own
+    * predicates. The row universe is the fold's: buckets at >= half a row.
+    * Zero scans; keys stringified to match the exact plane's group-truth
+    * normalization.
+    */
+  private def calendarGroups(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      preds: Map[(String, String), ColRange],
+      fn: String, t: String, c: String): Seq[(Seq[String], Ensemble.Estimate)] = {
+    import java.time.LocalDate
+    val dom = Ensemble.colDomain(spns, t, c).getOrElse(
+      throw new IllegalArgumentException(s"calendar GROUP BY: no realized domain for $t.$c"))
+    val lo = LocalDate.ofEpochDay(math.floor(dom._1).toLong)
+    val hi = LocalDate.ofEpochDay(math.floor(dom._2).toLong)
+    require(hi.getYear - lo.getYear <= 400,
+      s"calendar GROUP BY: ${hi.getYear - lo.getYear} domain years exceed the 400-bucket cap")
+    val buckets: Seq[(String, ColRange)] = fn match {
+      case "year" =>
+        (lo.getYear to hi.getYear).map { y =>
+          y.toString -> (NumRange(
+            LocalDate.of(y, 1, 1).toEpochDay.toDouble,
+            LocalDate.of(y + 1, 1, 1).toEpochDay.toDouble,
+            loIncl = true, hiIncl = false): ColRange)
+        }
+      case "month" | "quarter" =>
+        val (n, span) = if (fn == "month") (12, 1) else (4, 3)
+        (1 to n).map { k =>
+          val rs = (lo.getYear to hi.getYear).map { y =>
+            val start = LocalDate.of(y, (k - 1) * span + 1, 1)
+            NumRange(start.toEpochDay.toDouble,
+              start.plusMonths(span.toLong).toEpochDay.toDouble,
+              loIncl = true, hiIncl = false)
+          }
+          k.toString -> ColRangeOps.normalize(rs)
+            .getOrElse(NominalSet(Array.empty[Double]))
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported SQL: calendar grouping $other")
+    }
+    buckets.flatMap { case (key, r) =>
+      Ensemble.intersect(preds, Map((t, c) -> r)) match {
+        case None => None // the bucket contradicts the query's own date range
+        case Some(p) =>
+          if (Ensemble.estCount(spns, q.tables, p).value < 0.5) None
+          else Some(Seq(key) -> (q.agg match {
+            case Count       => Ensemble.estCount(spns, q.tables, p)
+            case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), p)
+            case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), p)
+            case SumProduct(ta, ca, tb, cb) =>
+              Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), p)
+            case other => throw new IllegalArgumentException(
+              s"unsupported SQL: $other with calendar GROUP BY")
+          }))
+      }
+    }
+  }
+
   /** Conjuncts on the SAME column must intersect, not overwrite (a >= lo
     * AND a < hi is two parsed predicates); a provably empty intersection
     * becomes an empty nominal set — zero mass at every leaf.
@@ -257,11 +326,22 @@ object SqlEstimate {
       NominalSet(mc.dict.indices.collect {
         case i if !excluded(mc.dict(i)) => i.toDouble
       }.toArray)
-    case NumNotIn(values, _) =>
+    case NumNotIn(values, isDate) =>
       // multi-interval point complement (shared with the Catalyst atom
       // compiler via ColRangeOps — the two planes cannot disagree); no
-      // NULL mass, matching SQL != / NOT IN
-      ColRangeOps.pointComplement(values)
+      // NULL mass, matching SQL != / NOT IN. A date-SHAPED literal list
+      // over a CATEGORICAL column (a dictionary of ISO-date-like strings)
+      // resolves by the MODELED kind to the string complement instead —
+      // the parser cannot see kinds (r13 ADVICE; SqlExact resolves the
+      // same case against the schema)
+      if (isDate && Ensemble.findModelCol(spns, p.table, p.col).exists(_.dict.nonEmpty)) {
+        val mc = modelColOf(spns, p.table, p.col)
+        val excluded =
+          values.map(d => java.time.LocalDate.ofEpochDay(d.toLong).toString).toSet
+        NominalSet(mc.dict.indices.collect {
+          case i if !excluded(mc.dict(i)) => i.toDouble
+        }.toArray)
+      } else ColRangeOps.pointComplement(values)
     case StrLike(pattern) =>
       // a categorical dictionary is the column's complete value domain, so
       // LIKE is exactly the member set matching the pattern

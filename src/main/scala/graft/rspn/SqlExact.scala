@@ -23,11 +23,12 @@ object SqlExact {
     q.joins.foreach { j =>
       df = df.join(Tables(spark, sfDir, j.table), col(j.a) === col(j.b))
     }
-    if (q.orPreds.isEmpty) q.preds.foreach(p => df = df.filter(predCol(p)))
+    val schema = df.schema
+    if (q.orPreds.isEmpty) q.preds.foreach(p => df = df.filter(predCol(p, schema)))
     else {
       // (A) OR (B): one disjunctive filter — still a pushable predicate
-      val a = q.preds.map(predCol).reduce(_ && _)
-      val b = q.orPreds.map(predCol).reduce(_ && _)
+      val a = q.preds.map(predCol(_, schema)).reduce(_ && _)
+      val b = q.orPreds.map(predCol(_, schema)).reduce(_ && _)
       df = df.filter(a || b)
     }
     val aggCol = q.agg match {
@@ -46,7 +47,17 @@ object SqlExact {
         round(sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)")), 2)
           .cast("double").as("val")
     }
-    val out = q.groupBy match {
+    val out = q.calGroup match {
+      // calendar grouping: the matching Spark function over the raw
+      // column, key named "grp" like every other single-key grouping
+      case Some((fn, _, c)) =>
+        val key = (fn match {
+          case "year"  => year(col(c))
+          case "month" => month(col(c))
+          case _       => quarter(col(c))
+        }).as("grp")
+        df.groupBy(key).agg(aggCol).orderBy("grp")
+      case None => q.groupBy match {
       case Nil => df.agg(aggCol)
       case gs =>
         // first group column keeps the name "grp" (single-column callers
@@ -86,6 +97,7 @@ object SqlExact {
         }
         val sorted = aggd.orderBy(orderCols: _*)
         if (needsOrd) sorted.drop("__ord") else sorted
+      }
     }
     q.limit.fold(out)(out.limit)
   }
@@ -138,7 +150,7 @@ object SqlExact {
     case _    => c === v
   }
 
-  private def predCol(p: Pred): Column = p.range match {
+  private def predCol(p: Pred, schema: org.apache.spark.sql.types.StructType): Column = p.range match {
     case NumR(lo, hi, li, hi2) => boundCol(col(p.col), lo, hi, li, hi2, identity)
     case DateR(lo, hi, li, hi2) =>
       // epoch days back to a timestamp literal against the raw column
@@ -147,12 +159,23 @@ object SqlExact {
     case StrIn(values)    => col(p.col).isin(values: _*)
     case StrNotIn(values) => !col(p.col).isin(values: _*) // SQL 3VL drops NULLs
     case NumNotIn(values, isDate) =>
-      // values arrive in the MODEL encoding (epoch days for dates)
+      // values arrive in the MODEL encoding (epoch days for dates). A
+      // date-SHAPED literal list over a STRING column (a dictionary of
+      // ISO-date-like strings) is a string complement, not a timestamp
+      // one — the parser cannot see the column's kind, so it resolves
+      // HERE against the actual schema (r13 ADVICE; SqlEstimate applies
+      // the same resolution against the modeled kind)
       if (!isDate) !col(p.col).isin(values: _*)
-      else !values
-        .map(d => col(p.col) ===
-          lit(java.time.LocalDate.ofEpochDay(d.toLong).toString).cast("timestamp"))
-        .reduce(_ || _)
+      else schema.find(_.name == p.col).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.StringType) =>
+          !col(p.col).isin(values.map(d =>
+            java.time.LocalDate.ofEpochDay(d.toLong).toString): _*)
+        case _ =>
+          !values
+            .map(d => col(p.col) ===
+              lit(java.time.LocalDate.ofEpochDay(d.toLong).toString).cast("timestamp"))
+            .reduce(_ || _)
+      }
     case StrLike(pat)     => col(p.col).like(pat)
     case NotNull          => col(p.col).isNotNull
   }

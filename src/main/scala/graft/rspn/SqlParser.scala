@@ -55,7 +55,14 @@ object SqlParser {
       groupMode: GroupMode = GroupFlat,
       having: Option[Having] = None,
       orderBy: Seq[OrderKey] = Nil,
-      limit: Option[Int] = None)
+      limit: Option[Int] = None,
+      /** `GROUP BY year(col)/month(col)/quarter(col)` — the SQL-text
+        * plane's calendar grouping (r14): (fn, table, days column). The
+        * estimate plane buckets the model's realized date domain exactly
+        * like the Catalyst calendar fold; the exact plane groups by the
+        * matching Spark function. Exclusive with `groupBy`.
+        */
+      calGroup: Option[(String, String, String)] = None)
 
   /** `HAVING <agg> <cmp> <number>` — a post-aggregation filter. The
     * reference's parse_query has no HAVING arm (its benchmark class stops at
@@ -168,7 +175,7 @@ object SqlParser {
     throw new IllegalArgumentException(s"unsupported SQL: $msg")
 
   private val selectRe: Regex =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|\w+(?:\s*,\s*\w+)*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|(?:YEAR|MONTH|QUARTER)\s*\(\s*\w+\s*\)|\w+(?:\s*,\s*\w+)*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   private val selAliasRe: Regex = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r
   private val leadColRe: Regex = """(?is)^(?:\w+\.)?(\w+)$""".r
   private val havingRe: Regex = """(?is)^(.+?)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$""".r
@@ -200,6 +207,7 @@ object SqlParser {
   private def unmask(s: String, lits: IndexedSeq[String]): String =
     "\u0001(\\d+)".r.replaceAllIn(s, m => Regex.quoteReplacement(lits(m.group(1).toInt)))
   private val groupSetRe: Regex = """(?is)^(ROLLUP|CUBE)\s*\((.*)\)$""".r
+  private val calGroupRe: Regex = """(?i)^(YEAR|MONTH|QUARTER)\s*\(\s*(\w+)\s*\)$""".r
   private val aggRe: Regex =
     """(?i)^(COUNT\(\s*DISTINCT\s+(\w+)\s*\)|COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
   private val joinRe: Regex = """(?i)\s+JOIN\s+""".r
@@ -284,7 +292,20 @@ object SqlParser {
       // leading bare (optionally alias-qualified) columns as display
       // columns, validated below to equal the GROUP BY list in order
       val selParts = splitTopCommas(sel0)
-      val leadCols = selParts.init.map(_.trim).map {
+      // a calendar GROUP BY's display column (`SELECT year(d), COUNT(*)`)
+      // is accepted when it repeats the grouping expression verbatim
+      val calSyntax: Option[(String, String)] = Option(group).map(_.trim).flatMap {
+        case calGroupRe(fn, c) => Some((fn.toLowerCase, c))
+        case _                 => None
+      }
+      val leadCols = selParts.init.map(_.trim).filterNot { item =>
+        calSyntax.exists { case (fn, c) =>
+          item match {
+            case calGroupRe(ifn, ic) => ifn.toLowerCase == fn && ic == c
+            case _                   => false
+          }
+        }
+      }.map {
         case leadColRe(c) => c
         case other => fail(
           s"SELECT list item '$other' (only GROUP BY columns may precede the aggregate)")
@@ -316,11 +337,21 @@ object SqlParser {
           (if (kind.equalsIgnoreCase("ROLLUP")) GroupRollup else GroupCube, Some(cols))
         case other => (GroupFlat, other)
       }
-      val groupBy = groupCols.toSeq.flatMap(_.split(",")).map(_.trim).map { g =>
-        val t = tableOf(g)
-        if (!tables(t)) fail(s"GROUP BY $g: table $t not in FROM")
-        (t, g)
+      val calGroup: Option[(String, String, String)] = calSyntax.map { case (fn, c) =>
+        val t = tableOf(c)
+        if (!tables(t)) fail(s"GROUP BY $fn($c): table $t not in FROM")
+        if (!activeSpec.value.modeled.getOrElse(t, Nil)
+              .exists(x => x._1 == c && x._2 == "days"))
+          fail(s"GROUP BY $fn($c): $c is not a days-modeled column")
+        (fn, t, c)
       }
+      val groupBy =
+        if (calGroup.isDefined) Nil
+        else groupCols.toSeq.flatMap(_.split(",")).map(_.trim).map { g =>
+          val t = tableOf(g)
+          if (!tables(t)) fail(s"GROUP BY $g: table $t not in FROM")
+          (t, g)
+        }
       if (mode != GroupFlat && groupBy.isEmpty) fail("empty ROLLUP/CUBE column list")
       if (leadCols.nonEmpty && leadCols.map(c => (tableOf(c), c)) != groupBy) fail(
         s"SELECT columns ${leadCols.mkString(", ")} must equal the GROUP BY columns in order")
@@ -358,10 +389,10 @@ object SqlParser {
       }
       // an un-ordered LIMIT returns engine-dependent rows — reject it rather
       // than break the determinism contract every declared query carries
-      if (limit.isDefined && orderBy.isEmpty && groupBy.nonEmpty)
+      if (limit.isDefined && orderBy.isEmpty && (groupBy.nonEmpty || calGroup.isDefined))
         fail("LIMIT requires ORDER BY on a grouped query")
       ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy, mode,
-        having, orderBy, limit)
+        having, orderBy, limit, calGroup)
     }
   }
 

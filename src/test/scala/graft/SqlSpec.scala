@@ -721,4 +721,32 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM lineitem WHERE l_quantity NOT IN (5, DATE '1996-06-01')"))
     assert(e.getMessage.contains("mixes date and numeric"), e.getMessage)
   }
+
+  test("date-shaped NOT IN over a CATEGORICAL column resolves to the string complement") {
+    // the parser classifies '2020-01-01' as a date literal; on a cat
+    // column whose dictionary holds ISO-date-like STRINGS both planes must
+    // resolve the complement by the column's KIND, not the literal's shape
+    import org.apache.spark.sql.functions.{array, col, element_at, lit, pmod}
+    val d = java.nio.file.Files.createTempDirectory("graft-sql-datecat-").toString
+    spark.range(300).toDF("id")
+      .withColumn("day_tag",
+        element_at(array(lit("2020-01-01"), lit("2020-01-02"), lit("2020-01-03")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")))
+      .withColumn("x", pmod(col("id"), lit(50)).cast("double"))
+      .write.parquet(s"$d/evlog.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$d/graft_schema.json"),
+      """{"tables": [{"name": "evlog", "primaryKey": ["id"]}],
+        | "modeled": {"evlog": [{"col": "day_tag", "kind": "cat"},
+        |                       {"col": "x", "kind": "num"}]}}""".stripMargin)
+    val sql = "SELECT COUNT(*) FROM evlog WHERE day_tag NOT IN ('2020-01-01')"
+    val exact = SqlExact.compile(spark, d, sql).head().getDouble(0)
+    assert(exact == 200.0, s"exact plane must drop the matching third: $exact")
+    val est = SqlEstimate.estimate(Ensemble.get(spark, d), sql,
+      graft.schema.DatasetSpec.forDir(spark, d)) match {
+      case SqlEstimate.Scalar(e) => e.value
+      case other                 => fail(s"expected scalar, got $other")
+    }
+    assert(math.abs(est - 200.0) <= 5.0, s"estimate-plane string complement: $est")
+  }
 }

@@ -100,6 +100,89 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the grouped-JOIN AQP workload meets the per-group gate; artifact carries CIs") {
+    // r14: testdata_joins_30 is COUNT-only — the reference's AQP
+    // evaluation runs grouped SUM/AVG over joins, so the join class gets
+    // its own grouped file with per-group CI checks in the artifact
+    val g = QErrorEval.readWorkload("workloads/testdata_joins_grouped_10.sql")
+    assert(g.length == 10)
+    assert(g.forall(q => q._2.toUpperCase.contains("GROUP BY") && q._2.contains(",")),
+      "every query must be a grouped comma-join")
+    val truth = QErrorEval.computeGroupTruth(spark, sf, g, cache = false)
+    val rows = QErrorEval.runWorkloadGrouped(spark, sf, g, truth)
+    assert(rows.forall(_.groups.nonEmpty), "every replayed query must carry per-group scores")
+    val flat = rows.flatMap(_.groups)
+    val errs = flat.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val worst = flat.maxBy(_.relErr)
+    info(f"${flat.length} join groups: median rel err $median%.4f " +
+      f"max ${worst.relErr}%.4f (group ${worst.key.mkString("|")})")
+    assert(median <= 0.10, f"per-group median relative error $median%.4f > 0.10")
+    // per-group CIs must land in the artifact and cover at the usual floor
+    val covered = flat.count(gs => gs.ciLo <= gs.truth && gs.truth <= gs.ciHi)
+    assert(covered.toDouble / flat.length >= 0.6,
+      f"grouped-join CI coverage ${covered.toDouble / flat.length}%.2f < 0.6")
+    val json = QErrorEval.workloadJson("workloads/testdata_joins_grouped_10.sql", sf, rows)
+    assert(json.contains("\"groups\":[") && json.contains("\"ci_lo\":"))
+  }
+
+  test("the committed sf0.01 grouped-JOIN truth CSV matches live exact groups") {
+    val g = QErrorEval.readWorkload("workloads/testdata_joins_grouped_10.sql")
+    val fromCsv = QErrorEval.readGroupTruthCsv(
+      "workloads/testdata_joins_grouped_10_true_sf0.01.csv")
+    val live = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, rows) =>
+      val liveMap = live(no).map { case (k, v) => k.mkString("|") -> v }.toMap
+      val csvMap = rows.map { case (k, v) => k.mkString("|") -> v }.toMap
+      assert(csvMap.keySet == liveMap.keySet,
+        s"grouped-join keys drifted for query $no")
+      csvMap.foreach { case (k, v) =>
+        assert(math.abs(v - liveMap(k)) <= 1e-9 * math.max(math.abs(v), 1.0),
+          s"grouped-join truth drifted for query $no group [$k]: csv $v vs live ${liveMap(k)}")
+      }
+    }
+  }
+
+  test("the CALENDAR workload replays through the SQL-text plane within the grouped gate") {
+    // r14: external-file coverage of the calendar bucket class — GROUP BY
+    // year/month/quarter parsed by SqlParser and answered by SqlEstimate's
+    // realized-domain buckets (the Catalyst fold's semantics on the text
+    // plane), graded per exact group
+    val g = QErrorEval.readWorkload("workloads/testdata_calendar_20.sql")
+    assert(g.length == 20)
+    assert(g.forall(_._2.matches("(?is).*GROUP BY (YEAR|MONTH|QUARTER)\\(.*")),
+      "every query must group by a calendar expression")
+    val truth = QErrorEval.computeGroupTruth(spark, sf, g, cache = false)
+    val rows = QErrorEval.runWorkloadGrouped(spark, sf, g, truth)
+    assert(rows.forall(_.groups.nonEmpty), "every replayed query must carry per-bucket scores")
+    val flat = rows.flatMap(_.groups)
+    val errs = flat.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val worst = flat.maxBy(_.relErr)
+    info(f"${flat.length} calendar buckets: median rel err $median%.4f " +
+      f"max ${worst.relErr}%.4f (q${rows.find(_.groups.contains(worst)).map(_.no).getOrElse(-1)} " +
+      f"bucket ${worst.key.mkString("|")})")
+    assert(median <= 0.10, f"per-bucket median relative error $median%.4f > 0.10")
+  }
+
+  test("the committed sf0.01 CALENDAR truth CSV matches live exact groups") {
+    val g = QErrorEval.readWorkload("workloads/testdata_calendar_20.sql")
+    val fromCsv = QErrorEval.readGroupTruthCsv(
+      "workloads/testdata_calendar_20_true_sf0.01.csv")
+    val live = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, rows) =>
+      val liveMap = live(no).map { case (k, v) => k.mkString("|") -> v }.toMap
+      val csvMap = rows.map { case (k, v) => k.mkString("|") -> v }.toMap
+      assert(csvMap.keySet == liveMap.keySet, s"calendar keys drifted for query $no")
+      csvMap.foreach { case (k, v) =>
+        assert(math.abs(v - liveMap(k)) <= 1e-9 * math.max(math.abs(v), 1.0),
+          s"calendar truth drifted for query $no bucket [$k]: csv $v vs live ${liveMap(k)}")
+      }
+    }
+  }
+
   test("group-truth CSV round-trips keys containing the tuple separator") {
     // a dictionary value containing '|' (or a backslash) must come back as
     // the same key TUPLE — unescaped joining would split it into two
