@@ -96,11 +96,17 @@ object Dedup {
     */
   private def ngramClasses(s: SparkSession, d: String): DataFrame =
     ModelCache.memo(s, d, "ngram_classes") {
+      // sort_array makes the class key ORDER-INSENSITIVE: `sh` is the
+      // distinct shingle list in first-occurrence order, so two docs with
+      // the same shingle SET in different orders collapse into ONE class
+      // (correctness held either way — such pairs still qualified through
+      // the inverted-index join at Jaccard 1 — but the canonicalization
+      // missed the collapse and the class invariant overstated itself)
       val c = shingledBase(s, d)
-        .groupBy("sh")
+        .groupBy(sort_array(col("sh")).as("shs"))
         .agg(min(col("doc_id")).as("doc_id"),
           sort_array(collect_list(col("doc_id"))).as("members"))
-        .select(col("doc_id"), col("members"), size(col("sh")).cast("bigint").as("n"))
+        .select(col("doc_id"), col("members"), size(col("shs")).cast("bigint").as("n"))
         .cache()
       c.count()
       c
