@@ -174,7 +174,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         rewrite(agg).orElse {
           val inlined = inlineProjectAliases(agg)
           if (inlined eq agg) None else rewrite(inlined)
-        }.orElse(rewriteCalendar(agg))
+        }.orElse(rewriteCalendar(agg)).orElse(rewriteNumericGroup(agg))
     }).toOption.flatten match {
       case Some(folded) => folded
       case None =>
@@ -1009,44 +1009,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 // year × month over a 30-year domain folds at 360)
                 D("cap")(if (raw.length > 400) None else Some(raw))
               }
-              rows <- {
-                // per bucket tuple: its interval atoms conjoin the base
-                // atoms; scalar buckets gate on >= half a row, mixed
-                // buckets take the dictionary enumeration's own nonzero
-                // row universe (groups of an empty bucket enumerate empty)
-                val perBucket: Seq[Option[Seq[Seq[Any]]]] = tuples.map { case (ks, extra) =>
-                  val bucket = mergeAtoms(sh.atoms, extra)
-                  val shB = sh.copy(atoms = bucket)
-                  val bucketRows: Option[Seq[(Seq[String], Map[Int, Any])]] =
-                    if (dims.isEmpty)
-                      for {
-                        p <- SpnCardinality.predsFor(spns, sh.tables, bucket, spec.modeled)
-                        m <- plainScalarVals(spns, spec, shB, aggCols)
-                      } yield {
-                        if (Ensemble.estCount(spns, sh.tables, p).value >= 0.5)
-                          Seq(Seq.empty[String] -> m)
-                        else Nil
-                      }
-                    else plainGroupRows(spns, spec, shB, dims, aggCols)
-                  bucketRows.map(_.map { case (dk, m) =>
-                    var j = -1
-                    agg.aggregateExpressions.map { ne =>
-                      keyIdxOf(ne) match {
-                        case Some(ki) => ks(ki)
-                        case None =>
-                          j += 1
-                          aggCols(j) match {
-                            case GroupOut(gi) => dk(gi): Any
-                            case _            => m(j)
-                          }
-                      }
-                    }
-                  })
-                }
-                // any uncompilable bucket means fall back — never guess one
-                D("rows")(if (perBucket.exists(_.isEmpty)) None
-                else Some(perBucket.flatMap(_.get)))
-              }
+              rows <- D("rows")(bucketTupleRows(
+                spns, spec, sh, tuples, dims, aggCols,
+                agg.aggregateExpressions, keyIdxOf))
             } yield {
               val calNames = cals.indices.map(i =>
                 agg.aggregateExpressions.find(ne => keyIdxOf(ne).contains(i))
@@ -1058,6 +1023,144 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case _ => None
         }
       case _ => None
+    }
+  }
+
+  /** Assemble fold rows for a sequence of BUCKET TUPLES (keys + extra
+    * atoms conjoining the base predicates): scalar buckets gate on >= half
+    * a row, mixed buckets take the dictionary enumeration's own nonzero
+    * row universe (groups of an empty bucket enumerate empty). Shared by
+    * the calendar fold and the numeric-histogram fold; any uncompilable
+    * bucket makes the whole rewrite fall back — never guess one.
+    */
+  private def bucketTupleRows(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
+      tuples: Seq[(Seq[Any], Seq[(String, Atom)])],
+      dims: Seq[(String, String)], aggCols: Seq[OutCol],
+      aggExprs: Seq[NamedExpression],
+      keyIdxOf: NamedExpression => Option[Int]): Option[Seq[Seq[Any]]] = {
+    val perBucket: Seq[Option[Seq[Seq[Any]]]] = tuples.map { case (ks, extra) =>
+      val bucket = mergeAtoms(sh.atoms, extra)
+      val shB = sh.copy(atoms = bucket)
+      val bucketRows: Option[Seq[(Seq[String], Map[Int, Any])]] =
+        if (dims.isEmpty)
+          for {
+            p <- SpnCardinality.predsFor(spns, sh.tables, bucket, spec.modeled)
+            m <- plainScalarVals(spns, spec, shB, aggCols)
+          } yield {
+            if (Ensemble.estCount(spns, sh.tables, p).value >= 0.5)
+              Seq(Seq.empty[String] -> m)
+            else Nil
+          }
+        else plainGroupRows(spns, spec, shB, dims, aggCols)
+      bucketRows.map(_.map { case (dk, m) =>
+        var j = -1
+        aggExprs.map { ne =>
+          keyIdxOf(ne) match {
+            case Some(ki) => ks(ki)
+            case None =>
+              j += 1
+              aggCols(j) match {
+                case GroupOut(gi) => dk(gi): Any
+                case _            => m(j)
+              }
+          }
+        }
+      })
+    }
+    if (perBucket.exists(_.isEmpty)) None
+    else Some(perBucket.flatMap(_.get))
+  }
+
+  /** Numeric-column grouping — the histogram dashboard shape the
+    * dictionary path cannot serve (`GROUP BY l_quantity[, dimcol...]`):
+    * one bucket per REALIZED value of a modeled numeric column with mass
+    * under the base predicates (the NumericLeaf support enumeration), each
+    * bucket one point-pinned estimation — the numeric mirror of the
+    * dictionary enumeration, capped at 400 buckets (a near-continuous
+    * column's sampled support is neither cheap nor a faithful group
+    * universe → fall back). Dictionary dimension columns ride along per
+    * bucket exactly like the calendar fold's. SQL's numeric-NULL group is
+    * unproducible from value pins, so an estimated null mass of one row or
+    * more falls back; plain-conjunctive shapes only (a disjunctive
+    * predicate keeps its exact plan). Reference analog:
+    * aqp_spn/group_by_combination.py enumerates combinations off the leaf
+    * value sets the same way for its grouped AQP.
+    */
+  private def rewriteNumericGroup(agg: Aggregate): Option[LogicalPlan] = {
+    val spec = DatasetSpec.forDir(session, sfDir)
+    val gs = agg.groupingExpressions
+    if (gs.isEmpty || !gs.forall(_.isInstanceOf[AttributeReference])) return None
+    val gAttrs = gs.map(_.asInstanceOf[AttributeReference])
+    for {
+      sh <- walk(agg.child, spec.modeled, spec.graph.relationships, keyColsOf(spec))
+      if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
+      // exactly ONE numeric grouping attribute (of numeric SQL type); the
+      // rest must be dictionary-modeled strings
+      numKey <- {
+        val cands = gAttrs.flatMap { a =>
+          if (!a.dataType.isInstanceOf[NumericType]) None
+          else sh.attrTable.get(a.exprId).filter { case (t, c) =>
+            spec.modeled(t).exists(x => x._1 == c && x._2 == "num")
+          }.map(a -> _)
+        }
+        cands match { case Seq(one) => Some(one); case _ => None }
+      }
+      (gAttr, tc) = numKey
+      (t, c) = tc
+      dimAttrs = gAttrs.filterNot(_.exprId == gAttr.exprId)
+      dims <- {
+        val ds = dimAttrs.map {
+          case a if a.dataType == StringType =>
+            sh.attrTable.get(a.exprId).filter { case (dt, dc) =>
+              spec.modeled(dt).exists(x => x._1 == dc && x._2 == "cat")
+            }
+          case _ => None
+        }
+        if (ds.forall(_.isDefined)) Some(ds.flatten) else None
+      }
+      // a key output is EXACTLY the bare grouping attribute (possibly
+      // re-aliased); an aggregate over the grouped column itself
+      // (`sum(q) ... GROUP BY q`) falls back rather than guess
+      keyOut = (ne: NamedExpression) => ne match {
+        case a: AttributeReference           => a.exprId == gAttr.exprId
+        case Alias(a: AttributeReference, _) => a.exprId == gAttr.exprId
+        case _                               => false
+      }
+      if agg.aggregateExpressions.forall(ne =>
+        keyOut(ne) || ne.references.forall(_.exprId != gAttr.exprId))
+      others = agg.aggregateExpressions.filterNot(keyOut)
+      dimIdx = dimAttrs.map(_.exprId).zipWithIndex.toMap
+      aggCols <- outputCols(
+        agg.copy(aggregateExpressions = others), sh, spec.modeled, dimIdx)
+      spns = Ensemble.get(session, sfDir)
+      // SQL's NULL group gate, under the column's own single-table model
+      // (see the calendar fold's comment on cross-model selection noise)
+      _ <- {
+        val tAtoms = Map(t -> sh.atoms.getOrElse(t, Seq.empty))
+        val single = spns.get(t).map(m => Map(t -> m)).getOrElse(spns)
+        for {
+          pAll <- SpnCardinality.predsFor(single, Set(t), tAtoms, spec.modeled)
+          pNN <- SpnCardinality.predsFor(
+            single, Set(t), withNotNull(tAtoms, Seq((t, c))), spec.modeled)
+          if Ensemble.estCount(single, Set(t), pAll).value -
+            Ensemble.estCount(single, Set(t), pNN).value < 0.5
+        } yield ()
+      }
+      support <- SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+        .flatMap(p => Ensemble.numericSupport(spns, sh.tables, (t, c), p, cap = 400))
+      tuples = support.map(v =>
+        (Seq[Any](v), Seq(t -> (SpnCardinality.Cmp(c, "eq", v): Atom))))
+      keyIdxOf = (ne: NamedExpression) => if (keyOut(ne)) Some(0) else None
+      rows <- bucketTupleRows(spns, spec, sh, tuples, dims, aggCols,
+        agg.aggregateExpressions, keyIdxOf)
+    } yield {
+      // per-bucket plain-conjunctive estimation — the calendar fold's
+      // annotation channel serves the histogram shape unchanged
+      val keyName = agg.aggregateExpressions.find(keyOut).map(_.name).getOrElse(c)
+      annotateCalendar(sh, tuples, dims, keyName +: dimAttrs.map(_.name),
+        aggCols.zip(others.map(_.name)))
+      LocalRelation(agg.output, toRows(rows, agg.output.map(_.dataType)))
     }
   }
 

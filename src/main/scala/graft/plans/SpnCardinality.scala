@@ -876,6 +876,22 @@ object SpnPlanning {
     // multi-interval), still zero-scan (SpnAqpSpec pins same-column,
     // cross-column and cap-fallback shapes against the exact plane;
     // rows>0 is the Verify contract here).
+    // Round 14: the histogram dashboard — GROUP BY a modeled NUMERIC
+    // column answered as one point-pinned estimation per realized value
+    // (the NumericLeaf support enumeration; SpnAqpSpec pins scalar, mixed
+    // numeric × dimension, join, and cap/OR fallback shapes against the
+    // exact plane; rows>0 is the Verify contract here).
+    Op.noOracle("aqp_transparent_histogram") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT l_quantity, count(*) AS n, avg(l_extendedprice) AS avg_price
+          |FROM lineitem WHERE l_returnflag = 'A'
+          |GROUP BY l_quantity ORDER BY l_quantity""".stripMargin)
+    },
+
     Op.noOracle("aqp_transparent_seasonal") { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.spn.sfDir", d)

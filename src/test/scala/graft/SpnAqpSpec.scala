@@ -1633,6 +1633,83 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(numDim), "a non-dictionary dimension column must fall back")
   }
 
+  test("numeric-column GROUP BY folds as realized-value histogram buckets") {
+    // the histogram dashboard shape: one bucket per realized value of a
+    // modeled numeric column, each a point-pinned estimation (the numeric
+    // mirror of the dictionary enumeration)
+    val sql = """SELECT l_quantity, count(*) AS n, avg(l_extendedprice) AS ap
+                 FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_quantity""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"numeric GROUP BY must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getDouble(0) -> r.getLong(1).toDouble).toMap
+    // sparse-cell boundary convention (the calendar tests'): phantom or
+    // dropped cells must be trivial, shared cells within loose q-error
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"phantom bucket $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"dropped bucket $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"bucket $k: ${est(k)} vs ${exact(k)}")
+    }
+    // numeric × dictionary dimension: the per-bucket enumeration rides
+    // along exactly like the calendar fold's
+    val sql2 = """SELECT l_quantity, l_linestatus, count(*) AS n
+                  FROM lineitem WHERE l_quantity < 10 GROUP BY l_quantity, l_linestatus""".stripMargin
+    val exact2 = session(aqp = false).sql(sql2).collect()
+      .map(r => (r.getDouble(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    val df2 = session(aqp = true).sql(sql2)
+    assert(isRewritten(df2), s"numeric × dim must fold:\n${df2.queryExecution.optimizedPlan}")
+    val est2 = df2.collect()
+      .map(r => (r.getDouble(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    (est2.keySet diff exact2.keySet).foreach { k =>
+      assert(est2(k) <= 5.0, s"phantom cell $k carries real mass: ${est2(k)}")
+    }
+    (exact2.keySet diff est2.keySet).foreach { k =>
+      assert(exact2(k) <= 5.0, s"dropped cell $k has real rows: ${exact2(k)}")
+    }
+    (est2.keySet intersect exact2.keySet).foreach { k =>
+      assert(qerr(est2(k), exact2(k)) <= 3.0 || math.abs(est2(k) - exact2(k)) <= 10.0,
+        s"cell $k: ${est2(k)} vs ${exact2(k)}")
+    }
+    // over an FK join: p_size buckets against the lineitem fan-out
+    val sql3 = """SELECT p_size, count(*) AS n
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE l_quantity < 30 GROUP BY p_size""".stripMargin
+    val exact3 = session(aqp = false).sql(sql3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val df3 = session(aqp = true).sql(sql3)
+    assert(isRewritten(df3), s"numeric GROUP BY over a join must fold:\n${df3.queryExecution.optimizedPlan}")
+    val est3 = df3.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    (est3.keySet diff exact3.keySet).foreach { k =>
+      assert(est3(k) <= 5.0, s"phantom p_size $k carries real mass: ${est3(k)}")
+    }
+    (exact3.keySet diff est3.keySet).foreach { k =>
+      assert(exact3(k) <= 5.0, s"dropped p_size $k has real rows: ${exact3(k)}")
+    }
+    (est3.keySet intersect exact3.keySet).foreach { k =>
+      assert(qerr(est3(k), exact3(k)) <= 3.0 || math.abs(est3(k) - exact3(k)) <= 20.0,
+        s"p_size $k: ${est3(k)} vs ${exact3(k)}")
+    }
+    // fallbacks: a near-continuous column exceeds the 400-bucket cap; a
+    // disjunctive predicate keeps its exact plan; an aggregate over the
+    // grouped column itself falls back rather than guess
+    val capped = session(aqp = true).sql(
+      "SELECT l_extendedprice, count(*) AS n FROM lineitem GROUP BY l_extendedprice")
+    assert(!isRewritten(capped), "near-continuous numeric GROUP BY must fall back")
+    val orRed = session(aqp = true).sql(
+      """SELECT l_quantity, count(*) AS n FROM lineitem
+         WHERE l_discount < 0.02 OR l_tax > 0.06 GROUP BY l_quantity""".stripMargin)
+    assert(!isRewritten(orRed), "numeric GROUP BY under a disjunction must fall back")
+    val selfAgg = session(aqp = true).sql(
+      "SELECT l_quantity, sum(l_quantity) AS s FROM lineitem GROUP BY l_quantity")
+    assert(!isRewritten(selfAgg), "aggregating the grouped column must fall back")
+  }
+
   test("two-calendar cross product folds: GROUP BY year(d), month(d)") {
     // the seasonal-matrix dashboard shape — each (year, month) key pair's
     // predicate is the MEET of the year bucket's range and the cyclic
