@@ -27,7 +27,7 @@ object SqlEstimate {
       spns: Map[String, Ensemble.TrainedSpn], sql: String,
       spec: graft.schema.DatasetSpec = graft.schema.DatasetSpec.testdata): SqlResult = {
     val q = SqlParser.parseQuery(sql, spec)
-    post(q, estimateCore(spns, q))
+    post(q, estimateCore(spns, q, spec))
   }
 
   /** HAVING / ORDER BY / LIMIT on the estimate plane: applied to the
@@ -98,7 +98,9 @@ object SqlEstimate {
     case _    => x == v
   }
 
-  private def estimateCore(spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery): SqlResult = {
+  private def estimateCore(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      spec: graft.schema.DatasetSpec): SqlResult = {
     val preds = mergePreds(spns, q.preds)
 
     q.calGroup match {
@@ -166,6 +168,15 @@ object SqlEstimate {
     } else q.groupBy match {
       case Nil => Scalar(scalarOf(spns, q, preds))
       case gcs =>
+        // at most ONE modeled-"num" group column routes to the realized-
+        // value histogram enumeration (the Catalyst fold's semantics on
+        // the text plane); "days" columns keep failing loudly — their raw
+        // values are timestamps the day-granular support cannot reproduce
+        val numIdx = gcs.indexWhere { case (gt, gcol) =>
+          spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
+        }
+        if (numIdx >= 0)
+          return Groups(numericGroups(spns, q, preds, gcs, numIdx))
         // one memoized enumeration per query: prune probes, group counts and
         // per-group aggregate expectations share factor denominators
         gcs.foreach { case (gt, gcol) =>
@@ -253,6 +264,71 @@ object SqlEstimate {
             case other => throw new IllegalArgumentException(
               s"unsupported SQL: $other with calendar GROUP BY")
           }))
+      }
+    }
+  }
+
+  /** GROUP BY over a modeled NUMERIC column on the text plane — the
+    * Catalyst histogram fold's semantics (one bucket per realized value
+    * with mass, remaining group columns dictionary-enumerated per bucket),
+    * with the text plane's fail-loud contract: a support past the
+    * 400-bucket cap throws instead of silently running exact. Keys print
+    * integrally when whole, matching the exact plane's group-truth
+    * normalization.
+    */
+  private def numericGroups(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      preds: Map[(String, String), ColRange],
+      gcs: Seq[(String, String)], numIdx: Int): Seq[(Seq[String], Ensemble.Estimate)] = {
+    val (t, c) = gcs(numIdx)
+    val dictPos = gcs.indices.filterNot(_ == numIdx)
+    val dictCols = dictPos.map(gcs)
+    dictCols.foreach { case (gt, gcol) =>
+      require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+        s"GROUP BY $gcol: not a categorical model column")
+    }
+    val support = Ensemble.numericSupport(spns, q.tables, (t, c), preds, cap = 400)
+      .getOrElse(throw new IllegalArgumentException(
+        s"GROUP BY $c: realized support exceeds the 400-bucket cap"))
+    def keyStr(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    support.flatMap { v =>
+      Ensemble.intersect(preds, Map((t, c) -> NominalSet(Array(v)))) match {
+        case None => Nil
+        case Some(p) =>
+          if (Ensemble.estCount(spns, q.tables, p).value < 0.5) Nil
+          else {
+            def agg1(pp: Map[(String, String), ColRange]): Ensemble.Estimate = q.agg match {
+              case Count       => Ensemble.estCount(spns, q.tables, pp)
+              case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), pp)
+              case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), pp)
+              case SumProduct(ta, ca, tb, cb) =>
+                Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), pp)
+              case other => throw new IllegalArgumentException(
+                s"unsupported SQL: $other with numeric GROUP BY")
+            }
+            val rows: Seq[(Seq[String], Ensemble.Estimate)] =
+              if (dictCols.isEmpty) Seq(Seq.empty[String] -> agg1(p))
+              else q.agg match {
+                case Count => Ensemble.estGroupByMulti(spns, q.tables, dictCols, p)
+                case Sum(st, sc) =>
+                  Ensemble.estGroupByAgg(spns, q.tables, dictCols, Map((st, sc) -> 1), p)
+                case Avg(at, ac) =>
+                  Ensemble.estGroupByAvg(spns, q.tables, dictCols, (at, ac), p)
+                case SumProduct(ta, ca, tb, cb) =>
+                  Ensemble.estGroupByAgg(spns, q.tables, dictCols,
+                    Map((ta, ca) -> 1, (tb, cb) -> 1), p)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported SQL: $other with numeric GROUP BY")
+              }
+            // reassemble each key tuple in the query's own group order
+            rows.map { case (dk, e) =>
+              val full = new Array[String](gcs.length)
+              full(numIdx) = keyStr(v)
+              dictPos.zip(dk).foreach { case (pos, kv) => full(pos) = kv }
+              (full.toSeq, e)
+            }
+          }
       }
     }
   }

@@ -527,9 +527,11 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) OR (l_tax > 0.05)"))
     // OR + GROUP BY is SUPPORTED since round 9 (per-group inclusion-
     // exclusion) — its correctness is pinned in the dedicated test below
-    // GROUP BY over a non-categorical (numeric) column is rejected
+    // GROUP BY over a modeled NUMERIC column estimates via the realized-
+    // value support since round 14; a NEAR-CONTINUOUS column still fails
+    // loudly past the 400-bucket support cap
     assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
-      "SELECT COUNT(*) FROM lineitem GROUP BY l_quantity"))
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_extendedprice"))
     // SUM(a*a) must fail everywhere, not silently collapse to SUM(a) where
     // the feature Map would dedup the repeated key (OR / GROUP BY paths)
     assertThrows[IllegalArgumentException](SqlParser.parseQuery(
@@ -720,6 +722,49 @@ class SqlSpec extends AnyFunSuite {
     val e = intercept[Exception](estScalar(
       "SELECT COUNT(*) FROM lineitem WHERE l_quantity NOT IN (5, DATE '1996-06-01')"))
     assert(e.getMessage.contains("mixes date and numeric"), e.getMessage)
+  }
+
+  test("numeric GROUP BY estimates via realized-value buckets on the text plane") {
+    // parity with the Catalyst histogram fold: one bucket per realized
+    // value with mass, dictionary columns enumerated per bucket; keys
+    // print integrally to match the exact plane's group normalization
+    views
+    val sql = "SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_quantity"
+    val exact = spark.sql(
+      """SELECT l_quantity, COUNT(*) FROM lineitem
+        |WHERE l_returnflag = 'A' GROUP BY l_quantity""".stripMargin).collect()
+      .map(r => r.getDouble(0).toLong.toString -> r.getLong(1).toDouble).toMap
+    val est = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    // sparse-cell boundary convention: non-trivial cells must agree
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"phantom bucket $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"dropped bucket $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"bucket $k: ${est(k)} vs ${exact(k)}")
+    }
+    // numeric x dictionary: the key tuple keeps the query's group order
+    val sql2 = "SELECT SUM(l_extendedprice) FROM lineitem WHERE l_quantity < 5 GROUP BY l_linestatus, l_quantity"
+    val exact2 = spark.sql(
+      """SELECT l_linestatus, l_quantity, SUM(l_extendedprice) FROM lineitem
+        |WHERE l_quantity < 5 GROUP BY l_linestatus, l_quantity""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong.toString) -> r.getDouble(2)).toMap
+    val est2 = SqlEstimate.estimate(ens, sql2) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => (k(0), k(1)) -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    assert(est2.keySet == exact2.keySet,
+      s"numeric x dict keys: ${est2.keySet} vs ${exact2.keySet}")
+    exact2.foreach { case (k, v) =>
+      assert(qerr(math.max(est2(k), 1.0), math.max(v, 1.0)) <= 1.5,
+        s"cell $k: ${est2(k)} vs $v")
+    }
   }
 
   test("date-shaped NOT IN over a CATEGORICAL column resolves to the string complement") {
