@@ -107,6 +107,10 @@ object SqlEstimate {
       case Some((fn, t, c)) =>
         if (q.orPreds.nonEmpty) throw new IllegalArgumentException(
           "unsupported SQL: OR with calendar GROUP BY")
+        q.groupBy.foreach { case (gt, gcol) =>
+          require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+            s"GROUP BY $gcol: not a categorical model column")
+        }
         return Groups(calendarGroups(spns, q, preds, fn, t, c))
       case None => ()
     }
@@ -252,10 +256,29 @@ object SqlEstimate {
     }
     buckets.flatMap { case (key, r) =>
       Ensemble.intersect(preds, Map((t, c) -> r)) match {
-        case None => None // the bucket contradicts the query's own date range
+        case None => Nil // the bucket contradicts the query's own date range
         case Some(p) =>
-          if (Ensemble.estCount(spns, q.tables, p).value < 0.5) None
-          else Some(Seq(key) -> (q.agg match {
+          if (Ensemble.estCount(spns, q.tables, p).value < 0.5) Nil
+          // dictionary dimension columns enumerate PER BUCKET under the
+          // bucket-conjoined predicates (`GROUP BY year(d), dim, ...`) —
+          // the Catalyst mixed fold's shape on the text plane; the
+          // calendar key leads every tuple (SELECT order is validated to
+          // match by the parser)
+          else if (q.groupBy.nonEmpty) {
+            val dimRows = q.agg match {
+              case Count => Ensemble.estGroupByMulti(spns, q.tables, q.groupBy, p)
+              case Sum(st, sc) =>
+                Ensemble.estGroupByAgg(spns, q.tables, q.groupBy, Map((st, sc) -> 1), p)
+              case Avg(at, ac) =>
+                Ensemble.estGroupByAvg(spns, q.tables, q.groupBy, (at, ac), p)
+              case SumProduct(ta, ca, tb, cb) =>
+                Ensemble.estGroupByAgg(spns, q.tables, q.groupBy,
+                  Map((ta, ca) -> 1, (tb, cb) -> 1), p)
+              case other => throw new IllegalArgumentException(
+                s"unsupported SQL: $other with calendar GROUP BY")
+            }
+            dimRows.map { case (dk, e) => (key +: dk, e) }
+          } else Seq(Seq(key) -> (q.agg match {
             case Count       => Ensemble.estCount(spns, q.tables, p)
             case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), p)
             case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), p)

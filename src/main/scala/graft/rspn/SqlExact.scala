@@ -56,7 +56,13 @@ object SqlExact {
           case "month" => month(col(c))
           case _       => quarter(col(c))
         }).as("grp")
-        df.groupBy(key).agg(aggCol).orderBy("grp")
+        // dimension columns ride behind the calendar key (grp2, grp3, ...)
+        val dimCols = q.groupBy.zipWithIndex.map { case ((_, g), i) =>
+          col(g).as(s"grp${i + 2}")
+        }
+        val names = "grp" +: q.groupBy.indices.map(i => s"grp${i + 2}")
+        df.groupBy((key +: dimCols): _*).agg(aggCol)
+          .orderBy(names.map(col): _*)
       case None => q.groupBy match {
       case Nil => df.agg(aggCol)
       case gs =>

@@ -175,7 +175,7 @@ object SqlParser {
     throw new IllegalArgumentException(s"unsupported SQL: $msg")
 
   private val selectRe: Regex =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|(?:YEAR|MONTH|QUARTER)\s*\(\s*\w+\s*\)|\w+(?:\s*,\s*\w+)*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|(?:YEAR|MONTH|QUARTER)\s*\(\s*\w+\s*\)(?:\s*,\s*\w+)*|\w+(?:\s*,\s*\w+)*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   private val selAliasRe: Regex = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r
   private val leadColRe: Regex = """(?is)^(?:\w+\.)?(\w+)$""".r
   private val havingRe: Regex = """(?is)^(.+?)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$""".r
@@ -293,10 +293,23 @@ object SqlParser {
       // columns, validated below to equal the GROUP BY list in order
       val selParts = splitTopCommas(sel0)
       // a calendar GROUP BY's display column (`SELECT year(d), COUNT(*)`)
-      // is accepted when it repeats the grouping expression verbatim
-      val calSyntax: Option[(String, String)] = Option(group).map(_.trim).flatMap {
+      // is accepted when it repeats the grouping expression verbatim; the
+      // calendar expression leads the GROUP BY list, optionally followed
+      // by dictionary dimension columns (`GROUP BY year(d), dim, ...`)
+      val groupParts: Seq[String] =
+        Option(group).map(_.trim).toSeq.flatMap(_.split(",")).map(_.trim)
+      val calSyntax: Option[(String, String)] = groupParts.headOption.flatMap {
         case calGroupRe(fn, c) => Some((fn.toLowerCase, c))
         case _                 => None
+      }
+      calSyntax.foreach { case (fn, c) =>
+        val leads = selParts.headOption.map(_.trim).exists {
+          case calGroupRe(ifn, ic) => ifn.toLowerCase == fn && ic == c
+          case _                   => false
+        }
+        if (selParts.length > 1 && !leads) fail(
+          s"calendar GROUP BY: SELECT must lead with $fn($c) so result " +
+            "columns match the grouping order")
       }
       val leadCols = selParts.init.map(_.trim).filterNot { item =>
         calSyntax.exists { case (fn, c) =>
@@ -345,13 +358,15 @@ object SqlParser {
           fail(s"GROUP BY $fn($c): $c is not a days-modeled column")
         (fn, t, c)
       }
-      val groupBy =
-        if (calGroup.isDefined) Nil
-        else groupCols.toSeq.flatMap(_.split(",")).map(_.trim).map { g =>
+      val groupBy = {
+        val plain = if (calGroup.isDefined) groupParts.drop(1)
+                    else groupCols.toSeq.flatMap(_.split(",")).map(_.trim)
+        plain.map { g =>
           val t = tableOf(g)
           if (!tables(t)) fail(s"GROUP BY $g: table $t not in FROM")
           (t, g)
         }
+      }
       if (mode != GroupFlat && groupBy.isEmpty) fail("empty ROLLUP/CUBE column list")
       if (leadCols.nonEmpty && leadCols.map(c => (tableOf(c), c)) != groupBy) fail(
         s"SELECT columns ${leadCols.mkString(", ")} must equal the GROUP BY columns in order")

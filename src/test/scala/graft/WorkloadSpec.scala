@@ -149,8 +149,8 @@ class WorkloadSpec extends AnyFunSuite {
     // year/month/quarter parsed by SqlParser and answered by SqlEstimate's
     // realized-domain buckets (the Catalyst fold's semantics on the text
     // plane), graded per exact group
-    val g = QErrorEval.readWorkload("workloads/testdata_calendar_20.sql")
-    assert(g.length == 20)
+    val g = QErrorEval.readWorkload("workloads/testdata_calendar_24.sql")
+    assert(g.length == 24)
     assert(g.forall(_._2.matches("(?is).*GROUP BY (YEAR|MONTH|QUARTER)\\(.*")),
       "every query must group by a calendar expression")
     val truth = QErrorEval.computeGroupTruth(spark, sf, g, cache = false)
@@ -167,9 +167,9 @@ class WorkloadSpec extends AnyFunSuite {
   }
 
   test("the committed sf0.01 CALENDAR truth CSV matches live exact groups") {
-    val g = QErrorEval.readWorkload("workloads/testdata_calendar_20.sql")
+    val g = QErrorEval.readWorkload("workloads/testdata_calendar_24.sql")
     val fromCsv = QErrorEval.readGroupTruthCsv(
-      "workloads/testdata_calendar_20_true_sf0.01.csv")
+      "workloads/testdata_calendar_24_true_sf0.01.csv")
     val live = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
     assert(fromCsv.keySet == live.keySet)
     fromCsv.foreach { case (no, rows) =>
