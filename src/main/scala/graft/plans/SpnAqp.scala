@@ -815,6 +815,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             Some(linear(a, identity, _.plusDays(1), key))
           case _ => None
         }
+      // a bare day floor — `GROUP BY cast(ts AS date)` / `to_date(ts)`
+      // (the analyzer lowers to_date over a timestamp to this Cast):
+      // date_trunc('day')'s daily linear buckets keyed by the DATE itself,
+      // under the same 400-bucket/predicate-narrowed-span economics
+      case Cast(a: AttributeReference, DateType, _, _) =>
+        Some(linear(a, identity, _.plusDays(1), d => java.sql.Date.valueOf(d)))
       case _ => None
     }
     // intersection of two SORTED DISJOINT half-open interval lists (the

@@ -1633,6 +1633,44 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(numDim), "a non-dictionary dimension column must fall back")
   }
 
+  test("GROUP BY cast(ts AS date) folds as daily buckets keyed by the date") {
+    // the analyzer lowers to_date(ts) over a timestamp to Cast(ts, date):
+    // date_trunc('day')'s buckets with DateType keys, span narrowed by the
+    // query's own date predicate under the 400-bucket cap
+    val sql = """SELECT cast(o_orderdate AS date) AS d, count(*) AS n
+                 FROM orders WHERE o_orderdate >= TIMESTAMP'2000-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP'2000-04-01 00:00:00'
+                 GROUP BY cast(o_orderdate AS date)""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"daily cast buckets must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getDate(0).toString -> r.getLong(1).toDouble).toMap
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"phantom day $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"dropped day $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"day $k: ${est(k)} vs ${exact(k)}")
+    }
+    // the to_date spelling folds identically
+    val viaToDate = session(aqp = true).sql(
+      """SELECT to_date(o_orderdate) AS d, count(*) AS n
+         FROM orders WHERE o_orderdate >= TIMESTAMP'2000-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP'2000-04-01 00:00:00'
+         GROUP BY to_date(o_orderdate)""".stripMargin)
+    assert(isRewritten(viaToDate),
+      s"to_date buckets must fold:\n${viaToDate.queryExecution.optimizedPlan}")
+    // an un-narrowed multi-year daily span exceeds the 400-bucket cap
+    val wide = session(aqp = true).sql(
+      """SELECT cast(o_orderdate AS date) AS d, count(*) AS n
+         FROM orders GROUP BY cast(o_orderdate AS date)""".stripMargin)
+    assert(!isRewritten(wide), "a multi-year daily span must fall back")
+  }
+
   test("numeric-column GROUP BY folds as realized-value histogram buckets") {
     // the histogram dashboard shape: one bucket per realized value of a
     // modeled numeric column, each a point-pinned estimation (the numeric
