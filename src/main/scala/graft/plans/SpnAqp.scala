@@ -294,8 +294,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * plain-conjunctive, single-OR (the inclusion-exclusion estimators
     * carry CIs), and the multi-OR signed expansion (conservative interval
     * combination per signed term — signs flip bounds, intervals add).
-    * Outputs without a one-call CI channel (expression trees, distinct
-    * counts, MIN/MAX, AVG of a linear form) are skipped rather than
+    * AVG-of-linear-form outputs annotate by the interval quotient of the
+    * combined term sum over the NN-gated count (skipped on a
+    * sign-crossing denominator). Outputs without a one-call CI channel
+    * (expression trees, distinct counts, MIN/MAX) are skipped rather than
     * guessed. With the annotate conf OFF a fold CLEARS the current tag's
     * entry — an earlier annotated query's intervals must not survive a
     * newer un-annotated fold.
@@ -386,6 +388,19 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           if (Ensemble.estCount(spns, sh.tables, p).value < 0.5) None // fold: NULL
           else Some(Ensemble.estAvg(spns, sh.tables, ac, p))
         }
+      // AVG of a linear form: the fold divides the combined term sum by
+      // the NN-gated count — annotate with the interval quotient (skipped
+      // on a sign-crossing denominator, never guessed)
+      case AvgExprOut(terms, refCols) =>
+        predsOf(withNotNull(atoms, refCols)).flatMap { p =>
+          val den = Ensemble.estCount(spns, sh.tables, p)
+          if (den.value < 0.5) None // fold: NULL
+          else ratioE(terms.map {
+            case (cf, Seq())   => scaleE(cf, Ensemble.estCount(spns, sh.tables, p))
+            case (cf, Seq(c1)) => scaleE(cf, Ensemble.estSum(spns, sh.tables, c1, p))
+            case (cf, cs)      => scaleE(cf, Ensemble.estSumProduct(spns, sh.tables, cs, p))
+          }.reduce(addE), den)
+        }
       case _ => None
     }
     def groupEst(atoms: Map[String, Seq[Atom]])(c: OutCol)
@@ -421,6 +436,23 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             .map { case (k, e) => k -> e.value }.toMap
           Ensemble.estGroupByAvg(spns, sh.tables, gcols, ac, p)
             .collect { case (k, e) if gate.getOrElse(k, 0.0) >= 0.5 => k -> e }.toMap
+        }
+      case AvgExprOut(terms, refCols) =>
+        predsOf(withNotNull(atoms, refCols)).map { p =>
+          val gate = Ensemble.estGroupByMulti(spns, sh.tables, gcols, p).toMap
+          val perTerm: Seq[Map[Seq[String], Ensemble.Estimate]] = terms.map {
+            case (cf, Seq()) =>
+              Ensemble.estGroupByMulti(spns, sh.tables, gcols, p)
+                .map { case (k, e) => k -> scaleE(cf, e) }.toMap
+            case (cf, cs) =>
+              Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
+                .map { case (k, e) => k -> scaleE(cf, e) }.toMap
+          }
+          perTerm.flatMap(_.keys).distinct.flatMap { k =>
+            gate.get(k).filter(_.value >= 0.5).flatMap { den =>
+              ratioE(perTerm.map(_.getOrElse(k, zeroE)).reduce(addE), den)
+            }.map(k -> _)
+          }.toMap
         }
       case _ => None
     }
@@ -475,6 +507,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         if (Ensemble.estCountOr(spns, sh.tables, nA, nB).value < 0.5) None
         else Some(Ensemble.estAvgOr(spns, sh.tables, ac, nA, nB))
       }
+      case AvgExprOut(terms, refCols) => pairFor(base, refCols).flatMap { case (nA, nB) =>
+        val den = Ensemble.estCountOr(spns, sh.tables, nA, nB)
+        if (den.value < 0.5) None
+        else ratioE(terms.map {
+          case (cf, Seq()) => scaleE(cf, den)
+          case (cf, cs) =>
+            scaleE(cf, Ensemble.estAggOr(spns, sh.tables, nA, nB, cs.map(_ -> 1).toMap))
+        }.reduce(addE), den)
+      }
       case _ => None
     }
     def groupEst(base: Map[String, Seq[Atom]])(c: OutCol)
@@ -503,6 +544,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           .map { case (k, e) => k -> e.value }.toMap
         Ensemble.estGroupByAvgOr(spns, sh.tables, gcols, ac, nA, nB)
           .collect { case (k, e) if gate.getOrElse(k, 0.0) >= 0.5 => k -> e }.toMap
+      }
+      case AvgExprOut(terms, refCols) => pairFor(base, refCols).map { case (nA, nB) =>
+        val gate = Ensemble.estGroupByAggOr(spns, sh.tables, gcols, Map.empty, nA, nB).toMap
+        val perTerm = terms.map {
+          case (cf, Seq()) => gate.map { case (k, e) => k -> scaleE(cf, e) }
+          case (cf, cs) =>
+            Ensemble.estGroupByAggOr(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, nA, nB)
+              .map { case (k, e) => k -> scaleE(cf, e) }.toMap
+        }
+        perTerm.flatMap(_.keys).toSeq.distinct.flatMap { k =>
+          gate.get(k).filter(_.value >= 0.5).flatMap { den =>
+            ratioE(perTerm.map(_.getOrElse(k, zeroE)).reduce(addE), den)
+          }.map(k -> _)
+        }.toMap
       }
       case _ => None
     }
@@ -584,6 +639,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           num <- signedE(base, Seq(ac), Seq(ac))
           r <- ratioE(num, den)
         } yield r
+      case AvgExprOut(terms, refCols) =>
+        for {
+          den <- signedE(base, refCols, Nil)
+          num <- terms.foldLeft(Option(zeroE)) { case (acc, (cf, cs)) =>
+            for { a <- acc; t <- signedE(base, refCols, cs) } yield addE(a, scaleE(cf, t))
+          }
+          r <- ratioE(num, den)
+        } yield r
       case _ => None
     }
     def groupEst(base: Map[String, Seq[Atom]])(c: OutCol)
@@ -608,6 +671,18 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           den <- signedGE(base, Seq(ac), Nil)
           num <- signedGE(base, Seq(ac), Seq(ac))
         } yield num.flatMap { case (k, n) =>
+          den.get(k).flatMap(d => ratioE(n, d)).map(k -> _)
+        }
+      case AvgExprOut(terms, refCols) =>
+        for {
+          den <- signedGE(base, refCols, Nil)
+          per <- terms.foldLeft(Option(Map.empty[Seq[String], Ensemble.Estimate])) {
+            case (acc, (cf, cs)) =>
+              for { a <- acc; m <- signedGE(base, refCols, cs) } yield
+                (a.keySet ++ m.keySet).iterator.map(k =>
+                  k -> addE(a.getOrElse(k, zeroE), scaleE(cf, m.getOrElse(k, zeroE)))).toMap
+          }
+        } yield per.flatMap { case (k, n) =>
           den.get(k).flatMap(d => ratioE(n, d)).map(k -> _)
         }
       case _ => None

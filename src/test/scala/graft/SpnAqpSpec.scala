@@ -2051,7 +2051,8 @@ class SpnAqpSpec extends AnyFunSuite {
     val sql = """SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS s,
                         avg(l_extendedprice) AS a,
                         sum(l_extendedprice * (1 - l_discount)) AS rev,
-                        count(*) FILTER (WHERE l_linestatus = 'F') AS nf
+                        count(*) FILTER (WHERE l_linestatus = 'F') AS nf,
+                        avg(l_extendedprice * (1 - l_discount)) AS ae
                  FROM lineitem WHERE l_quantity < 24 GROUP BY l_returnflag""".stripMargin
     val df = s2.sql(sql)
     assert(isRewritten(df), s"annotated query must fold:\n${df.queryExecution.optimizedPlan}")
@@ -2090,6 +2091,15 @@ class SpnAqpSpec extends AnyFunSuite {
       val (nfEst, _, _) = tvfCol("nf")(k)
       assert(math.round(nfEst).toDouble == nf,
         s"FILTER-count annotation for $k: $nfEst vs folded $nf")
+    }
+    // AVG of a linear form annotates by the interval quotient: the point
+    // value equals the fold's own, the interval covers it
+    val aeFold = df.collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+    aeFold.foreach { case (k, v) =>
+      val (aeEst, aeLo, aeHi) = tvfCol("ae")(k)
+      assert(math.abs(aeEst - v) < 1e-6 * math.max(1.0, math.abs(v)),
+        s"avg-expr annotation for $k: $aeEst vs folded $v")
+      assert(aeLo <= aeEst && aeEst <= aeHi, s"avg-expr interval for $k: [$aeLo, $aeHi]")
     }
     // the folded point answers sit inside their own intervals
     val folded = df.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
