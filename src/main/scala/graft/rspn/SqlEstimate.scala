@@ -103,16 +103,14 @@ object SqlEstimate {
       spec: graft.schema.DatasetSpec): SqlResult = {
     val preds = mergePreds(spns, q.preds)
 
-    q.calGroup match {
-      case Some((fn, t, c)) =>
-        if (q.orPreds.nonEmpty) throw new IllegalArgumentException(
-          "unsupported SQL: OR with calendar GROUP BY")
-        q.groupBy.foreach { case (gt, gcol) =>
-          require(modelColOf(spns, gt, gcol).dict.nonEmpty,
-            s"GROUP BY $gcol: not a categorical model column")
-        }
-        return Groups(calendarGroups(spns, q, preds, fn, t, c))
-      case None => ()
+    if (q.calGroup.nonEmpty) {
+      if (q.orPreds.nonEmpty) throw new IllegalArgumentException(
+        "unsupported SQL: OR with calendar GROUP BY")
+      q.groupBy.foreach { case (gt, gcol) =>
+        require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+          s"GROUP BY $gcol: not a categorical model column")
+      }
+      return Groups(calendarGroups(spns, q, preds))
     }
 
     if (q.groupMode != GroupFlat) {
@@ -222,48 +220,72 @@ object SqlEstimate {
     */
   private def calendarGroups(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
-      preds: Map[(String, String), ColRange],
-      fn: String, t: String, c: String): Seq[(Seq[String], Ensemble.Estimate)] = {
+      preds: Map[(String, String), ColRange]): Seq[(Seq[String], Ensemble.Estimate)] = {
     import java.time.LocalDate
-    val dom = Ensemble.colDomain(spns, t, c).getOrElse(
-      throw new IllegalArgumentException(s"calendar GROUP BY: no realized domain for $t.$c"))
-    val lo = LocalDate.ofEpochDay(math.floor(dom._1).toLong)
-    val hi = LocalDate.ofEpochDay(math.floor(dom._2).toLong)
-    require(hi.getYear - lo.getYear <= 400,
-      s"calendar GROUP BY: ${hi.getYear - lo.getYear} domain years exceed the 400-bucket cap")
-    val buckets: Seq[(String, ColRange)] = fn match {
-      case "year" =>
-        (lo.getYear to hi.getYear).map { y =>
-          y.toString -> (NumRange(
-            LocalDate.of(y, 1, 1).toEpochDay.toDouble,
-            LocalDate.of(y + 1, 1, 1).toEpochDay.toDouble,
-            loIncl = true, hiIncl = false): ColRange)
-        }
-      case "month" | "quarter" =>
-        val (n, span) = if (fn == "month") (12, 1) else (4, 3)
-        (1 to n).map { k =>
-          val rs = (lo.getYear to hi.getYear).map { y =>
-            val start = LocalDate.of(y, (k - 1) * span + 1, 1)
-            NumRange(start.toEpochDay.toDouble,
-              start.plusMonths(span.toLong).toEpochDay.toDouble,
-              loIncl = true, hiIncl = false)
+    def bucketsOf(fn: String, t: String, c: String): Seq[(String, ColRange)] = {
+      val dom = Ensemble.colDomain(spns, t, c).getOrElse(
+        throw new IllegalArgumentException(s"calendar GROUP BY: no realized domain for $t.$c"))
+      val lo = LocalDate.ofEpochDay(math.floor(dom._1).toLong)
+      val hi = LocalDate.ofEpochDay(math.floor(dom._2).toLong)
+      require(hi.getYear - lo.getYear <= 400,
+        s"calendar GROUP BY: ${hi.getYear - lo.getYear} domain years exceed the 400-bucket cap")
+      fn match {
+        case "year" =>
+          (lo.getYear to hi.getYear).map { y =>
+            y.toString -> (NumRange(
+              LocalDate.of(y, 1, 1).toEpochDay.toDouble,
+              LocalDate.of(y + 1, 1, 1).toEpochDay.toDouble,
+              loIncl = true, hiIncl = false): ColRange)
           }
-          k.toString -> ColRangeOps.normalize(rs)
-            .getOrElse(NominalSet(Array.empty[Double]))
-        }
-      case other => throw new IllegalArgumentException(
-        s"unsupported SQL: calendar grouping $other")
+        case "month" | "quarter" =>
+          val (n, span) = if (fn == "month") (12, 1) else (4, 3)
+          (1 to n).map { k =>
+            val rs = (lo.getYear to hi.getYear).map { y =>
+              val start = LocalDate.of(y, (k - 1) * span + 1, 1)
+              NumRange(start.toEpochDay.toDouble,
+                start.plusMonths(span.toLong).toEpochDay.toDouble,
+                loIncl = true, hiIncl = false)
+            }
+            k.toString -> ColRangeOps.normalize(rs)
+              .getOrElse(NominalSet(Array.empty[Double]))
+          }
+        case other => throw new IllegalArgumentException(
+          s"unsupported SQL: calendar grouping $other")
+      }
     }
-    buckets.flatMap { case (key, r) =>
-      Ensemble.intersect(preds, Map((t, c) -> r)) match {
-        case None => Nil // the bucket contradicts the query's own date range
-        case Some(p) =>
+    // one bucket tuple per calendar key combination: TWO calendar
+    // expressions compose as a cross product — nested intersect meets
+    // same-column ranges (year ∧ cyclic month = that year's month slice;
+    // provably-empty pairs drop) and simply conjoins distinct columns
+    val perCal: Seq[Seq[(String, (String, String), ColRange)]] =
+      q.calGroup.map { case (fn, t, c) =>
+        bucketsOf(fn, t, c).map { case (k, r) => (k, (t, c), r) }
+      }
+    val tuples: Seq[(Seq[String], Map[(String, String), ColRange])] =
+      perCal.foldLeft(Seq((Seq.empty[String], preds))) { case (acc, buckets) =>
+        for {
+          (keys, p0) <- acc
+          (k, tc, r) <- buckets
+          p <- Ensemble.intersect(p0, Map(tc -> r)).toSeq
+        } yield (keys :+ k, p)
+      }
+    require(tuples.length <= 400,
+      s"calendar GROUP BY: ${tuples.length} bucket combinations exceed the 400-bucket cap")
+    tuples.flatMap { case (keys, p) =>
+      calendarTupleRows(spns, q, keys, p)
+    }
+  }
+
+  private def calendarTupleRows(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      key: Seq[String], p: Map[(String, String), ColRange])
+      : Seq[(Seq[String], Ensemble.Estimate)] = {
           if (Ensemble.estCount(spns, q.tables, p).value < 0.5) Nil
-          // dictionary dimension columns enumerate PER BUCKET under the
-          // bucket-conjoined predicates (`GROUP BY year(d), dim, ...`) —
-          // the Catalyst mixed fold's shape on the text plane; the
-          // calendar key leads every tuple (SELECT order is validated to
-          // match by the parser)
+          // dictionary dimension columns enumerate PER BUCKET TUPLE under
+          // the bucket-conjoined predicates (`GROUP BY year(d)[, month(d)]
+          // , dim, ...`) — the Catalyst mixed fold's shape on the text
+          // plane; the calendar keys lead every tuple (SELECT order is
+          // validated to match by the parser)
           else if (q.groupBy.nonEmpty) {
             val dimRows = q.agg match {
               case Count => Ensemble.estGroupByMulti(spns, q.tables, q.groupBy, p)
@@ -277,8 +299,8 @@ object SqlEstimate {
               case other => throw new IllegalArgumentException(
                 s"unsupported SQL: $other with calendar GROUP BY")
             }
-            dimRows.map { case (dk, e) => (key +: dk, e) }
-          } else Seq(Seq(key) -> (q.agg match {
+            dimRows.map { case (dk, e) => (key ++ dk, e) }
+          } else Seq(key -> (q.agg match {
             case Count       => Ensemble.estCount(spns, q.tables, p)
             case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), p)
             case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), p)
@@ -287,8 +309,6 @@ object SqlEstimate {
             case other => throw new IllegalArgumentException(
               s"unsupported SQL: $other with calendar GROUP BY")
           }))
-      }
-    }
   }
 
   /** GROUP BY over a modeled NUMERIC column on the text plane — the

@@ -48,22 +48,22 @@ object SqlExact {
           .cast("double").as("val")
     }
     val out = q.calGroup match {
-      // calendar grouping: the matching Spark function over the raw
-      // column, key named "grp" like every other single-key grouping
-      case Some((fn, _, c)) =>
-        val key = (fn match {
-          case "year"  => year(col(c))
-          case "month" => month(col(c))
-          case _       => quarter(col(c))
-        }).as("grp")
-        // dimension columns ride behind the calendar key (grp2, grp3, ...)
-        val dimCols = q.groupBy.zipWithIndex.map { case ((_, g), i) =>
-          col(g).as(s"grp${i + 2}")
+      // calendar grouping: the matching Spark functions over the raw
+      // columns, keys named grp, grp2, ... like every other grouping —
+      // calendar keys first, dimension columns behind
+      case cals if cals.nonEmpty =>
+        val calKeys = cals.map { case (fn, _, c) =>
+          fn match {
+            case "year"  => year(col(c))
+            case "month" => month(col(c))
+            case _       => quarter(col(c))
+          }
         }
-        val names = "grp" +: q.groupBy.indices.map(i => s"grp${i + 2}")
-        df.groupBy((key +: dimCols): _*).agg(aggCol)
-          .orderBy(names.map(col): _*)
-      case None => q.groupBy match {
+        val keys = (calKeys ++ q.groupBy.map { case (_, g) => col(g) })
+          .zipWithIndex.map { case (k, i) => k.as(if (i == 0) "grp" else s"grp${i + 1}") }
+        val names = keys.indices.map(i => if (i == 0) "grp" else s"grp${i + 1}")
+        df.groupBy(keys: _*).agg(aggCol).orderBy(names.map(col): _*)
+      case _ => q.groupBy match {
       case Nil => df.agg(aggCol)
       case gs =>
         // first group column keeps the name "grp" (single-column callers

@@ -56,13 +56,15 @@ object SqlParser {
       having: Option[Having] = None,
       orderBy: Seq[OrderKey] = Nil,
       limit: Option[Int] = None,
-      /** `GROUP BY year(col)/month(col)/quarter(col)` — the SQL-text
-        * plane's calendar grouping (r14): (fn, table, days column). The
-        * estimate plane buckets the model's realized date domain exactly
-        * like the Catalyst calendar fold; the exact plane groups by the
-        * matching Spark function. Exclusive with `groupBy`.
+      /** `GROUP BY year(col)/month(col)/quarter(col)[, cal2][, dims...]` —
+        * the SQL-text plane's calendar grouping (r14): up to TWO leading
+        * (fn, table, days column) calendar expressions (two compose as a
+        * bucket cross product, the Catalyst seasonal-matrix fold), with
+        * `groupBy` carrying any trailing dictionary dimension columns.
+        * The estimate plane buckets the model's realized date domain; the
+        * exact plane groups by the matching Spark functions.
         */
-      calGroup: Option[(String, String, String)] = None)
+      calGroup: Seq[(String, String, String)] = Nil)
 
   /** `HAVING <agg> <cmp> <number>` — a post-aggregation filter. The
     * reference's parse_query has no HAVING arm (its benchmark class stops at
@@ -175,7 +177,7 @@ object SqlParser {
     throw new IllegalArgumentException(s"unsupported SQL: $msg")
 
   private val selectRe: Regex =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|(?:YEAR|MONTH|QUARTER)\s*\(\s*\w+\s*\)(?:\s*,\s*\w+)*|\w+(?:\s*,\s*\w+)*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|(?:(?:YEAR|MONTH|QUARTER)\s*\(\s*\w+\s*\)|\w+)(?:\s*,\s*(?:(?:YEAR|MONTH|QUARTER)\s*\(\s*\w+\s*\)|\w+))*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   private val selAliasRe: Regex = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r
   private val leadColRe: Regex = """(?is)^(?:\w+\.)?(\w+)$""".r
   private val havingRe: Regex = """(?is)^(.+?)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$""".r
@@ -298,18 +300,20 @@ object SqlParser {
       // by dictionary dimension columns (`GROUP BY year(d), dim, ...`)
       val groupParts: Seq[String] =
         Option(group).map(_.trim).toSeq.flatMap(_.split(",")).map(_.trim)
-      val calSyntax: Option[(String, String)] = groupParts.headOption.flatMap {
-        case calGroupRe(fn, c) => Some((fn.toLowerCase, c))
-        case _                 => None
-      }
-      calSyntax.foreach { case (fn, c) =>
-        val leads = selParts.headOption.map(_.trim).exists {
+      val calSyntax: Seq[(String, String)] = groupParts.takeWhile {
+        case calGroupRe(_, _) => true
+        case _                => false
+      }.map { case calGroupRe(fn, c) => (fn.toLowerCase, c) }
+      if (calSyntax.length > 2) fail(
+        "at most two calendar grouping expressions (the bucket cross product)")
+      if (selParts.length > 1) calSyntax.zipWithIndex.foreach { case ((fn, c), i) =>
+        val leads = selParts.lift(i).map(_.trim).exists {
           case calGroupRe(ifn, ic) => ifn.toLowerCase == fn && ic == c
           case _                   => false
         }
-        if (selParts.length > 1 && !leads) fail(
-          s"calendar GROUP BY: SELECT must lead with $fn($c) so result " +
-            "columns match the grouping order")
+        if (!leads) fail(
+          s"calendar GROUP BY: SELECT item ${i + 1} must be $fn($c) so " +
+            "result columns match the grouping order")
       }
       val leadCols = selParts.init.map(_.trim).filterNot { item =>
         calSyntax.exists { case (fn, c) =>
@@ -350,7 +354,7 @@ object SqlParser {
           (if (kind.equalsIgnoreCase("ROLLUP")) GroupRollup else GroupCube, Some(cols))
         case other => (GroupFlat, other)
       }
-      val calGroup: Option[(String, String, String)] = calSyntax.map { case (fn, c) =>
+      val calGroup: Seq[(String, String, String)] = calSyntax.map { case (fn, c) =>
         val t = tableOf(c)
         if (!tables(t)) fail(s"GROUP BY $fn($c): table $t not in FROM")
         if (!activeSpec.value.modeled.getOrElse(t, Nil)
@@ -359,7 +363,7 @@ object SqlParser {
         (fn, t, c)
       }
       val groupBy = {
-        val plain = if (calGroup.isDefined) groupParts.drop(1)
+        val plain = if (calGroup.nonEmpty) groupParts.drop(calGroup.length)
                     else groupCols.toSeq.flatMap(_.split(",")).map(_.trim)
         plain.map { g =>
           val t = tableOf(g)
@@ -404,7 +408,7 @@ object SqlParser {
       }
       // an un-ordered LIMIT returns engine-dependent rows — reject it rather
       // than break the determinism contract every declared query carries
-      if (limit.isDefined && orderBy.isEmpty && (groupBy.nonEmpty || calGroup.isDefined))
+      if (limit.isDefined && orderBy.isEmpty && (groupBy.nonEmpty || calGroup.nonEmpty))
         fail("LIMIT requires ORDER BY on a grouped query")
       ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy, mode,
         having, orderBy, limit, calGroup)

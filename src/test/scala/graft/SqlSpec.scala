@@ -767,6 +767,54 @@ class SqlSpec extends AnyFunSuite {
     }
   }
 
+  test("two-calendar cross product estimates on the text plane") {
+    // GROUP BY year(d), quarter(d): the bucket cross product — nested
+    // predicate intersection meets the year range with the cyclic quarter
+    // multi-interval (that year's quarter slice), parity with the Catalyst
+    // seasonal fold
+    views
+    val sql = """SELECT year(o_orderdate), quarter(o_orderdate), COUNT(*)
+                 FROM orders WHERE o_totalprice < 150000
+                 GROUP BY year(o_orderdate), quarter(o_orderdate)""".stripMargin
+    val exact = spark.sql(sql).collect()
+      .map(r => (r.getInt(0).toString, r.getInt(1).toString) -> r.getLong(2).toDouble).toMap
+    val est = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => (k(0), k(1)) -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"phantom cell $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"dropped cell $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"cell $k: ${est(k)} vs ${exact(k)}")
+    }
+    // ...and with a trailing dimension column
+    val sql2 = """SELECT year(o_orderdate), quarter(o_orderdate), o_orderstatus, COUNT(*)
+                  FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate), o_orderstatus""".stripMargin
+    val exact2 = spark.sql(sql2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getLong(3).toDouble).toMap
+    val est2 = SqlEstimate.estimate(ens, sql2) match {
+      case SqlEstimate.Groups(rows) =>
+        rows.map { case (k, e) => (k(0).toInt, k(1).toInt, k(2)) -> e.value }.toMap
+      case other => fail(s"expected groups, got $other")
+    }
+    (est2.keySet intersect exact2.keySet).foreach { k =>
+      assert(qerr(est2(k), exact2(k)) <= 3.0 || math.abs(est2(k) - exact2(k)) <= 10.0,
+        s"cell $k: ${est2(k)} vs ${exact2(k)}")
+    }
+    (exact2.keySet diff est2.keySet).foreach { k =>
+      assert(exact2(k) <= 5.0, s"dropped cell $k has real rows: ${exact2(k)}")
+    }
+    // a THIRD calendar expression fails loudly
+    assertThrows[IllegalArgumentException](SqlParser.parseQuery(
+      """SELECT COUNT(*) FROM orders
+        |GROUP BY year(o_orderdate), quarter(o_orderdate), month(o_orderdate)""".stripMargin))
+  }
+
   test("date-shaped NOT IN over a CATEGORICAL column resolves to the string complement") {
     // the parser classifies '2020-01-01' as a date literal; on a cat
     // column whose dictionary holds ISO-date-like STRINGS both planes must
