@@ -106,9 +106,21 @@ object SpnAqpRule {
     * NULL), and calendar buckets (per bucket, key stringified) — queryable
     * via `SELECT * FROM spn_last_fold()`. Row universe and per-aggregate
     * gates mirror the fold exactly: a group the fold dropped, or an output
-    * it returned as NULL, gets no annotation row. Outputs with no one-call
-    * CI channel (expression trees, distinct counts, MIN/MAX, AVG of a
-    * linear form) are skipped rather than guessed.
+    * it returned as NULL, gets no annotation row.
+    *
+    * CONTRACT — support-enumeration outputs NEVER annotate (r15, pinned by
+    * spec): COUNT(DISTINCT) and MIN/MAX (dictionary or realized-value
+    * enumerations) are set-size/extreme statistics, not scaled
+    * expectations — a CLT interval around them would be degenerate (the
+    * enumeration is exact ON THE REALIZED DOMAIN) while their actual
+    * failure mode (the sampled support missing a realized value) is
+    * one-sided and not expressible as a symmetric interval, so emitting
+    * one would misstate the error. Other outputs of the same fold still
+    * annotate; the absence of a row for a distinct/extreme output is the
+    * documented contract, not staleness. Expression trees are likewise
+    * skipped rather than guessed (their leaves' errors are correlated
+    * through shared predicates in ways a per-leaf interval sum would
+    * misstate).
     *
     * STALENESS: any Aggregate the rule processes WITHOUT folding clears
     * the entry, so the TVF can never serve an earlier query's intervals
@@ -729,9 +741,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(groupAttrs.map(_.name), rows))
   }
 
-  /** Calendar folds annotate PER BUCKET TUPLE: plain-conjunctive per
-    * bucket (the calendar guard excludes OR shapes), the calendar key
-    * stringified as the leading group column(s).
+  /** Calendar/histogram folds annotate PER BUCKET TUPLE under whatever OR
+    * structure the Shape carries (annotationRows dispatches exactly like
+    * the fold itself), the bucket key(s) stringified as the leading group
+    * column(s).
     */
   private def annotateCalendar(
       sh: Shape,
@@ -750,9 +763,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       val prefix = ks.map(String.valueOf)
       if (dims.isEmpty) {
         // scalar buckets annotate only when the fold emitted them
-        // (count >= half a row — the fold's own bucket gate)
-        val emitted = SpnCardinality.predsFor(spns, sh.tables, shB.atoms, spec.modeled)
-          .exists(p => Ensemble.estCount(spns, sh.tables, p).value >= 0.5)
+        // (count >= half a row — the fold's own shape-dispatched gate)
+        val emitted = shapeCount(spns, spec, shB).exists(_ >= 0.5)
         if (!emitted) Nil
         else annotationRows(spns, spec, shB, Nil, colPairs)
           .map { case (_, nm, e) => (prefix, nm, e) }
@@ -788,12 +800,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * columns) estimating below one row emits no group, matching SQL's row
     * universe.
     *
-    * Guards: conjunctive predicates only, exactly ONE calendar grouping
-    * expression (the rest must be dictionary-modeled strings), UTC session
+    * Guards: at most TWO calendar grouping expressions (the rest must be
+    * dictionary-modeled strings or num-modeled numerics — the latter
+    * expand the bucket tuples by realized-value support, r15), UTC session
     * timezone only (truncation boundaries and the model's epoch-day
     * encoding agree exactly there), at most 400 buckets / 400 domain
-    * years. An estimated NULL-date mass of one row or more falls back —
-    * SQL's NULL group is unproducible from range buckets.
+    * years. Cross-column disjunctions COMPOSE since r15: every bucket
+    * estimates through the shape dispatch, so the walk's ≤3-disjunction
+    * accuracy cap is the only OR guard. An estimated NULL-date mass of
+    * one row or more falls back — SQL's NULL group is unproducible from
+    * range buckets.
     */
   private def rewriteCalendar(agg: Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{DayOfWeek, Month, Quarter, TruncTimestamp, Year}
@@ -956,7 +972,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             for {
               sh <- D("walk")(walk(Project(walkable, inner), spec.modeled, spec.graph.relationships,
                 keyColsOf(spec)))
-              _ <- D("pend/or")(if (sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty) Some(()) else None)
+              // cross-column disjunctions RIDE the fold since r15: each
+              // bucket's range-conjoined atoms distribute into every OR
+              // branch through the shape dispatch (bucketTupleRows), so the
+              // walk's own ≤3-disjunction accuracy cap is the only OR guard
+              _ <- D("pend")(if (sh.pendingKeyNotNull.isEmpty) Some(()) else None)
               // every calendar expression's source must be a days-modeled
               // column (possibly the SAME column for both)
               tcs <- D("tcs"){
@@ -967,48 +987,63 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 }
                 if (r.forall(_.isDefined)) Some(r.flatten) else None
               }
-              // every OTHER grouping column must be a dictionary-modeled
-              // string — the kind the per-bucket enumeration can serve
-              dims <- D("dims"){
-                val ds = dimAttrs.map {
-                  case a if a.dataType == StringType =>
-                    sh.attrTable.get(a.exprId).filter { case (dt, dc) =>
-                      spec.modeled(dt).exists(x => x._1 == dc && x._2 == "cat")
-                    }
-                  case _ => None
-                }
+              // every OTHER grouping column is either a dictionary-modeled
+              // string (per-bucket enumeration) or a num-modeled numeric —
+              // the latter EXPANDS the bucket tuples by its realized-value
+              // support (r15), the same kind-dispatch the reference's
+              // group_by_combination.py applies over model scopes
+              dimsSplit <- D("dims"){
+                val ds: Seq[Option[Either[(AttributeReference, (String, String)), (String, String)]]] =
+                  dimAttrs.map { a =>
+                    if (a.dataType == StringType)
+                      sh.attrTable.get(a.exprId).filter { case (dt, dc) =>
+                        spec.modeled(dt).exists(x => x._1 == dc && x._2 == "cat")
+                      }.map(Right(_))
+                    else if (a.dataType.isInstanceOf[NumericType])
+                      sh.attrTable.get(a.exprId).filter { case (dt, dc) =>
+                        spec.modeled(dt).exists(x => x._1 == dc && x._2 == "num")
+                      }.map(tc => Left(a -> tc))
+                    else None
+                  }
                 if (ds.forall(_.isDefined)) Some(ds.flatten) else None
               }
-              // a key output is EXACTLY a bare calendar grouping attribute
-              // (possibly re-aliased) — an expression OVER it (`year(d)+1`)
-              // is neither a key nor an aggregate the recognizer knows, so
-              // it must fail the whole rewrite rather than silently emit
-              // the raw key
+              numDims = dimsSplit.collect { case Left(x) => x }
+              dims = dimsSplit.collect { case Right(tc) => tc }
+              catDimAttrs = dimAttrs.zip(dimsSplit).collect { case (a, Right(_)) => a }
+              // a key output is EXACTLY a bare calendar/numeric grouping
+              // attribute (possibly re-aliased) — an expression OVER it
+              // (`year(d)+1`) is neither a key nor an aggregate the
+              // recognizer knows, so it must fail the whole rewrite rather
+              // than silently emit the raw key
+              keyIds = calIds ++ numDims.map(_._1.exprId)
               keyIdxOf = (ne: NamedExpression) => ne match {
-                case a: AttributeReference           => calIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
-                case Alias(a: AttributeReference, _) => calIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
+                case a: AttributeReference           => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
+                case Alias(a: AttributeReference, _) => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
                 case _                               => None
               }
               _ <- D("keyguard")(if (agg.aggregateExpressions.forall(ne =>
                 keyIdxOf(ne).isDefined ||
-                  ne.references.forall(r => !calIds.contains(r.exprId)))) Some(()) else None)
+                  ne.references.forall(r => !keyIds.contains(r.exprId)))) Some(()) else None)
               // classify the NON-key outputs through the shared recognizer;
-              // dimension grouping attrs resolve as GroupOut via dimIdx
+              // dictionary dimension attrs resolve as GroupOut via dimIdx
               others = agg.aggregateExpressions.filter(keyIdxOf(_).isEmpty)
-              dimIdx = dimAttrs.map(_.exprId).zipWithIndex.toMap
+              dimIdx = catDimAttrs.map(_.exprId).zipWithIndex.toMap
               aggCols <- D("aggCols")(outputCols(
                 agg.copy(aggregateExpressions = others), sh, spec.modeled, dimIdx))
               spns = Ensemble.get(session, sfDir)
-              // SQL groups NULL dates into a calendar-NULL row these
-              // buckets cannot produce — fold only when every calendar
-              // column's null mass estimates below one row. Evaluated on
-              // the column's OWN table (under that table's atoms): an FK
-              // join can only replicate base-table rows, so zero base
-              // nulls imply zero join nulls, and the single-model
-              // difference is free of the cross-model selection noise a
-              // joint-estimate difference would carry.
+              // SQL groups NULL dates (and NULL numeric dims) into a NULL
+              // key row these value-pinned buckets cannot produce — fold
+              // only when every calendar AND numeric-dim column's null
+              // mass estimates below one row. Evaluated on the column's
+              // OWN table (under that table's atoms): an FK join can only
+              // replicate base-table rows, so zero base nulls imply zero
+              // join nulls, and the single-model difference is free of the
+              // cross-model selection noise a joint-estimate difference
+              // would carry. (Under a disjunction the base atoms are a
+              // WEAKER predicate than base ∧ OR, so the gate can only
+              // over-estimate null mass — the conservative direction.)
               _ <- {
-                val masses = tcs.distinct.map { case (t, c) =>
+                val masses = (tcs ++ numDims.map(_._2)).distinct.map { case (t, c) =>
                   val tAtoms = Map(t -> sh.atoms.getOrElse(t, Seq.empty))
                   // both counts under the table's SINGLE model: RDC-aware
                   // selection would otherwise pick DIFFERENT models for the
@@ -1090,14 +1125,31 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 // year × month over a 30-year domain folds at 360)
                 D("cap")(if (raw.length > 400) None else Some(raw))
               }
+              // numeric dimension columns expand the bucket tuples by the
+              // column's realized-value support under the BASE predicates
+              // (a superset of any bucket's own support — phantom
+              // (bucket, value) pairs fold out through the per-tuple row
+              // gate), one point-pinned conjunct per value, under the same
+              // 400-tuple economics as the calendar cross product
+              tuplesNum <- D("numdims")(numDims.foldLeft(Option(tuples)) {
+                case (acc, (_, (t, c))) =>
+                  for {
+                    ts <- acc
+                    p <- SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+                    support <- Ensemble.numericSupport(spns, sh.tables, (t, c), p, cap = 400)
+                    expanded = for { (ks, as) <- ts; v <- support }
+                      yield (ks :+ (v: Any), as :+ (t -> (SpnCardinality.Cmp(c, "eq", v): Atom)))
+                    if expanded.length <= 400
+                  } yield expanded
+              })
               rows <- D("rows")(bucketTupleRows(
-                spns, spec, sh, tuples, dims, aggCols,
+                spns, spec, sh, tuplesNum, dims, aggCols,
                 agg.aggregateExpressions, keyIdxOf))
             } yield {
-              val calNames = cals.indices.map(i =>
+              val keyNames = keyIds.indices.map(i =>
                 agg.aggregateExpressions.find(ne => keyIdxOf(ne).contains(i))
-                  .map(_.name).getOrElse(s"_cal$i"))
-              annotateCalendar(sh, tuples, dims, calNames ++ dimAttrs.map(_.name),
+                  .map(_.name).getOrElse(s"_key$i"))
+              annotateCalendar(sh, tuplesNum, dims, keyNames ++ catDimAttrs.map(_.name),
                 aggCols.zip(others.map(_.name)))
               LocalRelation(agg.output, toRows(rows, agg.output.map(_.dataType)))
             }
@@ -1112,7 +1164,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * a row, mixed buckets take the dictionary enumeration's own nonzero
     * row universe (groups of an empty bucket enumerate empty). Shared by
     * the calendar fold and the numeric-histogram fold; any uncompilable
-    * bucket makes the whole rewrite fall back — never guess one.
+    * bucket makes the whole rewrite fall back — never guess one. Each
+    * bucket estimates through the SHAPE DISPATCH (r15), so whatever OR
+    * structure the Shape carries — one disjunction via inclusion-
+    * exclusion, two or three via the signed expansion — composes with the
+    * bucket's conjoined atoms exactly like FILTER-clause atoms do: the
+    * bucket rides the base of every branch/term.
     */
   private def bucketTupleRows(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
@@ -1121,19 +1178,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       aggExprs: Seq[NamedExpression],
       keyIdxOf: NamedExpression => Option[Int]): Option[Seq[Seq[Any]]] = {
     val perBucket: Seq[Option[Seq[Seq[Any]]]] = tuples.map { case (ks, extra) =>
-      val bucket = mergeAtoms(sh.atoms, extra)
-      val shB = sh.copy(atoms = bucket)
+      val shB = sh.copy(atoms = mergeAtoms(sh.atoms, extra))
       val bucketRows: Option[Seq[(Seq[String], Map[Int, Any])]] =
         if (dims.isEmpty)
           for {
-            p <- SpnCardinality.predsFor(spns, sh.tables, bucket, spec.modeled)
-            m <- plainScalarVals(spns, spec, shB, aggCols)
+            n <- shapeCount(spns, spec, shB)
+            m <- scalarVals(spns, spec, shB, aggCols)
           } yield {
-            if (Ensemble.estCount(spns, sh.tables, p).value >= 0.5)
-              Seq(Seq.empty[String] -> m)
+            if (n >= 0.5) Seq(Seq.empty[String] -> m)
             else Nil
           }
-        else plainGroupRows(spns, spec, shB, dims, aggCols)
+        else groupRows(spns, spec, shB, dims, aggCols)
       bucketRows.map(_.map { case (dk, m) =>
         var j = -1
         aggExprs.map { ne =>
@@ -1154,17 +1209,20 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   }
 
   /** Numeric-column grouping — the histogram dashboard shape the
-    * dictionary path cannot serve (`GROUP BY l_quantity[, dimcol...]`):
-    * one bucket per REALIZED value of a modeled numeric column with mass
-    * under the base predicates (the NumericLeaf support enumeration), each
-    * bucket one point-pinned estimation — the numeric mirror of the
-    * dictionary enumeration, capped at 400 buckets (a near-continuous
-    * column's sampled support is neither cheap nor a faithful group
-    * universe → fall back). Dictionary dimension columns ride along per
-    * bucket exactly like the calendar fold's. SQL's numeric-NULL group is
-    * unproducible from value pins, so an estimated null mass of one row or
-    * more falls back; plain-conjunctive shapes only (a disjunctive
-    * predicate keeps its exact plan). Reference analog:
+    * dictionary path cannot serve (`GROUP BY l_quantity[, numcol...,
+    * dimcol...]`): one bucket per REALIZED value of each modeled numeric
+    * grouping column with mass under the base predicates (the NumericLeaf
+    * support enumeration), each bucket tuple one point-pinned estimation —
+    * the numeric mirror of the dictionary enumeration. Several numeric
+    * keys cross their supports (r15) under ONE shared 400-tuple cap (a
+    * near-continuous column's sampled support is neither cheap nor a
+    * faithful group universe → fall back). Dictionary dimension columns
+    * ride along per bucket exactly like the calendar fold's. SQL's
+    * numeric-NULL group is unproducible from value pins, so an estimated
+    * null mass of one row or more falls back. Disjunctive predicates
+    * compose through the bucket dispatch (r15): each value pin conjoins
+    * the base of every OR branch/signed term, exactly like the flat
+    * grouped fold's FILTER-clause atoms. Reference analog:
     * aqp_spn/group_by_combination.py enumerates combinations off the leaf
     * value sets the same way for its grouped AQP.
     */
@@ -1175,71 +1233,82 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     val gAttrs = gs.map(_.asInstanceOf[AttributeReference])
     for {
       sh <- walk(agg.child, spec.modeled, spec.graph.relationships, keyColsOf(spec))
-      if sh.pendingKeyNotNull.isEmpty && sh.orBranches.isEmpty
-      // exactly ONE numeric grouping attribute (of numeric SQL type); the
-      // rest must be dictionary-modeled strings
-      numKey <- {
-        val cands = gAttrs.flatMap { a =>
-          if (!a.dataType.isInstanceOf[NumericType]) None
-          else sh.attrTable.get(a.exprId).filter { case (t, c) =>
-            spec.modeled(t).exists(x => x._1 == c && x._2 == "num")
-          }.map(a -> _)
-        }
-        cands match { case Seq(one) => Some(one); case _ => None }
-      }
-      (gAttr, tc) = numKey
-      (t, c) = tc
-      dimAttrs = gAttrs.filterNot(_.exprId == gAttr.exprId)
-      dims <- {
-        val ds = dimAttrs.map {
-          case a if a.dataType == StringType =>
-            sh.attrTable.get(a.exprId).filter { case (dt, dc) =>
-              spec.modeled(dt).exists(x => x._1 == dc && x._2 == "cat")
-            }
-          case _ => None
-        }
+      if sh.pendingKeyNotNull.isEmpty
+      // at least one num-modeled numeric grouping attribute; the rest must
+      // be num-modeled numerics or dictionary-modeled strings
+      split <- {
+        val ds: Seq[Option[Either[(AttributeReference, (String, String)), (AttributeReference, (String, String))]]] =
+          gAttrs.map { a =>
+            if (a.dataType.isInstanceOf[NumericType])
+              sh.attrTable.get(a.exprId).filter { case (t, c) =>
+                spec.modeled(t).exists(x => x._1 == c && x._2 == "num")
+              }.map(tc => Left(a -> tc))
+            else if (a.dataType == StringType)
+              sh.attrTable.get(a.exprId).filter { case (t, c) =>
+                spec.modeled(t).exists(x => x._1 == c && x._2 == "cat")
+              }.map(tc => Right(a -> tc))
+            else None
+          }
         if (ds.forall(_.isDefined)) Some(ds.flatten) else None
       }
-      // a key output is EXACTLY the bare grouping attribute (possibly
-      // re-aliased); an aggregate over the grouped column itself
+      numKeys = split.collect { case Left(x) => x }
+      if numKeys.nonEmpty
+      catDims = split.collect { case Right(x) => x }
+      dims = catDims.map(_._2)
+      // a key output is EXACTLY a bare numeric grouping attribute
+      // (possibly re-aliased); an aggregate over a grouped column itself
       // (`sum(q) ... GROUP BY q`) falls back rather than guess
-      keyOut = (ne: NamedExpression) => ne match {
-        case a: AttributeReference           => a.exprId == gAttr.exprId
-        case Alias(a: AttributeReference, _) => a.exprId == gAttr.exprId
-        case _                               => false
+      keyIds = numKeys.map(_._1.exprId)
+      keyIdxOf = (ne: NamedExpression) => ne match {
+        case a: AttributeReference           => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
+        case Alias(a: AttributeReference, _) => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
+        case _                               => None
       }
       if agg.aggregateExpressions.forall(ne =>
-        keyOut(ne) || ne.references.forall(_.exprId != gAttr.exprId))
-      others = agg.aggregateExpressions.filterNot(keyOut)
-      dimIdx = dimAttrs.map(_.exprId).zipWithIndex.toMap
+        keyIdxOf(ne).isDefined || ne.references.forall(r => !keyIds.contains(r.exprId)))
+      others = agg.aggregateExpressions.filter(keyIdxOf(_).isEmpty)
+      dimIdx = catDims.map(_._1.exprId).zipWithIndex.toMap
       aggCols <- outputCols(
         agg.copy(aggregateExpressions = others), sh, spec.modeled, dimIdx)
       spns = Ensemble.get(session, sfDir)
-      // SQL's NULL group gate, under the column's own single-table model
-      // (see the calendar fold's comment on cross-model selection noise)
+      // SQL's NULL group gate per numeric key column, under the column's
+      // own single-table model (see the calendar fold's comment on
+      // cross-model selection noise; base atoms alone can only
+      // OVER-estimate the null mass under a disjunction — conservative)
       _ <- {
-        val tAtoms = Map(t -> sh.atoms.getOrElse(t, Seq.empty))
-        val single = spns.get(t).map(m => Map(t -> m)).getOrElse(spns)
-        for {
-          pAll <- SpnCardinality.predsFor(single, Set(t), tAtoms, spec.modeled)
-          pNN <- SpnCardinality.predsFor(
-            single, Set(t), withNotNull(tAtoms, Seq((t, c))), spec.modeled)
-          if Ensemble.estCount(single, Set(t), pAll).value -
-            Ensemble.estCount(single, Set(t), pNN).value < 0.5
-        } yield ()
+        val ok = numKeys.map(_._2).distinct.forall { case (t, c) =>
+          val tAtoms = Map(t -> sh.atoms.getOrElse(t, Seq.empty))
+          val single = spns.get(t).map(m => Map(t -> m)).getOrElse(spns)
+          (for {
+            pAll <- SpnCardinality.predsFor(single, Set(t), tAtoms, spec.modeled)
+            pNN <- SpnCardinality.predsFor(
+              single, Set(t), withNotNull(tAtoms, Seq((t, c))), spec.modeled)
+          } yield Ensemble.estCount(single, Set(t), pAll).value -
+            Ensemble.estCount(single, Set(t), pNN).value < 0.5).getOrElse(false)
+        }
+        if (ok) Some(()) else None
       }
-      support <- SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
-        .flatMap(p => Ensemble.numericSupport(spns, sh.tables, (t, c), p, cap = 400))
-      tuples = support.map(v =>
-        (Seq[Any](v), Seq(t -> (SpnCardinality.Cmp(c, "eq", v): Atom))))
-      keyIdxOf = (ne: NamedExpression) => if (keyOut(ne)) Some(0) else None
+      basePreds <- SpnCardinality.predsFor(spns, sh.tables, sh.atoms, spec.modeled)
+      tuples <- numKeys.foldLeft(
+        Option(Seq((Seq.empty[Any], Seq.empty[(String, Atom)])))) {
+        case (acc, (_, (t, c))) =>
+          for {
+            ts <- acc
+            support <- Ensemble.numericSupport(spns, sh.tables, (t, c), basePreds, cap = 400)
+            expanded = for { (ks, as) <- ts; v <- support }
+              yield (ks :+ (v: Any), as :+ (t -> (SpnCardinality.Cmp(c, "eq", v): Atom)))
+            if expanded.length <= 400
+          } yield expanded
+      }
       rows <- bucketTupleRows(spns, spec, sh, tuples, dims, aggCols,
         agg.aggregateExpressions, keyIdxOf)
     } yield {
-      // per-bucket plain-conjunctive estimation — the calendar fold's
-      // annotation channel serves the histogram shape unchanged
-      val keyName = agg.aggregateExpressions.find(keyOut).map(_.name).getOrElse(c)
-      annotateCalendar(sh, tuples, dims, keyName +: dimAttrs.map(_.name),
+      // per-bucket estimation through the shape dispatch — the calendar
+      // fold's annotation channel serves the histogram shape unchanged
+      val keyNames = keyIds.indices.map(i =>
+        agg.aggregateExpressions.find(ne => keyIdxOf(ne).contains(i))
+          .map(_.name).getOrElse(numKeys(i)._2._2))
+      annotateCalendar(sh, tuples, dims, keyNames ++ catDims.map(_._1.name),
         aggCols.zip(others.map(_.name)))
       LocalRelation(agg.output, toRows(rows, agg.output.map(_.dataType)))
     }
@@ -2237,6 +2306,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     case gs if gs.length <= 3 => multiOrScalarVals(spns, spec, sh, gs, cols)
     case _           => None
   }
+
+  /** The Shape's row-count estimate under whatever OR structure it
+    * carries — the bucket-emission gate for scalar bucket tuples (the
+    * shape-dispatched mirror of a single CountOut() output; SQL's row
+    * universe needs the DISJUNCTION's count, not one branch's).
+    */
+  private def shapeCount(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
+      sh: Shape): Option[Double] =
+    scalarVals(spns, spec, sh, Seq(CountOut()))
+      .map(_(0).asInstanceOf[Double])
 
   /** Shape dispatch, GROUPED: per-group key tuples plus COMPLETE
     * output-position value maps (absent enumerations filled with

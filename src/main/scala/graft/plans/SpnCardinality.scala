@@ -903,6 +903,42 @@ object SpnPlanning {
           |FROM orders WHERE o_totalprice < 150000
           |GROUP BY year(o_orderdate), month(o_orderdate)
           |ORDER BY y, m""".stripMargin)
+    },
+
+    // Round 15: the dashboard SLICER shape — a cross-column disjunction
+    // under a calendar × dimension grouping, folded zero-scan: each
+    // bucket's range conjunct distributes into both OR branches through
+    // the shape dispatch and answers via per-bucket inclusion-exclusion
+    // (SpnAqpSpec pins single-/two-OR × {year, year×quarter, histogram}
+    // against the exact plane; rows>0 is the Verify contract here).
+    Op.noOracle("aqp_transparent_or_dashboard") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders")
+      s2.sql(
+        """SELECT year(o_orderdate) AS y, o_orderpriority, count(*) AS n
+          |FROM orders WHERE o_orderstatus = 'F' OR o_totalprice < 50000
+          |GROUP BY year(o_orderdate), o_orderpriority
+          |ORDER BY y, o_orderpriority""".stripMargin)
+    },
+
+    // Round 15: numeric dimension columns ride the calendar fold — the
+    // num-modeled column expands the bucket tuples by its realized-value
+    // support (kind dispatch instead of the dictionary-only gate;
+    // SpnAqpSpec pins calendar × numeric, calendar × numeric × dict and
+    // the two-numeric-key cross against the exact plane).
+    Op.noOracle("aqp_transparent_numdim") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT year(l_shipdate) AS y, l_quantity, count(*) AS n,
+          |       sum(l_extendedprice) AS rev
+          |FROM lineitem WHERE l_quantity < 10
+          |GROUP BY year(l_shipdate), l_quantity
+          |ORDER BY y, l_quantity""".stripMargin)
     }
   )
 }

@@ -1626,11 +1626,90 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(est3(k), exact3(k)) <= 3.0 || math.abs(est3(k) - exact3(k)) <= 10.0,
         s"3-way group $k: ${est3(k)} vs ${exact3(k)}")
     }
-    // a NUMERIC second grouping column (no dictionary) must fall back
+    // an UNMODELED second grouping column must fall back (num-MODELED
+    // numeric dims ride the fold via realized-value support since r15 —
+    // the dedicated test below; o_custkey is a key, never modeled)
     val numDim = session(aqp = true).sql(
       """SELECT year(o_orderdate) AS y, o_custkey, count(*) AS n
          FROM orders GROUP BY year(o_orderdate), o_custkey""".stripMargin)
-    assert(!isRewritten(numDim), "a non-dictionary dimension column must fall back")
+    assert(!isRewritten(numDim), "an unmodeled dimension column must fall back")
+  }
+
+  test("numeric dimension columns ride the calendar fold via realized-value support") {
+    // `GROUP BY year(d), numcol` — kind dispatch on the dimension: the
+    // num-modeled column expands the bucket tuples by its realized-value
+    // support (one point pin per value), under the shared 400-tuple cap
+    val sql = """SELECT year(l_shipdate) AS y, l_quantity, count(*) AS n,
+                        sum(l_extendedprice) AS s
+                 FROM lineitem WHERE l_quantity < 10
+                 GROUP BY year(l_shipdate), l_quantity""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)) -> r.getLong(2).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"year × numeric dim must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => (r.getInt(0), r.getDouble(1)) -> r.getLong(2).toDouble).toMap
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"y×num phantom cell $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"y×num dropped cell $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"y×num cell $k: ${est(k)} vs ${exact(k)}")
+    }
+    // calendar × numeric × dictionary: all three kinds in one grouping —
+    // the numeric expands tuples, the dictionary enumerates per tuple
+    val sql2 = """SELECT year(l_shipdate) AS y, l_quantity, l_returnflag, count(*) AS n
+                  FROM lineitem WHERE l_quantity < 5
+                  GROUP BY year(l_shipdate), l_quantity, l_returnflag""".stripMargin
+    val exact2 = session(aqp = false).sql(sql2).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)) -> r.getLong(3).toDouble).toMap
+    val df2 = session(aqp = true).sql(sql2)
+    assert(isRewritten(df2),
+      s"year × numeric × dict must fold:\n${df2.queryExecution.optimizedPlan}")
+    val est2 = df2.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)) -> r.getLong(3).toDouble).toMap
+    // year × qty × flag is ~84 cells over ~500 selected rows at sf0.001 —
+    // the mean occupied cell holds ~6 rows, so the empty-cell boundary
+    // tolerance is one mean cell, not the coarser tests' 5
+    (est2.keySet diff exact2.keySet).foreach { k =>
+      assert(est2(k) <= 8.0, s"3-kind phantom cell $k carries real mass: ${est2(k)}")
+    }
+    (exact2.keySet diff est2.keySet).foreach { k =>
+      assert(exact2(k) <= 8.0, s"3-kind dropped cell $k has real rows: ${exact2(k)}")
+    }
+    (est2.keySet intersect exact2.keySet).foreach { k =>
+      assert(qerr(est2(k), exact2(k)) <= 3.0 || math.abs(est2(k) - exact2(k)) <= 10.0,
+        s"3-kind cell $k: ${est2(k)} vs ${exact2(k)}")
+    }
+    // TWO numeric grouping columns (no calendar) cross their supports
+    // through the same tuple machinery in rewriteNumericGroup
+    val sql3 = """SELECT l_quantity, l_linestatus, l_tax, count(*) AS n
+                  FROM lineitem WHERE l_quantity < 15
+                  GROUP BY l_quantity, l_linestatus, l_tax""".stripMargin
+    val exact3 = session(aqp = false).sql(sql3).collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2)) -> r.getLong(3).toDouble).toMap
+    val df3 = session(aqp = true).sql(sql3)
+    assert(isRewritten(df3),
+      s"two numeric keys × dict must fold:\n${df3.queryExecution.optimizedPlan}")
+    val est3 = df3.collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2)) -> r.getLong(3).toDouble).toMap
+    (est3.keySet diff exact3.keySet).foreach { k =>
+      assert(est3(k) <= 5.0, s"2-num phantom cell $k carries real mass: ${est3(k)}")
+    }
+    (exact3.keySet diff est3.keySet).foreach { k =>
+      assert(exact3(k) <= 5.0, s"2-num dropped cell $k has real rows: ${exact3(k)}")
+    }
+    (est3.keySet intersect exact3.keySet).foreach { k =>
+      assert(qerr(est3(k), exact3(k)) <= 3.0 || math.abs(est3(k) - exact3(k)) <= 10.0,
+        s"2-num cell $k: ${est3(k)} vs ${exact3(k)}")
+    }
+    // a cap-exceeded numeric dimension (near-continuous support) falls back
+    val cappedDim = session(aqp = true).sql(
+      """SELECT year(o_orderdate) AS y, o_totalprice, count(*) AS n
+         FROM orders GROUP BY year(o_orderdate), o_totalprice""".stripMargin)
+    assert(!isRewritten(cappedDim), "a cap-exceeded numeric dimension must fall back")
   }
 
   test("GROUP BY cast(ts AS date) folds as daily buckets keyed by the date") {
@@ -1733,16 +1812,32 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(est3(k), exact3(k)) <= 3.0 || math.abs(est3(k) - exact3(k)) <= 20.0,
         s"p_size $k: ${est3(k)} vs ${exact3(k)}")
     }
-    // fallbacks: a near-continuous column exceeds the 400-bucket cap; a
-    // disjunctive predicate keeps its exact plan; an aggregate over the
-    // grouped column itself falls back rather than guess
+    // a cross-column disjunction COMPOSES with the value pins since r15:
+    // each bucket's point conjunct distributes into both branches through
+    // the shape dispatch (inclusion-exclusion per bucket)
+    val orSql = """SELECT l_quantity, count(*) AS n FROM lineitem
+                   WHERE l_discount < 0.02 OR l_tax > 0.06 GROUP BY l_quantity""".stripMargin
+    val orExact = session(aqp = false).sql(orSql).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1).toDouble).toMap
+    val orDf = session(aqp = true).sql(orSql)
+    assert(isRewritten(orDf),
+      s"numeric GROUP BY under a disjunction must fold:\n${orDf.queryExecution.optimizedPlan}")
+    val orEst = orDf.collect().map(r => r.getDouble(0) -> r.getLong(1).toDouble).toMap
+    (orEst.keySet diff orExact.keySet).foreach { k =>
+      assert(orEst(k) <= 5.0, s"OR phantom bucket $k carries real mass: ${orEst(k)}")
+    }
+    (orExact.keySet diff orEst.keySet).foreach { k =>
+      assert(orExact(k) <= 5.0, s"OR dropped bucket $k has real rows: ${orExact(k)}")
+    }
+    (orEst.keySet intersect orExact.keySet).foreach { k =>
+      assert(qerr(orEst(k), orExact(k)) <= 3.0 || math.abs(orEst(k) - orExact(k)) <= 10.0,
+        s"OR bucket $k: ${orEst(k)} vs ${orExact(k)}")
+    }
+    // fallbacks: a near-continuous column exceeds the 400-bucket cap; an
+    // aggregate over the grouped column itself falls back rather than guess
     val capped = session(aqp = true).sql(
       "SELECT l_extendedprice, count(*) AS n FROM lineitem GROUP BY l_extendedprice")
     assert(!isRewritten(capped), "near-continuous numeric GROUP BY must fall back")
-    val orRed = session(aqp = true).sql(
-      """SELECT l_quantity, count(*) AS n FROM lineitem
-         WHERE l_discount < 0.02 OR l_tax > 0.06 GROUP BY l_quantity""".stripMargin)
-    assert(!isRewritten(orRed), "numeric GROUP BY under a disjunction must fall back")
     val selfAgg = session(aqp = true).sql(
       "SELECT l_quantity, sum(l_quantity) AS s FROM lineitem GROUP BY l_quantity")
     assert(!isRewritten(selfAgg), "aggregating the grouped column must fall back")
@@ -2192,5 +2287,107 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(math.round(t1).toDouble == v1, s"tag q1 annotation $t1 vs folded $v1")
     assert(math.round(t2).toDouble == v2, s"tag q2 annotation $t2 vs folded $v2")
     s2.conf.unset("spark.graft.aqp.tag")
+  }
+
+  test("cross-column disjunctions compose with calendar and histogram folds") {
+    // the dashboard slicer shape (r15): `WHERE a='x' OR b>10` with a
+    // calendar/histogram grouping — each bucket's range/point conjunct
+    // distributes into both OR branches through the shape dispatch, the
+    // per-bucket answer is inclusion-exclusion (reference
+    // spn_ensemble.py::evaluate_group_by_… composes group enumeration
+    // with arbitrary factor predicates the same way)
+    def cellCheck[K](est: Map[K, Double], exact: Map[K, Double], what: String): Unit = {
+      (est.keySet diff exact.keySet).foreach { k =>
+        assert(est(k) <= 5.0, s"$what phantom cell $k carries real mass: ${est(k)}")
+      }
+      (exact.keySet diff est.keySet).foreach { k =>
+        assert(exact(k) <= 5.0, s"$what dropped cell $k has real rows: ${exact(k)}")
+      }
+      (est.keySet intersect exact.keySet).foreach { k =>
+        assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+          s"$what cell $k: ${est(k)} vs ${exact(k)}")
+      }
+    }
+    // single cross-column OR × year buckets (count + gated sum)
+    val sql = """SELECT year(o_orderdate) AS y, count(*) AS n, sum(o_totalprice) AS rev
+                 FROM orders WHERE o_orderstatus = 'F' OR o_totalprice < 50000
+                 GROUP BY year(o_orderdate)""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"OR × year must fold:\n${df.queryExecution.optimizedPlan}")
+    cellCheck(df.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap, exact, "OR×year")
+    // single OR × the two-calendar cross product
+    val sql2 = """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, count(*) AS n
+                  FROM orders WHERE o_orderstatus = 'F' OR o_totalprice < 50000
+                  GROUP BY year(o_orderdate), quarter(o_orderdate)""".stripMargin
+    val exact2 = session(aqp = false).sql(sql2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2).toDouble).toMap
+    val df2 = session(aqp = true).sql(sql2)
+    assert(isRewritten(df2), s"OR × year×quarter must fold:\n${df2.queryExecution.optimizedPlan}")
+    cellCheck(df2.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2).toDouble).toMap,
+      exact2, "OR×y×q")
+    // single OR × calendar × dictionary dimension (per-bucket grouped IE)
+    val sql3 = """SELECT year(o_orderdate) AS y, o_orderpriority, count(*) AS n
+                  FROM orders WHERE o_orderstatus = 'F' OR o_totalprice < 50000
+                  GROUP BY year(o_orderdate), o_orderpriority""".stripMargin
+    val exact3 = session(aqp = false).sql(sql3).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    val df3 = session(aqp = true).sql(sql3)
+    assert(isRewritten(df3), s"OR × year × dim must fold:\n${df3.queryExecution.optimizedPlan}")
+    cellCheck(df3.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2).toDouble).toMap,
+      exact3, "OR×y×dim")
+    // TWO independent disjunctions × year buckets: the 9-term signed
+    // product expansion runs per bucket
+    val sql4 = """SELECT year(l_shipdate) AS y, count(*) AS n FROM lineitem
+                  WHERE (l_returnflag = 'A' OR l_discount > 0.07)
+                    AND (l_linestatus = 'F' OR l_tax > 0.06)
+                  GROUP BY year(l_shipdate)""".stripMargin
+    val exact4 = session(aqp = false).sql(sql4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val df4 = session(aqp = true).sql(sql4)
+    assert(isRewritten(df4), s"two ORs × year must fold:\n${df4.queryExecution.optimizedPlan}")
+    cellCheck(df4.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap,
+      exact4, "2OR×year")
+    // FOUR independent disjunctions stay past the accuracy cap: fallback
+    val four = session(aqp = true).sql(
+      """SELECT year(l_shipdate) AS y, count(*) AS n FROM lineitem
+         WHERE (l_returnflag = 'A' OR l_discount > 0.07)
+           AND (l_linestatus = 'F' OR l_tax > 0.06)
+           AND (l_quantity < 10 OR l_extendedprice > 50000)
+           AND (l_returnflag = 'R' OR l_quantity > 40)
+         GROUP BY year(l_shipdate)""".stripMargin)
+    assert(!isRewritten(four), "four multi-column ORs × calendar must fall back")
+  }
+
+  test("support-enumeration outputs never annotate: the documented CI contract") {
+    // COUNT(DISTINCT)/MIN/MAX fold via set/extreme enumerations — not
+    // scaled expectations — so spn_last_fold() deliberately carries NO
+    // interval rows for them (their failure mode, sampled support missing
+    // realized values, is one-sided and a symmetric CI would misstate
+    // it); other outputs of the SAME fold annotate normally
+    val s2 = session(aqp = true)
+    s2.conf.set("spark.graft.aqp.annotate", "true")
+    val df = s2.sql(
+      """SELECT l_returnflag, count(*) AS n, count(DISTINCT l_linestatus) AS d,
+                max(l_quantity) AS mx
+         FROM lineitem WHERE l_quantity < 24 GROUP BY l_returnflag""".stripMargin)
+    assert(isRewritten(df), s"mixed outputs must fold:\n${df.queryExecution.optimizedPlan}")
+    df.collect()
+    val tvf = s2.sql("SELECT * FROM spn_last_fold()").collect()
+    assert(tvf.map(_.getString(1)).toSet == Set("n"),
+      s"only the count may annotate, got ${tvf.map(_.getString(1)).toSet}")
+    assert(tvf.nonEmpty, "the fold's count output must still annotate")
+    // scalar shape: same contract
+    val dfS = s2.sql(
+      """SELECT count(*) AS n, count(DISTINCT l_quantity) AS d, min(l_quantity) AS mn
+         FROM lineitem WHERE l_quantity < 24""".stripMargin)
+    assert(isRewritten(dfS))
+    dfS.collect()
+    // scalar folds have no group column: the TVF row is (name, est, lo, hi)
+    val tvfS = s2.sql("SELECT * FROM spn_last_fold()").collect()
+    assert(tvfS.map(_.getString(0)).toSet == Set("n"),
+      s"scalar: only the count may annotate, got ${tvfS.map(_.getString(0)).toSet}")
+    s2.conf.unset("spark.graft.aqp.annotate")
   }
 }
