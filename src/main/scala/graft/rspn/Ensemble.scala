@@ -411,9 +411,20 @@ object Ensemble {
     * ~tens of file stats per call — driver-side microseconds against the
     * fold's millisecond budget.
     */
+  /** Last successfully computed fingerprint per (context, dir): a
+    * TRANSIENT listing failure must not flip the fingerprint away from
+    * the real value and back — that would trigger TWO spurious full
+    * retrains (up to 15 min each) of an unchanged dataset. On failure the
+    * cached value serves (stale-on-error); the "unreadable" sentinel is
+    * reserved for a directory that has NEVER listed successfully.
+    */
+  private val fpLastGood =
+    TrieMap.empty[(org.apache.spark.SparkContext, String), String]
+
   private[graft] def dirFingerprint(spark: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
+    val key = (spark.sparkContext, dir)
     try {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def sig(p: Path, depth: Int): Seq[String] =
@@ -422,9 +433,13 @@ object Ensemble {
           if (f.isDirectory && depth > 0) self +: sig(f.getPath, depth - 1)
           else Seq(self)
         }
-      java.util.UUID.nameUUIDFromBytes(
+      val fp = java.util.UUID.nameUUIDFromBytes(
         sig(root, 1).mkString("\n").getBytes("UTF-8")).toString
-    } catch { case scala.util.control.NonFatal(_) => "unreadable" }
+      fpLastGood.put(key, fp)
+      fp
+    } catch {
+      case scala.util.control.NonFatal(_) => fpLastGood.getOrElse(key, "unreadable")
+    }
   }
 
   /** Set GRAFT_TRAIN_TIMING=1 to print per-stage training times to stderr. */
@@ -467,16 +482,25 @@ object Ensemble {
     spark0
   }
 
+  /** Per-(context, dir) training locks: a first-touch or refit of ONE
+    * directory must not block `state()` for every other key (a global
+    * monitor held across a 15-minute Await would), and a concurrent first
+    * call on the SAME key still single-trains.
+    */
+  private val stateLocks =
+    TrieMap.empty[(org.apache.spark.SparkContext, String), Object]
+
   def state(spark: SparkSession, sfDir: String): EnsembleState = {
     val key = (spark.sparkContext, sfDir)
     val fp = dirFingerprint(spark, sfDir)
     cache.get(key) match {
       case Some((`fp`, st)) => st
       case before =>
-        // one lock around training: a concurrent first call must not
-        // double-train, and a refit must invalidate the per-dir dictionary
-        // cache before rebuilding (stale dicts would feed the new fit)
-        cache.synchronized {
+        // one PER-KEY lock around training: a concurrent first call must
+        // not double-train, and a refit must invalidate the per-dir
+        // dictionary cache before rebuilding (stale dicts would feed the
+        // new fit)
+        stateLocks.getOrElseUpdate(key, new Object).synchronized {
           cache.get(key) match {
             case Some((`fp`, st)) => st
             case _ =>
@@ -1203,6 +1227,61 @@ object Ensemble {
       else enumGroups(spns, tables, set, preds, memo).map { case (vs, _, c) =>
         val byCol = set.zip(vs).toMap
         allCols.map(byCol.get) -> c.toEstimate
+      }
+    }
+  }
+
+  /** Grouping sets with an aggregate FEATURE per set (r15 — the text
+    * plane's ROLLUP/CUBE SUM / SUM(a*b) surface): the same single-memo
+    * enumeration as [[estGroupingSets]], each surviving combination
+    * answering the feature expectation instead of its count, and the ()
+    * set the global aggregate. Empty `feature` = COUNT (exactly
+    * estGroupingSets).
+    */
+  def estGroupingSetsAgg(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      sets: Seq[Seq[(String, String)]],
+      feature: Map[(String, String), Int],
+      preds: Map[(String, String), ColRange]): Seq[(Seq[Option[String]], Estimate)] = {
+    val memo = new ExpectMemo
+    val allCols = sets.flatten.distinct
+    sets.flatMap { set =>
+      if (set.isEmpty)
+        Seq(allCols.map(_ => Option.empty[String]) ->
+          estAgg(spns, tables, preds, feature, memo).toEstimate)
+      else enumGroups(spns, tables, set, preds, memo).map { case (vs, gp, c) =>
+        val byCol = set.zip(vs).toMap
+        allCols.map(byCol.get) ->
+          (if (feature.isEmpty) c.toEstimate
+           else estAgg(spns, tables, gp, feature, memo).toEstimate)
+      }
+    }
+  }
+
+  /** Grouping sets with AVG per set: the ratio of each combination's SUM
+    * and NON-NULL count expectations (estGroupByAvg's algebra per set),
+    * one memo across every subset.
+    */
+  def estGroupingSetsAvg(
+      spns: Map[String, TrainedSpn],
+      tables: Set[String],
+      sets: Seq[Seq[(String, String)]],
+      avgCol: (String, String),
+      preds: Map[(String, String), ColRange]): Seq[(Seq[Option[String]], Estimate)] = {
+    val memo = new ExpectMemo
+    val allCols = sets.flatten.distinct
+    def avgOf(p: Map[(String, String), ColRange]): Estimate = {
+      val pn = notNullOn(p, avgCol)
+      ratioEst(
+        estAgg(spns, tables, pn, Map(avgCol -> 1), memo),
+        estAgg(spns, tables, pn, Map.empty, memo))
+    }
+    sets.flatMap { set =>
+      if (set.isEmpty) Seq(allCols.map(_ => Option.empty[String]) -> avgOf(preds))
+      else enumGroups(spns, tables, set, preds, memo).map { case (vs, gp, _) =>
+        val byCol = set.zip(vs).toMap
+        allCols.map(byCol.get) -> avgOf(gp)
       }
     }
   }

@@ -35,10 +35,16 @@ object SqlEstimate {
     * honoring it costs nothing since group results are driver-sized).
     * HAVING filters on the SELECT aggregate's estimate — a different HAVING
     * aggregate has no estimated value to compare, so it fails loudly.
+    * Calendar-grouped rows carry `q.calGroup.length` LEADING calendar
+    * keys, so a dimension column's key index offsets by that length and
+    * the total-order padding spans the calendar positions too (r15 —
+    * previously `ORDER BY dim` under a calendar grouping sorted by the
+    * calendar bucket instead).
     */
   private[graft] def post(q: ParsedQuery, res: SqlResult): SqlResult = res match {
     case Groups(rows0) =>
       var rows = rows0
+      val calLen = q.calGroup.length
       q.having.foreach { h =>
         if (h.agg != q.agg) throw new IllegalArgumentException(
           "unsupported SQL: estimate-plane HAVING must use the SELECT aggregate")
@@ -56,11 +62,12 @@ object SqlEstimate {
       if (q.orderBy.nonEmpty) {
         // the exact plane appends the remaining group columns ascending so
         // a LIMIT cut is a total order (SURVEY §7.4); applied FIRST = least
-        // significant under the stable user-key sorts below
+        // significant under the stable user-key sorts below. Every key
+        // position — calendar keys included — participates.
         val userKeyIdx = q.orderBy.collect {
-          case k if !k.byAgg => q.groupBy.indexOf((k.table, k.col))
+          case k if !k.byAgg => calLen + q.groupBy.indexOf((k.table, k.col))
         }.toSet
-        q.groupBy.indices.reverse.filterNot(userKeyIdx).foreach { i =>
+        (0 until calLen + q.groupBy.length).reverse.filterNot(userKeyIdx).foreach { i =>
           rows = rows.sortBy(_._1(i))(keyOrd(i))
         }
       }
@@ -71,19 +78,52 @@ object SqlEstimate {
             rows.sortBy(_._2.value)(
               if (k.asc) Ordering.Double.TotalOrdering else Ordering.Double.TotalOrdering.reverse)
           else {
-            val i = q.groupBy.indexOf((k.table, k.col))
+            val i = calLen + q.groupBy.indexOf((k.table, k.col))
             rows.sortBy(_._1(i))(if (k.asc) keyOrd(i) else keyOrd(i).reverse)
           }
       }
       q.limit.foreach(n => rows = rows.take(n))
       Groups(rows)
-    case gs: GroupSets =>
-      // the exact plane applies all three to ROLLUP/CUBE; the estimate
-      // enumeration does not — fail loudly rather than silently ignore
-      if (q.having.isDefined || q.orderBy.nonEmpty || q.limit.isDefined)
-        throw new IllegalArgumentException(
-          "unsupported SQL: HAVING/ORDER BY/LIMIT with ROLLUP/CUBE on the estimate plane")
-      gs
+    case GroupSets(rows0) =>
+      // ROLLUP/CUBE post-processing (r15): the same three clauses the
+      // exact plane's grouping-set branch applies. A grouped-out key
+      // column is SQL NULL — it sorts FIRST ascending and LAST descending
+      // (Spark's default null ordering, which the exact plane emits).
+      var rows = rows0
+      q.having.foreach { h =>
+        if (h.agg != q.agg) throw new IllegalArgumentException(
+          "unsupported SQL: estimate-plane HAVING must use the SELECT aggregate")
+        rows = rows.filter(r => cmpD(r._2.value, h.op, h.value))
+      }
+      def setKeyOrd(i: Int): Ordering[Option[String]] = {
+        val defined = rows.flatMap(_._1(i))
+        val base: Ordering[String] =
+          if (defined.forall(_.toDoubleOption.isDefined))
+            Ordering.by[String, Double](_.toDouble)
+          else Ordering.String
+        Ordering.Option(base) // None (= SQL NULL) first ascending
+      }
+      if (q.orderBy.nonEmpty) {
+        val width = rows.headOption.map(_._1.length).getOrElse(0)
+        val userKeyIdx = q.orderBy.collect {
+          case k if !k.byAgg => q.groupBy.indexOf((k.table, k.col))
+        }.toSet
+        (0 until width).reverse.filterNot(userKeyIdx).foreach { i =>
+          rows = rows.sortBy(_._1(i))(setKeyOrd(i))
+        }
+      }
+      q.orderBy.reverse.foreach { k =>
+        rows =
+          if (k.byAgg)
+            rows.sortBy(_._2.value)(
+              if (k.asc) Ordering.Double.TotalOrdering else Ordering.Double.TotalOrdering.reverse)
+          else {
+            val i = q.groupBy.indexOf((k.table, k.col))
+            rows.sortBy(_._1(i))(if (k.asc) setKeyOrd(i) else setKeyOrd(i).reverse)
+          }
+      }
+      q.limit.foreach(n => rows = rows.take(n))
+      GroupSets(rows)
     case scalar: Scalar =>
       // one row: ORDER BY and LIMIT (parse guarantees >= 1) are no-ops,
       // honoring them exactly; HAVING is impossible without GROUP BY
@@ -104,30 +144,45 @@ object SqlEstimate {
     val preds = mergePreds(spns, q.preds)
 
     if (q.calGroup.nonEmpty) {
-      if (q.orPreds.nonEmpty) throw new IllegalArgumentException(
-        "unsupported SQL: OR with calendar GROUP BY")
       q.groupBy.foreach { case (gt, gcol) =>
         require(modelColOf(spns, gt, gcol).dict.nonEmpty,
           s"GROUP BY $gcol: not a categorical model column")
       }
-      return Groups(calendarGroups(spns, q, preds))
+      // a parenthesized OR composes per bucket (r15): each bucket's range
+      // conjoins BOTH branches and answers through inclusion-exclusion —
+      // exactly the Catalyst fold's shape-dispatch composition
+      val orBase =
+        if (q.orPreds.isEmpty) None else Some(mergePreds(spns, q.orPreds))
+      return Groups(calendarGroups(spns, q, preds, orBase))
     }
 
     if (q.groupMode != GroupFlat) {
-      // ROLLUP/CUBE sugar over estRollup/estCube — COUNT(*) only (the
-      // grouping-set API enumerates count expectations; per-set SUM/AVG
-      // would need the feature pass threaded through every subset)
-      if (q.agg != Count) throw new IllegalArgumentException(
-        "unsupported SQL: ROLLUP/CUBE with a non-COUNT aggregate")
+      // ROLLUP/CUBE sugar over the grouping-set estimators — COUNT, SUM,
+      // SUM(a*b) and AVG per set (r15: the feature/ratio pass threads
+      // through every subset under one shared memo, closing the plane
+      // asymmetry with the Catalyst grouping-set fold)
       if (q.orPreds.nonEmpty) throw new IllegalArgumentException(
         "unsupported SQL: OR combined with ROLLUP/CUBE")
       q.groupBy.foreach { case (gt, gcol) =>
         require(modelColOf(spns, gt, gcol).dict.nonEmpty,
           s"GROUP BY $gcol: not a categorical model column")
       }
-      return GroupSets(q.groupMode match {
-        case GroupRollup => Ensemble.estRollup(spns, q.tables, q.groupBy, preds)
-        case _           => Ensemble.estCube(spns, q.tables, q.groupBy, preds)
+      val sets: Seq[Seq[(String, String)]] = q.groupMode match {
+        case GroupRollup => q.groupBy.indices.inclusive.reverse.map(q.groupBy.take)
+        case _ => (0 until (1 << q.groupBy.length)).map(mask =>
+          q.groupBy.zipWithIndex.collect { case (gc, i) if (mask & (1 << i)) != 0 => gc })
+      }
+      return GroupSets(q.agg match {
+        case Count     => Ensemble.estGroupingSetsAgg(spns, q.tables, sets, Map.empty, preds)
+        case Sum(t, c) =>
+          Ensemble.estGroupingSetsAgg(spns, q.tables, sets, Map((t, c) -> 1), preds)
+        case SumProduct(ta, ca, tb, cb) =>
+          Ensemble.estGroupingSetsAgg(spns, q.tables, sets,
+            Map((ta, ca) -> 1, (tb, cb) -> 1), preds)
+        case Avg(t, c) =>
+          Ensemble.estGroupingSetsAvg(spns, q.tables, sets, (t, c), preds)
+        case other => throw new IllegalArgumentException(
+          s"unsupported SQL: ROLLUP/CUBE with $other")
       })
     }
 
@@ -138,6 +193,13 @@ object SqlEstimate {
       // group universes (round 9: estGroupByAggOr/estGroupByAvgOr).
       val predsB = mergePreds(spns, q.orPreds)
       if (q.groupBy.nonEmpty) {
+        // a num-modeled group column routes to the histogram enumeration,
+        // value pins composing with both branches (r15)
+        val numIdx = q.groupBy.indexWhere { case (gt, gcol) =>
+          spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
+        }
+        if (numIdx >= 0)
+          return Groups(numericGroups(spns, q, preds, Some(predsB), q.groupBy, numIdx))
         q.groupBy.foreach { case (gt, gcol) =>
           require(modelColOf(spns, gt, gcol).dict.nonEmpty,
             s"GROUP BY $gcol: not a categorical model column")
@@ -178,7 +240,7 @@ object SqlEstimate {
           spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
         }
         if (numIdx >= 0)
-          return Groups(numericGroups(spns, q, preds, gcs, numIdx))
+          return Groups(numericGroups(spns, q, preds, None, gcs, numIdx))
         // one memoized enumeration per query: prune probes, group counts and
         // per-group aggregate expectations share factor denominators
         gcs.foreach { case (gt, gcol) =>
@@ -220,7 +282,8 @@ object SqlEstimate {
     */
   private def calendarGroups(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
-      preds: Map[(String, String), ColRange]): Seq[(Seq[String], Ensemble.Estimate)] = {
+      preds: Map[(String, String), ColRange],
+      orBase: Option[Map[(String, String), ColRange]]): Seq[(Seq[String], Ensemble.Estimate)] = {
     import java.time.LocalDate
     def bucketsOf(fn: String, t: String, c: String): Seq[(String, ColRange)] = {
       val dom = Ensemble.colDomain(spns, t, c).getOrElse(
@@ -256,59 +319,101 @@ object SqlEstimate {
     // one bucket tuple per calendar key combination: TWO calendar
     // expressions compose as a cross product — nested intersect meets
     // same-column ranges (year ∧ cyclic month = that year's month slice;
-    // provably-empty pairs drop) and simply conjoins distinct columns
+    // provably-empty pairs drop) and simply conjoins distinct columns.
+    // Under a parenthesized OR the bucket range conjoins BOTH branches;
+    // a branch the bucket contradicts is None (zero mass), and a tuple
+    // with both branches contradicted drops — SQL's empty bucket.
     val perCal: Seq[Seq[(String, (String, String), ColRange)]] =
       q.calGroup.map { case (fn, t, c) =>
         bucketsOf(fn, t, c).map { case (k, r) => (k, (t, c), r) }
       }
-    val tuples: Seq[(Seq[String], Map[(String, String), ColRange])] =
-      perCal.foldLeft(Seq((Seq.empty[String], preds))) { case (acc, buckets) =>
-        for {
-          (keys, p0) <- acc
-          (k, tc, r) <- buckets
-          p <- Ensemble.intersect(p0, Map(tc -> r)).toSeq
-        } yield (keys :+ k, p)
+    type P = Map[(String, String), ColRange]
+    val tuples: Seq[(Seq[String], Option[P], Option[P])] =
+      perCal.foldLeft(Seq((Seq.empty[String], Option(preds), orBase))) {
+        case (acc, buckets) =>
+          for {
+            (keys, pA, pB) <- acc
+            (k, tc, r) <- buckets
+            nA = pA.flatMap(p => Ensemble.intersect(p, Map(tc -> r)))
+            nB = pB.flatMap(p => Ensemble.intersect(p, Map(tc -> r)))
+            if nA.isDefined || nB.isDefined
+          } yield (keys :+ k, nA, nB)
       }
     require(tuples.length <= 400,
       s"calendar GROUP BY: ${tuples.length} bucket combinations exceed the 400-bucket cap")
-    tuples.flatMap { case (keys, p) =>
-      calendarTupleRows(spns, q, keys, p)
+    tuples.flatMap { case (keys, pA, pB) =>
+      orTupleRows(spns, q, q.groupBy, pA, pB).map { case (dk, e) => (keys ++ dk, e) }
     }
   }
 
-  private def calendarTupleRows(
+  /** Per-bucket rows under an optional second OR branch (the shared body
+    * of the calendar and numeric-histogram folds): both branches present →
+    * the inclusion-exclusion estimators (estCountOr / estAggOr /
+    * estGroupByAggOr family); one present — the plain predicate, or an OR
+    * whose other branch the bucket pin contradicted — → the plain
+    * estimators (inclusion-exclusion collapses to the surviving branch).
+    * `dims` enumerate per bucket; scalar buckets gate at half a row on the
+    * DISJUNCTION's count, SQL's row universe.
+    */
+  private def orTupleRows(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
-      key: Seq[String], p: Map[(String, String), ColRange])
-      : Seq[(Seq[String], Ensemble.Estimate)] = {
-          if (Ensemble.estCount(spns, q.tables, p).value < 0.5) Nil
-          // dictionary dimension columns enumerate PER BUCKET TUPLE under
-          // the bucket-conjoined predicates (`GROUP BY year(d)[, month(d)]
-          // , dim, ...`) — the Catalyst mixed fold's shape on the text
-          // plane; the calendar keys lead every tuple (SELECT order is
-          // validated to match by the parser)
-          else if (q.groupBy.nonEmpty) {
-            val dimRows = q.agg match {
-              case Count => Ensemble.estGroupByMulti(spns, q.tables, q.groupBy, p)
-              case Sum(st, sc) =>
-                Ensemble.estGroupByAgg(spns, q.tables, q.groupBy, Map((st, sc) -> 1), p)
-              case Avg(at, ac) =>
-                Ensemble.estGroupByAvg(spns, q.tables, q.groupBy, (at, ac), p)
-              case SumProduct(ta, ca, tb, cb) =>
-                Ensemble.estGroupByAgg(spns, q.tables, q.groupBy,
-                  Map((ta, ca) -> 1, (tb, cb) -> 1), p)
-              case other => throw new IllegalArgumentException(
-                s"unsupported SQL: $other with calendar GROUP BY")
-            }
-            dimRows.map { case (dk, e) => (key ++ dk, e) }
-          } else Seq(key -> (q.agg match {
-            case Count       => Ensemble.estCount(spns, q.tables, p)
-            case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), p)
-            case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), p)
-            case SumProduct(ta, ca, tb, cb) =>
-              Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), p)
-            case other => throw new IllegalArgumentException(
-              s"unsupported SQL: $other with calendar GROUP BY")
-          }))
+      dims: Seq[(String, String)],
+      pA: Option[Map[(String, String), ColRange]],
+      pB: Option[Map[(String, String), ColRange]])
+      : Seq[(Seq[String], Ensemble.Estimate)] = (pA, pB) match {
+    case (Some(a), Some(b)) =>
+      if (Ensemble.estCountOr(spns, q.tables, a, b).value < 0.5) Nil
+      else if (dims.nonEmpty) q.agg match {
+        case Count =>
+          Ensemble.estGroupByAggOr(spns, q.tables, dims, Map.empty, a, b)
+        case Sum(st, sc) =>
+          Ensemble.estGroupByAggOr(spns, q.tables, dims, Map((st, sc) -> 1), a, b)
+        case Avg(at, ac) =>
+          Ensemble.estGroupByAvgOr(spns, q.tables, dims, (at, ac), a, b)
+        case SumProduct(ta, ca, tb, cb) =>
+          Ensemble.estGroupByAggOr(spns, q.tables, dims,
+            Map((ta, ca) -> 1, (tb, cb) -> 1), a, b)
+        case other => throw new IllegalArgumentException(
+          s"unsupported SQL: $other with OR and bucketed GROUP BY")
+      } else Seq(Seq.empty[String] -> (q.agg match {
+        case Count       => Ensemble.estCountOr(spns, q.tables, a, b)
+        case Sum(st, sc) => Ensemble.estAggOr(spns, q.tables, a, b, Map((st, sc) -> 1))
+        case Avg(at, ac) => Ensemble.estAvgOr(spns, q.tables, (at, ac), a, b)
+        case SumProduct(ta, ca, tb, cb) =>
+          Ensemble.estAggOr(spns, q.tables, a, b, Map((ta, ca) -> 1, (tb, cb) -> 1))
+        case other => throw new IllegalArgumentException(
+          s"unsupported SQL: $other with OR and bucketed GROUP BY")
+      }))
+    case (one, two) => one.orElse(two) match {
+      case None => Nil
+      case Some(p) =>
+        if (Ensemble.estCount(spns, q.tables, p).value < 0.5) Nil
+        // dictionary dimension columns enumerate PER BUCKET TUPLE under
+        // the bucket-conjoined predicates (`GROUP BY year(d)[, month(d)]
+        // , dim, ...`) — the Catalyst mixed fold's shape on the text
+        // plane; the bucket keys lead every tuple (SELECT order is
+        // validated to match by the parser)
+        else if (dims.nonEmpty) q.agg match {
+          case Count => Ensemble.estGroupByMulti(spns, q.tables, dims, p)
+          case Sum(st, sc) =>
+            Ensemble.estGroupByAgg(spns, q.tables, dims, Map((st, sc) -> 1), p)
+          case Avg(at, ac) =>
+            Ensemble.estGroupByAvg(spns, q.tables, dims, (at, ac), p)
+          case SumProduct(ta, ca, tb, cb) =>
+            Ensemble.estGroupByAgg(spns, q.tables, dims,
+              Map((ta, ca) -> 1, (tb, cb) -> 1), p)
+          case other => throw new IllegalArgumentException(
+            s"unsupported SQL: $other with bucketed GROUP BY")
+        } else Seq(Seq.empty[String] -> (q.agg match {
+          case Count       => Ensemble.estCount(spns, q.tables, p)
+          case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), p)
+          case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), p)
+          case SumProduct(ta, ca, tb, cb) =>
+            Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), p)
+          case other => throw new IllegalArgumentException(
+            s"unsupported SQL: $other with bucketed GROUP BY")
+        }))
+    }
   }
 
   /** GROUP BY over a modeled NUMERIC column on the text plane — the
@@ -317,11 +422,15 @@ object SqlEstimate {
     * with the text plane's fail-loud contract: a support past the
     * 400-bucket cap throws instead of silently running exact. Keys print
     * integrally when whole, matching the exact plane's group-truth
-    * normalization.
+    * normalization. Under a parenthesized OR (r15) the support is the
+    * UNION of both branches' realized supports and each value pin
+    * conjoins both branches through [[orTupleRows]]'s
+    * inclusion-exclusion.
     */
   private def numericGroups(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
       preds: Map[(String, String), ColRange],
+      orBase: Option[Map[(String, String), ColRange]],
       gcs: Seq[(String, String)], numIdx: Int): Seq[(Seq[String], Ensemble.Estimate)] = {
     val (t, c) = gcs(numIdx)
     val dictPos = gcs.indices.filterNot(_ == numIdx)
@@ -330,48 +439,26 @@ object SqlEstimate {
       require(modelColOf(spns, gt, gcol).dict.nonEmpty,
         s"GROUP BY $gcol: not a categorical model column")
     }
-    val support = Ensemble.numericSupport(spns, q.tables, (t, c), preds, cap = 400)
-      .getOrElse(throw new IllegalArgumentException(
-        s"GROUP BY $c: realized support exceeds the 400-bucket cap"))
+    def supportOf(p: Map[(String, String), ColRange]): Seq[Double] =
+      Ensemble.numericSupport(spns, q.tables, (t, c), p, cap = 400)
+        .getOrElse(throw new IllegalArgumentException(
+          s"GROUP BY $c: realized support exceeds the 400-bucket cap"))
+    val support = orBase match {
+      case None    => supportOf(preds)
+      case Some(b) => (supportOf(preds) ++ supportOf(b)).distinct.sorted
+    }
     def keyStr(v: Double): String =
       if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
     support.flatMap { v =>
-      Ensemble.intersect(preds, Map((t, c) -> NominalSet(Array(v)))) match {
-        case None => Nil
-        case Some(p) =>
-          if (Ensemble.estCount(spns, q.tables, p).value < 0.5) Nil
-          else {
-            def agg1(pp: Map[(String, String), ColRange]): Ensemble.Estimate = q.agg match {
-              case Count       => Ensemble.estCount(spns, q.tables, pp)
-              case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), pp)
-              case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), pp)
-              case SumProduct(ta, ca, tb, cb) =>
-                Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), pp)
-              case other => throw new IllegalArgumentException(
-                s"unsupported SQL: $other with numeric GROUP BY")
-            }
-            val rows: Seq[(Seq[String], Ensemble.Estimate)] =
-              if (dictCols.isEmpty) Seq(Seq.empty[String] -> agg1(p))
-              else q.agg match {
-                case Count => Ensemble.estGroupByMulti(spns, q.tables, dictCols, p)
-                case Sum(st, sc) =>
-                  Ensemble.estGroupByAgg(spns, q.tables, dictCols, Map((st, sc) -> 1), p)
-                case Avg(at, ac) =>
-                  Ensemble.estGroupByAvg(spns, q.tables, dictCols, (at, ac), p)
-                case SumProduct(ta, ca, tb, cb) =>
-                  Ensemble.estGroupByAgg(spns, q.tables, dictCols,
-                    Map((ta, ca) -> 1, (tb, cb) -> 1), p)
-                case other => throw new IllegalArgumentException(
-                  s"unsupported SQL: $other with numeric GROUP BY")
-              }
-            // reassemble each key tuple in the query's own group order
-            rows.map { case (dk, e) =>
-              val full = new Array[String](gcs.length)
-              full(numIdx) = keyStr(v)
-              dictPos.zip(dk).foreach { case (pos, kv) => full(pos) = kv }
-              (full.toSeq, e)
-            }
-          }
+      val pin = Map((t, c) -> (NominalSet(Array(v)): ColRange))
+      val pA = Ensemble.intersect(preds, pin)
+      val pB = orBase.flatMap(Ensemble.intersect(_, pin))
+      // reassemble each key tuple in the query's own group order
+      orTupleRows(spns, q, dictCols, pA, pB).map { case (dk, e) =>
+        val full = new Array[String](gcs.length)
+        full(numIdx) = keyStr(v)
+        dictPos.zip(dk).foreach { case (pos, kv) => full(pos) = kv }
+        (full.toSeq, e)
       }
     }
   }

@@ -47,29 +47,29 @@ object SqlExact {
         round(sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)")), 2)
           .cast("double").as("val")
     }
-    val out = q.calGroup match {
-      // calendar grouping: the matching Spark functions over the raw
-      // columns, keys named grp, grp2, ... like every other grouping —
-      // calendar keys first, dimension columns behind
-      case cals if cals.nonEmpty =>
-        val calKeys = cals.map { case (fn, _, c) =>
-          fn match {
-            case "year"  => year(col(c))
-            case "month" => month(col(c))
-            case _       => quarter(col(c))
-          }
-        }
-        val keys = (calKeys ++ q.groupBy.map { case (_, g) => col(g) })
-          .zipWithIndex.map { case (k, i) => k.as(if (i == 0) "grp" else s"grp${i + 1}") }
-        val names = keys.indices.map(i => if (i == 0) "grp" else s"grp${i + 1}")
-        df.groupBy(keys: _*).agg(aggCol).orderBy(names.map(col): _*)
-      case _ => q.groupBy match {
-      case Nil => df.agg(aggCol)
-      case gs =>
+    // calendar grouping keys are the matching Spark functions over the raw
+    // columns — calendar keys first, dimension columns behind; every key
+    // is named grp, grp2, ... like any other grouping, and the SHARED
+    // HAVING / ORDER BY / total-order machinery below applies to calendar
+    // and plain groupings alike (r15 ADVICE: the calendar branch used to
+    // ignore q.having/q.orderBy while SqlEstimate.post applied both — the
+    // planes diverged on e.g. `... GROUP BY year(d), dim ORDER BY n DESC
+    // LIMIT 3`, with the EXACT plane wrong)
+    val calKeys: Seq[Column] = q.calGroup.map { case (fn, _, c) =>
+      fn match {
+        case "year"  => year(col(c))
+        case "month" => month(col(c))
+        case _       => quarter(col(c))
+      }
+    }
+    val out =
+      if (calKeys.isEmpty && q.groupBy.isEmpty) df.agg(aggCol)
+      else {
         // first group column keeps the name "grp" (single-column callers
         // pattern-match on it), the rest are grp2, grp3, …
-        val names = gs.indices.map(i => if (i == 0) "grp" else s"grp${i + 1}")
-        val gcols = gs.zip(names).map { case ((_, g), n) => col(g).as(n) }
+        val rawKeys = calKeys ++ q.groupBy.map { case (_, g) => col(g) }
+        val names = rawKeys.indices.map(i => if (i == 0) "grp" else s"grp${i + 1}")
+        val gcols = rawKeys.zip(names).map { case (k, n) => k.as(n) }
         val grouped = q.groupMode match {
           case GroupRollup => df.rollup(gcols: _*)
           case GroupCube   => df.cube(gcols: _*)
@@ -87,13 +87,17 @@ object SqlExact {
         val aggd0 = grouped.agg(aggCol, hidden: _*)
         val aggd = q.having.fold(aggd0)(h =>
           aggd0.filter(cmp(col("__hv"), h.op, h.value)).drop("__hv"))
-        val nameOf = gs.zip(names).toMap
+        // non-agg ORDER BY keys are dimension columns (the parser rejects
+        // calendar expressions there), whose names sit BEHIND the calendar
+        // keys
+        val nameOf = q.groupBy.zip(names.drop(calKeys.length)).toMap
         val orderCols = q.orderBy match {
           case Nil => names.map(col)
           case ks =>
             // user keys first, then the remaining group columns ascending —
             // a total order, so a LIMIT cut is engine-independent (SURVEY
-            // §7.4 determinism contract)
+            // §7.4 determinism contract); calendar key names participate
+            // in the padding like any other group column
             val userKeys = ks.map { k =>
               val c = if (k.byAgg) col("__ord") else col(nameOf((k.table, k.col)))
               if (k.asc) c.asc else c.desc
@@ -104,7 +108,6 @@ object SqlExact {
         val sorted = aggd.orderBy(orderCols: _*)
         if (needsOrd) sorted.drop("__ord") else sorted
       }
-    }
     q.limit.fold(out)(out.limit)
   }
 

@@ -378,7 +378,10 @@ object SqlParser {
         case havingRe(term, op, v) => Having(parseAggTerm(term), op, v.toDouble)
         case other                 => fail(s"HAVING '$other' (<agg> <cmp> <number> only)")
       }
-      if (having.isDefined && groupBy.isEmpty) fail("HAVING requires GROUP BY")
+      // a calendar expression IS a grouping — HAVING over `GROUP BY
+      // year(d)` alone is legal SQL both planes post-filter (r15)
+      if (having.isDefined && groupBy.isEmpty && calSyntax.isEmpty)
+        fail("HAVING requires GROUP BY")
       val orderBy = Option(orderS).toSeq.flatMap(_.split(",")).map(_.trim).map {
         case orderKeyRe(expr0, dir) =>
           val expr = expr0.trim

@@ -263,10 +263,18 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY COUNT(*) LIMIT 99999999999"))
     intercept[IllegalArgumentException](SqlParser.parseQuery(
       "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY COUNT(*) LIMIT 0"))
-    // ROLLUP with ORDER BY: applied on the exact plane, loud on the model
-    // plane (the grouping-set enumeration has no ordering surface)
-    intercept[IllegalArgumentException](SqlEstimate.estimate(ens,
-      "SELECT COUNT(*) FROM lineitem GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag"))
+    // ROLLUP with ORDER BY orders on BOTH planes since r15 (post() sorts
+    // grouping-set rows with SQL NULL first ascending, the exact plane's
+    // convention) — the grouped-out total row leads
+    SqlEstimate.estimate(ens,
+      "SELECT COUNT(*) FROM lineitem GROUP BY ROLLUP(l_returnflag) ORDER BY l_returnflag") match {
+      case SqlEstimate.GroupSets(rows) =>
+        assert(rows.head._1 == Seq(None),
+          s"NULL (total) row must sort first ascending, got ${rows.map(_._1)}")
+        assert(rows.drop(1).map(_._1.head.get) == rows.drop(1).map(_._1.head.get).sorted,
+          s"defined keys must sort ascending: ${rows.map(_._1)}")
+      case other => fail(s"expected grouping sets, got $other")
+    }
     intercept[IllegalArgumentException](SqlParser.parseQuery(
       "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag ORDER BY l_quantity"))
     intercept[IllegalArgumentException](SqlParser.parseQuery(
@@ -694,6 +702,49 @@ class SqlSpec extends AnyFunSuite {
       "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag, l_linestatus)")
       .collect()
     assert(sqlExact.length == exact.size)
+    // SUM and AVG thread through every grouping set since r15 (the
+    // feature/ratio pass under one shared memo — the Catalyst plane's
+    // grouping-set fold semantics on the text plane)
+    val sumEst = sets(
+      "SELECT SUM(l_extendedprice) FROM lineitem WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+    val sumExact = spark.sql(
+      "SELECT coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL'), SUM(l_extendedprice) " +
+        "FROM lineitem WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}" -> r.getDouble(2)).toMap
+    assert(sumEst.keySet == sumExact.keySet, s"rollup SUM sets ${sumEst.keySet} vs ${sumExact.keySet}")
+    sumExact.foreach { case (g, x) =>
+      assert(qerr(math.max(sumEst(g), 1.0), math.max(x, 1.0)) <= 1.5,
+        s"ROLLUP SUM set $g est=${sumEst(g)} exact=$x")
+    }
+    val avgEst = sets(
+      "SELECT AVG(l_extendedprice) FROM lineitem WHERE l_quantity < 30 GROUP BY CUBE(l_returnflag, l_linestatus)")
+    val avgExact = spark.sql(
+      "SELECT coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL'), AVG(l_extendedprice) " +
+        "FROM lineitem WHERE l_quantity < 30 GROUP BY CUBE(l_returnflag, l_linestatus)")
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}" -> r.getDouble(2)).toMap
+    assert(avgEst.keySet == avgExact.keySet)
+    avgExact.foreach { case (g, x) =>
+      assert(qerr(avgEst(g), x) <= 1.5, s"CUBE AVG set $g est=${avgEst(g)} exact=$x")
+    }
+    // HAVING + ORDER BY val DESC + LIMIT on the grouping-set result: both
+    // planes cut the SAME rows (counts per set are well-separated — the
+    // total row dominates, then the largest flag)
+    val postSql = "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 30 " +
+      "GROUP BY ROLLUP(l_returnflag) HAVING COUNT(*) > 10 ORDER BY n DESC LIMIT 2"
+    val postEst = SqlEstimate.estimate(ens, postSql) match {
+      case SqlEstimate.GroupSets(rows) => rows.map(_._1.head.getOrElse("ALL"))
+      case other                       => fail(s"expected grouping sets, got $other")
+    }
+    val postExact = spark.sql(
+      "SELECT coalesce(l_returnflag, 'ALL') AS g, COUNT(*) AS n FROM lineitem " +
+        "WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag) HAVING COUNT(*) > 10 " +
+        "ORDER BY n DESC LIMIT 2").collect().map(_.getString(0)).toSeq
+    assert(postEst == postExact,
+      s"rollup HAVING/ORDER/LIMIT must cut the same sets: $postEst vs $postExact")
+    // the exact-plane compiler applies the same three clauses
+    val postViaExact = rspn.SqlExact.compile(spark, sf, postSql).collect()
+      .map(r => if (r.isNullAt(0)) "ALL" else r.getString(0)).toSeq
+    assert(postViaExact == postExact, s"SqlExact rollup post-clauses: $postViaExact vs $postExact")
   }
 
   test("numeric and date != / NOT IN estimate via the multi-interval point complement") {
@@ -813,6 +864,106 @@ class SqlSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](SqlParser.parseQuery(
       """SELECT COUNT(*) FROM orders
         |GROUP BY year(o_orderdate), quarter(o_orderdate), month(o_orderdate)""".stripMargin))
+  }
+
+  test("calendar GROUP BY honors HAVING/ORDER BY/LIMIT identically on both planes") {
+    // r15 ADVICE (high): the exact plane's calendar branch used to ignore
+    // q.having/q.orderBy — `ORDER BY n DESC LIMIT 3` silently returned the
+    // first 3 years. Both planes now share the post-clause semantics; the
+    // exact plane's truth oracle is spark.sql on the same text.
+    views
+    val sql = """SELECT year(o_orderdate), COUNT(*) AS n FROM orders
+                 GROUP BY year(o_orderdate) ORDER BY n DESC LIMIT 3""".stripMargin
+    val viaSpark = spark.sql(sql).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val viaExact = SqlExact.compile(spark, sf, sql).collect()
+      .map(r => (r.getInt(0), r.getDouble(1).toLong)).toSeq
+    assert(viaExact == viaSpark,
+      s"exact plane must rank by the aggregate, not the year: $viaExact vs $viaSpark")
+    // estimate plane cuts the same top years (bucket counts well-separated)
+    val viaEst = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.map(_._1.head)
+      case other                    => fail(s"expected groups, got $other")
+    }
+    assert(viaEst == viaSpark.map(_._1.toString),
+      s"estimate plane must cut the same top years: $viaEst vs ${viaSpark.map(_._1)}")
+    // HAVING over a calendar-only grouping parses and filters (r15: a
+    // calendar expression IS a grouping)
+    val hvSql = """SELECT year(o_orderdate), COUNT(*) AS n FROM orders
+                   GROUP BY year(o_orderdate) HAVING COUNT(*) > 50""".stripMargin
+    val hvSpark = spark.sql(hvSql).collect().map(r => r.getInt(0).toString).toSet
+    val hvExact = SqlExact.compile(spark, sf, hvSql).collect().map(_.getInt(0).toString).toSet
+    assert(hvExact == hvSpark, s"calendar HAVING: $hvExact vs $hvSpark")
+    SqlEstimate.estimate(ens, hvSql) match {
+      case SqlEstimate.Groups(rows) =>
+        assert(rows.map(_._1.head).toSet == hvSpark,
+          s"estimate-plane calendar HAVING: ${rows.map(_._1.head).toSet} vs $hvSpark")
+      case other => fail(s"expected groups, got $other")
+    }
+    // r15 ADVICE (medium): `GROUP BY year(d), dim ORDER BY dim` must sort
+    // by the DIMENSION — its key index offsets past the calendar prefix —
+    // with the calendar key as the ascending tiebreak
+    val dimSql = """SELECT year(o_orderdate), o_orderstatus, COUNT(*) AS n FROM orders
+                    GROUP BY year(o_orderdate), o_orderstatus
+                    ORDER BY o_orderstatus DESC""".stripMargin
+    val dimSpark = spark.sql(
+      """SELECT year(o_orderdate) AS y, o_orderstatus AS s, COUNT(*) AS n FROM orders
+         GROUP BY year(o_orderdate), o_orderstatus
+         ORDER BY s DESC, y ASC""".stripMargin).collect()
+      .map(r => (r.getInt(0).toString, r.getString(1))).toSeq
+    val dimExact = SqlExact.compile(spark, sf, dimSql).collect()
+      .map(r => (r.getInt(0).toString, r.getString(1))).toSeq
+    assert(dimExact == dimSpark, s"exact-plane dim sort under calendar: $dimExact vs $dimSpark")
+    SqlEstimate.estimate(ens, dimSql) match {
+      case SqlEstimate.Groups(rows) =>
+        assert(rows.map(k => (k._1(0), k._1(1))) == dimSpark,
+          s"estimate-plane dim sort under calendar: ${rows.map(_._1)} vs $dimSpark")
+      case other => fail(s"expected groups, got $other")
+    }
+  }
+
+  test("OR composes with calendar and numeric GROUP BY on the text plane") {
+    // r15: each bucket's range/point pin conjoins BOTH branches of the
+    // parenthesized OR and answers via inclusion-exclusion — parity with
+    // the Catalyst fold's shape-dispatch composition
+    views
+    def cellCheck(est: Map[String, Double], exact: Map[String, Double], what: String): Unit = {
+      (est.keySet diff exact.keySet).foreach { k =>
+        assert(est(k) <= 5.0, s"$what phantom cell $k carries real mass: ${est(k)}")
+      }
+      (exact.keySet diff est.keySet).foreach { k =>
+        assert(exact(k) <= 5.0, s"$what dropped cell $k has real rows: ${exact(k)}")
+      }
+      (est.keySet intersect exact.keySet).foreach { k =>
+        assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+          s"$what cell $k: ${est(k)} vs ${exact(k)}")
+      }
+    }
+    def estGroups(sql: String): Map[String, Double] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.mkString("|") -> e.value }.toMap
+        case other                    => fail(s"expected groups, got $other")
+      }
+    val calSql = """SELECT year(o_orderdate), COUNT(*) FROM orders
+                    WHERE (o_orderstatus = 'F') OR (o_totalprice < 50000)
+                    GROUP BY year(o_orderdate)""".stripMargin
+    val calExact = spark.sql(calSql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    cellCheck(estGroups(calSql), calExact, "OR×year")
+    // calendar × dimension under the OR: per-bucket grouped IE
+    val mixSql = """SELECT year(o_orderdate), o_orderpriority, COUNT(*) FROM orders
+                    WHERE (o_orderstatus = 'F') OR (o_totalprice < 50000)
+                    GROUP BY year(o_orderdate), o_orderpriority""".stripMargin
+    val mixExact = spark.sql(mixSql).collect()
+      .map(r => s"${r.getInt(0)}|${r.getString(1)}" -> r.getLong(2).toDouble).toMap
+    cellCheck(estGroups(mixSql), mixExact, "OR×year×dim")
+    // numeric histogram under the OR: support unions across branches,
+    // value pins compose via IE
+    val numSql = """SELECT l_quantity, COUNT(*) FROM lineitem
+                    WHERE (l_returnflag = 'A') OR (l_tax > 0.06)
+                    GROUP BY l_quantity""".stripMargin
+    val numExact = spark.sql(numSql).collect()
+      .map(r => r.getDouble(0).toLong.toString -> r.getLong(1).toDouble).toMap
+    cellCheck(estGroups(numSql), numExact, "OR×numeric")
   }
 
   test("date-shaped NOT IN over a CATEGORICAL column resolves to the string complement") {

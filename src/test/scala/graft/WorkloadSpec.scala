@@ -183,6 +183,49 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the ROLLUP/CUBE workload replays through the SQL-text plane within the grouped gate") {
+    // r15: external-file coverage of the grouping-set class — ROLLUP/CUBE
+    // with COUNT/SUM/SUM(a*b)/AVG per set (estGroupingSetsAgg/Avg), plus
+    // HAVING/ORDER BY post clauses, graded per set combination (a
+    // grouped-out key column replays as the exact plane's "NULL" marker)
+    val g = QErrorEval.readWorkload("workloads/testdata_rollup_8.sql")
+    assert(g.length == 8)
+    assert(g.forall(_._2.matches("(?is).*GROUP BY (ROLLUP|CUBE)\\(.*")),
+      "every query must use grouping-set sugar")
+    val truth = QErrorEval.computeGroupTruth(spark, sf, g, cache = false)
+    val rows = QErrorEval.runWorkloadGrouped(spark, sf, g, truth)
+    assert(rows.forall(_.groups.nonEmpty), "every replayed query must carry per-set scores")
+    // every query's truth must include a grand-total row — proof the
+    // grouping-set shape (not a flat GROUP BY) is what replayed
+    assert(truth.values.forall(_.exists(_._1.forall(_ == "NULL"))),
+      "each grouping-set query's truth must carry the () total row")
+    val flat = rows.flatMap(_.groups)
+    val errs = flat.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val worst = flat.maxBy(_.relErr)
+    info(f"${flat.length} grouping-set cells: median rel err $median%.4f " +
+      f"max ${worst.relErr}%.4f (q${rows.find(_.groups.contains(worst)).map(_.no).getOrElse(-1)} " +
+      f"set ${worst.key.mkString("|")})")
+    assert(median <= 0.10, f"per-set median relative error $median%.4f > 0.10")
+  }
+
+  test("the committed sf0.01 ROLLUP truth CSV matches live exact groups") {
+    val g = QErrorEval.readWorkload("workloads/testdata_rollup_8.sql")
+    val fromCsv = QErrorEval.readGroupTruthCsv(
+      "workloads/testdata_rollup_8_true_sf0.01.csv")
+    val live = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, rows) =>
+      val liveMap = live(no).map { case (k, v) => k.mkString("|") -> v }.toMap
+      val csvMap = rows.map { case (k, v) => k.mkString("|") -> v }.toMap
+      assert(csvMap.keySet == liveMap.keySet, s"rollup keys drifted for query $no")
+      csvMap.foreach { case (k, v) =>
+        assert(math.abs(v - liveMap(k)) <= 1e-9 * math.max(math.abs(v), 1.0),
+          s"rollup truth drifted for query $no set [$k]: csv $v vs live ${liveMap(k)}")
+      }
+    }
+  }
+
   test("group-truth CSV round-trips keys containing the tuple separator") {
     // a dictionary value containing '|' (or a backslash) must come back as
     // the same key TUPLE — unescaped joining would split it into two
