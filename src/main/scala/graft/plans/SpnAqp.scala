@@ -950,13 +950,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             .flatMap(gen).map(a -> _)
         }
         calCandidates match {
-          // ONE calendar expression, or TWO composed as a bucket cross
+          // up to THREE calendar expressions composed as a bucket cross
           // product — the seasonal-matrix shape (`GROUP BY year(d),
-          // month(d)`): each key pair's predicate is the MEET of the two
-          // bucket interval sets (same date column) or their conjunction
-          // (two date columns). Three would cube the product past the
-          // 400-bucket accuracy/latency cap for any realistic domain.
-          case cals if cals.nonEmpty && cals.length <= 2 =>
+          // month(d)[, quarter(d)]`): each key tuple's predicate is the
+          // per-column MEET of the candidates' interval sets (same date
+          // column) conjoined across distinct columns. The meets prune
+          // the raw cube long before the 400-tuple cap (year × quarter ×
+          // month survives as ~84 tuples — each month meets exactly its
+          // own quarter); genuinely fine triples (× dayofweek) still cap.
+          case cals if cals.nonEmpty && cals.length <= 3 =>
             val calIds = cals.map(_._1.exprId)
             val dimAttrs = gAttrs.filterNot(a => calIds.contains(a.exprId))
             // the remaining projection must be walkable (pure attrs/
@@ -1092,38 +1094,44 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 }
                 D("perCal")(if (bs.forall(_.isDefined)) Some(bs.flatten) else None)
               }
-              // bucket tuples: key per calendar attr + that tuple's atoms.
-              // Same-column pairs MEET their interval sets (empty meet =
-              // structurally impossible pair, emitted as no row — SQL's
-              // behavior exactly); distinct columns conjoin two RangeUnions.
+              // bucket tuples: one key per calendar attr + that tuple's
+              // atoms — the PER-COLUMN MEET of every candidate's interval
+              // set (same-column pairs/triples meet to their common slice;
+              // an empty meet is a structurally impossible tuple, emitted
+              // as no row — SQL's behavior exactly), one RangeUnion atom
+              // per distinct column. Generic over 1..3 candidates (r15).
               tuples <- {
-                val raw: Seq[(Seq[Any], Seq[(String, Atom)])] = perCal match {
-                  case Seq(b1) =>
-                    val (t, c) = tcs.head
-                    b1.map { case (k, ivs) =>
-                      (Seq(k), Seq(t -> (SpnCardinality.RangeUnion(c, ivs): Atom)))
-                    }
-                  case Seq(b1, b2) =>
-                    val (t1, c1) = tcs.head
-                    val (t2, c2) = tcs.last
-                    for {
-                      (k1, ivs1) <- b1
-                      (k2, ivs2) <- b2
-                      atoms <- {
-                        if (t1 == t2 && c1 == c2) {
-                          val met = intersectIvs(ivs1, ivs2)
-                          if (met.isEmpty) None
-                          else Some(Seq(t1 -> (SpnCardinality.RangeUnion(c1, met): Atom)))
-                        } else Some(Seq(
-                          t1 -> (SpnCardinality.RangeUnion(c1, ivs1): Atom),
-                          t2 -> (SpnCardinality.RangeUnion(c2, ivs2): Atom)))
+                var acc: Seq[(Seq[Any], Map[(String, String), Seq[(Double, Double)]])] =
+                  Seq((Seq.empty[Any], Map.empty))
+                var live = true
+                perCal.zip(tcs).foreach { case (buckets, tc) =>
+                  if (live) {
+                    acc = for {
+                      (ks, m) <- acc
+                      (k, ivs) <- buckets
+                      met <- m.get(tc) match {
+                        case None => Seq(ivs)
+                        case Some(prev) =>
+                          val x = intersectIvs(prev, ivs)
+                          if (x.isEmpty) Nil else Seq(x)
                       }
-                    } yield (Seq(k1, k2), atoms)
+                    } yield (ks :+ k, m.updated(tc, met))
+                    // calendar buckets cover the domain, so a later
+                    // candidate only EXTENDS surviving tuples — a past-cap
+                    // intermediate never shrinks back under it; stop early
+                    // instead of materializing the cube
+                    if (acc.length > 400) live = false
+                  }
                 }
                 // the existing 400-bucket accuracy/latency cap governs the
                 // CROSS PRODUCT too (surviving tuples, not the raw product —
                 // year × month over a 30-year domain folds at 360)
-                D("cap")(if (raw.length > 400) None else Some(raw))
+                D("cap")(if (!live || acc.length > 400) None
+                else Some(acc.map { case (ks, m) =>
+                  (ks, m.toSeq.map { case ((t, c), ivs) =>
+                    t -> (SpnCardinality.RangeUnion(c, ivs): Atom)
+                  })
+                }))
               }
               // numeric dimension columns expand the bucket tuples by the
               // column's realized-value support under the BASE predicates

@@ -56,11 +56,12 @@ object SqlParser {
       having: Option[Having] = None,
       orderBy: Seq[OrderKey] = Nil,
       limit: Option[Int] = None,
-      /** `GROUP BY year(col)/month(col)/quarter(col)[, cal2][, dims...]` —
-        * the SQL-text plane's calendar grouping (r14): up to TWO leading
-        * (fn, table, days column) calendar expressions (two compose as a
-        * bucket cross product, the Catalyst seasonal-matrix fold), with
-        * `groupBy` carrying any trailing dictionary dimension columns.
+      /** `GROUP BY year(col)/month(col)/quarter(col)[, cal2, cal3][, dims...]`
+        * — the SQL-text plane's calendar grouping (r14; THREE since r15):
+        * up to three leading (fn, table, days column) calendar expressions
+        * composing as a bucket cross product (per-column interval meets,
+        * the Catalyst seasonal-matrix fold), with `groupBy` carrying any
+        * trailing dictionary dimension columns.
         * The estimate plane buckets the model's realized date domain; the
         * exact plane groups by the matching Spark functions.
         */
@@ -304,8 +305,11 @@ object SqlParser {
         case calGroupRe(_, _) => true
         case _                => false
       }.map { case calGroupRe(fn, c) => (fn.toLowerCase, c) }
-      if (calSyntax.length > 2) fail(
-        "at most two calendar grouping expressions (the bucket cross product)")
+      // three compose like two (per-column interval meets prune the cube —
+      // year × quarter × month survives as ~84 tuples); calendarGroups'
+      // 400-tuple cap still fails loudly on genuinely fine products
+      if (calSyntax.length > 3) fail(
+        "at most three calendar grouping expressions (the bucket cross product)")
       if (selParts.length > 1) calSyntax.zipWithIndex.foreach { case ((fn, c), i) =>
         val leads = selParts.lift(i).map(_.trim).exists {
           case calGroupRe(ifn, ic) => ifn.toLowerCase == fn && ic == c

@@ -1912,19 +1912,47 @@ class SpnAqpSpec extends AnyFunSuite {
         s"two-col cell $k: ${est3(k)} vs ${exact3(k)}")
     }
     // a cross product past the 400-tuple cap falls back (monthly trunc ×
-    // day-of-week over a multi-year domain crosses it), and a THIRD
-    // calendar expression falls back structurally
+    // day-of-week over a multi-year domain crosses it)
     val capped = session(aqp = true).sql(
       """SELECT date_trunc('month', o_orderdate) AS p, dayofweek(o_orderdate) AS d,
                 count(*) AS n
          FROM orders GROUP BY date_trunc('month', o_orderdate), dayofweek(o_orderdate)""".stripMargin)
     assert(!isRewritten(capped), "a cap-exceeded bucket cross product must fall back")
-    val threeCal = session(aqp = true).sql(
-      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
-                month(o_orderdate) AS m, count(*) AS n
-         FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate),
-                              month(o_orderdate)""".stripMargin)
-    assert(!isRewritten(threeCal), "three calendar grouping expressions must fall back")
+    // THREE calendar expressions fold since r15 — the per-column interval
+    // meets prune the cube (each month meets exactly its own quarter:
+    // ~84 surviving tuples, well under the cap)
+    val sql4 = """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+                         month(o_orderdate) AS m, count(*) AS n
+                  FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate),
+                                       month(o_orderdate)""".stripMargin
+    val exact4 = session(aqp = false).sql(sql4).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3).toDouble).toMap
+    val df4 = session(aqp = true).sql(sql4)
+    assert(isRewritten(df4), s"year × quarter × month must fold:\n${df4.queryExecution.optimizedPlan}")
+    val est4 = df4.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3).toDouble).toMap
+    // quarter is DERIVED from month, so no tuple may pair a month with a
+    // foreign quarter — the meet must kill those structurally
+    est4.keys.foreach { case (_, q, m) =>
+      assert((m - 1) / 3 + 1 == q, s"month $m emitted under foreign quarter $q")
+    }
+    (est4.keySet diff exact4.keySet).foreach { k =>
+      assert(est4(k) <= 5.0, s"y×q×m phantom cell $k carries real mass: ${est4(k)}")
+    }
+    (exact4.keySet diff est4.keySet).foreach { k =>
+      assert(exact4(k) <= 5.0, s"y×q×m dropped cell $k has real rows: ${exact4(k)}")
+    }
+    (est4.keySet intersect exact4.keySet).foreach { k =>
+      assert(qerr(est4(k), exact4(k)) <= 3.0 || math.abs(est4(k) - exact4(k)) <= 10.0,
+        s"y×q×m cell $k: ${est4(k)} vs ${exact4(k)}")
+    }
+    // a genuinely fine TRIPLE still caps (year × month × dayofweek ≈ 588)
+    val threeCapped = session(aqp = true).sql(
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                dayofweek(o_orderdate) AS d, count(*) AS n
+         FROM orders GROUP BY year(o_orderdate), month(o_orderdate),
+                              dayofweek(o_orderdate)""".stripMargin)
+    assert(!isRewritten(threeCapped), "a cap-exceeded calendar triple must fall back")
   }
 
   test("answerable aggregates fold inside UNION ALL; constant tag columns ride along") {

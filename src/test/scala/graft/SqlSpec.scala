@@ -860,10 +860,33 @@ class SqlSpec extends AnyFunSuite {
     (exact2.keySet diff est2.keySet).foreach { k =>
       assert(exact2(k) <= 5.0, s"dropped cell $k has real rows: ${exact2(k)}")
     }
-    // a THIRD calendar expression fails loudly
+    // a THIRD calendar expression composes since r15 (the meets prune the
+    // cube: each month meets exactly its own quarter) — parity with exact
+    val sql3 = """SELECT year(o_orderdate), quarter(o_orderdate), month(o_orderdate), COUNT(*)
+                  FROM orders WHERE o_totalprice < 150000
+                  GROUP BY year(o_orderdate), quarter(o_orderdate), month(o_orderdate)""".stripMargin
+    val exact3 = spark.sql(sql3).collect()
+      .map(r => (r.getInt(0).toString, r.getInt(1).toString, r.getInt(2).toString)
+        -> r.getLong(3).toDouble).toMap
+    val est3 = SqlEstimate.estimate(ens, sql3) match {
+      case SqlEstimate.Groups(rows) =>
+        rows.map { case (k, e) => (k(0), k(1), k(2)) -> e.value }.toMap
+      case other => fail(s"expected groups, got $other")
+    }
+    (est3.keySet diff exact3.keySet).foreach { k =>
+      assert(est3(k) <= 5.0, s"y×q×m phantom cell $k carries real mass: ${est3(k)}")
+    }
+    (exact3.keySet diff est3.keySet).foreach { k =>
+      assert(exact3(k) <= 5.0, s"y×q×m dropped cell $k has real rows: ${exact3(k)}")
+    }
+    (est3.keySet intersect exact3.keySet).foreach { k =>
+      assert(qerr(est3(k), exact3(k)) <= 3.0 || math.abs(est3(k) - exact3(k)) <= 10.0,
+        s"y×q×m cell $k: ${est3(k)} vs ${exact3(k)}")
+    }
+    // a FOURTH still fails loudly
     assertThrows[IllegalArgumentException](SqlParser.parseQuery(
       """SELECT COUNT(*) FROM orders
-        |GROUP BY year(o_orderdate), quarter(o_orderdate), month(o_orderdate)""".stripMargin))
+        |GROUP BY year(o_orderdate), quarter(o_orderdate), month(o_orderdate), year(o_orderdate)""".stripMargin))
   }
 
   test("calendar GROUP BY honors HAVING/ORDER BY/LIMIT identically on both planes") {
