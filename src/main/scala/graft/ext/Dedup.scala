@@ -96,17 +96,21 @@ object Dedup {
     */
   private def ngramClasses(s: SparkSession, d: String): DataFrame =
     ModelCache.memo(s, d, "ngram_classes") {
-      // sort_array makes the class key ORDER-INSENSITIVE: `sh` is the
-      // distinct shingle list in first-occurrence order, so two docs with
-      // the same shingle SET in different orders collapse into ONE class
-      // (correctness held either way — such pairs still qualified through
-      // the inverted-index join at Jaccard 1 — but the canonicalization
-      // missed the collapse and the class invariant overstated itself)
+      // the class key is md5 OVER the JSON-encoded SORTED shingle list —
+      // order-insensitive (two docs with the same shingle SET in different
+      // orders collapse into one class; to_json is an unambiguous
+      // canonical encoding, and a 128-bit collision over a corpus-sized
+      // key set is negligible) at FIXED key width: r14 grouped by the
+      // sorted array itself, which made the shuffle carry and compare
+      // whole shingle arrays and cost ~65% more cpu on the family's
+      // hottest op (isolated re-measure, BENCH_SCALING r15 appendix)
       val c = shingledBase(s, d)
-        .groupBy(sort_array(col("sh")).as("shs"))
+        .withColumn("n", size(col("sh")).cast("bigint"))
+        .groupBy(md5(to_json(sort_array(col("sh")))).as("ck"))
         .agg(min(col("doc_id")).as("doc_id"),
-          sort_array(collect_list(col("doc_id"))).as("members"))
-        .select(col("doc_id"), col("members"), size(col("shs")).cast("bigint").as("n"))
+          sort_array(collect_list(col("doc_id"))).as("members"),
+          min(col("n")).as("n"))
+        .select(col("doc_id"), col("members"), col("n"))
         .cache()
       c.count()
       c
