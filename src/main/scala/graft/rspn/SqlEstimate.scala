@@ -160,9 +160,13 @@ object SqlEstimate {
       // ROLLUP/CUBE sugar over the grouping-set estimators — COUNT, SUM,
       // SUM(a*b) and AVG per set (r15: the feature/ratio pass threads
       // through every subset under one shared memo, closing the plane
-      // asymmetry with the Catalyst grouping-set fold)
-      if (q.orPreds.nonEmpty) throw new IllegalArgumentException(
-        "unsupported SQL: OR combined with ROLLUP/CUBE")
+      // asymmetry with the Catalyst grouping-set fold). A parenthesized OR
+      // composes per set (r15 late): each nonempty set answers through the
+      // per-group inclusion-exclusion estimators over the union of both
+      // branches' enumerations, the () set through the scalar OR
+      // estimators — the Catalyst plane's (o) composition on the text
+      // plane (per-set memos instead of one shared memo; driver-side
+      // milliseconds either way).
       q.groupBy.foreach { case (gt, gcol) =>
         require(modelColOf(spns, gt, gcol).dict.nonEmpty,
           s"GROUP BY $gcol: not a categorical model column")
@@ -171,6 +175,34 @@ object SqlEstimate {
         case GroupRollup => q.groupBy.indices.inclusive.reverse.map(q.groupBy.take)
         case _ => (0 until (1 << q.groupBy.length)).map(mask =>
           q.groupBy.zipWithIndex.collect { case (gc, i) if (mask & (1 << i)) != 0 => gc })
+      }
+      if (q.orPreds.nonEmpty) {
+        val predsB = mergePreds(spns, q.orPreds)
+        val allCols = sets.flatten.distinct
+        return GroupSets(sets.flatMap { set =>
+          if (set.isEmpty)
+            Seq(allCols.map(_ => Option.empty[String]) ->
+              scalarOrOf(spns, q, preds, predsB))
+          else {
+            val rows = q.agg match {
+              case Count =>
+                Ensemble.estGroupByAggOr(spns, q.tables, set, Map.empty, preds, predsB)
+              case Sum(t, c) =>
+                Ensemble.estGroupByAggOr(spns, q.tables, set, Map((t, c) -> 1), preds, predsB)
+              case SumProduct(ta, ca, tb, cb) =>
+                Ensemble.estGroupByAggOr(spns, q.tables, set,
+                  Map((ta, ca) -> 1, (tb, cb) -> 1), preds, predsB)
+              case Avg(t, c) =>
+                Ensemble.estGroupByAvgOr(spns, q.tables, set, (t, c), preds, predsB)
+              case other => throw new IllegalArgumentException(
+                s"unsupported SQL: ROLLUP/CUBE with $other")
+            }
+            rows.map { case (k, e) =>
+              val byCol = set.zip(k).toMap
+              allCols.map(byCol.get) -> e
+            }
+          }
+        })
       }
       return GroupSets(q.agg match {
         case Count     => Ensemble.estGroupingSetsAgg(spns, q.tables, sets, Map.empty, preds)
@@ -214,21 +246,26 @@ object SqlEstimate {
           case SumProduct(ta, ca, tb, cb) =>
             Ensemble.estGroupByAggOr(spns, q.tables, q.groupBy,
               Map((ta, ca) -> 1, (tb, cb) -> 1), preds, predsB)
+          // per-group distinct set under a disjunction = the UNION of both
+          // branches' (gcs..., c) enumerations grouped by prefix — exact
+          // set semantics, never the inclusion-exclusion sum (the Catalyst
+          // plane's CountDistinctOut convention under single-OR)
+          case CountDistinct(t, c) =>
+            require(modelColOf(spns, t, c).dict.nonEmpty,
+              s"COUNT(DISTINCT $c): not a categorical model column")
+            (Ensemble.estGroupByMulti(spns, q.tables, q.groupBy :+ ((t, c)), preds).map(_._1) ++
+              Ensemble.estGroupByMulti(spns, q.tables, q.groupBy :+ ((t, c)), predsB).map(_._1))
+              .distinct.groupBy(_.dropRight(1)).toSeq
+              .map { case (g, rows) =>
+                val k = rows.length.toDouble
+                g -> Ensemble.Estimate(k, k, k)
+              }
+              .sortBy(_._1.mkString("\u0000"))
           case other => throw new IllegalArgumentException(
             s"unsupported SQL: $other with OR and GROUP BY")
         })
       }
-      Scalar(q.agg match {
-        case Count     => Ensemble.estCountOr(spns, q.tables, preds, predsB)
-        case Sum(t, c) => Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((t, c) -> 1))
-        case Avg(t, c) => Ensemble.estAvgOr(spns, q.tables, (t, c), preds, predsB)
-        case SumProduct(ta, ca, tb, cb) =>
-          Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((ta, ca) -> 1, (tb, cb) -> 1))
-        case _: Combo => throw new IllegalArgumentException(
-          "unsupported SQL: +/- aggregate combination with OR")
-        case _: CountDistinct => throw new IllegalArgumentException(
-          "unsupported SQL: COUNT(DISTINCT) with OR")
-      })
+      Scalar(scalarOrOf(spns, q, preds, predsB))
     } else q.groupBy match {
       case Nil => Scalar(scalarOf(spns, q, preds))
       case gcs =>
@@ -475,6 +512,37 @@ object SqlEstimate {
       Ensemble.intersect(acc, one)
         .getOrElse(acc + ((p.table, p.col) -> NominalSet(Array.empty[Double])))
     }
+
+  /** Scalar estimate under `(preds) OR (predsB)` — the disjunctive mirror
+    * of [[scalarOf]] (r15): linear aggregates through inclusion-exclusion,
+    * AVG as their ratio, COUNT(DISTINCT) as the exact UNION of both
+    * branches' enumerations (a set, never the IE sum — the Catalyst
+    * plane's convention), and ± combinations recursively per term with
+    * the same conservative interval arithmetic as the conjunctive path.
+    */
+  private def scalarOrOf(
+      spns: Map[String, Ensemble.TrainedSpn],
+      q: ParsedQuery,
+      preds: Map[(String, String), ColRange],
+      predsB: Map[(String, String), ColRange]): Ensemble.Estimate = q.agg match {
+    case Count     => Ensemble.estCountOr(spns, q.tables, preds, predsB)
+    case Sum(t, c) => Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((t, c) -> 1))
+    case Avg(t, c) => Ensemble.estAvgOr(spns, q.tables, (t, c), preds, predsB)
+    case SumProduct(ta, ca, tb, cb) =>
+      Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((ta, ca) -> 1, (tb, cb) -> 1))
+    case CountDistinct(t, c) =>
+      require(modelColOf(spns, t, c).dict.nonEmpty,
+        s"COUNT(DISTINCT $c): not a categorical model column")
+      val k = (Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), preds).map(_._1) ++
+        Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), predsB).map(_._1))
+        .distinct.length.toDouble
+      Ensemble.Estimate(k, k, k)
+    case Combo(plus, l, r) =>
+      val el = scalarOrOf(spns, q.copy(agg = l), preds, predsB)
+      val er = scalarOrOf(spns, q.copy(agg = r), preds, predsB)
+      if (plus) Ensemble.Estimate(el.value + er.value, el.ci95Lo + er.ci95Lo, el.ci95Hi + er.ci95Hi)
+      else Ensemble.Estimate(el.value - er.value, el.ci95Lo - er.ci95Hi, el.ci95Hi - er.ci95Lo)
+  }
 
   private def scalarOf(
       spns: Map[String, Ensemble.TrainedSpn],

@@ -989,6 +989,69 @@ class SqlSpec extends AnyFunSuite {
     cellCheck(estGroups(numSql), numExact, "OR×numeric")
   }
 
+  test("OR composes with ROLLUP/CUBE, COUNT(DISTINCT) and ± combos on the text plane") {
+    // r15 late widenings: the remaining OR asymmetries with the Catalyst
+    // plane — grouping sets answer per set via the per-group IE
+    // estimators, distinct counts union both branches' enumerations,
+    // ± combinations recurse per linear term
+    views
+    val rollupSql = """SELECT l_returnflag, COUNT(*) FROM lineitem
+                       WHERE (l_quantity < 5) OR (l_quantity > 45)
+                       GROUP BY ROLLUP(l_returnflag)""".stripMargin
+    val rollupEst = SqlEstimate.estimate(ens, rollupSql) match {
+      case SqlEstimate.GroupSets(rows) =>
+        rows.map { case (g, e) => g.head.getOrElse("ALL") -> e.value }.toMap
+      case other => fail(s"expected grouping sets, got $other")
+    }
+    val rollupExact = spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL'), COUNT(*) FROM lineitem
+         WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(rollupEst.keySet == rollupExact.keySet,
+      s"OR rollup sets ${rollupEst.keySet} vs ${rollupExact.keySet}")
+    rollupExact.foreach { case (g, x) =>
+      assert(qerr(rollupEst(g), x) <= 1.5, s"OR rollup set $g est=${rollupEst(g)} exact=$x")
+    }
+    // SUM per set under the OR, via per-set inclusion-exclusion
+    val cubeSql = """SELECT l_linestatus, SUM(l_extendedprice) FROM lineitem
+                     WHERE (l_quantity < 5) OR (l_quantity > 45)
+                     GROUP BY CUBE(l_linestatus)""".stripMargin
+    val cubeEst = SqlEstimate.estimate(ens, cubeSql) match {
+      case SqlEstimate.GroupSets(rows) =>
+        rows.map { case (g, e) => g.head.getOrElse("ALL") -> e.value }.toMap
+      case other => fail(s"expected grouping sets, got $other")
+    }
+    val cubeExact = spark.sql(
+      """SELECT coalesce(l_linestatus, 'ALL'), SUM(l_extendedprice) FROM lineitem
+         WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY CUBE(l_linestatus)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    cubeExact.foreach { case (g, x) =>
+      assert(qerr(math.max(cubeEst(g), 1.0), math.max(x, 1.0)) <= 1.5,
+        s"OR cube SUM set $g est=${cubeEst(g)} exact=$x")
+    }
+    // COUNT(DISTINCT) under the OR: exact union of branch enumerations —
+    // dictionary supports make it exact, scalar and grouped
+    val cdSql = "SELECT COUNT(DISTINCT l_returnflag) FROM lineitem " +
+      "WHERE (l_quantity < 3) OR (l_quantity > 47)"
+    assert(estScalar(cdSql) == exactScalar(cdSql), s"scalar OR distinct: ${estScalar(cdSql)}")
+    val cdgSql = "SELECT COUNT(DISTINCT l_linestatus) FROM lineitem " +
+      "WHERE (l_quantity < 3) OR (l_quantity > 47) GROUP BY l_returnflag"
+    val cdgEst = SqlEstimate.estimate(ens, cdgSql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val cdgExact = spark.sql(
+      "SELECT l_returnflag, COUNT(DISTINCT l_linestatus) FROM lineitem " +
+        "WHERE l_quantity < 3 OR l_quantity > 47 GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(cdgEst == cdgExact, s"grouped OR distinct: $cdgEst vs $cdgExact")
+    // ± combination under the OR: per-term IE, conservative interval sum
+    val comboSql = "SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem " +
+      "WHERE (l_quantity < 5) OR (l_quantity > 45)"
+    assert(qerr(estScalar(comboSql), exactScalar(comboSql)) <= 1.5,
+      s"OR combo: ${estScalar(comboSql)} vs ${exactScalar(comboSql)}")
+  }
+
   test("date-shaped NOT IN over a CATEGORICAL column resolves to the string complement") {
     // the parser classifies '2020-01-01' as a date literal; on a cat
     // column whose dictionary holds ISO-date-like STRINGS both planes must
