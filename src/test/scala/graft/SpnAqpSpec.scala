@@ -2386,6 +2386,23 @@ class SpnAqpSpec extends AnyFunSuite {
            AND (l_returnflag = 'R' OR l_quantity > 40)
          GROUP BY year(l_shipdate)""".stripMargin)
     assert(!isRewritten(four), "four multi-column ORs × calendar must fall back")
+    // the annotation channel rides the OR composition: per-bucket
+    // inclusion-exclusion intervals, point values EQUAL to the fold's own
+    val sAnn = session(aqp = true)
+    sAnn.conf.set("spark.graft.aqp.annotate", "true")
+    val annDf = sAnn.sql(sql) // the OR × year count+sum query above
+    assert(isRewritten(annDf))
+    val annFold = annDf.collect().map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    val annTvf = sAnn.sql("SELECT * FROM spn_last_fold()").collect()
+      .filter(_.getString(1) == "n")
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(annTvf.keySet == annFold.keySet,
+      s"OR×year annotation buckets ${annTvf.keySet} vs folded ${annFold.keySet}")
+    annFold.foreach { case (k, v) =>
+      val (est, lo, hi) = annTvf(k)
+      assert(math.round(est).toDouble == v, s"OR×year bucket $k annotation $est vs folded $v")
+      assert(lo <= est && est <= hi, s"OR×year bucket $k interval [$lo, $hi] must cover $est")
+    }
   }
 
   test("support-enumeration outputs never annotate: the documented CI contract") {
