@@ -136,6 +136,37 @@ object SpnAqpProps extends Properties("spn_aqp") {
       okPlan && okN && okF
     }
 
+  // r15: the OR-composed calendar class — a RANDOM cross-column
+  // disjunction under year buckets must fold zero-scan and match exact
+  // per bucket (phantom/dropped cells trivial, shared cells within loose
+  // q-error — the example specs' sparse-bucket convention)
+  private val orCalGen: Gen[(Int, Int, Int)] = for {
+    lo <- Gen.choose(1, 30)
+    width <- Gen.choose(5, 15)
+    dHi <- Gen.choose(2, 9)
+  } yield (lo, lo + width, dHi)
+
+  property("cross-column ORs × calendar buckets fold zero-scan, per-bucket accurate") =
+    forAll(orCalGen) { case (lo, hi, dHi) =>
+      val sql =
+        s"""SELECT year(l_shipdate) AS y, count(*) AS n FROM lineitem
+            WHERE l_quantity BETWEEN $lo AND $hi OR l_discount > 0.0$dHi
+            GROUP BY year(l_shipdate)"""
+      val exact = session(aqp = false).sql(sql).collect()
+        .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+      val df = session(aqp = true).sql(sql)
+      val est = df.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+      val okPlan = isRewritten(df)
+      val okPhantom = (est.keySet diff exact.keySet).forall(k => est(k) <= 5.0)
+      val okDropped = (exact.keySet diff est.keySet).forall(k => exact(k) <= 5.0)
+      val okCells = (est.keySet intersect exact.keySet).forall(k =>
+        qerr(est(k), exact(k)) <= 2.0 || math.abs(est(k) - exact(k)) <= 10.0)
+      val ok = okPlan && okPhantom && okDropped && okCells
+      if (!ok) println(s"FAIL [$sql] plan=$okPlan phantom=$okPhantom " +
+        s"dropped=$okDropped cells=$okCells est=$est exact=$exact")
+      ok
+    }
+
   private val unanswerableGen: Gen[String] = Gen.oneOf(
     // LIKE on an UNMODELED string column (modeled cat columns fold by
     // dictionary closure since round 10)
