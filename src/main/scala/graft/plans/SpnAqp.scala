@@ -719,6 +719,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * same shape-parameterized builders under the set's extra atoms (and
     * whatever OR structure the shape carries), keys padded to the full
     * grouping width with SQL NULL for the columns the set grouped out.
+    * Sets containing NUM-MODELED grouping columns contribute no
+    * annotation rows (their keys are value pins outside the dictionary
+    * enumeration — the same deliberate never-annotate posture as the
+    * support-enumeration outputs; the cat-only sets of the same query
+    * still annotate).
     */
   private def annotateSets(
       sh: Shape, groupAttrs: Seq[AttributeReference], groupSrc: Seq[(String, String)],
@@ -1350,8 +1355,27 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       sh <- walk(ex.child, spec.modeled, spec.graph.relationships, keyColsOf(spec))
       if sh.pendingKeyNotNull.isEmpty
       slots <- classifySlots(ex, gidIdx, sh, spec.modeled)
-      (groupAttrs, groupSrc) = slots
+      (groupAttrs, groupSrc, numPos) = slots
       allSets <- groupingSetsOf(ex, gidIdx, groupAttrs.map(_.exprId))
+      // SQL's NULL-key gate for num-modeled grouping columns: their
+      // per-set keys are value pins (the histogram fold's), which cannot
+      // produce the data-NULL key row — and that row would collide with
+      // the grouping-set NULL marker. Evaluated on each column's own
+      // single-table model (see the calendar fold's comment).
+      _ <- {
+        val spnsG = Ensemble.get(session, sfDir)
+        val ok = numPos.toSeq.map(groupSrc).distinct.forall { case (t, c) =>
+          val tAtoms = Map(t -> sh.atoms.getOrElse(t, Seq.empty))
+          val single = spnsG.get(t).map(m => Map(t -> m)).getOrElse(spnsG)
+          (for {
+            pAll <- SpnCardinality.predsFor(single, Set(t), tAtoms, spec.modeled)
+            pNN <- SpnCardinality.predsFor(
+              single, Set(t), withNotNull(tAtoms, Seq((t, c))), spec.modeled)
+          } yield Ensemble.estCount(single, Set(t), pAll).value -
+            Ensemble.estCount(single, Set(t), pNN).value < 0.5).getOrElse(false)
+        }
+        if (ok) Some(()) else None
+      }
       // the interposed Filter's conjuncts classify per SET: gid-only
       // conditions (HAVING GROUPING()/grouping_id()) evaluate by literal
       // substitution and keep or drop whole sets; an understood atom over
@@ -1379,7 +1403,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       }
       if aggGroupIds == groupIdx.keySet + gidId
       cols <- outputCols(agg, sh, spec.modeled, groupIdx, Some(gidId))
-      rows <- estimateSets(sh, groupSrc, sets, gidId, cols, agg.output.map(_.dataType))
+      rows <- estimateSets(sh, groupSrc, numPos, sets, gidId, cols,
+        agg.output.map(_.dataType))
     } yield {
       annotateSets(sh, groupAttrs, groupSrc, sets,
         cols.zip(agg.aggregateExpressions.map(_.name)))
@@ -1453,14 +1478,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * passthrough child attributes (aggregate inputs — every projection
     * must carry the attr itself) and grouping slots (attr-or-null across
     * projections, all non-null occurrences one child attr that must be a
-    * dictionary-modeled string column). Returns the grouping attributes in
-    * output order with their source (table, column).
+    * dictionary-modeled string OR a num-modeled numeric column — r15 kind
+    * dispatch: numeric grouping columns answer per set through
+    * realized-value pins, exactly like the histogram fold). Returns the
+    * grouping attributes in output order with their source (table,
+    * column) and the positions of the NUMERIC ones.
     */
   private def classifySlots(
       ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
       gidIdx: Int, sh: Shape,
       modeled: Map[String, Seq[(String, String)]])
-      : Option[(Seq[AttributeReference], Seq[(String, String)])] = {
+      : Option[(Seq[AttributeReference], Seq[(String, String)], Set[Int])] = {
     val classified = ex.output.zipWithIndex.collect {
       case (out: AttributeReference, i) if i != gidIdx =>
         val slotVals = ex.projections.map(_(i))
@@ -1481,16 +1509,22 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             src <- srcs.headOption
             if nullsOk && srcs.forall(_.exprId == src.exprId)
             tc <- sh.attrTable.get(src.exprId)
-            if out.dataType == StringType &&
-              modeled(tc._1).exists(c => c._1 == tc._2 && c._2 == "cat")
-          } yield Some((out, tc))
+            kind <- if (out.dataType == StringType &&
+                modeled(tc._1).exists(c => c._1 == tc._2 && c._2 == "cat"))
+              Some(false)
+            else if (out.dataType.isInstanceOf[NumericType] &&
+                modeled(tc._1).exists(c => c._1 == tc._2 && c._2 == "num"))
+              Some(true)
+            else None
+          } yield Some((out, tc, kind))
         }
       case (_, i) if i != gidIdx => None
     }
     if (classified.exists(_.isEmpty)) None
     else {
       val groups = classified.flatten.flatten
-      Some((groups.map(_._1), groups.map(_._2)))
+      Some((groups.map(_._1), groups.map(_._2),
+        groups.zipWithIndex.collect { case ((_, _, true), pos) => pos }.toSet))
     }
   }
 
@@ -1533,7 +1567,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * merged into that set's estimation only.
     */
   private def estimateSets(
-      sh: Shape, groupSrc: Seq[(String, String)],
+      sh: Shape, groupSrc: Seq[(String, String)], numPos: Set[Int],
       sets: Seq[(Seq[Int], Expression, Seq[(String, Atom)])], gidId: ExprId,
       cols: Seq[OutCol], outTypes: Seq[DataType]): Option[Seq[InternalRow]] = {
     val spns = Ensemble.get(session, sfDir)
@@ -1550,9 +1584,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       if (gidVals.values.exists(_.isEmpty)) None
       else {
         val gv = gidVals.map { case (i, v) => i -> v.get }
+        val numInSet = set.filter(numPos)
         if (set.isEmpty)
           scalarVals(spns, spec, shSet, cols)
             .map(m => Seq(cols.indices.map(i => gv.getOrElse(i, m(i))): Seq[Any]))
+        else if (numInSet.nonEmpty)
+          setNumericRows(spns, spec, shSet, set, numInSet, groupSrc, cols, gv)
         else groupRows(spns, spec, shSet, set.map(groupSrc), cols).map { rows =>
           rows.sortBy(_._1.mkString(" ")).map { case (k, m) =>
             val kv = set.zip(k).toMap // grouping-attr position → key value
@@ -1567,6 +1604,61 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
     if (rowsPerSet.exists(_.isEmpty)) None
     else Some(toRows(rowsPerSet.flatMap(_.get), outTypes))
+  }
+
+  /** Per-set rows when the set contains num-modeled grouping columns
+    * (r15): the histogram fold's tuple expansion per SET — each numeric
+    * column's realized-value support under the set's conjoined atoms
+    * expands to point-pinned tuples (several numeric columns cross, the
+    * shared 400-tuple cap governs), the set's dictionary columns
+    * enumerate per tuple, and the assembly places numeric keys at their
+    * grouping positions with grouped-out columns staying the SQL NULL
+    * marker. Every estimation routes through the shape dispatch, so OR
+    * structures compose exactly as in the flat folds.
+    */
+  private def setNumericRows(
+      spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
+      shSet: Shape, set: Seq[Int], numInSet: Seq[Int],
+      groupSrc: Seq[(String, String)], cols: Seq[OutCol],
+      gv: Map[Int, Any]): Option[Seq[Seq[Any]]] = {
+    val catInSet = set.filterNot(numInSet.contains)
+    for {
+      basePreds <- SpnCardinality.predsFor(spns, shSet.tables, shSet.atoms, spec.modeled)
+      tuples <- numInSet.foldLeft(
+        Option(Seq((Seq.empty[(Int, Any)], Seq.empty[(String, Atom)])))) {
+        case (acc, pos) =>
+          val (t, c) = groupSrc(pos)
+          for {
+            ts <- acc
+            support <- Ensemble.numericSupport(spns, shSet.tables, (t, c), basePreds, cap = 400)
+            expanded = for { (ks, as) <- ts; v <- support }
+              yield (ks :+ (pos -> (v: Any)),
+                as :+ (t -> (SpnCardinality.Cmp(c, "eq", v): Atom)))
+            if expanded.length <= 400
+          } yield expanded
+      }
+      perTuple = tuples.map { case (ks, extra) =>
+        val shB = shSet.copy(atoms = mergeAtoms(shSet.atoms, extra))
+        val kvNum = ks.toMap
+        val rowsT: Option[Seq[(Seq[String], Map[Int, Any])]] =
+          if (catInSet.isEmpty)
+            for {
+              n <- shapeCount(spns, spec, shB)
+              m <- scalarVals(spns, spec, shB, cols)
+            } yield if (n >= 0.5) Seq(Seq.empty[String] -> m) else Nil
+          else groupRows(spns, spec, shB, catInSet.map(groupSrc), cols)
+        rowsT.map(_.map { case (k, m) =>
+          val kvCat = catInSet.zip(k).toMap
+          cols.zipWithIndex.map {
+            case (GroupOut(gi), _) =>
+              kvNum.getOrElse(gi, kvCat.getOrElse(gi, null)): Any
+            case (GidOut(_), i) => gv(i)
+            case (_, i)         => m(i)
+          }
+        })
+      }
+      _ <- if (perTuple.exists(_.isEmpty)) None else Some(())
+    } yield perTuple.flatMap(_.get)
   }
 
   // ---- shape recognition ----

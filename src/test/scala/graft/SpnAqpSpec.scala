@@ -400,6 +400,59 @@ class SpnAqpSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping sets with num-modeled key columns fold via per-set value pins") {
+    // r15 kind dispatch inside ROLLUP/CUBE: a numeric grouping column's
+    // per-set keys come from its realized-value support (the histogram
+    // fold's tuples per set); grouped-out columns stay the SQL NULL marker
+    val sql = """SELECT l_returnflag, l_quantity, count(*) AS n
+                 FROM lineitem WHERE l_quantity < 8
+                 GROUP BY ROLLUP(l_returnflag, l_quantity)""".stripMargin
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+      df.collect().map { r =>
+        (if (r.isNullAt(0)) "␀" else r.getString(0),
+          if (r.isNullAt(1)) "␀" else r.getDouble(1).toString) -> r.getLong(2).toDouble
+      }.toMap
+    val exact = keyed(session(aqp = false).sql(sql))
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"numeric ROLLUP must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = keyed(df)
+    // fine (flag, qty) cells are ~40 rows each at sf0.001 — the sparse
+    // boundary convention; subtotal/total rows must match keysets exactly
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"num-rollup phantom row $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"num-rollup dropped row $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"num-rollup row $k: ${est(k)} vs ${exact(k)}")
+    }
+    // the numeric-only CUBE: sets (qty) and () — value pins plus the
+    // grand total, gated SUM folding to the same per-set convention
+    val cubeSql = """SELECT l_quantity, count(*) AS n, sum(l_extendedprice) AS s
+                     FROM lineitem WHERE l_quantity < 8
+                     GROUP BY CUBE(l_quantity)""".stripMargin
+    val cubeExact = session(aqp = false).sql(cubeSql).collect()
+      .map(r => (if (r.isNullAt(0)) "␀" else r.getDouble(0).toString) -> r.getLong(1).toDouble).toMap
+    val cubeDf = session(aqp = true).sql(cubeSql)
+    assert(isRewritten(cubeDf), s"numeric CUBE must fold:\n${cubeDf.queryExecution.optimizedPlan}")
+    val cubeEst = cubeDf.collect()
+      .map(r => (if (r.isNullAt(0)) "␀" else r.getDouble(0).toString) -> r.getLong(1).toDouble).toMap
+    assert(cubeEst.keySet == cubeExact.keySet,
+      s"numeric CUBE keys ${cubeEst.keySet} vs ${cubeExact.keySet}")
+    cubeExact.foreach { case (k, v) =>
+      assert(qerr(cubeEst(k), v) <= 2.0 || math.abs(cubeEst(k) - v) <= 10.0,
+        s"numeric CUBE row $k: ${cubeEst(k)} vs $v")
+    }
+    // a near-continuous numeric grouping column still falls back (support
+    // past the per-set 400-tuple cap)
+    val capped = session(aqp = true).sql(
+      """SELECT l_extendedprice, count(*) AS n FROM lineitem
+         GROUP BY ROLLUP(l_extendedprice)""".stripMargin)
+    assert(!isRewritten(capped), "near-continuous numeric ROLLUP must fall back")
+  }
+
   test("GROUP BY ROLLUP and CUBE fold per grouping set, SQL null convention") {
     val rollup = """SELECT l_returnflag, l_linestatus, count(*) AS n,
                            sum(l_quantity) AS q
