@@ -167,14 +167,29 @@ object SqlEstimate {
       // estimators — the Catalyst plane's (o) composition on the text
       // plane (per-set memos instead of one shared memo; driver-side
       // milliseconds either way).
-      q.groupBy.foreach { case (gt, gcol) =>
-        require(modelColOf(spns, gt, gcol).dict.nonEmpty,
-          s"GROUP BY $gcol: not a categorical model column")
-      }
       val sets: Seq[Seq[(String, String)]] = q.groupMode match {
         case GroupRollup => q.groupBy.indices.inclusive.reverse.map(q.groupBy.take)
         case _ => (0 until (1 << q.groupBy.length)).map(mask =>
           q.groupBy.zipWithIndex.collect { case (gc, i) if (mask & (1 << i)) != 0 => gc })
+      }
+      // num-modeled grouping columns ride the grouping sets (r15, parity
+      // with the Catalyst kind dispatch): a numeric-bearing set answers
+      // through per-set realized-value pins. Under an OR every column
+      // must still be dictionary-modeled — the require below fails loudly
+      // (the per-group IE estimators enumerate dictionaries only).
+      val numCols = q.groupBy.filter { case (gt, gcol) =>
+        spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
+      }.toSet
+      if (q.orPreds.isEmpty && numCols.nonEmpty) {
+        q.groupBy.filterNot(numCols).foreach { case (gt, gcol) =>
+          require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+            s"GROUP BY $gcol: not a categorical model column")
+        }
+        return GroupSets(numericGroupingSets(spns, q, preds, sets, numCols))
+      }
+      q.groupBy.foreach { case (gt, gcol) =>
+        require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+          s"GROUP BY $gcol: not a categorical model column")
       }
       if (q.orPreds.nonEmpty) {
         val predsB = mergePreds(spns, q.orPreds)
@@ -497,6 +512,59 @@ object SqlEstimate {
         dictPos.zip(dk).foreach { case (pos, kv) => full(pos) = kv }
         (full.toSeq, e)
       }
+    }
+  }
+
+  /** ROLLUP/CUBE with num-modeled grouping columns (r15): each
+    * numeric-bearing set expands its numeric columns' realized-value
+    * supports into point-pinned tuples (several columns cross; the
+    * 400-tuple cap throws loudly per the text-plane contract), the set's
+    * dictionary columns enumerate per tuple through the shared
+    * [[orTupleRows]] body, and keys pad to the full grouping width with
+    * None for grouped-out columns — the Catalyst plane's per-set kind
+    * dispatch on the text plane. The () set stays the unconditional
+    * global aggregate.
+    */
+  private def numericGroupingSets(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      preds: Map[(String, String), ColRange],
+      sets: Seq[Seq[(String, String)]],
+      numCols: Set[(String, String)]): Seq[(Seq[Option[String]], Ensemble.Estimate)] = {
+    val allCols = sets.flatten.distinct
+    def keyStr(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+    sets.flatMap { set =>
+      val numInSet = set.filter(numCols)
+      val catInSet = set.filterNot(numCols)
+      val rows: Seq[(Map[(String, String), String], Ensemble.Estimate)] =
+        if (numInSet.isEmpty) {
+          if (set.isEmpty)
+            // SQL: the () grouping set always yields exactly one row
+            Seq(Map.empty[(String, String), String] -> scalarOf(spns, q, preds))
+          else orTupleRows(spns, q, set, Some(preds), None)
+            .map { case (k, e) => set.zip(k).toMap -> e }
+        } else {
+          val tuples = numInSet.foldLeft(
+            Seq((Map.empty[(String, String), Double], preds))) { case (acc, tc) =>
+            val support = Ensemble.numericSupport(spns, q.tables, tc, preds, cap = 400)
+              .getOrElse(throw new IllegalArgumentException(
+                s"GROUP BY ${tc._2}: realized support exceeds the 400-bucket cap"))
+            for {
+              (kv, p0) <- acc
+              v <- support
+              p <- Ensemble.intersect(p0, Map(tc -> (NominalSet(Array(v)): ColRange))).toSeq
+            } yield (kv + (tc -> v), p)
+          }
+          require(tuples.length <= 400,
+            s"grouping set ${set.map(_._2).mkString(",")}: " +
+              s"${tuples.length} value-pin tuples exceed the 400-bucket cap")
+          tuples.flatMap { case (kv, p) =>
+            orTupleRows(spns, q, catInSet, Some(p), None).map { case (k, e) =>
+              (catInSet.zip(k).toMap ++ kv.map { case (tc, v) => tc -> keyStr(v) }) -> e
+            }
+          }
+        }
+      rows.map { case (m, e) => allCols.map(m.get) -> e }
     }
   }
 

@@ -1052,6 +1052,57 @@ class SqlSpec extends AnyFunSuite {
       s"OR combo: ${estScalar(comboSql)} vs ${exactScalar(comboSql)}")
   }
 
+  test("num-modeled grouping columns ride ROLLUP/CUBE on the text plane") {
+    // r15 parity with the Catalyst kind dispatch: numeric-bearing sets
+    // answer through per-set realized-value pins, keys pad with None
+    views
+    val sql = """SELECT l_returnflag, l_quantity, COUNT(*) FROM lineitem
+                 WHERE l_quantity < 8 GROUP BY ROLLUP(l_returnflag, l_quantity)""".stripMargin
+    val est = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.GroupSets(rows) =>
+        rows.map { case (g, e) =>
+          (g(0).getOrElse("ALL"), g(1).getOrElse("ALL")) -> e.value
+        }.toMap
+      case other => fail(s"expected grouping sets, got $other")
+    }
+    val exact = spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL'),
+                coalesce(cast(cast(l_quantity AS bigint) AS string), 'ALL'), COUNT(*)
+         FROM lineitem WHERE l_quantity < 8
+         GROUP BY ROLLUP(l_returnflag, l_quantity)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"num-rollup phantom set $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"num-rollup dropped set $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"num-rollup set $k: ${est(k)} vs ${exact(k)}")
+    }
+    // SUM per numeric set, and the near-continuous cap stays loud
+    val sumSql = """SELECT l_quantity, SUM(l_extendedprice) FROM lineitem
+                    WHERE l_quantity < 5 GROUP BY CUBE(l_quantity)""".stripMargin
+    val sumEst = SqlEstimate.estimate(ens, sumSql) match {
+      case SqlEstimate.GroupSets(rows) =>
+        rows.map { case (g, e) => g.head.getOrElse("ALL") -> e.value }.toMap
+      case other => fail(s"expected grouping sets, got $other")
+    }
+    val sumExact = spark.sql(
+      """SELECT coalesce(cast(cast(l_quantity AS bigint) AS string), 'ALL'), SUM(l_extendedprice)
+         FROM lineitem WHERE l_quantity < 5 GROUP BY CUBE(l_quantity)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sumEst.keySet == sumExact.keySet,
+      s"numeric CUBE keys ${sumEst.keySet} vs ${sumExact.keySet}")
+    sumExact.foreach { case (k, v) =>
+      assert(qerr(math.max(sumEst(k), 1.0), math.max(v, 1.0)) <= 1.5,
+        s"numeric CUBE SUM set $k: ${sumEst(k)} vs $v")
+    }
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT l_extendedprice, COUNT(*) FROM lineitem GROUP BY ROLLUP(l_extendedprice)"))
+  }
+
   test("date-shaped NOT IN over a CATEGORICAL column resolves to the string complement") {
     // the parser classifies '2020-01-01' as a date literal; on a cat
     // column whose dictionary holds ISO-date-like STRINGS both planes must
