@@ -144,7 +144,14 @@ object SqlEstimate {
     val preds = mergePreds(spns, q.preds)
 
     if (q.calGroup.nonEmpty) {
-      q.groupBy.foreach { case (gt, gcol) =>
+      // kind dispatch on the trailing dimension columns (r15 parity with
+      // the Catalyst fold): dictionary strings enumerate per bucket,
+      // num-modeled numerics expand the bucket tuples by realized-value
+      // pins; anything else fails loudly
+      val numDims = q.groupBy.filter { case (gt, gcol) =>
+        spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
+      }.toSet
+      q.groupBy.filterNot(numDims).foreach { case (gt, gcol) =>
         require(modelColOf(spns, gt, gcol).dict.nonEmpty,
           s"GROUP BY $gcol: not a categorical model column")
       }
@@ -153,7 +160,7 @@ object SqlEstimate {
       // exactly the Catalyst fold's shape-dispatch composition
       val orBase =
         if (q.orPreds.isEmpty) None else Some(mergePreds(spns, q.orPreds))
-      return Groups(calendarGroups(spns, q, preds, orBase))
+      return Groups(calendarGroups(spns, q, preds, orBase, numDims))
     }
 
     if (q.groupMode != GroupFlat) {
@@ -335,7 +342,8 @@ object SqlEstimate {
   private def calendarGroups(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
       preds: Map[(String, String), ColRange],
-      orBase: Option[Map[(String, String), ColRange]]): Seq[(Seq[String], Ensemble.Estimate)] = {
+      orBase: Option[Map[(String, String), ColRange]],
+      numDims: Set[(String, String)]): Seq[(Seq[String], Ensemble.Estimate)] = {
     import java.time.LocalDate
     def bucketsOf(fn: String, t: String, c: String): Seq[(String, ColRange)] = {
       val dom = Ensemble.colDomain(spns, t, c).getOrElse(
@@ -393,8 +401,46 @@ object SqlEstimate {
       }
     require(tuples.length <= 400,
       s"calendar GROUP BY: ${tuples.length} bucket combinations exceed the 400-bucket cap")
-    tuples.flatMap { case (keys, pA, pB) =>
-      orTupleRows(spns, q, q.groupBy, pA, pB).map { case (dk, e) => (keys ++ dk, e) }
+    // num-modeled dimension columns expand the bucket tuples by their
+    // realized-value supports (probed ONCE under the base predicates —
+    // and the OR branch's, unioned — a superset of any bucket's own
+    // support; phantom pairs drop through the per-tuple row gate), the
+    // Catalyst fold's kind dispatch on the text plane
+    val numDimCols = q.groupBy.filter(numDims)
+    def supportOf(tc: (String, String)): Seq[Double] = {
+      def one(p: P): Seq[Double] =
+        Ensemble.numericSupport(spns, q.tables, tc, p, cap = 400)
+          .getOrElse(throw new IllegalArgumentException(
+            s"GROUP BY ${tc._2}: realized support exceeds the 400-bucket cap"))
+      orBase match {
+        case None    => one(preds)
+        case Some(b) => (one(preds) ++ one(b)).distinct.sorted
+      }
+    }
+    val tuplesNum: Seq[(Seq[String], Map[(String, String), Double], Option[P], Option[P])] =
+      numDimCols.foldLeft(tuples.map(t =>
+        (t._1, Map.empty[(String, String), Double], t._2, t._3))) { case (acc, tc) =>
+        val support = supportOf(tc)
+        for {
+          (ks, kv, pA, pB) <- acc
+          v <- support
+          pin = Map(tc -> (NominalSet(Array(v)): ColRange))
+          nA = pA.flatMap(Ensemble.intersect(_, pin))
+          nB = pB.flatMap(Ensemble.intersect(_, pin))
+          if nA.isDefined || nB.isDefined
+        } yield (ks, kv + (tc -> v), nA, nB)
+      }
+    require(tuplesNum.length <= 400,
+      s"calendar GROUP BY: ${tuplesNum.length} bucket × value tuples exceed the 400-bucket cap")
+    val catDims = q.groupBy.filterNot(numDims)
+    tuplesNum.flatMap { case (keys, kv, pA, pB) =>
+      orTupleRows(spns, q, catDims, pA, pB).map { case (dk, e) =>
+        // reassemble the trailing dimension keys in the query's own order
+        val catIter = dk.iterator
+        val dimKeys = q.groupBy.map(tc =>
+          if (numDims(tc)) numKeyStr(kv(tc)) else catIter.next())
+        (keys ++ dimKeys, e)
+      }
     }
   }
 
@@ -499,8 +545,6 @@ object SqlEstimate {
       case None    => supportOf(preds)
       case Some(b) => (supportOf(preds) ++ supportOf(b)).distinct.sorted
     }
-    def keyStr(v: Double): String =
-      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
     support.flatMap { v =>
       val pin = Map((t, c) -> (NominalSet(Array(v)): ColRange))
       val pA = Ensemble.intersect(preds, pin)
@@ -508,7 +552,7 @@ object SqlEstimate {
       // reassemble each key tuple in the query's own group order
       orTupleRows(spns, q, dictCols, pA, pB).map { case (dk, e) =>
         val full = new Array[String](gcs.length)
-        full(numIdx) = keyStr(v)
+        full(numIdx) = numKeyStr(v)
         dictPos.zip(dk).foreach { case (pos, kv) => full(pos) = kv }
         (full.toSeq, e)
       }
@@ -531,8 +575,6 @@ object SqlEstimate {
       sets: Seq[Seq[(String, String)]],
       numCols: Set[(String, String)]): Seq[(Seq[Option[String]], Ensemble.Estimate)] = {
     val allCols = sets.flatten.distinct
-    def keyStr(v: Double): String =
-      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
     sets.flatMap { set =>
       val numInSet = set.filter(numCols)
       val catInSet = set.filterNot(numCols)
@@ -560,13 +602,20 @@ object SqlEstimate {
               s"${tuples.length} value-pin tuples exceed the 400-bucket cap")
           tuples.flatMap { case (kv, p) =>
             orTupleRows(spns, q, catInSet, Some(p), None).map { case (k, e) =>
-              (catInSet.zip(k).toMap ++ kv.map { case (tc, v) => tc -> keyStr(v) }) -> e
+              (catInSet.zip(k).toMap ++ kv.map { case (tc, v) => tc -> numKeyStr(v) }) -> e
             }
           }
         }
       rows.map { case (m, e) => allCols.map(m.get) -> e }
     }
   }
+
+  /** Canonical numeric key string: integral realized values print as
+    * longs ("10", never "10.0"), matching the exact plane's group-truth
+    * normalization — shared by every numeric-key fold on this plane.
+    */
+  private def numKeyStr(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
   /** Conjuncts on the SAME column must intersect, not overwrite (a >= lo
     * AND a < hi is two parsed predicates); a provably empty intersection

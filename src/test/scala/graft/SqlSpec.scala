@@ -1052,6 +1052,35 @@ class SqlSpec extends AnyFunSuite {
       s"OR combo: ${estScalar(comboSql)} vs ${exactScalar(comboSql)}")
   }
 
+  test("numeric dimension columns ride the calendar grouping on the text plane") {
+    // r15 parity with the Catalyst fold's kind dispatch: the num-modeled
+    // trailing dimension expands each calendar bucket by realized-value
+    // pins, keys reassembled in the query's own group order
+    views
+    val sql = """SELECT year(l_shipdate), l_quantity, COUNT(*) FROM lineitem
+                 WHERE l_quantity < 10 GROUP BY year(l_shipdate), l_quantity""".stripMargin
+    val exact = spark.sql(sql).collect()
+      .map(r => (r.getInt(0).toString, r.getDouble(1).toLong.toString) -> r.getLong(2).toDouble).toMap
+    val est = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => (k(0), k(1)) -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"cal×num phantom cell $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"cal×num dropped cell $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"cal×num cell $k: ${est(k)} vs ${exact(k)}")
+    }
+    // a near-continuous numeric dimension fails loudly at the support cap
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      """SELECT year(o_orderdate), o_totalprice, COUNT(*) FROM orders
+         GROUP BY year(o_orderdate), o_totalprice""".stripMargin))
+  }
+
   test("num-modeled grouping columns ride ROLLUP/CUBE on the text plane") {
     // r15 parity with the Catalyst kind dispatch: numeric-bearing sets
     // answer through per-set realized-value pins, keys pad with None
