@@ -178,6 +178,16 @@ object QErrorEval {
     case _ => s
   }
 
+  /** KNOWN COLLISION (documented, r15 ADVICE): a genuine dictionary value
+    * "NULL" would alias both SQL NULL here and the grouping-set
+    * grouped-out marker in the GroupSets replay below. The collision is
+    * CONSISTENT — the exact-plane truth and the model-plane replay both
+    * print the same "NULL" string, so per-group grading still pairs the
+    * right cells — but such keys are ambiguous to a human reader. None of
+    * the committed fixtures carries a literal "NULL" dictionary value; a
+    * workload over one should switch this convention to an out-of-band
+    * marker on BOTH planes at once (never on one side only).
+    */
   private def keyStr(v: Any): String = v match {
     case null                    => "NULL"
     case d: java.math.BigDecimal => normKeyPart(d.toPlainString)

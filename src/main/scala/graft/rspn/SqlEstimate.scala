@@ -181,18 +181,21 @@ object SqlEstimate {
       }
       // num-modeled grouping columns ride the grouping sets (r15, parity
       // with the Catalyst kind dispatch): a numeric-bearing set answers
-      // through per-set realized-value pins. Under an OR every column
-      // must still be dictionary-modeled — the require below fails loudly
-      // (the per-group IE estimators enumerate dictionaries only).
+      // through per-set realized-value pins — since r16 under a
+      // parenthesized OR too (value pins conjoin both branches through
+      // orTupleRows, supports union across branches, the () set through
+      // the scalar inclusion-exclusion estimators).
       val numCols = q.groupBy.filter { case (gt, gcol) =>
         spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
       }.toSet
-      if (q.orPreds.isEmpty && numCols.nonEmpty) {
+      if (numCols.nonEmpty) {
         q.groupBy.filterNot(numCols).foreach { case (gt, gcol) =>
           require(modelColOf(spns, gt, gcol).dict.nonEmpty,
             s"GROUP BY $gcol: not a categorical model column")
         }
-        return GroupSets(numericGroupingSets(spns, q, preds, sets, numCols))
+        val orBase =
+          if (q.orPreds.isEmpty) None else Some(mergePreds(spns, q.orPreds))
+        return GroupSets(numericGroupingSets(spns, q, preds, orBase, sets, numCols))
       }
       q.groupBy.foreach { case (gt, gcol) =>
         require(modelColOf(spns, gt, gcol).dict.nonEmpty,
@@ -324,8 +327,40 @@ object SqlEstimate {
                 g -> Ensemble.Estimate(k, k, k)
               }
               .sortBy(_._1.mkString("\u0000"))
-          case _: Combo => throw new IllegalArgumentException(
-            "unsupported SQL: +/- aggregate combination with GROUP BY")
+          case Combo(plus, l, r) =>
+            // grouped ± combination over the SHARED group universe (r16,
+            // closing the plane asymmetry with the Catalyst fold's
+            // expression-tree outputs): each linear term evaluates per
+            // enumerated group, the combination per group key with
+            // interval-arithmetic CIs — conservative, since the terms
+            // share predicates and correlation can only shrink the true
+            // interval of a difference
+            def termRows(a: Agg): Map[Seq[String], Ensemble.Estimate] = (a match {
+              case Count     => Ensemble.estGroupByMulti(spns, q.tables, gcs, preds)
+              case Sum(t, c) =>
+                Ensemble.estGroupByAgg(spns, q.tables, gcs, Map((t, c) -> 1), preds)
+              case SumProduct(ta, ca, tb, cb) =>
+                Ensemble.estGroupByAgg(spns, q.tables, gcs,
+                  Map((ta, ca) -> 1, (tb, cb) -> 1), preds)
+              case other => throw new IllegalArgumentException(
+                s"unsupported SQL: non-linear ± term $other with GROUP BY")
+            }).toMap
+            val lm = termRows(l)
+            val rm = termRows(r)
+            // both enumerations walk the same dictionary universe under the
+            // same predicates, so keys agree; a group one term's row gate
+            // dropped contributes zero mass (its linear estimate under the
+            // group pin), keeping the union's row universe
+            lm.keySet.union(rm.keySet).toSeq.sortBy(_.mkString("\u0000")).map { k =>
+              val el = lm.getOrElse(k, Ensemble.Estimate(0, 0, 0))
+              val er = rm.getOrElse(k, Ensemble.Estimate(0, 0, 0))
+              k -> (if (plus)
+                Ensemble.Estimate(el.value + er.value,
+                  el.ci95Lo + er.ci95Lo, el.ci95Hi + er.ci95Hi)
+              else
+                Ensemble.Estimate(el.value - er.value,
+                  el.ci95Lo - er.ci95Hi, el.ci95Hi - er.ci95Lo))
+            }
         })
     }
   }
@@ -347,7 +382,56 @@ object SqlEstimate {
     import java.time.LocalDate
     def bucketsOf(fn: String, t: String, c: String): Seq[(String, ColRange)] = {
       val dom = Ensemble.colDomain(spns, t, c).getOrElse(
-        throw new IllegalArgumentException(s"calendar GROUP BY: no realized domain for $t.$c"))
+        throw new IllegalArgumentException(s"bucket GROUP BY: no realized domain for $t.$c"))
+      def halfOpen(lo: Double, hi: Double): ColRange =
+        NumRange(lo, hi, loIncl = true, hiIncl = false)
+      // arithmetic bins over a num-modeled column (r16, parity with the
+      // Catalyst binned fold): each bin one half-open range, keys printed
+      // through numKeyStr to match the exact plane's group-truth
+      // normalization (floor/width_bucket emit integral keys, round the
+      // rounded value itself)
+      if (fn.contains(':')) {
+        val parts = fn.split(':')
+        return parts(0) match {
+          case "floor" =>
+            val w = parts(1).toDouble
+            require(w > 0, s"GROUP BY floor($c/$w): nonpositive bin width")
+            val bLo = math.floor(dom._1 / w).toLong
+            val bHi = math.floor(dom._2 / w).toLong
+            require(bHi - bLo + 1 <= 400,
+              s"GROUP BY floor($c/$w): ${bHi - bLo + 1} bins exceed the 400-bucket cap")
+            (bLo to bHi).map(b => numKeyStr(b.toDouble) -> halfOpen(b * w, (b + 1) * w))
+          case "width_bucket" =>
+            val (wlo, whi, n) = (parts(1).toDouble, parts(2).toDouble, parts(3).toLong)
+            require(wlo < whi && n >= 1 && n <= 398,
+              s"GROUP BY width_bucket($c, $wlo, $whi, $n): unsupported bounds")
+            val s = (whi - wlo) / n
+            val under = if (dom._1 < wlo) Seq("0" -> halfOpen(dom._1, wlo)) else Nil
+            val over =
+              if (dom._2 >= whi) Seq((n + 1).toString -> halfOpen(whi, dom._2 + 1)) else Nil
+            val mids = (1L to n).collect {
+              case i if wlo + i * s > dom._1 && wlo + (i - 1) * s <= dom._2 =>
+                i.toString -> halfOpen(wlo + (i - 1) * s, wlo + i * s)
+            }
+            under ++ mids ++ over
+          case "round" =>
+            val sc = parts(1).toInt
+            // HALF_UP rounds away from zero: the preimage's inclusivity
+            // flips at the sign change, so only nonnegative realized
+            // domains bucket uniformly as [m − w/2, m + w/2)
+            require(dom._1 >= 0,
+              s"GROUP BY round($c, $sc): negative realized domain (HALF_UP flips at zero)")
+            val w = math.pow(10.0, -sc.toDouble)
+            val kLo = math.floor((dom._1 + w / 2) / w).toLong
+            val kHi = math.floor((dom._2 + w / 2) / w).toLong
+            require(kHi - kLo + 1 <= 400,
+              s"GROUP BY round($c, $sc): ${kHi - kLo + 1} bins exceed the 400-bucket cap")
+            (kLo to kHi).map(k =>
+              numKeyStr(k * w) -> halfOpen(math.max(k * w - w / 2, 0.0), k * w + w / 2))
+          case other => throw new IllegalArgumentException(
+            s"unsupported SQL: bucket grouping $other")
+        }
+      }
       val lo = LocalDate.ofEpochDay(math.floor(dom._1).toLong)
       val hi = LocalDate.ofEpochDay(math.floor(dom._2).toLong)
       require(hi.getYear - lo.getYear <= 400,
@@ -572,8 +656,10 @@ object SqlEstimate {
   private def numericGroupingSets(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
       preds: Map[(String, String), ColRange],
+      orBase: Option[Map[(String, String), ColRange]],
       sets: Seq[Seq[(String, String)]],
       numCols: Set[(String, String)]): Seq[(Seq[Option[String]], Ensemble.Estimate)] = {
+    type P = Map[(String, String), ColRange]
     val allCols = sets.flatten.distinct
     sets.flatMap { set =>
       val numInSet = set.filter(numCols)
@@ -581,27 +667,48 @@ object SqlEstimate {
       val rows: Seq[(Map[(String, String), String], Ensemble.Estimate)] =
         if (numInSet.isEmpty) {
           if (set.isEmpty)
-            // SQL: the () grouping set always yields exactly one row
-            Seq(Map.empty[(String, String), String] -> scalarOf(spns, q, preds))
-          else orTupleRows(spns, q, set, Some(preds), None)
+            // SQL: the () grouping set always yields exactly one row; under
+            // a parenthesized OR (r16) it answers through the scalar
+            // inclusion-exclusion estimators
+            Seq(Map.empty[(String, String), String] -> (orBase match {
+              case Some(b) => scalarOrOf(spns, q, preds, b)
+              case None    => scalarOf(spns, q, preds)
+            }))
+          else orTupleRows(spns, q, set, Some(preds), orBase)
             .map { case (k, e) => set.zip(k).toMap -> e }
         } else {
+          // OR composition (r16): the support is the UNION of both
+          // branches' realized supports and each value pin conjoins both
+          // branches through orTupleRows — the calendar/histogram folds'
+          // composition, per grouping set
+          def supportOf(tc: (String, String)): Seq[Double] = {
+            def one(p: P): Seq[Double] =
+              Ensemble.numericSupport(spns, q.tables, tc, p, cap = 400)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"GROUP BY ${tc._2}: realized support exceeds the 400-bucket cap"))
+            orBase match {
+              case None    => one(preds)
+              case Some(b) => (one(preds) ++ one(b)).distinct.sorted
+            }
+          }
           val tuples = numInSet.foldLeft(
-            Seq((Map.empty[(String, String), Double], preds))) { case (acc, tc) =>
-            val support = Ensemble.numericSupport(spns, q.tables, tc, preds, cap = 400)
-              .getOrElse(throw new IllegalArgumentException(
-                s"GROUP BY ${tc._2}: realized support exceeds the 400-bucket cap"))
-            for {
-              (kv, p0) <- acc
-              v <- support
-              p <- Ensemble.intersect(p0, Map(tc -> (NominalSet(Array(v)): ColRange))).toSeq
-            } yield (kv + (tc -> v), p)
+            Seq((Map.empty[(String, String), Double], Option(preds), orBase))) {
+            case (acc, tc) =>
+              val support = supportOf(tc)
+              for {
+                (kv, pA, pB) <- acc
+                v <- support
+                pin = Map(tc -> (NominalSet(Array(v)): ColRange))
+                nA = pA.flatMap(Ensemble.intersect(_, pin))
+                nB = pB.flatMap(Ensemble.intersect(_, pin))
+                if nA.isDefined || nB.isDefined
+              } yield (kv + (tc -> v), nA, nB)
           }
           require(tuples.length <= 400,
             s"grouping set ${set.map(_._2).mkString(",")}: " +
               s"${tuples.length} value-pin tuples exceed the 400-bucket cap")
-          tuples.flatMap { case (kv, p) =>
-            orTupleRows(spns, q, catInSet, Some(p), None).map { case (k, e) =>
+          tuples.flatMap { case (kv, pA, pB) =>
+            orTupleRows(spns, q, catInSet, pA, pB).map { case (k, e) =>
               (catInSet.zip(k).toMap ++ kv.map { case (tc, v) => tc -> numKeyStr(v) }) -> e
             }
           }

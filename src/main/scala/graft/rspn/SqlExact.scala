@@ -56,10 +56,18 @@ object SqlExact {
     // planes diverged on e.g. `... GROUP BY year(d), dim ORDER BY n DESC
     // LIMIT 3`, with the EXACT plane wrong)
     val calKeys: Seq[Column] = q.calGroup.map { case (fn, _, c) =>
-      fn match {
-        case "year"  => year(col(c))
-        case "month" => month(col(c))
-        case _       => quarter(col(c))
+      // arithmetic-bin fns arrive encoded as "floor:<w>" /
+      // "width_bucket:<lo>:<hi>:<n>" / "round:<scale>" (r16) — the exact
+      // plane groups by the matching Spark functions
+      val parts = fn.split(':')
+      parts(0) match {
+        case "year"         => year(col(c))
+        case "month"        => month(col(c))
+        case "quarter"      => quarter(col(c))
+        case "floor"        => floor(col(c) / lit(parts(1).toDouble))
+        case "width_bucket" => width_bucket(col(c),
+          lit(parts(1).toDouble), lit(parts(2).toDouble), lit(parts(3).toInt))
+        case _              => round(col(c), parts(1).toInt)
       }
     }
     val out =

@@ -178,7 +178,12 @@ object SqlParser {
     throw new IllegalArgumentException(s"unsupported SQL: $msg")
 
   private val selectRe: Regex =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:ROLLUP|CUBE)\s*\(\s*\w+(?:\s*,\s*\w+)*\s*\)|(?:(?:YEAR|MONTH|QUARTER)\s*\(\s*\w+\s*\)|\w+)(?:\s*,\s*(?:(?:YEAR|MONTH|QUARTER)\s*\(\s*\w+\s*\)|\w+))*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+    // one GROUP BY item is a bare column or a single-level function call
+    // (YEAR(d), FLOOR(x/100), WIDTH_BUCKET(x, lo, hi, n), ROUND(x, -2) —
+    // r16); ROLLUP/CUBE ride the same fn-call alternative, their argument
+    // commas sitting inside the parens, and groupSetRe re-discriminates
+    // the captured text downstream
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(.*?)(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+((?:\w+\s*\([^()]*\)|\w+)(?:\s*,\s*(?:\w+\s*\([^()]*\)|\w+))*))?(?:\s+HAVING\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   private val selAliasRe: Regex = """(?is)^(.*?)\s+AS\s+(\w+)\s*$""".r
   private val leadColRe: Regex = """(?is)^(?:\w+\.)?(\w+)$""".r
   private val havingRe: Regex = """(?is)^(.+?)\s*(<=|>=|<|>|=)\s*(-?\d+(?:\.\d+)?)$""".r
@@ -211,6 +216,34 @@ object SqlParser {
     "\u0001(\\d+)".r.replaceAllIn(s, m => Regex.quoteReplacement(lits(m.group(1).toInt)))
   private val groupSetRe: Regex = """(?is)^(ROLLUP|CUBE)\s*\((.*)\)$""".r
   private val calGroupRe: Regex = """(?i)^(YEAR|MONTH|QUARTER)\s*\(\s*(\w+)\s*\)$""".r
+  // arithmetic-bin grouping expressions over num-modeled columns (r16,
+  // parity with the Catalyst plane's binned fold): FLOOR(col[/w]),
+  // WIDTH_BUCKET(col, lo, hi, n), ROUND(col, -k). Encoded into the
+  // calGroup fn slot as "floor:<w>" / "width_bucket:<lo>:<hi>:<n>" /
+  // "round:<scale>" so the tuple shape (fn, table, col) is unchanged.
+  private val binFloorRe: Regex =
+    """(?i)^FLOOR\s*\(\s*(\w+)\s*(?:/\s*([0-9]*\.?[0-9]+(?:[eE][+-]?[0-9]+)?)\s*)?\)$""".r
+  private val binWidthRe: Regex =
+    """(?i)^WIDTH_BUCKET\s*\(\s*(\w+)\s*,\s*(-?[0-9]*\.?[0-9]+)\s*,\s*(-?[0-9]*\.?[0-9]+)\s*,\s*([0-9]+)\s*\)$""".r
+  private val binRoundRe: Regex = """(?i)^ROUND\s*\(\s*(\w+)\s*,\s*(-?[0-9]+)\s*\)$""".r
+
+  /** One bucket grouping expression — calendar or arithmetic-bin — as its
+    * encoded (fn, column) pair, or None when the item is not a bucket
+    * expression (a plain column, or an unsupported shape that fails later
+    * on the parser's uniform channel). ROUND with a positive scale is NOT
+    * a bucket expression (fractional bins regroup within FP noise of the
+    * realized values — the Catalyst plane falls back there too).
+    */
+  private def bucketExprOf(item: String): Option[(String, String)] = item.trim match {
+    case calGroupRe(fn, c)        => Some((fn.toLowerCase, c))
+    case binFloorRe(c, w)         => Some((s"floor:${Option(w).getOrElse("1")}", c))
+    case binWidthRe(c, lo, hi, n) => Some((s"width_bucket:$lo:$hi:$n", c))
+    case binRoundRe(c, s) if s.toInt <= 0 && s.toInt >= -15 => Some((s"round:$s", c))
+    case _                        => None
+  }
+
+  private def isCalendarFn(fn: String): Boolean =
+    fn == "year" || fn == "month" || fn == "quarter"
   private val aggRe: Regex =
     """(?i)^(COUNT\(\s*DISTINCT\s+(\w+)\s*\)|COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
   private val joinRe: Regex = """(?i)\s+JOIN\s+""".r
@@ -295,38 +328,29 @@ object SqlParser {
       // leading bare (optionally alias-qualified) columns as display
       // columns, validated below to equal the GROUP BY list in order
       val selParts = splitTopCommas(sel0)
-      // a calendar GROUP BY's display column (`SELECT year(d), COUNT(*)`)
-      // is accepted when it repeats the grouping expression verbatim; the
-      // calendar expression leads the GROUP BY list, optionally followed
-      // by dictionary dimension columns (`GROUP BY year(d), dim, ...`)
+      // a bucket GROUP BY's display column (`SELECT year(d), COUNT(*)` /
+      // `SELECT floor(x/100), COUNT(*)`) is accepted when it repeats the
+      // grouping expression verbatim; bucket expressions (calendar or
+      // arithmetic bins, r16) lead the GROUP BY list, optionally followed
+      // by dimension columns (`GROUP BY year(d), dim, ...`). Top-level
+      // comma split: WIDTH_BUCKET's own argument commas sit inside parens.
       val groupParts: Seq[String] =
-        Option(group).map(_.trim).toSeq.flatMap(_.split(",")).map(_.trim)
-      val calSyntax: Seq[(String, String)] = groupParts.takeWhile {
-        case calGroupRe(_, _) => true
-        case _                => false
-      }.map { case calGroupRe(fn, c) => (fn.toLowerCase, c) }
+        Option(group).map(_.trim).toSeq.flatMap(splitTopCommas).map(_.trim)
+      val calSyntax: Seq[(String, String)] =
+        groupParts.iterator.map(bucketExprOf).takeWhile(_.isDefined).flatten.toSeq
       // three compose like two (per-column interval meets prune the cube —
       // year × quarter × month survives as ~84 tuples); calendarGroups'
       // 400-tuple cap still fails loudly on genuinely fine products
       if (calSyntax.length > 3) fail(
-        "at most three calendar grouping expressions (the bucket cross product)")
+        "at most three bucket grouping expressions (the bucket cross product)")
       if (selParts.length > 1) calSyntax.zipWithIndex.foreach { case ((fn, c), i) =>
-        val leads = selParts.lift(i).map(_.trim).exists {
-          case calGroupRe(ifn, ic) => ifn.toLowerCase == fn && ic == c
-          case _                   => false
-        }
+        val leads = selParts.lift(i).exists(bucketExprOf(_).contains((fn, c)))
         if (!leads) fail(
-          s"calendar GROUP BY: SELECT item ${i + 1} must be $fn($c) so " +
-            "result columns match the grouping order")
+          s"bucket GROUP BY: SELECT item ${i + 1} must repeat the grouping " +
+            s"expression over $c so result columns match the grouping order")
       }
-      val leadCols = selParts.init.map(_.trim).filterNot { item =>
-        calSyntax.exists { case (fn, c) =>
-          item match {
-            case calGroupRe(ifn, ic) => ifn.toLowerCase == fn && ic == c
-            case _                   => false
-          }
-        }
-      }.map {
+      val leadCols = selParts.init.map(_.trim).filterNot(item =>
+        bucketExprOf(item).exists(calSyntax.contains)).map {
         case leadColRe(c) => c
         case other => fail(
           s"SELECT list item '$other' (only GROUP BY columns may precede the aggregate)")
@@ -361,9 +385,12 @@ object SqlParser {
       val calGroup: Seq[(String, String, String)] = calSyntax.map { case (fn, c) =>
         val t = tableOf(c)
         if (!tables(t)) fail(s"GROUP BY $fn($c): table $t not in FROM")
+        // kind dispatch (r16): calendar expressions need a days-modeled
+        // source column, arithmetic bins a num-modeled one
+        val kind = if (isCalendarFn(fn)) "days" else "num"
         if (!activeSpec.value.modeled.getOrElse(t, Nil)
-              .exists(x => x._1 == c && x._2 == "days"))
-          fail(s"GROUP BY $fn($c): $c is not a days-modeled column")
+              .exists(x => x._1 == c && x._2 == kind))
+          fail(s"GROUP BY $fn($c): $c is not a $kind-modeled column")
         (fn, t, c)
       }
       val groupBy = {

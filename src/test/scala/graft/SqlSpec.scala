@@ -889,6 +889,114 @@ class SqlSpec extends AnyFunSuite {
         |GROUP BY year(o_orderdate), quarter(o_orderdate), month(o_orderdate), year(o_orderdate)""".stripMargin))
   }
 
+  test("binned numeric GROUP BY estimates on the text plane: floor/width_bucket/round") {
+    // r16 parity with the Catalyst binned fold: each bin is one half-open
+    // range estimation over a num-modeled column — the histogram shape the
+    // realized-value enumeration refuses on near-continuous columns
+    // (l_extendedprice carries ~6k realized values at this SF)
+    views
+    def checkGroups(sql: String, tol: Double = 3.0): Unit = {
+      val w = spark.sql(sql).schema.length
+      val exact = spark.sql(sql).collect()
+        .map(r => ((0 until w - 1).map(i => String.valueOf(r.get(i))
+          .replaceAll("\\.0$", "")): Seq[String]) -> r.getLong(w - 1).toDouble).toMap
+      val est = SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k -> e.value }.toMap
+        case other                    => fail(s"expected groups for [$sql], got $other")
+      }
+      (est.keySet diff exact.keySet).foreach { k =>
+        assert(est(k) <= 5.0, s"[$sql] phantom bin $k carries real mass: ${est(k)}")
+      }
+      (exact.keySet diff est.keySet).foreach { k =>
+        assert(exact(k) <= 5.0, s"[$sql] dropped bin $k has real rows: ${exact(k)}")
+      }
+      (est.keySet intersect exact.keySet).foreach { k =>
+        assert(qerr(est(k), exact(k)) <= tol || math.abs(est(k) - exact(k)) <= 10.0,
+          s"[$sql] bin $k: ${est(k)} vs ${exact(k)}")
+      }
+    }
+    checkGroups(
+      """SELECT floor(l_extendedprice/20000), COUNT(*) FROM lineitem
+         WHERE l_quantity < 24 GROUP BY floor(l_extendedprice/20000)""".stripMargin)
+    checkGroups(
+      """SELECT width_bucket(o_totalprice, 50000, 450000, 8), COUNT(*)
+         FROM orders GROUP BY width_bucket(o_totalprice, 50000, 450000, 8)""".stripMargin)
+    checkGroups(
+      """SELECT round(l_extendedprice, -4), COUNT(*) FROM lineitem
+         WHERE l_quantity < 24 GROUP BY round(l_extendedprice, -4)""".stripMargin)
+    // calendar × bin cross product with a trailing dictionary dimension
+    checkGroups(
+      """SELECT year(o_orderdate), floor(o_totalprice/100000), o_orderstatus, COUNT(*)
+         FROM orders GROUP BY year(o_orderdate), floor(o_totalprice/100000), o_orderstatus""".stripMargin)
+    // the exact plane compiles the same encoded fn to the matching Spark
+    // function — SqlExact agrees with spark.sql on the raw text
+    val xSql = """SELECT floor(l_extendedprice/20000), COUNT(*) AS n FROM lineitem
+                  GROUP BY floor(l_extendedprice/20000) ORDER BY n DESC LIMIT 3""".stripMargin
+    val viaSpark = spark.sql(xSql).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaExact = SqlExact.compile(spark, sf, xSql).collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong)).toSeq
+    assert(viaExact == viaSpark, s"exact-plane binned grouping: $viaExact vs $viaSpark")
+    // loud failures: a bin fn over a non-num column; a >400-bin width; a
+    // positive round scale never parses as a bucket expression
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT floor(o_orderdate/2), COUNT(*) FROM orders GROUP BY floor(o_orderdate/2)"))
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      """SELECT floor(l_extendedprice/100), COUNT(*) FROM lineitem
+         GROUP BY floor(l_extendedprice/100)""".stripMargin))
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT round(l_discount, 1), COUNT(*) FROM lineitem GROUP BY round(l_discount, 1)"))
+  }
+
+  test("grouped +/- aggregate combinations estimate per group on the text plane") {
+    // r16 (VERDICT item 3): SUM(a) − SUM(b) per group over the shared
+    // group universe with interval-arithmetic CIs — the Catalyst plane's
+    // expression-tree outputs, closed on the text plane
+    views
+    def checkCombo(sql: String): Unit = {
+      val exact = spark.sql(sql).collect()
+        .map(r => r.getString(0) -> (r.get(1) match {
+          case d: java.math.BigDecimal => d.doubleValue()
+          case n: Number               => n.doubleValue()
+        })).toMap
+      val est = SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+        case other                    => fail(s"expected groups for [$sql], got $other")
+      }
+      assert(est.keySet == exact.keySet, s"[$sql] keys: ${est.keySet} vs ${exact.keySet}")
+      exact.foreach { case (k, v) =>
+        assert(qerr(est(k), v) <= 1.5 || math.abs(est(k) - v) <= 10.0,
+          s"[$sql] group $k: ${est(k)} vs $v")
+      }
+    }
+    checkCombo(
+      """SELECT l_returnflag, SUM(l_extendedprice) - SUM(l_quantity)
+         FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag""".stripMargin)
+    checkCombo(
+      """SELECT o_orderstatus, COUNT(*) + SUM(o_totalprice)
+         FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderstatus""".stripMargin)
+    // the exact plane compiles the same text (decimal-exact combination)
+    val xSql = """SELECT l_returnflag, SUM(l_extendedprice) - SUM(l_quantity) AS v
+                  FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    val viaSpark = spark.sql(xSql).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100))).toSeq
+    val viaExact = SqlExact.compile(spark, sf, xSql).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100))).toSeq
+    assert(viaExact == viaSpark, s"exact-plane grouped combo: $viaExact vs $viaSpark")
+    // CIs combine by interval arithmetic: the difference's interval must
+    // contain its point value with lo <= value <= hi per group
+    SqlEstimate.estimate(ens,
+      """SELECT l_returnflag, SUM(l_extendedprice) - SUM(l_quantity)
+         FROM lineitem GROUP BY l_returnflag""".stripMargin) match {
+      case SqlEstimate.Groups(rows) =>
+        assert(rows.nonEmpty)
+        rows.foreach { case (k, e) =>
+          assert(e.ci95Lo <= e.value && e.value <= e.ci95Hi,
+            s"group $k: CI [${e.ci95Lo}, ${e.ci95Hi}] must bracket ${e.value}")
+        }
+      case other => fail(s"expected groups, got $other")
+    }
+  }
+
   test("calendar GROUP BY honors HAVING/ORDER BY/LIMIT identically on both planes") {
     // r15 ADVICE (high): the exact plane's calendar branch used to ignore
     // q.having/q.orderBy — `ORDER BY n DESC LIMIT 3` silently returned the
@@ -1130,6 +1238,36 @@ class SqlSpec extends AnyFunSuite {
     }
     assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
       "SELECT l_extendedprice, COUNT(*) FROM lineitem GROUP BY ROLLUP(l_extendedprice)"))
+    // r16 (VERDICT item 8): a parenthesized OR composes with NUMERIC
+    // grouping sets — per-set value pins conjoin both branches through
+    // orTupleRows (supports union across branches), the () set answers
+    // through the scalar inclusion-exclusion estimators
+    val orSql = """SELECT l_returnflag, l_quantity, COUNT(*) FROM lineitem
+                   WHERE (l_discount < 0.02 OR l_tax > 0.06) AND l_quantity < 8
+                   GROUP BY ROLLUP(l_returnflag, l_quantity)""".stripMargin
+    val orEst = SqlEstimate.estimate(ens, orSql) match {
+      case SqlEstimate.GroupSets(rows) =>
+        rows.map { case (g, e) =>
+          (g(0).getOrElse("ALL"), g(1).getOrElse("ALL")) -> e.value
+        }.toMap
+      case other => fail(s"expected grouping sets, got $other")
+    }
+    val orExact = spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL'),
+                coalesce(cast(cast(l_quantity AS bigint) AS string), 'ALL'), COUNT(*)
+         FROM lineitem WHERE (l_discount < 0.02 OR l_tax > 0.06) AND l_quantity < 8
+         GROUP BY ROLLUP(l_returnflag, l_quantity)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    (orEst.keySet diff orExact.keySet).foreach { k =>
+      assert(orEst(k) <= 5.0, s"OR num-rollup phantom set $k carries real mass: ${orEst(k)}")
+    }
+    (orExact.keySet diff orEst.keySet).foreach { k =>
+      assert(orExact(k) <= 5.0, s"OR num-rollup dropped set $k has real rows: ${orExact(k)}")
+    }
+    (orEst.keySet intersect orExact.keySet).foreach { k =>
+      assert(qerr(orEst(k), orExact(k)) <= 3.0 || math.abs(orEst(k) - orExact(k)) <= 10.0,
+        s"OR num-rollup set $k: ${orEst(k)} vs ${orExact(k)}")
+    }
   }
 
   test("date-shaped NOT IN over a CATEGORICAL column resolves to the string complement") {

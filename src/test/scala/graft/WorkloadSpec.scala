@@ -189,6 +189,54 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the BINNED workload replays through the SQL-text plane within the grouped gate") {
+    // r16: external-file coverage of the arithmetic-bin class — GROUP BY
+    // floor(x/w) / width_bucket / round(x,-k) parsed into the encoded
+    // calGroup fn slot and answered as half-open NumericLeaf range buckets
+    // (the Catalyst binned fold's semantics on the text plane), the
+    // calendar × bin cross product, and grouped ± aggregate combinations
+    // over the shared group universe — graded per exact group
+    val g = QErrorEval.readWorkload("workloads/testdata_binned_8.sql")
+    assert(g.length == 8)
+    assert(g.count(_._2.matches(
+      "(?is).*GROUP BY.*(FLOOR|WIDTH_BUCKET|ROUND)\\s*\\(.*")) == 6,
+      "six queries must group by an arithmetic-bin expression")
+    assert(g.count(_._2.matches("(?is).*(\\+|-)\\s*(SUM|COUNT)\\(.*")) == 2,
+      "two queries must carry a ± aggregate combination")
+    val truth = QErrorEval.computeGroupTruth(spark, sf, g, cache = false)
+    val rows = QErrorEval.runWorkloadGrouped(spark, sf, g, truth)
+    assert(rows.forall(_.groups.nonEmpty), "every replayed query must carry per-bin scores")
+    val flat = rows.flatMap(_.groups)
+    val errs = flat.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = flat.maxBy(_.relErr)
+    info(f"${flat.length} binned cells: median rel err $median%.4f p95 $p95%.4f " +
+      f"max ${worst.relErr}%.4f (q${rows.find(_.groups.contains(worst)).map(_.no).getOrElse(-1)} " +
+      f"bin ${worst.key.mkString("|")})")
+    assert(median <= 0.10, f"per-bin median relative error $median%.4f > 0.10")
+    // the sparse tail (edge bins carrying a handful of rows) is the noisy
+    // regime — gate it like the calendar workload's p95
+    assert(p95 <= 0.60, f"per-bin p95 relative error $p95%.4f > 0.60")
+  }
+
+  test("the committed sf0.01 BINNED truth CSV matches live exact groups") {
+    val g = QErrorEval.readWorkload("workloads/testdata_binned_8.sql")
+    val fromCsv = QErrorEval.readGroupTruthCsv(
+      "workloads/testdata_binned_8_true_sf0.01.csv")
+    val live = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, rows) =>
+      val liveMap = live(no).map { case (k, v) => k.mkString("|") -> v }.toMap
+      val csvMap = rows.map { case (k, v) => k.mkString("|") -> v }.toMap
+      assert(csvMap.keySet == liveMap.keySet, s"binned keys drifted for query $no")
+      csvMap.foreach { case (k, v) =>
+        assert(math.abs(v - liveMap(k)) <= 1e-9 * math.max(math.abs(v), 1.0),
+          s"binned truth drifted for query $no bin [$k]: csv $v vs live ${liveMap(k)}")
+      }
+    }
+  }
+
   test("the ROLLUP/CUBE workload replays through the SQL-text plane within the grouped gate") {
     // r15: external-file coverage of the grouping-set class — ROLLUP/CUBE
     // with COUNT/SUM/SUM(a*b)/AVG per set (estGroupingSetsAgg/Avg), plus
