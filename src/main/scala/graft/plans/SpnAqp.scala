@@ -723,10 +723,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * annotation rows (their keys are value pins outside the dictionary
     * enumeration — the same deliberate never-annotate posture as the
     * support-enumeration outputs; the cat-only sets of the same query
-    * still annotate).
+    * still annotate). The exclusion is ENFORCED by the numPos filter
+    * below (r15 ADVICE) — it previously held only because enumGroups over
+    * a dict-less numeric column happens to yield Nil, which a future
+    * estimator change could silently break.
     */
   private def annotateSets(
       sh: Shape, groupAttrs: Seq[AttributeReference], groupSrc: Seq[(String, String)],
+      numPos: Set[Int],
       sets: Seq[(Seq[Int], Expression, Seq[(String, Atom)])],
       colPairs: Seq[(OutCol, String)]): Unit = {
     if (!session.conf.getOption("spark.graft.aqp.annotate").contains("true")) {
@@ -735,7 +739,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
     val spns = Ensemble.get(session, sfDir)
     val spec = DatasetSpec.forDir(session, sfDir)
-    val rows = sets.flatMap { case (set, _, extra) =>
+    val rows = sets.filterNot(_._1.exists(numPos)).flatMap { case (set, _, extra) =>
       val shSet = if (extra.isEmpty) sh else sh.copy(atoms = mergeAtoms(sh.atoms, extra))
       annotationRows(spns, spec, shSet, set.map(groupSrc), colPairs).map { case (k, nm, e) =>
         val full = Array.fill[String](groupAttrs.length)(null)
@@ -805,7 +809,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * columns) estimating below one row emits no group, matching SQL's row
     * universe.
     *
-    * Guards: at most TWO calendar grouping expressions (the rest must be
+    * Since r16 the SAME machinery folds ARITHMETIC BINS over num-modeled
+    * columns — `GROUP BY floor(x/100)` / `width_bucket(x, lo, hi, n)` /
+    * `round(x, -k)` — the binned-histogram shape that serves exactly the
+    * near-continuous columns (l_extendedprice, o_totalprice) the
+    * realized-value enumeration honestly refuses at its support caps:
+    * each bin is one half-open range conjunct, per-bin mass straight off
+    * the NumericLeaf range probability, no enumeration at all. Calendar
+    * and bin candidates compose in one cross product (`GROUP BY year(d),
+    * floor(price/1000)`) through the shared per-column interval meets.
+    *
+    * Guards: at most THREE bucket grouping expressions (the rest must be
     * dictionary-modeled strings or num-modeled numerics — the latter
     * expand the bucket tuples by realized-value support, r15), UTC session
     * timezone only (truncation boundaries and the model's epoch-day
@@ -817,7 +831,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * range buckets.
     */
   private def rewriteCalendar(agg: Aggregate): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.{DayOfWeek, Month, Quarter, TruncTimestamp, Year}
+    import org.apache.spark.sql.catalyst.expressions.{DayOfWeek, Divide, Floor, Month, Quarter, Round, TruncTimestamp, WidthBucket, Year}
     import org.apache.spark.sql.types.{DateType, TimestampType}
     import java.time.LocalDate
     // the date attribute, behind the date/timestamp cast the analyzer
@@ -830,16 +844,57 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         case _                                                      => None
       }
     }
-    // one bucket = key value + DISJOINT half-open [lo, hi) epoch-day
-    // intervals; the generator sees the floored domain endpoints and
-    // returns None on a runaway span (bad domain, tiny unit) to bound
-    // driver time
+    // the numeric attribute behind the double upcast division/width_bucket
+    // insert (int → double is value-preserving on the interval math; a
+    // NARROWING cast is not an attribute, so it falls through to fallback)
+    object NumAttr {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference if a.dataType.isInstanceOf[NumericType] => Some(a)
+        case Cast(a: AttributeReference, DoubleType, _, _)
+            if a.dataType.isInstanceOf[NumericType] => Some(a)
+        case _ => None
+      }
+    }
+    def litNum(e: Expression): Option[Double] = e match {
+      case Literal(v: java.lang.Number, _) => Some(v.doubleValue())
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+      case _ => None
+    }
+    // one bucket = key value + DISJOINT half-open [lo, hi) intervals in
+    // the source column's MODEL encoding (epoch days for calendar
+    // generators over "days" columns, raw values for arithmetic-bin
+    // generators over "num" columns — r16); the generator sees the
+    // predicate-narrowed realized domain and returns None on a runaway
+    // span (bad domain, tiny unit) to bound driver time. `kind` is the
+    // model kind the source column must carry.
     final case class Gen(
         attr: AttributeReference,
-        buckets: (LocalDate, LocalDate) => Option[Seq[(Any, Seq[(Double, Double)])]])
+        kind: String,
+        buckets: (Double, Double) => Option[Seq[(Any, Seq[(Double, Double)])]])
+    // calendar generators work in LocalDate space and come in TWO kind
+    // variants (r16): over a "days" column the model encoding IS epoch
+    // days (unitsPerDay = 1); over a "secs" column (events.ts) the same
+    // LocalDate bucket boundaries scale by 86 400 — one bucket builder,
+    // both granularity encodings. math.floor, not toLong: toLong
+    // truncates toward zero, so a negative (pre-1970) fractional domain
+    // start would shift into the NEXT day and could silently skip the
+    // first bucket.
+    def calGen(a: AttributeReference, kind: String, unitsPerDay: Double)(
+        f: (LocalDate, LocalDate) => Option[Seq[(Any, Seq[(Double, Double)])]]): Gen =
+      Gen(a, kind, (lo, hi) =>
+        f(LocalDate.ofEpochDay(math.floor(lo / unitsPerDay).toLong),
+          LocalDate.ofEpochDay(math.floor(hi / unitsPerDay).toLong))
+          .map(_.map { case (k, ivs) =>
+            (k, ivs.map(iv => (iv._1 * unitsPerDay, iv._2 * unitsPerDay)))
+          }))
+    // both encodings of one day-granular bucket builder; the candidate
+    // resolution picks the variant matching the source column's model kind
+    def both(a: AttributeReference)(
+        f: (LocalDate, LocalDate) => Option[Seq[(Any, Seq[(Double, Double)])]]): Seq[Gen] =
+      Seq(calGen(a, "days", 1.0)(f), calGen(a, "secs", 86400.0)(f))
     def linear(a: AttributeReference, floor: LocalDate => LocalDate,
-        advance: LocalDate => LocalDate, keyOf: LocalDate => Any): Gen =
-      Gen(a, (lo, hi) => {
+        advance: LocalDate => LocalDate, keyOf: LocalDate => Any): Seq[Gen] =
+      both(a) { (lo, hi) =>
         val start = floor(lo)
         val endEx = advance(floor(hi))
         val starts = Iterator.iterate(start)(advance)
@@ -847,12 +902,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         if (starts.length > 400) None
         else Some(starts.map(b =>
           (keyOf(b), Seq((b.toEpochDay.toDouble, advance(b).toEpochDay.toDouble)))))
-      })
+      }
     // cross-year cyclic keys (month() = 12, quarter() = 4): bucket k is the
     // union of its interval in EVERY domain year — disjoint by construction
     def cyclic(a: AttributeReference, nKeys: Int,
-        monthOfKey: Int => Int, spanMonths: Int): Gen =
-      Gen(a, (lo, hi) => {
+        monthOfKey: Int => Int, spanMonths: Int): Seq[Gen] =
+      both(a) { (lo, hi) =>
         val years = lo.getYear to hi.getYear
         if (years.length > 400) None
         else Some((1 to nKeys).map { k =>
@@ -861,13 +916,13 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             (s.toEpochDay.toDouble, s.plusMonths(spanMonths.toLong).toEpochDay.toDouble)
           })
         })
-      })
+      }
     // day-of-week keys: each key is one single-day interval per domain
     // week, disjoint by construction (same-dow days are 7 apart); the day
     // cap bounds the per-key interval lists like the daily-series cap does
     def dowGen(a: AttributeReference, keys: Range,
-        targetOf: Int => java.time.DayOfWeek): Gen =
-      Gen(a, (lo, hi) => {
+        targetOf: Int => java.time.DayOfWeek): Seq[Gen] =
+      both(a) { (lo, hi) =>
         if (hi.toEpochDay - lo.toEpochDay + 1 > 2800) None
         else Some(keys.map { k =>
           val first = Iterator.iterate(lo)(_.plusDays(1)).take(7)
@@ -875,49 +930,152 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           (k: Any, Iterator.iterate(first)(_.plusWeeks(1)).takeWhile(!_.isAfter(hi))
             .map(d => (d.toEpochDay.toDouble, d.toEpochDay + 1.0)).toSeq)
         })
+      }
+    // SUB-DAY truncation over a secs-modeled column (r16 — the tumbling-
+    // dashboard class): date_trunc('hour'|'minute', ts) buckets are
+    // step-aligned half-open [b·step, (b+1)·step) epoch-second intervals
+    // (UTC hour/minute boundaries ARE epoch-step-aligned), keyed by the
+    // truncated timestamp. The 400-bucket cap means a multi-week hourly
+    // series folds only under a predicate-narrowed span — exactly the
+    // dashboard's own "last N days" window.
+    def subDay(a: AttributeReference, stepSec: Double): Seq[Gen] =
+      Seq(Gen(a, "secs", (lo, hi) => {
+        val bLo = math.floor(lo / stepSec).toLong
+        val bHi = math.floor(hi / stepSec).toLong
+        if (bHi - bLo + 1 > 400) None
+        else Some((bLo to bHi).map { b =>
+          (java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond((b * stepSec).toLong)): Any,
+            Seq((b * stepSec, (b + 1) * stepSec)))
+        })
+      }))
+    // ---- arithmetic-bin generators over num-modeled columns (r16): the
+    // binned-histogram dashboard shape (`GROUP BY floor(x/100)` /
+    // `width_bucket(x, lo, hi, n)` / `round(x, -k)`) that serves exactly
+    // the near-continuous columns the realized-value fold honestly refuses
+    // at its support caps — each bin is ONE half-open range conjunct, no
+    // enumeration, per-bin mass straight off the NumericLeaf range
+    // probability (reference aqp_spn/aqp_leaves.py::IdentityNumericLeaf).
+    // `GROUP BY floor(x / w)`: bucket b covers [b·w, (b+1)·w) — floor is
+    // toward −∞, so the preimage is sign-uniform; keys are the LongType
+    // values Spark's Floor emits
+    def floorBins(a: AttributeReference, w: Double): Gen =
+      Gen(a, "num", (lo, hi) => {
+        if (!(w > 0) || !java.lang.Double.isFinite(w)) None
+        else {
+          val bLo = math.floor(lo / w).toLong
+          val bHi = math.floor(hi / w).toLong
+          if (bHi - bLo + 1 > 400) None
+          else Some((bLo to bHi).map(b =>
+            ((b: java.lang.Long): Any, Seq((b * w, (b + 1) * w)))))
+        }
       })
-    def gen(e: Expression): Option[Gen] = e match {
+    // `GROUP BY width_bucket(x, wlo, whi, n)` (ascending bounds): Spark
+    // computes floor(n·(x−lo)/(hi−lo))+1 with underflow key 0 and
+    // overflow key n+1 — every key is one half-open interval, tails
+    // clipped to the realized domain (an absent tail emits no bucket; a
+    // bucket past the domain would only estimate zero anyway)
+    def widthBins(a: AttributeReference, wlo: Double, whi: Double, n: Long): Gen =
+      Gen(a, "num", (lo, hi) => {
+        if (!(wlo < whi) || n < 1 || n > 398) None
+        else {
+          val s = (whi - wlo) / n
+          val under =
+            if (lo < wlo) Seq(((0L: java.lang.Long): Any, Seq((lo, wlo)))) else Nil
+          val over =
+            if (hi >= whi) Seq((((n + 1): java.lang.Long): Any, Seq((whi, hi + 1.0)))) else Nil
+          val mids = (1L to n).collect {
+            case i if wlo + i * s > lo && wlo + (i - 1) * s <= hi =>
+              ((i: java.lang.Long): Any, Seq((wlo + (i - 1) * s, wlo + i * s)))
+          }
+          Some(under ++ mids ++ over)
+        }
+      })
+    // `GROUP BY round(x, -k)` (k ≥ 0, so w = 10^k ≥ 1): HALF_UP rounds
+    // AWAY from zero, so the preimage of key m flips inclusivity at the
+    // sign change — restricted to NON-NEGATIVE realized domains, where
+    // the preimage is uniformly [m − w/2, m + w/2). Keys are doubles;
+    // toRows converts to the output's own type (Round returns its input
+    // type: double in, double out)
+    def roundBins(a: AttributeReference, w: Double): Gen =
+      Gen(a, "num", (lo, hi) => {
+        if (lo < 0 || !(w > 0)) None
+        else {
+          val kLo = math.floor((lo + w / 2) / w).toLong
+          val kHi = math.floor((hi + w / 2) / w).toLong
+          if (kHi - kLo + 1 > 400) None
+          else Some((kLo to kHi).map(k =>
+            ((k * w: java.lang.Double): Any,
+              Seq((math.max(k * w - w / 2, 0.0), k * w + w / 2)))))
+        }
+      })
+    // alternatives per expression (r16): day-granular calendar builders
+    // carry a "days" AND a "secs" variant (one per encoding the source
+    // column might model at); sub-day truncations are secs-only and
+    // arithmetic bins num-only. Candidate resolution picks the variant
+    // whose kind matches the column's modeled kind.
+    def gens(e: Expression): Seq[Gen] = e match {
       case Year(DateAttr(a)) =>
-        Some(linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear))
-      case Month(DateAttr(a))   => Some(cyclic(a, 12, identity, 1))
-      case Quarter(DateAttr(a)) => Some(cyclic(a, 4, k => (k - 1) * 3 + 1, 3))
+        linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear)
+      case Month(DateAttr(a))   => cyclic(a, 12, identity, 1)
+      case Quarter(DateAttr(a)) => cyclic(a, 4, k => (k - 1) * 3 + 1, 3)
       // dayofweek(): 1 = Sunday .. 7 = Saturday (Spark's convention) — each
       // key is one single-day interval per week of the domain, disjoint by
       // construction (same-dow days are 7 apart); the day cap bounds the
       // per-key interval lists like the daily-series cap does
       case DayOfWeek(DateAttr(a)) =>
-        Some(dowGen(a, 1 to 7,
-          k => if (k == 1) java.time.DayOfWeek.SUNDAY else java.time.DayOfWeek.of(k - 1)))
+        dowGen(a, 1 to 7,
+          k => if (k == 1) java.time.DayOfWeek.SUNDAY else java.time.DayOfWeek.of(k - 1))
       // weekday(): 0 = Monday .. 6 = Sunday
       case org.apache.spark.sql.catalyst.expressions.WeekDay(DateAttr(a)) =>
-        Some(dowGen(a, 0 to 6, k => java.time.DayOfWeek.of(k + 1)))
+        dowGen(a, 0 to 6, k => java.time.DayOfWeek.of(k + 1))
       case TruncTimestamp(Literal(f: org.apache.spark.unsafe.types.UTF8String, _),
           DateAttr(a), _) =>
         val key = (d: LocalDate) =>
           java.sql.Timestamp.from(d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
         f.toString.toLowerCase match {
           case "year" | "yyyy" | "yy" =>
-            Some(linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), key))
+            linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), key)
           case "quarter" =>
-            Some(linear(a, d => LocalDate.of(d.getYear, (d.getMonthValue - 1) / 3 * 3 + 1, 1),
-              _.plusMonths(3), key))
+            linear(a, d => LocalDate.of(d.getYear, (d.getMonthValue - 1) / 3 * 3 + 1, 1),
+              _.plusMonths(3), key)
           case "month" | "mon" | "mm" =>
-            Some(linear(a, _.withDayOfMonth(1), _.plusMonths(1), key))
+            linear(a, _.withDayOfMonth(1), _.plusMonths(1), key)
           // ISO week: Spark's date_trunc('week') floors to MONDAY
           case "week" =>
-            Some(linear(a, d => d.minusDays(d.getDayOfWeek.getValue - 1L),
-              _.plusWeeks(1), key))
+            linear(a, d => d.minusDays(d.getDayOfWeek.getValue - 1L),
+              _.plusWeeks(1), key)
           case "day" | "dd" =>
-            Some(linear(a, identity, _.plusDays(1), key))
-          case _ => None
+            linear(a, identity, _.plusDays(1), key)
+          // sub-day truncation (r16): folds only over a secs-modeled
+          // column — the day-granular "days" encoding cannot express an
+          // hour boundary, so those keep falling back by kind mismatch
+          case "hour"   => subDay(a, 3600.0)
+          case "minute" => subDay(a, 60.0)
+          case _ => Nil
         }
       // a bare day floor — `GROUP BY cast(ts AS date)` / `to_date(ts)`
       // (the analyzer lowers to_date over a timestamp to this Cast):
       // date_trunc('day')'s daily linear buckets keyed by the DATE itself,
       // under the same 400-bucket/predicate-narrowed-span economics
       case Cast(a: AttributeReference, DateType, _, _) =>
-        Some(linear(a, identity, _.plusDays(1), d => java.sql.Date.valueOf(d)))
-      case _ => None
+        linear(a, identity, _.plusDays(1), d => java.sql.Date.valueOf(d))
+      // ---- arithmetic bins over num-modeled columns (r16) ----
+      case Floor(Divide(NumAttr(a), den, _)) => litNum(den).map(floorBins(a, _)).toSeq
+      case Floor(NumAttr(a))                 => Seq(floorBins(a, 1.0))
+      case WidthBucket(NumAttr(a), lo, hi, n) =>
+        (for { l <- litNum(lo); h <- litNum(hi); k <- litNum(n) }
+          yield widthBins(a, l, h, k.toLong)).toSeq
+      // Round's scale must be a non-positive literal (w = 10^(−s) ≥ 1);
+      // fractional-bin rounding (s > 0) regroups within FP noise of the
+      // realized values — fall back rather than misbucket
+      case r: Round =>
+        (r.child, r.scale) match {
+          case (NumAttr(a), Literal(s: Int, IntegerType)) if s <= 0 && s >= -15 =>
+            Seq(roundBins(a, math.pow(10.0, -s.toDouble)))
+          case _ => Nil
+        }
+      case _ => Nil
     }
     // intersection of two SORTED DISJOINT half-open interval lists (the
     // RangeUnion convention) — the meet of a linear year bucket and a
@@ -950,9 +1108,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           if gs.nonEmpty && gs.forall(_.isInstanceOf[AttributeReference]) &&
             session.sessionState.conf.sessionLocalTimeZone == "UTC" =>
         val gAttrs = gs.map(_.asInstanceOf[AttributeReference])
+        // each candidate keeps its ALTERNATIVE generators (kind variants);
+        // resolution against the source column's modeled kind happens
+        // after the walk, where attrTable is known
         val calCandidates = gAttrs.flatMap { a =>
           pl.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
-            .flatMap(gen).map(a -> _)
+            .map(gens).filter(_.nonEmpty).map(a -> _)
         }
         calCandidates match {
           // up to THREE calendar expressions composed as a bucket cross
@@ -973,7 +1134,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               case al: Alias => !calIds.contains(al.exprId)
               case _         => true
             }
-            val walkable = cals.map(_._2.attr).foldLeft(rest) { (acc, ga) =>
+            val walkable = cals.map(_._2.head.attr).foldLeft(rest) { (acc, ga) =>
               if (acc.exists(_.exprId == ga.exprId)) acc else acc :+ ga
             }
             for {
@@ -984,16 +1145,23 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               // branch through the shape dispatch (bucketTupleRows), so the
               // walk's own ≤3-disjunction accuracy cap is the only OR guard
               _ <- D("pend")(if (sh.pendingKeyNotNull.isEmpty) Some(()) else None)
-              // every calendar expression's source must be a days-modeled
-              // column (possibly the SAME column for both)
-              tcs <- D("tcs"){
-                val r = cals.map { case (_, g) =>
-                  sh.attrTable.get(g.attr.exprId).filter { case (t, c) =>
-                    spec.modeled(t).exists(x => x._1 == c && x._2 == "days")
-                  }
+              // resolve each candidate's generator VARIANT against the
+              // source column's modeled kind — "days"/"secs" for calendar
+              // expressions (sub-day truncations are secs-only), "num" for
+              // arithmetic bins; no matching variant → the whole rewrite
+              // falls back (possibly the SAME column for two candidates)
+              resolved <- D("tcs"){
+                val r: Seq[Option[(Gen, (String, String))]] = cals.map { case (_, alts) =>
+                  for {
+                    tc <- sh.attrTable.get(alts.head.attr.exprId)
+                    kind <- spec.modeled(tc._1)
+                      .collectFirst { case (c2, k) if c2 == tc._2 => k }
+                    g <- alts.find(_.kind == kind)
+                  } yield (g, tc)
                 }
                 if (r.forall(_.isDefined)) Some(r.flatten) else None
               }
+              tcs = resolved.map(_._2)
               // every OTHER grouping column is either a dictionary-modeled
               // string (per-bucket enumeration) or a num-modeled numeric —
               // the latter EXPANDS the bucket tuples by its realized-value
@@ -1073,7 +1241,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               // the table's whole history — the difference between folding
               // under the 400-bucket cap and falling back
               perCal <- {
-                val bs = cals.zip(tcs).map { case ((_, g), (t, c)) =>
+                val bs = resolved.map { case (g, (t, c)) =>
                   Ensemble.colDomain(spns, t, c).flatMap { dom0 =>
                     val hull = SpnCardinality
                       .predsFor(spns, sh.tables, sh.atoms, spec.modeled)
@@ -1087,14 +1255,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                     val dom = hull.fold(dom0) { case (lo, hi) =>
                       (math.max(dom0._1, lo), math.min(dom0._2, hi))
                     }
-                    // math.floor, not toLong: toLong truncates toward zero,
-                    // so a negative (pre-1970) fractional domain start would
-                    // shift into the NEXT day and could silently skip the
-                    // first bucket
+                    // generators receive the model-encoded domain directly
+                    // (calGen converts to LocalDate space for the calendar
+                    // family; arithmetic-bin generators consume raw values)
                     if (dom._1 > dom._2) Some(Seq.empty[(Any, Seq[(Double, Double)])])
-                    else g.buckets(
-                      LocalDate.ofEpochDay(math.floor(dom._1).toLong),
-                      LocalDate.ofEpochDay(math.floor(dom._2).toLong))
+                    else g.buckets(dom._1, dom._2)
                   }
                 }
                 D("perCal")(if (bs.forall(_.isDefined)) Some(bs.flatten) else None)
@@ -1406,7 +1571,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       rows <- estimateSets(sh, groupSrc, numPos, sets, gidId, cols,
         agg.output.map(_.dataType))
     } yield {
-      annotateSets(sh, groupAttrs, groupSrc, sets,
+      annotateSets(sh, groupAttrs, groupSrc, numPos, sets,
         cols.zip(agg.aggregateExpressions.map(_.name)))
       LocalRelation(agg.output, rows)
     }

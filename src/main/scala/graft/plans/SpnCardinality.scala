@@ -95,6 +95,10 @@ object SpnCardinality {
     case null => None
     case i: java.lang.Integer if kind == "days" => Some(i.toDouble) // DateType
     case l: java.lang.Long if kind == "days" => Some(l.toDouble / microsPerDay) // TimestampType
+    // "secs" (r16): epoch seconds with fractional micros — a timestamp
+    // literal arrives as micros (Long), a date literal as epoch days (Int)
+    case l: java.lang.Long if kind == "secs" => Some(l.toDouble / 1e6)
+    case i: java.lang.Integer if kind == "secs" => Some(i.toDouble * 86400.0)
     case n: java.lang.Number if kind == "num" => Some(n.doubleValue())
     case d: org.apache.spark.sql.types.Decimal if kind == "num" => Some(d.toDouble)
     case _ => None
@@ -939,6 +943,50 @@ object SpnPlanning {
           |FROM lineitem WHERE l_quantity < 10
           |GROUP BY year(l_shipdate), l_quantity
           |ORDER BY y, l_quantity""".stripMargin)
+    },
+
+    // Round 16: BINNED numeric GROUP BY folds — `floor(x/w)` (and
+    // width_bucket / round(x,-k)) over a NEAR-CONTINUOUS num-modeled
+    // column, the histogram-with-bins dashboard shape the realized-value
+    // enumeration honestly refuses at its support caps (l_extendedprice
+    // has ~60k realized values at sf0.01; floor(x/1000) is ~105 half-open
+    // range buckets, each one NumericLeaf range estimation — zero scans,
+    // no enumeration). SpnAqpSpec pins floor/width_bucket/round, the
+    // calendar × bin cross product, dict/num dimension and OR composition,
+    // and the cap/positive-scale/unmodeled fallbacks against the exact
+    // plane; rows>0 is the Verify contract here.
+    Op.noOracle("aqp_transparent_binned") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT floor(l_extendedprice/1000) AS bin, count(*) AS n,
+          |       avg(l_extendedprice) AS ax
+          |FROM lineitem WHERE l_quantity < 24
+          |GROUP BY floor(l_extendedprice/1000)
+          |ORDER BY bin""".stripMargin)
+    },
+
+    // Round 16: SUB-DAY calendar folding — events.ts models at SECOND
+    // granularity ("secs" kind), so `date_trunc('hour', ts)` folds as
+    // step-aligned half-open epoch-second intervals, opening the
+    // tumbling-dashboard AQP class over the stream table (the reference's
+    // prep-time date ordinal encoding is granularity-agnostic —
+    // data_preparation/prepare_single_tables.py; this is the finer-than-
+    // day instantiation). SpnAqpSpec pins hourly/minute/daily folds, the
+    // hour × dimension composition, and the cap/kind-mismatch fallbacks
+    // against the exact plane; rows>0 is the Verify contract here.
+    Op.noOracle("aqp_transparent_hourly") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events")
+      s2.sql(
+        """SELECT date_trunc('hour', ts) AS h, count(*) AS n, avg(value) AS av
+          |FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+          |GROUP BY date_trunc('hour', ts)
+          |ORDER BY h""".stripMargin)
     }
   )
 }

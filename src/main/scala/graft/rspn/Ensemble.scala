@@ -4,6 +4,7 @@ import graft.schema.{DatasetSpec, Relationship, SchemaGraph, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.concurrent.TrieMap
+import scala.util.Try
 
 /** Trained RSPN ensemble over the testdata schema + the estimator API.
   *
@@ -166,6 +167,13 @@ object Ensemble {
       case "days" =>
         // epoch days (ANSI mode forbids timestamp→numeric casts)
         datediff(to_date(col(name)), to_date(lit("1970-01-01"))).cast("double")
+      case "secs" =>
+        // epoch seconds with fractional micros (r16): the sub-day encoding
+        // that lets hour/minute truncation buckets fold — the reference's
+        // prep-time date ordinal encoding is granularity-agnostic
+        // (data_preparation/prepare_single_tables.py); this is the
+        // finer-than-day instantiation
+        unix_micros(col(name)).cast("double") / lit(1e6)
       case "cat" =>
         val m = map(dict.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i.toDouble)) }: _*)
         element_at(m, col(name))
@@ -421,6 +429,14 @@ object Ensemble {
   private val fpLastGood =
     TrieMap.empty[(org.apache.spark.SparkContext, String), String]
 
+  /** Consecutive listing-failure streak per (context, dir) — reset on any
+    * successful listing. Past [[fpMissBound]] the stale-on-error fallback
+    * escalates to a hard failure instead of silently serving forever.
+    */
+  private val fpMisses =
+    TrieMap.empty[(org.apache.spark.SparkContext, String), Int]
+  private[graft] val fpMissBound = 8
+
   private[graft] def dirFingerprint(spark: SparkSession, dir: String): String = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
@@ -436,9 +452,28 @@ object Ensemble {
       val fp = java.util.UUID.nameUUIDFromBytes(
         sig(root, 1).mkString("\n").getBytes("UTF-8")).toString
       fpLastGood.put(key, fp)
+      fpMisses.remove(key) // a successful listing resets the miss streak
       fp
     } catch {
-      case scala.util.control.NonFatal(_) => fpLastGood.getOrElse(key, "unreadable")
+      case scala.util.control.NonFatal(e) =>
+        // stale-on-error is deliberate for TRANSIENT failures, but it must
+        // be distinguishable from a dataset that is permanently gone (r15
+        // ADVICE): count consecutive misses, warn on each, and escalate
+        // loudly past the bound — a deleted sfDir must not answer silently
+        // from stale models forever
+        val misses = fpMisses.updateWith(key) {
+          case Some(n) => Some(n + 1)
+          case None    => Some(1)
+        }.getOrElse(1)
+        if (fpLastGood.contains(key) && misses > fpMissBound)
+          throw new IllegalStateException(
+            s"dataset directory $dir failed to list $misses consecutive times " +
+              s"(bound $fpMissBound) — refusing to keep serving the stale fingerprint", e)
+        System.err.println(
+          s"[graft] WARN: listing $dir failed ($misses consecutive): ${e.getMessage}; " +
+            (if (fpLastGood.contains(key)) "serving last-good fingerprint"
+             else "no successful listing yet — 'unreadable' sentinel"))
+        fpLastGood.getOrElse(key, "unreadable")
     }
   }
 
@@ -540,11 +575,25 @@ object Ensemble {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       implicit val ec: ExecutionContext = ExecutionContext.global
+      // the DEFAULT binding describes the full testdata layout, but a
+      // dataset directory may carry a SUBSET of its tables (r16: `events`
+      // joined the default modeled map; fixtures predating it don't ship
+      // it) — train models only for tables actually present. A query over
+      // an absent table finds no model and runs exact; a sidecar or
+      // registered spec still fails loudly downstream if it names a table
+      // the directory lacks AND a query asks for it.
+      val present: Set[String] = spec.modeled.keySet.filter { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+        Try(p.getFileSystem(spark0.sparkContext.hadoopConfiguration).exists(p))
+          .getOrElse(false)
+      }
       // singles for every modeled table, so the independence fallback in
       // `factored` always has a marginal model; sorted for determinism
-      val fSingles = spec.modeled.keys.toSeq.sorted.map(t =>
+      val fSingles = present.toSeq.sorted.map(t =>
         Future(timed(s"single:$t")(trainSingle(spark0, sfDir, t))))
-      val fChains = spec.chains.map { case (rels, dims) =>
+      val fChains = spec.chains.filter { case (rels, dims) =>
+        ((rels.head.one +: rels.map(_.many)) ++ dims.map(_.one)).forall(present)
+      }.map { case (rels, dims) =>
         val nm = ((rels.head.one +: rels.map(_.many)) ++ dims.map(_.one)).mkString("_")
         Future(timed(s"chain:$nm")(trainChain(spark0, sfDir, rels, dims)))
       }

@@ -86,7 +86,14 @@ object DatasetSpec {
         // language/source", "avg length where ...") answer from the model
         // plane like any TPC-H slice — text itself stays irrelevant
         "documents" -> Seq(
-          ("n_chars", "num"), ("lang", "cat"), ("source", "cat"))),
+          ("n_chars", "num"), ("lang", "cat"), ("source", "cat")),
+        // the stream table (r16): ts at SECOND granularity ("secs" kind —
+        // epoch seconds with fractional micros), opening the sub-day
+        // tumbling-dashboard AQP class (`GROUP BY date_trunc('hour', ts)`)
+        // the day-granular encoding cannot express; user_id/props stay
+        // unmodeled (keys and payloads never model)
+        "events" -> Seq(
+          ("value", "num"), ("event_type", "cat"), ("ts", "secs"))),
       chains = Seq(
         (Seq(g.rel("orders", "customer"), g.rel("lineitem", "orders")), Nil),
         (Seq(g.rel("orders", "customer"), g.rel("lineitem", "orders")),
@@ -175,7 +182,8 @@ object DatasetSpec {
     val modeled = modeledNode.properties().asScala.map { e =>
       val cols = e.getValue.elements().asScala.map { c =>
         val kind = str(c, "kind")
-        if (!Set("num", "days", "cat")(kind)) fail(s"column kind '$kind' (num|days|cat)")
+        if (!Set("num", "days", "secs", "cat")(kind))
+          fail(s"column kind '$kind' (num|days|secs|cat)")
         (str(c, "col"), kind)
       }.toSeq
       e.getKey -> cols

@@ -166,4 +166,32 @@ class AqpEdgeCaseSpec extends AnyFunSuite {
       "a mutated dir must re-fit the memoized model")
     assert(ext.ModelCache.fitCount == before + 2)
   }
+
+  test("a persistently unlistable directory escalates past the stale-on-error bound") {
+    // r15 ADVICE: stale-on-error must be distinguishable from a dataset
+    // that is permanently gone — after fpMissBound consecutive listing
+    // failures of a dir that HAS a last-good fingerprint, dirFingerprint
+    // throws instead of silently serving the stale value forever; a
+    // single successful listing resets the streak
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-fpmiss-")
+    val d = dirPath.toString
+    java.nio.file.Files.writeString(dirPath.resolve("marker.txt"), "x")
+    val good = Ensemble.dirFingerprint(spark, d)
+    assert(good != "unreadable")
+    // a LocalFileSystem listing of a deleted directory throws
+    // FileNotFoundException — the NonFatal path under test
+    java.nio.file.Files.delete(dirPath.resolve("marker.txt"))
+    java.nio.file.Files.delete(dirPath)
+    (1 to Ensemble.fpMissBound).foreach { i =>
+      assert(Ensemble.dirFingerprint(spark, d) == good,
+        s"miss $i within the bound must serve the last-good fingerprint")
+    }
+    assertThrows[IllegalStateException](Ensemble.dirFingerprint(spark, d))
+    // recreating the directory recovers: a fresh successful listing
+    // resets the streak and re-pins a (new) fingerprint
+    java.nio.file.Files.createDirectory(dirPath)
+    java.nio.file.Files.writeString(dirPath.resolve("marker.txt"), "y")
+    val recovered = Ensemble.dirFingerprint(spark, d)
+    assert(recovered != "unreadable" && recovered != good)
+  }
 }

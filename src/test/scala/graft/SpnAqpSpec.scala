@@ -20,7 +20,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class SpnAqpSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val planTables = Seq("lineitem", "orders", "customer", "part", "supplier", "documents")
+  private val planTables =
+    Seq("lineitem", "orders", "customer", "part", "supplier", "documents", "events")
 
   private lazy val tmpSf: String = {
     import java.nio.file.{Files, Paths}
@@ -1894,6 +1895,196 @@ class SpnAqpSpec extends AnyFunSuite {
     val selfAgg = session(aqp = true).sql(
       "SELECT l_quantity, sum(l_quantity) AS s FROM lineitem GROUP BY l_quantity")
     assert(!isRewritten(selfAgg), "aggregating the grouped column must fall back")
+  }
+
+  test("binned numeric GROUP BY folds: floor(x/w), width_bucket, round(x,-k)") {
+    // the binned-histogram dashboard shape over a NEAR-CONTINUOUS column —
+    // l_extendedprice has ~6k realized values, past the realized-value
+    // enumeration cap (the bare GROUP BY l_extendedprice falls back, pinned
+    // above) — but floor(x/1000) is ~105 half-open range buckets, each one
+    // NumericLeaf range estimation, no enumeration at all
+    def check(sql: String, keyOf: org.apache.spark.sql.Row => Any,
+        nIdx: Int, label: String): Unit = {
+      val exact = session(aqp = false).sql(sql).collect()
+        .map(r => keyOf(r) -> r.getLong(nIdx).toDouble).toMap
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df), s"$label must fold:\n${df.queryExecution.optimizedPlan}")
+      val est = df.collect().map(r => keyOf(r) -> r.getLong(nIdx).toDouble).toMap
+      (est.keySet diff exact.keySet).foreach { k =>
+        assert(est(k) <= 5.0, s"$label phantom bin $k carries real mass: ${est(k)}")
+      }
+      (exact.keySet diff est.keySet).foreach { k =>
+        assert(exact(k) <= 5.0, s"$label dropped bin $k has real rows: ${exact(k)}")
+      }
+      (est.keySet intersect exact.keySet).foreach { k =>
+        assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+          s"$label bin $k: ${est(k)} vs ${exact(k)}")
+      }
+    }
+    check(
+      """SELECT floor(l_extendedprice/1000) AS bin, count(*) AS n
+         FROM lineitem WHERE l_quantity < 24
+         GROUP BY floor(l_extendedprice/1000)""".stripMargin,
+      _.getLong(0), 1, "floor-div bins")
+    // aggregates over the binned source column estimate per bin (range-
+    // conditioned moments): avg(x) GROUP BY floor(x/w) is well-defined
+    val aSql = """SELECT floor(l_extendedprice/20000) AS bin, count(*) AS n,
+                         avg(l_extendedprice) AS ax
+                  FROM lineitem GROUP BY floor(l_extendedprice/20000)""".stripMargin
+    val aExact = session(aqp = false).sql(aSql).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1).toDouble, r.getDouble(2)))).toMap
+    val aDf = session(aqp = true).sql(aSql)
+    assert(isRewritten(aDf), s"avg over binned col must fold:\n${aDf.queryExecution.optimizedPlan}")
+    val aEst = aDf.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1).toDouble, r.getDouble(2)))).toMap
+    assert(aEst.keySet == aExact.keySet, s"bins ${aEst.keySet} vs ${aExact.keySet}")
+    aExact.foreach { case (k, (en, ea)) =>
+      assert(qerr(aEst(k)._1, en) <= 2.0 || math.abs(aEst(k)._1 - en) <= 10.0,
+        s"bin $k count: ${aEst(k)._1} vs $en")
+      assert(qerr(aEst(k)._2, ea) <= 1.2, s"bin $k avg: ${aEst(k)._2} vs $ea")
+    }
+    // width_bucket's underflow (0) / regular (1..n) / overflow (n+1) keys
+    // map to half-open intervals exactly like Spark's floor-scaled math
+    check(
+      """SELECT width_bucket(o_totalprice, 50000, 450000, 8) AS bin, count(*) AS n
+         FROM orders GROUP BY width_bucket(o_totalprice, 50000, 450000, 8)""".stripMargin,
+      _.getLong(0), 1, "width_bucket bins")
+    // round(x, -k): HALF_UP away from zero — nonnegative domains only;
+    // keys are the rounded doubles
+    check(
+      """SELECT round(l_extendedprice, -4) AS bin, count(*) AS n
+         FROM lineitem WHERE l_quantity < 24
+         GROUP BY round(l_extendedprice, -4)""".stripMargin,
+      _.getDouble(0), 1, "round bins")
+    // calendar × bin cross product through the shared interval-meet
+    // machinery: GROUP BY year(d), floor(price/w)
+    check(
+      """SELECT year(o_orderdate) AS y, floor(o_totalprice/100000) AS bin, count(*) AS n
+         FROM orders GROUP BY year(o_orderdate), floor(o_totalprice/100000)""".stripMargin,
+      r => (r.getInt(0), r.getLong(1)), 2, "year × bin")
+    // bin × dictionary dimension: per-bin group enumeration rides along
+    check(
+      """SELECT floor(o_totalprice/100000) AS bin, o_orderpriority, count(*) AS n
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY floor(o_totalprice/100000), o_orderpriority""".stripMargin,
+      r => (r.getLong(0), r.getString(1)), 2, "bin × dict dim")
+    // bin × numeric dimension: the num-modeled column expands the bin
+    // tuples by realized-value support (r15 kind dispatch, unchanged)
+    check(
+      """SELECT floor(l_extendedprice/20000) AS bin, l_quantity, count(*) AS n
+         FROM lineitem WHERE l_quantity < 10
+         GROUP BY floor(l_extendedprice/20000), l_quantity""".stripMargin,
+      r => (r.getLong(0), r.getDouble(1)), 2, "bin × num dim")
+    // cross-column disjunction composes per bin (shape dispatch: the bin
+    // range conjoins both OR branches, inclusion-exclusion per bucket)
+    check(
+      """SELECT floor(o_totalprice/100000) AS bin, count(*) AS n
+         FROM orders WHERE o_orderstatus = 'F' OR o_orderpriority = '1-URGENT'
+         GROUP BY floor(o_totalprice/100000)""".stripMargin,
+      _.getLong(0), 1, "bin under OR")
+    // fallbacks: past the 400-bin cap; positive round scale (fractional
+    // bins regroup within FP noise); an unmodeled source column; an
+    // expression OVER the bin key
+    val capped = session(aqp = true).sql(
+      """SELECT floor(l_extendedprice/100) AS bin, count(*) AS n
+         FROM lineitem GROUP BY floor(l_extendedprice/100)""".stripMargin)
+    assert(!isRewritten(capped), "a >400-bin histogram must fall back")
+    val posScale = session(aqp = true).sql(
+      """SELECT round(l_discount, 1) AS bin, count(*) AS n
+         FROM lineitem GROUP BY round(l_discount, 1)""".stripMargin)
+    assert(!isRewritten(posScale), "round with a positive scale must fall back")
+    val unmodeled = session(aqp = true).sql(
+      """SELECT floor(l_partkey/100) AS bin, count(*) AS n
+         FROM lineitem GROUP BY floor(l_partkey/100)""".stripMargin)
+    assert(!isRewritten(unmodeled), "bins over an unmodeled column must fall back")
+    val overKey = session(aqp = true).sql(
+      """SELECT floor(o_totalprice/100000) + 1 AS b1, count(*) AS n
+         FROM orders GROUP BY floor(o_totalprice/100000)""".stripMargin)
+    assert(!isRewritten(overKey), "an expression over the bin key must fall back")
+  }
+
+  test("sub-day calendar buckets fold over the secs-modeled stream table") {
+    // r16 (VERDICT item 4, the modeling branch): events.ts models at
+    // SECOND granularity ("secs" kind — epoch seconds), so
+    // date_trunc('hour', ts) folds as step-aligned half-open intervals —
+    // the tumbling-dashboard class, zero scans. Buckets at sf0.001 are
+    // SPARSE (~1.4 events/hour), so the sparse-cell boundary convention
+    // applies: phantom/dropped cells must be trivial, shared cells loose
+    val sql = """SELECT date_trunc('hour', ts) AS h, count(*) AS n
+                 FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+                 GROUP BY date_trunc('hour', ts)""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"hourly buckets must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"phantom hour $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"dropped hour $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 5.0,
+        s"hour $k: ${est(k)} vs ${exact(k)}")
+    }
+    // every folded key is a true hour boundary
+    est.keys.foreach(k => assert(k.endsWith("00:00.0"), s"hour key $k must truncate to :00:00"))
+    // hour × dictionary dimension composes through the shared machinery
+    val dSql = """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+                  FROM events WHERE ts < TIMESTAMP'2024-01-03 00:00:00'
+                  GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+    val dExact = session(aqp = false).sql(dSql).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2).toDouble).toMap
+    val dDf = session(aqp = true).sql(dSql)
+    assert(isRewritten(dDf), s"hour × dim must fold:\n${dDf.queryExecution.optimizedPlan}")
+    val dEst = dDf.collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2).toDouble).toMap
+    (dEst.keySet diff dExact.keySet).foreach { k =>
+      assert(dEst(k) <= 5.0, s"phantom cell $k carries real mass: ${dEst(k)}")
+    }
+    (dExact.keySet diff dEst.keySet).foreach { k =>
+      assert(dExact(k) <= 5.0, s"dropped cell $k has real rows: ${dExact(k)}")
+    }
+    // minute-level buckets fold under the cap on a narrow window
+    val mSql = """SELECT date_trunc('minute', ts) AS m, count(*) AS n
+                  FROM events WHERE ts < TIMESTAMP'2024-01-01 06:00:00'
+                  GROUP BY date_trunc('minute', ts)""".stripMargin
+    val mDf = session(aqp = true).sql(mSql)
+    assert(isRewritten(mDf), s"minute buckets must fold:\n${mDf.queryExecution.optimizedPlan}")
+    val mExactKeys = session(aqp = false).sql(mSql).collect()
+      .map(_.getTimestamp(0).toString).toSet
+    val mEstKeys = mDf.collect().map(_.getTimestamp(0).toString).toSet
+    // sparse single-row buckets may drop at the half-row gate; anything
+    // folded must be a true minute boundary within the window
+    assert(mEstKeys.nonEmpty)
+    mEstKeys.foreach(k => assert(k.endsWith(":00.0"), s"minute key $k"))
+    assert((mEstKeys diff mExactKeys).isEmpty, "no phantom minute outside the exact set")
+    // DAY-granular calendar expressions fold over the secs column too
+    // (the days-variant scaled by 86 400): GROUP BY cast(ts AS date)
+    val daySql = """SELECT cast(ts AS date) AS d, count(*) AS n
+                    FROM events GROUP BY cast(ts AS date)""".stripMargin
+    val dayExact = session(aqp = false).sql(daySql).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1).toDouble).toMap
+    val dayDf = session(aqp = true).sql(daySql)
+    assert(isRewritten(dayDf), s"daily buckets over secs must fold:\n${dayDf.queryExecution.optimizedPlan}")
+    val dayEst = dayDf.collect().map(r => r.getDate(0).toString -> r.getLong(1).toDouble).toMap
+    assert(dayEst.keySet == dayExact.keySet, s"day keys ${dayEst.keySet} vs ${dayExact.keySet}")
+    dayExact.foreach { case (k, v) =>
+      assert(qerr(dayEst(k), v) <= 2.0 || math.abs(dayEst(k) - v) <= 5.0,
+        s"day $k: ${dayEst(k)} vs $v")
+    }
+    // fallbacks: the FULL 30-day hourly span exceeds the 400-bucket cap;
+    // hourly truncation of a DAYS-modeled column has no matching variant
+    val fullSpan = session(aqp = true).sql(
+      """SELECT date_trunc('hour', ts) AS h, count(*) AS n
+         FROM events GROUP BY date_trunc('hour', ts)""".stripMargin)
+    assert(!isRewritten(fullSpan), "a 720-bucket hourly series must fall back")
+    val daysCol = session(aqp = true).sql(
+      """SELECT date_trunc('hour', o_orderdate) AS h, count(*) AS n
+         FROM orders WHERE o_orderdate < DATE'1992-02-01'
+         GROUP BY date_trunc('hour', o_orderdate)""".stripMargin)
+    assert(!isRewritten(daysCol), "hourly over a day-granular column must fall back")
   }
 
   test("two-calendar cross product folds: GROUP BY year(d), month(d)") {
