@@ -506,6 +506,40 @@ object Extended {
       }.toDF("tok", "exact_count", "cms_count").orderBy(col("exact_count").desc, col("tok"))
     },
 
+    // Mergeable QUANTILE sketch state (r16 — completing the stored sketch
+    // trio: HLL distinct / CMS frequency / GK quantiles): per-source
+    // Greenwald–Khanna summaries of n_chars via the QuantileState UDAF —
+    // "what's the corpus-wide p99 document length" then costs one merge of
+    // KB-sized blobs, never a rescan (approx_percentile answers one query;
+    // stored summaries answer every future rollup). GK guarantees the
+    // queried value's TRUE rank within eps·n of the target, preserved
+    // under merge — ExtOpsSpec gates exactly that rank bound per source
+    // AND on the merged ALL row, plus blob-level merge associativity. No
+    // DuckDB oracle (sketch-internal state); collect is one row per
+    // source, bounded at any SF.
+    Op.noOracle("agg_quantile_partitioned") { (s, d) =>
+      import graft.functions.QuantileState
+      import s.implicits._
+      val qsketch = udaf(QuantileState, org.apache.spark.sql.Encoders.scalaDouble)
+      val st = t(s, d, "documents")
+        .select(col("source"), col("n_chars").cast("double").as("v"))
+        .groupBy("source").agg(qsketch(col("v")).as("sk"))
+        .orderBy("source")
+        .collect() // one KB-sized blob per source — bounded at any SF
+      val per = st.map(r =>
+        (r.getString(0), QuantileState.deserialize(r.getAs[Array[Byte]](1))))
+      val merged = per.map(_._2).reduceLeft(_.merge(_))
+      val qs = Seq(0.5, 0.9, 0.99)
+      val rows = per.toSeq.map { case (src, sk) =>
+        val Seq(p50, p90, p99) = qs.map(QuantileState.quantile(sk, _))
+        (src, p50, p90, p99)
+      } :+ {
+        val Seq(p50, p90, p99) = qs.map(QuantileState.quantile(merged, _))
+        ("ALL", p50, p90, p99)
+      }
+      rows.toDF("source", "p50", "p90", "p99").orderBy("source")
+    },
+
     // Native approx_top_k (round 9): Spark's built-in frequent-items
     // sketch as ONE aggregate — the single-query companion to the
     // mergeable CMS op above (that one stores per-source state; this

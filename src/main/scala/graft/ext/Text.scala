@@ -76,6 +76,33 @@ object Text {
     * omitted because the fixture's words are whitespace-delimited tokens
     * already (no cross-word merges are possible by construction).
     */
+  /** 100 TB posture cap on the BPE word-TYPE table (r16, closing the
+    * VERDICT soft spot): the driver collect keeps only the top-N word
+    * types by count. Zipf corpora concentrate token mass in the head —
+    * 2^16 types cover ≥99.9% of tokens on web-scale text (the same
+    * truncation production trainers apply before the merge loop), while
+    * the hapax tail that would otherwise overwhelm the driver contributes
+    * no merge-worthy pair statistics. Deterministic: ties break on the
+    * word itself via the (count DESC, word) total order the collect
+    * already sorts by.
+    */
+  private[graft] val bpeWordTypeCap: Int = 1 << 16
+
+  /** The shared word-frequency table both BPE ops collect: one corpus
+    * aggregate, ordered (count DESC, word) for determinism, truncated at
+    * [[bpeWordTypeCap]] types. `cap` is a parameter so the spec can prove
+    * the truncation engages (and changes nothing on head-heavy corpora)
+    * without a 2^16-type fixture.
+    */
+  private[graft] def bpeWordTable(
+      docsDf: DataFrame, cap: Int = bpeWordTypeCap): Seq[(String, Long)] =
+    docsDf
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(cap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   private[graft] def bpeMerges(
       words: Seq[(String, Long)], nMerges: Int): Seq[(Int, String, String, Long)] = {
     var seqs: Seq[(Vector[String], Long)] =
@@ -352,20 +379,18 @@ object Text {
     // work is exactly ONE word-frequency aggregate (how HF/sentencepiece
     // trainers structure it too: corpus → word counts, then the merge loop
     // touches only word TYPES); the driver-side loop is bounded by
-    // |vocabulary| × nMerges, independent of corpus size. At 100 TB the
-    // word table caps at top-N types by count (covering ≥99.9% of token
-    // mass — the same truncation production trainers apply); the fixture's
-    // 31-type vocabulary needs no cap. No DuckDB oracle (iterative argmax
+    // |vocabulary| × nMerges, independent of corpus size. The word table
+    // caps at the top bpeWordTypeCap types by count IN CODE (r16 — the
+    // 100 TB posture SURVEY documents, now enforced by bpeWordTable's
+    // limit); the fixture's 31-type vocabulary sits far under it, and the
+    // spec proves the truncation both engages on a synthetic long-tail
+    // corpus and changes nothing head-heavy. No DuckDB oracle (iterative argmax
     // isn't reasonably SQL-expressible) — ExtOpsSpec cross-checks merge #1
     // against an independent SQL bigram count, pins determinism, monotone
     // compression, and encode round-trip.
     Op.noOracle("bpe_train") { (s, d) =>
       import s.implicits._
-      val words = docs(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
-        .orderBy(col("c").desc, col("w"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val words = bpeWordTable(docs(s, d))
       bpeMerges(words, nMerges = 20)
         .toDF("rank", "left", "right", "pair_freq")
         .orderBy("rank")
@@ -384,11 +409,7 @@ object Text {
     // pins ws_tokens ≤ bpe_symbols ≤ characters.
     Op.noOracle("bpe_apply") { (s, d) =>
       import s.implicits._
-      val words = docs(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
-        .orderBy(col("c").desc, col("w"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val words = bpeWordTable(docs(s, d))
       val merges = bpeMerges(words, nMerges = 20).map(m => (m._2, m._3))
       val encodeCount = udf((text: String) =>
         text.split(" ").iterator.map(w => bpeEncode(w, merges).length.toLong).sum)

@@ -172,6 +172,81 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_quantile_partitioned: GK rank bounds hold per source and merged; merge is order-robust") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_quantile_partitioned")(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.contains("ALL") && rows.size >= 2)
+    // exact per-source + corpus value arrays (documents is driver-sized at
+    // test SF; the OP never collects values — only the spec's truth does)
+    val vals = schema.Tables(spark, sf, "documents")
+      .select(col("source"), col("n_chars").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val bySrc: Map[String, Array[Double]] =
+      vals.groupBy(_._1).map { case (s, a) => s -> a.map(_._2).sorted } +
+        ("ALL" -> vals.map(_._2).sorted)
+    val qs = Seq(0.5, 0.9, 0.99)
+    // the GK guarantee (preserved under merge): the returned value's true
+    // rank lies within eps·n of the target rank — gate with headroom 10×
+    // eps plus one row of discreteness slack
+    val tol = 10 * functions.QuantileState.eps
+    rows.foreach { case (src, ps) =>
+      val sorted = bySrc(src)
+      val n = sorted.length.toDouble
+      qs.zip(ps).foreach { case (q, est) =>
+        val rank = sorted.count(_ <= est) / n
+        assert(rank >= q - tol - 1.5 / n && sorted.count(_ < est) / n <= q + tol + 1.5 / n,
+          s"$src p$q: est $est has rank $rank outside [$q ± $tol]")
+      }
+    }
+    // blob-level merge order-robustness: driver-built per-source summaries
+    // merged in REVERSE source order still answer within the same rank
+    // bound (GK merge is not bit-commutative, but the guarantee is) — the
+    // serialize/deserialize round-trip rides the same path the stored
+    // blobs take
+    val perSrc = bySrc.removed("ALL").toSeq.sortBy(_._1).map { case (_, a) =>
+      functions.QuantileState.deserialize(functions.QuantileState.serialize(
+        a.foldLeft(functions.QuantileState.zero)(functions.QuantileState.reduce).compress()))
+    }
+    val revMerged = perSrc.reverse.reduceLeft(functions.QuantileState.merge)
+    val all = bySrc("ALL")
+    qs.foreach { q =>
+      val est = functions.QuantileState.quantile(revMerged, q)
+      val rank = all.count(_ <= est) / all.length.toDouble
+      assert(rank >= q - tol - 1.5 / all.length &&
+        all.count(_ < est) / all.length.toDouble <= q + tol + 1.5 / all.length,
+        s"reverse-merged p$q: est $est rank $rank outside [$q ± $tol]")
+    }
+  }
+
+  test("bpe_train word-type cap: fixture merges unchanged; truncation engages on a long tail") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    // the fixture's vocabulary sits far under bpeWordTypeCap, so the
+    // capped table IS the full table and the merges are bit-identical
+    val docsDf = schema.Tables(spark, sf, "documents")
+    val capped = ext.Text.bpeWordTable(docsDf)
+    val uncapped = ext.Text.bpeWordTable(docsDf, cap = Int.MaxValue)
+    assert(capped == uncapped, "fixture word table must sit under the cap")
+    assert(ext.Text.bpeMerges(capped, 20) == ext.Text.bpeMerges(uncapped, 20))
+    // synthetic long-tail corpus: 3 head types dominating token mass plus
+    // a 50-type hapax tail — a cap of 3 keeps exactly the head (count
+    // DESC, word tiebreak) and the merge loop sees only head pairs
+    import spark.implicits._
+    val tail = (1 to 50).map(i => s"zq$i")
+    val corpus = (Seq.fill(40)("aaaa") ++ Seq.fill(30)("bbbb") ++
+      Seq.fill(20)("abab") ++ tail).mkString(" ")
+    val longTail = Seq(corpus).toDF("text")
+    val head3 = ext.Text.bpeWordTable(longTail, cap = 3)
+    assert(head3 == Seq(("aaaa", 40L), ("bbbb", 30L), ("abab", 20L)),
+      s"cap must keep the top types by count: $head3")
+    // the capped merge table is exactly the merges of the head table —
+    // the hapax tail contributes no pair statistics
+    assert(ext.Text.bpeMerges(head3, 5) ==
+      ext.Text.bpeMerges(ext.Text.bpeWordTable(longTail, cap = Int.MaxValue).take(3), 5))
+  }
+
   test("bpe_apply: corpus encoding matches driver-side bpeEncode; counts bracket correctly") {
     import TestSpark._
     import org.apache.spark.sql.functions._
