@@ -54,21 +54,29 @@ def main() -> int:
     rows = []
     for q, (bw, bc) in b_wc.items():
         if q not in n_q:
-            rows.append((q, bw, None, None, "MISSING"))
+            rows.append((q, bw, None, None, None, "MISSING"))
             continue
         w, ratio = n_q[q], (n_q[q] / bw if bw > 0 else float("inf"))
+        # per-query CPU ratio (r15 ADVICE): CPU is the stable signal the
+        # protocol trusts, so it leads the triage sort; walls stay
+        # report-only with the isolate-before-believing rule
+        c = n_c.get(q)
+        cr = (c / bc) if (c is not None and bc > 0) else None
         verdict = ("fixed-cost" if w < FLOOR_SEC
+                   else "CPU-FLAG (isolate before believing)"
+                   if (cr or 0) > WALL_REPORT_RATIO and c >= FLOOR_SEC
                    else "WALL-FLAG (isolate before believing)"
                    if ratio > WALL_REPORT_RATIO else "ok")
-        rows.append((q, bw, w, ratio, verdict))
+        rows.append((q, bw, w, ratio, cr, verdict))
     new_qs = sorted(set(n_q) - set(b_wc))
-    rows.sort(key=lambda r: -(r[3] or 0))
+    rows.sort(key=lambda r: -max(r[3] or 0, r[4] or 0))
     print(f"== bench vs baseline @ {base.get('head', '?')} (sf {base.get('sf')}) ==")
-    print(f"{'query':34s} {'base_w':>8s} {'now_w':>8s} {'ratio':>7s}  verdict")
-    for q, bw, w, ratio, verdict in rows[:20]:
+    print(f"{'query':34s} {'base_w':>8s} {'now_w':>8s} {'w_rat':>7s} {'c_rat':>7s}  verdict")
+    for q, bw, w, ratio, cr, verdict in rows[:20]:
         ws = "-" if w is None else f"{w:8.3f}"
         rs = "-" if ratio is None else f"{ratio:7.2f}"
-        print(f"{q:34s} {bw:8.3f} {ws:>8s} {rs:>7s}  {verdict}")
+        cs = "-" if cr is None else f"{cr:7.2f}"
+        print(f"{q:34s} {bw:8.3f} {ws:>8s} {rs:>7s} {cs:>7s}  {verdict}")
     if len(rows) > 20:
         print(f"  ... {len(rows) - 20} more (sorted by ratio; all reported rows above)")
     if new_qs:
