@@ -1009,11 +1009,86 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               Seq((math.max(k * w - w / 2, 0.0), k * w + w / 2)))))
         }
       })
+    // `GROUP BY window(ts, '1 hour')` — the analyzer's TimeWindowing rule
+    // lowers the TUMBLING window fn to a named_struct(start, end) Project
+    // alias whose arithmetic floors ts to the slide boundary in
+    // MICROSECONDS. Rather than pattern-matching the lowered tree (deeply
+    // version-specific), the recognizer VERIFIES the semantics
+    // numerically: both struct legs are deterministic scalar functions of
+    // the one timestamp attribute, so they evaluate at probe points —
+    // slide boundaries, boundary−1µs, interior and negative offsets — and
+    // must equal the canonical floor form exactly at every probe. Sliding
+    // windows lower to an Expand (never this Project shape) and fall
+    // through untouched; any probe mismatch (a future lowering change, a
+    // hand-written lookalike struct) falls back. Buckets are step-aligned
+    // half-open intervals over the secs-modeled column, keyed by the
+    // (start, end) struct itself.
+    def tumblingWindow(
+        cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct): Option[Gen] = {
+      import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+      val names = cns.nameExprs.map {
+        case Literal(s, _) => String.valueOf(s)
+        case _             => return None
+      }
+      if (names != Seq("start", "end")) return None
+      val (sE, eE) = cns.valExprs match {
+        case Seq(s, e) => (s, e)
+        case _         => return None
+      }
+      val a = cns.references.toSeq match {
+        case Seq(one: AttributeReference)
+            if one.dataType == TimestampType || one.dataType == TimestampNTZType =>
+          one
+        case _ => return None
+      }
+      def evalAt(expr: Expression, micros: Long): Option[Long] =
+        Try(expr.transform {
+          case ar: AttributeReference if ar.exprId == a.exprId =>
+            Literal(micros, ar.dataType)
+        }.eval(null)).toOption.collect { case l: java.lang.Long => l.longValue }
+      for {
+        s0 <- evalAt(sE, 0L)
+        e0 <- evalAt(eE, 0L)
+        slide = e0 - s0
+        // whole-second slides only: the model encodes epoch SECONDS, and a
+        // fractional-second step would regroup within FP noise
+        if slide > 0 && slide % 1000000L == 0
+        st = java.lang.Math.floorMod(s0, slide)
+        probes = Seq(0L, 1L, slide - 1, slide, slide + 1,
+          7L * slide + slide / 2, -1L, -slide - 1, 864123456789L)
+        if probes.forall { v =>
+          val expS = java.lang.Math.floorDiv(v - st, slide) * slide + st
+          evalAt(sE, v).contains(expS) && evalAt(eE, v).contains(expS + slide)
+        }
+      } yield {
+        val stepSec = slide / 1e6
+        val stSec = st / 1e6
+        def keyTs(m: Long): Any =
+          if (a.dataType == TimestampNTZType)
+            java.time.LocalDateTime.ofEpochSecond(
+              java.lang.Math.floorDiv(m, 1000000L),
+              (java.lang.Math.floorMod(m, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+          else java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            java.lang.Math.floorDiv(m, 1000000L),
+            java.lang.Math.floorMod(m, 1000000L) * 1000L))
+        Gen(a, "secs", (lo, hi) => {
+          val bLo = math.floor((lo - stSec) / stepSec).toLong
+          val bHi = math.floor((hi - stSec) / stepSec).toLong
+          if (bHi - bLo + 1 > 400) None
+          else Some((bLo to bHi).map { b =>
+            val sM = st + b * slide
+            (org.apache.spark.sql.Row(keyTs(sM), keyTs(sM + slide)): Any,
+              Seq((stSec + b * stepSec, stSec + (b + 1) * stepSec)))
+          })
+        })
+      }
+    }
     // alternatives per expression (r16): day-granular calendar builders
     // carry a "days" AND a "secs" variant (one per encoding the source
-    // column might model at); sub-day truncations are secs-only and
-    // arithmetic bins num-only. Candidate resolution picks the variant
-    // whose kind matches the column's modeled kind.
+    // column might model at); sub-day truncations and tumbling windows are
+    // secs-only and arithmetic bins num-only. Candidate resolution picks
+    // the variant whose kind matches the column's modeled kind.
     def gens(e: Expression): Seq[Gen] = e match {
       case Year(DateAttr(a)) =>
         linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear)
@@ -1060,6 +1135,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // under the same 400-bucket/predicate-narrowed-span economics
       case Cast(a: AttributeReference, DateType, _, _) =>
         linear(a, identity, _.plusDays(1), d => java.sql.Date.valueOf(d))
+      // tumbling `window(ts, '...')` struct (r16, secs-only) — verified
+      // numerically by tumblingWindow above
+      case cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+        tumblingWindow(cns).toSeq
       // ---- arithmetic bins over num-modeled columns (r16) ----
       case Floor(Divide(NumAttr(a), den, _)) => litNum(den).map(floorBins(a, _)).toSeq
       case Floor(NumAttr(a))                 => Seq(floorBins(a, 1.0))
@@ -1186,15 +1265,30 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               dims = dimsSplit.collect { case Right(tc) => tc }
               catDimAttrs = dimAttrs.zip(dimsSplit).collect { case (a, Right(_)) => a }
               // a key output is EXACTLY a bare calendar/numeric grouping
-              // attribute (possibly re-aliased) — an expression OVER it
-              // (`year(d)+1`) is neither a key nor an aggregate the
+              // attribute (possibly re-aliased), or — for struct-keyed
+              // tumbling windows (r16) — a FIELD of it (`window.start`,
+              // which the optimizer collapses into the Aggregate as a
+              // GetStructField over the key); any OTHER expression over a
+              // key (`year(d)+1`) is neither a key nor an aggregate the
               // recognizer knows, so it must fail the whole rewrite rather
               // than silently emit the raw key
               keyIds = calIds ++ numDims.map(_._1.exprId)
-              keyIdxOf = (ne: NamedExpression) => ne match {
-                case a: AttributeReference           => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
-                case Alias(a: AttributeReference, _) => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
-                case _                               => None
+              keyIdxOf = (ne: NamedExpression) => {
+                def idx(id: ExprId): Option[(Int, Any => Any)] =
+                  keyIds.indexOf(id) match {
+                    case -1 => None
+                    case i  => Some((i, identity[Any] _))
+                  }
+                ne match {
+                  case a: AttributeReference           => idx(a.exprId)
+                  case Alias(a: AttributeReference, _) => idx(a.exprId)
+                  case Alias(org.apache.spark.sql.catalyst.expressions
+                      .GetStructField(a: AttributeReference, ord, _), _) =>
+                    idx(a.exprId).map { case (i, _) =>
+                      (i, (v: Any) => v.asInstanceOf[org.apache.spark.sql.Row].get(ord))
+                    }
+                  case _ => None
+                }
               }
               _ <- D("keyguard")(if (agg.aggregateExpressions.forall(ne =>
                 keyIdxOf(ne).isDefined ||
@@ -1325,7 +1419,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                 agg.aggregateExpressions, keyIdxOf))
             } yield {
               val keyNames = keyIds.indices.map(i =>
-                agg.aggregateExpressions.find(ne => keyIdxOf(ne).contains(i))
+                agg.aggregateExpressions.find(ne => keyIdxOf(ne).exists(_._1 == i))
                   .map(_.name).getOrElse(s"_key$i"))
               annotateCalendar(sh, tuplesNum, dims, keyNames ++ catDimAttrs.map(_.name),
                 aggCols.zip(others.map(_.name)))
@@ -1354,7 +1448,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       tuples: Seq[(Seq[Any], Seq[(String, Atom)])],
       dims: Seq[(String, String)], aggCols: Seq[OutCol],
       aggExprs: Seq[NamedExpression],
-      keyIdxOf: NamedExpression => Option[Int]): Option[Seq[Seq[Any]]] = {
+      keyIdxOf: NamedExpression => Option[(Int, Any => Any)]): Option[Seq[Seq[Any]]] = {
     val perBucket: Seq[Option[Seq[Seq[Any]]]] = tuples.map { case (ks, extra) =>
       val shB = sh.copy(atoms = mergeAtoms(sh.atoms, extra))
       val bucketRows: Option[Seq[(Seq[String], Map[Int, Any])]] =
@@ -1371,7 +1465,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         var j = -1
         aggExprs.map { ne =>
           keyIdxOf(ne) match {
-            case Some(ki) => ks(ki)
+            case Some((ki, f)) => f(ks(ki))
             case None =>
               j += 1
               aggCols(j) match {
@@ -1438,8 +1532,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // (`sum(q) ... GROUP BY q`) falls back rather than guess
       keyIds = numKeys.map(_._1.exprId)
       keyIdxOf = (ne: NamedExpression) => ne match {
-        case a: AttributeReference           => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
-        case Alias(a: AttributeReference, _) => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some(i) }
+        case a: AttributeReference           => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some((i, identity[Any] _)) }
+        case Alias(a: AttributeReference, _) => keyIds.indexOf(a.exprId) match { case -1 => None; case i => Some((i, identity[Any] _)) }
         case _                               => None
       }
       if agg.aggregateExpressions.forall(ne =>
@@ -1484,7 +1578,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // per-bucket estimation through the shape dispatch — the calendar
       // fold's annotation channel serves the histogram shape unchanged
       val keyNames = keyIds.indices.map(i =>
-        agg.aggregateExpressions.find(ne => keyIdxOf(ne).contains(i))
+        agg.aggregateExpressions.find(ne => keyIdxOf(ne).exists(_._1 == i))
           .map(_.name).getOrElse(numKeys(i)._2._2))
       annotateCalendar(sh, tuples, dims, keyNames ++ catDims.map(_._1.name),
         aggCols.zip(others.map(_.name)))
@@ -3419,6 +3513,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // Catalyst converter as external java.sql values
       case (ts: java.sql.Timestamp, _: org.apache.spark.sql.types.TimestampType) => ts
       case (d: java.sql.Date, _: org.apache.spark.sql.types.DateType) => d
+      // sub-day truncation keys over an NTZ-read timestamp column
+      case (dt: java.time.LocalDateTime, _: org.apache.spark.sql.types.TimestampNTZType) => dt
+      // tumbling-window (start, end) struct keys — field values convert
+      // through the Catalyst struct converter
+      case (r: org.apache.spark.sql.Row, _: org.apache.spark.sql.types.StructType) => r
       // folded MIN/MAX over a days-modeled column: realized epoch days
       case (d: Double, _: org.apache.spark.sql.types.DateType) =>
         java.time.LocalDate.ofEpochDay(math.round(d))

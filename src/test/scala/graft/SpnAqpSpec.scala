@@ -2074,12 +2074,45 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(dayEst(k), v) <= 2.0 || math.abs(dayEst(k) - v) <= 5.0,
         s"day $k: ${dayEst(k)} vs $v")
     }
+    // the literal tumbling-window SQL folds too: `GROUP BY window(ts,
+    // '1 hour')` lowers to the named_struct(start, end) floor arithmetic,
+    // recognized by numeric probe verification and keyed by the struct
+    val wSql = """SELECT window(ts, '1 hour') AS w, count(*) AS n, avg(value) AS av
+                  FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+                  GROUP BY window(ts, '1 hour')""".stripMargin
+    val wExact = session(aqp = false).sql(wSql).collect()
+      .map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    val wDf = session(aqp = true).sql(wSql)
+    assert(isRewritten(wDf), s"tumbling window must fold:\n${wDf.queryExecution.optimizedPlan}")
+    val wEst = wDf.collect().map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    (wEst.keySet diff wExact.keySet).foreach { k =>
+      assert(wEst(k) <= 5.0, s"phantom window $k carries real mass: ${wEst(k)}")
+    }
+    (wExact.keySet diff wEst.keySet).foreach { k =>
+      assert(wExact(k) <= 5.0, s"dropped window $k has real rows: ${wExact(k)}")
+    }
+    (wEst.keySet intersect wExact.keySet).foreach { k =>
+      assert(qerr(wEst(k), wExact(k)) <= 3.0 || math.abs(wEst(k) - wExact(k)) <= 5.0,
+        s"window $k: ${wEst(k)} vs ${wExact(k)}")
+    }
+    // window-struct projections resolve ABOVE the fold (w.start etc.)
+    val wsDf = session(aqp = true).sql(
+      """SELECT w.start AS s, n FROM (
+           SELECT window(ts, '6 hours') AS w, count(*) AS n
+           FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+           GROUP BY window(ts, '6 hours')) ORDER BY s""".stripMargin)
+    assert(isRewritten(wsDf), s"window.start projection must resolve over the fold:\n${wsDf.queryExecution.optimizedPlan}")
+    assert(wsDf.collect().length >= 20)
     // fallbacks: the FULL 30-day hourly span exceeds the 400-bucket cap;
     // hourly truncation of a DAYS-modeled column has no matching variant
     val fullSpan = session(aqp = true).sql(
       """SELECT date_trunc('hour', ts) AS h, count(*) AS n
          FROM events GROUP BY date_trunc('hour', ts)""".stripMargin)
     assert(!isRewritten(fullSpan), "a 720-bucket hourly series must fall back")
+    val fullWin = session(aqp = true).sql(
+      """SELECT window(ts, '1 hour') AS w, count(*) AS n
+         FROM events GROUP BY window(ts, '1 hour')""".stripMargin)
+    assert(!isRewritten(fullWin), "a 720-bucket tumbling series must fall back")
     val daysCol = session(aqp = true).sql(
       """SELECT date_trunc('hour', o_orderdate) AS h, count(*) AS n
          FROM orders WHERE o_orderdate < DATE'1992-02-01'
