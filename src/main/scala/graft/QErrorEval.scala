@@ -156,7 +156,9 @@ object QErrorEval {
     */
   def computeTruth(spark: SparkSession, sfDir: String, qs: Seq[(Int, String)],
       cache: Boolean = true): Map[Int, Double] = {
-    Seq("lineitem", "orders", "customer", "part", "supplier").foreach { t =>
+    // events rides along for the time-of-day workloads (r16 late);
+    // schema.Tables normalizes its ts NANOS/MICROS parquet variants
+    Seq("lineitem", "orders", "customer", "part", "supplier", "events").foreach { t =>
       (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
         .createOrReplaceTempView(t)
     }
@@ -204,7 +206,9 @@ object QErrorEval {
   def computeGroupTruth(
       spark: SparkSession, sfDir: String, qs: Seq[(Int, String)],
       cache: Boolean = true): Map[Int, Seq[(Seq[String], Double)]] = {
-    Seq("lineitem", "orders", "customer", "part", "supplier").foreach { t =>
+    // events rides along for the time-of-day workloads (r16 late);
+    // schema.Tables normalizes its ts NANOS/MICROS parquet variants
+    Seq("lineitem", "orders", "customer", "part", "supplier", "events").foreach { t =>
       (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
         .createOrReplaceTempView(t)
     }

@@ -160,6 +160,31 @@ object SpnAqpRule {
     Option(lastFold.get(session)).flatMap(_.get(tagOf(session)))
 }
 
+/** Internal SURROGATE grouping expression for the sliding-window fold
+  * (r16): [[SpnAqpRule.rewriteSliding]] verifies the analyzer's
+  * TimeWindowing Expand lowering NUMERICALLY (probe evaluation, like the
+  * tumbling recognizer) and re-expresses the plan as
+  * `Aggregate → Project(Alias(thisMarker))` so the calendar fold's whole
+  * pipeline — dimension columns, OR composition, null-mass gates,
+  * annotation — serves sliding windows unchanged. Never executed and never
+  * visible outside the rewrite: on any fold failure the rule falls back to
+  * the ORIGINAL aggregate, so the marker cannot leak into a physical plan.
+  * Sliding buckets OVERLAP (each row belongs to size/slide windows) —
+  * that is exact, not an approximation artifact: each bucket's aggregate
+  * is an independent range query over [start, start+size).
+  */
+private[plans] final case class SlidingWindowMark(
+    ts: AttributeReference, slideSec: Double, sizeSec: Double, stSec: Double,
+    keyOf: Double => Any, structType: org.apache.spark.sql.types.StructType)
+  extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(ts)
+  override def dataType: DataType = structType
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(ts = newChildren.head.asInstanceOf[AttributeReference])
+}
+
 final case class SpnAqpRule(session: SparkSession, sfDir: String)
     extends Rule[LogicalPlan] {
 
@@ -178,10 +203,23 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // evaluates it per Expand projection and folds only the surviving
     // grouping sets — the "drop the total row" idiom stays zero-scan.
     case agg: Aggregate => Try(agg.child match {
+      // an Expand under the Aggregate is EITHER the grouping-sets lowering
+      // (spark_grouping_id slot — rewriteSets returns None without one) or
+      // the sliding-window lowering (r16, rewriteSliding); the
+      // sliding shape may also carry a containment Filter and a pruning
+      // pure-attribute Project between the Aggregate and the Expand
       case ex: org.apache.spark.sql.catalyst.plans.logical.Expand =>
         rewriteSets(agg, ex, setFilter = None)
+          .orElse(rewriteSliding(agg, None, ex))
       case Filter(cond, ex: org.apache.spark.sql.catalyst.plans.logical.Expand) =>
         rewriteSets(agg, ex, setFilter = Some(cond))
+          .orElse(rewriteSliding(agg, Some(cond), ex))
+      case Project(pl, Filter(cond, ex: org.apache.spark.sql.catalyst.plans.logical.Expand))
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        rewriteSliding(agg, Some(cond), ex)
+      case Project(pl, ex: org.apache.spark.sql.catalyst.plans.logical.Expand)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        rewriteSliding(agg, None, ex)
       case _ =>
         rewrite(agg).orElse {
           val inlined = inlineProjectAliases(agg)
@@ -949,6 +987,41 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             Seq((b * stepSec, (b + 1) * stepSec)))
         })
       }))
+    // TIME-OF-DAY cyclic keys over a secs-modeled column (r16 late —
+    // `GROUP BY hour(ts)` / `minute(ts)`, the daily-cycle dashboard):
+    // key k is the union of its step slice in EVERY period of the domain
+    // ([p·period + k·step, p·period + (k+1)·step) — UTC hour/minute
+    // boundaries ARE epoch-step-aligned), disjoint by construction; the
+    // period cap bounds the per-key interval lists like dowGen's day cap
+    def cyclicSec(a: AttributeReference, nKeys: Int, stepSec: Double): Seq[Gen] = {
+      val period = nKeys * stepSec
+      Seq(Gen(a, "secs", (lo, hi) => {
+        val pLo = math.floor(lo / period).toLong
+        val pHi = math.floor(hi / period).toLong
+        if (pHi - pLo + 1 > 400) None
+        else Some((0 until nKeys).map { k =>
+          ((k: java.lang.Integer): Any, (pLo to pHi).map(p =>
+            (p * period + k * stepSec, p * period + (k + 1) * stepSec)))
+        })
+      }))
+    }
+    // day-of-month keys 1..31: one single-day interval per domain month
+    // that HAS that day (Feb emits no 30/31 interval; a key with no
+    // interval anywhere in the domain emits no bucket — the same
+    // empty-bucket convention as empty calendar years)
+    def domGen(a: AttributeReference): Seq[Gen] =
+      both(a) { (lo, hi) =>
+        val months = Iterator.iterate(lo.withDayOfMonth(1))(_.plusMonths(1))
+          .takeWhile(!_.isAfter(hi)).take(401).toSeq
+        if (months.length > 400) None
+        else Some((1 to 31).map { k =>
+          ((k: java.lang.Integer): Any, months.collect {
+            case m if k <= m.lengthOfMonth =>
+              val d = m.withDayOfMonth(k)
+              (d.toEpochDay.toDouble, d.toEpochDay + 1.0)
+          })
+        }.filter(_._2.nonEmpty))
+      }
     // ---- arithmetic-bin generators over num-modeled columns (r16): the
     // binned-histogram dashboard shape (`GROUP BY floor(x/100)` /
     // `width_bucket(x, lo, hi, n)` / `round(x, -k)`) that serves exactly
@@ -1090,6 +1163,25 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // secs-only and arithmetic bins num-only. Candidate resolution picks
     // the variant whose kind matches the column's modeled kind.
     def gens(e: Expression): Seq[Gen] = e match {
+      // sliding-window surrogate (r16): buckets are every slide-aligned
+      // window start whose [s, s+size) span meets the predicate-narrowed
+      // domain. Buckets OVERLAP by design (each row belongs to size/slide
+      // windows); each is an independent range query, so the shared fold
+      // machinery — which never assumes disjoint buckets — stays exact.
+      // An edge bucket whose span only touches the domain boundary
+      // estimates ~zero mass and folds out through the per-tuple row gate,
+      // matching SQL's no-rows-no-group convention.
+      case sw: SlidingWindowMark =>
+        Seq(Gen(sw.ts, "secs", (lo, hi) => {
+          val kLo = math.floor((lo - sw.sizeSec - sw.stSec) / sw.slideSec).toLong + 1
+          val kHi = math.floor((hi - sw.stSec) / sw.slideSec).toLong
+          if (kHi - kLo + 1 > 400) None
+          else Some((kLo to kHi).map { k =>
+            val sSec = sw.stSec + k * sw.slideSec
+            (org.apache.spark.sql.Row(sw.keyOf(sSec), sw.keyOf(sSec + sw.sizeSec)): Any,
+              Seq((sSec, sSec + sw.sizeSec)))
+          })
+        }))
       case Year(DateAttr(a)) =>
         linear(a, d => LocalDate.of(d.getYear, 1, 1), _.plusYears(1), _.getYear)
       case Month(DateAttr(a))   => cyclic(a, 12, identity, 1)
@@ -1104,6 +1196,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // weekday(): 0 = Monday .. 6 = Sunday
       case org.apache.spark.sql.catalyst.expressions.WeekDay(DateAttr(a)) =>
         dowGen(a, 0 to 6, k => java.time.DayOfWeek.of(k + 1))
+      // hour-of-day / minute-of-hour over a secs-modeled column (the UTC
+      // session gate above makes the epoch-aligned slices exact); a
+      // days-modeled column has no "secs" variant and falls back by kind
+      case org.apache.spark.sql.catalyst.expressions.Hour(DateAttr(a), _) =>
+        cyclicSec(a, 24, 3600.0)
+      case org.apache.spark.sql.catalyst.expressions.Minute(DateAttr(a), _) =>
+        cyclicSec(a, 60, 60.0)
+      case org.apache.spark.sql.catalyst.expressions.DayOfMonth(DateAttr(a)) =>
+        domGen(a)
       case TruncTimestamp(Literal(f: org.apache.spark.unsafe.types.UTF8String, _),
           DateAttr(a), _) =>
         val key = (d: LocalDate) =>
@@ -1153,6 +1254,43 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case (NumAttr(a), Literal(s: Int, IntegerType)) if s <= 0 && s >= -15 =>
             Seq(roundBins(a, math.pow(10.0, -s.toDouble)))
           case _ => Nil
+        }
+      // a deterministic scalar expression OVER one foldable bucket
+      // expression (r16 late): `floor(x/w)*w` (the bin-lo spelling),
+      // `floor(x/w)*w + w/2` (bin centers), `cast(year(d) AS string)`,
+      // `concat('h', hour(ts))` — locate the MAXIMAL strict
+      // subexpressions the recognizer folds; exactly one distinct such
+      // subexpression may appear (every occurrence substitutes) and the
+      // outer tree may reference no other input. Each bucket key then
+      // evaluates through the outer tree driver-side, and EQUAL evaluated
+      // keys MERGE their buckets (SQL groups by the computed value — a
+      // non-injective outer, `floor(x/w) >= 2` or a saturating cast, must
+      // not emit duplicate key rows). An eval failure on any key (ANSI
+      // overflow — the exact plane would throw there too) falls back.
+      case outer if outer.deterministic && outer.children.nonEmpty =>
+        def maximal(x: Expression): Seq[Expression] =
+          if (gens(x).nonEmpty) Seq(x) else x.children.flatMap(maximal)
+        val subs = outer.children.flatMap(maximal)
+        if (subs.isEmpty || subs.map(_.canonicalized).distinct.length != 1) Nil
+        else {
+          val sub = subs.head
+          if (!outer.references.subsetOf(sub.references)) Nil
+          else gens(sub).map { g =>
+            Gen(g.attr, g.kind, (lo, hi) => g.buckets(lo, hi).flatMap { bs =>
+              val conv = CatalystTypeConverters.createToScalaConverter(outer.dataType)
+              val keyed = bs.map { case (k, ivs) =>
+                val subst = outer.transform {
+                  case x if x.canonicalized == sub.canonicalized =>
+                    Literal.create(k, sub.dataType)
+                }
+                Try(conv(subst.eval(null))).toOption.map(v => (v, ivs))
+              }
+              if (keyed.exists(_.isEmpty)) None
+              else Some(keyed.flatten.groupBy(_._1).map { case (k, grp) =>
+                (k, grp.flatMap(_._2).sortBy(_._1))
+              }.toSeq)
+            })
+          }
         }
       case _ => Nil
     }
@@ -1429,6 +1567,155 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
       case _ => None
     }
+  }
+
+  /** Fold `GROUP BY window(ts, size, slide)` — the SLIDING-window
+    * dashboard shape (r16). The analyzer's TimeWindowing rule lowers a
+    * sliding window to an Expand emitting ceil(size/slide) candidate
+    * window structs per row (one per overlap), plus — when size is not a
+    * multiple of slide — a containment Filter (`ts >= window.start AND
+    * ts < window.end`) dropping phantom candidates. Rather than
+    * pattern-matching the lowered arithmetic (deeply version-specific),
+    * the recognizer VERIFIES the semantics numerically, exactly like the
+    * tumbling recognizer: every projection's struct legs are
+    * deterministic scalar functions of the one timestamp attribute, so
+    * they evaluate at probe points, and the containment-filtered
+    * candidate set must equal the canonical set {(s, s+size) :
+    * s ≡ st (mod slide), s ≤ t < s+size} at every probe. On success the
+    * plan re-expresses as `Aggregate → Project(Alias(SlidingWindowMark))`
+    * over the Expand's child and folds through [[rewriteCalendar]]'s
+    * pipeline — dimension columns, ORs, null gates and annotation ride
+    * along unchanged. Any mismatch (an extra filter conjunct, a
+    * non-whole-second slide, a future lowering change) returns None and
+    * the query runs exact.
+    */
+  private def rewriteSliding(
+      agg: Aggregate,
+      cond: Option[Expression],
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, GetStructField, GreaterThanOrEqual, IsNotNull}
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+    val n = ex.projections.length
+    if (n < 2) return None
+    val width = ex.output.length
+    if (ex.projections.exists(_.length != width)) return None
+    // exactly ONE slot varies across projections — the window struct;
+    // every other slot must be the Expand output attribute itself passed
+    // through unchanged (the TimeWindowing lowering's shape)
+    val varying = (0 until width).filter { j =>
+      ex.projections.map(_(j).canonicalized).distinct.length > 1
+    }
+    val w = varying match {
+      case Seq(one) => one
+      case _        => return None
+    }
+    if ((0 until width).exists(j => j != w &&
+        !ex.projections.forall(_(j) == ex.output(j)))) return None
+    val wAttr = ex.output(w)
+    val structType = wAttr.dataType match {
+      case st: StructType if st.length == 2 &&
+          st.fieldNames.sameElements(Array("start", "end")) => st
+      case _ => return None
+    }
+    // the one timestamp attribute every candidate struct computes from
+    val tsAttr = ex.projections.flatMap(_(w).references).distinct match {
+      case Seq(one: AttributeReference)
+          if (one.dataType == TimestampType || one.dataType == TimestampNTZType) &&
+            ex.child.outputSet.contains(one) => one
+      case _ => return None
+    }
+    def legsOf(e: Expression): Option[(Expression, Expression)] = e match {
+      case Alias(c, _) => legsOf(c)
+      case cns: CreateNamedStruct =>
+        val names = cns.nameExprs.map {
+          case Literal(s, _) => String.valueOf(s)
+          case _             => return None
+        }
+        if (names == Seq("start", "end")) Some((cns.valExprs(0), cns.valExprs(1)))
+        else None
+      case _ => None
+    }
+    val legs = ex.projections.map(p => legsOf(p(w)).getOrElse(return None))
+    def evalAt(expr: Expression, micros: Long): Option[Long] =
+      Try(expr.transform {
+        case ar: AttributeReference if ar.exprId == tsAttr.exprId =>
+          Literal(micros, ar.dataType)
+      }.eval(null)).toOption.collect { case l: java.lang.Long => l.longValue }
+    def pairsAt(micros: Long): Option[Seq[(Long, Long)]] = {
+      val ps = legs.map { case (sE, eE) =>
+        for { s <- evalAt(sE, micros); e <- evalAt(eE, micros) } yield (s, e)
+      }
+      if (ps.forall(_.isDefined)) Some(ps.flatten) else None
+    }
+    // the interposed Filter may carry ONLY the lowering's own conjuncts:
+    // isnotnull over the window attr (or its fields) and the two
+    // containment comparisons; anything else — a user predicate the
+    // optimizer parked here — bails the rewrite rather than being guessed
+    def isWField(e: Expression, ord: Int): Boolean = e match {
+      case GetStructField(a: AttributeReference, o, _) =>
+        a.exprId == wAttr.exprId && o == ord
+      case _ => false
+    }
+    def isTs(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == tsAttr.exprId
+      case _                     => false
+    }
+    var geStart = false
+    var ltEnd = false
+    cond.toSeq.flatMap(splitConj).foreach {
+      case IsNotNull(a: AttributeReference) if a.exprId == wAttr.exprId =>
+      case IsNotNull(f) if isWField(f, 0) || isWField(f, 1)             =>
+      case GreaterThanOrEqual(t, f) if isTs(t) && isWField(f, 0) => geStart = true
+      case LessThan(t, f) if isTs(t) && isWField(f, 1)           => ltEnd = true
+      case _ => return None
+    }
+    val containment = geStart && ltEnd
+    if (geStart != ltEnd) return None // half a containment filter: not the lowering
+    // derive (slide, size, st) at one probe, then VERIFY at many
+    val t0 = 864123456789L
+    val pairs0 = pairsAt(t0).getOrElse(return None)
+    val sizes = pairs0.map(p => p._2 - p._1).distinct
+    val size = sizes match {
+      case Seq(one) if one > 0 && one % 1000000L == 0 => one
+      case _ => return None
+    }
+    val starts0 = pairs0.map(_._1).sorted
+    val gaps = starts0.sliding(2).map(p => p(1) - p(0)).toSeq.distinct
+    val slide = gaps match {
+      case Seq(one) if one > 0 && one % 1000000L == 0 => one
+      case _ => return None
+    }
+    // n candidates must be exactly the overlap count: (n-1)·slide < size
+    if ((n - 1) * slide >= size || n.toLong * slide < size) return None
+    val st = java.lang.Math.floorMod(starts0.head, slide)
+    if (st % 1000000L != 0) return None
+    val probes = Seq(0L, 1L, slide - 1, slide, slide + 1, size - 1, size,
+      size + 1, size + slide - 1, 7L * slide + slide / 2, -1L, -slide - 1,
+      -size - 1, t0, t0 + slide / 3)
+    val ok = probes.forall { t =>
+      pairsAt(t).exists { raw =>
+        val valid = if (containment) raw.filter(p => p._1 <= t && t < p._2) else raw
+        val kMax = java.lang.Math.floorDiv(t - st, slide)
+        val kMin = java.lang.Math.floorDiv(t - size - st, slide) + 1
+        val canonical = (kMin to kMax).map(k => (st + k * slide, st + k * slide + size))
+        valid.toSet == canonical.toSet && valid.length == canonical.length
+      }
+    }
+    if (!ok) return None
+    val keyOf: Double => Any =
+      if (tsAttr.dataType == TimestampNTZType)
+        (s: Double) => java.time.LocalDateTime.ofEpochSecond(
+          math.round(s), 0, java.time.ZoneOffset.UTC)
+      else
+        (s: Double) => java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(math.round(s)))
+    val mark = SlidingWindowMark(
+      tsAttr, slide / 1e6, size / 1e6, st / 1e6, keyOf, structType)
+    // the surrogate: pass-through slots keep their child exprIds, so the
+    // aggregate's own references resolve; the window key re-binds to the
+    // marker alias under ITS exprId
+    val pl = Alias(mark, wAttr.name)(exprId = wAttr.exprId) +: ex.child.output
+    rewriteCalendar(agg.copy(child = Project(pl, ex.child)))
   }
 
   /** Assemble fold rows for a sequence of BUCKET TUPLES (keys + extra
@@ -3518,6 +3805,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // tumbling-window (start, end) struct keys — field values convert
       // through the Catalyst struct converter
       case (r: org.apache.spark.sql.Row, _: org.apache.spark.sql.types.StructType) => r
+      // composed bucket keys (an expression over the bucket key, r16)
+      // evaluate to the outer expression's own external type
+      case (bd: java.math.BigDecimal, _: org.apache.spark.sql.types.DecimalType) => bd
+      case (b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+      case (f: Float, FloatType) => f
       // folded MIN/MAX over a days-modeled column: realized epoch days
       case (d: Double, _: org.apache.spark.sql.types.DateType) =>
         java.time.LocalDate.ofEpochDay(math.round(d))

@@ -987,6 +987,64 @@ object SpnPlanning {
           |FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
           |GROUP BY date_trunc('hour', ts)
           |ORDER BY h""".stripMargin)
+    },
+
+    // Round 16 late: the DAILY-CYCLE dashboard — `GROUP BY hour(ts)` over
+    // the secs-modeled stream table folds as cyclic hour-of-day buckets
+    // (key k = the union of its hour slice in every domain day, one
+    // multi-interval range atom per key; minute(ts) and dayofmonth(d)
+    // fold through the same builders). SpnAqpSpec pins hour/minute/
+    // dayofmonth and the kind-mismatch fallback against the exact plane;
+    // rows>0 is the Verify contract here.
+    Op.noOracle("aqp_transparent_hourofday") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events")
+      s2.sql(
+        """SELECT hour(ts) AS h, event_type, count(*) AS n
+          |FROM events GROUP BY hour(ts), event_type
+          |ORDER BY h, event_type""".stripMargin)
+    },
+
+    // Round 16 late: COMPOSED bucket keys — a deterministic scalar
+    // expression OVER one foldable bucket expression evaluates per bucket
+    // key driver-side (`floor(x/w)*w`, the bin-lo spelling every BI tool
+    // emits; equal evaluated keys MERGE their buckets, so non-injective
+    // outers stay correct). SpnAqpSpec pins bin-lo/cast-to-string/boolean-
+    // merge/year+1 and the two-column/two-subexpression fallbacks against
+    // the exact plane; rows>0 is the Verify contract here.
+    // Round 16 late: SLIDING windows — `GROUP BY window(ts, size, slide)`
+    // lowers to an Expand (one candidate struct per overlap, plus a
+    // containment Filter when size % slide != 0); rewriteSliding verifies
+    // the lowering numerically and folds overlapping [start, start+size)
+    // range buckets through the calendar pipeline. SpnAqpSpec pins
+    // divisible/non-divisible/dim-composed folds and the >400-bucket
+    // fallback against the exact plane; rows>0 is the Verify contract here.
+    Op.noOracle("aqp_transparent_sliding") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events")
+      s2.sql(
+        """SELECT window(ts, '2 hours', '1 hour') AS w, count(*) AS n,
+          |       avg(value) AS av
+          |FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+          |GROUP BY window(ts, '2 hours', '1 hour')
+          |ORDER BY w.start""".stripMargin)
+    },
+
+    Op.noOracle("aqp_transparent_binexpr") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT floor(l_extendedprice/1000)*1000 AS bin_lo, count(*) AS n,
+          |       avg(l_extendedprice) AS ax
+          |FROM lineitem WHERE l_quantity < 24
+          |GROUP BY floor(l_extendedprice/1000)*1000
+          |ORDER BY bin_lo""".stripMargin)
     }
   )
 }

@@ -141,7 +141,7 @@ object SqlEstimate {
   private def estimateCore(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
       spec: graft.schema.DatasetSpec): SqlResult = {
-    val preds = mergePreds(spns, q.preds)
+    val preds = mergePreds(spns, q.preds, spec)
 
     if (q.calGroup.nonEmpty) {
       // kind dispatch on the trailing dimension columns (r15 parity with
@@ -159,8 +159,8 @@ object SqlEstimate {
       // conjoins BOTH branches and answers through inclusion-exclusion —
       // exactly the Catalyst fold's shape-dispatch composition
       val orBase =
-        if (q.orPreds.isEmpty) None else Some(mergePreds(spns, q.orPreds))
-      return Groups(calendarGroups(spns, q, preds, orBase, numDims))
+        if (q.orPreds.isEmpty) None else Some(mergePreds(spns, q.orPreds, spec))
+      return Groups(calendarGroups(spns, q, preds, orBase, numDims, spec))
     }
 
     if (q.groupMode != GroupFlat) {
@@ -194,7 +194,7 @@ object SqlEstimate {
             s"GROUP BY $gcol: not a categorical model column")
         }
         val orBase =
-          if (q.orPreds.isEmpty) None else Some(mergePreds(spns, q.orPreds))
+          if (q.orPreds.isEmpty) None else Some(mergePreds(spns, q.orPreds, spec))
         return GroupSets(numericGroupingSets(spns, q, preds, orBase, sets, numCols))
       }
       q.groupBy.foreach { case (gt, gcol) =>
@@ -202,7 +202,7 @@ object SqlEstimate {
           s"GROUP BY $gcol: not a categorical model column")
       }
       if (q.orPreds.nonEmpty) {
-        val predsB = mergePreds(spns, q.orPreds)
+        val predsB = mergePreds(spns, q.orPreds, spec)
         val allCols = sets.flatten.distinct
         return GroupSets(sets.flatMap { set =>
           if (set.isEmpty)
@@ -248,7 +248,7 @@ object SqlEstimate {
       // every linear aggregate (COUNT/SUM/SUM(a*b)), AVG as their ratio,
       // and GROUP BY per enumerated group over the union of both branches'
       // group universes (round 9: estGroupByAggOr/estGroupByAvgOr).
-      val predsB = mergePreds(spns, q.orPreds)
+      val predsB = mergePreds(spns, q.orPreds, spec)
       if (q.groupBy.nonEmpty) {
         // a num-modeled group column routes to the histogram enumeration,
         // value pins composing with both branches (r15)
@@ -378,11 +378,42 @@ object SqlEstimate {
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
       preds: Map[(String, String), ColRange],
       orBase: Option[Map[(String, String), ColRange]],
-      numDims: Set[(String, String)]): Seq[(Seq[String], Ensemble.Estimate)] = {
+      numDims: Set[(String, String)],
+      spec: graft.schema.DatasetSpec): Seq[(Seq[String], Ensemble.Estimate)] = {
     import java.time.LocalDate
     def bucketsOf(fn: String, t: String, c: String): Seq[(String, ColRange)] = {
-      val dom = Ensemble.colDomain(spns, t, c).getOrElse(
+      val rawDom = Ensemble.colDomain(spns, t, c).getOrElse(
         throw new IllegalArgumentException(s"bucket GROUP BY: no realized domain for $t.$c"))
+      // the generator sees the PREDICATE-NARROWED realized domain (r16
+      // late, parity with the Catalyst fold): the query's own range
+      // conjunct on the bucket column bounds the span BEFORE the 400-cap
+      // checks, so `minute(ts) ... WHERE ts < <tomorrow>` folds even when
+      // the full domain would cap out. Under a disjunction the envelope
+      // is the UNION of both branches' (a branch without a range on the
+      // column allows the whole domain).
+      def envOf(p: Map[(String, String), ColRange]): (Double, Double) =
+        p.get((t, c)).flatMap {
+          case NumRange(lo, hi, _, _)          => Some((lo, hi))
+          case MultiRange(ivs) if ivs.nonEmpty => Some((ivs.head.lo, ivs.last.hi))
+          case NominalSet(cs) if cs.nonEmpty   => Some((cs.min, cs.max))
+          case _                               => None
+        }.getOrElse(rawDom)
+      val envA = envOf(preds)
+      val env = orBase.fold(envA) { b =>
+        val eB = envOf(b)
+        (math.min(envA._1, eB._1), math.max(envA._2, eB._2))
+      }
+      val dom = (math.max(env._1, rawDom._1), math.min(env._2, rawDom._2))
+      // calendar fns resolve the column's MODELED ENCODING (r16 late):
+      // epoch days ×1 or epoch seconds ×86 400 — the Catalyst fold's kind
+      // dispatch on the text plane. A calendar fn over a plain "num"
+      // column fails loudly (the exact plane's analyzer rejects it too).
+      lazy val units: Double =
+        spec.modeled.getOrElse(t, Nil).collectFirst {
+          case (c2, "days") if c2 == c => 1.0
+          case (c2, "secs") if c2 == c => 86400.0
+        }.getOrElse(throw new IllegalArgumentException(
+          s"GROUP BY $fn($c): not a date-encoded model column"))
       def halfOpen(lo: Double, hi: Double): ColRange =
         NumRange(lo, hi, loIncl = true, hiIncl = false)
       // arithmetic bins over a num-modeled column (r16, parity with the
@@ -432,27 +463,64 @@ object SqlEstimate {
             s"unsupported SQL: bucket grouping $other")
         }
       }
-      val lo = LocalDate.ofEpochDay(math.floor(dom._1).toLong)
-      val hi = LocalDate.ofEpochDay(math.floor(dom._2).toLong)
+      val lo = LocalDate.ofEpochDay(math.floor(dom._1 / units).toLong)
+      val hi = LocalDate.ofEpochDay(math.floor(dom._2 / units).toLong)
       require(hi.getYear - lo.getYear <= 400,
         s"calendar GROUP BY: ${hi.getYear - lo.getYear} domain years exceed the 400-bucket cap")
+      def dayRange(s: LocalDate, e: LocalDate): NumRange =
+        NumRange(s.toEpochDay * units, e.toEpochDay * units,
+          loIncl = true, hiIncl = false)
       fn match {
         case "year" =>
           (lo.getYear to hi.getYear).map { y =>
-            y.toString -> (NumRange(
-              LocalDate.of(y, 1, 1).toEpochDay.toDouble,
-              LocalDate.of(y + 1, 1, 1).toEpochDay.toDouble,
-              loIncl = true, hiIncl = false): ColRange)
+            y.toString -> (dayRange(
+              LocalDate.of(y, 1, 1), LocalDate.of(y + 1, 1, 1)): ColRange)
           }
         case "month" | "quarter" =>
           val (n, span) = if (fn == "month") (12, 1) else (4, 3)
           (1 to n).map { k =>
             val rs = (lo.getYear to hi.getYear).map { y =>
               val start = LocalDate.of(y, (k - 1) * span + 1, 1)
-              NumRange(start.toEpochDay.toDouble,
-                start.plusMonths(span.toLong).toEpochDay.toDouble,
-                loIncl = true, hiIncl = false)
+              dayRange(start, start.plusMonths(span.toLong))
             }
+            k.toString -> ColRangeOps.normalize(rs)
+              .getOrElse(NominalSet(Array.empty[Double]))
+          }
+        // day-of-month 1..31 (r16 late): one single-day interval per
+        // domain month that HAS that day; a key with no interval emits no
+        // bucket — the Catalyst domGen on the text plane
+        case "dayofmonth" =>
+          val months = Iterator.iterate(lo.withDayOfMonth(1))(_.plusMonths(1))
+            .takeWhile(!_.isAfter(hi)).take(401).toSeq
+          require(months.length <= 400,
+            s"GROUP BY dayofmonth($c): ${months.length} domain months exceed the 400-bucket cap")
+          (1 to 31).flatMap { k =>
+            val rs = months.collect {
+              case m if k <= m.lengthOfMonth =>
+                val d = m.withDayOfMonth(k)
+                dayRange(d, d.plusDays(1))
+            }
+            if (rs.isEmpty) None
+            else Some(k.toString -> ColRangeOps.normalize(rs)
+              .getOrElse(NominalSet(Array.empty[Double])))
+          }
+        // hour-of-day / minute-of-hour (r16 late): cyclic step slices over
+        // a SECOND-granularity column only — UTC hour/minute boundaries
+        // are epoch-step-aligned, so key k is the union of its slice in
+        // every domain period (the Catalyst cyclicSec on the text plane)
+        case "hour" | "minute" =>
+          require(units == 86400.0,
+            s"GROUP BY $fn($c): requires a second-granularity (secs) model column")
+          val (nKeys, step) = if (fn == "hour") (24, 3600.0) else (60, 60.0)
+          val period = nKeys * step
+          val pLo = math.floor(dom._1 / period).toLong
+          val pHi = math.floor(dom._2 / period).toLong
+          require(pHi - pLo + 1 <= 400,
+            s"GROUP BY $fn($c): ${pHi - pLo + 1} domain periods exceed the 400-bucket cap")
+          (0 until nKeys).map { k =>
+            val rs = (pLo to pHi).map(p =>
+              NumRange(p * period + k * step, p * period + (k + 1) * step,
+                loIncl = true, hiIncl = false))
             k.toString -> ColRangeOps.normalize(rs)
               .getOrElse(NominalSet(Array.empty[Double]))
           }
@@ -728,11 +796,25 @@ object SqlEstimate {
     * AND a < hi is two parsed predicates); a provably empty intersection
     * becomes an empty nominal set — zero mass at every leaf.
     */
+  /** The model-encoding unit of DATE-shaped literals for this predicate's
+    * column: epoch days ×1 on a "days"-modeled column, ×86 400 on a
+    * "secs"-modeled one (events.ts — a date literal compares against
+    * midnight, which in epoch seconds is the day boundary exactly).
+    * Without this, `ts >= DATE'2024-01-05'` would probe a ~19 700
+    * epoch-day bound against a ~1.7e9 epoch-second domain — a silently
+    * near-zero estimate, not a loud failure.
+    */
+  private def dateUnit(spec: graft.schema.DatasetSpec, t: String, c: String): Double =
+    if (spec.modeled.getOrElse(t, Nil).exists(x => x._1 == c && x._2 == "secs")) 86400.0
+    else 1.0
+
   private def mergePreds(
       spns: Map[String, Ensemble.TrainedSpn],
-      ps: Seq[Pred]): Map[(String, String), ColRange] =
+      ps: Seq[Pred],
+      spec: graft.schema.DatasetSpec): Map[(String, String), ColRange] =
     ps.foldLeft(Map.empty[(String, String), ColRange]) { (acc, p) =>
-      val one = Map((p.table, p.col) -> toRange(spns, p))
+      val one = Map((p.table, p.col) ->
+        toRange(spns, p, dateUnit(spec, p.table, p.col)))
       Ensemble.intersect(acc, one)
         .getOrElse(acc + ((p.table, p.col) -> NominalSet(Array.empty[Double])))
     }
@@ -801,9 +883,16 @@ object SqlEstimate {
     Ensemble.findModelCol(spns, table, col)
       .getOrElse(throw new NoSuchElementException(s"$table.$col is not a modeled column"))
 
-  private def toRange(spns: Map[String, Ensemble.TrainedSpn], p: Pred): ColRange = p.range match {
+  private def toRange(
+      spns: Map[String, Ensemble.TrainedSpn], p: Pred,
+      dateU: Double): ColRange = p.range match {
     case NumR(lo, hi, li, hi2)  => NumRange(lo, hi, li, hi2)
-    case DateR(lo, hi, li, hi2) => NumRange(lo, hi, li, hi2)
+    // date-shaped bounds arrive in epoch DAYS from the parser (which
+    // cannot see column kinds) and resolve HERE against the modeled
+    // encoding — ×86 400 on a secs column, ×1 on a days column. The
+    // half-open [lo·u, hi·u] bounds with the parser's inclusivity match
+    // the exact plane's midnight-timestamp comparisons exactly.
+    case DateR(lo, hi, li, hi2) => NumRange(lo * dateU, hi * dateU, li, hi2)
     case StrIn(values) =>
       val mc = modelColOf(spns, p.table, p.col)
       // values absent from the dictionary contribute zero mass, as in the
@@ -839,7 +928,8 @@ object SqlEstimate {
         NominalSet(mc.dict.indices.collect {
           case i if !excluded(mc.dict(i)) => i.toDouble
         }.toArray)
-      } else ColRangeOps.pointComplement(values)
+      } else ColRangeOps.pointComplement(
+        if (isDate) values.map(_ * dateU) else values)
     case StrLike(pattern) =>
       // a categorical dictionary is the column's complete value domain, so
       // LIKE is exactly the member set matching the pattern

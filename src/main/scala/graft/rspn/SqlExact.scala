@@ -64,6 +64,9 @@ object SqlExact {
         case "year"         => year(col(c))
         case "month"        => month(col(c))
         case "quarter"      => quarter(col(c))
+        case "hour"         => hour(col(c))
+        case "minute"       => minute(col(c))
+        case "dayofmonth"   => dayofmonth(col(c))
         case "floor"        => floor(col(c) / lit(parts(1).toDouble))
         case "width_bucket" => width_bucket(col(c),
           lit(parts(1).toDouble), lit(parts(2).toDouble), lit(parts(3).toInt))

@@ -215,7 +215,8 @@ object SqlParser {
   private def unmask(s: String, lits: IndexedSeq[String]): String =
     "\u0001(\\d+)".r.replaceAllIn(s, m => Regex.quoteReplacement(lits(m.group(1).toInt)))
   private val groupSetRe: Regex = """(?is)^(ROLLUP|CUBE)\s*\((.*)\)$""".r
-  private val calGroupRe: Regex = """(?i)^(YEAR|MONTH|QUARTER)\s*\(\s*(\w+)\s*\)$""".r
+  private val calGroupRe: Regex =
+    """(?i)^(YEAR|MONTH|QUARTER|HOUR|MINUTE|DAYOFMONTH)\s*\(\s*(\w+)\s*\)$""".r
   // arithmetic-bin grouping expressions over num-modeled columns (r16,
   // parity with the Catalyst plane's binned fold): FLOOR(col[/w]),
   // WIDTH_BUCKET(col, lo, hi, n), ROUND(col, -k). Encoded into the
@@ -243,7 +244,8 @@ object SqlParser {
   }
 
   private def isCalendarFn(fn: String): Boolean =
-    fn == "year" || fn == "month" || fn == "quarter"
+    fn == "year" || fn == "month" || fn == "quarter" ||
+      fn == "hour" || fn == "minute" || fn == "dayofmonth"
   private val aggRe: Regex =
     """(?i)^(COUNT\(\s*DISTINCT\s+(\w+)\s*\)|COUNT\(\s*\*\s*\)|SUM\(\s*(\w+)(?:\s*\*\s*(\w+))?\s*\)|AVG\(\s*(\w+)\s*\))(?:\s+AS\s+\w+)?$""".r
   private val joinRe: Regex = """(?i)\s+JOIN\s+""".r
@@ -385,12 +387,17 @@ object SqlParser {
       val calGroup: Seq[(String, String, String)] = calSyntax.map { case (fn, c) =>
         val t = tableOf(c)
         if (!tables(t)) fail(s"GROUP BY $fn($c): table $t not in FROM")
-        // kind dispatch (r16): calendar expressions need a days-modeled
-        // source column, arithmetic bins a num-modeled one
-        val kind = if (isCalendarFn(fn)) "days" else "num"
+        // kind dispatch (r16): calendar expressions need a date-encoded
+        // source column ("days", or "secs" since the sub-day widening —
+        // hour/minute are secs-ONLY, a day-granular encoding cannot
+        // express their boundaries), arithmetic bins a num-modeled one
+        val okKinds: Set[String] =
+          if (!isCalendarFn(fn)) Set("num")
+          else if (fn == "hour" || fn == "minute") Set("secs")
+          else Set("days", "secs")
         if (!activeSpec.value.modeled.getOrElse(t, Nil)
-              .exists(x => x._1 == c && x._2 == kind))
-          fail(s"GROUP BY $fn($c): $c is not a $kind-modeled column")
+              .exists(x => x._1 == c && okKinds(x._2)))
+          fail(s"GROUP BY $fn($c): $c is not a ${okKinds.mkString("/")}-modeled column")
         (fn, t, c)
       }
       val groupBy = {

@@ -1997,10 +1997,14 @@ class SpnAqpSpec extends AnyFunSuite {
       """SELECT floor(l_partkey/100) AS bin, count(*) AS n
          FROM lineitem GROUP BY floor(l_partkey/100)""".stripMargin)
     assert(!isRewritten(unmodeled), "bins over an unmodeled column must fall back")
+    // an expression over the bin key used to fall back; since the r16
+    // composed-key widening it folds (see the composed-key test), but an
+    // output expression DIFFERENT from the grouping expression still must
     val overKey = session(aqp = true).sql(
       """SELECT floor(o_totalprice/100000) + 1 AS b1, count(*) AS n
          FROM orders GROUP BY floor(o_totalprice/100000)""".stripMargin)
-    assert(!isRewritten(overKey), "an expression over the bin key must fall back")
+    assert(!isRewritten(overKey),
+      "an output expression over the RAW bin key (not the grouping expression) must fall back")
   }
 
   test("sub-day calendar buckets fold over the secs-modeled stream table") {
@@ -2118,6 +2122,190 @@ class SpnAqpSpec extends AnyFunSuite {
          FROM orders WHERE o_orderdate < DATE'1992-02-01'
          GROUP BY date_trunc('hour', o_orderdate)""".stripMargin)
     assert(!isRewritten(daysCol), "hourly over a day-granular column must fall back")
+  }
+
+  test("hour-of-day / minute-of-hour fold as cyclic buckets over the secs column") {
+    // `GROUP BY hour(ts)` — the daily-cycle dashboard: key k is the union
+    // of its hour slice in every domain day (epoch-aligned in the UTC
+    // session), estimated as one multi-interval range atom. 1000 events
+    // over 30 days ≈ 42 rows/hour-of-day — real mass per key
+    val sql = "SELECT hour(ts) AS h, count(*) AS n FROM events GROUP BY hour(ts)"
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"hour-of-day must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet.subsetOf((0 to 23).toSet), s"keys must be hours-of-day: ${est.keySet}")
+    (est.keySet diff exact.keySet).foreach(k =>
+      assert(est(k) <= 5.0, s"phantom hour $k carries real mass: ${est(k)}"))
+    (exact.keySet diff est.keySet).foreach(k =>
+      assert(exact(k) <= 5.0, s"dropped hour $k has real rows: ${exact(k)}"))
+    (est.keySet intersect exact.keySet).foreach(k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"hour $k: ${est(k)} vs ${exact(k)}"))
+    // hour × dictionary dimension composes through the shared machinery
+    val dDf = session(aqp = true).sql(
+      """SELECT hour(ts) AS h, event_type, count(*) AS n
+         FROM events GROUP BY hour(ts), event_type""".stripMargin)
+    assert(isRewritten(dDf), s"hour × dim must fold:\n${dDf.queryExecution.optimizedPlan}")
+    assert(dDf.collect().nonEmpty)
+    // minute-of-hour folds under a predicate-narrowed window
+    val mDf = session(aqp = true).sql(
+      """SELECT minute(ts) AS m, count(*) AS n
+         FROM events WHERE ts < TIMESTAMP'2024-01-02 00:00:00'
+         GROUP BY minute(ts)""".stripMargin)
+    assert(isRewritten(mDf), s"minute-of-hour must fold:\n${mDf.queryExecution.optimizedPlan}")
+    mDf.collect().foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 60))
+    // hour() over a DAYS-modeled date column has no secs variant: kind
+    // mismatch, honest fallback (hour of a date is the constant 0 anyway)
+    val daysHour = session(aqp = true).sql(
+      """SELECT hour(o_orderdate) AS h, count(*) AS n
+         FROM orders GROUP BY hour(o_orderdate)""".stripMargin)
+    assert(!isRewritten(daysHour), "hour over a days-modeled column must fall back")
+  }
+
+  test("sliding windows fold as overlapping range buckets") {
+    // `GROUP BY window(ts, '2 hours', '1 hour')` — the analyzer lowers a
+    // SLIDING window to an Expand (one candidate struct per overlap);
+    // rewriteSliding verifies the lowering numerically and folds through
+    // the calendar pipeline. Buckets OVERLAP (each event counts in
+    // size/slide windows) — exact per-bucket semantics, each bucket an
+    // independent range query over [start, start+size)
+    val sql = """SELECT window(ts, '2 hours', '1 hour') AS w, count(*) AS n, avg(value) AS av
+                 FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+                 GROUP BY window(ts, '2 hours', '1 hour')""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"sliding window must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    (est.keySet diff exact.keySet).foreach { k =>
+      assert(est(k) <= 5.0, s"phantom window $k carries real mass: ${est(k)}")
+    }
+    (exact.keySet diff est.keySet).foreach { k =>
+      assert(exact(k) <= 5.0, s"dropped window $k has real rows: ${exact(k)}")
+    }
+    (est.keySet intersect exact.keySet).foreach { k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 5.0,
+        s"window $k: ${est(k)} vs ${exact(k)}")
+    }
+    // the overlap property itself: hourly-slide starts are 1 h apart while
+    // each span is 2 h, so consecutive folded windows overlap
+    // events.ts reads as TimestampNTZ, so struct fields are LocalDateTime
+    val starts = df.collect().map(_.getStruct(0).getAs[java.time.LocalDateTime](0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).sorted
+    assert(starts.sliding(2).exists(p => p(1) - p(0) == 3600000L),
+      "consecutive sliding starts must be one slide apart")
+    // NON-DIVISIBLE size/slide adds the containment Filter (+ pruning
+    // Project when only window survives) between Aggregate and Expand —
+    // the other recognized shape; a window.start key resolves per tumbling
+    val ndSql = """SELECT window.start AS ws, count(*) AS n
+                   FROM events WHERE ts < TIMESTAMP'2024-01-03 00:00:00'
+                   GROUP BY window(ts, '3 hours', '2 hours')""".stripMargin
+    val ndExact = session(aqp = false).sql(ndSql).collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1).toDouble).toMap
+    val ndDf = session(aqp = true).sql(ndSql)
+    assert(isRewritten(ndDf), s"non-divisible sliding must fold:\n${ndDf.queryExecution.optimizedPlan}")
+    val ndEst = ndDf.collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1).toDouble).toMap
+    (ndEst.keySet diff ndExact.keySet).foreach { k =>
+      assert(ndEst(k) <= 5.0, s"phantom window $k carries real mass: ${ndEst(k)}")
+    }
+    (ndExact.keySet diff ndEst.keySet).foreach { k =>
+      assert(ndExact(k) <= 5.0, s"dropped window $k has real rows: ${ndExact(k)}")
+    }
+    (ndEst.keySet intersect ndExact.keySet).foreach { k =>
+      assert(qerr(ndEst(k), ndExact(k)) <= 3.0 || math.abs(ndEst(k) - ndExact(k)) <= 5.0,
+        s"window $k: ${ndEst(k)} vs ${ndExact(k)}")
+    }
+    // sliding × dictionary dimension composes through the shared machinery
+    val dDf = session(aqp = true).sql(
+      """SELECT window(ts, '12 hours', '6 hours') AS w, event_type, count(*) AS n
+         FROM events WHERE ts < TIMESTAMP'2024-01-15 00:00:00'
+         GROUP BY window(ts, '12 hours', '6 hours'), event_type""".stripMargin)
+    assert(isRewritten(dDf), s"sliding × dim must fold:\n${dDf.queryExecution.optimizedPlan}")
+    assert(dDf.collect().nonEmpty)
+    // fallback: the FULL 30-day hourly-slide span exceeds the 400-bucket cap
+    val fullSpan = session(aqp = true).sql(
+      """SELECT window(ts, '2 hours', '1 hour') AS w, count(*) AS n
+         FROM events GROUP BY window(ts, '2 hours', '1 hour')""".stripMargin)
+    assert(!isRewritten(fullSpan), "a ~700-bucket sliding series must fall back")
+  }
+
+  test("dayofmonth folds as per-month day slices") {
+    // key k = one single-day interval per domain month that HAS day k —
+    // Feb contributes no 30/31 interval, so key 31 only aggregates
+    // 31-day months (the billing-cycle dashboard shape)
+    val sql = """SELECT dayofmonth(o_orderdate) AS d, count(*) AS n
+                 FROM orders GROUP BY dayofmonth(o_orderdate)""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"dayofmonth must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet.subsetOf((1 to 31).toSet))
+    (est.keySet intersect exact.keySet).foreach(k =>
+      assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+        s"dom $k: ${est(k)} vs ${exact(k)}"))
+    // the full key set at this scale is 1..31 on both planes (orders spans
+    // ~7 years of every month); day 31 must be present and ~7/12 the mass
+    assert((exact.keySet diff est.keySet).forall(k => exact(k) <= 5.0))
+    assert((est.keySet diff exact.keySet).forall(k => est(k) <= 5.0))
+  }
+
+  test("expressions over bucket keys fold by driver-side key evaluation") {
+    // the bin-lo spelling: `GROUP BY floor(x/w)*w` — the grouping
+    // expression is a deterministic scalar over ONE foldable bucket
+    // expression, so each bucket key evaluates through it driver-side
+    val sql = """SELECT floor(o_totalprice/100000)*100000 AS bin_lo, count(*) AS n
+                 FROM orders GROUP BY floor(o_totalprice/100000)*100000""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"bin-lo keys must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet == exact.keySet, s"bin-lo keys: ${est.keySet} vs ${exact.keySet}")
+    est.keys.foreach(k => assert(k % 100000 == 0, s"key $k must be a bin floor"))
+    (est.keySet intersect exact.keySet).foreach(k =>
+      assert(qerr(est(k), exact(k)) <= 1.5, s"bin_lo $k: ${est(k)} vs ${exact(k)}"))
+    // a STRING-typed composed key: cast(year(d) AS string)
+    val sDf = session(aqp = true).sql(
+      """SELECT cast(year(o_orderdate) AS string) AS ys, count(*) AS n
+         FROM orders GROUP BY cast(year(o_orderdate) AS string)""".stripMargin)
+    assert(isRewritten(sDf), s"cast-to-string keys must fold:\n${sDf.queryExecution.optimizedPlan}")
+    val sKeys = sDf.collect().map(_.getString(0)).toSet
+    val sExact = session(aqp = false).sql(
+      """SELECT cast(year(o_orderdate) AS string) AS ys, count(*) AS n
+         FROM orders GROUP BY cast(year(o_orderdate) AS string)""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(sKeys == sExact, s"string keys: $sKeys vs $sExact")
+    // a NON-INJECTIVE outer MERGES buckets: boolean threshold over the bin
+    // key groups every bin on each side into one row per truth value
+    val bSql = """SELECT floor(o_totalprice/100000) >= 2 AS big, count(*) AS n
+                  FROM orders GROUP BY floor(o_totalprice/100000) >= 2""".stripMargin
+    val bExact = session(aqp = false).sql(bSql).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1).toDouble).toMap
+    val bDf = session(aqp = true).sql(bSql)
+    assert(isRewritten(bDf), s"merged boolean keys must fold:\n${bDf.queryExecution.optimizedPlan}")
+    val bEst = bDf.collect().map(r => r.getBoolean(0) -> r.getLong(1).toDouble).toMap
+    assert(bEst.keySet == bExact.keySet && bEst.size == bEst.keySet.size,
+      s"boolean merge must emit one row per truth value: $bEst")
+    bEst.keys.foreach(k =>
+      assert(qerr(bEst(k), bExact(k)) <= 1.5, s"big=$k: ${bEst(k)} vs ${bExact(k)}"))
+    // composition over a calendar bucket with arithmetic: year(d)+1
+    val yDf = session(aqp = true).sql(
+      """SELECT year(o_orderdate)+1 AS y1, count(*) AS n
+         FROM orders GROUP BY year(o_orderdate)+1""".stripMargin)
+    assert(isRewritten(yDf), s"year+1 keys must fold:\n${yDf.queryExecution.optimizedPlan}")
+    // fallbacks: an outer referencing a SECOND column, and two DISTINCT
+    // foldable subexpressions in one grouping expression
+    val twoCol = session(aqp = true).sql(
+      """SELECT floor(o_totalprice/100000) + o_custkey AS k, count(*) AS n
+         FROM orders GROUP BY floor(o_totalprice/100000) + o_custkey""".stripMargin)
+    assert(!isRewritten(twoCol), "an outer referencing another column must fall back")
+    val twoSub = session(aqp = true).sql(
+      """SELECT floor(o_totalprice/100000) + floor(o_totalprice/50000) AS k, count(*) AS n
+         FROM orders GROUP BY floor(o_totalprice/100000) + floor(o_totalprice/50000)""".stripMargin)
+    assert(!isRewritten(twoSub), "two distinct foldable subexpressions must fall back")
   }
 
   test("two-calendar cross product folds: GROUP BY year(d), month(d)") {

@@ -1297,4 +1297,75 @@ class SqlSpec extends AnyFunSuite {
     }
     assert(math.abs(est - 200.0) <= 5.0, s"estimate-plane string complement: $est")
   }
+
+  test("time-of-day grouping and secs-resolved date predicates on the text plane") {
+    // r16 late: hour(ts)/minute(ts) fold over the SECS-modeled stream
+    // table (cyclic step slices), dayofmonth(d) over either date
+    // encoding, year(ts) resolves the ×86 400 encoding, and date-SHAPED
+    // predicate literals rescale to the column's modeled unit — without
+    // that, `ts >= DATE'...'` would probe epoch-day bounds against an
+    // epoch-second domain and estimate silently near-zero
+    views
+    schema.Tables(spark, sf, "events").createOrReplaceTempView("events")
+    def estGroups(sql: String): Map[String, Double] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.mkString("|") -> e.value }.toMap
+        case other                    => fail(s"expected groups, got $other")
+      }
+    def cellCheck(est: Map[String, Double], exact: Map[String, Double], what: String): Unit = {
+      (est.keySet diff exact.keySet).foreach { k =>
+        assert(est(k) <= 5.0, s"$what phantom cell $k carries real mass: ${est(k)}")
+      }
+      (exact.keySet diff est.keySet).foreach { k =>
+        assert(exact(k) <= 5.0, s"$what dropped cell $k has real rows: ${exact(k)}")
+      }
+      (est.keySet intersect exact.keySet).foreach { k =>
+        assert(qerr(est(k), exact(k)) <= 3.0 || math.abs(est(k) - exact(k)) <= 10.0,
+          s"$what cell $k: ${est(k)} vs ${exact(k)}")
+      }
+    }
+    // the kind-resolved DATE predicate over the secs column (scalar)
+    val pSql = """SELECT COUNT(*) FROM events
+                  WHERE ts >= DATE '2024-01-08' AND ts < DATE '2024-01-15'""".stripMargin
+    val pExact = spark.sql(pSql).head().getLong(0).toDouble
+    val pEst = estScalar(pSql)
+    assert(pExact > 100.0, s"the window must hold real rows: $pExact")
+    assert(qerr(pEst, pExact) <= 1.5, s"secs-date predicate: est $pEst vs exact $pExact")
+    // hour-of-day over the full stream table
+    val hSql = "SELECT hour(ts), COUNT(*) FROM events GROUP BY hour(ts)"
+    val hExact = spark.sql(hSql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    cellCheck(estGroups(hSql), hExact, "hour-of-day")
+    // hour × dimension enumerates per key like any calendar bucket
+    val dSql = """SELECT hour(ts), event_type, COUNT(*) FROM events
+                  GROUP BY hour(ts), event_type""".stripMargin
+    val dExact = spark.sql(dSql).collect()
+      .map(r => s"${r.getInt(0)}|${r.getString(1)}" -> r.getLong(2).toDouble).toMap
+    cellCheck(estGroups(dSql), dExact, "hour×dim")
+    // minute-of-hour folds only under a predicate-narrowed span (the full
+    // 30-day domain is 720 hour-periods — past the 400 cap)
+    val mSql = """SELECT minute(ts), COUNT(*) FROM events
+                  WHERE ts < DATE '2024-01-02' GROUP BY minute(ts)""".stripMargin
+    val mExact = spark.sql(mSql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    cellCheck(estGroups(mSql), mExact, "minute-of-hour")
+    intercept[Exception] {
+      estGroups("SELECT minute(ts), COUNT(*) FROM events GROUP BY minute(ts)")
+    }
+    // year() over the secs column rides the same units dispatch
+    val ySql = "SELECT year(ts), COUNT(*) FROM events GROUP BY year(ts)"
+    val yExact = spark.sql(ySql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    cellCheck(estGroups(ySql), yExact, "year-over-secs")
+    // dayofmonth over the days-modeled orders date
+    val domSql = """SELECT dayofmonth(o_orderdate), COUNT(*) FROM orders
+                    GROUP BY dayofmonth(o_orderdate)""".stripMargin
+    val domExact = spark.sql(domSql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    cellCheck(estGroups(domSql), domExact, "dayofmonth")
+    // hour over a DAYS-modeled column fails loudly at parse (kind gate)
+    intercept[Exception] {
+      estGroups("SELECT hour(o_orderdate), COUNT(*) FROM orders GROUP BY hour(o_orderdate)")
+    }
+  }
 }

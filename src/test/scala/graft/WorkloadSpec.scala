@@ -237,6 +237,57 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the TIME-OF-DAY workload replays through the SQL-text plane within the grouped gate") {
+    // r16 late: external-file coverage of the time-of-day class —
+    // hour(ts)/minute(ts) cyclic buckets over the secs-modeled stream
+    // table, dayofmonth over either encoding, year() × secs units
+    // dispatch, kind-resolved date predicates and the predicate-narrowed
+    // bucket domain — graded per exact group
+    val g = QErrorEval.readWorkload("workloads/testdata_timeofday_8.sql")
+    assert(g.length == 8)
+    assert(g.count(_._2.matches(
+      "(?is).*GROUP BY.*(HOUR|MINUTE|DAYOFMONTH)\\s*\\(.*")) == 7,
+      "seven queries must group by a time-of-day/day-of-month expression")
+    assert(g.count(_._2.matches("(?is).*DATE\\s*'.*")) >= 2,
+      "the kind-resolved date-literal path must be exercised")
+    // replayed at sfMid: hour×type cells at sf0.001 hold ~8 rows each —
+    // below the regime the per-bucket gate is meant to grade (the same
+    // replay measures median 0.014 at sf0.01 vs ~0.10 at sf0.001, pure
+    // small-sample noise); sfMid matches the committed truth pin below
+    val truth = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    val rows = QErrorEval.runWorkloadGrouped(spark, sfMid, g, truth)
+    assert(rows.forall(_.groups.nonEmpty), "every replayed query must carry per-bucket scores")
+    val flat = rows.flatMap(_.groups)
+    val errs = flat.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = flat.maxBy(_.relErr)
+    info(f"${flat.length} time-of-day cells: median rel err $median%.4f p95 $p95%.4f " +
+      f"max ${worst.relErr}%.4f (q${rows.find(_.groups.contains(worst)).map(_.no).getOrElse(-1)} " +
+      f"bucket ${worst.key.mkString("|")})")
+    assert(median <= 0.10, f"per-bucket median relative error $median%.4f > 0.10")
+    // hour×dim cells are still sparse at sf0.01 (~10k rows over 720
+    // hours) — the noisy regime the calendar workload also p95-gates
+    assert(p95 <= 0.60, f"per-bucket p95 relative error $p95%.4f > 0.60")
+  }
+
+  test("the committed sf0.01 TIME-OF-DAY truth CSV matches live exact groups") {
+    val g = QErrorEval.readWorkload("workloads/testdata_timeofday_8.sql")
+    val fromCsv = QErrorEval.readGroupTruthCsv(
+      "workloads/testdata_timeofday_8_true_sf0.01.csv")
+    val live = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, rows) =>
+      val liveMap = live(no).map { case (k, v) => k.mkString("|") -> v }.toMap
+      val csvMap = rows.map { case (k, v) => k.mkString("|") -> v }.toMap
+      assert(csvMap.keySet == liveMap.keySet, s"time-of-day keys drifted for query $no")
+      csvMap.foreach { case (k, v) =>
+        assert(math.abs(v - liveMap(k)) <= 1e-9 * math.max(math.abs(v), 1.0),
+          s"time-of-day truth drifted for query $no bucket [$k]: csv $v vs live ${liveMap(k)}")
+      }
+    }
+  }
+
   test("the ROLLUP/CUBE workload replays through the SQL-text plane within the grouped gate") {
     // r15: external-file coverage of the grouping-set class — ROLLUP/CUBE
     // with COUNT/SUM/SUM(a*b)/AVG per set (estGroupingSetsAgg/Avg), plus
