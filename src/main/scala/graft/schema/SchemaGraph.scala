@@ -81,14 +81,19 @@ object Tables {
       if (diskBytes(spark, s"$sfDir/$name.parquet") <= cacheMaxBytes) df.cache() else df
     })
 
-  /** Unpersist and forget every cached table of one (session, directory):
+  /** Unpersist and forget every cached table of one (context, directory):
     * multi-SF bench runs call this between suites so the previous SF's
     * cached tables stop occupying executor memory while the next SF runs
     * (a never-evicted entry would bias exactly the cross-SF wall ratios
-    * the scaling artifact reports).
+    * the scaling artifact reports). Matched by SPARK CONTEXT, not session:
+    * cloned sessions (the ensemble's training session, `newSession()` gate
+    * ops) share one CacheManager, so their cached reads of this directory
+    * substitute into EVERY session's plans — dropping only the caller's
+    * own entries would leave those pinned forever.
     */
   def dropDir(spark: SparkSession, sfDir: String): Unit =
-    cache.keys.filter(k => k._1 == spark && k._2 == sfDir).foreach { k =>
+    cache.keys.filter(k =>
+        k._1.sparkContext == spark.sparkContext && k._2 == sfDir).foreach { k =>
       cache.remove(k).foreach { df =>
         try df.unpersist(blocking = true)
         catch { case scala.util.control.NonFatal(_) => () }

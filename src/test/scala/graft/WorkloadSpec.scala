@@ -253,9 +253,15 @@ class WorkloadSpec extends AnyFunSuite {
     // replayed at sfMid: hour×type cells at sf0.001 hold ~8 rows each —
     // below the regime the per-bucket gate is meant to grade (the same
     // replay measures median 0.014 at sf0.01 vs ~0.10 at sf0.001, pure
-    // small-sample noise); sfMid matches the committed truth pin below
+    // small-sample noise); sfMid matches the committed truth pin below.
+    // Training at sfMid plants cached tables there — drop them after the
+    // replay (finally below): PlanSpec's raw-scan assertions use sf0.01
+    // as "the directory no other suite caches", and a lingering
+    // InMemoryRelation would substitute into its plans
     val truth = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
-    val rows = QErrorEval.runWorkloadGrouped(spark, sfMid, g, truth)
+    val rows =
+      try QErrorEval.runWorkloadGrouped(spark, sfMid, g, truth)
+      finally schema.Tables.dropDir(spark, sfMid)
     assert(rows.forall(_.groups.nonEmpty), "every replayed query must carry per-bucket scores")
     val flat = rows.flatMap(_.groups)
     val errs = flat.map(_.relErr).sorted
