@@ -2229,6 +2229,52 @@ class SpnAqpSpec extends AnyFunSuite {
       """SELECT window(ts, '2 hours', '1 hour') AS w, count(*) AS n
          FROM events GROUP BY window(ts, '2 hours', '1 hour')""".stripMargin)
     assert(!isRewritten(fullSpan), "a ~700-bucket sliding series must fall back")
+    // a startTime OFFSET shifts every boundary by st: the numeric
+    // verification derives st from the probes, so offset windows fold with
+    // correctly shifted keys (tumbling spelled with 4 args goes through
+    // the same Expand when sliding, the Project shape when not)
+    val offSql = """SELECT window(ts, '2 hours', '1 hour', '30 minutes') AS w, count(*) AS n
+                    FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+                    GROUP BY window(ts, '2 hours', '1 hour', '30 minutes')""".stripMargin
+    val offExact = session(aqp = false).sql(offSql).collect()
+      .map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    val offDf = session(aqp = true).sql(offSql)
+    assert(isRewritten(offDf), s"offset sliding must fold:\n${offDf.queryExecution.optimizedPlan}")
+    val offEst = offDf.collect().map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    (offEst.keySet diff offExact.keySet).foreach { k =>
+      assert(offEst(k) <= 5.0, s"phantom offset window $k carries real mass: ${offEst(k)}")
+    }
+    (offExact.keySet diff offEst.keySet).foreach { k =>
+      assert(offExact(k) <= 5.0, s"dropped offset window $k has real rows: ${offExact(k)}")
+    }
+    offEst.keys.foreach(k => assert(k.contains(":30"), s"offset window key $k must shift by 30 min"))
+  }
+
+  test("count(DISTINCT) rides the calendar bucket fold; unmodeled keys fall back") {
+    // daily-distinct dashboard: the daily bucket fold composes with a
+    // distinct output through the shared OutCol dispatch (dict-modeled
+    // event_type → per-bucket dictionary enumeration). Distinct outputs
+    // never annotate (the pinned support-enumeration CI contract) but the
+    // fold itself must engage.
+    val sql = """SELECT cast(ts AS date) AS d, count(DISTINCT event_type) AS k
+                 FROM events GROUP BY cast(ts AS date)""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1).toDouble).toMap
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"daily distinct must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getDate(0).toString -> r.getLong(1).toDouble).toMap
+    assert(est.keySet == exact.keySet, s"day keys ${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (k, v) =>
+      assert(qerr(est(k), v) <= 2.0 || math.abs(est(k) - v) <= 2.0,
+        s"day $k: distinct ${est(k)} vs $v")
+    }
+    // user_id is deliberately UNMODELED (keys and payloads never model —
+    // DatasetSpec events comment): the true-DAU spelling runs exact,
+    // untouched — the honest-fallback contract, not a gap
+    val dau = session(aqp = true).sql(
+      """SELECT cast(ts AS date) AS d, count(DISTINCT user_id) AS dau
+         FROM events GROUP BY cast(ts AS date)""".stripMargin)
+    assert(!isRewritten(dau), "count(DISTINCT <unmodeled key>) must fall back")
   }
 
   test("dayofmonth folds as per-month day slices") {
