@@ -67,6 +67,9 @@ object SqlExact {
         case "hour"         => hour(col(c))
         case "minute"       => minute(col(c))
         case "dayofmonth"   => dayofmonth(col(c))
+        // durations re-spell from the parser's whole-second encoding; the
+        // struct key groups/sorts/prints by (start, end) field order
+        case "window"       => window(col(c), s"${parts(1)} seconds", s"${parts(2)} seconds")
         case "floor"        => floor(col(c) / lit(parts(1).toDouble))
         case "width_bucket" => width_bucket(col(c),
           lit(parts(1).toDouble), lit(parts(2).toDouble), lit(parts(3).toInt))

@@ -227,6 +227,25 @@ object SqlParser {
   private val binWidthRe: Regex =
     """(?i)^WIDTH_BUCKET\s*\(\s*(\w+)\s*,\s*(-?[0-9]*\.?[0-9]+)\s*,\s*(-?[0-9]*\.?[0-9]+)\s*,\s*([0-9]+)\s*\)$""".r
   private val binRoundRe: Regex = """(?i)^ROUND\s*\(\s*(\w+)\s*,\s*(-?[0-9]+)\s*\)$""".r
+  // tumbling/sliding `WINDOW(ts, '<size>'[, '<slide>'])` grouping (r16
+  // late, parity with the Catalyst window folds): durations parse to
+  // WHOLE SECONDS (the model encodes epoch seconds; a fractional-second
+  // step would regroup within FP noise) and encode into the calGroup fn
+  // slot as "window:<sizeSec>:<slideSec>". The 4-arg startTime spelling
+  // is NOT parsed — it fails on the uniform unsupported-shape channel.
+  private val windowRe: Regex =
+    """(?i)^WINDOW\s*\(\s*(\w+)\s*,\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)$""".r
+  private val durationRe: Regex = """(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$""".r
+  private def durationSec(s: String): Long = s match {
+    case durationRe(n, unit) =>
+      n.toLong * (unit.toLowerCase match {
+        case "second" => 1L
+        case "minute" => 60L
+        case "hour"   => 3600L
+        case "day"    => 86400L
+      })
+    case other => fail(s"WINDOW duration '$other': expected '<n> second|minute|hour|day[s]'")
+  }
 
   /** One bucket grouping expression — calendar or arithmetic-bin — as its
     * encoded (fn, column) pair, or None when the item is not a bucket
@@ -240,6 +259,9 @@ object SqlParser {
     case binFloorRe(c, w)         => Some((s"floor:${Option(w).getOrElse("1")}", c))
     case binWidthRe(c, lo, hi, n) => Some((s"width_bucket:$lo:$hi:$n", c))
     case binRoundRe(c, s) if s.toInt <= 0 && s.toInt >= -15 => Some((s"round:$s", c))
+    case windowRe(c, size, slide) =>
+      val sz = durationSec(size)
+      Some((s"window:$sz:${Option(slide).map(durationSec).getOrElse(sz)}", c))
     case _                        => None
   }
 
@@ -313,7 +335,9 @@ object SqlParser {
         parseClauses(
           unmask(sel0m, lits), from,
           Option(whereM).map(unmask(_, lits)).orNull,
-          group,
+          // GROUP BY carries literals since the WINDOW grouping (duration
+          // strings); unmasking is a no-op for every other group syntax
+          Option(group).map(unmask(_, lits)).orNull,
           Option(havingM).map(unmask(_, lits)).orNull,
           Option(orderM).map(unmask(_, lits)).orNull,
           limitS)
@@ -392,7 +416,8 @@ object SqlParser {
         // hour/minute are secs-ONLY, a day-granular encoding cannot
         // express their boundaries), arithmetic bins a num-modeled one
         val okKinds: Set[String] =
-          if (!isCalendarFn(fn)) Set("num")
+          if (fn.startsWith("window:")) Set("secs") // step-aligned epoch-second slices
+          else if (!isCalendarFn(fn)) Set("num")
           else if (fn == "hour" || fn == "minute") Set("secs")
           else Set("days", "secs")
         if (!activeSpec.value.modeled.getOrElse(t, Nil)

@@ -294,6 +294,59 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the WINDOW workload replays through the SQL-text plane within the grouped gate") {
+    // r16 late: external-file coverage of the window-grouping class —
+    // tumbling + sliding (overlapping) buckets, window × dim, window ×
+    // cross-column OR, AVG/SUM on the bucket path, predicate-narrowed
+    // sub-day spans. Struct keys render identically on both planes
+    // ("[start,end]" via Row.toString), graded per exact group.
+    val g = QErrorEval.readWorkload("workloads/testdata_window_6.sql")
+    assert(g.length == 6)
+    assert(g.count(_._2.matches(
+      "(?is).*GROUP BY\\s+WINDOW\\s*\\(\\s*ts\\s*,\\s*'[^']+'\\s*,\\s*'[^']+'\\s*\\).*")) >= 3,
+      "at least three queries must use a SLIDING window (explicit slide)")
+    assert(g.exists(_._2.matches("(?is).*\\)\\s*OR\\s*\\(.*")),
+      "the window × OR composition must be exercised")
+    // replayed at sfMid like the time-of-day workload (sub-day cells at
+    // sf0.001 are below the per-bucket gate's regime); training plants
+    // cached tables there — dropped in the finally for PlanSpec's raw scans
+    val truth = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    val rows =
+      try QErrorEval.runWorkloadGrouped(spark, sfMid, g, truth)
+      finally schema.Tables.dropDir(spark, sfMid)
+    assert(rows.forall(_.groups.nonEmpty), "every replayed query must carry per-bucket scores")
+    // an edge sliding window covering Jan 1 legitimately starts Dec 31
+    rows.foreach(r => r.groups.foreach(c =>
+      assert(c.key.head.startsWith("[202"),
+        s"q${r.no} bucket key ${c.key.mkString("|")} must lead with the window struct")))
+    val flat = rows.flatMap(_.groups)
+    val errs = flat.map(_.relErr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    info(f"${flat.length} window cells: median rel err $median%.4f p95 $p95%.4f")
+    assert(median <= 0.10, f"per-bucket median relative error $median%.4f > 0.10")
+    // 6-hour × dim cells stay sparse at sf0.01 — the same noisy regime the
+    // calendar and time-of-day workloads p95-gate
+    assert(p95 <= 0.60, f"per-bucket p95 relative error $p95%.4f > 0.60")
+  }
+
+  test("the committed sf0.01 WINDOW truth CSV matches live exact groups") {
+    val g = QErrorEval.readWorkload("workloads/testdata_window_6.sql")
+    val fromCsv = QErrorEval.readGroupTruthCsv(
+      "workloads/testdata_window_6_true_sf0.01.csv")
+    val live = QErrorEval.computeGroupTruth(spark, sfMid, g, cache = false)
+    assert(fromCsv.keySet == live.keySet)
+    fromCsv.foreach { case (no, rows) =>
+      val liveMap = live(no).map { case (k, v) => k.mkString("|") -> v }.toMap
+      val csvMap = rows.map { case (k, v) => k.mkString("|") -> v }.toMap
+      assert(csvMap.keySet == liveMap.keySet, s"window keys drifted for query $no")
+      csvMap.foreach { case (k, v) =>
+        assert(math.abs(v - liveMap(k)) <= 1e-9 * math.max(math.abs(v), 1.0),
+          s"window truth drifted for query $no bucket [$k]: csv $v vs live ${liveMap(k)}")
+      }
+    }
+  }
+
   test("the ROLLUP/CUBE workload replays through the SQL-text plane within the grouped gate") {
     // r15: external-file coverage of the grouping-set class — ROLLUP/CUBE
     // with COUNT/SUM/SUM(a*b)/AVG per set (estGroupingSetsAgg/Avg), plus
