@@ -2277,6 +2277,46 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(dau), "count(DISTINCT <unmodeled key>) must fall back")
   }
 
+  test("per-bucket MIN/MAX fold; session windows honestly fall back") {
+    // MIN/MAX over a num-modeled column composes with the calendar bucket
+    // fold through the shared OutCol dispatch (realized-extreme under the
+    // bucket's atoms); the extremes are support statistics, so they never
+    // annotate — the same pinned contract as COUNT(DISTINCT)
+    val sql = """SELECT year(o_orderdate) AS y, max(o_totalprice) AS mx,
+                        min(o_totalprice) AS mn
+                 FROM orders GROUP BY year(o_orderdate)""".stripMargin
+    val exact = session(aqp = false).sql(sql).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (gMax, gMin) = session(aqp = false).sql(
+      "SELECT max(o_totalprice), min(o_totalprice) FROM orders")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    val df = session(aqp = true).sql(sql)
+    assert(isRewritten(df), s"per-bucket MIN/MAX must fold:\n${df.queryExecution.optimizedPlan}")
+    val est = df.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (y, (mx, mn)) =>
+      // realized extremes come from the model's (sampled) support under
+      // the bucket's atoms. o_totalprice is near-INDEPENDENT of the order
+      // date, so the conditional extreme of any year approaches the GLOBAL
+      // extreme (per-bucket sample extremes are the noisy quantity here,
+      // drifting 1.5–2× year to year at this SF) — the sound envelope is
+      // [global, per-bucket truth], not a tight ratio on the bucket's own
+      // sample extreme
+      assert(est(y)._1 <= gMax + 1e-6 && est(y)._1 >= mx * 0.75,
+        s"year $y max: ${est(y)._1} vs bucket $mx / global $gMax")
+      assert(est(y)._2 >= gMin - 1e-6 && est(y)._2 <= mn * 1.35 + 1e-6,
+        s"year $y min: ${est(y)._2} vs bucket $mn / global $gMin")
+    }
+    // session_window(ts, gap): boundaries are DATA-DEPENDENT (a session
+    // ends where the next event is > gap away) — no fixed bucket can
+    // express them, so the honest contract is exact execution, untouched
+    val sess = session(aqp = true).sql(
+      """SELECT session_window(ts, '30 minutes') AS w, count(*) AS n
+         FROM events GROUP BY session_window(ts, '30 minutes')""".stripMargin)
+    assert(!isRewritten(sess), "session windows must fall back (data-dependent boundaries)")
+    assert(sess.count() > 0)
+  }
+
   test("dayofmonth folds as per-month day slices") {
     // key k = one single-day interval per domain month that HAS day k —
     // Feb contributes no 30/31 interval, so key 31 only aggregates
