@@ -646,6 +646,26 @@ object SqlEstimate {
         case SumProduct(ta, ca, tb, cb) =>
           Ensemble.estGroupByAggOr(spns, q.tables, dims,
             Map((ta, ca) -> 1, (tb, cb) -> 1), a, b)
+        // ± combination per bucket×group (r16 late): each linear term
+        // through the OR estimators, combined per key over the union of
+        // both terms' group universes with interval-arithmetic CIs
+        case Combo(plus, l, r) =>
+          comboRows(plus,
+            orGroupTerm(spns, q, dims, a, b, l),
+            orGroupTerm(spns, q, dims, a, b, r))
+        // distinct set under a disjunction = the UNION of both branches'
+        // enumerations (set semantics, never the inclusion-exclusion sum)
+        case CountDistinct(t, c) =>
+          require(modelColOf(spns, t, c).dict.nonEmpty,
+            s"COUNT(DISTINCT $c): not a categorical model column")
+          (Ensemble.estGroupByMulti(spns, q.tables, dims :+ ((t, c)), a).map(_._1) ++
+            Ensemble.estGroupByMulti(spns, q.tables, dims :+ ((t, c)), b).map(_._1))
+            .distinct.groupBy(_.dropRight(1)).toSeq
+            .map { case (g, rows) =>
+              val k = rows.length.toDouble
+              g -> Ensemble.Estimate(k, k, k)
+            }
+            .sortBy(_._1.mkString("\u0000"))
         case other => throw new IllegalArgumentException(
           s"unsupported SQL: $other with OR and bucketed GROUP BY")
       } else Seq(Seq.empty[String] -> (q.agg match {
@@ -654,8 +674,15 @@ object SqlEstimate {
         case Avg(at, ac) => Ensemble.estAvgOr(spns, q.tables, (at, ac), a, b)
         case SumProduct(ta, ca, tb, cb) =>
           Ensemble.estAggOr(spns, q.tables, a, b, Map((ta, ca) -> 1, (tb, cb) -> 1))
-        case other => throw new IllegalArgumentException(
-          s"unsupported SQL: $other with OR and bucketed GROUP BY")
+        case Combo(plus, l, r) =>
+          comboEst(plus, scalarOrTerm(spns, q, a, b, l), scalarOrTerm(spns, q, a, b, r))
+        case CountDistinct(t, c) =>
+          require(modelColOf(spns, t, c).dict.nonEmpty,
+            s"COUNT(DISTINCT $c): not a categorical model column")
+          val k = (Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), a).map(_._1) ++
+            Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), b).map(_._1))
+            .distinct.length.toDouble
+          Ensemble.Estimate(k, k, k)
       }))
     case (one, two) => one.orElse(two) match {
       case None => Nil
@@ -675,6 +702,20 @@ object SqlEstimate {
           case SumProduct(ta, ca, tb, cb) =>
             Ensemble.estGroupByAgg(spns, q.tables, dims,
               Map((ta, ca) -> 1, (tb, cb) -> 1), p)
+          case Combo(plus, l, r) =>
+            comboRows(plus,
+              plainGroupTerm(spns, q, dims, p, l),
+              plainGroupTerm(spns, q, dims, p, r))
+          case CountDistinct(t, c) =>
+            require(modelColOf(spns, t, c).dict.nonEmpty,
+              s"COUNT(DISTINCT $c): not a categorical model column")
+            Ensemble.estGroupByMulti(spns, q.tables, dims :+ ((t, c)), p)
+              .groupBy(_._1.dropRight(1)).toSeq
+              .map { case (g, rows) =>
+                val k = rows.length.toDouble
+                g -> Ensemble.Estimate(k, k, k)
+              }
+              .sortBy(_._1.mkString("\u0000"))
           case other => throw new IllegalArgumentException(
             s"unsupported SQL: $other with bucketed GROUP BY")
         } else Seq(Seq.empty[String] -> (q.agg match {
@@ -683,9 +724,96 @@ object SqlEstimate {
           case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), p)
           case SumProduct(ta, ca, tb, cb) =>
             Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), p)
-          case other => throw new IllegalArgumentException(
-            s"unsupported SQL: $other with bucketed GROUP BY")
+          case Combo(plus, l, r) =>
+            comboEst(plus, scalarTerm(spns, q, p, l), scalarTerm(spns, q, p, r))
+          case CountDistinct(t, c) =>
+            require(modelColOf(spns, t, c).dict.nonEmpty,
+              s"COUNT(DISTINCT $c): not a categorical model column")
+            val k = Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), p)
+              .length.toDouble
+            Ensemble.Estimate(k, k, k)
         }))
+    }
+  }
+
+  /** One LINEAR ± term per bucket tuple — scalar, single predicate map. */
+  private def scalarTerm(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      p: Map[(String, String), ColRange], a: Agg): Ensemble.Estimate = a match {
+    case Count       => Ensemble.estCount(spns, q.tables, p)
+    case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), p)
+    case SumProduct(ta, ca, tb, cb) =>
+      Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), p)
+    case other => throw new IllegalArgumentException(
+      s"unsupported SQL: non-linear ± term $other with bucketed GROUP BY")
+  }
+
+  /** One LINEAR ± term per bucket tuple — scalar, under a disjunction. */
+  private def scalarOrTerm(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      a: Map[(String, String), ColRange], b: Map[(String, String), ColRange],
+      t: Agg): Ensemble.Estimate = t match {
+    case Count       => Ensemble.estCountOr(spns, q.tables, a, b)
+    case Sum(st, sc) => Ensemble.estAggOr(spns, q.tables, a, b, Map((st, sc) -> 1))
+    case SumProduct(ta, ca, tb, cb) =>
+      Ensemble.estAggOr(spns, q.tables, a, b, Map((ta, ca) -> 1, (tb, cb) -> 1))
+    case other => throw new IllegalArgumentException(
+      s"unsupported SQL: non-linear ± term $other with OR and bucketed GROUP BY")
+  }
+
+  private def plainGroupTerm(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      dims: Seq[(String, String)], p: Map[(String, String), ColRange],
+      t: Agg): Seq[(Seq[String], Ensemble.Estimate)] = t match {
+    case Count => Ensemble.estGroupByMulti(spns, q.tables, dims, p)
+    case Sum(st, sc) =>
+      Ensemble.estGroupByAgg(spns, q.tables, dims, Map((st, sc) -> 1), p)
+    case SumProduct(ta, ca, tb, cb) =>
+      Ensemble.estGroupByAgg(spns, q.tables, dims,
+        Map((ta, ca) -> 1, (tb, cb) -> 1), p)
+    case other => throw new IllegalArgumentException(
+      s"unsupported SQL: non-linear ± term $other with bucketed GROUP BY")
+  }
+
+  private def orGroupTerm(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      dims: Seq[(String, String)],
+      a: Map[(String, String), ColRange], b: Map[(String, String), ColRange],
+      t: Agg): Seq[(Seq[String], Ensemble.Estimate)] = t match {
+    case Count => Ensemble.estGroupByAggOr(spns, q.tables, dims, Map.empty, a, b)
+    case Sum(st, sc) =>
+      Ensemble.estGroupByAggOr(spns, q.tables, dims, Map((st, sc) -> 1), a, b)
+    case SumProduct(ta, ca, tb, cb) =>
+      Ensemble.estGroupByAggOr(spns, q.tables, dims,
+        Map((ta, ca) -> 1, (tb, cb) -> 1), a, b)
+    case other => throw new IllegalArgumentException(
+      s"unsupported SQL: non-linear ± term $other with OR and bucketed GROUP BY")
+  }
+
+  /** Interval-arithmetic ± of two estimates — conservative, since the
+    * terms share predicates and correlation can only shrink the true
+    * interval of a difference (the grouped-±-combination convention).
+    */
+  private def comboEst(
+      plus: Boolean, el: Ensemble.Estimate, er: Ensemble.Estimate): Ensemble.Estimate =
+    if (plus)
+      Ensemble.Estimate(el.value + er.value, el.ci95Lo + er.ci95Lo, el.ci95Hi + er.ci95Hi)
+    else
+      Ensemble.Estimate(el.value - er.value, el.ci95Lo - er.ci95Hi, el.ci95Hi - er.ci95Lo)
+
+  /** ± per group key over the UNION of both terms' group universes; a key
+    * one term's row gate dropped contributes zero mass.
+    */
+  private def comboRows(
+      plus: Boolean,
+      lRows: Seq[(Seq[String], Ensemble.Estimate)],
+      rRows: Seq[(Seq[String], Ensemble.Estimate)]): Seq[(Seq[String], Ensemble.Estimate)] = {
+    val lm = lRows.toMap
+    val rm = rRows.toMap
+    lm.keySet.union(rm.keySet).toSeq.sortBy(_.mkString("\u0000")).map { k =>
+      val el = lm.getOrElse(k, Ensemble.Estimate(0, 0, 0))
+      val er = rm.getOrElse(k, Ensemble.Estimate(0, 0, 0))
+      k -> comboEst(plus, el, er)
     }
   }
 

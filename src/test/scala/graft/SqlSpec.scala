@@ -1369,6 +1369,70 @@ class SqlSpec extends AnyFunSuite {
     }
   }
 
+  test("± combinations and COUNT(DISTINCT) ride bucketed GROUP BY on the text plane") {
+    // r16 late: the last bucket-plane asymmetries — `SUM(a) − COUNT(*)`
+    // per calendar bucket (each linear term per bucket, combined with
+    // interval-arithmetic CIs) and per-bucket distinct counts (dictionary
+    // enumeration under the bucket's range atoms; under OR, the UNION of
+    // both branches' enumerations — set semantics, never the IE sum)
+    views
+    def estGroups(sql: String): Map[String, Double] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.mkString("|") -> e.value }.toMap
+        case other                    => fail(s"expected groups, got $other")
+      }
+    val cSql = """SELECT year(o_orderdate), SUM(o_totalprice) - COUNT(*) FROM orders
+                  GROUP BY year(o_orderdate)""".stripMargin
+    val cExact = spark.sql(cSql).collect()
+      .map(r => r.getInt(0).toString -> r.getDouble(1)).toMap
+    val cEst = estGroups(cSql)
+    assert(cEst.keySet == cExact.keySet, s"combo keys ${cEst.keySet} vs ${cExact.keySet}")
+    cExact.foreach { case (k, v) =>
+      assert(qerr(cEst(k), v) <= 1.5, s"bucket ± cell $k: ${cEst(k)} vs $v")
+    }
+    // the same combination under a cross-column disjunction
+    val coSql = """SELECT year(o_orderdate), SUM(o_totalprice) - COUNT(*) FROM orders
+                   WHERE (o_orderpriority = '1-URGENT') OR (o_totalprice > 200000)
+                   GROUP BY year(o_orderdate)""".stripMargin
+    val coExact = spark.sql(coSql).collect()
+      .map(r => r.getInt(0).toString -> r.getDouble(1)).toMap
+    val coEst = estGroups(coSql)
+    (coEst.keySet intersect coExact.keySet).foreach { k =>
+      assert(qerr(coEst(k), coExact(k)) <= 1.5, s"OR ± cell $k: ${coEst(k)} vs ${coExact(k)}")
+    }
+    // per-bucket distinct counts, plain and disjunctive
+    val dSql = """SELECT year(o_orderdate), COUNT(DISTINCT o_orderpriority) FROM orders
+                  GROUP BY year(o_orderdate)""".stripMargin
+    val dExact = spark.sql(dSql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    val dEst = estGroups(dSql)
+    assert(dEst.keySet == dExact.keySet)
+    dExact.foreach { case (k, v) =>
+      assert(math.abs(dEst(k) - v) <= 1.0, s"bucket distinct cell $k: ${dEst(k)} vs $v")
+    }
+    val doSql = """SELECT year(o_orderdate), COUNT(DISTINCT o_orderpriority) FROM orders
+                   WHERE (o_orderpriority = '1-URGENT') OR (o_totalprice > 300000)
+                   GROUP BY year(o_orderdate)""".stripMargin
+    val doExact = spark.sql(doSql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    val doEst = estGroups(doSql)
+    (doEst.keySet intersect doExact.keySet).foreach { k =>
+      assert(math.abs(doEst(k) - doExact(k)) <= 2.0,
+        s"OR distinct cell $k: ${doEst(k)} vs ${doExact(k)}")
+    }
+    // bucket × dim × ± composes through the same tuple machinery
+    val mSql = """SELECT year(o_orderdate), o_orderpriority, SUM(o_totalprice) - COUNT(*)
+                  FROM orders GROUP BY year(o_orderdate), o_orderpriority""".stripMargin
+    val mExact = spark.sql(mSql).collect()
+      .map(r => s"${r.getInt(0)}|${r.getString(1)}" -> r.getDouble(2)).toMap
+    val mEst = estGroups(mSql)
+    (mEst.keySet intersect mExact.keySet).foreach { k =>
+      assert(qerr(mEst(k), mExact(k)) <= 2.0, s"bucket×dim ± cell $k: ${mEst(k)} vs ${mExact(k)}")
+    }
+    assert((mExact.keySet diff mEst.keySet).isEmpty || mExact.size > mEst.size,
+      "bucket×dim ± must enumerate the shared universe")
+  }
+
   test("tumbling and sliding window grouping on the text plane") {
     // r16 late: `GROUP BY window(ts, '<size>'[, '<slide>'])` — keys render
     // as the exact plane's struct Row.toString ("[start,end]" with
