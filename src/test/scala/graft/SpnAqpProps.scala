@@ -258,4 +258,53 @@ object SpnAqpProps extends Properties("spn_aqp") {
           s"${if (exact.isNullAt(1)) "null" else exact.getDouble(1)}")
       okPlan && okInvariant && okAgreement && okCount
     }
+
+  // ---- the sliding-window semantics contract (r16) ----
+  // rewriteSliding VERIFIES at rule time that the analyzer's Expand
+  // lowering enumerates exactly the canonical windows; this property pins
+  // the contract itself against the ENGINE: for random (size, slide) and
+  // random timestamps (boundary-heavy), Spark's exact `GROUP BY
+  // window(ts, size, slide)` counts must equal the canonical
+  // {(s, s+size) : s ≡ 0 (mod slide), s ≤ t < s+size} enumeration
+  // computed independently here. If a Spark upgrade ever changes the
+  // lowering semantics, this fails loudly — and the recognizer's probe
+  // verification falls back on the same change, so answers stay right.
+  private val winGen: Gen[(Int, Int, Seq[Long])] = for {
+    slideMin <- Gen.choose(1, 6)
+    over <- Gen.choose(1, 4) // size = over × slide ± remainder (non-divisible too)
+    rem <- Gen.choose(0, slideMin - 1)
+    sizeMin = slideMin * over + (if (over > 1) rem else 0)
+    n <- Gen.choose(15, 40)
+    // boundary-heavy offsets: exact slide multiples, ±1 s, interior
+    offs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.choose(0L, 6L * 3600).map(t => t - t % (slideMin * 60L)),
+      Gen.choose(0L, 6L * 3600).map(t => t - t % (slideMin * 60L) + 1),
+      Gen.choose(1L, 6L * 3600).map(t => t - t % (slideMin * 60L) - 1),
+      Gen.choose(0L, 6L * 3600)))
+  } yield (sizeMin, slideMin, offs)
+
+  property("sliding window lowering matches the canonical enumeration") =
+    forAll(winGen) { case (sizeMin, slideMin, offs) =>
+      val size = sizeMin * 60L
+      val slide = slideMin * 60L
+      val base = 1704067200L // 2024-01-01 00:00:00 UTC
+      import spark.implicits._
+      val rows = offs.map(o => new java.sql.Timestamp((base + o) * 1000L))
+      rows.toDF("ts").createOrReplaceTempView("winprop")
+      val got = spark.sql(
+        s"""SELECT window(ts, '$sizeMin minutes', '$slideMin minutes') AS w, count(*) AS n
+           |FROM winprop GROUP BY window(ts, '$sizeMin minutes', '$slideMin minutes')"""
+          .stripMargin)
+        .collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).getTime / 1000L, r.getLong(1))).toMap
+      val want = rows.map(_.getTime / 1000L).flatMap { t =>
+        val kMax = java.lang.Math.floorDiv(t, slide)
+        val kMin = java.lang.Math.floorDiv(t - size, slide) + 1
+        (kMin to kMax).map(_ * slide)
+      }.groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+      if (got != want)
+        println(s"FAIL window($sizeMin m, $slideMin m): " +
+          s"engine ${got.toSeq.sorted.take(5)}... vs canonical ${want.toSeq.sorted.take(5)}...")
+      got == want
+    }
 }
