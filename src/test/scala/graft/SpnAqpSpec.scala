@@ -2224,6 +2224,23 @@ class SpnAqpSpec extends AnyFunSuite {
          GROUP BY window(ts, '12 hours', '6 hours'), event_type""".stripMargin)
     assert(isRewritten(dDf), s"sliding × dim must fold:\n${dDf.queryExecution.optimizedPlan}")
     assert(dDf.collect().nonEmpty)
+    // cross-column ORs distribute into every sliding bucket through the
+    // shared shape dispatch, like any calendar bucket
+    val orSql = """SELECT window(ts, '12 hours', '6 hours') AS w, count(*) AS n
+                   FROM events
+                   WHERE (event_type = 'purchase') OR (value > 400)
+                   GROUP BY window(ts, '12 hours', '6 hours')""".stripMargin
+    val orExact = session(aqp = false).sql(orSql).collect()
+      .map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    val orDf = session(aqp = true).sql(orSql)
+    assert(isRewritten(orDf), s"sliding × OR must fold:\n${orDf.queryExecution.optimizedPlan}")
+    val orEst = orDf.collect().map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    // OR-window cells at this SF hold ~5-10 rows — the same sparse-cell
+    // tolerance the hour-of-day pin uses
+    (orEst.keySet intersect orExact.keySet).foreach { k =>
+      assert(qerr(orEst(k), orExact(k)) <= 3.0 || math.abs(orEst(k) - orExact(k)) <= 10.0,
+        s"sliding OR window $k: ${orEst(k)} vs ${orExact(k)}")
+    }
     // fallback: the FULL 30-day hourly-slide span exceeds the 400-bucket cap
     val fullSpan = session(aqp = true).sql(
       """SELECT window(ts, '2 hours', '1 hour') AS w, count(*) AS n

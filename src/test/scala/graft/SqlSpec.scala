@@ -1493,6 +1493,28 @@ class SqlSpec extends AnyFunSuite {
       assert(qerr(wEst(k), wExact(k)) <= 3.0 || math.abs(wEst(k) - wExact(k)) <= 500.0,
         s"window SUM cell $k: ${wEst(k)} vs ${wExact(k)}")
     }
+    // the r16 bucket-plane closures compose with window buckets through
+    // the SAME orTupleRows quadrants: per-window distinct counts and ±
+    // combinations, incl. under a cross-column disjunction
+    val cdSql = """SELECT window(ts, '1 day'), COUNT(DISTINCT event_type) FROM events
+                   GROUP BY window(ts, '1 day')""".stripMargin
+    val cdExact = spark.sql(cdSql).collect()
+      .map(r => r.getStruct(0).toString -> r.getLong(1).toDouble).toMap
+    val cdEst = estGroups(cdSql)
+    assert(cdEst.keySet == cdExact.keySet)
+    cdExact.foreach { case (k, v) =>
+      assert(math.abs(cdEst(k) - v) <= 1.0, s"window distinct cell $k: ${cdEst(k)} vs $v")
+    }
+    val cbSql = """SELECT window(ts, '1 day'), SUM(value) - COUNT(*) FROM events
+                   WHERE (event_type = 'purchase') OR (value > 400)
+                   GROUP BY window(ts, '1 day')""".stripMargin
+    val cbExact = spark.sql(cbSql).collect()
+      .map(r => r.getStruct(0).toString -> r.getDouble(1)).toMap
+    val cbEst = estGroups(cbSql)
+    (cbEst.keySet intersect cbExact.keySet).foreach { k =>
+      assert(qerr(cbEst(k), cbExact(k)) <= 3.0 || math.abs(cbEst(k) - cbExact(k)) <= 500.0,
+        s"window OR ± cell $k: ${cbEst(k)} vs ${cbExact(k)}")
+    }
     // the full 30-day hourly series is past the 400-bucket cap: loud
     intercept[Exception] {
       estGroups("SELECT window(ts, '1 hour'), COUNT(*) FROM events GROUP BY window(ts, '1 hour')")
