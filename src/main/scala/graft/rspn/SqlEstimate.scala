@@ -676,13 +676,7 @@ object SqlEstimate {
           Ensemble.estAggOr(spns, q.tables, a, b, Map((ta, ca) -> 1, (tb, cb) -> 1))
         case Combo(plus, l, r) =>
           comboEst(plus, scalarOrTerm(spns, q, a, b, l), scalarOrTerm(spns, q, a, b, r))
-        case CountDistinct(t, c) =>
-          require(modelColOf(spns, t, c).dict.nonEmpty,
-            s"COUNT(DISTINCT $c): not a categorical model column")
-          val k = (Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), a).map(_._1) ++
-            Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), b).map(_._1))
-            .distinct.length.toDouble
-          Ensemble.Estimate(k, k, k)
+        case CountDistinct(t, c) => distinctCount(spns, q.tables, (t, c), Seq(a, b))
       }))
     case (one, two) => one.orElse(two) match {
       case None => Nil
@@ -726,12 +720,7 @@ object SqlEstimate {
             Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), p)
           case Combo(plus, l, r) =>
             comboEst(plus, scalarTerm(spns, q, p, l), scalarTerm(spns, q, p, r))
-          case CountDistinct(t, c) =>
-            require(modelColOf(spns, t, c).dict.nonEmpty,
-              s"COUNT(DISTINCT $c): not a categorical model column")
-            val k = Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), p)
-              .length.toDouble
-            Ensemble.Estimate(k, k, k)
+          case CountDistinct(t, c) => distinctCount(spns, q.tables, (t, c), Seq(p))
         }))
     }
   }
@@ -788,6 +777,34 @@ object SqlEstimate {
         Map((ta, ca) -> 1, (tb, cb) -> 1), a, b)
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with OR and bucketed GROUP BY")
+  }
+
+  /** COUNT(DISTINCT col) support size over one-or-two predicate branches:
+    * dictionary enumeration for cat-modeled columns, realized-value
+    * support for num-modeled ones (the Catalyst plane's
+    * CountDistinctNumOut, r16 late); branches UNION — set semantics,
+    * never the inclusion-exclusion sum. Loud when a numeric support runs
+    * past its 4096 enumeration cap (a near-continuous column's sampled
+    * support is not a faithful distinct count — the text-plane contract
+    * fails rather than guesses).
+    */
+  private def distinctCount(
+      spns: Map[String, Ensemble.TrainedSpn], tables: Set[String],
+      tc: (String, String),
+      branches: Seq[Map[(String, String), ColRange]]): Ensemble.Estimate = {
+    val mc = modelColOf(spns, tc._1, tc._2)
+    val k =
+      if (mc.dict.nonEmpty)
+        branches.flatMap(p =>
+          Ensemble.estGroupByMulti(spns, tables, Seq(tc), p).map(_._1))
+          .distinct.length.toDouble
+      else
+        branches.flatMap { p =>
+          Ensemble.numericSupport(spns, tables, tc, p).getOrElse(
+            throw new IllegalArgumentException(
+              s"COUNT(DISTINCT ${tc._2}): realized support exceeds the enumeration cap"))
+        }.distinct.length.toDouble
+    Ensemble.Estimate(k, k, k)
   }
 
   /** Interval-arithmetic ± of two estimates — conservative, since the
@@ -988,12 +1005,7 @@ object SqlEstimate {
     case SumProduct(ta, ca, tb, cb) =>
       Ensemble.estAggOr(spns, q.tables, preds, predsB, Map((ta, ca) -> 1, (tb, cb) -> 1))
     case CountDistinct(t, c) =>
-      require(modelColOf(spns, t, c).dict.nonEmpty,
-        s"COUNT(DISTINCT $c): not a categorical model column")
-      val k = (Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), preds).map(_._1) ++
-        Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), predsB).map(_._1))
-        .distinct.length.toDouble
-      Ensemble.Estimate(k, k, k)
+      distinctCount(spns, q.tables, (t, c), Seq(preds, predsB))
     case Combo(plus, l, r) =>
       val el = scalarOrOf(spns, q.copy(agg = l), preds, predsB)
       val er = scalarOrOf(spns, q.copy(agg = r), preds, predsB)
@@ -1007,14 +1019,11 @@ object SqlEstimate {
       preds: Map[(String, String), ColRange]): Ensemble.Estimate = q.agg match {
     case Count     => Ensemble.estCount(spns, q.tables, preds)
     case CountDistinct(t, c) =>
-      // the categorical dictionary is the column's complete domain: the
-      // nonzero-probability group enumeration IS the distinct set under the
-      // predicates (degenerate CI — the enumeration is a set size, not a
-      // scaled expectation)
-      require(modelColOf(spns, t, c).dict.nonEmpty,
-        s"COUNT(DISTINCT $c): not a categorical model column")
-      val k = Ensemble.estGroupByMulti(spns, q.tables, Seq((t, c)), preds).length.toDouble
-      Ensemble.Estimate(k, k, k)
+      // a categorical dictionary is the column's complete domain, so the
+      // nonzero-probability enumeration IS the distinct set; num-modeled
+      // columns enumerate their realized-value support (r16 late —
+      // degenerate CI either way: a set size, not a scaled expectation)
+      distinctCount(spns, q.tables, (t, c), Seq(preds))
     case Sum(t, c) => Ensemble.estSum(spns, q.tables, (t, c), preds)
     case Avg(t, c) => Ensemble.estAvg(spns, q.tables, (t, c), preds)
     case SumProduct(ta, ca, tb, cb) =>

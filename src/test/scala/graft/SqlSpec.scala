@@ -341,10 +341,17 @@ class SqlSpec extends AnyFunSuite {
         assert(rows.map { case (g, e) => g.head -> e.value }.toMap == exactG)
       case other => fail(s"expected Groups, got $other")
     }
-    // numeric distinct: fine exactly, loud on the model plane (no dictionary)
+    // numeric distinct: fine exactly; the model plane answers from the
+    // mass-filtered realized support since r16 (at this SF the training
+    // sample is the table, so the full-domain count is exact)
     val nSql = "SELECT COUNT(DISTINCT l_quantity) FROM lineitem"
-    assert(SqlExact.compile(spark, sf, nSql).head().getDouble(0) == exactScalar(nSql))
-    intercept[IllegalArgumentException](SqlEstimate.estimate(ens, nSql))
+    val nExact = exactScalar(nSql)
+    assert(SqlExact.compile(spark, sf, nSql).head().getDouble(0) == nExact)
+    SqlEstimate.estimate(ens, nSql) match {
+      case SqlEstimate.Scalar(e) =>
+        assert(math.abs(e.value - nExact) <= 2.0, s"num distinct: ${e.value} vs $nExact")
+      case other => fail(s"expected Scalar, got $other")
+    }
     // not linear: rejected from +/- combinations at parse
     intercept[IllegalArgumentException](SqlParser.parseQuery(
       "SELECT COUNT(DISTINCT l_linestatus) + COUNT(*) FROM lineitem"))
@@ -1431,6 +1438,42 @@ class SqlSpec extends AnyFunSuite {
     }
     assert((mExact.keySet diff mEst.keySet).isEmpty || mExact.size > mEst.size,
       "bucket×dim ± must enumerate the shared universe")
+  }
+
+  test("COUNT(DISTINCT <num-modeled>) answers via realized-value support on the text plane") {
+    // r16 late parity with the Catalyst plane's CountDistinctNumOut: a
+    // num-modeled column's distinct count enumerates its mass-filtered
+    // realized support (at sf0.001 the training sample IS the table, so
+    // same-column-predicate shapes are exact); under OR the branches
+    // UNION. A column outside the model keeps failing loudly.
+    views
+    val sql = """SELECT COUNT(DISTINCT l_quantity) FROM lineitem
+                 WHERE l_quantity >= 10 AND l_quantity < 30""".stripMargin
+    val exact = spark.sql(sql).head().getLong(0).toDouble
+    val est = estScalar(sql)
+    assert(math.abs(est - exact) <= 2.0, s"num distinct: $est vs $exact")
+    val orSql = """SELECT COUNT(DISTINCT l_quantity) FROM lineitem
+                   WHERE (l_quantity < 5) OR (l_quantity >= 45)""".stripMargin
+    val orExact = spark.sql(orSql).head().getLong(0).toDouble
+    val orEst = estScalar(orSql)
+    assert(math.abs(orEst - orExact) <= 2.0, s"num distinct OR: $orEst vs $orExact")
+    // per calendar bucket, through the same orTupleRows scalar quadrant
+    val bSql = """SELECT year(o_orderdate), COUNT(DISTINCT o_orderpriority) FROM orders
+                  WHERE o_totalprice > 100000 GROUP BY year(o_orderdate)""".stripMargin
+    val bExact = spark.sql(bSql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    val bEst = SqlEstimate.estimate(ens, bSql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.mkString("|") -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    (bEst.keySet intersect bExact.keySet).foreach { k =>
+      assert(math.abs(bEst(k) - bExact(k)) <= 1.0,
+        s"bucket distinct cell $k: ${bEst(k)} vs ${bExact(k)}")
+    }
+    // unmodeled columns stay loud
+    intercept[Exception] {
+      estScalar("SELECT COUNT(DISTINCT l_orderkey) FROM lineitem")
+    }
   }
 
   test("tumbling and sliding window grouping on the text plane") {
