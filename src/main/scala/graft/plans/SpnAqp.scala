@@ -1236,6 +1236,42 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // under the same 400-bucket/predicate-narrowed-span economics
       case Cast(a: AttributeReference, DateType, _, _) =>
         linear(a, identity, _.plusDays(1), d => java.sql.Date.valueOf(d))
+      // `GROUP BY date_format(d, 'yyyy-MM')` — the string-keyed dashboard
+      // spelling (r16 late): any format WITHOUT sub-day or zone pattern
+      // letters is constant within a day, so DAILY buckets evaluated
+      // through the expression's OWN eval (exact Spark semantics — same
+      // formatter, same UTC session) and MERGED on equal keys answer
+      // every such format — 'yyyy-MM' merges to months, 'EEEE' to seven
+      // weekday keys — under the usual 400-day narrowed-span economics.
+      // A sub-day/zone letter (quoted or not — quoted text only costs an
+      // unnecessary fallback, never a wrong key) falls through.
+      case dfm @ org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          DateAttr(a), Literal(fmt: org.apache.spark.unsafe.types.UTF8String, _), _)
+          if !"HkKhmsSaAVzOXxZn".exists(ch => fmt.toString.contains(ch)) =>
+        def dayLit(d: LocalDate): Literal = a.dataType match {
+          case DateType => Literal(d.toEpochDay.toInt, DateType)
+          case dt       => Literal(d.toEpochDay * 86400L * 1000000L, dt)
+        }
+        both(a) { (lo, hi) =>
+          val days = Iterator.iterate(lo)(_.plusDays(1))
+            .takeWhile(!_.isAfter(hi)).take(401).toSeq
+          if (days.length > 400) None
+          else {
+            val keyed = days.map { d =>
+              scala.util.Try(dfm.transform {
+                case ar: AttributeReference if ar.exprId == a.exprId => dayLit(d)
+              }.eval(null)).toOption.collect {
+                case s: org.apache.spark.unsafe.types.UTF8String =>
+                  (s.toString: Any,
+                    Seq((d.toEpochDay.toDouble, d.toEpochDay + 1.0)))
+              }
+            }
+            if (keyed.exists(_.isEmpty)) None
+            else Some(keyed.flatten.groupBy(_._1).map { case (k, grp) =>
+              (k, grp.flatMap(_._2).sortBy(_._1))
+            }.toSeq)
+          }
+        }
       // tumbling `window(ts, '...')` struct (r16, secs-only) — verified
       // numerically by tumblingWindow above
       case cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>

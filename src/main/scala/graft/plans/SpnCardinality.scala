@@ -1034,6 +1034,26 @@ object SpnPlanning {
           |ORDER BY w.start""".stripMargin)
     },
 
+    // Round 16 late: `GROUP BY date_format(d, 'yyyy-MM')` — the
+    // string-keyed dashboard spelling folds as daily buckets evaluated
+    // through the expression's own eval and MERGED on equal keys (exact
+    // Spark formatter semantics; sub-day/zone pattern letters fall back).
+    // SpnAqpSpec pins daily/month/weekday merges and both fallbacks
+    // against the exact plane; rows>0 is the Verify contract here.
+    Op.noOracle("aqp_transparent_dateformat") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders")
+      s2.sql(
+        """SELECT date_format(o_orderdate, 'yyyy-MM') AS m, count(*) AS n,
+          |       avg(o_totalprice) AS ap
+          |FROM orders
+          |WHERE o_orderdate >= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'
+          |GROUP BY date_format(o_orderdate, 'yyyy-MM')
+          |ORDER BY m""".stripMargin)
+    },
+
     Op.noOracle("aqp_transparent_binexpr") { (s, d) =>
       val s2 = s.newSession()
       s2.conf.set("spark.graft.spn.sfDir", d)

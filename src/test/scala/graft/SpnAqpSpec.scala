@@ -2294,6 +2294,59 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(dau), "count(DISTINCT <unmodeled key>) must fall back")
   }
 
+  test("date_format grouping folds as merged daily buckets") {
+    // the string-keyed dashboard spelling: daily buckets evaluated
+    // through the expression's own eval and MERGED on equal keys — one
+    // recognizer answers 'yyyy-MM-dd' (identity), 'yyyy-MM' (12 keys/yr)
+    // and 'EEEE' (7 keys) alike with exact Spark formatter semantics
+    val dSql = """SELECT date_format(ts, 'yyyy-MM-dd') AS d, count(*) AS n
+                  FROM events GROUP BY date_format(ts, 'yyyy-MM-dd')""".stripMargin
+    val dExact = session(aqp = false).sql(dSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val dDf = session(aqp = true).sql(dSql)
+    assert(isRewritten(dDf), s"daily date_format must fold:\n${dDf.queryExecution.optimizedPlan}")
+    val dEst = dDf.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(dEst.keySet == dExact.keySet, s"day keys ${dEst.keySet} vs ${dExact.keySet}")
+    dExact.foreach { case (k, v) =>
+      assert(qerr(dEst(k), v) <= 2.0 || math.abs(dEst(k) - v) <= 5.0, s"day $k: ${dEst(k)} vs $v")
+    }
+    // month keys MERGE ~30 daily buckets each (under a narrowed span —
+    // the full 7-year orders domain is past the 400-day cap, see below)
+    val mSql = """SELECT date_format(o_orderdate, 'yyyy-MM') AS m, count(*) AS n
+                  FROM orders
+                  WHERE o_orderdate >= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'
+                  GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin
+    val mExact = session(aqp = false).sql(mSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val mDf = session(aqp = true).sql(mSql)
+    assert(isRewritten(mDf), s"month date_format must fold:\n${mDf.queryExecution.optimizedPlan}")
+    val mEst = mDf.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(mEst.keySet == mExact.keySet, s"month keys ${mEst.keySet} vs ${mExact.keySet}")
+    assert(mEst.keySet.forall(_.matches("1996-\\d\\d")))
+    mExact.foreach { case (k, v) =>
+      assert(qerr(mEst(k), v) <= 1.5, s"month $k: ${mEst(k)} vs $v")
+    }
+    // weekday names merge to seven keys through the same machinery
+    val wDf = session(aqp = true).sql(
+      """SELECT date_format(o_orderdate, 'EEEE') AS wd, count(*) AS n
+         FROM orders
+         WHERE o_orderdate >= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'
+         GROUP BY date_format(o_orderdate, 'EEEE')""".stripMargin)
+    assert(isRewritten(wDf), s"weekday date_format must fold:\n${wDf.queryExecution.optimizedPlan}")
+    val wdKeys = wDf.collect().map(_.getString(0)).toSet
+    assert(wdKeys == Set("Monday", "Tuesday", "Wednesday", "Thursday",
+      "Friday", "Saturday", "Sunday"), s"weekday keys: $wdKeys")
+    // fallbacks: a sub-day pattern letter, and the uncapped 7-year span
+    val subDay = session(aqp = true).sql(
+      """SELECT date_format(ts, 'yyyy-MM-dd HH') AS h, count(*) AS n
+         FROM events GROUP BY date_format(ts, 'yyyy-MM-dd HH')""".stripMargin)
+    assert(!isRewritten(subDay), "a sub-day format must fall back")
+    val fullSpan = session(aqp = true).sql(
+      """SELECT date_format(o_orderdate, 'yyyy-MM') AS m, count(*) AS n
+         FROM orders GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin)
+    assert(!isRewritten(fullSpan), "a ~2500-day span must fall back at the 400-day cap")
+  }
+
   test("per-bucket MIN/MAX fold; session windows honestly fall back") {
     // MIN/MAX over a num-modeled column composes with the calendar bucket
     // fold through the shared OutCol dispatch (realized-extreme under the
