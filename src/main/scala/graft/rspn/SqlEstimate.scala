@@ -423,6 +423,37 @@ object SqlEstimate {
       // rounded value itself)
       if (fn.contains(':')) {
         val parts = fn.split(':')
+        // `date_format(col, '<fmt>')` buckets (r16 late, parity with the
+        // Catalyst fold): daily buckets keyed by the format's own value —
+        // evaluated through SPARK'S formatter (a Catalyst DateFormatClass
+        // over each day's midnight, UTC), so keys match the exact plane
+        // bit-for-bit — and MERGED on equal keys ('yyyy-MM' → months,
+        // 'EEEE' → weekdays). The format may contain colons: substring
+        // past the prefix, never split.
+        if (parts(0) == "datefmt") {
+          val fmt = fn.substring("datefmt:".length)
+          val dLo = java.time.LocalDate.ofEpochDay(math.floor(dom._1 / units).toLong)
+          val dHi = java.time.LocalDate.ofEpochDay(math.floor(dom._2 / units).toLong)
+          val days = Iterator.iterate(dLo)(_.plusDays(1))
+            .takeWhile(!_.isAfter(dHi)).take(401).toSeq
+          require(days.length <= 400,
+            s"GROUP BY date_format($c): ${days.length} domain days exceed the 400-bucket cap")
+          val fmtLit = org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
+            org.apache.spark.sql.types.StringType)
+          return days.map { d =>
+            val key = org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                d.toEpochDay * 86400L * 1000000L,
+                org.apache.spark.sql.types.TimestampType),
+              fmtLit, Some("UTC")).eval(null).toString
+            key -> NumRange(d.toEpochDay * units, (d.toEpochDay + 1) * units,
+              loIncl = true, hiIncl = false)
+          }.groupBy(_._1).toSeq.map { case (k, grp) =>
+            k -> ColRangeOps.normalize(grp.map(_._2))
+              .getOrElse(NominalSet(Array.empty[Double]))
+          }
+        }
         return parts(0) match {
           // tumbling/sliding window buckets (r16 late): every slide-aligned
           // start whose [s, s+size) span meets the predicate-narrowed

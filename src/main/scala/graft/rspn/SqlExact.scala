@@ -61,6 +61,9 @@ object SqlExact {
       // plane groups by the matching Spark functions
       val parts = fn.split(':')
       parts(0) match {
+        // the format substring may itself contain colons — substring past
+        // the prefix, never split
+        case "datefmt"      => date_format(col(c), fn.substring("datefmt:".length))
         case "year"         => year(col(c))
         case "month"        => month(col(c))
         case "quarter"      => quarter(col(c))

@@ -235,6 +235,16 @@ object SqlParser {
   // is NOT parsed — it fails on the uniform unsupported-shape channel.
   private val windowRe: Regex =
     """(?i)^WINDOW\s*\(\s*(\w+)\s*,\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)$""".r
+  // `DATE_FORMAT(col, '<fmt>')` grouping (r16 late, parity with the
+  // Catalyst date_format fold): any format WITHOUT sub-day or zone
+  // pattern letters is constant within a day, so daily buckets keyed by
+  // the format's own value (evaluated through Spark's formatter) merge on
+  // equal keys. Encoded as "datefmt:<fmt>" — consumers substring past the
+  // prefix rather than split on ':' (a format may contain colons).
+  private val dateFmtRe: Regex =
+    """(?i)^DATE_FORMAT\s*\(\s*(\w+)\s*,\s*'([^']*)'\s*\)$""".r
+  private def dayGranular(fmt: String): Boolean =
+    !"HkKhmsSaAVzOXxZn".exists(ch => fmt.contains(ch))
   private val durationRe: Regex = """(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$""".r
   private def durationSec(s: String): Long = s match {
     case durationRe(n, unit) =>
@@ -262,6 +272,7 @@ object SqlParser {
     case windowRe(c, size, slide) =>
       val sz = durationSec(size)
       Some((s"window:$sz:${Option(slide).map(durationSec).getOrElse(sz)}", c))
+    case dateFmtRe(c, fmt) if dayGranular(fmt) => Some((s"datefmt:$fmt", c))
     case _                        => None
   }
 
@@ -417,6 +428,7 @@ object SqlParser {
         // express their boundaries), arithmetic bins a num-modeled one
         val okKinds: Set[String] =
           if (fn.startsWith("window:")) Set("secs") // step-aligned epoch-second slices
+          else if (fn.startsWith("datefmt:")) Set("days", "secs") // day-granular formats
           else if (!isCalendarFn(fn)) Set("num")
           else if (fn == "hour" || fn == "minute") Set("secs")
           else Set("days", "secs")

@@ -1440,6 +1440,54 @@ class SqlSpec extends AnyFunSuite {
       "bucket×dim ± must enumerate the shared universe")
   }
 
+  test("date_format grouping folds as merged daily buckets on the text plane") {
+    // r16 late parity with the Catalyst date_format fold: keys evaluate
+    // through SPARK'S own formatter (Catalyst DateFormatClass at each
+    // day's UTC midnight), so they match the exact plane bit-for-bit;
+    // equal keys merge their day ranges ('yyyy-MM' → months, 'EEEE' → 7)
+    views
+    schema.Tables(spark, sf, "events").createOrReplaceTempView("events")
+    def estGroups(sql: String): Map[String, Double] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.mkString("|") -> e.value }.toMap
+        case other                    => fail(s"expected groups, got $other")
+      }
+    val mSql = """SELECT date_format(o_orderdate, 'yyyy-MM'), COUNT(*) FROM orders
+                  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+                  GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin
+    val mExact = spark.sql(mSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val mEst = estGroups(mSql)
+    assert(mEst.keySet == mExact.keySet, s"month keys ${mEst.keySet} vs ${mExact.keySet}")
+    mExact.foreach { case (k, v) =>
+      assert(qerr(mEst(k), v) <= 1.5, s"month $k: ${mEst(k)} vs $v")
+    }
+    // weekday merge over the secs-modeled stream column (units ×86 400)
+    val wSql = """SELECT date_format(ts, 'EEEE'), SUM(value) FROM events
+                  GROUP BY date_format(ts, 'EEEE')""".stripMargin
+    val wExact = spark.sql(wSql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wEst = estGroups(wSql)
+    assert(wEst.keySet == wExact.keySet, s"weekday keys ${wEst.keySet} vs ${wExact.keySet}")
+    wExact.foreach { case (k, v) =>
+      assert(qerr(wEst(k), v) <= 1.5, s"weekday $k: ${wEst(k)} vs $v")
+    }
+    // SqlExact compiles the same grouping; keys agree with spark.sql
+    val gotExact = SqlExact.compile(spark, sf, mSql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotExact.keySet == mExact.keySet)
+    // sub-day formats never parse as a bucket expression: loud
+    intercept[Exception] {
+      estGroups("""SELECT date_format(ts, 'yyyy-MM-dd HH'), COUNT(*) FROM events
+                   GROUP BY date_format(ts, 'yyyy-MM-dd HH')""".stripMargin)
+    }
+    // the uncapped 7-year orders span is past the 400-day cap: loud
+    intercept[Exception] {
+      estGroups("""SELECT date_format(o_orderdate, 'yyyy-MM'), COUNT(*) FROM orders
+                   GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin)
+    }
+  }
+
   test("COUNT(DISTINCT <num-modeled>) answers via realized-value support on the text plane") {
     // r16 late parity with the Catalyst plane's CountDistinctNumOut: a
     // num-modeled column's distinct count enumerates its mass-filtered
