@@ -4,6 +4,10 @@ import scala.collection.mutable
 
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Timestamp group keys stringify via java.sql.Timestamp.toString (JVM
+    // default tz); pin UTC so results are host-independent like the
+    // session timeZone below.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // scale-sensitivity mode: SPARK_GRAFT_SF_DIRS=dir1,dir2 runs the whole
     // suite once per directory in ONE session and prints one JSON line per

@@ -156,12 +156,18 @@ object QErrorEval {
     */
   def computeTruth(spark: SparkSession, sfDir: String, qs: Seq[(Int, String)],
       cache: Boolean = true): Map[Int, Double] = {
-    // events rides along for the time-of-day workloads (r16 late);
-    // schema.Tables normalizes its ts NANOS/MICROS parquet variants
-    Seq("lineitem", "orders", "customer", "part", "supplier", "events").foreach { t =>
-      (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
-        .createOrReplaceTempView(t)
-    }
+    // events rides along for the time-of-day workloads (r16 late) — but
+    // only when the fixture ships it (r16 ADVICE: an events-less sfDir
+    // must keep TPC-H-only workloads working); schema.Tables normalizes
+    // its ts NANOS/MICROS parquet variants
+    val optional = Set("events")
+    Seq("lineitem", "orders", "customer", "part", "supplier", "events")
+      .filter(t => !optional(t) ||
+        java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir, s"$t.parquet")))
+      .foreach { t =>
+        (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
+          .createOrReplaceTempView(t)
+      }
     qs.map { case (no, sql) =>
       no -> (spark.sql(sql).head().get(0) match {
         case n: Number => n.doubleValue() // covers BigDecimal too
@@ -180,21 +186,20 @@ object QErrorEval {
     case _ => s
   }
 
-  /** KNOWN COLLISION (documented, r15 ADVICE): a genuine dictionary value
-    * "NULL" would alias both SQL NULL here and the grouping-set
-    * grouped-out marker in the GroupSets replay below. The collision is
-    * CONSISTENT — the exact-plane truth and the model-plane replay both
-    * print the same "NULL" string, so per-group grading still pairs the
-    * right cells — but such keys are ambiguous to a human reader. None of
-    * the committed fixtures carries a literal "NULL" dictionary value; a
-    * workload over one should switch this convention to an out-of-band
-    * marker on BOTH planes at once (never on one side only).
+  /** Out-of-band NULL marker (r16 ADVICE, closed r17): SQL NULL and a
+    * grouped-out grouping-set column both print "NULL"; a GENUINE value
+    * that would collide ("NULL", "=NULL", "==NULL", ...) is prefix-escaped
+    * with '='. Invertible, and applied on BOTH planes (exact keyStr +
+    * model-plane key normalization) so per-group grading stays paired.
     */
+  private[graft] def encodeGenuineKey(s: String): String =
+    if (s != null && s.matches("=*NULL")) "=" + s else s
+
   private def keyStr(v: Any): String = v match {
     case null                    => "NULL"
     case d: java.math.BigDecimal => normKeyPart(d.toPlainString)
     case n: Number               => normKeyPart(n.toString)
-    case other                   => normKeyPart(other.toString)
+    case other                   => encodeGenuineKey(normKeyPart(other.toString))
   }
 
   /** Exact-plane truth for ARBITRARY workload rows, grouped or scalar: every
@@ -206,12 +211,18 @@ object QErrorEval {
   def computeGroupTruth(
       spark: SparkSession, sfDir: String, qs: Seq[(Int, String)],
       cache: Boolean = true): Map[Int, Seq[(Seq[String], Double)]] = {
-    // events rides along for the time-of-day workloads (r16 late);
-    // schema.Tables normalizes its ts NANOS/MICROS parquet variants
-    Seq("lineitem", "orders", "customer", "part", "supplier", "events").foreach { t =>
-      (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
-        .createOrReplaceTempView(t)
-    }
+    // events rides along for the time-of-day workloads (r16 late) — but
+    // only when the fixture ships it (r16 ADVICE: an events-less sfDir
+    // must keep TPC-H-only workloads working); schema.Tables normalizes
+    // its ts NANOS/MICROS parquet variants
+    val optional = Set("events")
+    Seq("lineitem", "orders", "customer", "part", "supplier", "events")
+      .filter(t => !optional(t) ||
+        java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir, s"$t.parquet")))
+      .foreach { t =>
+        (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
+          .createOrReplaceTempView(t)
+      }
     qs.map { case (no, sql) =>
       val df = spark.sql(sql)
       val w = df.schema.length
@@ -255,10 +266,15 @@ object QErrorEval {
       // ROLLUP/CUBE rows replay as grouped rows (r15): a grouped-out key
       // column is SQL NULL on the exact plane, which computeGroupTruth's
       // keyStr prints as "NULL" — the same marker substitutes for None
-      // here, so grouping-set workload files grade per set combination
+      // here (genuine values encode through encodeGenuineKey FIRST, so a
+      // dictionary value "NULL" can never alias the marker), and the keys
+      // are fully normalized here — the Groups arm must not re-encode
+      def normEncode(s: String): String = encodeGenuineKey(normKeyPart(s))
+      val preNormalized = res0.isInstanceOf[SqlEstimate.GroupSets]
       val res = res0 match {
         case SqlEstimate.GroupSets(rows) =>
-          SqlEstimate.Groups(rows.map { case (k, e) => k.map(_.getOrElse("NULL")) -> e })
+          SqlEstimate.Groups(rows.map { case (k, e) =>
+            k.map(_.map(normEncode).getOrElse("NULL")) -> e })
         case other => other
       }
       res match {
@@ -280,12 +296,13 @@ object QErrorEval {
           if (tRows.nonEmpty && tRows.forall(_._1.isEmpty)) sys.error(
             s"workload query $no is grouped but its truth is scalar — " +
               "omit --truth (grouped truth is computed live from the exact plane)")
-          val estMap = estRows.map { case (k, e) => k.map(normKeyPart) -> e }.toMap
+          val estMap = estRows.map { case (k, e) =>
+            (if (preNormalized) k else k.map(normEncode)) -> e }.toMap
           // zero exact groups: every model-emitted group is spurious and
           // grades against truth 0 (a model that also returns nothing
           // scores a clean qerr-1 row)
           val spurious = if (tRows.nonEmpty) Nil else estRows.map { case (k, e) =>
-            GroupScore(k.map(normKeyPart), 0.0, e.value, qerr(e.value, 0.0),
+            GroupScore(if (preNormalized) k else k.map(normEncode), 0.0, e.value, qerr(e.value, 0.0),
               math.abs(e.value), e.ci95Lo, e.ci95Hi)
           }
           val gs = spurious ++ tRows.map { case (k, t) =>
@@ -406,6 +423,8 @@ object QErrorEval {
   }
 
   def main(args: Array[String]): Unit = {
+    // host-independent Timestamp.toString rendering (see Bench.main)
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

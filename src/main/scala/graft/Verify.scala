@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // host-independent Timestamp.toString rendering (see Bench.main)
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val sfDir = args(0)
     val outDir = args(1)
     // dev convenience: extra args scope the dump to the named queries

@@ -1310,7 +1310,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         if (subs.isEmpty || subs.map(_.canonicalized).distinct.length != 1) Nil
         else {
           val sub = subs.head
-          if (!outer.references.subsetOf(sub.references)) Nil
+          // overlapping-bucket generators (SlidingWindowMark) are excluded
+          // STRUCTURALLY: the equal-key MERGE below concatenates the inner
+          // buckets' interval lists and requires them disjoint (r16 ADVICE
+          // — previously unreachable only because the marker matched first)
+          val overlapping = sub.exists(_.isInstanceOf[SlidingWindowMark])
+          if (overlapping || !outer.references.subsetOf(sub.references)) Nil
           else gens(sub).map { g =>
             Gen(g.attr, g.kind, (lo, hi) => g.buckets(lo, hi).flatMap { bs =>
               val conv = CatalystTypeConverters.createToScalaConverter(outer.dataType)

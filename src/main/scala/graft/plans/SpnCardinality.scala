@@ -1027,11 +1027,12 @@ object SpnPlanning {
       s2.conf.set("spark.graft.aqp.enabled", "true")
       s2.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events")
       s2.sql(
-        """SELECT window(ts, '2 hours', '1 hour') AS w, count(*) AS n,
-          |       avg(value) AS av
-          |FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
-          |GROUP BY window(ts, '2 hours', '1 hour')
-          |ORDER BY w.start""".stripMargin)
+        """SELECT w.start AS ws, w.end AS we, n, av FROM (
+          |  SELECT window(ts, '2 hours', '1 hour') AS w, count(*) AS n,
+          |         avg(value) AS av
+          |  FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+          |  GROUP BY window(ts, '2 hours', '1 hour')
+          |) ORDER BY ws""".stripMargin)
     },
 
     // Round 16 late: `GROUP BY date_format(d, 'yyyy-MM')` — the

@@ -380,6 +380,10 @@ object SqlParser {
       // 400-tuple cap still fails loudly on genuinely fine products
       if (calSyntax.length > 3) fail(
         "at most three bucket grouping expressions (the bucket cross product)")
+      // Spark itself rejects >1 window expression per query — the planes
+      // must fail uniformly on that shape, not diverge (r16 ADVICE)
+      if (calSyntax.count(_._1.startsWith("window:")) > 1) fail(
+        "multiple WINDOW(...) grouping expressions (Spark allows one window per query)")
       if (selParts.length > 1) calSyntax.zipWithIndex.foreach { case ((fn, c), i) =>
         val leads = selParts.lift(i).exists(bucketExprOf(_).contains((fn, c)))
         if (!leads) fail(

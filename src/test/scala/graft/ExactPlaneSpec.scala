@@ -6,6 +6,10 @@ import org.scalatest.BeforeAndAfterAll
 
 /** Shared local session for all specs. */
 object TestSpark {
+  // Window/timestamp group keys render via java.sql.Timestamp.toString
+  // (JVM default tz); the committed truth CSVs are UTC-rendered, so pin
+  // the JVM default before any Timestamp is stringified on any host.
+  java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")

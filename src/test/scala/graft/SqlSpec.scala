@@ -1616,5 +1616,14 @@ class SqlSpec extends AnyFunSuite {
         """SELECT window(o_orderdate, '1 day'), COUNT(*) FROM orders
            GROUP BY window(o_orderdate, '1 day')""".stripMargin)
     }
+    // Spark allows ONE window expression per query — the text plane must
+    // fail the two-window shape, not answer what the exact plane throws on
+    // (r16 ADVICE)
+    val twoWin = intercept[IllegalArgumentException] {
+      estGroups(
+        """SELECT window(ts, '1 day'), window(ts, '2 days'), COUNT(*) FROM events
+           GROUP BY window(ts, '1 day'), window(ts, '2 days')""".stripMargin)
+    }
+    assert(twoWin.getMessage.contains("multiple WINDOW"), twoWin.getMessage)
   }
 }

@@ -373,6 +373,33 @@ class WorkloadSpec extends AnyFunSuite {
     assert(median <= 0.10, f"per-set median relative error $median%.4f > 0.10")
   }
 
+  test("truth computation works over an events-less fixture directory (r16 ADVICE)") {
+    // TPC-H-only fixtures (no events.parquet) must keep working: the
+    // events preload is presence-gated, not unconditional
+    val tmp = java.nio.file.Files.createTempDirectory("graft-noev")
+    Seq("lineitem", "orders", "customer", "part", "supplier").foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve(s"$t.parquet"), java.nio.file.Paths.get(sf, s"$t.parquet"))
+    }
+    val probe = Seq(1 -> "SELECT COUNT(*) FROM lineitem")
+    val truth = QErrorEval.computeTruth(spark, tmp.toString, probe, cache = false)
+    assert(truth(1) > 0)
+  }
+
+  test("the grouped-out NULL marker is out-of-band: genuine 'NULL'-ish values prefix-escape") {
+    // r16 ADVICE, closed r17: a dictionary value "NULL" can no longer
+    // alias SQL NULL / the grouping-set grouped-out marker — keyStr (exact
+    // plane) and the model-plane normalizer both route genuine values
+    // through encodeGenuineKey, which is injective away from the marker
+    assert(QErrorEval.encodeGenuineKey("NULL") == "=NULL")
+    assert(QErrorEval.encodeGenuineKey("=NULL") == "==NULL")
+    assert(QErrorEval.encodeGenuineKey("==NULL") == "===NULL")
+    assert(QErrorEval.encodeGenuineKey("null") == "null",  "case-sensitive: only the exact marker escapes")
+    assert(QErrorEval.encodeGenuineKey("NULLABLE") == "NULLABLE")
+    assert(QErrorEval.encodeGenuineKey("A=NULL") == "A=NULL")
+    assert(QErrorEval.encodeGenuineKey("EUROPE") == "EUROPE")
+  }
+
   test("the committed sf0.01 ROLLUP truth CSV matches live exact groups") {
     val g = QErrorEval.readWorkload("workloads/testdata_rollup_8.sql")
     val fromCsv = QErrorEval.readGroupTruthCsv(
