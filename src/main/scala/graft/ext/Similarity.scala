@@ -893,6 +893,27 @@ object Similarity {
         col("tbl") === col("tbl_r") && col("bucket") === col("bucket_r") &&
           col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    // DEGRADATION GUARD (r17, VERDICT item 5): at loose thresholds the
+    // AND-construction cannot separate signal from background (small k →
+    // uncorrelated pairs collide in some band with high probability) and
+    // candidates approach all-pairs BY MATH (header above). Make the
+    // regime OBSERVABLE instead of silent: an analytic warning always
+    // (zero extra jobs), measured counts under the diagnostics conf (two
+    // extra count jobs — [[cosineLshCandidateCounts]] for programmatic use).
+    val pBgAny = 1.0 - math.pow(1.0 - math.pow(0.5, k), nBands)
+    if (pBgAny > 0.5)
+      System.err.println(f"[graft] WARN: cosine LSH at threshold $threshold%.2f " +
+        f"(k=$k bits/band) collides an UNCORRELATED pair in >=1 of $nBands bands " +
+        f"w.p. $pBgAny%.2f - near-all-pairs candidate regime (cost = int-band " +
+        "join + exact recheck; recall intact). Production thresholds >=0.85 band selectively.")
+    if (s.conf.getOption("spark.graft.dedup.lshDiagnostics").contains("true")) {
+      val n = bucketed.count()
+      val nCand = cand.count()
+      val allPairs = n * (n - 1) / 2
+      System.err.println(f"[graft] cosine LSH diagnostics: threshold=$threshold%.2f k=$k " +
+        s"uniqueVectors=$n candidatePairs=$nCand allPairs=$allPairs " +
+        f"selectivity=${if (allPairs > 0) nCand.toDouble / allPairs else 0.0}%.4f")
+    }
     // exact recheck over canonical pairs; the members ride along for the
     // expansion (identical vectors ⇒ every member pair has the canonical
     // pair's exact cosine)
@@ -912,5 +933,27 @@ object Similarity {
       classes = bucketed.filter(selfCos >= threshold),
       metric = "cos",
       withinMetric = selfCos)
+  }
+
+  /** Measured banding selectivity at a threshold (r17): (unique vectors,
+    * banded candidate pairs) over the same memoized band keys
+    * [[cosineLshPairs]] uses — the observable behind the degradation
+    * guard, and the spec's handle on "the production threshold stays
+    * selective". Driver-side scalars, two count jobs.
+    */
+  def cosineLshCandidateCounts(
+      s: SparkSession, d: String, threshold: Double): (Long, Long) = {
+    cosineLshPairs(s, d, threshold) // populates the band-key memo (eager)
+    val bucketed: DataFrame = ModelCache.memo[DataFrame](s, d, s"cosine_band_keys_$threshold") {
+      sys.error("band keys must already be memoized by cosineLshPairs")
+    }
+    val ids = bucketed.select(col("vec_id"), posexplode(col("buckets")))
+      .toDF("id", "tbl", "bucket")
+    val cand = ids.select(col("id").as("a_id"), col("tbl"), col("bucket"))
+      .join(ids.select(col("id").as("b_id"), col("tbl").as("tbl_r"), col("bucket").as("bucket_r")),
+        col("tbl") === col("tbl_r") && col("bucket") === col("bucket_r") &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    (bucketed.count(), cand.count())
   }
 }

@@ -868,6 +868,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * one row or more falls back — SQL's NULL group is unproducible from
     * range buckets.
     */
+  /** Bucket-count caps by FOLD CLASS (r17): a pure-interval fold — ONE
+    * bucket generator, no dictionary/numeric dimension enumeration — costs
+    * exactly one range probe per bucket, so it carries a higher cap (the
+    * 720-bucket 30-day hourly dashboard folds whole); any fold that
+    * crosses bucket columns or enumerates dimensions keeps the 400-tuple
+    * accuracy/latency cap. Generators produce up to [[intervalCap]]
+    * buckets; the tuple assembly enforces the class split.
+    */
+  private[graft] val intervalCap = 2000
+  private[graft] val tupleCap = 400
+
   private def rewriteCalendar(agg: Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{DayOfWeek, Divide, Floor, Month, Quarter, Round, TruncTimestamp, WidthBucket, Year}
     import org.apache.spark.sql.types.{DateType, TimestampType}
@@ -936,8 +947,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         val start = floor(lo)
         val endEx = advance(floor(hi))
         val starts = Iterator.iterate(start)(advance)
-          .takeWhile(_.isBefore(endEx)).take(401).toSeq
-        if (starts.length > 400) None
+          .takeWhile(_.isBefore(endEx)).take(intervalCap + 1).toSeq
+        if (starts.length > intervalCap) None
         else Some(starts.map(b =>
           (keyOf(b), Seq((b.toEpochDay.toDouble, advance(b).toEpochDay.toDouble)))))
       }
@@ -980,7 +991,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       Seq(Gen(a, "secs", (lo, hi) => {
         val bLo = math.floor(lo / stepSec).toLong
         val bHi = math.floor(hi / stepSec).toLong
-        if (bHi - bLo + 1 > 400) None
+        if (bHi - bLo + 1 > intervalCap) None
         else Some((bLo to bHi).map { b =>
           (java.sql.Timestamp.from(
             java.time.Instant.ofEpochSecond((b * stepSec).toLong)): Any,
@@ -1038,7 +1049,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         else {
           val bLo = math.floor(lo / w).toLong
           val bHi = math.floor(hi / w).toLong
-          if (bHi - bLo + 1 > 400) None
+          if (bHi - bLo + 1 > intervalCap) None
           else Some((bLo to bHi).map(b =>
             ((b: java.lang.Long): Any, Seq((b * w, (b + 1) * w)))))
         }
@@ -1050,7 +1061,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // bucket past the domain would only estimate zero anyway)
     def widthBins(a: AttributeReference, wlo: Double, whi: Double, n: Long): Gen =
       Gen(a, "num", (lo, hi) => {
-        if (!(wlo < whi) || n < 1 || n > 398) None
+        if (!(wlo < whi) || n < 1 || n > intervalCap - 2) None
         else {
           val s = (whi - wlo) / n
           val under =
@@ -1076,7 +1087,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         else {
           val kLo = math.floor((lo + w / 2) / w).toLong
           val kHi = math.floor((hi + w / 2) / w).toLong
-          if (kHi - kLo + 1 > 400) None
+          if (kHi - kLo + 1 > intervalCap) None
           else Some((kLo to kHi).map(k =>
             ((k * w: java.lang.Double): Any,
               Seq((math.max(k * w - w / 2, 0.0), k * w + w / 2)))))
@@ -1148,7 +1159,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         Gen(a, "secs", (lo, hi) => {
           val bLo = math.floor((lo - stSec) / stepSec).toLong
           val bHi = math.floor((hi - stSec) / stepSec).toLong
-          if (bHi - bLo + 1 > 400) None
+          if (bHi - bLo + 1 > intervalCap) None
           else Some((bLo to bHi).map { b =>
             val sM = st + b * slide
             (org.apache.spark.sql.Row(keyTs(sM), keyTs(sM + slide)): Any,
@@ -1175,7 +1186,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         Seq(Gen(sw.ts, "secs", (lo, hi) => {
           val kLo = math.floor((lo - sw.sizeSec - sw.stSec) / sw.slideSec).toLong + 1
           val kHi = math.floor((hi - sw.stSec) / sw.slideSec).toLong
-          if (kHi - kLo + 1 > 400) None
+          if (kHi - kLo + 1 > intervalCap) None
           else Some((kLo to kHi).map { k =>
             val sSec = sw.stSec + k * sw.slideSec
             (org.apache.spark.sql.Row(sw.keyOf(sSec), sw.keyOf(sSec + sw.sizeSec)): Any,
@@ -1254,8 +1265,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
         both(a) { (lo, hi) =>
           val days = Iterator.iterate(lo)(_.plusDays(1))
-            .takeWhile(!_.isAfter(hi)).take(401).toSeq
-          if (days.length > 400) None
+            .takeWhile(!_.isAfter(hi)).take(intervalCap + 1).toSeq
+          if (days.length > intervalCap) None
           else {
             val keyed = days.map { d =>
               scala.util.Try(dfm.transform {
@@ -1272,6 +1283,42 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             }.toSeq)
           }
         }
+      // SUB-DAY `date_format(ts, 'yyyy-MM-dd HH')` over a SECS-modeled
+      // column (r17): a format whose finest sub-day letter is hour
+      // (H/k/K/h — 'a' am/pm rides along, constant within the hour) or
+      // minute (m) is constant within its step, so step-aligned
+      // epoch-second buckets evaluated through the expression's OWN eval
+      // and merged on equal keys answer it exactly like the daily merge
+      // above — the hourly string-key dashboard spelling. Second/fraction/
+      // zone letters still fall back (a 1-second step has no bucket
+      // economics; zone renders need a zone the fold does not model).
+      case dfm @ org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          DateAttr(a), Literal(fmt: org.apache.spark.unsafe.types.UTF8String, _), _)
+          if a.dataType != DateType &&
+            "HkKhm".exists(ch => fmt.toString.contains(ch)) &&
+            !"sSVzOXxZn".exists(ch => fmt.toString.contains(ch)) =>
+        val step = if (fmt.toString.contains('m')) 60L else 3600L
+        Seq(Gen(a, "secs", (lo, hi) => {
+          val bLo = math.floor(lo / step).toLong
+          val bHi = math.floor(hi / step).toLong
+          if (bHi - bLo + 1 > intervalCap) None
+          else {
+            val keyed = (bLo to bHi).map { b =>
+              scala.util.Try(dfm.transform {
+                case ar: AttributeReference if ar.exprId == a.exprId =>
+                  Literal(b * step * 1000000L, a.dataType)
+              }.eval(null)).toOption.collect {
+                case s: org.apache.spark.unsafe.types.UTF8String =>
+                  (s.toString: Any,
+                    Seq(((b * step).toDouble, ((b + 1) * step).toDouble)))
+              }
+            }
+            if (keyed.exists(_.isEmpty)) None
+            else Some(keyed.flatten.groupBy(_._1).map { case (k, grp) =>
+              (k, grp.flatMap(_._2).sortBy(_._1))
+            }.toSeq)
+          }
+        }))
       // tumbling `window(ts, '...')` struct (r16, secs-only) — verified
       // numerically by tumblingWindow above
       case cns: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
@@ -1544,6 +1591,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
               // as no row — SQL's behavior exactly), one RangeUnion atom
               // per distinct column. Generic over 1..3 candidates (r15).
               tuples <- {
+                val capHere =
+                  if (tcs.length == 1 && dims.isEmpty && numDims.isEmpty) intervalCap
+                  else tupleCap
                 var acc: Seq[(Seq[Any], Map[(String, String), Seq[(Double, Double)]])] =
                   Seq((Seq.empty[Any], Map.empty))
                 var live = true
@@ -1563,13 +1613,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
                     // candidate only EXTENDS surviving tuples — a past-cap
                     // intermediate never shrinks back under it; stop early
                     // instead of materializing the cube
-                    if (acc.length > 400) live = false
+                    if (acc.length > capHere) live = false
                   }
                 }
-                // the existing 400-bucket accuracy/latency cap governs the
-                // CROSS PRODUCT too (surviving tuples, not the raw product —
-                // year × month over a 30-year domain folds at 360)
-                D("cap")(if (!live || acc.length > 400) None
+                // the accuracy/latency cap governs the CROSS PRODUCT too
+                // (surviving tuples, not the raw product — year × month
+                // over a 30-year domain folds at 360); a PURE-INTERVAL fold
+                // (one bucket column, zero dimensions) probes one range per
+                // bucket and carries the higher interval cap (r17)
+                D("cap")(if (!live || acc.length > capHere) None
                 else Some(acc.map { case (ks, m) =>
                   (ks, m.toSeq.map { case ((t, c), ivs) =>
                     t -> (SpnCardinality.RangeUnion(c, ivs): Atom)

@@ -1066,6 +1066,38 @@ object SpnPlanning {
           |FROM lineitem WHERE l_quantity < 24
           |GROUP BY floor(l_extendedprice/1000)*1000
           |ORDER BY bin_lo""".stripMargin)
+    },
+
+    // Round 17: the FULL 30-day hourly dashboard — 720 buckets, one range
+    // probe each, folded whole under the pure-interval cap (the r16 cap
+    // forced a predicate-narrowed span). SpnAqpSpec pins fold + exactness;
+    // rows>0 is the Verify contract here.
+    Op.noOracle("aqp_transparent_hourly_month") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events")
+      s2.sql(
+        """SELECT date_trunc('hour', ts) AS h, count(*) AS n, avg(value) AS av
+          |FROM events GROUP BY date_trunc('hour', ts)
+          |ORDER BY h""".stripMargin)
+    },
+
+    // Round 17: SUB-DAY date_format — the hourly STRING-KEY dashboard
+    // spelling ('yyyy-MM-dd HH') folds as hour-step buckets evaluated
+    // through Spark's own formatter, merged on equal keys, over the
+    // secs-modeled stream column. SpnAqpSpec pins fold/exactness and the
+    // second-granular + days-column fallbacks.
+    Op.noOracle("aqp_transparent_subday_fmt") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/events.parquet").createOrReplaceTempView("events")
+      s2.sql(
+        """SELECT date_format(ts, 'yyyy-MM-dd HH') AS h, count(*) AS n
+          |FROM events WHERE ts < TIMESTAMP'2024-01-15 00:00:00'
+          |GROUP BY date_format(ts, 'yyyy-MM-dd HH')
+          |ORDER BY h""".stripMargin)
     }
   )
 }

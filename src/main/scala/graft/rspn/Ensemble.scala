@@ -1418,6 +1418,162 @@ object Ensemble {
     case _                  => None
   }
 
+  // ───────────────────────── signed multi-OR (r17) ─────────────────────────
+  // The Catalyst plane's 3^N signed expansion on the model plane: a WHERE of
+  // up to three independent parenthesized OR groups, (A1∨B1)∧(A2∨B2)∧…,
+  // expands Π_g (1_{Ag} + 1_{Bg} − 1_{Ag∧Bg}) into ≤ 3^N SIGNED conjunctive
+  // terms. Σf over the conjunction of disjunctions is the signed sum of each
+  // term's plain expectation — exact linearity for COUNT/SUM/SUM(a*b) — with
+  // variances adding across terms (conservative: the terms share factors).
+
+  /** One group's signed branch picks; None when BOTH branches are
+    * contradicted (the group annihilates the whole conjunction). A
+    * contradicted A∧B pick just drops its minus term (zero mass).
+    */
+  private def signedPicks(g: (Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]]))
+      : Option[Seq[(Double, Map[(String, String), ColRange])]] = g match {
+    case (Some(a), Some(b)) =>
+      Some(Seq((1.0, a), (1.0, b)) ++ intersect(a, b).map(ab => (-1.0, ab)))
+    case (Some(a), None) => Some(Seq((1.0, a)))
+    case (None, Some(b)) => Some(Seq((1.0, b)))
+    case _               => None
+  }
+
+  /** The full signed conjunctive expansion over OPTIONAL branch maps (a
+    * caller that pinned a group key may have contradicted single branches).
+    * None = some group lost both branches (no row can satisfy the WHERE);
+    * Some(Nil) = every product term was contradicted (zero mass, kept
+    * distinct only for uniformity — the signed sum is 0 either way).
+    */
+  private[rspn] def signedConjTerms(
+      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])
+      : Option[Seq[(Double, Map[(String, String), ColRange])]] =
+    groups.foldLeft(Option(Seq((1.0, Map.empty[(String, String), ColRange])))) {
+      case (None, _) => None
+      case (Some(acc), g) => signedPicks(g).map { picks =>
+        for {
+          (s, p)   <- acc
+          (s2, pk) <- picks
+          merged   <- intersect(p, pk).toSeq // provably-disjoint term: zero mass, drop
+        } yield (s * s2, merged)
+      }
+    }
+
+  /** Signed sum of plain expectations over the expansion's terms; a COUNT
+    * (empty feature) clamps at zero like [[aggOrRaw]].
+    */
+  private def signedAggRaw(
+      spns: Map[String, TrainedSpn], tables: Set[String],
+      terms: Seq[(Double, Map[(String, String), ColRange])],
+      feature: Map[(String, String), Int], memo: ExpectMemo): Est = {
+    var v = 0.0
+    var varSum = 0.0
+    terms.foreach { case (s, p) =>
+      val e = estAgg(spns, tables, p, feature, memo)
+      v += s * e.v
+      varSum += e.sd * e.sd
+    }
+    Est(if (feature.isEmpty) math.max(0.0, v) else v, math.sqrt(varSum))
+  }
+
+  /** Linear aggregate over N ≤ 3 OR groups; None when some group is fully
+    * contradicted. Empty feature = COUNT.
+    */
+  def estAggOrMulti(
+      spns: Map[String, TrainedSpn], tables: Set[String],
+      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])],
+      feature: Map[(String, String), Int]): Option[Estimate] =
+    signedConjTerms(groups).map(ts =>
+      signedAggRaw(spns, tables, ts, feature, new ExpectMemo).toEstimate)
+
+  /** AVG over N OR groups: signed SUM / signed COUNT, both gated on the avg
+    * column's non-nullness, delta-method CI — [[estAvgOr]] generalized.
+    */
+  def estAvgOrMulti(
+      spns: Map[String, TrainedSpn], tables: Set[String],
+      avgCol: (String, String),
+      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])
+      : Option[Estimate] = {
+    val gated = groups.map { case (a, b) =>
+      (a.map(notNullOn(_, avgCol)), b.map(notNullOn(_, avgCol)))
+    }
+    signedConjTerms(gated).map { ts =>
+      val memo = new ExpectMemo
+      ratioEst(
+        signedAggRaw(spns, tables, ts, Map(avgCol -> 1), memo),
+        signedAggRaw(spns, tables, ts, Map.empty, memo))
+    }
+  }
+
+  /** Group-by under N OR groups: the candidate universe is the union of
+    * every live branch's enumeration (a SUPERSET of the true universe for
+    * N ≥ 2 — a key in A but outside (C∨D) estimates ~zero), so each key
+    * gates on its signed COUNT ≥ half a row, SQL's no-rows-no-group.
+    */
+  def estGroupByAggOrMulti(
+      spns: Map[String, TrainedSpn], tables: Set[String],
+      groupCols: Seq[(String, String)],
+      feature: Map[(String, String), Int],
+      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])
+      : Seq[(Seq[String], Estimate)] = {
+    val memo = new ExpectMemo
+    groupOrMultiKeys(spns, tables, groupCols, groups, memo).flatMap { case (vs, pinned) =>
+      signedConjTerms(pinned).flatMap { ts =>
+        val cnt = signedAggRaw(spns, tables, ts, Map.empty, memo)
+        if (cnt.v < 0.5) None
+        else Some(vs -> (if (feature.isEmpty) cnt
+                         else signedAggRaw(spns, tables, ts, feature, memo)).toEstimate)
+      }
+    }
+  }
+
+  /** AVG per group under N OR groups: existence gates on the signed COUNT
+    * (all rows), the ratio on the non-null-gated signed sums — the
+    * [[estGroupByAvgOr]] convention generalized.
+    */
+  def estGroupByAvgOrMulti(
+      spns: Map[String, TrainedSpn], tables: Set[String],
+      groupCols: Seq[(String, String)],
+      avgCol: (String, String),
+      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])
+      : Seq[(Seq[String], Estimate)] = {
+    val memo = new ExpectMemo
+    groupOrMultiKeys(spns, tables, groupCols, groups, memo).flatMap { case (vs, pinned) =>
+      for {
+        ts  <- signedConjTerms(pinned)
+        if signedAggRaw(spns, tables, ts, Map.empty, memo).v >= 0.5
+        gated = pinned.map { case (a, b) =>
+          (a.map(notNullOn(_, avgCol)), b.map(notNullOn(_, avgCol))) }
+        tsN <- signedConjTerms(gated)
+      } yield vs -> ratioEst(
+        signedAggRaw(spns, tables, tsN, Map(avgCol -> 1), memo),
+        signedAggRaw(spns, tables, tsN, Map.empty, memo))
+    }
+  }
+
+  /** Candidate keys (union of live-branch enumerations) with the group pin
+    * merged into EVERY group's branches — [[groupOrKeys]] generalized.
+    */
+  private def groupOrMultiKeys(
+      spns: Map[String, TrainedSpn], tables: Set[String],
+      groupCols: Seq[(String, String)],
+      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])],
+      memo: ExpectMemo): Seq[(Seq[String],
+        Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])] = {
+    val branches = groups.flatMap { case (a, b) => a.toSeq ++ b.toSeq }
+    branches.flatMap(p => enumGroups(spns, tables, groupCols, p, memo).map(_._1))
+      .distinct.map { vs =>
+        val pin = groupCols.zip(vs).map { case (gc, v) =>
+          val mc = findModelCol(spns, gc._1, gc._2)
+            .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
+          gc -> (NominalSet(Array(mc.code(v))): ColRange)
+        }.toMap
+        (vs, groups.map { case (a, b) =>
+          (a.flatMap(intersect(_, pin)), b.flatMap(intersect(_, pin)))
+        })
+      }
+  }
+
   /** ROLLUP: the prefix hierarchy (a,b) → [(a,b), (a), ()]. */
   def estRollup(
       spns: Map[String, TrainedSpn],

@@ -351,7 +351,18 @@ object ModelQueries {
         // estimated group rows
         "q18_topk" ->
           ("SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag " +
-            "ORDER BY COUNT(*) DESC, l_returnflag LIMIT 2"))
+            "ORDER BY COUNT(*) DESC, l_returnflag LIMIT 2"),
+        // round-17: TWO independent OR groups — the signed 3^N expansion
+        // (scalar, grouped, and through a numeric-bearing ROLLUP)
+        "q19_two_or" ->
+          ("SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 10 OR l_quantity > 40) " +
+            "AND (l_discount < 0.03 OR l_tax > 0.05)"),
+        "q20_two_or_rollup" ->
+          ("SELECT COUNT(*) FROM lineitem WHERE (l_discount < 0.02 OR l_tax > 0.06) " +
+            "AND (l_quantity < 8 OR l_quantity > 48) GROUP BY ROLLUP(l_returnflag)"),
+        // round-17: AVG rides ± combinations (two linear ratios)
+        "q21_avg_minus" ->
+          "SELECT AVG(l_extendedprice) - AVG(l_quantity) FROM lineitem WHERE l_quantity < 30")
       sqls.flatMap { case (id, sql) =>
         SqlEstimate.estimate(ens, sql) match {
           case SqlEstimate.Scalar(e) =>

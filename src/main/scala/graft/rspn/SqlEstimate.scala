@@ -143,6 +143,9 @@ object SqlEstimate {
       spec: graft.schema.DatasetSpec): SqlResult = {
     val preds = mergePreds(spns, q.preds, spec)
 
+    // two or three independent OR groups (r17): the signed-expansion path
+    if (q.orGroups2.nonEmpty) return estimateMultiOr(spns, q, spec)
+
     if (q.calGroup.nonEmpty) {
       // kind dispatch on the trailing dimension columns (r15 parity with
       // the Catalyst fold): dictionary strings enumerate per bucket,
@@ -342,6 +345,10 @@ object SqlEstimate {
               case SumProduct(ta, ca, tb, cb) =>
                 Ensemble.estGroupByAgg(spns, q.tables, gcs,
                   Map((ta, ca) -> 1, (tb, cb) -> 1), preds)
+              // AVG rides a ± term since r17: a per-group ratio of two
+              // linear estimates with its own delta-method CI
+              case Avg(t, c) =>
+                Ensemble.estGroupByAvg(spns, q.tables, gcs, (t, c), preds)
               case other => throw new IllegalArgumentException(
                 s"unsupported SQL: non-linear ± term $other with GROUP BY")
             }).toMap
@@ -381,6 +388,11 @@ object SqlEstimate {
       numDims: Set[(String, String)],
       spec: graft.schema.DatasetSpec): Seq[(Seq[String], Ensemble.Estimate)] = {
     import java.time.LocalDate
+    // fold-class cap split (r17, parity with the Catalyst plane): a single
+    // bucket expression with no dimension columns probes one range per
+    // bucket — interval cap 2000 (the 720-bucket 30-day hourly dashboard);
+    // anything that crosses buckets or enumerates dimensions keeps 400
+    val foldCap = if (q.calGroup.length == 1 && q.groupBy.isEmpty) 2000 else 400
     def bucketsOf(fn: String, t: String, c: String): Seq[(String, ColRange)] = {
       val rawDom = Ensemble.colDomain(spns, t, c).getOrElse(
         throw new IllegalArgumentException(s"bucket GROUP BY: no realized domain for $t.$c"))
@@ -435,9 +447,9 @@ object SqlEstimate {
           val dLo = java.time.LocalDate.ofEpochDay(math.floor(dom._1 / units).toLong)
           val dHi = java.time.LocalDate.ofEpochDay(math.floor(dom._2 / units).toLong)
           val days = Iterator.iterate(dLo)(_.plusDays(1))
-            .takeWhile(!_.isAfter(dHi)).take(401).toSeq
-          require(days.length <= 400,
-            s"GROUP BY date_format($c): ${days.length} domain days exceed the 400-bucket cap")
+            .takeWhile(!_.isAfter(dHi)).take(foldCap + 1).toSeq
+          require(days.length <= foldCap,
+            s"GROUP BY date_format($c): ${days.length} domain days exceed the $foldCap-bucket cap")
           val fmtLit = org.apache.spark.sql.catalyst.expressions.Literal(
             org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
             org.apache.spark.sql.types.StringType)
@@ -448,6 +460,35 @@ object SqlEstimate {
                 org.apache.spark.sql.types.TimestampType),
               fmtLit, Some("UTC")).eval(null).toString
             key -> NumRange(d.toEpochDay * units, (d.toEpochDay + 1) * units,
+              loIncl = true, hiIncl = false)
+          }.groupBy(_._1).toSeq.map { case (k, grp) =>
+            k -> ColRangeOps.normalize(grp.map(_._2))
+              .getOrElse(NominalSet(Array.empty[Double]))
+          }
+        }
+        // SUB-DAY date_format over a secs-modeled column (r17): hour- or
+        // minute-step buckets evaluated through Spark's own formatter and
+        // merged on equal keys — the hourly string-key dashboard spelling
+        // ('yyyy-MM-dd HH'); parity with the Catalyst sub-day arm.
+        if (parts(0) == "datefmtsub") {
+          require(units == 86400.0,
+            s"GROUP BY date_format($c, <sub-day fmt>): requires a second-granularity (secs) model column")
+          val fmt = fn.substring("datefmtsub:".length)
+          val step = if (fmt.contains('m')) 60L else 3600L
+          val bLo = math.floor(dom._1 / step).toLong
+          val bHi = math.floor(dom._2 / step).toLong
+          require(bHi - bLo + 1 <= foldCap,
+            s"GROUP BY date_format($c, '$fmt'): ${bHi - bLo + 1} domain steps exceed the $foldCap-bucket cap")
+          val fmtLit = org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
+            org.apache.spark.sql.types.StringType)
+          return (bLo to bHi).map { b =>
+            val key = org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                b * step * 1000000L,
+                org.apache.spark.sql.types.TimestampType),
+              fmtLit, Some("UTC")).eval(null).toString
+            key -> NumRange((b * step).toDouble, ((b + 1) * step).toDouble,
               loIncl = true, hiIncl = false)
           }.groupBy(_._1).toSeq.map { case (k, grp) =>
             k -> ColRangeOps.normalize(grp.map(_._2))
@@ -470,8 +511,8 @@ object SqlEstimate {
               s"GROUP BY window($c, ...): nonpositive duration")
             val kLo = math.floor((dom._1 - size) / slide).toLong + 1
             val kHi = math.floor(dom._2 / slide).toLong
-            require(kHi - kLo + 1 <= 400,
-              s"GROUP BY window($c, ...): ${kHi - kLo + 1} windows exceed the 400-bucket cap")
+            require(kHi - kLo + 1 <= foldCap,
+              s"GROUP BY window($c, ...): ${kHi - kLo + 1} windows exceed the $foldCap-bucket cap")
             def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L).toString
             (kLo to kHi).map { k =>
               val s = k * slide
@@ -483,12 +524,12 @@ object SqlEstimate {
             require(w > 0, s"GROUP BY floor($c/$w): nonpositive bin width")
             val bLo = math.floor(dom._1 / w).toLong
             val bHi = math.floor(dom._2 / w).toLong
-            require(bHi - bLo + 1 <= 400,
-              s"GROUP BY floor($c/$w): ${bHi - bLo + 1} bins exceed the 400-bucket cap")
+            require(bHi - bLo + 1 <= foldCap,
+              s"GROUP BY floor($c/$w): ${bHi - bLo + 1} bins exceed the $foldCap-bucket cap")
             (bLo to bHi).map(b => numKeyStr(b.toDouble) -> halfOpen(b * w, (b + 1) * w))
           case "width_bucket" =>
             val (wlo, whi, n) = (parts(1).toDouble, parts(2).toDouble, parts(3).toLong)
-            require(wlo < whi && n >= 1 && n <= 398,
+            require(wlo < whi && n >= 1 && n <= foldCap - 2,
               s"GROUP BY width_bucket($c, $wlo, $whi, $n): unsupported bounds")
             val s = (whi - wlo) / n
             val under = if (dom._1 < wlo) Seq("0" -> halfOpen(dom._1, wlo)) else Nil
@@ -509,8 +550,8 @@ object SqlEstimate {
             val w = math.pow(10.0, -sc.toDouble)
             val kLo = math.floor((dom._1 + w / 2) / w).toLong
             val kHi = math.floor((dom._2 + w / 2) / w).toLong
-            require(kHi - kLo + 1 <= 400,
-              s"GROUP BY round($c, $sc): ${kHi - kLo + 1} bins exceed the 400-bucket cap")
+            require(kHi - kLo + 1 <= foldCap,
+              s"GROUP BY round($c, $sc): ${kHi - kLo + 1} bins exceed the $foldCap-bucket cap")
             (kLo to kHi).map(k =>
               numKeyStr(k * w) -> halfOpen(math.max(k * w - w / 2, 0.0), k * w + w / 2))
           case other => throw new IllegalArgumentException(
@@ -605,8 +646,8 @@ object SqlEstimate {
             if nA.isDefined || nB.isDefined
           } yield (keys :+ k, nA, nB)
       }
-    require(tuples.length <= 400,
-      s"calendar GROUP BY: ${tuples.length} bucket combinations exceed the 400-bucket cap")
+    require(tuples.length <= foldCap,
+      s"calendar GROUP BY: ${tuples.length} bucket combinations exceed the $foldCap-bucket cap")
     // num-modeled dimension columns expand the bucket tuples by their
     // realized-value supports (probed ONCE under the base predicates —
     // and the OR branch's, unioned — a superset of any bucket's own
@@ -636,8 +677,8 @@ object SqlEstimate {
           if nA.isDefined || nB.isDefined
         } yield (ks, kv + (tc -> v), nA, nB)
       }
-    require(tuplesNum.length <= 400,
-      s"calendar GROUP BY: ${tuplesNum.length} bucket × value tuples exceed the 400-bucket cap")
+    require(tuplesNum.length <= foldCap,
+      s"calendar GROUP BY: ${tuplesNum.length} bucket × value tuples exceed the $foldCap-bucket cap")
     val catDims = q.groupBy.filterNot(numDims)
     tuplesNum.flatMap { case (keys, kv, pA, pB) =>
       orTupleRows(spns, q, catDims, pA, pB).map { case (dk, e) =>
@@ -764,6 +805,9 @@ object SqlEstimate {
     case Sum(st, sc) => Ensemble.estSum(spns, q.tables, (st, sc), p)
     case SumProduct(ta, ca, tb, cb) =>
       Ensemble.estSumProduct(spns, q.tables, Seq((ta, ca), (tb, cb)), p)
+    // AVG rides a ± term since r17: a ratio of two linear estimates with
+    // its own delta-method CI, combined by the same interval arithmetic
+    case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), p)
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with bucketed GROUP BY")
   }
@@ -777,6 +821,7 @@ object SqlEstimate {
     case Sum(st, sc) => Ensemble.estAggOr(spns, q.tables, a, b, Map((st, sc) -> 1))
     case SumProduct(ta, ca, tb, cb) =>
       Ensemble.estAggOr(spns, q.tables, a, b, Map((ta, ca) -> 1, (tb, cb) -> 1))
+    case Avg(at, ac) => Ensemble.estAvgOr(spns, q.tables, (at, ac), a, b)
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with OR and bucketed GROUP BY")
   }
@@ -791,6 +836,8 @@ object SqlEstimate {
     case SumProduct(ta, ca, tb, cb) =>
       Ensemble.estGroupByAgg(spns, q.tables, dims,
         Map((ta, ca) -> 1, (tb, cb) -> 1), p)
+    case Avg(at, ac) =>
+      Ensemble.estGroupByAvg(spns, q.tables, dims, (at, ac), p)
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with bucketed GROUP BY")
   }
@@ -806,6 +853,8 @@ object SqlEstimate {
     case SumProduct(ta, ca, tb, cb) =>
       Ensemble.estGroupByAggOr(spns, q.tables, dims,
         Map((ta, ca) -> 1, (tb, cb) -> 1), a, b)
+    case Avg(at, ac) =>
+      Ensemble.estGroupByAvgOr(spns, q.tables, dims, (at, ac), a, b)
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with OR and bucketed GROUP BY")
   }
@@ -1017,6 +1066,254 @@ object SqlEstimate {
       Ensemble.intersect(acc, one)
         .getOrElse(acc + ((p.table, p.col) -> NominalSet(Array.empty[Double])))
     }
+
+  // ───────────────────────── signed multi-OR (r17) ─────────────────────────
+  // Two or three independent parenthesized OR groups — (A∨B) AND (C∨D)[ AND
+  // (E∨F)] — answer through Ensemble's signed 3^N expansion, closing the
+  // plane divergence where Catalyst composed multiple disjunctions but the
+  // text plane refused them. Supported shapes: scalar (all aggregates), flat
+  // GROUP BY over dict/num-modeled columns, and ROLLUP/CUBE including
+  // numeric-bearing sets. Bucket (calendar/bin/window) grouping keeps the
+  // loud failure under ≥ 2 groups — same accuracy-cap posture as the
+  // Catalyst plane's 4+-disjunction fallback.
+
+  private type P = Map[(String, String), ColRange]
+  private type OptGroups = Seq[(Option[P], Option[P])]
+
+  private def estimateMultiOr(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      spec: graft.schema.DatasetSpec): SqlResult = {
+    // group 1 carries the distributed common conjuncts in both branches
+    // (parser convention); groups 2.. are raw — intersection with group 1's
+    // terms brings the common conjuncts into every product term
+    val groups: Seq[(P, P)] =
+      (mergePreds(spns, q.preds, spec), mergePreds(spns, q.orPreds, spec)) +:
+        q.orGroups2.map(g =>
+          (mergePreds(spns, g._1, spec), mergePreds(spns, g._2, spec)))
+    val optGroups: OptGroups = groups.map { case (a, b) => (Some(a), Some(b)) }
+    require(q.calGroup.isEmpty,
+      "bucket GROUP BY with multiple OR groups: unsupported on the text plane " +
+        "(the per-bucket signed expansion is past the accuracy cap)")
+
+    if (q.groupMode != GroupFlat) {
+      val sets: Seq[Seq[(String, String)]] = q.groupMode match {
+        case GroupRollup => q.groupBy.indices.inclusive.reverse.map(q.groupBy.take)
+        case _ => (0 until (1 << q.groupBy.length)).map(mask =>
+          q.groupBy.zipWithIndex.collect { case (gc, i) if (mask & (1 << i)) != 0 => gc })
+      }
+      val numCols = q.groupBy.filter { case (gt, gcol) =>
+        spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
+      }.toSet
+      q.groupBy.filterNot(numCols).foreach { case (gt, gcol) =>
+        require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+          s"GROUP BY $gcol: not a categorical model column")
+      }
+      return GroupSets(multiOrGroupingSets(spns, q, groups, sets, numCols))
+    }
+
+    if (q.groupBy.nonEmpty) {
+      val numIdx = q.groupBy.indexWhere { case (gt, gcol) =>
+        spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
+      }
+      if (numIdx >= 0) return Groups(multiOrNumericGroups(spns, q, groups, numIdx))
+      q.groupBy.foreach { case (gt, gcol) =>
+        require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+          s"GROUP BY $gcol: not a categorical model column")
+      }
+      return Groups(multiTupleRows(spns, q, q.groupBy, optGroups))
+    }
+    Scalar(scalarMultiOrOf(spns, q, optGroups))
+  }
+
+  /** The positive pure-branch quadrants: one live branch picked per group,
+    * all intersected — their union IS the WHERE's row set, the enumeration
+    * surface for distinct-set semantics (never the signed sum).
+    */
+  private def quadrantMaps(groups: OptGroups): Seq[P] =
+    groups.foldLeft(Seq(Map.empty: P)) { case (acc, (a, b)) =>
+      for {
+        p  <- acc
+        br <- a.toSeq ++ b.toSeq
+        m  <- Ensemble.intersect(p, br).toSeq
+      } yield m
+    }
+
+  private def scalarMultiOrOf(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      groups: OptGroups): Ensemble.Estimate = {
+    def dead = Ensemble.Estimate(0.0, 0.0, 0.0)
+    q.agg match {
+      case Count =>
+        Ensemble.estAggOrMulti(spns, q.tables, groups, Map.empty).getOrElse(dead)
+      case Sum(t, c) =>
+        Ensemble.estAggOrMulti(spns, q.tables, groups, Map((t, c) -> 1)).getOrElse(dead)
+      case SumProduct(ta, ca, tb, cb) =>
+        Ensemble.estAggOrMulti(spns, q.tables, groups,
+          Map((ta, ca) -> 1, (tb, cb) -> 1)).getOrElse(dead)
+      case Avg(t, c) =>
+        Ensemble.estAvgOrMulti(spns, q.tables, (t, c), groups).getOrElse(dead)
+      case CountDistinct(t, c) =>
+        distinctCount(spns, q.tables, (t, c), quadrantMaps(groups))
+      case Combo(plus, l, r) =>
+        comboEst(plus,
+          scalarMultiOrOf(spns, q.copy(agg = l), groups),
+          scalarMultiOrOf(spns, q.copy(agg = r), groups))
+    }
+  }
+
+  /** Per-tuple rows under N OR groups — [[orTupleRows]] generalized to the
+    * signed expansion; `pinned` carries each group's branches with the
+    * caller's bucket/value pins already conjoined (None = contradicted).
+    */
+  private def multiTupleRows(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      dims: Seq[(String, String)],
+      pinned: OptGroups): Seq[(Seq[String], Ensemble.Estimate)] = {
+    if (pinned.exists { case (a, b) => a.isEmpty && b.isEmpty }) return Nil
+    val gate = Ensemble.estAggOrMulti(spns, q.tables, pinned, Map.empty)
+    if (gate.forall(_.value < 0.5)) return Nil
+    if (dims.nonEmpty) q.agg match {
+      case Count =>
+        Ensemble.estGroupByAggOrMulti(spns, q.tables, dims, Map.empty, pinned)
+      case Sum(t, c) =>
+        Ensemble.estGroupByAggOrMulti(spns, q.tables, dims, Map((t, c) -> 1), pinned)
+      case SumProduct(ta, ca, tb, cb) =>
+        Ensemble.estGroupByAggOrMulti(spns, q.tables, dims,
+          Map((ta, ca) -> 1, (tb, cb) -> 1), pinned)
+      case Avg(t, c) =>
+        Ensemble.estGroupByAvgOrMulti(spns, q.tables, dims, (t, c), pinned)
+      case Combo(plus, l, r) =>
+        comboRows(plus,
+          multiGroupTerm(spns, q, dims, pinned, l),
+          multiGroupTerm(spns, q, dims, pinned, r))
+      case CountDistinct(t, c) =>
+        require(modelColOf(spns, t, c).dict.nonEmpty,
+          s"COUNT(DISTINCT $c): not a categorical model column")
+        quadrantMaps(pinned)
+          .flatMap(p => Ensemble.estGroupByMulti(spns, q.tables, dims :+ ((t, c)), p).map(_._1))
+          .distinct.groupBy(_.dropRight(1)).toSeq
+          .map { case (g, rows) =>
+            val k = rows.length.toDouble
+            g -> Ensemble.Estimate(k, k, k)
+          }
+          .sortBy(_._1.mkString("\u0000"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported SQL: $other with multiple OR groups and GROUP BY")
+    } else Seq(Seq.empty[String] -> scalarMultiOrOf(spns, q, pinned))
+  }
+
+  /** One ± leaf term per group key under N OR groups (the [[orGroupTerm]]
+    * analog): linear leaves only — the parser rejects AVG/DISTINCT leaves.
+    */
+  private def multiGroupTerm(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      dims: Seq[(String, String)], pinned: OptGroups,
+      agg: Agg): Seq[(Seq[String], Ensemble.Estimate)] = agg match {
+    case Count =>
+      Ensemble.estGroupByAggOrMulti(spns, q.tables, dims, Map.empty, pinned)
+    case Sum(t, c) =>
+      Ensemble.estGroupByAggOrMulti(spns, q.tables, dims, Map((t, c) -> 1), pinned)
+    case SumProduct(ta, ca, tb, cb) =>
+      Ensemble.estGroupByAggOrMulti(spns, q.tables, dims,
+        Map((ta, ca) -> 1, (tb, cb) -> 1), pinned)
+    case Avg(at, ac) =>
+      Ensemble.estGroupByAvgOrMulti(spns, q.tables, dims, (at, ac), pinned)
+    case other => throw new IllegalArgumentException(
+      s"unsupported ± term under multiple OR groups: $other")
+  }
+
+  /** Flat GROUP BY with one num-modeled column under N OR groups — the
+    * [[numericGroups]] analog: the support unions over EVERY branch (a
+    * superset of the disjunction's realized support; phantom pins drop
+    * through the per-tuple row gate), each value pin conjoining every
+    * group's branches.
+    */
+  private def multiOrNumericGroups(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      groups: Seq[(P, P)], numIdx: Int): Seq[(Seq[String], Ensemble.Estimate)] = {
+    val gcs = q.groupBy
+    val tc = gcs(numIdx)
+    val dictPos = gcs.indices.filterNot(_ == numIdx)
+    val dictCols = dictPos.map(gcs)
+    dictCols.foreach { case (gt, gcol) =>
+      require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+        s"GROUP BY $gcol: not a categorical model column")
+    }
+    val support = multiBranchSupport(spns, q, groups, tc)
+    support.flatMap { v =>
+      val pin = Map(tc -> (NominalSet(Array(v)): ColRange))
+      val pinned: OptGroups = groups.map { case (a, b) =>
+        (Ensemble.intersect(a, pin), Ensemble.intersect(b, pin))
+      }
+      multiTupleRows(spns, q, dictCols, pinned).map { case (dk, e) =>
+        val full = new Array[String](gcs.length)
+        full(numIdx) = numKeyStr(v)
+        dictPos.zip(dk).foreach { case (pos, kv) => full(pos) = kv }
+        (full.toSeq, e)
+      }
+    }
+  }
+
+  /** Realized-value support of a num-modeled column unioned over every OR
+    * branch — each branch capped at 400 like the single-OR path.
+    */
+  private def multiBranchSupport(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      groups: Seq[(P, P)], tc: (String, String)): Seq[Double] =
+    groups.flatMap { case (a, b) => Seq(a, b) }.flatMap { p =>
+      Ensemble.numericSupport(spns, q.tables, tc, p, cap = 400)
+        .getOrElse(throw new IllegalArgumentException(
+          s"GROUP BY ${tc._2}: realized support exceeds the 400-bucket cap"))
+    }.distinct.sorted
+
+  /** ROLLUP/CUBE under N OR groups — [[numericGroupingSets]] generalized:
+    * numeric columns in a set expand by the all-branch support union, value
+    * pins conjoin every group's branches, dictionary columns enumerate per
+    * tuple through [[multiTupleRows]], and the () set answers through the
+    * scalar signed estimators.
+    */
+  private def multiOrGroupingSets(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      groups: Seq[(P, P)],
+      sets: Seq[Seq[(String, String)]],
+      numCols: Set[(String, String)]): Seq[(Seq[Option[String]], Ensemble.Estimate)] = {
+    val allCols = sets.flatten.distinct
+    val optGroups: OptGroups = groups.map { case (a, b) => (Some(a), Some(b)) }
+    sets.flatMap { set =>
+      val numInSet = set.filter(numCols)
+      val catInSet = set.filterNot(numCols)
+      val rows: Seq[(Map[(String, String), String], Ensemble.Estimate)] =
+        if (numInSet.isEmpty) {
+          if (set.isEmpty)
+            Seq(Map.empty[(String, String), String] -> scalarMultiOrOf(spns, q, optGroups))
+          else multiTupleRows(spns, q, set, optGroups)
+            .map { case (k, e) => set.zip(k).toMap -> e }
+        } else {
+          val tuples = numInSet.foldLeft(Seq((Map.empty[(String, String), Double], optGroups))) {
+            case (acc, tc) =>
+              val support = multiBranchSupport(spns, q, groups, tc)
+              for {
+                (kv, pg) <- acc
+                v <- support
+                pin = Map(tc -> (NominalSet(Array(v)): ColRange))
+                np = pg.map { case (a, b) =>
+                  (a.flatMap(Ensemble.intersect(_, pin)), b.flatMap(Ensemble.intersect(_, pin)))
+                }
+                if np.forall { case (a, b) => a.isDefined || b.isDefined }
+              } yield (kv + (tc -> v), np)
+          }
+          require(tuples.length <= 400,
+            s"grouping set ${set.map(_._2).mkString(",")}: " +
+              s"${tuples.length} value-pin tuples exceed the 400-bucket cap")
+          tuples.flatMap { case (kv, pg) =>
+            multiTupleRows(spns, q, catInSet, pg).map { case (k, e) =>
+              (catInSet.zip(k).toMap ++ kv.map { case (tc, v) => tc -> numKeyStr(v) }) -> e
+            }
+          }
+        }
+      rows.map { case (m, e) => allCols.map(m.get) -> e }
+    }
+  }
 
   /** Scalar estimate under `(preds) OR (predsB)` — the disjunctive mirror
     * of [[scalarOf]] (r15): linear aggregates through inclusion-exclusion,

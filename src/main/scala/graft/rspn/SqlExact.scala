@@ -31,6 +31,13 @@ object SqlExact {
       val b = q.orPreds.map(predCol(_, schema)).reduce(_ && _)
       df = df.filter(a || b)
     }
+    // additional independent OR groups (r17) conjoin as further
+    // disjunctive filters — each still a pushable predicate
+    q.orGroups2.foreach { case (ga, gb) =>
+      val a = ga.map(predCol(_, schema)).reduce(_ && _)
+      val b = gb.map(predCol(_, schema)).reduce(_ && _)
+      df = df.filter(a || b)
+    }
     val aggCol = q.agg match {
       case Count => count(lit(1)).cast("double").as("val")
       case CountDistinct(_, c) => countDistinct(col(c)).cast("double").as("val")
@@ -64,6 +71,7 @@ object SqlExact {
         // the format substring may itself contain colons — substring past
         // the prefix, never split
         case "datefmt"      => date_format(col(c), fn.substring("datefmt:".length))
+        case "datefmtsub"   => date_format(col(c), fn.substring("datefmtsub:".length))
         case "year"         => year(col(c))
         case "month"        => month(col(c))
         case "quarter"      => quarter(col(c))
@@ -136,6 +144,9 @@ object SqlExact {
     case Sum(_, c) => sum(col(c).cast("decimal(38,12)"))
     case SumProduct(_, ca, _, cb) =>
       sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)"))
+    // AVG rides a ± combination since r17 (text-plane parity with the
+    // Catalyst ExprOut tree); decimal-exact like every other term
+    case Avg(_, c) => avg(col(c).cast("decimal(38,12)"))
     case other =>
       throw new IllegalArgumentException(s"unsupported SQL: non-linear ± term $other")
   }

@@ -32,9 +32,11 @@ object SqlParser {
     * distinct set under the predicates).
     */
   final case class CountDistinct(table: String, col: String) extends Agg
-  /** `±` combination of two linear aggregate terms — the reference's
+  /** `±` combination of two aggregate terms — the reference's
     * `AggregationOperationType.PLUS/MINUS` chains (graph_representation.py):
-    * COUNT/SUM/SUM(a*b) terms only (AVG is not linear, rejected at parse).
+    * COUNT/SUM/SUM(a*b) terms, plus AVG since r17 (a ratio of two linear
+    * estimates; COUNT(DISTINCT) stays rejected — a set size carries no
+    * interval arithmetic).
     */
   final case class Combo(plus: Boolean, left: Agg, right: Agg) extends Agg
 
@@ -65,7 +67,13 @@ object SqlParser {
         * The estimate plane buckets the model's realized date domain; the
         * exact plane groups by the matching Spark functions.
         */
-      calGroup: Seq[(String, String, String)] = Nil)
+      calGroup: Seq[(String, String, String)] = Nil,
+      /** Independent parenthesized OR groups BEYOND the first (r17): each a
+        * raw (branchA, branchB) conjunction pair WITHOUT the common
+        * conjuncts (those live in preds/orPreds via group one). Non-empty
+        * routes the estimator to the signed 3^N expansion.
+        */
+      orGroups2: Seq[(Seq[Pred], Seq[Pred])] = Nil)
 
   /** `HAVING <agg> <cmp> <number>` — a post-aggregation filter. The
     * reference's parse_query has no HAVING arm (its benchmark class stops at
@@ -245,6 +253,13 @@ object SqlParser {
     """(?i)^DATE_FORMAT\s*\(\s*(\w+)\s*,\s*'([^']*)'\s*\)$""".r
   private def dayGranular(fmt: String): Boolean =
     !"HkKhmsSaAVzOXxZn".exists(ch => fmt.contains(ch))
+  // SUB-DAY formats (r17): finest letter hour (H/k/K/h; 'a'/'A' am-pm
+  // markers ride along, constant within the hour) or minute (m) — encoded
+  // "datefmtsub:<fmt>", secs-modeled columns only. Second/fraction/zone
+  // letters still fail (no bucket economics / unmodeled zone).
+  private def subDayGranular(fmt: String): Boolean =
+    "HkKhm".exists(ch => fmt.contains(ch)) &&
+      !"sSVzOXxZn".exists(ch => fmt.contains(ch))
   private val durationRe: Regex = """(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$""".r
   private def durationSec(s: String): Long = s match {
     case durationRe(n, unit) =>
@@ -273,6 +288,7 @@ object SqlParser {
       val sz = durationSec(size)
       Some((s"window:$sz:${Option(slide).map(durationSec).getOrElse(sz)}", c))
     case dateFmtRe(c, fmt) if dayGranular(fmt) => Some((s"datefmt:$fmt", c))
+    case dateFmtRe(c, fmt) if subDayGranular(fmt) => Some((s"datefmtsub:$fmt", c))
     case _                        => None
   }
 
@@ -404,10 +420,11 @@ object SqlParser {
       val agg = splitTopPlusMinus(sel.trim) match {
         case Some((l, op, r)) =>
           val combo = Combo(op == '+', parseAggTerm(l), parseAggTerm(r))
-          // parseAggTerm returns only leaf aggregates; AVG is the one
-          // non-linear leaf and cannot ride a ± combination
+          // parseAggTerm returns only leaf aggregates. AVG rides a ±
+          // combination since r17 (each AVG is a ratio of two linear
+          // estimates — the Catalyst plane's ExprOut already composed it);
+          // COUNT(DISTINCT) stays out (set size, no interval arithmetic).
           Seq(combo.left, combo.right).foreach {
-            case _: Avg           => fail("± of AVG terms (AVG is not linear)")
             case _: CountDistinct => fail("± of COUNT(DISTINCT) terms (not linear)")
             case _                => ()
           }
@@ -415,8 +432,9 @@ object SqlParser {
         case None => parseAggTerm(sel.trim)
       }
       val (fromTable, tables, joins) = parseFrom(from.trim)
-      val (preds, orPreds) = Option(where).map(parseWhere).getOrElse((Nil, Nil))
-      (preds ++ orPreds).foreach(p =>
+      val (preds, orPreds, orGroups2) =
+        Option(where).map(parseWhere).getOrElse((Nil, Nil, Nil))
+      (preds ++ orPreds ++ orGroups2.flatMap(g => g._1 ++ g._2)).foreach(p =>
         if (!tables(p.table)) fail(s"predicate on ${p.col}: table ${p.table} not in FROM"))
       val (mode, groupCols) = Option(group).map(_.trim) match {
         case Some(groupSetRe(kind, cols)) =>
@@ -433,6 +451,7 @@ object SqlParser {
         val okKinds: Set[String] =
           if (fn.startsWith("window:")) Set("secs") // step-aligned epoch-second slices
           else if (fn.startsWith("datefmt:")) Set("days", "secs") // day-granular formats
+          else if (fn.startsWith("datefmtsub:")) Set("secs") // hour/minute-step formats (r17)
           else if (!isCalendarFn(fn)) Set("num")
           else if (fn == "hour" || fn == "minute") Set("secs")
           else Set("days", "secs")
@@ -493,7 +512,7 @@ object SqlParser {
       if (limit.isDefined && orderBy.isEmpty && (groupBy.nonEmpty || calGroup.nonEmpty))
         fail("LIMIT requires ORDER BY on a grouped query")
       ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy, mode,
-        having, orderBy, limit, calGroup)
+        having, orderBy, limit, calGroup, orGroups2)
     }
   }
 
@@ -613,16 +632,29 @@ object SqlParser {
       case _             => None
     }
 
-  private def parseWhere(where: String): (Seq[Pred], Seq[Pred]) = {
+  /** Up to THREE independent parenthesized OR groups per WHERE (r17 — the
+    * Catalyst plane's 3^N signed-expansion cap mirrored at parse): the
+    * first group keeps the distributed-common-conjuncts convention in
+    * (preds, orPreds); groups two and three return raw in the third slot —
+    * intersection with group one's terms re-conjoins the common conjuncts
+    * into every signed product term downstream.
+    */
+  private def parseWhere(where: String)
+      : (Seq[Pred], Seq[Pred], Seq[(Seq[Pred], Seq[Pred])]) = {
     val parts = conjuncts(where)
     val (orGroups, plain) = parts.partition(p => orBranches(p).isDefined)
     val common = plain.map(c => parseConjunct(stripOuter(c)))
+    if (orGroups.length > 3) fail(
+      "at most three parenthesized OR groups per WHERE clause (the 3^N signed-expansion cap)")
     orGroups match {
-      case Nil => (common, Nil)
-      case g :: Nil =>
+      case Nil => (common, Nil, Nil)
+      case g :: rest =>
         val (a, b) = orBranches(g).get
-        (common ++ parseConjunction(a), common ++ parseConjunction(b))
-      case _ => fail("at most one parenthesized OR group per WHERE clause")
+        val extra = rest.map { r =>
+          val (ra, rb) = orBranches(r).get
+          (parseConjunction(ra), parseConjunction(rb))
+        }
+        (common ++ parseConjunction(a), common ++ parseConjunction(b), extra)
     }
   }
 

@@ -127,4 +127,26 @@ class DuplicateClassSpec extends AnyFunSuite {
       .flatMap(ms => ms.map(_ -> ms.min)).toMap
     assert(labels == expectedLabels, s"cluster labels: got $labels, want $expectedLabels")
   }
+  test("the production threshold bands selectively; the loose spec threshold is flagged") {
+    // r17 (VERDICT item 5): the near-all-pairs regime at loose thresholds
+    // is OBSERVABLE — cosineLshCandidateCounts measures banding
+    // selectivity, and the production threshold (0.85) must stay well
+    // below the loose spec threshold's (0.45) on the committed fixture.
+    // (At cos-0.45 / k=2, an uncorrelated pair lands in >=1 of 16 bands
+    // w.p. ~0.99 by math — Similarity.scala header — so its selectivity
+    // approaches 1; at 0.85 / k=6 banding separates.)
+    val d = sf
+    val (n85, c85) = ext.Similarity.cosineLshCandidateCounts(spark, d, 0.85)
+    val all = n85.toDouble * (n85 - 1) / 2
+    assert(n85 > 100, s"fixture must carry vectors: $n85")
+    val sel85 = c85 / all
+    val (n45, c45) = ext.Similarity.cosineLshCandidateCounts(spark, d, 0.45)
+    assert(n45 == n85)
+    val sel45 = c45 / all
+    info(f"banding selectivity: 0.85 -> $sel85%.4f, 0.45 -> $sel45%.4f (n=$n85)")
+    assert(sel85 <= 0.7, f"production threshold must band selectively: $sel85%.4f")
+    assert(sel45 > sel85, f"loose threshold must be LESS selective: $sel45%.4f vs $sel85%.4f")
+    assert(sel85 <= 0.75 * sel45,
+      f"0.85 must be substantially more selective than 0.45: $sel85%.4f vs $sel45%.4f")
+  }
 }

@@ -1610,7 +1610,7 @@ class SpnAqpSpec extends AnyFunSuite {
     val dAll = session(aqp = true).sql(
       """SELECT date_trunc('day', o_orderdate) AS p, count(*) AS n
          FROM orders GROUP BY date_trunc('day', o_orderdate)""".stripMargin)
-    assert(!isRewritten(dAll), "a multi-year daily series exceeds the 400-bucket cap: fallback")
+    assert(!isRewritten(dAll), "a multi-year daily series exceeds the 2000-bucket interval cap: fallback")
   }
 
   test("mixed calendar × dimension grouping folds: GROUP BY year(d), dimcol") {
@@ -1985,10 +1985,18 @@ class SpnAqpSpec extends AnyFunSuite {
     // fallbacks: past the 400-bin cap; positive round scale (fractional
     // bins regroup within FP noise); an unmodeled source column; an
     // expression OVER the bin key
-    val capped = session(aqp = true).sql(
+    // r17: ~1000 bins now FOLD under the pure-interval cap (no dims, one
+    // range probe per bin); a ~10000-bin width keeps the loud fallback
+    val thousandBins = session(aqp = true).sql(
       """SELECT floor(l_extendedprice/100) AS bin, count(*) AS n
          FROM lineitem GROUP BY floor(l_extendedprice/100)""".stripMargin)
-    assert(!isRewritten(capped), "a >400-bin histogram must fall back")
+    assert(isRewritten(thousandBins),
+      s"a ~1000-bin histogram must fold (r17 interval cap):\n${thousandBins.queryExecution.optimizedPlan}")
+    assert(thousandBins.collect().length >= 200)
+    val capped = session(aqp = true).sql(
+      """SELECT floor(l_extendedprice/10) AS bin, count(*) AS n
+         FROM lineitem GROUP BY floor(l_extendedprice/10)""".stripMargin)
+    assert(!isRewritten(capped), "a ~10000-bin histogram must fall back at the interval cap")
     val posScale = session(aqp = true).sql(
       """SELECT round(l_discount, 1) AS bin, count(*) AS n
          FROM lineitem GROUP BY round(l_discount, 1)""".stripMargin)
@@ -2107,16 +2115,39 @@ class SpnAqpSpec extends AnyFunSuite {
            GROUP BY window(ts, '6 hours')) ORDER BY s""".stripMargin)
     assert(isRewritten(wsDf), s"window.start projection must resolve over the fold:\n${wsDf.queryExecution.optimizedPlan}")
     assert(wsDf.collect().length >= 20)
-    // fallbacks: the FULL 30-day hourly span exceeds the 400-bucket cap;
-    // hourly truncation of a DAYS-modeled column has no matching variant
-    val fullSpan = session(aqp = true).sql(
-      """SELECT date_trunc('hour', ts) AS h, count(*) AS n
-         FROM events GROUP BY date_trunc('hour', ts)""".stripMargin)
-    assert(!isRewritten(fullSpan), "a 720-bucket hourly series must fall back")
+    // r17 (VERDICT item 7): the FULL 30-day hourly span — 720 buckets —
+    // FOLDS under the pure-interval cap (one bucket column, zero
+    // dimensions, one range probe per bucket); the monthly hourly
+    // dashboard answers zero-scan. Exactness: key sets match the exact
+    // plane and every shared cell stays inside the usual gates.
+    val fsSql = """SELECT date_trunc('hour', ts) AS h, count(*) AS n
+                   FROM events GROUP BY date_trunc('hour', ts)""".stripMargin
+    val fullSpan = session(aqp = true).sql(fsSql)
+    assert(isRewritten(fullSpan),
+      s"the 720-bucket hourly series must fold (r17 interval cap):\n${fullSpan.queryExecution.optimizedPlan}")
+    val fsExact = session(aqp = false).sql(fsSql).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+    val fsEst = fullSpan.collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1).toDouble).toMap
+    // sparse hours fold out through the half-row gate at sf0.001;
+    // >400 emitted buckets proves the old tuple cap is gone
+    assert(fsEst.size > 400, s">400 hourly buckets expected, got ${fsEst.size}")
+    (fsEst.keySet diff fsExact.keySet).foreach { k =>
+      assert(fsEst(k) <= 5.0, s"hourly phantom $k carries real mass: ${fsEst(k)}")
+    }
+    (fsExact.keySet diff fsEst.keySet).foreach { k =>
+      assert(fsExact(k) <= 5.0, s"hourly dropped $k has real rows: ${fsExact(k)}")
+    }
+    (fsEst.keySet intersect fsExact.keySet).foreach { k =>
+      assert(qerr(fsEst(k), fsExact(k)) <= 3.0 || math.abs(fsEst(k) - fsExact(k)) <= 10.0,
+        s"hourly cell $k: ${fsEst(k)} vs ${fsExact(k)}")
+    }
     val fullWin = session(aqp = true).sql(
       """SELECT window(ts, '1 hour') AS w, count(*) AS n
          FROM events GROUP BY window(ts, '1 hour')""".stripMargin)
-    assert(!isRewritten(fullWin), "a 720-bucket tumbling series must fall back")
+    assert(isRewritten(fullWin),
+      s"the 720-bucket tumbling series must fold (r17 interval cap):\n${fullWin.queryExecution.optimizedPlan}")
+    assert(fullWin.collect().length > 400)
     val daysCol = session(aqp = true).sql(
       """SELECT date_trunc('hour', o_orderdate) AS h, count(*) AS n
          FROM orders WHERE o_orderdate < DATE'1992-02-01'
@@ -2241,11 +2272,14 @@ class SpnAqpSpec extends AnyFunSuite {
       assert(qerr(orEst(k), orExact(k)) <= 3.0 || math.abs(orEst(k) - orExact(k)) <= 10.0,
         s"sliding OR window $k: ${orEst(k)} vs ${orExact(k)}")
     }
-    // fallback: the FULL 30-day hourly-slide span exceeds the 400-bucket cap
+    // r17: the FULL 30-day hourly-slide span (~720 overlapping windows)
+    // folds under the pure-interval cap — each window one range probe
     val fullSpan = session(aqp = true).sql(
       """SELECT window(ts, '2 hours', '1 hour') AS w, count(*) AS n
          FROM events GROUP BY window(ts, '2 hours', '1 hour')""".stripMargin)
-    assert(!isRewritten(fullSpan), "a ~700-bucket sliding series must fall back")
+    assert(isRewritten(fullSpan),
+      s"a ~720-bucket sliding series must fold (r17 interval cap):\n${fullSpan.queryExecution.optimizedPlan}")
+    assert(fullSpan.collect().length > 400)
     // a startTime OFFSET shifts every boundary by st: the numeric
     // verification derives st from the probes, so offset windows fold with
     // correctly shifted keys (tumbling spelled with 4 args goes through
@@ -2336,15 +2370,53 @@ class SpnAqpSpec extends AnyFunSuite {
     val wdKeys = wDf.collect().map(_.getString(0)).toSet
     assert(wdKeys == Set("Monday", "Tuesday", "Wednesday", "Thursday",
       "Friday", "Saturday", "Sunday"), s"weekday keys: $wdKeys")
-    // fallbacks: a sub-day pattern letter, and the uncapped 7-year span
-    val subDay = session(aqp = true).sql(
+    // r17 (VERDICT item 4): the SUB-DAY spelling 'yyyy-MM-dd HH' over the
+    // secs-modeled stream column folds as hour-step buckets evaluated
+    // through Spark's own formatter and merged on equal keys — the hourly
+    // string-key dashboard; key sets and cells match the exact plane
+    val hSql = """SELECT date_format(ts, 'yyyy-MM-dd HH') AS h, count(*) AS n
+                  FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+                  GROUP BY date_format(ts, 'yyyy-MM-dd HH')""".stripMargin
+    val hExact = session(aqp = false).sql(hSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val hDf = session(aqp = true).sql(hSql)
+    assert(isRewritten(hDf),
+      s"sub-day date_format must fold (r17):\n${hDf.queryExecution.optimizedPlan}")
+    val hEst = hDf.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(hEst.keySet.forall(_.matches("2024-01-0\\d \\d\\d")), s"hour keys: ${hEst.keySet.take(3)}")
+    (hEst.keySet diff hExact.keySet).foreach { k =>
+      assert(hEst(k) <= 5.0, s"sub-day phantom $k carries real mass: ${hEst(k)}")
+    }
+    (hExact.keySet diff hEst.keySet).foreach { k =>
+      assert(hExact(k) <= 5.0, s"sub-day dropped $k has real rows: ${hExact(k)}")
+    }
+    (hEst.keySet intersect hExact.keySet).foreach { k =>
+      assert(qerr(hEst(k), hExact(k)) <= 3.0 || math.abs(hEst(k) - hExact(k)) <= 10.0,
+        s"sub-day cell $k: ${hEst(k)} vs ${hExact(k)}")
+    }
+    // the full 30-day hourly span (720 merged keys) folds whole under the
+    // r17 interval cap — the dashboard shape item 7 names
+    val hAll = session(aqp = true).sql(
       """SELECT date_format(ts, 'yyyy-MM-dd HH') AS h, count(*) AS n
          FROM events GROUP BY date_format(ts, 'yyyy-MM-dd HH')""".stripMargin)
-    assert(!isRewritten(subDay), "a sub-day format must fall back")
+    assert(isRewritten(hAll), "the 720-key hourly string dashboard must fold")
+    assert(hAll.collect().length > 400)
+    // fallbacks: second-granular and zone-rendering formats; a sub-day
+    // format over a DAYS-modeled column (no matching variant); the
+    // uncapped 7-year daily span (past the 2000-bucket interval cap)
+    val secFmt = session(aqp = true).sql(
+      """SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s, count(*) AS n
+         FROM events GROUP BY date_format(ts, 'yyyy-MM-dd HH:mm:ss')""".stripMargin)
+    assert(!isRewritten(secFmt), "a second-granular format must fall back")
+    val subDayOverDays = session(aqp = true).sql(
+      """SELECT date_format(o_orderdate, 'yyyy-MM-dd HH') AS h, count(*) AS n
+         FROM orders WHERE o_orderdate < DATE'1992-02-01'
+         GROUP BY date_format(o_orderdate, 'yyyy-MM-dd HH')""".stripMargin)
+    assert(!isRewritten(subDayOverDays), "sub-day format over a days-modeled column must fall back")
     val fullSpan = session(aqp = true).sql(
       """SELECT date_format(o_orderdate, 'yyyy-MM') AS m, count(*) AS n
          FROM orders GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin)
-    assert(!isRewritten(fullSpan), "a ~2500-day span must fall back at the 400-day cap")
+    assert(!isRewritten(fullSpan), "a ~2500-day span must fall back at the 2000-day interval cap")
   }
 
   test("per-bucket MIN/MAX fold; session windows honestly fall back") {

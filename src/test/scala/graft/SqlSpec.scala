@@ -194,11 +194,47 @@ class SqlSpec extends AnyFunSuite {
     }
     assert(qerr(est.value, viaSparkSql) <= 1.5, s"est ${est.value} exact $viaSparkSql")
     assert(est.ci95Lo <= est.value && est.value <= est.ci95Hi)
-    // AVG is not linear: rejected at parse, like the reference's IR
-    val err = intercept[IllegalArgumentException] {
-      SqlParser.parseQuery("SELECT AVG(l_quantity) + SUM(l_tax) FROM lineitem")
+    // AVG rides a ± combination since r17 (VERDICT item 8): each AVG a
+    // ratio of two linear estimates, combined by interval arithmetic —
+    // scalar, grouped, and under a parenthesized OR; COUNT(DISTINCT)
+    // stays rejected (a set size has no interval arithmetic)
+    val avgSql = """SELECT AVG(l_extendedprice) - AVG(l_quantity) FROM lineitem
+                    WHERE l_quantity < 30""".stripMargin
+    val avgExact = spark.sql(avgSql).head().getDouble(0)
+    val avgEst = SqlEstimate.estimate(ens, avgSql) match {
+      case SqlEstimate.Scalar(e) => e
+      case other                 => fail(s"expected Scalar, got $other")
     }
-    assert(err.getMessage.contains("AVG"))
+    assert(qerr(avgEst.value, avgExact) <= 1.5, s"AVG± est ${avgEst.value} exact $avgExact")
+    val avgViaExact = SqlExact.compile(spark, sf, avgSql).head().getDouble(0)
+    assert(math.abs(avgViaExact - spark.sql(
+      "SELECT CAST(ROUND(AVG(CAST(l_extendedprice AS DECIMAL(38,12))) " +
+        "- AVG(CAST(l_quantity AS DECIMAL(38,12))), 2) AS DOUBLE) " +
+        "FROM lineitem WHERE l_quantity < 30").head().getDouble(0)) < 1e-9)
+    val gAvgSql = """SELECT l_returnflag, AVG(l_extendedprice) - AVG(l_quantity)
+                     FROM lineitem GROUP BY l_returnflag""".stripMargin
+    val gAvgExact = spark.sql(gAvgSql).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gAvgEst = SqlEstimate.estimate(ens, gAvgSql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected Groups, got $other")
+    }
+    assert(gAvgEst.keySet == gAvgExact.keySet)
+    gAvgExact.foreach { case (k, v) =>
+      assert(qerr(gAvgEst(k), v) <= 1.5, s"AVG± group $k: ${gAvgEst(k)} vs $v")
+    }
+    val orAvgSql = """SELECT AVG(l_extendedprice) + AVG(l_quantity) FROM lineitem
+                      WHERE (l_discount < 0.02 OR l_tax > 0.06)""".stripMargin
+    val orAvgExact = spark.sql(orAvgSql).head().getDouble(0)
+    val orAvgEst = SqlEstimate.estimate(ens, orAvgSql) match {
+      case SqlEstimate.Scalar(e) => e.value
+      case other                 => fail(s"expected Scalar, got $other")
+    }
+    assert(qerr(orAvgEst, orAvgExact) <= 1.5, s"OR AVG± est $orAvgEst exact $orAvgExact")
+    val err = intercept[IllegalArgumentException] {
+      SqlParser.parseQuery("SELECT COUNT(DISTINCT l_returnflag) + SUM(l_tax) FROM lineitem")
+    }
+    assert(err.getMessage.contains("DISTINCT"))
   }
 
   test("ORDER BY / LIMIT / HAVING parse, compile exactly, and validate") {
@@ -943,13 +979,18 @@ class SqlSpec extends AnyFunSuite {
     val viaExact = SqlExact.compile(spark, sf, xSql).collect()
       .map(r => (r.getLong(0), r.getDouble(1).toLong)).toSeq
     assert(viaExact == viaSpark, s"exact-plane binned grouping: $viaExact vs $viaSpark")
-    // loud failures: a bin fn over a non-num column; a >400-bin width; a
+    // loud failures: a bin fn over a non-num column; a past-the-interval-
+    // cap bin width (r17: ~1000 bins now answer, ~10000 stay loud); a
     // positive round scale never parses as a bucket expression
     assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
       "SELECT floor(o_orderdate/2), COUNT(*) FROM orders GROUP BY floor(o_orderdate/2)"))
-    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+    assert(SqlEstimate.estimate(ens,
       """SELECT floor(l_extendedprice/100), COUNT(*) FROM lineitem
-         GROUP BY floor(l_extendedprice/100)""".stripMargin))
+         GROUP BY floor(l_extendedprice/100)""".stripMargin)
+      .isInstanceOf[SqlEstimate.Groups], "a ~1000-bin histogram answers under the interval cap")
+    assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
+      """SELECT floor(l_extendedprice/10), COUNT(*) FROM lineitem
+         GROUP BY floor(l_extendedprice/10)""".stripMargin))
     assertThrows[IllegalArgumentException](SqlEstimate.estimate(ens,
       "SELECT round(l_discount, 1), COUNT(*) FROM lineitem GROUP BY round(l_discount, 1)"))
   }
@@ -1476,12 +1517,37 @@ class SqlSpec extends AnyFunSuite {
     val gotExact = SqlExact.compile(spark, sf, mSql).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(gotExact.keySet == mExact.keySet)
-    // sub-day formats never parse as a bucket expression: loud
-    intercept[Exception] {
-      estGroups("""SELECT date_format(ts, 'yyyy-MM-dd HH'), COUNT(*) FROM events
-                   GROUP BY date_format(ts, 'yyyy-MM-dd HH')""".stripMargin)
+    // r17 (VERDICT item 4): the SUB-DAY spelling answers as hour-step
+    // buckets over the secs-modeled column, merged on equal keys —
+    // text-plane parity with the Catalyst sub-day arm
+    val subSql = """SELECT date_format(ts, 'yyyy-MM-dd HH'), COUNT(*) FROM events
+                    WHERE ts < DATE '2024-01-08'
+                    GROUP BY date_format(ts, 'yyyy-MM-dd HH')""".stripMargin
+    val subExact = spark.sql(subSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val subEst = estGroups(subSql)
+    assert(subEst.keySet.forall(_.matches("2024-01-0\\d \\d\\d")),
+      s"sub-day keys: ${subEst.keySet.take(3)}")
+    (subEst.keySet diff subExact.keySet).foreach { k =>
+      assert(subEst(k) <= 5.0, s"sub-day phantom $k carries real mass: ${subEst(k)}")
     }
-    // the uncapped 7-year orders span is past the 400-day cap: loud
+    (subExact.keySet diff subEst.keySet).foreach { k =>
+      assert(subExact(k) <= 5.0, s"sub-day dropped $k has real rows: ${subExact(k)}")
+    }
+    (subEst.keySet intersect subExact.keySet).foreach { k =>
+      assert(qerr(subEst(k), subExact(k)) <= 3.0 || math.abs(subEst(k) - subExact(k)) <= 10.0,
+        s"sub-day cell $k: ${subEst(k)} vs ${subExact(k)}")
+    }
+    // second-granular formats and sub-day over a days-modeled column: loud
+    intercept[Exception] {
+      estGroups("""SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss'), COUNT(*) FROM events
+                   GROUP BY date_format(ts, 'yyyy-MM-dd HH:mm:ss')""".stripMargin)
+    }
+    intercept[Exception] {
+      estGroups("""SELECT date_format(o_orderdate, 'yyyy-MM-dd HH'), COUNT(*) FROM orders
+                   GROUP BY date_format(o_orderdate, 'yyyy-MM-dd HH')""".stripMargin)
+    }
+    // the uncapped 7-year orders span is past the 2000-day interval cap: loud
     intercept[Exception] {
       estGroups("""SELECT date_format(o_orderdate, 'yyyy-MM'), COUNT(*) FROM orders
                    GROUP BY date_format(o_orderdate, 'yyyy-MM')""".stripMargin)
@@ -1606,9 +1672,16 @@ class SqlSpec extends AnyFunSuite {
       assert(qerr(cbEst(k), cbExact(k)) <= 3.0 || math.abs(cbEst(k) - cbExact(k)) <= 500.0,
         s"window OR ± cell $k: ${cbEst(k)} vs ${cbExact(k)}")
     }
-    // the full 30-day hourly series is past the 400-bucket cap: loud
+    // r17: the full 30-day hourly series (720 windows) ANSWERS under the
+    // pure-interval cap — the monthly hourly dashboard on the text plane
+    val hourlyAll = estGroups(
+      "SELECT window(ts, '1 hour'), COUNT(*) FROM events GROUP BY window(ts, '1 hour')")
+    // sparse hours (~1.4 rows each at sf0.001) fold out through the
+    // half-row gate; >400 emitted buckets proves the old cap is gone
+    assert(hourlyAll.size > 400, s">400 hourly windows expected, got ${hourlyAll.size}")
+    // a minute-level series (~43k windows) keeps the loud cap
     intercept[Exception] {
-      estGroups("SELECT window(ts, '1 hour'), COUNT(*) FROM events GROUP BY window(ts, '1 hour')")
+      estGroups("SELECT window(ts, '1 minute'), COUNT(*) FROM events GROUP BY window(ts, '1 minute')")
     }
     // windows need a secs-modeled column: days-modeled dates gate at parse
     intercept[Exception] {
@@ -1625,5 +1698,105 @@ class SqlSpec extends AnyFunSuite {
            GROUP BY window(ts, '1 day'), window(ts, '2 days')""".stripMargin)
     }
     assert(twoWin.getMessage.contains("multiple WINDOW"), twoWin.getMessage)
+  }
+  test("two independent OR groups compose on the text plane (signed 3^N expansion)") {
+    // r17 (VERDICT item 3): (A∨B) AND (C∨D) answers through Ensemble's
+    // signed expansion — Π_g (1_A + 1_B − 1_AB) distributed into ≤ 3^N
+    // conjunctive terms, exact linearity for COUNT/SUM — closing the plane
+    // divergence where Catalyst composed multiple disjunctions but the
+    // text plane refused them. Scalar, flat GROUP BY, and numeric-bearing
+    // ROLLUP all compose; buckets and 4+ groups stay loud.
+    views
+    def est(sql: String): Double = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Scalar(e) => e.value
+      case other                 => fail(s"expected scalar, got $other")
+    }
+    def estGroups(sql: String): Map[String, Double] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) =>
+          rows.map { case (k, e) => k.mkString("|") -> e.value }.toMap
+        case other => fail(s"expected groups, got $other")
+      }
+    val where2 =
+      """WHERE (l_discount < 0.02 OR l_tax > 0.06)
+        |  AND (l_quantity < 15 OR l_quantity > 40)""".stripMargin
+    // scalar COUNT / SUM / AVG
+    val cSql = s"SELECT COUNT(*) FROM lineitem $where2"
+    val cExact = spark.sql(cSql).head().getLong(0).toDouble
+    assert(qerr(est(cSql), cExact) <= 1.3, s"2-OR COUNT: ${est(cSql)} vs $cExact")
+    val sSql = s"SELECT SUM(l_extendedprice) FROM lineitem $where2"
+    val sExact = spark.sql(sSql).head().getDouble(0)
+    assert(qerr(est(sSql), sExact) <= 1.3, s"2-OR SUM: ${est(sSql)} vs $sExact")
+    val aSql = s"SELECT AVG(l_extendedprice) FROM lineitem $where2"
+    val aExact = spark.sql(aSql).head().getDouble(0)
+    assert(qerr(est(aSql), aExact) <= 1.3, s"2-OR AVG: ${est(aSql)} vs $aExact")
+    // ± combination rides the signed expansion
+    val pmSql = s"SELECT SUM(l_extendedprice) - SUM(l_quantity) FROM lineitem $where2"
+    val pmExact = spark.sql(pmSql).head().getDouble(0)
+    assert(qerr(est(pmSql), pmExact) <= 1.3, s"2-OR ±: ${est(pmSql)} vs $pmExact")
+    // flat GROUP BY over a dictionary column
+    val gSql = s"SELECT l_returnflag, COUNT(*) FROM lineitem $where2 GROUP BY l_returnflag"
+    val gExact = spark.sql(gSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val gEst = estGroups(gSql)
+    (gExact.keySet intersect gEst.keySet).foreach { k =>
+      assert(qerr(gEst(k), gExact(k)) <= 2.0 || math.abs(gEst(k) - gExact(k)) <= 10.0,
+        s"2-OR group $k: ${gEst(k)} vs ${gExact(k)}")
+    }
+    (gExact.keySet diff gEst.keySet).foreach { k =>
+      assert(gExact(k) <= 5.0, s"2-OR dropped group $k has real rows: ${gExact(k)}")
+    }
+    // numeric-bearing ROLLUP under two OR groups (the verdict's pin shape)
+    val rSql = s"""SELECT l_returnflag, l_quantity, COUNT(*) FROM lineitem
+                   WHERE (l_discount < 0.02 OR l_tax > 0.06)
+                     AND (l_quantity < 8 OR l_quantity > 48)
+                   GROUP BY ROLLUP(l_returnflag, l_quantity)"""
+    val rEst = SqlEstimate.estimate(ens, rSql) match {
+      case SqlEstimate.GroupSets(rows) =>
+        rows.map { case (g, e) =>
+          (g(0).getOrElse("ALL"), g(1).getOrElse("ALL")) -> e.value
+        }.toMap
+      case other => fail(s"expected grouping sets, got $other")
+    }
+    val rExact = spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL'),
+                coalesce(cast(cast(l_quantity AS bigint) AS string), 'ALL'), COUNT(*)
+         FROM lineitem
+         WHERE (l_discount < 0.02 OR l_tax > 0.06)
+           AND (l_quantity < 8 OR l_quantity > 48)
+         GROUP BY ROLLUP(l_returnflag, l_quantity)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toDouble).toMap
+    (rEst.keySet diff rExact.keySet).foreach { k =>
+      assert(rEst(k) <= 5.0, s"2-OR num-rollup phantom set $k carries real mass: ${rEst(k)}")
+    }
+    (rExact.keySet diff rEst.keySet).foreach { k =>
+      assert(rExact(k) <= 5.0, s"2-OR num-rollup dropped set $k has real rows: ${rExact(k)}")
+    }
+    (rEst.keySet intersect rExact.keySet).foreach { k =>
+      assert(qerr(rEst(k), rExact(k)) <= 3.0 || math.abs(rEst(k) - rExact(k)) <= 10.0,
+        s"2-OR num-rollup set $k: ${rEst(k)} vs ${rExact(k)}")
+    }
+    // three groups still answer; FOUR fail loudly at parse (the 3^N cap)
+    val c3Sql = """SELECT COUNT(*) FROM lineitem
+                   WHERE (l_discount < 0.02 OR l_tax > 0.06)
+                     AND (l_quantity < 15 OR l_quantity > 40)
+                     AND (l_returnflag IN ('A') OR l_linestatus IN ('O'))"""
+    val c3Exact = spark.sql(c3Sql).head().getLong(0).toDouble
+    assert(qerr(math.max(est(c3Sql), 1.0), math.max(c3Exact, 1.0)) <= 1.5,
+      s"3-OR COUNT: ${est(c3Sql)} vs $c3Exact")
+    intercept[IllegalArgumentException] {
+      est("""SELECT COUNT(*) FROM lineitem
+             WHERE (l_discount < 0.02 OR l_tax > 0.06)
+               AND (l_quantity < 15 OR l_quantity > 40)
+               AND (l_returnflag IN ('A') OR l_linestatus IN ('O'))
+               AND (l_tax < 0.01 OR l_discount > 0.09)""")
+    }
+    // bucket GROUP BY under 2 groups keeps the loud accuracy-cap posture
+    intercept[IllegalArgumentException] {
+      estGroups("""SELECT year(l_shipdate), COUNT(*) FROM lineitem
+                   WHERE (l_discount < 0.02 OR l_tax > 0.06)
+                     AND (l_quantity < 15 OR l_quantity > 40)
+                   GROUP BY year(l_shipdate)""")
+    }
   }
 }

@@ -16,9 +16,18 @@ and any wall flag must be isolated-re-measured (SPARK_GRAFT_BENCH_ONLY=q)
 before being believed — in-suite flags have proven unstable every round
 (BENCH_SCALING.md appendices).
 
-Exit status: 0 = inside the gate, 2 = gate exceeded, 1 = usage error.
+With --require-head (the round-closing invariant, r16 VERDICT item 2): the
+pin's head must be an ancestor of the current HEAD and NO SOURCE file
+(src/**, build.sbt, tools/**) may have changed since it — the pin commit
+itself is doc-only, so a shipped HEAD whose code postdates the pinned bench
+fails loudly instead of shipping unmeasured.
+
+Exit status: 0 = inside the gate, 2 = gate exceeded, 3 = head invariant
+violated, 1 = usage error.
 """
 import json
+import os
+import subprocess
 import sys
 
 WALL_REPORT_RATIO = 3.0   # per-query wall triage threshold (report only)
@@ -37,12 +46,26 @@ def load_line(path: str) -> dict:
     raise SystemExit(f"no bench JSON line in {path}")
 
 
+def check_head_invariant(pin_head: str) -> list[str]:
+    """Source paths changed between the pinned head and HEAD (empty = ok)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    run = lambda *a: subprocess.run(  # noqa: E731
+        ["git", *a], capture_output=True, text=True, cwd=repo)
+    if run("merge-base", "--is-ancestor", pin_head, "HEAD").returncode != 0:
+        return [f"pin head {pin_head} is not an ancestor of HEAD"]
+    diff = run("diff", "--name-only", f"{pin_head}..HEAD")
+    return [p for p in diff.stdout.splitlines()
+            if p.startswith("src/") or p.startswith("tools/") or p == "build.sbt"]
+
+
 def main() -> int:
-    if len(sys.argv) < 2:
+    args = [a for a in sys.argv[1:] if a != "--require-head"]
+    require_head = "--require-head" in sys.argv[1:]
+    if not args:
         print(__doc__, file=sys.stderr)
         return 1
-    now = load_line(sys.argv[1])
-    base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_LOCAL.json"
+    now = load_line(args[0])
+    base_path = args[1] if len(args) > 1 else "BASELINE_LOCAL.json"
     with open(base_path, encoding="utf-8") as fh:
         base = json.load(fh)
     if now.get("sf") != base.get("sf"):
@@ -90,6 +113,15 @@ def main() -> int:
     if cpu_ratio > CPU_GATE_RATIO:
         print("== GATE EXCEEDED ==")
         return 2
+    if require_head:
+        changed = check_head_invariant(str(base.get("head", "")))
+        if changed:
+            print("== HEAD INVARIANT VIOLATED: source changed since the pin ==")
+            for p in changed[:10]:
+                print(f"  {p}")
+            print("re-run the bench at the current HEAD and re-pin before shipping")
+            return 3
+        print(f"head invariant holds: no source change since pin {base.get('head')}")
     print("== inside the gate ==")
     return 0
 
