@@ -2309,6 +2309,39 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * FILTER clauses, whose atom lists are conjunctive. Mixed-column or
     * non-point disjunctions are left for the OR machinery.
     */
+  /** CNF pre-simplification (r17): regroup a flat disjunct list BY COLUMN —
+    * OR is commutative/associative under Kleene three-valued logic, so
+    * `(a<5 OR b='x' OR a>40)` regroups to `((a<5 OR a>40) OR b='x')`, whose
+    * same-column branch then compiles as ONE AnyOf/InSet atom inside the
+    * 2-branch OR machinery instead of failing as a nested multi-column Or —
+    * keeping more real WHERE clauses under the ≤3-disjunction cap. Applies
+    * only when every disjunct references exactly one attribute and exactly
+    * TWO distinct attributes appear (the branch pair the slot machinery
+    * expresses; one column is absorbed whole by atomsOf already, three-plus
+    * columns in one disjunction stay inexpressible); anything else returns
+    * the expression unchanged.
+    */
+  private def regroupOr(e: Expression): Expression = e match {
+    case o: Or =>
+      def disjuncts(x: Expression): Seq[Expression] = x match {
+        case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+        case other    => Seq(other)
+      }
+      val ds = disjuncts(o)
+      val refs = ds.map(_.references.toSeq)
+      if (ds.length < 3 || !refs.forall(_.length == 1)) o
+      else {
+        val keys = refs.map(_.head.exprId)
+        val order = keys.distinct
+        if (order.length != 2) o
+        else order.map(k =>
+          ds.zip(keys).collect { case (d, kk) if kk == k => d }
+            .reduceLeft[Expression](Or(_, _)))
+          .reduceLeft[Expression](Or(_, _))
+      }
+    case other => other
+  }
+
   private def eqOrToIn(e: Expression): Expression = {
     def disjuncts(x: Expression): Seq[Expression] = x match {
       case Or(l, r) => disjuncts(l) ++ disjuncts(r)
@@ -2355,7 +2388,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       // multi-interval range unions; numeric != arrives as Complement, not
       // here) compiles as a PLAIN atom and never costs a disjunction slot;
       // only genuinely multi-column disjunctions ride orBranches
-      val conjuncts = conjuncts0.map(eqOrToIn)
+      val conjuncts = conjuncts0.map(e => eqOrToIn(regroupOr(e)))
       val (ors, plain) = conjuncts.partition(e =>
         e.isInstanceOf[Or] && atomsOf(Seq(e)).isEmpty)
       for {
@@ -2404,7 +2437,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         // plain atom (perConj resolves it through the rename layer — its
         // reference set is exactly one attribute), multi-column Ors ride
         // the slot machinery
-        val (ors, plain) = splitConj(cond).map(eqOrToIn)
+        val (ors, plain) = splitConj(cond).map(e => eqOrToIn(regroupOr(e)))
           .partition(e => e.isInstanceOf[Or] && atomsOf(Seq(e)).isEmpty)
         val perConj = plain.map { cj =>
           for {

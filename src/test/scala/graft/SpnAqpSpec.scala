@@ -2823,6 +2823,23 @@ class SpnAqpSpec extends AnyFunSuite {
     // mixed shapes on ONE column conjoin exactly: IN ∧ != intersects the
     // point set against the interval complement (kills 10, keeps the rest)
     checkFold("SELECT count(*) AS n FROM lineitem WHERE l_quantity IN (5, 10, 15) AND l_quantity != 10")
+    // r17 CNF pre-simplification: an INTERLEAVED two-column disjunct list
+    // regroups by column (OR is commutative/associative under 3VL), so the
+    // same-column branches absorb into one AnyOf atom and the conjunct
+    // costs ONE slot — previously the nested multi-column Or fell back
+    checkFold(
+      """SELECT count(*) AS n FROM lineitem
+         WHERE l_quantity < 5 OR l_discount > 0.08 OR l_quantity > 45""".stripMargin)
+    checkFold(
+      """SELECT l_linestatus, count(*) AS n FROM lineitem
+         WHERE (l_quantity < 5 OR l_discount > 0.08 OR l_quantity > 45 OR l_discount < 0.01)
+           AND l_extendedprice > 1000
+         GROUP BY l_linestatus""".stripMargin)
+    // three distinct columns in ONE disjunction stay inexpressible: fallback
+    val threeCol = session(aqp = true).sql(
+      """SELECT count(*) AS n FROM lineitem
+         WHERE l_quantity < 5 OR l_discount > 0.08 OR l_extendedprice > 90000""".stripMargin)
+    assert(!isRewritten(threeCol), "a 3-column single disjunction must fall back")
   }
 
   test("corpus dashboard queries over the documents table fold from the model") {

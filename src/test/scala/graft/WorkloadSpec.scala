@@ -38,6 +38,41 @@ class WorkloadSpec extends AnyFunSuite {
       f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
   }
 
+  test("the MULTI-OR workload replays through the signed 3^N expansion within the gate") {
+    // r17: two/three independent parenthesized OR groups per WHERE — the
+    // external-file gate on the signed conjunctive expansion (cross-column
+    // and same-column branch pairs, conjunction branches, modeled-unit
+    // date literals, one FK join with a cross-TABLE branch pair)
+    val mq = QErrorEval.readWorkload("workloads/testdata_multior_10.sql")
+    assert(mq.length == 10)
+    assert(mq.forall(_._2.split("(?i) OR ").length >= 3),
+      "every multi-OR query must carry at least two OR groups")
+    val truth = QErrorEval.computeTruth(spark, sf, mq, cache = false)
+    val rows = QErrorEval.runWorkload(spark, sf, mq, truth)
+    assert(rows.length == 10)
+    val errs = rows.map(_.qerr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = rows.maxBy(_.qerr)
+    info(f"median $median%.3f p95 $p95%.3f max ${worst.qerr}%.3f (q${worst.no})")
+    assert(median <= 2.0, f"multi-OR median q-error $median%.3f > 2.0")
+    assert(p95 <= 5.0, f"multi-OR p95 q-error $p95%.3f > 5.0; worst q${worst.no} " +
+      f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
+  }
+
+  test("the committed sf0.01 MULTI-OR truth CSV matches the live exact plane") {
+    // drift pin: the DuckDB-generated counts equal Spark's own exact plane
+    // on the committed fixture, so workload grading can never silently
+    // drift from the data
+    val mq = QErrorEval.readWorkload("workloads/testdata_multior_10.sql")
+    val csv = QErrorEval.readTruthCsv("workloads/testdata_multior_10_true_sf0.01.csv")
+    val live = QErrorEval.computeTruth(spark, sfMid, mq, cache = false)
+    assert(csv.keySet == live.keySet)
+    csv.foreach { case (no, v) =>
+      assert(v == live(no), s"multi-OR truth drifted for query $no: csv $v vs live ${live(no)}")
+    }
+  }
+
   test("the JOIN-CHAIN workload meets the cardinality gate: median ≤ 2.0, p95 ≤ 5.0") {
     // testdata_30.sql is mostly 1-2 tables; this file is 3-5-table comma-
     // join chains — the JOB-light class where model choice (chain SPN vs
