@@ -372,28 +372,20 @@ object SqlEstimate {
     }
   }
 
-  /** `GROUP BY year(d)/month(d)/quarter(d)` on the estimate plane: bucket
-    * the model's realized date domain exactly like the Catalyst calendar
-    * fold (plans/SpnAqp.scala rewriteCalendar) — linear year ranges, or
-    * cross-year cyclic multi-intervals for month/quarter — and answer each
-    * bucket as one range-conjoined estimation over the query's own
-    * predicates. The row universe is the fold's: buckets at >= half a row.
-    * Zero scans; keys stringified to match the exact plane's group-truth
-    * normalization.
+  /** One bucket expression's (key, ColRange) list — the shared generator
+    * behind the calendar/bin/window folds on the text plane. `envBranches`
+    * are ALL the predicate branch maps whose range conjuncts may narrow
+    * the realized domain (one map for a conjunctive query, two for a
+    * single OR, every group's branches under multi-OR — the envelope is
+    * their union).
     */
-  private def calendarGroups(
+  private def bucketColRanges(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
-      preds: Map[(String, String), ColRange],
-      orBase: Option[Map[(String, String), ColRange]],
-      numDims: Set[(String, String)],
-      spec: graft.schema.DatasetSpec): Seq[(Seq[String], Ensemble.Estimate)] = {
+      spec: graft.schema.DatasetSpec,
+      envBranches: Seq[Map[(String, String), ColRange]],
+      foldCap: Int, fn: String, t: String, c: String): Seq[(String, ColRange)] = {
     import java.time.LocalDate
-    // fold-class cap split (r17, parity with the Catalyst plane): a single
-    // bucket expression with no dimension columns probes one range per
-    // bucket — interval cap 2000 (the 720-bucket 30-day hourly dashboard);
-    // anything that crosses buckets or enumerates dimensions keeps 400
-    val foldCap = if (q.calGroup.length == 1 && q.groupBy.isEmpty) 2000 else 400
-    def bucketsOf(fn: String, t: String, c: String): Seq[(String, ColRange)] = {
+    {
       val rawDom = Ensemble.colDomain(spns, t, c).getOrElse(
         throw new IllegalArgumentException(s"bucket GROUP BY: no realized domain for $t.$c"))
       // the generator sees the PREDICATE-NARROWED realized domain (r16
@@ -410,11 +402,8 @@ object SqlEstimate {
           case NominalSet(cs) if cs.nonEmpty   => Some((cs.min, cs.max))
           case _                               => None
         }.getOrElse(rawDom)
-      val envA = envOf(preds)
-      val env = orBase.fold(envA) { b =>
-        val eB = envOf(b)
-        (math.min(envA._1, eB._1), math.max(envA._2, eB._2))
-      }
+      val env = envBranches.map(envOf)
+        .reduce((x, y) => (math.min(x._1, y._1), math.max(x._2, y._2)))
       val dom = (math.max(env._1, rawDom._1), math.min(env._2, rawDom._2))
       // calendar fns resolve the column's MODELED ENCODING (r16 late):
       // epoch days ×1 or epoch seconds ×86 400 — the Catalyst fold's kind
@@ -623,6 +612,31 @@ object SqlEstimate {
           s"unsupported SQL: calendar grouping $other")
       }
     }
+  }
+
+  /** `GROUP BY year(d)/month(d)/quarter(d)` on the estimate plane: bucket
+    * the model's realized date domain exactly like the Catalyst calendar
+    * fold (plans/SpnAqp.scala rewriteCalendar) — linear year ranges, or
+    * cross-year cyclic multi-intervals for month/quarter — and answer each
+    * bucket as one range-conjoined estimation over the query's own
+    * predicates. The row universe is the fold's: buckets at >= half a row.
+    * Zero scans; keys stringified to match the exact plane's group-truth
+    * normalization.
+    */
+  private def calendarGroups(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      preds: Map[(String, String), ColRange],
+      orBase: Option[Map[(String, String), ColRange]],
+      numDims: Set[(String, String)],
+      spec: graft.schema.DatasetSpec): Seq[(Seq[String], Ensemble.Estimate)] = {
+    import java.time.LocalDate
+    // fold-class cap split (r17, parity with the Catalyst plane): a single
+    // bucket expression with no dimension columns probes one range per
+    // bucket — interval cap 2000 (the 720-bucket 30-day hourly dashboard);
+    // anything that crosses buckets or enumerates dimensions keeps 400
+    val foldCap = if (q.calGroup.length == 1 && q.groupBy.isEmpty) 2000 else 400
+    def bucketsOf(fn: String, t: String, c: String): Seq[(String, ColRange)] =
+      bucketColRanges(spns, q, spec, preds +: orBase.toSeq, foldCap, fn, t, c)
     // one bucket tuple per calendar key combination: TWO calendar
     // expressions compose as a cross product — nested intersect meets
     // same-column ranges (year ∧ cyclic month = that year's month slice;
@@ -1033,6 +1047,69 @@ object SqlEstimate {
     }
   }
 
+  /** Bucket (calendar/bin/window) grouping under N OR groups (r17) — the
+    * [[calendarGroups]] analog through the signed expansion: bucket ranges
+    * conjoin EVERY group's branches (a tuple where some group loses both
+    * branches is structurally impossible and drops), numeric dimension
+    * pins expand by the all-branch support union, and each surviving tuple
+    * answers through [[multiTupleRows]]. The bucket envelope is the union
+    * of every branch's range conjunct on the bucket column.
+    */
+  private def calendarGroupsMulti(
+      spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
+      groups: Seq[(P, P)],
+      numDims: Set[(String, String)],
+      spec: graft.schema.DatasetSpec): Seq[(Seq[String], Ensemble.Estimate)] = {
+    val foldCap = if (q.calGroup.length == 1 && q.groupBy.isEmpty) 2000 else 400
+    val branchMaps = groups.flatMap { case (a, b) => Seq(a, b) }
+    val perCal: Seq[Seq[(String, (String, String), ColRange)]] =
+      q.calGroup.map { case (fn, t, c) =>
+        bucketColRanges(spns, q, spec, branchMaps, foldCap, fn, t, c)
+          .map { case (k, r) => (k, (t, c), r) }
+      }
+    val optG: OptGroups = groups.map { case (a, b) => (Some(a), Some(b)) }
+    val tuples: Seq[(Seq[String], OptGroups)] =
+      perCal.foldLeft(Seq((Seq.empty[String], optG))) { case (acc, buckets) =>
+        for {
+          (keys, pg) <- acc
+          (k, tc, r) <- buckets
+          np = pg.map { case (a, b) =>
+            (a.flatMap(Ensemble.intersect(_, Map(tc -> r))),
+              b.flatMap(Ensemble.intersect(_, Map(tc -> r))))
+          }
+          if np.forall { case (a, b) => a.isDefined || b.isDefined }
+        } yield (keys :+ k, np)
+      }
+    require(tuples.length <= foldCap,
+      s"calendar GROUP BY: ${tuples.length} bucket combinations exceed the $foldCap-bucket cap")
+    val numDimCols = q.groupBy.filter(numDims)
+    val tuplesNum: Seq[(Seq[String], Map[(String, String), Double], OptGroups)] =
+      numDimCols.foldLeft(tuples.map(t =>
+        (t._1, Map.empty[(String, String), Double], t._2))) { case (acc, tc) =>
+        val support = multiBranchSupport(spns, q, groups, tc)
+        for {
+          (ks, kv, pg) <- acc
+          v <- support
+          pin = Map(tc -> (NominalSet(Array(v)): ColRange))
+          np = pg.map { case (a, b) =>
+            (a.flatMap(Ensemble.intersect(_, pin)), b.flatMap(Ensemble.intersect(_, pin)))
+          }
+          if np.forall { case (a, b) => a.isDefined || b.isDefined }
+        } yield (ks, kv + (tc -> v), np)
+      }
+    require(tuplesNum.length <= foldCap,
+      s"calendar GROUP BY: ${tuplesNum.length} bucket × value tuples exceed the $foldCap-bucket cap")
+    val catDims = q.groupBy.filterNot(numDims)
+    tuplesNum.flatMap { case (keys, kv, pg) =>
+      multiTupleRows(spns, q, catDims, pg).map { case (dk, e) =>
+        val catIter = dk.iterator
+        val dimKeys = q.groupBy.map(tc =>
+          if (numDims(tc)) numKeyStr(kv(tc)) else catIter.next())
+        (keys ++ dimKeys, e)
+      }
+    }
+  }
+
   /** Canonical numeric key string: integral realized values print as
     * longs ("10", never "10.0"), matching the exact plane's group-truth
     * normalization — shared by every numeric-key fold on this plane.
@@ -1091,9 +1168,16 @@ object SqlEstimate {
         q.orGroups2.map(g =>
           (mergePreds(spns, g._1, spec), mergePreds(spns, g._2, spec)))
     val optGroups: OptGroups = groups.map { case (a, b) => (Some(a), Some(b)) }
-    require(q.calGroup.isEmpty,
-      "bucket GROUP BY with multiple OR groups: unsupported on the text plane " +
-        "(the per-bucket signed expansion is past the accuracy cap)")
+    if (q.calGroup.nonEmpty) {
+      val numDims = q.groupBy.filter { case (gt, gcol) =>
+        spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
+      }.toSet
+      q.groupBy.filterNot(numDims).foreach { case (gt, gcol) =>
+        require(modelColOf(spns, gt, gcol).dict.nonEmpty,
+          s"GROUP BY $gcol: not a categorical model column")
+      }
+      return Groups(calendarGroupsMulti(spns, q, groups, numDims, spec))
+    }
 
     if (q.groupMode != GroupFlat) {
       val sets: Seq[Seq[(String, String)]] = q.groupMode match {

@@ -1791,12 +1791,33 @@ class SqlSpec extends AnyFunSuite {
                AND (l_returnflag IN ('A') OR l_linestatus IN ('O'))
                AND (l_tax < 0.01 OR l_discount > 0.09)""")
     }
-    // bucket GROUP BY under 2 groups keeps the loud accuracy-cap posture
-    intercept[IllegalArgumentException] {
-      estGroups("""SELECT year(l_shipdate), COUNT(*) FROM lineitem
-                   WHERE (l_discount < 0.02 OR l_tax > 0.06)
-                     AND (l_quantity < 15 OR l_quantity > 40)
-                   GROUP BY year(l_shipdate)""")
+    // bucket GROUP BY composes with two OR groups through the same signed
+    // expansion (each bucket range conjoins every group's branches)
+    val bSql = """SELECT year(l_shipdate), COUNT(*) FROM lineitem
+                  WHERE (l_discount < 0.02 OR l_tax > 0.06)
+                    AND (l_quantity < 15 OR l_quantity > 40)
+                  GROUP BY year(l_shipdate)"""
+    val bExact = spark.sql(bSql).collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1).toDouble).toMap
+    val bEst = estGroups(bSql)
+    (bExact.keySet intersect bEst.keySet).foreach { k =>
+      assert(qerr(bEst(k), bExact(k)) <= 2.0 || math.abs(bEst(k) - bExact(k)) <= 10.0,
+        s"2-OR year bucket $k: ${bEst(k)} vs ${bExact(k)}")
+    }
+    (bExact.keySet diff bEst.keySet).foreach { k =>
+      assert(bExact(k) <= 5.0, s"2-OR dropped bucket $k has real rows: ${bExact(k)}")
+    }
+    // bin buckets × dims × two ORs through the same tuple machinery
+    val binSql = """SELECT floor(l_extendedprice/20000), l_returnflag, COUNT(*) FROM lineitem
+                    WHERE (l_discount < 0.02 OR l_tax > 0.06)
+                      AND (l_quantity < 15 OR l_quantity > 40)
+                    GROUP BY floor(l_extendedprice/20000), l_returnflag"""
+    val binExact = spark.sql(binSql).collect()
+      .map(r => s"${r.getLong(0)}|${r.getString(1)}" -> r.getLong(2).toDouble).toMap
+    val binEst = estGroups(binSql)
+    (binExact.keySet intersect binEst.keySet).foreach { k =>
+      assert(qerr(binEst(k), binExact(k)) <= 3.0 || math.abs(binEst(k) - binExact(k)) <= 10.0,
+        s"2-OR bin×dim cell $k: ${binEst(k)} vs ${binExact(k)}")
     }
   }
 }
