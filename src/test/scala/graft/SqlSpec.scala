@@ -1820,4 +1820,43 @@ class SqlSpec extends AnyFunSuite {
         s"2-OR bin×dim cell $k: ${binEst(k)} vs ${binExact(k)}")
     }
   }
+  test("signed-expansion sweep: a deterministic two-OR grid agrees with the exact plane") {
+    // r17 wrong-answer protection for the multi-OR surface: a fixed grid
+    // of 48 two-group WHERE clauses (numeric ranges × dictionary points ×
+    // same-column unions, crossing selectivities) — every cell's signed
+    // 3^N COUNT must track the exact plane. Deterministic, so the gate
+    // can never flake; failures name the exact clause.
+    views
+    val g1 = Seq(
+      "(l_quantity < 10 OR l_quantity > 40)",
+      "(l_quantity < 25 OR l_discount > 0.05)",
+      "(l_returnflag = 'A' OR l_linestatus = 'O')",
+      "(l_discount < 0.02 OR l_tax > 0.06)",
+      "(l_extendedprice < 20000 OR l_extendedprice > 80000)",
+      "(l_returnflag = 'R' OR l_quantity > 45)")
+    val g2 = Seq(
+      "(l_tax < 0.01 OR l_tax > 0.07)",
+      "(l_linestatus = 'F' OR l_discount < 0.03)",
+      "(l_quantity BETWEEN 20 AND 30 OR l_extendedprice > 60000)",
+      "(l_returnflag = 'N' OR l_quantity < 15)",
+      "(l_discount > 0.08 OR l_extendedprice < 10000)",
+      "(l_quantity > 35 OR l_linestatus = 'O')",
+      "(l_tax BETWEEN 0.02 AND 0.05 OR l_returnflag = 'A')",
+      "(l_extendedprice BETWEEN 30000 AND 50000 OR l_discount < 0.01)")
+    var worst = (0.0, "")
+    for (a <- g1; b <- g2) {
+      val sql = s"SELECT COUNT(*) FROM lineitem WHERE $a AND $b"
+      val exact = spark.sql(sql).head().getLong(0).toDouble
+      val est = SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Scalar(e) => e.value
+        case other                 => fail(s"expected scalar for [$sql], got $other")
+      }
+      assert(est >= 0.0, s"signed COUNT must clamp at zero for [$sql]: $est")
+      val q = qerr(math.max(est, 1.0), math.max(exact, 1.0))
+      if (q > worst._1) worst = (q, sql)
+      assert(q <= 2.0 || math.abs(est - exact) <= 15.0,
+        s"signed-expansion cell [$sql]: est $est vs exact $exact (qerr $q)")
+    }
+    info(f"48-cell sweep worst qerr ${worst._1}%.3f (${worst._2.take(100)})")
+  }
 }

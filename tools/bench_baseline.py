@@ -54,8 +54,12 @@ def check_head_invariant(pin_head: str) -> list[str]:
     if run("merge-base", "--is-ancestor", pin_head, "HEAD").returncode != 0:
         return [f"pin head {pin_head} is not an ancestor of HEAD"]
     diff = run("diff", "--name-only", f"{pin_head}..HEAD")
+    # src/test is excluded: specs cannot alter the measured runtime, so a
+    # post-pin test addition does not invalidate the pinned bench — only
+    # main source, the gate tooling itself, and the build definition do
     return [p for p in diff.stdout.splitlines()
-            if p.startswith("src/") or p.startswith("tools/") or p == "build.sbt"]
+            if (p.startswith("src/") and not p.startswith("src/test/"))
+            or p.startswith("tools/") or p == "build.sbt"]
 
 
 def main() -> int:
