@@ -149,6 +149,29 @@ object QErrorEval {
       }
     }
 
+  /** Registers the workload tables as temp views. `events` rides along for
+    * the time-of-day workloads (r16 late) — but only when the fixture ships
+    * it (r16 ADVICE: an events-less sfDir must keep TPC-H-only workloads
+    * working); schema.Tables normalizes its ts NANOS/MICROS parquet
+    * variants. When a fixture LACKS an optional table, any stale view from
+    * a previously-loaded fixture is dropped (r17 ADVICE): temp views
+    * outlive this call, and in a multi-fixture session a prior dir's view
+    * would otherwise silently answer for this dir's missing table — the
+    * query must fail loudly, not compute truth from the wrong data.
+    */
+  private def preloadViews(spark: SparkSession, sfDir: String, cache: Boolean): Unit = {
+    val optional = Set("events")
+    Seq("lineitem", "orders", "customer", "part", "supplier", "events")
+      .foreach { t =>
+        if (!optional(t) ||
+          java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir, s"$t.parquet")))
+          (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
+            .createOrReplaceTempView(t)
+        else
+          spark.catalog.dropTempView(t)
+      }
+  }
+
   /** Exact counts through Spark itself — the workload's comma-join SQL is
     * plain ANSI, so the exact plane IS `spark.sql`. `cache = false` reads
     * the tables raw (one scan per query) for callers that must not perturb
@@ -156,18 +179,7 @@ object QErrorEval {
     */
   def computeTruth(spark: SparkSession, sfDir: String, qs: Seq[(Int, String)],
       cache: Boolean = true): Map[Int, Double] = {
-    // events rides along for the time-of-day workloads (r16 late) — but
-    // only when the fixture ships it (r16 ADVICE: an events-less sfDir
-    // must keep TPC-H-only workloads working); schema.Tables normalizes
-    // its ts NANOS/MICROS parquet variants
-    val optional = Set("events")
-    Seq("lineitem", "orders", "customer", "part", "supplier", "events")
-      .filter(t => !optional(t) ||
-        java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir, s"$t.parquet")))
-      .foreach { t =>
-        (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
-          .createOrReplaceTempView(t)
-      }
+    preloadViews(spark, sfDir, cache)
     qs.map { case (no, sql) =>
       no -> (spark.sql(sql).head().get(0) match {
         case n: Number => n.doubleValue() // covers BigDecimal too
@@ -211,18 +223,7 @@ object QErrorEval {
   def computeGroupTruth(
       spark: SparkSession, sfDir: String, qs: Seq[(Int, String)],
       cache: Boolean = true): Map[Int, Seq[(Seq[String], Double)]] = {
-    // events rides along for the time-of-day workloads (r16 late) — but
-    // only when the fixture ships it (r16 ADVICE: an events-less sfDir
-    // must keep TPC-H-only workloads working); schema.Tables normalizes
-    // its ts NANOS/MICROS parquet variants
-    val optional = Set("events")
-    Seq("lineitem", "orders", "customer", "part", "supplier", "events")
-      .filter(t => !optional(t) ||
-        java.nio.file.Files.exists(java.nio.file.Paths.get(sfDir, s"$t.parquet")))
-      .foreach { t =>
-        (if (cache) schema.Tables(spark, sfDir, t) else schema.Tables.raw(spark, sfDir, t))
-          .createOrReplaceTempView(t)
-      }
+    preloadViews(spark, sfDir, cache)
     qs.map { case (no, sql) =>
       val df = spark.sql(sql)
       val w = df.schema.length

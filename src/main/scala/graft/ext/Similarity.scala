@@ -268,6 +268,30 @@ object Similarity {
         .orderBy("a_id", "b_id")
     },
 
+    // Banding-degradation observability as a QUERYABLE op (r17 VERDICT
+    // item 4 — previously stderr-only): per threshold, the measured
+    // candidate/all-pairs selectivity over EXACTLY the production band-key
+    // + candidate-join construction (shared helpers), beside the analytic
+    // probability an UNCORRELATED pair collides in ≥1 band. The spec's
+    // loose 0.45 threshold sits in the near-all-pairs regime BY MATH
+    // (k small ⇒ background collides); the production 0.85 bands
+    // selectively — ExtOpsSpec pins its selectivity. Deterministic (fixed
+    // projection seed), not oracle-able (bucketing is model-internal).
+    Op.noOracle("dedup_lsh_stats") { (s, d) =>
+      import s.implicits._
+      val nBands = 16
+      Seq(0.45, 0.85).map { t =>
+        val k = bandBits(t)
+        val pBgAny = 1.0 - math.pow(1.0 - math.pow(0.5, k), nBands)
+        val (n, cand) = cosineLshCandidateCounts(s, d, t)
+        val allPairs = n * (n - 1) / 2
+        (t, k, nBands, n, cand, allPairs,
+          if (allPairs > 0) cand.toDouble / allPairs else 0.0, pBgAny)
+      }.toDF("threshold", "k_bits", "n_bands", "unique_vectors",
+        "candidate_pairs", "all_pairs", "selectivity", "bg_any_band_collision")
+        .orderBy("threshold")
+    },
+
     // L3 scale path: native random-projection LSH ANN (euclidean). The
     // corpus is hashed ONCE into per-table bucket ids (memoized+cached:
     // floor(v·w_i / L), a narrow codegen'd pass); a query probes its own
@@ -851,12 +875,20 @@ object Similarity {
     * cost is the int-band join + exact recheck, recall intact. That
     * degradation is inherent to the threshold, not a parameter choice.
     */
+  /** Threshold-adaptive AND-construction width: k sign bits per band, sized
+    * so the boundary pair's any-band collision stays ≥ 0.99 over 16 bands
+    * (per-bit collision p = 1 − θ/π at the threshold angle; p^k ≥
+    * 1 − 0.01^(1/16) ≈ 0.28). One formula for the pipeline, the diagnostics
+    * counts, and the stats op.
+    */
+  private[graft] def bandBits(threshold: Double): Int = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    math.max(1, math.floor(math.log(0.28) / math.log(p)).toInt)
+  }
+
   def cosineLshPairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val nBands = 16
-    // per-bit collision at the threshold angle; k sized so the boundary
-    // pair's any-band collision stays ≥ 0.99: p^k ≥ 1 − 0.01^(1/16) ≈ 0.28
-    val p = 1.0 - math.acos(threshold) / math.Pi
-    val k = math.max(1, math.floor(math.log(0.28) / math.log(p)).toInt)
+    val k = bandBits(threshold)
     // EXACT-DUPLICATE CLASSES FIRST. Web-scale corpora are duplicate-heavy
     // (that is what dedup is FOR), and byte-identical vectors collide in
     // EVERY band, so banding raw rows makes the within-bucket pair join
@@ -870,29 +902,8 @@ object Similarity {
     // IDENTICAL to banding raw rows: members share their canonical's
     // buckets, so cross-class pairs collide iff the canonicals do, and
     // within-class pairs (cos = 1 ≥ t) always share every band.
-    val bucketed = ModelCache.memo(s, d, s"cosine_band_keys_$threshold") {
-      val u = unitFeats(s, d).select("vec_id", "v", "n2", "unit")
-      val classes = u.groupBy("v")
-        .agg(min(col("vec_id")).as("vec_id"), first(col("n2")).as("n2"),
-          first(col("unit")).as("unit"),
-          sort_array(collect_list(col("vec_id"))).as("members"))
-      val dim = classes.select(size(col("unit"))).head().getInt(0)
-      val projs = projections(nBands * k, dim, seed = 42L)
-      // band key = k packed sign bits, one codegen'd dot each
-      val keys = (0 until nBands).map { b =>
-        (0 until k).map { j =>
-          shiftleft((dotd(col("unit"), lit(projs(b * k + j))) > 0).cast("long"), j)
-        }.reduce(_ bitwiseOR _)
-      }
-      classes.withColumn("buckets", array(keys: _*)).cache()
-    }
-    val ids = bucketed.select(col("vec_id"), posexplode(col("buckets")))
-      .toDF("id", "tbl", "bucket")
-    val cand = ids.select(col("id").as("a_id"), col("tbl"), col("bucket"))
-      .join(ids.select(col("id").as("b_id"), col("tbl").as("tbl_r"), col("bucket").as("bucket_r")),
-        col("tbl") === col("tbl_r") && col("bucket") === col("bucket_r") &&
-          col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val bucketed = cosineBandKeys(s, d, threshold, nBands, k)
+    val cand = bandedCandidatePairs(bucketed)
     // DEGRADATION GUARD (r17, VERDICT item 5): at loose thresholds the
     // AND-construction cannot separate signal from background (small k →
     // uncorrelated pairs collide in some band with high probability) and
@@ -943,17 +954,48 @@ object Similarity {
     */
   def cosineLshCandidateCounts(
       s: SparkSession, d: String, threshold: Double): (Long, Long) = {
-    cosineLshPairs(s, d, threshold) // populates the band-key memo (eager)
-    val bucketed: DataFrame = ModelCache.memo[DataFrame](s, d, s"cosine_band_keys_$threshold") {
-      sys.error("band keys must already be memoized by cosineLshPairs")
+    val bucketed = cosineBandKeys(s, d, threshold, nBands = 16, k = bandBits(threshold))
+    (bucketed.count(), bandedCandidatePairs(bucketed).count())
+  }
+
+  /** The memoized banded-vector table behind [[cosineLshPairs]]: exact-dup
+    * classes collapsed to canonical rows, each carrying its member-id list
+    * and the `nBands` packed-sign-bit band keys. Shared with
+    * [[cosineLshCandidateCounts]] so the measured selectivity is computed
+    * over EXACTLY the construction the production pipeline runs (r17
+    * ADVICE — a private copy would silently drift).
+    */
+  private def cosineBandKeys(
+      s: SparkSession, d: String, threshold: Double,
+      nBands: Int, k: Int): DataFrame =
+    ModelCache.memo(s, d, s"cosine_band_keys_$threshold") {
+      val u = unitFeats(s, d).select("vec_id", "v", "n2", "unit")
+      val classes = u.groupBy("v")
+        .agg(min(col("vec_id")).as("vec_id"), first(col("n2")).as("n2"),
+          first(col("unit")).as("unit"),
+          sort_array(collect_list(col("vec_id"))).as("members"))
+      val dim = classes.select(size(col("unit"))).head().getInt(0)
+      val projs = projections(nBands * k, dim, seed = 42L)
+      // band key = k packed sign bits, one codegen'd dot each
+      val keys = (0 until nBands).map { b =>
+        (0 until k).map { j =>
+          shiftleft((dotd(col("unit"), lit(projs(b * k + j))) > 0).cast("long"), j)
+        }.reduce(_ bitwiseOR _)
+      }
+      classes.withColumn("buckets", array(keys: _*)).cache()
     }
+
+  /** Distinct canonical-id candidate pairs sharing a (band, key) bucket —
+    * the int-only shuffle at the heart of the banding. One implementation
+    * for the production join and the diagnostics counts.
+    */
+  private def bandedCandidatePairs(bucketed: DataFrame): DataFrame = {
     val ids = bucketed.select(col("vec_id"), posexplode(col("buckets")))
       .toDF("id", "tbl", "bucket")
-    val cand = ids.select(col("id").as("a_id"), col("tbl"), col("bucket"))
+    ids.select(col("id").as("a_id"), col("tbl"), col("bucket"))
       .join(ids.select(col("id").as("b_id"), col("tbl").as("tbl_r"), col("bucket").as("bucket_r")),
         col("tbl") === col("tbl_r") && col("bucket") === col("bucket_r") &&
           col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    (bucketed.count(), cand.count())
   }
 }

@@ -362,6 +362,15 @@ object Streaming {
       // so sibling queries keep the default store
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // the feed is a bounded slice (≤50 keys), so 32 stateful partitions
+      // buy nothing and cost 32 RocksDB store instances whose native +
+      // block-cache allocations dominate GC under the driver's default 8g
+      // heap (r17 judge isolation: 14.6 s at 8g vs 3.9 s at 28g). 4
+      // partitions keep the same per-key semantics at 1/8 the store
+      // footprint; a production TWS query sizes this to its key cardinality.
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      s2.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "256")
       import s2.implicits._
       // the MemoryStream feed is a DRIVER-side collect, so it carries a hard
       // row cap: events grow linearly with SF (3.3k rows at sf0.1, ~330k at

@@ -138,6 +138,55 @@ object Text {
     out.result()
   }
 
+  /** DuckDB replay of the FULL bpe_train → bpe_apply pipeline (r18,
+    * VERDICT item 7): the 20-round merge loop unrolls into 20 chained
+    * MATERIALIZED CTE stages (recursive CTEs cannot aggregate over their
+    * own recursive term, and un-materialized chained CTEs inline
+    * exponentially), each stage = overlapping-pair count over the current
+    * segmentations → argmax with the (count DESC, left, right)
+    * lexicographic tie-break → one left-to-right merge pass. Segmentations
+    * ride as '<sym><sym>…' wrapped strings: regexp_replace('<l><r>' →
+    * '<lr>', 'g') IS the left-to-right non-overlapping pass, and the
+    * per-symbol wrapping means adjacent matches never share a boundary
+    * character (a space-delimited spelling would skip every second merge
+    * of a run). Wrappers and patterns are literal-safe because the
+    * documents fixture is space + lowercase ASCII (verified); the Spark
+    * side stays fully generic.
+    */
+  private[graft] def bpeApplyOracleSql: String = {
+    def stage(k: Int): String =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, SUM(c)::BIGINT AS n
+         |  FROM (SELECT c, string_split(s[2:-2], '><') AS ss FROM seg${k - 1} WHERE len(s) > 2),
+         |       unnest(list_transform(generate_series(1, len(ss) - 1), i -> [ss[i], ss[i+1]])) AS u(pr)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         |seg$k AS MATERIALIZED (
+         |  SELECT w, c, CASE WHEN (SELECT COUNT(*) FROM b$k) = 0 THEN s
+         |    ELSE regexp_replace(s, '<' || (SELECT l FROM b$k) || '><' || (SELECT r FROM b$k) || '>',
+         |                        '<' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || '>', 'g') END AS s
+         |  FROM seg${k - 1})""".stripMargin
+    s"""WITH wt AS (
+       |  SELECT w, COUNT(*)::BIGINT AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w ORDER BY c DESC, w LIMIT $bpeWordTypeCap),
+       |seg0 AS MATERIALIZED (SELECT w, c, regexp_replace(w, '(.)', '<\\1>', 'g') AS s FROM wt),
+       |${(1 to 20).map(stage).mkString(",\n")},
+       |allwords AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       |enc AS (
+       |  SELECT a.w, CASE WHEN a.w = '' THEN 0::BIGINT
+       |                   ELSE len(string_split(g.s[2:-2], '><'))::BIGINT END AS n_syms
+       |  FROM allwords a JOIN seg20 g ON a.w = g.w),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS ws_tokens,
+       |       CAST(SUM(e.n_syms) AS BIGINT) AS bpe_symbols,
+       |       CAST(length(replace(doc.text, ' ', '')) AS BIGINT) AS n_chars
+       |FROM dw d JOIN enc e ON d.w = e.w JOIN documents doc ON doc.doc_id = d.doc_id
+       |GROUP BY d.doc_id, doc.text
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Apply learned merges to one word (the encode side; spec round-trips). */
   private[graft] def bpeEncode(word: String, merges: Seq[(String, String)]): Vector[String] =
     merges.foldLeft(word.map(_.toString).toVector) { case (syms, (l, r)) =>
@@ -406,8 +455,11 @@ object Text {
     // Output is per-doc symbol counts (whitespace tokens vs post-BPE
     // symbols) — the compression the learned vocabulary achieves. Spec
     // cross-checks sampled docs against the driver-side bpeEncode and
-    // pins ws_tokens ≤ bpe_symbols ≤ characters.
-    Op.noOracle("bpe_apply") { (s, d) =>
+    // pins ws_tokens ≤ bpe_symbols ≤ characters. Oracle-checked since r18:
+    // the whole train→encode pipeline is deterministic given the corpus,
+    // so [[bpeApplyOracleSql]] replays it in DuckDB (20 unrolled merge
+    // stages) and the driver hash-compares the full result.
+    Op("bpe_apply", bpeApplyOracleSql) { (s, d) =>
       import s.implicits._
       val words = bpeWordTable(docs(s, d))
       val merges = bpeMerges(words, nMerges = 20).map(m => (m._2, m._3))

@@ -1266,7 +1266,17 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         both(a) { (lo, hi) =>
           val days = Iterator.iterate(lo)(_.plusDays(1))
             .takeWhile(!_.isAfter(hi)).take(intervalCap + 1).toSeq
-          if (days.length > intervalCap) None
+          // a timestamp column renders in the query's zone: the daily fold
+          // is sound only when that zone is day-aligned over the span
+          // (offset 0, no transitions — UTC-equivalent). The grouped
+          // dispatch already requires a UTC session; this keeps the arm
+          // safe standalone (r17 ADVICE). A DATE column's cast→format
+          // round trip cancels the zone, so it needs no gate.
+          val zOk = a.dataType == DateType || days.isEmpty ||
+            graft.rspn.SqlEstimate.zoneStepAligned(
+              dfm.timeZoneId.getOrElse("UTC"),
+              days.head.toEpochDay * 86400L, (days.last.toEpochDay + 1) * 86400L, 86400L)
+          if (days.length > intervalCap || !zOk) None
           else {
             val keyed = days.map { d =>
               scala.util.Try(dfm.transform {
@@ -1301,7 +1311,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         Seq(Gen(a, "secs", (lo, hi) => {
           val bLo = math.floor(lo / step).toLong
           val bHi = math.floor(hi / step).toLong
-          if (bHi - bLo + 1 > intervalCap) None
+          // the query's zone must hold one fixed, step-aligned offset over
+          // the span or an epoch-aligned bucket's key flips mid-bucket
+          // (r17 ADVICE: +05:30 vs an hour step); redundant under the
+          // grouped dispatch's UTC-session gate, enforced here so the arm
+          // stays safe standalone
+          val zOk = graft.rspn.SqlEstimate.zoneStepAligned(
+            dfm.timeZoneId.getOrElse("UTC"), bLo * step, (bHi + 1) * step, step)
+          if (bHi - bLo + 1 > intervalCap || !zOk) None
           else {
             val keyed = (bLo to bHi).map { b =>
               scala.util.Try(dfm.transform {

@@ -439,6 +439,19 @@ object SqlEstimate {
             .takeWhile(!_.isAfter(dHi)).take(foldCap + 1).toSeq
           require(days.length <= foldCap,
             s"GROUP BY date_format($c): ${days.length} domain days exceed the $foldCap-bucket cap")
+          // key-rendering zone (r17 ADVICE — the exact plane renders in the
+          // SESSION zone): a secs column is a real timestamp, so render in
+          // the session zone and require it day-aligned over the domain
+          // (offset 0, no transitions — i.e. UTC-equivalent); a days column
+          // is a DATE whose cast→format round trip cancels the zone, so its
+          // UTC-midnight keying is zone-free and needs no gate.
+          val zone = if (units == 86400.0) {
+            val z = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+            require(zoneStepAligned(z,
+              days.head.toEpochDay * 86400L, (days.last.toEpochDay + 1) * 86400L, 86400L),
+              s"GROUP BY date_format($c): session timezone '$z' is not day-aligned over the domain (timestamp keys require a UTC-equivalent session)")
+            z
+          } else "UTC"
           val fmtLit = org.apache.spark.sql.catalyst.expressions.Literal(
             org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
             org.apache.spark.sql.types.StringType)
@@ -447,7 +460,7 @@ object SqlEstimate {
               org.apache.spark.sql.catalyst.expressions.Literal(
                 d.toEpochDay * 86400L * 1000000L,
                 org.apache.spark.sql.types.TimestampType),
-              fmtLit, Some("UTC")).eval(null).toString
+              fmtLit, Some(zone)).eval(null).toString
             key -> NumRange(d.toEpochDay * units, (d.toEpochDay + 1) * units,
               loIncl = true, hiIncl = false)
           }.groupBy(_._1).toSeq.map { case (k, grp) =>
@@ -468,6 +481,14 @@ object SqlEstimate {
           val bHi = math.floor(dom._2 / step).toLong
           require(bHi - bLo + 1 <= foldCap,
             s"GROUP BY date_format($c, '$fmt'): ${bHi - bLo + 1} domain steps exceed the $foldCap-bucket cap")
+          // render in the SESSION zone (parity with the exact plane's
+          // per-row rendering) and require its offset fixed and
+          // step-aligned over the domain, so every epoch-aligned bucket
+          // renders one constant key (r17 ADVICE: +05:30 flips an
+          // hour-only key mid-bucket — fall back loudly instead)
+          val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+          require(zoneStepAligned(zone, bLo * step, (bHi + 1) * step, step),
+            s"GROUP BY date_format($c, '$fmt'): session timezone '$zone' is not aligned to the ${step}s bucket step over the domain")
           val fmtLit = org.apache.spark.sql.catalyst.expressions.Literal(
             org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
             org.apache.spark.sql.types.StringType)
@@ -476,7 +497,7 @@ object SqlEstimate {
               org.apache.spark.sql.catalyst.expressions.Literal(
                 b * step * 1000000L,
                 org.apache.spark.sql.types.TimestampType),
-              fmtLit, Some("UTC")).eval(null).toString
+              fmtLit, Some(zone)).eval(null).toString
             key -> NumRange((b * step).toDouble, ((b + 1) * step).toDouble,
               loIncl = true, hiIncl = false)
           }.groupBy(_._1).toSeq.map { case (k, grp) =>
@@ -1133,6 +1154,27 @@ object SqlEstimate {
     if (spec.modeled.getOrElse(t, Nil).exists(x => x._1 == c && x._2 == "secs")) 86400.0
     else 1.0
 
+  /** True when `zoneId`'s UTC offset is one fixed, `step`-aligned value
+    * across [startSec, endSec) — the condition under which step-aligned
+    * epoch-second buckets each render exactly ONE `date_format` key (r17
+    * ADVICE: a fractional-hour zone like +05:30 flips an hour-only key
+    * mid-bucket, and ANY non-zero offset mis-keys a daily bucket). Latent
+    * while every harness entry point pins a UTC session; enforced at the
+    * fold sites on BOTH planes so the rules are safe standalone. A zone
+    * with a DST transition inside the span conservatively fails via the
+    * no-transition requirement (UTC has none).
+    */
+  private[graft] def zoneStepAligned(
+      zoneId: String, startSec: Long, endSec: Long, step: Long): Boolean = {
+    val rules =
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(zoneId).getRules
+    val s = java.time.Instant.ofEpochSecond(startSec)
+    rules.getOffset(s).getTotalSeconds % step == 0 && {
+      val next = rules.nextTransition(s)
+      next == null || !next.getInstant.isBefore(java.time.Instant.ofEpochSecond(endSec))
+    }
+  }
+
   private def mergePreds(
       spns: Map[String, Ensemble.TrainedSpn],
       ps: Seq[Pred],
@@ -1149,10 +1191,11 @@ object SqlEstimate {
   // (E∨F)] — answer through Ensemble's signed 3^N expansion, closing the
   // plane divergence where Catalyst composed multiple disjunctions but the
   // text plane refused them. Supported shapes: scalar (all aggregates), flat
-  // GROUP BY over dict/num-modeled columns, and ROLLUP/CUBE including
-  // numeric-bearing sets. Bucket (calendar/bin/window) grouping keeps the
-  // loud failure under ≥ 2 groups — same accuracy-cap posture as the
-  // Catalyst plane's 4+-disjunction fallback.
+  // GROUP BY over dict/num-modeled columns, ROLLUP/CUBE including
+  // numeric-bearing sets, and bucket (calendar/bin/window) grouping via
+  // [[calendarGroupsMulti]] — every group's branch pair conjoins into each
+  // bucket's signed product terms. Only >3 groups stay loud (the 3^N cap,
+  // same accuracy posture as the Catalyst plane's fallback).
 
   private type P = Map[(String, String), ColRange]
   private type OptGroups = Seq[(Option[P], Option[P])]
@@ -1459,6 +1502,14 @@ object SqlEstimate {
       spns: Map[String, Ensemble.TrainedSpn], p: Pred,
       dateU: Double): ColRange = p.range match {
     case NumR(lo, hi, li, hi2)  => NumRange(lo, hi, li, hi2)
+    // CNF-absorbed same-column disjunction (r18): interval union in the
+    // modeled encoding, normalized through the shared ColRangeOps algebra
+    // (merges overlap, returns MultiRange when genuinely disjoint)
+    case NumUnion(ivs, isDate) =>
+      val u = if (isDate) dateU else 1.0
+      ColRangeOps.normalize(ivs.map { case (lo, hi, li, hi2) =>
+        NumRange(lo * u, hi * u, li, hi2)
+      }).getOrElse(NominalSet(Array.empty[Double]))
     // date-shaped bounds arrive in epoch DAYS from the parser (which
     // cannot see column kinds) and resolve HERE against the modeled
     // encoding — ×86 400 on a secs column, ×1 on a days column. The

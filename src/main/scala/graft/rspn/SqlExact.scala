@@ -141,6 +141,9 @@ object SqlExact {
     */
   private def decimalTerm(a: SqlParser.Agg): Column = a match {
     case Count     => count(lit(1)).cast("decimal(38,12)")
+    // COUNT(DISTINCT) rides scalar ± combos since r18 — an integer set
+    // size, decimal-cast like every other term
+    case CountDistinct(_, c) => countDistinct(col(c)).cast("decimal(38,12)")
     case Sum(_, c) => sum(col(c).cast("decimal(38,12)"))
     case SumProduct(_, ca, _, cb) =>
       sum(col(ca).cast("decimal(18,6)") * col(cb).cast("decimal(18,6)"))
@@ -215,6 +218,16 @@ object SqlExact {
       }
     case StrLike(pat)     => col(p.col).like(pat)
     case NotNull          => col(p.col).isNotNull
+    // CNF-absorbed same-column disjunction (r18): OR of the per-interval
+    // bound predicates — identical rows to the original parenthesized
+    // disjunction (NULLs fail every bound, matching SQL 3VL)
+    case NumUnion(ivs, isDate) =>
+      ivs.map { case (lo, hi, li, hi2) =>
+        if (isDate)
+          boundCol(col(p.col), lo, hi, li, hi2,
+            d => lit(java.time.LocalDate.ofEpochDay(d.toLong).toString).cast("timestamp"))
+        else boundCol(col(p.col), lo, hi, li, hi2, identity)
+      }.reduce(_ || _)
   }
 
   private def boundCol(

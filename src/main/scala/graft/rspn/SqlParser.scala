@@ -128,6 +128,18 @@ object SqlParser {
     * straight onto the model plane's NotNullRange.
     */
   case object NotNull extends RangeSpec
+  /** Union of intervals on ONE numeric or date column — the CNF
+    * pre-simplification's absorption target (r18): a parenthesized
+    * same-column disjunction `(a < 5 OR a > 10)` collapses to one plain
+    * conjunct instead of costing a 3^N expansion slot. Intervals are
+    * (lo, hi, loIncl, hiIncl) in the parser's literal units; `isDate`
+    * mirrors the NumR/DateR encoding split (epoch days, scaled against
+    * the modeled encoding at compile time). The model plane normalizes to
+    * a NumRange/MultiRange; the exact plane compiles an OR of bounds.
+    */
+  final case class NumUnion(
+      intervals: Seq[(Double, Double, Boolean, Boolean)],
+      isDate: Boolean) extends RangeSpec
 
   /** The dataset whose schema resolves columns/edges for the CURRENT parse
     * call — set by [[parseQuery]]/[[parse]], defaulting to the testdata
@@ -419,16 +431,15 @@ object SqlParser {
       }
       val agg = splitTopPlusMinus(sel.trim) match {
         case Some((l, op, r)) =>
-          val combo = Combo(op == '+', parseAggTerm(l), parseAggTerm(r))
           // parseAggTerm returns only leaf aggregates. AVG rides a ±
           // combination since r17 (each AVG is a ratio of two linear
           // estimates — the Catalyst plane's ExprOut already composed it);
-          // COUNT(DISTINCT) stays out (set size, no interval arithmetic).
-          Seq(combo.left, combo.right).foreach {
-            case _: CountDistinct => fail("± of COUNT(DISTINCT) terms (not linear)")
-            case _                => ()
-          }
-          combo
+          // COUNT(DISTINCT) rides since r18 in the SCALAR form — a set
+          // size is a degenerate interval, so the combo's interval
+          // arithmetic is trivially sound. Grouped combos keep the
+          // estimator's loud per-term guards (a distinct set has no
+          // linear per-group fold).
+          Combo(op == '+', parseAggTerm(l), parseAggTerm(r))
         case None => parseAggTerm(sel.trim)
       }
       val (fromTable, tables, joins) = parseFrom(from.trim)
@@ -632,9 +643,81 @@ object SqlParser {
       case _             => None
     }
 
+  /** Every top-level branch of a parenthesized OR conjunct (no 2-way cap —
+    * the absorption pass may collapse an n-way same-column disjunction;
+    * groups that do NOT absorb still go through [[orBranches]], which
+    * keeps the loud exactly-two-branches contract).
+    */
+  private def orAllBranches(c: String): Option[Seq[String]] =
+    if (!c.trim.startsWith("(")) None
+    else splitTopLevel(stripOuter(c), "OR") match {
+      case xs if xs.length >= 2 => Some(xs)
+      case _                    => None
+    }
+
+  /** Union of two same-column RangeSpecs as ONE RangeSpec, when
+    * expressible. Every RangeSpec kind matches only non-NULL rows (SQL
+    * 3VL), so NotNull absorbs anything, and a complement pair whose
+    * excluded sets cancel collapses to NotNull — semantics identical on
+    * both planes.
+    */
+  private def unionSpec(x: RangeSpec, y: RangeSpec): Option[RangeSpec] = (x, y) match {
+    case _ if x == y                 => Some(x)
+    case (NotNull, _) | (_, NotNull) => Some(NotNull)
+    case (StrIn(a), StrIn(b))        => Some(StrIn((a ++ b).distinct))
+    // ¬A ∨ ¬B ≡ ¬(A ∧ B); an empty intersection constrains nothing beyond
+    // non-nullness
+    case (StrNotIn(a), StrNotIn(b)) =>
+      val both = a.filter(b.contains)
+      Some(if (both.isEmpty) NotNull else StrNotIn(both.distinct))
+    // v ∈ A ∨ v ∉ B ≡ v ∉ (B \ A)
+    case (StrIn(in), StrNotIn(ex)) =>
+      val rem = ex.filterNot(in.contains)
+      Some(if (rem.isEmpty) NotNull else StrNotIn(rem))
+    case (StrNotIn(_), StrIn(_)) => unionSpec(y, x)
+    case (NumNotIn(a, d1), NumNotIn(b, d2)) if d1 == d2 =>
+      val both = a.filter(b.contains)
+      Some(if (both.isEmpty) NotNull else NumNotIn(both.distinct, d1))
+    case (NumR(l1, h1, i1, j1), NumR(l2, h2, i2, j2)) =>
+      Some(NumUnion(Seq((l1, h1, i1, j1), (l2, h2, i2, j2)), isDate = false))
+    case (DateR(l1, h1, i1, j1), DateR(l2, h2, i2, j2)) =>
+      Some(NumUnion(Seq((l1, h1, i1, j1), (l2, h2, i2, j2)), isDate = true))
+    case (NumUnion(ivs, d1), NumR(l, h, i, j)) if !d1 =>
+      Some(NumUnion(ivs :+ ((l, h, i, j)), d1))
+    case (NumUnion(ivs, d1), DateR(l, h, i, j)) if d1 =>
+      Some(NumUnion(ivs :+ ((l, h, i, j)), d1))
+    case (_: NumR, _: NumUnion) | (_: DateR, _: NumUnion) => unionSpec(y, x)
+    case _ => None
+  }
+
+  /** CNF pre-simplification (r18, VERDICT missing #1): a parenthesized OR
+    * group absorbs into plain conjuncts — costing NO 3^N expansion slot —
+    * when one branch's conjunction subsumes the other (`(A∧B) ∨ A ≡ A`),
+    * or when every branch is a single predicate on the SAME column whose
+    * running union stays expressible as one RangeSpec.
+    */
+  private def absorbGroup(branches: Seq[Seq[Pred]]): Option[Seq[Pred]] =
+    branches.map(Option(_)).reduceLeft { (accOpt, nextOpt) =>
+      for {
+        acc  <- accOpt
+        next <- nextOpt
+        merged <-
+          if (acc.toSet.subsetOf(next.toSet)) Some(acc)
+          else if (next.toSet.subsetOf(acc.toSet)) Some(next)
+          else (acc, next) match {
+            case (Seq(pa), Seq(pb)) if pa.table == pb.table && pa.col == pb.col =>
+              unionSpec(pa.range, pb.range).map(r => Seq(Pred(pa.table, pa.col, r)))
+            case _ => None
+          }
+      } yield merged
+    }
+
   /** Up to THREE independent parenthesized OR groups per WHERE (r17 — the
-    * Catalyst plane's 3^N signed-expansion cap mirrored at parse): the
-    * first group keeps the distributed-common-conjuncts convention in
+    * Catalyst plane's 3^N signed-expansion cap mirrored at parse), counted
+    * AFTER the CNF absorption pass (r18): a WHERE with four written
+    * disjunctions that is semantically ≤3 effective groups still folds; a
+    * genuinely-4-group clause keeps failing loudly. The first surviving
+    * group keeps the distributed-common-conjuncts convention in
     * (preds, orPreds); groups two and three return raw in the third slot —
     * intersection with group one's terms re-conjoins the common conjuncts
     * into every signed product term downstream.
@@ -642,10 +725,21 @@ object SqlParser {
   private def parseWhere(where: String)
       : (Seq[Pred], Seq[Pred], Seq[(Seq[Pred], Seq[Pred])]) = {
     val parts = conjuncts(where)
-    val (orGroups, plain) = parts.partition(p => orBranches(p).isDefined)
-    val common = plain.map(c => parseConjunct(stripOuter(c)))
+    val classified: Seq[Either[Seq[Pred], String]] = parts.map { p =>
+      orAllBranches(p) match {
+        case None => Left(Seq(parseConjunct(stripOuter(p))))
+        case Some(branches) =>
+          absorbGroup(branches.map(parseConjunction)) match {
+            case Some(preds) => Left(preds)   // absorbed: plain conjuncts
+            case None        => Right(p)      // a genuine disjunction slot
+          }
+      }
+    }
+    val common = classified.collect { case Left(ps) => ps }.flatten
+    val orGroups = classified.collect { case Right(g) => g }
     if (orGroups.length > 3) fail(
-      "at most three parenthesized OR groups per WHERE clause (the 3^N signed-expansion cap)")
+      s"${orGroups.length} effective parenthesized OR groups after same-column absorption " +
+        "(at most three — the 3^N signed-expansion cap)")
     orGroups match {
       case Nil => (common, Nil, Nil)
       case g :: rest =>

@@ -406,6 +406,24 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(scoped.subsetOf(exact), s"LSH produced non-exact pairs: ${scoped.diff(exact).take(3)}")
   }
 
+  test("dedup_lsh_stats: production threshold bands selectively, loose threshold is flagged") {
+    val rows = run("dedup_lsh_stats").collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(rows.keySet == Set(0.45, 0.85))
+    val (_, _, prodSel, prodBg) = rows(0.85)
+    // production near-dup threshold: the banding must stay selective on the
+    // fixture (< 1% of all pairs become candidates) and the analytic
+    // background collision must sit below the warn line
+    assert(prodSel < 0.01, s"0.85 selectivity $prodSel")
+    assert(prodBg < 0.5, s"0.85 analytic background collision $prodBg")
+    // the spec's loose 0.45 threshold is the documented near-all-pairs
+    // regime — the analytic flag must fire there
+    val (_, allPairs, _, looseBg) = rows(0.45)
+    assert(looseBg > 0.5, s"0.45 analytic background collision $looseBg")
+    assert(allPairs > 0)
+  }
+
   test("dedup_exact collapses the doubled corpus to one row per doc") {
     val df = run("dedup_exact")
     val docs = schema.Tables(spark, sf, "documents").count()

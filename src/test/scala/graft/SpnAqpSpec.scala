@@ -2155,6 +2155,56 @@ class SpnAqpSpec extends AnyFunSuite {
     assert(!isRewritten(daysCol), "hourly over a day-granular column must fall back")
   }
 
+  test("AVG-bearing ± combos fold per bucket (calendar and hourly)") {
+    // r18 (VERDICT item 6): the bucketed grouped path carries AVG leaves
+    // inside aggregate-arithmetic outputs through the same ratio machinery
+    // the flat fold uses — hourly bucket × AVG-bearing tree, and a yearly
+    // calendar bucket × AVG(x) − AVG(y), both vs the exact plane.
+    val hSql = """SELECT date_trunc('hour', ts) AS h, avg(value) - count(*) AS d
+                  FROM events WHERE ts < TIMESTAMP'2024-01-08 00:00:00'
+                  GROUP BY date_trunc('hour', ts)""".stripMargin
+    val hDf = session(aqp = true).sql(hSql)
+    assert(isRewritten(hDf),
+      s"hourly bucket x AVG± must fold:\n${hDf.queryExecution.optimizedPlan}")
+    val hExact = session(aqp = false).sql(hSql).collect()
+      .map(r => r.getTimestamp(0).toString -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val hEst = hDf.collect()
+      .map(r => r.getTimestamp(0).toString -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // hourly cells at sf0.001 hold 1–5 rows, so a per-cell sample AVG is
+    // statistically noisy regardless of the estimator (sd ≈ 29/√n on a
+    // U(0,100) value) — the hourly pin asserts the FOLD (above) and cell
+    // emission; the accuracy gate runs on the denser daily buckets below
+    // (~33 rows/cell) and the yearly lineitem combo
+    assert(hEst.nonEmpty)
+    val dSql = """SELECT cast(ts AS date) AS d, avg(value) - count(*) AS v
+                  FROM events GROUP BY cast(ts AS date)""".stripMargin
+    val dDf = session(aqp = true).sql(dSql)
+    assert(isRewritten(dDf),
+      s"daily bucket x AVG± must fold:\n${dDf.queryExecution.optimizedPlan}")
+    val dExact = session(aqp = false).sql(dSql).collect()
+      .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    val dEst = dDf.collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    val relErrs = (dEst.keySet intersect dExact.keySet).toSeq
+      .map(k => math.abs(dEst(k) - dExact(k)) / math.max(math.abs(dExact(k)), 1.0)).sorted
+    assert(relErrs.nonEmpty)
+    val medianRel = relErrs(relErrs.length / 2)
+    assert(medianRel <= 0.35, s"daily AVG± median relative error $medianRel")
+    val ySql = """SELECT year(l_shipdate) AS y,
+                         avg(l_extendedprice) - avg(l_quantity) AS d
+                  FROM lineitem GROUP BY year(l_shipdate)""".stripMargin
+    val yDf = session(aqp = true).sql(ySql)
+    assert(isRewritten(yDf),
+      s"calendar bucket x AVG(x)-AVG(y) must fold:\n${yDf.queryExecution.optimizedPlan}")
+    val yExact = session(aqp = false).sql(ySql).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val yEst = yDf.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(yEst.keySet == yExact.keySet, s"${yEst.keySet} vs ${yExact.keySet}")
+    yExact.foreach { case (k, x) =>
+      assert(qerr(math.max(yEst(k), 1.0), math.max(x, 1.0)) <= 1.3,
+        s"year AVG± cell $k: ${yEst(k)} vs $x")
+    }
+  }
+
   test("hour-of-day / minute-of-hour fold as cyclic buckets over the secs column") {
     // `GROUP BY hour(ts)` — the daily-cycle dashboard: key k is the union
     // of its hour slice in every domain day (epoch-aligned in the UTC

@@ -231,10 +231,17 @@ class SqlSpec extends AnyFunSuite {
       case other                 => fail(s"expected Scalar, got $other")
     }
     assert(qerr(orAvgEst, orAvgExact) <= 1.5, s"OR AVG± est $orAvgEst exact $orAvgExact")
-    val err = intercept[IllegalArgumentException] {
-      SqlParser.parseQuery("SELECT COUNT(DISTINCT l_returnflag) + SUM(l_tax) FROM lineitem")
+    // COUNT(DISTINCT) rides scalar ± combos since r18 (degenerate-interval
+    // set size) — under the OR too: the distinct term unions both
+    // branches' enumerations, the linear term uses inclusion-exclusion
+    val orCdSql = """SELECT COUNT(DISTINCT l_returnflag) + SUM(l_tax) FROM lineitem
+                     WHERE (l_discount < 0.02 OR l_tax > 0.06)""".stripMargin
+    val orCdExact = spark.sql(orCdSql).head().getDouble(0)
+    val orCdEst = SqlEstimate.estimate(ens, orCdSql) match {
+      case SqlEstimate.Scalar(e) => e.value
+      case other                 => fail(s"expected Scalar, got $other")
     }
-    assert(err.getMessage.contains("DISTINCT"))
+    assert(qerr(orCdEst, orCdExact) <= 1.5, s"OR distinct± est $orCdEst exact $orCdExact")
   }
 
   test("ORDER BY / LIMIT / HAVING parse, compile exactly, and validate") {
@@ -388,9 +395,19 @@ class SqlSpec extends AnyFunSuite {
         assert(math.abs(e.value - nExact) <= 2.0, s"num distinct: ${e.value} vs $nExact")
       case other => fail(s"expected Scalar, got $other")
     }
-    // not linear: rejected from +/- combinations at parse
-    intercept[IllegalArgumentException](SqlParser.parseQuery(
-      "SELECT COUNT(DISTINCT l_linestatus) + COUNT(*) FROM lineitem"))
+    // scalar ± combos carry the distinct term since r18; both planes agree
+    // (the dictionary enumeration is exact at this SF)
+    val cdComboSql = "SELECT COUNT(DISTINCT l_linestatus) + COUNT(*) FROM lineitem"
+    val cdComboExact = exactScalar(cdComboSql)
+    assert(SqlExact.compile(spark, sf, cdComboSql).head().getDouble(0) == cdComboExact)
+    SqlEstimate.estimate(ens, cdComboSql) match {
+      case SqlEstimate.Scalar(e) =>
+        assert(qerr(e.value, cdComboExact) <= 1.05, s"distinct± ${e.value} vs $cdComboExact")
+      case other => fail(s"expected Scalar, got $other")
+    }
+    // grouped combos with a DISTINCT term keep the loud estimator contract
+    intercept[IllegalArgumentException](SqlEstimate.estimate(ens,
+      "SELECT COUNT(DISTINCT l_linestatus) + COUNT(*) FROM lineitem GROUP BY l_returnflag"))
   }
 
   test("SqlExact compiles the same class to a DataFrame plan matching spark.sql") {
@@ -1784,10 +1801,12 @@ class SqlSpec extends AnyFunSuite {
     val c3Exact = spark.sql(c3Sql).head().getLong(0).toDouble
     assert(qerr(math.max(est(c3Sql), 1.0), math.max(c3Exact, 1.0)) <= 1.5,
       s"3-OR COUNT: ${est(c3Sql)} vs $c3Exact")
+    // four GENUINE (cross-column) groups fail loudly; note the r18 CNF
+    // absorption means a same-column group no longer counts toward the cap
     intercept[IllegalArgumentException] {
       est("""SELECT COUNT(*) FROM lineitem
              WHERE (l_discount < 0.02 OR l_tax > 0.06)
-               AND (l_quantity < 15 OR l_quantity > 40)
+               AND (l_quantity < 15 OR l_extendedprice > 50000)
                AND (l_returnflag IN ('A') OR l_linestatus IN ('O'))
                AND (l_tax < 0.01 OR l_discount > 0.09)""")
     }
@@ -1858,5 +1877,87 @@ class SqlSpec extends AnyFunSuite {
         s"signed-expansion cell [$sql]: est $est vs exact $exact (qerr $q)")
     }
     info(f"48-cell sweep worst qerr ${worst._1}%.3f (${worst._2.take(100)})")
+  }
+  test("AVG-bearing ± combos ride calendar buckets on the text plane") {
+    // r18 (VERDICT item 6, text-plane parity): per-bucket AVG terms go
+    // through the same ratio machinery as the flat grouped combo
+    views
+    val sql = """SELECT year(l_shipdate), AVG(l_extendedprice) - AVG(l_quantity)
+                 FROM lineitem GROUP BY year(l_shipdate)"""
+    val est = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val exact = spark.sql(sql).collect()
+      .map(r => r.getInt(0).toString -> r.getDouble(1)).toMap
+    assert(est.keySet == exact.keySet, s"${est.keySet} vs ${exact.keySet}")
+    exact.foreach { case (k, x) =>
+      assert(qerr(math.max(est(k), 1.0), math.max(x, 1.0)) <= 1.3,
+        s"year AVG± bucket $k: ${est(k)} vs $x")
+    }
+    // under a disjunction too (the or-branch bucket body's AVG term arm)
+    val orSql = """SELECT year(l_shipdate), AVG(l_extendedprice) + AVG(l_tax)
+                   FROM lineitem WHERE (l_quantity < 15 OR l_tax > 0.05)
+                   GROUP BY year(l_shipdate)"""
+    val orEst = SqlEstimate.estimate(ens, orSql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val orExact = spark.sql(orSql).collect()
+      .map(r => r.getInt(0).toString -> r.getDouble(1)).toMap
+    (orExact.keySet intersect orEst.keySet).foreach { k =>
+      assert(qerr(math.max(orEst(k), 1.0), math.max(orExact(k), 1.0)) <= 1.5,
+        s"year OR AVG± bucket $k: ${orEst(k)} vs ${orExact(k)}")
+    }
+  }
+
+  test("CNF pre-simplification: same-column disjunctions absorb before the group count") {
+    // r18 (VERDICT missing #1): a parenthesized OR group whose branches
+    // predicate the SAME column collapses to one plain conjunct (range
+    // union / value-set union) BEFORE the 3^N cap counts groups.
+    views
+    // structural pins, via the parser itself
+    def p(where: String) = SqlParser.parseQuery(s"SELECT COUNT(*) FROM lineitem WHERE $where")
+    // two-branch value union → one StrIn conjunct, zero OR slots
+    val vu = p("(l_returnflag = 'A' OR l_returnflag = 'R')")
+    assert(vu.orPreds.isEmpty && vu.orGroups2.isEmpty)
+    assert(vu.preds == Seq(Pred("lineitem", "l_returnflag", StrIn(Seq("A", "R")))))
+    // three-way same-column disjunction absorbs too (previously a loud
+    // two-branches-only failure)
+    val v3 = p("(l_returnflag = 'A' OR l_returnflag = 'R' OR l_returnflag = 'N')")
+    assert(v3.preds == Seq(Pred("lineitem", "l_returnflag", StrIn(Seq("A", "R", "N")))))
+    // disjoint range union → NumUnion, zero OR slots
+    val ru = p("(l_quantity < 10 OR l_quantity > 40)")
+    assert(ru.orPreds.isEmpty && ru.orGroups2.isEmpty)
+    assert(ru.preds.map(_.range).forall(_.isInstanceOf[NumUnion]))
+    // IS NOT NULL absorbs any same-column branch (every RangeSpec is
+    // non-NULL-only under SQL 3VL)
+    val nn = p("(l_quantity IS NOT NULL OR l_quantity < 10)")
+    assert(nn.preds == Seq(Pred("lineitem", "l_quantity", NotNull)))
+    // branch subsumption: (A AND B) OR A ≡ A
+    val sub = p("(l_quantity < 10 AND l_discount < 0.05 OR l_quantity < 10)")
+    assert(sub.preds == Seq(Pred("lineitem", "l_quantity",
+      NumR(Double.NegativeInfinity, 10.0, loIncl = true, hiIncl = false))))
+    // FOUR written disjunctions, two of them same-column → 2 effective
+    // groups: answers on both planes, and tracks the exact plane
+    val four = """SELECT COUNT(*) FROM lineitem
+                  WHERE (l_quantity < 10 OR l_quantity > 40)
+                    AND (l_returnflag = 'A' OR l_returnflag = 'R')
+                    AND (l_discount < 0.02 OR l_tax > 0.06)
+                    AND (l_linestatus = 'F' OR l_extendedprice > 60000)"""
+    val est = SqlEstimate.estimate(ens, four) match {
+      case SqlEstimate.Scalar(e) => e.value
+      case other                 => fail(s"expected scalar, got $other")
+    }
+    val exact = spark.sql(four).head().getLong(0).toDouble
+    assert(qerr(math.max(est, 1.0), math.max(exact, 1.0)) <= 2.0,
+      s"CNF 4-written/2-effective: est $est vs exact $exact")
+    // the absorbed NumUnion also compiles on the ParsedQuery exact plane
+    val exactPlane = SqlExact.compile(spark, sf, four).head().getDouble(0)
+    assert(exactPlane == exact, s"SqlExact NumUnion parity: $exactPlane vs $exact")
+    // absorbed union answers match the unabsorbed spelling (IN-list)
+    val inEst = estScalar("SELECT COUNT(*) FROM lineitem WHERE l_returnflag IN ('A','R')")
+    val orEst = estScalar("SELECT COUNT(*) FROM lineitem WHERE (l_returnflag = 'A' OR l_returnflag = 'R')")
+    assert(math.abs(inEst - orEst) < 1e-6, s"IN vs absorbed OR: $inEst vs $orEst")
   }
 }

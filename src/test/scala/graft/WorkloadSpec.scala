@@ -73,6 +73,38 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the CNF-absorption workload answers 4+-disjunction WHEREs within the gate") {
+    // r18: every query writes >= 4 parenthesized disjunctions but
+    // absorbs (same-column unions, IS NOT NULL, branch subsumption) to
+    // <= 3 effective groups — the pre-simplification pass must make
+    // these ANSWER; the unabsorbed spelling failed loudly in r17
+    val cq = QErrorEval.readWorkload("workloads/testdata_cnf_8.sql")
+    assert(cq.length == 8)
+    assert(cq.forall(_._2.count(_ == '(') >= 3),
+      "every CNF query must write several parenthesized groups")
+    val truth = QErrorEval.computeTruth(spark, sf, cq, cache = false)
+    val rows = QErrorEval.runWorkload(spark, sf, cq, truth)
+    assert(rows.length == 8)
+    val errs = rows.map(_.qerr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = rows.maxBy(_.qerr)
+    info(f"CNF median $median%.3f p95 $p95%.3f max ${worst.qerr}%.3f (q${worst.no})")
+    assert(median <= 2.0, f"CNF median q-error $median%.3f > 2.0")
+    assert(p95 <= 5.0, f"CNF p95 q-error $p95%.3f > 5.0; worst q${worst.no} " +
+      f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
+  }
+
+  test("the committed sf0.01 CNF truth CSV matches the live exact plane") {
+    val cq = QErrorEval.readWorkload("workloads/testdata_cnf_8.sql")
+    val csv = QErrorEval.readTruthCsv("workloads/testdata_cnf_8_true_sf0.01.csv")
+    val live = QErrorEval.computeTruth(spark, sfMid, cq, cache = false)
+    assert(csv.keySet == live.keySet)
+    csv.foreach { case (no, v) =>
+      assert(v == live(no), s"CNF truth drifted for query $no: csv $v vs live ${live(no)}")
+    }
+  }
+
   test("the JOIN-CHAIN workload meets the cardinality gate: median ≤ 2.0, p95 ≤ 5.0") {
     // testdata_30.sql is mostly 1-2 tables; this file is 3-5-table comma-
     // join chains — the JOB-light class where model choice (chain SPN vs

@@ -57,9 +57,19 @@ def check_head_invariant(pin_head: str) -> list[str]:
     # src/test is excluded: specs cannot alter the measured runtime, so a
     # post-pin test addition does not invalidate the pinned bench — only
     # main source, the gate tooling itself, and the build definition do
-    return [p for p in diff.stdout.splitlines()
-            if (p.startswith("src/") and not p.startswith("src/test/"))
-            or p.startswith("tools/") or p == "build.sbt"]
+    def runtime_path(p: str) -> bool:
+        return ((p.startswith("src/") and not p.startswith("src/test/"))
+                or p.startswith("tools/") or p == "build.sbt")
+
+    committed = [p for p in diff.stdout.splitlines() if runtime_path(p)]
+    # uncommitted edits count too (r17 ADVICE): a dirty working tree means
+    # the running code no longer matches the pinned bench even when
+    # pin_head..HEAD is clean
+    status = run("status", "--porcelain")
+    dirty = [f"{line[3:].split(' -> ')[-1]} (uncommitted)"
+             for line in status.stdout.splitlines()
+             if len(line) > 3 and runtime_path(line[3:].split(" -> ")[-1])]
+    return committed + dirty
 
 
 def main() -> int:
