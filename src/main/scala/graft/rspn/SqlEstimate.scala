@@ -279,16 +279,7 @@ object SqlEstimate {
           // set semantics, never the inclusion-exclusion sum (the Catalyst
           // plane's CountDistinctOut convention under single-OR)
           case CountDistinct(t, c) =>
-            require(modelColOf(spns, t, c).dict.nonEmpty,
-              s"COUNT(DISTINCT $c): not a categorical model column")
-            (Ensemble.estGroupByMulti(spns, q.tables, q.groupBy :+ ((t, c)), preds).map(_._1) ++
-              Ensemble.estGroupByMulti(spns, q.tables, q.groupBy :+ ((t, c)), predsB).map(_._1))
-              .distinct.groupBy(_.dropRight(1)).toSeq
-              .map { case (g, rows) =>
-                val k = rows.length.toDouble
-                g -> Ensemble.Estimate(k, k, k)
-              }
-              .sortBy(_._1.mkString("\u0000"))
+            groupedDistinct(spns, q.tables, q.groupBy, (t, c), Seq(preds, predsB))
           case other => throw new IllegalArgumentException(
             s"unsupported SQL: $other with OR and GROUP BY")
         })
@@ -319,17 +310,9 @@ object SqlEstimate {
           case SumProduct(ta, ca, tb, cb) =>
             Ensemble.estGroupByAgg(spns, q.tables, gcs, Map((ta, ca) -> 1, (tb, cb) -> 1), preds)
           case CountDistinct(t, c) =>
-            // per-group distinct = group the (gcs..., c) enumeration by its
-            // gcs prefix and count the enumerated nonzero-support values
-            require(modelColOf(spns, t, c).dict.nonEmpty,
-              s"COUNT(DISTINCT $c): not a categorical model column")
-            Ensemble.estGroupByMulti(spns, q.tables, gcs :+ ((t, c)), preds)
-              .groupBy(_._1.dropRight(1)).toSeq
-              .map { case (g, rows) =>
-                val k = rows.length.toDouble
-                g -> Ensemble.Estimate(k, k, k)
-              }
-              .sortBy(_._1.mkString("\u0000"))
+            // per-group distinct: dictionary enumeration or num-modeled
+            // realized support, grouped by the gcs prefix (r18 widening)
+            groupedDistinct(spns, q.tables, gcs, (t, c), Seq(preds))
           case Combo(plus, l, r) =>
             // grouped ± combination over the SHARED group universe (r16,
             // closing the plane asymmetry with the Catalyst fold's
@@ -763,16 +746,7 @@ object SqlEstimate {
         // distinct set under a disjunction = the UNION of both branches'
         // enumerations (set semantics, never the inclusion-exclusion sum)
         case CountDistinct(t, c) =>
-          require(modelColOf(spns, t, c).dict.nonEmpty,
-            s"COUNT(DISTINCT $c): not a categorical model column")
-          (Ensemble.estGroupByMulti(spns, q.tables, dims :+ ((t, c)), a).map(_._1) ++
-            Ensemble.estGroupByMulti(spns, q.tables, dims :+ ((t, c)), b).map(_._1))
-            .distinct.groupBy(_.dropRight(1)).toSeq
-            .map { case (g, rows) =>
-              val k = rows.length.toDouble
-              g -> Ensemble.Estimate(k, k, k)
-            }
-            .sortBy(_._1.mkString("\u0000"))
+          groupedDistinct(spns, q.tables, dims, (t, c), Seq(a, b))
         case other => throw new IllegalArgumentException(
           s"unsupported SQL: $other with OR and bucketed GROUP BY")
       } else Seq(Seq.empty[String] -> (q.agg match {
@@ -808,15 +782,7 @@ object SqlEstimate {
               plainGroupTerm(spns, q, dims, p, l),
               plainGroupTerm(spns, q, dims, p, r))
           case CountDistinct(t, c) =>
-            require(modelColOf(spns, t, c).dict.nonEmpty,
-              s"COUNT(DISTINCT $c): not a categorical model column")
-            Ensemble.estGroupByMulti(spns, q.tables, dims :+ ((t, c)), p)
-              .groupBy(_._1.dropRight(1)).toSeq
-              .map { case (g, rows) =>
-                val k = rows.length.toDouble
-                g -> Ensemble.Estimate(k, k, k)
-              }
-              .sortBy(_._1.mkString("\u0000"))
+            groupedDistinct(spns, q.tables, dims, (t, c), Seq(p))
           case other => throw new IllegalArgumentException(
             s"unsupported SQL: $other with bucketed GROUP BY")
         } else Seq(Seq.empty[String] -> (q.agg match {
@@ -920,6 +886,41 @@ object SqlEstimate {
               s"COUNT(DISTINCT ${tc._2}): realized support exceeds the enumeration cap"))
         }.distinct.length.toDouble
     Ensemble.Estimate(k, k, k)
+  }
+
+  /** Per-group COUNT(DISTINCT col) over one-or-more predicate branches —
+    * the grouped mirror of [[distinctCount]] (r18, Catalyst parity):
+    * dictionary columns group the (gcols..., col) enumeration by its
+    * group prefix; num-modeled columns use the bounded per-group
+    * realized-value support (the Catalyst plane's CountDistinctNumOut).
+    * Branches UNION per group — set semantics, never an IE/signed sum.
+    * Loud when a numeric support runs past its enumeration cap.
+    */
+  private def groupedDistinct(
+      spns: Map[String, Ensemble.TrainedSpn], tables: Set[String],
+      gcols: Seq[(String, String)], tc: (String, String),
+      branches: Seq[Map[(String, String), ColRange]])
+      : Seq[(Seq[String], Ensemble.Estimate)] = {
+    val mc = modelColOf(spns, tc._1, tc._2)
+    val sizes: Seq[(Seq[String], Int)] =
+      if (mc.dict.nonEmpty)
+        branches.flatMap(p =>
+          Ensemble.estGroupByMulti(spns, tables, gcols :+ tc, p).map(_._1))
+          .distinct.groupBy(_.dropRight(1)).toSeq
+          .map { case (g, rows) => g -> rows.length }
+      else
+        branches.foldLeft(Map.empty[Seq[String], Set[Double]]) { (acc, p) =>
+          val per = Ensemble.estGroupByNumericSupport(spns, tables, gcols, tc, p)
+            .getOrElse(throw new IllegalArgumentException(
+              s"COUNT(DISTINCT ${tc._2}): realized support exceeds the enumeration cap"))
+          per.foldLeft(acc) { case (m, (k, sup)) =>
+            m.updated(k, m.getOrElse(k, Set.empty[Double]) ++ sup)
+          }
+        }.toSeq.map { case (k, sup) => k -> sup.size }
+    sizes.map { case (g, n) =>
+      val k = n.toDouble
+      g -> Ensemble.Estimate(k, k, k)
+    }.sortBy(_._1.mkString("\u0000"))
   }
 
   /** Interval-arithmetic ± of two estimates — conservative, since the
@@ -1314,16 +1315,9 @@ object SqlEstimate {
           multiGroupTerm(spns, q, dims, pinned, l),
           multiGroupTerm(spns, q, dims, pinned, r))
       case CountDistinct(t, c) =>
-        require(modelColOf(spns, t, c).dict.nonEmpty,
-          s"COUNT(DISTINCT $c): not a categorical model column")
-        quadrantMaps(pinned)
-          .flatMap(p => Ensemble.estGroupByMulti(spns, q.tables, dims :+ ((t, c)), p).map(_._1))
-          .distinct.groupBy(_.dropRight(1)).toSeq
-          .map { case (g, rows) =>
-            val k = rows.length.toDouble
-            g -> Ensemble.Estimate(k, k, k)
-          }
-          .sortBy(_._1.mkString("\u0000"))
+        // the positive pure-branch quadrants' union IS the WHERE's row
+        // set; dictionary or num-modeled support per group (r18)
+        groupedDistinct(spns, q.tables, dims, (t, c), quadrantMaps(pinned))
       case other => throw new IllegalArgumentException(
         s"unsupported SQL: $other with multiple OR groups and GROUP BY")
     } else Seq(Seq.empty[String] -> scalarMultiOrOf(spns, q, pinned))

@@ -1,0 +1,85 @@
+package graft
+
+import graft.rspn.SqlParser
+import graft.rspn.SqlParser._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** CNF pre-simplification properties (r18): randomized same-column
+  * disjunctions must (a) absorb to ZERO disjunction slots at parse and
+  * (b) keep point semantics — the absorbed RangeSpec admits exactly the
+  * values some written branch admits — checked against brute-force
+  * membership on a value grid, so the union algebra can never drift from
+  * the disjunction it replaces. Everything goes through the PUBLIC
+  * parseQuery path (the shape a user's SQL actually takes).
+  */
+object SqlCnfProps extends Properties("sqlcnf") {
+
+  /** One comparison branch on l_quantity, as SQL text + point semantics. */
+  private case class Branch(sql: String, holds: Double => Boolean)
+
+  private val genCmp: Gen[Branch] = for {
+    op <- Gen.oneOf("<", "<=", ">", ">=", "=")
+    v  <- Gen.choose(-5, 55)
+  } yield Branch(s"l_quantity $op $v", x => op match {
+    case "<"  => x < v
+    case "<=" => x <= v
+    case ">"  => x > v
+    case ">=" => x >= v
+    case _    => x == v
+  })
+
+  private val genBetween: Gen[Branch] = for {
+    a <- Gen.choose(-5, 50)
+    w <- Gen.choose(0, 10)
+  } yield Branch(s"l_quantity BETWEEN $a AND ${a + w}", x => x >= a && x <= a + w)
+
+  private val genNotNull: Gen[Branch] =
+    Gen.const(Branch("l_quantity IS NOT NULL", _ => true))
+
+  private val genBranch: Gen[Branch] =
+    Gen.frequency(5 -> genCmp, 3 -> genBetween, 1 -> genNotNull)
+
+  private val grid: Seq[Double] =
+    (-6 to 57).map(_.toDouble) ++ (-6 to 56).map(_ + 0.5)
+
+  /** Point semantics of the parser's RangeSpec output (non-NULL values). */
+  private def admits(r: RangeSpec, v: Double): Boolean = r match {
+    case NumR(lo, hi, li, hi2) =>
+      (if (li) v >= lo else v > lo) && (if (hi2) v <= hi else v < hi)
+    case NumUnion(ivs, _) =>
+      ivs.exists { case (lo, hi, li, hi2) =>
+        (if (li) v >= lo else v > lo) && (if (hi2) v <= hi else v < hi)
+      }
+    case NumNotIn(vs, _) => !vs.contains(v)
+    case NotNull         => true
+    case other           => sys.error(s"unexpected spec for a numeric column: $other")
+  }
+
+  property("2-3 same-column branches absorb to zero OR slots with exact point semantics") =
+    forAll(Gen.choose(2, 3).flatMap(n => Gen.listOfN(n, genBranch))) { branches =>
+      val where = branches.map(_.sql).mkString("(", " OR ", ")")
+      val q = SqlParser.parseQuery(s"SELECT COUNT(*) FROM lineitem WHERE $where")
+      val noSlots = q.orPreds.isEmpty && q.orGroups2.isEmpty
+      val spec = q.preds match {
+        case Seq(Pred("lineitem", "l_quantity", r)) => Some(r)
+        case Seq()                                  => None // all-TRUE union dropped? never produced
+        case _                                      => None
+      }
+      noSlots && spec.exists(r =>
+        grid.forall(v => admits(r, v) == branches.exists(_.holds(v))))
+    }
+
+  property("a same-column group beside three cross-column groups still parses (4 written, 3 effective)") =
+    forAll(Gen.listOfN(2, genCmp)) { bs =>
+      val sql = s"""SELECT COUNT(*) FROM lineitem WHERE
+        (${bs(0).sql} OR ${bs(1).sql})
+        AND (l_discount < 0.02 OR l_tax > 0.06)
+        AND (l_returnflag = 'A' OR l_linestatus = 'O')
+        AND (l_tax < 0.01 OR l_discount > 0.09)"""
+      val q = SqlParser.parseQuery(sql)
+      // group one's branches land in (preds, orPreds); the other two ride
+      // orGroups2 — the absorbed same-column group costs no slot
+      q.orGroups2.length == 2 && q.orPreds.nonEmpty
+    }
+}

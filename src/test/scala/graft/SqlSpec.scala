@@ -395,6 +395,40 @@ class SqlSpec extends AnyFunSuite {
         assert(math.abs(e.value - nExact) <= 2.0, s"num distinct: ${e.value} vs $nExact")
       case other => fail(s"expected Scalar, got $other")
     }
+    // numeric distinct PER GROUP (r18, Catalyst CountDistinctNumOut
+    // parity): the per-group realized-value support — flat, under a
+    // disjunction, and under two independent OR groups (quadrant union)
+    def grouped(sql: String): Map[String, Double] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+        case other                    => fail(s"expected groups, got $other")
+      }
+    def groupedExact(sql: String): Map[String, Double] =
+      spark.sql(sql).collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val ngFlat = "SELECT COUNT(DISTINCT l_quantity) FROM lineitem WHERE l_quantity < 10 GROUP BY l_returnflag"
+    val ngFlatX = groupedExact(
+      "SELECT l_returnflag, COUNT(DISTINCT l_quantity) FROM lineitem WHERE l_quantity < 10 GROUP BY 1")
+    grouped(ngFlat).foreach { case (k, v) =>
+      assert(math.abs(v - ngFlatX.getOrElse(k, 0.0)) <= 2.0, s"num distinct group $k: $v vs ${ngFlatX.get(k)}")
+    }
+    val ngOr = "SELECT COUNT(DISTINCT l_quantity) FROM lineitem " +
+      "WHERE (l_quantity < 5) OR (l_quantity > 45) GROUP BY l_returnflag"
+    val ngOrX = groupedExact(
+      "SELECT l_returnflag, COUNT(DISTINCT l_quantity) FROM lineitem " +
+        "WHERE l_quantity < 5 OR l_quantity > 45 GROUP BY 1")
+    grouped(ngOr).foreach { case (k, v) =>
+      assert(math.abs(v - ngOrX.getOrElse(k, 0.0)) <= 2.0, s"num distinct OR group $k: $v vs ${ngOrX.get(k)}")
+    }
+    val ngMulti = "SELECT COUNT(DISTINCT l_quantity) FROM lineitem " +
+      "WHERE (l_quantity < 5 OR l_tax > 0.06) AND (l_discount < 0.03 OR l_extendedprice > 50000) " +
+      "GROUP BY l_returnflag"
+    val ngMultiX = groupedExact(
+      "SELECT l_returnflag, COUNT(DISTINCT l_quantity) FROM lineitem " +
+        "WHERE (l_quantity < 5 OR l_tax > 0.06) AND (l_discount < 0.03 OR l_extendedprice > 50000) GROUP BY 1")
+    grouped(ngMulti).foreach { case (k, v) =>
+      assert(math.abs(v - ngMultiX.getOrElse(k, 0.0)) <= 3.0,
+        s"num distinct multi-OR group $k: $v vs ${ngMultiX.get(k)}")
+    }
     // scalar ± combos carry the distinct term since r18; both planes agree
     // (the dictionary enumeration is exact at this SF)
     val cdComboSql = "SELECT COUNT(DISTINCT l_linestatus) + COUNT(*) FROM lineitem"
