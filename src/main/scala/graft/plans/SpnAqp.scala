@@ -287,17 +287,19 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       tables: Set[String],
       atoms: Map[String, Seq[Atom]],
       attrTable: Map[ExprId, (String, String)],
-      /** up to THREE understood independent disjunctions ride along, each
-        * side a conjunction of atoms. One group answers through the
-        * estimator's shared-memo inclusion-exclusion path
-        * (estCountOr/estAggOr/estAvgOr); two or three groups answer
-        * through the product-form signed expansion (scalar AND grouped —
-        * 3^N conjunctive terms with per-group signs (+,+,-): 9 for two,
-        * 27 for three). A fourth group falls back to exact: the term
-        * count still grows 3^N while each signed term's relative error
-        * compounds, so the cap is an accuracy bound, not a structural
-        * one. */
-      orBranches: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = Nil,
+      /** understood independent disjunctions ride along, each group a
+        * list of branch conjunctions (n-branch since r18). One 2-branch
+        * group answers through the estimator's shared-memo
+        * inclusion-exclusion path (estCountOr/estAggOr/estAvgOr); any
+        * other layout answers through the product-form signed expansion
+        * (scalar AND grouped), each group expanded by full
+        * inclusion–exclusion into 2^k−1 signed picks. The total term
+        * product Π_g (2^{k_g}−1) is capped at 27 — the r17 three-group
+        * 3^N bound generalized; past it the rewrite falls back to exact:
+        * the expansion stays exact in expectation at any size, but each
+        * signed term's relative error compounds with the term count, so
+        * the cap is an accuracy bound, not a structural one. */
+      orBranches: Seq[Seq[Map[String, Seq[Atom]]]] = Nil,
       /** `isnotnull(key)` atoms on UNMODELED declared key columns, parked
         * until an inner equi-join on that very column discharges them (the
         * join implies them); any still pending at the top mean the user
@@ -408,9 +410,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       sh: Shape, gcols: Seq[(String, String)],
       colPairs: Seq[(OutCol, String)]): Seq[(Seq[String], String, Ensemble.Estimate)] =
     sh.orBranches match {
-      case Seq()       => annPlain(spns, spec, sh, gcols, colPairs)
-      case Seq((a, b)) => annSingleOr(spns, spec, sh, a, b, gcols, colPairs)
-      case gs          => annMultiOr(spns, spec, sh, gs, gcols, colPairs)
+      case Seq()           => annPlain(spns, spec, sh, gcols, colPairs)
+      case Seq(Seq(a, b))  => annSingleOr(spns, spec, sh, a, b, gcols, colPairs)
+      case gs              => annMultiOr(spns, spec, sh, gs, gcols, colPairs)
     }
 
   private def annPlain(
@@ -629,24 +631,21 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
   }
 
-  /** Two/three disjunctions: the 3^N signed expansion's per-term Estimates
-    * combine through scaleE/addE — signs flip bounds, intervals add — so
-    * the compounded signed error is covered CONSERVATIVELY; the AVG ratio
-    * gets the interval quotient (skipped on a sign-crossing denominator).
+  /** Multiple (or 3+-branch) disjunctions: the signed expansion's per-term
+    * Estimates combine through scaleE/addE — signs flip bounds, intervals
+    * add — so the compounded signed error is covered CONSERVATIVELY; the
+    * AVG ratio gets the interval quotient (skipped on a sign-crossing
+    * denominator).
     */
   private def annMultiOr(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
-      groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
+      groups: Seq[Seq[Map[String, Seq[Atom]]]],
       gcols: Seq[(String, String)], colPairs: Seq[(OutCol, String)])
       : Seq[(Seq[String], String, Ensemble.Estimate)] = {
     def predsOf(m: Map[String, Seq[Atom]]) =
       SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
     def termsFor(base: Map[String, Seq[Atom]]): Seq[(Double, Map[String, Seq[Atom]])] =
-      groups.foldLeft(Seq((1.0, base))) { case (acc, (a, b)) =>
-        val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
-        for { (s1, m1) <- acc; (s2, m2) <- expansion }
-          yield (s1 * s2, mergeAtomMaps(m1, m2))
-      }
+      signedAtomTerms(base, groups)
     def estOfE(cs: Seq[(String, String)])(
         p: Map[(String, String), graft.rspn.ColRange]): Ensemble.Estimate = cs match {
       case Seq()  => Ensemble.estCount(spns, sh.tables, p)
@@ -2420,9 +2419,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         if atoms.forall(a => modeled(t).exists(_._1 == a.column))
         obs <- {
           val sides = ors.map { case o: Or => orSides(o, a => Some((t, a.name)), modeled) }
-          // four independent ORs: beyond the product-form expansion's
-          // accuracy cap (81 signed terms compound the per-term error)
-          if (ors.length <= 3 && sides.forall(_.isDefined)) Some(sides.flatten)
+          // the product-form expansion's accuracy cap: Π(2^k−1) ≤ 27
+          // signed terms (four independent 2-branch ORs = 81 compound the
+          // per-term error too far)
+          if (sides.forall(_.isDefined) && orTermProduct(sides.flatten) <= 27)
+            Some(sides.flatten)
           else None
         }
       } yield Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
@@ -2473,8 +2474,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           obs <- {
             val sides = ors.map { case o: Or => orSides(o, a => tableOfAttr(a), modeled) }
             val all = sh.orBranches ++ sides.flatten
-            // at most three ORs across the whole subtree
-            if (sides.forall(_.isDefined) && all.length <= 3) Some(all) else None
+            // signed-term-product cap across the whole subtree
+            if (sides.forall(_.isDefined) && orTermProduct(all) <= 27) Some(all) else None
           }
         } yield sh.copy(atoms = mergeAtoms(sh.atoms, perConj.flatten), orBranches = obs)
       }
@@ -2499,7 +2500,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         }
         obs <- {
           val all = a.orBranches ++ b.orBranches
-          if (all.length <= 3) Some(all) else None
+          if (orTermProduct(all) <= 27) Some(all) else None
         }
         // this join's equi columns imply their own non-nullness
         discharged = splitConj(cond).flatMap {
@@ -2601,15 +2602,22 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       m.updated(t, m.getOrElse(t, Seq.empty) :+ a)
     }
 
-  /** A 2-branch disjunction where each branch is a conjunction of
-    * understood atoms over modeled columns; None on any miss (a nested OR
-    * shows up as a failed atomsOf on the branch).
+  /** An n-branch disjunction where each branch is a conjunction of
+    * understood atoms over modeled columns; None on any miss (a nested
+    * multi-column OR inside a branch shows up as a failed atomsOf on the
+    * branch). The top-level Or tree flattens to its full branch list
+    * (r18 — branches beyond two are legal; the collection sites bound the
+    * total signed-term product).
     */
   private def orSides(
       o: Or,
       tableOfAttr: AttributeReference => Option[(String, String)],
       modeled: Map[String, Seq[(String, String)]])
-      : Option[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])] = {
+      : Option[Seq[Map[String, Seq[Atom]]]] = {
+    def disjuncts(x: Expression): Seq[Expression] = x match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other    => Seq(other)
+    }
     def side(e: Expression): Option[Map[String, Seq[Atom]]] = {
       val per = splitConj(e).map { cj =>
         for {
@@ -2626,7 +2634,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       if (per.forall(_.isDefined)) Some(mergeAtoms(Map.empty, per.flatten))
       else None
     }
-    for { a <- side(o.left); b <- side(o.right) } yield (a, b)
+    val sides = disjuncts(o).map(side)
+    if (sides.forall(_.isDefined)) Some(sides.flatten) else None
   }
 
   private def dirMatches(dir: String): Boolean =
@@ -3061,6 +3070,46 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       x: Map[String, Seq[Atom]], y: Map[String, Seq[Atom]]): Map[String, Seq[Atom]] =
     y.foldLeft(x) { case (m, (t, as)) => m.updated(t, m.getOrElse(t, Seq.empty) ++ as) }
 
+  /** Full inclusion–exclusion signed expansion of OR groups over a base
+    * conjunction (r18): Π_g Σ_{∅≠S⊆branches_g} (−1)^{|S|+1} 1_{∧S}, each
+    * product term's atoms merged onto `base`. A 2-branch group contributes
+    * the familiar {+A, +B, −A∧B}; a k-branch group 2^k−1 signed picks.
+    * Callers bound the total term count via [[orTermProduct]] ≤ 27.
+    */
+  private def signedAtomTerms(
+      base: Map[String, Seq[Atom]],
+      groups: Seq[Seq[Map[String, Seq[Atom]]]]): Seq[(Double, Map[String, Seq[Atom]])] =
+    groups.foldLeft(Seq((1.0, base))) { (acc, branches) =>
+      val expansion = (1 to branches.length).flatMap { k =>
+        val sign = if (k % 2 == 1) 1.0 else -1.0
+        branches.combinations(k).map(s => (sign, s.reduceLeft(mergeAtomMaps)))
+      }
+      for { (s1, m1) <- acc; (s2, m2) <- expansion } yield (s1 * s2, mergeAtomMaps(m1, m2))
+    }
+
+  /** One branch picked per group, all merged onto `base` — the positive
+    * pure-branch combinations, whose union IS the WHERE's row set: the
+    * enumeration surface for set-semantics outputs (distinct counts,
+    * MIN/MAX supports), which the signed expansion must never touch.
+    */
+  private def positiveCombos(
+      base: Map[String, Seq[Atom]],
+      groups: Seq[Seq[Map[String, Seq[Atom]]]]): Seq[Map[String, Seq[Atom]]] =
+    groups.foldLeft(Seq(base)) { (acc, branches) =>
+      for { m <- acc; s <- branches } yield mergeAtomMaps(m, s)
+    }
+
+  /** Total signed-term count Π_g (2^{k_g}−1) of an OR-group list — the
+    * shared ≤27 accuracy cap (saturating: a pathological branch count
+    * must not wrap Long). Generalizes the r17 three-2-branch-group 3^N
+    * bound: three 2-branch groups sit exactly at 27, a single disjunction
+    * may hold four branches (15), a genuine fourth group (81) falls back.
+    */
+  private def orTermProduct(groups: Seq[Seq[_]]): Long =
+    groups.foldLeft(1L) { (acc, g) =>
+      math.min(acc * ((1L << math.min(g.length, 20)) - 1), 1L << 40)
+    }
+
   private def estimate(
       sh: Shape,
       groupCols: Seq[(String, String)],
@@ -3090,10 +3139,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private def scalarVals(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
       sh: Shape, cols: Seq[OutCol]): Option[Map[Int, Any]] = sh.orBranches match {
-    case Seq()       => plainScalarVals(spns, spec, sh, cols)
-    case Seq((a, b)) => singleOrScalarVals(spns, spec, sh, a, b, cols)
-    case gs if gs.length <= 3 => multiOrScalarVals(spns, spec, sh, gs, cols)
-    case _           => None
+    case Seq()          => plainScalarVals(spns, spec, sh, cols)
+    case Seq(Seq(a, b)) => singleOrScalarVals(spns, spec, sh, a, b, cols)
+    case gs if orTermProduct(gs) <= 27 => multiOrScalarVals(spns, spec, sh, gs, cols)
+    case _              => None
   }
 
   /** The Shape's row-count estimate under whatever OR structure it
@@ -3115,10 +3164,10 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
       sh: Shape, gcols: Seq[(String, String)], cols: Seq[OutCol])
       : Option[Seq[(Seq[String], Map[Int, Any])]] = sh.orBranches match {
-    case Seq()       => plainGroupRows(spns, spec, sh, gcols, cols)
-    case Seq((a, b)) => singleOrGroupRows(spns, spec, sh, a, b, gcols, cols)
-    case gs if gs.length <= 3 => multiOrGroupRows(spns, spec, sh, gs, gcols, cols)
-    case _           => None
+    case Seq()          => plainGroupRows(spns, spec, sh, gcols, cols)
+    case Seq(Seq(a, b)) => singleOrGroupRows(spns, spec, sh, a, b, gcols, cols)
+    case gs if orTermProduct(gs) <= 27 => multiOrGroupRows(spns, spec, sh, gs, gcols, cols)
+    case _              => None
   }
 
   /** Scalar (ungrouped) values for the conjunctive path, keyed by output
@@ -3639,7 +3688,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     */
   private def multiOrScalarVals(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
-      groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
+      groups: Seq[Seq[Map[String, Seq[Atom]]]],
       cols: Seq[OutCol]): Option[Map[Int, Any]] = {
     def estOf(cs: Seq[(String, String)])(p: Map[(String, String), graft.rspn.ColRange]): Double =
       cs match {
@@ -3651,12 +3700,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     // BASE of every signed term, i.e. distribute into each of the 3^N
     // expansion products; the row semantics are count((∧ᵢ Aᵢ∨Bᵢ)∧base∧extra))
     def leaf2Under(base: Map[String, Seq[Atom]])(col: OutCol): Option[Any] = {
-      val terms: Seq[(Double, Map[String, Seq[Atom]])] =
-        groups.foldLeft(Seq((1.0, base))) { case (acc, (a, b)) =>
-          val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
-          for { (s1, m1) <- acc; (s2, m2) <- expansion }
-            yield (s1 * s2, mergeAtomMaps(m1, m2))
-        }
+      val terms: Seq[(Double, Map[String, Seq[Atom]])] = signedAtomTerms(base, groups)
       // Σ sign·f(term ∧ notnull(cs)) over all expansion terms, None when any
       // term's atoms cannot compile (the caller then falls back to exact)
       def signed(nnCols: Seq[(String, String)],
@@ -3667,26 +3711,19 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
             p <- SpnCardinality.predsFor(spns, sh.tables, withNotNull(m, nnCols), spec.modeled)
           } yield a + sgn * f(p)
         }
-      // (a∨b)∧(c∨d)∧…'s support set is the UNION over the 2^N positive
-      // branch combinations — exact set semantics, the signed expansion
-      // must not touch a non-additive distinct count
-      def distinctUnion(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
-        val combos = groups.foldLeft(Seq(base)) { case (acc, (a, b)) =>
-          for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
-        }
-        combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
+      // (a∨b)∧(c∨d)∧…'s support set is the UNION over the positive
+      // one-branch-per-group combinations — exact set semantics, the
+      // signed expansion must not touch a non-additive distinct count
+      def distinctUnion(enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] =
+        positiveCombos(base, groups).foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
           for {
             s <- acc
             p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
           } yield s ++ Ensemble.estGroupByMulti(spns, sh.tables, enumCols, p).map(_._1)
         }
-      }
       // numeric analogs of distinctUnion: union of the per-positive-combo
       // realized supports / combination of per-combo early-exit extremes
-      def numCombos: Seq[Map[String, Seq[Atom]]] =
-        groups.foldLeft(Seq(base)) { case (acc, (a, b)) =>
-          for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
-        }
+      def numCombos: Seq[Map[String, Seq[Atom]]] = positiveCombos(base, groups)
       def numSupportUnion(c: (String, String)): Option[Set[Double]] =
         numCombos.foldLeft(Option(Set.empty[Double])) { case (acc, m) =>
           for {
@@ -3751,15 +3788,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     */
   private def multiOrGroupRows(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec, sh: Shape,
-      groups: Seq[(Map[String, Seq[Atom]], Map[String, Seq[Atom]])],
+      groups: Seq[Seq[Map[String, Seq[Atom]]]],
       gcols: Seq[(String, String)], cols: Seq[OutCol])
       : Option[Seq[(Seq[String], Map[Int, Any])]] = {
     def termsFor(base: Map[String, Seq[Atom]]): Seq[(Double, Map[String, Seq[Atom]])] =
-      groups.foldLeft(Seq((1.0, base))) { case (acc, (a, b)) =>
-        val expansion = Seq((1.0, a), (1.0, b), (-1.0, mergeAtomMaps(a, b)))
-        for { (s1, m1) <- acc; (s2, m2) <- expansion }
-          yield (s1 * s2, mergeAtomMaps(m1, m2))
-      }
+      signedAtomTerms(base, groups)
     // per-group signed combination of one enumeration across all expansion
     // terms; None when any term's atoms cannot compile (caller falls back)
     def signedGFor(base: Map[String, Seq[Atom]])(nnCols: Seq[(String, String)],
@@ -3780,22 +3813,16 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       Ensemble.estGroupByAgg(spns, sh.tables, gcols, cs.map(_ -> 1).toMap, p)
         .map { case (k, e) => k -> e.value }
     def numCombosG(base: Map[String, Seq[Atom]]): Seq[Map[String, Seq[Atom]]] =
-      groups.foldLeft(Seq(base)) { case (acc, (a, b)) =>
-        for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
-      }
+      positiveCombos(base, groups)
     // set-union semantics for distinct (see multiOrScalarVals.distinctUnion)
     def distinctUnionGFor(base: Map[String, Seq[Atom]])(
-        enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] = {
-      val combos = groups.foldLeft(Seq(base)) { case (acc, (a, b)) =>
-        for { m <- acc; s <- Seq(a, b) } yield mergeAtomMaps(m, s)
-      }
-      combos.foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
+        enumCols: Seq[(String, String)]): Option[Set[Seq[String]]] =
+      positiveCombos(base, groups).foldLeft(Option(Set.empty[Seq[String]])) { case (acc, m) =>
         for {
           s <- acc
           p <- SpnCardinality.predsFor(spns, sh.tables, m, spec.modeled)
         } yield s ++ Ensemble.estGroupByMulti(spns, sh.tables, enumCols, p).map(_._1)
       }
-    }
     // atom-parameterized (FILTER recursion — see multiOrScalarVals)
     def leafGUnder(base: Map[String, Seq[Atom]])(col: OutCol): Option[Map[Seq[String], Any]] = {
       def signedG(nnCols: Seq[(String, String)],

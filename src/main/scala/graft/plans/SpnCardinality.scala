@@ -820,6 +820,26 @@ object SpnPlanning {
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
     },
 
+    // Round 18: an n-branch disjunction of CONJUNCTIONS — the TPC-H Q19
+    // predicate shape, (A1∧A2) OR (B1∧B2) OR (C1∧C2) — answered through
+    // one group's full inclusion–exclusion (7 signed terms for three
+    // branches) under the Π(2^k−1) ≤ 27 cap, grouped, zero scans
+    // (SpnAqpSpec pins scalar/grouped/cap-fallback against the exact
+    // plane; rows>0 is the Verify contract here).
+    Op.noOracle("aqp_transparent_or_branches") { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.spn.sfDir", d)
+      s2.conf.set("spark.graft.aqp.enabled", "true")
+      s2.read.parquet(s"$d/lineitem.parquet").createOrReplaceTempView("lineitem")
+      s2.sql(
+        """SELECT l_linestatus, count(*) AS n, sum(l_extendedprice) AS rev
+          |FROM lineitem
+          |WHERE (l_quantity < 10 AND l_returnflag = 'A'
+          |    OR l_quantity > 40 AND l_returnflag = 'N'
+          |    OR l_discount > 0.08 AND l_tax < 0.03)
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    },
+
     // Round 11 late widenings, disjunctive composition: a numeric !=
     // (disjoint-range rewrite — one OR slot) stacked with two explicit
     // disjunctions = the full three-slot 27-term signed expansion,

@@ -1418,25 +1418,36 @@ object Ensemble {
     case _                  => None
   }
 
-  // ───────────────────────── signed multi-OR (r17) ─────────────────────────
-  // The Catalyst plane's 3^N signed expansion on the model plane: a WHERE of
-  // up to three independent parenthesized OR groups, (A1∨B1)∧(A2∨B2)∧…,
-  // expands Π_g (1_{Ag} + 1_{Bg} − 1_{Ag∧Bg}) into ≤ 3^N SIGNED conjunctive
-  // terms. Σf over the conjunction of disjunctions is the signed sum of each
-  // term's plain expectation — exact linearity for COUNT/SUM/SUM(a*b) — with
-  // variances adding across terms (conservative: the terms share factors).
+  // ───────────────────── signed multi-OR (r17; n-branch r18) ───────────────
+  // The Catalyst plane's signed expansion on the model plane: a WHERE of
+  // independent parenthesized OR groups, (A1∨B1[∨C1…])∧(A2∨B2[∨…])∧…, expands
+  // Π_g Σ_{∅≠S⊆branches_g} (−1)^{|S|+1} 1_{∧S} into SIGNED conjunctive terms
+  // (full inclusion–exclusion per group — a 2-branch group contributes the
+  // familiar {+A, +B, −A∧B}, a k-branch group 2^k−1 terms). Σf over the
+  // conjunction of disjunctions is the signed sum of each term's plain
+  // expectation — exact linearity for COUNT/SUM/SUM(a*b) — with variances
+  // adding across terms (conservative: the terms share factors). Callers cap
+  // the TOTAL term product Π_g (2^{k_g}−1) at 27 (the r17 3^N accuracy bound
+  // generalized): the expansion is exact in expectation at any size, but the
+  // per-term relative error compounds with the term count.
 
-  /** One group's signed branch picks; None when BOTH branches are
-    * contradicted (the group annihilates the whole conjunction). A
-    * contradicted A∧B pick just drops its minus term (zero mass).
+  /** One group's signed inclusion–exclusion picks over its LIVE branches;
+    * None when every branch is contradicted (the group annihilates the
+    * whole conjunction). A contradicted subset intersection just drops its
+    * term (zero mass).
     */
-  private def signedPicks(g: (Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]]))
-      : Option[Seq[(Double, Map[(String, String), ColRange])]] = g match {
-    case (Some(a), Some(b)) =>
-      Some(Seq((1.0, a), (1.0, b)) ++ intersect(a, b).map(ab => (-1.0, ab)))
-    case (Some(a), None) => Some(Seq((1.0, a)))
-    case (None, Some(b)) => Some(Seq((1.0, b)))
-    case _               => None
+  private def signedPicks(g: Seq[Option[Map[(String, String), ColRange]]])
+      : Option[Seq[(Double, Map[(String, String), ColRange])]] = {
+    val live = g.flatten
+    if (live.isEmpty) None
+    else Some((1 to live.length).flatMap { k =>
+      val sign = if (k % 2 == 1) 1.0 else -1.0
+      live.combinations(k).flatMap { subset =>
+        subset.map(Option(_)).reduceLeft { (acc, next) =>
+          for { m <- acc; n <- next; mn <- intersect(m, n) } yield mn
+        }.map(sign -> _) // provably-disjoint subset: zero mass, drop
+      }
+    })
   }
 
   /** The full signed conjunctive expansion over OPTIONAL branch maps (a
@@ -1446,7 +1457,7 @@ object Ensemble {
     * distinct only for uniformity — the signed sum is 0 either way).
     */
   private[rspn] def signedConjTerms(
-      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])
+      groups: Seq[Seq[Option[Map[(String, String), ColRange]]]])
       : Option[Seq[(Double, Map[(String, String), ColRange])]] =
     groups.foldLeft(Option(Seq((1.0, Map.empty[(String, String), ColRange])))) {
       case (None, _) => None
@@ -1476,12 +1487,13 @@ object Ensemble {
     Est(if (feature.isEmpty) math.max(0.0, v) else v, math.sqrt(varSum))
   }
 
-  /** Linear aggregate over N ≤ 3 OR groups; None when some group is fully
-    * contradicted. Empty feature = COUNT.
+  /** Linear aggregate over N OR groups (callers cap the signed-term
+    * product at 27); None when some group is fully contradicted. Empty
+    * feature = COUNT.
     */
   def estAggOrMulti(
       spns: Map[String, TrainedSpn], tables: Set[String],
-      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])],
+      groups: Seq[Seq[Option[Map[(String, String), ColRange]]]],
       feature: Map[(String, String), Int]): Option[Estimate] =
     signedConjTerms(groups).map(ts =>
       signedAggRaw(spns, tables, ts, feature, new ExpectMemo).toEstimate)
@@ -1492,11 +1504,9 @@ object Ensemble {
   def estAvgOrMulti(
       spns: Map[String, TrainedSpn], tables: Set[String],
       avgCol: (String, String),
-      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])
+      groups: Seq[Seq[Option[Map[(String, String), ColRange]]]])
       : Option[Estimate] = {
-    val gated = groups.map { case (a, b) =>
-      (a.map(notNullOn(_, avgCol)), b.map(notNullOn(_, avgCol)))
-    }
+    val gated = groups.map(_.map(_.map(notNullOn(_, avgCol))))
     signedConjTerms(gated).map { ts =>
       val memo = new ExpectMemo
       ratioEst(
@@ -1514,7 +1524,7 @@ object Ensemble {
       spns: Map[String, TrainedSpn], tables: Set[String],
       groupCols: Seq[(String, String)],
       feature: Map[(String, String), Int],
-      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])
+      groups: Seq[Seq[Option[Map[(String, String), ColRange]]]])
       : Seq[(Seq[String], Estimate)] = {
     val memo = new ExpectMemo
     groupOrMultiKeys(spns, tables, groupCols, groups, memo).flatMap { case (vs, pinned) =>
@@ -1535,15 +1545,14 @@ object Ensemble {
       spns: Map[String, TrainedSpn], tables: Set[String],
       groupCols: Seq[(String, String)],
       avgCol: (String, String),
-      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])
+      groups: Seq[Seq[Option[Map[(String, String), ColRange]]]])
       : Seq[(Seq[String], Estimate)] = {
     val memo = new ExpectMemo
     groupOrMultiKeys(spns, tables, groupCols, groups, memo).flatMap { case (vs, pinned) =>
       for {
         ts  <- signedConjTerms(pinned)
         if signedAggRaw(spns, tables, ts, Map.empty, memo).v >= 0.5
-        gated = pinned.map { case (a, b) =>
-          (a.map(notNullOn(_, avgCol)), b.map(notNullOn(_, avgCol))) }
+        gated = pinned.map(_.map(_.map(notNullOn(_, avgCol))))
         tsN <- signedConjTerms(gated)
       } yield vs -> ratioEst(
         signedAggRaw(spns, tables, tsN, Map(avgCol -> 1), memo),
@@ -1557,10 +1566,10 @@ object Ensemble {
   private def groupOrMultiKeys(
       spns: Map[String, TrainedSpn], tables: Set[String],
       groupCols: Seq[(String, String)],
-      groups: Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])],
+      groups: Seq[Seq[Option[Map[(String, String), ColRange]]]],
       memo: ExpectMemo): Seq[(Seq[String],
-        Seq[(Option[Map[(String, String), ColRange]], Option[Map[(String, String), ColRange]])])] = {
-    val branches = groups.flatMap { case (a, b) => a.toSeq ++ b.toSeq }
+        Seq[Seq[Option[Map[(String, String), ColRange]]]])] = {
+    val branches = groups.flatten.flatten
     branches.flatMap(p => enumGroups(spns, tables, groupCols, p, memo).map(_._1))
       .distinct.map { vs =>
         val pin = groupCols.zip(vs).map { case (gc, v) =>
@@ -1568,9 +1577,7 @@ object Ensemble {
             .getOrElse(throw new NoSuchElementException(s"${gc._1}.${gc._2} is not modeled"))
           gc -> (NominalSet(Array(mc.code(v))): ColRange)
         }.toMap
-        (vs, groups.map { case (a, b) =>
-          (a.flatMap(intersect(_, pin)), b.flatMap(intersect(_, pin)))
-        })
+        (vs, groups.map(_.map(_.flatMap(intersect(_, pin)))))
       }
   }
 

@@ -144,7 +144,7 @@ object SqlEstimate {
     val preds = mergePreds(spns, q.preds, spec)
 
     // two or three independent OR groups (r17): the signed-expansion path
-    if (q.orGroups2.nonEmpty) return estimateMultiOr(spns, q, spec)
+    if (q.orGroupsN.nonEmpty) return estimateMultiOr(spns, q, spec)
 
     if (q.calGroup.nonEmpty) {
       // kind dispatch on the trailing dimension columns (r15 parity with
@@ -222,6 +222,12 @@ object SqlEstimate {
                   Map((ta, ca) -> 1, (tb, cb) -> 1), preds, predsB)
               case Avg(t, c) =>
                 Ensemble.estGroupByAvgOr(spns, q.tables, set, (t, c), preds, predsB)
+              // ± per set under the OR (r18): each term through the
+              // per-group IE builders, distinct leaves via branch-union
+              case Combo(plus, l, r) =>
+                comboRows(plus,
+                  orGroupTerm(spns, q, set, preds, predsB, l),
+                  orGroupTerm(spns, q, set, preds, predsB, r))
               case other => throw new IllegalArgumentException(
                 s"unsupported SQL: ROLLUP/CUBE with $other")
             }
@@ -231,6 +237,27 @@ object SqlEstimate {
             }
           }
         })
+      }
+      q.agg match {
+        case Combo(plus, l, r) =>
+          // ± per grouping set (r18): each term per nonempty set through
+          // the plain per-group builders (distinct leaves included), the
+          // () set through the scalar term builders — closing the plane
+          // asymmetry with the Catalyst grouping-sets ExprOut fold
+          val allCols = sets.flatten.distinct
+          return GroupSets(sets.flatMap { set =>
+            if (set.isEmpty)
+              Seq(allCols.map(_ => Option.empty[String]) ->
+                comboEst(plus,
+                  scalarTerm(spns, q, preds, l), scalarTerm(spns, q, preds, r)))
+            else comboRows(plus,
+              plainGroupTerm(spns, q, set, preds, l),
+              plainGroupTerm(spns, q, set, preds, r)).map { case (k, e) =>
+                val byCol = set.zip(k).toMap
+                allCols.map(byCol.get) -> e
+              }
+          })
+        case _ => ()
       }
       return GroupSets(q.agg match {
         case Count     => Ensemble.estGroupingSetsAgg(spns, q.tables, sets, Map.empty, preds)
@@ -280,6 +307,14 @@ object SqlEstimate {
           // plane's CountDistinctOut convention under single-OR)
           case CountDistinct(t, c) =>
             groupedDistinct(spns, q.tables, q.groupBy, (t, c), Seq(preds, predsB))
+          // grouped ± combination under the single OR (r18, closing the
+          // last flat-grouped combo asymmetry vs the Catalyst ExprOut
+          // fold): each term per group through the IE estimators (or the
+          // branch-union set for a distinct leaf), combined per key
+          case Combo(plus, l, r) =>
+            comboRows(plus,
+              orGroupTerm(spns, q, q.groupBy, preds, predsB, l),
+              orGroupTerm(spns, q, q.groupBy, preds, predsB, r))
           case other => throw new IllegalArgumentException(
             s"unsupported SQL: $other with OR and GROUP BY")
         })
@@ -332,6 +367,10 @@ object SqlEstimate {
               // linear estimates with its own delta-method CI
               case Avg(t, c) =>
                 Ensemble.estGroupByAvg(spns, q.tables, gcs, (t, c), preds)
+              // a distinct leaf is a per-group SET SIZE (degenerate
+              // interval) — the Catalyst ExprOut fold's convention (r18)
+              case CountDistinct(t, c) =>
+                groupedDistinct(spns, q.tables, gcs, (t, c), Seq(preds))
               case other => throw new IllegalArgumentException(
                 s"unsupported SQL: non-linear ± term $other with GROUP BY")
             }).toMap
@@ -809,6 +848,8 @@ object SqlEstimate {
     // AVG rides a ± term since r17: a ratio of two linear estimates with
     // its own delta-method CI, combined by the same interval arithmetic
     case Avg(at, ac) => Ensemble.estAvg(spns, q.tables, (at, ac), p)
+    // distinct leaf: a set size, degenerate interval (r18)
+    case CountDistinct(dt, dc) => distinctCount(spns, q.tables, (dt, dc), Seq(p))
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with bucketed GROUP BY")
   }
@@ -823,6 +864,8 @@ object SqlEstimate {
     case SumProduct(ta, ca, tb, cb) =>
       Ensemble.estAggOr(spns, q.tables, a, b, Map((ta, ca) -> 1, (tb, cb) -> 1))
     case Avg(at, ac) => Ensemble.estAvgOr(spns, q.tables, (at, ac), a, b)
+    // distinct leaf: the branch-union set size, degenerate interval (r18)
+    case CountDistinct(dt, dc) => distinctCount(spns, q.tables, (dt, dc), Seq(a, b))
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with OR and bucketed GROUP BY")
   }
@@ -839,6 +882,9 @@ object SqlEstimate {
         Map((ta, ca) -> 1, (tb, cb) -> 1), p)
     case Avg(at, ac) =>
       Ensemble.estGroupByAvg(spns, q.tables, dims, (at, ac), p)
+    // distinct leaf: per-group set size, degenerate interval (r18)
+    case CountDistinct(dt, dc) =>
+      groupedDistinct(spns, q.tables, dims, (dt, dc), Seq(p))
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with bucketed GROUP BY")
   }
@@ -856,6 +902,9 @@ object SqlEstimate {
         Map((ta, ca) -> 1, (tb, cb) -> 1), a, b)
     case Avg(at, ac) =>
       Ensemble.estGroupByAvgOr(spns, q.tables, dims, (at, ac), a, b)
+    // distinct leaf: per-group branch-union set size (r18)
+    case CountDistinct(dt, dc) =>
+      groupedDistinct(spns, q.tables, dims, (dt, dc), Seq(a, b))
     case other => throw new IllegalArgumentException(
       s"unsupported SQL: non-linear ± term $other with OR and bucketed GROUP BY")
   }
@@ -1079,27 +1128,24 @@ object SqlEstimate {
     */
   private def calendarGroupsMulti(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
-      groups: Seq[(P, P)],
+      groups: Seq[Seq[P]],
       numDims: Set[(String, String)],
       spec: graft.schema.DatasetSpec): Seq[(Seq[String], Ensemble.Estimate)] = {
     val foldCap = if (q.calGroup.length == 1 && q.groupBy.isEmpty) 2000 else 400
-    val branchMaps = groups.flatMap { case (a, b) => Seq(a, b) }
+    val branchMaps = groups.flatten
     val perCal: Seq[Seq[(String, (String, String), ColRange)]] =
       q.calGroup.map { case (fn, t, c) =>
         bucketColRanges(spns, q, spec, branchMaps, foldCap, fn, t, c)
           .map { case (k, r) => (k, (t, c), r) }
       }
-    val optG: OptGroups = groups.map { case (a, b) => (Some(a), Some(b)) }
+    val optG: OptGroups = groups.map(_.map(Some(_)))
     val tuples: Seq[(Seq[String], OptGroups)] =
       perCal.foldLeft(Seq((Seq.empty[String], optG))) { case (acc, buckets) =>
         for {
           (keys, pg) <- acc
           (k, tc, r) <- buckets
-          np = pg.map { case (a, b) =>
-            (a.flatMap(Ensemble.intersect(_, Map(tc -> r))),
-              b.flatMap(Ensemble.intersect(_, Map(tc -> r))))
-          }
-          if np.forall { case (a, b) => a.isDefined || b.isDefined }
+          np = pg.map(_.map(_.flatMap(Ensemble.intersect(_, Map(tc -> r)))))
+          if np.forall(_.exists(_.isDefined))
         } yield (keys :+ k, np)
       }
     require(tuples.length <= foldCap,
@@ -1113,10 +1159,8 @@ object SqlEstimate {
           (ks, kv, pg) <- acc
           v <- support
           pin = Map(tc -> (NominalSet(Array(v)): ColRange))
-          np = pg.map { case (a, b) =>
-            (a.flatMap(Ensemble.intersect(_, pin)), b.flatMap(Ensemble.intersect(_, pin)))
-          }
-          if np.forall { case (a, b) => a.isDefined || b.isDefined }
+          np = pg.map(_.map(_.flatMap(Ensemble.intersect(_, pin))))
+          if np.forall(_.exists(_.isDefined))
         } yield (ks, kv + (tc -> v), np)
       }
     require(tuplesNum.length <= foldCap,
@@ -1187,31 +1231,31 @@ object SqlEstimate {
         .getOrElse(acc + ((p.table, p.col) -> NominalSet(Array.empty[Double])))
     }
 
-  // ───────────────────────── signed multi-OR (r17) ─────────────────────────
-  // Two or three independent parenthesized OR groups — (A∨B) AND (C∨D)[ AND
-  // (E∨F)] — answer through Ensemble's signed 3^N expansion, closing the
-  // plane divergence where Catalyst composed multiple disjunctions but the
-  // text plane refused them. Supported shapes: scalar (all aggregates), flat
-  // GROUP BY over dict/num-modeled columns, ROLLUP/CUBE including
+  // ─────────────────── signed multi-OR (r17; n-branch r18) ─────────────────
+  // Independent parenthesized OR groups — (A∨B[∨C…]) AND (D∨E)[ AND …] —
+  // answer through Ensemble's signed inclusion–exclusion expansion, closing
+  // the plane divergence where Catalyst composed multiple disjunctions but
+  // the text plane refused them. Supported shapes: scalar (all aggregates),
+  // flat GROUP BY over dict/num-modeled columns, ROLLUP/CUBE including
   // numeric-bearing sets, and bucket (calendar/bin/window) grouping via
-  // [[calendarGroupsMulti]] — every group's branch pair conjoins into each
-  // bucket's signed product terms. Only >3 groups stay loud (the 3^N cap,
-  // same accuracy posture as the Catalyst plane's fallback).
+  // [[calendarGroupsMulti]] — every group's branches conjoin into each
+  // bucket's signed product terms. The parser caps the total signed-term
+  // product Π_g (2^{k_g}−1) at 27 (the r17 3^N accuracy posture
+  // generalized); anything past it stays loud on both planes.
 
   private type P = Map[(String, String), ColRange]
-  private type OptGroups = Seq[(Option[P], Option[P])]
+  private type OptGroups = Seq[Seq[Option[P]]]
 
   private def estimateMultiOr(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
       spec: graft.schema.DatasetSpec): SqlResult = {
-    // group 1 carries the distributed common conjuncts in both branches
-    // (parser convention); groups 2.. are raw — intersection with group 1's
-    // terms brings the common conjuncts into every product term
-    val groups: Seq[(P, P)] =
-      (mergePreds(spns, q.preds, spec), mergePreds(spns, q.orPreds, spec)) +:
-        q.orGroups2.map(g =>
-          (mergePreds(spns, g._1, spec), mergePreds(spns, g._2, spec)))
-    val optGroups: OptGroups = groups.map { case (a, b) => (Some(a), Some(b)) }
+    // parser convention (r18): groups arrive RAW in orGroupsN with the
+    // common conjuncts in q.preds (orPreds empty) — conjoin common into
+    // every branch here, so each signed product term carries it exactly
+    // once (ColRange intersection is idempotent)
+    val groups: Seq[Seq[P]] =
+      q.orGroupsN.map(_.map(b => mergePreds(spns, q.preds ++ b, spec)))
+    val optGroups: OptGroups = groups.map(_.map(Some(_)))
     if (q.calGroup.nonEmpty) {
       val numDims = q.groupBy.filter { case (gt, gcol) =>
         spec.modeled.getOrElse(gt, Nil).exists(x => x._1 == gcol && x._2 == "num")
@@ -1258,10 +1302,10 @@ object SqlEstimate {
     * surface for distinct-set semantics (never the signed sum).
     */
   private def quadrantMaps(groups: OptGroups): Seq[P] =
-    groups.foldLeft(Seq(Map.empty: P)) { case (acc, (a, b)) =>
+    groups.foldLeft(Seq(Map.empty: P)) { (acc, branches) =>
       for {
         p  <- acc
-        br <- a.toSeq ++ b.toSeq
+        br <- branches.flatten
         m  <- Ensemble.intersect(p, br).toSeq
       } yield m
     }
@@ -1297,7 +1341,7 @@ object SqlEstimate {
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
       dims: Seq[(String, String)],
       pinned: OptGroups): Seq[(Seq[String], Ensemble.Estimate)] = {
-    if (pinned.exists { case (a, b) => a.isEmpty && b.isEmpty }) return Nil
+    if (pinned.exists(_.forall(_.isEmpty))) return Nil
     val gate = Ensemble.estAggOrMulti(spns, q.tables, pinned, Map.empty)
     if (gate.forall(_.value < 0.5)) return Nil
     if (dims.nonEmpty) q.agg match {
@@ -1339,6 +1383,10 @@ object SqlEstimate {
         Map((ta, ca) -> 1, (tb, cb) -> 1), pinned)
     case Avg(at, ac) =>
       Ensemble.estGroupByAvgOrMulti(spns, q.tables, dims, (at, ac), pinned)
+    // distinct leaf: per-group set size over the positive pure-branch
+    // quadrants' union — set semantics, never the signed sum (r18)
+    case CountDistinct(dt, dc) =>
+      groupedDistinct(spns, q.tables, dims, (dt, dc), quadrantMaps(pinned))
     case other => throw new IllegalArgumentException(
       s"unsupported ± term under multiple OR groups: $other")
   }
@@ -1351,7 +1399,7 @@ object SqlEstimate {
     */
   private def multiOrNumericGroups(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
-      groups: Seq[(P, P)], numIdx: Int): Seq[(Seq[String], Ensemble.Estimate)] = {
+      groups: Seq[Seq[P]], numIdx: Int): Seq[(Seq[String], Ensemble.Estimate)] = {
     val gcs = q.groupBy
     val tc = gcs(numIdx)
     val dictPos = gcs.indices.filterNot(_ == numIdx)
@@ -1363,9 +1411,7 @@ object SqlEstimate {
     val support = multiBranchSupport(spns, q, groups, tc)
     support.flatMap { v =>
       val pin = Map(tc -> (NominalSet(Array(v)): ColRange))
-      val pinned: OptGroups = groups.map { case (a, b) =>
-        (Ensemble.intersect(a, pin), Ensemble.intersect(b, pin))
-      }
+      val pinned: OptGroups = groups.map(_.map(Ensemble.intersect(_, pin)))
       multiTupleRows(spns, q, dictCols, pinned).map { case (dk, e) =>
         val full = new Array[String](gcs.length)
         full(numIdx) = numKeyStr(v)
@@ -1380,8 +1426,8 @@ object SqlEstimate {
     */
   private def multiBranchSupport(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
-      groups: Seq[(P, P)], tc: (String, String)): Seq[Double] =
-    groups.flatMap { case (a, b) => Seq(a, b) }.flatMap { p =>
+      groups: Seq[Seq[P]], tc: (String, String)): Seq[Double] =
+    groups.flatten.flatMap { p =>
       Ensemble.numericSupport(spns, q.tables, tc, p, cap = 400)
         .getOrElse(throw new IllegalArgumentException(
           s"GROUP BY ${tc._2}: realized support exceeds the 400-bucket cap"))
@@ -1395,11 +1441,11 @@ object SqlEstimate {
     */
   private def multiOrGroupingSets(
       spns: Map[String, Ensemble.TrainedSpn], q: ParsedQuery,
-      groups: Seq[(P, P)],
+      groups: Seq[Seq[P]],
       sets: Seq[Seq[(String, String)]],
       numCols: Set[(String, String)]): Seq[(Seq[Option[String]], Ensemble.Estimate)] = {
     val allCols = sets.flatten.distinct
-    val optGroups: OptGroups = groups.map { case (a, b) => (Some(a), Some(b)) }
+    val optGroups: OptGroups = groups.map(_.map(Some(_)))
     sets.flatMap { set =>
       val numInSet = set.filter(numCols)
       val catInSet = set.filterNot(numCols)
@@ -1417,10 +1463,8 @@ object SqlEstimate {
                 (kv, pg) <- acc
                 v <- support
                 pin = Map(tc -> (NominalSet(Array(v)): ColRange))
-                np = pg.map { case (a, b) =>
-                  (a.flatMap(Ensemble.intersect(_, pin)), b.flatMap(Ensemble.intersect(_, pin)))
-                }
-                if np.forall { case (a, b) => a.isDefined || b.isDefined }
+                np = pg.map(_.map(_.flatMap(Ensemble.intersect(_, pin))))
+                if np.forall(_.exists(_.isDefined))
               } yield (kv + (tc -> v), np)
           }
           require(tuples.length <= 400,

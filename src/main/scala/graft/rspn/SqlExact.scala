@@ -31,12 +31,11 @@ object SqlExact {
       val b = q.orPreds.map(predCol(_, schema)).reduce(_ && _)
       df = df.filter(a || b)
     }
-    // additional independent OR groups (r17) conjoin as further
-    // disjunctive filters — each still a pushable predicate
-    q.orGroups2.foreach { case (ga, gb) =>
-      val a = ga.map(predCol(_, schema)).reduce(_ && _)
-      val b = gb.map(predCol(_, schema)).reduce(_ && _)
-      df = df.filter(a || b)
+    // undistributed OR groups (r18): each conjoins as one disjunctive
+    // filter over its branch conjunctions — still a pushable predicate.
+    // (The common conjuncts are already applied above via q.preds.)
+    q.orGroupsN.foreach { branches =>
+      df = df.filter(branches.map(_.map(predCol(_, schema)).reduce(_ && _)).reduce(_ || _))
     }
     val aggCol = q.agg match {
       case Count => count(lit(1)).cast("double").as("val")

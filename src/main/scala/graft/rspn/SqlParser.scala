@@ -68,12 +68,18 @@ object SqlParser {
         * exact plane groups by the matching Spark functions.
         */
       calGroup: Seq[(String, String, String)] = Nil,
-      /** Independent parenthesized OR groups BEYOND the first (r17): each a
-        * raw (branchA, branchB) conjunction pair WITHOUT the common
-        * conjuncts (those live in preds/orPreds via group one). Non-empty
-        * routes the estimator to the signed 3^N expansion.
+      /** Independent parenthesized OR groups in their UNDISTRIBUTED form
+        * (r18, generalizing the r17 pair slots): each group a list of
+        * branch conjunctions, every branch raw — the common conjuncts stay
+        * in `preds` (with `orPreds` empty) and conjoin into every signed
+        * product term downstream. Populated whenever the WHERE holds ≥2
+        * effective groups OR any group with ≥3 branches; the single
+        * 2-branch-group WHERE keeps the legacy distributed (preds, orPreds)
+        * spelling for the inclusion–exclusion plane. Non-empty routes the
+        * estimator to the signed-expansion machinery, whose total term
+        * product Π_g (2^{k_g}−1) the parser caps at 27.
         */
-      orGroups2: Seq[(Seq[Pred], Seq[Pred])] = Nil)
+      orGroupsN: Seq[Seq[Seq[Pred]]] = Nil)
 
   /** `HAVING <agg> <cmp> <number>` — a post-aggregation filter. The
     * reference's parse_query has no HAVING arm (its benchmark class stops at
@@ -434,18 +440,19 @@ object SqlParser {
           // parseAggTerm returns only leaf aggregates. AVG rides a ±
           // combination since r17 (each AVG is a ratio of two linear
           // estimates — the Catalyst plane's ExprOut already composed it);
-          // COUNT(DISTINCT) rides since r18 in the SCALAR form — a set
-          // size is a degenerate interval, so the combo's interval
-          // arithmetic is trivially sound. Grouped combos keep the
-          // estimator's loud per-term guards (a distinct set has no
-          // linear per-group fold).
+          // COUNT(DISTINCT) rides since r18 — scalar AND per group/bucket
+          // (a set size is a degenerate interval, evaluated per group by
+          // the dictionary/realized-support enumeration and unioned over
+          // branches, matching the Catalyst ExprOut fold's distinct
+          // leaves), so every term builder on the estimate plane accepts
+          // the full leaf class.
           Combo(op == '+', parseAggTerm(l), parseAggTerm(r))
         case None => parseAggTerm(sel.trim)
       }
       val (fromTable, tables, joins) = parseFrom(from.trim)
-      val (preds, orPreds, orGroups2) =
+      val (preds, orPreds, orGroupsN) =
         Option(where).map(parseWhere).getOrElse((Nil, Nil, Nil))
-      (preds ++ orPreds ++ orGroups2.flatMap(g => g._1 ++ g._2)).foreach(p =>
+      (preds ++ orPreds ++ orGroupsN.flatten.flatten).foreach(p =>
         if (!tables(p.table)) fail(s"predicate on ${p.col}: table ${p.table} not in FROM"))
       val (mode, groupCols) = Option(group).map(_.trim) match {
         case Some(groupSetRe(kind, cols)) =>
@@ -523,7 +530,7 @@ object SqlParser {
       if (limit.isDefined && orderBy.isEmpty && (groupBy.nonEmpty || calGroup.nonEmpty))
         fail("LIMIT requires ORDER BY on a grouped query")
       ParsedQuery(agg, fromTable, tables, joins, preds, orPreds, groupBy, mode,
-        having, orderBy, limit, calGroup, orGroups2)
+        having, orderBy, limit, calGroup, orGroupsN)
     }
   }
 
@@ -629,24 +636,13 @@ object SqlParser {
   private def parseConjunction(s: String): Seq[Pred] =
     conjuncts(stripOuter(s)).map(c => parseConjunct(stripOuter(c)))
 
-  /** A top-level conjunct is an OR group iff it is parenthesized —
-    * `(A) OR (B)` or `(A OR B)` — and has a two-way OR once unwrapped.
-    * A bare `a OR b` stays unsupported (fails in parseConjunct), matching
-    * the reference's conjunctive-only parse_query plus our parenthesized
-    * extension.
-    */
-  private def orBranches(c: String): Option[(String, String)] =
-    if (!c.trim.startsWith("(")) None
-    else splitTopLevel(stripOuter(c), "OR") match {
-      case a :: b :: Nil => Some((a, b))
-      case _ :: _ :: _   => fail(s"OR group '$c' (exactly two branches supported)")
-      case _             => None
-    }
-
-  /** Every top-level branch of a parenthesized OR conjunct (no 2-way cap —
-    * the absorption pass may collapse an n-way same-column disjunction;
-    * groups that do NOT absorb still go through [[orBranches]], which
-    * keeps the loud exactly-two-branches contract).
+  /** Every top-level branch of a parenthesized OR conjunct — `(A) OR (B)
+    * [OR (C)...]` or `(A OR B[ OR C...])`. A bare `a OR b` stays
+    * unsupported (fails in parseConjunct), matching the reference's
+    * conjunctive-only parse_query plus our parenthesized extension. No
+    * per-group branch cap here: the absorption pass may collapse an n-way
+    * same-column disjunction to zero slots, and surviving groups are
+    * bounded by [[parseWhere]]'s total signed-term-product cap.
     */
   private def orAllBranches(c: String): Option[Seq[String]] =
     if (!c.trim.startsWith("(")) None
@@ -712,43 +708,51 @@ object SqlParser {
       } yield merged
     }
 
-  /** Up to THREE independent parenthesized OR groups per WHERE (r17 — the
-    * Catalyst plane's 3^N signed-expansion cap mirrored at parse), counted
-    * AFTER the CNF absorption pass (r18): a WHERE with four written
-    * disjunctions that is semantically ≤3 effective groups still folds; a
-    * genuinely-4-group clause keeps failing loudly. The first surviving
-    * group keeps the distributed-common-conjuncts convention in
-    * (preds, orPreds); groups two and three return raw in the third slot —
-    * intersection with group one's terms re-conjoins the common conjuncts
-    * into every signed product term downstream.
+  /** Independent parenthesized OR groups per WHERE, counted AFTER the CNF
+    * absorption pass (r18): a WHERE with four written disjunctions that is
+    * semantically fewer effective groups still folds. The accuracy bound is
+    * the total signed-term product Π_g (2^{k_g}−1) ≤ 27 over the surviving
+    * groups' branch counts (r18, generalizing the r17 three-2-branch-group
+    * 3^N cap: each group expands by full inclusion–exclusion, and the
+    * per-term relative error compounds with the term count) — three
+    * 2-branch groups sit exactly at the cap, a single disjunction may hold
+    * up to four branches (15 terms), while a genuinely-4-group clause
+    * (81 terms) keeps failing loudly.
+    *
+    * The lone 2-branch group keeps the legacy distributed-common-conjuncts
+    * convention in (preds, orPreds) — the inclusion–exclusion single-OR
+    * plane consumes that shape directly. Any other surviving layout
+    * returns (common, Nil, allGroups) with every group raw in the third
+    * slot; the estimator conjoins `common` into each signed product term.
     */
   private def parseWhere(where: String)
-      : (Seq[Pred], Seq[Pred], Seq[(Seq[Pred], Seq[Pred])]) = {
+      : (Seq[Pred], Seq[Pred], Seq[Seq[Seq[Pred]]]) = {
     val parts = conjuncts(where)
-    val classified: Seq[Either[Seq[Pred], String]] = parts.map { p =>
+    val classified: Seq[Either[Seq[Pred], Seq[Seq[Pred]]]] = parts.map { p =>
       orAllBranches(p) match {
         case None => Left(Seq(parseConjunct(stripOuter(p))))
         case Some(branches) =>
-          absorbGroup(branches.map(parseConjunction)) match {
-            case Some(preds) => Left(preds)   // absorbed: plain conjuncts
-            case None        => Right(p)      // a genuine disjunction slot
+          val parsed = branches.map(parseConjunction)
+          absorbGroup(parsed) match {
+            case Some(preds) => Left(preds)    // absorbed: plain conjuncts
+            case None        => Right(parsed)  // a genuine disjunction group
           }
       }
     }
     val common = classified.collect { case Left(ps) => ps }.flatten
     val orGroups = classified.collect { case Right(g) => g }
-    if (orGroups.length > 3) fail(
-      s"${orGroups.length} effective parenthesized OR groups after same-column absorption " +
-        "(at most three — the 3^N signed-expansion cap)")
+    // saturating product (a pathological 80-branch OR must not wrap Long)
+    val termProduct = orGroups.foldLeft(1L) { (acc, g) =>
+      math.min(acc * ((1L << math.min(g.length, 20)) - 1), 1L << 40)
+    }
+    if (termProduct > 27) fail(
+      s"${orGroups.length} effective parenthesized OR groups with " +
+        s"${orGroups.map(_.length).mkString("/")} branches after same-column absorption: " +
+        s"$termProduct signed expansion terms (at most 27 — the accuracy cap)")
     orGroups match {
       case Nil => (common, Nil, Nil)
-      case g :: rest =>
-        val (a, b) = orBranches(g).get
-        val extra = rest.map { r =>
-          val (ra, rb) = orBranches(r).get
-          (parseConjunction(ra), parseConjunction(rb))
-        }
-        (common ++ parseConjunction(a), common ++ parseConjunction(b), extra)
+      case Seq(Seq(a, b)) => (common ++ a, common ++ b, Nil)
+      case gs => (common, Nil, gs)
     }
   }
 

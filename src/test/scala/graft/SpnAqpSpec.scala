@@ -619,7 +619,13 @@ class SpnAqpSpec extends AnyFunSuite {
       "WHERE l_quantity < 10 OR l_quantity BETWEEN 40 AND 45" -> "rangeunion",
       """WHERE (l_quantity < 10 OR l_quantity > 40)
            AND (l_discount < 0.03 OR l_discount > 0.07)
-           AND (l_tax < 0.02 OR l_tax > 0.06)""" -> "or3")
+           AND (l_tax < 0.02 OR l_tax > 0.06)""" -> "or3",
+      // r18: one 3-branch mixed-column disjunction (7 signed IE terms)
+      "WHERE l_quantity < 8 OR l_discount > 0.08 OR l_tax < 0.01" -> "orb3",
+      // r18: disjunction of CONJUNCTIONS — the TPC-H Q19 predicate shape
+      """WHERE l_quantity < 10 AND l_returnflag = 'A'
+           OR l_quantity > 40 AND l_linestatus = 'F'
+           OR l_discount > 0.08 AND l_tax < 0.03""" -> "orconj")
     val aggs = Seq(
       "count(*)" -> "cnt",
       "count(l_extendedprice)" -> "cntcol",
@@ -671,6 +677,55 @@ class SpnAqpSpec extends AnyFunSuite {
     }
     info(s"$checked matrix cells folded within bounds")
     assert(checked == filters.length * aggs.length * groupings.length)
+  }
+
+  test("n-branch disjunctions fold up to the signed-term-product cap (r18)") {
+    // Π_g (2^{k_g}−1) ≤ 27: a 4-branch group (15 terms) and a 3×2 layout
+    // (21) fold; a 5-branch group (31), two 3-branch groups (49) and four
+    // 2-branch groups (81) fall back to exact — the generalized r17 cap.
+    val folds = Seq(
+      // 4 branches, 15 terms
+      """SELECT count(*) AS n FROM lineitem
+         WHERE l_quantity < 3 OR l_discount > 0.09 OR l_returnflag = 'R' OR l_tax < 0.01""",
+      // 3-branch × 2-branch, 21 terms, grouped
+      """SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS a FROM lineitem
+         WHERE (l_quantity < 10 OR l_discount > 0.07 OR l_tax < 0.02)
+           AND (l_linestatus = 'F' OR l_tax > 0.05)
+         GROUP BY l_returnflag""")
+    folds.foreach { sql =>
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df), s"must fold [$sql]:\n${df.queryExecution.optimizedPlan}")
+      val est = df.collect()
+      val exact = session(aqp = false).sql(sql).collect()
+      assert(est.length == exact.length, s"rows for [$sql]")
+      // first-position count parity (scalar) / per-key count parity (grouped)
+      val estN = est.map(r => (if (r.schema.head.name == "n") "" else r.getString(0)) ->
+        r.getLong(r.fieldIndex("n")).toDouble).toMap
+      val exactN = exact.map(r => (if (r.schema.head.name == "n") "" else r.getString(0)) ->
+        r.getLong(r.fieldIndex("n")).toDouble).toMap
+      exactN.foreach { case (k, v) =>
+        assert(qerr(math.max(estN(k), 1.0), math.max(v, 1.0)) <= 1.5,
+          s"[$sql] key '$k': ${estN(k)} vs $v")
+      }
+    }
+    val fallbacks = Seq(
+      """SELECT count(*) AS n FROM lineitem
+         WHERE l_quantity < 3 OR l_discount > 0.09 OR l_returnflag = 'R'
+            OR l_tax < 0.01 OR l_extendedprice > 90000""",
+      """SELECT count(*) AS n FROM lineitem
+         WHERE (l_quantity < 10 OR l_discount > 0.07 OR l_returnflag = 'R')
+           AND (l_linestatus = 'F' OR l_tax > 0.05 OR l_extendedprice > 80000)""",
+      """SELECT count(*) AS n FROM lineitem
+         WHERE (l_quantity < 10 OR l_tax > 0.07)
+           AND (l_returnflag = 'A' OR l_linestatus = 'O')
+           AND (l_discount < 0.02 OR l_tax > 0.06)
+           AND (l_extendedprice < 2000 OR l_quantity > 45)""")
+    fallbacks.foreach { sql =>
+      val df = session(aqp = true).sql(sql)
+      assert(!isRewritten(df), s"past the cap must stay exact [$sql]")
+      // and the exact answer flows through untouched
+      assert(df.head.getLong(0) == session(aqp = false).sql(sql).head.getLong(0))
+    }
   }
 
   test("SUM/AVG over an (estimated) empty selection fold to SQL's NULL, not 0.0") {
@@ -2885,11 +2940,19 @@ class SpnAqpSpec extends AnyFunSuite {
          WHERE (l_quantity < 5 OR l_discount > 0.08 OR l_quantity > 45 OR l_discount < 0.01)
            AND l_extendedprice > 1000
          GROUP BY l_linestatus""".stripMargin)
-    // three distinct columns in ONE disjunction stay inexpressible: fallback
+    // three distinct columns in ONE disjunction FOLD since r18 (full
+    // per-group inclusion–exclusion, 7 signed terms); the dedicated
+    // n-branch cap test pins the fold/fallback boundary
     val threeCol = session(aqp = true).sql(
       """SELECT count(*) AS n FROM lineitem
          WHERE l_quantity < 5 OR l_discount > 0.08 OR l_extendedprice > 90000""".stripMargin)
-    assert(!isRewritten(threeCol), "a 3-column single disjunction must fall back")
+    assert(isRewritten(threeCol), "a 3-column single disjunction folds (r18)")
+    val threeColExact = session(aqp = false).sql(
+      """SELECT count(*) AS n FROM lineitem
+         WHERE l_quantity < 5 OR l_discount > 0.08 OR l_extendedprice > 90000""".stripMargin)
+      .head.getLong(0).toDouble
+    assert(qerr(math.max(threeCol.head.getLong(0).toDouble, 1.0),
+      math.max(threeColExact, 1.0)) <= 1.3)
   }
 
   test("corpus dashboard queries over the documents table fold from the model") {

@@ -60,7 +60,7 @@ object SqlCnfProps extends Properties("sqlcnf") {
     forAll(Gen.choose(2, 3).flatMap(n => Gen.listOfN(n, genBranch))) { branches =>
       val where = branches.map(_.sql).mkString("(", " OR ", ")")
       val q = SqlParser.parseQuery(s"SELECT COUNT(*) FROM lineitem WHERE $where")
-      val noSlots = q.orPreds.isEmpty && q.orGroups2.isEmpty
+      val noSlots = q.orPreds.isEmpty && q.orGroupsN.isEmpty
       val spec = q.preds match {
         case Seq(Pred("lineitem", "l_quantity", r)) => Some(r)
         case Seq()                                  => None // all-TRUE union dropped? never produced
@@ -78,8 +78,9 @@ object SqlCnfProps extends Properties("sqlcnf") {
         AND (l_returnflag = 'A' OR l_linestatus = 'O')
         AND (l_tax < 0.01 OR l_discount > 0.09)"""
       val q = SqlParser.parseQuery(sql)
-      // group one's branches land in (preds, orPreds); the other two ride
-      // orGroups2 — the absorbed same-column group costs no slot
-      q.orGroups2.length == 2 && q.orPreds.nonEmpty
+      // all three surviving groups ride orGroupsN undistributed (r18
+      // convention) — the absorbed same-column group costs no slot
+      q.orGroupsN.length == 3 && q.orPreds.isEmpty &&
+        q.orGroupsN.forall(_.length == 2)
     }
 }

@@ -439,9 +439,20 @@ class SqlSpec extends AnyFunSuite {
         assert(qerr(e.value, cdComboExact) <= 1.05, s"distinct± ${e.value} vs $cdComboExact")
       case other => fail(s"expected Scalar, got $other")
     }
-    // grouped combos with a DISTINCT term keep the loud estimator contract
-    intercept[IllegalArgumentException](SqlEstimate.estimate(ens,
-      "SELECT COUNT(DISTINCT l_linestatus) + COUNT(*) FROM lineitem GROUP BY l_returnflag"))
+    // grouped combos carry the DISTINCT term too since r18 (per-group set
+    // size through the dictionary enumeration — exact at this SF)
+    val cdgSql = "SELECT l_returnflag, COUNT(DISTINCT l_linestatus) + COUNT(*) " +
+      "FROM lineitem GROUP BY l_returnflag"
+    val cdgEst = SqlEstimate.estimate(ens, cdgSql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val cdgExact = spark.sql(cdgSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(cdgEst.keySet == cdgExact.keySet)
+    cdgExact.foreach { case (k, v) =>
+      assert(qerr(cdgEst(k), v) <= 1.1, s"grouped distinct± $k: ${cdgEst(k)} vs $v")
+    }
   }
 
   test("SqlExact compiles the same class to a DataFrame plan matching spark.sql") {
@@ -624,9 +635,15 @@ class SqlSpec extends AnyFunSuite {
     bad.foreach { sql =>
       assertThrows[IllegalArgumentException](SqlParser.parseQuery(sql))
     }
-    // supported-shape boundaries of the round-4 extensions
+    // supported-shape boundaries: a 3-branch disjunction ANSWERS since r18
+    // (full per-group inclusion–exclusion); past the Π(2^k−1) ≤ 27 term
+    // cap — e.g. five branches — it keeps failing loudly
+    assert(SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) OR (l_tax > 0.05)")
+      .orGroupsN.map(_.length) == Seq(3))
     assertThrows[IllegalArgumentException](SqlParser.parseQuery(
-      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) OR (l_tax > 0.05)"))
+      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_tax > 0.05) " +
+        "OR (l_discount > 0.08) OR (l_returnflag = 'R') OR (l_linestatus = 'F')"))
     // OR + GROUP BY is SUPPORTED since round 9 (per-group inclusion-
     // exclusion) — its correctness is pinned in the dedicated test below
     // GROUP BY over a modeled NUMERIC column estimates via the realized-
@@ -1257,6 +1274,39 @@ class SqlSpec extends AnyFunSuite {
       "WHERE (l_quantity < 5) OR (l_quantity > 45)"
     assert(qerr(estScalar(comboSql), exactScalar(comboSql)) <= 1.5,
       s"OR combo: ${estScalar(comboSql)} vs ${exactScalar(comboSql)}")
+    // GROUPED ± combination under the OR (r18 — the last flat-grouped
+    // combo asymmetry vs the Catalyst ExprOut fold), with a DISTINCT
+    // leaf: per-group branch-union set size minus the IE count
+    val gcSql = "SELECT l_returnflag, COUNT(*) - COUNT(DISTINCT l_linestatus) " +
+      "FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) GROUP BY l_returnflag"
+    val gcEst = SqlEstimate.estimate(ens, gcSql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val gcExact = spark.sql(gcSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    (gcExact.keySet intersect gcEst.keySet).foreach { k =>
+      assert(qerr(math.max(gcEst(k), 1.0), math.max(gcExact(k), 1.0)) <= 1.5,
+        s"grouped OR combo $k: ${gcEst(k)} vs ${gcExact(k)}")
+    }
+    // and per BUCKET: a distinct leaf inside a ± combo under calendar
+    // grouping (plainGroupTerm's distinct arm)
+    val bcSql = """SELECT year(l_shipdate), COUNT(*) - COUNT(DISTINCT l_returnflag)
+                   FROM lineitem WHERE l_quantity < 20
+                   GROUP BY year(l_shipdate)"""
+    val bcEst = SqlEstimate.estimate(ens, bcSql) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val bcExact = spark.sql(
+      """SELECT cast(year(l_shipdate) AS string), COUNT(*) - COUNT(DISTINCT l_returnflag)
+         FROM lineitem WHERE l_quantity < 20 GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    (bcExact.keySet intersect bcEst.keySet).foreach { k =>
+      assert(qerr(math.max(bcEst(k), 1.0), math.max(bcExact(k), 1.0)) <= 1.5,
+        s"bucket combo-distinct $k: ${bcEst(k)} vs ${bcExact(k)}")
+    }
+    assert(bcEst.keySet == bcExact.keySet, s"${bcEst.keySet} vs ${bcExact.keySet}")
   }
 
   test("numeric dimension columns ride the calendar grouping on the text plane") {
@@ -1954,7 +2004,7 @@ class SqlSpec extends AnyFunSuite {
     def p(where: String) = SqlParser.parseQuery(s"SELECT COUNT(*) FROM lineitem WHERE $where")
     // two-branch value union → one StrIn conjunct, zero OR slots
     val vu = p("(l_returnflag = 'A' OR l_returnflag = 'R')")
-    assert(vu.orPreds.isEmpty && vu.orGroups2.isEmpty)
+    assert(vu.orPreds.isEmpty && vu.orGroupsN.isEmpty)
     assert(vu.preds == Seq(Pred("lineitem", "l_returnflag", StrIn(Seq("A", "R")))))
     // three-way same-column disjunction absorbs too (previously a loud
     // two-branches-only failure)
@@ -1962,7 +2012,7 @@ class SqlSpec extends AnyFunSuite {
     assert(v3.preds == Seq(Pred("lineitem", "l_returnflag", StrIn(Seq("A", "R", "N")))))
     // disjoint range union → NumUnion, zero OR slots
     val ru = p("(l_quantity < 10 OR l_quantity > 40)")
-    assert(ru.orPreds.isEmpty && ru.orGroups2.isEmpty)
+    assert(ru.orPreds.isEmpty && ru.orGroupsN.isEmpty)
     assert(ru.preds.map(_.range).forall(_.isInstanceOf[NumUnion]))
     // IS NOT NULL absorbs any same-column branch (every RangeSpec is
     // non-NULL-only under SQL 3VL)
@@ -1993,5 +2043,134 @@ class SqlSpec extends AnyFunSuite {
     val inEst = estScalar("SELECT COUNT(*) FROM lineitem WHERE l_returnflag IN ('A','R')")
     val orEst = estScalar("SELECT COUNT(*) FROM lineitem WHERE (l_returnflag = 'A' OR l_returnflag = 'R')")
     assert(math.abs(inEst - orEst) < 1e-6, s"IN vs absorbed OR: $inEst vs $orEst")
+  }
+
+  test("± combos ride ROLLUP/CUBE on the text plane (plain and under an OR)") {
+    // r18: the grouping-sets paths accept Combo — each term per nonempty
+    // set through the per-group builders (the () set through the scalar
+    // term builders), distinct leaves via the per-set enumeration — the
+    // Catalyst grouping-sets ExprOut fold's shape on the text plane
+    views
+    def setsOf(sql: String): Map[String, Double] =
+      SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.GroupSets(rows) =>
+          rows.map { case (g, e) => g.map(_.getOrElse("ALL")).mkString("|") -> e.value }.toMap
+        case other => fail(s"expected grouping sets, got $other")
+      }
+    val plain = """SELECT l_returnflag, SUM(l_extendedprice) - COUNT(*) FROM lineitem
+                   WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag)"""
+    val plainExact = spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL'), SUM(l_extendedprice) - COUNT(*) FROM lineitem
+         WHERE l_quantity < 30 GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plainEst = setsOf(plain)
+    assert(plainEst.keySet == plainExact.keySet)
+    plainExact.foreach { case (k, v) =>
+      assert(qerr(math.max(plainEst(k), 1.0), math.max(v, 1.0)) <= 1.5,
+        s"rollup combo set $k: ${plainEst(k)} vs $v")
+    }
+    // under a single OR, with a DISTINCT leaf, over CUBE
+    val orCube = """SELECT l_linestatus, COUNT(*) - COUNT(DISTINCT l_returnflag) FROM lineitem
+                    WHERE (l_quantity < 5) OR (l_quantity > 45) GROUP BY CUBE(l_linestatus)"""
+    val orExact = spark.sql(
+      """SELECT coalesce(l_linestatus, 'ALL'), COUNT(*) - COUNT(DISTINCT l_returnflag)
+         FROM lineitem WHERE l_quantity < 5 OR l_quantity > 45
+         GROUP BY CUBE(l_linestatus)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val orEst = setsOf(orCube)
+    assert(orEst.keySet == orExact.keySet, s"${orEst.keySet} vs ${orExact.keySet}")
+    orExact.foreach { case (k, v) =>
+      assert(qerr(math.max(orEst(k), 1.0), math.max(v, 1.0)) <= 1.5,
+        s"cube OR combo-distinct set $k: ${orEst(k)} vs $v")
+    }
+  }
+
+  test("n-branch disjunctions answer by full inclusion-exclusion on the text plane") {
+    // r18: a single parenthesized disjunction may hold MORE than two
+    // branches — mixed columns, each branch itself a conjunction (the
+    // TPC-H Q19 shape) — expanded per group by full inclusion–exclusion
+    // (2^k−1 signed terms) under the total-term-product ≤ 27 cap that
+    // generalizes the r17 three-2-branch-group 3^N bound.
+    views
+    def est(sql: String): Double = SqlEstimate.estimate(ens, sql) match {
+      case SqlEstimate.Scalar(e) => e.value
+      case other                 => fail(s"expected scalar, got $other")
+    }
+    // 3-branch mixed-column disjunction (7 signed terms)
+    val tri = """SELECT COUNT(*) FROM lineitem
+                 WHERE (l_quantity < 5 OR l_discount > 0.08 OR l_returnflag = 'R')"""
+    val triExact = spark.sql(tri).head().getLong(0).toDouble
+    assert(qerr(est(tri), triExact) <= 1.3, s"3-branch COUNT: ${est(tri)} vs $triExact")
+    // Q19 shape: disjunction of three CONJUNCTIONS, SUM aggregate
+    val q19ish = """SELECT SUM(l_extendedprice) FROM lineitem
+                    WHERE (l_quantity < 10 AND l_returnflag = 'A'
+                       OR l_quantity > 40 AND l_linestatus = 'F'
+                       OR l_discount > 0.08 AND l_returnflag = 'N')"""
+    val q19Exact = spark.sql(q19ish).head().getDouble(0)
+    assert(qerr(est(q19ish), q19Exact) <= 1.5,
+      s"3-conjunction-branch SUM: ${est(q19ish)} vs $q19Exact")
+    // 4-branch disjunction (15 terms, still under the cap)
+    val quad = """SELECT COUNT(*) FROM lineitem
+                  WHERE (l_quantity < 3 OR l_discount > 0.09 OR
+                         l_returnflag = 'R' OR l_tax < 0.01)"""
+    val quadExact = spark.sql(quad).head().getLong(0).toDouble
+    assert(qerr(est(quad), quadExact) <= 1.3, s"4-branch COUNT: ${est(quad)} vs $quadExact")
+    // 3-branch × 2-branch groups (7×3 = 21 terms ≤ 27): compose, with AVG
+    val mix = """SELECT AVG(l_extendedprice) FROM lineitem
+                 WHERE (l_quantity < 10 OR l_discount > 0.07 OR l_returnflag = 'R')
+                   AND (l_linestatus = 'F' OR l_tax > 0.05)"""
+    val mixExact = spark.sql(mix).head().getDouble(0)
+    assert(qerr(est(mix), mixExact) <= 1.5, s"3x2 AVG: ${est(mix)} vs $mixExact")
+    // GROUP BY under a 3-branch group: per-group parity
+    val g = """SELECT l_returnflag, COUNT(*) FROM lineitem
+               WHERE (l_quantity < 8 OR l_discount > 0.08 OR l_tax < 0.01)
+               GROUP BY l_returnflag"""
+    val gEst = SqlEstimate.estimate(ens, g) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val gExact = spark.sql(g).collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    (gExact.keySet intersect gEst.keySet).foreach { k =>
+      assert(qerr(gEst(k), gExact(k)) <= 2.0 || math.abs(gEst(k) - gExact(k)) <= 10.0,
+        s"3-branch group $k: ${gEst(k)} vs ${gExact(k)}")
+    }
+    // the exact ParsedQuery plane renders n-branch groups identically
+    val exactPlane = SqlExact.compile(spark, sf, tri).head().getDouble(0)
+    assert(exactPlane == triExact, s"SqlExact 3-branch parity: $exactPlane vs $triExact")
+    // ± combo with a DISTINCT leaf per group under n-branch groups (r18:
+    // multiGroupTerm's distinct arm — the set unions over the positive
+    // quadrants, the count term rides the signed expansion)
+    val cd = """SELECT l_returnflag, COUNT(*) - COUNT(DISTINCT l_linestatus) AS d
+                FROM lineitem
+                WHERE (l_quantity < 8 OR l_discount > 0.08 OR l_tax < 0.01)
+                  AND (l_linestatus = 'F' OR l_tax > 0.05)
+                GROUP BY l_returnflag"""
+    val cdEst = SqlEstimate.estimate(ens, cd) match {
+      case SqlEstimate.Groups(rows) => rows.map { case (k, e) => k.head -> e.value }.toMap
+      case other                    => fail(s"expected groups, got $other")
+    }
+    val cdExact = spark.sql(cd).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    (cdExact.keySet intersect cdEst.keySet).foreach { k =>
+      assert(qerr(math.max(cdEst(k), 1.0), math.max(cdExact(k), 1.0)) <= 1.5,
+        s"n-branch combo-distinct $k: ${cdEst(k)} vs ${cdExact(k)}")
+    }
+    // past the cap stays loud: 5 branches (31 terms), two 3-branch groups
+    // (49), four 2-branch groups (81)
+    def loud(sql: String): Unit = {
+      val e = intercept[IllegalArgumentException](SqlEstimate.estimate(ens, sql))
+      assert(e.getMessage.contains("signed expansion terms"), e.getMessage)
+    }
+    loud("""SELECT COUNT(*) FROM lineitem
+            WHERE (l_quantity < 3 OR l_discount > 0.09 OR l_returnflag = 'R'
+               OR l_tax < 0.01 OR l_extendedprice > 90000)""")
+    loud("""SELECT COUNT(*) FROM lineitem
+            WHERE (l_quantity < 10 OR l_discount > 0.07 OR l_returnflag = 'R')
+              AND (l_linestatus = 'F' OR l_tax > 0.05 OR l_extendedprice > 80000)""")
+    loud("""SELECT COUNT(*) FROM lineitem
+            WHERE (l_quantity < 10 OR l_tax > 0.07)
+              AND (l_returnflag = 'A' OR l_linestatus = 'O')
+              AND (l_discount < 0.02 OR l_tax > 0.06)
+              AND (l_extendedprice < 2000 OR l_quantity > 45)""")
   }
 }

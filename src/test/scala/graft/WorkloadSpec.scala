@@ -105,6 +105,38 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the N-BRANCH workload replays through per-group inclusion-exclusion within the gate") {
+    // r18: at least one disjunction of >= 3 NON-absorbing branches per
+    // WHERE (mixed columns / Q19-style conjunction branches / cross-table
+    // branches over an FK join) — the external-file gate on the 2^k−1
+    // signed picks the two-branch slots could not express
+    val nq = QErrorEval.readWorkload("workloads/testdata_orbranches_8.sql")
+    assert(nq.length == 8)
+    assert(nq.forall(_._2.split("(?i) OR ").length >= 3),
+      "every n-branch query must hold a 3+-branch disjunction")
+    val truth = QErrorEval.computeTruth(spark, sf, nq, cache = false)
+    val rows = QErrorEval.runWorkload(spark, sf, nq, truth)
+    assert(rows.length == 8)
+    val errs = rows.map(_.qerr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = rows.maxBy(_.qerr)
+    info(f"n-branch median $median%.3f p95 $p95%.3f max ${worst.qerr}%.3f (q${worst.no})")
+    assert(median <= 2.0, f"n-branch median q-error $median%.3f > 2.0")
+    assert(p95 <= 5.0, f"n-branch p95 q-error $p95%.3f > 5.0; worst q${worst.no} " +
+      f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
+  }
+
+  test("the committed sf0.01 N-BRANCH truth CSV matches the live exact plane") {
+    val nq = QErrorEval.readWorkload("workloads/testdata_orbranches_8.sql")
+    val csv = QErrorEval.readTruthCsv("workloads/testdata_orbranches_8_true_sf0.01.csv")
+    val live = QErrorEval.computeTruth(spark, sfMid, nq, cache = false)
+    assert(csv.keySet == live.keySet)
+    csv.foreach { case (no, v) =>
+      assert(v == live(no), s"n-branch truth drifted for query $no: csv $v vs live ${live(no)}")
+    }
+  }
+
   test("the JOIN-CHAIN workload meets the cardinality gate: median ≤ 2.0, p95 ≤ 5.0") {
     // testdata_30.sql is mostly 1-2 tables; this file is 3-5-table comma-
     // join chains — the JOB-light class where model choice (chain SPN vs
