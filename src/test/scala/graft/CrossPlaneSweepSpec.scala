@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rspn.{SqlEstimate, Ensemble}
+
+/** Cross-plane differential sweep (r18): the SAME SQL string evaluated
+  * three ways — the SQL-text estimate plane (SqlParser → SqlEstimate),
+  * the transparent Catalyst fold (SpnAqp over spark.sql), and exact —
+  * across a deterministic grid of WHERE shapes × aggregates × groupings
+  * covering the whole disjunction surface (conjunctive, single-OR,
+  * multi-group, n-branch, Q19 conjunction-branches, CNF-absorbable).
+  *
+  * Three contracts per cell:
+  *   1. ANSWERABILITY PARITY — both planes answer in-class shapes (the
+  *      text plane without throwing, the Catalyst plane by folding), and
+  *      both refuse past-cap shapes the same way (parse failure / no
+  *      fold). A shape one plane answers and the other refuses is a
+  *      silent capability drift no per-feature spec would catch.
+  *   2. PLANE AGREEMENT — the two planes' values agree within 2% per
+  *      cell (they share the estimator core; only parse/compose layers
+  *      differ, so a larger gap means one plane composed the predicate
+  *      differently — the bug class the r17 ADVICE items came from).
+  *   3. ACCURACY — each plane within q-error 2 of exact (loose: the
+  *      per-feature specs own tight accuracy; this sweep owns breadth).
+  */
+class CrossPlaneSweepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val ens = Ensemble.get(spark, sf)
+
+  private lazy val views: Unit =
+    Seq("lineitem").foreach(t =>
+      schema.Tables(spark, sf, t).createOrReplaceTempView(t))
+
+  private def session(aqp: Boolean): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.spn.sfDir", sf)
+    if (aqp) s2.conf.set("spark.graft.aqp.enabled", "true")
+    s2.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("lineitem")
+    s2
+  }
+
+  private def isRewritten(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.collectFirst { case _: LogicalRelation => () }.isEmpty &&
+      plan.collectFirst { case _: LocalRelation => () }.nonEmpty
+  }
+
+  private def qerr(e: Double, x: Double): Double = {
+    val a = math.max(e, 1.0); val b = math.max(x, 1.0)
+    math.max(a / b, b / a)
+  }
+
+  // WHERE shapes spanning every disjunction class both planes answer
+  private val filters = Seq(
+    "WHERE l_quantity < 25" -> "conj",
+    "WHERE (l_quantity < 10 OR l_tax > 0.06)" -> "or1",
+    // second group same-column: absorbs to a range union on both planes
+    """WHERE (l_quantity < 10 OR l_tax > 0.06)
+         AND (l_discount < 0.03 OR l_discount > 0.07)""" -> "or1+absorb",
+    """WHERE (l_quantity < 10 OR l_tax > 0.06)
+         AND (l_returnflag = 'A' OR l_linestatus = 'O')
+         AND (l_discount < 0.02 OR l_extendedprice > 60000)""" -> "or3x2",
+    "WHERE (l_quantity < 8 OR l_discount > 0.08 OR l_tax < 0.01)" -> "branch3",
+    """WHERE (l_quantity < 3 OR l_discount > 0.09 OR l_returnflag = 'R'
+           OR l_tax < 0.01)""" -> "branch4",
+    """WHERE (l_quantity < 10 OR l_discount > 0.07 OR l_tax < 0.02)
+         AND (l_linestatus = 'F' OR l_tax > 0.05)""" -> "b3xb2",
+    """WHERE (l_quantity < 10 AND l_returnflag = 'A'
+           OR l_quantity > 40 AND l_linestatus = 'F'
+           OR l_discount > 0.08 AND l_tax < 0.03)""" -> "q19conj")
+
+  private val aggs = Seq(
+    "COUNT(*)" -> "cnt",
+    "SUM(l_extendedprice)" -> "sum",
+    "AVG(l_extendedprice)" -> "avg",
+    "COUNT(*) - COUNT(DISTINCT l_linestatus)" -> "cntd±")
+
+  private val groupings = Seq("" -> "scalar", "GROUP BY l_returnflag" -> "grouped")
+
+  test("text plane, Catalyst fold and exact agree across the disjunction grid") {
+    views
+    var cells = 0
+    for {
+      (fSql, fTag) <- filters
+      (aSql, aTag) <- aggs
+      (gSql, gTag) <- groupings
+    } {
+      val tag = s"$fTag×$aTag×$gTag"
+      val sel = if (gTag == "scalar") aSql else s"l_returnflag, $aSql"
+      val sql = s"SELECT $sel FROM lineitem $fSql $gSql"
+      // text plane (throws = answerability drift)
+      val text: Map[String, Double] = SqlEstimate.estimate(ens, sql) match {
+        case SqlEstimate.Scalar(e) => Map("" -> e.value)
+        case SqlEstimate.Groups(rows) =>
+          rows.map { case (k, e) => k.head -> e.value }.toMap
+        case other => fail(s"[$tag] unexpected text-plane result $other")
+      }
+      // Catalyst fold
+      val df = session(aqp = true).sql(sql)
+      assert(isRewritten(df), s"[$tag] the Catalyst plane must fold: $sql")
+      def keyed(rows: Array[org.apache.spark.sql.Row]): Map[String, Double] =
+        rows.map { r =>
+          val k = if (gTag == "scalar") "" else if (r.isNullAt(0)) "␀" else r.getString(0)
+          val i = if (gTag == "scalar") 0 else 1
+          k -> (r.get(i) match {
+            case null      => Double.NaN // SQL NULL aggregate (empty slice)
+            case n: Number => n.doubleValue()
+            case o         => fail(s"[$tag] non-numeric cell $o")
+          })
+        }.toMap
+      val cat = keyed(df.collect())
+      val exact = keyed(session(aqp = false).sql(sql).collect())
+      // plane agreement on shared keys (row universes may differ at the
+      // half-row emission gate for near-empty groups — tolerate those)
+      (text.keySet intersect cat.keySet).foreach { k =>
+        if (!cat(k).isNaN)
+          assert(math.abs(text(k) - cat(k)) <= 0.02 * math.max(math.abs(cat(k)), 1.0),
+            s"[$tag] plane divergence at '$k': text ${text(k)} vs catalyst ${cat(k)}")
+      }
+      (text.keySet diff cat.keySet).foreach { k =>
+        assert(text(k) <= 5.0, s"[$tag] text-only group '$k' carries mass ${text(k)}")
+      }
+      (cat.keySet diff text.keySet).foreach { k =>
+        assert(cat(k).isNaN || cat(k) <= 5.0,
+          s"[$tag] catalyst-only group '$k' carries mass ${cat(k)}")
+      }
+      // accuracy vs exact
+      (exact.keySet intersect text.keySet).foreach { k =>
+        if (!exact(k).isNaN)
+          assert(qerr(text(k), exact(k)) <= 2.0,
+            s"[$tag] text vs exact at '$k': ${text(k)} vs ${exact(k)}")
+      }
+      cells += 1
+    }
+    info(s"$cells cells: answerability, plane agreement (≤2%) and accuracy hold")
+    assert(cells == filters.length * aggs.length * groupings.length)
+  }
+
+  test("past-cap shapes are refused by BOTH planes the same way") {
+    views
+    val pastCap = Seq(
+      // 5 branches: 31 signed terms
+      """SELECT COUNT(*) FROM lineitem
+         WHERE (l_quantity < 3 OR l_discount > 0.09 OR l_returnflag = 'R'
+             OR l_tax < 0.01 OR l_extendedprice > 90000)""",
+      // four 2-branch groups: 81 terms
+      """SELECT COUNT(*) FROM lineitem
+         WHERE (l_quantity < 10 OR l_tax > 0.07)
+           AND (l_returnflag = 'A' OR l_linestatus = 'O')
+           AND (l_discount < 0.02 OR l_tax > 0.06)
+           AND (l_extendedprice < 2000 OR l_quantity > 45)""")
+    pastCap.foreach { sql =>
+      intercept[IllegalArgumentException](SqlEstimate.estimate(ens, sql))
+      val df = session(aqp = true).sql(sql)
+      assert(!isRewritten(df), s"Catalyst must not fold past the cap: $sql")
+      // and the untouched plan still answers exactly
+      assert(df.head.getLong(0) == session(aqp = false).sql(sql).head.getLong(0))
+    }
+  }
+}
