@@ -3131,10 +3131,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   }
 
   /** Shape dispatch, SCALAR: output-position → value under whatever OR
-    * structure the Shape carries — the conjunctive fold, one disjunction
-    * through inclusion-exclusion, or two/three through the 3^N-term
-    * signed product expansion. Shared by the plain-aggregate path and
-    * (per grouping set) the ROLLUP/CUBE fold.
+    * structure the Shape carries — the conjunctive fold, one 2-branch
+    * disjunction through inclusion-exclusion, anything else through the
+    * signed product expansion under the Π(2^k−1) ≤ 27 term cap. Shared
+    * by the plain-aggregate path and (per grouping set) the ROLLUP/CUBE
+    * fold.
     */
   private def scalarVals(
       spns: Map[String, Ensemble.TrainedSpn], spec: DatasetSpec,
@@ -3677,11 +3678,12 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     }
   }
 
-  /** Two or three independent disjunctions, scalar shapes: expand
-    * C ∧ (A₁∨B₁) ∧ … ∧ (Aₙ∨Bₙ) into the product of per-group signed
-    * terms [(+,A),(+,B),(-,A∧B)] — 3^N conjunctive estimates per
-    * aggregate leaf (9 for two groups, 27 for three), every one a plain
-    * (memoized-model) fold. A contradictory A∧B term evaluates to mass 0
+  /** Multiple (or 3+-branch) disjunctions, scalar shapes: expand
+    * C ∧ (A₁∨B₁[∨…]) ∧ … ∧ (Aₙ∨Bₙ[∨…]) into the product of per-group
+    * signed inclusion–exclusion picks ([(+,A),(+,B),(−,A∧B)] for two
+    * branches, 2^k−1 picks for k) — at most 27 conjunctive estimates per
+    * aggregate leaf (the shared term-product cap), every one a plain
+    * (memoized-model) fold. A contradictory subset term evaluates to mass 0
     * through range intersection; a term whose atoms cannot intersect
     * (mixed point-set × range on one column) makes the whole rewrite
     * fall back — conservative, never wrong.
@@ -3777,8 +3779,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     scalarFold(cols, leaf2Under(sh.atoms))
   }
 
-  /** Two or three independent disjunctions UNDER GROUP BY: the same
-    * 3^N-term signed product expansion as [[multiOrScalarVals]], but each
+  /** Multiple (or 3+-branch) disjunctions UNDER GROUP BY: the same
+    * signed product expansion as [[multiOrScalarVals]], but each
     * term runs the per-group enumeration and the signed sum combines per
     * group over the UNION of all terms' group universes (a group absent
     * from a term's enumeration contributes that term 0 mass — the pruned

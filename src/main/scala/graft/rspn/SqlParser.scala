@@ -556,8 +556,9 @@ object SqlParser {
     (first, tables, joins.toSeq)
   }
 
-  // WHERE: conjunctions of col op literal | BETWEEN | IN, plus at most one
-  // parenthesized two-branch OR group. Split on a keyword OUTSIDE string
+  // WHERE: conjunctions of col op literal | BETWEEN | IN, plus
+  // parenthesized OR groups (n branches each, bounded by parseWhere's
+  // signed-term-product cap). Split on a keyword OUTSIDE string
   // literals (a literal may contain the word AND) and OUTSIDE parens (an OR
   // group's internal ANDs belong to its branches), then glue back the "AND"
   // that belongs to a BETWEEN.
