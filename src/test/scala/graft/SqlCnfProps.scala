@@ -83,4 +83,27 @@ object SqlCnfProps extends Properties("sqlcnf") {
       q.orGroupsN.length == 3 && q.orPreds.isEmpty &&
         q.orGroupsN.forall(_.length == 2)
     }
+
+  // one distinct-column atom per pool slot, so branches inside a group can
+  // never absorb (no same-column union, no subsumption) and the surviving
+  // layout is exactly the written one
+  private val atomPool = Seq(
+    "l_quantity < 10", "l_discount > 0.07", "l_tax < 0.02",
+    "l_extendedprice > 60000", "l_returnflag = 'A'", "l_linestatus = 'F'")
+
+  property("the signed-term-product cap admits exactly the Π(2^k−1) ≤ 27 layouts") =
+    forAll(Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.choose(2, 4)))) { ks =>
+      val where = ks.map(k => atomPool.take(k).mkString("(", " OR ", ")"))
+        .mkString(" AND ")
+      val sql = s"SELECT COUNT(*) FROM lineitem WHERE $where"
+      val product = ks.map(k => (1L << k) - 1).product
+      if (product <= 27) {
+        val q = SqlParser.parseQuery(sql)
+        if (ks == Seq(2)) // the lone 2-branch group keeps the legacy form
+          q.orPreds.nonEmpty && q.orGroupsN.isEmpty
+        else q.orPreds.isEmpty && q.orGroupsN.map(_.length) == ks
+      } else
+        scala.util.Try(SqlParser.parseQuery(sql)).failed.toOption
+          .exists(_.getMessage.contains("signed expansion terms"))
+    }
 }
