@@ -2421,9 +2421,11 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           val sides = ors.map { case o: Or => orSides(o, a => Some((t, a.name)), modeled) }
           // the product-form expansion's accuracy cap: Π(2^k−1) ≤ 27
           // signed terms (four independent 2-branch ORs = 81 compound the
-          // per-term error too far)
-          if (sides.forall(_.isDefined) && orTermProduct(sides.flatten) <= 27)
-            Some(sides.flatten)
+          // per-term error too far), counted after superset-group
+          // absorption (r19)
+          val absorbed = absorbSupersetGroups(sides.flatten)
+          if (sides.forall(_.isDefined) && orTermProduct(absorbed) <= 27)
+            Some(absorbed)
           else None
         }
       } yield Shape(Set(t), if (atoms.isEmpty) Map.empty else Map(t -> atoms),
@@ -2473,8 +2475,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           _ <- if (perConj.forall(_.isDefined)) Some(()) else None
           obs <- {
             val sides = ors.map { case o: Or => orSides(o, a => tableOfAttr(a), modeled) }
-            val all = sh.orBranches ++ sides.flatten
-            // signed-term-product cap across the whole subtree
+            // superset-group absorption across the whole subtree, then the
+            // signed-term-product cap (r19)
+            val all = absorbSupersetGroups(sh.orBranches ++ sides.flatten)
             if (sides.forall(_.isDefined) && orTermProduct(all) <= 27) Some(all) else None
           }
         } yield sh.copy(atoms = mergeAtoms(sh.atoms, perConj.flatten), orBranches = obs)
@@ -2499,7 +2502,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           case _ => false
         }
         obs <- {
-          val all = a.orBranches ++ b.orBranches
+          val all = absorbSupersetGroups(a.orBranches ++ b.orBranches)
           if (orTermProduct(all) <= 27) Some(all) else None
         }
         // this join's equi columns imply their own non-nullness
@@ -3075,11 +3078,43 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * product term's atoms merged onto `base`. A 2-branch group contributes
     * the familiar {+A, +B, −A∧B}; a k-branch group 2^k−1 signed picks.
     * Callers bound the total term count via [[orTermProduct]] ≤ 27.
+    *
+    * Each group's branches dedupe FIRST (A∨A≡A, r19): equal-after-compile
+    * branch spellings (Catalyst canonicalizes BETWEEN to paired bounds, so
+    * two spellings arrive as equal atom maps) would otherwise lose terms —
+    * `combinations(k)` skips duplicate-element subsets and {+A, −A}
+    * cancels where |A| was the answer.
     */
+  /** Order-insensitive identity key for one compiled branch — atom order
+    * inside a conjunction carries no meaning, so spelling variants that
+    * emit the same atoms in different order still dedupe.
+    */
+  private def branchKey(m: Map[String, Seq[Atom]]): Map[String, Set[Atom]] =
+    m.view.mapValues(_.toSet).toMap
+
+  /** Cross-group subsumption (r19): a group whose branch set is a
+    * SUPERSET of another group's adds no constraint to the conjunction —
+    * (A∨B)∧(A∨B∨C) ≡ (A∨B), since whenever the smaller disjunction holds
+    * the larger does too. Dropping supersets BEFORE the [[orTermProduct]]
+    * cap lets e.g. (A∨B)∧(A∨B∨C)∧(D∨E) fold at 9 signed terms instead of
+    * failing loudly at 63. Equal groups keep the first; branch identity
+    * is the order-insensitive [[branchKey]]. Mirrors SqlParser.parseWhere
+    * on the text plane.
+    */
+  private def absorbSupersetGroups(groups: Seq[Seq[Map[String, Seq[Atom]]]])
+      : Seq[Seq[Map[String, Seq[Atom]]]] = {
+    val keyed = groups.map(_.map(branchKey).toSet)
+    groups.indices.filterNot { i =>
+      keyed.indices.exists(j => j != i &&
+        keyed(j).subsetOf(keyed(i)) && (keyed(j) != keyed(i) || j < i))
+    }.map(groups)
+  }
+
   private def signedAtomTerms(
       base: Map[String, Seq[Atom]],
       groups: Seq[Seq[Map[String, Seq[Atom]]]]): Seq[(Double, Map[String, Seq[Atom]])] =
-    groups.foldLeft(Seq((1.0, base))) { (acc, branches) =>
+    groups.foldLeft(Seq((1.0, base))) { (acc, branches0) =>
+      val branches = branches0.distinctBy(branchKey)
       val expansion = (1 to branches.length).flatMap { k =>
         val sign = if (k % 2 == 1) 1.0 else -1.0
         branches.combinations(k).map(s => (sign, s.reduceLeft(mergeAtomMaps)))
@@ -3096,7 +3131,9 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       base: Map[String, Seq[Atom]],
       groups: Seq[Seq[Map[String, Seq[Atom]]]]): Seq[Map[String, Seq[Atom]]] =
     groups.foldLeft(Seq(base)) { (acc, branches) =>
-      for { m <- acc; s <- branches } yield mergeAtomMaps(m, s)
+      // duplicate branches are harmless in a union but waste an estimate
+      // per combo — dedupe like the signed plane (r19)
+      for { m <- acc; s <- branches.distinctBy(branchKey) } yield mergeAtomMaps(m, s)
     }
 
   /** Total signed-term count Π_g (2^{k_g}−1) of an OR-group list — the
@@ -3104,10 +3141,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * must not wrap Long). Generalizes the r17 three-2-branch-group 3^N
     * bound: three 2-branch groups sit exactly at 27, a single disjunction
     * may hold four branches (15), a genuine fourth group (81) falls back.
+    * Counts DEDUPED branches per group (r19) — the expansion in
+    * [[signedAtomTerms]] runs over deduped lists, so the cap must charge
+    * the same effective branch count or a within-cap WHERE with duplicate
+    * spellings would fail loudly for terms it never expands.
     */
-  private def orTermProduct(groups: Seq[Seq[_]]): Long =
+  private def orTermProduct(groups: Seq[Seq[Map[String, Seq[Atom]]]]): Long =
     groups.foldLeft(1L) { (acc, g) =>
-      math.min(acc * ((1L << math.min(g.length, 20)) - 1), 1L << 40)
+      math.min(
+        acc * ((1L << math.min(g.distinctBy(branchKey).length, 20)) - 1), 1L << 40)
     }
 
   private def estimate(

@@ -1435,10 +1435,22 @@ object Ensemble {
     * None when every branch is contradicted (the group annihilates the
     * whole conjunction). A contradicted subset intersection just drops its
     * term (zero mass).
+    *
+    * Live branches dedupe FIRST (A∨A≡A at the compiled layer, r19):
+    * different SQL spellings of one predicate — BETWEEN vs paired bounds,
+    * IN ('x') vs = 'x' — compile to equal ColRange maps, and Scala's
+    * `combinations(k)` treats equal elements as indistinguishable, so
+    * without the dedup a duplicated branch loses terms ({+A, −A} instead
+    * of |A|) and the estimate silently collapses. Dedup keys are CANONICAL
+    * (code sets sorted): `NominalSet` holds an Array whose case-class
+    * equality is by reference, so content-equal set branches would
+    * otherwise slip past `distinct` — harmless for correctness (unequal
+    * elements expand by full inclusion–exclusion, A + A′ − A∧A′ = |A|)
+    * but a waste of terms the canonical key avoids.
     */
   private def signedPicks(g: Seq[Option[Map[(String, String), ColRange]]])
       : Option[Seq[(Double, Map[(String, String), ColRange])]] = {
-    val live = g.flatten
+    val live = g.flatten.distinctBy(canonBranch)
     if (live.isEmpty) None
     else Some((1 to live.length).flatMap { k =>
       val sign = if (k % 2 == 1) 1.0 else -1.0
@@ -1449,6 +1461,17 @@ object Ensemble {
       }
     })
   }
+
+  /** Structural identity key for one compiled branch: `NominalSet` wraps
+    * an Array (reference equality), so the raw map misses content-equal
+    * set branches; code order inside a set carries no meaning, so the key
+    * sorts it.
+    */
+  private def canonBranch(m: Map[(String, String), ColRange])
+      : Map[(String, String), Any] = m.view.mapValues {
+    case NominalSet(codes) => ("nom", codes.toVector.sorted)
+    case other             => other
+  }.toMap
 
   /** The full signed conjunctive expansion over OPTIONAL branch maps (a
     * caller that pinned a group key may have contradicted single branches).

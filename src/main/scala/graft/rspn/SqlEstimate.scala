@@ -1305,7 +1305,9 @@ object SqlEstimate {
     groups.foldLeft(Seq(Map.empty: P)) { (acc, branches) =>
       for {
         p  <- acc
-        br <- branches.flatten
+        // duplicate compiled branches (alias spellings) are harmless in a
+        // union but waste an enumeration per combo — dedupe (r19)
+        br <- branches.flatten.distinct
         m  <- Ensemble.intersect(p, br).toSeq
       } yield m
     }

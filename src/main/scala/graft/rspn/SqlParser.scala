@@ -733,7 +733,12 @@ object SqlParser {
       orAllBranches(p) match {
         case None => Left(Seq(parseConjunct(stripOuter(p))))
         case Some(branches) =>
-          val parsed = branches.map(parseConjunction)
+          // dedupe order-insensitively at the Pred layer (A∨A≡A) before
+          // absorption and the cap count — spelling variants that still
+          // differ HERE (BETWEEN vs paired bounds) dedupe again at the
+          // compiled layer (Ensemble.signedPicks), where both the text and
+          // Catalyst planes expand over distinct branch maps (r19)
+          val parsed = branches.map(parseConjunction).distinctBy(_.toSet)
           absorbGroup(parsed) match {
             case Some(preds) => Left(preds)    // absorbed: plain conjuncts
             case None        => Right(parsed)  // a genuine disjunction group
@@ -741,7 +746,23 @@ object SqlParser {
       }
     }
     val common = classified.collect { case Left(ps) => ps }.flatten
-    val orGroups = classified.collect { case Right(g) => g }
+    val orGroupsRaw = classified.collect { case Right(g) => g }
+    // cross-group subsumption (r19, the one absorption law r18 left
+    // uncovered): a group whose branch set is a SUPERSET of another
+    // surviving group's adds no constraint — (A∨B)∧(A∨B∨C) ≡ (A∨B),
+    // since whenever the smaller disjunction holds the larger does too.
+    // Likewise a group one of whose branches is implied by the plain
+    // conjuncts is always true — A∧(A∨C) ≡ A. Both drop BEFORE the cap
+    // count, so e.g. (A∨B)∧(A∨B∨C)∧(D∨E) folds at 9 terms instead of
+    // failing loudly at 63. Branch identity is the order-insensitive
+    // Pred set (equal groups keep the first).
+    val commonSet = common.toSet
+    val keyed = orGroupsRaw.map(_.map(_.toSet).toSet)
+    val orGroups = orGroupsRaw.indices.filterNot { i =>
+      keyed(i).exists(_.subsetOf(commonSet)) ||
+        keyed.indices.exists(j => j != i &&
+          keyed(j).subsetOf(keyed(i)) && (keyed(j) != keyed(i) || j < i))
+    }.map(orGroupsRaw).toSeq
     // saturating product (a pathological 80-branch OR must not wrap Long)
     val termProduct = orGroups.foldLeft(1L) { (acc, g) =>
       math.min(acc * ((1L << math.min(g.length, 20)) - 1), 1L << 40)

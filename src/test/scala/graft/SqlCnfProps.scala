@@ -84,16 +84,20 @@ object SqlCnfProps extends Properties("sqlcnf") {
         q.orGroupsN.forall(_.length == 2)
     }
 
-  // one distinct-column atom per pool slot, so branches inside a group can
-  // never absorb (no same-column union, no subsumption) and the surviving
-  // layout is exactly the written one
-  private val atomPool = Seq(
-    "l_quantity < 10", "l_discount > 0.07", "l_tax < 0.02",
-    "l_extendedprice > 60000", "l_returnflag = 'A'", "l_linestatus = 'F'")
+  // one distinct-column atom per pool slot, with group-specific literals,
+  // so branches inside a group can never absorb (no same-column union)
+  // and no group's branch set subsumes another's (r19: disjoint literals
+  // defeat the cross-group superset law) — the surviving layout is
+  // exactly the written one
+  private def atomPool(g: Int) = Seq(
+    s"l_quantity < ${8 + g}", s"l_discount > 0.0${5 + g}",
+    s"l_tax < 0.0${1 + g}", s"l_extendedprice > ${50000 + 1000 * g}")
 
   property("the signed-term-product cap admits exactly the Π(2^k−1) ≤ 27 layouts") =
-    forAll(Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.choose(2, 4)))) { ks =>
-      val where = ks.map(k => atomPool.take(k).mkString("(", " OR ", ")"))
+    forAll(Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.choose(2, 4)))) { ks0 =>
+      val ks = ks0.map(k => 2 max k min 4) // shrinker may step outside the Gen range
+      val where = ks.zipWithIndex
+        .map { case (k, g) => atomPool(g).take(k).mkString("(", " OR ", ")") }
         .mkString(" AND ")
       val sql = s"SELECT COUNT(*) FROM lineitem WHERE $where"
       val product = ks.map(k => (1L << k) - 1).product
@@ -105,5 +109,32 @@ object SqlCnfProps extends Properties("sqlcnf") {
       } else
         scala.util.Try(SqlParser.parseQuery(sql)).failed.toOption
           .exists(_.getMessage.contains("signed expansion terms"))
+    }
+
+  property("a superset group absorbs cross-group: (A∨B)∧(A∨B∨C)∧(D∨E) = 2 effective") =
+    forAll(Gen.choose(2, 3)) { k =>
+      // the smaller group's branch set is a strict subset of the larger's,
+      // so the larger adds no constraint — without the r19 law a k=3 base
+      // (7·15·3 = 315 terms) would fail the ≤27 cap loudly
+      val base  = atomPool(0).take(k)
+      val supr  = base :+ "l_returnflag = 'A'"
+      val other = Seq("l_linestatus = 'F'", "l_shipmode = 'AIR'")
+      val sql = s"SELECT COUNT(*) FROM lineitem WHERE " +
+        s"${base.mkString("(", " OR ", ")")} AND ${supr.mkString("(", " OR ", ")")}" +
+        s" AND ${other.mkString("(", " OR ", ")")}"
+      val q = SqlParser.parseQuery(sql)
+      q.orPreds.isEmpty && q.orGroupsN.map(_.length) == Seq(k, 2)
+    }
+
+  property("a group implied by a plain conjunct drops: A∧(A∨C) ≡ A") =
+    forAll(Gen.choose(2, 4)) { k =>
+      val branches = atomPool(1).take(k)
+      val sql = s"SELECT COUNT(*) FROM lineitem WHERE ${branches.head} AND " +
+        branches.mkString("(", " OR ", ")")
+      val q = SqlParser.parseQuery(sql)
+      // the group is always true under the conjunct — zero slots survive
+      q.orPreds.isEmpty && q.orGroupsN.isEmpty &&
+        q.preds == Seq(SqlParser.parseQuery(
+          s"SELECT COUNT(*) FROM lineitem WHERE ${branches.head}").preds.head)
     }
 }

@@ -137,6 +137,43 @@ class WorkloadSpec extends AnyFunSuite {
     }
   }
 
+  test("the ALIAS-DUP workload replays within the gate (duplicate spellings + subsumption)") {
+    // r19: the r18 wrong-answer class stays externally gated — every WHERE
+    // holds duplicate-after-compile branch spellings (BETWEEN vs paired
+    // bounds, IN vs =, flipped conjunct order) or a cross-group
+    // subsumption shape; Q1 is the round-18 judge counterexample verbatim
+    // (buggy est 3737 vs true 9376), Q5 only parses with the cross-group
+    // law (raw term product 189 > 27)
+    val aq = QErrorEval.readWorkload("workloads/testdata_aliasdup_8.sql")
+    assert(aq.length == 8)
+    val truth = QErrorEval.computeTruth(spark, sf, aq, cache = false)
+    val rows = QErrorEval.runWorkload(spark, sf, aq, truth)
+    assert(rows.length == 8)
+    val errs = rows.map(_.qerr).sorted
+    val median = errs(errs.length / 2)
+    val p95 = errs(math.min(errs.length - 1, (errs.length * 0.95).toInt))
+    val worst = rows.maxBy(_.qerr)
+    info(f"alias-dup median $median%.3f p95 $p95%.3f max ${worst.qerr}%.3f (q${worst.no})")
+    assert(median <= 2.0, f"alias-dup median q-error $median%.3f > 2.0")
+    assert(p95 <= 5.0, f"alias-dup p95 q-error $p95%.3f > 5.0; worst q${worst.no} " +
+      f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
+    // the judge's r18 demo must answer tightly, not just within the gate
+    // (the buggy expansion scored q-error 2.51 with a CI excluding truth)
+    val demo = rows.find(_.no == 1).get
+    assert(demo.qerr <= 1.05,
+      f"judge demo q-error ${demo.qerr}%.3f > 1.05 (est ${demo.est}%.1f vs true ${demo.truth}%.1f)")
+  }
+
+  test("the committed sf0.01 ALIAS-DUP truth CSV matches the live exact plane") {
+    val aq = QErrorEval.readWorkload("workloads/testdata_aliasdup_8.sql")
+    val csv = QErrorEval.readTruthCsv("workloads/testdata_aliasdup_8_true_sf0.01.csv")
+    val live = QErrorEval.computeTruth(spark, sfMid, aq, cache = false)
+    assert(csv.keySet == live.keySet)
+    csv.foreach { case (no, v) =>
+      assert(v == live(no), s"alias-dup truth drifted for query $no: csv $v vs live ${live(no)}")
+    }
+  }
+
   test("the JOIN-CHAIN workload meets the cardinality gate: median ≤ 2.0, p95 ≤ 5.0") {
     // testdata_30.sql is mostly 1-2 tables; this file is 3-5-table comma-
     // join chains — the JOB-light class where model choice (chain SPN vs

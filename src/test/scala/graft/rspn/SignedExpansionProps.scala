@@ -1,7 +1,8 @@
 package graft.rspn
 
-import org.scalacheck.{Gen, Properties}
+import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
+import org.scalacheck.rng.Seed
 
 /** Brute-force correctness of the signed inclusion–exclusion core (r18):
   * for ANY conjunction of disjunction groups over discrete columns, the
@@ -14,6 +15,13 @@ import org.scalacheck.Prop.forAll
   * algebra itself (the estimators consume its terms verbatim).
   */
 object SignedExpansionProps extends Properties("signedexpansion") {
+
+  // r18 shipped a silent term-loss bug (duplicate-after-compile branches
+  // cancel under combinations()); THIS seed falsified the identity
+  // property and is pinned so the historical counterexample replays on
+  // every run — the regression gate for the r19 `.distinct` fix.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withInitialSeed(Seed.fromBase64("sPzG7dbWSQT-OpVyoW7nzXAaCkBH8zTtG4om0Tol3_K=").get)
 
   private val cols = Seq(("t", "a"), ("t", "b"), ("t", "c"))
   private val domain = 0 to 9
@@ -75,10 +83,42 @@ object SignedExpansionProps extends Properties("signedexpansion") {
       val terms = Ensemble.signedConjTerms(Seq(bs.map(Some(_)))).get
       val pos = terms.count(_._1 > 0)
       val neg = terms.count(_._1 < 0)
-      // the minus pick is DROPPED when A∧B is provably disjoint
-      pos == 2 && (neg == 1 || neg == 0) &&
-        (neg == 1 || Ensemble.intersect(bs(0), bs(1)).isEmpty)
+      if (bs(0) == bs(1)) pos == 1 && neg == 0 // A∨A≡A dedupes to {+A} (r19)
+      else
+        // the minus pick is DROPPED when A∧B is provably disjoint
+        pos == 2 && (neg == 1 || neg == 0) &&
+          (neg == 1 || Ensemble.intersect(bs(0), bs(1)).isEmpty)
     }
+
+  property("duplicated branches never change the expansion (A∨A≡A)") =
+    forAll(Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genGroup)),
+           Gen.choose(0, 7)) { (groups, dupPick) =>
+      // duplicate one branch inside one group — the r18 bug class: two
+      // spellings of a predicate compile to EQUAL maps and combinations()
+      // silently drops subsets, collapsing the estimate
+      val gi = dupPick % groups.length
+      val doubled = groups.updated(gi, groups(gi) :+ groups(gi)(dupPick % groups(gi).length))
+      def signedCount(gs: Seq[Seq[Option[Map[(String, String), ColRange]]]]) =
+        Ensemble.signedConjTerms(gs).map(_.map { case (sgn, p) =>
+          sgn * grid.count(satisfies(p, _))
+        }.sum)
+      (signedCount(groups), signedCount(doubled)) match {
+        case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+        case (x, y)             => x == y
+      }
+    }
+
+  property("judge r18 counterexample: two identical MultiRange branches = |A|") = {
+    // the shrunk r18 counterexample: one group, two identical
+    // MultiRange([2,3]∪[8,10]) branches — the buggy expansion emitted
+    // {+A, −A} = 0 instead of |A|
+    val a: Map[(String, String), ColRange] = Map(
+      cols(0) -> MultiRange(Vector(NumRange(2.0, 3.0), NumRange(8.0, 10.0))))
+    val terms = Ensemble.signedConjTerms(Seq(Seq(Some(a), Some(a)))).get
+    val signed = terms.map { case (sgn, p) => sgn * grid.count(satisfies(p, _)) }.sum
+    val direct = grid.count(satisfies(a, _)).toDouble
+    direct > 0 && math.abs(signed - direct) < 1e-9
+  }
 
   property("a group whose branches are all contradicted annihilates to None") =
     forAll(genGroup) { g =>
