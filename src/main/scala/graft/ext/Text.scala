@@ -153,30 +153,54 @@ object Text {
     * documents fixture is space + lowercase ASCII (verified); the Spark
     * side stays fully generic.
     */
-  private[graft] def bpeApplyOracleSql: String = {
-    def stage(k: Int): String =
-      s"""p$k AS MATERIALIZED (
-         |  SELECT pr[1] AS l, pr[2] AS r, SUM(c)::BIGINT AS n
-         |  FROM (SELECT c, string_split(s[2:-2], '><') AS ss FROM seg${k - 1} WHERE len(s) > 2),
-         |       unnest(list_transform(generate_series(1, len(ss) - 1), i -> [ss[i], ss[i+1]])) AS u(pr)
-         |  GROUP BY 1, 2),
-         |b$k AS MATERIALIZED (SELECT l, r FROM p$k ORDER BY n DESC, l, r LIMIT 1),
-         |seg$k AS MATERIALIZED (
-         |  SELECT w, c, CASE WHEN (SELECT COUNT(*) FROM b$k) = 0 THEN s
+  /** The shared 20-stage WITH prefix: `wt` (capped word-type table, merge
+    * LEARNING only) → per-stage pair count p$k / argmax b$k (with its
+    * count, so the train oracle can emit pair_freq) / capped-table
+    * segmentation seg$k. With `withAll`, an `allwords` chain aseg$k
+    * replays each learned merge over EVERY distinct corpus word — the
+    * Spark side trains on the capped table but ENCODES every word, so the
+    * encode stage must too (r19, closing the ADVICE r18 divergence: the
+    * old enc-side inner join to seg20 dropped uncapped word types on any
+    * corpus where the 2^16 cap engages).
+    */
+  private def bpeOracleStages(withAll: Boolean): String = {
+    def applyMerge(k: Int, src: String, carry: String): String =
+      s"""  SELECT $carry, CASE WHEN (SELECT COUNT(*) FROM b$k) = 0 THEN s
          |    ELSE regexp_replace(s, '<' || (SELECT l FROM b$k) || '><' || (SELECT r FROM b$k) || '>',
          |                        '<' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || '>', 'g') END AS s
-         |  FROM seg${k - 1})""".stripMargin
+         |  FROM $src""".stripMargin
+    def stage(k: Int): String = {
+      val base =
+        s"""p$k AS MATERIALIZED (
+           |  SELECT pr[1] AS l, pr[2] AS r, SUM(c)::BIGINT AS n
+           |  FROM (SELECT c, string_split(s[2:-2], '><') AS ss FROM seg${k - 1} WHERE len(s) > 2),
+           |       unnest(list_transform(generate_series(1, len(ss) - 1), i -> [ss[i], ss[i+1]])) AS u(pr)
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+           |seg$k AS MATERIALIZED (
+           |${applyMerge(k, s"seg${k - 1}", "w, c")})""".stripMargin
+      if (!withAll) base
+      else base + s""",\naseg$k AS MATERIALIZED (\n${applyMerge(k, s"aseg${k - 1}", "w")})"""
+    }
+    val aseg0 = if (!withAll) ""
+      else
+        s""",
+           |allwords AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+           |aseg0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS s FROM allwords)""".stripMargin
     s"""WITH wt AS (
        |  SELECT w, COUNT(*)::BIGINT AS c
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY w ORDER BY c DESC, w LIMIT $bpeWordTypeCap),
-       |seg0 AS MATERIALIZED (SELECT w, c, regexp_replace(w, '(.)', '<\\1>', 'g') AS s FROM wt),
-       |${(1 to 20).map(stage).mkString(",\n")},
-       |allwords AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       |seg0 AS MATERIALIZED (SELECT w, c, regexp_replace(w, '(.)', '<\\1>', 'g') AS s FROM wt)$aseg0,
+       |${(1 to 20).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  private[graft] def bpeApplyOracleSql: String =
+    s"""${bpeOracleStages(withAll = true)},
        |enc AS (
-       |  SELECT a.w, CASE WHEN a.w = '' THEN 0::BIGINT
-       |                   ELSE len(string_split(g.s[2:-2], '><'))::BIGINT END AS n_syms
-       |  FROM allwords a JOIN seg20 g ON a.w = g.w),
+       |  SELECT w, CASE WHEN w = '' THEN 0::BIGINT
+       |                 ELSE len(string_split(s[2:-2], '><'))::BIGINT END AS n_syms
+       |  FROM aseg20),
        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
        |SELECT d.doc_id,
        |       CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS ws_tokens,
@@ -185,7 +209,19 @@ object Text {
        |FROM dw d JOIN enc e ON d.w = e.w JOIN documents doc ON doc.doc_id = d.doc_id
        |GROUP BY d.doc_id, doc.text
        |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** The TRAIN half as its own oracle (r19, VERDICT r18 item 5): the b$k
+    * argmax rows ARE the learned merge table, so the per-round
+    * (rank, left, right, pair_freq) rows replay in DuckDB exactly; an
+    * exhausted stage's empty b$k contributes no row, matching the Spark
+    * loop's early stop.
+    */
+  private[graft] def bpeTrainOracleSql: String =
+    s"""${bpeOracleStages(withAll = false)}
+       |${(1 to 20).map(k =>
+           s"""SELECT $k AS rank, l AS "left", r AS "right", n AS pair_freq FROM b$k""")
+         .mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY rank""".stripMargin
 
   /** Apply learned merges to one word (the encode side; spec round-trips). */
   private[graft] def bpeEncode(word: String, merges: Seq[(String, String)]): Vector[String] =
@@ -433,11 +469,14 @@ object Text {
     // 100 TB posture SURVEY documents, now enforced by bpeWordTable's
     // limit); the fixture's 31-type vocabulary sits far under it, and the
     // spec proves the truncation both engages on a synthetic long-tail
-    // corpus and changes nothing head-heavy. No DuckDB oracle (iterative argmax
-    // isn't reasonably SQL-expressible) — ExtOpsSpec cross-checks merge #1
-    // against an independent SQL bigram count, pins determinism, monotone
-    // compression, and encode round-trip.
-    Op.noOracle("bpe_train") { (s, d) =>
+    // corpus and changes nothing head-heavy. Oracle-checked since r19:
+    // [[bpeTrainOracleSql]] replays the merge loop's 20 argmax stages in
+    // DuckDB and emits the per-round (rank, left, right, pair_freq) rows —
+    // the learned merge table itself hash-compares, not just the encode
+    // counts downstream of it. ExtOpsSpec additionally cross-checks merge
+    // #1 against an independent SQL bigram count, pins determinism,
+    // monotone compression, and encode round-trip.
+    Op("bpe_train", bpeTrainOracleSql) { (s, d) =>
       import s.implicits._
       val words = bpeWordTable(docs(s, d))
       bpeMerges(words, nMerges = 20)
