@@ -72,7 +72,21 @@ class CrossPlaneSweepSpec extends AnyFunSuite {
          AND (l_linestatus = 'F' OR l_tax > 0.05)""" -> "b3xb2",
     """WHERE (l_quantity < 10 AND l_returnflag = 'A'
            OR l_quantity > 40 AND l_linestatus = 'F'
-           OR l_discount > 0.08 AND l_tax < 0.03)""" -> "q19conj")
+           OR l_discount > 0.08 AND l_tax < 0.03)""" -> "q19conj",
+    // r19 alias-spelling duplicates: two branches are different SPELLINGS
+    // of one predicate — must dedupe at the compiled layer (A∨A≡A), not
+    // cancel signed terms (the r18 judge counterexample, est 3737 vs 9376)
+    """WHERE (l_quantity BETWEEN 1 AND 5
+           OR l_quantity >= 1 AND l_quantity <= 5 OR l_tax > 0.07)""" -> "aliasdup",
+    """WHERE (l_returnflag IN ('A') OR l_returnflag = 'A' OR l_quantity < 5)
+         AND (l_linestatus = 'F' OR l_tax > 0.05)""" -> "aliasdup×2g",
+    // r19 cross-group subsumption: group 2's branch set is a superset of
+    // group 1's, so it must drop before the cap — raw term product
+    // 3·7·3·3 = 189 only folds with (A∨B)∧(A∨B∨C) ≡ (A∨B) applied
+    """WHERE (l_quantity < 10 OR l_discount > 0.07)
+         AND (l_quantity < 10 OR l_discount > 0.07 OR l_tax < 0.02)
+         AND (l_returnflag = 'A' OR l_linestatus = 'F')
+         AND (l_extendedprice > 60000 OR l_tax > 0.05)""" -> "subsume")
 
   private val aggs = Seq(
     "COUNT(*)" -> "cnt",
