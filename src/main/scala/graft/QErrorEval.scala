@@ -368,13 +368,21 @@ object QErrorEval {
       // a workload whose rows are all grouped with zero graded groups has
       // nothing to score — emit an explicit empty block rather than NaN
       // coverage / a qstats crash breaking artifact generation
-      if (scored.isEmpty) ""","ci":{"n":0}"""
+      // bias_blind (r19 honesty contract): true when any replayed query
+      // routed through the multi-OR signed expansion, whose conservative
+      // interval combination is MODEL-BIAS-BLIND — BENCH_SCALING r18
+      // measured nominal-95% coverage at 4/8 on sf10, where per-term model
+      // bias exceeds the narrowing sampling width. Consumers must treat
+      // such coverage numbers at extreme scale as optimistic.
+      val biasBlind = rows.exists(r =>
+        scala.util.Try(SqlParser.parseQuery(r.sql).orGroupsN.nonEmpty).getOrElse(false))
+      if (scored.isEmpty) f""","ci":{"n":0,"bias_blind":$biasBlind}"""
       else {
         val inBounds = scored.count { case (t, _, lo, hi) => lo <= t && t <= hi }
         val (wm, _, _) = qstats(scored.map { case (_, e, lo, hi) =>
           (hi - lo) / math.max(math.abs(e), 1.0)
         })
-        f""","ci":{"n":${scored.length},"coverage":${inBounds.toDouble / scored.length}%.4f,"median_rel_width":$wm%.4f}"""
+        f""","ci":{"n":${scored.length},"coverage":${inBounds.toDouble / scored.length}%.4f,"median_rel_width":$wm%.4f,"bias_blind":$biasBlind}"""
       }
     }
     f"""{"workload":"${jsonEscape(file)}","sf":"${jsonEscape(sfDir)}","n":${rows.length},"median":$med%.4f,"p95":$p95%.4f,"max":$max%.4f$aggBlock$grpBlock$ciBlock$latBlock,"per_query":$per}"""

@@ -132,9 +132,20 @@ object SpnAqpRule {
     * (evaluation/confidence_interval_evaluation.py) attaches CIs to every
     * reported estimate.
     */
+  /** `biasBlind` (r19 contract): true when the annotated fold routed
+    * through the MULTI-OR signed expansion, whose conservative interval
+    * combination is MODEL-BIAS-BLIND — BENCH_SCALING r18 measured
+    * nominal-95% coverage degrading to 4/8 at sf10, where the ~1–3%
+    * per-term model bias exceeds the narrowing sampling-width term.
+    * Consumers (spn_last_fold's bias_blind column, QErrorEval's ci
+    * block) should treat such intervals at extreme scale as optimistic;
+    * the conjunctive and legacy single-OR channels keep their measured
+    * coverage gates and report false.
+    */
   final case class FoldAnnotation(
       groupNames: Seq[String],
-      rows: Seq[(Seq[String], String, Ensemble.Estimate)])
+      rows: Seq[(Seq[String], String, Ensemble.Estimate)],
+      biasBlind: Boolean = false)
 
   // the stored value is PLAIN DATA (a WeakHashMap value must not reach
   // back to its session key, or the entry is pinned forever); annotate is
@@ -366,7 +377,18 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(
       groups.map(_._1.name),
       annotationRows(spns, spec, sh, groups.map(_._2),
-        cols.zip(agg.aggregateExpressions.map(_.name)))))
+        cols.zip(agg.aggregateExpressions.map(_.name))),
+      biasBlind = signedExpansionShape(sh)))
+  }
+
+  /** True when this shape's CI channel is the multi-OR SIGNED expansion
+    * (anything past the legacy lone-2-branch inclusion–exclusion) — the
+    * [[SpnAqpRule.FoldAnnotation.biasBlind]] trigger.
+    */
+  private def signedExpansionShape(sh: Shape): Boolean = sh.orBranches match {
+    case Seq()          => false
+    case Seq(Seq(_, _)) => false
+    case _              => true
   }
 
   // ---- interval algebra for annotation combination ----
@@ -784,7 +806,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
         (full.toSeq, nm, e)
       }
     }
-    SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(groupAttrs.map(_.name), rows))
+    SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(groupAttrs.map(_.name), rows,
+      biasBlind = signedExpansionShape(sh)))
   }
 
   /** Calendar/histogram folds annotate PER BUCKET TUPLE under whatever OR
@@ -817,7 +840,8 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       } else annotationRows(spns, spec, shB, dims, colPairs)
         .map { case (k, nm, e) => (prefix ++ k, nm, e) }
     }
-    SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(groupNames, rows))
+    SpnAqpRule.record(session, SpnAqpRule.FoldAnnotation(groupNames, rows,
+      biasBlind = signedExpansionShape(sh)))
   }
 
 

@@ -3005,6 +3005,9 @@ class SpnAqpSpec extends AnyFunSuite {
     df.collect()
     val tvf = s2.sql("SELECT * FROM spn_last_fold()").collect()
     assert(tvf.nonEmpty, "annotation must record rows")
+    // conjunctive channel: measured-coverage CIs, bias_blind=false (r19)
+    assert(tvf.forall(!_.getAs[Boolean]("bias_blind")),
+      "a conjunctive fold must not flag bias_blind")
     def tvfCol(c: String): Map[String, (Double, Double, Double)] =
       tvf.filter(_.getString(1) == c)
         .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
@@ -3065,6 +3068,10 @@ class SpnAqpSpec extends AnyFunSuite {
       s"single-OR annotation est ${orTvf.head.getDouble(1)} vs folded $orFolded")
     assert(orTvf.head.getDouble(2) <= orTvf.head.getDouble(1) &&
       orTvf.head.getDouble(1) <= orTvf.head.getDouble(3))
+    // the legacy single-OR inclusion-exclusion keeps its coverage gates:
+    // not bias_blind
+    assert(!orTvf.head.getAs[Boolean]("bias_blind"),
+      "single-OR fold must not flag bias_blind")
     // a MULTI-disjunction fold annotates through the signed expansion:
     // conservative interval combination (signs flip bounds, intervals
     // add), point values equal to the fold's own
@@ -3074,7 +3081,13 @@ class SpnAqpSpec extends AnyFunSuite {
            AND (l_extendedprice < 10000 OR l_tax > 0.06)""".stripMargin)
     assert(isRewritten(or2Df))
     val or2Row = or2Df.head
-    val or2Tvf = s2.sql("SELECT * FROM spn_last_fold()").collect()
+    val or2Raw = s2.sql("SELECT * FROM spn_last_fold()").collect()
+    // the multi-OR signed expansion's intervals are model-bias-blind —
+    // the r19 honesty contract flags them (BENCH_SCALING r18: nominal-95%
+    // coverage 4/8 at sf10)
+    assert(or2Raw.forall(_.getAs[Boolean]("bias_blind")),
+      "a multi-OR signed-expansion fold must flag bias_blind")
+    val or2Tvf = or2Raw
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(math.round(or2Tvf("n")._1).toDouble == or2Row.getLong(0).toDouble,
       s"multi-OR count annotation ${or2Tvf("n")._1} vs folded ${or2Row.getLong(0)}")

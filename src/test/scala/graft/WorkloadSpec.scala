@@ -36,6 +36,11 @@ class WorkloadSpec extends AnyFunSuite {
     assert(median <= 2.0, f"median q-error $median%.3f > 2.0")
     assert(p95 <= 5.0, f"p95 q-error $p95%.3f > 5.0; worst q${worst.no} " +
       f"est ${worst.est}%.1f vs true ${worst.truth}%.1f: ${worst.sql}")
+    // conjunctive/single-OR workloads keep their measured-coverage CI
+    // posture: the r19 honesty flag stays false
+    val json = QErrorEval.workloadJson(workloadFile, sf, rows)
+    assert(json.contains("\"bias_blind\":false"),
+      s"a workload with no multi-OR queries must carry bias_blind=false: $json")
   }
 
   test("the MULTI-OR workload replays through the signed 3^N expansion within the gate") {
@@ -162,6 +167,13 @@ class WorkloadSpec extends AnyFunSuite {
     val demo = rows.find(_.no == 1).get
     assert(demo.qerr <= 1.05,
       f"judge demo q-error ${demo.qerr}%.3f > 1.05 (est ${demo.est}%.1f vs true ${demo.truth}%.1f)")
+    // r19 CI honesty contract: a workload that routed through the multi-OR
+    // signed expansion must flag its ci block bias_blind (the intervals'
+    // conservative combination is model-bias-blind — optimistic at extreme
+    // scale, BENCH_SCALING r18)
+    val json = QErrorEval.workloadJson("workloads/testdata_aliasdup_8.sql", sf, rows)
+    assert(json.contains("\"bias_blind\":true"),
+      s"signed-expansion workload json must carry bias_blind=true: $json")
   }
 
   test("the committed sf0.01 ALIAS-DUP truth CSV matches the live exact plane") {
