@@ -1317,20 +1317,26 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
           }
         }
       // SUB-DAY `date_format(ts, 'yyyy-MM-dd HH')` over a SECS-modeled
-      // column (r17): a format whose finest sub-day letter is hour
-      // (H/k/K/h — 'a' am/pm rides along, constant within the hour) or
-      // minute (m) is constant within its step, so step-aligned
-      // epoch-second buckets evaluated through the expression's OWN eval
-      // and merged on equal keys answer it exactly like the daily merge
-      // above — the hourly string-key dashboard spelling. Second/fraction/
-      // zone letters still fall back (a 1-second step has no bucket
-      // economics; zone renders need a zone the fold does not model).
+      // column (r17; seconds r19): a format whose finest sub-day letter
+      // is hour (H/k/K/h — 'a' am/pm rides along, constant within the
+      // hour), minute (m) or second (s) is constant within its step, so
+      // step-aligned epoch-second buckets evaluated through the
+      // expression's OWN eval and merged on equal keys answer it exactly
+      // like the daily merge above — the hourly string-key dashboard
+      // spelling. A 1-second step folds exactly when the
+      // predicate-narrowed span fits the interval cap (≲33 minutes at
+      // 2000) — the same cap check every granularity passes below.
+      // Fraction/zone letters still fall back (sub-second regroups within
+      // the model's second encoding; zone renders need a zone the fold
+      // does not model).
       case dfm @ org.apache.spark.sql.catalyst.expressions.DateFormatClass(
           DateAttr(a), Literal(fmt: org.apache.spark.unsafe.types.UTF8String, _), _)
           if a.dataType != DateType &&
-            "HkKhm".exists(ch => fmt.toString.contains(ch)) &&
-            !"sSVzOXxZn".exists(ch => fmt.toString.contains(ch)) =>
-        val step = if (fmt.toString.contains('m')) 60L else 3600L
+            "HkKhms".exists(ch => fmt.toString.contains(ch)) &&
+            !"SVzOXxZn".exists(ch => fmt.toString.contains(ch)) =>
+        val step =
+          if (fmt.toString.contains('s')) 1L
+          else if (fmt.toString.contains('m')) 60L else 3600L
         Seq(Gen(a, "secs", (lo, hi) => {
           val bLo = math.floor(lo / step).toLong
           val bHi = math.floor(hi / step).toLong

@@ -490,15 +490,18 @@ object SqlEstimate {
               .getOrElse(NominalSet(Array.empty[Double]))
           }
         }
-        // SUB-DAY date_format over a secs-modeled column (r17): hour- or
-        // minute-step buckets evaluated through Spark's own formatter and
-        // merged on equal keys — the hourly string-key dashboard spelling
-        // ('yyyy-MM-dd HH'); parity with the Catalyst sub-day arm.
+        // SUB-DAY date_format over a secs-modeled column (r17; seconds
+        // r19): hour-, minute- or second-step buckets evaluated through
+        // Spark's own formatter and merged on equal keys — the hourly
+        // string-key dashboard spelling ('yyyy-MM-dd HH'); parity with
+        // the Catalyst sub-day arm. A 1-second step folds exactly when
+        // the predicate-narrowed span fits the bucket cap (≲33 minutes
+        // at 2000) — the same cap check every granularity passes below.
         if (parts(0) == "datefmtsub") {
           require(units == 86400.0,
             s"GROUP BY date_format($c, <sub-day fmt>): requires a second-granularity (secs) model column")
           val fmt = fn.substring("datefmtsub:".length)
-          val step = if (fmt.contains('m')) 60L else 3600L
+          val step = if (fmt.contains('s')) 1L else if (fmt.contains('m')) 60L else 3600L
           val bLo = math.floor(dom._1 / step).toLong
           val bHi = math.floor(dom._2 / step).toLong
           require(bHi - bLo + 1 <= foldCap,

@@ -271,13 +271,17 @@ object SqlParser {
     """(?i)^DATE_FORMAT\s*\(\s*(\w+)\s*,\s*'([^']*)'\s*\)$""".r
   private def dayGranular(fmt: String): Boolean =
     !"HkKhmsSaAVzOXxZn".exists(ch => fmt.contains(ch))
-  // SUB-DAY formats (r17): finest letter hour (H/k/K/h; 'a'/'A' am-pm
-  // markers ride along, constant within the hour) or minute (m) — encoded
-  // "datefmtsub:<fmt>", secs-modeled columns only. Second/fraction/zone
-  // letters still fail (no bucket economics / unmodeled zone).
+  // SUB-DAY formats (r17; seconds r19): finest letter hour (H/k/K/h;
+  // 'a'/'A' am-pm markers ride along, constant within the hour), minute
+  // (m), or second (s — folds only when the predicate-narrowed span fits
+  // the bucket cap at a 1-second step, i.e. spans under ~33 minutes; the
+  // cap check lives with the bucket generator) — encoded
+  // "datefmtsub:<fmt>", secs-modeled columns only. Fraction/zone letters
+  // still fail (sub-second regroups within the model's second encoding;
+  // zone renders need a zone the fold does not model).
   private def subDayGranular(fmt: String): Boolean =
-    "HkKhm".exists(ch => fmt.contains(ch)) &&
-      !"sSVzOXxZn".exists(ch => fmt.contains(ch))
+    "HkKhms".exists(ch => fmt.contains(ch)) &&
+      !"SVzOXxZn".exists(ch => fmt.contains(ch))
   private val durationRe: Regex = """(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$""".r
   private def durationSec(s: String): Long = s match {
     case durationRe(n, unit) =>

@@ -2506,13 +2506,37 @@ class SpnAqpSpec extends AnyFunSuite {
          FROM events GROUP BY date_format(ts, 'yyyy-MM-dd HH')""".stripMargin)
     assert(isRewritten(hAll), "the 720-key hourly string dashboard must fold")
     assert(hAll.collect().length > 400)
-    // fallbacks: second-granular and zone-rendering formats; a sub-day
-    // format over a DAYS-modeled column (no matching variant); the
-    // uncapped 7-year daily span (past the 2000-bucket interval cap)
+    // r19: a SECOND-granular format FOLDS when the predicate-narrowed
+    // span fits the interval cap at a 1-second step (20 min = 1200
+    // buckets); cells are sparse at sf0.001, so the pin is the fold
+    // itself plus well-formed keys and trivial divergence
+    val sSql = """SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s, count(*) AS n
+                  FROM events
+                  WHERE ts >= TIMESTAMP'2024-01-01 10:00:00'
+                    AND ts < TIMESTAMP'2024-01-01 10:20:00'
+                  GROUP BY date_format(ts, 'yyyy-MM-dd HH:mm:ss')""".stripMargin
+    val sExact = session(aqp = false).sql(sSql).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val sDf = session(aqp = true).sql(sSql)
+    assert(isRewritten(sDf),
+      s"a narrowed second-granular format must fold (r19):\n${sDf.queryExecution.optimizedPlan}")
+    val sEst = sDf.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    sEst.keys.foreach(k => assert(k.matches("2024-01-01 10:[0-1]\\d:\\d\\d"), s"second key $k"))
+    (sEst.keySet diff sExact.keySet).foreach { k =>
+      assert(sEst(k) <= 5.0, s"second-bucket phantom $k carries real mass: ${sEst(k)}")
+    }
+    (sExact.keySet diff sEst.keySet).foreach { k =>
+      assert(sExact(k) <= 5.0, s"second-bucket dropped $k has real rows: ${sExact(k)}")
+    }
+    // fallbacks: an UNCAPPED second-granular span (2.6M one-second buckets
+    // — the cap, not the parse, refuses it since r19); zone-rendering
+    // formats; a sub-day format over a DAYS-modeled column (no matching
+    // variant); the uncapped 7-year daily span (past the 2000-bucket
+    // interval cap)
     val secFmt = session(aqp = true).sql(
       """SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s, count(*) AS n
          FROM events GROUP BY date_format(ts, 'yyyy-MM-dd HH:mm:ss')""".stripMargin)
-    assert(!isRewritten(secFmt), "a second-granular format must fall back")
+    assert(!isRewritten(secFmt), "an uncapped second-granular span must fall back")
     val subDayOverDays = session(aqp = true).sql(
       """SELECT date_format(o_orderdate, 'yyyy-MM-dd HH') AS h, count(*) AS n
          FROM orders WHERE o_orderdate < DATE'1992-02-01'

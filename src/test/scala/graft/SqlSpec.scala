@@ -1639,7 +1639,32 @@ class SqlSpec extends AnyFunSuite {
       assert(qerr(subEst(k), subExact(k)) <= 3.0 || math.abs(subEst(k) - subExact(k)) <= 10.0,
         s"sub-day cell $k: ${subEst(k)} vs ${subExact(k)}")
     }
-    // second-granular formats and sub-day over a days-modeled column: loud
+    // r19: a SECOND-granular format folds when the predicate-narrowed
+    // span fits the bucket cap at a 1-second step (numeric bounds are
+    // epoch seconds — the secs model encoding; 1200 s = 1200 buckets).
+    // The fixture is sparse (~1.4 events/hour) so cells sit under the
+    // half-row emission gate — the pin is that the fold ANSWERS (the r18
+    // posture was a blanket parse refusal) with well-formed keys and no
+    // non-trivial divergence from exact.
+    val secLo = 1704103200L // 2024-01-01 10:00:00 UTC
+    val secSql = s"""SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss'), COUNT(*) FROM events
+                     WHERE ts >= $secLo AND ts < ${secLo + 1200}
+                     GROUP BY date_format(ts, 'yyyy-MM-dd HH:mm:ss')"""
+    val secEst = estGroups(secSql)
+    val secExact = spark.sql(
+      s"""SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss'), COUNT(*) FROM events
+          WHERE ts >= timestamp_seconds($secLo) AND ts < timestamp_seconds(${secLo + 1200})
+          GROUP BY date_format(ts, 'yyyy-MM-dd HH:mm:ss')""")
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    secEst.keys.foreach(k => assert(k.matches("2024-01-01 10:[0-1]\\d:\\d\\d"), s"second key $k"))
+    (secEst.keySet diff secExact.keySet).foreach { k =>
+      assert(secEst(k) <= 5.0, s"second-bucket phantom $k carries real mass: ${secEst(k)}")
+    }
+    (secExact.keySet diff secEst.keySet).foreach { k =>
+      assert(secExact(k) <= 5.0, s"second-bucket dropped $k has real rows: ${secExact(k)}")
+    }
+    // an UNCAPPED second-granular span still refuses loudly — now at the
+    // bucket cap (the span), no longer at parse (the format)
     intercept[Exception] {
       estGroups("""SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss'), COUNT(*) FROM events
                    GROUP BY date_format(ts, 'yyyy-MM-dd HH:mm:ss')""".stripMargin)
