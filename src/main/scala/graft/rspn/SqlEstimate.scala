@@ -23,6 +23,17 @@ object SqlEstimate {
     */
   final case class GroupSets(rows: Seq[(Seq[Option[String]], Ensemble.Estimate)]) extends SqlResult
 
+  /** SESSION CONTRACT (r19, ADVICE r18): the calendar/date_format bucket
+    * generators render keys and validate zone alignment against
+    * `SQLConf.get` — the CALLING THREAD's active session (or the JVM
+    * default zone when none is active). The estimator takes an Ensemble,
+    * not a SparkSession, so callers MUST invoke it on a thread whose
+    * active session is the one whose exact plane they will compare
+    * against (every repo surface — QErrorEval, SqlExact parity, the
+    * Catalyst rule — already runs this way; all pin a UTC session). A
+    * zone-sensitive caller juggling multiple sessions on one thread must
+    * `SparkSession.setActiveSession` first.
+    */
   def estimate(
       spns: Map[String, Ensemble.TrainedSpn], sql: String,
       spec: graft.schema.DatasetSpec = graft.schema.DatasetSpec.testdata): SqlResult = {

@@ -713,6 +713,35 @@ object SqlParser {
       } yield merged
     }
 
+  /** Partial same-column absorption (r19, ADVICE r18): when full
+    * absorption fails (mixed columns / conjunction branches),
+    * SINGLE-predicate branches on one column still union into one branch —
+    * (a<5 ∨ a>10 ∨ b=1) becomes ((a<5∨a>10) ∨ b=1), two slots instead of
+    * three — so the Π(2^k−1) cap charges the semantically effective
+    * branch count (parity with the Catalyst plane's regroupOr, which
+    * column-groups such disjuncts before they cost branches). Branches
+    * whose union is inexpressible, and multi-pred branches, stay as
+    * written; the merged branch sits at its column's first appearance.
+    */
+  private def partialAbsorb(branches: Seq[Seq[Pred]]): Seq[Seq[Pred]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Pred]]
+    val idxByCol = scala.collection.mutable.Map.empty[(String, String), Int]
+    branches.foreach {
+      case b @ Seq(p) =>
+        idxByCol.get((p.table, p.col)) match {
+          case Some(i) => (out(i), unionSpec(out(i).head.range, p.range)) match {
+            case (Seq(_), Some(u)) => out(i) = Seq(Pred(p.table, p.col, u))
+            case _                 => out += b // union inexpressible: own branch
+          }
+          case None =>
+            idxByCol((p.table, p.col)) = out.length
+            out += b
+        }
+      case b => out += b
+    }
+    out.toSeq
+  }
+
   /** Independent parenthesized OR groups per WHERE, counted AFTER the CNF
     * absorption pass (r18): a WHERE with four written disjunctions that is
     * semantically fewer effective groups still folds. The accuracy bound is
@@ -744,8 +773,14 @@ object SqlParser {
           // Catalyst planes expand over distinct branch maps (r19)
           val parsed = branches.map(parseConjunction).distinctBy(_.toSet)
           absorbGroup(parsed) match {
-            case Some(preds) => Left(preds)    // absorbed: plain conjuncts
-            case None        => Right(parsed)  // a genuine disjunction group
+            case Some(preds) => Left(preds) // absorbed: plain conjuncts
+            case None => partialAbsorb(parsed) match {
+              // same-column singles may collapse the group entirely (a
+              // residual multi-pred branch equal to the merged single
+              // cannot arise here — distinctBy deduped — but stay safe)
+              case Seq(only) => Left(only)
+              case reduced   => Right(reduced) // a genuine disjunction group
+            }
           }
       }
     }

@@ -126,6 +126,37 @@ object SqlCnfProps extends Properties("sqlcnf") {
       q.orPreds.isEmpty && q.orGroupsN.map(_.length) == Seq(k, 2)
     }
 
+  property("same-column singles PARTIALLY absorb beside a residual branch (r19)") =
+    forAll(Gen.choose(2, 3).flatMap(n => Gen.listOfN(n, genBranch))) { branches =>
+      // (q1 ∨ q2 [∨ q3] ∨ disc) — the quantity singles union into ONE slot
+      // with exact point semantics; the cross-column residual keeps its own
+      val uniq = branches.distinctBy(_.sql)
+      val where = (uniq.map(_.sql) :+ "l_discount > 0.07").mkString("(", " OR ", ")")
+      val q = SqlParser.parseQuery(s"SELECT COUNT(*) FROM lineitem WHERE $where")
+      // the merged result is a lone 2-branch group, so it rides the legacy
+      // distributed (preds, orPreds) form with no common conjuncts
+      val group: Seq[Seq[Pred]] = Seq(q.preds, q.orPreds)
+      q.orGroupsN.isEmpty && group.forall(_.length == 1) && {
+        val merged = group.collectFirst {
+          case Seq(Pred("lineitem", "l_quantity", r)) => r
+        }
+        merged.exists(r =>
+          grid.forall(v => admits(r, v) == uniq.exists(_.holds(v))))
+      }
+    }
+
+  property("partial absorption charges the cap at the effective count: 63 written → 27") = {
+    // first group: 3 written branches, 2 effective after the same-column
+    // union — Π(2^k−1) = 7·3·3 = 63 written would fail loudly; 3·3·3 = 27
+    // effective folds
+    val sql = """SELECT COUNT(*) FROM lineitem WHERE
+      (l_quantity < 5 OR l_quantity > 40 OR l_returnflag = 'A')
+      AND (l_discount < 0.02 OR l_tax > 0.06)
+      AND (l_extendedprice > 60000 OR l_linestatus = 'F')"""
+    val q = SqlParser.parseQuery(sql)
+    org.scalacheck.Prop(q.orPreds.isEmpty && q.orGroupsN.map(_.length) == Seq(2, 2, 2))
+  }
+
   property("a group implied by a plain conjunct drops: A∧(A∨C) ≡ A") =
     forAll(Gen.choose(2, 4)) { k =>
       val branches = atomPool(1).take(k)
