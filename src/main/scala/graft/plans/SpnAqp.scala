@@ -2367,6 +2367,14 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
     * columns in one disjunction stay inexpressible); anything else returns
     * the expression unchanged.
     */
+  /** Column-group the disjuncts of a multi-column OR (OR is associative
+    * and commutative) so each column's sub-disjunction compiles as ONE
+    * single-column branch — (a<5 ∨ a>10 ∨ b=1) charges two branches, not
+    * three. r19 generalizes the r17 exactly-two-column form to ANY column
+    * count with at least one repeat — parity with the text parser's
+    * partial same-column absorption; all-distinct-column disjunctions
+    * regroup to themselves (no repeat, nothing to merge).
+    */
   private def regroupOr(e: Expression): Expression = e match {
     case o: Or =>
       def disjuncts(x: Expression): Seq[Expression] = x match {
@@ -2379,7 +2387,7 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       else {
         val keys = refs.map(_.head.exprId)
         val order = keys.distinct
-        if (order.length != 2) o
+        if (order.length < 2 || order.length == ds.length) o
         else order.map(k =>
           ds.zip(keys).collect { case (d, kk) if kk == k => d }
             .reduceLeft[Expression](Or(_, _)))
@@ -2647,9 +2655,15 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       tableOfAttr: AttributeReference => Option[(String, String)],
       modeled: Map[String, Seq[(String, String)]])
       : Option[Seq[Map[String, Seq[Atom]]]] = {
+    // flatten only GENUINELY multi-column Or nodes: a single-column Or
+    // subtree atomsOf understands whole (regroupOr column-groups the
+    // disjunct list first) stays ONE branch compiled as an AnyOf range
+    // union — (a<5 ∨ a>10 ∨ b=1) charges two branches, not three (r19;
+    // the r18 full flatten silently undid the r17 regrouping and paid
+    // 2^k−1 terms for branches a single atom could carry)
     def disjuncts(x: Expression): Seq[Expression] = x match {
-      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
-      case other    => Seq(other)
+      case o2: Or if atomsOf(Seq(o2)).isEmpty => disjuncts(o2.left) ++ disjuncts(o2.right)
+      case other                              => Seq(other)
     }
     def side(e: Expression): Option[Map[String, Seq[Atom]]] = {
       val per = splitConj(e).map { cj =>

@@ -80,6 +80,10 @@ class CrossPlaneSweepSpec extends AnyFunSuite {
            OR l_quantity >= 1 AND l_quantity <= 5 OR l_tax > 0.07)""" -> "aliasdup",
     """WHERE (l_returnflag IN ('A') OR l_returnflag = 'A' OR l_quantity < 5)
          AND (l_linestatus = 'F' OR l_tax > 0.05)""" -> "aliasdup×2g",
+    // r19 partial same-column absorption: the two l_quantity singles merge
+    // into one branch on both planes (parser partialAbsorb / Catalyst
+    // regroupOr + single-column-subtree branch), so this charges 2 slots
+    """WHERE (l_quantity < 5 OR l_quantity > 40 OR l_discount > 0.08)""" -> "partial",
     // r19 cross-group subsumption: group 2's branch set is a superset of
     // group 1's, so it must drop before the cap — raw term product
     // 3·7·3·3 = 189 only folds with (A∨B)∧(A∨B∨C) ≡ (A∨B) applied

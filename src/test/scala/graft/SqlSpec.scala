@@ -637,9 +637,15 @@ class SqlSpec extends AnyFunSuite {
     }
     // supported-shape boundaries: a 3-branch disjunction ANSWERS since r18
     // (full per-group inclusion–exclusion); past the Π(2^k−1) ≤ 27 term
-    // cap — e.g. five branches — it keeps failing loudly
-    assert(SqlParser.parseQuery(
+    // cap — e.g. five branches — it keeps failing loudly. Same-column
+    // singles PARTIALLY absorb since r19, so the first shape charges a
+    // lone 2-branch group and rides the legacy distributed form
+    val pq = SqlParser.parseQuery(
       "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_quantity > 45) OR (l_tax > 0.05)")
+    assert(pq.orGroupsN.isEmpty && pq.preds.length == 1 && pq.orPreds.length == 1,
+      s"partial absorption must reduce to the legacy 2-branch form: $pq")
+    assert(SqlParser.parseQuery(
+      "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_discount > 0.08) OR (l_tax > 0.05)")
       .orGroupsN.map(_.length) == Seq(3))
     assertThrows[IllegalArgumentException](SqlParser.parseQuery(
       "SELECT COUNT(*) FROM lineitem WHERE (l_quantity < 5) OR (l_tax > 0.05) " +
