@@ -84,6 +84,11 @@ class CrossPlaneSweepSpec extends AnyFunSuite {
     // into one branch on both planes (parser partialAbsorb / Catalyst
     // regroupOr + single-column-subtree branch), so this charges 2 slots
     """WHERE (l_quantity < 5 OR l_quantity > 40 OR l_discount > 0.08)""" -> "partial",
+    // r19 generalized column-grouping: FOUR disjuncts over THREE columns
+    // with one repeat — both planes charge 3 branches (7 terms), not 4
+    // (15); exercises regroupOr past the old exactly-two-column form
+    """WHERE (l_quantity < 5 OR l_quantity > 40 OR l_discount > 0.08
+           OR l_tax < 0.01)""" -> "partial3col",
     // r19 cross-group subsumption: group 2's branch set is a superset of
     // group 1's, so it must drop before the cap — raw term product
     // 3·7·3·3 = 189 only folds with (A∨B)∧(A∨B∨C) ≡ (A∨B) applied
