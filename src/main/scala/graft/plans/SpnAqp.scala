@@ -2682,7 +2682,18 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
       else None
     }
     val sides = disjuncts(o).map(side)
-    if (sides.forall(_.isDefined)) Some(sides.flatten) else None
+    if (!sides.forall(_.isDefined)) None
+    else {
+      // within-group branch subsumption ((A∧B) ∨ A ≡ A, r19): a branch
+      // implying another adds nothing to the union — drop it (equal
+      // branches keep the first; signedAtomTerms dedupes again anyway)
+      val flat = sides.flatten
+      val keys = flat.map(branchKey)
+      Some(flat.indices.filterNot(i =>
+        keys.indices.exists(j => j != i &&
+          branchImplies(keys(i), keys(j)) && (keys(i) != keys(j) || j < i)))
+        .map(flat))
+    }
   }
 
   private def dirMatches(dir: String): Boolean =
@@ -3136,21 +3147,35 @@ final case class SpnAqpRule(session: SparkSession, sfDir: String)
   private def branchKey(m: Map[String, Seq[Atom]]): Map[String, Set[Atom]] =
     m.view.mapValues(_.toSet).toMap
 
-  /** Cross-group subsumption (r19): a group whose branch set is a
-    * SUPERSET of another group's adds no constraint to the conjunction —
-    * (A∨B)∧(A∨B∨C) ≡ (A∨B), since whenever the smaller disjunction holds
-    * the larger does too. Dropping supersets BEFORE the [[orTermProduct]]
-    * cap lets e.g. (A∨B)∧(A∨B∨C)∧(D∨E) fold at 9 signed terms instead of
-    * failing loudly at 63. Equal groups keep the first; branch identity
-    * is the order-insensitive [[branchKey]]. Mirrors SqlParser.parseWhere
-    * on the text plane.
+  /** One branch's conjunction implies another's when the other's atoms
+    * are a per-table SUBSET of its own (conjoining MORE atoms can only
+    * narrow the row set) — the branch-implication primitive both
+    * absorption laws below ride.
+    */
+  private def branchImplies(
+      bj: Map[String, Set[Atom]], bi: Map[String, Set[Atom]]): Boolean =
+    bi.forall { case (t, as) => as.subsetOf(bj.getOrElse(t, Set.empty)) }
+
+  /** Cross-group subsumption (r19): group i drops when another group j
+    * IMPLIES it — every branch of j carries some branch of i as a
+    * sub-conjunction, so whenever j holds, i holds and i adds no
+    * constraint. The branch-set-containment form ((A∨B)∧(A∨B∨C) ≡ (A∨B))
+    * is the equal-branch special case; the general law also catches
+    * (A∧B ∨ C)∧(A ∨ C) ≡ (A∧B ∨ C). Dropping BEFORE the
+    * [[orTermProduct]] cap lets e.g. (A∨B)∧(A∨B∨C)∧(D∨E) fold at 9
+    * signed terms instead of failing loudly at 63. Mutually-implying
+    * (equivalent) groups keep the first; branch identity is the
+    * order-insensitive [[branchKey]]. Mirrors SqlParser.parseWhere on
+    * the text plane.
     */
   private def absorbSupersetGroups(groups: Seq[Seq[Map[String, Seq[Atom]]]])
       : Seq[Seq[Map[String, Seq[Atom]]]] = {
-    val keyed = groups.map(_.map(branchKey).toSet)
+    val keyed = groups.map(_.map(branchKey))
+    def implies(j: Seq[Map[String, Set[Atom]]], i: Seq[Map[String, Set[Atom]]]): Boolean =
+      j.forall(bj => i.exists(bi => branchImplies(bj, bi)))
     groups.indices.filterNot { i =>
       keyed.indices.exists(j => j != i &&
-        keyed(j).subsetOf(keyed(i)) && (keyed(j) != keyed(i) || j < i))
+        implies(keyed(j), keyed(i)) && (!implies(keyed(i), keyed(j)) || j < i))
     }.map(groups)
   }
 

@@ -739,7 +739,14 @@ object SqlParser {
         }
       case b => out += b
     }
-    out.toSeq
+    // within-group branch subsumption ((A∧B) ∨ A ≡ A, r19): a branch
+    // whose Pred set STRICTLY contains another branch's adds nothing to
+    // the union — absorbGroup catches this only when the whole group
+    // reduces; here it composes with residual branches
+    val sets = out.map(_.toSet)
+    out.indices.filterNot(i =>
+      sets.indices.exists(j => j != i && sets(j).subsetOf(sets(i)) && sets(j) != sets(i)))
+      .map(out).toSeq
   }
 
   /** Independent parenthesized OR groups per WHERE, counted AFTER the CNF
@@ -787,20 +794,24 @@ object SqlParser {
     val common = classified.collect { case Left(ps) => ps }.flatten
     val orGroupsRaw = classified.collect { case Right(g) => g }
     // cross-group subsumption (r19, the one absorption law r18 left
-    // uncovered): a group whose branch set is a SUPERSET of another
-    // surviving group's adds no constraint — (A∨B)∧(A∨B∨C) ≡ (A∨B),
-    // since whenever the smaller disjunction holds the larger does too.
-    // Likewise a group one of whose branches is implied by the plain
-    // conjuncts is always true — A∧(A∨C) ≡ A. Both drop BEFORE the cap
-    // count, so e.g. (A∨B)∧(A∨B∨C)∧(D∨E) folds at 9 terms instead of
-    // failing loudly at 63. Branch identity is the order-insensitive
-    // Pred set (equal groups keep the first).
+    // uncovered): group i drops when another group j IMPLIES it — every
+    // branch of j carries some branch of i as a sub-conjunction (b_i ⊆
+    // b_j at the Pred-set level), so whenever j holds, i holds. The
+    // branch-set-containment form ((A∨B)∧(A∨B∨C) ≡ (A∨B)) is the
+    // b_i = b_j special case; the general law also catches
+    // (A∧B ∨ C)∧(A ∨ C) ≡ (A∧B ∨ C). Likewise a group one of whose
+    // branches is implied by the plain conjuncts is always true —
+    // A∧(A∨C) ≡ A. Both drop BEFORE the cap count, so e.g.
+    // (A∨B)∧(A∨B∨C)∧(D∨E) folds at 9 terms instead of failing loudly at
+    // 63. Mutually-implying (equivalent) groups keep the first.
     val commonSet = common.toSet
     val keyed = orGroupsRaw.map(_.map(_.toSet).toSet)
+    def implies(j: Set[Set[Pred]], i: Set[Set[Pred]]): Boolean =
+      j.forall(bj => i.exists(bi => bi.subsetOf(bj)))
     val orGroups = orGroupsRaw.indices.filterNot { i =>
       keyed(i).exists(_.subsetOf(commonSet)) ||
         keyed.indices.exists(j => j != i &&
-          keyed(j).subsetOf(keyed(i)) && (keyed(j) != keyed(i) || j < i))
+          implies(keyed(j), keyed(i)) && (!implies(keyed(i), keyed(j)) || j < i))
     }.map(orGroupsRaw).toSeq
     // saturating product (a pathological 80-branch OR must not wrap Long)
     val termProduct = orGroups.foldLeft(1L) { (acc, g) =>

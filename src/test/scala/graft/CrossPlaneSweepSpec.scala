@@ -95,7 +95,14 @@ class CrossPlaneSweepSpec extends AnyFunSuite {
     """WHERE (l_quantity < 10 OR l_discount > 0.07)
          AND (l_quantity < 10 OR l_discount > 0.07 OR l_tax < 0.02)
          AND (l_returnflag = 'A' OR l_linestatus = 'F')
-         AND (l_extendedprice > 60000 OR l_tax > 0.05)""" -> "subsume")
+         AND (l_extendedprice > 60000 OR l_tax > 0.05)""" -> "subsume",
+    // r19 branch-implication laws: (A∧B) ⟹ A drops the stricter branch
+    // within a group, and a group every branch of which implies another
+    // group's branch drops that other group entirely
+    """WHERE (l_quantity < 10 AND l_returnflag = 'A'
+           OR l_quantity < 10 OR l_tax > 0.06)""" -> "brsub",
+    """WHERE (l_quantity < 10 AND l_returnflag = 'A' OR l_tax > 0.06)
+         AND (l_quantity < 10 OR l_tax > 0.06)""" -> "implies")
 
   private val aggs = Seq(
     "COUNT(*)" -> "cnt",

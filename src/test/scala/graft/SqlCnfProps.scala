@@ -157,6 +157,31 @@ object SqlCnfProps extends Properties("sqlcnf") {
     org.scalacheck.Prop(q.orPreds.isEmpty && q.orGroupsN.map(_.length) == Seq(2, 2, 2))
   }
 
+  property("within-group branch subsumption: (A∧B ∨ A ∨ C) drops the stricter branch") = {
+    // (A∧B) implies A, so it adds nothing to the union — the group
+    // reduces to (A ∨ C), a lone 2-branch group in the legacy form
+    val q = SqlParser.parseQuery(
+      """SELECT COUNT(*) FROM lineitem WHERE
+        (l_quantity < 8 AND l_returnflag = 'A' OR l_quantity < 8 OR l_tax < 0.02)""")
+    org.scalacheck.Prop(
+      q.orGroupsN.isEmpty && q.preds.length == 1 && q.orPreds.length == 1 &&
+        Set(q.preds.head.col, q.orPreds.head.col) == Set("l_quantity", "l_tax"))
+  }
+
+  property("implication-based cross-group drop: (A∧B ∨ C)∧(A ∨ C) ≡ (A∧B ∨ C)") = {
+    // every branch of group 1 implies a branch of group 2 (A∧B ⟹ A,
+    // C ⟹ C), so group 2 adds no constraint — the r19 generalization past
+    // whole-branch-set containment
+    val q = SqlParser.parseQuery(
+      """SELECT COUNT(*) FROM lineitem WHERE
+        (l_quantity < 8 AND l_returnflag = 'A' OR l_tax < 0.02)
+        AND (l_quantity < 8 OR l_tax < 0.02)""")
+    org.scalacheck.Prop(
+      q.orGroupsN.isEmpty && q.preds.length == 2 && q.orPreds.length == 1 &&
+        q.preds.map(_.col).toSet == Set("l_quantity", "l_returnflag") &&
+        q.orPreds.head.col == "l_tax")
+  }
+
   property("a group implied by a plain conjunct drops: A∧(A∨C) ≡ A") =
     forAll(Gen.choose(2, 4)) { k =>
       val branches = atomPool(1).take(k)
