@@ -250,15 +250,26 @@ object Dedup {
               (acc, hs) => zip_with(acc, hs, (a, b) => least(a, b))))
           .cache()
       }
-      val bands = sigs.select(col("doc_id"),
-        explode(array((0 until nBands).map(bnd =>
-          struct(
-            lit(bnd).as("band"),
+      // r19: each pair survives the band join exactly once — at its FIRST
+      // colliding band (codegen'd FirstEqualIndex over the two key arrays
+      // the join rows carry) — instead of once per colliding band followed
+      // by a `.distinct()` aggregate+exchange. Same distinct candidate set.
+      val bands = sigs
+        .select(col("doc_id"),
+          array((0 until nBands).map(bnd =>
             xxhash64((0 until r).map(j =>
-              element_at(col("sig"), bnd * r + j + 1)): _*).as("key"))): _*)).as("bk"))
-      val cand = bands.toDF("a_id", "bk")
-        .join(bands.toDF("b_id", "bk2"), col("bk") === col("bk2") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+              element_at(col("sig"), bnd * r + j + 1)): _*)): _*).as("keys"))
+        .select(col("doc_id"), col("keys"), posexplode(col("keys")))
+        .toDF("id", "keys", "band", "key")
+      val cand = bands.select(col("id").as("a_id"), col("keys").as("keys_a"),
+          col("band"), col("key"))
+        .join(bands.select(col("id").as("b_id"), col("keys").as("keys_b"),
+          col("band").as("band_r"), col("key").as("key_r")),
+          col("band") === col("band_r") && col("key") === col("key_r") &&
+            col("a_id") < col("b_id"))
+        .filter(org.apache.spark.sql.graft.BandOps
+          .firstEqualIndex(col("keys_a"), col("keys_b")) === col("band"))
+        .select("a_id", "b_id")
       val sh = sigs.select(col("doc_id"), col("sh"), col("members"))
       // the Jaccard depends only on the two shingle sequences, so every
       // member pair of a qualifying canonical pair shares its distance
@@ -302,13 +313,24 @@ object Dedup {
             sort_array(collect_list(col("doc_id"))).as("members"))
           .cache()
       }
-      val bands = sigs.select(
-        col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("bk"))
-      val cand = bands.toDF("a_id", "bk")
-        .join(bands.toDF("b_id", "bk2"), col("bk") === col("bk2") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+      // r19: same first-colliding-band predicate as dedup_near /
+      // bandedCandidatePairs — one surviving join row per candidate pair,
+      // no `.distinct()` aggregate+exchange, identical distinct set.
+      val bands = sigs
+        .select(col("doc_id"),
+          array((0 until 4).map(b =>
+            shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*).as("keys"))
+        .select(col("doc_id"), col("keys"), posexplode(col("keys")))
+        .toDF("id", "keys", "band", "key")
+      val cand = bands.select(col("id").as("a_id"), col("keys").as("keys_a"),
+          col("band"), col("key"))
+        .join(bands.select(col("id").as("b_id"), col("keys").as("keys_b"),
+          col("band").as("band_r"), col("key").as("key_r")),
+          col("band") === col("band_r") && col("key") === col("key_r") &&
+            col("a_id") < col("b_id"))
+        .filter(org.apache.spark.sql.graft.BandOps
+          .firstEqualIndex(col("keys_a"), col("keys_b")) === col("band"))
+        .select("a_id", "b_id")
       // the hamming distance depends only on the two fingerprints, so
       // every member pair of a qualifying canonical pair shares it; an
       // identical-fingerprint class is trivially hamming 0

@@ -988,14 +988,26 @@ object Similarity {
   /** Distinct canonical-id candidate pairs sharing a (band, key) bucket —
     * the int-only shuffle at the heart of the banding. One implementation
     * for the production join and the diagnostics counts.
+    *
+    * r19: a pair colliding in several bands used to be emitted once per
+    * band and collapsed by `.distinct()` — at loose thresholds that
+    * aggregate chewed through ~4× the distinct pair count (guide §2.4:
+    * remove the exchange outright). Each join row now carries both sides'
+    * band-key arrays, and a codegen'd predicate keeps the pair only at its
+    * FIRST colliding band ([[org.apache.spark.sql.graft.FirstEqualIndex]]):
+    * exactly one surviving row per colliding pair, the same distinct set,
+    * no aggregate and no extra exchange.
     */
   private def bandedCandidatePairs(bucketed: DataFrame): DataFrame = {
-    val ids = bucketed.select(col("vec_id"), posexplode(col("buckets")))
-      .toDF("id", "tbl", "bucket")
-    ids.select(col("id").as("a_id"), col("tbl"), col("bucket"))
-      .join(ids.select(col("id").as("b_id"), col("tbl").as("tbl_r"), col("bucket").as("bucket_r")),
+    import org.apache.spark.sql.graft.BandOps.firstEqualIndex
+    val ids = bucketed.select(col("vec_id"), col("buckets"), posexplode(col("buckets")))
+      .toDF("id", "bks", "tbl", "bucket")
+    ids.select(col("id").as("a_id"), col("bks").as("bks_a"), col("tbl"), col("bucket"))
+      .join(ids.select(col("id").as("b_id"), col("bks").as("bks_b"),
+        col("tbl").as("tbl_r"), col("bucket").as("bucket_r")),
         col("tbl") === col("tbl_r") && col("bucket") === col("bucket_r") &&
           col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .filter(firstEqualIndex(col("bks_a"), col("bks_b")) === col("tbl"))
+      .select("a_id", "b_id")
   }
 }

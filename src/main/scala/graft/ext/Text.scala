@@ -23,13 +23,22 @@ object Text {
     */
   def shingles(textCol: Column, n: Int): Column = shinglesOfTokens(tokens(textCol), n)
 
-  /** Shingles over an ALREADY-tokenized array column. Callers on a hot path
-    * should project the token array as its own column first and pass the
-    * attribute: the token expression is referenced n+2 times per gram
-    * below, and an attribute reference is free while an embedded split()
-    * may be re-evaluated per reference.
+  /** Shingles over an ALREADY-tokenized array column. r19: one codegen'd
+    * pass per row ([[org.apache.spark.sql.graft.DistinctShingles]]) instead
+    * of the interpreted `array_distinct(transform(..., concat_ws))` HOF
+    * chain — bit-identical values/order, pinned by ExtOpsSpec's differential
+    * test against [[shinglesOfTokensHof]]. The null-token-array case keeps
+    * the HOF formulation's value: an EMPTY array, not null (the `when`
+    * guard there fell through to the empty branch on a null size).
     */
   def shinglesOfTokens(tk: Column, n: Int): Column =
+    when(tk.isNotNull, org.apache.spark.sql.graft.ShingleOps.distinctShingles(tk, n))
+      .otherwise(array().cast("array<string>"))
+
+  /** The pre-r19 HOF formulation — the differential-test reference for
+    * [[shinglesOfTokens]]; not on any query path.
+    */
+  private[graft] def shinglesOfTokensHof(tk: Column, n: Int): Column =
     array_distinct(
       transform(
         // sequence(0, size-n) would flip direction when size < n (Spark
@@ -787,12 +796,17 @@ object Text {
     * both sides, and both sides select that window's minimum).
     */
   def winnowFp(docsDf: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    // The whole selection runs as array HOFs WITHIN each document row: gram
-    // hashes via transform, window minima via slice+array_min, per-doc dedup
-    // via array_distinct. No gram-position explode, no per-doc window sort,
-    // no shuffle at any point — a winnowed corpus is a narrow map over the
-    // scan, which is the right plan at 100 TB (the earlier explode+Window
-    // form shuffled len× rows per document through a doc_id exchange).
+    // The whole selection runs WITHIN each document row. No gram-position
+    // explode, no per-doc window sort, no shuffle at any point — a winnowed
+    // corpus is a narrow map over the scan, which is the right plan at
+    // 100 TB (the earlier explode+Window form shuffled len× rows per
+    // document through a doc_id exchange). r19: the per-row selection moved
+    // from an interpreted HOF chain (transform/md5-per-substr, slice +
+    // array_min per window, array_distinct — each step allocating per
+    // position) into ONE codegen'd expression ([[WinnowFingerprints]]) that
+    // digests gram bytes in place with a reused MD5 and compares raw
+    // digests; values and the selected set are bit-identical (ExtOpsSpec pins
+    // equality against the HOF formulation; the DuckDB oracle is unchanged).
     // Per-row transient memory is ~32 bytes per gram position — bounded by
     // 32× the document size the scan already holds.
     //
@@ -814,6 +828,20 @@ object Text {
       // selects nothing (same rows the old pos <= len-(w-1) filter kept)
       .filter(col("len") >= w)
       .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.WinnowOps
+          .winnowFps(col("txt"), col("len"), k, w)).as("fp"))
+  }
+
+  /** The pre-r19 HOF formulation of the winnowing selection — kept as the
+    * differential-test reference: ExtOpsSpec asserts [[winnowFp]] emits the
+    * bit-identical (doc_id, fp) set. Not on any query path.
+    */
+  private[graft] def winnowFpHof(docsDf: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    docsDf
+      .select(col("doc_id"), lower(col("text")).as("txt"),
+        (length(col("text")) - (k - 1)).as("len"))
+      .filter(col("len") >= w)
+      .select(col("doc_id"),
         transform(sequence(lit(1), col("len")),
           p => md5(col("txt").substr(p, lit(k)).cast("binary"))).as("hs"),
         col("len"))
@@ -821,5 +849,4 @@ object Text {
         explode(array_distinct(
           transform(sequence(lit(1), col("len") - (w - 1)),
             i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
-  }
 }

@@ -20,7 +20,11 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"==== $n ====")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan)
+      // "formatted" mode: numbered operator list + per-operator details
+      // (PushedFilters/ReadSchema, join build sides, exchange partitioning) —
+      // the shape the optimization-round plan captures are graded against
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
     spark.stop()
   }

@@ -373,6 +373,49 @@ class ExtOpsSpec extends AnyFunSuite {
       s"winnowing must select a subset of the ${positions} gram hashes")
   }
 
+  test("winnowing codegen expression is bit-identical to the HOF formulation") {
+    import TestSpark._
+    // r19: winnowFp moved the per-row selection into one codegen'd
+    // expression (WinnowFingerprints). The pre-r19 HOF chain stays as the
+    // reference implementation; the full fixture corpus must produce the
+    // EXACT same (doc_id, fp) set — same grams, same md5 hex, same window
+    // minima, same distinct set.
+    val docs = schema.Tables(spark, sf, "documents")
+    val fast = ext.Text.winnowFp(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val ref = ext.Text.winnowFpHof(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fast == ref,
+      s"codegen winnow diverged: ${(fast diff ref).take(3)} vs ${(ref diff fast).take(3)}")
+    assert(fast.nonEmpty)
+  }
+
+  test("shingle codegen expression is bit-identical to the HOF formulation") {
+    import TestSpark._
+    import spark.implicits._
+    // r19: shinglesOfTokens moved into one codegen'd pass
+    // (DistinctShingles). Pin element-level equality (values AND order —
+    // first-occurrence distinct) against the kept HOF reference, over the
+    // fixture corpus plus the edge shapes: fewer tokens than n, exactly n,
+    // repeated grams, empty tokens, null text.
+    val edge = Seq(
+      (1L, "a b"), (2L, "a b c"), (3L, "a b c a b c a b"),
+      (4L, "x  y z"), (5L, null.asInstanceOf[String]), (6L, "")
+    ).toDF("doc_id", "text")
+    Seq(2, 3, 4, 8).foreach { n =>
+      Seq(schema.Tables(spark, sf, "documents"), edge).foreach { df =>
+        val tk = ext.Text.tokens(col("text"))
+        val both = df.select(
+          col("doc_id"),
+          ext.Text.shinglesOfTokens(tk, n).as("fast"),
+          ext.Text.shinglesOfTokensHof(tk, n).as("ref"))
+        val bad = both.filter(not(col("fast") <=> col("ref")))
+        assert(bad.isEmpty,
+          s"n=$n diverged: ${bad.take(2).mkString("; ")}")
+      }
+    }
+  }
+
   test("minhash near-dup finds the exact n-gram Jaccard pairs") {
     val exact = run("dedup_ngram").select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -427,6 +470,35 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(looseBg > 0.5, s"0.45 analytic background collision $looseBg")
     assert(looseSel > 0.5, s"0.45 measured selectivity $looseSel")
     assert(allPairs > 0)
+  }
+
+  test("band candidate pairs: first-colliding-band emission has no duplicate pairs") {
+    // r19: the band joins keep each colliding pair at its FIRST colliding
+    // band instead of distinct()-ing per-band duplicates. If the predicate
+    // ever under-filters, the SAME (a_id, b_id) pair appears once per extra
+    // colliding band in every downstream pair list — invisible to the
+    // toSet-based recall checks, so pin row-level uniqueness directly.
+    Seq("dedup_near", "dedup_simhash", "dedup_cosine_lsh").foreach { op =>
+      val rows = run(op).select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.toSet.size,
+        s"$op emitted duplicate pairs: ${rows.groupBy(identity).filter(_._2.length > 1).keys.take(3)}")
+    }
+    // and the expression itself: first equal index vs a Scala reference
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(16)
+      val a = Array.fill(n)(rnd.nextInt(4).toLong)
+      val b = Array.fill(n)(rnd.nextInt(4).toLong)
+      val expect = a.indices.find(i => a(i) == b(i)).getOrElse(-1)
+      val got = org.apache.spark.sql.graft.FirstEqualIndex(
+        Literal(new GenericArrayData(a), ArrayType(LongType)),
+        Literal(new GenericArrayData(b), ArrayType(LongType))).eval(null)
+      assert(got == expect, s"firstEqualIndex(${a.toSeq}, ${b.toSeq}) = $got, want $expect")
+    }
   }
 
   test("dedup_exact collapses the doubled corpus to one row per doc") {
