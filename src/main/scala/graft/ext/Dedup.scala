@@ -579,6 +579,15 @@ object Dedup {
         |         AS dup_frac
         |FROM df GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
+      // (r19 note: an aggregate-only form was tried and measured NOT a win —
+      // grouping sets (s)/(doc_id) over the exploded grams in one Expand +
+      // hash aggregate ("dup_grams = n_grams − df-1 grams", df-1 gram's
+      // min(doc_id) = its owner), folding both consumers into one doc-keyed
+      // aggregate. Oracle-identical, single featurize pass, no window sort —
+      // but the Expand doubles the exploded rows through the partial
+      // aggregate and full-suite wall went 0.47 → 0.67 s at equal cpu, so
+      // the window stays. The gram strings stay the shuffle key for oracle
+      // parity; at 100 TB the key would be xxhash64(gram).)
       val exploded = docs(s, d)
         .filter(size(Text.tokens(col("text"))) >= 8)
         .repartition(s.sparkContext.defaultParallelism) // one-split local file; see dedup_near
@@ -818,7 +827,6 @@ object Dedup {
         |FROM ranked WHERE rn = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val segLen = 16
       val segs = docs(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -826,6 +834,12 @@ object Dedup {
           sequence(lit(0), floor((size(col("toks")) - 1) / segLen).cast("int")),
           i => array_join(slice(col("toks"), i * segLen + 1, lit(segLen)), " "))))
         .toDF("doc_id", "seg_idx", "seg")
+      // (r19 note: a groupBy(seg).agg(min(struct(doc_id, seg_idx))) — the
+      // aggregate-only first-occurrence — was tried and measured SLOWER:
+      // struct minima are not hash-aggregable, so Spark plans a
+      // SortAggregate with a sort on BOTH sides of the exchange, vs the
+      // window's one per-partition sort. Kept as the window.)
+      import org.apache.spark.sql.expressions.Window
       segs
         .withColumn("rn", row_number().over(
           Window.partitionBy("seg").orderBy("doc_id", "seg_idx")))
