@@ -19,29 +19,50 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq(sfDir))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // date-derived layouts (Partitioned) must not depend on host tz
       .config("spark.ui.enabled", "false")
       .withExtensions(new plans.GraftExtensions) // conf-gated, inert by default
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — optional extra confs for A/B
+    // measurement runs (r20). The driver sets nothing here, so its bench
+    // runs the defaults above unchanged.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _                         => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sfDirs.foreach { d =>
-      println(runSuite(spark, d))
+    // r20 (VERDICT r19 item 1): the full line with three 208-entry maps is
+    // ~16 KB, but the driver keeps only a ~2 KB tail of the output — every
+    // BENCH_r14..r19 artifact came back "parsed: null" and PERF's per-query
+    // blocks stayed empty. The full line is still printed (and appended to
+    // the bench_full.jsonl sidecar) for whole-line consumers; a compact
+    // summary line that FITS the tail capture is printed LAST so the driver
+    // finally sees one complete JSON object. Same methodology, same
+    // numbers — only the rendering changed.
+    val sidecar = new java.io.PrintWriter(new java.io.FileWriter("bench_full.jsonl", false))
+    try sfDirs.foreach { d =>
+      val (full, compact) = runSuite(spark, d)
+      sidecar.println(full); sidecar.flush()
+      println(full)
+      println(compact)
       // multi-SF mode: evict this SF's cached tables AND the dedup
       // family's memoized signature/band frames before the next SF runs,
       // so cross-SF ratios measure the data, not cache pressure
       schema.Tables.dropDir(spark, d)
       ext.ModelCache.dropDir(spark, d)
-    }
+    } finally sidecar.close()
     spark.stop()
   }
 
   /** One full pass of every registered query over one dataset directory,
-    * rendered as the single bench JSON line.
+    * rendered as (full bench JSON line, compact driver-parsable JSON line).
     */
-  private def runSuite(spark: SparkSession, sfDir: String): String = {
+  private def runSuite(spark: SparkSession, sfDir: String): (String, String) = {
     // warm the shared table cache (SURVEY §6: cache loaded tables across the
     // queries map) so per-query timings measure the operator, not whichever
     // query happens to touch a table first
@@ -152,6 +173,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","cpu_sec":$cpus_,"errors":$errs,"wc":$wc,"cpu_sec_total":${r3(cpuTotal)},"value":${r3(total)}}"""
     if (errors.nonEmpty) System.err.println(s"BENCH ERRORS ($sfDir): ${errors.keys.mkString(", ")}")
-    line
+    // Compact line: totals + errors + the slowest-K queries' wall
+    // ("queries") and [wall,cpu] ("wc_slowest") maps, K shrunk until the
+    // line fits the driver's ~2 KB tail capture with room for the trailing
+    // sbt status line. Values are verbatim from the same run — the full
+    // maps above/sidecar remain the complete record.
+    def compactLine(k: Int): String = {
+      val slowest = results.toSeq.sortBy(-_._2._1).take(k).sortBy(_._2._1)
+      val cq = slowest.map { case (n, (w, _)) => s"\"" + n + "\":" + r3(w) }
+        .mkString("{", ",", "}")
+      val cwc = slowest.map { case (n, (w, c)) => s"\"" + n + "\":[" + r3(w) + "," + r3(c) + "]" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"value":${r3(total)},"cpu_sec_total":${r3(cpuTotal)},"errors":$errs,"queries":$cq,"wc_slowest":$cwc}"""
+    }
+    val compact = (25 to 1 by -1).view.map(compactLine).find(_.length <= 1800)
+      .getOrElse(compactLine(0))
+    (line, compact)
   }
 }

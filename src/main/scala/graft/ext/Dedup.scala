@@ -588,6 +588,19 @@ object Dedup {
       // aggregate and full-suite wall went 0.47 → 0.67 s at equal cpu, so
       // the window stays. The gram strings stay the shuffle key for oracle
       // parity; at 100 TB the key would be xxhash64(gram).)
+      //
+      // (r20 note: the OTHER sort-free form — two separate branches, a
+      // per-gram (count, min doc_id) hash aggregate + df=1 owner re-key
+      // broadcast-joined against per-doc totals, no Expand — was ALSO
+      // measured and reverted. Oracle-identical at sf0.01, but the
+      // gram-keyed partial aggregate over mostly-unique 8-word string keys
+      // plus the second featurize pass costs MORE than the window's one
+      // sorted shuffle at every scale: full-suite 0.51→0.62 s wall /
+      // 7.1→9.4 cpu-s, decade probes sf1 cold 1.51→2.54 s, sf10 cold
+      // 2.01→5.99 s, sf10 steady 1.40→1.76 s. The driver-side r19 "0.64×
+      // regression" that motivated the attempt was adjudicated machine
+      // noise: two full-suite runs at the r19 head measured 0.514/0.566 s
+      // wall, at the committed 0.500 s pin.)
       val exploded = docs(s, d)
         .filter(size(Text.tokens(col("text"))) >= 8)
         .repartition(s.sparkContext.defaultParallelism) // one-split local file; see dedup_near

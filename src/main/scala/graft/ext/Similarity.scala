@@ -985,9 +985,18 @@ object Similarity {
       classes.withColumn("buckets", array(keys: _*)).cache()
     }
 
-  /** Distinct canonical-id candidate pairs sharing a (band, key) bucket —
-    * the int-only shuffle at the heart of the banding. One implementation
-    * for the production join and the diagnostics counts.
+  /** Dev-only plan surface (VERDICT r19 item 7): the candidate-pair frame
+    * behind `dedup_lsh_stats`' driver-side counts, so PlanDump can show
+    * the band join's actual plan instead of the final 8-row local frame.
+    */
+  def lshStatsCandidateFrame(s: SparkSession, d: String, threshold: Double): DataFrame =
+    bandedCandidatePairs(cosineBandKeys(s, d, threshold, nBands = 16, k = bandBits(threshold)))
+
+  /** Distinct canonical-id candidate pairs sharing a (band, key) bucket.
+    * One implementation for the production join and the diagnostics counts.
+    * Since r19 each join side carries (id, band-key array) rather than ids
+    * alone — the band-join shuffle rows widen by ~8·nBands bytes per side,
+    * a measured net win against the distinct() aggregate it replaces.
     *
     * r19: a pair colliding in several bands used to be emitted once per
     * band and collapsed by `.distinct()` — at loose thresholds that

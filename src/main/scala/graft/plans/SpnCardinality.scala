@@ -652,6 +652,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fold discards — and exact-fallback queries pass through untouched
     e.injectPreCBORule(SpnAqpRule.fromSession)
     e.injectPreCBORule(SpnStatsRule.fromSession)
+    // r20: collapse ORDER BY over the folds' tiny LocalRelations at plan
+    // time — removes a rangepartitioning Exchange (and its range-sampling
+    // job) from every fold/diagnostics query; result rows and order are
+    // identical (always-on: the rule is a no-op unless a small batch
+    // LocalRelation sits directly under a global Sort). Injected preCBO
+    // AFTER the AQP fold — as an operator-optimization rule it would run
+    // BEFORE the fold creates the LocalRelation and miss the whole
+    // transparent-AQP family; pre-existing LocalRelations (driver-built
+    // toDF frames) are equally still present at preCBO time.
+    e.injectPreCBORule(_ => FoldLocalSort)
     SpnFunctions.register(e)
   }
 }

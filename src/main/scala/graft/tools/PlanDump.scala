@@ -16,14 +16,34 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extensions as Bench/Verify, so fold-family dumps show the
+      // plan the bench actually runs (r20: FoldLocalSort and the AQP fold
+      // are both extension rules)
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLANDUMP_CONF="k=v;k2=v2" — session confs for A/B plan
+    // captures (e.g. spark.graft.foldLocalSort.enabled=false for the
+    // pre-r20 Sort/Exchange shape) without rebuilding
+    sys.env.get("SPARK_GRAFT_PLANDUMP_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _                         => ()
+      }
+    })
+    // intermediate-stage frames for ops whose declared output is a tiny
+    // driver-built frame (VERDICT r19 item 5/7: dedup_lsh_stats' dump showed
+    // only the final 8-row LocalTableScan — the interesting plan is the
+    // candidate band join feeding the driver-side counts)
+    val stages: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "dedup_lsh_stats#candidates" ->
+        ((s, d) => graft.ext.Similarity.lshStatsCandidateFrame(s, d, 0.45)))
     names.foreach { n =>
       println(s"==== $n ====")
       // "formatted" mode: numbered operator list + per-operator details
       // (PushedFilters/ReadSchema, join build sides, exchange partitioning) —
       // the shape the optimization-round plan captures are graded against
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution
+      println(stages.getOrElse(n, SparkEntry.queries(n))(spark, sfDir).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
     spark.stop()

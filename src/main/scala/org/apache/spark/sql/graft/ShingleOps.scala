@@ -42,29 +42,42 @@ case class DistinctShingles(child: Expression, n: Int) extends UnaryExpression {
 object ShingleUtil {
   private val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
 
-  /** Distinct n-gram shingles (space-joined) over non-null string elements,
-    * first-occurrence order; empty when the array holds fewer than n tokens.
+  /** Distinct n-gram shingles (space-joined), first-occurrence order; empty
+    * when the array holds fewer than n tokens. Null elements are skipped
+    * exactly like the HOF reference's `concat_ws` skips null arguments
+    * (r19 ADVICE: the tokenizer never produces them, but the public Column
+    * API must not NPE on a contract its signature doesn't state).
     */
   def distinctShingles(arr: ArrayData, n: Int): ArrayData = {
     val sz = arr.numElements()
     if (sz < n) return EMPTY
     val toks = new Array[UTF8String](sz)
     var j = 0
-    while (j < sz) { toks(j) = arr.getUTF8String(j); j += 1 }
+    while (j < sz) { toks(j) = if (arr.isNullAt(j)) null else arr.getUTF8String(j); j += 1 }
     val out = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= sz - n) {
-      var len = n - 1 // separators
+      var len = 0
+      var nn = 0 // non-null tokens in this window
       var q = 0
-      while (q < n) { len += toks(i + q).numBytes(); q += 1 }
+      while (q < n) {
+        val t = toks(i + q)
+        if (t != null) { len += t.numBytes(); nn += 1 }
+        q += 1
+      }
+      if (nn > 1) len += nn - 1 // separators join non-null tokens only
       val bytes = new Array[Byte](len)
       var pos = 0
+      var first = true
       q = 0
       while (q < n) {
-        if (q > 0) { bytes(pos) = ' '; pos += 1 }
         val t = toks(i + q)
-        t.writeToMemory(bytes, Platform.BYTE_ARRAY_OFFSET + pos)
-        pos += t.numBytes()
+        if (t != null) {
+          if (!first) { bytes(pos) = ' '; pos += 1 }
+          first = false
+          t.writeToMemory(bytes, Platform.BYTE_ARRAY_OFFSET + pos)
+          pos += t.numBytes()
+        }
         q += 1
       }
       out.add(UTF8String.fromBytes(bytes))

@@ -414,6 +414,24 @@ class ExtOpsSpec extends AnyFunSuite {
           s"n=$n diverged: ${bad.take(2).mkString("; ")}")
       }
     }
+    // r20 hardening (r19 ADVICE): a null ELEMENT is skipped exactly like
+    // the HOF's concat_ws skips null arguments — the tokenizer never makes
+    // one, but the public Column API must not NPE. Token arrays built
+    // directly so null slots survive into the expression.
+    val nullToks = Seq(
+      (1L, Seq[String](null, "a", "b", null, "c")),
+      (2L, Seq[String](null, null, null)),
+      (3L, Seq[String]("", null, "x"))
+    ).toDF("doc_id", "toks")
+    Seq(2, 3).foreach { n =>
+      val both = nullToks.select(
+        org.apache.spark.sql.graft.ShingleOps.distinctShingles(col("toks"), n).as("fast"),
+        array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (1 to n).map(q => element_at(col("toks"), i + q)): _*)))
+          .as("ref"))
+      val bad = both.filter(not(col("fast") <=> col("ref")))
+      assert(bad.isEmpty, s"null-element shingles n=$n diverged: ${bad.take(2).mkString("; ")}")
+    }
   }
 
   test("minhash near-dup finds the exact n-gram Jaccard pairs") {
@@ -499,6 +517,19 @@ class ExtOpsSpec extends AnyFunSuite {
         Literal(new GenericArrayData(b), ArrayType(LongType))).eval(null)
       assert(got == expect, s"firstEqualIndex(${a.toSeq}, ${b.toSeq}) = $got, want $expect")
     }
+    // r20 hardening (r19 ADVICE): null elements equal nothing (no garbage
+    // getLong read), and non-long arrays fail analysis instead of silently
+    // dropping candidate pairs
+    val withNulls = org.apache.spark.sql.graft.FirstEqualIndex(
+      Literal(new GenericArrayData(Array[Any](null, 2L, 3L)), ArrayType(LongType)),
+      Literal(new GenericArrayData(Array[Any](null, 9L, 3L)), ArrayType(LongType))).eval(null)
+    assert(withNulls == 2, s"null elements must not match (got $withNulls)")
+    import org.apache.spark.sql.types.IntegerType
+    val bad = org.apache.spark.sql.graft.FirstEqualIndex(
+      Literal(new GenericArrayData(Array(1, 2)), ArrayType(IntegerType)),
+      Literal(new GenericArrayData(Array(1L, 2L)), ArrayType(LongType)))
+    assert(!bad.checkInputDataTypes().isSuccess,
+      "non-long arrays must be rejected at analysis time")
   }
 
   test("dedup_exact collapses the doubled corpus to one row per doc") {
