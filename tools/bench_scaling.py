@@ -28,6 +28,10 @@ def main() -> int:
                 raw = raw[len("[info]"):].strip()
             if raw.startswith("{"):
                 lines.append(json.loads(raw))
+    # r20: Bench prints a compact driver-tail summary line after each SF's
+    # full line; keep the full lines (they carry the complete maps), drop
+    # the summaries so line pairing by position stays correct
+    lines = [l for l in lines if "cpu_sec" in l]
     if len(lines) < 2:
         print(f"need >=2 bench lines, got {len(lines)}", file=sys.stderr)
         return 1
